@@ -1,13 +1,143 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.engine._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every key in `queries` is an operator from SURVEY.md §2c; every key
+  * that is ANSI-SQL-expressible has a matching DuckDB oracle in
+  * `oracleSql` (same column names, same ORDER BY, doubles rounded —
+  * the driver hash-compares values after sorting columns by name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q1-shaped multi-measure aggregation — the canonical
+    * scale-proof plan (map-side partial agg, 6-row shuffle). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.qAggHash(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_project"       -> (Relational.qScanProject _),
+    "q_filter_predicate"   -> (Relational.qFilterPredicate _),
+    "q_limit_topn"         -> (Relational.qLimitTopN _),
+    "q_join_broadcast"     -> (Relational.qJoinBroadcast _),
+    "q_join_smj"           -> (Relational.qJoinSmj _),
+    "q_join_semi_anti"     -> (Relational.qJoinSemiAnti _),
+    "q_agg_hash"           -> (Relational.qAggHash _),
+    "q_agg_distinct"       -> (Relational.qAggDistinct _),
+    "q_agg_approx_distinct" -> (Relational.qAggApproxDistinct _),
+    "q_agg_rollup"         -> (Relational.qAggRollup _),
+    "q_window_rank"        -> (Relational.qWindowRank _),
+    "q_window_frame"       -> (Relational.qWindowFrame _),
+    "q_setops"             -> (Relational.qSetOps _),
+    "q_scalar_funcs"       -> (Relational.qScalarFuncs _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag""".stripMargin,
+
+    "q_filter_predicate" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag, l_tax
+        |FROM lineitem
+        |WHERE (l_quantity > 30 AND l_discount BETWEEN 0.02 AND 0.06)
+        |   OR (l_returnflag = 'R' AND l_tax <= 0.03)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag, l_tax""".stripMargin,
+
+    "q_limit_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |       ROUND(SUM(c_acctbal), 2) AS total_acctbal,
+        |       ROUND(AVG(c_acctbal), 2) AS avg_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_smj" ->
+      """SELECT o_orderpriority,
+        |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_join_semi_anti" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, 'has_order' AS kind
+        |FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, 'no_order' AS kind
+        |FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |GROUP BY c_mktsegment
+        |ORDER BY kind, c_mktsegment""".stripMargin,
+
+    "q_agg_hash" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |       ROUND(AVG(l_quantity), 2) AS avg_qty,
+        |       ROUND(AVG(l_extendedprice), 2) AS avg_price,
+        |       ROUND(AVG(l_discount), 2) AS avg_disc,
+        |       CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal, rn, rk FROM (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn,
+        |         CAST(RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rk
+        |  FROM customer) t
+        |WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q_window_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |       ROUND(SUM(o_totalprice) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS running_sum
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_setops" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 1000
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders
+        |EXCEPT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY custkey""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |       UPPER(o_orderstatus) AS status_u,
+        |       SUBSTRING(o_orderpriority, 1, 3) AS prio3,
+        |       CAST(LENGTH(o_orderpriority) AS BIGINT) AS prio_len,
+        |       CONCAT_WS('-', o_orderstatus, o_orderpriority) AS cat,
+        |       CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(MONTH(o_orderdate) AS BIGINT) AS mo,
+        |       CAST(DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+        |       ROUND(o_totalprice / 3.0, 2) AS price_div,
+        |       ROUND(SQRT(ABS(o_totalprice)), 2) AS price_sqrt
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+  )
 }

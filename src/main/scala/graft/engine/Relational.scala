@@ -1,0 +1,228 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory (SURVEY.md §2c, relational core).
+  *
+  * The reference (TFMV/roar) has no relational operators at all —
+  * confirmed by its author ("No transformations (yet)",
+  * art/article.md:106) — so these queries are the Spark-native
+  * extension demanded by the BASELINE north star. Everything here is
+  * declarative DataFrame API: Catalyst handles pushdown, pruning,
+  * join selection and AQE re-planning; no hand-scheduling.
+  *
+  * Determinism contract (for the DuckDB differential oracle): every
+  * query ends in ORDER BY on a unique key prefix; every double
+  * aggregate is ROUND(x, 2); every computed integer column is cast to
+  * LongType so both engines produce int64.
+  *
+  * Scale notes are per-query in the Scaladoc: the fixtures are tiny
+  * but each plan is shaped for a 1000-executor cluster at 100 TB.
+  */
+object Relational {
+  import Tables._
+
+  /** Scan + projection (reference full-scan serve, flight/server.go:171-208,
+    * + metadata projection kafka/consumer.go:833-839).
+    * Column pruning reaches the parquet scan: ReadSchema carries only the
+    * five projected columns; at 100 TB that is the difference between
+    * reading ~30% vs 100% of the table bytes. */
+  def qScanProject(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture data, so
+      // the deterministic-order contract needs every output column as a
+      // tie-break.
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+
+  /** Filter with conjunction/disjunction (reference format-sniff predicate
+    * analog, kafka/consumer.go:651-665). Both disjuncts are
+    * parquet-pushable (`PushedFilters: [Or(And(...),And(...))]`), so at
+    * scale row groups that match neither side are skipped via min/max
+    * stats before decoding. */
+  def qFilterPredicate(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(
+        (col("l_quantity") > 30 && col("l_discount").between(0.02, 0.06)) ||
+          (col("l_returnflag") === "R" && col("l_tax") <= 0.03))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag", "l_tax")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag", "l_tax")
+
+  /** Sort + LIMIT top-N (reference client-side LIMIT, cmd/client.go:193).
+    * Catalyst plans orderBy+limit as TakeOrderedAndProject: each task
+    * keeps a 100-row heap and only those heaps hit the driver — no
+    * global sort shuffle of the full table, which is what makes top-N
+    * viable on 100 TB. */
+  def qLimitTopN(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  /** Broadcast equi-join over the dimension chain customer→nation→region.
+    * nation (25 rows) and region (5 rows) stay tiny at ANY scale factor —
+    * broadcast is the correct strategy at 100 TB too: zero shuffle of the
+    * fact side, map-side hash join per partition. */
+  def qJoinBroadcast(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum("c_acctbal"), 2).as("total_acctbal"),
+        round(avg("c_acctbal"), 2).as("avg_acctbal"))
+      .orderBy("r_name", "n_name")
+
+  /** Fact-fact equi-join lineitem⋈orders. Both sides are large at scale,
+    * so Catalyst picks a shuffle join (sort-merge or shuffled-hash)
+    * partitioned on the join key; the l_shipdate filter is pushed below
+    * the join into the parquet scan, and the aggregation is partial
+    * (map-side combine) before the final shuffle on o_orderpriority.
+    * AQE may locally demote this to broadcast at small SF — that is the
+    * correct adaptive behavior, not a plan bug. */
+  def qJoinSmj(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(orders(s, d).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+
+  /** Left-semi (EXISTS) + left-anti (NOT EXISTS) against orders.
+    * Semi/anti joins shuffle only the distinct keys of the right side —
+    * at scale, dramatically cheaper than an inner join + distinct. */
+  def qJoinSemiAnti(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select("c_custkey", "c_mktsegment")
+    val o = orders(s, d).select("o_custkey")
+    def grouped(joined: DataFrame, kind: String): DataFrame =
+      joined.groupBy("c_mktsegment").agg(count(lit(1)).as("n")).withColumn("kind", lit(kind))
+    grouped(c.join(o, c("c_custkey") === o("o_custkey"), "left_semi"), "has_order")
+      .unionByName(grouped(c.join(o, c("c_custkey") === o("o_custkey"), "left_anti"), "no_order"))
+      .orderBy("kind", "c_mktsegment")
+  }
+
+  /** Multi-measure hash aggregation (TPC-H Q1 shape). Partial aggregation
+    * happens map-side on (l_returnflag, l_linestatus) — cardinality ~6 —
+    * so the shuffle moves 6 rows per task regardless of input size:
+    * the canonical scale-proof aggregation plan. */
+  def qAggHash(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        round(avg("l_extendedprice"), 2).as("avg_price"),
+        round(avg("l_discount"), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Exact distinct aggregation. countDistinct expands to a two-phase
+    * plan (partial distinct on (status, custkey), then count) — scales
+    * without collecting key sets on the driver. */
+  def qAggDistinct(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        countDistinct("o_custkey").as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  /** Approximate distinct (HyperLogLog++). Single-pass, fixed-size sketch
+    * per group — the 100 TB answer when exact distinct's expand shuffle
+    * is too expensive. No DuckDB oracle (estimator-specific values);
+    * rows-only check. */
+  def qAggApproxDistinct(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(approx_count_distinct("o_custkey", 0.01).as("approx_cust"))
+      .orderBy("o_orderstatus")
+
+  /** ROLLUP grouping sets. NULL group markers are COALESCE'd to 'ALL'
+    * so the oracle comparison never depends on engine NULL-ordering. */
+  def qAggRollup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")
+
+  /** Ranking window: top-5 customers per market segment by balance.
+    * Fully-ordered partitionBy+orderBy makes row_number deterministic;
+    * rank/dense_rank ride the same sort. Window shuffles once on
+    * c_mktsegment; with 5 segments at 100 TB this would skew — the
+    * scale plan is the same query after pre-aggregating per (segment,
+    * custkey), which this already is (customer is unique per key). */
+  def qWindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    customer(s, d)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rk", rank().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  /** Analytic frame: running 4-row sum of order totals per customer.
+    * ROWS frames are streaming-friendly within a partition (no buffering
+    * beyond 4 rows); partition key o_custkey is high-cardinality so the
+    * window shuffle is balanced at scale. */
+  def qWindowFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(-3, 0)
+    orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .withColumn("running_sum", round(sum("o_totalprice").over(w), 2))
+      .select("o_orderkey", "o_custkey", "running_sum")
+      .orderBy("o_orderkey")
+  }
+
+  /** Set operations: (rich customers ∩ customers-with-orders) ∖ BUILDING
+    * segment. INTERSECT/EXCEPT plan as aggregate/semi-anti joins on the
+    * key — distributed, no driver sets. */
+  def qSetOps(s: SparkSession, d: String): DataFrame = {
+    val rich = customer(s, d).filter(col("c_acctbal") > 1000)
+      .select(col("c_custkey").as("custkey"))
+    val withOrders = orders(s, d).select(col("o_custkey").as("custkey"))
+    val building = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    rich.intersect(withOrders).except(building).orderBy("custkey")
+  }
+
+  /** Scalar function library: string/date/math over orders (reference's
+    * only scalar op is the RFC3339 parse, kafka/consumer.go:928 — this
+    * generalizes it). All functions are codegen'd builtins; the whole
+    * projection stays inside one WholeStageCodegen span. */
+  def qScalarFuncs(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderstatus")).as("status_u"),
+        substring(col("o_orderpriority"), 1, 3).as("prio3"),
+        length(col("o_orderpriority")).cast("long").as("prio_len"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("cat"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long").as("days_since"),
+        // divide (not multiply by 1.1): a 2-decimal price times 1.1 lands
+        // exactly on the round-half boundary for ~half the rows, where
+        // Spark (shortest-string BigDecimal HALF_UP) and DuckDB (raw
+        // binary) disagree; /3 yields non-terminating decimals where the
+        // boundary probability is ~0.
+        round(col("o_totalprice") / 3.0, 2).as("price_div"),
+        round(sqrt(abs(col("o_totalprice"))), 2).as("price_sqrt"))
+      .orderBy("o_orderkey")
+}

@@ -1,0 +1,29 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central accessor for the driver-generated parquet fixtures
+  * (TESTDATA.md). One parquet file per table under `sfDir`.
+  *
+  * Scale note: `spark.read.parquet` gives Catalyst a file-source
+  * relation with column pruning + predicate pushdown; every query
+  * downstream must keep its filters/projections expressible on
+  * columns so they reach the scan (verified via `.explain` —
+  * `PushedFilters`/`ReadSchema`). At 100 TB the same call reads a
+  * partitioned directory tree; nothing here assumes single files.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
