@@ -33,6 +33,9 @@ object SparkEntry {
     "q_window_frame"       -> (Relational.qWindowFrame _),
     "q_setops"             -> (Relational.qSetOps _),
     "q_scalar_funcs"       -> (Relational.qScalarFuncs _),
+    "q_json_infer"         -> (IngestQueries.qJsonInfer _),
+    "q_kafka_meta"         -> (IngestQueries.qKafkaMeta _),
+    "q_type_promotion"     -> (IngestQueries.qTypePromotion _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -139,5 +142,27 @@ object SparkEntry {
         |       ROUND(o_totalprice / 3.0, 2) AS price_div,
         |       ROUND(SQRT(ABS(o_totalprice)), 2) AS price_sqrt
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_json_infer" ->
+      """SELECT event_id,
+        |       CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_kafka_meta" ->
+      """SELECT CAST(user_id AS VARCHAR) AS kafka_key,
+        |       CAST(ts AS TIMESTAMP) AS kafka_timestamp,
+        |       event_id AS kafka_offset,
+        |       CAST(event_id % 32 AS INTEGER) AS kafka_partition,
+        |       props AS value
+        |FROM events ORDER BY kafka_offset""".stripMargin,
+
+    "q_type_promotion" ->
+      """SELECT event_id,
+        |       CASE WHEN event_id % 2 = 0 THEN CAST(k AS DOUBLE)
+        |            ELSE CAST(k AS DOUBLE) + 0.5 END AS k
+        |FROM (SELECT event_id,
+        |             CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k
+        |      FROM events) t
+        |ORDER BY event_id""".stripMargin,
   )
 }

@@ -1,0 +1,42 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingestion-parity queries (SURVEY.md §2c: q_json_infer, q_kafka_meta,
+  * q_type_promotion). The `events` fixture plays the role of a Kafka
+  * topic: `props` is the message payload, `ts`/`event_id` the broker
+  * metadata. */
+object IngestQueries {
+  import Tables._
+
+  /** JSON parse with inferred schema (reference O3/O5/O6,
+    * kafka/consumer.go:827-982): sample-infer the payload schema once,
+    * then one codegen'd from_json over the full table. At 100 TB the
+    * sample is still ~100 rows; the parse is embarrassingly parallel. */
+  def qJsonInfer(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val schema = Ingest.inferPayloadSchema(s, ev.select("props").as[String])
+    Ingest.parseJsonPayload(ev, "props", schema, keep = Seq("event_id"))
+      .orderBy("event_id")
+  }
+
+  /** Kafka-style metadata projection (reference O4,
+    * kafka/consumer.go:833-839). */
+  def qKafkaMeta(s: SparkSession, d: String): DataFrame =
+    Ingest.kafkaMeta(events(s, d)).orderBy("kafka_offset")
+
+  /** Mixed-type promotion (reference O6 commonSuperType,
+    * kafka/consumer.go:946-982): an int64-typed slice unioned with a
+    * double-typed slice promotes to double via the lattice. */
+  def qTypePromotion(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .select("event_id", "k")
+    val ints    = ev.filter(col("event_id") % 2 === 0)
+    val doubles = ev.filter(col("event_id") % 2 === 1)
+      .withColumn("k", col("k") + 0.5)
+    Ingest.unionPromote(ints, doubles).orderBy("event_id")
+  }
+}
