@@ -36,6 +36,18 @@ object SparkEntry {
     "q_json_infer"         -> (IngestQueries.qJsonInfer _),
     "q_kafka_meta"         -> (IngestQueries.qKafkaMeta _),
     "q_type_promotion"     -> (IngestQueries.qTypePromotion _),
+    "q_dedup_exact"        -> (TextOps.qDedupExact _),
+    "q_dedup_minhash"      -> ((s, d) => TextOps.qDedupMinhash(s, d)),
+    "q_dedup_simhash"      -> ((s, d) => TextOps.qDedupSimhash(s, d)),
+    "q_dedup_ngram_jaccard" -> ((s, d) => TextOps.qDedupNgramJaccard(s, d)),
+    "q_text_stats"         -> (TextOps.qTextStats _),
+    "q_token_count"        -> (TextOps.qTokenCount _),
+    "q_quality_score"      -> (TextOps.qQualityScore _),
+    "q_lang_id"            -> (TextOps.qLangId _),
+    "q_doc_fingerprint"    -> (TextOps.qDocFingerprint _),
+    "q_vector_topk"        -> ((s, d) => VectorOps.qVectorTopK(s, d)),
+    "q_ann_lsh"            -> ((s, d) => VectorOps.qAnnLsh(s, d)),
+    "q_embed_cosine_dup"   -> ((s, d) => VectorOps.qEmbedCosineDup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -164,5 +176,49 @@ object SparkEntry {
         |             CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k
         |      FROM events) t
         |ORDER BY event_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL SELECT doc_id + 1000000, text FROM documents) t
+        |GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |       ROUND(AVG(n_tokens), 2) AS avg_tokens,
+        |       CAST(SUM(n_chars_actual) AS BIGINT) AS total_chars
+        |FROM (SELECT lang,
+        |             array_length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |             length(text) AS n_chars_actual
+        |      FROM documents) t
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |       CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |       CAST(array_length(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS re_tokens,
+        |       CAST(CEIL(length(text) / 4.0) AS BIGINT) AS subword_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      """SELECT doc_id,
+        |       CAST(array_length(toks) AS BIGINT) AS n_tokens,
+        |       ROUND(stop_hits / n_tok, 4) AS stopword_ratio,
+        |       ROUND(punct / GREATEST(n_char, 1), 4) AS punct_ratio,
+        |       ROUND(array_length(list_distinct(toks)) / n_tok, 4) AS ttr,
+        |       ROUND(LEAST(n_tok / 100.0, 1.0) * 0.4
+        |             + LEAST(stop_hits / n_tok * 5.0, 1.0) * 0.3
+        |             + (1.0 - LEAST(punct / GREATEST(n_char, 1) * 10.0, 1.0)) * 0.3, 4) AS quality
+        |FROM (SELECT doc_id, toks,
+        |             CAST(array_length(toks) AS DOUBLE) AS n_tok,
+        |             CAST(array_length(list_filter(toks,
+        |               x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) AS stop_hits,
+        |             CAST(array_length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS punct,
+        |             CAST(length(text) AS DOUBLE) AS n_char
+        |      FROM (SELECT doc_id, text,
+        |                   regexp_split_to_array(trim(text), '\s+') AS toks
+        |            FROM documents) a) b
+        |ORDER BY doc_id""".stripMargin,
   )
 }

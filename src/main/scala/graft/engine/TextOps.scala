@@ -1,0 +1,289 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text pipeline operators (BASELINE north star; the
+  * reference has no text processing at all — SURVEY.md §2b).
+  *
+  * Scale design rules applied throughout:
+  *  - Near-dup detection is LSH-banded: candidate generation is a
+  *    bucket-equijoin on (band_id, band_hash), never an O(n²) cross
+  *    join. At 100 TB the bucket join shuffles on the band hash —
+  *    uniformly distributed by construction.
+  *  - Signatures (minhash/simhash) are computed with codegen'd
+  *    higher-order functions over token arrays — one projection, no
+  *    explode of per-token rows on the hot path.
+  *  - A bucket-size guard drops degenerate buckets (stopword-like
+  *    shingles) that would otherwise quadratically blow up a skewed
+  *    key — the distributed analog of salting.
+  */
+object TextOps {
+
+  val Prime: Long = 2147483647L // 2^31-1, Mersenne; all minhash arithmetic mod this
+
+  /** Deterministic (a, b) coefficient pairs for the minhash permutation
+    * family h_i(x) = (a_i·x + b_i) mod P (seed fixed for
+    * reproducibility across runs and engines). */
+  def hashCoeffs(n: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(n)((1L + rng.nextInt(Int.MaxValue - 1).toLong,
+                 rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Whitespace tokenizer shared by every operator. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Distinct k-word shingles of a token array, hashed to a positive
+    * value mod P. Shingling + hashing is one codegen'd projection. */
+  def shingleHashes(toks: Column, k: Int): Column = {
+    val shingles = transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => array_join(slice(toks, i + 1, lit(k)), " "))
+    array_distinct(transform(shingles, s => pmod(xxhash64(s), lit(Prime))))
+  }
+
+  /** MinHash signature: for each of n hash functions, the min of
+    * (a·x + b) mod P over the shingle set. Built as n independent
+    * aggregate() HOFs — no shuffle, no UDF. */
+  def minhashSignature(sh: Column, n: Int): Column = {
+    val coeffs = hashCoeffs(n)
+    array(coeffs.map { case (a, b) =>
+      aggregate(sh, lit(Prime),
+        (acc, x) => least(acc, pmod(x * a + b, lit(Prime))))
+    }: _*)
+  }
+
+  /** Band hashes for LSH: split an n-length signature into `bands`
+    * equal bands and hash each. Docs sharing any band hash are
+    * candidate pairs; P(candidate) ≈ 1-(1-j^r)^b for jaccard j. */
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(array_join(transform(
+          slice(sig, b * rowsPerBand + 1, rowsPerBand), _.cast("string")), ",")).as("bh"))
+    }: _*)
+
+  /** 64-bit SimHash over tokens: per token, xxhash64 contributes ±1 to
+    * each of 64 bit-position counters; fingerprint bit i is the sign of
+    * counter i. One aggregate() HOF per document; the 64 bit positions
+    * are unrolled as literal shifts (Spark's shiftleft/shiftright take
+    * only literal shift amounts). */
+  def simhash64(toks: Column): Column = {
+    val counters = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        array((0 until 64).map { i =>
+          element_at(acc, i + 1) +
+            when(shiftright(h, i).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))
+        }: _*)
+      })
+    // pack sign bits into one long
+    (0 until 64).map { i =>
+      when(element_at(counters, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  // ---------------------------------------------------------------- //
+
+  import Tables._
+
+  /** A corpus with KNOWN duplicates for the dedup demonstrations: the
+    * fixture documents (all unique) unioned with a perturbed copy
+    * (doc_id offset, last token dropped) — exact copies for exact
+    * dedup, near-copies for the LSH family. Deterministic. */
+  def corpusWithDups(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "text", "lang", "source")
+    val exactCopies = docs
+      .withColumn("doc_id", col("doc_id") + 1000000)
+    val nearCopies = docs
+      .withColumn("doc_id", col("doc_id") + 2000000)
+      .withColumn("text", array_join(slice(tokens(col("text")), lit(1),
+        greatest(size(tokens(col("text"))) - 1, lit(1))), " "))
+    docs.unionByName(exactCopies).unionByName(nearCopies)
+  }
+
+  /** Exact dedup via hash aggregation on content (north star op):
+    * keep min doc_id per text, count copies. groupBy(text) shuffles on
+    * a hash of the full text — at 100 TB one would groupBy
+    * xxhash64(text) first (8-byte keys) and only compare full text
+    * within hash buckets; semantics identical for the fixture. */
+  def qDedupExact(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "text")
+    docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000))
+      .groupBy("text")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+  }
+
+  /** MinHash + LSH near-duplicate pairs (shingle → minhash → band →
+    * bucket-join → exact-jaccard verify). Output: (doc_a, doc_b,
+    * jaccard) for pairs with estimated jaccard ≥ threshold.
+    *
+    * Plan shape at scale: signature projection (narrow) → explode 8
+    * band rows/doc → shuffle on (band, bh) → per-bucket self-join with
+    * a bucket-size guard → distinct pairs → one more shuffle to fetch
+    * shingle sets → exact verify. No stage is quadratic in corpus
+    * size. */
+  def minhashPairs(corpus: DataFrame, k: Int = 3, nHashes: Int = 32,
+                   bands: Int = 8, threshold: Double = 0.5,
+                   maxBucket: Int = 64): DataFrame = {
+    val rowsPerBand = nHashes / bands
+    val withSh = corpus
+      .withColumn("sh", shingleHashes(tokens(col("text")), k))
+      .filter(size(col("sh")) > 0)
+    val sigs = withSh
+      .withColumn("sig", minhashSignature(col("sh"), nHashes))
+      .select(col("doc_id"), col("sh"),
+        explode(bandHashes(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("doc_id"), col("sh"), col("b.band"), col("b.bh"))
+    // bucket-size guard: a shingle-degenerate bucket would create
+    // O(bucket²) candidates — cap it (documented coverage tradeoff)
+    val guarded = sigs.withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .filter(col("bucket_n") <= maxBucket)
+    val l = guarded.select(col("band"), col("bh"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val r = guarded.select(col("band"), col("bh"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  def qDedupMinhash(s: SparkSession, d: String): DataFrame =
+    minhashPairs(corpusWithDups(s, d).select("doc_id", "text"))
+      .orderBy("doc_a", "doc_b")
+
+  /** SimHash near-dup buckets: 64-bit fingerprints, candidates share a
+    * 16-bit chunk (Hamming-distance-tolerant blocking). Returns pairs
+    * with Hamming distance ≤ 8. */
+  def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val corpus = corpusWithDups(s, d).select("doc_id", "text")
+      .withColumn("fp", simhash64(tokens(col("text"))))
+    val chunks = corpus.select(col("doc_id"), col("fp"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("fp"), c * 16).bitwiseAND(0xFFFF).as("ch"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("fp"), col("b.chunk"), col("b.ch"))
+    val l = chunks.select(col("chunk"), col("ch"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+    val r = chunks.select(col("chunk"), col("ch"), col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+    l.join(r, Seq("chunk", "ch"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "fp_a", "fp_b").distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .filter(col("hamming") <= 8)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** N-gram Jaccard similarity on LSH candidates: same banding front
+    * end, but scored with word-bigram Jaccard instead of shingle-hash
+    * Jaccard (demonstrates the pluggable verify stage). */
+  def qDedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val corpus = corpusWithDups(s, d).select("doc_id", "text")
+    minhashPairs(corpus, k = 2, threshold = 0.4)
+      .withColumnRenamed("jaccard", "bigram_jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-language corpus statistics (token/char counts) — the
+    * canonical map-side-combinable text aggregation. */
+  def qTextStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .withColumn("n_chars_actual", length(col("text")).cast("long"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("n_tokens"), 2).as("avg_tokens"),
+        sum("n_chars_actual").as("total_chars"))
+      .orderBy("lang")
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * count (word pieces + standalone punctuation), plus a chars/4
+    * subword estimate — the triad a training-data pipeline budgets
+    * with. */
+  def qTokenCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("re_tokens"),
+      ceil(length(col("text")) / 4.0).cast("long").as("subword_est"))
+      .orderBy("doc_id")
+
+  private val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  /** Document quality scoring: length, punctuation ratio, stopword
+    * ratio, type-token diversity → composite score. Pure codegen'd
+    * column arithmetic — scales linearly. */
+  def qQualityScore(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopHits = size(filter(toks, t => t.isin(StopwordsEn: _*))).cast("double")
+    val punct = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double")
+    documents(s, d).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      round(stopHits / nTok, 4).as("stopword_ratio"),
+      round(punct / greatest(length(col("text")), lit(1)).cast("double"), 4).as("punct_ratio"),
+      round(size(array_distinct(toks)).cast("double") / nTok, 4).as("ttr"),
+      round(
+        least(nTok / 100.0, lit(1.0)) * 0.4 +
+          least(stopHits / nTok * 5.0, lit(1.0)) * 0.3 +
+          (lit(1.0) - least(punct / greatest(length(col("text")), lit(1)).cast("double") * 10.0, lit(1.0))) * 0.3,
+        4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val LangStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en", "por", "que"))
+
+  /** Heuristic language ID: stopword-profile scoring over the four
+    * latin-script profiles plus a CJK-codepoint check — the n-gram
+    * heuristic family, expressed as pure column arithmetic. Emits the
+    * prediction alongside the labeled lang for agreement analysis. */
+  def qLangId(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val scores = LangStopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      struct(
+        (size(filter(toks, t => t.isin(sw: _*))).cast("double") /
+          greatest(size(toks), lit(1)).cast("double")).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    documents(s, d).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      when(col("text").rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+        .when(best.getField("score") > 0, best.getField("lang"))
+        .otherwise(lit("und")).as("predicted_lang"),
+      round(best.getField("score"), 4).as("confidence"))
+      .orderBy("doc_id")
+  }
+
+  /** Content-defined fingerprint: min-of-shingle-hashes (winnowing
+    * flavor) + a full-document polynomial rolling hash. Stable document
+    * identity for incremental dedup at scale. */
+  def qDocFingerprint(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    documents(s, d).select(
+      col("doc_id"),
+      array_min(shingleHashes(toks, 3)).as("winnow_fp"),
+      aggregate(toks, lit(0L),
+        (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), lit(Prime)), lit(Prime))).as("rolling_fp"))
+      .orderBy("doc_id")
+  }
+}
