@@ -48,6 +48,10 @@ object SparkEntry {
     "q_vector_topk"        -> ((s, d) => VectorOps.qVectorTopK(s, d)),
     "q_ann_lsh"            -> ((s, d) => VectorOps.qAnnLsh(s, d)),
     "q_embed_cosine_dup"   -> ((s, d) => VectorOps.qEmbedCosineDup(s, d)),
+    "q_stream_tumbling"    -> (StreamingOps.qStreamTumbling _),
+    "q_stream_session_ttl" -> (StreamingOps.qStreamSessionTtl _),
+    "q_buffer_eviction"    -> (StreamingOps.qBufferEviction _),
+    "q_csv_roundtrip"      -> (Sinks.qCsvRoundtrip _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -220,5 +224,36 @@ object SparkEntry {
         |                   regexp_split_to_array(trim(text), '\s+') AS toks
         |            FROM documents) a) b
         |ORDER BY doc_id""".stripMargin,
+
+    "q_stream_tumbling" ->
+      """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start,
+        |       event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_stream_session_ttl" ->
+      """WITH t AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |         CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL
+        |                OR CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) >= INTERVAL 4 HOUR
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM t)
+        |SELECT user_id, CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       ROUND(SUM(value), 2) AS session_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_buffer_eviction" ->
+      """SELECT event_id, user_id FROM (
+        |  SELECT event_id, user_id,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn <= 50 ORDER BY event_id""".stripMargin,
   )
 }

@@ -1,0 +1,57 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File sinks with the reference's client-side formatting rules
+  * (cmd/client.go:227-277): CSV with header, nulls as empty fields,
+  * fields quoted when they contain commas. Parquet is the default
+  * analytical sink (schema self-describing, splittable — what the
+  * reference's DuckDB sink becomes at scale). */
+object Sinks {
+
+  /** Write CSV with the reference's quoting/null conventions
+    * (cmd/client.go:249-257: quote iff field contains a comma; nulls →
+    * empty). Spark's CSV writer QUOTE_MINIMAL is exactly that rule. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .option("emptyValue", "")
+      .option("nullValue", "")
+      .csv(path)
+
+  def readCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("nullValue", "")
+      .option("multiLine", "true") // quoted embedded newlines
+      .schema(schema)
+      .csv(path)
+
+  import Tables._
+
+  /** CSV round-trip self-check (SURVEY.md §2c q_csv_roundtrip): write
+    * documents enriched with a quoting-hostile column (commas, quotes,
+    * newlines) to CSV, read it back with the same schema, join on
+    * doc_id and emit per-row match flags. Self-checking: the ScalaTest
+    * spec asserts all_match = true; the driver's rows>0 check passes
+    * either way. */
+  def qCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val src = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        concat(lit("a,b \"q\" "), col("lang"), lit("\nline2")).as("tricky"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+    writeCsv(src, path)
+    val back = readCsv(s, path, src.schema)
+    src.alias("a")
+      .join(back.alias("b"), Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        (col("a.lang") === col("b.lang") &&
+          col("a.n_chars") === col("b.n_chars") &&
+          col("a.tricky") === col("b.tricky")).as("row_match"))
+      .orderBy("doc_id")
+  }
+}

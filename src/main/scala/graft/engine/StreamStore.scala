@@ -1,0 +1,112 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+import scala.collection.mutable
+
+/** In-memory per-topic stream store with byte-bounded drop-oldest
+  * eviction and idle-TTL expiry — the reference's Stream Manager
+  * semantics (stream/manager.go):
+  *
+  *  - per-stream byte budget, evict oldest batches until the new batch
+  *    fits, count dropped rows            (stream/manager.go:277-343)
+  *  - size estimate rows × cols × 8      (stream/manager.go:419-427)
+  *  - idle-TTL expiry of whole streams   (stream/manager.go:150-184)
+  *  - create-on-access registry          (stream/manager.go:216-241)
+  *  - catalog listing / schema fetch / full-scan serve
+  *                                       (flight/server.go:82-230)
+  *
+  * PARITY-MODE COMPONENT: this is deliberately a single-node,
+  * driver-side store (the reference is single-node by design,
+  * art/article.md:107), fed from `foreachBatch`. At 100 TB the same
+  * semantics ride on watermarked streaming state (see
+  * StreamingOps.qStreamSessionTtl for the TTL analog) or an external
+  * store; a driver-held buffer is NOT the scale path and is bounded by
+  * `maxBytesPerStream` for exactly that reason. Clock is injected for
+  * deterministic tests. */
+final class StreamStore(
+    maxBytesPerStream: Long = 100L * 1024 * 1024,
+    ttlMillis: Long = 60000L,
+    now: () => Long = () => System.currentTimeMillis()) {
+
+  final case class Batch(rows: Seq[Row], sizeBytes: Long)
+
+  private final class Entry(val schema: StructType) {
+    val batches = mutable.ArrayDeque.empty[Batch]
+    var currentBytes = 0L
+    var droppedRows = 0L
+    var lastUpdated: Long = now()
+  }
+
+  private val streams = mutable.LinkedHashMap.empty[String, Entry]
+
+  /** rows × cols × 8 heuristic (stream/manager.go:419-427). */
+  def estimateSize(nRows: Int, nCols: Int): Long = nRows.toLong * nCols * 8
+
+  /** Append a batch; evict oldest batches until it fits the byte
+    * budget. A batch larger than the whole budget is dropped outright
+    * (matches reference behavior of evicting everything and then
+    * refusing). Returns rows dropped by eviction. */
+  def append(topic: String, schema: StructType, rows: Seq[Row]): Long = synchronized {
+    val e = streams.getOrElseUpdate(topic, new Entry(schema))
+    e.lastUpdated = now()
+    val size = estimateSize(rows.size, schema.size)
+    var dropped = 0L
+    if (size > maxBytesPerStream) {
+      dropped = rows.size.toLong
+      e.droppedRows += dropped
+      return dropped
+    }
+    while (e.currentBytes + size > maxBytesPerStream && e.batches.nonEmpty) {
+      val old = e.batches.removeHead()
+      e.currentBytes -= old.sizeBytes
+      dropped += old.rows.size
+    }
+    e.droppedRows += dropped
+    e.batches.append(Batch(rows, size))
+    e.currentBytes += size
+    dropped
+  }
+
+  /** Drop streams idle longer than the TTL (stream/manager.go:150-184);
+    * returns expired topic names. The reference runs this on a ttl/2
+    * ticker; callers here invoke it per micro-batch or on a timer. */
+  def expire(): Seq[String] = synchronized {
+    val cutoff = now() - ttlMillis
+    val dead = streams.collect { case (t, e) if e.lastUpdated < cutoff => t }.toSeq
+    dead.foreach(streams.remove)
+    dead
+  }
+
+  /** Catalog listing (flight/server.go:82-130). */
+  def listTopics(): Seq[String] = synchronized { streams.keys.toSeq }
+
+  /** Schema fetch (flight/server.go:211-230). */
+  def schemaOf(topic: String): Option[StructType] =
+    synchronized { streams.get(topic).map(_.schema) }
+
+  def droppedRows(topic: String): Long =
+    synchronized { streams.get(topic).map(_.droppedRows).getOrElse(0L) }
+
+  def currentBytes(topic: String): Long =
+    synchronized { streams.get(topic).map(_.currentBytes).getOrElse(0L) }
+
+  /** Full-scan serve (flight/server.go:171-208): snapshot all buffered
+    * batches as a DataFrame and refresh the TTL clock (reads keep
+    * streams alive, stream/manager.go:381). */
+  def scan(spark: SparkSession, topic: String): Option[DataFrame] = synchronized {
+    streams.get(topic).map { e =>
+      e.lastUpdated = now()
+      val all = e.batches.flatMap(_.rows).toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(all.toList), e.schema)
+    }
+  }
+
+  /** Register every live stream as a temp view (catalog analog,
+    * O16-O18): `spark.table(topic)` then serves the buffered data. */
+  def registerViews(spark: SparkSession): Unit =
+    listTopics().foreach { t =>
+      scan(spark, t).foreach(_.createOrReplaceTempView(t.replaceAll("[^A-Za-z0-9_]", "_")))
+    }
+}

@@ -1,0 +1,93 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Streaming semantics (reference O9 micro-batching, O12 bounded
+  * buffer, O14 TTL) re-expressed on Structured Streaming.
+  *
+  * Each query below is written against the batch DataFrame API with
+  * constructs (`window`, `session_window`, watermarks) that run
+  * IDENTICALLY under `readStream` — `streamingTumbling` below wires
+  * the same aggregation to an actual streaming source, and the
+  * ScalaTest suite drives it with a MemoryStream. The batch form is
+  * what the DuckDB oracle replays (SURVEY.md §2c).
+  */
+object StreamingOps {
+  import Tables._
+
+  /** Event-time tumbling window + watermark (reference O9's 5s flush
+    * timer generalized to event time). Output keyed by epoch seconds so
+    * both engines hash identically. The groupBy(window) shuffles on
+    * (window, event_type) — bounded keys per hour, scales with time
+    * range not data volume; partial aggregation keeps the shuffle tiny. */
+  def qStreamTumbling(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Idle-gap sessionization — the event-time analog of the reference's
+    * processing-time stream TTL (stream/manager.go:150-184: a stream
+    * "session" dies after 60s idle; here a user session closes after 4h
+    * idle). session_window keeps per-key state bounded by the watermark
+    * at scale. */
+  def qStreamSessionTtl(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "4 hours"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+
+  /** Drop-oldest bounded-buffer semantics (reference O12,
+    * stream/manager.go:286-310): keep only the newest 50 events per
+    * user. row_number over (user, ts desc) mirrors byte-budget eviction
+    * with a row budget. Ranking runs after µs truncation so the oracle
+    * ranks the same values. */
+  def qBufferEviction(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 50)
+      .select("event_id", "user_id")
+      .orderBy("event_id")
+  }
+
+  /** The real streaming pipeline for the tumbling aggregation: same
+    * plan as qStreamTumbling but fed from any streaming DataFrame
+    * (MemoryStream in tests, Kafka source in production). */
+  def streamingTumbling(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Checkpointed exactly-once parquet sink (fixes the reference's
+    * duplicate-persist wart, duckdb/sink.go:89-125 — it re-inserts
+    * every buffered batch each 5s tick with no high-water mark; Spark's
+    * checkpointed offsets give exactly-once file output by
+    * construction). */
+  def startParquetSink(df: DataFrame, path: String, checkpoint: String,
+                       intervalMs: Long = 5000): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .start()
+}

@@ -104,7 +104,15 @@ object VectorOps {
         (x, i) => when(i === 0, x * 1.01f).otherwise(x)))
     val corpus = emb.unionByName(perturbed)
       .withColumn("bucket", lshBucket(transform(col("embedding"), _.cast("double")), planes))
-    val l = corpus.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    // 1-bit multiprobe: the probe side also visits the 8 buckets at
+    // Hamming distance 1 in sign space, so a near-dup whose tiny
+    // perturbation flipped one hyperplane sign is still blocked
+    // together. Candidate volume grows 9×, still linear.
+    val probes = corpus.select(
+      explode(array((lit(0L) +: (0 until planes.length).map(i => lit(1L << i))).map(m =>
+        col("bucket").bitwiseXOR(m)): _*)).as("bucket"),
+      col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val l = probes
     val r = corpus.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))

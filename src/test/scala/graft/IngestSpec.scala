@@ -1,0 +1,66 @@
+package graft
+
+import graft.engine.Ingest
+import org.apache.spark.sql.types._
+
+/** Ingestion pipeline (reference O2-O7) behavior tests. */
+class IngestSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("format sniff: JSON vs binary (consumer.go:651-665)") {
+    assert(Ingest.detectFormat(Seq("""{"a":1}""", """[1,2]""")) == "json")
+    assert(Ingest.detectFormat(Seq("plain text", """{"a":1}""")) == "binary")
+    assert(Ingest.detectFormat(Seq(null, """{"a":1}""")) == "json")
+    assert(Ingest.detectFormat(Seq(null)) == "binary")
+  }
+
+  test("inference: integral numbers → long, mixed int/float → double (consumer.go:918-925)") {
+    val s = Ingest.inferPayloadSchema(spark,
+      Seq("""{"i": 1, "m": 2}""", """{"i": 7, "m": 2.5}""").toDS())
+    assert(s("i").dataType == LongType)
+    assert(s("m").dataType == DoubleType)
+  }
+
+  test("inference: nested object and array stringified (consumer.go:934-939)") {
+    val s = Ingest.inferPayloadSchema(spark,
+      Seq("""{"o": {"x": 1}, "a": [1,2,3], "b": true}""").toDS())
+    assert(s("o").dataType == StringType)
+    assert(s("a").dataType == StringType)
+    assert(s("b").dataType == BooleanType)
+  }
+
+  test("inference: RFC3339 strings → timestamp (consumer.go:927-930)") {
+    val s = Ingest.inferPayloadSchema(spark,
+      Seq("""{"t": "2024-01-01T10:00:00Z", "s": "hello"}""",
+          """{"t": "2024-02-03T04:05:06Z", "s": "world"}""").toDS())
+    assert(s("t").dataType == TimestampType)
+    assert(s("s").dataType == StringType)
+  }
+
+  test("parse+flatten keeps meta columns and payload fields (consumer.go:668-695)") {
+    val df = Seq((1L, """{"k": 5, "v": "x"}"""), (2L, """{"k": 6}"""))
+      .toDF("id", "payload")
+    val schema = Ingest.inferPayloadSchema(spark, df.select("payload").as[String])
+    val out = Ingest.parseJsonPayload(df, "payload", schema, keep = Seq("id"))
+    assert(out.columns.toSeq == Seq("id", "k", "v"))
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getLong(1) == 5 && rows(0).getString(2) == "x")
+    assert(rows(1).getLong(1) == 6 && rows(1).isNullAt(2)) // missing → null
+  }
+
+  test("unionPromote: int slice ⊔ double slice → double (consumer.go:946-982)") {
+    val a = Seq((1L, 10L)).toDF("id", "k")
+    val b = Seq((2L, 0.5)).toDF("id", "k")
+    val u = Ingest.unionPromote(a, b)
+    assert(u.schema("k").dataType == DoubleType)
+    assert(u.count() == 2)
+  }
+
+  test("unionPromote: one-sided column becomes null on the other side") {
+    val a = Seq((1L, "x")).toDF("id", "only_a")
+    val b = Seq((2L, true)).toDF("id", "only_b")
+    val u = Ingest.unionPromote(a, b).orderBy("id").collect()
+    assert(u(0).getString(1) == "x" && u(0).isNullAt(2))
+    assert(u(1).isNullAt(1) && u(1).getBoolean(2))
+  }
+}

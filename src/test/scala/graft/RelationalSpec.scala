@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Spot-checks of the relational inventory at sf0.001 (the DuckDB
+  * differential at sf0.01 is the primary gate — these catch plan-shape
+  * regressions early and document invariants). */
+class RelationalSpec extends SparkSuite {
+  import graft.engine.Relational._
+
+  test("every SparkEntry query runs and q-with-oracle keys line up") {
+    val qs = SparkEntry.queries
+    val missingOracle = SparkEntry.oracleSql.keySet -- qs.keySet
+    assert(missingOracle.isEmpty, s"oracles without queries: $missingOracle")
+    qs.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+    }
+  }
+
+  test("entry returns rows (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q_agg_hash groups cover the full lineitem rowcount") {
+    val li = graft.engine.Tables.lineitem(spark, sf).count()
+    val agg = qAggHash(spark, sf)
+    assert(agg.agg(sum("count_order")).head().getLong(0) == li)
+  }
+
+  test("semi + anti partition customers exactly") {
+    val c = graft.engine.Tables.customer(spark, sf).count()
+    val parts = qJoinSemiAnti(spark, sf)
+    assert(parts.agg(sum("n")).head().getLong(0) == c)
+  }
+
+  test("top-N is the global maximum prefix") {
+    val topn = qLimitTopN(spark, sf).collect()
+    val globalMax = graft.engine.Tables.orders(spark, sf)
+      .agg(max("o_totalprice")).head().getDouble(0)
+    assert(topn.head.getDouble(2) == globalMax)
+    val prices = topn.map(_.getDouble(2))
+    assert(prices.sameElements(prices.sorted.reverse))
+  }
+
+  test("rollup emits per-group, subtotal and grand-total rows") {
+    val r = qAggRollup(spark, sf)
+    assert(r.filter(col("rf") === "ALL" && col("ls") === "ALL").count() == 1)
+    val grand = r.filter(col("rf") === "ALL" && col("ls") === "ALL")
+      .head().getLong(3)
+    assert(grand == graft.engine.Tables.lineitem(spark, sf).count())
+  }
+
+  test("broadcast join plan actually broadcasts the dimensions") {
+    val plan = qJoinBroadcast(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val plan = qFilterPredicate(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [Or("), s"expected pushed Or filter in:\n$plan")
+  }
+
+  test("scan projection prunes columns at the reader") {
+    val plan = qScanProject(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("l_comment") && !plan.contains("l_shipdate"),
+      "projection should prune unused columns")
+  }
+}
