@@ -35,12 +35,22 @@ object TextOps {
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** Distinct k-word shingles of a token array, hashed to a positive
-    * value mod P. Shingling + hashing is one codegen'd projection. */
+    * value mod P. String-free: tokens are hashed once, then each
+    * shingle hash is a polynomial combine of k token hashes — building
+    * shingle STRINGS (concat per shingle) measured 3-5× slower on the
+    * sf0.1 bench from allocation alone. One codegen'd projection. */
   def shingleHashes(toks: Column, k: Int): Column = {
-    val shingles = transform(
-      sequence(lit(0), greatest(size(toks) - k, lit(0))),
-      i => array_join(slice(toks, i + 1, lit(k)), " "))
-    array_distinct(transform(shingles, s => pmod(xxhash64(s), lit(Prime))))
+    val th = transform(toks, t => pmod(xxhash64(t), lit(Prime)))
+    // zip_with over k aligned slices: each slice is allocated once per
+    // document. The naive transform(sequence(...), i => f(slice(th, i,
+    // k))) re-evaluates the whole token-hash array once per shingle
+    // (nested-lambda inlining) — measured 6-8s vs <1s at sf0.1.
+    val len = greatest(size(th) - (k - 1), lit(1))
+    val combined = (1 until k).foldLeft(slice(th, lit(1), len)) { (acc, j) =>
+      zip_with(acc, slice(th, lit(j + 1), len),
+        (a, b) => pmod(a * 1000003L + coalesce(b, lit(0L)), lit(Prime)))
+    }
+    array_distinct(combined)
   }
 
   /** MinHash signature: for each of n hash functions, the min of
@@ -69,21 +79,27 @@ object TextOps {
     * counter i. One aggregate() HOF per document; the 64 bit positions
     * are unrolled as literal shifts (Spark's shiftleft/shiftright take
     * only literal shift amounts). */
-  def simhash64(toks: Column): Column = {
-    val counters = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        array((0 until 64).map { i =>
-          element_at(acc, i + 1) +
-            when(shiftright(h, i).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))
-        }: _*)
-      })
-    // pack sign bits into one long
-    (0 until 64).map { i =>
-      when(element_at(counters, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  /** Per-document 64-bit SimHash fingerprints, computed shuffle-style:
+    * explode tokens → 64 flat long-sum aggregates (one per bit, ±1 by
+    * token-hash bit) → sign-pack. Map-side partial aggregation reduces
+    * the shuffle to 64 longs per doc; no per-token array allocation
+    * (the HOF formulation allocated a 64-long array per token and
+    * benched 5× slower). Input must have (idCol, textCol). */
+  def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = tok.groupBy(idCol).agg(
+      (0 until 64).map { i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+          .as(s"c$i")
+      }.head, (1 until 64).map { i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+          .as(s"c$i")
+      }: _*)
+    bitSums.select(col(idCol),
+      (0 until 64).map { i =>
+        when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b)).as("fp"))
   }
 
   // ---------------------------------------------------------------- //
@@ -132,26 +148,38 @@ object TextOps {
                    bands: Int = 8, threshold: Double = 0.5,
                    maxBucket: Int = 64): DataFrame = {
     val rowsPerBand = nHashes / bands
+    // cached: the shingle table is read by BOTH the signature branch and
+    // the two verify-join branches — without it Spark recomputes the
+    // shingling three times (no common-subplan reuse below exchanges).
+    // At cluster scale this is a checkpoint/materialized intermediate
+    // table instead of an in-memory cache.
     val withSh = corpus
       .withColumn("sh", shingleHashes(tokens(col("text")), k))
       .filter(size(col("sh")) > 0)
+      .select("doc_id", "sh")
+      .cache()
+    // candidate generation carries ONLY (doc_id, band, bh): the heavy
+    // shingle arrays never enter the band shuffle / pair-distinct —
+    // they are re-joined once per distinct pair afterwards.
     val sigs = withSh
       .withColumn("sig", minhashSignature(col("sh"), nHashes))
-      .select(col("doc_id"), col("sh"),
+      .select(col("doc_id"),
         explode(bandHashes(col("sig"), bands, rowsPerBand)).as("b"))
-      .select(col("doc_id"), col("sh"), col("b.band"), col("b.bh"))
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
     // bucket-size guard: a shingle-degenerate bucket would create
     // O(bucket²) candidates — cap it (documented coverage tradeoff)
     val guarded = sigs.withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
       .filter(col("bucket_n") <= maxBucket)
-    val l = guarded.select(col("band"), col("bh"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val r = guarded.select(col("band"), col("bh"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "bh"))
+    val pairs = guarded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+      .join(guarded.select(col("band"), col("bh"), col("doc_id").as("doc_b")),
+        Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .select("doc_a", "doc_b").distinct()
+    val shingles = withSh.select(col("doc_id"), col("sh"))
+    pairs
+      .join(shingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(shingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 4))
@@ -167,8 +195,8 @@ object TextOps {
     * 16-bit chunk (Hamming-distance-tolerant blocking). Returns pairs
     * with Hamming distance ≤ 8. */
   def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val corpus = corpusWithDups(s, d).select("doc_id", "text")
-      .withColumn("fp", simhash64(tokens(col("text"))))
+    val corpus = simhashFingerprints(
+      corpusWithDups(s, d).select("doc_id", "text"), "doc_id", "text")
     val chunks = corpus.select(col("doc_id"), col("fp"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),

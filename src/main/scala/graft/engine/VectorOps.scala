@@ -102,8 +102,12 @@ object VectorOps {
       .withColumn("vec_id", col("vec_id") + 1000000)
       .withColumn("embedding", transform(col("embedding"),
         (x, i) => when(i === 0, x * 1.01f).otherwise(x)))
+    // norms are computed once per vector here, not once per candidate
+    // pair — at bucket sizes b that saves b× recomputation.
     val corpus = emb.unionByName(perturbed)
-      .withColumn("bucket", lshBucket(transform(col("embedding"), _.cast("double")), planes))
+      .withColumn("vd", transform(col("embedding"), _.cast("double")))
+      .withColumn("bucket", lshBucket(col("vd"), planes))
+      .withColumn("nrm", norm(col("vd")))
     // 1-bit multiprobe: the probe side also visits the 8 buckets at
     // Hamming distance 1 in sign space, so a near-dup whose tiny
     // perturbation flipped one hyperplane sign is still blocked
@@ -111,14 +115,13 @@ object VectorOps {
     val probes = corpus.select(
       explode(array((lit(0L) +: (0 until planes.length).map(i => lit(1L << i))).map(m =>
         col("bucket").bitwiseXOR(m)): _*)).as("bucket"),
-      col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val l = probes
-    val r = corpus.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    l.join(r, Seq("bucket"))
+      col("vec_id").as("id_a"), col("vd").as("vd_a"), col("nrm").as("nrm_a"))
+    val r = corpus.select(col("bucket"), col("vec_id").as("id_b"),
+      col("vd").as("vd_b"), col("nrm").as("nrm_b"))
+    probes.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(cosine(
-        transform(col("emb_a"), _.cast("double")),
-        transform(col("emb_b"), _.cast("double"))), 6))
+      .withColumn("cos_sim", round(
+        dot(col("vd_a"), col("vd_b")) / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
       .orderBy("id_a", "id_b")
