@@ -52,6 +52,8 @@ object SparkEntry {
     "q_stream_session_ttl" -> (StreamingOps.qStreamSessionTtl _),
     "q_buffer_eviction"    -> (StreamingOps.qBufferEviction _),
     "q_csv_roundtrip"      -> (Sinks.qCsvRoundtrip _),
+    "q_multimodal_meta"    -> (MultimodalOps.qMultimodalMeta _),
+    "q_frame_sample"       -> (MultimodalOps.qFrameSample _),
   )
 
   def oracleSql: Map[String, String] = Map(

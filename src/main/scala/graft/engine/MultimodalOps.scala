@@ -1,0 +1,153 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing for a training-data
+  * pipeline: payloads are opaque `binary` columns with a typed
+  * metadata struct; decode / feature-extract / resize / frame-sample
+  * run as per-partition batch transforms.
+  *
+  * DECODE IS A STUB: the container has no image/audio codecs, so
+  * `stubDecode` derives deterministic fake properties from the payload
+  * bytes (clearly marked below). Everything AROUND the stub — schema,
+  * binary handling, partition-batch iteration (`mapPartitions`, the
+  * Scala analog of a vectorized Python `mapInPandas`), explode
+  * fan-out for frame sampling, and the aggregation layer — is real,
+  * tested Spark plumbing that a codec drop-in would inherit unchanged.
+  *
+  * Scale notes: payload bytes stay on the executors end-to-end (no
+  * collect); frame sampling is an explode (rows fan out in place, no
+  * shuffle); the stats query aggregates only extracted scalars, so the
+  * shuffle after decode carries metadata, never media bytes.
+  */
+object MultimodalOps {
+
+  /** Typed media-asset row: binary payload + envelope metadata. */
+  final case class Asset(asset_id: Long, mime: String, payload: Array[Byte])
+
+  /** Decoded-properties row produced by the (stub) decoder. */
+  final case class DecodedAsset(
+      asset_id: Long, mime: String, byte_len: Long,
+      width: Int, height: Int, channels: Int, duration_ms: Long)
+
+  /** Build an asset table from the documents fixture: text bytes play
+    * the role of media payloads; mime is assigned deterministically.
+    * In production this is `spark.read.format("binaryFile")` or a
+    * parquet table with a binary column — identical downstream. */
+  def assetTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("asset_id"),
+      element_at(
+        array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+        (col("doc_id") % 3 + 1).cast("int")).as("mime"),
+      col("text").cast("binary").as("payload"))
+
+  // ======================= STUB DECODER ========================== //
+  // Deterministic FAKE media decode: properties are derived from the
+  // payload bytes via FNV-1a so tests are reproducible. A real
+  // implementation replaces ONLY this function with a codec call
+  // (e.g. javax.imageio / ffmpeg bindings); the Spark plumbing around
+  // it is unchanged.
+  def stubDecode(payload: Array[Byte]): (Int, Int, Int, Long) = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < payload.length) {
+      h ^= payload(i) & 0xffL; h *= 0x100000001b3L; i += 1
+    }
+    val w = 160 + (math.abs(h % 8) * 160).toInt        // 160..1280
+    val ht = 120 + (math.abs((h >> 8) % 8) * 120).toInt // 120..960
+    val ch = if (h % 2 == 0) 3 else 1
+    val dur = 1000L + math.abs((h >> 16) % 60000L)
+    (w, ht, ch, dur)
+  }
+  // ================================================================ //
+
+  /** Decode stage: per-partition batch iteration over typed rows —
+    * the Scala analog of a vectorized Python `mapInPandas` (one
+    * decoder init per PARTITION, amortized across its rows, which is
+    * the property that matters for a real codec). */
+  def decodeAssets(assets: DataFrame): Dataset[DecodedAsset] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "mime", "payload").as[Asset]
+      .mapPartitions { it =>
+        // real decoder: initialize codec context here, once per partition
+        it.map { a =>
+          val (w, h, c, dur) = stubDecode(a.payload)
+          DecodedAsset(a.asset_id, a.mime, a.payload.length.toLong, w, h, c, dur)
+        }
+      }
+  }
+
+  /** Feature-extraction stage: fixed-dim deterministic fake embedding
+    * from payload bytes (stub; a real model call has the same
+    * signature). Emitted as Array[Float] — the same column shape the
+    * VectorOps ANN/near-dup family consumes. */
+  def extractFeatures(assets: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val f = new Array[Float](dim)
+          var h = 0xcbf29ce484222325L
+          var i = 0
+          while (i < payload.length) {
+            h ^= payload(i) & 0xffL; h *= 0x100000001b3L
+            f(i % dim) += ((h % 1000L) / 1000.0f)
+            i += 1
+          }
+          (id, f)
+        }
+      }.toDF("asset_id", "features")
+  }
+
+  /** Resize stage (stub): rewrites target dimensions in metadata and
+    * truncates the payload proportionally — stands in for a pixel
+    * resample, preserving the binary-in/binary-out column contract. */
+  def resizeAssets(decoded: Dataset[DecodedAsset], assets: DataFrame,
+                   targetW: Int, targetH: Int): DataFrame =
+    decoded.toDF().join(assets.select("asset_id", "payload"), "asset_id")
+      .select(
+        col("asset_id"), col("mime"),
+        lit(targetW).as("width"), lit(targetH).as("height"),
+        // STUB: proportional byte truncation in place of resampling
+        substring(col("payload"), 0,  64).as("payload"))
+
+  /** Frame sampling for video assets: one row per sampled frame,
+    * produced by explode — fan-out happens in place on the executor
+    * holding the payload, no shuffle. Frame payloads are byte slices
+    * (stub for a real frame grab). */
+  def sampleFrames(assets: DataFrame, everyMs: Long = 10000): DataFrame = {
+    val decoded = decodeAssets(assets).toDF()
+    decoded.filter(col("mime") === "video/mp4")
+      .join(assets.select("asset_id", "payload"), "asset_id")
+      .withColumn("frame_no",
+        explode(sequence(lit(0L), (col("duration_ms") / everyMs).cast("long"))))
+      .select(
+        col("asset_id"), col("frame_no"),
+        (col("frame_no") * everyMs).as("ts_ms"),
+        // STUB: slice of payload in place of a decoded frame
+        substring(col("payload"), 1, 32).as("frame_bytes"))
+  }
+
+  /** Pipeline stats query (driver contract entry): decode everything,
+    * aggregate per mime type. The shuffle carries only scalars. */
+  def qMultimodalMeta(s: SparkSession, d: String): DataFrame =
+    decodeAssets(assetTable(s, d)).toDF()
+      .groupBy("mime")
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum("byte_len").as("total_bytes"),
+        round(avg("width"), 2).as("avg_width"),
+        round(avg("duration_ms"), 2).as("avg_duration_ms"))
+      .orderBy("mime")
+
+  /** Frame-sample query: fan-out plumbing under the driver contract. */
+  def qFrameSample(s: SparkSession, d: String): DataFrame =
+    sampleFrames(assetTable(s, d))
+      .select("asset_id", "frame_no", "ts_ms")
+      .orderBy("asset_id", "frame_no")
+}
