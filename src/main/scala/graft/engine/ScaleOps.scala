@@ -1,0 +1,55 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale machinery: skew salting and bucketed co-located joins.
+  * These are the two knobs that keep shuffle-heavy plans alive at
+  * 100 TB when AQE's automatic skew split / broadcast demotion isn't
+  * enough (SURVEY.md §7: "salting for skew, bucketing for co-located
+  * joins"). */
+object ScaleOps {
+
+  /** Salted equi-join for skewed keys: the large (skewed) side gets a
+    * deterministic salt in [0, nSalts) derived from a high-cardinality
+    * discriminator column; the small side is replicated once per salt
+    * value. The join key becomes (key, salt), splitting each hot key's
+    * rows across nSalts reducers. Result set is IDENTICAL to the
+    * unsalted join (spec-asserted); cost is nSalts× replication of the
+    * small side — use when one key dominates a partition, the
+    * distributed alternative to a stuck straggler.
+    *
+    * `discriminator` must be deterministic per row (e.g. a unique id),
+    * NOT rand(): retries of a failed task must salt identically or
+    * shuffle retry breaks exactly-once semantics. */
+  def saltedJoin(large: DataFrame, largeKey: String, discriminator: Column,
+                 small: DataFrame, smallKey: String, nSalts: Int): DataFrame = {
+    val saltedLarge = large.withColumn("__salt",
+      pmod(xxhash64(discriminator), lit(nSalts.toLong)).cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(array((0 until nSalts).map(lit): _*)))
+    saltedLarge.join(saltedSmall,
+        saltedLarge(largeKey) === saltedSmall(smallKey) &&
+          saltedLarge("__salt") === saltedSmall("__salt"))
+      .drop("__salt")
+  }
+
+  /** Write a DataFrame as a bucketed table (hash-partitioned into
+    * `nBuckets` files by `key`, sorted within buckets): two tables
+    * bucketed the same way join with ZERO exchanges — the shuffle is
+    * paid once at write time and amortized over every subsequent join.
+    * The explicit path keeps data out of the default warehouse. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    nBuckets: Int, key: String): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .option("path", path)
+      .saveAsTable(table)
+
+  /** Co-located join over two same-bucketed tables. */
+  def bucketedJoin(spark: SparkSession, leftTable: String,
+                   rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}

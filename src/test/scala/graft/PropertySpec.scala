@@ -1,0 +1,87 @@
+package graft
+
+import graft.engine.{SchemaRules, StreamStore}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck invariants (SURVEY.md §5.3): promotion-lattice laws over
+  * random schemas and the eviction byte-budget invariant under random
+  * append sequences. */
+object SchemaRulesProps extends Properties("SchemaRules") {
+
+  private val leaf: Gen[DataType] = Gen.oneOf(
+    ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType,
+    StringType, BooleanType, TimestampType)
+
+  private val field: Gen[StructField] = for {
+    name <- Gen.oneOf("a", "b", "c", "d", "e", "f")
+    t <- leaf
+    n <- Gen.oneOf(true, false)
+  } yield StructField(name, t, n)
+
+  private val schema: Gen[StructType] = for {
+    fields <- Gen.listOfN(4, field)
+  } yield StructType(fields.groupBy(_.name).map(_._2.head).toSeq)
+
+  property("promote is commutative up to field membership") = forAll(schema, schema) { (a, b) =>
+    val ab = SchemaRules.promote(a, b)
+    val ba = SchemaRules.promote(b, a)
+    ab.fields.map(f => (f.name, f.dataType, f.nullable)).toSet ==
+      ba.fields.map(f => (f.name, f.dataType, f.nullable)).toSet
+  }
+
+  property("promote(s, s) == s") = forAll(schema) { s =>
+    SchemaRules.promote(s, s) == s
+  }
+
+  property("promote is associative") = forAll(schema, schema, schema) { (a, b, c) =>
+    val l = SchemaRules.promote(SchemaRules.promote(a, b), c)
+    val r = SchemaRules.promote(a, SchemaRules.promote(b, c))
+    l.fields.map(f => (f.name, f.dataType, f.nullable)).toSet ==
+      r.fields.map(f => (f.name, f.dataType, f.nullable)).toSet
+  }
+
+  property("promoted type can represent both inputs (upper bound)") =
+    forAll(leaf, leaf) { (a, b) =>
+      val s = SchemaRules.commonSuperType(a, b)
+      def fits(t: DataType, in: DataType): Boolean =
+        in == t || in == StringType ||
+          (SchemaRules.isIntegral(t) && SchemaRules.isIntegral(in)) ||
+          (SchemaRules.isFloating(t) && SchemaRules.isFloating(in)) ||
+          ((SchemaRules.isIntegral(t) || SchemaRules.isFloating(t)) && in == DoubleType)
+      fits(a, s) && fits(b, s)
+    }
+}
+
+object StreamStoreProps extends Properties("StreamStore") {
+
+  private val schema = StructType(Seq(StructField("x", LongType)))
+  private val batchSizes: Gen[List[Int]] =
+    Gen.listOfN(30, Gen.choose(1, 40))
+
+  property("current bytes never exceed the budget (manager.go:286-310)") =
+    forAll(batchSizes, Gen.choose(100L, 2000L)) { (sizes, budget) =>
+      val st = new StreamStore(maxBytesPerStream = budget)
+      sizes.foreach { n =>
+        st.append("t", schema, (1 to n).map(i => Row(i.toLong)))
+      }
+      st.currentBytes("t") <= budget
+    }
+
+  property("rows are conserved: retained + dropped == appended") =
+    forAll(batchSizes) { sizes =>
+      val st = new StreamStore(maxBytesPerStream = 500)
+      var appended = 0L
+      sizes.foreach { n =>
+        st.append("t", schema, (1 to n).map(i => Row(i.toLong)))
+        appended += n
+      }
+      val retained = st.listTopics().headOption.map { _ =>
+        // count retained rows via the store's own accounting
+        st.currentBytes("t") / 8 // 1 col × 8 bytes
+      }.getOrElse(0L)
+      retained + st.droppedRows("t") == appended
+    }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.engine.{ScaleOps, Tables}
+import org.apache.spark.sql.functions._
+
+/** Plan-shape proofs for the scale machinery: salting preserves join
+  * semantics; bucketing eliminates the join shuffle. */
+class ScaleOpsSpec extends SparkSuite {
+
+  test("salted join returns exactly the plain join's result set") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber", "l_quantity")
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority")
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+    val salted = ScaleOps.saltedJoin(
+        li, "l_orderkey", col("l_orderkey") * 1000 + col("l_linenumber"),
+        o, "o_orderkey", nSalts = 8)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+    assert(plain.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(plain).count() == 0)
+  }
+
+  test("salting splits a hot key across reducers") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber")
+    val salted = li.withColumn("__salt",
+      pmod(xxhash64(col("l_orderkey") * 1000 + col("l_linenumber")), lit(8L)).cast("int"))
+    // the discriminator spreads every multi-row key over >1 salt value
+    // aggregate property (individual keys can collide on the
+    // discriminator when the fixture duplicates (orderkey,linenumber)):
+    // multi-row keys must spread over ~2+ salts on average
+    val spread = salted.groupBy("l_orderkey")
+      .agg(countDistinct("__salt").as("salts"), count(lit(1)).as("rows"))
+      .filter(col("rows") >= 4)
+    val avgSpread = spread.agg(avg("salts")).head().getDouble(0)
+    assert(avgSpread >= 2.0, s"hot keys must average >=2 salts, got $avgSpread")
+  }
+
+  test("same-bucketed tables join with zero exchanges (co-located join)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    ScaleOps.writeBucketed(
+      Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
+      "b_orders", s"$dir/o", nBuckets = 8, key = "o_orderkey")
+    ScaleOps.writeBucketed(
+      Tables.lineitem(spark, sf).select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      "b_lineitem", s"$dir/l", nBuckets = 8, key = "o_orderkey")
+    val joined = ScaleOps.bucketedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n${plan.take(1500)}")
+    assert(joined.count() == Tables.lineitem(spark, sf).count())
+  }
+}
