@@ -29,6 +29,16 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Native codegen'd cosine (graft.expressions.CosineSimilarity) for
+    * the per-candidate hot loops: zero per-row allocation vs the HOF
+    * composition (which materializes a zip_with array per row).
+    * Requires array<float> inputs; registers the function
+    * idempotently on the session. */
+  def nativeCosine(s: SparkSession, a: Column, b: Column): Column = {
+    graft.expressions.VectorExpressions.register(s)
+    call_function("graft_cosine", a, b)
+  }
+
   /** Deterministic random hyperplanes for sign-LSH: nPlanes × dim. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)
@@ -53,11 +63,10 @@ object VectorOps {
     val emb = embeddings(s, d)
     val q: Seq[Float] = emb.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0)
-    val qLit = array(q.map(x => lit(x.toDouble)): _*)
-    val v = transform(col("embedding"), x => x.cast("double"))
+    val qLit = array(q.map(lit): _*) // array<float> literal
     emb.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("label"),
-        round(cosine(v, qLit), 6).as("cos_sim"))
+        round(nativeCosine(s, col("embedding"), qLit), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -75,11 +84,10 @@ object VectorOps {
     // queries: the first 10 vectors, joined to their own bucket
     val queries = indexed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
-    val qv = transform(col("q_emb"), x => x.cast("double"))
     queries.join(indexed, Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(qv, v), 6).as("cos_sim"))
+        round(nativeCosine(s, col("q_emb"), col("embedding")), 6).as("cos_sim"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("q_id")
           .orderBy(col("cos_sim").desc, col("vec_id").asc)).cast("long"))
@@ -102,12 +110,9 @@ object VectorOps {
       .withColumn("vec_id", col("vec_id") + 1000000)
       .withColumn("embedding", transform(col("embedding"),
         (x, i) => when(i === 0, x * 1.01f).otherwise(x)))
-    // norms are computed once per vector here, not once per candidate
-    // pair — at bucket sizes b that saves b× recomputation.
     val corpus = emb.unionByName(perturbed)
-      .withColumn("vd", transform(col("embedding"), _.cast("double")))
-      .withColumn("bucket", lshBucket(col("vd"), planes))
-      .withColumn("nrm", norm(col("vd")))
+      .withColumn("bucket",
+        lshBucket(transform(col("embedding"), _.cast("double")), planes))
     // 1-bit multiprobe: the probe side also visits the 8 buckets at
     // Hamming distance 1 in sign space, so a near-dup whose tiny
     // perturbation flipped one hyperplane sign is still blocked
@@ -115,13 +120,15 @@ object VectorOps {
     val probes = corpus.select(
       explode(array((lit(0L) +: (0 until planes.length).map(i => lit(1L << i))).map(m =>
         col("bucket").bitwiseXOR(m)): _*)).as("bucket"),
-      col("vec_id").as("id_a"), col("vd").as("vd_a"), col("nrm").as("nrm_a"))
+      col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val r = corpus.select(col("bucket"), col("vec_id").as("id_b"),
-      col("vd").as("vd_b"), col("nrm").as("nrm_b"))
+      col("embedding").as("emb_b"))
     probes.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      // native codegen'd cosine: the per-candidate inner loop — one
+      // primitive float pass, no per-pair array allocation
       .withColumn("cos_sim", round(
-        dot(col("vd_a"), col("vd_b")) / (col("nrm_a") * col("nrm_b")), 6))
+        nativeCosine(s, col("emb_a"), col("emb_b")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
       .orderBy("id_a", "id_b")

@@ -1,0 +1,55 @@
+package graft
+
+import graft.engine.{Tables, VectorOps}
+import graft.expressions.VectorExpressions
+import org.apache.spark.sql.functions._
+
+/** Native CosineSimilarity expression: equivalence with the HOF
+  * formulation, SQL registry path, null semantics. */
+class VectorExpressionSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("native cosine matches the HOF composition within 1e-9") {
+    val emb = Tables.embeddings(spark, sf).limit(100)
+    val pairs = emb.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("vec_id").as("b_id"), col("embedding").as("b")))
+      .filter(col("a_id") < col("b_id")).limit(500)
+    val both = pairs.select(
+      VectorOps.nativeCosine(spark, col("a"), col("b")).as("native"),
+      VectorOps.cosine(
+        transform(col("a"), _.cast("double")),
+        transform(col("b"), _.cast("double"))).as("hof"))
+    val maxDiff = both.select(max(abs(col("native") - col("hof")))).head().getDouble(0)
+    assert(maxDiff < 1e-9, s"native vs HOF diverged by $maxDiff")
+  }
+
+  test("registered function is callable from SQL") {
+    VectorExpressions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine(
+        |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("null input yields null, mismatched type fails analysis") {
+    VectorExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_cosine(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT)))")
+      .head()
+    assert(r.isNullAt(0))
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_cosine(array(1.0), array(2.0))").collect()
+    }
+    assert(err.getMessage.contains("array<float>"))
+  }
+
+  test("self-similarity is exactly 1.0 for unit-consistent inputs") {
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    val self = emb.select(
+      VectorOps.nativeCosine(spark, col("embedding"), col("embedding")).as("c"))
+    val bad = self.filter(abs(col("c") - 1.0) > 1e-12).count()
+    assert(bad == 0)
+  }
+}
