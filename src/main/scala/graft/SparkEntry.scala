@@ -29,6 +29,10 @@ object SparkEntry {
     "q_agg_distinct"       -> (Relational.qAggDistinct _),
     "q_agg_approx_distinct" -> (Relational.qAggApproxDistinct _),
     "q_agg_rollup"         -> (Relational.qAggRollup _),
+    "q_agg_cube"           -> (Relational.qAggCube _),
+    "q_pivot"              -> (Relational.qPivot _),
+    "q_corr_subquery"      -> (Relational.qCorrSubquery _),
+    "q_string_agg"         -> (Relational.qStringAgg _),
     "q_window_rank"        -> (Relational.qWindowRank _),
     "q_window_frame"       -> (Relational.qWindowFrame _),
     "q_setops"             -> (Relational.qSetOps _),
@@ -124,6 +128,39 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT COALESCE(n_name, 'ALL') AS nation,
+        |       COALESCE(c_mktsegment, 'ALL') AS segment,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(SUM(c_acctbal), 2) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE(n_name, c_mktsegment)
+        |ORDER BY nation, segment""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |       ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+        |       ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+        |       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+        |       ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+        |       ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_corr_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       ROUND(o_totalprice / cust_avg, 4) AS ratio
+        |FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+        |             AVG(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+        |      FROM orders) t
+        |WHERE o_totalprice > cust_avg * 1.5
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |       STRING_AGG(c_name, ',' ORDER BY c_name) AS names
+        |FROM customer WHERE c_custkey <= 100
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_window_rank" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal, rn, rk FROM (

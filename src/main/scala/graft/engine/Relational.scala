@@ -202,6 +202,69 @@ object Relational {
     rich.intersect(withOrders).except(building).orderBy("custkey")
   }
 
+  /** CUBE grouping sets over the customer→nation dimension chain
+    * (broadcast dim join + all 4 grouping combinations in one pass —
+    * Expand feeds a single hash aggregate, no extra scans). */
+  def qAggCube(s: SparkSession, d: String): DataFrame = {
+    // Expressed through the SQL surface: in Spark 4.1 any DataFrame-API
+    // reference to cube() grouping columns above a join trips the
+    // ambiguous-self-join detector (the Expand duplicates the
+    // attributes); the SQL analyzer resolves the same plan fine.
+    customer(s, d).createOrReplaceTempView("graft_cube_customer")
+    nation(s, d).createOrReplaceTempView("graft_cube_nation")
+    s.sql(
+      """SELECT COALESCE(n_name, 'ALL') AS nation,
+        |       COALESCE(c_mktsegment, 'ALL') AS segment,
+        |       COUNT(*) AS n,
+        |       ROUND(SUM(c_acctbal), 2) AS total_acctbal
+        |FROM graft_cube_customer
+        |JOIN graft_cube_nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE(n_name, c_mktsegment)
+        |ORDER BY nation, segment""".stripMargin)
+  }
+
+  /** Pivot: per-user event-type value matrix. Spark's pivot plans as
+    * one aggregate with a CASE-projected measure per pivot value —
+    * same shuffle as a plain groupBy, wide output. Pivot values are
+    * declared explicitly (at 100 TB, discovery-scan-then-pivot is two
+    * passes; declared values keep it one). */
+  def qPivot(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum("value"), 2))
+      .orderBy("user_id")
+
+  /** Correlated-subquery shape (orders ≥1.5× their customer's average),
+    * decorrelated as a window aggregate — one shuffle on o_custkey
+    * instead of a per-row subquery; the window and the filter share
+    * the partitioning. */
+  def qCorrSubquery(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+    orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumn("cust_avg", avg("o_totalprice").over(w))
+      .filter(col("o_totalprice") > col("cust_avg") * 1.5)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"),
+        round(col("o_totalprice") / col("cust_avg"), 4).as("ratio"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Ordered string aggregation (LISTAGG/STRING_AGG analog):
+    * collect_list + array_sort + array_join gives deterministic
+    * engine-portable ordering (collect_list alone is
+    * partition-order-dependent — never expose it unsorted). */
+  def qStringAgg(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .filter(col("c_custkey") <= 100)
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        array_join(array_sort(collect_list("c_name")), ",").as("names"))
+      .orderBy("c_mktsegment")
+
   /** Scalar function library: string/date/math over orders (reference's
     * only scalar op is the RFC3339 parse, kafka/consumer.go:928 — this
     * generalizes it). All functions are codegen'd builtins; the whole
