@@ -50,7 +50,9 @@ object TextOps {
       zip_with(acc, slice(th, lit(j + 1), len),
         (a, b) => pmod(a * 1000003L + coalesce(b, lit(0L)), lit(Prime)))
     }
-    array_distinct(combined)
+    // sorted ONCE per document so the pair-verify stage can use the
+    // zero-allocation merge-based graft_jaccard_sorted expression
+    array_sort(array_distinct(combined))
   }
 
   /** MinHash signature: for each of n hash functions, the min of
@@ -177,12 +179,15 @@ object TextOps {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     val shingles = withSh.select(col("doc_id"), col("sh"))
+    graft.expressions.VectorExpressions.register(corpus.sparkSession)
     pairs
       .join(shingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(shingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      // native merge-based jaccard on the sorted shingle sets: the
+      // per-PAIR inner loop (array_intersect/array_union build hash
+      // sets and materialize arrays per pair)
       .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
+        call_function("graft_jaccard_sorted", col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }

@@ -80,14 +80,85 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Jaccard similarity of two SORTED distinct long arrays (shingle-hash
+  * sets): two-pointer merge intersection count, |A∪B| = |A|+|B|−|A∩B|.
+  * Zero allocation per row; the sort is paid ONCE per document at
+  * shingle-build time and amortized over every candidate pair the
+  * document appears in — vs array_intersect/array_union which build
+  * hash sets and materialize result arrays per PAIR.
+  *
+  * Inputs MUST be sorted ascending and duplicate-free
+  * (TextOps.shingleHashes guarantees both); unsorted input silently
+  * undercounts, which is why this is not exposed as a general SQL
+  * function under a jaccard name but as graft_jaccard_sorted. */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_jaccard_sorted requires array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_jaccard_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv"); val union = ctx.freshName("union")
+      s"""
+        |int $nx = $a.numElements(); int $ny = $b.numElements();
+        |int $i = 0; int $j = 0; int $inter = 0;
+        |while ($i < $nx && $j < $ny) {
+        |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+        |  if ($xv == $yv) { $inter++; $i++; $j++; }
+        |  else if ($xv < $yv) { $i++; } else { $j++; }
+        |}
+        |int $union = $nx + $ny - $inter;
+        |${ev.value} = $union == 0 ? 0.0 : (double) $inter / $union;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration helpers: temp-function registry (per session) and a
   * SparkSessionExtensions installer (the `spark.sql.extensions`
-  * config path) so plain SQL can call `graft_cosine(a, b)`. */
+  * config path) so plain SQL can call the functions. */
 object VectorExpressions {
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaccard_sorted", exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
+  }
 }
 
 /** `spark.sql.extensions=graft.expressions.GraftExtensions` installs

@@ -45,6 +45,23 @@ class VectorExpressionSpec extends SparkSuite {
     assert(err.getMessage.contains("array<float>"))
   }
 
+  test("sorted-merge jaccard matches the array_intersect/union formulation") {
+    VectorExpressions.register(spark)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.engine.TextOps.shingleHashes(
+        graft.engine.TextOps.tokens(col("text")), 3).as("sh"))
+    val pairs = docs.select(col("doc_id").as("a_id"), col("sh").as("a"))
+      .crossJoin(docs.select(col("doc_id").as("b_id"), col("sh").as("b")))
+      .filter(col("a_id") < col("b_id")).limit(1000)
+    val bad = pairs.select(
+        call_function("graft_jaccard_sorted", col("a"), col("b")).as("native"),
+        (size(array_intersect(col("a"), col("b"))).cast("double") /
+          size(array_union(col("a"), col("b")))).as("builtin"))
+      .filter(abs(col("native") - col("builtin")) > 1e-12)
+      .count()
+    assert(bad == 0)
+  }
+
   test("self-similarity is exactly 1.0 for unit-consistent inputs") {
     val emb = Tables.embeddings(spark, sf).limit(50)
     val self = emb.select(
