@@ -32,6 +32,8 @@ object SparkEntry {
     "q_agg_cube"           -> (Relational.qAggCube _),
     "q_pivot"              -> (Relational.qPivot _),
     "q_corr_subquery"      -> (Relational.qCorrSubquery _),
+    "q_asof_join"          -> (Relational.qAsofJoin _),
+    "q_quantiles"          -> (Relational.qQuantiles _),
     "q_string_agg"         -> (Relational.qStringAgg _),
     "q_window_rank"        -> (Relational.qWindowRank _),
     "q_window_frame"       -> (Relational.qWindowFrame _),
@@ -155,6 +157,26 @@ object SparkEntry {
         |      FROM orders) t
         |WHERE o_totalprice > cust_avg * 1.5
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  MAX(value) AS click_value
+        |           FROM events WHERE event_type = 'click'
+        |           GROUP BY user_id, CAST(ts AS TIMESTAMP))
+        |SELECT p.event_id, p.user_id, c.click_value AS asof_click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT o_orderstatus,
+        |       ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+        |       ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |       ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_string_agg" ->
       """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,

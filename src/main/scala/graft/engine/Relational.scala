@@ -265,6 +265,36 @@ object Relational {
         array_join(array_sort(collect_list("c_name")), ",").as("names"))
       .orderBy("c_mktsegment")
 
+  /** As-of join: each purchase event picks up the value of the same
+    * user's latest click at-or-before it (ASOF semantics). Composed
+    * from built-ins — one shuffle on the key (ScaleOps.asOfJoin).
+    * Right side is pre-deduped to one row per (user, µs) so the
+    * at-equal-timestamp winner is deterministic in both engines. */
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+    ScaleOps.asOfJoin(purchases, clicks, "user_id", "ts", "ts", "click_value")
+      .select("event_id", "user_id", "asof_click_value")
+      .orderBy("event_id")
+  }
+
+  /** Exact interpolated quantiles per group (percentile ≡ DuckDB
+    * quantile_cont). Exact percentile sorts within each group — at
+    * 100 TB swap in percentile_approx (fixed-size sketch, mergeable);
+    * both are one-line changes on this plan. */
+  def qQuantiles(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   /** Scalar function library: string/date/math over orders (reference's
     * only scalar op is the RFC3339 parse, kafka/consumer.go:928 — this
     * generalizes it). All functions are codegen'd builtins; the whole

@@ -52,4 +52,38 @@ object ScaleOps {
   def bucketedJoin(spark: SparkSession, leftTable: String,
                    rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** As-of join (for each left row, the latest right row with the same
+    * key and rightTs ≤ leftTs), composed from built-ins per the
+    * preference ladder's option (a): union both sides tagged, one
+    * window pass per key ordered by (ts, side) carrying the last seen
+    * right value forward, then keep left rows. ONE shuffle on the key
+    * — no range-join explosion, no per-row subquery; at 100 TB this is
+    * the shape a custom SparkPlan would produce anyway.
+    *
+    * `rightVal` is the single right-side column carried (extend by
+    * struct-packing for more). Right rows at the exact left timestamp
+    * match (inclusive ≥, DuckDB ASOF semantics). */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String, rightVal: String): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__val", lit(null).cast(right.schema(rightVal).dataType))
+    val r = right.select(
+      col(key), col(rightTs).as("__ts"),
+      col(rightVal).as("__val")).withColumn("__side", lit(0))
+    val unioned = l.select((left.columns.map(col) :+ col("__side") :+
+      col("__ts") :+ col("__val")).toSeq: _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key)
+      // right rows sort before left rows at equal ts → inclusive match
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    unioned
+      .withColumn("__asof", last("__val", ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__ts", "__val")
+      .withColumnRenamed("__asof", s"asof_$rightVal")
+  }
 }

@@ -77,6 +77,18 @@ object StreamingOps {
         unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Cross-batch streaming exact dedup: dropDuplicates over a
+    * watermarked stream keeps per-key state only until the watermark
+    * passes (bounded state — the property that makes streaming dedup
+    * viable at 100 TB; unbounded dropDuplicates would accumulate every
+    * key ever seen). Keys arriving again within the watermark window
+    * are suppressed; the first occurrence wins. */
+  def streamingDedup(stream: DataFrame, keyCol: String,
+                     tsCol: String, watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Checkpointed exactly-once parquet sink (fixes the reference's
     * duplicate-persist wart, duckdb/sink.go:89-125 — it re-inserts
     * every buffered batch each 5s tick with no high-water mark; Spark's

@@ -73,6 +73,26 @@ class StreamingSpec extends SparkSuite {
     assert(maxPerUser <= 50)
   }
 
+  test("streaming dedup suppresses duplicate keys across micro-batches with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = StreamingOps.streamingDedup(mem.toDF(), "event_type", "ts", "1 hour")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData(Ev(ts("2024-01-01 10:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      // same key again in a later micro-batch, within the watermark
+      mem.addData(Ev(ts("2024-01-01 10:10:00"), "click", 2.0),
+                  Ev(ts("2024-01-01 10:20:00"), "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+      assert(rows.length == 2, s"expected first-occurrence-wins dedup, got ${rows.toSeq}")
+      val clickVals = rows.filter(_.getString(1) == "click").map(_.getDouble(2))
+      assert(clickVals.toSeq == Seq(1.0))
+    } finally q.stop()
+  }
+
   test("checkpointed parquet sink is exactly-once across batches (fixes duckdb/sink.go duplication)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
