@@ -58,6 +58,17 @@ object SchemaRules {
     }
   }
 
+  /** Unsigned-integer widening (reference duckdb/sink.go:222-229 maps
+    * UInt8/16/32/64; Spark has no unsigned types — SURVEY.md §1.3):
+    * each unsigned width widens to the next signed type that can hold
+    * its full range; UInt64 → Decimal(20,0). Keyed by the names
+    * Arrow-side schemas use. */
+  val unsignedWidening: Map[String, DataType] = Map(
+    "uint8"  -> ShortType,
+    "uint16" -> IntegerType,
+    "uint32" -> LongType,
+    "uint64" -> DecimalType(20, 0))
+
   /** Normalize a Spark-inferred JSON schema onto the reference lattice:
     * nested struct/array/map → String (consumer.go:934-939), decimal →
     * Double, date → Timestamp. Field order is preserved. */

@@ -82,8 +82,15 @@ object VectorOps {
     val v = transform(col("embedding"), x => x.cast("double"))
     val indexed = emb.withColumn("bucket", lshBucket(v, planes))
     // queries: the first 10 vectors, joined to their own bucket
+    // 1-bit multiprobe on the query side: probe the exact bucket plus
+    // the 8 buckets at sign-Hamming distance 1 — candidate volume 9×,
+    // recall against sparse buckets dramatically better (the standard
+    // probe/recall dial; at scale, tune probes to bucket occupancy).
     val queries = indexed.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+      .select(
+        explode(array((lit(0L) +: planes.indices.map(i => lit(1L << i))).map(m =>
+          col("bucket").bitwiseXOR(m)): _*)).as("bucket"),
+        col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     queries.join(indexed, Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),

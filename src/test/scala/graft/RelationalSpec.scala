@@ -18,6 +18,29 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("every SURVEY.md §2c declared key is implemented") {
+    val declared = Seq(
+      "q_scan_project", "q_filter_predicate", "q_limit_topn",
+      "q_join_broadcast", "q_join_smj", "q_join_semi_anti",
+      "q_agg_hash", "q_agg_distinct", "q_agg_rollup",
+      "q_window_rank", "q_window_frame", "q_setops", "q_scalar_funcs",
+      "q_json_infer", "q_kafka_meta", "q_type_promotion",
+      "q_dedup_exact", "q_dedup_minhash", "q_text_stats",
+      "q_vector_topk", "q_stream_tumbling", "q_stream_session_ttl",
+      "q_buffer_eviction", "q_csv_roundtrip")
+    val missing = declared.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"§2c keys missing from SparkEntry.queries: $missing")
+  }
+
+  test("unsigned widening map preserves value ranges (§1.3)") {
+    import graft.engine.SchemaRules
+    import org.apache.spark.sql.types._
+    assert(SchemaRules.unsignedWidening("uint8") == ShortType)    // 255 fits
+    assert(SchemaRules.unsignedWidening("uint16") == IntegerType) // 65535 fits
+    assert(SchemaRules.unsignedWidening("uint32") == LongType)
+    assert(SchemaRules.unsignedWidening("uint64") == DecimalType(20, 0)) // 2^64-1 has 20 digits
+  }
+
   test("entry returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
