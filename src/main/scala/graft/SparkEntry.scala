@@ -53,6 +53,7 @@ object SparkEntry {
     "q_doc_fingerprint"    -> (TextOps.qDocFingerprint _),
     "q_vector_topk"        -> ((s, d) => VectorOps.qVectorTopK(s, d)),
     "q_ann_lsh"            -> ((s, d) => VectorOps.qAnnLsh(s, d)),
+    "q_ann_ivf"            -> ((s, d) => VectorOps.qAnnIvf(s, d)),
     "q_embed_cosine_dup"   -> ((s, d) => VectorOps.qEmbedCosineDup(s, d)),
     "q_stream_tumbling"    -> (StreamingOps.qStreamTumbling _),
     "q_stream_session_ttl" -> (StreamingOps.qStreamSessionTtl _),

@@ -1,8 +1,8 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Streaming semantics (reference O9 micro-batching, O12 bounded
@@ -76,6 +76,62 @@ object StreamingOps {
       .select(
         unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n"), col("total_value"))
+
+  /** Input/output rows for the stateful TTL sessionizer. */
+  final case class SessionEvent(key: String, ts: java.sql.Timestamp, value: Double)
+  final case class SessionUpdate(key: String, n_events: Long,
+                                 total_value: Double, expired: Boolean)
+  // not private: the state encoder's generated code must access it
+  final case class SessionState(n: Long, total: Double, lastTs: Long)
+
+  /** Custom-state session TTL via flatMapGroupsWithState — the
+    * reference's O14 lifecycle (stream/manager.go:150-184: a stream's
+    * state is emitted and freed after `ttl` of idleness). Per-key
+    * state is distributed across executors and checkpointed — the
+    * scale path for the reference's driver-local TTL map.
+    *
+    * Two clock modes:
+    *  - event time (default): idle = no events within `ttlMs` of the
+    *    key's max event time, measured against the watermark.
+    *    Deterministic, replayable, the 100 TB-correct form.
+    *  - processing time (`eventTime = false`): wall-clock idleness —
+    *    the reference's literal semantics. CAVEAT verified empirically:
+    *    once any processing-time timeout is registered the engine
+    *    self-triggers batches continuously to evaluate it, and
+    *    `processAllAvailable` can block — fine on a real trigger
+    *    interval, hostile to deterministic tests. */
+  def statefulSessionize(events: Dataset[SessionEvent], ttlMs: Long,
+                         eventTime: Boolean = true): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val timeoutKind =
+      if (eventTime) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.ProcessingTimeTimeout
+    val src = if (eventTime) events.withWatermark("ts", "0 seconds") else events
+    src
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append, timeoutKind) {
+        (key: String, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // idle TTL fired: emit the closed session, release state
+            // (the reference logs + frees the stream here)
+            val s = state.get
+            state.remove()
+            Iterator(SessionUpdate(key, s.n, s.total, expired = true))
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            var n = prev.n; var total = prev.total; var lastTs = prev.lastTs
+            rows.foreach { e =>
+              n += 1; total += e.value
+              lastTs = math.max(lastTs, e.ts.getTime)
+            }
+            state.update(SessionState(n, total, lastTs))
+            if (eventTime) state.setTimeoutTimestamp(lastTs + ttlMs)
+            else state.setTimeoutDuration(ttlMs)
+            Iterator(SessionUpdate(key, n, total, expired = false))
+          }
+      }
+  }
 
   /** Cross-batch streaming exact dedup: dropDuplicates over a
     * watermarked stream keeps per-key state only until the watermark

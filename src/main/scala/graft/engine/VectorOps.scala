@@ -102,6 +102,78 @@ object VectorOps {
       .orderBy("q_id", "rn")
   }
 
+  /** Distributed mini k-means for the IVF coarse quantizer:
+    * assignment is a codegen'd argmax-cosine over k centroid literals
+    * (k×dim doubles are MODEL PARAMETERS — the one thing that
+    * legitimately lives on the driver); the mean recompute is a
+    * posexplode + groupBy((cluster, dim)) shuffle — fully distributed,
+    * never collects vectors. Deterministic seeded init (first k
+    * vec_ids). */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Seq[Seq[Float]] = {
+    val spark = emb.sparkSession
+    var centroids: Seq[Seq[Float]] = emb
+      .orderBy("vec_id").limit(k)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    for (_ <- 0 until iters) {
+      val assigned = emb.withColumn("cluster", nearestCentroid(spark, centroids))
+      val means = assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim")
+        .agg(avg("v").as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCluster.get(c) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+          case None => centroids(c) // empty cluster keeps its centroid
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Argmax-cosine cluster assignment against centroid literals. */
+  def nearestCentroid(s: SparkSession, centroids: Seq[Seq[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        nativeCosine(s, col("embedding"), array(c.map(lit): _*)).as("score"),
+        lit(i).as("idx"))
+    }
+    array_max(array(scored: _*)).getField("idx")
+  }
+
+  /** IVF ANN: k-means coarse quantizer, vectors inverted by nearest
+    * centroid, queries probe their nprobe closest centroids and
+    * exhaust only those lists. At 100 TB the inverted lists are the
+    * partitioning key — a query touches nprobe/k of the corpus. */
+  def qAnnIvf(s: SparkSession, d: String, k: Int = 10, nClusters: Int = 16,
+              nProbe: Int = 2): DataFrame = {
+    val emb = embeddings(s, d)
+    val centroids = kmeansCentroids(emb, nClusters, iters = 3)
+    val indexed = emb.withColumn("cluster", nearestCentroid(s, centroids))
+    // query side: rank this query's centroids, keep nProbe
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        nativeCosine(s, col("embedding"), array(c.map(lit): _*)).as("score"),
+        lit(i).as("idx"))
+    }
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(slice(reverse(array_sort(array(scored: _*))), 1, nProbe)
+          .getField("idx")).as("cluster"))
+    probes.join(indexed, Seq("cluster"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(nativeCosine(s, col("q_emb"), col("embedding")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("q_id", "rn")
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket blocking, then
     * exact cosine ≥ threshold within buckets — same
     * block-then-verify shape as the text near-dup family. */

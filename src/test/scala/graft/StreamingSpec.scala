@@ -73,6 +73,38 @@ class StreamingSpec extends SparkSuite {
     assert(maxPerUser <= 50)
   }
 
+  test("event-time session TTL expires idle keys and frees state (manager.go:150-184)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.engine.StreamingOps.{SessionEvent, SessionUpdate}
+    val mem = MemoryStream[SessionEvent]
+    // 30-minute idle TTL on the event-time clock — deterministic:
+    // the watermark only moves with data, so expiry is driven by the
+    // timestamps we feed, not wall-clock sleeps.
+    val out = StreamingOps.statefulSessionize(mem.toDS(), ttlMs = 30 * 60 * 1000)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("session_ttl_out")
+      .start()
+    try {
+      mem.addData(
+        SessionEvent("u1", ts("2024-01-01 10:00:00"), 1.0),
+        SessionEvent("u1", ts("2024-01-01 10:05:00"), 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past u1's 10:05 + 30min timeout
+      mem.addData(SessionEvent("u2", ts("2024-01-01 12:00:00"), 5.0))
+      q.processAllAvailable()
+      // one more batch so the timeout (now < watermark) fires
+      mem.addData(SessionEvent("u2", ts("2024-01-01 12:01:00"), 1.0))
+      q.processAllAvailable()
+      val expired = spark.table("session_ttl_out")
+        .filter(col("expired") === true).as[SessionUpdate].collect()
+      assert(expired.map(_.key).contains("u1"), s"u1 must expire, got ${expired.toSeq}")
+      val u1 = expired.find(_.key == "u1").get
+      assert(u1.n_events == 2 && u1.total_value == 3.0)
+      // u2 is alive (its session still open)
+      assert(!expired.map(_.key).contains("u2"))
+    } finally q.stop()
+  }
+
   test("streaming dedup suppresses duplicate keys across micro-batches with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
