@@ -30,6 +30,27 @@ object Sinks {
       .schema(schema)
       .csv(path)
 
+  /** Partitioned parquet sink: directory layout by partition column(s)
+    * — the 100 TB default. Readers filtering on the partition column
+    * prune directories at planning time (`PartitionFilters` in the
+    * scan, proven in SinksSpec); a date/topic partition scheme turns
+    * full scans into touched-partition scans. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** JSON-lines sink/source round-trip (schema-explicit read — JSON
+    * inference on read is a sampling scan; at scale the schema rides
+    * the catalog, not re-inference). */
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def readJsonLines(spark: SparkSession, path: String,
+                    schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   import Tables._
 
   /** CSV round-trip self-check (SURVEY.md §2c q_csv_roundtrip): write

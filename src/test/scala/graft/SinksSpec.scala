@@ -12,6 +12,29 @@ class SinksSpec extends SparkSuite {
     assert(r.filter(!col("row_match")).count() == 0, "all rows must round-trip")
   }
 
+  test("partitioned writes enable partition pruning at the scan (PartitionFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val ev = graft.engine.Tables.events(spark, sf)
+    Sinks.writePartitioned(ev, dir, "event_type")
+    val back = spark.read.parquet(dir).filter(col("event_type") === "purchase")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"expected partition pruning in:\n${plan.take(800)}")
+    val expected = ev.filter(col("event_type") === "purchase").count()
+    assert(back.count() == expected)
+  }
+
+  test("JSON-lines round-trip preserves rows and schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val src = graft.engine.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars")
+    Sinks.writeJsonLines(src, dir)
+    val back = Sinks.readJsonLines(spark, dir, src.schema)
+    assert(back.count() == src.count())
+    assert(back.schema == src.schema)
+    assert(src.exceptAll(back).count() == 0)
+  }
+
   test("CSV nulls become empty fields and read back as nulls") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv_nulls").toString
     val src = Seq((1L, Some("x")), (2L, None)).toDF("id", "s")
