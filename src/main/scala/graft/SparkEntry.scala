@@ -50,6 +50,9 @@ object SparkEntry {
     "q_token_count"        -> (TextOps.qTokenCount _),
     "q_quality_score"      -> (TextOps.qQualityScore _),
     "q_lang_id"            -> (TextOps.qLangId _),
+    "q_doc_chunking"       -> ((s, d) => TextOps.qDocChunking(s, d)),
+    "q_dataset_split"      -> (TextOps.qDatasetSplit _),
+    "q_text_clean"         -> (TextOps.qTextClean _),
     "q_doc_fingerprint"    -> (TextOps.qDocFingerprint _),
     "q_vector_topk"        -> ((s, d) => VectorOps.qVectorTopK(s, d)),
     "q_ann_lsh"            -> ((s, d) => VectorOps.qAnnLsh(s, d)),
@@ -285,6 +288,32 @@ object SparkEntry {
         |      FROM (SELECT doc_id, text,
         |                   regexp_split_to_array(trim(text), '\s+') AS toks
         |            FROM documents) a) b
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_doc_chunking" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |             UNNEST(range(0, GREATEST(CAST(CEIL((array_length(toks) - 20) / 10.0) AS BIGINT), 0) + 1)) AS chunk_id
+        |      FROM t)
+        |SELECT doc_id, chunk_id,
+        |       array_to_string(toks[chunk_id*10+1 : chunk_id*10+20], ' ') AS chunk_text,
+        |       CAST(LEAST(array_length(toks) - chunk_id*10, 20) AS BIGINT) AS chunk_len
+        |FROM g ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_dataset_split" ->
+      """SELECT doc_id,
+        |       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') THEN 'val'
+        |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('2','3') THEN 'test'
+        |            ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_clean" ->
+      """SELECT doc_id, clean_text, CAST(length(clean_text) AS BIGINT) AS clean_len
+        |FROM (SELECT doc_id,
+        |             regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                            ' +', ' ', 'g') AS clean_text
+        |      FROM documents) t
         |ORDER BY doc_id""".stripMargin,
 
     "q_stream_tumbling" ->

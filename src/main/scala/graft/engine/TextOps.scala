@@ -307,6 +307,54 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Sliding-window document chunking (training-data prep staple):
+    * overlapping token windows of `chunkTokens` with `stride`,
+    * exploded in place — fan-out happens on the executor holding the
+    * document, no shuffle until a downstream op needs one. */
+  def qDocChunking(s: SparkSession, d: String,
+                   chunkTokens: Int = 20, stride: Int = 10): DataFrame = {
+    val toks = tokens(col("text"))
+    documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0),
+          greatest(ceil((size(col("toks")) - chunkTokens).cast("double") / stride), lit(0)).cast("long"))))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        array_join(slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkTokens)), " ").as("chunk_text"),
+        least(size(col("toks")) - col("chunk_id") * stride, lit(chunkTokens))
+          .cast("long").as("chunk_len"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Deterministic train/val/test split: assignment is a pure function
+    * of content identity (first hex char of md5(doc_id)) — stable
+    * across engines, runs and partitionings; no RNG state to
+    * coordinate at 100 TB. 12/16 train, 2/16 val, 2/16 test. */
+  def qDatasetSplit(s: SparkSession, d: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    documents(s, d)
+      .select(col("doc_id"),
+        when(h.isin("0", "1"), "val")
+          .when(h.isin("2", "3"), "test")
+          .otherwise("train").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Text normalization for training corpora: lowercase, strip
+    * non-alphanumerics, collapse whitespace — one codegen'd
+    * regexp_replace chain. */
+  def qTextClean(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ").as("clean_text"))
+      .withColumn("clean_len", length(col("clean_text")).cast("long"))
+      .orderBy("doc_id")
+
   /** Content-defined fingerprint: min-of-shingle-hashes (winnowing
     * flavor) + a full-document polynomial rolling hash. Stable document
     * identity for incremental dedup at scale. */
