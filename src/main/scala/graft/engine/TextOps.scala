@@ -6,6 +6,14 @@ import org.apache.spark.sql.functions._
 /** Training-data text pipeline operators (BASELINE north star; the
   * reference has no text processing at all — SURVEY.md §2b).
   *
+  * Algorithms are the published classics: MinHash resemblance
+  * sketching (Broder, "On the resemblance and containment of
+  * documents", 1997) with banded LSH (Indyk & Motwani 1998; the
+  * b-band/r-row S-curve analysis as in Mining of Massive Datasets
+  * ch.3), and 64-bit SimHash (Charikar, "Similarity estimation
+  * techniques from rounding algorithms", STOC 2002) with the
+  * chunk-blocking dedup of Manku et al., WWW 2007.
+  *
   * Scale design rules applied throughout:
   *  - Near-dup detection is LSH-banded: candidate generation is a
   *    bucket-equijoin on (band_id, band_hash), never an O(n²) cross

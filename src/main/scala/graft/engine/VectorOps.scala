@@ -6,6 +6,13 @@ import org.apache.spark.sql.functions._
 /** Similarity search over the `embeddings` fixture (vec_id,
   * embedding: array<float>, label) — BASELINE north-star ops.
   *
+  * The ANN paths follow the published designs: random-hyperplane
+  * sign-LSH for cosine (Charikar, STOC 2002) with multiprobe
+  * (Lv et al., VLDB 2007), and IVF coarse quantization — cluster,
+  * invert, probe nprobe lists (Jégou/Douze/Schmid, "Product
+  * quantization for nearest neighbor search", TPAMI 2011, minus the
+  * PQ residual codes).
+  *
   * Scale design:
   *  - Dot products / norms are codegen'd higher-order functions
   *    (zip_with + aggregate) over the float arrays — no UDF, no
