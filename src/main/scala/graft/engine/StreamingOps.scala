@@ -145,6 +145,21 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Streaming near-duplicate filter for a document stream: each doc
+    * is reduced to its winnowing fingerprint (min shingle hash —
+    * TextOps) and documents whose fingerprint was already seen within
+    * the watermark are dropped. Near-dup recall per pair equals the
+    * probability the pair shares its min shingle — exactly its
+    * Jaccard similarity (the MinHash estimator with one hash), so
+    * small edits are usually caught; raise to a k-min sketch column
+    * for higher recall. State bounded by the watermark. */
+  def streamingNearDupFilter(docs: DataFrame, tsCol: String, textCol: String,
+                             watermark: String): DataFrame =
+    docs
+      .withColumn("fp", array_min(TextOps.shingleHashes(TextOps.tokens(col(textCol)), 3)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Checkpointed exactly-once parquet sink (fixes the reference's
     * duplicate-persist wart, duckdb/sink.go:89-125 — it re-inserts
     * every buffered batch each 5s tick with no high-water mark; Spark's

@@ -1,8 +1,7 @@
 package graft.tools
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine._
-/** Dev-only: native vs HOF cosine micro-bench on the pair hot path. */
 object PerfProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -16,20 +15,26 @@ object PerfProbe {
     def time(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
-      println(f"$name%-28s ${(System.nanoTime()-t0)/1e9}%8.2f s")
+      println(f"$name%-30s ${(System.nanoTime()-t0)/1e9}%8.2f s")
     }
-    val emb = Tables.embeddings(spark, d).cache(); emb.count()
-    val pairs = emb.select(col("vec_id").as("a_id"), col("embedding").as("a"))
-      .crossJoin(emb.select(col("vec_id").as("b_id"), col("embedding").as("b")))
-      .filter(col("a_id") < col("b_id"))   // ~2M pairs at sf0.1
-    val hof = pairs.select(VectorOps.cosine(
-      transform(col("a"), _.cast("double")),
-      transform(col("b"), _.cast("double"))).as("c"))
-    val native = pairs.select(VectorOps.nativeCosine(spark, col("a"), col("b")).as("c"))
-    time("HOF cosine 2M pairs")(hof)
-    time("HOF cosine 2nd")(hof)
-    time("native cosine 2M pairs")(native)
-    time("native cosine 2nd")(native)
+    val corpus = TextOps.corpusWithDups(spark, d).select("doc_id", "text").cache()
+    corpus.count()
+    val withSh = corpus.withColumn("sh", TextOps.shingleHashes(TextOps.tokens(col("text")), 3))
+      .filter(size(col("sh")) > 0).select("doc_id", "sh")
+    // variant A: current 32 independent folds
+    val sigA = withSh.withColumn("sig", TextOps.minhashSignature(col("sh"), 32))
+    time("sigA 32 folds (cold)")(sigA)
+    time("sigA 32 folds (warm)")(sigA)
+    // variant B: one fold, 32-wide array accumulator
+    val coeffs = TextOps.hashCoeffs(32)
+    def sigB(sh: Column): Column = aggregate(
+      sh, array_repeat(lit(TextOps.Prime), 32),
+      (acc, x) => array(coeffs.zipWithIndex.map { case ((a, b), i) =>
+        least(element_at(acc, i + 1), pmod(x * a + b, lit(TextOps.Prime)))
+      }: _*))
+    val dfB = withSh.withColumn("sig", sigB(col("sh")))
+    time("sigB 1 fold 32-wide (cold)")(dfB)
+    time("sigB 1 fold 32-wide (warm)")(dfB)
     spark.stop()
   }
 }

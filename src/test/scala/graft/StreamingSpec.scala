@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class Doc(ts: Timestamp, doc_id: Long, text: String)
 
 /** Structured Streaming paths driven by MemoryStream (SURVEY.md §5.4):
   * the same aggregation plan as the batch oracle query, executed as a
@@ -122,6 +123,28 @@ class StreamingSpec extends SparkSuite {
       assert(rows.length == 2, s"expected first-occurrence-wins dedup, got ${rows.toSeq}")
       val clickVals = rows.filter(_.getString(1) == "click").map(_.getDouble(2))
       assert(clickVals.toSeq == Seq(1.0))
+    } finally q.stop()
+  }
+
+  test("streaming near-dup filter drops fingerprint-identical docs across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val out = StreamingOps.streamingNearDupFilter(mem.toDF(), "ts", "text", "1 hour")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    try {
+      mem.addData(Doc(ts("2024-01-01 10:00:00"), 1L,
+        "alpha beta gamma delta epsilon zeta"))
+      q.processAllAvailable()
+      mem.addData(
+        // exact copy in a later batch: identical fingerprint, dropped
+        Doc(ts("2024-01-01 10:10:00"), 2L, "alpha beta gamma delta epsilon zeta"),
+        // unrelated doc: new fingerprint, passes
+        Doc(ts("2024-01-01 10:11:00"), 3L, "one two three four five six"))
+      q.processAllAvailable()
+      val kept = spark.table("neardup_out").select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(kept.toSeq == Seq(1L, 3L), s"expected 1 kept + 3 new, got ${kept.toSeq}")
     } finally q.stop()
   }
 
