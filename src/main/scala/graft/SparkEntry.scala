@@ -37,6 +37,7 @@ object SparkEntry {
     "q_string_agg"         -> (Relational.qStringAgg _),
     "q_window_rank"        -> (Relational.qWindowRank _),
     "q_window_frame"       -> (Relational.qWindowFrame _),
+    "q_window_lead"        -> (Relational.qWindowLead _),
     "q_setops"             -> (Relational.qSetOps _),
     "q_scalar_funcs"       -> (Relational.qScalarFuncs _),
     "q_json_infer"         -> (IngestQueries.qJsonInfer _),
@@ -202,6 +203,15 @@ object SparkEntry {
         |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS running_sum
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_window_lead" ->
+      """SELECT o_orderkey, o_custkey,
+        |       ROUND(COALESCE(LAG(o_totalprice, 1) OVER w, 0.0), 2) AS prev_price,
+        |       ROUND(COALESCE(LEAD(o_totalprice, 1) OVER w, 0.0), 2) AS next_price,
+        |       CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_setops" ->
       """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 1000

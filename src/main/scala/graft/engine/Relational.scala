@@ -190,6 +190,21 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Offset + distribution window functions: lag/lead with defaults
+    * and quartile bucketing per customer order history. Same
+    * single-shuffle window plan as qWindowFrame. */
+  def qWindowLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .withColumn("prev_price", round(lag("o_totalprice", 1, 0.0).over(w), 2))
+      .withColumn("next_price", round(lead("o_totalprice", 1, 0.0).over(w), 2))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .select("o_orderkey", "o_custkey", "prev_price", "next_price", "quartile")
+      .orderBy("o_orderkey")
+  }
+
   /** Set operations: (rich customers ∩ customers-with-orders) ∖ BUILDING
     * segment. INTERSECT/EXCEPT plan as aggregate/semi-anti joins on the
     * key — distributed, no driver sets. */
