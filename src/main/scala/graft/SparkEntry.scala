@@ -33,6 +33,7 @@ object SparkEntry {
     "q_pivot"              -> (Relational.qPivot _),
     "q_corr_subquery"      -> (Relational.qCorrSubquery _),
     "q_asof_join"          -> (Relational.qAsofJoin _),
+    "q_range_join_bucketed" -> (Relational.qRangeJoinBucketed _),
     "q_quantiles"          -> (Relational.qQuantiles _),
     "q_string_agg"         -> (Relational.qStringAgg _),
     "q_window_rank"        -> (Relational.qWindowRank _),
@@ -174,6 +175,16 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q_range_join_bucketed" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |           FROM events)
+        |SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND ABS(a.us - b.us) <= 60000000
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
 
     "q_quantiles" ->
       """SELECT o_orderstatus,

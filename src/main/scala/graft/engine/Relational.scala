@@ -190,6 +190,32 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Bucketed range join: count pairs of events by the same user
+    * within 60s of each other. The range predicate |Δt| ≤ 60s becomes
+    * an equi-join on (user, minute-bucket) with each left row probing
+    * its own and adjacent buckets — Catalyst would otherwise plan the
+    * pure inequality join as a broadcast-nested-loop (quadratic).
+    * Bucket width = range width keeps the probe factor at 3 and every
+    * candidate within one bucket of truth. */
+  def qRangeJoinBucketed(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val bucketed = ev.withColumn("bucket", (col("us") / lit(60000000L)).cast("long"))
+    val probes = bucketed.select(
+      col("event_id").as("id_a"), col("user_id"), col("us").as("us_a"),
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
+    val pairs = probes.join(
+        bucketed.select(col("event_id").as("id_b"), col("user_id"),
+          col("us").as("us_b"), col("bucket")),
+        Seq("user_id", "bucket"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("us_a") - col("us_b")) <= 60000000L)
+      .select("user_id", "id_a", "id_b").distinct()
+    pairs.groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
   /** Offset + distribution window functions: lag/lead with defaults
     * and quartile bucketing per customer order history. Same
     * single-shuffle window plan as qWindowFrame. */
