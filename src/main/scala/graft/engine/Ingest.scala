@@ -30,11 +30,13 @@ object Ingest {
     * per-source from a sample, not per-row, so the hot path carries no
     * speculative parse. */
   def detectFormat(sample: Seq[String]): String = {
-    val looksJson = sample.filter(_ != null).forall { s =>
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val isJson = sample.filter(_ != null).forall { s =>
       val t = s.trim
-      t.nonEmpty && (t.startsWith("{") || t.startsWith("["))
+      t.nonEmpty && (t.startsWith("{") || t.startsWith("[")) &&
+        scala.util.Try(mapper.readTree(t)).isSuccess
     }
-    if (looksJson && sample.exists(_ != null)) "json" else "binary"
+    if (isJson && sample.exists(_ != null)) "json" else "binary"
   }
 
   /** Sample-based JSON schema inference (O5/O6): take ≤n payload strings,

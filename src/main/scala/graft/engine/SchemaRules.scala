@@ -32,7 +32,11 @@ object SchemaRules {
   def isIntegral(t: DataType): Boolean = intOrder.contains(t)
   def isFloating(t: DataType): Boolean = floatOrder.contains(t)
 
-  /** Common supertype of two leaf types per the reference lattice. */
+  /** Common supertype of two leaf types. Follows the reference lattice
+    * (consumer.go:971-978) for int⊔int and float⊔float, but DEVIATES
+    * intentionally on int⊔float: the reference returns the float side
+    * unchanged (Int64 ⊔ Float32 → Float32, lossy above 2^24); we widen
+    * to DoubleType so no sampled integer loses precision. */
   def commonSuperType(a: DataType, b: DataType): DataType = (a, b) match {
     case (x, y) if x == y => x
     case (x, y) if isIntegral(x) && isIntegral(y) =>

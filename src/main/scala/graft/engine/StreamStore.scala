@@ -44,9 +44,13 @@ final class StreamStore(
   def estimateSize(nRows: Int, nCols: Int): Long = nRows.toLong * nCols * 8
 
   /** Append a batch; evict oldest batches until it fits the byte
-    * budget. A batch larger than the whole budget is dropped outright
-    * (matches reference behavior of evicting everything and then
-    * refusing). Returns rows dropped by eviction. */
+    * budget. A batch larger than the whole budget is dropped outright —
+    * a deliberate deviation from the reference, whose AddBatch
+    * (stream/manager.go) evicts until empty and then still appends the
+    * oversized batch, letting currentSize exceed maxBytes. We keep the
+    * byte-budget invariant instead (property-tested: currentBytes ≤
+    * maxBytesPerStream always holds). Returns rows dropped by
+    * eviction. */
   def append(topic: String, schema: StructType, rows: Seq[Row]): Long = synchronized {
     val e = streams.getOrElseUpdate(topic, new Entry(schema))
     e.lastUpdated = now()

@@ -188,7 +188,7 @@ object TextOps {
       .select("doc_a", "doc_b").distinct()
     val shingles = withSh.select(col("doc_id"), col("sh"))
     graft.expressions.VectorExpressions.register(corpus.sparkSession)
-    pairs
+    val out = pairs
       .join(shingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(shingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       // native merge-based jaccard on the sorted shingle sets: the
@@ -198,6 +198,14 @@ object TextOps {
         call_function("graft_jaccard_sorted", col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+      // materialize now (pair set is tiny relative to the corpus) so
+      // the shingle cache can be released immediately instead of
+      // pinning executor memory for the session lifetime; the
+      // checkpoint also severs lineage so downstream re-reads don't
+      // recompute the bucket joins.
+      .localCheckpoint(true)
+    withSh.unpersist()
+    out
   }
 
   def qDedupMinhash(s: SparkSession, d: String): DataFrame =

@@ -166,10 +166,16 @@ object VectorExpressions {
   * the custom-operator ladder, used here just for function
   * injection). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[CosineSimilarity].getName, "graft_cosine"),
         (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_jaccard_sorted"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[JaccardSorted].getName, "graft_jaccard_sorted"),
+        (exprs: Seq[Expression]) => JaccardSorted(exprs(0), exprs(1))))
+  }
 }

@@ -12,6 +12,10 @@ class IngestSpec extends SparkSuite {
     assert(Ingest.detectFormat(Seq("plain text", """{"a":1}""")) == "binary")
     assert(Ingest.detectFormat(Seq(null, """{"a":1}""")) == "json")
     assert(Ingest.detectFormat(Seq(null)) == "binary")
+    // corrupt payloads that merely START like JSON must not classify
+    // json — the reference try-parses (json.Unmarshal) before deciding
+    assert(Ingest.detectFormat(Seq("""{"a": """)) == "binary")
+    assert(Ingest.detectFormat(Seq("""[1, 2""", """{"a":1}""")) == "binary")
   }
 
   test("inference: integral numbers → long, mixed int/float → double (consumer.go:918-925)") {
