@@ -13,6 +13,20 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warm-up: the first action in a fresh session pays several
+    // seconds of one-time initialization (whole-stage-codegen compiler,
+    // shuffle machinery, parquet reader pools, broadcast threads) that
+    // previously landed entirely on the alphabetically-first query.
+    // Exercise each machine once on tiny inputs so the per-query
+    // numbers measure the operators, not session startup.
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+      val a = spark.range(1000).toDF("id").withColumn("g", col("id") % 7)
+      a.groupBy("g").count().count()
+      a.join(broadcast(spark.range(10).toDF("g")), "g").count()
+      a.repartition(2, col("g")).sortWithinPartitions("id").count()
+    }
     // stable alphabetical order: Map iteration order varies across
     // builds, which made per-query timings incomparable across rounds
     // (each query's time includes position-dependent JIT/GC warmup)

@@ -33,11 +33,8 @@ object TextOps {
   /** Deterministic (a, b) coefficient pairs for the minhash permutation
     * family h_i(x) = (a_i·x + b_i) mod P (seed fixed for
     * reproducibility across runs and engines). */
-  def hashCoeffs(n: Int, seed: Long = 42L): Seq[(Long, Long)] = {
-    val rng = new scala.util.Random(seed)
-    Seq.fill(n)((1L + rng.nextInt(Int.MaxValue - 1).toLong,
-                 rng.nextInt(Int.MaxValue).toLong))
-  }
+  def hashCoeffs(n: Int, seed: Long = 42L): Seq[(Long, Long)] =
+    graft.expressions.MinHashFamily.coeffs(n, seed).toSeq
 
   /** Whitespace tokenizer shared by every operator. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
@@ -84,32 +81,17 @@ object TextOps {
           slice(sig, b * rowsPerBand + 1, rowsPerBand), _.cast("string")), ",")).as("bh"))
     }: _*)
 
-  /** 64-bit SimHash over tokens: per token, xxhash64 contributes ±1 to
-    * each of 64 bit-position counters; fingerprint bit i is the sign of
-    * counter i. One aggregate() HOF per document; the 64 bit positions
-    * are unrolled as literal shifts (Spark's shiftleft/shiftright take
-    * only literal shift amounts). */
-  /** Per-document 64-bit SimHash fingerprints, computed shuffle-style:
-    * explode tokens → 64 flat long-sum aggregates (one per bit, ±1 by
-    * token-hash bit) → sign-pack. Map-side partial aggregation reduces
-    * the shuffle to 64 longs per doc; no per-token array allocation
-    * (the HOF formulation allocated a 64-long array per token and
-    * benched 5× slower). Input must have (idCol, textCol). */
+  /** Per-document 64-bit SimHash fingerprints: per token, xxhash64
+    * (seed 42, = Spark's xxhash64) votes ±1 on 64 bit counters;
+    * fingerprint bit i is counter i's sign. Computed by the native
+    * graft_simhash64 expression in ONE narrow projection — SimHash is
+    * document-local, so the earlier explode-tokens + 64-way sum
+    * aggregation paid a |corpus|·|tokens|-row shuffle for nothing.
+    * Input must have (idCol, textCol). */
   def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = tok.groupBy(idCol).agg(
-      (0 until 64).map { i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-          .as(s"c$i")
-      }.head, (1 until 64).map { i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-          .as(s"c$i")
-      }: _*)
-    bitSums.select(col(idCol),
-      (0 until 64).map { i =>
-        when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b)).as("fp"))
+    graft.expressions.VectorExpressions.register(df.sparkSession)
+    df.select(col(idCol),
+      call_function("graft_simhash64", tokens(col(textCol))).as("fp"))
   }
 
   // ---------------------------------------------------------------- //
@@ -170,12 +152,16 @@ object TextOps {
       .cache()
     // candidate generation carries ONLY (doc_id, band, bh): the heavy
     // shingle arrays never enter the band shuffle / pair-distinct —
-    // they are re-joined once per distinct pair afterwards.
+    // they are re-joined once per distinct pair afterwards. The
+    // signature+banding is ONE fused native pass per document
+    // (graft_minhash_bands) — the HOF formulation walked the shingle
+    // array nHashes times through interpreted aggregate() lambdas.
+    graft.expressions.VectorExpressions.register(corpus.sparkSession)
     val sigs = withSh
-      .withColumn("sig", minhashSignature(col("sh"), nHashes))
       .select(col("doc_id"),
-        explode(bandHashes(col("sig"), bands, rowsPerBand)).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.bh"))
+        posexplode(call_function("graft_minhash_bands",
+          col("sh"), lit(nHashes), lit(bands))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
     // bucket-size guard: a shingle-degenerate bucket would create
     // O(bucket²) candidates — cap it (documented coverage tradeoff)
     val guarded = sigs.withColumn("bucket_n",

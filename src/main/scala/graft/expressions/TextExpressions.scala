@@ -1,0 +1,167 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Shared deterministic minhash coefficient family — the single source
+  * of truth for h_i(x) = (a_i·x + b_i) mod P (P = 2^31−1). The seed is
+  * fixed so signatures are reproducible across runs, sessions, and
+  * engines (TextOps.hashCoeffs delegates here).
+  */
+object MinHashFamily {
+  val Prime: Long = 2147483647L
+
+  def coeffs(n: Int, seed: Long = 42L): Array[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(n)((1L + rng.nextInt(Int.MaxValue - 1).toLong,
+                   rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  // tiny per-JVM memo: expressions resolve coeffs per-partition; the
+  // family for a given (n, seed) is immutable so sharing is safe
+  private val memo = new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
+  def coeffArrays(n: Int, seed: Long = 42L): (Array[Long], Array[Long]) =
+    memo.computeIfAbsent((n, seed), { key =>
+      val cs = coeffs(key._1, key._2)
+      (cs.map(_._1), cs.map(_._2))
+    })
+
+  /** One pass over the shingle-hash set: maintain nHashes running
+    * minima, then polynomial-combine each band of nHashes/bands minima
+    * into one long bucket hash. Called from generated code (static
+    * forwarder), so the hot loop is JIT-compiled Scala while the
+    * surrounding stage stays inside whole-stage codegen. */
+  def bandsOf(sh: ArrayData, nHashes: Int, bands: Int): ArrayData = {
+    val (as, bs) = coeffArrays(nHashes)
+    val mins = new Array[Long](nHashes)
+    java.util.Arrays.fill(mins, Prime)
+    val n = sh.numElements()
+    var i = 0
+    while (i < n) {
+      val x = sh.getLong(i)
+      var j = 0
+      while (j < nHashes) {
+        val v = (x * as(j) + bs(j)) % Prime
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val r = nHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 1125899906842597L
+      var j = b * r
+      val end = j + r
+      while (j < end) { h = h * 31 + mins(j); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** LSH band hashes of a shingle-hash set, fused into ONE expression:
+  * array<long> in (positive shingle hashes mod P), array<long> out
+  * (one bucket hash per band).
+  *
+  * Why native (custom-operator ladder option (b)): the HOF
+  * formulation — n independent `aggregate()` folds for the signature,
+  * then string-join + xxhash64 per band — walks the shingle array n
+  * times through interpreted lambdas and allocates per band. This is
+  * the per-DOCUMENT inner loop of every LSH dedup operator; one fused
+  * pass with primitive arrays keeps it O(|shingles|·n) multiply-mods
+  * with zero interpreted dispatch, inside whole-stage codegen.
+  */
+case class MinHashBands(child: Expression, nHashes: Int, bands: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if nHashes > 0 && bands > 0 && nHashes % bands == 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash_bands requires nHashes divisible by bands, got ($nHashes, $bands)")
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash_bands requires array<bigint> input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_minhash_bands"
+
+  override def nullSafeEval(a: Any): Any =
+    MinHashFamily.bandsOf(a.asInstanceOf[ArrayData], nHashes, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.MinHashFamily.bandsOf($a, $nHashes, $bands);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashOps {
+  /** 64-bit SimHash of a token array in one pass: each token's
+    * xxhash64 (seed 42, matching Spark's xxhash64 function) votes ±1
+    * on 64 bit-position counters; fingerprint bit i is counter i's
+    * sign. Replaces explode + 64-way sum aggregation — same
+    * fingerprints, no shuffle at all. */
+  def simhash64(toks: ArrayData): Long = {
+    val counters = new Array[Int](64)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null) {
+        val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes(), 42L)
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) counters(bit) += 1 else counters(bit) -= 1
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counters(bit) > 0) fp |= (1L << bit)
+      bit += 1
+    }
+    fp
+  }
+}
+
+/** 64-bit SimHash fingerprint of a token array (array<string> → long).
+  * Native so the per-document work is one tight loop — the previous
+  * formulation exploded tokens and ran a 64-measure sum aggregation,
+  * paying a full shuffle of |corpus|·|tokens| rows for what is a
+  * purely document-local computation. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash64 requires array<string> input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(a: Any): Any =
+    SimHashOps.simhash64(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.SimHashOps.simhash64($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -153,11 +153,23 @@ case class JaccardSorted(left: Expression, right: Expression)
   * config path) so plain SQL can call the functions. */
 object VectorExpressions {
 
+  private[expressions] def litInt(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects integer literal parameters, got $other")
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaccard_sorted", exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_bands", exprs => MinHashBands(exprs(0),
+        litInt(exprs(1), "graft_minhash_bands"),
+        litInt(exprs(2), "graft_minhash_bands")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64", exprs => SimHash64(exprs(0)), "built-in")
   }
 }
 
@@ -177,5 +189,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[JaccardSorted].getName, "graft_jaccard_sorted"),
         (exprs: Seq[Expression]) => JaccardSorted(exprs(0), exprs(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_bands"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[MinHashBands].getName, "graft_minhash_bands"),
+        (exprs: Seq[Expression]) => MinHashBands(exprs(0),
+          VectorExpressions.litInt(exprs(1), "graft_minhash_bands"),
+          VectorExpressions.litInt(exprs(2), "graft_minhash_bands"))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash64"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[SimHash64].getName, "graft_simhash64"),
+        (exprs: Seq[Expression]) => SimHash64(exprs(0))))
   }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import graft.engine.TextOps
+import graft.expressions.VectorExpressions
+import org.apache.spark.sql.functions._
+
+/** Native fused text expressions must agree with the HOF compositions
+  * they replaced (same hash family, same semantics, fewer passes). */
+class TextExpressionSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different words entirely here now"),
+    (4L, "a"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("graft_minhash_bands: fused pass equals HOF signature + polynomial banding") {
+    VectorExpressions.register(spark)
+    val nHashes = 32; val bands = 8; val r = nHashes / bands
+    val withSh = docs
+      .withColumn("sh", TextOps.shingleHashes(TextOps.tokens(col("text")), 3))
+      .filter(size(col("sh")) > 0)
+    // reference computation: n independent aggregate() minima, then the
+    // same polynomial combine the native expression uses
+    val viaHof = withSh
+      .withColumn("sig", TextOps.minhashSignature(col("sh"), nHashes))
+      .select(col("doc_id"), col("sig"))
+      .as[(Long, Seq[Long])].collect().map { case (id, sig) =>
+        id -> (0 until bands).map { b =>
+          (b * r until (b + 1) * r).foldLeft(1125899906842597L)((h, j) => h * 31 + sig(j))
+        }.toSeq
+      }.toMap
+    val viaNative = withSh
+      .select(col("doc_id"),
+        call_function("graft_minhash_bands", col("sh"), lit(nHashes), lit(bands)))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaNative.keySet == viaHof.keySet)
+    viaNative.foreach { case (id, bs) => assert(bs == viaHof(id), s"doc $id") }
+  }
+
+  test("graft_simhash64: fingerprint equals explode + 64-way bit-vote aggregation") {
+    VectorExpressions.register(spark)
+    // reference computation: the pre-fusion shuffle formulation
+    val tok = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = tok.groupBy("doc_id").agg(
+      (0 until 64).map { i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"c$i")
+      }.head, (1 until 64).map { i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"c$i")
+      }: _*)
+    val viaAgg = bitSums.select(col("doc_id"),
+      (0 until 64).map { i =>
+        when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b)).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val viaNative = TextOps.simhashFingerprints(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    // explode drops token-less rows; the native path keeps every doc —
+    // compare on the docs both produce
+    viaAgg.foreach { case (id, fp) => assert(viaNative(id) == fp, s"doc $id") }
+    assert(viaNative.size == 5)
+  }
+
+  test("graft_minhash_bands rejects non-divisible banding at analysis") {
+    VectorExpressions.register(spark)
+    val e = intercept[Exception] {
+      docs.select(call_function("graft_minhash_bands",
+        array(lit(1L)), lit(10), lit(3))).collect()
+    }
+    assert(e.getMessage.contains("divisible"))
+  }
+}
