@@ -40,11 +40,23 @@ object TextOps {
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** Distinct k-word shingles of a token array, hashed to a positive
-    * value mod P. String-free: tokens are hashed once, then each
-    * shingle hash is a polynomial combine of k token hashes — building
-    * shingle STRINGS (concat per shingle) measured 3-5× slower on the
-    * sf0.1 bench from allocation alone. One codegen'd projection. */
+    * value mod P, sorted ascending (ready for graft_jaccard_sorted).
+    * One fused native pass per document (graft_shingle_hashes) — see
+    * shingleHashesHof for the HOF formulation it replaced (kept for
+    * the parity spec). */
   def shingleHashes(toks: Column, k: Int): Column = {
+    graft.expressions.VectorExpressions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_shingle_hashes", toks, lit(k))
+  }
+
+  /** Pre-fusion HOF formulation of shingleHashes. String-free: tokens
+    * are hashed once, then each shingle hash is a polynomial combine
+    * of k token hashes — building shingle STRINGS (concat per shingle)
+    * measured 3-5× slower on the sf0.1 bench from allocation alone.
+    * Still allocates an intermediate array per zip_with step, which is
+    * why the native fused pass replaced it on the hot path. */
+  def shingleHashesHof(toks: Column, k: Int): Column = {
     val th = transform(toks, t => pmod(xxhash64(t), lit(Prime)))
     // zip_with over k aligned slices: each slice is allocated once per
     // document. The naive transform(sequence(...), i => f(slice(th, i,

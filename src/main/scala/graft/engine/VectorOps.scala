@@ -112,33 +112,81 @@ object VectorOps {
   /** Distributed mini k-means for the IVF coarse quantizer:
     * assignment is a codegen'd argmax-cosine over k centroid literals
     * (k×dim doubles are MODEL PARAMETERS — the one thing that
-    * legitimately lives on the driver); the mean recompute is a
-    * posexplode + groupBy((cluster, dim)) shuffle — fully distributed,
-    * never collects vectors. Deterministic seeded init (first k
-    * vec_ids). */
+    * legitimately lives on the driver); the mean recompute is one
+    * groupBy(cluster) with the native graft_vector_avg aggregate —
+    * the shuffle carries one double[dim] per (cluster, partition)
+    * instead of the dim× row blow-up of the earlier posexplode +
+    * groupBy((cluster, dim)) formulation. The input is cached for the
+    * duration of the loop (each iteration re-reads it) and released
+    * before returning. Deterministic seeded init (first k vec_ids). */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Seq[Seq[Float]] = {
     val spark = emb.sparkSession
-    var centroids: Seq[Seq[Float]] = emb
-      .orderBy("vec_id").limit(k)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).toSeq).toSeq
-    for (_ <- 0 until iters) {
-      val assigned = emb.withColumn("cluster", nearestCentroid(spark, centroids))
-      val means = assigned
-        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("cluster", "dim")
-        .agg(avg("v").as("m"))
-        .collect()
-      val byCluster = means.groupBy(_.getInt(0))
-      centroids = centroids.indices.map { c =>
-        byCluster.get(c) match {
-          case Some(rows) =>
-            rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
-          case None => centroids(c) // empty cluster keeps its centroid
+    graft.expressions.VectorExpressions.register(spark)
+    val pinned = emb.select("vec_id", "embedding").cache()
+    try {
+      var centroids: Seq[Seq[Float]] = pinned
+        .orderBy("vec_id").limit(k)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      for (_ <- 0 until iters) {
+        val means = pinned
+          .withColumn("cluster", nearestCentroid(spark, centroids))
+          .groupBy("cluster")
+          .agg(call_function("graft_vector_avg", col("embedding")).as("m"))
+          .collect()
+        val byCluster = means.map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        centroids = centroids.indices.map { c =>
+          byCluster.get(c) match {
+            case Some(m) => m.map(_.toFloat).toSeq
+            case None => centroids(c) // empty cluster keeps its centroid
+          }
         }
       }
+      centroids
+    } finally pinned.unpersist()
+  }
+
+  /** Sample-trained k-means for the IVF coarse quantizer — the
+    * at-scale design (FAISS practice: train on a bounded ~256·k
+    * sample, not the corpus): ONE bounded collect, then Lloyd
+    * iterations run driver-local on the sample (cosine assignment,
+    * matching nearestCentroid). The corpus-sized work stays in the
+    * single distributed indexing pass. Vs the distributed-loop
+    * kmeansCentroids this removes 2·iters sequential Spark jobs —
+    * quantizer quality is statistically identical because centroids
+    * only need sample-level resolution. Deterministic (ordered
+    * sample, fixed init). */
+  def kmeansCentroidsSampled(emb: DataFrame, k: Int, iters: Int,
+                             sampleN: Int = 4096): Seq[Seq[Float]] = {
+    val sample = emb.orderBy("vec_id").limit(math.max(sampleN, k))
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val dim = sample.head.length
+    var centroids = sample.take(k).map(_.clone())
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    centroids
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestScore = Double.MinValue; var c = 0
+        while (c < k) {
+          val s = cos(v, centroids(c))
+          if (s > bestScore) { bestScore = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old // empty cluster keeps its centroid
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+    }
+    centroids.map(_.toSeq).toSeq
   }
 
   /** Argmax-cosine cluster assignment against centroid literals. */
@@ -158,7 +206,7 @@ object VectorOps {
   def qAnnIvf(s: SparkSession, d: String, k: Int = 10, nClusters: Int = 16,
               nProbe: Int = 2): DataFrame = {
     val emb = embeddings(s, d)
-    val centroids = kmeansCentroids(emb, nClusters, iters = 3)
+    val centroids = kmeansCentroidsSampled(emb, nClusters, iters = 5)
     val indexed = emb.withColumn("cluster", nearestCentroid(s, centroids))
     // query side: rank this query's centroids, keep nProbe
     val scored = centroids.zipWithIndex.map { case (c, i) =>

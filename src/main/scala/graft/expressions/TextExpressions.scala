@@ -106,6 +106,84 @@ case class MinHashBands(child: Expression, nHashes: Int, bands: Int)
     copy(child = newChild)
 }
 
+object ShingleOps {
+  import MinHashFamily.Prime
+
+  /** Sorted distinct k-shingle hashes of a token array in one pass.
+    * Matches the HOF formulation exactly: token hash = xxhash64(token,
+    * seed 42) mod P (positive); shingle hash = polynomial combine of k
+    * consecutive token hashes (×1000003 mod P, missing tail tokens
+    * contribute 0); result sorted ascending, duplicates dropped. */
+  def shingles(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      val h = if (t == null) 42L
+      else XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes(), 42L)
+      th(i) = ((h % Prime) + Prime) % Prime
+      i += 1
+    }
+    val len = math.max(n - (k - 1), 1)
+    val out = new Array[Long](len)
+    i = 0
+    while (i < out.length) {
+      var acc = th(i)
+      var j = 1
+      while (j < k) {
+        val v = if (i + j < n) th(i + j) else 0L
+        acc = (acc * 1000003L + v) % Prime
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedupe of the sorted run
+    var w = 0
+    i = 0
+    while (i < out.length) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == out.length) out else java.util.Arrays.copyOf(out, w))
+  }
+}
+
+/** Sorted distinct k-word shingle hashes (array<string> → array<long>),
+  * fused: token-hash, polynomial k-combine, sort, dedupe in one native
+  * pass. The HOF chain (transform + k−1 zip_withs + array_distinct +
+  * array_sort) allocates an intermediate array per step and runs each
+  * element through interpreted lambdas — this is the first stage of
+  * every LSH dedup operator, so it runs once per document in the
+  * corpus. Output is sorted ascending, ready for graft_jaccard_sorted. */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes requires k >= 1, got $k")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes requires array<string> input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(a: Any): Any =
+    ShingleOps.shingles(a.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.ShingleOps.shingles($a, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SimHashOps {
   /** 64-bit SimHash of a token array in one pass: each token's
     * xxhash64 (seed 42, matching Spark's xxhash64 function) votes ±1

@@ -170,6 +170,11 @@ object VectorExpressions {
         litInt(exprs(2), "graft_minhash_bands")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash64", exprs => SimHash64(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingle_hashes", exprs => ShingleHashes(exprs(0),
+        litInt(exprs(1), "graft_shingle_hashes")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vector_avg", exprs => VectorAvg(exprs(0)), "built-in")
   }
 }
 
@@ -201,5 +206,16 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[SimHash64].getName, "graft_simhash64"),
         (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingle_hashes"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+        (exprs: Seq[Expression]) => ShingleHashes(exprs(0),
+          VectorExpressions.litInt(exprs(1), "graft_shingle_hashes"))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_vector_avg"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[VectorAvg].getName, "graft_vector_avg"),
+        (exprs: Seq[Expression]) => VectorAvg(exprs(0))))
   }
 }

@@ -65,6 +65,49 @@ class TextExpressionSpec extends SparkSuite {
     assert(viaNative.size == 5)
   }
 
+  test("graft_shingle_hashes: fused pass equals HOF transform/zip_with chain") {
+    VectorExpressions.register(spark)
+    for (k <- Seq(2, 3, 5)) {
+      val viaHof = docs
+        .select(col("doc_id"),
+          TextOps.shingleHashesHof(TextOps.tokens(col("text")), k).as("sh"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val viaNative = docs
+        .select(col("doc_id"),
+          TextOps.shingleHashes(TextOps.tokens(col("text")), k).as("sh"))
+        .as[(Long, Seq[Long])].collect().toMap
+      viaHof.foreach { case (id, sh) => assert(viaNative(id) == sh, s"doc $id k=$k") }
+    }
+  }
+
+  test("graft_vector_avg: equals posexplode + per-dimension avg") {
+    VectorExpressions.register(spark)
+    val vecs = Seq(
+      (0, Array(1.0f, 2.0f, 3.0f)),
+      (0, Array(3.0f, 2.0f, 1.0f)),
+      (1, Array(10.0f, 0.0f, -4.0f)),
+      (1, Array(0.0f, 6.0f, 2.0f)),
+      (1, Array(2.0f, 0.0f, 2.0f))
+    ).toDF("g", "v")
+    val viaExplode = vecs
+      .select(col("g"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("g", "dim").agg(avg("x").as("m"))
+      .as[(Int, Int, Double)].collect()
+      .groupBy(_._1).map { case (g, rows) =>
+        g -> rows.sortBy(_._2).map(_._3).toSeq
+      }
+    val viaNative = vecs.groupBy("g")
+      .agg(call_function("graft_vector_avg", col("v")).as("m"))
+      .as[(Int, Seq[Double])].collect().toMap
+    viaExplode.foreach { case (g, m) =>
+      assert(viaNative(g).zip(m).forall { case (a, b) => math.abs(a - b) < 1e-12 }, s"g=$g")
+    }
+    // empty-group / all-null input yields null, not zeros
+    val withNull = Seq((0, null: Array[Float])).toDF("g", "v")
+      .groupBy("g").agg(call_function("graft_vector_avg", col("v")).as("m"))
+    assert(withNull.collect().head.isNullAt(1))
+  }
+
   test("graft_minhash_bands rejects non-divisible banding at analysis") {
     VectorExpressions.register(spark)
     val e = intercept[Exception] {
