@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes straight to stdout instead of through sbt's
+// logger: the bench/verify mains print one machine-parsed JSON line,
+// and the logger's "[info] " prefix breaks the driver's JSON parse
+// (BENCH_r01.json recorded "parsed": null for exactly this reason).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

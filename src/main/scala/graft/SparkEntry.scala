@@ -60,6 +60,22 @@ object SparkEntry {
     "q_ann_lsh"            -> ((s, d) => VectorOps.qAnnLsh(s, d)),
     "q_ann_ivf"            -> ((s, d) => VectorOps.qAnnIvf(s, d)),
     "q_embed_cosine_dup"   -> ((s, d) => VectorOps.qEmbedCosineDup(s, d)),
+    "q_grouping_sets"      -> (Relational.qGroupingSets _),
+    "q_join_outer"         -> (Relational.qJoinOuter _),
+    "q_conditional_funcs"  -> (Relational.qConditionalFuncs _),
+    "q_histogram"          -> ((s, d) => Relational.qHistogram(s, d)),
+    "q_date_buckets"       -> (Relational.qDateBuckets _),
+    "q_first_last"         -> (Relational.qFirstLast _),
+    "q_sample_hash"        -> (Relational.qSampleHash _),
+    "q_scalar_subquery"    -> (Relational.qScalarSubquery _),
+    "q_stopword_filter"    -> (TextOps.qStopwordFilter _),
+    "q_ngram_freq"         -> ((s, d) => TextOps.qNgramFreq(s, d)),
+    "q_pii_redact"         -> (TextOps.qPiiRedact _),
+    "q_sequence_pack"      -> ((s, d) => TextOps.qSequencePack(s, d)),
+    "q_format_sniff"       -> (IngestQueries.qFormatSniff _),
+    "q_vector_norm"        -> (VectorOps.qVectorNorm _),
+    "q_stream_sliding"     -> (StreamingOps.qStreamSliding _),
+    "q_stream_late_drop"   -> ((s, d) => StreamingOps.qStreamLateDrop(s, d)),
     "q_stream_tumbling"    -> (StreamingOps.qStreamTumbling _),
     "q_stream_session_ttl" -> (StreamingOps.qStreamSessionTtl _),
     "q_buffer_eviction"    -> (StreamingOps.qBufferEviction _),
@@ -336,6 +352,176 @@ object SparkEntry {
         |                            ' +', ' ', 'g') AS clean_text
         |      FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT CASE WHEN l_returnflag IS NOT NULL THEN 'by_returnflag'
+        |            ELSE 'by_linestatus' END AS dim,
+        |       COALESCE(l_returnflag, l_linestatus) AS key,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY dim, key""".stripMargin,
+
+    "q_join_outer" ->
+      """SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        |       COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+        |       COALESCE(n_orders, 0) AS n_orders,
+        |       ROUND(COALESCE(total_spent, 0.0), 2) AS total_spent
+        |FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 0) c
+        |FULL OUTER JOIN (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |                        ROUND(SUM(o_totalprice), 2) AS total_spent
+        |                 FROM orders WHERE o_totalprice > 300000
+        |                 GROUP BY o_custkey) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q_conditional_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 'none'
+        |            WHEN NULLIF(l_discount, 0.0) < 0.03 THEN 'low'
+        |            ELSE 'high' END AS disc_band,
+        |       ROUND(COALESCE(NULLIF(l_discount, 0.0), -1.0), 2) AS disc_or_sentinel,
+        |       ROUND(LEAST(l_quantity, 25.0), 2) AS qty_capped,
+        |       ROUND(GREATEST(l_extendedprice, 10000.0), 2) AS price_floor,
+        |       CAST(l_returnflag IS NOT DISTINCT FROM l_linestatus AS INTEGER) AS flag_eq_status
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, disc_band, disc_or_sentinel,
+        |         qty_capped, price_floor, flag_eq_status""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(MIN(o_totalprice), 2) AS lo,
+        |       ROUND(MAX(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_date_buckets" ->
+      """SELECT CAST(epoch(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) AS month_start,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |       ROUND(SUM(o_totalprice), 2) AS total
+        |FROM orders GROUP BY month_start ORDER BY month_start""".stripMargin,
+
+    "q_first_last" ->
+      """SELECT o_orderkey, o_custkey,
+        |       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+        |       LAST_VALUE(o_orderkey) OVER w AS last_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+        |                    CAST(l_linenumber AS VARCHAR)), 1, 1) IN ('0', '1')
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """WITH g AS (SELECT ROUND(AVG(o_totalprice), 2) AS global_avg FROM orders)
+        |SELECT o_orderkey, o_totalprice, global_avg,
+        |       ROUND(o_totalprice / global_avg, 4) AS ratio
+        |FROM orders, g
+        |WHERE o_totalprice > global_avg * 1.5
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_stopword_filter" ->
+      """SELECT doc_id,
+        |       array_to_string(list_filter(toks,
+        |         x -> x NOT IN ('the','a','of','and','to','in','is','it','for','on')), ' ') AS filtered_text,
+        |       CAST(len(toks) - len(list_filter(toks,
+        |         x -> x NOT IN ('the','a','of','and','to','in','is','it','for','on'))) AS BIGINT) AS n_removed
+        |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_freq" ->
+      """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |b AS (SELECT toks[i] || ' ' || toks[i+1] AS bigram
+        |      FROM t, UNNEST(range(1, len(toks))) AS u(i))
+        |SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM b GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+
+    "q_pii_redact" ->
+      """WITH a AS (SELECT doc_id,
+        |                  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |                       || '@example.org phone 555-0'
+        |                       || CAST(doc_id % 10000 AS VARCHAR) AS aug
+        |           FROM documents)
+        |SELECT doc_id,
+        |       regexp_replace(regexp_replace(aug,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '555-[0-9]+', '<PHONE>', 'g') AS redacted,
+        |       CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |            + len(regexp_extract_all(aug, '555-[0-9]+')) AS BIGINT) AS n_pii
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q_sequence_pack" ->
+      """WITH t AS (SELECT doc_id, source,
+        |                  regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, source,
+        |             UNNEST(range(0, GREATEST(CAST(CEIL((len(toks) - 20) / 10.0) AS BIGINT), 0) + 1)) AS chunk_id,
+        |             toks
+        |      FROM t),
+        |l AS (SELECT doc_id, source, chunk_id,
+        |             CAST(LEAST(len(toks) - chunk_id*10, 20) AS BIGINT) AS chunk_len
+        |      FROM c),
+        |p AS (SELECT source, chunk_len,
+        |             CAST(FLOOR((SUM(chunk_len) OVER (PARTITION BY source
+        |                    ORDER BY doc_id, chunk_id ROWS UNBOUNDED PRECEDING)
+        |                  - chunk_len) / 512.0) AS BIGINT) AS pack_id
+        |      FROM l)
+        |SELECT source, pack_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |       CAST(SUM(chunk_len) AS BIGINT) AS pack_tokens
+        |FROM p GROUP BY source, pack_id
+        |ORDER BY source, pack_id""".stripMargin,
+
+    "q_format_sniff" ->
+      """SELECT event_id,
+        |       CASE WHEN regexp_matches(payload, '^\s*[\[{]') AND json_valid(payload)
+        |            THEN 'json' ELSE 'binary' END AS format
+        |FROM (SELECT event_id,
+        |             CASE WHEN event_id % 7 = 0 THEN 'x' || props ELSE props END AS payload
+        |      FROM events) t
+        |ORDER BY event_id""".stripMargin,
+
+    "q_vector_norm" ->
+      """SELECT vec_id,
+        |       ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                   CAST(embedding AS DOUBLE[]))), 6) AS l2_norm,
+        |       ROUND(CAST(embedding[1] AS DOUBLE) /
+        |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                   CAST(embedding AS DOUBLE[]))), 6) AS unit0
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_vector_topk" ->
+      """SELECT e.vec_id, e.label,
+        |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos_sim
+        |FROM embeddings e,
+        |     (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
+
+    "q_stream_sliding" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |x AS (SELECT (CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) - i) * 1800 AS window_start,
+        |             event_type, value
+        |      FROM e, UNNEST([0, 1]) AS u(i))
+        |SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_stream_late_drop" ->
+      """SELECT event_id, user_id,
+        |       CAST(us < MAX(us) OVER (PARTITION BY user_id ORDER BY event_id
+        |              ROWS UNBOUNDED PRECEDING) - 600000000 AS INTEGER) AS is_late
+        |FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |      FROM events) t
+        |ORDER BY event_id""".stripMargin,
 
     "q_stream_tumbling" ->
       """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start,

@@ -27,6 +27,25 @@ object IngestQueries {
   def qKafkaMeta(s: SparkSession, d: String): DataFrame =
     Ingest.kafkaMeta(events(s, d)).orderBy("kafka_offset")
 
+  /** Per-row format sniffing (reference O2 detectMessageFormat,
+    * kafka/consumer.go:651-665: JSON iff the payload starts with
+    * '{'/'[' AND parses, else binary). A deterministic seventh of the
+    * payloads is corrupted (prefixed with a stray byte) so both
+    * branches are exercised; the classify itself is one codegen'd
+    * projection — prefix check + from_json null-test. */
+  def qFormatSniff(s: SparkSession, d: String): DataFrame = {
+    val payload = when(col("event_id") % 7 === 0, concat(lit("x"), col("props")))
+      .otherwise(col("props"))
+    events(s, d)
+      .select(col("event_id"), payload.as("payload"))
+      .select(
+        col("event_id"),
+        when(col("payload").rlike("^\\s*[\\[{]") &&
+          from_json(col("payload"), lit("k BIGINT")).isNotNull, "json")
+          .otherwise("binary").as("format"))
+      .orderBy("event_id")
+  }
+
   /** Mixed-type promotion (reference O6 commonSuperType,
     * kafka/consumer.go:946-982): an int64-typed slice unioned with a
     * double-typed slice promotes to double via the lattice. */

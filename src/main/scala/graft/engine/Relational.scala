@@ -336,6 +336,136 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** GROUPING SETS with two INDEPENDENT groupings — (returnflag) and
+    * (linestatus) — computed in one pass over lineitem (one Expand +
+    * one hash aggregate; two separate groupBys would scan twice).
+    * Unlike rollup/cube this is the irregular-sets form. Which set a
+    * row belongs to is recovered from the NULL pattern, so no
+    * engine-specific GROUPING() builtin is needed for the oracle. */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("graft_gs_lineitem")
+    s.sql(
+      """SELECT CASE WHEN l_returnflag IS NOT NULL THEN 'by_returnflag'
+        |            ELSE 'by_linestatus' END AS dim,
+        |       COALESCE(l_returnflag, l_linestatus) AS key,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |       COUNT(*) AS n
+        |FROM graft_gs_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY dim, key""".stripMargin)
+  }
+
+  /** Full outer join: customers (subset) ⟗ per-customer order rollup.
+    * Exercises both dangling sides (filtered customers drop some order
+    * owners; customers without orders have no right row). At scale a
+    * full outer equi-join shuffles both sides on the key — same cost
+    * envelope as inner; COALESCE resolves the merged key. */
+  def qJoinOuter(s: SparkSession, d: String): DataFrame = {
+    val cust = customer(s, d).filter(col("c_acctbal") > 0)
+      .select("c_custkey", "c_mktsegment")
+    val ords = orders(s, d).filter(col("o_totalprice") > 300000)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_spent"))
+    cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        round(coalesce(col("total_spent"), lit(0.0)), 2).as("total_spent"))
+      .orderBy("custkey")
+  }
+
+  /** Conditional / null-handling scalar surface: NULLIF, COALESCE,
+    * CASE, LEAST/GREATEST, null-safe equality (<=>). All codegen'd —
+    * one WholeStageCodegen projection, no UDFs. */
+  def qConditionalFuncs(s: SparkSession, d: String): DataFrame = {
+    val effDisc = nullif(col("l_discount"), lit(0.0))
+    lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(effDisc.isNull, "none")
+          .when(effDisc < 0.03, "low")
+          .otherwise("high").as("disc_band"),
+        round(coalesce(effDisc, lit(-1.0)), 2).as("disc_or_sentinel"),
+        round(least(col("l_quantity"), lit(25.0)), 2).as("qty_capped"),
+        round(greatest(col("l_extendedprice"), lit(10000.0)), 2).as("price_floor"),
+        (col("l_returnflag") <=> col("l_linestatus")).cast("int").as("flag_eq_status"))
+      .orderBy("l_orderkey", "l_linenumber", "disc_band", "disc_or_sentinel",
+        "qty_capped", "price_floor", "flag_eq_status")
+  }
+
+  /** Fixed-width histogram of order totals: bucket = floor(x / width).
+    * Pure arithmetic bucketing is the scale-correct histogram — one
+    * map-side-combinable aggregation, no sort, no driver-side range
+    * discovery pass. */
+  def qHistogram(s: SparkSession, d: String, width: Double = 25000.0): DataFrame =
+    orders(s, d)
+      .groupBy(floor(col("o_totalprice") / width).cast("long").as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"))
+      .orderBy("bucket")
+
+  /** Calendar bucketing: per-month order volume (date_trunc + agg).
+    * Time-bucketed aggregation is the canonical partition-pruned scan
+    * at scale (month would be the partition column). */
+  def qDateBuckets(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(unix_timestamp(date_trunc("month", col("o_orderdate")))
+        .as("month_start"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct("o_custkey").as("n_cust"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("month_start")
+
+  /** first_value / last_value over an unbounded frame: each order row
+    * annotated with its customer's first and latest order key. One
+    * window shuffle on the (high-cardinality) customer key. */
+  def qFirstLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+      .withColumn("first_order", first("o_orderkey").over(w))
+      .withColumn("last_order", last("o_orderkey").over(w))
+      .select("o_orderkey", "o_custkey", "first_order", "last_order")
+      .orderBy("o_orderkey")
+  }
+
+  /** Deterministic content-hash sampling (≈1/8 of lineitem): rows
+    * where the first hex digit of md5(orderkey-linenumber) < '2'.
+    * Hash sampling is reproducible across engines, runs and
+    * partitionings — unlike TABLESAMPLE, which is planner-dependent;
+    * this is how a 100 TB pipeline takes stable dev slices. */
+  def qSampleHash(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(substring(md5(concat_ws("-",
+        col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string"))), 1, 1).isin("0", "1"))
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+
+  /** Uncorrelated scalar subquery (orders ≥2× the global average),
+    * planned as a 1-row broadcast cross join — the aggregate runs
+    * once, every partition probes the broadcast value; no recompute
+    * per row, no driver round-trip in the data path. */
+  def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    val stats = orders(s, d)
+      .agg(round(avg("o_totalprice"), 2).as("global_avg"))
+    orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .crossJoin(broadcast(stats))
+      .filter(col("o_totalprice") > col("global_avg") * 1.5)
+      .select(
+        col("o_orderkey"), col("o_totalprice"), col("global_avg"),
+        round(col("o_totalprice") / col("global_avg"), 4).as("ratio"))
+      .orderBy("o_orderkey")
+  }
+
   /** Scalar function library: string/date/math over orders (reference's
     * only scalar op is the RFC3339 parse, kafka/consumer.go:928 — this
     * generalizes it). All functions are codegen'd builtins; the whole

@@ -49,6 +49,42 @@ object StreamingOps {
         col("n_events"), col("session_value"))
       .orderBy("user_id", "session_start")
 
+  /** Sliding event-time windows (1h window, 30min slide): each event
+    * lands in exactly 2 overlapping windows. Spark expands the slide
+    * executor-side before the aggregation, so the shuffle still
+    * carries only (window, type, partial-agg) rows. Runs identically
+    * under readStream with the same watermark. */
+  def qStreamSliding(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Watermark late-data semantics, batch-replayable: an event is
+    * "late" if it arrives (arrival order = event_id) after the
+    * per-user high-water mark has advanced more than the allowed
+    * lateness past its event time — exactly the row a streaming
+    * aggregation with that watermark would drop. Running max over a
+    * keyed window: one shuffle on user_id, no global sort. */
+  def qStreamLateDrop(s: SparkSession, d: String,
+                      latenessUs: Long = 600000000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("hwm_us", max("us").over(w))
+      .select(
+        col("event_id"), col("user_id"),
+        (col("us") < col("hwm_us") - latenessUs).cast("int").as("is_late"))
+      .orderBy("event_id")
+  }
+
   /** Drop-oldest bounded-buffer semantics (reference O12,
     * stream/manager.go:286-310): keep only the newest 50 events per
     * user. row_number over (user, ts desc) mirrors byte-budget eviction

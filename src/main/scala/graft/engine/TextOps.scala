@@ -378,6 +378,87 @@ object TextOps {
       .withColumn("clean_len", length(col("clean_text")).cast("long"))
       .orderBy("doc_id")
 
+  /** Stopword filtering: drop the profile's stopwords from each
+    * document, keep the rest in order. A codegen'd higher-order
+    * filter over the token array — no explode, no shuffle. */
+  def qStopwordFilter(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val kept = filter(toks, t => !t.isin(StopwordsEn: _*))
+    documents(s, d).select(
+      col("doc_id"),
+      array_join(kept, " ").as("filtered_text"),
+      (size(toks) - size(kept)).cast("long").as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-wide n-gram frequency: top-50 word bigrams. The bigram
+    * fan-out happens executor-side (zip_with over adjacent token
+    * slices, then explode); the count is map-side combinable, so the
+    * shuffle carries (bigram, partial-count) pairs — vocabulary-sized,
+    * not corpus-sized. Ties at the cut line break on the bigram text
+    * for cross-engine determinism. */
+  def qNgramFreq(s: SparkSession, d: String, topK: Int = 50): DataFrame = {
+    val toks = tokens(col("text"))
+    documents(s, d)
+      .select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(topK)
+  }
+
+  /** PII redaction: scrub emails and phone numbers with regex
+    * replacement. The fixture corpus is synthetic word soup, so each
+    * document is first augmented with DETERMINISTIC synthetic PII
+    * derived from doc_id (both engines construct the same string);
+    * the redaction pass itself is the production operator — one
+    * codegen'd regexp_replace chain, embarrassingly parallel. */
+  def qPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "555-[0-9]+"
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.org phone 555-0"), (col("doc_id") % 10000).cast("string"))
+    documents(s, d).select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(aug, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>").as("redacted"),
+      (regexp_count(aug, lit(emailRe)) +
+        regexp_count(aug, lit(phoneRe))).cast("long").as("n_pii"))
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing (training-batch prep): sliding-window chunks are
+    * assigned to fixed token-budget packs by cumulative token offset
+    * within each source shard — pack_id = floor(cum_tokens_before /
+    * budget). Packing state is a window cumsum PER SOURCE partition,
+    * so the sort is sharded, never global — the property that lets
+    * packing run on 100 TB of chunks (a global greedy pack would
+    * serialize). */
+  def qSequencePack(s: SparkSession, d: String, budget: Int = 512,
+                    chunkTokens: Int = 20, stride: Int = 10): DataFrame = {
+    val toks = tokens(col("text"))
+    val chunks = documents(s, d)
+      .select(col("doc_id"), col("source"), toks.as("toks"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0),
+          greatest(ceil((size(col("toks")) - chunkTokens).cast("double") / stride), lit(0)).cast("long"))))
+      .select(col("doc_id"), col("source"), col("chunk_id"),
+        least(size(col("toks")) - col("chunk_id") * stride, lit(chunkTokens))
+          .cast("long").as("chunk_len"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id", "chunk_id")
+    chunks
+      .withColumn("pack_id",
+        floor((sum("chunk_len").over(w) - col("chunk_len")) / budget).cast("long"))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("chunk_len").as("pack_tokens"))
+      .orderBy("source", "pack_id")
+  }
+
   /** Content-defined fingerprint: min-of-shingle-hashes (winnowing
     * flavor) + a full-document polynomial rolling hash. Stable document
     * identity for incremental dedup at scale. */

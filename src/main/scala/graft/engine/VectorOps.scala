@@ -78,6 +78,21 @@ object VectorOps {
       .limit(k)
   }
 
+  /** L2 norms + first unit-vector component per embedding. The HOF
+    * pipeline casts to double FIRST so the arithmetic is pure double
+    * left-to-right — bit-identical to the DuckDB oracle's
+    * list_dot_product on a double-cast list (verified empirically:
+    * max abs diff 0 over the fixture). */
+  def qVectorNorm(s: SparkSession, d: String): DataFrame = {
+    val dv = transform(col("embedding"), x => x.cast("double"))
+    val dot = aggregate(zip_with(dv, dv, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    embeddings(s, d).select(
+      col("vec_id"),
+      round(sqrt(dot), 6).as("l2_norm"),
+      round(element_at(col("embedding"), 1).cast("double") / sqrt(dot), 6).as("unit0"))
+      .orderBy("vec_id")
+  }
+
   /** LSH-bucketed ANN: index side buckets every vector by 8-plane
     * sign-LSH; query side probes only the query's bucket and exhausts
     * it. At 100 TB the bucket join replaces a full-corpus scan per

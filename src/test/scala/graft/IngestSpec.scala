@@ -1,6 +1,7 @@
 package graft
 
-import graft.engine.Ingest
+import graft.engine.{Ingest, IngestQueries}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Ingestion pipeline (reference O2-O7) behavior tests. */
@@ -66,5 +67,13 @@ class IngestSpec extends SparkSuite {
     val u = Ingest.unionPromote(a, b).orderBy("id").collect()
     assert(u(0).getString(1) == "x" && u(0).isNullAt(2))
     assert(u(1).isNullAt(1) && u(1).getBoolean(2))
+  }
+
+  test("format sniff classifies corrupted payloads binary, valid json (O2)") {
+    val r = IngestQueries.qFormatSniff(spark, sf)
+    // exactly the event_id % 7 == 0 rows are corrupted → binary
+    assert(r.filter(col("format") === "binary").count() ==
+      r.filter(col("event_id") % 7 === 0).count())
+    assert(r.filter(col("event_id") % 7 =!= 0 && col("format") =!= "json").count() == 0)
   }
 }

@@ -74,6 +74,51 @@ class RelationalSpec extends SparkSuite {
     assert(grand == graft.engine.Tables.lineitem(spark, sf).count())
   }
 
+  test("grouping sets: each set's counts cover the table") {
+    val li = graft.engine.Tables.lineitem(spark, sf).count()
+    val gs = qGroupingSets(spark, sf).collect()
+    Seq("by_returnflag", "by_linestatus").foreach { dim =>
+      val n = gs.filter(_.getString(0) == dim).map(_.getLong(3)).sum
+      assert(n == li, s"$dim counts should sum to the full rowcount")
+    }
+  }
+
+  test("full outer join covers both dangling sides") {
+    val out = qJoinOuter(spark, sf)
+    // left-dangling: positive-balance customers with no qualifying
+    // orders (n_orders = 0); right-dangling: owners of qualifying
+    // orders whose customer row was filtered out (segment = UNKNOWN)
+    assert(out.filter(col("n_orders") === 0).count() > 0)
+    assert(out.filter(col("segment") === "UNKNOWN").count() > 0)
+    val custs = graft.engine.Tables.customer(spark, sf)
+      .filter(col("c_acctbal") > 0).count()
+    assert(out.count() > custs)
+  }
+
+  test("hash sample is deterministic and ~1/8") {
+    val a = qSampleHash(spark, sf).count()
+    val b = qSampleHash(spark, sf).count()
+    val total = graft.engine.Tables.lineitem(spark, sf).count()
+    assert(a == b, "hash sample must be reproducible")
+    assert(a > total / 16 && a < total / 4, s"sample $a of $total should be ~1/8")
+  }
+
+  test("scalar subquery avg matches direct aggregate") {
+    val direct = graft.engine.Tables.orders(spark, sf)
+      .agg(round(avg("o_totalprice"), 2)).head().getDouble(0)
+    val viaQuery = qScalarSubquery(spark, sf).head().getDouble(2)
+    assert(viaQuery == direct)
+  }
+
+  test("histogram buckets tile the value range without overlap") {
+    val h = qHistogram(spark, sf).collect()
+    h.foreach { r =>
+      val bucket = r.getLong(0); val lo = r.getDouble(2); val hi = r.getDouble(3)
+      assert(lo >= bucket * 25000.0 - 0.01 && hi < (bucket + 1) * 25000.0 + 0.01)
+    }
+    assert(h.map(_.getLong(1)).sum == graft.engine.Tables.orders(spark, sf).count())
+  }
+
   test("broadcast join plan actually broadcasts the dimensions") {
     val plan = qJoinBroadcast(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")

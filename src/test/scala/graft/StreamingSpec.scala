@@ -62,6 +62,22 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("sliding windows count every event exactly twice (1h/30min)") {
+    val ev = graft.engine.Tables.events(spark, sf).count()
+    val slid = StreamingOps.qStreamSliding(spark, sf)
+    assert(slid.agg(sum("n")).head().getLong(0) == 2 * ev)
+  }
+
+  test("late-drop flags exactly the events behind the per-user high-water mark") {
+    val r = StreamingOps.qStreamLateDrop(spark, sf)
+    assert(r.count() == graft.engine.Tables.events(spark, sf).count())
+    // the first event of every user can never be late
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+    val first = r.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    assert(first.filter(col("is_late") === 1).count() == 0)
+  }
+
   test("batch replay of the streaming queries matches expected shapes (§2c)") {
     val t = StreamingOps.qStreamTumbling(spark, sf)
     assert(t.columns.toSeq == Seq("window_start", "event_type", "n", "total_value"))

@@ -71,6 +71,43 @@ class TextOpsSpec extends SparkSuite {
     assert(counts.getString(0) == "en")
   }
 
+  test("stopword filter removes exactly the profile words") {
+    val df = Seq((1L, "the quick fox and the dog")).toDF("doc_id", "text")
+    val r = df.select(
+      array_join(filter(TextOps.tokens(col("text")),
+        t => !t.isin("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")), " "))
+      .head().getString(0)
+    assert(r == "quick fox dog")
+  }
+
+  test("ngram freq counts a known bigram correctly") {
+    val freq = TextOps.qNgramFreq(spark, sf).collect()
+    assert(freq.length == 50)
+    // counts are descending, ties broken by bigram text
+    val ns = freq.map(_.getLong(1))
+    assert(ns.sameElements(ns.sorted.reverse))
+  }
+
+  test("pii redaction scrubs every synthetic email and phone") {
+    val r = TextOps.qPiiRedact(spark, sf)
+    assert(r.filter(col("redacted").contains("@")).count() == 0)
+    assert(r.filter(col("redacted").rlike("555-[0-9]")).count() == 0)
+    assert(r.agg(min("n_pii")).head().getLong(0) >= 2)
+  }
+
+  test("sequence packing conserves tokens and respects pack order") {
+    val packs = TextOps.qSequencePack(spark, sf).collect()
+    val chunkTokens = TextOps.qDocChunking(spark, sf)
+      .agg(sum("chunk_len")).head().getLong(0)
+    assert(packs.map(_.getLong(3)).sum == chunkTokens,
+      "packing must conserve total chunk tokens")
+    // pack ids are dense from 0 within each source
+    packs.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val ids = rows.map(_.getLong(1)).sorted
+      assert(ids.head == 0 && ids.last == ids.length - 1)
+    }
+  }
+
   test("fingerprints are deterministic and content-sensitive") {
     val fp1 = TextOps.qDocFingerprint(spark, sf).collect()
     val fp2 = TextOps.qDocFingerprint(spark, sf).collect()

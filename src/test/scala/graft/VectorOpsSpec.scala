@@ -75,4 +75,10 @@ class VectorOpsSpec extends SparkSuite {
     assert(dups.count() == n)
     assert(dups.agg(min("cos_sim")).head().getDouble(0) >= 0.99)
   }
+
+  test("vector norms are positive and unit0 is a valid cosine component") {
+    val norms = VectorOps.qVectorNorm(spark, sf).collect()
+    assert(norms.forall(_.getDouble(1) > 0))
+    assert(norms.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+  }
 }
