@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the bench session holds 60+ query plans, codegen
+  // classes and cached/checkpointed intermediates; at 8g the old gen
+  // fills and GC pauses inflate the per-query timings ~1.5× (measured
+  // 41s → 28s at sf0.1 going 8g → 16g on the 128 GiB bench host).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -1,7 +1,9 @@
 package graft.tools
-import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 import graft.engine._
+/** Cold/warm timing of the bench hot spots: the delta between run 1
+  * and run 2 of the same plan is planning + codegen + JIT, the warm
+  * number is the steady-state operator cost. */
 object PerfProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -11,30 +13,28 @@ object PerfProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.1"
-    def time(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      println(f"$name%-30s ${(System.nanoTime()-t0)/1e9}%8.2f s")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // same warm-up as Bench
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$d/region.parquet").count()
+      val a = spark.range(1000).toDF("id").withColumn("g", col("id") % 7)
+      a.groupBy("g").count().count()
+      a.join(broadcast(spark.range(10).toDF("g")), "g").count()
+      a.repartition(2, col("g")).sortWithinPartitions("id").count()
     }
-    val corpus = TextOps.corpusWithDups(spark, d).select("doc_id", "text").cache()
-    corpus.count()
-    val withSh = corpus.withColumn("sh", TextOps.shingleHashes(TextOps.tokens(col("text")), 3))
-      .filter(size(col("sh")) > 0).select("doc_id", "sh")
-    // variant A: current 32 independent folds
-    val sigA = withSh.withColumn("sig", TextOps.minhashSignature(col("sh"), 32))
-    time("sigA 32 folds (cold)")(sigA)
-    time("sigA 32 folds (warm)")(sigA)
-    // variant B: one fold, 32-wide array accumulator
-    val coeffs = TextOps.hashCoeffs(32)
-    def sigB(sh: Column): Column = aggregate(
-      sh, array_repeat(lit(TextOps.Prime), 32),
-      (acc, x) => array(coeffs.zipWithIndex.map { case ((a, b), i) =>
-        least(element_at(acc, i + 1), pmod(x * a + b, lit(TextOps.Prime)))
-      }: _*))
-    val dfB = withSh.withColumn("sig", sigB(col("sh")))
-    time("sigB 1 fold 32-wide (cold)")(dfB)
-    time("sigB 1 fold 32-wide (warm)")(dfB)
+    val hot = Seq("q_dedup_minhash", "q_dedup_simhash", "q_agg_cube",
+      "q_ann_ivf", "q_agg_approx_distinct", "q_dedup_ngram_jaccard",
+      "q_embed_cosine_dup", "q_ann_lsh", "q_grouping_sets", "q_histogram")
+    hot.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, d).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-26s cold ${times(0)}%6.2f  warm ${times(1)}%6.2f")
+    }
     spark.stop()
   }
 }
