@@ -82,6 +82,7 @@ object SparkEntry {
     "q_csv_roundtrip"      -> (Sinks.qCsvRoundtrip _),
     "q_multimodal_meta"    -> (MultimodalOps.qMultimodalMeta _),
     "q_frame_sample"       -> (MultimodalOps.qFrameSample _),
+    "q_media_embed"        -> ((s, d) => MultimodalOps.qMediaEmbed(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -505,6 +506,26 @@ object SparkEntry {
         |     (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) q
         |WHERE e.vec_id <> 0
         |ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang AS labeled_lang, text,
+        |                  regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, labeled_lang, text,
+        |        CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_en,
+        |        CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_de,
+        |        CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_fr,
+        |        CAST(len(list_filter(toks, x -> x IN ('el','la','los','y','es','un','una','en','por','que'))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_es
+        |      FROM t),
+        |u AS (SELECT doc_id, labeled_lang, text, sc['score'] AS score, sc['lang'] AS lng,
+        |             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sc['score'] DESC, sc['lang'] DESC) AS rn
+        |      FROM s, UNNEST([{'score': s_de, 'lang': 'de'}, {'score': s_en, 'lang': 'en'},
+        |                      {'score': s_fr, 'lang': 'fr'}, {'score': s_es, 'lang': 'es'}]) AS z(sc))
+        |SELECT doc_id, labeled_lang,
+        |       CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |            WHEN score > 0 THEN lng ELSE 'und' END AS predicted_lang,
+        |       ROUND(score, 4) AS confidence
+        |FROM u WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q_stream_sliding" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),

@@ -150,4 +150,22 @@ object MultimodalOps {
     sampleFrames(assetTable(s, d))
       .select("asset_id", "frame_no", "ts_ms")
       .orderBy("asset_id", "frame_no")
+
+  /** Media-embedding similarity: feature-extract every asset (stub
+    * model), then brute-force cosine top-k against asset 0 — the
+    * decode → embed → similarity-search composition a multimodal
+    * training pipeline runs. Features flow straight into the same
+    * array<float> column shape VectorOps consumes; the top-k is
+    * TakeOrderedAndProject (per-partition heaps), no global sort. */
+  def qMediaEmbed(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val feats = extractFeatures(assetTable(s, d))
+    val q = feats.filter(col("asset_id") === 0)
+      .select("features").head().getSeq[Float](0)
+    val qLit = array(q.map(lit): _*)
+    feats.filter(col("asset_id") =!= 0)
+      .select(col("asset_id"),
+        round(VectorOps.nativeCosine(s, col("features"), qLit), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("asset_id").asc)
+      .limit(k)
+  }
 }

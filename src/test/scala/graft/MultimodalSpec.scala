@@ -56,4 +56,14 @@ class MultimodalSpec extends SparkSuite {
     assert(m.length == 3)
     assert(m.map(_.getLong(1)).sum == graft.engine.Tables.documents(spark, sf).count())
   }
+
+  test("media embed: top-k is deterministic, bounded, sorted by cosine") {
+    val a = MultimodalOps.qMediaEmbed(spark, sf).collect()
+    val b = MultimodalOps.qMediaEmbed(spark, sf).collect()
+    assert(a.sameElements(b), "stub features must make the result deterministic")
+    assert(a.length == 10)
+    val sims = a.map(_.getDouble(1))
+    assert(sims.sameElements(sims.sorted.reverse))
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+  }
 }
