@@ -68,6 +68,9 @@ object SparkEntry {
     "q_first_last"         -> (Relational.qFirstLast _),
     "q_sample_hash"        -> (Relational.qSampleHash _),
     "q_scalar_subquery"    -> (Relational.qScalarSubquery _),
+    "q_stats_moments"      -> (Relational.qStatsMoments _),
+    "q_array_agg"          -> (Relational.qArrayAgg _),
+    "q_salted_agg"         -> (Relational.qSaltedAgg _),
     "q_stopword_filter"    -> (TextOps.qStopwordFilter _),
     "q_ngram_freq"         -> ((s, d) => TextOps.qNgramFreq(s, d)),
     "q_pii_redact"         -> (TextOps.qPiiRedact _),
@@ -427,6 +430,27 @@ object SparkEntry {
         |FROM orders, g
         |WHERE o_totalprice > global_avg * 1.5
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_stats_moments" ->
+      """SELECT l_returnflag,
+        |       ROUND(var_samp(l_quantity), 2) AS qty_var,
+        |       ROUND(stddev_samp(l_extendedprice), 2) AS price_stddev,
+        |       ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+        |       ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_array_agg" ->
+      """SELECT o_orderstatus,
+        |       array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities,
+        |       CAST(len(list_distinct(list(o_orderpriority))) AS BIGINT) AS n_prio,
+        |       CAST(list_contains(list_distinct(list(o_orderpriority)), '1-URGENT') AS INTEGER) AS has_urgent
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT event_type, ROUND(SUM(value), 2) AS total_value,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_stopword_filter" ->
       """SELECT doc_id,

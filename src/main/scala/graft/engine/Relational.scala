@@ -466,6 +466,45 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Statistical moments per group: sample variance/stddev, covariance
+    * and correlation — all single-pass mergeable aggregates (Welford /
+    * co-moment form internally), so the shuffle carries one small
+    * state struct per (group, partition) at any scale. */
+  def qStatsMoments(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(var_samp("l_quantity"), 2).as("qty_var"),
+        round(stddev_samp("l_extendedprice"), 2).as("price_stddev"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 2).as("qty_price_covar"),
+        round(corr("l_quantity", "l_extendedprice"), 4).as("qty_price_corr"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Array aggregation surface: collect_set → sorted array, emitted
+    * string-joined (engine-portable ordering; a raw collect_list is
+    * partition-order-dependent and must never be exposed unsorted). */
+  def qArrayAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        array_join(array_sort(collect_set("o_orderpriority")), ",").as("priorities"),
+        size(collect_set("o_orderpriority")).cast("long").as("n_prio"),
+        array_contains(collect_set("o_orderpriority"), "1-URGENT")
+          .cast("int").as("has_urgent"))
+      .orderBy("o_orderstatus")
+
+  /** Skew-salted aggregation over the 5-key event_type column (the
+    * pathological shape: 100k+ rows, 5 groups — every group is a hot
+    * key). Two-stage (key, salt) → key decomposition; result is
+    * byte-identical to the direct groupBy, which is exactly what the
+    * oracle checks. */
+  def qSaltedAgg(s: SparkSession, d: String): DataFrame =
+    ScaleOps.saltedAggregate(
+        events(s, d), "event_type", "value", col("event_id"), nSalts = 16)
+      .select(col("event_type"), round(col("total"), 2).as("total_value"), col("n"))
+      .orderBy("event_type")
+
   /** Scalar function library: string/date/math over orders (reference's
     * only scalar op is the RFC3339 parse, kafka/consumer.go:928 — this
     * generalizes it). All functions are codegen'd builtins; the whole

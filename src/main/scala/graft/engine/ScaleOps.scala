@@ -34,6 +34,25 @@ object ScaleOps {
       .drop("__salt")
   }
 
+  /** Salted two-stage aggregation for skewed group keys: stage 1
+    * aggregates on (key, salt) — each hot key's rows split across
+    * nSalts reducers — stage 2 merges the nSalts partials per key.
+    * Only ALGEBRAIC aggregates decompose this way (sum/count/min/max
+    * and anything built from them, e.g. avg = sum/count); the result
+    * is identical to the direct groupBy (oracle-verified by
+    * q_salted_agg). Spark's partial aggregation already does this
+    * map-side, but when a single key dominates entire PARTITIONS the
+    * merge reducer for that key still becomes a straggler — salting
+    * splits the reduce itself. */
+  def saltedAggregate(df: DataFrame, key: String, valueCol: String,
+                      discriminator: Column, nSalts: Int): DataFrame =
+    df.withColumn("__salt",
+        pmod(xxhash64(discriminator), lit(nSalts.toLong)).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(valueCol).as("__s"), count(lit(1)).as("__c"))
+      .groupBy(col(key))
+      .agg(sum("__s").as("total"), sum("__c").as("n"))
+
   /** Write a DataFrame as a bucketed table (hash-partitioned into
     * `nBuckets` files by `key`, sorted within buckets): two tables
     * bucketed the same way join with ZERO exchanges — the shuffle is

@@ -35,6 +35,20 @@ class ScaleOpsSpec extends SparkSuite {
     assert(avgSpread >= 2.0, s"hot keys must average >=2 salts, got $avgSpread")
   }
 
+  test("salted aggregate equals the direct groupBy exactly") {
+    val ev = Tables.events(spark, sf)
+    val direct = ev.groupBy("event_type")
+      .agg(sum("value").as("total"), count(lit(1)).as("n"))
+    val salted = ScaleOps.saltedAggregate(
+      ev, "event_type", "value", col("event_id"), nSalts = 16)
+    // counts are exact; totals agree to fp-reassociation tolerance
+    val joined = direct.alias("d").join(salted.alias("s"), "event_type")
+      .select(col("d.n") === col("s.n"),
+        abs(col("d.total") - col("s.total")) < 1e-6)
+      .collect()
+    assert(joined.nonEmpty && joined.forall(r => r.getBoolean(0) && r.getBoolean(1)))
+  }
+
   test("same-bucketed tables join with zero exchanges (co-located join)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_buckets").toString
     spark.sql("DROP TABLE IF EXISTS b_orders")
