@@ -79,6 +79,7 @@ object SparkEntry {
     "q_vector_norm"        -> (VectorOps.qVectorNorm _),
     "q_stream_sliding"     -> (StreamingOps.qStreamSliding _),
     "q_stream_late_drop"   -> ((s, d) => StreamingOps.qStreamLateDrop(s, d)),
+    "q_stream_dedup"       -> (StreamingOps.qStreamDedup _),
     "q_stream_tumbling"    -> (StreamingOps.qStreamTumbling _),
     "q_stream_session_ttl" -> (StreamingOps.qStreamSessionTtl _),
     "q_buffer_eviction"    -> (StreamingOps.qBufferEviction _),
@@ -566,6 +567,12 @@ object SparkEntry {
         |              ROWS UNBOUNDED PRECEDING) - 600000000 AS INTEGER) AS is_late
         |FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
         |      FROM events) t
+        |ORDER BY event_id""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT DISTINCT event_id, user_id, value
+        |FROM (SELECT event_id, user_id, value FROM events
+        |      UNION ALL SELECT event_id, user_id, value FROM events) t
         |ORDER BY event_id""".stripMargin,
 
     "q_stream_tumbling" ->

@@ -85,6 +85,19 @@ object StreamingOps {
       .orderBy("event_id")
   }
 
+  /** Batch replay of the streaming exact-dedup (streamingDedup below
+    * runs the same dropDuplicates plan under a watermark): the event
+    * stream is doubled (every row re-delivered, the at-least-once
+    * redelivery failure mode), dedup keeps one row per event_id.
+    * dropDuplicates plans as a hash aggregate on the key — partial
+    * map-side, one shuffle on event_id. */
+  def qStreamDedup(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select("event_id", "user_id", "value")
+    ev.unionByName(ev)
+      .dropDuplicates("event_id")
+      .orderBy("event_id")
+  }
+
   /** Drop-oldest bounded-buffer semantics (reference O12,
     * stream/manager.go:286-310): keep only the newest 50 events per
     * user. row_number over (user, ts desc) mirrors byte-budget eviction

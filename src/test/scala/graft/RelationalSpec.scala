@@ -129,6 +129,24 @@ class RelationalSpec extends SparkSuite {
     assert(plan.contains("PushedFilters: [Or("), s"expected pushed Or filter in:\n$plan")
   }
 
+  test("scalar subquery plans as a 1-row broadcast, not a shuffle") {
+    val plan = qScalarSubquery(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected the aggregate broadcast in:\n${plan.take(1200)}")
+  }
+
+  test("grouping sets plan uses one Expand + one aggregate, not two scans") {
+    val plan = qGroupingSets(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), "grouping sets should plan via Expand")
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      "grouping sets must read lineitem exactly once")
+  }
+
+  test("histogram aggregates partially before the shuffle") {
+    val plan = qHistogram(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"expected hash aggregate in:\n${plan.take(800)}")
+  }
+
   test("scan projection prunes columns at the reader") {
     val plan = qScanProject(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("l_comment") && !plan.contains("l_shipdate"),
