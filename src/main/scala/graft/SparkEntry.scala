@@ -80,6 +80,8 @@ object SparkEntry {
     "q_stream_sliding"     -> (StreamingOps.qStreamSliding _),
     "q_stream_late_drop"   -> ((s, d) => StreamingOps.qStreamLateDrop(s, d)),
     "q_stream_dedup"       -> (StreamingOps.qStreamDedup _),
+    "q_resample_ffill"     -> (StreamingOps.qResampleFfill _),
+    "q_tfidf"              -> ((s, d) => TextOps.qTfidf(s, d)),
     "q_stream_tumbling"    -> (StreamingOps.qStreamTumbling _),
     "q_stream_session_ttl" -> (StreamingOps.qStreamSessionTtl _),
     "q_buffer_eviction"    -> (StreamingOps.qBufferEviction _),
@@ -568,6 +570,36 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
         |      FROM events) t
         |ORDER BY event_id""".stripMargin,
+
+    "q_resample_ffill" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, value
+        |           FROM events),
+        |h AS (SELECT user_id, hour, ROUND(SUM(value), 2) AS v FROM e GROUP BY 1, 2),
+        |b AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM h GROUP BY 1),
+        |g AS (SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b),
+        |j AS (SELECT g.user_id, g.hour, h.v
+        |      FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hour = h.hour)
+        |SELECT user_id, CAST(epoch(hour) AS BIGINT) AS hour_start,
+        |       LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
+        |         ROWS UNBOUNDED PRECEDING) AS v_filled,
+        |       CAST(v IS NULL AS INTEGER) AS is_gap
+        |FROM j ORDER BY user_id, hour_start""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH terms AS (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS term
+        |               FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM terms GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, term,
+        |                  ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS score
+        |           FROM tf JOIN df USING (term), n),
+        |ranked AS (SELECT doc_id, term, score,
+        |                  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                    ORDER BY score DESC, term) AS BIGINT) AS rn
+        |           FROM scored)
+        |SELECT doc_id, rn, term, score FROM ranked
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
 
     "q_stream_dedup" ->
       """SELECT DISTINCT event_id, user_id, value

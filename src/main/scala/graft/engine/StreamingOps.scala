@@ -114,6 +114,40 @@ object StreamingOps {
       .orderBy("event_id")
   }
 
+  /** Time-series resample + forward fill: each user's event stream is
+    * regularized onto an hourly grid between their first and last
+    * event; empty cells take the last observed hourly average
+    * (`last(ignoreNulls)` over an unbounded-preceding frame = LOCF).
+    * The grid explode fans out on the executor holding the user's
+    * bounds row; the fill is one window shuffle on user_id. Grid size
+    * is bounded by (span-hours × users), independent of event count —
+    * the property that makes resampling viable when raw events are
+    * 100 TB but the grid is millions of cells. */
+  def qResampleFfill(s: SparkSession, d: String): DataFrame = {
+    // hourly SUM, not avg: avg of 2-decimal values lands exactly on
+    // the .xx5 round-half boundary where Spark (decimal HALF_UP) and
+    // DuckDB (binary) disagree; a sum of 2-decimal values stays ~1e-12
+    // from a 2-decimal rational, so ROUND(…, 2) is stable cross-engine
+    val hourly = events(s, d)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(round(sum("value"), 2).as("v"))
+    val grid = hourly.groupBy("user_id")
+      .agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("hour")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("v_filled", last("v", ignoreNulls = true).over(w))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("hour")).as("hour_start"),
+        col("v_filled"),
+        col("v").isNull.cast("int").as("is_gap"))
+      .orderBy("user_id", "hour_start")
+  }
+
   /** The real streaming pipeline for the tumbling aggregation: same
     * plan as qStreamTumbling but fed from any streaming DataFrame
     * (MemoryStream in tests, Kafka source in production). */

@@ -459,6 +459,33 @@ object TextOps {
       .orderBy("source", "pack_id")
   }
 
+  /** TF-IDF top terms per document: tf = in-doc term count, idf =
+    * smoothed ln((N+1)/(df+1)) + 1, top-3 terms per doc by score.
+    * Two map-side-combinable aggregations (per-(doc,term) and
+    * per-term) plus a broadcast of the scalar N — the doc-frequency
+    * table is vocabulary-sized, so the join back to terms broadcasts
+    * at any corpus scale. Ties break on the term text. */
+  def qTfidf(s: SparkSession, d: String, topK: Int = 3): DataFrame = {
+    val terms = documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy("term")
+      .agg(countDistinct("doc_id").as("df"))
+    val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(
+        col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .select("doc_id", "rn", "term", "score")
+      .orderBy("doc_id", "rn")
+  }
+
   /** Content-defined fingerprint: min-of-shingle-hashes (winnowing
     * flavor) + a full-document polynomial rolling hash. Stable document
     * identity for incremental dedup at scale. */
