@@ -82,6 +82,15 @@ object SparkEntry {
     "q_stream_dedup"       -> (StreamingOps.qStreamDedup _),
     "q_resample_ffill"     -> (StreamingOps.qResampleFfill _),
     "q_tfidf"              -> ((s, d) => TextOps.qTfidf(s, d)),
+    "q_window_ntile"       -> (Relational.qWindowNtile _),
+    "q_unpivot"            -> (Relational.qUnpivot _),
+    "q_date_arith"         -> (Relational.qDateArith _),
+    "q_exists_subquery"    -> (Relational.qExistsSubquery _),
+    "q_regex_extract"      -> (TextOps.qRegexExtract _),
+    "q_json_funcs"         -> (IngestQueries.qJsonFuncs _),
+    "q_schema_evolution"   -> (IngestQueries.qSchemaEvolution _),
+    "q_partition_prune"    -> (Sinks.qPartitionPrune _),
+    "q_stream_join"        -> (StreamingOps.qStreamJoin _),
     "q_stream_tumbling"    -> (StreamingOps.qStreamTumbling _),
     "q_stream_session_ttl" -> (StreamingOps.qStreamSessionTtl _),
     "q_buffer_eviction"    -> (StreamingOps.qBufferEviction _),
@@ -600,6 +609,92 @@ object SparkEntry {
         |           FROM scored)
         |SELECT doc_id, rn, term, score FROM ranked
         |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
+    "q_window_ntile" ->
+      """WITH spend AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend
+        |               FROM orders GROUP BY 1),
+        |j AS (SELECT c_custkey, c_nationkey, spend
+        |      FROM customer JOIN spend ON c_custkey = o_custkey)
+        |SELECT c_custkey, c_nationkey, spend,
+        |       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |       PERCENT_RANK() OVER w AS pr,
+        |       CUME_DIST() OVER w AS cd
+        |FROM j
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY spend, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH long AS (
+        |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+        |SELECT l_returnflag, measure, ROUND(SUM(val), 2) AS total,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM long GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+        |       strftime(dt, '%Y-%m-%d') AS d,
+        |       CAST(year(dt) AS BIGINT) AS yr,
+        |       CAST(quarter(dt) AS BIGINT) AS qtr,
+        |       CAST((dayofweek(dt) + 6) % 7 AS BIGINT) AS dow_mon0,
+        |       strftime(dt + 30, '%Y-%m-%d') AS plus30,
+        |       strftime(last_day(dt), '%Y-%m-%d') AS eom,
+        |       CAST(datediff('day', DATE '1995-01-01', dt) AS BIGINT) AS age_days
+        |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS dt FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_exists_subquery" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+        |                  WHERE l2.l_orderkey = o.o_orderkey AND l2.l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_regex_extract" ->
+      """SELECT doc_id,
+        |       regexp_extract(text, 's[a-z]+') AS first_s_word,
+        |       regexp_replace(substr(text, 1, 40), '[aeiou]', '', 'g') AS devoweled,
+        |       CAST((length(text) - length(replace(text, 'table', ''))) / 5 AS BIGINT) AS n_table
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_json_funcs" ->
+      """SELECT event_id,
+        |       json_extract_string(props, '$.k') AS k_str,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+        |       json_extract_string(props, '$.missing') AS absent,
+        |       json_extract_string(props, '$.missing') IS NULL AS is_absent
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_schema_evolution" ->
+      """SELECT event_id, user_id, value, NULL AS event_type
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT event_id, user_id, NULL, event_type
+        |FROM events WHERE event_id % 2 = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "q_partition_prune" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 2) AS total_value,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+        |       CAST(floor(epoch(CAST(p.ts AS TIMESTAMP))) - floor(epoch(CAST(c.ts AS TIMESTAMP))) AS BIGINT) AS lag_secs
+        |FROM events c
+        |JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "q_stream_dedup" ->
       """SELECT DISTINCT event_id, user_id, value

@@ -58,4 +58,38 @@ object IngestQueries {
       .withColumn("k", col("k") + 0.5)
     Ingest.unionPromote(ints, doubles).orderBy("event_id")
   }
+
+  /** JSON scalar functions over the raw payload column (reference O3
+    * value extraction, kafka/consumer.go:668-695, as per-row SQL
+    * functions instead of whole-schema parse): path extraction,
+    * typed cast, and a missing-path probe (null, matching the
+    * reference's missing-field→null rule, consumer.go:630-634).
+    * get_json_object is a codegen'd builtin — one text pass per row,
+    * no shuffle. */
+  def qJsonFuncs(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_num"),
+        get_json_object(col("props"), "$.missing").as("absent"),
+        get_json_object(col("props"), "$.missing").isNull.as("is_absent"))
+      .orderBy("event_id")
+
+  /** Schema evolution across file generations (reference O5/O6: later
+    * messages with unknown fields are dropped field-wise, missing
+    * fields become null, consumer.go:630-634): generation 1 lacks
+    * `event_type`, generation 2 lacks `value`;
+    * unionByName(allowMissingColumns) null-fills both — the exact
+    * merge a partitioned lake does when a pipeline adds a column
+    * mid-history. Catalyst plans it as a zero-shuffle union of two
+    * pruned scans. */
+  def qSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val gen1 = events(s, d).filter(col("event_id") % 2 === 0)
+      .select("event_id", "user_id", "value")
+    val gen2 = events(s, d).filter(col("event_id") % 2 === 1)
+      .select("event_id", "user_id", "event_type")
+    gen1.unionByName(gen2, allowMissingColumns = true)
+      .orderBy("event_id")
+  }
 }

@@ -528,4 +528,81 @@ object Relational {
         round(col("o_totalprice") / 3.0, 2).as("price_div"),
         round(sqrt(abs(col("o_totalprice"))), 2).as("price_sqrt"))
       .orderBy("o_orderkey")
+
+  /** Distribution windows — ntile/percent_rank/cume_dist over customer
+    * spend, partitioned by nation. Partitioning by nation (not a
+    * global window) keeps the sort distributed: a partition-less
+    * window moves every row to ONE task, the classic 100 TB
+    * anti-pattern; per-nation windows shuffle once on a 25-way key.
+    * Ordering key (spend, custkey) is unique, so ntile bucket
+    * boundaries are deterministic across engines. */
+  def qWindowNtile(s: SparkSession, d: String): DataFrame = {
+    val spend = orders(s, d).groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("spend"))
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("spend").asc, col("c_custkey").asc)
+    customer(s, d).select("c_custkey", "c_nationkey")
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .select(
+        col("c_custkey"), col("c_nationkey"), col("spend"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("c_custkey")
+  }
+
+  /** Unpivot (wide→long): three lineitem measures melted into
+    * (measure, val) rows, then re-aggregated. Spark's `unpivot` is a
+    * zero-shuffle Expand node — each input row fans out to k output
+    * rows inside the same task; the only shuffle is the final 2-key
+    * aggregation, which map-side combines to |flags|×|measures| rows. */
+  def qUnpivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "val")
+      .groupBy("l_returnflag", "measure")
+      .agg(round(sum("val"), 2).as("total"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "measure")
+
+  /** Calendar arithmetic: extraction, day-of-week normalization,
+    * end-of-month, offsets. Dates are emitted as ISO strings so both
+    * engines hash identical bytes (date physical types differ).
+    * weekday() is Monday=0 in Spark; the oracle maps DuckDB's
+    * Sunday=0 dayofweek onto the same convention. Everything is one
+    * codegen'd projection — no shuffle at any scale. */
+  def qDateArith(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("dt", to_date(col("o_orderdate")))
+      .select(
+        col("o_orderkey"),
+        date_format(col("dt"), "yyyy-MM-dd").as("d"),
+        year(col("dt")).cast("long").as("yr"),
+        quarter(col("dt")).cast("long").as("qtr"),
+        weekday(col("dt")).cast("long").as("dow_mon0"),
+        date_format(date_add(col("dt"), 30), "yyyy-MM-dd").as("plus30"),
+        date_format(last_day(col("dt")), "yyyy-MM-dd").as("eom"),
+        datediff(col("dt"), to_date(lit("1995-01-01"))).cast("long").as("age_days"))
+      .orderBy("o_orderkey")
+
+  /** Correlated EXISTS / NOT EXISTS written as actual SQL subqueries —
+    * exercises Catalyst's decorrelation (RewritePredicateSubquery
+    * plans these as left-semi and left-anti joins; proven in
+    * RelationalSpec). Same physical shape as q_join_semi_anti but
+    * arrived at from the subquery surface a SQL user writes. */
+  def qExistsSubquery(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("g_orders")
+    lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    s.sql("""
+      SELECT o_orderkey, o_totalprice
+      FROM g_orders o
+      WHERE EXISTS (SELECT 1 FROM g_lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        AND NOT EXISTS (SELECT 1 FROM g_lineitem l2
+                        WHERE l2.l_orderkey = o.o_orderkey AND l2.l_returnflag = 'R')
+      ORDER BY o_orderkey""")
+  }
 }

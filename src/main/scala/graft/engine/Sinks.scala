@@ -75,4 +75,26 @@ object Sinks {
           col("a.tricky") === col("b.tricky")).as("row_match"))
       .orderBy("doc_id")
   }
+
+  /** Partition-pruned scan end-to-end: land events partitioned by
+    * event_type (the 100 TB layout — one directory per type), then
+    * aggregate two types. The filter is a partition filter, so the
+    * scan plans only 2 of 5 directories (`PartitionFilters` in the
+    * physical scan, asserted in SinksSpec) — at scale this reads 40%
+    * of the table without touching a data page of the rest. The
+    * oracle runs the same aggregate on the unpartitioned fixture:
+    * identical results prove the layout is semantics-preserving. */
+  def qPartitionPrune(s: SparkSession, d: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_partition_prune"
+    writePartitioned(
+      Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value"),
+      path, "event_type")
+    s.read.parquet(path)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).as("total_value"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("event_type")
+  }
 }

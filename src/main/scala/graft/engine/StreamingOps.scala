@@ -148,6 +148,49 @@ object StreamingOps {
       .orderBy("user_id", "hour_start")
   }
 
+  /** Batch replay of the stream-stream interval join
+    * (`streamingIntervalJoin` below is the same plan under
+    * watermarks): each click pairs with the same user's purchases in
+    * the following 30 minutes. The equi-key (user_id) drives one hash
+    * shuffle; the time bound is a residual predicate evaluated inside
+    * the matched bucket — never a cross product. In streaming form
+    * the 30-minute bound plus watermark caps both sides' join state. */
+  def qStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 30 minutes"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+          .as("lag_secs"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  /** Stream-stream inner join with bounded state: both sides
+    * watermarked, join condition = equi-key + event-time interval.
+    * Spark derives each side's state retention from the time bound —
+    * click state lives `interval` past the watermark, purchase state
+    * is dropped as soon as the watermark passes (the condition admits
+    * no future clicks). Without the interval the state would grow
+    * without bound — the exact failure the reference's TTL eviction
+    * (stream/manager.go:150-184) guards against, solved here in event
+    * time. Driven by MemoryStream in StreamingSpec. */
+  def streamingIntervalJoin(clicks: DataFrame, purchases: DataFrame,
+                            watermark: String = "1 hour",
+                            interval: String = "30 minutes"): DataFrame =
+    clicks.withWatermark("click_ts", watermark)
+      .join(purchases.withWatermark("purchase_ts", watermark),
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $interval"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+
   /** The real streaming pipeline for the tumbling aggregation: same
     * plan as qStreamTumbling but fed from any streaming DataFrame
     * (MemoryStream in tests, Kafka source in production). */

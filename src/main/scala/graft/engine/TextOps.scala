@@ -498,4 +498,22 @@ object TextOps {
         (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), lit(Prime)), lit(Prime))).as("rolling_fp"))
       .orderBy("doc_id")
   }
+
+  /** Regex extraction/replacement over the corpus: first match,
+    * character-class scrub, and a literal-substring occurrence count
+    * (the length-difference trick — no regex needed on the hot path).
+    * All three are codegen'd string builtins in one projection; at
+    * corpus scale the cost is one pass over the text bytes with no
+    * shuffle. Patterns stay in the RE2 ∩ java.util.regex common
+    * subset so engines agree. */
+  def qRegexExtract(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        regexp_extract(col("text"), "s[a-z]+", 0).as("first_s_word"),
+        regexp_replace(substring(col("text"), 1, 40), "[aeiou]", "").as("devoweled"),
+        ((length(col("text")) -
+          length(replace(col("text"), lit("table"), lit("")))) / 5)
+          .cast("long").as("n_table"))
+      .orderBy("doc_id")
 }

@@ -152,4 +152,28 @@ class RelationalSpec extends SparkSuite {
     assert(!plan.contains("l_comment") && !plan.contains("l_shipdate"),
       "projection should prune unused columns")
   }
+
+  test("EXISTS / NOT EXISTS decorrelate to semi + anti joins") {
+    val plan = qExistsSubquery(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a left-semi join in:\n${plan.take(1200)}")
+    assert(plan.contains("LeftAnti"), s"expected a left-anti join in:\n${plan.take(1200)}")
+  }
+
+  test("unpivot plans as Expand (no self-union, single scan)") {
+    val plan = qUnpivot(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), "unpivot should plan via Expand")
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      "unpivot must read lineitem exactly once")
+  }
+
+  test("ntile quartiles are balanced within each nation") {
+    val rows = qWindowNtile(spark, sf)
+      .groupBy("c_nationkey", "quartile").count().collect()
+    val byNation = rows.groupBy(_.get(0).toString)
+    byNation.foreach { case (_, qs) =>
+      val counts = qs.map(_.getLong(2))
+      assert(counts.max - counts.min <= 1,
+        s"ntile buckets must differ by at most 1 row, got ${counts.mkString(",")}")
+    }
+  }
 }

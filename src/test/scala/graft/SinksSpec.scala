@@ -24,6 +24,14 @@ class SinksSpec extends SparkSuite {
     assert(back.count() == expected)
   }
 
+  test("q_partition_prune scans only the two filtered partitions") {
+    val plan = Sinks.qPartitionPrune(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"expected a partition filter on event_type in:\n${plan.take(800)}")
+    assert(!plan.contains("PushedFilters: [In(event_type"),
+      "the type filter must prune partitions, not just push to the row reader")
+  }
+
   test("JSON-lines round-trip preserves rows and schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
     val src = graft.engine.Tables.documents(spark, sf)

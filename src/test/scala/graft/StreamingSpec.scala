@@ -180,4 +180,35 @@ class StreamingSpec extends SparkSuite {
       assert(spark.read.parquet(s"$dir/data").count() == 2)
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches in-window pairs, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val purchases = MemoryStream[Purchase]
+    val out = StreamingOps.streamingIntervalJoin(clicks.toDF(), purchases.toDF())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sjoin_out").start()
+    try {
+      clicks.addData(
+        Click(1L, 100L, ts("2024-01-01 10:00:00")),
+        Click(1L, 101L, ts("2024-01-01 12:00:00")))
+      purchases.addData(
+        Purchase(1L, 200L, ts("2024-01-01 10:20:00")),   // in window of click 100
+        Purchase(1L, 201L, ts("2024-01-01 11:00:00")),   // 60 min after click 100 → out
+        Purchase(2L, 202L, ts("2024-01-01 10:10:00")))   // other user → out
+      q.processAllAvailable()
+      // advance both watermarks so results are emitted in append mode
+      // (distinct users, so the advance rows can't join each other)
+      clicks.addData(Click(8L, 999L, ts("2024-01-02 00:00:00")))
+      purchases.addData(Purchase(9L, 998L, ts("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      val pairs = spark.table("sjoin_out")
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((100L, 200L)), s"expected only the 20-min pair, got $pairs")
+    } finally q.stop()
+  }
 }
+
+case class Click(user_id: Long, click_id: Long, click_ts: Timestamp)
+case class Purchase(p_user_id: Long, purchase_id: Long, purchase_ts: Timestamp)
