@@ -460,7 +460,8 @@ object SparkEntry {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_salted_agg" ->
-      """SELECT event_type, ROUND(SUM(value), 2) AS total_value,
+      """SELECT event_type,
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 2) AS total_value,
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -522,7 +523,9 @@ object SparkEntry {
         |       CASE WHEN regexp_matches(payload, '^\s*[\[{]') AND json_valid(payload)
         |            THEN 'json' ELSE 'binary' END AS format
         |FROM (SELECT event_id,
-        |             CASE WHEN event_id % 7 = 0 THEN 'x' || props ELSE props END AS payload
+        |             CASE WHEN event_id % 7 = 0 THEN 'x' || props
+        |                  WHEN event_id % 11 = 0 THEN '{' || props
+        |                  ELSE props END AS payload
         |      FROM events) t
         |ORDER BY event_id""".stripMargin,
 

@@ -29,19 +29,24 @@ object IngestQueries {
 
   /** Per-row format sniffing (reference O2 detectMessageFormat,
     * kafka/consumer.go:651-665: JSON iff the payload starts with
-    * '{'/'[' AND parses, else binary). A deterministic seventh of the
-    * payloads is corrupted (prefixed with a stray byte) so both
-    * branches are exercised; the classify itself is one codegen'd
-    * projection — prefix check + from_json null-test. */
+    * '{'/'[' AND parses, else binary). Two deterministic corruption
+    * classes exercise both rejection branches: every 7th payload gets
+    * a stray leading byte (fails the prefix check) and every 11th a
+    * doubled '{' (passes the prefix check but fails the parse — the
+    * branch a prefix-only sniffer gets wrong). The try-parse is
+    * `try_parse_json` (real parse returning NULL on malformed input —
+    * `from_json` in PERMISSIVE mode never does); the whole classify
+    * is one projection, no shuffle. */
   def qFormatSniff(s: SparkSession, d: String): DataFrame = {
     val payload = when(col("event_id") % 7 === 0, concat(lit("x"), col("props")))
+      .when(col("event_id") % 11 === 0, concat(lit("{"), col("props")))
       .otherwise(col("props"))
     events(s, d)
       .select(col("event_id"), payload.as("payload"))
       .select(
         col("event_id"),
         when(col("payload").rlike("^\\s*[\\[{]") &&
-          from_json(col("payload"), lit("k BIGINT")).isNotNull, "json")
+          try_parse_json(col("payload")).isNotNull, "json")
           .otherwise("binary").as("format"))
       .orderBy("event_id")
   }

@@ -496,13 +496,18 @@ object Relational {
 
   /** Skew-salted aggregation over the 5-key event_type column (the
     * pathological shape: 100k+ rows, 5 groups — every group is a hot
-    * key). Two-stage (key, salt) → key decomposition; result is
-    * byte-identical to the direct groupBy, which is exactly what the
-    * oracle checks. */
+    * key). Two-stage (key, salt) → key decomposition. The value is
+    * decimal-cast BEFORE aggregation so the per-salt partials sum
+    * exactly (decimal addition is associative; double addition is
+    * not) — the result is then bit-identical to a direct groupBy on
+    * the same decimal column regardless of salt count or partition
+    * order, which is exactly what the oracle checks. */
   def qSaltedAgg(s: SparkSession, d: String): DataFrame =
     ScaleOps.saltedAggregate(
-        events(s, d), "event_type", "value", col("event_id"), nSalts = 16)
-      .select(col("event_type"), round(col("total"), 2).as("total_value"), col("n"))
+        events(s, d).withColumn("value_dec", col("value").cast("decimal(28,10)")),
+        "event_type", "value_dec", col("event_id"), nSalts = 16)
+      .select(col("event_type"),
+        round(col("total").cast("double"), 2).as("total_value"), col("n"))
       .orderBy("event_type")
 
   /** Scalar function library: string/date/math over orders (reference's

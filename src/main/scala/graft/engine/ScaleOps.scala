@@ -39,8 +39,11 @@ object ScaleOps {
     * nSalts reducers — stage 2 merges the nSalts partials per key.
     * Only ALGEBRAIC aggregates decompose this way (sum/count/min/max
     * and anything built from them, e.g. avg = sum/count); the result
-    * is identical to the direct groupBy (oracle-verified by
-    * q_salted_agg). Spark's partial aggregation already does this
+    * equals the direct groupBy — bit-exact for integer/decimal value
+    * columns, up to floating-point reassociation for doubles (the
+    * per-salt partials sum in a different order). Callers that need
+    * exact equality aggregate a decimal-cast column, as q_salted_agg
+    * does. Spark's partial aggregation already does this
     * map-side, but when a single key dominates entire PARTITIONS the
     * merge reducer for that key still becomes a straggler — salting
     * splits the reduce itself. */

@@ -71,9 +71,14 @@ class IngestSpec extends SparkSuite {
 
   test("format sniff classifies corrupted payloads binary, valid json (O2)") {
     val r = IngestQueries.qFormatSniff(spark, sf)
-    // exactly the event_id % 7 == 0 rows are corrupted → binary
+    // exactly the %7 (stray prefix) and %11 (JSON-prefixed but
+    // malformed) rows are corrupted → binary; the %11 class only
+    // classifies correctly with a real try-parse, so this pins the
+    // parse branch differentially
+    val corrupted = col("event_id") % 7 === 0 || col("event_id") % 11 === 0
     assert(r.filter(col("format") === "binary").count() ==
-      r.filter(col("event_id") % 7 === 0).count())
-    assert(r.filter(col("event_id") % 7 =!= 0 && col("format") =!= "json").count() == 0)
+      r.filter(corrupted).count())
+    assert(r.filter(corrupted && col("format") =!= "binary").count() == 0)
+    assert(r.filter(!corrupted && col("format") =!= "json").count() == 0)
   }
 }
