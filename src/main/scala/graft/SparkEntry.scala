@@ -98,6 +98,24 @@ object SparkEntry {
     "q_multimodal_meta"    -> (MultimodalOps.qMultimodalMeta _),
     "q_frame_sample"       -> (MultimodalOps.qFrameSample _),
     "q_media_embed"        -> ((s, d) => MultimodalOps.qMediaEmbed(s, d)),
+    "q_window_range_frame" -> (Relational.qWindowRangeFrame _),
+    "q_grouping_id"        -> (Relational.qGroupingId _),
+    "q_setops_all"         -> (Relational.qSetOpsAll _),
+    "q_argmax"             -> (Relational.qArgmax _),
+    "q_bitwise_funcs"      -> (Relational.qBitwiseFuncs _),
+    "q_interval_arith"     -> (Relational.qIntervalArith _),
+    "q_decimal_arith"      -> (Relational.qDecimalArith _),
+    "q_fuzzy_match"        -> (Relational.qFuzzyMatch _),
+    "q_funnel"             -> (AnalyticsOps.qFunnel _),
+    "q_retention_cohort"   -> (AnalyticsOps.qRetentionCohort _),
+    "q_cumulative_distinct" -> (AnalyticsOps.qCumulativeDistinct _),
+    "q_cdc_upsert"         -> (AnalyticsOps.qCdcUpsert _),
+    "q_map_funcs"          -> (AnalyticsOps.qMapFuncs _),
+    "q_higher_order_funcs" -> (TextOps.qHigherOrderFuncs _),
+    "q_posexplode"         -> (TextOps.qPosexplode _),
+    "q_char_ngram"         -> (TextOps.qCharNgram _),
+    "q_url_parse"          -> (IngestQueries.qUrlParse _),
+    "q_stream_outer_join"  -> (StreamingOps.qStreamOuterJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -735,5 +753,194 @@ object SparkEntry {
         |           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn <= 50 ORDER BY event_id""".stripMargin,
+
+    "q_window_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |       ROUND(SUM(o_totalprice) OVER w, 2) AS range_sum_30d,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS n_in_range
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_grouping_id" ->
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       COALESCE(l_returnflag,'ALL') AS rf, COALESCE(l_linestatus,'ALL') AS ls,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin,
+
+    "q_setops_all" ->
+      """WITH a AS (SELECT o_custkey AS custkey FROM orders),
+        |     x AS (SELECT custkey FROM a EXCEPT ALL SELECT c_custkey FROM customer),
+        |     i AS (SELECT custkey FROM a INTERSECT ALL
+        |           SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+        |SELECT 'except_all' AS kind, custkey, CAST(COUNT(*) AS BIGINT) AS n FROM x GROUP BY 2
+        |UNION ALL
+        |SELECT 'intersect_all' AS kind, custkey, CAST(COUNT(*) AS BIGINT) AS n FROM i GROUP BY 2
+        |ORDER BY kind, custkey""".stripMargin,
+
+    "q_argmax" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |           ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |           ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders),
+        |am AS (SELECT o_orderstatus,
+        |              MAX(CASE WHEN rmax=1 THEN o_orderkey END) AS max_price_order,
+        |              MAX(CASE WHEN rmin=1 THEN o_orderkey END) AS min_price_order,
+        |              ROUND(MAX(o_totalprice),2) AS max_price,
+        |              ROUND(MIN(o_totalprice),2) AS min_price
+        |       FROM r GROUP BY 1),
+        |md AS (SELECT o_orderstatus, o_orderpriority AS top_prio FROM (
+        |         SELECT o_orderstatus, o_orderpriority,
+        |                ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |                  ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+        |         FROM orders GROUP BY 1,2) t WHERE rn=1)
+        |SELECT am.o_orderstatus, max_price_order, min_price_order,
+        |       max_price, min_price, top_prio
+        |FROM am JOIN md USING (o_orderstatus) ORDER BY o_orderstatus""".stripMargin,
+
+    "q_bitwise_funcs" ->
+      """SELECT event_type,
+        |       CAST(bit_and(user_id | 4096) AS BIGINT) AS band,
+        |       CAST(bit_or(user_id) AS BIGINT) AS bor,
+        |       CAST(bit_xor(user_id * event_id) AS BIGINT) AS bxor,
+        |       CAST(SUM(bit_count(user_id)) AS BIGINT) AS total_bits,
+        |       CAST(MAX(user_id << 2) AS BIGINT) AS max_shl
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_interval_arith" ->
+      """SELECT o_orderkey,
+        |       strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+        |       strftime(last_day(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH), '%Y-%m-%d') AS next_eom,
+        |       CAST((year(CAST(o_orderdate AS DATE)) - 1995) * 12
+        |            + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS months_since_1995,
+        |       strftime(date_trunc('quarter', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS qtr_start,
+        |       CAST(datediff('day', CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE),
+        |                     CAST(o_orderdate AS DATE)) AS BIGINT) AS day_in_qtr
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_decimal_arith" ->
+      """SELECT l_returnflag,
+        |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                      * (1 - CAST(l_discount AS DECIMAL(6,4)))
+        |                      * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DOUBLE), 2) AS total_charge,
+        |       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """SELECT c_custkey,
+        |       CAST(levenshtein(lower(c_name), 'customer#000000000') AS BIGINT) AS lev_canon,
+        |       CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS lev_seg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+        |           FROM events WHERE event_type='view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type='click' AND CAST(e.ts AS TIMESTAMP) >= v.t1
+        |        AND CAST(e.ts AS TIMESTAMP) <= v.t1 + INTERVAL 1 DAY GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type='purchase' AND CAST(e.ts AS TIMESTAMP) >= c.t2
+        |        AND CAST(e.ts AS TIMESTAMP) <= c.t2 + INTERVAL 1 DAY GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS name,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+        |UNION ALL SELECT 2, 'view>click', CAST(COUNT(*) AS BIGINT) FROM c
+        |UNION ALL SELECT 3, 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM p
+        |ORDER BY stage""".stripMargin,
+
+    "q_retention_cohort" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |                  date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY 1)
+        |SELECT CAST(epoch(cohort) AS BIGINT) AS cohort_start,
+        |       CAST(datediff('day', CAST(cohort AS DATE), CAST(wk AS DATE)) / 7 AS BIGINT) AS week_offset,
+        |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_cumulative_distinct" ->
+      """WITH f AS (SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS first_day
+        |           FROM events GROUP BY 1),
+        |d AS (SELECT first_day, CAST(COUNT(*) AS BIGINT) AS n_new FROM f GROUP BY 1)
+        |SELECT CAST(epoch(CAST(first_day AS TIMESTAMP)) AS BIGINT) AS day_start, n_new,
+        |       CAST(SUM(n_new) OVER (ORDER BY first_day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM d ORDER BY day_start""".stripMargin,
+
+    "q_cdc_upsert" ->
+      """SELECT user_id, last_event_id, ROUND(last_value, 2) AS last_value
+        |FROM (SELECT user_id, event_id AS last_event_id, value AS last_value, event_type,
+        |             ROW_NUMBER() OVER (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    "q_map_funcs" ->
+      """WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1,2)
+        |SELECT user_id,
+        |       string_agg(event_type, ',' ORDER BY event_type) AS types,
+        |       CAST(COUNT(*) AS BIGINT) AS n_types,
+        |       CAST(COALESCE(SUM(CASE WHEN event_type='click' THEN n END), 0) AS BIGINT) AS n_click,
+        |       CAST(COALESCE(SUM(CASE WHEN event_type='purchase' THEN n END), 0) AS BIGINT) AS n_purchase
+        |FROM c GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "q_higher_order_funcs" ->
+      """SELECT doc_id,
+        |       CAST(len(list_filter(toks, t -> length(t) > 4)) AS BIGINT) AS n_long,
+        |       CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_len,
+        |       CAST(list_contains(toks, 'the') AS INTEGER) AS has_the,
+        |       array_to_string(list_transform(toks[1:3], t -> upper(t)), ' ') AS first3_upper
+        |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_posexplode" ->
+      """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
+        |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |      FROM documents WHERE doc_id < 50) t,
+        |     UNNEST(range(1, LEAST(len(toks), 10) + 1)) AS u(i)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "q_char_ngram" ->
+      """WITH t AS (SELECT regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                                 ' +', ' ', 'g') AS ct FROM documents),
+        |g AS (SELECT substring(ct, i, 3) AS gram
+        |      FROM t, UNNEST(range(1, GREATEST(length(ct) - 1, 1))) AS u(i))
+        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM g WHERE length(gram) = 3
+        |GROUP BY 1 ORDER BY n DESC, gram LIMIT 30""".stripMargin,
+
+    "q_url_parse" ->
+      """WITH u AS (SELECT event_id,
+        |                  'https://analytics.example.com/t/' || event_type
+        |                  || '?user=' || CAST(user_id AS VARCHAR)
+        |                  || '&v=' || CAST(event_id % 100 AS VARCHAR) AS url
+        |           FROM events)
+        |SELECT event_id,
+        |       regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+        |       regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+        |       regexp_extract(url, '[?&]user=([^&]*)', 1) AS user_param,
+        |       regexp_extract(url, '[?&]v=([^&]*)', 1) AS v_param
+        |FROM u ORDER BY event_id""".stripMargin,
+
+    "q_stream_outer_join" ->
+      """SELECT c.event_id AS click_id, COALESCE(p.event_id, -1) AS purchase_id, c.user_id,
+        |       CAST(CASE WHEN p.event_id IS NULL THEN -1
+        |            ELSE floor(epoch(CAST(p.ts AS TIMESTAMP))) - floor(epoch(CAST(c.ts AS TIMESTAMP)))
+        |            END AS BIGINT) AS lag_secs
+        |FROM (SELECT * FROM events WHERE event_type='click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') p
+        |  ON c.user_id = p.user_id
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
   )
 }

@@ -1,0 +1,127 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators over the `events` stream: funnels,
+  * cohort retention, first-seen accumulation, CDC last-wins upsert,
+  * and map-typed aggregation. These are the queries a product
+  * analytics / training-data pipeline runs on the reference's
+  * buffered streams once a real engine sits behind them (the
+  * reference itself can only full-scan, flight/server.go:171-208).
+  *
+  * Scale shape shared by all of them: shuffle on user_id once,
+  * aggregate to per-user rows (bounded by |users|, not |events|),
+  * then tiny second-stage aggregations. No driver-side state.
+  */
+object AnalyticsOps {
+  import Tables._
+
+  /** Ordered 3-stage funnel (view → click → purchase, each within 1
+    * day of the prior stage): per stage, how many users progressed in
+    * order. Implemented as successive min-timestamp joins — each
+    * stage's frontier is one row per user, so the joins stay
+    * user-cardinality-sized regardless of event volume. */
+  def qFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select("user_id", "event_type", "ts")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") >= col("t1") &&
+        col("ts") <= col("t1") + expr("interval 1 day"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") >= col("t2") &&
+        col("ts") <= col("t2") + expr("interval 1 day"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    val stage = (n: Int, name: String, df: DataFrame) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(n.toLong).as("stage"), lit(name).as("name"), col("n_users"))
+    stage(1, "view", v)
+      .unionByName(stage(2, "view>click", c))
+      .unionByName(stage(3, "view>click>purchase", p))
+      .orderBy("stage")
+  }
+
+  /** Weekly cohort retention: users are cohorted by the ISO week of
+    * their first event; each (cohort, week-offset) cell counts users
+    * still active that week. The left side collapses to one row per
+    * (user, week) before the cohort join, so the matrix build never
+    * re-shuffles raw events. */
+  def qRetentionCohort(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val c = e.groupBy("user_id").agg(min("wk").as("cohort"))
+    e.join(c, "user_id")
+      .groupBy(
+        unix_timestamp(col("cohort")).as("cohort_start"),
+        (datediff(to_date(col("wk")), to_date(col("cohort"))) / 7)
+          .cast("long").as("week_offset"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort_start", "week_offset")
+  }
+
+  /** Daily new-user counts + running cumulative distinct users: the
+    * streaming-dashboard staple. Exact cumulative distinct is
+    * re-expressed as first-seen-day per user (one shuffle on user_id)
+    * + a running sum over days — the decomposition that stays exact
+    * at any scale, where a naive COUNT(DISTINCT) OVER (ORDER BY day)
+    * would re-scan every prefix. */
+  def qCumulativeDistinct(s: SparkSession, d: String): DataFrame = {
+    val firstDay = events(s, d)
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("first_day"))
+    val daily = firstDay.groupBy("first_day").agg(count(lit(1)).as("n_new"))
+    // days are few (bounded by calendar span) — a single-partition
+    // running sum over the daily rollup is fine at any event volume
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("first_day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    daily
+      .select(
+        unix_timestamp(col("first_day").cast("timestamp")).as("day_start"),
+        col("n_new"),
+        sum("n_new").over(w).cast("long").as("cum_users"))
+      .orderBy("day_start")
+  }
+
+  /** CDC last-wins upsert with delete markers (the materialize step
+    * of a change stream): per key keep only the latest change by
+    * (event time, sequence) — and if that latest change is a delete
+    * (event_type = 'error' plays the tombstone), the key vanishes.
+    * One window shuffle on the key; at scale this is the MERGE INTO
+    * pattern a lakehouse table maintains incrementally. */
+  def qCdcUpsert(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        round(col("value"), 2).as("last_value"))
+      .orderBy("user_id")
+  }
+
+  /** Map-typed aggregation: per user, a sorted event_type→count map
+    * built with map_from_entries, then consumed with map_keys /
+    * element_at / size. The map is per-user-bounded (≤5 keys), so
+    * carrying MapType through the plan is safe at any row count —
+    * the pattern for feature maps in a training pipeline. */
+  def qMapFuncs(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("event_type"), col("n")))))
+        .as("m"))
+      .select(
+        col("user_id"),
+        array_join(map_keys(col("m")), ",").as("types"),
+        size(col("m")).cast("long").as("n_types"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+        coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"))
+      .orderBy("user_id")
+}

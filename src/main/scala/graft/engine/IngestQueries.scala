@@ -97,4 +97,23 @@ object IngestQueries {
     gen1.unionByName(gen2, allowMissingColumns = true)
       .orderBy("event_id")
   }
+
+  /** URL parsing (parse_url — host/path/single query param): the
+    * clickstream-ingest normalization step. URLs are synthesized
+    * deterministically from event columns; the oracle re-derives the
+    * same parts with regexes, so Spark's dedicated parser is checked
+    * against an independent implementation. One codegen'd projection. */
+  def qUrlParse(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"),
+        concat(lit("https://analytics.example.com/t/"), col("event_type"),
+          lit("?user="), col("user_id").cast("string"),
+          lit("&v="), (col("event_id") % 100).cast("string")).as("url"))
+      .select(
+        col("event_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("user")).as("user_param"),
+        parse_url(col("url"), lit("QUERY"), lit("v")).as("v_param"))
+      .orderBy("event_id")
 }

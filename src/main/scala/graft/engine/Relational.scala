@@ -610,4 +610,149 @@ object Relational {
                         WHERE l2.l_orderkey = o.o_orderkey AND l2.l_returnflag = 'R')
       ORDER BY o_orderkey""")
   }
+
+  /** RANGE window frame over a value axis (vs q_window_frame's ROWS
+    * frame): per customer, the sum/count of orders whose order DATE
+    * falls in the trailing 30-day window of each order — peers at the
+    * same date all join the frame, so the result is order-insensitive
+    * (the property ROWS frames lack). One shuffle on o_custkey; the
+    * frame scan is linear two-pointer per partition. */
+  def qWindowRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val days = datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(days.as("day_no"))
+      .rangeBetween(-30, 0)
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(sum("o_totalprice").over(w), 2).as("range_sum_30d"),
+        count(lit(1)).over(w).cast("long").as("n_in_range"))
+      .orderBy("o_orderkey")
+  }
+
+  /** grouping_id over CUBE: the bitmask that tells a report consumer
+    * WHICH aggregation level each output row belongs to (0 = detail,
+    * 3 = grand total) — the standard-SQL contract shared with DuckDB's
+    * GROUPING(). */
+  def qGroupingId(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      // grouping_id() is only resolvable inside the grouping
+      // aggregation itself, not a downstream projection
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"))
+      .select(
+        col("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"))
+      .orderBy("gid", "rf", "ls")
+
+  /** Multiset set operations (EXCEPT ALL / INTERSECT ALL — vs
+    * q_setops' distinct-set forms): EXCEPT ALL keeps count(a)-count(b)
+    * copies, INTERSECT ALL min(count_a, count_b). Spark plans both as
+    * a single aggregate on the key with per-side counts + a generate —
+    * one shuffle each, no join explosion. */
+  def qSetOpsAll(s: SparkSession, d: String): DataFrame = {
+    val a  = orders(s, d).select(col("o_custkey").as("custkey"))
+    val b  = customer(s, d).select(col("c_custkey").as("custkey"))
+    val hi = orders(s, d).filter(col("o_totalprice") > 150000)
+      .select(col("o_custkey").as("custkey"))
+    val ex = a.exceptAll(b).groupBy("custkey")
+      .agg(count(lit(1)).as("n")).withColumn("kind", lit("except_all"))
+    val in = a.intersectAll(hi).groupBy("custkey")
+      .agg(count(lit(1)).as("n")).withColumn("kind", lit("intersect_all"))
+    ex.unionByName(in)
+      .select("kind", "custkey", "n")
+      .orderBy("kind", "custkey")
+  }
+
+  /** Argmax/argmin aggregation (max_by/min_by with a struct ordering
+    * key for deterministic tie-break) + deterministic mode via
+    * count + row_number. max_by carries only (arg, best-so-far) per
+    * group through the partial aggregation — constant state, no sort,
+    * the scalable alternative to ORDER BY ... LIMIT 1 per group. */
+  def qArgmax(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val am = o.groupBy("o_orderstatus").agg(
+      max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+        .as("max_price_order"),
+      min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+        .as("min_price_order"),
+      round(max("o_totalprice"), 2).as("max_price"),
+      round(min("o_totalprice"), 2).as("min_price"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderstatus")
+      .orderBy(col("c").desc, col("o_orderpriority"))
+    val md = o.groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("top_prio"))
+    am.join(md, "o_orderstatus").orderBy("o_orderstatus")
+  }
+
+  /** Bitwise scalar + aggregate functions (bit_and/bit_or/bit_xor
+    * aggregates, bit_count, shifts) — all codegen'd longs, fully
+    * decomposable map-side. */
+  def qBitwiseFuncs(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        bit_and(col("user_id").bitwiseOR(lit(4096L))).as("band"),
+        bit_or(col("user_id")).as("bor"),
+        bit_xor(col("user_id") * col("event_id")).as("bxor"),
+        sum(bit_count(col("user_id")).cast("long")).as("total_bits"),
+        max(shiftleft(col("user_id"), 2).cast("long")).as("max_shl"))
+      .orderBy("event_type")
+
+  /** Calendar/interval arithmetic beyond q_date_arith: month addition
+    * with end-of-month clamping (add_months — both engines clamp
+    * Jan 31 + 1mo to Feb end), quarter truncation, and an explicit
+    * year*12+month month-delta (portable across engines, unlike
+    * months_between whose fractional 31-day convention is
+    * Spark-specific). */
+  def qIntervalArith(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("dt"))
+      .select(
+        col("o_orderkey"),
+        date_format(add_months(col("dt"), 3), "yyyy-MM-dd").as("plus3m"),
+        date_format(last_day(add_months(col("dt"), 1)), "yyyy-MM-dd").as("next_eom"),
+        ((year(col("dt")) - 1995) * 12 + month(col("dt")) - 1)
+          .cast("long").as("months_since_1995"),
+        date_format(date_trunc("quarter", col("dt")), "yyyy-MM-dd").as("qtr_start"),
+        datediff(col("dt"), to_date(date_trunc("quarter", col("dt"))))
+          .cast("long").as("day_in_qtr"))
+      .orderBy("o_orderkey")
+
+  /** Exact decimal arithmetic: the charge expression computed in
+    * decimal end-to-end (cast once at the scan, stay decimal through
+    * multiply and sum — associative, so partial aggregation and salt
+    * splits cannot change the answer; the double cast happens only at
+    * the presentation edge). The money-correct form of q_agg_hash's
+    * double pipeline. */
+  def qDecimalArith(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(12,2)")
+          * (lit(1) - col("l_discount").cast("decimal(6,4)"))
+          * (lit(1) + col("l_tax").cast("decimal(6,4)"))).as("charge"),
+        col("l_quantity").cast("decimal(12,2)").as("qty"))
+      .groupBy("l_returnflag")
+      .agg(
+        round(sum("charge").cast("double"), 2).as("total_charge"),
+        round(sum("qty").cast("double"), 2).as("total_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Edit-distance scalar (levenshtein) against canonical patterns —
+    * the row-local fuzzy-match primitive (blocking + pair generation
+    * for fuzzy JOINs is what q_dedup_* does; this is the scorer). */
+  def qFuzzyMatch(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select(col("c_custkey"),
+        levenshtein(lower(col("c_name")), lit("customer#000000000"))
+          .cast("long").as("lev_canon"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING"))
+          .cast("long").as("lev_seg"))
+      .orderBy("c_custkey")
 }

@@ -172,6 +172,53 @@ object StreamingOps {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** Batch replay of the stream-stream LEFT OUTER interval join
+    * (`streamingOuterIntervalJoin` below runs the same plan under
+    * watermarks): every click appears — paired with each purchase by
+    * the same user in the following 30 minutes, or once with null
+    * markers (-1) if none came. The outer side is what makes the
+    * streaming form hard: a click can only be emitted unmatched once
+    * the watermark proves no purchase can still arrive, which is
+    * exactly the state bound the interval condition provides. Nulls
+    * are COALESCEd to -1 sentinels so ordering is engine-portable
+    * (ASC null placement differs between Spark and DuckDB). */
+  def qStreamOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("p_event_id"),
+        col("ts").as("purchase_ts"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 30 minutes"),
+        "left")
+      .select(col("click_id"),
+        coalesce(col("p_event_id"), lit(-1L)).as("purchase_id"),
+        col("user_id"),
+        when(col("p_event_id").isNull, lit(-1L))
+          .otherwise(unix_timestamp(col("purchase_ts"))
+            - unix_timestamp(col("click_ts"))).as("lag_secs"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  /** Stream-stream LEFT OUTER interval join with bounded state: same
+    * condition as streamingIntervalJoin, outer on the click side.
+    * Unmatched clicks are emitted with nulls only after the watermark
+    * passes click_ts + interval (no earlier — correctness — and no
+    * later — state release). */
+  def streamingOuterIntervalJoin(clicks: DataFrame, purchases: DataFrame,
+                                 watermark: String = "1 hour",
+                                 interval: String = "30 minutes"): DataFrame =
+    clicks.withWatermark("click_ts", watermark)
+      .join(purchases.withWatermark("purchase_ts", watermark),
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $interval"),
+        "leftOuter")
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+
   /** Stream-stream inner join with bounded state: both sides
     * watermarked, join condition = equi-key + event-time interval.
     * Spark derives each side's state retention from the time bound —

@@ -516,4 +516,53 @@ object TextOps {
           length(replace(col("text"), lit("table"), lit("")))) / 5)
           .cast("long").as("n_table"))
       .orderBy("doc_id")
+
+  /** Higher-order array functions end-to-end (filter / transform /
+    * aggregate / exists over the token array): all four run inside
+    * one codegen'd projection with NO explode — the per-row array
+    * stays an array, so a 100 TB corpus never fans out to a
+    * token-level shuffle just to compute per-doc features. */
+  def qHigherOrderFuncs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(filter(col("toks"), t => length(t) > 4)).cast("long").as("n_long"),
+        aggregate(transform(col("toks"), t => length(t)),
+          lit(0), (acc, x) => acc + x).cast("long").as("total_len"),
+        array_contains(col("toks"), "the").cast("int").as("has_the"),
+        array_join(transform(slice(col("toks"), 1, 3), t => upper(t)), " ")
+          .as("first3_upper"))
+      .orderBy("doc_id")
+
+  /** Positional explode (posexplode = UNNEST WITH ORDINALITY): the
+    * first 10 tokens of each small-id doc with their positions. The
+    * generate multiplies rows 10×; at scale you bound the slice (as
+    * here) or the fan-out IS the product (q_doc_chunking). */
+  def qPosexplode(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(slice(tokens(col("text")), 1, 10)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("token"))
+      .orderBy("doc_id", "pos")
+
+  /** Corpus-wide character-trigram frequency (the language-ID /
+    * domain-fingerprint feature): normalize like qTextClean, expand
+    * each doc to its trigrams via transform(sequence) — executor-side
+    * generate, partial-agg before the single shuffle on gram. */
+  def qCharNgram(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ").as("ct"))
+      .select(explode(expr(
+        // guard: sequence needs start<=stop; short docs yield trailing
+        // <3-char grams that the length filter below drops
+        "transform(sequence(1, greatest(length(ct) - 2, 1)), i -> substring(ct, i, 3))"))
+        .as("gram"))
+      .filter(length(col("gram")) === 3)
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram")).limit(30)
 }

@@ -208,6 +208,34 @@ class StreamingSpec extends SparkSuite {
       assert(pairs == Set((100L, 200L)), s"expected only the 20-min pair, got $pairs")
     } finally q.stop()
   }
+
+  test("stream-stream OUTER interval join emits unmatched clicks after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val purchases = MemoryStream[Purchase]
+    val out = StreamingOps.streamingOuterIntervalJoin(clicks.toDF(), purchases.toDF())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sojoin_out").start()
+    try {
+      clicks.addData(
+        Click(1L, 100L, ts("2024-01-01 10:00:00")),   // will match
+        Click(2L, 101L, ts("2024-01-01 10:00:00")))   // never matches
+      purchases.addData(
+        Purchase(1L, 200L, ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      // push both watermarks far past click 101's join horizon
+      // (10:30) so the engine can prove it unmatched and emit it
+      clicks.addData(Click(8L, 999L, ts("2024-01-02 00:00:00")))
+      purchases.addData(Purchase(9L, 998L, ts("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sojoin_out")
+        .filter(col("click_id").isin(100L, 101L))
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows == Set((100L, 200L), (101L, -1L)),
+        s"expected matched 100 and null-padded 101, got $rows")
+    } finally q.stop()
+  }
 }
 
 case class Click(user_id: Long, click_id: Long, click_ts: Timestamp)
