@@ -18,6 +18,17 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("README query/oracle counts match SparkEntry (drift guard)") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val m = "(\\d+) queries, (\\d+) DuckDB oracles".r.findFirstMatchIn(readme)
+    assert(m.isDefined, "README no longer states query/oracle counts")
+    assert(m.get.group(1).toInt == SparkEntry.queries.size,
+      s"README says ${m.get.group(1)} queries; SparkEntry has ${SparkEntry.queries.size}")
+    assert(m.get.group(2).toInt == SparkEntry.oracleSql.size,
+      s"README says ${m.get.group(2)} oracles; SparkEntry has ${SparkEntry.oracleSql.size}")
+  }
+
   test("every SURVEY.md §2c declared key is implemented") {
     val declared = Seq(
       "q_scan_project", "q_filter_predicate", "q_limit_topn",
