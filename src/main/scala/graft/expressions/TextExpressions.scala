@@ -216,6 +216,118 @@ object SimHashOps {
   }
 }
 
+object NgramOps {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** All n-char substrings of a string in one pass. Byte offsets of
+    * every code point are computed once, so the whole call is O(bytes)
+    * instead of the O(len²) that per-gram UTF8String.substring scans
+    * (or interpreted transform(sequence(...)) lambdas) would cost. */
+  def charNgrams(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    // char-start byte offsets (UTF-8 aware; ASCII corpus = identity)
+    var count = 0
+    var off = 0
+    while (off < bytes.length) {
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      count += 1
+    }
+    if (count < n) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](count + 1)
+    off = 0
+    var i = 0
+    while (off < bytes.length) {
+      starts(i) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      i += 1
+    }
+    starts(count) = bytes.length
+    val out = new Array[Any](count - n + 1)
+    i = 0
+    while (i < out.length) {
+      out(i) = UTF8String.fromBytes(bytes, starts(i), starts(i + n) - starts(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** All n-token word grams (space-joined) of a token array in one
+    * pass — replaces the zip_with(slice, slice, concat_ws) chain whose
+    * interpreted lambda runs once per token. */
+  def wordNgrams(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    while (i < out.length) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        val t = toks.getUTF8String(i + j)
+        parts(j) = if (t == null) UTF8String.EMPTY_UTF8 else t
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** All n-char substrings of a string (string → array<string>) — the
+  * per-document inner loop of character-ngram features. */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"graft_char_ngrams requires n >= 1, got $n")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_char_ngrams requires string input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_char_ngrams"
+
+  override def nullSafeEval(a: Any): Any =
+    NgramOps.charNgrams(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.NgramOps.charNgrams($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** All n-token space-joined word grams (array<string> → array<string>). */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+      s"graft_word_ngrams requires n >= 1, got $n")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_word_ngrams requires array<string> input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_word_ngrams"
+
+  override def nullSafeEval(a: Any): Any =
+    NgramOps.wordNgrams(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.NgramOps.wordNgrams($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash fingerprint of a token array (array<string> → long).
   * Native so the per-document work is one tight loop — the previous
   * formulation exploded tokens and ran a 64-measure sum aggregation,

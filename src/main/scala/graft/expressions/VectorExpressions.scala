@@ -175,6 +175,12 @@ object VectorExpressions {
         litInt(exprs(1), "graft_shingle_hashes")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vector_avg", exprs => VectorAvg(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_char_ngrams", exprs => CharNgrams(exprs(0),
+        litInt(exprs(1), "graft_char_ngrams")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_word_ngrams", exprs => WordNgrams(exprs(0),
+        litInt(exprs(1), "graft_word_ngrams")), "built-in")
   }
 }
 
@@ -217,5 +223,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[VectorAvg].getName, "graft_vector_avg"),
         (exprs: Seq[Expression]) => VectorAvg(exprs(0))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_char_ngrams"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[CharNgrams].getName, "graft_char_ngrams"),
+        (exprs: Seq[Expression]) => CharNgrams(exprs(0),
+          VectorExpressions.litInt(exprs(1), "graft_char_ngrams"))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_word_ngrams"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[WordNgrams].getName, "graft_word_ngrams"),
+        (exprs: Seq[Expression]) => WordNgrams(exprs(0),
+          VectorExpressions.litInt(exprs(1), "graft_word_ngrams"))))
   }
 }

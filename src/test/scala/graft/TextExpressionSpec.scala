@@ -116,4 +116,37 @@ class TextExpressionSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("divisible"))
   }
+
+  test("graft_char_ngrams equals the substring formulation, UTF-8 safe") {
+    VectorExpressions.register(spark)
+    val texts = Seq((1L, "hello world"), (2L, "ab"), (3L, "abc"),
+      (4L, ""), (5L, "héllo wörld"), (6L, "日本語のテスト")).toDF("id", "t")
+    val viaNative = texts
+      .select(col("id"), call_function("graft_char_ngrams", col("t"), lit(3)).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    val viaHof = texts
+      .select(col("id"), expr(
+        """filter(transform(sequence(1, greatest(char_length(t) - 2, 1)),
+          |  i -> substring(t, i, 3)), g -> char_length(g) = 3)""".stripMargin).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(viaNative == viaHof, s"native $viaNative vs hof $viaHof")
+    assert(viaNative(2L).isEmpty && viaNative(3L) == Seq("abc"))
+    assert(viaNative(6L).forall(_.length == 3))
+  }
+
+  test("graft_word_ngrams equals the zip_with formulation") {
+    VectorExpressions.register(spark)
+    val viaNative = docs
+      .select(col("doc_id"), call_function("graft_word_ngrams",
+        TextOps.tokens(col("text")), lit(2)).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    val toks = TextOps.tokens(col("text"))
+    val viaHof = docs
+      .select(col("doc_id"), zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b)).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(viaNative == viaHof, s"native $viaNative vs hof $viaHof")
+  }
 }
