@@ -116,6 +116,12 @@ object SparkEntry {
     "q_char_ngram"         -> (TextOps.qCharNgram _),
     "q_url_parse"          -> (IngestQueries.qUrlParse _),
     "q_stream_outer_join"  -> (StreamingOps.qStreamOuterJoin _),
+    "q_array_setops"       -> (TextOps.qArraySetops _),
+    "q_string_funcs2"      -> (Relational.qStringFuncs2 _),
+    "q_try_arith"          -> (Relational.qTryArith _),
+    "q_json_array_explode" -> (IngestQueries.qJsonArrayExplode _),
+    "q_lag_ignore_nulls"   -> (Relational.qLagIgnoreNulls _),
+    "q_cross_join"         -> (Relational.qCrossJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -942,5 +948,61 @@ object SparkEntry {
         | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
         | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "q_array_setops" ->
+      """WITH t AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+        |           FROM documents),
+        |s AS (SELECT ['the','a','of','and','to','in','is','it','for','on'] AS sw)
+        |SELECT doc_id,
+        |       COALESCE(array_to_string(list_sort(list_intersect(toks, sw)), ','), '') AS common,
+        |       CAST(len(list_intersect(toks, sw)) AS BIGINT) AS n_common,
+        |       CAST(len(list_filter(toks, x -> NOT list_contains(sw, x))) AS BIGINT) AS n_only_doc,
+        |       CAST(len(list_distinct(list_concat(toks, sw))) AS BIGINT) AS n_union
+        |FROM t, s ORDER BY doc_id""".stripMargin,
+
+    "q_string_funcs2" ->
+      """SELECT c_custkey,
+        |       split_part(c_name, '#', 1) AS name_head,
+        |       split_part(c_name, '#', 2) AS name_num,
+        |       CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+        |       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS id_pad,
+        |       rpad(c_mktsegment, 12, '.') AS seg_pad,
+        |       reverse(c_mktsegment) AS seg_rev,
+        |       repeat('ab', 3) AS rep,
+        |       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lowvowel
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_try_arith" ->
+      """SELECT event_id,
+        |       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_ok,
+        |       TRY_CAST('x' || json_extract_string(props, '$.k') AS BIGINT) AS k_bad,
+        |       ROUND(value / NULLIF(CAST(event_id % 5 AS DOUBLE), 0.0), 4) AS div_or_null,
+        |       CAST(value / NULLIF(CAST(event_id % 5 AS DOUBLE), 0.0) IS NULL AS INTEGER) AS was_zero
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_json_array_explode" ->
+      """WITH j AS (SELECT event_id,
+        |                  '["' || event_type || '","u' || CAST(user_id AS VARCHAR) || '","v' ||
+        |                  CAST(event_id % 7 AS VARCHAR) || '"]' AS payload
+        |           FROM events WHERE event_id < 2000)
+        |SELECT event_id, CAST(i - 1 AS BIGINT) AS pos,
+        |       json_extract_string(payload, '$[' || CAST(i - 1 AS VARCHAR) || ']') AS tag
+        |FROM j, UNNEST(range(1, 4)) AS u(i)
+        |ORDER BY event_id, pos""".stripMargin,
+
+    "q_lag_ignore_nulls" ->
+      """SELECT event_id, user_id,
+        |       ROUND(COALESCE(LAG(pval IGNORE NULLS) OVER (PARTITION BY user_id
+        |         ORDER BY CAST(ts AS TIMESTAMP), event_id), -1.0), 2) AS prev_purchase
+        |FROM (SELECT event_id, user_id, ts,
+        |             CASE WHEN event_type = 'purchase' THEN value END AS pval
+        |      FROM events) t
+        |ORDER BY event_id""".stripMargin,
+
+    "q_cross_join" ->
+      """SELECT r.r_name, n.n_name,
+        |       CAST(n.n_regionkey = r.r_regionkey AS INTEGER) AS is_member
+        |FROM region r CROSS JOIN nation n
+        |ORDER BY r_name, n_name""".stripMargin,
   )
 }

@@ -116,4 +116,26 @@ object IngestQueries {
         parse_url(col("url"), lit("QUERY"), lit("user")).as("user_param"),
         parse_url(col("url"), lit("QUERY"), lit("v")).as("v_param"))
       .orderBy("event_id")
+
+  /** JSON array parsing + positional lateral explode — the array case
+    * of reference O3 value extraction (the reference STRINGIFIES
+    * arrays, consumer.go:937-939; we parse them properly). Payloads
+    * are synthesized deterministically from event columns; from_json
+    * with an array<string> schema then posexplode fans each row out
+    * with ordinality. */
+  def qJsonArrayExplode(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(col("event_id") < 2000)
+      .select(col("event_id"),
+        concat(lit("[\""), col("event_type"),
+          lit("\",\"u"), col("user_id").cast("string"),
+          lit("\",\"v"), (col("event_id") % 7).cast("string"),
+          lit("\"]")).as("payload"))
+      .select(col("event_id"),
+        posexplode(from_json(col("payload"),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType))))
+      .select(col("event_id"), col("pos").cast("long").as("pos"),
+        col("col").as("tag"))
+      .orderBy("event_id", "pos")
 }

@@ -744,6 +744,66 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Extended string function library (split_part, instr, padding,
+    * reverse, repeat, translate) — one codegen'd projection, zero
+    * shuffle. */
+  def qStringFuncs2(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select(
+        col("c_custkey"),
+        split_part(col("c_name"), lit("#"), lit(1)).as("name_head"),
+        split_part(col("c_name"), lit("#"), lit(2)).as("name_num"),
+        instr(col("c_name"), "#").cast("long").as("hash_pos"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("id_pad"),
+        rpad(col("c_mktsegment"), 12, ".").as("seg_pad"),
+        reverse(col("c_mktsegment")).as("seg_rev"),
+        lit("ab" * 3).as("rep"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_lowvowel"))
+      .orderBy("c_custkey")
+
+  /** Error-safe arithmetic (try_cast / try_divide): malformed casts
+    * and zero denominators yield NULL instead of failing the job —
+    * the semantics a 100 TB pipeline needs, where one bad row must
+    * not kill a stage. The oracle reproduces them with TRY_CAST +
+    * NULLIF. */
+  def qTryArith(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").try_cast("long").as("k_ok"),
+        concat(lit("x"), get_json_object(col("props"), "$.k"))
+          .try_cast("long").as("k_bad"),
+        round(try_divide(col("value"),
+          (col("event_id") % 5).cast("double")), 4).as("div_or_null"),
+        try_divide(col("value"), (col("event_id") % 5).cast("double"))
+          .isNull.cast("int").as("was_zero"))
+      .orderBy("event_id")
+
+  /** lag(... IGNORE NULLS): carry the previous purchase value forward
+    * past non-purchase events — the LOCF variant that skips nulls
+    * inside the frame rather than gaps in the grid (q_resample_ffill
+    * covers the latter). */
+  def qLagIgnoreNulls(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("pval",
+        when(col("event_type") === "purchase", col("value")))
+      .select(col("event_id"), col("user_id"),
+        round(coalesce(lag(col("pval"), 1, null, ignoreNulls = true).over(w),
+          lit(-1.0)), 2).as("prev_purchase"))
+      .orderBy("event_id")
+  }
+
+  /** Explicit cartesian product (tiny dims only — the one shape where
+    * a cross join is legitimate; Catalyst plans it as a broadcast
+    * nested loop). */
+  def qCrossJoin(s: SparkSession, d: String): DataFrame =
+    region(s, d).crossJoin(nation(s, d))
+      .select(col("r_name"), col("n_name"),
+        (col("n_regionkey") === col("r_regionkey")).cast("int").as("is_member"))
+      .orderBy("r_name", "n_name")
+
   /** Edit-distance scalar (levenshtein) against canonical patterns —
     * the row-local fuzzy-match primitive (blocking + pair generation
     * for fuzzy JOINs is what q_dedup_* does; this is the scorer). */

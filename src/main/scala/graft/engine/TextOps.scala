@@ -564,4 +564,21 @@ object TextOps {
       .groupBy("gram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram")).limit(30)
   }
+
+  /** Per-row array set operations (intersect/except/union against a
+    * literal vocabulary) — the no-explode form of vocabulary checks:
+    * each doc's distinct tokens stay one array cell, so there is no
+    * token-level fan-out and no shuffle. */
+  def qArraySetops(s: SparkSession, d: String): DataFrame = {
+    val sw = array(StopwordsEn.map(lit): _*)
+    documents(s, d)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      .select(
+        col("doc_id"),
+        array_join(array_sort(array_intersect(col("toks"), sw)), ",").as("common"),
+        size(array_intersect(col("toks"), sw)).cast("long").as("n_common"),
+        size(array_except(col("toks"), sw)).cast("long").as("n_only_doc"),
+        size(array_union(col("toks"), sw)).cast("long").as("n_union"))
+      .orderBy("doc_id")
+  }
 }
