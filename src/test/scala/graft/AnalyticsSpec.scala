@@ -135,6 +135,30 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("cross join plans as broadcast nested loop (tiny dims)") {
+    val plan = Relational.qCrossJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast nested loop for 5x25 cartesian:\n$plan")
+  }
+
+  test("higher-order funcs stay shuffle-free before the output sort") {
+    val plan = TextOps.qHigherOrderFuncs(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the only exchange is the rangepartitioning for ORDER BY — the
+    // per-doc array work itself must not shuffle (no hashpartitioning)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"per-row HOFs must not hash-shuffle:\n$plan")
+  }
+
+  test("setops_all avoids nested-loop joins (aggregate-based multiset ops)") {
+    val plan = Relational.qSetOpsAll(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"EXCEPT/INTERSECT ALL must not plan a product join:\n$plan")
+  }
+
   test("argmax returns the keys of the actual extremes") {
     val o = graft.engine.Tables.orders(spark, sf)
     val r = Relational.qArgmax(spark, sf).collect()
