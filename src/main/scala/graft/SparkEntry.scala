@@ -122,6 +122,10 @@ object SparkEntry {
     "q_json_array_explode" -> (IngestQueries.qJsonArrayExplode _),
     "q_lag_ignore_nulls"   -> (Relational.qLagIgnoreNulls _),
     "q_cross_join"         -> (Relational.qCrossJoin _),
+    "q_quantile_disc"      -> (Relational.qQuantileDisc _),
+    "q_bool_aggs"          -> (Relational.qBoolAggs _),
+    "q_regression"         -> (Relational.qRegression _),
+    "q_skew_kurt"          -> (Relational.qSkewKurt _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1004,5 +1008,46 @@ object SparkEntry {
         |       CAST(n.n_regionkey = r.r_regionkey AS INTEGER) AS is_member
         |FROM region r CROSS JOIN nation n
         |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_quantile_disc" ->
+      """WITH r AS (SELECT o_orderstatus, o_totalprice,
+        |                  ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |                    ORDER BY o_totalprice, o_orderkey) AS rn,
+        |                  COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+        |           FROM orders)
+        |SELECT o_orderstatus,
+        |       ROUND(MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN o_totalprice END), 2) AS p25,
+        |       ROUND(MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN o_totalprice END), 2) AS p50,
+        |       ROUND(MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN o_totalprice END), 2) AS p75,
+        |       CAST(MAX(n) AS BIGINT) AS n
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_bool_aggs" ->
+      """SELECT l_returnflag,
+        |       CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
+        |       CAST(bool_and(l_quantity > 0) AS INTEGER) AS all_positive,
+        |       CAST(bool_or(l_discount > 0.09) AS INTEGER) AS any_deep_discount,
+        |       CAST(bool_and(l_tax <= 0.08) AS INTEGER) AS all_low_tax
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_regression" ->
+      """SELECT l_returnflag,
+        |       ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |       ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+        |       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_skew_kurt" ->
+      """WITH mu AS (SELECT l_returnflag, AVG(l_extendedprice) AS m
+        |            FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |       ROUND(AVG(POWER(l_extendedprice - m, 3))
+        |             / POWER(AVG(POWER(l_extendedprice - m, 2)), 1.5), 4) AS skew,
+        |       ROUND(AVG(POWER(l_extendedprice - m, 4))
+        |             / POWER(AVG(POWER(l_extendedprice - m, 2)), 2) - 3, 4) AS kurt,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem JOIN mu USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

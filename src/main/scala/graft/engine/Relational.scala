@@ -744,6 +744,72 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Discrete (exact-element) quantiles via ranking — the
+    * quantile_disc semantics q_quantiles' interpolated form can't
+    * give: each reported quantile IS a row that exists, picked
+    * deterministically by position, so both engines agree bit-exact
+    * with no interpolation arithmetic at all. One window shuffle per
+    * group. */
+  def qQuantileDisc(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderstatus")
+    val pick = (f: Double) =>
+      max(when(col("rn") === ceil(lit(f) * col("n")).cast("long"),
+        col("o_totalprice")))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .groupBy("o_orderstatus")
+      .agg(
+        round(pick(0.25), 2).as("p25"),
+        round(pick(0.50), 2).as("p50"),
+        round(pick(0.75), 2).as("p75"),
+        max("n").as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Boolean aggregates (count_if / bool_and / bool_or): predicate
+    * summaries that decompose map-side as and/or/count monoids —
+    * constant state per group at any scale. */
+  def qBoolAggs(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count_if(col("l_quantity") > 25).as("n_bulk"),
+        bool_and(col("l_quantity") > 0).cast("int").as("all_positive"),
+        bool_or(col("l_discount") > 0.09).cast("int").as("any_deep_discount"),
+        bool_and(col("l_tax") <= 0.08).cast("int").as("all_low_tax"))
+      .orderBy("l_returnflag")
+
+  /** Linear-regression aggregates (ANSI regr_*): slope/intercept/R²
+    * of price on quantity per flag — single-pass covariance-form
+    * aggregation, map-side combinable. */
+  def qRegression(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Higher central moments (skewness / excess kurtosis, population
+    * form). The oracle recomputes them from explicit two-pass moment
+    * SQL because DuckDB's builtins apply sample-bias corrections
+    * Spark's do not — the 4-decimal round absorbs one-pass vs
+    * two-pass fp differences, not formula differences. */
+  def qSkewKurt(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(skewness(col("l_extendedprice")), 4).as("skew"),
+        round(kurtosis(col("l_extendedprice")), 4).as("kurt"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** Extended string function library (split_part, instr, padding,
     * reverse, repeat, translate) — one codegen'd projection, zero
     * shuffle. */
