@@ -85,3 +85,47 @@ object StreamStoreProps extends Properties("StreamStore") {
       retained + st.droppedRows("t") == appended
     }
 }
+
+/** Invariants of the native n-gram expressions over random (multibyte)
+  * strings and token lists — count, length, and positional coherence
+  * against the definition. */
+object NgramProps extends Properties("NgramOps") {
+  import graft.expressions.NgramOps
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  // BMP-safe generator with ASCII + 2/3-byte UTF-8 chars
+  private val bmpChar: Gen[Char] =
+    Gen.frequency(8 -> Gen.alphaNumChar, 1 -> Gen.oneOf('é', 'ß', 'ü'),
+      1 -> Gen.oneOf('日', '本', '語'))
+  private val str: Gen[String] = Gen.listOf(bmpChar).map(_.mkString)
+  private val nGen: Gen[Int] = Gen.choose(1, 4)
+
+  property("char ngrams: count = max(chars - n + 1, 0), each n chars long") =
+    forAll(str, nGen) { (s, n) =>
+      val out = NgramOps.charNgrams(UTF8String.fromString(s), n)
+      val chars = s.codePointCount(0, s.length)
+      val grams = (0 until out.numElements()).map(out.getUTF8String(_).toString)
+      grams.length == math.max(chars - n + 1, 0) &&
+        grams.forall(g => g.codePointCount(0, g.length) == n)
+    }
+
+  property("char ngrams: gram i equals the substring starting at char i") =
+    forAll(str, nGen) { (s, n) =>
+      val out = NgramOps.charNgrams(UTF8String.fromString(s), n)
+      (0 until out.numElements()).forall { i =>
+        out.getUTF8String(i).toString ==
+          new String(s.codePoints().toArray.slice(i, i + n), 0, n)
+      }
+    }
+
+  property("word ngrams: sliding windows joined by single spaces") =
+    forAll(Gen.listOf(Gen.alphaNumStr.suchThat(_.nonEmpty)), nGen) { (toks, n) =>
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t): Any).toArray)
+      val out = NgramOps.wordNgrams(arr, n)
+      val expected = if (toks.length < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      (0 until out.numElements()).map(out.getUTF8String(_).toString) == expected
+    }
+}
