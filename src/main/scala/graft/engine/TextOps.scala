@@ -230,15 +230,26 @@ object TextOps {
     // bucket self-join on (chunk, ch): with 4 chunks of 16 bits the
     // buckets are many and tiny, so the hash join beats per-bucket
     // collect_list (measured — the list variant's per-bucket lambda
-    // work ran ~1.5× slower at sf0.1). The Hamming filter runs BEFORE
-    // distinct so the dedup shuffle only carries surviving pairs.
+    // work ran ~1.5× slower at sf0.1).
     val l = chunks.select(col("chunk"), col("ch"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
     val r = chunks.select(col("chunk"), col("ch"), col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+    // first-matching-chunk rule: a pair agreeing on several chunks
+    // would be emitted once per agreeing chunk and need a distinct —
+    // a shuffle of every duplicated candidate row (~4× the pair set
+    // on this fixture). Keeping a joined row only when NO earlier
+    // chunk also matches makes each pair exit exactly one bucket, so
+    // the dedup shuffle disappears; the filter is pure bit math on
+    // columns already in the row. Standard LSH dedup refinement.
+    val firstMatch = (0 until 3).map { cp =>
+      (col("chunk") <= cp) ||
+        (shiftright(col("fp_a"), cp * 16).bitwiseAND(0xFFFF) =!=
+          shiftright(col("fp_b"), cp * 16).bitwiseAND(0xFFFF))
+    }.reduce(_ && _)
     l.join(r, Seq("chunk", "ch"))
-      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("doc_a") < col("doc_b") && firstMatch)
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
       .filter(col("hamming") <= 8)
-      .select("doc_a", "doc_b", "hamming").distinct()
+      .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
 
