@@ -126,6 +126,8 @@ object SparkEntry {
     "q_bool_aggs"          -> (Relational.qBoolAggs _),
     "q_regression"         -> (Relational.qRegression _),
     "q_skew_kurt"          -> (Relational.qSkewKurt _),
+    "q_variant_json"       -> (IngestQueries.qVariantJson _),
+    "q_lateral_topk"       -> (Relational.qLateralTopk _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1049,5 +1051,21 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM lineitem JOIN mu USING (l_returnflag)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_variant_json" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+        |       json_extract_string(props, '$.k') AS k_str,
+        |       CAST(json_extract(props, '$.k') IS NOT NULL AS INTEGER) AS has_k,
+        |       CAST(json_extract(props, '$.zzz') IS NOT NULL AS INTEGER) AS has_zzz
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_lateral_topk" ->
+      """SELECT r.r_name, t.n_name, t.rk
+        |FROM region r, LATERAL (
+        |  SELECT n_name, CAST(ROW_NUMBER() OVER (ORDER BY n_name) AS BIGINT) AS rk
+        |  FROM nation WHERE n_regionkey = r.r_regionkey
+        |  ORDER BY n_name LIMIT 2) t
+        |ORDER BY r_name, rk""".stripMargin,
   )
 }

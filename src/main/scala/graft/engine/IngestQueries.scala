@@ -138,4 +138,25 @@ object IngestQueries {
       .select(col("event_id"), col("pos").cast("long").as("pos"),
         col("col").as("tag"))
       .orderBy("event_id", "pos")
+
+  /** Semi-structured access through VariantType (Spark 4): parse the
+    * payload ONCE into the binary variant encoding, then typed path
+    * extraction (variant_get) — the engine-native form of schema-less
+    * ingestion where the same parsed value serves many extractions
+    * without re-tokenizing text. The reference's closest analog is
+    * per-message json.Unmarshal into map[string]any
+    * (kafka/consumer.go:680-687). Oracle replicates with DuckDB JSON
+    * extraction. */
+  def qVariantJson(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+      .select(
+        col("event_id"),
+        variant_get(col("v"), "$.k", "bigint").as("k_long"),
+        variant_get(col("v"), "$.k", "string").as("k_str"),
+        try_variant_get(col("v"), "$.k", "bigint").isNotNull
+          .cast("int").as("has_k"),
+        try_variant_get(col("v"), "$.zzz", "bigint").isNotNull
+          .cast("int").as("has_zzz"))
+      .orderBy("event_id")
 }

@@ -870,6 +870,24 @@ object Relational {
         (col("n_regionkey") === col("r_regionkey")).cast("int").as("is_member"))
       .orderBy("r_name", "n_name")
 
+  /** Correlated LATERAL subquery (top-2 per group arrived at from the
+    * lateral surface instead of a window): Catalyst decorrelates the
+    * per-row subquery into a ranked join — same physical shape as
+    * q_window_rank, but exercising the DecorrelateInnerQuery path a
+    * SQL user's LATERAL actually takes. */
+  def qLateralTopk(s: SparkSession, d: String): DataFrame = {
+    region(s, d).createOrReplaceTempView("g_region")
+    nation(s, d).createOrReplaceTempView("g_nation")
+    s.sql("""
+      SELECT r.r_name, t.n_name, t.rk
+      FROM g_region r,
+      LATERAL (SELECT n_name,
+                      CAST(ROW_NUMBER() OVER (ORDER BY n_name) AS BIGINT) AS rk
+               FROM g_nation WHERE n_regionkey = r.r_regionkey
+               ORDER BY n_name LIMIT 2) t
+      ORDER BY r_name, rk""")
+  }
+
   /** Edit-distance scalar (levenshtein) against canonical patterns —
     * the row-local fuzzy-match primitive (blocking + pair generation
     * for fuzzy JOINs is what q_dedup_* does; this is the scorer). */
