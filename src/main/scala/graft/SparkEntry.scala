@@ -128,6 +128,10 @@ object SparkEntry {
     "q_skew_kurt"          -> (Relational.qSkewKurt _),
     "q_variant_json"       -> (IngestQueries.qVariantJson _),
     "q_lateral_topk"       -> (Relational.qLateralTopk _),
+    "q_star_join_having"   -> (Relational.qStarJoinHaving _),
+    "q_collation_group"    -> (Relational.qCollationGroup _),
+    "q_null_ordering"      -> (Relational.qNullOrdering _),
+    "q_pagination"         -> (Relational.qPagination _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1067,5 +1071,42 @@ object SparkEntry {
         |  FROM nation WHERE n_regionkey = r.r_regionkey
         |  ORDER BY n_name LIMIT 2) t
         |ORDER BY r_name, rk""".stripMargin,
+
+    "q_star_join_having" ->
+      """SELECT n_name,
+        |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey  = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY n_name
+        |HAVING SUM(l_extendedprice * (1.0 - l_discount)) > 10000000
+        |ORDER BY n_name""".stripMargin,
+
+    "q_collation_group" ->
+      """WITH m AS (SELECT c_custkey,
+        |                  CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+        |                       ELSE c_mktsegment END AS seg
+        |           FROM customer)
+        |SELECT lower(seg) AS seg_ci, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_case_variants
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_null_ordering" ->
+      """SELECT o_orderkey, disc_price
+        |FROM (SELECT o_orderkey,
+        |             CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |                  ELSE ROUND(o_totalprice, 2) END AS disc_price
+        |      FROM orders)
+        |ORDER BY disc_price DESC NULLS FIRST, o_orderkey
+        |LIMIT 200""".stripMargin,
+
+    "q_pagination" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 50 OFFSET 100""".stripMargin,
   )
 }

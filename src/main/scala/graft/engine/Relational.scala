@@ -870,6 +870,68 @@ object Relational {
         (col("n_regionkey") === col("r_regionkey")).cast("int").as("is_member"))
       .orderBy("r_name", "n_name")
 
+  /** Star-schema join chain (fact → orders → customer → nation) with
+    * a HAVING filter on the aggregate — the TPC-H Q5 shape. AQE picks
+    * broadcast for the dims that fit and sort-merge for the
+    * fact-fact edge; the date filter is pushed to the orders scan so
+    * the big join starts from the pruned side. */
+  def qStarJoinHaving(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d).filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .filter(col("revenue") > 10000000)
+      .orderBy("n_name")
+
+  /** Case-insensitive grouping through a real collation (Spark 4
+    * UTF8_LCASE) rather than a lower() rewrite: the group key
+    * compares case-insensitively inside the hash aggregate, while
+    * COUNT(DISTINCT seg) still sees the raw binary values — proving
+    * both collations coexist in one aggregation. Output is
+    * normalized (lower + cast to the default collation) so the
+    * oracle's lower() formulation matches byte-for-byte. */
+  def qCollationGroup(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .withColumn("seg",
+        when(col("c_custkey") % 2 === 0, lower(col("c_mktsegment")))
+          .otherwise(col("c_mktsegment")))
+      .groupBy(collate(col("seg"), "UTF8_LCASE").as("k"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("seg")).as("n_case_variants"))
+      .select(lower(col("k")).cast("string").as("seg_ci"),
+        col("n"), col("n_case_variants"))
+      .orderBy("seg_ci")
+
+  /** Explicit null-placement sort (DESC NULLS FIRST): engines default
+    * differently (Spark ASC puts nulls first, DuckDB last), so any
+    * cross-engine sort over nullable keys must pin placement — this
+    * query IS that pin, plus the TakeOrderedAndProject top-k path
+    * under it. */
+  def qNullOrdering(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 13 === 0, lit(null).cast("double"))
+          .otherwise(round(col("o_totalprice"), 2)).as("disc_price"))
+      .orderBy(col("disc_price").desc_nulls_first, col("o_orderkey"))
+      .limit(200)
+
+  /** LIMIT/OFFSET pagination over a global sort — the result-serving
+    * shape of reference O19's client-side row cap, done engine-side
+    * (cmd/client.go:193 caps during formatting; a real engine skips
+    * and caps in the sorted plan). */
+  def qPagination(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(100)
+      .limit(50)
+
   /** Correlated LATERAL subquery (top-2 per group arrived at from the
     * lateral surface instead of a window): Catalyst decorrelates the
     * per-row subquery into a ranked join — same physical shape as
