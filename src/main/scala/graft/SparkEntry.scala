@@ -154,7 +154,7 @@ object SparkEntry {
     "q_join_broadcast" ->
       """SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
         |       ROUND(SUM(c_acctbal), 2) AS total_acctbal,
-        |       ROUND(AVG(c_acctbal), 2) AS avg_acctbal
+        |       ROUND(AVG(c_acctbal) + 1e-9, 2) AS avg_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey

@@ -73,7 +73,15 @@ object Relational {
       .agg(
         count(lit(1)).as("n_customers"),
         round(sum("c_acctbal"), 2).as("total_acctbal"),
-        round(avg("c_acctbal"), 2).as("avg_acctbal"))
+        // +1e-9 tie-break: with few customers per nation (small SF)
+        // the average of 2-decimal balances can land EXACTLY on a
+        // .xx5 boundary, where Spark (HALF_UP on the shortest decimal
+        // string) and DuckDB (binary round) disagree — observed
+        // 4201.315 → .32 vs .31 at sf0.001. The epsilon nudges both
+        // engines' identical double just past the tie; 1e-9 can never
+        // move a non-tie value across a 2-decimal boundary. The
+        // oracle applies the same epsilon.
+        round(avg("c_acctbal") + lit(1e-9), 2).as("avg_acctbal"))
       .orderBy("r_name", "n_name")
 
   /** Fact-fact equi-join lineitem⋈orders. Both sides are large at scale,
