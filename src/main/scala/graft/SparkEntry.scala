@@ -132,6 +132,12 @@ object SparkEntry {
     "q_collation_group"    -> (Relational.qCollationGroup _),
     "q_null_ordering"      -> (Relational.qNullOrdering _),
     "q_pagination"         -> (Relational.qPagination _),
+    "q_null_aware_anti"    -> (Relational.qNullAwareAnti _),
+    "q_relational_division" -> (Relational.qRelationalDivision _),
+    "q_window_cume"        -> (Relational.qWindowCume _),
+    "q_recursive_cte"      -> (Relational.qRecursiveCte _),
+    "q_gaps_islands"       -> (AnalyticsOps.qGapsIslands _),
+    "q_sessionize_batch"   -> (AnalyticsOps.qSessionizeBatch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1108,5 +1114,81 @@ object SparkEntry {
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 50 OFFSET 100""".stripMargin,
+
+    "q_null_aware_anti" ->
+      """SELECT
+        |  (SELECT count(*) FROM part WHERE p_partkey NOT IN
+        |     (SELECT l_partkey FROM lineitem
+        |      WHERE l_shipdate < TIMESTAMP '1995-03-01')) AS n_never_early_shipped,
+        |  (SELECT count(*) FROM part WHERE p_partkey NOT IN
+        |     (SELECT CASE WHEN l_quantity > 49 THEN NULL ELSE l_partkey END
+        |        FROM lineitem
+        |       WHERE l_shipdate < TIMESTAMP '1995-03-01')) AS n_with_null_probe""".stripMargin,
+
+    "q_relational_division" ->
+      """WITH pr AS (SELECT count(DISTINCT o_orderpriority) AS np FROM orders)
+        |SELECT o_custkey AS custkey,
+        |       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio
+        |FROM orders GROUP BY 1
+        |HAVING count(DISTINCT o_orderpriority) = (SELECT np FROM pr)
+        |ORDER BY 1""".stripMargin,
+
+    "q_window_cume" ->
+      """SELECT o_orderkey,
+        |  ROUND(cume_dist() OVER w, 4) AS cd,
+        |  ROUND(percent_rank() OVER w, 4) AS pr,
+        |  ROUND(nth_value(o_totalprice, 2) OVER
+        |    (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey LIMIT 300""".stripMargin,
+
+    "q_recursive_cte" ->
+      """WITH RECURSIVE spine(m) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM spine WHERE m < DATE '1995-12-01'
+        |)
+        |SELECT strftime(m, '%Y-%m-%d') AS month_start,
+        |       count(o_orderkey) AS n_orders
+        |FROM spine LEFT JOIN orders
+        |  ON o_orderdate >= m AND o_orderdate < m + INTERVAL 1 MONTH
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_gaps_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day
+        |  FROM events
+        |), grp AS (
+        |  SELECT user_id, epoch_day,
+        |    epoch_day - row_number() OVER (PARTITION BY user_id ORDER BY epoch_day) AS g
+        |  FROM days
+        |)
+        |SELECT user_id, min(epoch_day) AS island_start,
+        |       max(epoch_day) AS island_end, count(*) AS n_days
+        |FROM grp GROUP BY user_id, g
+        |HAVING count(*) >= 2
+        |ORDER BY user_id, island_start""".stripMargin,
+
+    "q_sessionize_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_n
+        |  FROM e
+        |)
+        |SELECT user_id, sess_n, count(*) AS n_events,
+        |  ROUND((max(epoch_ms(ts)) - min(epoch_ms(ts))) / 1000.0, 3) AS dur_sec
+        |FROM sess GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-analytics operators over the `events` stream: funnels,
@@ -124,4 +125,51 @@ object AnalyticsOps {
         coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
         coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"))
       .orderBy("user_id")
+
+  /** Gaps-and-islands: maximal runs of consecutive activity days per
+    * user via the epoch-day-minus-row_number grouping trick. One
+    * distinct + one window sort per user partition; day keys are
+    * epoch-day longs so both engines agree bit-for-bit. At corpus
+    * scale the distinct and the window share the user_id shuffle. */
+  def qGapsIslands(s: SparkSession, d: String): DataFrame = {
+    val days = events(s, d)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("epoch_day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("epoch_day")
+    days
+      .withColumn("g", col("epoch_day") - row_number().over(w))
+      .groupBy("user_id", "g")
+      .agg(min("epoch_day").as("island_start"),
+        max("epoch_day").as("island_end"),
+        count(lit(1)).as("n_days"))
+      .filter(col("n_days") >= 2)
+      .select("user_id", "island_start", "island_end", "n_days")
+      .orderBy("user_id", "island_start")
+  }
+
+  /** Batch sessionization with a 30-minute idle gap — the exact
+    * event-time semantics `statefulSessionize` (StreamingOps) applies
+    * incrementally, derived here with lag + a running sum of
+    * session-start flags so the streaming operator has a batch
+    * differential oracle (reference O14 idle-TTL analog,
+    * stream/manager.go:150-184). Both windows and the final aggregate
+    * share one user_id shuffle. */
+  def qSessionizeBatch(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val e = events(s, d)
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("prev", lag(col("ms"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("ms") - col("prev") > 1800000L, 1L)
+          .otherwise(0L))
+    e.withColumn("sess_n",
+        sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_n")
+      .agg(count(lit(1)).as("n_events"),
+        round((max("ms") - min("ms")) / 1000.0, 3).as("dur_sec"))
+      .filter(col("n_events") >= 3)
+      .orderBy("user_id", "sess_n")
+  }
 }

@@ -969,4 +969,80 @@ object Relational {
         levenshtein(col("c_mktsegment"), lit("BUILDING"))
           .cast("long").as("lev_seg"))
       .orderBy("c_custkey")
+
+  /** NOT IN tri-state semantics (null-aware anti join): the first
+    * count is a plain anti join over a null-free subquery; the second
+    * probes a subquery that yields NULLs, so SQL's three-valued logic
+    * makes every NOT IN evaluate to unknown → 0 rows. Catalyst plans
+    * the null-aware case as BroadcastNestedLoopJoin only when the
+    * build side can produce nulls — the null-free branch stays a
+    * proper hash anti join, which is why the distinction matters at
+    * 100 TB (one is O(n), the other degenerates). */
+  def qNullAwareAnti(s: SparkSession, d: String): DataFrame = {
+    part(s, d).createOrReplaceTempView("g_naa_part")
+    lineitem(s, d).createOrReplaceTempView("g_naa_lineitem")
+    s.sql("""
+      SELECT
+        (SELECT count(*) FROM g_naa_part WHERE p_partkey NOT IN
+           (SELECT l_partkey FROM g_naa_lineitem
+            WHERE l_shipdate < TIMESTAMP '1995-03-01')) AS n_never_early_shipped,
+        (SELECT count(*) FROM g_naa_part WHERE p_partkey NOT IN
+           (SELECT CASE WHEN l_quantity > 49 THEN NULL ELSE l_partkey END
+              FROM g_naa_lineitem
+             WHERE l_shipdate < TIMESTAMP '1995-03-01')) AS n_with_null_probe""")
+  }
+
+  /** Relational division ("for all"): customers who ordered in EVERY
+    * priority class. One hash aggregate per customer plus a broadcast
+    * of the single-row universe count — the classic division-by-count
+    * rewrite, which at scale beats the double-anti-join formulation
+    * (one shuffle instead of two self-joins of the fact table). */
+  def qRelationalDivision(s: SparkSession, d: String): DataFrame = {
+    val perCust = orders(s, d)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(countDistinct("o_orderpriority").as("n_prio"))
+    val universe = orders(s, d).agg(countDistinct("o_orderpriority").as("np"))
+    perCust.crossJoin(broadcast(universe))
+      .filter(col("n_prio") === col("np"))
+      .select("custkey", "n_prio")
+      .orderBy("custkey")
+  }
+
+  /** Distribution-position window functions: cume_dist / percent_rank
+    * (value-based rescalings of rank, exact rationals so the ROUND is
+    * cross-engine-stable) plus nth_value over the full-partition
+    * frame. One sort per partition serves all three. */
+  def qWindowCume(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d).select(
+      col("o_orderkey"),
+      round(cume_dist().over(w), 4).as("cd"),
+      round(percent_rank().over(w), 4).as("pr"),
+      round(nth_value(col("o_totalprice"), 2).over(wFull), 2).as("second_price"))
+      .orderBy("o_orderkey")
+      .limit(300)
+  }
+
+  /** Recursive CTE (Spark 4.1 WITH RECURSIVE): a generated monthly
+    * date spine LEFT-joined to facts, so empty months still appear —
+    * the gap-free reporting-calendar shape a blind GROUP BY month
+    * can't produce. The spine is 12 rows built by UnionLoop on the
+    * driver side of the plan; the fact join is the only distributed
+    * work, with the date-range predicate pushed to the scan. */
+  def qRecursiveCte(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("g_rc_orders")
+    s.sql("""
+      WITH RECURSIVE spine(m) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM spine WHERE m < DATE '1995-12-01'
+      )
+      SELECT date_format(m, 'yyyy-MM-dd') AS month_start,
+             count(o_orderkey) AS n_orders
+      FROM spine LEFT JOIN g_rc_orders
+        ON o_orderdate >= m AND o_orderdate < m + INTERVAL 1 MONTH
+      GROUP BY month_start ORDER BY month_start""")
+  }
 }

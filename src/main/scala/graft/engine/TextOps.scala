@@ -470,16 +470,19 @@ object TextOps {
 
   /** TF-IDF top terms per document: tf = in-doc term count, idf =
     * smoothed ln((N+1)/(df+1)) + 1, top-3 terms per doc by score.
-    * Two map-side-combinable aggregations (per-(doc,term) and
-    * per-term) plus a broadcast of the scalar N — the doc-frequency
-    * table is vocabulary-sized, so the join back to terms broadcasts
-    * at any corpus scale. Ties break on the term text. */
+    * The document-frequency table is derived FROM tf (rows are already
+    * distinct per (doc, term), so df is a plain count, not a
+    * countDistinct over re-exploded raw terms) — the two aggregations
+    * share one tokenize+explode+shuffle via Spark's ReuseExchange, and
+    * the corpus text bytes are read once. df is vocabulary-sized, so
+    * the join back to tf broadcasts at any corpus scale.
+    * Ties break on the term text. */
   def qTfidf(s: SparkSession, d: String, topK: Int = 3): DataFrame = {
     val terms = documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = terms.groupBy("term")
-      .agg(countDistinct("doc_id").as("df"))
+    val df = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"))
     val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
     val scored = tf
       .join(broadcast(df), "term")
