@@ -138,6 +138,10 @@ object SparkEntry {
     "q_recursive_cte"      -> (Relational.qRecursiveCte _),
     "q_gaps_islands"       -> (AnalyticsOps.qGapsIslands _),
     "q_sessionize_batch"   -> (AnalyticsOps.qSessionizeBatch _),
+    "q_math_funcs"         -> (Relational.qMathFuncs _),
+    "q_hash_funcs"         -> (Relational.qHashFuncs _),
+    "q_binary_funcs"       -> (Relational.qBinaryFuncs _),
+    "q_array_gen"          -> (Relational.qArrayGen _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1190,5 +1194,44 @@ object SparkEntry {
         |SELECT user_id, sess_n, count(*) AS n_events,
         |  ROUND((max(epoch_ms(ts)) - min(epoch_ms(ts))) / 1000.0, 3) AS dur_sec
         |FROM sess GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT p_partkey,
+        |  ROUND(sqrt(p_retailprice), 4) AS sq,
+        |  ROUND(ln(p_retailprice), 4) AS lnp,
+        |  ROUND(log10(p_retailprice), 4) AS l10,
+        |  ROUND(exp(p_retailprice / 1000.0), 4) AS ex,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS fl,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+        |  CAST(sign(p_retailprice - 1000) AS BIGINT) AS sg,
+        |  CAST(p_size % 7 AS BIGINT) AS md,
+        |  CAST(((p_size - 10) % 7 + 7) % 7 AS BIGINT) AS pmd,
+        |  ROUND(pow(p_size, 2.0), 1) AS p2
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_hash_funcs" ->
+      """SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_binary_funcs" ->
+      """SELECT n_nationkey,
+        |  to_base64(CAST(n_name AS BLOB)) AS b64,
+        |  hex(n_name) AS hx,
+        |  CAST(bit_length(n_name) AS BIGINT) AS bl,
+        |  CAST(octet_length(CAST(n_name AS BLOB)) AS BIGINT) AS ol,
+        |  CAST(ascii(n_name) AS BIGINT) AS first_cp
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_array_gen" ->
+      """WITH g AS (
+        |  SELECT p_partkey, range(1, p_size % 5 + 2) AS seq_a FROM part
+        |)
+        |SELECT p_partkey,
+        |  array_to_string(seq_a, ',') AS seq_str,
+        |  array_to_string(list_reverse(seq_a), ',') AS rev_str,
+        |  COALESCE(array_to_string(seq_a[2:], ','), '') AS sliced,
+        |  CAST(list_sum(list_transform(seq_a, x -> x * x)) AS BIGINT) AS sum_sq,
+        |  array_to_string(flatten([seq_a, seq_a]), ',') AS doubled
+        |FROM g ORDER BY p_partkey""".stripMargin,
   )
 }

@@ -1025,6 +1025,72 @@ object Relational {
       .limit(300)
   }
 
+  /** Math scalar library: exact integer forms (floor/ceil/sign/mod/
+    * pmod) plus transcendentals (sqrt/ln/log10/exp/pow) rounded to 4
+    * places — the rounding absorbs last-ulp libm-vs-JVM differences,
+    * everything stays inside one whole-stage-codegen projection. */
+  def qMathFuncs(s: SparkSession, d: String): DataFrame =
+    part(s, d).select(
+      col("p_partkey"),
+      round(sqrt(col("p_retailprice")), 4).as("sq"),
+      round(log(col("p_retailprice")), 4).as("lnp"),
+      round(log10(col("p_retailprice")), 4).as("l10"),
+      round(exp(col("p_retailprice") / 1000.0), 4).as("ex"),
+      floor(col("p_retailprice")).cast("long").as("fl"),
+      ceil(col("p_retailprice")).cast("long").as("ce"),
+      signum(col("p_retailprice") - 1000).cast("long").as("sg"),
+      (col("p_size") % 7).cast("long").as("md"),
+      pmod(col("p_size") - 10, lit(7)).cast("long").as("pmd"),
+      round(pow(col("p_size"), 2.0), 1).as("p2"))
+      .orderBy("p_partkey")
+
+  /** Content-hash scalars (md5 / sha2-256 hex): the primitives under
+    * q_sample_hash's deterministic sampling and q_dedup_exact's
+    * identity keys — stable across engines, partitions and retries,
+    * which is what makes hash-based sampling reproducible at 100 TB. */
+  def qHashFuncs(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(
+      col("c_custkey"),
+      md5(col("c_name").cast("binary")).as("h_md5"),
+      sha2(col("c_name").cast("binary"), 256).as("h_sha256"))
+      .orderBy("c_custkey")
+
+  /** Binary/encoding scalars over an opaque-bytes view of a string
+    * column (the reference treats non-JSON payloads as raw bytes,
+    * kafka/consumer.go:668-695): base64, hex, bit/octet lengths,
+    * first code point. */
+  def qBinaryFuncs(s: SparkSession, d: String): DataFrame =
+    nation(s, d).select(
+      col("n_nationkey"),
+      base64(col("n_name").cast("binary")).as("b64"),
+      hex(col("n_name")).as("hx"),
+      bit_length(col("n_name")).cast("long").as("bl"),
+      octet_length(col("n_name")).cast("long").as("ol"),
+      ascii(col("n_name")).cast("long").as("first_cp"))
+      .orderBy("n_nationkey")
+
+  /** Array generation + manipulation without explode: sequence,
+    * reverse, slice, flatten, and a transform+aggregate sum-of-squares
+    * — all per-row array ops in one codegen'd projection, the shape
+    * that keeps token/feature arrays row-local instead of fanning out
+    * to an element-level shuffle. Arrays serialize via array_join for
+    * the cross-engine compare (empty array → "" on both sides). */
+  def qArrayGen(s: SparkSession, d: String): DataFrame = {
+    val seqA = sequence(lit(1), col("p_size") % 5 + 1)
+    part(s, d)
+      .select(col("p_partkey"), seqA.as("a"))
+      .select(
+        col("p_partkey"),
+        array_join(col("a"), ",").as("seq_str"),
+        array_join(reverse(col("a")), ",").as("rev_str"),
+        array_join(slice(col("a"), lit(2), greatest(size(col("a")) - 1, lit(0))), ",")
+          .as("sliced"),
+        aggregate(transform(col("a"), x => (x * x).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("sum_sq"),
+        array_join(flatten(array(col("a"), col("a"))), ",").as("doubled"))
+      .orderBy("p_partkey")
+  }
+
   /** Recursive CTE (Spark 4.1 WITH RECURSIVE): a generated monthly
     * date spine LEFT-joined to facts, so empty months still appear —
     * the gap-free reporting-calendar shape a blind GROUP BY month
