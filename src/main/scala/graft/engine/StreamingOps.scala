@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** Streaming semantics (reference O9 micro-batching, O12 bounded
@@ -332,6 +332,74 @@ object StreamingOps {
       .withColumn("fp", array_min(TextOps.shingleHashes(TextOps.tokens(col(textCol)), 3)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
+
+  final case class BufEvent(key: String, event_id: Long, size: Long)
+  // not private: the state encoders' generated code must access these
+  final case class BufSlot(event_id: Long, size: Long)
+  final case class BufUpdate(key: String, n_buffered: Long,
+                             bytes_buffered: Long, rows_dropped_total: Long,
+                             oldest_id: Long, newest_id: Long)
+
+  /** Drop-oldest bounded buffer on the Spark 4 transformWithState
+    * arbitrary-state API — the reference's O12 per-stream byte budget
+    * (stream/manager.go:277-343: append the new batch, then evict the
+    * oldest buffered batches until the total fits `--buffer-limit`,
+    * counting dropped rows). Reference semantics preserved: the newest
+    * entry always survives, so a single over-budget entry is kept
+    * alone (manager.go appends unconditionally after eviction).
+    *
+    * ListState keeps the FIFO buffer (RocksDB-backed: appendValue is
+    * an O(1) write, replacing the whole list on evict is one put —
+    * per-key state lives on executors, checkpointed, and scales
+    * horizontally where the reference's driver-local map cannot);
+    * ValueState carries the monotone dropped-row counter. Emits one
+    * update per key per micro-batch — the metrics feed O25 expects. */
+  class BoundedBufferProcessor(budgetBytes: Long)
+      extends StatefulProcessor[String, BufEvent, BufUpdate] {
+    @transient private var buf: ListState[BufSlot] = _
+    @transient private var dropped: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[BufSlot]("buf",
+        org.apache.spark.sql.Encoders.product[BufSlot], TTLConfig.NONE)
+      dropped = getHandle.getValueState[Long]("dropped",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[BufEvent],
+                                 tv: TimerValues): Iterator[BufUpdate] = {
+      val cur = scala.collection.mutable.ArrayBuffer[BufSlot]()
+      cur ++= buf.get()
+      rows.foreach(e => cur += BufSlot(e.event_id, e.size))
+      var total = cur.iterator.map(_.size).sum
+      var nDropped = if (dropped.exists()) dropped.get() else 0L
+      var from = 0
+      while (total > budgetBytes && from < cur.length - 1) {
+        total -= cur(from).size
+        nDropped += 1
+        from += 1
+      }
+      val kept = cur.drop(from)
+      buf.put(kept.toArray)
+      dropped.update(nDropped)
+      Iterator.single(BufUpdate(key, kept.length.toLong, total, nDropped,
+        kept.head.event_id, kept.last.event_id))
+    }
+  }
+
+  /** Wire a keyed event stream through the bounded-buffer processor
+    * (TimeMode NoTime: eviction is size-driven, not clock-driven —
+    * exactly the reference's semantics). Requires the RocksDB state
+    * store provider; see StreamingSpec. */
+  def boundedBufferTws(events: Dataset[BufEvent],
+                       budgetBytes: Long): Dataset[BufUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .transformWithState(new BoundedBufferProcessor(budgetBytes),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 
   /** Checkpointed exactly-once parquet sink (fixes the reference's
     * duplicate-persist wart, duckdb/sink.go:89-125 — it re-inserts

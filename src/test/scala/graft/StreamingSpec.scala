@@ -236,6 +236,47 @@ class StreamingSpec extends SparkSuite {
         s"expected matched 100 and null-padded 101, got $rows")
     } finally q.stop()
   }
+
+  test("transformWithState bounded buffer drops oldest until budget fits (O12)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[StreamingOps.BufEvent]
+    val out = StreamingOps.boundedBufferTws(mem.toDS(), budgetBytes = 100L)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("buf_out").start()
+    try {
+      // batch 1: 3 events of 40 bytes → 120 > 100, oldest evicted
+      mem.addData(
+        StreamingOps.BufEvent("s1", 1L, 40L),
+        StreamingOps.BufEvent("s1", 2L, 40L),
+        StreamingOps.BufEvent("s1", 3L, 40L))
+      q.processAllAvailable()
+      // batch 2: cross-micro-batch state — 30 more bytes evicts id 2
+      mem.addData(StreamingOps.BufEvent("s1", 4L, 30L))
+      q.processAllAvailable()
+      // single over-budget event on a fresh key is kept alone
+      mem.addData(StreamingOps.BufEvent("s2", 9L, 500L))
+      q.processAllAvailable()
+      val rows = spark.table("buf_out")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      // batch 1: kept {2,3} (80 bytes), dropped 1
+      assert(rows.contains(("s1", 2L, 80L, 1L, 2L, 3L)), s"got ${rows.mkString(";")}")
+      // batch 2: kept {3,4} (70 bytes), dropped total 2
+      assert(rows.contains(("s1", 2L, 70L, 2L, 3L, 4L)), s"got ${rows.mkString(";")}")
+      // fresh key, over-budget single entry kept (reference appends unconditionally)
+      assert(rows.contains(("s2", 1L, 500L, 0L, 9L, 9L)), s"got ${rows.mkString(";")}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
 
 case class Click(user_id: Long, click_id: Long, click_ts: Timestamp)
