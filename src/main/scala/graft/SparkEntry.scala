@@ -142,6 +142,9 @@ object SparkEntry {
     "q_hash_funcs"         -> (Relational.qHashFuncs _),
     "q_binary_funcs"       -> (Relational.qBinaryFuncs _),
     "q_array_gen"          -> (Relational.qArrayGen _),
+    "q_inverted_index"     -> ((s, d) => TextOps.qInvertedIndex(s, d)),
+    "q_corpus_filter"      -> (TextOps.qCorpusFilter _),
+    "q_orc_roundtrip"      -> (Sinks.qOrcRoundtrip _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1233,5 +1236,48 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(seq_a, x -> x * x)) AS BIGINT) AS sum_sq,
         |  array_to_string(flatten([seq_a, seq_a]), ',') AS doubled
         |FROM g ORDER BY p_partkey""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH terms AS (
+        |  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), post AS (
+        |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM terms GROUP BY 1, 2
+        |)
+        |SELECT term,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tf) AS BIGINT) AS total_tf,
+        |  array_to_string(list_sort(list(doc_id))[1:5], ',') AS posting_head
+        |FROM post GROUP BY term
+        |HAVING COUNT(*) >= 20
+        |ORDER BY term""".stripMargin,
+
+    "q_corpus_filter" ->
+      """WITH feat AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+        |    length(regexp_replace(text, '[^aeiou]', '', 'g')) * 1.0
+        |      / length(text) AS vowel_ratio
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST((CASE WHEN n_words < 40 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN n_words > 90 THEN 2 ELSE 0 END)
+        |     + (CASE WHEN vowel_ratio < 0.27 THEN 4 ELSE 0 END)
+        |     + (CASE WHEN vowel_ratio > 0.30 THEN 8 ELSE 0 END) AS BIGINT) AS rule_mask,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  ROUND(vowel_ratio, 4) AS vowel_ratio
+        |FROM feat ORDER BY doc_id""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
   )
 }

@@ -98,6 +98,41 @@ object Sinks {
       path
     })
 
+  /** One ORC copy of lineitem per (JVM, sfDir) — same table-prep
+    * memoization as the partitioned events copy. */
+  private val orcCopies =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureOrcLineitem(s: SparkSession, d: String): String =
+    orcCopies.computeIfAbsent(d, _ => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_orc_${pid}_" +
+        Integer.toHexString(d.hashCode)
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_extendedprice",
+          "l_returnflag", "l_linestatus", "l_shipdate")
+        .write.mode("overwrite").orc(path)
+      path
+    })
+
+  /** ORC sink + scan round-trip: land lineitem as ORC, read it back,
+    * and run the classic pricing-summary aggregate with the date
+    * filter pushed into the ORC reader (ORC keeps min/max stripe
+    * statistics, so the pushed predicate skips whole stripes — same
+    * pruning story as parquet row groups). The DuckDB oracle computes
+    * the identical aggregate from the parquet fixture: matching
+    * hashes prove the format conversion is value-preserving. */
+  def qOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = ensureOrcLineitem(s, d)
+    s.read.orc(path)
+      .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** Partition-pruned scan end-to-end: land events partitioned by
     * event_type (the 100 TB layout — one directory per type), then
     * aggregate two types. The filter is a partition filter, so the

@@ -498,6 +498,50 @@ object TextOps {
       .orderBy("doc_id", "rn")
   }
 
+  /** Inverted index (term → posting list): per-term document count,
+    * corpus frequency, and the head of the sorted posting list. The
+    * postings aggregate is two map-side-combinable groupBys sharing
+    * the (term, doc_id) shuffle; the HAVING keeps output vocabulary-
+    * bounded. At 100 TB the full posting list per common term is too
+    * wide to collect — the capped head mirrors what a real index
+    * shard materializes per segment (the tail lives in the next
+    * aggregation level). */
+  def qInvertedIndex(s: SparkSession, d: String, minDocs: Int = 20): DataFrame = {
+    val terms = documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    terms.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("tf").as("total_tf"),
+        array_join(slice(array_sort(collect_list("doc_id")), 1, 5), ",")
+          .as("posting_head"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy("term")
+  }
+
+  /** C4-style corpus filter: per-document rule bitmask (too short /
+    * too long / vowel-ratio outliers) instead of a bare boolean, so a
+    * pipeline can report WHY each document was dropped (per-rule drop
+    * counts are one groupBy over the mask). Single codegen'd
+    * projection, no shuffle before the final sort — the shape of a
+    * quality gate that must stream over a 100 TB corpus once. */
+  def qCorpusFilter(s: SparkSession, d: String): DataFrame = {
+    val nWords = size(tokens(col("text")))
+    val vr = length(regexp_replace(col("text"), "[^aeiou]", "")) * 1.0 /
+      length(col("text"))
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        (when(nWords < 40, 1).otherwise(0) +
+          when(nWords > 90, 2).otherwise(0) +
+          when(vr < 0.27, 4).otherwise(0) +
+          when(vr > 0.30, 8).otherwise(0)).cast("long").as("rule_mask"),
+        nWords.cast("long").as("n_words"),
+        round(vr, 4).as("vowel_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Content-defined fingerprint: min-of-shingle-hashes (winnowing
     * flavor) + a full-document polynomial rolling hash. Stable document
     * identity for incremental dedup at scale. */
