@@ -145,6 +145,9 @@ object SparkEntry {
     "q_inverted_index"     -> ((s, d) => TextOps.qInvertedIndex(s, d)),
     "q_corpus_filter"      -> (TextOps.qCorpusFilter _),
     "q_orc_roundtrip"      -> (Sinks.qOrcRoundtrip _),
+    "q_sample_stratified"  -> (TextOps.qSampleStratified _),
+    "q_stack_values"       -> (Relational.qStackValues _),
+    "q_dedup_minhash_md5"  -> (TextOps.qDedupMinhashMd5 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1279,5 +1282,43 @@ object SparkEntry {
         |WHERE l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT <
+        |  CASE lang WHEN 'en' THEN 64 WHEN 'es' THEN 128 ELSE 256 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_stack_values" ->
+      """SELECT o_orderkey, metric, val FROM (
+        |  SELECT o_orderkey, 'price' AS metric, ROUND(o_totalprice, 2) AS val FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'prio_len', CAST(length(o_orderpriority) AS DOUBLE) FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'status_f', CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END FROM orders
+        |) ORDER BY o_orderkey, metric""".stripMargin,
+
+    "q_dedup_minhash_md5" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr FROM documents
+        |), shd AS (
+        |  SELECT DISTINCT doc_id,
+        |    UNNEST(list_transform(range(1, len(arr) - 1),
+        |      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
+        |  FROM toks WHERE len(arr) >= 3
+        |), mh AS (
+        |  SELECT doc_id, p,
+        |    min(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || shingle), 1, 15))::BIGINT) AS mv
+        |  FROM shd, range(8) t(p) GROUP BY doc_id, p
+        |), bands AS (
+        |  SELECT doc_id, p // 2 AS band,
+        |    string_agg(CAST(mv AS VARCHAR), ',' ORDER BY p) AS sig
+        |  FROM mh GROUP BY doc_id, p // 2
+        |)
+        |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |ORDER BY da, db""".stripMargin,
   )
 }

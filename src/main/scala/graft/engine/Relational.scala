@@ -1091,6 +1091,21 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  /** stack() wide→long reshape (the generator form of UNPIVOT —
+    * q_unpivot goes through the relational UNPIVOT surface, this one
+    * through the table-generating function a SQL user reaches for):
+    * one scan emits 3 metric rows per order with no join and no
+    * shuffle before the final sort. */
+  def qStackValues(s: SparkSession, d: String): DataFrame =
+    orders(s, d).selectExpr(
+      "o_orderkey",
+      """stack(3,
+        |  'price', round(o_totalprice, 2),
+        |  'prio_len', cast(length(o_orderpriority) as double),
+        |  'status_f', cast(case when o_orderstatus = 'F' then 1.0 else 0.0 end as double)
+        |) as (metric, val)""".stripMargin)
+      .orderBy("o_orderkey", "metric")
+
   /** Recursive CTE (Spark 4.1 WITH RECURSIVE): a generated monthly
     * date spine LEFT-joined to facts, so empty months still appear —
     * the gap-free reporting-calendar shape a blind GROUP BY month

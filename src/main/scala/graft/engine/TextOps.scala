@@ -542,6 +542,63 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Stratified deterministic sampling: per-stratum rates (here
+    * keep 1/4 of 'en', 1/2 of 'es', all others) applied through a
+    * content-hash bucket, so the sample is reproducible across
+    * engines, runs and partitionings — the downsample-the-majority-
+    * language shape of corpus curation. No shuffle: the filter is a
+    * codegen'd projection over the scan. */
+  def qSampleStratified(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("long") <
+          when(col("lang") === "en", 64)
+            .when(col("lang") === "es", 128)
+            .otherwise(256))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  /** MinHash LSH near-dup detection, cross-engine-verifiable variant:
+    * 8 md5-derived permutations, 4 bands of 2 — every hash is
+    * replayable in the DuckDB oracle (md5 hex → 60-bit int), so the
+    * full pipeline (shingle → signature → band → bucket join → pair)
+    * is differentially TESTED, not just property-checked. The
+    * xxhash-based q_dedup_minhash stays the fast production path;
+    * this one proves the algorithm. Same scale shape: per-band
+    * self-join on (band, sig) keys, candidate pairs deduped. */
+  def qDedupMinhashMd5(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("arr"))
+      .filter(size(col("arr")) >= 3)
+    val shingles = toks.select(col("doc_id"),
+      explode(array_distinct(transform(sequence(lit(0), size(col("arr")) - 3),
+        i => concat_ws(" ",
+          element_at(col("arr"), i + 1),
+          element_at(col("arr"), i + 2),
+          element_at(col("arr"), i + 3))))).as("shingle"))
+    val mh = shingles
+      .select(col("doc_id"), col("shingle"),
+        explode(sequence(lit(0), lit(7))).as("p"))
+      .groupBy("doc_id", "p")
+      .agg(min(
+        conv(substring(md5(concat(col("p").cast("string"), lit(":"),
+          col("shingle"))), 1, 15), 16, 10).cast("long")).as("mv"))
+    val sigs = mh
+      .withColumn("band", floor(col("p") / 2).cast("long"))
+      .groupBy("doc_id", "band")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("p"), col("mv")))),
+          x => x.getField("mv").cast("string")), ",").as("sig"))
+    sigs.alias("a")
+      .join(sigs.alias("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+      .orderBy("da", "db")
+  }
+
   /** Content-defined fingerprint: min-of-shingle-hashes (winnowing
     * flavor) + a full-document polynomial rolling hash. Stable document
     * identity for incremental dedup at scale. */
