@@ -42,6 +42,8 @@ object Bench {
       // the one-time sink
       try graft.engine.Sinks.ensurePartitionedEvents(spark, sfDir)
       catch { case _: Throwable => () }
+      try graft.engine.Sinks.ensureOrcLineitem(spark, sfDir)
+      catch { case _: Throwable => () }
     }
     // stable alphabetical order: Map iteration order varies across
     // builds, which made per-query timings incomparable across rounds

@@ -103,7 +103,7 @@ object Sinks {
   private val orcCopies =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def ensureOrcLineitem(s: SparkSession, d: String): String =
+  def ensureOrcLineitem(s: SparkSession, d: String): String =
     orcCopies.computeIfAbsent(d, _ => {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_orc_${pid}_" +
         Integer.toHexString(d.hashCode)

@@ -577,19 +577,21 @@ object TextOps {
           element_at(col("arr"), i + 1),
           element_at(col("arr"), i + 2),
           element_at(col("arr"), i + 3))))).as("shingle"))
-    val mh = shingles
-      .select(col("doc_id"), col("shingle"),
-        explode(sequence(lit(0), lit(7))).as("p"))
-      .groupBy("doc_id", "p")
-      .agg(min(
-        conv(substring(md5(concat(col("p").cast("string"), lit(":"),
-          col("shingle"))), 1, 15), 16, 10).cast("long")).as("mv"))
-    val sigs = mh
-      .withColumn("band", floor(col("p") / 2).cast("long"))
-      .groupBy("doc_id", "band")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("p"), col("mv")))),
-          x => x.getField("mv").cast("string")), ",").as("sig"))
+    // all 8 permutation hashes in ONE projection per shingle row (no
+    // 8-way explode), then a single groupBy(doc_id) whose partial
+    // min-combine collapses the shuffle to one row per (doc, 8 mins)
+    val mins = (0 until 8).map { p =>
+      min(conv(substring(md5(concat(lit(s"$p:"), col("shingle"))), 1, 15),
+        16, 10).cast("long")).as(s"mv$p")
+    }
+    val sig8 = shingles.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val sigs = sig8.select(col("doc_id"), posexplode(array(
+        concat_ws(",", col("mv0"), col("mv1")),
+        concat_ws(",", col("mv2"), col("mv3")),
+        concat_ws(",", col("mv4"), col("mv5")),
+        concat_ws(",", col("mv6"), col("mv7")))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "sig")
     sigs.alias("a")
       .join(sigs.alias("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
