@@ -44,6 +44,8 @@ object Bench {
       catch { case _: Throwable => () }
       try graft.engine.Sinks.ensureOrcLineitem(spark, sfDir)
       catch { case _: Throwable => () }
+      try graft.engine.ScaleOps.ensureBucketedJoinTables(spark, sfDir)
+      catch { case _: Throwable => () }
     }
     // stable alphabetical order: Map iteration order varies across
     // builds, which made per-query timings incomparable across rounds

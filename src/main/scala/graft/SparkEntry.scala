@@ -148,6 +148,9 @@ object SparkEntry {
     "q_sample_stratified"  -> (TextOps.qSampleStratified _),
     "q_stack_values"       -> (Relational.qStackValues _),
     "q_dedup_minhash_md5"  -> (TextOps.qDedupMinhashMd5 _),
+    "q_scd2_history"       -> (AnalyticsOps.qScd2History _),
+    "q_interp_linear"      -> (AnalyticsOps.qInterpLinear _),
+    "q_bucket_join"        -> (ScaleOps.qBucketJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1320,5 +1323,60 @@ object SparkEntry {
         |FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         |ORDER BY da, db""".stripMargin,
+
+    "q_scd2_history" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |), changes AS (
+        |  SELECT user_id, event_type, ts, event_id
+        |  FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type
+        |), hist AS (
+        |  SELECT user_id, event_type,
+        |    epoch_ms(ts) AS valid_from_ms,
+        |    lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_ms,
+        |    event_id
+        |  FROM changes
+        |)
+        |SELECT user_id, event_type, valid_from_ms,
+        |  COALESCE(valid_to_ms, -1) AS valid_to_ms,
+        |  CAST(valid_to_ms IS NULL AS INTEGER) AS is_current
+        |FROM hist
+        |ORDER BY user_id, valid_from_ms, event_id
+        |LIMIT 2000""".stripMargin,
+
+    "q_interp_linear" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        |  FROM events
+        |), ctx AS (
+        |  SELECT user_id, event_id, ms, v,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN ms END IGNORE NULLS) OVER wp AS pms,
+        |    first_value(v IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN ms END IGNORE NULLS) OVER wf AS nms
+        |  FROM base
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY ms, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         wf AS (PARTITION BY user_id ORDER BY ms, event_id
+        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT user_id, event_id,
+        |  ROUND(CASE WHEN v IS NOT NULL THEN v
+        |             WHEN pv IS NULL THEN nv
+        |             WHEN nv IS NULL THEN pv
+        |             ELSE pv + (nv - pv) * (ms - pms) / (nms - pms) END, 3) AS vi,
+        |  CAST(v IS NULL AS INTEGER) AS was_gap
+        |FROM ctx ORDER BY user_id, event_id""".stripMargin,
+
+    "q_bucket_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
   )
 }

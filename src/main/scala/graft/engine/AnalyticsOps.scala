@@ -149,6 +149,57 @@ object AnalyticsOps {
       .orderBy("user_id", "island_start")
   }
 
+  /** SCD type-2 history build: collapse each user's event_type stream
+    * to change rows, then stamp validity intervals with lead() —
+    * valid_to of the open interval is sentinel -1 with is_current=1.
+    * Two window passes sharing one user_id shuffle; the warehouse
+    * dimension-history shape derived purely from an append log. */
+  def qScd2History(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_from_ms", unix_millis(col("ts")))
+      .withColumn("valid_to_ms", lead(unix_millis(col("ts")), 1).over(w))
+      .select(col("user_id"), col("event_type"), col("valid_from_ms"),
+        coalesce(col("valid_to_ms"), lit(-1L)).as("valid_to_ms"),
+        col("valid_to_ms").isNull.cast("int").as("is_current"),
+        col("event_id"))
+      .orderBy("user_id", "valid_from_ms", "event_id")
+      .drop("event_id")
+      .limit(2000)
+  }
+
+  /** Linear gap interpolation: deterministic nulls (event_id % 5) are
+    * filled by interpolating between the nearest non-null neighbors on
+    * the time axis (IGNORE NULLS frames both directions; leading /
+    * trailing gaps degrade to back-/forward-fill). Two frame passes
+    * over one user_id shuffle — the time-series repair primitive
+    * q_resample_ffill's LOCF can't express. */
+  def qInterpLinear(s: SparkSession, d: String): DataFrame = {
+    val wp = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wf = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val msOfV = when(col("v").isNotNull, col("ms"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value")).as("v"))
+      .withColumn("pv", last("v", ignoreNulls = true).over(wp))
+      .withColumn("pms", last(msOfV, ignoreNulls = true).over(wp))
+      .withColumn("nv", first("v", ignoreNulls = true).over(wf))
+      .withColumn("nms", first(msOfV, ignoreNulls = true).over(wf))
+      .select(col("user_id"), col("event_id"),
+        round(
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (col("ms") - col("pms")) / (col("nms") - col("pms"))), 3).as("vi"),
+        col("v").isNull.cast("int").as("was_gap"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Batch sessionization with a 30-minute idle gap — the exact
     * event-time semantics `statefulSessionize` (StreamingOps) applies
     * incrementally, derived here with lag + a running sum of

@@ -65,4 +65,13 @@ class ScaleOpsSpec extends SparkSuite {
       s"bucketed join must not shuffle:\n${plan.take(1500)}")
     assert(joined.count() == Tables.lineitem(spark, sf).count())
   }
+
+  test("qBucketJoin plans the fact-fact edge without a join-key exchange") {
+    val plan = ScaleOps.qBucketJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"merge hint over bucketed tables must pick SMJ:\n${plan.take(1500)}")
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"co-bucketed join must not re-shuffle its key:\n${plan.take(1500)}")
+  }
 }
