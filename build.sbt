@@ -16,6 +16,10 @@ run / fork := true
 // and the logger's "[info] " prefix breaks the driver's JSON parse
 // (BENCH_r01.json recorded "parsed": null for exactly this reason).
 run / outputStrategy := Some(StdoutOutput)
+// …and the trailing "[success] Total time: …" banner lands AFTER the
+// JSON line, so a driver that parses the LAST stdout line still gets
+// null. Suppress the banner: the metric JSON is the final line.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
