@@ -151,6 +151,8 @@ object SparkEntry {
     "q_scd2_history"       -> (AnalyticsOps.qScd2History _),
     "q_interp_linear"      -> (AnalyticsOps.qInterpLinear _),
     "q_bucket_join"        -> (ScaleOps.qBucketJoin _),
+    "q_explode_outer"      -> (Relational.qExplodeOuter _),
+    "q_pivot_dynamic"      -> (Relational.qPivotDynamic _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1378,5 +1380,26 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_explode_outer" ->
+      """WITH src AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN p_size > 10 THEN regexp_split_to_array(p_name, ' ') END AS arr
+        |  FROM part
+        |)
+        |SELECT p_partkey, word
+        |FROM src, UNNEST(arr) AS t(word) WHERE arr IS NOT NULL
+        |UNION ALL
+        |SELECT p_partkey, NULL FROM src WHERE arr IS NULL
+        |ORDER BY p_partkey, word NULLS FIRST""".stripMargin,
+
+    "q_pivot_dynamic" ->
+      """SELECT o_orderstatus,
+        |  ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderpriority = '1-URGENT'), 0), 2) AS "1-URGENT",
+        |  ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderpriority = '2-HIGH'), 0), 2) AS "2-HIGH",
+        |  ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderpriority = '3-MEDIUM'), 0), 2) AS "3-MEDIUM",
+        |  ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderpriority = '4-NOT SPECIFIED'), 0), 2) AS "4-NOT SPECIFIED",
+        |  ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderpriority = '5-LOW'), 0), 2) AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }

@@ -1091,6 +1091,32 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  /** Null-preserving explode (explode_outer): rows whose array is
+    * NULL survive with a NULL element instead of vanishing — the
+    * LEFT-JOIN-shaped generator semantics an inner explode silently
+    * breaks (dropped parents = dropped documents in a pipeline).
+    * Null placement is pinned (ASC NULLS FIRST) for the cross-engine
+    * sort. */
+  def qExplodeOuter(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(col("p_partkey"),
+        when(col("p_size") > 10, split(col("p_name"), " ")).as("arr"))
+      .select(col("p_partkey"), explode_outer(col("arr")).as("word"))
+      .orderBy(col("p_partkey"), col("word").asc_nulls_first)
+
+  /** Dynamic pivot (no declared value list): Spark runs an eager
+    * distinct job over the pivot column, then plans the same
+    * conditional aggregation as the static form — two passes instead
+    * of one, the price of not knowing the columns up front. The
+    * oracle enumerates the discovered values statically, proving the
+    * inference landed on exactly the right column set. */
+  def qPivotDynamic(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority")
+      .agg(round(coalesce(sum("o_totalprice"), lit(0.0)), 2))
+      .orderBy("o_orderstatus")
+
   /** stack() wide→long reshape (the generator form of UNPIVOT —
     * q_unpivot goes through the relational UNPIVOT surface, this one
     * through the table-generating function a SQL user reaches for):

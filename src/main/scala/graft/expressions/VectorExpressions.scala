@@ -160,6 +160,9 @@ object VectorExpressions {
   }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(SelfSimilarityFold))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SelfSimilarityFold
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -235,5 +238,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           classOf[WordNgrams].getName, "graft_word_ngrams"),
         (exprs: Seq[Expression]) => WordNgrams(exprs(0),
           VectorExpressions.litInt(exprs(1), "graft_word_ngrams"))))
+    e.injectOptimizerRule(_ => SelfSimilarityFold)
   }
 }

@@ -69,4 +69,30 @@ class VectorExpressionSpec extends SparkSuite {
     val bad = self.filter(abs(col("c") - 1.0) > 1e-12).count()
     assert(bad == 0)
   }
+
+  test("SelfSimilarityFold rewrites diagonal jaccard to a constant (optimizer rule)") {
+    VectorExpressions.register(spark)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.engine.TextOps.shingleHashes(
+        graft.engine.TextOps.tokens(col("text")), 3).as("sh"))
+    val diag = docs.select(
+      call_function("graft_jaccard_sorted", col("sh"), col("sh")).as("j"))
+    // the optimized plan must not contain the expression anymore
+    val optimized = diag.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("graft_jaccard_sorted"),
+      s"self-pair not folded:\n$optimized")
+    // semantics preserved: non-empty shingle sets → 1.0
+    val nonEmpty = diag.filter(col("j") =!= 1.0).count()
+    val empties = docs.filter(size(col("sh")) === 0).count()
+    assert(nonEmpty == empties, s"fold changed values: $nonEmpty vs $empties")
+    // off-diagonal pairs are untouched
+    val pair = docs.limit(2).select(col("sh")).collect()
+    val offDiag = docs.select(col("doc_id").as("a_id"), col("sh").as("a"))
+      .crossJoin(docs.select(col("doc_id").as("b_id"), col("sh").as("b")))
+      .filter(col("a_id") =!= col("b_id")).limit(10)
+      .select(call_function("graft_jaccard_sorted", col("a"), col("b")))
+    assert(offDiag.queryExecution.optimizedPlan.toString
+      .contains("graft_jaccard_sorted"))
+    assert(pair.length == 2)
+  }
 }
