@@ -1314,7 +1314,8 @@ object SparkEntry {
         |  FROM toks WHERE len(arr) >= 3
         |), mh AS (
         |  SELECT doc_id, p,
-        |    min(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || shingle), 1, 15))::BIGINT) AS mv
+        |    min(('0x' || substr(md5(CAST(p // 2 AS VARCHAR) || ':' || shingle),
+        |                        CAST(1 + 15 * (p % 2) AS INTEGER), 15))::BIGINT) AS mv
         |  FROM shd, range(8) t(p) GROUP BY doc_id, p
         |), bands AS (
         |  SELECT doc_id, p // 2 AS band,

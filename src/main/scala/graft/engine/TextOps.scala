@@ -568,28 +568,24 @@ object TextOps {
     * this one proves the algorithm. Same scale shape: per-band
     * self-join on (band, sig) keys, candidate pairs deduped. */
   def qDedupMinhashMd5(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
     val toks = documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("arr"))
       .filter(size(col("arr")) >= 3)
-    val shingles = toks.select(col("doc_id"),
-      explode(array_distinct(transform(sequence(lit(0), size(col("arr")) - 3),
-        i => concat_ws(" ",
-          element_at(col("arr"), i + 1),
-          element_at(col("arr"), i + 2),
-          element_at(col("arr"), i + 3))))).as("shingle"))
-    // all 8 permutation hashes in ONE projection per shingle row (no
-    // 8-way explode), then a single groupBy(doc_id) whose partial
-    // min-combine collapses the shuffle to one row per (doc, 8 mins)
-    val mins = (0 until 8).map { p =>
-      min(conv(substring(md5(concat(lit(s"$p:"), col("shingle"))), 1, 15),
-        16, 10).cast("long")).as(s"mv$p")
-    }
-    val sig8 = shingles.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    // full 8-value signature in ONE native pass per document
+    // (graft_md5_minhash: 4 MD5 digests per shingle, two 60-bit
+    // permutation values sliced from each — bit-identical to the
+    // conv(substr(md5(…))) SQL the oracle replays). No shingle
+    // explode, no groupBy: the first shuffle in the whole plan is
+    // the band self-join.
+    val sig8 = toks.select(col("doc_id"),
+      call_function("graft_md5_minhash",
+        array_distinct(call_function("graft_word_ngrams", col("arr"), lit(3))))
+        .as("sig"))
     val sigs = sig8.select(col("doc_id"), posexplode(array(
-        concat_ws(",", col("mv0"), col("mv1")),
-        concat_ws(",", col("mv2"), col("mv3")),
-        concat_ws(",", col("mv4"), col("mv5")),
-        concat_ws(",", col("mv6"), col("mv7")))))
+        (0 until 4).map(b => concat_ws(",",
+          element_at(col("sig"), 2 * b + 1).cast("string"),
+          element_at(col("sig"), 2 * b + 2).cast("string"))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "sig")
     sigs.alias("a")

@@ -355,3 +355,76 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** MD5-family MinHash signature of a distinct-shingle array in one
+  * native pass (array<string> → array<long>, 8 values): for each
+  * shingle, 4 MD5 digests of "g:shingle" (g ∈ 0..3) yield two 60-bit
+  * permutation values each (hex nibbles 0-14 and 15-29 — exactly
+  * `conv(substr(md5(…), 1|16, 15), 16, 10)`), and the per-document
+  * minimum of each of the 8 streams is the signature. Replaces
+  * explode + 4 md5 Catalyst calls + 8 conv parses + a groupBy
+  * shuffle with one tight loop per document — the hash math is
+  * bit-identical, so the DuckDB oracle replays it unchanged. */
+object Md5MinHashOps {
+  private val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  private val prefixes: Array[Array[Byte]] =
+    Array.tabulate(4)(g => s"$g:".getBytes("UTF-8"))
+
+  def signature(shingles: ArrayData): ArrayData = {
+    val n = shingles.numElements()
+    val mins = Array.fill(8)(Long.MaxValue)
+    val md = digests.get()
+    var i = 0
+    while (i < n) {
+      val sh = shingles.getUTF8String(i).getBytes
+      var g = 0
+      while (g < 4) {
+        md.reset()
+        md.update(prefixes(g))
+        md.update(sh)
+        val d = md.digest()
+        // nibbles 0..14 and 15..29 of the hex rendering, as 60-bit longs
+        var v1 = 0L; var k = 0
+        while (k < 15) { v1 = (v1 << 4) | nibble(d, k); k += 1 }
+        var v2 = 0L
+        while (k < 30) { v2 = (v2 << 4) | nibble(d, k); k += 1 }
+        if (v1 < mins(2 * g)) mins(2 * g) = v1
+        if (v2 < mins(2 * g + 1)) mins(2 * g + 1) = v2
+        g += 1
+      }
+      i += 1
+    }
+    if (n == 0) new GenericArrayData(Array.empty[Any])
+    else new GenericArrayData(mins.map(v => v: Any))
+  }
+
+  @inline private def nibble(d: Array[Byte], k: Int): Long = {
+    val b = d(k >> 1) & 0xFF
+    (if ((k & 1) == 0) b >>> 4 else b & 0xF).toLong
+  }
+}
+
+/** See [[Md5MinHashOps.signature]]. */
+case class Md5MinHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_md5_minhash requires array<string> input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_md5_minhash"
+
+  override def nullSafeEval(a: Any): Any =
+    Md5MinHashOps.signature(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.Md5MinHashOps.signature($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -184,6 +184,8 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_word_ngrams", exprs => WordNgrams(exprs(0),
         litInt(exprs(1), "graft_word_ngrams")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_md5_minhash", exprs => Md5MinHash(exprs(0)), "built-in")
   }
 }
 
@@ -238,6 +240,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           classOf[WordNgrams].getName, "graft_word_ngrams"),
         (exprs: Seq[Expression]) => WordNgrams(exprs(0),
           VectorExpressions.litInt(exprs(1), "graft_word_ngrams"))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_md5_minhash"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[Md5MinHash].getName, "graft_md5_minhash"),
+        (exprs: Seq[Expression]) => Md5MinHash(exprs(0))))
     e.injectOptimizerRule(_ => SelfSimilarityFold)
   }
 }

@@ -1,0 +1,23 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",")
+    val d = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>  // warm + 2 timed
+      graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(n)(spark, d).count()
+        println(f"TIMEQ $n run$i ${(System.nanoTime()-t0)/1e9}%.3f s")
+      }
+    }
+    spark.stop()
+  }
+}

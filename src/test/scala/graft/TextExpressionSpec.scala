@@ -149,4 +149,31 @@ class TextExpressionSpec extends SparkSuite {
       .as[(Long, Seq[String])].collect().toMap
     assert(viaNative == viaHof, s"native $viaNative vs hof $viaHof")
   }
+
+  test("graft_md5_minhash equals the conv(substr(md5)) SQL formulation") {
+    VectorExpressions.register(spark)
+    val toks = TextOps.tokens(col("text"))
+    val shingled = docs
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"), array_distinct(
+        call_function("graft_word_ngrams", toks, lit(3))).as("sh"))
+    val viaNative = shingled
+      .select(col("doc_id"), call_function("graft_md5_minhash", col("sh")).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaSql = shingled
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .groupBy("doc_id")
+      .agg(array((0 until 8).map { p =>
+        val g = p / 2; val off = if (p % 2 == 0) 1 else 16
+        min(conv(substring(md5(concat(lit(s"$g:"), col("shingle"))), off, 15),
+          16, 10).cast("long"))
+      }: _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaNative == viaSql)
+    // empty input → empty signature (not 8 MaxValue sentinels)
+    val empty = spark.sql(
+      "SELECT graft_md5_minhash(CAST(array() AS array<string>)) AS s")
+      .as[Seq[Long]].head()
+    assert(empty.isEmpty)
+  }
 }
