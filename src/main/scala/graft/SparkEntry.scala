@@ -153,6 +153,9 @@ object SparkEntry {
     "q_bucket_join"        -> (ScaleOps.qBucketJoin _),
     "q_explode_outer"      -> (Relational.qExplodeOuter _),
     "q_pivot_dynamic"      -> (Relational.qPivotDynamic _),
+    "q_approx_topk"        -> (Relational.qApproxTopk _),
+    "q_fuzzy_join"         -> (Relational.qFuzzyJoin _),
+    "q_hll_sketch"         -> (Relational.qHllSketch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1402,5 +1405,21 @@ object SparkEntry {
         |  ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderpriority = '4-NOT SPECIFIED'), 0), 2) AS "4-NOT SPECIFIED",
         |  ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderpriority = '5-LOW'), 0), 2) AS "5-LOW"
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_approx_topk" ->
+      """WITH terms AS (
+        |  SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents
+        |)
+        |SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM terms GROUP BY term
+        |ORDER BY n DESC, term LIMIT 8""".stripMargin,
+
+    "q_fuzzy_join" ->
+      """SELECT a.c_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_neighbors,
+        |       CAST(min(levenshtein(a.c_name, b.c_name)) AS BIGINT) AS min_lev
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey // 100 = b.c_custkey // 100 AND a.c_custkey <> b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1091,6 +1091,71 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  /** Frequent-items sketch (approx_top_k, Spark 4 DataSketches): with
+    * maxItemsTracked ≥ the vocabulary size the sketch degenerates to
+    * exact counts, so the DuckDB oracle can replay it as a plain
+    * GROUP BY top-k — proving the sketch surface while pinning its
+    * results. k stops above the first count tie so the boundary is
+    * deterministic. At real scale the same one-pass, mergeable sketch
+    * replaces the two-job exact top-k. */
+  def qApproxTopk(s: SparkSession, d: String): DataFrame = {
+    documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .createOrReplaceTempView("g_atk_terms")
+    s.sql("""
+      SELECT t.item AS term, t.count AS n
+      FROM (SELECT explode(approx_top_k(term, 8, 100000)) AS t FROM g_atk_terms)
+      ORDER BY n DESC, term""")
+  }
+
+  /** Blocked fuzzy self-join: candidate pairs come from a cheap
+    * equality block (custkey DIV 100 — at scale: a phonetic key,
+    * length bucket, or LSH band), and only within-block pairs pay the
+    * O(len²) levenshtein. The blocking turns an O(n²) corpus-wide
+    * comparison into Σ(block²) — the only join shape edit-distance
+    * predicates can survive at 100 TB. */
+  def qFuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(
+      col("c_custkey"), col("c_name"),
+      (col("c_custkey") / 100).cast("long").as("blk"))
+    c.alias("a")
+      .join(c.alias("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.c_custkey") =!= col("b.c_custkey"))
+      .filter(levenshtein(col("a.c_name"), col("b.c_name")) <= 1)
+      .groupBy(col("a.c_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        min(levenshtein(col("a.c_name"), col("b.c_name")))
+          .cast("long").as("min_lev"))
+      .orderBy("custkey")
+  }
+
+  /** HyperLogLog sketches as first-class values (Spark 4
+    * DataSketches): one sketch per segment, estimates next to exact
+    * counts, and a final row whose estimate comes from hll_union_agg
+    * over the per-segment sketches — the MERGE operation that makes
+    * distinct-counting a one-pass, re-aggregable computation at
+    * 100 TB (partial sketches combine across partitions, days,
+    * clusters; exact distinct cannot). Estimate quality is
+    * spec-asserted; no SQL oracle — DuckDB cannot replay the sketch
+    * binary. */
+  def qHllSketch(s: SparkSession, d: String): DataFrame = {
+    val perSeg = orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+        countDistinct("o_custkey").as("exact"))
+    val segs = perSeg.select(
+      col("o_orderpriority").as("scope"),
+      hll_sketch_estimate(col("sk")).as("est"),
+      col("exact"))
+    val merged = perSeg
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .crossJoin(broadcast(
+        orders(s, d).agg(countDistinct("o_custkey").as("exact"))))
+      .select(lit("ALL(merged)").as("scope"), col("est"), col("exact"))
+    segs.unionByName(merged).orderBy("scope")
+  }
+
   /** Null-preserving explode (explode_outer): rows whose array is
     * NULL survive with a NULL element instead of vanishing — the
     * LEFT-JOIN-shaped generator semantics an inner explode silently

@@ -177,6 +177,16 @@ class RelationalSpec extends SparkSuite {
       "unpivot must read lineitem exactly once")
   }
 
+  test("hll sketch estimates land within 5% of exact; union-merge covers the whole table") {
+    val rows = qHllSketch(spark, sf).collect()
+    rows.foreach { r =>
+      val est = r.getLong(1).toDouble; val exact = r.getLong(2).toDouble
+      assert(math.abs(est - exact) / exact <= 0.05,
+        s"${r.getString(0)}: estimate $est vs exact $exact drifted >5%")
+    }
+    assert(rows.map(_.getString(0)).contains("ALL(merged)"))
+  }
+
   test("ntile quartiles are balanced within each nation") {
     val rows = qWindowNtile(spark, sf)
       .groupBy("c_nationkey", "quartile").count().collect()
