@@ -20,6 +20,7 @@ run / outputStrategy := Some(StdoutOutput)
 // JSON line, so a driver that parses the LAST stdout line still gets
 // null. Suppress the banner: the metric JSON is the final line.
 ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -387,6 +387,65 @@ object StreamingOps {
     }
   }
 
+  /** Idle-TTL sessionization on the transformWithState API — the same
+    * O14 lifecycle as `statefulSessionize` (flatMapGroupsWithState)
+    * re-expressed on Spark 4's arbitrary-state surface, where the
+    * timeout is an explicit EVENT-TIME TIMER: every input batch
+    * re-arms the key's timer at (max event time + ttl), and
+    * `handleExpiredTimer` fires once the watermark passes it,
+    * emitting the closed session and freeing state. Timers are
+    * per-key, RocksDB-backed, checkpointed — O14's driver-local
+    * ticker map (stream/manager.go:116-124) distributed across
+    * executors. */
+  final case class TtlEvent(key: String, ts: java.sql.Timestamp, value: Double)
+  // not private: the state encoder's generated code must access it
+  final case class TtlAgg(n: Long, total: Double, lastMs: Long)
+  final case class TtlSession(key: String, n_events: Long,
+                              total_value: Double, closed_at_ms: Long)
+
+  class SessionTtlProcessor(ttlMs: Long)
+      extends StatefulProcessor[String, TtlEvent, TtlSession] {
+    @transient private var agg: ValueState[TtlAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[TtlAgg]("agg",
+        org.apache.spark.sql.Encoders.product[TtlAgg], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[TtlEvent],
+                                 tv: TimerValues): Iterator[TtlSession] = {
+      val prev = if (agg.exists()) agg.get() else TtlAgg(0L, 0.0, 0L)
+      var n = prev.n; var total = prev.total; var lastMs = prev.lastMs
+      rows.foreach { e =>
+        n += 1; total += e.value; lastMs = math.max(lastMs, e.ts.getTime)
+      }
+      agg.update(TtlAgg(n, total, lastMs))
+      // re-arm: one live timer per key (delete-then-register)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(lastMs + ttlMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[TtlSession] = {
+      val s = if (agg.exists()) agg.get() else TtlAgg(0L, 0.0, 0L)
+      agg.clear()
+      Iterator.single(TtlSession(key, s.n, s.total, info.getExpiryTimeInMs()))
+    }
+  }
+
+  /** Wire a keyed, watermarked event stream through the timer-based
+    * TTL processor. */
+  def sessionTtlTws(events: Dataset[TtlEvent],
+                    ttlMs: Long): Dataset[TtlSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.key)
+      .transformWithState(new SessionTtlProcessor(ttlMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Wire a keyed event stream through the bounded-buffer processor
     * (TimeMode NoTime: eviction is size-driven, not clock-driven —
     * exactly the reference's semantics). Requires the RocksDB state

@@ -128,4 +128,20 @@ object NgramProps extends Properties("NgramOps") {
         else toks.sliding(n).map(_.mkString(" ")).toSeq
       (0 until out.numElements()).map(out.getUTF8String(_).toString) == expected
     }
+
+  property("md5 minhash: 8 mins of the reference hex-slice definition") =
+    forAll(Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumStr, 2 -> str).suchThat(_.nonEmpty))) { shingles =>
+      val arr = new GenericArrayData(
+        shingles.map(t => UTF8String.fromString(t): Any).toArray)
+      val out = graft.expressions.Md5MinHashOps.signature(arr)
+      def ref(p: Int): Long = shingles.map { sh =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${p / 2}:$sh".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(15 * (p % 2), 15 * (p % 2) + 15), 16)
+      }.min
+      if (shingles.isEmpty) out.numElements() == 0
+      else (0 until 8).forall(p => out.getLong(p) == ref(p))
+    }
 }

@@ -277,6 +277,43 @@ class StreamingSpec extends SparkSuite {
       }
     }
   }
+
+  test("transformWithState event-time timer closes idle sessions (O14 TTL)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[StreamingOps.TtlEvent]
+    val out = StreamingOps.sessionTtlTws(mem.toDS(), ttlMs = 60000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ttl_out").start()
+    try {
+      mem.addData(
+        StreamingOps.TtlEvent("u1", ts("2024-01-01 10:00:00"), 1.0),
+        StreamingOps.TtlEvent("u1", ts("2024-01-01 10:00:30"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("ttl_out").isEmpty, "session must stay open under TTL")
+      // a second batch within the TTL re-arms the timer
+      mem.addData(StreamingOps.TtlEvent("u1", ts("2024-01-01 10:00:50"), 4.0))
+      q.processAllAvailable()
+      // an event far past (10:00:50 + 60s) advances the watermark → timer fires
+      mem.addData(StreamingOps.TtlEvent("u2", ts("2024-01-01 12:00:00"), 9.0))
+      q.processAllAvailable()
+      mem.addData(StreamingOps.TtlEvent("u2", ts("2024-01-01 12:00:01"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ttl_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      // all three u1 events in one session, closed exactly at lastTs+ttl
+      val expectClose = ts("2024-01-01 10:01:50").getTime
+      assert(rows.contains(("u1", 3L, 7.0, expectClose)), s"got ${rows.mkString(";")}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
 
 case class Click(user_id: Long, click_id: Long, click_ts: Timestamp)
