@@ -186,6 +186,8 @@ object VectorExpressions {
         litInt(exprs(1), "graft_word_ngrams")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_md5_minhash", exprs => Md5MinHash(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_within_edit1", exprs => WithinEdit1(exprs(0), exprs(1)), "built-in")
   }
 }
 

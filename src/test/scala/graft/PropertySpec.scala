@@ -129,6 +129,36 @@ object NgramProps extends Properties("NgramOps") {
       (0 until out.numElements()).map(out.getUTF8String(_).toString) == expected
     }
 
+  property("within-edit-1: agrees with full levenshtein on BMP strings") =
+    forAll(str, str, Gen.choose(0, 3), Gen.choose(0, 3)) { (a, b, drop, mode) =>
+      // bias toward near pairs: mutate a into b' by 0-3 edits sometimes
+      val bb = mode match {
+        case 0 => b
+        case 1 => a // equal
+        case 2 => if (a.nonEmpty) a.substring(0, a.length - 1) else a // 1 delete
+        case _ => a + "x" // 1 insert
+      }
+      val got = graft.expressions.EditOps.withinEdit1(
+        UTF8String.fromString(a), UTF8String.fromString(bb))
+      val lev = {
+        // reference DP
+        val (x, y) = (a.toCharArray, bb.toCharArray)
+        val dp = Array.tabulate(x.length + 1)(i => i)
+        for (j <- 1 to y.length) {
+          var prev = dp(0); dp(0) = j
+          for (i <- 1 to x.length) {
+            val t = dp(i)
+            dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+              prev + (if (x(i - 1) == y(j - 1)) 0 else 1))
+            prev = t
+          }
+        }
+        dp(x.length)
+      }
+      val expected = if (lev <= 1) lev else -1
+      got == expected
+    }
+
   property("md5 minhash: 8 mins of the reference hex-slice definition") =
     forAll(Gen.listOf(Gen.frequency(
       8 -> Gen.alphaNumStr, 2 -> str).suchThat(_.nonEmpty))) { shingles =>
