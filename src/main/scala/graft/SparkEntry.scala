@@ -156,6 +156,7 @@ object SparkEntry {
     "q_approx_topk"        -> (Relational.qApproxTopk _),
     "q_fuzzy_join"         -> (Relational.qFuzzyJoin _),
     "q_hll_sketch"         -> (Relational.qHllSketch _),
+    "q_group_sample"       -> ((s, d) => TextOps.qGroupSample(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1429,5 +1430,17 @@ object SparkEntry {
     "q_csv_roundtrip" ->
       """SELECT doc_id, TRUE AS row_match
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_group_sample" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang, source
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_sampled,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS sample_ids
+        |FROM ranked WHERE rk <= 5
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -559,6 +559,24 @@ object TextOps {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Per-stratum exact-k cap (complement of qSampleStratified's rate
+    * sampling): at most 5 documents per (lang, source) cell, chosen
+    * by content-hash order so the cap is deterministic across runs
+    * and partitionings — the per-class balancing step of training-set
+    * assembly. One window shuffle on the stratum key. */
+  def qGroupSample(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_sampled"),
+        array_join(array_sort(collect_list(col("doc_id"))), ",").as("sample_ids"))
+      .orderBy("lang", "source")
+  }
+
   /** MinHash LSH near-dup detection, cross-engine-verifiable variant:
     * 8 md5-derived permutations, 4 bands of 2 — every hash is
     * replayable in the DuckDB oracle (md5 hex → 60-bit int), so the
