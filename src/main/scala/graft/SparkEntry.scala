@@ -157,6 +157,7 @@ object SparkEntry {
     "q_fuzzy_join"         -> (Relational.qFuzzyJoin _),
     "q_hll_sketch"         -> (Relational.qHllSketch _),
     "q_group_sample"       -> ((s, d) => TextOps.qGroupSample(s, d)),
+    "q_snowflake_join"     -> (Relational.qSnowflakeJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1441,6 +1442,21 @@ object SparkEntry {
         |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_sampled,
         |  array_to_string(list_sort(list(doc_id)), ',') AS sample_ids
         |FROM ranked WHERE rk <= 5
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_snowflake_join" ->
+      """SELECT r_name, p_brand,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND p_size <= 25
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -1091,6 +1091,32 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  /** 7-table snowflake join (fact → orders → customer → nation →
+    * region, fact → part, fact → supplier): the deepest join tree in
+    * the inventory, exercising Catalyst's join ordering + AQE's
+    * per-edge strategy choice — dims broadcast, the fact-fact edge
+    * sort-merges, and both selective filters (date, p_size) are
+    * pushed to their scans so the tree is built from pruned leaves.
+    * TPC-H Q2/Q8 shape. */
+  def qSnowflakeJoin(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .join(part(s, d).filter(col("p_size") <= 25),
+        col("l_partkey") === col("p_partkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("r_name", "p_brand")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        countDistinct("s_suppkey").as("n_suppliers"))
+      .orderBy("r_name", "p_brand")
+
   /** Frequent-items sketch (approx_top_k, Spark 4 DataSketches): with
     * maxItemsTracked ≥ the vocabulary size the sketch degenerates to
     * exact counts, so the DuckDB oracle can replay it as a plain
