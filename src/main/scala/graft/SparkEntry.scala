@@ -158,6 +158,8 @@ object SparkEntry {
     "q_hll_sketch"         -> (Relational.qHllSketch _),
     "q_group_sample"       -> ((s, d) => TextOps.qGroupSample(s, d)),
     "q_snowflake_join"     -> (Relational.qSnowflakeJoin _),
+    "q_snapshot_diff"      -> (Relational.qSnapshotDiff _),
+    "q_table_checksum"     -> (Relational.qTableChecksum _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1458,5 +1460,33 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND p_size <= 25
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k, ROUND(o_totalprice, 2) AS price
+        |  FROM orders WHERE o_orderkey % 7 <> 0
+        |), v2 AS (
+        |  SELECT o_orderkey AS k,
+        |    ROUND(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+        |               ELSE o_totalprice END, 2) AS price
+        |  FROM orders
+        |)
+        |SELECT COALESCE(v1.k, v2.k) AS k,
+        |  CASE WHEN v1.k IS NULL THEN 'added'
+        |       WHEN v2.k IS NULL THEN 'removed'
+        |       WHEN v1.price <> v2.price THEN 'changed'
+        |       ELSE 'same' END AS change
+        |FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+        |WHERE NOT (v1.k IS NOT NULL AND v2.k IS NOT NULL AND v1.price = v2.price)
+        |ORDER BY k""".stripMargin,
+
+    "q_table_checksum" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  bit_xor(('0x' || substr(md5(
+        |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+        |      || '|' || l_linestatus), 1, 15))::BIGINT) AS checksum
+        |FROM lineitem
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1091,6 +1091,52 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  /** Keyed snapshot diff (the table-compare a CDC pipeline runs
+    * between two generations): FULL OUTER join on the key classifies
+    * added / removed / changed, unchanged rows are filtered before
+    * the sort so the output is only the delta. One co-keyed shuffle;
+    * at 100 TB both snapshots would be bucketed on the key and the
+    * join exchange-free (see qBucketJoin). The v2 mutation doubles
+    * the price (exact in binary) — deliberately NOT a *1.1 rescale,
+    * which lands 2-decimal prices on the .xx5 ROUND boundary where
+    * engines disagree. */
+  def qSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val v1 = orders(s, d).filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("k1"),
+        round(col("o_totalprice"), 2).as("p1"))
+    val v2 = orders(s, d)
+      .select(col("o_orderkey").as("k2"),
+        round(when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")), 2).as("p2"))
+    v1.join(v2, col("k1") === col("k2"), "full_outer")
+      .select(coalesce(col("k1"), col("k2")).as("k"),
+        when(col("k1").isNull, "added")
+          .when(col("k2").isNull, "removed")
+          .when(col("p1") =!= col("p2"), "changed")
+          .otherwise("same").as("change"))
+      .filter(col("change") =!= "same")
+      .orderBy("k")
+  }
+
+  /** Order-independent table checksum: per-group XOR of 60-bit
+    * md5 row digests — commutative and associative, so it aggregates
+    * map-side, merges across partitions/files/clusters in any order,
+    * and never overflows (unlike a SUM of digests). The cheap
+    * "did replication/conversion preserve the table" primitive;
+    * canonical row string sticks to int/string columns because
+    * double→text rendering is not cross-engine-stable. */
+  def qTableChecksum(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_returnflag"),
+        conv(substring(md5(concat_ws("|",
+          col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string"),
+          col("l_linestatus"))), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        bit_xor(col("h")).as("checksum"))
+      .orderBy("l_returnflag")
+
   /** 7-table snowflake join (fact → orders → customer → nation →
     * region, fact → part, fact → supplier): the deepest join tree in
     * the inventory, exercising Catalyst's join ordering + AQE's
