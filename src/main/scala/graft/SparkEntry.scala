@@ -160,6 +160,7 @@ object SparkEntry {
     "q_snowflake_join"     -> (Relational.qSnowflakeJoin _),
     "q_snapshot_diff"      -> (Relational.qSnapshotDiff _),
     "q_table_checksum"     -> (Relational.qTableChecksum _),
+    "q_topk_agg"           -> ((s, d) => Relational.qTopkAgg(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1488,5 +1489,15 @@ object SparkEntry {
         |      || '|' || l_linestatus), 1, 15))::BIGINT) AS checksum
         |FROM lineitem
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_topk_agg" ->
+      """SELECT o_orderpriority, rk, o_orderkey, price FROM (
+        |  SELECT o_orderpriority,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY ROUND(o_totalprice, 2) DESC, o_orderkey) AS rk,
+        |    o_orderkey, ROUND(o_totalprice, 2) AS price
+        |  FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_orderpriority, rk""".stripMargin,
   )
 }

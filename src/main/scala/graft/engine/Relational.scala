@@ -1091,6 +1091,24 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  /** Per-group top-k through the bounded-heap Aggregator
+    * (graft.expressions.TopKByScore) instead of a window: partial
+    * buffers cap at k rows per group per partition before the
+    * shuffle, so the exchange carries k·partitions rows per group
+    * where the row_number formulation ships and sorts the whole
+    * group. Same result as the window (the oracle IS the window
+    * form); RelationalSpec asserts the partial-aggregation plan. */
+  def qTopkAgg(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val topk = graft.expressions.TopKAggregator.topK(k)
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(topk(round(col("o_totalprice"), 2), col("o_orderkey")).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("o_orderkey"), col("col.score").as("price"))
+      .orderBy("o_orderpriority", "rk")
+  }
+
   /** Keyed snapshot diff (the table-compare a CDC pipeline runs
     * between two generations): FULL OUTER join on the key classifies
     * added / removed / changed, unchanged rows are filtered before

@@ -177,6 +177,25 @@ class RelationalSpec extends SparkSuite {
       "unpivot must read lineitem exactly once")
   }
 
+  test("topk aggregator plans partial aggregation (bounded buffers before the shuffle)") {
+    val plan = qTopkAgg(spark, sf).queryExecution.executedPlan.toString
+    val aggNodes = "(?i)aggregate\\(.*topkbyscore".r.findAllIn(plan).length
+    assert(plan.toLowerCase.contains("partial_topkbyscore") ||
+      "(?i)objecthashaggregate|sortaggregate".r.findAllIn(plan).length >= 2,
+      s"expected a partial+final aggregate pair, got:\n${plan.take(2000)}")
+    // result parity with the window formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(round(col("o_totalprice"), 2).desc, col("o_orderkey"))
+    val viaWindow = graft.engine.Tables.orders(spark, sf)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("o_orderpriority"), col("rk"),
+        col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+    assert(qTopkAgg(spark, sf).exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(qTopkAgg(spark, sf)).isEmpty)
+  }
+
   test("hll sketch estimates land within 5% of exact; union-merge covers the whole table") {
     val rows = qHllSketch(spark, sf).collect()
     rows.foreach { r =>
