@@ -66,6 +66,36 @@ class ScaleOpsSpec extends SparkSuite {
     assert(joined.count() == Tables.lineitem(spark, sf).count())
   }
 
+  test("runtime bloom filter prunes the fact scan behind a selective dim filter") {
+    // the 100 TB shape: a selective filter on one join side injects a
+    // bloom filter (InjectRuntimeFilter) that drops non-joining fact
+    // rows BEFORE the shuffle — shuffle bytes scale with the filtered
+    // join size, not the fact table. Thresholds lowered to fire at
+    // fixture scale; broadcast disabled so the shuffle join path
+    // (where the filter matters) is what's planned.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf)
+      val o = Tables.orders(spark, sf).filter(col("o_totalprice") > 400000)
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter_agg") ||
+        optimized.contains("might_contain"),
+        s"expected an injected runtime bloom filter:\n${optimized.take(2000)}")
+      assert(j.count() > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("qBucketJoin plans the fact-fact edge without a join-key exchange") {
     val plan = ScaleOps.qBucketJoin(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin"),
