@@ -1490,6 +1490,29 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_doc_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    min(CASE WHEN len(arr) >= 3 THEN
+        |      ('0x' || substr(md5('0:' || arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]), 1, 15))::BIGINT
+        |    END) AS winnow_fp
+        |  FROM toks, UNNEST(range(1, greatest(len(arr) - 1, 1))) AS t(i)
+        |  GROUP BY doc_id
+        |), ord AS (
+        |  SELECT doc_id,
+        |    SUM((('0x' || substr(md5(arr[i]), 1, 15))::BIGINT % 1000000007) * i)
+        |      % 1000000007 AS order_fp
+        |  FROM toks, UNNEST(range(1, len(arr) + 1)) AS t(i)
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, COALESCE(sh.winnow_fp, -1) AS winnow_fp,
+        |       CAST(ord.order_fp AS BIGINT) AS order_fp
+        |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+        |LEFT JOIN ord ON d.doc_id = ord.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_topk_agg" ->
       """SELECT o_orderpriority, rk, o_orderkey, price FROM (
         |  SELECT o_orderpriority,

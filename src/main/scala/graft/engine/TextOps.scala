@@ -616,15 +616,30 @@ object TextOps {
   }
 
   /** Content-defined fingerprint: min-of-shingle-hashes (winnowing
-    * flavor) + a full-document polynomial rolling hash. Stable document
-    * identity for incremental dedup at scale. */
+    * flavor) + a position-weighted order-sensitive hash. Stable
+    * document identity for incremental dedup at scale. Both hashes
+    * are md5-derived so the DuckDB oracle replays every value (the
+    * winnow fp is permutation 0 of graft_md5_minhash — one native
+    * pass shared with q_dedup_minhash_md5's signature); documents
+    * under 3 tokens get the -1 sentinel. The order hash is
+    * Σ (h(tok_i) mod P)·(i+1) mod P — order-sensitive (catches
+    * shuffled-token near-dups the bag-of-shingles min misses), and
+    * SQL-expressible unlike a sequential rolling hash. */
   def qDocFingerprint(s: SparkSession, d: String): DataFrame = {
-    val toks = tokens(col("text"))
-    documents(s, d).select(
-      col("doc_id"),
-      array_min(shingleHashes(toks, 3)).as("winnow_fp"),
-      aggregate(toks, lit(0L),
-        (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), lit(Prime)), lit(Prime))).as("rolling_fp"))
+    graft.expressions.VectorExpressions.register(s)
+    val P = 1000000007L
+    documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("arr"))
+      .select(
+        col("doc_id"),
+        coalesce(try_element_at(
+          call_function("graft_md5_minhash",
+            array_distinct(call_function("graft_word_ngrams", col("arr"), lit(3)))),
+          lit(1)), lit(-1L)).as("winnow_fp"),
+        (aggregate(
+          transform(col("arr"), (x, i) =>
+            (conv(substring(md5(x), 1, 15), 16, 10).cast("long") % P) * (i + 1)),
+          lit(0L), (acc, x) => acc + x) % P).as("order_fp"))
       .orderBy("doc_id")
   }
 

@@ -113,7 +113,7 @@ class TextOpsSpec extends SparkSuite {
     val fp2 = TextOps.qDocFingerprint(spark, sf).collect()
     assert(fp1.sameElements(fp2))
     val distinct = TextOps.qDocFingerprint(spark, sf)
-      .select(countDistinct("rolling_fp")).head().getLong(0)
+      .select(countDistinct("order_fp")).head().getLong(0)
     assert(distinct > fp1.length * 9 / 10) // near-unique across docs
   }
 }
