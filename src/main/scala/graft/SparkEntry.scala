@@ -161,6 +161,7 @@ object SparkEntry {
     "q_snapshot_diff"      -> (Relational.qSnapshotDiff _),
     "q_table_checksum"     -> (Relational.qTableChecksum _),
     "q_topk_agg"           -> ((s, d) => Relational.qTopkAgg(s, d)),
+    "q_salted_join"        -> (ScaleOps.qSaltedJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1488,6 +1489,14 @@ object SparkEntry {
         |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
         |      || '|' || l_linestatus), 1, 15))::BIGINT) AS checksum
         |FROM lineitem
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(MIN(l_quantity) AS BIGINT) AS min_qty,
+        |  CAST(MAX(l_quantity) AS BIGINT) AS max_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_doc_fingerprint" ->

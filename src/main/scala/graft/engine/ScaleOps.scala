@@ -96,6 +96,26 @@ object ScaleOps {
       (lt, ot)
     })
 
+  /** Salted skew join as a driver-checked query: the fact side salts
+    * on a per-row discriminator, the dim side replicates nSalts ways,
+    * so a hot join key's rows land on nSalts reducers instead of one
+    * straggler. The DuckDB oracle is the PLAIN join — identical
+    * results prove salting is purely a physical rewrite. Aggregates
+    * stick to count/min/max (decomposition-safe under the salt's
+    * regrouping; doubles would reassociate). */
+  def qSaltedJoin(s: SparkSession, d: String): DataFrame =
+    saltedJoin(
+      Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity"),
+      "l_orderkey",
+      col("l_orderkey") * 1000 + col("l_linenumber"),
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+      "o_orderkey", nSalts = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        min("l_quantity").cast("long").as("min_qty"),
+        max("l_quantity").cast("long").as("max_qty"))
+      .orderBy("o_orderpriority")
+
   /** Shuffle-free fact-fact join over co-bucketed tables: both sides
     * are hash-bucketed AND sorted by the join key, so the sort-merge
     * join (forced via the merge hint — at fixture scale AQE would
