@@ -159,6 +159,21 @@ object NgramProps extends Properties("NgramOps") {
       got == expected
     }
 
+  property("topk aggregator: partition-order-independent, equals sort-take") =
+    forAll(Gen.listOf(Gen.zip(Gen.choose(0.0, 100.0), Gen.choose(0L, 50L))),
+           Gen.choose(1, 5)) { (rows, splits) =>
+      import graft.expressions.{ScoredRow, TopKByScore}
+      val agg = new TopKByScore(3)
+      val data = rows.map { case (s, i) => ScoredRow(math.floor(s * 4) / 4, i) }
+      val reference = data.sortBy(r => (-r.score, r.id)).take(3)
+      // fold in arbitrary partition splits, merge in reverse order
+      val chunks = if (data.isEmpty) Seq(Seq.empty[ScoredRow])
+        else data.grouped(math.max(1, data.length / splits)).toSeq
+      val buffers = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = buffers.reverse.foldLeft(agg.zero)(agg.merge)
+      agg.finish(merged) == reference
+    }
+
   property("md5 minhash: 8 mins of the reference hex-slice definition") =
     forAll(Gen.listOf(Gen.frequency(
       8 -> Gen.alphaNumStr, 2 -> str).suchThat(_.nonEmpty))) { shingles =>
