@@ -13,10 +13,16 @@ object PlanAudit {
     val d = "/root/testdata/sf0.001"
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, d).queryExecution.executedPlan.toString
+        val df = fn(spark, d)
+        // collect() executes THIS queryExecution (count() would plan a
+        // separate one), so the audit sees AQE's FINAL plan with its
+        // codegen stages
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
         val exchanges = "Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition".r
           .findAllIn(plan).size
-        val wsc = "WholeStageCodegen".r.findAllIn(plan).size
+        // codegen stages render as "*(n) Node" in the tree string
+        val wsc = "\\*\\(\\d+\\)".r.findAllIn(plan).toSet.size
         val flags = Seq(
           if (plan.contains("BroadcastHashJoin")) "BHJ" else "",
           if (plan.contains("SortMergeJoin")) "SMJ" else "",
