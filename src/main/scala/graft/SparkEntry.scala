@@ -162,6 +162,7 @@ object SparkEntry {
     "q_table_checksum"     -> (Relational.qTableChecksum _),
     "q_topk_agg"           -> ((s, d) => Relational.qTopkAgg(s, d)),
     "q_salted_join"        -> (ScaleOps.qSaltedJoin _),
+    "q_decontaminate"      -> (TextOps.qDecontaminate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1490,6 +1491,24 @@ object SparkEntry {
         |      || '|' || l_linestatus), 1, 15))::BIGINT) AS checksum
         |FROM lineitem
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id % 97 = 0 AS is_bench,
+        |    regexp_split_to_array(trim(text), '\s+') AS arr
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, is_bench,
+        |    ('0x' || substr(md5(arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+        |      || ' ' || arr[i+3] || ' ' || arr[i+4]), 1, 15))::BIGINT AS h
+        |  FROM toks, UNNEST(range(1, greatest(len(arr) - 3, 1))) AS t(i)
+        |  WHERE len(arr) >= 5
+        |)
+        |SELECT c.doc_id, CAST(count(DISTINCT c.h) AS BIGINT) AS n_shared,
+        |       CAST(min(b.doc_id) AS BIGINT) AS first_bench_doc
+        |FROM sh c JOIN sh b ON c.h = b.h AND NOT c.is_bench AND b.is_bench
+        |GROUP BY c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
 
     "q_salted_join" ->
       """SELECT o_orderpriority,

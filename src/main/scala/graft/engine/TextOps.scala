@@ -577,6 +577,34 @@ object TextOps {
       .orderBy("lang", "source")
   }
 
+  /** Benchmark decontamination: find corpus documents sharing any
+    * 5-gram shingle with a held-out benchmark set (here the
+    * deterministic doc_id % 97 slice) — the n-gram-overlap
+    * test-set-contamination check every training pipeline runs before
+    * a data release. The benchmark shingle table is a fraction of the
+    * corpus, so it BROADCASTS and the corpus side never shuffles; at
+    * 100 TB this is one scan + a broadcast hash probe per shingle.
+    * Shingle hashes are md5-derived so the oracle replays them. */
+  def qDecontaminate(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    val toks = documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 97 === 0).as("is_bench"),
+        tokens(col("text")).as("arr"))
+      .filter(size(col("arr")) >= 5)
+    val sh = toks.select(col("doc_id"), col("is_bench"),
+      explode(array_distinct(transform(
+        call_function("graft_word_ngrams", col("arr"), lit(5)),
+        g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
+    val bench = sh.filter(col("is_bench"))
+      .select(col("h"), col("doc_id").as("bench_doc"))
+    sh.filter(!col("is_bench"))
+      .join(broadcast(bench), "h")
+      .groupBy("doc_id")
+      .agg(countDistinct("h").as("n_shared"),
+        min("bench_doc").as("first_bench_doc"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash LSH near-dup detection, cross-engine-verifiable variant:
     * 8 md5-derived permutations, 4 bands of 2 — every hash is
     * replayable in the DuckDB oracle (md5 hex → 60-bit int), so the
