@@ -109,7 +109,7 @@ object ScaleOps {
       "l_orderkey",
       col("l_orderkey") * 1000 + col("l_linenumber"),
       Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
-      "o_orderkey", nSalts = 8)
+      "o_orderkey", nSalts = 4)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
         min("l_quantity").cast("long").as("min_qty"),
