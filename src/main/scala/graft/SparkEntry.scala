@@ -163,6 +163,7 @@ object SparkEntry {
     "q_topk_agg"           -> ((s, d) => Relational.qTopkAgg(s, d)),
     "q_salted_join"        -> (ScaleOps.qSaltedJoin _),
     "q_decontaminate"      -> (TextOps.qDecontaminate _),
+    "q_percent_total"      -> (Relational.qPercentTotal _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1491,6 +1492,20 @@ object SparkEntry {
         |      || '|' || l_linestatus), 1, 15))::BIGINT) AS checksum
         |FROM lineitem
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_percent_total" ->
+      """WITH rev AS (
+        |  SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1
+        |)
+        |SELECT n_name, revenue,
+        |  ROUND(100.0 * revenue / SUM(revenue) OVER (), 4) AS pct_total,
+        |  ROUND(SUM(revenue) OVER (ORDER BY revenue DESC, n_name
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    / SUM(revenue) OVER (), 4) AS cum_share
+        |FROM rev ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q_decontaminate" ->
       """WITH toks AS (

@@ -1091,6 +1091,32 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  /** Share-of-total and cumulative share (the Pareto/ABC report):
+    * an empty-frame window (`SUM() OVER ()`) broadcasts the grand
+    * total to every row without a self-join, and the running share
+    * rides the same sorted pass. Input is the pre-aggregated
+    * nation-revenue table — 25 rows at any corpus scale, so the
+    * unpartitioned window is a single tiny task downstream of the
+    * real (distributed) aggregation. */
+  def qPercentTotal(s: SparkSession, d: String): DataFrame = {
+    val rev = orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.partitionBy()
+      .orderBy(col("revenue").desc, col("n_name"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.select(col("n_name"), col("revenue"),
+      round(lit(100.0) * col("revenue") / sum("revenue").over(wAll), 4)
+        .as("pct_total"),
+      round(sum("revenue").over(wCum) / sum("revenue").over(wAll), 4)
+        .as("cum_share"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Per-group top-k through the bounded-heap Aggregator
     * (graft.expressions.TopKByScore) instead of a window: partial
     * buffers cap at k rows per group per partition before the
