@@ -65,10 +65,31 @@ object Bench {
       val b = if (a < 0) a else math.min(a, once())
       name -> b
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver keeps only the last ~2000 chars of stdout and JSON-
+    // parses the final line. The full per-query map (145+ entries,
+    // ~4 KB) overflows that window, so the parsed JSON dropped every
+    // round 1-4. Keep the printed line comfortably under the window:
+    // report the total plus only the SLOWEST queries (rounded to ms),
+    // and dump the complete map to bench_full.json for local analysis.
+    def ms(v: Double): String = {
+      val r = math.round(v * 1000) / 1000.0
+      java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(r))
+    }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.count(_._2 < 0)
+    val full = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    try {
+      val w = new java.io.PrintWriter("bench_full.json")
+      try w.println(s"""{"total":${ms(total)},"n":${results.size},"queries":$full}""")
+      finally w.close()
+    } catch { case _: Throwable => () }
+    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
+    val qs = slow.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+    require(line.length < 1800, s"bench line too long: ${line.length}")
+    println(line)
     spark.stop()
   }
 }
