@@ -164,6 +164,11 @@ object SparkEntry {
     "q_salted_join"        -> (ScaleOps.qSaltedJoin _),
     "q_decontaminate"      -> (TextOps.qDecontaminate _),
     "q_percent_total"      -> (Relational.qPercentTotal _),
+    "q_entropy"            -> (AnalyticsOps.qEntropy _),
+    "q_chi2"               -> (AnalyticsOps.qChi2 _),
+    "q_markov_transitions" -> (AnalyticsOps.qMarkovTransitions _),
+    "q_outlier_iqr"        -> (AnalyticsOps.qOutlierIqr _),
+    "q_time_weighted_avg"  -> (AnalyticsOps.qTimeWeightedAvg _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1565,5 +1570,87 @@ object SparkEntry {
         |  FROM orders)
         |WHERE rk <= 3
         |ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "q_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |     t AS (SELECT user_id, SUM(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.user_id,
+        |       CAST(MAX(t.tot) AS BIGINT) AS n_events,
+        |       CAST(COUNT(*) AS BIGINT) AS n_types,
+        |       ROUND(-SUM((n * 1.0 / tot) * LN(n * 1.0 / tot)) / LN(2), 4) AS entropy_bits
+        |FROM c JOIN t ON c.user_id = t.user_id
+        |GROUP BY c.user_id
+        |ORDER BY c.user_id""".stripMargin,
+
+    "q_chi2" ->
+      """WITH obs AS (
+        |  SELECT n_name, o_orderpriority, COUNT(*) * 1.0 AS o
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |              JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT n_name, SUM(o) AS r FROM obs GROUP BY 1),
+        |ct AS (SELECT o_orderpriority, SUM(o) AS c FROM obs GROUP BY 1),
+        |g  AS (SELECT SUM(o) AS t FROM obs),
+        |cells AS (
+        |  SELECT rt.n_name, ct.o_orderpriority, rt.r, ct.c, g.t,
+        |         COALESCE(obs.o, 0.0) AS o
+        |  FROM rt CROSS JOIN ct CROSS JOIN g
+        |  LEFT JOIN obs ON obs.n_name = rt.n_name
+        |              AND obs.o_orderpriority = ct.o_orderpriority)
+        |SELECT n_name,
+        |       CAST(SUM(o) AS BIGINT) AS n_orders,
+        |       ROUND(SUM(POWER(o - r * c / t, 2) / (r * c / t)), 4) AS chi2_contrib
+        |FROM cells
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q_markov_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         LEAD(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+        |  FROM events)
+        |SELECT event_type AS src, dst,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY event_type), 4) AS p
+        |FROM s WHERE dst IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_outlier_iqr" ->
+      """WITH r AS (SELECT event_type, value, event_id,
+        |                  ROW_NUMBER() OVER (PARTITION BY event_type
+        |                    ORDER BY value, event_id) AS rn,
+        |                  COUNT(*) OVER (PARTITION BY event_type) AS n
+        |           FROM events),
+        |q AS (SELECT event_type,
+        |             MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN value END) AS q1,
+        |             MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN value END) AS q3
+        |      FROM r GROUP BY 1)
+        |SELECT e.event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_outliers,
+        |       ROUND(MIN(value), 4) AS min_outlier,
+        |       ROUND(MAX(value), 4) AS max_outlier,
+        |       ROUND(MAX(q3 + 1.5 * (q3 - q1)), 4) AS hi_fence
+        |FROM events e JOIN q ON e.event_type = q.event_type
+        |WHERE value > q3 + 1.5 * (q3 - q1) OR value < q1 - 1.5 * (q3 - q1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_time_weighted_avg" ->
+      """WITH s AS (
+        |  SELECT user_id, value, CAST(ts AS TIMESTAMP) AS ts,
+        |         LEAD(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+        |              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
+        |  FROM events)
+        |SELECT user_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |       CAST(SUM(epoch_us(nxt) - epoch_us(ts)) AS BIGINT) AS total_us,
+        |       ROUND(SUM(value * (epoch_us(nxt) - epoch_us(ts)))
+        |             / SUM(epoch_us(nxt) - epoch_us(ts)), 4) AS twa
+        |FROM s WHERE nxt IS NOT NULL
+        |GROUP BY user_id
+        |HAVING SUM(epoch_us(nxt) - epoch_us(ts)) > 0
+        |ORDER BY user_id""".stripMargin,
   )
 }

@@ -223,4 +223,115 @@ object AnalyticsOps {
       .filter(col("n_events") >= 3)
       .orderBy("user_id", "sess_n")
   }
+
+  /** Shannon entropy (bits) of each user's event-type mix — the
+    * behavioral-diversity score a curation pipeline uses to separate
+    * bots (entropy ~0) from organic users. Two-stage: count per
+    * (user, type) first, so the entropy pass runs over the |users|×
+    * |types| aggregate, never the raw events. */
+  def qEntropy(s: SparkSession, d: String): DataFrame = {
+    val c = events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val wu = Window.partitionBy("user_id")
+    c.withColumn("tot", sum("n").over(wu))
+      .groupBy("user_id")
+      .agg(
+        max("tot").cast("long").as("n_events"),
+        count(lit(1)).cast("long").as("n_types"),
+        round(-sum((col("n") / col("tot")) * log(col("n") / col("tot"))) /
+          log(lit(2.0)), 4).as("entropy_bits"))
+      .orderBy("user_id")
+  }
+
+  /** Pearson chi-squared contributions for nation × order-priority
+    * independence. The contingency table (|nations| × |priorities|)
+    * is built with one aggregation over the fact join; marginals and
+    * the grand total are derived FROM that table (tiny), and the
+    * zero-observed cells are materialized by crossing the marginals
+    * so expected counts are complete — all broadcast-sized. */
+  def qChi2(s: SparkSession, d: String): DataFrame = {
+    val obs = orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "o_orderpriority")
+      .agg(count(lit(1)).cast("double").as("o"))
+    val rt = obs.groupBy("n_name").agg(sum("o").as("r"))
+    val ct = obs.groupBy("o_orderpriority").agg(sum("o").as("c"))
+    val g = obs.agg(sum("o").as("t"))
+    rt.crossJoin(broadcast(ct)).crossJoin(broadcast(g))
+      .join(obs, Seq("n_name", "o_orderpriority"), "left")
+      .withColumn("obs0", coalesce(col("o"), lit(0.0)))
+      .withColumn("e", col("r") * col("c") / col("t"))
+      .groupBy("n_name")
+      .agg(
+        sum("obs0").cast("long").as("n_orders"),
+        round(sum(pow(col("obs0") - col("e"), 2) / col("e")), 4).as("chi2_contrib"))
+      .orderBy("n_name")
+  }
+
+  /** First-order Markov transition matrix over each user's event
+    * sequence: P(next type | type). One user_id shuffle orders the
+    * sequences; the transition counts then collapse to a |types|²
+    * table, and the row-normalizing window runs on that table, not
+    * the events. */
+  def qMarkovTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events(s, d)
+      .withColumn("dst", lead("event_type", 1).over(w))
+      .filter(col("dst").isNotNull)
+    pairs.groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n") / sum("n").over(Window.partitionBy("src")), 4))
+      .orderBy("src", "dst")
+  }
+
+  /** Tukey-fence outlier detection per event type: discrete Q1/Q3
+    * via the same ceil(q·n) ranking as qQuantileDisc, fences at
+    * 1.5·IQR. The per-group quantile table is 5 rows — broadcast back
+    * onto the stream, so the flagging pass is a map-side filter. */
+  def qOutlierIqr(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val wAll = Window.partitionBy("event_type")
+    val pick = (f: Double) =>
+      max(when(col("rn") === ceil(lit(f) * col("n")).cast("long"), col("value")))
+    val q = events(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .groupBy("event_type")
+      .agg(pick(0.25).as("q1"), pick(0.75).as("q3"))
+    events(s, d)
+      .join(broadcast(q), "event_type")
+      .filter(col("value") > col("q3") + (col("q3") - col("q1")) * 1.5 ||
+        col("value") < col("q1") - (col("q3") - col("q1")) * 1.5)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_outliers"),
+        round(min("value"), 4).as("min_outlier"),
+        round(max("value"), 4).as("max_outlier"),
+        round(max(col("q3") + (col("q3") - col("q1")) * 1.5), 4).as("hi_fence"))
+      .orderBy("event_type")
+  }
+
+  /** Time-weighted average of `value` per user over irregular event
+    * times (each reading holds until the next one) — the correct mean
+    * for unevenly-sampled gauges. Segment durations come from one
+    * lead() over the per-user order; everything after is a plain
+    * aggregate on the same shuffle. Microsecond integer arithmetic —
+    * no fractional-epoch doubles. */
+  def qTimeWeightedAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("nxt", lead("ts", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("dt", unix_micros(col("nxt")) - unix_micros(col("ts")))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum("dt").cast("long").as("total_us"),
+        round(sum(col("value") * col("dt")) / sum("dt"), 4).as("twa"))
+      .filter(col("total_us") > 0)
+      .orderBy("user_id")
+  }
 }
