@@ -169,6 +169,8 @@ object SparkEntry {
     "q_markov_transitions" -> (AnalyticsOps.qMarkovTransitions _),
     "q_outlier_iqr"        -> (AnalyticsOps.qOutlierIqr _),
     "q_time_weighted_avg"  -> (AnalyticsOps.qTimeWeightedAvg _),
+    "q_bm25"               -> ((s, d) => TextOps.qBm25(s, d)),
+    "q_dedup_cluster"      -> (TextOps.qDedupCluster _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1652,5 +1654,67 @@ object SparkEntry {
         |GROUP BY user_id
         |HAVING SUM(epoch_us(nxt) - epoch_us(ts)) > 0
         |ORDER BY user_id""".stripMargin,
+
+    "q_bm25" ->
+      """WITH terms AS (
+        |  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) * 1.0 AS tf FROM terms GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, SUM(tf) AS len FROM tf GROUP BY 1
+        |), stats AS (
+        |  SELECT COUNT(*) * 1.0 AS n_docs, SUM(len) / COUNT(*) AS avgdl FROM dl
+        |), df AS (
+        |  SELECT term, COUNT(*) * 1.0 AS df FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    LN((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+        |      (tf * 2.2) / (tf + (0.25 + 0.75 * len / avgdl) * 1.2) AS score
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+        |), ranked AS (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |  FROM scored
+        |)
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rn, term, ROUND(score, 4) AS score
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
+
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr FROM documents
+        |), shd AS (
+        |  SELECT DISTINCT doc_id,
+        |    UNNEST(list_transform(range(1, len(arr) - 1),
+        |      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
+        |  FROM toks WHERE len(arr) >= 3
+        |), mh AS (
+        |  SELECT doc_id, p,
+        |    min(('0x' || substr(md5(CAST(p // 2 AS VARCHAR) || ':' || shingle),
+        |                        CAST(1 + 15 * (p % 2) AS INTEGER), 15))::BIGINT) AS mv
+        |  FROM shd, range(8) t(p) GROUP BY doc_id, p
+        |), bands AS (
+        |  SELECT doc_id, p // 2 AS band,
+        |    string_agg(CAST(mv AS VARCHAR), ',' ORDER BY p) AS sig
+        |  FROM mh GROUP BY doc_id, p // 2
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT da AS a, db AS b FROM pairs
+        |  UNION ALL SELECT db, da FROM pairs
+        |), reach(node, r) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+        |), comp AS (
+        |  SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+        |)
+        |SELECT c.node AS doc_id, c.comp,
+        |       CAST(COUNT(*) OVER (PARTITION BY c.comp) AS BIGINT) AS cluster_size
+        |FROM comp c
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -613,7 +613,14 @@ object TextOps {
     * xxhash-based q_dedup_minhash stays the fast production path;
     * this one proves the algorithm. Same scale shape: per-band
     * self-join on (band, sig) keys, candidate pairs deduped. */
-  def qDedupMinhashMd5(s: SparkSession, d: String): DataFrame = {
+  def qDedupMinhashMd5(s: SparkSession, d: String): DataFrame =
+    md5MinhashPairs(s, d).orderBy("da", "db")
+
+  /** The md5-minhash candidate-pair front end shared by
+    * q_dedup_minhash_md5 (emits the pairs) and q_dedup_cluster
+    * (resolves them into connected components). Returns distinct
+    * (da, db) with da < db. */
+  def md5MinhashPairs(s: SparkSession, d: String): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
     val toks = documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("arr"))
@@ -640,7 +647,89 @@ object TextOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-      .orderBy("da", "db")
+  }
+
+  /** Near-dup CLUSTERS from the minhash candidate pairs: connected
+    * components by iterative min-label propagation. Each round
+    * pushes every node's current component label across its edges
+    * and keeps the minimum; convergence (no label decreased) is
+    * checked with a scalar count through the driver — the standard
+    * Spark shape for iterative graph algorithms (rounds bounded by
+    * component diameter, here ≤ a few hops for dup clusters; a
+    * billion-edge corpus would swap in alternating large-star/
+    * small-star rounds [Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"] and checkpoint lineage every few
+    * rounds — the loop below already truncates lineage per round
+    * via localCheckpoint). Output: every clustered doc with its
+    * component id (min doc_id in the component) and cluster size. */
+  def qDedupCluster(s: SparkSession, d: String): DataFrame = {
+    val pairs = md5MinhashPairs(s, d)
+    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
+      .union(pairs.select(col("db").as("a"), col("da").as("b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("comp")).first() match {
+        case r if r.isNullAt(0) => 0L
+        case r                  => r.getLong(0)
+      }
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = prevSum == 0L
+    while (!converged && iter < 20) {
+      val next = edges.join(labels, edges("a") === labels("node"))
+        .select(col("b").as("node"), col("comp"))
+        .union(labels)
+        .groupBy("node").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+      // labels only ever decrease, so the label sum is strictly
+      // monotone until the fixpoint — an O(1)-driver convergence
+      // check with no join against the previous round
+      val s2 = labelSum(next)
+      labels = next
+      converged = s2 == prevSum
+      prevSum = s2
+      iter += 1
+    }
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    labels.join(broadcast(sizes), "comp")
+      .select(col("node").as("doc_id"), col("comp"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Okapi BM25 (k1 = 1.2, b = 0.75) top terms per document — the
+    * ranking-grade upgrade of q_tfidf. Document length and term
+    * frequency come out of ONE (doc, term) aggregation (dl is derived
+    * from tf, so ReuseExchange shares the tokenize+explode shuffle);
+    * df and the corpus stats are broadcast. Scores are ordered
+    * unrounded (identical doubles in both engines) and rounded only
+    * for output. */
+  def qBm25(s: SparkSession, d: String, topK: Int = 3): DataFrame = {
+    val terms = documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("len"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum("len") / count(lit(1))).as("avgdl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf
+      .join(dl, "doc_id")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * 2.2) /
+          (col("tf") + (lit(0.25) + lit(0.75) * col("len") / col("avgdl")) * 1.2))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col("doc_id"), col("rn"), col("term"), round(col("score"), 4).as("score"))
+      .orderBy("doc_id", "rn")
   }
 
   /** Content-defined fingerprint: min-of-shingle-hashes (winnowing
