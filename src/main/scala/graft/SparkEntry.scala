@@ -171,6 +171,9 @@ object SparkEntry {
     "q_time_weighted_avg"  -> (AnalyticsOps.qTimeWeightedAvg _),
     "q_bm25"               -> ((s, d) => TextOps.qBm25(s, d)),
     "q_dedup_cluster"      -> (TextOps.qDedupCluster _),
+    "q_zorder_layout"      -> (ScaleOps.qZorderLayout _),
+    "q_bitmap_distinct"    -> (ScaleOps.qBitmapDistinct _),
+    "q_merge_upsert"       -> (AnalyticsOps.qMergeUpsert _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1716,5 +1719,49 @@ object SparkEntry {
         |       CAST(COUNT(*) OVER (PARTITION BY c.comp) AS BIGINT) AS cluster_size
         |FROM comp c
         |ORDER BY doc_id""".stripMargin,
+
+    "q_zorder_layout" ->
+      """WITH mx AS (SELECT MAX(l_orderkey) + 1 AS mo, MAX(l_partkey) + 1 AS mp FROM lineitem),
+        |base AS (
+        |  SELECT (l_orderkey * 256) // mo AS x,
+        |         (l_partkey * 256) // mp AS y
+        |  FROM lineitem CROSS JOIN mx),
+        |sp1 AS (SELECT *, ((x | (x << 4)) & 3855) AS x1, ((y | (y << 4)) & 3855) AS y1 FROM base),
+        |sp2 AS (SELECT *, ((x1 | (x1 << 2)) & 13107) AS x2, ((y1 | (y1 << 2)) & 13107) AS y2 FROM sp1),
+        |z AS (SELECT *, (((x2 | (x2 << 1)) & 21845) |
+        |     ((((y2 | (y2 << 1)) & 21845)) << 1)) AS zval FROM sp2)
+        |SELECT zval // 1024 AS zrange,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+        |       CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_bitmap_distinct" ->
+      """WITH b AS (
+        |  SELECT event_type, user_id // 32 AS bucket,
+        |         bit_or(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS bm
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |       CAST(SUM(bit_count(bm)) AS BIGINT) AS n_users,
+        |       CAST(COUNT(*) AS BIGINT) AS n_buckets
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH tgt AS (SELECT user_id, value FROM (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE user_id % 4 <> 0) WHERE rn = 1),
+        |src AS (SELECT user_id, value, event_type FROM (
+        |  SELECT user_id, value, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE user_id % 3 = 0) WHERE rn = 1)
+        |SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+        |       CASE WHEN s.user_id IS NULL THEN 'keep'
+        |            WHEN t.user_id IS NULL THEN 'insert'
+        |            ELSE 'update' END AS action,
+        |       ROUND(CASE WHEN s.user_id IS NULL THEN t.value ELSE s.value END, 2) AS value
+        |FROM tgt t FULL OUTER JOIN src s ON t.user_id = s.user_id
+        |WHERE NOT (t.user_id IS NOT NULL AND s.user_id IS NOT NULL AND s.event_type = 'error')
+        |ORDER BY user_id""".stripMargin,
   )
 }

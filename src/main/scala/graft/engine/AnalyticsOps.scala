@@ -334,4 +334,41 @@ object AnalyticsOps {
       .filter(col("total_us") > 0)
       .orderBy("user_id")
   }
+
+  /** MERGE INTO semantics as one full outer join + per-clause CASEs:
+    * WHEN MATCHED AND src is a tombstone → DELETE, WHEN MATCHED →
+    * UPDATE, WHEN NOT MATCHED → INSERT, unmatched target rows kept.
+    * Target/source are disjoint last-state snapshots (user_id mod
+    * splits) so all four clauses fire. This is the lakehouse
+    * MERGE shape: both sides collapse to one row per key first, so
+    * the join is key-cardinality-sized; the action column is the
+    * audit trail a writer would use to split the output into
+    * rewrite/append sets. */
+  def qMergeUpsert(s: SparkSession, d: String): DataFrame = {
+    def latest(df: DataFrame, cols: String*): DataFrame = {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", cols: _*)
+    }
+    val e = events(s, d)
+    val tgt = latest(e.filter(col("user_id") % 4 =!= 0), "value")
+      .withColumnRenamed("value", "t_value")
+      .withColumnRenamed("user_id", "t_user")
+    val src = latest(e.filter(col("user_id") % 3 === 0), "value", "event_type")
+      .withColumnRenamed("value", "s_value")
+      .withColumnRenamed("user_id", "s_user")
+    tgt.join(src, col("t_user") === col("s_user"), "full_outer")
+      .filter(!(col("t_user").isNotNull && col("s_user").isNotNull &&
+        col("event_type") === "error"))
+      .select(
+        coalesce(col("t_user"), col("s_user")).as("user_id"),
+        when(col("s_user").isNull, "keep")
+          .when(col("t_user").isNull, "insert")
+          .otherwise("update").as("action"),
+        round(when(col("s_user").isNull, col("t_value"))
+          .otherwise(col("s_value")), 2).as("value"))
+      .orderBy("user_id")
+  }
 }

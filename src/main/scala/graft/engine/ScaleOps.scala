@@ -168,4 +168,54 @@ object ScaleOps {
       .drop("__side", "__ts", "__val")
       .withColumnRenamed("__asof", s"asof_$rightVal")
   }
+
+  /** Interleave the low 8 bits of a long across 16 bits (Morton
+    * spread, magic-number form — three codegen'd bit ops, no loop). */
+  private def spread8(v: Column): Column = {
+    val a = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x0F0FL))
+    val b = a.bitwiseOR(shiftleft(a, 2)).bitwiseAND(lit(0x3333L))
+    b.bitwiseOR(shiftleft(b, 1)).bitwiseAND(lit(0x5555L))
+  }
+
+  /** Z-order (Morton) layout audit: bucket two join/filter dimensions
+    * to 8 bits each, interleave into a 16-bit z-value, and report the
+    * per-z-range extent of BOTH dimensions. Every range covers a
+    * ~32×32 tile of (orderkey, partkey) space — the property that
+    * makes a z-sorted table prune parquet row groups on either
+    * predicate column (the multi-dimensional upgrade of a plain sort,
+    * which clusters only its leading column). At 100 TB you'd
+    * `repartitionByRange(zval).sortWithinPartitions(zval)` before the
+    * write; the z-value itself is pure codegen'd bit math. */
+  def qZorderLayout(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val mx = li.agg((max("l_orderkey") + 1).as("mo"), (max("l_partkey") + 1).as("mp"))
+    li.crossJoin(broadcast(mx))
+      .withColumn("x", expr("(l_orderkey * 256) DIV mo"))
+      .withColumn("y", expr("(l_partkey * 256) DIV mp"))
+      .withColumn("zval", spread8(col("x"))
+        .bitwiseOR(shiftleft(spread8(col("y")), 1)))
+      .groupBy(expr("zval DIV 1024").as("zrange"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .orderBy("zrange")
+  }
+
+  /** Exact distinct counting via fixed-width bitmaps: pack user ids
+    * into 32-bit bucket masks with bit_or, then popcount. The shuffle
+    * carries one long per (group, id/32) bucket instead of one row
+    * per distinct id — the dense-id regime where a bitmap index beats
+    * both COUNT(DISTINCT)'s two-phase shuffle and HLL's error bar
+    * (reference has only full scans; this is the roaring-bitmap idea
+    * in its SQL-expressible fixed-width form). */
+  def qBitmapDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), expr("user_id DIV 32").as("bucket"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT)))").as("bm"))
+      .groupBy("event_type")
+      .agg(
+        sum(bit_count(col("bm"))).cast("long").as("n_users"),
+        count(lit(1)).as("n_buckets"))
+      .orderBy("event_type")
 }
