@@ -174,6 +174,9 @@ object SparkEntry {
     "q_zorder_layout"      -> (ScaleOps.qZorderLayout _),
     "q_bitmap_distinct"    -> (ScaleOps.qBitmapDistinct _),
     "q_merge_upsert"       -> (AnalyticsOps.qMergeUpsert _),
+    "q_stream_full_outer"  -> (StreamingOps.qStreamFullOuter _),
+    "q_json_roundtrip"     -> (Sinks.qJsonRoundtrip _),
+    "q_kmeans_assign"      -> ((s, d) => VectorOps.qKmeansAssign(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1763,5 +1766,43 @@ object SparkEntry {
         |FROM tgt t FULL OUTER JOIN src s ON t.user_id = s.user_id
         |WHERE NOT (t.user_id IS NOT NULL AND s.user_id IS NOT NULL AND s.event_type = 'error')
         |ORDER BY user_id""".stripMargin,
+
+    "q_stream_full_outer" ->
+      """WITH clicks AS (
+        |  SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id AS p_user_id, event_id AS p_event_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT COALESCE(click_id, -1) AS click_id,
+        |       COALESCE(p_event_id, -1) AS purchase_id,
+        |       COALESCE(c.user_id, p.p_user_id) AS uid,
+        |       CASE WHEN click_id IS NULL THEN 'purchase_only'
+        |            WHEN p_event_id IS NULL THEN 'click_only'
+        |            ELSE 'matched' END AS side
+        |FROM clicks c FULL OUTER JOIN purchases p
+        |  ON c.user_id = p.p_user_id
+        | AND purchase_ts >= click_ts
+        | AND purchase_ts <= click_ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id, uid""".stripMargin,
+
+    "q_json_roundtrip" ->
+      """SELECT event_id, TRUE AS row_match
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_kmeans_assign" ->
+      """WITH c AS (
+        |  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.centroid_id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) AS sim
+        |  FROM embeddings e CROSS JOIN c),
+        |r AS (
+        |  SELECT vec_id, centroid_id, sim,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+        |  FROM scored)
+        |SELECT vec_id, centroid_id, ROUND(sim, 4) AS sim
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
   )
 }

@@ -81,6 +81,36 @@ object Sinks {
       .orderBy("doc_id")
   }
 
+  /** JSON-lines sink/scan roundtrip: unlike CSV this carries an ARRAY
+    * column and exact doubles/timestamps natively (the reference
+    * stringifies nested values, kafka/consumer.go:934-939 — JSONL is
+    * where we exceed it). Timestamps serialize at µs precision;
+    * doubles round-trip via shortest-repr JSON numbers; the token
+    * array survives as a real JSON array. Splittable-format note for
+    * 100 TB: JSONL shards stay line-splittable, so the re-read
+    * parallelizes like the original write. */
+  def qJsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("value"),
+        split(col("event_type"), "").as("type_chars"),
+        concat(lit("unicode é中 \"quoted\" \\ "), col("event_type")).as("tricky"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_json_roundtrip_$pid"
+    src.write.mode(SaveMode.Overwrite)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(path)
+    val back = s.read.schema(src.schema)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(path)
+    src.alias("a").join(back.alias("b"), Seq("event_id"))
+      .select(
+        col("event_id"),
+        (col("a.ts") === col("b.ts") &&
+          col("a.value") === col("b.value") &&
+          col("a.tricky") === col("b.tricky") &&
+          col("a.type_chars") === col("b.type_chars")).as("row_match"))
+      .orderBy("event_id")
+  }
+
   /** One partitioned copy per (JVM, sfDir), written on first use: the
     * write is table prep (done once per dataset at scale), not part of
     * the repeated query — memoizing keeps timed reruns measuring the

@@ -203,6 +203,51 @@ object StreamingOps {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** FULL OUTER stream-stream interval join, batch replay: clicks and
+    * purchases both survive unmatched (click with no purchase in its
+    * 30-minute window, purchase with no prior click). Same interval
+    * condition as q_stream_outer_join, so state stays bounded in the
+    * streaming form; the -1 sentinels keep the output schema
+    * null-free for the hash compare. */
+  def qStreamFullOuter(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("p_event_id"),
+        col("ts").as("purchase_ts"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 30 minutes"),
+        "full_outer")
+      .select(
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(col("p_event_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("user_id"), col("p_user_id")).as("uid"),
+        when(col("click_id").isNull, lit("purchase_only"))
+          .when(col("p_event_id").isNull, lit("click_only"))
+          .otherwise(lit("matched")).as("side"))
+      .orderBy("click_id", "purchase_id", "uid")
+  }
+
+  /** Stream-stream FULL OUTER interval join with bounded state — the
+    * streaming form of qStreamFullOuter (Spark supports fullOuter
+    * stream-stream joins since 3.1; both sides' state is released
+    * once the watermark passes the interval bound). Driven by
+    * MemoryStream in StreamingSpec. */
+  def streamingFullOuterIntervalJoin(clicks: DataFrame, purchases: DataFrame,
+                                     watermark: String = "1 hour",
+                                     interval: String = "30 minutes"): DataFrame =
+    clicks.withWatermark("click_ts", watermark)
+      .join(purchases.withWatermark("purchase_ts", watermark),
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $interval"),
+        "fullOuter")
+      .select(col("click_id"), col("purchase_id"),
+        coalesce(col("user_id"), col("p_user_id")).as("uid"))
+
   /** Stream-stream LEFT OUTER interval join with bounded state: same
     * condition as streamingIntervalJoin, outer on the click side.
     * Unmatched clicks are emitted with nulls only after the watermark

@@ -282,4 +282,29 @@ object VectorOps {
       .select("id_a", "id_b", "cos_sim")
       .orderBy("id_a", "id_b")
   }
+
+  /** One k-means assignment step with FIXED, data-defined centroids
+    * (the k lowest vec_ids): every vector goes to its max-cosine
+    * centroid. This is the inner loop of IVF index build / k-means
+    * clustering made differentially testable — unlike q_ann_ivf's
+    * sampled-k-means++ centroids, these are replayable in SQL, so the
+    * whole assignment (8 native cosines per vector against a
+    * broadcast centroid table, argmax by (sim, centroid_id)) is
+    * hash-checked against DuckDB. Scale shape: centroids broadcast,
+    * one pass over the corpus, k rows per vector collapse to 1 via
+    * the per-vector window on the ×k intermediate. */
+  def qKmeansAssign(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    val emb = embeddings(s, d)
+    val cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("centroid_id").asc)
+    emb.crossJoin(broadcast(cents))
+      .withColumn("sim", nativeCosine(s, col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), round(col("sim"), 4).as("sim"))
+      .orderBy("vec_id")
+  }
 }

@@ -237,6 +237,36 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER interval join emits both unmatched sides after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val purchases = MemoryStream[Purchase]
+    val out = StreamingOps.streamingFullOuterIntervalJoin(clicks.toDF(), purchases.toDF())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("fojoin_out").start()
+    try {
+      clicks.addData(
+        Click(1L, 100L, ts("2024-01-01 10:00:00")),   // will match
+        Click(2L, 101L, ts("2024-01-01 10:00:00")))   // never matches
+      purchases.addData(
+        Purchase(1L, 200L, ts("2024-01-01 10:20:00")),
+        Purchase(3L, 201L, ts("2024-01-01 10:20:00"))) // no prior click
+      q.processAllAvailable()
+      // advance both watermarks past every horizon so unmatched rows
+      // on BOTH sides are proven and emitted
+      clicks.addData(Click(8L, 999L, ts("2024-01-02 00:00:00")))
+      purchases.addData(Purchase(9L, 998L, ts("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("fojoin_out")
+        .filter(col("uid").isin(1L, 2L, 3L))
+        .collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows == Set((100L, 200L), (101L, -1L), (-1L, 201L)),
+        s"expected matched pair + click-only + purchase-only, got $rows")
+    } finally q.stop()
+  }
+
   test("transformWithState bounded buffer drops oldest until budget fits (O12)") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
