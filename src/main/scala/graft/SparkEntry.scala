@@ -177,6 +177,15 @@ object SparkEntry {
     "q_stream_full_outer"  -> (StreamingOps.qStreamFullOuter _),
     "q_json_roundtrip"     -> (Sinks.qJsonRoundtrip _),
     "q_kmeans_assign"      -> ((s, d) => VectorOps.qKmeansAssign(s, d)),
+    "q_zscore"             -> (StatsOps.qZscore _),
+    "q_autocorr"           -> (StatsOps.qAutocorr _),
+    "q_gini"               -> (StatsOps.qGini _),
+    "q_ttest"              -> (StatsOps.qTtest _),
+    "q_cooccur"            -> (StatsOps.qCooccur _),
+    "q_moving_median"      -> (StatsOps.qMovingMedian _),
+    "q_rfm"                -> (StatsOps.qRfm _),
+    "q_skyline"            -> (StatsOps.qSkyline _),
+    "q_geo_distance"       -> (StatsOps.qGeoDistance _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1804,5 +1813,126 @@ object SparkEntry {
         |  FROM scored)
         |SELECT vec_id, centroid_id, ROUND(sim, 4) AS sim
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q_zscore" ->
+      """WITH s AS (SELECT event_type, AVG(value) AS mu, stddev_samp(value) AS sigma
+        |           FROM events GROUP BY 1)
+        |SELECT event_id, event_type, ROUND(value, 2) AS value,
+        |       ROUND((value - mu) / sigma, 3) AS z
+        |FROM events JOIN s USING (event_type)
+        |WHERE ABS((value - mu) / sigma) > 3.0
+        |ORDER BY event_id""".stripMargin,
+
+    "q_autocorr" ->
+      """WITH t AS (SELECT user_id, value,
+        |                  LAG(value) OVER (PARTITION BY user_id
+        |                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_v
+        |           FROM events)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       ROUND(corr(value, prev_v), 4) AS lag1_corr
+        |FROM t WHERE prev_v IS NOT NULL
+        |GROUP BY user_id HAVING COUNT(*) >= 10
+        |ORDER BY user_id""".stripMargin,
+
+    "q_gini" ->
+      """WITH spend AS (SELECT o_custkey, SUM(o_totalprice) AS spend
+        |               FROM orders GROUP BY 1),
+        |j AS (SELECT c_mktsegment, c_custkey, spend
+        |      FROM spend JOIN customer ON o_custkey = c_custkey),
+        |r AS (SELECT c_mktsegment, spend,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |               ORDER BY spend, c_custkey) AS DOUBLE) AS i
+        |      FROM j)
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |       ROUND(2.0 * SUM(i * spend) / (COUNT(*) * SUM(spend))
+        |             - (COUNT(*) + 1.0) / COUNT(*), 4) AS gini
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ttest" ->
+      """WITH s AS (
+        |  SELECT COUNT(CASE WHEN event_type = 'purchase' THEN value END) AS n1,
+        |         AVG(CASE WHEN event_type = 'purchase' THEN value END) AS m1,
+        |         var_samp(CASE WHEN event_type = 'purchase' THEN value END) AS v1,
+        |         COUNT(CASE WHEN event_type = 'click' THEN value END) AS n2,
+        |         AVG(CASE WHEN event_type = 'click' THEN value END) AS m2,
+        |         var_samp(CASE WHEN event_type = 'click' THEN value END) AS v2
+        |  FROM events)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |       ROUND(m1 - m2, 4) AS mean_diff,
+        |       ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+        |       ROUND(POW(v1 / n1 + v2 / n2, 2) /
+        |             (POW(v1 / n1, 2) / (n1 - 1) + POW(v2 / n2, 2) / (n2 - 1)), 2) AS welch_df
+        |FROM s""".stripMargin,
+
+    "q_cooccur" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users FROM ut),
+        |m AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY 1),
+        |p AS (SELECT a.event_type AS t_a, b.event_type AS t_b,
+        |             CAST(COUNT(*) AS BIGINT) AS n_both
+        |      FROM ut a JOIN ut b
+        |        ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT t_a, t_b, n_both,
+        |       ROUND(n_both * n_users / (ma.n_t * mb.n_t), 4) AS lift
+        |FROM p CROSS JOIN n
+        |JOIN m ma ON ma.event_type = p.t_a
+        |JOIN m mb ON mb.event_type = p.t_b
+        |ORDER BY t_a, t_b""".stripMargin,
+
+    "q_moving_median" ->
+      """SELECT event_id, user_id,
+        |       ROUND(median(value) OVER (PARTITION BY user_id
+        |         ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 3) AS med5
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_rfm" ->
+      """WITH per AS (SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_day,
+        |                    CAST(COUNT(*) AS BIGINT) AS freq,
+        |                    SUM(o_totalprice) AS monetary
+        |             FROM orders GROUP BY 1),
+        |mx AS (SELECT MAX(last_day) AS max_day FROM per),
+        |t AS (SELECT o_custkey,
+        |             CAST(datediff('day', last_day, max_day) AS BIGINT) AS recency_days,
+        |             freq, monetary,
+        |             5 - NTILE(4) OVER (ORDER BY datediff('day', last_day, max_day), o_custkey) AS r,
+        |             NTILE(4) OVER (ORDER BY freq, o_custkey) AS f,
+        |             NTILE(4) OVER (ORDER BY monetary, o_custkey) AS m
+        |      FROM per CROSS JOIN mx)
+        |SELECT o_custkey AS custkey, recency_days, freq,
+        |       ROUND(monetary, 2) AS monetary,
+        |       CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f, CAST(m AS BIGINT) AS m,
+        |       CAST(r * 100 + f * 10 + m AS BIGINT) AS rfm
+        |FROM t ORDER BY custkey""".stripMargin,
+
+    "q_skyline" ->
+      """WITH t AS (SELECT o_orderkey,
+        |                  CAST(datediff('day', DATE '1970-01-01',
+        |                       CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |                  o_totalprice
+        |           FROM orders),
+        |r AS (SELECT o_orderkey, day, o_totalprice,
+        |             MAX(o_totalprice) OVER (ORDER BY day) AS runmax
+        |      FROM t)
+        |SELECT o_orderkey, day, ROUND(o_totalprice, 2) AS price
+        |FROM r WHERE o_totalprice = runmax
+        |ORDER BY day, o_orderkey""".stripMargin,
+
+    "q_geo_distance" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |t AS (SELECT user_id,
+        |             (user_id % 180 - 89.5) * pi() / 180 AS lat,
+        |             ((user_id * 7) % 360 - 179.5) * pi() / 180 AS lon
+        |      FROM u),
+        |d AS (SELECT user_id,
+        |             2 * 6371 * asin(sqrt(POW(sin(lat / 2), 2)
+        |               + cos(lat) * POW(sin(lon / 2), 2))) AS dist_km
+        |      FROM t)
+        |SELECT CAST(FLOOR(dist_km / 1000) AS BIGINT) AS ring,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users,
+        |       ROUND(MIN(dist_km), 1) AS min_km,
+        |       ROUND(MAX(dist_km), 1) AS max_km
+        |FROM d GROUP BY ring ORDER BY ring""".stripMargin,
   )
 }

@@ -1,0 +1,222 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical operators a data-quality / curation pipeline runs over
+  * event streams and the order book: anomaly scoring, sequence
+  * autocorrelation, inequality (Gini), two-sample testing, pair
+  * co-occurrence, moving medians, RFM segmentation, Pareto skylines,
+  * and geo distance. The reference has no aggregation surface at all
+  * (SURVEY.md §2b) — these extend its buffered streams with the
+  * second-order statistics the north star asks for.
+  *
+  * Scale shape: every operator reduces to (a) one shuffle on its
+  * natural key and (b) arithmetic over a group-cardinality-sized
+  * aggregate; no collects, no driver state, no cross-row loops.
+  */
+object StatsOps {
+  import Tables._
+
+  /** Z-score anomaly flags: per event type, mean/stddev of `value`
+    * are computed in one aggregate pass (5 rows) and broadcast back
+    * onto the stream, so the flagging filter is map-side — the same
+    * two-stage shape as qOutlierIqr but parametric. Rows with
+    * |z| > 3 survive; z is rounded after the filter. */
+  def qZscore(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val stats = e.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp("value").as("sigma"))
+    e.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"),
+        round(col("z"), 3).as("z"))
+      .orderBy("event_id")
+  }
+
+  /** Lag-1 autocorrelation of each user's value sequence: one window
+    * pass pairs v with its predecessor (user_id shuffle), then a
+    * plain corr aggregate per user — the periodicity probe for
+    * sensor/behavioral streams. Users with <10 pairs are dropped
+    * (corr is noise there). */
+  def qAutocorr(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("prev_v", lag("value", 1).over(w))
+      .filter(col("prev_v").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr(col("value"), col("prev_v")), 4).as("lag1_corr"))
+      .filter(col("n_pairs") >= 10)
+      .orderBy("user_id")
+  }
+
+  /** Gini coefficient of customer spend within each market segment —
+    * the inequality measure a sampling strategy balances against.
+    * Spend collapses to one row per customer first; the rank window
+    * and both sums then run on that |customers|-sized table. Formula:
+    * G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over ascending spend (ties
+    * broken by custkey; tied values make the formula order-
+    * invariant). */
+  def qGini(s: SparkSession, d: String): DataFrame = {
+    val spend = orders(s, d)
+      .groupBy("o_custkey").agg(sum("o_totalprice").as("spend"))
+    val seg = customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("spend"), col("c_custkey"))
+    spend.join(seg, col("o_custkey") === col("c_custkey"))
+      .withColumn("i", row_number().over(w).cast("double"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(
+          lit(2.0) * sum(col("i") * col("spend")) /
+            (count(lit(1)) * sum("spend")) -
+            (count(lit(1)) + lit(1.0)) / count(lit(1)), 4).as("gini"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Welch's two-sample t-test: do purchase events carry a different
+    * mean value than click events? Single conditional-aggregation
+    * pass (CASE inside avg/var_samp/count) — one scan, one 1-row
+    * result with the t statistic and Welch–Satterthwaite df. The
+    * A/B-test readout shape: at 100 TB this is still one partial-agg
+    * shuffle of 6 numbers. */
+  def qTtest(s: SparkSession, d: String): DataFrame = {
+    val a = when(col("event_type") === "purchase", col("value"))
+    val b = when(col("event_type") === "click", col("value"))
+    events(s, d)
+      .agg(
+        count(a).as("n1"), avg(a).as("m1"), var_samp(a).as("v1"),
+        count(b).as("n2"), avg(b).as("m2"), var_samp(b).as("v2"))
+      .select(
+        col("n1"), col("n2"),
+        round(col("m1") - col("m2"), 4).as("mean_diff"),
+        round((col("m1") - col("m2")) /
+          sqrt(col("v1") / col("n1") + col("v2") / col("n2")), 4).as("t_stat"),
+        round(
+          pow(col("v1") / col("n1") + col("v2") / col("n2"), 2) /
+            (pow(col("v1") / col("n1"), 2) / (col("n1") - 1) +
+             pow(col("v2") / col("n2"), 2) / (col("n2") - 1)), 2).as("welch_df"))
+  }
+
+  /** Event-type co-occurrence (market-basket over user sessions):
+    * which pairs of types the same user exhibits, with lift =
+    * P(a,b)/(P(a)·P(b)). The universe collapses to distinct
+    * (user, type) rows — |users|×5 — before the pair self-join, so
+    * the quadratic step runs on type-set-sized data, never raw
+    * events; the per-type marginals are broadcast. */
+  def qCooccur(s: SparkSession, d: String): DataFrame = {
+    val ut = events(s, d).select("user_id", "event_type").distinct()
+    val nUsers = ut.agg(countDistinct("user_id").cast("double").as("n_users"))
+    val marg = ut.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    val a = ut.toDF("user_id", "t_a")
+    val b = ut.toDF("user_id", "t_b")
+    a.join(b, "user_id")
+      .filter(col("t_a") < col("t_b"))
+      .groupBy("t_a", "t_b").agg(count(lit(1)).as("n_both"))
+      .join(broadcast(marg.toDF("t_a", "n_a")), "t_a")
+      .join(broadcast(marg.toDF("t_b", "n_b")), "t_b")
+      .crossJoin(broadcast(nUsers))
+      .select(col("t_a"), col("t_b"), col("n_both"),
+        round(col("n_both") * col("n_users") /
+          (col("n_a") * col("n_b")), 4).as("lift"))
+      .orderBy("t_a", "t_b")
+  }
+
+  /** Moving median of `value` over each user's trailing 5 events —
+    * the robust smoother a denoising pass prefers over moving
+    * averages. Exact: the 5-row frame is collected per row (bounded
+    * by the frame length, not the partition), sorted, and the median
+    * interpolated for even-length frames — matching quantile_cont
+    * semantics on both engines. */
+  def qMovingMedian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, 0)
+    val sorted = array_sort(collect_list("value").over(w))
+    val n = size(sorted)
+    val med = when(n % 2 === 1, element_at(sorted, ((n + 1) / 2).cast("int")))
+      .otherwise((element_at(sorted, (n / 2).cast("int")) +
+        element_at(sorted, (n / 2 + 1).cast("int"))) / 2.0)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("med5", round(med, 3))
+      .select("event_id", "user_id", "med5")
+      .orderBy("event_id")
+  }
+
+  /** RFM segmentation: per customer — Recency (days since last order,
+    * vs the global max date), Frequency (order count), Monetary
+    * (total spend) — each quartiled with ntile (custkey tie-break so
+    * both engines bucket identically), concatenated into the classic
+    * 3-digit segment. One shuffle to per-customer rows; the three
+    * ntile windows share one global sort each over |customers| rows. */
+  def qRfm(s: SparkSession, d: String): DataFrame = {
+    val per = orders(s, d)
+      .groupBy("o_custkey")
+      .agg(max(col("o_orderdate").cast("date")).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum("o_totalprice").as("monetary"))
+    def tile(c: Column, asc: Boolean): Column =
+      ntile(4).over(Window.orderBy(
+        (if (asc) c.asc else c.desc), col("o_custkey"))).cast("long")
+    per
+      .crossJoin(broadcast(per.agg(max("last_day").as("max_day"))))
+      .withColumn("recency_days",
+        datediff(col("max_day"), col("last_day")).cast("long"))
+      // recency: smaller = better = bucket 4; freq/monetary: bigger = 4
+      .withColumn("r", lit(5L) - tile(col("recency_days"), asc = true))
+      .withColumn("f", tile(col("freq"), asc = true))
+      .withColumn("m", tile(col("monetary"), asc = true))
+      .select(col("o_custkey").as("custkey"), col("recency_days"),
+        col("freq"), round(col("monetary"), 2).as("monetary"),
+        col("r"), col("f"), col("m"),
+        (col("r") * 100 + col("f") * 10 + col("m")).as("rfm"))
+      .orderBy("custkey")
+  }
+
+  /** Pareto skyline of the order book: orders not dominated on
+    * (earlier-or-equal date, strictly higher price). With dominance
+    * defined that way, a row is on the skyline iff its price equals
+    * the running max over all orders dated ≤ its date — one
+    * peer-inclusive RANGE window over the date axis. The global sort
+    * is a range-partitioned exchange; at 100 TB the same prefix-max
+    * decomposes into per-partition maxima + a broadcast prefix scan,
+    * which is exactly what Spark's window exec does after the range
+    * exchange. */
+  def qSkyline(s: SparkSession, d: String): DataFrame = {
+    val day = datediff(col("o_orderdate").cast("date"),
+      lit("1970-01-01").cast("date")).cast("long")
+    val w = Window.orderBy("day")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .select(col("o_orderkey"), day.as("day"), col("o_totalprice"))
+      .withColumn("runmax", max("o_totalprice").over(w))
+      .filter(col("o_totalprice") === col("runmax"))
+      .select(col("o_orderkey"), col("day"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy("day", "o_orderkey")
+  }
+
+  /** Haversine ring histogram: users are placed on a deterministic
+    * lat/lon grid derived from user_id (the fixture has no geo
+    * columns), distance to (0°,0°) is computed with the haversine
+    * formula, and users are bucketed into 1000 km rings. Pure
+    * map-side math + one 20-row aggregate; trig stays in doubles on
+    * both engines and the outputs are rounded. */
+  def qGeoDistance(s: SparkSession, d: String): DataFrame = {
+    val u = events(s, d).select("user_id").distinct()
+    val lat = (col("user_id") % 180 - 89.5) * math.Pi / 180.0
+    val lon = ((col("user_id") * 7) % 360 - 179.5) * math.Pi / 180.0
+    val dist = lit(2.0 * 6371.0) * asin(sqrt(
+      pow(sin(lat / 2), 2) + cos(lat) * pow(sin(lon / 2), 2)))
+    u.withColumn("dist_km", dist)
+      .groupBy(floor(col("dist_km") / 1000).cast("long").as("ring"))
+      .agg(count(lit(1)).as("n_users"),
+        round(min("dist_km"), 1).as("min_km"),
+        round(max("dist_km"), 1).as("max_km"))
+      .orderBy("ring")
+  }
+}
