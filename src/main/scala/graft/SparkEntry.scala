@@ -186,6 +186,10 @@ object SparkEntry {
     "q_rfm"                -> (StatsOps.qRfm _),
     "q_skyline"            -> (StatsOps.qSkyline _),
     "q_geo_distance"       -> (StatsOps.qGeoDistance _),
+    "q_vocab_build"        -> ((s, d) => CurationOps.qVocabBuild(s, d)),
+    "q_length_buckets"     -> (CurationOps.qLengthBuckets _),
+    "q_class_weights"      -> (CurationOps.qClassWeights _),
+    "q_dict_encode"        -> (CurationOps.qDictEncode _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1934,5 +1938,47 @@ object SparkEntry {
         |       ROUND(MIN(dist_km), 1) AS min_km,
         |       ROUND(MAX(dist_km), 1) AS max_km
         |FROM d GROUP BY ring ORDER BY ring""".stripMargin,
+
+    "q_vocab_build" ->
+      """WITH terms AS (SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS term
+        |               FROM documents),
+        |counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM terms GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM counts),
+        |top AS (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 200),
+        |r AS (SELECT term, n,
+        |             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS BIGINT) AS term_id,
+        |             SUM(n) OVER (ORDER BY n DESC, term ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM top)
+        |SELECT term_id, term, n, ROUND(cum / total, 4) AS cum_share
+        |FROM r CROSS JOIN tot ORDER BY term_id""".stripMargin,
+
+    "q_length_buckets" ->
+      """WITH n AS (SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |           FROM documents
+        |           WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 1),
+        |a AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM n)
+        |SELECT CAST(length(format('{:b}', n_tok)) - 1 AS BIGINT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok,
+        |       ROUND(AVG(n_tok), 2) AS avg_tok,
+        |       ROUND(COUNT(*) / n_total, 4) AS share
+        |FROM n CROSS JOIN a GROUP BY bucket, n_total ORDER BY bucket""".stripMargin,
+
+    "q_class_weights" ->
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS total,
+        |             CAST(COUNT(*) AS DOUBLE) AS k FROM c)
+        |SELECT lang, n_docs,
+        |       ROUND(total / (k * n_docs), 4) AS inv_freq_w,
+        |       ROUND((1.0 - 0.999) / (1.0 - POW(0.999, n_docs)), 6) AS cb_w
+        |FROM c CROSS JOIN t ORDER BY lang""".stripMargin,
+
+    "q_dict_encode" ->
+      """SELECT doc_id, source,
+        |       CAST(dense_rank() OVER (ORDER BY source) AS BIGINT) AS source_code,
+        |       lang,
+        |       CAST(dense_rank() OVER (ORDER BY lang) AS BIGINT) AS lang_code
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
