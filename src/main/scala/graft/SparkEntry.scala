@@ -190,6 +190,11 @@ object SparkEntry {
     "q_length_buckets"     -> (CurationOps.qLengthBuckets _),
     "q_class_weights"      -> (CurationOps.qClassWeights _),
     "q_dict_encode"        -> (CurationOps.qDictEncode _),
+    "q_multi_distinct"     -> (RelationalExt.qMultiDistinct _),
+    "q_copurchase"         -> (RelationalExt.qCopurchase _),
+    "q_nested_struct"      -> (RelationalExt.qNestedStruct _),
+    "q_weighted_median"    -> (RelationalExt.qWeightedMedian _),
+    "q_stream_chained"     -> (StreamingOps.qStreamChained _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1980,5 +1985,55 @@ object SparkEntry {
         |       lang,
         |       CAST(dense_rank() OVER (ORDER BY lang) AS BIGINT) AS lang_code
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multi_distinct" ->
+      """SELECT o_orderstatus,
+        |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+        |       CAST(COUNT(DISTINCT year(CAST(o_orderdate AS DATE))) AS BIGINT) AS n_years,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_copurchase" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS p_a, b.l_partkey AS p_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, p_a, p_b LIMIT 50""".stripMargin,
+
+    "q_nested_struct" ->
+      """SELECT o_custkey AS custkey,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       MIN(o_orderkey) AS first_orderkey,
+        |       MAX(o_orderkey) AS last_orderkey,
+        |       ROUND(SUM(o_totalprice), 2) AS arr_total
+        |FROM orders GROUP BY o_custkey ORDER BY custkey""".stripMargin,
+
+    "q_weighted_median" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_extendedprice, l_quantity,
+        |         SUM(l_quantity) OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |           ROWS UNBOUNDED PRECEDING) AS cumw,
+        |         SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |       CAST(MAX(tot) AS BIGINT) AS total_weight,
+        |       ROUND(MIN(l_extendedprice), 2) AS wmedian
+        |FROM t WHERE cumw >= tot / 2.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_stream_chained" ->
+      """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, event_type,
+        |                  CAST(COUNT(*) AS BIGINT) AS n_events, SUM(value) AS v
+        |           FROM events GROUP BY 1, 2)
+        |SELECT CAST(epoch(date_trunc('day', hr)) AS BIGINT) AS day_start, event_type,
+        |       CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |       CAST(MAX(n_events) AS BIGINT) AS peak_hour_events,
+        |       CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |       ROUND(SUM(v), 2) AS total_value
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

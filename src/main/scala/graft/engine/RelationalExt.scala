@@ -1,0 +1,90 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second relational module (round 5): planner shapes the core set
+  * does not yet exercise — multi-distinct Expand, order-blocked pair
+  * mining, nested-type construction/navigation, weighted quantiles.
+  */
+object RelationalExt {
+  import Tables._
+
+  /** Several COUNT(DISTINCT …) over different keys in one aggregate —
+    * Catalyst plans this with an Expand (one replicated stream per
+    * distinct key) feeding a single shuffle, not one job per
+    * distinct. The planning class q_agg_distinct's single distinct
+    * never touches. */
+  def qMultiDistinct(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        countDistinct("o_custkey").as("n_cust"),
+        countDistinct("o_orderpriority").as("n_prio"),
+        countDistinct(year(col("o_orderdate"))).as("n_years"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  /** Market-basket co-purchase mining: part pairs appearing in the
+    * same order. The pair generation is blocked by order — each order
+    * holds ~4 line items, so the self-join fan-out is Σ C(k,2) per
+    * order (linear in orders), never |lineitem|². Top-50 pairs by
+    * support via distributed top-k. */
+  def qCopurchase(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+    val a = li.toDF("l_orderkey", "p_a")
+    val b = li.toDF("l_orderkey", "p_b")
+    a.join(b, "l_orderkey")
+      .filter(col("p_a") < col("p_b"))
+      .groupBy("p_a", "p_b")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p_a"), col("p_b"))
+      .limit(50)
+  }
+
+  /** Nested-type construction + navigation: each customer's orders are
+    * collected into a sorted array of structs (the document shape the
+    * reference stringifies away, kafka/consumer.go:934-939 — Spark
+    * keeps it typed), then consumed with array navigation and a
+    * higher-order aggregate, never an explode. The per-customer array
+    * is order-count-bounded, so carrying the nested column is safe at
+    * any row count. */
+  def qNestedStruct(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg(array_sort(collect_list(
+        struct(col("o_orderkey"), col("o_totalprice")))).as("orders"))
+      .select(
+        col("o_custkey").as("custkey"),
+        size(col("orders")).cast("long").as("n_orders"),
+        col("orders")(0)("o_orderkey").as("first_orderkey"),
+        element_at(col("orders"), -1)("o_orderkey").as("last_orderkey"),
+        round(aggregate(col("orders"), lit(0.0),
+          (acc, x) => acc + x("o_totalprice")), 2).as("arr_total"))
+      .orderBy("custkey")
+
+  /** Weighted median: l_extendedprice weighted by l_quantity per
+    * return flag — the first price whose cumulative weight crosses
+    * half the total. Weights are integral doubles, so the running sum
+    * is exact and the crossing test cannot flap between engines. One
+    * window shuffle on the flag; the qualifying-set min is a plain
+    * aggregate on the same partitioning. */
+  def qWeightedMedian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("l_returnflag")
+    lineitem(s, d)
+      .select("l_returnflag", "l_extendedprice", "l_quantity",
+        "l_orderkey", "l_linenumber")
+      .withColumn("cumw", sum("l_quantity").over(w))
+      .withColumn("tot", sum("l_quantity").over(wAll))
+      .filter(col("cumw") >= col("tot") / 2.0)
+      .groupBy("l_returnflag")
+      .agg(
+        max(col("tot")).cast("long").as("total_weight"),
+        round(min("l_extendedprice"), 2).as("wmedian"))
+      .orderBy("l_returnflag")
+  }
+}

@@ -18,6 +18,17 @@ import org.apache.spark.sql.types.StructType
 object StreamingOps {
   import Tables._
 
+  /** Chained event-time aggregation (Spark 3.4+ multi-stateful-op
+    * support): hourly windows aggregate raw events, then a SECOND
+    * window() over the hourly window column rolls them up to days —
+    * in streaming, both stages keep watermark-bounded state and the
+    * daily row only emits once its hours are final. The batch form
+    * here is bit-identical; the daily stage's input is the hourly
+    * aggregate (|hours|×|types| rows), so the second shuffle is
+    * calendar-sized at any event volume. */
+  def qStreamChained(s: SparkSession, d: String): DataFrame =
+    streamingChained(events(s, d)).orderBy("day_start", "event_type")
+
   /** Event-time tumbling window + watermark (reference O9's 5s flush
     * timer generalized to event time). Output keyed by epoch seconds so
     * both engines hash identically. The groupBy(window) shuffles on
@@ -294,6 +305,28 @@ object StreamingOps {
       .select(
         unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n"), col("total_value"))
+
+  /** Streaming form of qStreamChained: two stateful window
+    * aggregations in one query (hour → day). Append mode — a daily
+    * row emits only after the watermark closes all of its hourly
+    * windows, which is exactly the multi-stateful-operator semantics
+    * Spark 3.4 added (window() applied to the upstream window
+    * column). */
+  def streamingChained(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("v"))
+      .groupBy(window(col("window"), "1 day"), col("event_type"))
+      .agg(
+        sum("n_events").cast("long").as("n_events"),
+        max("n_events").cast("long").as("peak_hour_events"),
+        count(lit(1)).as("n_hours"),
+        round(sum("v"), 2).as("total_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("day_start"),
+        col("event_type"), col("n_events"), col("peak_hour_events"),
+        col("n_hours"), col("total_value"))
 
   /** Input/output rows for the stateful TTL sessionizer. */
   final case class SessionEvent(key: String, ts: java.sql.Timestamp, value: Double)

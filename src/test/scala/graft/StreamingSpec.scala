@@ -344,6 +344,34 @@ class StreamingSpec extends SparkSuite {
       }
     }
   }
+
+  test("chained hour→day aggregation runs as one multi-stateful streaming query") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = StreamingOps.streamingChained(mem.toDF())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("chained_out").start()
+    try {
+      mem.addData(
+        Ev(ts("2024-01-01 10:05:00"), "click", 1.0),
+        Ev(ts("2024-01-01 10:55:00"), "click", 2.0),
+        Ev(ts("2024-01-01 11:05:00"), "click", 4.0))
+      q.processAllAvailable()
+      // day 2024-01-01 is still open — nothing emitted yet
+      assert(spark.table("chained_out").isEmpty)
+      // push the watermark past Jan 1 (delay 1h) to finalize the day
+      mem.addData(Ev(ts("2024-01-02 02:00:00"), "click", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("chained_out").collect()
+      assert(rows.length == 1, s"expected the closed day only: ${rows.mkString(";")}")
+      val r = rows.head
+      assert(r.getLong(0) == ts("2024-01-01 00:00:00").getTime / 1000)
+      assert(r.getLong(2) == 3L, "n_events over the day")
+      assert(r.getLong(3) == 2L, "peak hour had 2 events")
+      assert(r.getLong(4) == 2L, "two distinct hours")
+      assert(r.getDouble(5) == 7.0)
+    } finally q.stop()
+  }
 }
 
 case class Click(user_id: Long, click_id: Long, click_ts: Timestamp)
