@@ -195,6 +195,9 @@ object SparkEntry {
     "q_nested_struct"      -> (RelationalExt.qNestedStruct _),
     "q_weighted_median"    -> (RelationalExt.qWeightedMedian _),
     "q_stream_chained"     -> (StreamingOps.qStreamChained _),
+    "q_pmi"                -> ((s, d) => CurationOps.qPmi(s, d)),
+    "q_vector_quantize"    -> (VectorOps.qVectorQuantize _),
+    "q_triangle_count"     -> (RelationalExt.qTriangleCount _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2035,5 +2038,49 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_hours,
         |       ROUND(SUM(v), 2) AS total_value
         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_pmi" ->
+      """WITH tok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+        |u AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM (SELECT UNNEST(ts) AS w FROM tok) GROUP BY 1),
+        |nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_uni FROM u),
+        |b AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+        |      FROM (SELECT ts[i] AS w1, ts[i+1] AS w2
+        |            FROM tok, UNNEST(range(1, len(ts))) AS t(i))
+        |      GROUP BY 1, 2),
+        |nb AS (SELECT CAST(SUM(c_ab) AS DOUBLE) AS n_bi FROM b)
+        |SELECT w1 || ' ' || w2 AS bigram, c_ab,
+        |       ROUND(LN((c_ab / n_bi) / ((ua.c / n_uni) * (ub.c / n_uni))), 4) AS pmi
+        |FROM b JOIN u ua ON ua.w = b.w1 JOIN u ub ON ub.w = b.w2
+        |CROSS JOIN nu CROSS JOIN nb
+        |WHERE c_ab >= 5
+        |ORDER BY pmi DESC, bigram LIMIT 30""".stripMargin,
+
+    "q_vector_quantize" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, v,
+        |             list_max(list_transform(v, x -> abs(x))) AS max_abs,
+        |             127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+        |      FROM t)
+        |SELECT vec_id,
+        |       CAST(len(v) AS BIGINT) AS n_dims,
+        |       ROUND(max_abs, 6) AS max_abs,
+        |       CAST(list_sum(list_transform(v,
+        |            x -> CAST(abs(round(x * scale, 0)) AS BIGINT))) AS BIGINT) AS l1_quantized,
+        |       ROUND(sqrt(list_sum(list_transform(v,
+        |            x -> pow(x - round(x * scale, 0) / scale, 2)))), 6) AS recon_err
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q_triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |      FROM li a JOIN li b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |FROM e e1
+        |JOIN e e2 ON e1.pb = e2.pa
+        |JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+        |ORDER BY a, b, c""".stripMargin,
   )
 }

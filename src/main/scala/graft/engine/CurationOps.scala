@@ -80,6 +80,40 @@ object CurationOps {
       .orderBy("lang")
   }
 
+  /** Pointwise mutual information for bigram collocations: PMI =
+    * ln(P(ab) / (P(a)·P(b))) with unigram/bigram counts from one
+    * tokenize pass each, unigram marginals broadcast onto the bigram
+    * table twice. Min support 5 keeps noise out; ORDER BY uses the
+    * ROUNDED score (ties broken by bigram) so both engines sort
+    * identically. The collocation detector a tokenizer-merge step
+    * (BPE-ish) runs over a corpus. */
+  def qPmi(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d).select(toks.as("ts"))
+    val uni = tok.select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nUni = uni.agg(sum("c").cast("double").as("n_uni"))
+    val bi = tok
+      .select(explode(zip_with(
+        slice(col("ts"), lit(1), greatest(size(col("ts")) - 1, lit(0))),
+        slice(col("ts"), lit(2), greatest(size(col("ts")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val nBi = bi.agg(sum("c_ab").cast("double").as("n_bi"))
+    bi.filter(col("c_ab") >= 5)
+      .join(broadcast(uni.toDF("w1", "c_a")), "w1")
+      .join(broadcast(uni.toDF("w2", "c_b")), "w2")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .select(
+        concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("c_ab"),
+        round(log((col("c_ab") / col("n_bi")) /
+          ((col("c_a") / col("n_uni")) * (col("c_b") / col("n_uni")))), 4)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(30)
+  }
+
   /** Dictionary-encode the low-cardinality columns (source, lang)
     * into dense int codes: each dimension is a distinct-scan sorted
     * once (dim-cardinality-sized), then broadcast-joined back — the

@@ -64,6 +64,29 @@ object RelationalExt {
           (acc, x) => acc + x("o_totalprice")), 2).as("arr_total"))
       .orderBy("custkey")
 
+  /** Triangle count over the co-purchase graph (edges = part pairs in
+    * ≥2 common orders): the canonical distributed graph primitive.
+    * Edges are kept in canonical a<b form, so each triangle is
+    * enumerated exactly once by the two-hop join e1(a,b)⋈e2(b,c)
+    * closed by e3(a,c). The support threshold bounds the edge list
+    * (graph-sized, not fact-sized); at 100 TB the same three-way
+    * equi-join shuffles on edge endpoints — the standard
+    * vertex-ordered triangle algorithm. */
+  def qTriangleCount(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+    val e = li.toDF("k", "pa").join(li.toDF("k", "pb"), "k")
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select("pa", "pb")
+    val e1 = e.toDF("a", "b")
+    val e2 = e.toDF("b", "c")
+    val e3 = e.toDF("a", "c")
+    e1.join(e2, "b").join(e3, Seq("a", "c"))
+      .select("a", "b", "c")
+      .orderBy("a", "b", "c")
+  }
+
   /** Weighted median: l_extendedprice weighted by l_quantity per
     * return flag — the first price whose cumulative weight crosses
     * half the total. Weights are integral doubles, so the running sum

@@ -307,4 +307,29 @@ object VectorOps {
       .select(col("vec_id"), col("centroid_id"), round(col("sim"), 4).as("sim"))
       .orderBy("vec_id")
   }
+
+  /** Symmetric int8 scalar quantization of the embedding column —
+    * the compression step an ANN index applies before storing
+    * vectors (4× smaller than float32). Per vector: scale =
+    * 127/max|xᵢ|, qᵢ = round(xᵢ·scale), plus the L2 reconstruction
+    * error — all higher-order functions over the array, zero UDFs,
+    * one map-side pass at any corpus size. */
+  def qVectorQuantize(s: SparkSession, d: String): DataFrame = {
+    val xs = transform(col("embedding"), x => x.cast("double"))
+    val maxAbs = aggregate(xs, lit(0.0), (a, x) => greatest(a, abs(x)))
+    embeddings(s, d)
+      .select(col("vec_id"), xs.as("v"), maxAbs.as("max_abs"))
+      .withColumn("scale", lit(127.0) / col("max_abs"))
+      .select(
+        col("vec_id"),
+        size(col("v")).cast("long").as("n_dims"),
+        round(col("max_abs"), 6).as("max_abs"),
+        aggregate(col("v"), lit(0L),
+          (a, x) => a + abs(round(x * col("scale"), 0)).cast("long"))
+          .as("l1_quantized"),
+        round(sqrt(aggregate(col("v"), lit(0.0),
+          (a, x) => a + pow(x - round(x * col("scale"), 0) / col("scale"), 2))), 6)
+          .as("recon_err"))
+      .orderBy("vec_id")
+  }
 }
