@@ -1832,7 +1832,7 @@ object SparkEntry {
         |SELECT event_id, event_type, ROUND(value, 2) AS value,
         |       ROUND((value - mu) / sigma, 3) AS z
         |FROM events JOIN s USING (event_type)
-        |WHERE ABS((value - mu) / sigma) > 3.0
+        |WHERE sigma > 0 AND ABS((value - mu) / sigma) > 3.0
         |ORDER BY event_id""".stripMargin,
 
     "q_autocorr" ->
@@ -1998,7 +1998,10 @@ object SparkEntry {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_copurchase" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      """WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |li AS (SELECT l_orderkey, l_partkey FROM
+        |         (SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS bsz FROM li0)
+        |       WHERE bsz <= 120)
         |SELECT a.l_partkey AS p_a, b.l_partkey AS p_b,
         |       CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM li a JOIN li b
@@ -2060,7 +2063,8 @@ object SparkEntry {
       """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id, v,
         |             list_max(list_transform(v, x -> abs(x))) AS max_abs,
-        |             127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+        |             CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+        |                  ELSE 127.0 / list_max(list_transform(v, x -> abs(x))) END AS scale
         |      FROM t)
         |SELECT vec_id,
         |       CAST(len(v) AS BIGINT) AS n_dims,
@@ -2072,7 +2076,10 @@ object SparkEntry {
         |FROM q ORDER BY vec_id""".stripMargin,
 
     "q_triangle_count" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      """WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |li AS (SELECT l_orderkey, l_partkey FROM
+        |         (SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS bsz FROM li0)
+        |       WHERE bsz <= 120),
         |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
         |      FROM li a JOIN li b
         |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey

@@ -82,8 +82,11 @@ object CurationOps {
 
   /** Pointwise mutual information for bigram collocations: PMI =
     * ln(P(ab) / (P(a)·P(b))) with unigram/bigram counts from one
-    * tokenize pass each, unigram marginals broadcast onto the bigram
-    * table twice. Min support 5 keeps noise out; ORDER BY uses the
+    * tokenize pass each, unigram marginals shuffle-joined onto the
+    * bigram table twice on their word keys (the unigram table is
+    * vocabulary-sized — broadcasting it would OOM at 100 TB; AQE
+    * still broadcasts when it genuinely fits). Only the two 1-row
+    * totals are broadcast. Min support 5 keeps noise out; ORDER BY uses the
     * ROUNDED score (ties broken by bigram) so both engines sort
     * identically. The collocation detector a tokenizer-merge step
     * (BPE-ish) runs over a corpus. */
@@ -101,8 +104,8 @@ object CurationOps {
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
     val nBi = bi.agg(sum("c_ab").cast("double").as("n_bi"))
     bi.filter(col("c_ab") >= 5)
-      .join(broadcast(uni.toDF("w1", "c_a")), "w1")
-      .join(broadcast(uni.toDF("w2", "c_b")), "w2")
+      .join(uni.toDF("w1", "c_a"), "w1")
+      .join(uni.toDF("w2", "c_b"), "w2")
       .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
       .select(
         concat_ws(" ", col("w1"), col("w2")).as("bigram"),

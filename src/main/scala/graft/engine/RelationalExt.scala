@@ -11,6 +11,17 @@ import org.apache.spark.sql.functions._
 object RelationalExt {
   import Tables._
 
+  /** Skew valve for order-blocked pair mining (q_copurchase,
+    * q_triangle_count): orders with more than this many distinct
+    * parts are dropped before the pair self-join, bounding per-order
+    * fan-out to C(K,2) = 7,140 pairs. TPC-H orders hold ≤7 line
+    * items, so the valve is inert on the fixtures (property-tested);
+    * at 100 TB it is the guard that keeps one pathological mega-order
+    * (a crawler cart, a bulk upload) from emitting quadratic pairs on
+    * a single shuffle key — the same bucket-size guard the LSH dedup
+    * family applies to its band buckets. */
+  val MaxBasketSize = 120
+
   /** Several COUNT(DISTINCT …) over different keys in one aggregate —
     * Catalyst plans this with an Expand (one replicated stream per
     * distinct key) feeding a single shuffle, not one job per
@@ -30,9 +41,13 @@ object RelationalExt {
     * same order. The pair generation is blocked by order — each order
     * holds ~4 line items, so the self-join fan-out is Σ C(k,2) per
     * order (linear in orders), never |lineitem|². Top-50 pairs by
-    * support via distributed top-k. */
+    * support via distributed top-k. Baskets larger than
+    * [[MaxBasketSize]] are dropped first (skew valve, see above). */
   def qCopurchase(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("l_orderkey")))
+      .filter(col("bsz") <= MaxBasketSize)
+      .select("l_orderkey", "l_partkey")
     val a = li.toDF("l_orderkey", "p_a")
     val b = li.toDF("l_orderkey", "p_b")
     a.join(b, "l_orderkey")
@@ -53,15 +68,20 @@ object RelationalExt {
   def qNestedStruct(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .groupBy("o_custkey")
-      .agg(array_sort(collect_list(
-        struct(col("o_orderkey"), col("o_totalprice")))).as("orders"))
+      .agg(
+        array_sort(collect_list(
+          struct(col("o_orderkey"), col("o_totalprice")))).as("orders"),
+        // summed in the aggregate (not an ordered array fold) so both
+        // engines accumulate in the same arbitrary-order SUM semantics
+        // — an ordered fold can land on the other side of the 2-decimal
+        // rounding boundary on adversarial fixtures
+        sum("o_totalprice").as("tot"))
       .select(
         col("o_custkey").as("custkey"),
         size(col("orders")).cast("long").as("n_orders"),
         col("orders")(0)("o_orderkey").as("first_orderkey"),
         element_at(col("orders"), -1)("o_orderkey").as("last_orderkey"),
-        round(aggregate(col("orders"), lit(0.0),
-          (acc, x) => acc + x("o_totalprice")), 2).as("arr_total"))
+        round(col("tot"), 2).as("arr_total"))
       .orderBy("custkey")
 
   /** Triangle count over the co-purchase graph (edges = part pairs in
@@ -71,14 +91,27 @@ object RelationalExt {
     * closed by e3(a,c). The support threshold bounds the edge list
     * (graph-sized, not fact-sized); at 100 TB the same three-way
     * equi-join shuffles on edge endpoints — the standard
-    * vertex-ordered triangle algorithm. */
+    * vertex-ordered triangle algorithm. The edge list is derived
+    * through a distinct + self-join + aggregate pipeline, so it is
+    * localCheckpoint'd (eager) once and the three-way join reads the
+    * materialized partitions instead of recomputing that pipeline
+    * three times (same lineage-truncation pattern as qDedupCluster).
+    * Orders with more than [[RelationalExt.MaxBasketSize]] distinct
+    * parts are dropped before pairing — the skew valve that bounds
+    * per-order fan-out to C(K,2) (a pathological mega-order would
+    * otherwise emit quadratically many pairs on one key). */
   def qTriangleCount(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
-    val e = li.toDF("k", "pa").join(li.toDF("k", "pb"), "k")
+    val bounded = li.withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy("l_orderkey")))
+      .filter(col("bsz") <= MaxBasketSize)
+      .select("l_orderkey", "l_partkey")
+    val e = bounded.toDF("k", "pa").join(bounded.toDF("k", "pb"), "k")
       .filter(col("pa") < col("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)
       .select("pa", "pb")
+      .localCheckpoint(true)
     val e1 = e.toDF("a", "b")
     val e2 = e.toDF("b", "c")
     val e3 = e.toDF("a", "c")

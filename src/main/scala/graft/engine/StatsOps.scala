@@ -23,12 +23,16 @@ object StatsOps {
     * are computed in one aggregate pass (5 rows) and broadcast back
     * onto the stream, so the flagging filter is map-side — the same
     * two-stage shape as qOutlierIqr but parametric. Rows with
-    * |z| > 3 survive; z is rounded after the filter. */
+    * |z| > 3 survive; z is rounded after the filter. Degenerate
+    * groups (σ = 0, a constant-valued type) are filtered explicitly
+    * — division by zero is NULL in Spark but ±inf in DuckDB, so both
+    * the op and the oracle exclude them by construction. */
   def qZscore(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
     val stats = e.groupBy("event_type")
       .agg(avg("value").as("mu"), stddev_samp("value").as("sigma"))
     e.join(broadcast(stats), "event_type")
+      .filter(col("sigma") > 0)
       .withColumn("z", (col("value") - col("mu")) / col("sigma"))
       .filter(abs(col("z")) > 3.0)
       .select(col("event_id"), col("event_type"),
@@ -180,20 +184,25 @@ object StatsOps {
   /** Pareto skyline of the order book: orders not dominated on
     * (earlier-or-equal date, strictly higher price). With dominance
     * defined that way, a row is on the skyline iff its price equals
-    * the running max over all orders dated ≤ its date — one
-    * peer-inclusive RANGE window over the date axis. The global sort
-    * is a range-partitioned exchange; at 100 TB the same prefix-max
-    * decomposes into per-partition maxima + a broadcast prefix scan,
-    * which is exactly what Spark's window exec does after the range
-    * exchange. */
+    * the running max over all orders dated ≤ its date. The raw
+    * orders are first collapsed to a per-day max (one hash shuffle
+    * on day, map-side-combinable), so the unpartitioned prefix-max
+    * window runs on a CALENDAR-sized table (~2.4k rows for 7 years),
+    * not the fact table — Spark funnels an unpartitioned window into
+    * one task, which is only safe on bounded input. The fact rows
+    * then broadcast-join the calendar-sized threshold back on. */
   def qSkyline(s: SparkSession, d: String): DataFrame = {
     val day = datediff(col("o_orderdate").cast("date"),
       lit("1970-01-01").cast("date")).cast("long")
-    val w = Window.orderBy("day")
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    orders(s, d)
+    val base = orders(s, d)
       .select(col("o_orderkey"), day.as("day"), col("o_totalprice"))
-      .withColumn("runmax", max("o_totalprice").over(w))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val threshold = base.groupBy("day")
+      .agg(max("o_totalprice").as("dmax"))
+      .withColumn("runmax", max("dmax").over(w))
+      .select("day", "runmax")
+    base.join(broadcast(threshold), "day")
       .filter(col("o_totalprice") === col("runmax"))
       .select(col("o_orderkey"), col("day"),
         round(col("o_totalprice"), 2).as("price"))

@@ -114,3 +114,11 @@ final class StreamStore(
       scan(spark, t).foreach(_.createOrReplaceTempView(t.replaceAll("[^A-Za-z0-9_]", "_")))
     }
 }
+
+object StreamStore {
+  /** Config-driven constructor (O26): byte budget + TTL from one
+    * [[GraftConfig]], clock still injectable for deterministic tests. */
+  def apply(cfg: GraftConfig,
+            now: () => Long = () => System.currentTimeMillis()): StreamStore =
+    new StreamStore(cfg.bufferLimitBytes, cfg.ttlMillis, now)
+}

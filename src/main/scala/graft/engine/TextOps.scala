@@ -703,9 +703,12 @@ object TextOps {
     * ranking-grade upgrade of q_tfidf. Document length and term
     * frequency come out of ONE (doc, term) aggregation (dl is derived
     * from tf, so ReuseExchange shares the tokenize+explode shuffle);
-    * df and the corpus stats are broadcast. Scores are ordered
-    * unrounded (identical doubles in both engines) and rounded only
-    * for output. */
+    * the 1-row corpus stats are broadcast, but the document-frequency
+    * table is vocabulary-sized, so it joins on its `term` key with NO
+    * broadcast hint — at 100 TB a vocab broadcast is a multi-GB OOM
+    * risk, while AQE still picks broadcast when df actually fits.
+    * Scores are ordered unrounded (identical doubles in both engines)
+    * and rounded only for output. */
   def qBm25(s: SparkSession, d: String, topK: Int = 3): DataFrame = {
     val terms = documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
@@ -717,7 +720,7 @@ object TextOps {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val scored = tf
       .join(dl, "doc_id")
-      .join(broadcast(dfreq), "term")
+      .join(dfreq, "term")
       .crossJoin(broadcast(stats))
       .withColumn("score",
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *

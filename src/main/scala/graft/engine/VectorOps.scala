@@ -313,13 +313,18 @@ object VectorOps {
     * vectors (4× smaller than float32). Per vector: scale =
     * 127/max|xᵢ|, qᵢ = round(xᵢ·scale), plus the L2 reconstruction
     * error — all higher-order functions over the array, zero UDFs,
-    * one map-side pass at any corpus size. */
+    * one map-side pass at any corpus size. An all-zero embedding
+    * (max_abs = 0) gets scale = 1: its quantized values and recon
+    * error are exactly 0 instead of the NaN that 127/0 would smear
+    * differently across engines. */
   def qVectorQuantize(s: SparkSession, d: String): DataFrame = {
     val xs = transform(col("embedding"), x => x.cast("double"))
     val maxAbs = aggregate(xs, lit(0.0), (a, x) => greatest(a, abs(x)))
     embeddings(s, d)
       .select(col("vec_id"), xs.as("v"), maxAbs.as("max_abs"))
-      .withColumn("scale", lit(127.0) / col("max_abs"))
+      .withColumn("scale",
+        when(col("max_abs") === 0.0, lit(1.0))
+          .otherwise(lit(127.0) / col("max_abs")))
       .select(
         col("vec_id"),
         size(col("v")).cast("long").as("n_dims"),

@@ -35,4 +35,34 @@ class CurationMoreSpec extends SparkSuite {
     tri.foreach { case (a, b, c) => assert(a < b && b < c) }
     assert(tri.distinct.length == tri.length, "each triangle exactly once")
   }
+
+  test("vocab-sized tables join WITHOUT a broadcast hint (bm25 df, pmi unigrams)") {
+    // A broadcast() on a vocabulary-sized side is an OOM at 100 TB; the
+    // hint must be absent from the LOGICAL plan (AQE may still pick a
+    // broadcast strategy at this sf — that's fine, it's size-driven).
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedHint}
+    def hintCount(p: LogicalPlan): Int =
+      p.collect { case h: UnresolvedHint => h }.size
+    // qBm25: only the 1-row corpus-stats crossJoin may carry a hint
+    val bm25Hints = hintCount(
+      graft.engine.TextOps.qBm25(spark, sf).queryExecution.logical)
+    assert(bm25Hints <= 1, s"qBm25 has $bm25Hints broadcast hints; only the 1-row stats crossJoin is allowed")
+    // qPmi: only the two 1-row total crossJoins may carry hints
+    val pmiHints = hintCount(
+      CurationOps.qPmi(spark, sf).queryExecution.logical)
+    assert(pmiHints <= 2, s"qPmi has $pmiHints broadcast hints; only the two 1-row total crossJoins are allowed")
+  }
+
+  test("basket-size skew valve is inert on the fixture (property: output stable)") {
+    // MaxBasketSize bounds pair fan-out per order; TPC-H orders hold ≤7
+    // items so the valve must not change fixture output.
+    import org.apache.spark.sql.functions._
+    val li = graft.engine.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct()
+    val maxBasket = li.groupBy("l_orderkey").count()
+      .agg(max("count")).first().getLong(0)
+    assert(maxBasket <= RelationalExt.MaxBasketSize,
+      s"fixture basket $maxBasket exceeds valve ${RelationalExt.MaxBasketSize} — valve would alter output")
+    assert(RelationalExt.MaxBasketSize == 120, "documented constant")
+  }
 }
