@@ -646,6 +646,10 @@ object SparkEntry {
         |WHERE e.vec_id <> 0
         |ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
 
+    // Generated SQL: the fixed-seed hyperplane constants are embedded,
+    // so bucket assignment + multiprobe + top-k replay end-to-end.
+    "q_ann_lsh" -> VectorOps.annLshOracleSql(),
+
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id, lang AS labeled_lang, text,
         |                  regexp_split_to_array(trim(lower(text)), '\s+') AS toks

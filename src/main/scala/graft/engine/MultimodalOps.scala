@@ -44,12 +44,44 @@ object MultimodalOps {
         (col("doc_id") % 3 + 1).cast("int")).as("mime"),
       col("text").cast("binary").as("payload"))
 
+  /** REAL image decode for image mimes via `javax.imageio` (JDK
+    * builtin — zero added deps). Header-only: width/height/bands come
+    * from the format reader WITHOUT decoding pixel data, so a 50 MB
+    * JPEG costs a few hundred header bytes of work — the property
+    * that matters when this runs over billions of images. Returns
+    * None when no installed reader recognizes the payload (then the
+    * caller falls back to the stub — audio/video have no JDK codec).
+    * `ImageIO.setUseCache(false)` keeps executors from writing temp
+    * cache files per image. */
+  def decodeImageHeader(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          val w = r.getWidth(0)
+          val h = r.getHeight(0)
+          val types = r.getImageTypes(0)
+          val bands = if (types.hasNext) types.next().getNumBands else 3
+          Some((w, h, bands))
+        } finally r.dispose()
+      }
+    } catch { case _: Exception => None }
+    finally iis.close()
+  }
+
   // ======================= STUB DECODER ========================== //
-  // Deterministic FAKE media decode: properties are derived from the
-  // payload bytes via FNV-1a so tests are reproducible. A real
-  // implementation replaces ONLY this function with a codec call
-  // (e.g. javax.imageio / ffmpeg bindings); the Spark plumbing around
-  // it is unchanged.
+  // Deterministic FAKE media decode for the mimes the JDK has no
+  // codec for (audio/video) and for payloads no reader recognizes:
+  // properties are derived from the payload bytes via FNV-1a so tests
+  // are reproducible. A real implementation replaces ONLY this
+  // function with a codec call (ffmpeg bindings etc.); the Spark
+  // plumbing around it is unchanged.
   def stubDecode(payload: Array[Byte]): (Int, Int, Int, Long) = {
     var h = 0xcbf29ce484222325L
     var i = 0
@@ -67,15 +99,24 @@ object MultimodalOps {
   /** Decode stage: per-partition batch iteration over typed rows —
     * the Scala analog of a vectorized Python `mapInPandas` (one
     * decoder init per PARTITION, amortized across its rows, which is
-    * the property that matters for a real codec). */
+    * the property that matters for a real codec). Image-mime payloads
+    * go through the REAL javax.imageio header decode (duration 0 —
+    * stills have none); everything else, plus unreadable image
+    * payloads, falls back to the deterministic stub. */
   def decodeAssets(assets: DataFrame): Dataset[DecodedAsset] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.select("asset_id", "mime", "payload").as[Asset]
       .mapPartitions { it =>
-        // real decoder: initialize codec context here, once per partition
+        // real decoder: codec context initialized here, once per partition
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { a =>
-          val (w, h, c, dur) = stubDecode(a.payload)
+          val real =
+            if (a.mime.startsWith("image/")) decodeImageHeader(a.payload) else None
+          val (w, h, c, dur) = real match {
+            case Some((iw, ih, bands)) => (iw, ih, bands, 0L)
+            case None                  => stubDecode(a.payload)
+          }
           DecodedAsset(a.asset_id, a.mime, a.payload.length.toLong, w, h, c, dur)
         }
       }

@@ -95,6 +95,18 @@ final class StreamStore(
   def currentBytes(topic: String): Long =
     synchronized { streams.get(topic).map(_.currentBytes).getOrElse(0L) }
 
+  /** Batch-granular snapshot for the Arrow serving layer
+    * (FlightServe.doGet): the buffered batches with their boundaries
+    * preserved — the reference streams one Arrow RecordBatch per
+    * buffered batch (flight/server.go:171-208), not one merged blob.
+    * Refreshes the TTL clock like any read. */
+  def batchesOf(topic: String): Option[(StructType, Seq[Seq[Row]])] = synchronized {
+    streams.get(topic).map { e =>
+      e.lastUpdated = now()
+      (e.schema, e.batches.map(_.rows).toSeq)
+    }
+  }
+
   /** Full-scan serve (flight/server.go:171-208): snapshot all buffered
     * batches as a DataFrame and refresh the TTL clock (reads keep
     * streams alive, stream/manager.go:381). */

@@ -337,4 +337,37 @@ object VectorOps {
           .as("recon_err"))
       .orderBy("vec_id")
   }
+
+  /** DuckDB oracle for qAnnLsh: the hyperplanes are deterministic
+    * (fixed seed), so their 8×64 double constants are EMBEDDED in the
+    * generated SQL — bucket assignment, 1-bit multiprobe (xor), the
+    * bucket join, cosine scoring, and the per-query top-k are all
+    * replayed exactly in DuckDB list ops. Assumes the fixture's
+    * 64-dim embeddings (TESTDATA.md). Doubles are emitted via
+    * Double.toString, which round-trips bit-exactly through DuckDB's
+    * literal parser. */
+  def annLshOracleSql(k: Int = 10): String = {
+    val planes = hyperplanes(8, 64)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n        + ")
+    val masks = (Seq(0L) ++ planes.indices.map(i => 1L << i)).mkString(", ")
+    s"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |        $bucket AS bucket
+       |      FROM t),
+       |q AS (SELECT b.vec_id AS q_id, b.v AS qv, xor(b.bucket, m.m) AS bucket
+       |      FROM b, (SELECT UNNEST([$masks]) AS m) m
+       |      WHERE b.vec_id < 10),
+       |c AS (SELECT q.q_id, i.vec_id,
+       |             ROUND(list_cosine_similarity(q.qv, i.v), 6) AS cos_sim
+       |      FROM q JOIN b i ON i.bucket = q.bucket
+       |      WHERE q.q_id <> i.vec_id),
+       |r AS (SELECT q_id, vec_id, cos_sim,
+       |             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |               ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn
+       |      FROM c)
+       |SELECT q_id, vec_id, cos_sim, rn FROM r WHERE rn <= $k
+       |ORDER BY q_id, rn""".stripMargin
+  }
 }

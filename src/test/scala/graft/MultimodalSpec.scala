@@ -3,10 +3,51 @@ package graft
 import graft.engine.MultimodalOps
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing: the decode is a documented stub, so these
-  * tests pin the PLUMBING contracts — schema, determinism, fan-out
-  * shape, feature-vector shape — not codec behavior. */
+/** Multimodal plumbing: image decode is REAL (javax.imageio,
+  * header-only); audio/video decode remains a documented stub. Tests
+  * pin both the codec behavior on synthesized images and the
+  * PLUMBING contracts — schema, determinism, fan-out shape,
+  * feature-vector shape. */
 class MultimodalSpec extends SparkSuite {
+
+  /** Encode a solid WxH image with the JDK encoder — known-good bytes
+    * for the decode assertions. */
+  private def imageBytes(w: Int, h: Int, format: String,
+                         imgType: Int = java.awt.image.BufferedImage.TYPE_INT_RGB): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, imgType)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, 0x3366cc)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  test("real PNG/JPEG decode: width/height/bands from known bytes (javax.imageio)") {
+    assert(MultimodalOps.decodeImageHeader(imageBytes(1, 1, "png")) == Some((1, 1, 3)))
+    assert(MultimodalOps.decodeImageHeader(imageBytes(7, 3, "png")) == Some((7, 3, 3)))
+    assert(MultimodalOps.decodeImageHeader(imageBytes(16, 9, "jpg")) == Some((16, 9, 3)))
+    // grayscale PNG carries 1 band
+    assert(MultimodalOps.decodeImageHeader(imageBytes(4, 4, "png",
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)) == Some((4, 4, 1)))
+    // non-image bytes: no reader claims them → None (stub fallback)
+    assert(MultimodalOps.decodeImageHeader("plain text".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("decodeAssets routes image/* through the real codec, rest through the stub") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "image/png", imageBytes(5, 2, "png")),
+      (2L, "image/jpeg", imageBytes(8, 8, "jpg")),
+      (3L, "audio/wav", Array[Byte](1, 2, 3, 4)),
+      (4L, "image/png", "not actually a png".getBytes("UTF-8"))) // honest fallback
+    val df = rows.toDF("asset_id", "mime", "payload")
+    val out = MultimodalOps.decodeAssets(df).collect().map(a => a.asset_id -> a).toMap
+    assert(out(1L).width == 5 && out(1L).height == 2 && out(1L).duration_ms == 0L)
+    assert(out(2L).width == 8 && out(2L).height == 8 && out(2L).channels == 3)
+    // audio: stub ranges (no JDK codec)
+    assert(out(3L).width >= 160 && out(3L).duration_ms >= 1000L)
+    // unreadable image payload: stub, not a crash
+    assert(out(4L).width >= 160)
+  }
 
   test("asset table carries binary payloads with typed metadata") {
     val a = MultimodalOps.assetTable(spark, sf)
