@@ -198,6 +198,13 @@ object SparkEntry {
     "q_pmi"                -> ((s, d) => CurationOps.qPmi(s, d)),
     "q_vector_quantize"    -> (VectorOps.qVectorQuantize _),
     "q_triangle_count"     -> (RelationalExt.qTriangleCount _),
+    "q_ewma"               -> (StatsOps.qEwma _),
+    "q_mad"                -> (StatsOps.qMad _),
+    "q_benford"            -> (StatsOps.qBenford _),
+    "q_ab_test"            -> (StatsOps.qAbTest _),
+    "q_pagerank_iter"      -> (RelationalExt.qPagerankIter _),
+    "q_time_to_event"      -> (AnalyticsOps.qTimeToEvent _),
+    "q_term_drift"         -> (CurationOps.qTermDrift _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -649,6 +656,93 @@ object SparkEntry {
     // Generated SQL: the fixed-seed hyperplane constants are embedded,
     // so bucket assignment + multiprobe + top-k replay end-to-end.
     "q_ann_lsh" -> VectorOps.annLshOracleSql(),
+
+    "q_ewma" ->
+      """WITH t AS (SELECT event_id, user_id, value,
+        |  LAG(value, 1) OVER w AS v1, LAG(value, 2) OVER w AS v2,
+        |  LAG(value, 3) OVER w AS v3, LAG(value, 4) OVER w AS v4
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+        |SELECT event_id, user_id, ROUND(value, 2) AS value,
+        |  ROUND((
+        |     (CASE WHEN value IS NOT NULL THEN value * 1.0 ELSE 0.0 END
+        |    + CASE WHEN v1 IS NOT NULL THEN v1 * 0.5 ELSE 0.0 END
+        |    + CASE WHEN v2 IS NOT NULL THEN v2 * 0.25 ELSE 0.0 END
+        |    + CASE WHEN v3 IS NOT NULL THEN v3 * 0.125 ELSE 0.0 END
+        |    + CASE WHEN v4 IS NOT NULL THEN v4 * 0.0625 ELSE 0.0 END)
+        |  / (CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END
+        |    + CASE WHEN v1 IS NOT NULL THEN 0.5 ELSE 0.0 END
+        |    + CASE WHEN v2 IS NOT NULL THEN 0.25 ELSE 0.0 END
+        |    + CASE WHEN v3 IS NOT NULL THEN 0.125 ELSE 0.0 END
+        |    + CASE WHEN v4 IS NOT NULL THEN 0.0625 ELSE 0.0 END)), 4) AS ewma
+        |FROM t ORDER BY event_id""".stripMargin,
+
+    "q_mad" ->
+      """WITH m AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+        |a AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+        |      FROM events e JOIN m USING (event_type))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(MAX(med), 4) AS median_value,
+        |       ROUND(median(adev), 4) AS mad
+        |FROM a GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_benford" ->
+      """WITH d AS (SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1) AS digit
+        |           FROM orders),
+        |t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM d)
+        |SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(COUNT(*) / total, 4) AS share,
+        |       ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 4) AS benford
+        |FROM d, t GROUP BY digit, total ORDER BY digit""".stripMargin,
+
+    "q_ab_test" ->
+      """WITH s AS (SELECT
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+        |  CAST(SUM(CASE WHEN event_type = 'click' AND value > 100 THEN 1 ELSE 0 END) AS DOUBLE) AS ca,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+        |  CAST(SUM(CASE WHEN event_type = 'view' AND value > 100 THEN 1 ELSE 0 END) AS DOUBLE) AS cb
+        |  FROM events WHERE event_type IN ('click', 'view'))
+        |SELECT CAST(na AS BIGINT) AS n_click, CAST(ca AS BIGINT) AS conv_click,
+        |       CAST(nb AS BIGINT) AS n_view, CAST(cb AS BIGINT) AS conv_view,
+        |       ROUND(ca / na, 4) AS p_click,
+        |       ROUND(cb / nb, 4) AS p_view,
+        |       ROUND((ca / na - cb / nb) /
+        |             sqrt(((ca + cb) / (na + nb)) * (1.0 - (ca + cb) / (na + nb)) *
+        |                  (1.0 / na + 1.0 / nb)), 4) AS z
+        |FROM s""".stripMargin,
+
+    "q_pagerank_iter" ->
+      """WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+        |o AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY 1)
+        |SELECT e.dst AS suppkey, CAST(COUNT(*) AS BIGINT) AS in_deg,
+        |       ROUND(0.15 + 0.85 * SUM(1.0 / o.deg), 4) AS pagerank
+        |FROM e JOIN o USING (src)
+        |GROUP BY e.dst
+        |ORDER BY pagerank DESC, suppkey LIMIT 100""".stripMargin,
+
+    "q_time_to_event" ->
+      """WITH t AS (SELECT user_id,
+        |  MIN(CASE WHEN event_type = 'signup' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_s,
+        |  MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_p
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, (t_p - t_s) AS micros_to_convert
+        |FROM t
+        |WHERE t_s IS NOT NULL AND t_p IS NOT NULL AND t_p >= t_s
+        |ORDER BY user_id""".stripMargin,
+
+    "q_term_drift" ->
+      """WITH tok AS (SELECT doc_id % 2 = 0 AS half_a,
+        |                    UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
+        |             FROM documents),
+        |f AS (SELECT w, CAST(SUM(CASE WHEN half_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+        |             CAST(SUM(CASE WHEN NOT half_a THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+        |      FROM tok GROUP BY w),
+        |t AS (SELECT CAST(SUM(c_a) AS DOUBLE) AS n_a, CAST(SUM(c_b) AS DOUBLE) AS n_b FROM f)
+        |SELECT w AS term, c_a, c_b,
+        |       ROUND(LN(((c_a + 1.0) / (n_a + 1.0)) / ((c_b + 1.0) / (n_b + 1.0))), 4) AS drift
+        |FROM f, t
+        |WHERE c_a + c_b >= 10
+        |ORDER BY abs(drift) DESC, term LIMIT 30""".stripMargin,
 
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id, lang AS labeled_lang, text,

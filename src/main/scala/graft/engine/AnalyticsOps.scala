@@ -371,4 +371,20 @@ object AnalyticsOps {
           .otherwise(col("s_value")), 2).as("value"))
       .orderBy("user_id")
   }
+
+  /** Time-to-event: per user, microseconds from first signup to first
+    * purchase (users with both, purchase not before signup) — the
+    * survival-analysis / conversion-latency primitive. ONE
+    * conditional-min aggregation pass (no join, no window); µs
+    * integer arithmetic end-to-end so both engines subtract exact
+    * longs (same discipline as qTimeWeightedAvg). */
+  def qTimeToEvent(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", unix_micros(col("ts")))).as("t_s"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("t_p"))
+      .filter(col("t_s").isNotNull && col("t_p").isNotNull && col("t_p") >= col("t_s"))
+      .select(col("user_id"), (col("t_p") - col("t_s")).as("micros_to_convert"))
+      .orderBy("user_id")
 }

@@ -135,4 +135,27 @@ object CurationOps {
       .select("doc_id", "source", "source_code", "lang", "lang_code")
       .orderBy("doc_id")
   }
+
+  /** Term drift between two corpus halves (doc_id parity): smoothed
+    * log-ratio of term frequencies — the distribution-shift screen a
+    * training pipeline runs between crawl snapshots before mixing
+    * them. One tokenize+explode, one term aggregate with BOTH halves
+    * as conditional sums (no self-join of the corpus), 1-row totals
+    * broadcast; top-30 movers by |drift|. */
+  def qTermDrift(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select((col("doc_id") % 2 === 0).as("half_a"), explode(toks).as("w"))
+    val freq = tok.groupBy("w").agg(
+      sum(when(col("half_a"), 1L).otherwise(0L)).as("c_a"),
+      sum(when(!col("half_a"), 1L).otherwise(0L)).as("c_b"))
+    val totals = freq.agg(
+      sum("c_a").cast("double").as("n_a"), sum("c_b").cast("double").as("n_b"))
+    freq.filter(col("c_a") + col("c_b") >= 10)
+      .crossJoin(broadcast(totals))
+      .select(col("w").as("term"), col("c_a"), col("c_b"),
+        round(log(((col("c_a") + 1.0) / (col("n_a") + 1.0)) /
+                  ((col("c_b") + 1.0) / (col("n_b") + 1.0))), 4).as("drift"))
+      .orderBy(abs(col("drift")).desc, col("term"))
+      .limit(30)
+  }
 }

@@ -143,4 +143,26 @@ object RelationalExt {
         round(min("l_extendedprice"), 2).as("wmedian"))
       .orderBy("l_returnflag")
   }
+
+  /** One PageRank power-iteration step over the part→supplier supply
+    * graph (uniform prior 1.0, damping 0.85): the push model — each
+    * source splits its mass across its out-edges, sinks sum what
+    * arrives. Exactly the join+aggregate shape an iterative
+    * distributed PageRank repeats per round (the edge list shuffles
+    * on src once for the degree, once on dst for the sum; at scale
+    * pre-partitioning edges by src makes the degree join
+    * exchange-free). Top-100 by rounded rank, key tie-break. */
+  def qPagerankIter(s: SparkSession, d: String): DataFrame = {
+    val e = lineitem(s, d)
+      .select(col("l_partkey").as("src"), col("l_suppkey").as("dst")).distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+    e.join(outdeg, "src")
+      .groupBy("dst")
+      .agg(
+        count(lit(1)).as("in_deg"),
+        round(lit(0.15) + lit(0.85) * sum(lit(1.0) / col("deg")), 4).as("pagerank"))
+      .select(col("dst").as("suppkey"), col("in_deg"), col("pagerank"))
+      .orderBy(col("pagerank").desc, col("suppkey"))
+      .limit(100)
+  }
 }

@@ -228,4 +228,99 @@ object StatsOps {
         round(max("dist_km"), 1).as("max_km"))
       .orderBy("ring")
   }
+
+  /** Exponentially weighted moving average (decay 0.5) over each
+    * user's value sequence, as an EXPLICIT 5-term lag composition:
+    * the fixed-depth form keeps the weights exact binary fractions
+    * (1, .5, .25, .125, .0625 — no pow() drift), keeps the additions
+    * in a deterministic left-to-right order both engines share, and
+    * avoids the pow(a,row_number) reformulation that overflows on
+    * long sequences. One window shuffle on user_id; everything else
+    * is map-side. Partial leading windows renormalize by the weights
+    * actually present. */
+  def qEwma(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val weights = Seq(1.0, 0.5, 0.25, 0.125, 0.0625)
+    val terms = weights.zipWithIndex.map { case (wt, i) =>
+      val v = if (i == 0) col("value") else lag("value", i).over(w)
+      (when(v.isNotNull, v * wt).otherwise(lit(0.0)),
+       when(v.isNotNull, lit(wt)).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    events(s, d)
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("value"),
+        round(num / den, 4).as("ewma"))
+      .orderBy("event_id")
+  }
+
+  /** Median absolute deviation per event type — the robust spread
+    * measure the z-score family (qZscore) is fragile without. Two
+    * exact-median passes: per-type median (5-row dim, broadcast
+    * back), then median of absolute deviations on the same
+    * event_type partitioning. */
+  def qMad(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val med = e.groupBy("event_type").agg(median(col("value")).as("med"))
+    e.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(max("med"), 4).as("median_value"),
+        round(median(col("adev")), 4).as("mad"))
+      .orderBy("event_type")
+  }
+
+  /** Benford first-digit audit of the order book — the classic
+    * anomaly screen for fabricated numeric data (a curation gate for
+    * scraped tabular corpora). The leading digit comes from the
+    * DECIMAL(12,2) string form (exact; no log10-of-double boundary
+    * flap at powers of ten), shares are compared to the Benford
+    * expectation log10(1+1/d). One map-side projection + a 9-row
+    * aggregate. */
+  def qBenford(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val digit = substring(
+      col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+        .cast("string"), 1, 1)
+    o.select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(o.agg(count(lit(1)).cast("double").as("total"))))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("total"), 4).as("share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 4)
+          .as("benford"))
+      .orderBy("digit")
+  }
+
+  /** Two-proportion z-test (pooled) between click and view events,
+    * conversion = value > 100 — the A/B significance readout. ONE
+    * conditional-aggregation pass over the filtered stream (same
+    * single-pass shape as qTtest), scalar math on the 1-row result.
+    * Division/sqrt order matches the oracle exactly. */
+  def qAbTest(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).filter(col("event_type").isin("click", "view"))
+    def cnt(t: String, conv: Boolean): Column = {
+      val base = col("event_type") === t
+      sum(when(if (conv) base && col("value") > 100 else base, 1L).otherwise(0L))
+        .cast("double")
+    }
+    e.agg(
+      cnt("click", conv = false).as("na"), cnt("click", conv = true).as("ca"),
+      cnt("view", conv = false).as("nb"), cnt("view", conv = true).as("cb"))
+      .select(
+        col("na").cast("long").as("n_click"),
+        col("ca").cast("long").as("conv_click"),
+        col("nb").cast("long").as("n_view"),
+        col("cb").cast("long").as("conv_view"),
+        round(col("ca") / col("na"), 4).as("p_click"),
+        round(col("cb") / col("nb"), 4).as("p_view"),
+        round(
+          (col("ca") / col("na") - col("cb") / col("nb")) /
+            sqrt(((col("ca") + col("cb")) / (col("na") + col("nb"))) *
+              (lit(1.0) - (col("ca") + col("cb")) / (col("na") + col("nb"))) *
+              (lit(1.0) / col("na") + lit(1.0) / col("nb"))), 4).as("z"))
+  }
 }
