@@ -656,6 +656,7 @@ object SparkEntry {
     // Generated SQL: the fixed-seed hyperplane constants are embedded,
     // so bucket assignment + multiprobe + top-k replay end-to-end.
     "q_ann_lsh" -> VectorOps.annLshOracleSql(),
+    "q_embed_cosine_dup" -> VectorOps.embedCosineDupOracleSql(),
 
     "q_ewma" ->
       """WITH t AS (SELECT event_id, user_id, value,

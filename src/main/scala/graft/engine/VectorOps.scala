@@ -346,12 +346,21 @@ object VectorOps {
     * 64-dim embeddings (TESTDATA.md). Doubles are emitted via
     * Double.toString, which round-trips bit-exactly through DuckDB's
     * literal parser. */
-  def annLshOracleSql(k: Int = 10): String = {
-    val planes = hyperplanes(8, 64)
-    val bucket = planes.zipWithIndex.map { case (p, i) =>
+  /** DuckDB bucket expression over a DOUBLE[] column named `v` with
+    * the fixed-seed plane constants embedded (shared by the two
+    * LSH-family oracle builders). */
+  private def duckBucketSql(planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_dot_product(v, [${p.mkString(", ")}]) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("\n        + ")
-    val masks = (Seq(0L) ++ planes.indices.map(i => 1L << i)).mkString(", ")
+
+  private def duckMaskList(nPlanes: Int): String =
+    (Seq(0L) ++ (0 until nPlanes).map(i => 1L << i)).mkString(", ")
+
+  def annLshOracleSql(k: Int = 10): String = {
+    val planes = hyperplanes(8, 64)
+    val bucket = duckBucketSql(planes)
+    val masks = duckMaskList(planes.length)
     s"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |b AS (SELECT vec_id, v,
        |        $bucket AS bucket
@@ -369,5 +378,36 @@ object VectorOps {
        |      FROM c)
        |SELECT q_id, vec_id, cos_sim, rn FROM r WHERE rn <= $k
        |ORDER BY q_id, rn""".stripMargin
+  }
+
+  /** DuckDB oracle for qEmbedCosineDup: the planted perturbation
+    * (first float component × 1.01f — exact float arithmetic both
+    * sides), the 8-plane bucket assignment, the 1-bit multiprobe, and
+    * the blocked cosine verify all replay with the plane constants
+    * embedded — the full block-then-verify near-dup pipeline
+    * hash-checked end to end. */
+  def embedCosineDupOracleSql(threshold: Double = 0.95): String = {
+    val planes = hyperplanes(8, 64)
+    val bucket = duckBucketSql(planes)
+    val masks = duckMaskList(planes.length)
+    s"""WITH base AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |pert AS (SELECT vec_id + 1000000 AS vec_id,
+       |                list_concat([CAST(e[1] * CAST(1.01 AS REAL) AS REAL)], e[2:]) AS e
+       |         FROM base),
+       |corpus AS (SELECT vec_id, e, CAST(e AS DOUBLE[]) AS v FROM base
+       |           UNION ALL
+       |           SELECT vec_id, e, CAST(e AS DOUBLE[]) AS v FROM pert),
+       |b AS (SELECT vec_id, e, v,
+       |        $bucket AS bucket
+       |      FROM corpus),
+       |probes AS (SELECT xor(b.bucket, m.m) AS bucket, b.vec_id AS id_a, b.v AS va
+       |           FROM b, (SELECT UNNEST([$masks]) AS m) m),
+       |cand AS (SELECT p.id_a, r.vec_id AS id_b,
+       |                ROUND(list_cosine_similarity(p.va, r.v), 6) AS cos_sim
+       |         FROM probes p JOIN b r ON r.bucket = p.bucket
+       |         WHERE p.id_a < r.vec_id)
+       |SELECT id_a, id_b, cos_sim FROM cand
+       |WHERE cos_sim >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
   }
 }
