@@ -205,6 +205,9 @@ object SparkEntry {
     "q_pagerank_iter"      -> (RelationalExt.qPagerankIter _),
     "q_time_to_event"      -> (AnalyticsOps.qTimeToEvent _),
     "q_term_drift"         -> (CurationOps.qTermDrift _),
+    "q_tpch_q1"            -> (TpchOps.qTpchQ1 _),
+    "q_tpch_q3"            -> (TpchOps.qTpchQ3 _),
+    "q_tpch_q6"            -> (TpchOps.qTpchQ6 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -658,6 +661,27 @@ object SparkEntry {
     "q_ann_lsh" -> VectorOps.annLshOracleSql(),
     "q_embed_cosine_dup" -> VectorOps.embedCosineDupOracleSql(),
 
+    // The multimodal stub decoder is deterministic FNV-1a over the
+    // payload bytes — and FNV-1a replays EXACTLY in DuckDB via
+    // list_reduce over code points (fixture text is pure ASCII, so
+    // code points == UTF-8 bytes) with HUGEINT mod-2^64 arithmetic
+    // and explicit sign-extension for Scala's arithmetic >> shifts.
+    // That turns the stub's determinism into a checkable contract.
+    "q_multimodal_meta" -> (MultimodalOps.fnvOracleCommonSql +
+      """
+        |SELECT mime, CAST(COUNT(*) AS BIGINT) AS n_assets,
+        |       CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+        |       ROUND(AVG(w), 2) AS avg_width,
+        |       ROUND(AVG(dur), 2) AS avg_duration_ms
+        |FROM d GROUP BY mime ORDER BY mime""".stripMargin),
+
+    "q_frame_sample" -> (MultimodalOps.fnvOracleCommonSql +
+      """,
+        |f AS (SELECT asset_id, CAST(UNNEST(range(0, dur // 10000 + 1)) AS BIGINT) AS frame_no
+        |      FROM d WHERE mime = 'video/mp4')
+        |SELECT asset_id, frame_no, frame_no * 10000 AS ts_ms
+        |FROM f ORDER BY asset_id, frame_no""".stripMargin),
+
     "q_ewma" ->
       """WITH t AS (SELECT event_id, user_id, value,
         |  LAG(value, 1) OVER w AS v1, LAG(value, 2) OVER w AS v2,
@@ -730,6 +754,44 @@ object SparkEntry {
         |FROM t
         |WHERE t_s IS NOT NULL AND t_p IS NOT NULL AND t_p >= t_s
         |ORDER BY user_id""".stripMargin,
+
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(l_quantity) AS BIGINT)                   AS sum_qty,
+        |       ROUND(SUM(l_extendedprice), 2)                    AS sum_base_price,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |       ROUND(AVG(l_quantity), 4)      AS avg_qty,
+        |       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+        |       ROUND(AVG(l_discount), 4)      AS avg_disc,
+        |       CAST(COUNT(*) AS BIGINT)       AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS TIMESTAMP) <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS order_date
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND CAST(l_shipdate AS TIMESTAMP)  > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d')
+        |ORDER BY revenue DESC, order_date, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND CAST(l_shipdate AS TIMESTAMP) <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "q_term_drift" ->
       """WITH tok AS (SELECT doc_id % 2 = 0 AS half_a,

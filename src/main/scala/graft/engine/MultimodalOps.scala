@@ -32,6 +32,35 @@ object MultimodalOps {
       asset_id: Long, mime: String, byte_len: Long,
       width: Int, height: Int, channels: Int, duration_ms: Long)
 
+  /** Shared CTE prefix for the multimodal DuckDB oracles: rebuilds the
+    * asset table (mime assignment, byte length) and replays the
+    * FNV-1a stub decode exactly — list_reduce over code points
+    * (fixture text is ASCII, so code point == byte), multiply-mod-2^64
+    * in HUGEINT, xor on the low byte, and sign-extended emulation of
+    * Scala's arithmetic `>>` for the duration field. Yields CTE `d`:
+    * (asset_id, mime, byte_len, w, dur). */
+  val fnvOracleCommonSql: String =
+    """WITH a AS (SELECT doc_id AS asset_id,
+      |             (['image/png','audio/wav','video/mp4'])[CAST(doc_id % 3 + 1 AS INT)] AS mime,
+      |             text, CAST(length(text) AS BIGINT) AS byte_len
+      |           FROM documents),
+      |h AS (SELECT asset_id, mime, byte_len,
+      |        list_reduce(
+      |          list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |            list_transform(range(1, length(text)+1), i -> CAST(unicode(text[i]) AS HUGEINT))),
+      |          (acc, b) -> ((acc - acc % 256 + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT)) * 1099511628211)
+      |                      % CAST(18446744073709551616 AS HUGEINT)) AS u
+      |      FROM a),
+      |d AS (SELECT asset_id, mime, byte_len,
+      |        160 + CAST(abs((CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+      |                             THEN u - CAST(18446744073709551616 AS HUGEINT) ELSE u END) % 8) AS BIGINT) * 160 AS w,
+      |        1000 + CAST(abs((CASE WHEN (u // 65536 + CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+      |                                                      THEN CAST(18446744073709551616 AS HUGEINT) - CAST(281474976710656 AS HUGEINT) ELSE 0 END)
+      |                                    >= CAST(9223372036854775808 AS HUGEINT)
+      |                         THEN (u // 65536 + CAST(18446744073709551616 AS HUGEINT) - CAST(281474976710656 AS HUGEINT)) - CAST(18446744073709551616 AS HUGEINT)
+      |                         ELSE u // 65536 END) % 60000) AS BIGINT) AS dur
+      |      FROM h)""".stripMargin
+
   /** Build an asset table from the documents fixture: text bytes play
     * the role of media payloads; mime is assigned deterministically.
     * In production this is `spark.read.format("binaryFile")` or a
