@@ -675,6 +675,8 @@ object SparkEntry {
         |       ROUND(AVG(dur), 2) AS avg_duration_ms
         |FROM d GROUP BY mime ORDER BY mime""".stripMargin),
 
+    "q_media_embed" -> MultimodalOps.mediaEmbedOracleSql,
+
     "q_frame_sample" -> (MultimodalOps.fnvOracleCommonSql +
       """,
         |f AS (SELECT asset_id, CAST(UNNEST(range(0, dur // 10000 + 1)) AS BIGINT) AS frame_no

@@ -61,6 +61,47 @@ object MultimodalOps {
       |                         ELSE u // 65536 END) % 60000) AS BIGINT) AS dur
       |      FROM h)""".stripMargin
 
+  /** DuckDB oracle for qMediaEmbed: replays the FNV-derived feature
+    * fold exactly. The per-position prefix hash is computed with a
+    * RECURSIVE CTE (one iteration advances every asset one byte — no
+    * struct accumulators, which DuckDB's list_reduce mis-evaluates
+    * beyond its first 128 rows); float32 accumulation order is
+    * reproduced by folding each slot's deltas in position order with
+    * a CAST-to-REAL after every add. Bounded by [[FeatureBytes]]. */
+  lazy val mediaEmbedOracleSql: String = {
+    val two63 = "CAST(9223372036854775808 AS HUGEINT)"
+    val two64 = "CAST(18446744073709551616 AS HUGEINT)"
+    s"""WITH RECURSIVE a AS (SELECT doc_id AS asset_id,
+       |             list_transform(range(1, least(length(text), $FeatureBytes) + 1),
+       |                            k -> CAST(unicode(text[k]) AS HUGEINT)) AS bs
+       |           FROM documents),
+       |r AS (
+       |  SELECT asset_id, 0 AS pos, CAST(14695981039346656037 AS HUGEINT) AS h FROM a
+       |  UNION ALL
+       |  SELECT r.asset_id, r.pos + 1,
+       |         ((r.h - r.h % 256 + CAST(xor(CAST(r.h % 256 AS BIGINT), CAST(a.bs[r.pos + 1] AS BIGINT)) AS HUGEINT)) * 1099511628211) % $two64
+       |  FROM r JOIN a ON a.asset_id = r.asset_id
+       |  WHERE r.pos < len(a.bs)
+       |),
+       |ds AS (SELECT asset_id, pos, (pos - 1) % 16 AS slot,
+       |         CAST(CAST((CASE WHEN h >= $two63 THEN h - $two64 ELSE h END) % 1000 AS REAL)
+       |              / CAST(1000 AS REAL) AS REAL) AS delta
+       |       FROM r WHERE pos >= 1),
+       |sf AS (SELECT asset_id, slot,
+       |         list_reduce(list_prepend(CAST(0 AS REAL), list(delta ORDER BY pos)),
+       |                     (x, y) -> CAST(x + y AS REAL)) AS fv
+       |       FROM ds GROUP BY asset_id, slot),
+       |slots AS (SELECT asset_id, UNNEST(range(0, 16)) AS slot FROM a),
+       |sfull AS (SELECT s.asset_id, s.slot, COALESCE(sf.fv, CAST(0 AS REAL)) AS fv
+       |          FROM slots s LEFT JOIN sf ON sf.asset_id = s.asset_id AND sf.slot = s.slot),
+       |folded AS (SELECT asset_id, list(fv ORDER BY slot) AS f FROM sfull GROUP BY asset_id),
+       |q AS (SELECT CAST(f AS DOUBLE[]) AS qf FROM folded WHERE asset_id = 0)
+       |SELECT folded.asset_id,
+       |       ROUND(list_cosine_similarity(CAST(folded.f AS DOUBLE[]), q.qf), 6) AS cos_sim
+       |FROM folded, q WHERE folded.asset_id <> 0
+       |ORDER BY cos_sim DESC, asset_id LIMIT 10""".stripMargin
+  }
+
   /** Build an asset table from the documents fixture: text bytes play
     * the role of media payloads; mime is assigned deterministically.
     * In production this is `spark.read.format("binaryFile")` or a
@@ -154,7 +195,14 @@ object MultimodalOps {
   /** Feature-extraction stage: fixed-dim deterministic fake embedding
     * from payload bytes (stub; a real model call has the same
     * signature). Emitted as Array[Float] — the same column shape the
-    * VectorOps ANN/near-dup family consumes. */
+    * VectorOps ANN/near-dup family consumes. Only the first
+    * [[FeatureBytes]] payload bytes feed the fingerprint: per-asset
+    * cost is CONSTANT regardless of media size (a 4 GB video costs
+    * the same as a thumbnail), which is what keeps the feature pass
+    * scan-bound at 100 TB — and what keeps the differential oracle's
+    * replay of this fold bounded. */
+  val FeatureBytes = 256
+
   def extractFeatures(assets: DataFrame, dim: Int = 16): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
@@ -164,7 +212,8 @@ object MultimodalOps {
           val f = new Array[Float](dim)
           var h = 0xcbf29ce484222325L
           var i = 0
-          while (i < payload.length) {
+          val n = math.min(payload.length, FeatureBytes)
+          while (i < n) {
             h ^= payload(i) & 0xffL; h *= 0x100000001b3L
             f(i % dim) += ((h % 1000L) / 1000.0f)
             i += 1
