@@ -208,6 +208,12 @@ object SparkEntry {
     "q_tpch_q1"            -> (TpchOps.qTpchQ1 _),
     "q_tpch_q3"            -> (TpchOps.qTpchQ3 _),
     "q_tpch_q6"            -> (TpchOps.qTpchQ6 _),
+    "q_fk_audit"           -> (QualityOps.qFkAudit _),
+    "q_key_uniqueness"     -> (QualityOps.qKeyUniqueness _),
+    "q_null_profile"       -> (QualityOps.qNullProfile _),
+    "q_range_audit"        -> (QualityOps.qRangeAudit _),
+    "q_order_reconcile"    -> (QualityOps.qOrderReconcile _),
+    "q_freshness"          -> (QualityOps.qFreshness _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -794,6 +800,100 @@ object SparkEntry {
         |  AND CAST(l_shipdate AS TIMESTAMP) <  TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.03 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "q_fk_audit" ->
+      """SELECT fk_edge, n_orphans, n_checked FROM (
+        |  SELECT 'lineitem->orders' AS fk_edge,
+        |         CAST((SELECT COUNT(*) FROM lineitem l
+        |               WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                                 WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_orphans,
+        |         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_checked
+        |  UNION ALL
+        |  SELECT 'orders->customer',
+        |         CAST((SELECT COUNT(*) FROM orders o
+        |               WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                                 WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+        |         CAST((SELECT COUNT(*) FROM orders) AS BIGINT))
+        |ORDER BY fk_edge""".stripMargin,
+
+    "q_key_uniqueness" ->
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |                  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+        |                  CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_rows
+        |           FROM (SELECT COUNT(*) AS n FROM customer GROUP BY c_custkey)),
+        |l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |             CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+        |             CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_rows
+        |      FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)),
+        |o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |             CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+        |             CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_rows
+        |      FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey))
+        |SELECT 'customer.c_custkey' AS key, * FROM c
+        |UNION ALL SELECT 'lineitem.(l_orderkey,l_linenumber)', * FROM l
+        |UNION ALL SELECT 'orders.o_orderkey', * FROM o
+        |ORDER BY key""".stripMargin,
+
+    "q_null_profile" ->
+      """WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_n,
+        |  CAST(SUM(CASE WHEN trim(CAST(o_orderkey AS VARCHAR)) = '' THEN 1 ELSE 0 END) AS BIGINT) AS k_b,
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_n,
+        |  CAST(SUM(CASE WHEN trim(CAST(o_custkey AS VARCHAR)) = '' THEN 1 ELSE 0 END) AS BIGINT) AS c_b,
+        |  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_n,
+        |  CAST(SUM(CASE WHEN trim(CAST(o_orderstatus AS VARCHAR)) = '' THEN 1 ELSE 0 END) AS BIGINT) AS s_b,
+        |  CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_n,
+        |  CAST(SUM(CASE WHEN trim(CAST(o_totalprice AS VARCHAR)) = '' THEN 1 ELSE 0 END) AS BIGINT) AS t_b,
+        |  CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_n,
+        |  CAST(SUM(CASE WHEN trim(CAST(o_orderdate AS VARCHAR)) = '' THEN 1 ELSE 0 END) AS BIGINT) AS d_b,
+        |  CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_n,
+        |  CAST(SUM(CASE WHEN trim(CAST(o_orderpriority AS VARCHAR)) = '' THEN 1 ELSE 0 END) AS BIGINT) AS p_b
+        |  FROM orders)
+        |SELECT 'o_custkey' AS "column", c_n AS n_null, c_b AS n_blank, n_rows FROM a
+        |UNION ALL SELECT 'o_orderdate', d_n, d_b, n_rows FROM a
+        |UNION ALL SELECT 'o_orderkey', k_n, k_b, n_rows FROM a
+        |UNION ALL SELECT 'o_orderpriority', p_n, p_b, n_rows FROM a
+        |UNION ALL SELECT 'o_orderstatus', s_n, s_b, n_rows FROM a
+        |UNION ALL SELECT 'o_totalprice', t_n, t_b, n_rows FROM a
+        |ORDER BY "column"""".stripMargin,
+
+    "q_range_audit" ->
+      """WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+        |  CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |  CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |  CAST(SUM(CASE WHEN l_tax < 0 OR l_tax > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |  CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE) < DATE '1995-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS v4
+        |  FROM lineitem)
+        |SELECT 'discount in [0,0.1]' AS rule, v2 AS n_violations, n_rows FROM a
+        |UNION ALL SELECT 'price > 0', v1, n_rows FROM a
+        |UNION ALL SELECT 'quantity in [1,50]', v0, n_rows FROM a
+        |UNION ALL SELECT 'ship after 1994', v4, n_rows FROM a
+        |UNION ALL SELECT 'tax in [0,0.08]', v3, n_rows FROM a
+        |ORDER BY rule""".stripMargin,
+
+    "q_order_reconcile" ->
+      """WITH lt AS (SELECT l_orderkey AS o_orderkey,
+        |                   SUM(l_extendedprice * (1.0 + l_tax) * (1.0 - l_discount)) AS line_total
+        |            FROM lineitem GROUP BY 1)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders FROM (
+        |  SELECT CASE
+        |    WHEN line_total IS NULL THEN 'no_lineitems'
+        |    WHEN CAST(ROUND(o_totalprice * 100) AS BIGINT) = CAST(ROUND(line_total * 100) AS BIGINT)
+        |      THEN 'exact_cents'
+        |    WHEN ABS(o_totalprice - line_total) <= o_totalprice * 0.01 THEN 'within_1pct'
+        |    ELSE 'mismatch' END AS bucket
+        |  FROM orders LEFT JOIN lt USING (o_orderkey))
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_freshness" ->
+      """WITH t AS (SELECT event_type,
+        |                  MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS newest_us,
+        |                  CAST(COUNT(*) AS BIGINT) AS n_events
+        |           FROM events GROUP BY 1),
+        |h AS (SELECT MAX(newest_us) AS hwm_us FROM t)
+        |SELECT event_type, n_events, (hwm_us - newest_us) AS lag_us
+        |FROM t, h ORDER BY event_type""".stripMargin,
 
     "q_term_drift" ->
       """WITH tok AS (SELECT doc_id % 2 = 0 AS half_a,

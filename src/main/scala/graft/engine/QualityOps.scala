@@ -1,0 +1,150 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality audit operators — the validation layer a training-data
+  * pipeline runs over raw tables before anything downstream trusts
+  * them: referential integrity, key uniqueness, null/blank profiling,
+  * domain-range checks, cross-table reconciliation, and freshness.
+  * The reference ships no quality surface at all; these are the
+  * checks its buffered streams would need before the relational sink
+  * is queryable in anger.
+  *
+  * Scale shape: every audit is either an anti-join on the natural key
+  * (shuffle bounded by key cardinality), a single conditional-
+  * aggregation scan, or a keyed two-table aggregate join — nothing
+  * quadratic, nothing driver-side. */
+object QualityOps {
+  import Tables._
+
+  /** Referential-integrity audit: orphan counts along the fact→dim
+    * chain (lineitem→orders, orders→customer), as LEFT ANTI joins.
+    * One row per checked edge with the orphan count and the checked
+    * row count — the shape a quality dashboard ingests. */
+  def qFkAudit(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val o = orders(s, d)
+    val c = customer(s, d)
+    def audit(name: String, fact: DataFrame, key: String,
+              dim: DataFrame, dimKey: String): DataFrame = {
+      val orphans = fact.join(dim.select(col(dimKey).as(key)).distinct(),
+        Seq(key), "left_anti")
+      orphans.agg(count(lit(1)).as("n_orphans"))
+        .crossJoin(broadcast(fact.agg(count(lit(1)).as("n_checked"))))
+        .select(lit(name).as("fk_edge"), col("n_orphans"), col("n_checked"))
+    }
+    audit("lineitem->orders", li.select(col("l_orderkey").as("o_orderkey")),
+        "o_orderkey", o, "o_orderkey")
+      .unionByName(audit("orders->customer",
+        o.select(col("o_custkey").as("c_custkey")), "c_custkey", c, "c_custkey"))
+      .orderBy("fk_edge")
+  }
+
+  /** Key-uniqueness audit: for each candidate key, how many key values
+    * occur more than once and how many rows sit in those duplicate
+    * groups. One groupBy per key (shuffle on the key), aggregated to
+    * a 3-row report. The (l_orderkey, l_linenumber) row documents a
+    * KNOWN fixture quirk: the pair is not unique. */
+  def qKeyUniqueness(s: SparkSession, d: String): DataFrame = {
+    def audit(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+          sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_dup_rows"))
+        .select(lit(name).as("key"), col("n_keys"), col("n_dup_keys"), col("n_dup_rows"))
+    audit("customer.c_custkey", customer(s, d), Seq("c_custkey"))
+      .unionByName(audit("lineitem.(l_orderkey,l_linenumber)",
+        lineitem(s, d), Seq("l_orderkey", "l_linenumber")))
+      .unionByName(audit("orders.o_orderkey", orders(s, d), Seq("o_orderkey")))
+      .orderBy("key")
+  }
+
+  /** Null/blank profile of the orders table: one row per column with
+    * null and blank counts — ONE conditional-aggregation scan
+    * unpivoted to the report shape (never a scan per column). */
+  def qNullProfile(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val agg = o.agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_null"),
+        sum(when(trim(col(c).cast("string")) === "", 1L).otherwise(0L)).as(s"${c}_blank")
+      )): _*)
+    agg.select(
+      explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        col(s"${c}_null").as("n_null"),
+        col(s"${c}_blank").as("n_blank"),
+        col("n_rows").as("n_rows"))): _*)).as("r"))
+      .select("r.column", "r.n_null", "r.n_blank", "r.n_rows")
+      .orderBy("column")
+  }
+
+  /** Domain-range audit over lineitem: count of rows violating each
+    * business-range rule — one conditional-aggregation scan, report
+    * unpivoted to rule rows. */
+  def qRangeAudit(s: SparkSession, d: String): DataFrame = {
+    val rules: Seq[(String, Column)] = Seq(
+      "quantity in [1,50]" -> (col("l_quantity") < 1 || col("l_quantity") > 50),
+      "price > 0"          -> (col("l_extendedprice") <= 0),
+      "discount in [0,0.1]"-> (col("l_discount") < 0 || col("l_discount") > 0.1),
+      "tax in [0,0.08]"    -> (col("l_tax") < 0 || col("l_tax") > 0.08),
+      "ship after 1994"    -> (col("l_shipdate").cast("date") < lit("1995-01-01").cast("date")))
+    val agg = lineitem(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      rules.zipWithIndex.map { case ((_, cond), i) =>
+        sum(when(cond, 1L).otherwise(0L)).as(s"v$i")
+      }: _*)
+    agg.select(
+      explode(array(rules.zipWithIndex.map { case ((name, _), i) => struct(
+        lit(name).as("rule"),
+        col(s"v$i").as("n_violations"),
+        col("n_rows").as("n_rows"))
+      }: _*)).as("r"))
+      .select("r.rule", "r.n_violations", "r.n_rows")
+      .orderBy("rule")
+  }
+
+  /** Cross-table reconciliation: does o_totalprice equal the order's
+    * line total Σ extprice·(1+tax)·(1−disc)? Compared in integer
+    * CENTS (both sides rounded to a long) so the match test cannot
+    * flap on float dust. Output: match-bucket histogram — the
+    * reconciliation report a pipeline alerts on. One keyed aggregate
+    * of lineitem + a join on o_orderkey. */
+  def qOrderReconcile(s: SparkSession, d: String): DataFrame = {
+    val lineTotal = lineitem(s, d)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) + col("l_tax")) *
+        (lit(1.0) - col("l_discount"))).as("line_total"))
+    orders(s, d).join(lineTotal, Seq("o_orderkey"), "left")
+      .select(
+        when(col("line_total").isNull, "no_lineitems")
+          .when(round(col("o_totalprice") * 100).cast("long") ===
+                round(col("line_total") * 100).cast("long"), "exact_cents")
+          .when(abs(col("o_totalprice") - col("line_total")) <= col("o_totalprice") * 0.01,
+            "within_1pct")
+          .otherwise("mismatch").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_orders"))
+      .orderBy("bucket")
+  }
+
+  /** Freshness audit: per event type, the lag between its newest event
+    * and the stream's global high-water mark, in exact microseconds —
+    * the staleness monitor a streaming pipeline pages on. One
+    * aggregate + a 1-row broadcast. */
+  def qFreshness(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val perType = e.groupBy("event_type")
+      .agg(max(unix_micros(col("ts"))).as("newest_us"),
+        count(lit(1)).as("n_events"))
+    perType
+      .crossJoin(broadcast(e.agg(max(unix_micros(col("ts"))).as("hwm_us"))))
+      .select(col("event_type"), col("n_events"),
+        (col("hwm_us") - col("newest_us")).as("lag_us"))
+      .orderBy("event_type")
+  }
+}
