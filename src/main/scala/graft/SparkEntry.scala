@@ -214,6 +214,8 @@ object SparkEntry {
     "q_range_audit"        -> (QualityOps.qRangeAudit _),
     "q_order_reconcile"    -> (QualityOps.qOrderReconcile _),
     "q_freshness"          -> (QualityOps.qFreshness _),
+    "q_window_nth"         -> (RelationalExt.qWindowNth _),
+    "q_stream_rate"        -> (StreamingOps.qStreamRate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -885,6 +887,34 @@ object SparkEntry {
         |    ELSE 'mismatch' END AS bucket
         |  FROM orders LEFT JOIN lt USING (o_orderkey))
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_window_nth" ->
+      """WITH t AS (SELECT c_mktsegment, c_custkey,
+        |                  ROUND(c_acctbal, 2) AS acctbal,
+        |                  ROUND(first_value(c_acctbal) OVER w, 2) AS top_bal,
+        |                  ROUND(nth_value(c_acctbal, 2) OVER w, 2) AS second_bal,
+        |                  CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                    ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+        |           FROM customer
+        |           WINDOW w AS (PARTITION BY c_mktsegment
+        |                        ORDER BY c_acctbal DESC, c_custkey
+        |                        ROWS UNBOUNDED PRECEDING))
+        |SELECT c_mktsegment, c_custkey, acctbal, top_bal, second_bal, rn
+        |FROM t WHERE rn <= 5
+        |ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q_stream_rate" ->
+      """WITH h AS (SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start,
+        |                  event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT window_start, event_type, n,
+        |             LAG(n) OVER (PARTITION BY event_type ORDER BY window_start) AS prev_n
+        |      FROM h)
+        |SELECT window_start, event_type, n, prev_n,
+        |       CASE WHEN prev_n IS NOT NULL THEN n - prev_n END AS delta,
+        |       CASE WHEN prev_n IS NOT NULL AND prev_n > 0
+        |            THEN ROUND(CAST(n AS DOUBLE) / prev_n, 4) END AS rate_ratio
+        |FROM t ORDER BY window_start, event_type""".stripMargin,
 
     "q_freshness" ->
       """WITH t AS (SELECT event_type,

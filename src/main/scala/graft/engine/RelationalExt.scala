@@ -165,4 +165,26 @@ object RelationalExt {
       .orderBy(col("pagerank").desc, col("suppkey"))
       .limit(100)
   }
+
+  /** Window-navigation breadth: nth_value / first_value / last_value
+    * over an explicit running frame, per market segment ordered by
+    * account balance (custkey tie-break everywhere — both engines
+    * must walk one deterministic order). last_value uses the
+    * PEER-INCLUSIVE default frame on purpose: the doc comment is the
+    * contract that it equals the current row's value under
+    * (balance, key) total ordering. One window shuffle on the
+    * segment. */
+  def qWindowNth(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("acctbal"),
+        round(first_value(col("c_acctbal")).over(wRun), 2).as("top_bal"),
+        round(nth_value(col("c_acctbal"), 2).over(wRun), 2).as("second_bal"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 5)
+      .orderBy("c_mktsegment", "rn")
+  }
 }

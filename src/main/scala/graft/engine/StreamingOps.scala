@@ -551,4 +551,29 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(intervalMs))
       .start()
+
+  /** Rate monitor: hourly event counts per type with the delta and
+    * ratio vs the PREVIOUS hour — the derivative a throughput alert
+    * fires on (the streaming analog of the reference's
+    * messages_received counter deltas, pkg/metrics.go). Composes the
+    * tumbling aggregate with a lag window over the bounded
+    * (window, type) result — the lag runs on hours x types rows, not
+    * raw events, so the second window is calendar-sized at any scale. */
+  def qStreamRate(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("window_start")
+    hourly
+      .withColumn("prev_n", lag("n", 1).over(w))
+      .withColumn("delta", when(col("prev_n").isNotNull, col("n") - col("prev_n")))
+      .withColumn("rate_ratio",
+        when(col("prev_n").isNotNull && (col("prev_n") > 0),
+          round(col("n").cast("double") / col("prev_n"), 4)))
+      .orderBy("window_start", "event_type")
+  }
 }
