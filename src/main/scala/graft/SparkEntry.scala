@@ -748,12 +748,12 @@ object SparkEntry {
 
     "q_pagerank_iter" ->
       """WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
-        |o AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY 1)
+        |o AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1)
         |SELECT e.dst AS suppkey, CAST(COUNT(*) AS BIGINT) AS in_deg,
-        |       ROUND(0.15 + 0.85 * SUM(1.0 / o.deg), 4) AS pagerank
+        |       CAST(3000000 + 17 * SUM(1000000 // o.deg) AS BIGINT) AS rank_score
         |FROM e JOIN o USING (src)
         |GROUP BY e.dst
-        |ORDER BY pagerank DESC, suppkey LIMIT 100""".stripMargin,
+        |ORDER BY rank_score DESC, suppkey LIMIT 100""".stripMargin,
 
     "q_time_to_event" ->
       """WITH t AS (SELECT user_id,

@@ -151,18 +151,29 @@ object RelationalExt {
     * distributed PageRank repeats per round (the edge list shuffles
     * on src once for the degree, once on dst for the sum; at scale
     * pre-partitioning edges by src makes the degree join
-    * exchange-free). Top-100 by rounded rank, key tie-break. */
+    * exchange-free).
+    *
+    * FIXED-POINT mass: each source pushes floor(10^6 / deg) ppm per
+    * edge and the rank is the INTEGER 3·10^6 + 17·Σppm (= 20·10^6 ×
+    * (0.15 + 0.85·Σ)). Summing exact integers is order-independent,
+    * so the result cannot flap on float accumulation order across
+    * engines or partitionings — sum(1.0/deg) lands on the rounding
+    * grid (1/16 = 0.0625, …) and DID flip a 4th-decimal rounding
+    * between Spark and DuckDB at sf0.001. Quantized push is also the
+    * determinism trick a real distributed PageRank uses when runs
+    * must be reproducible. Top-100 by rank, key tie-break. */
   def qPagerankIter(s: SparkSession, d: String): DataFrame = {
     val e = lineitem(s, d)
       .select(col("l_partkey").as("src"), col("l_suppkey").as("dst")).distinct()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     e.join(outdeg, "src")
+      .withColumn("ppm", expr("1000000L DIV deg"))
       .groupBy("dst")
       .agg(
         count(lit(1)).as("in_deg"),
-        round(lit(0.15) + lit(0.85) * sum(lit(1.0) / col("deg")), 4).as("pagerank"))
-      .select(col("dst").as("suppkey"), col("in_deg"), col("pagerank"))
-      .orderBy(col("pagerank").desc, col("suppkey"))
+        (lit(3000000L) + lit(17L) * sum(col("ppm"))).as("rank_score"))
+      .select(col("dst").as("suppkey"), col("in_deg"), col("rank_score"))
+      .orderBy(col("rank_score").desc, col("suppkey"))
       .limit(100)
   }
 

@@ -50,11 +50,12 @@ class StatsMoreSpec extends SparkSuite {
     assert(!row.getDouble(6).isNaN && !row.getDouble(6).isInfinite)
   }
 
-  test("pagerank iteration: rank >= 0.15 (damping floor) and top-100 sorted") {
+  test("pagerank iteration: rank above the damping floor and top-100 sorted") {
     val rows = RelationalExt.qPagerankIter(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 100)
-    rows.foreach(r => assert(r.getDouble(2) >= 0.15, s"below damping floor: $r"))
-    val pr = rows.map(_.getDouble(2))
+    // fixed-point: 3e6 ppm-scaled floor (= 0.15 damping), integer exact
+    rows.foreach(r => assert(r.getLong(2) >= 3000000L, s"below damping floor: $r"))
+    val pr = rows.map(_.getLong(2))
     assert(pr.zip(pr.tail).forall { case (a, b) => a >= b }, "sorted desc")
   }
 
