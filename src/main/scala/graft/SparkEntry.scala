@@ -245,12 +245,14 @@ object SparkEntry {
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
 
     "q_join_smj" ->
-      """SELECT o_orderpriority,
-        |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
-        |       CAST(COUNT(*) AS BIGINT) AS n_items
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      """SELECT o_orderpriority, CAST((_s4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue, n_items
+        |FROM (SELECT o_orderpriority,
+        |             SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS _s4,
+        |             CAST(COUNT(*) AS BIGINT) AS n_items
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |      GROUP BY o_orderpriority) t
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_join_semi_anti" ->
       """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, 'has_order' AS kind
@@ -263,15 +265,18 @@ object SparkEntry {
         |ORDER BY kind, c_mktsegment""".stripMargin,
 
     "q_agg_hash" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
-        |       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-        |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |       ROUND(AVG(l_quantity), 2) AS avg_qty,
-        |       ROUND(AVG(l_extendedprice), 2) AS avg_price,
-        |       ROUND(AVG(l_discount), 2) AS avg_disc,
-        |       CAST(COUNT(*) AS BIGINT) AS count_order
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      """SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+        |       CAST((_s4 + 50) // 100 AS DOUBLE) / 100.0 AS sum_disc_price,
+        |       avg_qty, avg_price, avg_disc, count_order
+        |FROM (SELECT l_returnflag, l_linestatus,
+        |             ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |             ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |             SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS _s4,
+        |             ROUND(AVG(l_quantity), 2) AS avg_qty,
+        |             ROUND(AVG(l_extendedprice), 2) AS avg_price,
+        |             ROUND(AVG(l_discount), 2) AS avg_disc,
+        |             CAST(COUNT(*) AS BIGINT) AS count_order
+        |      FROM lineitem GROUP BY l_returnflag, l_linestatus) t
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_agg_distinct" ->
@@ -444,12 +449,12 @@ object SparkEntry {
     "q_quality_score" ->
       """SELECT doc_id,
         |       CAST(array_length(toks) AS BIGINT) AS n_tokens,
-        |       ROUND(stop_hits / n_tok, 4) AS stopword_ratio,
-        |       ROUND(punct / GREATEST(n_char, 1), 4) AS punct_ratio,
-        |       ROUND(array_length(list_distinct(toks)) / n_tok, 4) AS ttr,
-        |       ROUND(LEAST(n_tok / 100.0, 1.0) * 0.4
+        |       FLOOR((stop_hits / n_tok) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+        |       FLOOR((punct / GREATEST(n_char, 1)) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+        |       FLOOR((array_length(list_distinct(toks)) / n_tok) * 10000.0 + 0.5) / 10000.0 AS ttr,
+        |       FLOOR((LEAST(n_tok / 100.0, 1.0) * 0.4
         |             + LEAST(stop_hits / n_tok * 5.0, 1.0) * 0.3
-        |             + (1.0 - LEAST(punct / GREATEST(n_char, 1) * 10.0, 1.0)) * 0.3, 4) AS quality
+        |             + (1.0 - LEAST(punct / GREATEST(n_char, 1) * 10.0, 1.0)) * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality
         |FROM (SELECT doc_id, toks,
         |             CAST(array_length(toks) AS DOUBLE) AS n_tok,
         |             CAST(array_length(list_filter(toks,
@@ -766,42 +771,51 @@ object SparkEntry {
         |ORDER BY user_id""".stripMargin,
 
     "q_tpch_q1" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       CAST(SUM(l_quantity) AS BIGINT)                   AS sum_qty,
-        |       ROUND(SUM(l_extendedprice), 2)                    AS sum_base_price,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        |       ROUND(AVG(l_quantity), 4)      AS avg_qty,
-        |       ROUND(AVG(l_extendedprice), 4) AS avg_price,
-        |       ROUND(AVG(l_discount), 4)      AS avg_disc,
-        |       CAST(COUNT(*) AS BIGINT)       AS count_order
-        |FROM lineitem
-        |WHERE CAST(l_shipdate AS TIMESTAMP) <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus
+      """SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+        |       CAST((_s4 + 50) // 100 AS DOUBLE) / 100.0     AS sum_disc_price,
+        |       CAST((_s6 + 5000) // 10000 AS DOUBLE) / 100.0 AS sum_charge,
+        |       avg_qty, avg_price, avg_disc, count_order
+        |FROM (SELECT l_returnflag, l_linestatus,
+        |             CAST(SUM(l_quantity) AS BIGINT)  AS sum_qty,
+        |             ROUND(SUM(l_extendedprice), 2)   AS sum_base_price,
+        |             SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS _s4,
+        |             SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) * (100 + CAST(ROUND(l_tax*100) AS BIGINT))) AS _s6,
+        |             ROUND(AVG(l_quantity), 4)      AS avg_qty,
+        |             ROUND(AVG(l_extendedprice), 4) AS avg_price,
+        |             ROUND(AVG(l_discount), 4)      AS avg_disc,
+        |             CAST(COUNT(*) AS BIGINT)       AS count_order
+        |      FROM lineitem
+        |      WHERE CAST(l_shipdate AS TIMESTAMP) <= TIMESTAMP '1998-09-02 00:00:00'
+        |      GROUP BY l_returnflag, l_linestatus) t
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT l_orderkey,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-        |       strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS order_date
-        |FROM customer
-        |JOIN orders   ON c_custkey = o_custkey
-        |JOIN lineitem ON l_orderkey = o_orderkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1998-03-15 00:00:00'
-        |  AND CAST(l_shipdate AS TIMESTAMP)  > TIMESTAMP '1998-03-15 00:00:00'
-        |GROUP BY l_orderkey, strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d')
+        |       CAST((_s4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue,
+        |       order_date
+        |FROM (SELECT l_orderkey,
+        |             SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS _s4,
+        |             strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS order_date
+        |      FROM customer
+        |      JOIN orders   ON c_custkey = o_custkey
+        |      JOIN lineitem ON l_orderkey = o_orderkey
+        |      WHERE c_mktsegment = 'BUILDING'
+        |        AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1998-03-15 00:00:00'
+        |        AND CAST(l_shipdate AS TIMESTAMP)  > TIMESTAMP '1998-03-15 00:00:00'
+        |      GROUP BY l_orderkey, strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d')) t
         |ORDER BY revenue DESC, order_date, l_orderkey
         |LIMIT 10""".stripMargin,
 
     "q_tpch_q6" ->
-      """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
-        |       CAST(COUNT(*) AS BIGINT) AS n_lines
-        |FROM lineitem
-        |WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01 00:00:00'
-        |  AND CAST(l_shipdate AS TIMESTAMP) <  TIMESTAMP '1997-01-01 00:00:00'
-        |  AND l_discount BETWEEN 0.03 AND 0.07
-        |  AND l_quantity < 24""".stripMargin,
+      """SELECT CAST((_s4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue, n_lines
+        |FROM (SELECT SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |                 * CAST(ROUND(l_discount*100) AS BIGINT)) AS _s4,
+        |             CAST(COUNT(*) AS BIGINT) AS n_lines
+        |      FROM lineitem
+        |      WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01 00:00:00'
+        |        AND CAST(l_shipdate AS TIMESTAMP) <  TIMESTAMP '1997-01-01 00:00:00'
+        |        AND l_discount BETWEEN 0.03 AND 0.07
+        |        AND l_quantity < 24) t""".stripMargin,
 
     "q_fk_audit" ->
       """SELECT fk_edge, n_orphans, n_checked FROM (
@@ -876,14 +890,15 @@ object SparkEntry {
 
     "q_order_reconcile" ->
       """WITH lt AS (SELECT l_orderkey AS o_orderkey,
-        |                   SUM(l_extendedprice * (1.0 + l_tax) * (1.0 - l_discount)) AS line_total
+        |                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) * (100 + CAST(ROUND(l_tax*100) AS BIGINT))) AS s6
         |            FROM lineitem GROUP BY 1)
         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders FROM (
         |  SELECT CASE
-        |    WHEN line_total IS NULL THEN 'no_lineitems'
-        |    WHEN CAST(ROUND(o_totalprice * 100) AS BIGINT) = CAST(ROUND(line_total * 100) AS BIGINT)
+        |    WHEN s6 IS NULL THEN 'no_lineitems'
+        |    WHEN CAST(ROUND(o_totalprice * 100) AS BIGINT) = (s6 + 5000) // 10000
         |      THEN 'exact_cents'
-        |    WHEN ABS(o_totalprice - line_total) <= o_totalprice * 0.01 THEN 'within_1pct'
+        |    WHEN ABS(CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000 - s6)
+        |         <= CAST(ROUND(o_totalprice * 100) AS BIGINT) * 100 THEN 'within_1pct'
         |    ELSE 'mismatch' END AS bucket
         |  FROM orders LEFT JOIN lt USING (o_orderkey))
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
@@ -1432,16 +1447,17 @@ object SparkEntry {
         |ORDER BY r_name, rk""".stripMargin,
 
     "q_star_join_having" ->
-      """SELECT n_name,
-        |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
-        |       CAST(COUNT(*) AS BIGINT) AS n_items
-        |FROM lineitem
-        |JOIN orders   ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey  = c_custkey
-        |JOIN nation   ON c_nationkey = n_nationkey
-        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-        |GROUP BY n_name
-        |HAVING SUM(l_extendedprice * (1.0 - l_discount)) > 10000000
+      """SELECT n_name, CAST((_s4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue, n_items
+        |FROM (SELECT n_name,
+        |             SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS _s4,
+        |             CAST(COUNT(*) AS BIGINT) AS n_items
+        |      FROM lineitem
+        |      JOIN orders   ON l_orderkey = o_orderkey
+        |      JOIN customer ON o_custkey  = c_custkey
+        |      JOIN nation   ON c_nationkey = n_nationkey
+        |      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |      GROUP BY n_name) t
+        |WHERE CAST((_s4 + 50) // 100 AS DOUBLE) / 100.0 > 10000000
         |ORDER BY n_name""".stripMargin,
 
     "q_collation_group" ->
@@ -1713,11 +1729,12 @@ object SparkEntry {
         |FROM ctx ORDER BY user_id, event_id""".stripMargin,
 
     "q_bucket_join" ->
-      """SELECT o_orderpriority,
-        |  CAST(COUNT(*) AS BIGINT) AS n_items,
-        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority
+      """SELECT o_orderpriority, n_items, CAST((_s4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue
+        |FROM (SELECT o_orderpriority,
+        |             CAST(COUNT(*) AS BIGINT) AS n_items,
+        |             SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS _s4
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |      GROUP BY o_orderpriority) t
         |ORDER BY o_orderpriority""".stripMargin,
 
     "q_explode_outer" ->
@@ -1778,9 +1795,10 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_snowflake_join" ->
-      """SELECT r_name, p_brand,
+      """SELECT r_name, p_brand, n_items, CAST((_s4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue, n_suppliers
+        |FROM (SELECT r_name, p_brand,
         |  CAST(COUNT(*) AS BIGINT) AS n_items,
-        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS _s4,
         |  CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -1790,7 +1808,8 @@ object SparkEntry {
         |JOIN part     ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND p_size <= 25
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |GROUP BY 1, 2) t
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH v1 AS (

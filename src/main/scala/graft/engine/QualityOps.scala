@@ -110,23 +110,26 @@ object QualityOps {
   }
 
   /** Cross-table reconciliation: does o_totalprice equal the order's
-    * line total Σ extprice·(1+tax)·(1−disc)? Compared in integer
-    * CENTS (both sides rounded to a long) so the match test cannot
-    * flap on float dust. Output: match-bucket histogram — the
-    * reconciliation report a pipeline alerts on. One keyed aggregate
-    * of lineitem + a join on o_orderkey. */
+    * line total Σ extprice·(1+tax)·(1−disc)? The line total is summed
+    * in EXACT integer 10^-6-dollar units (2-decimal price × 2-decimal
+    * rates) and every comparison is integer arithmetic, so no bucket
+    * can flap on float accumulation dust — a per-order float sum sits
+    * exactly on the half-cent boundary whenever the exact total does.
+    * Output: match-bucket histogram — the reconciliation report a
+    * pipeline alerts on. One keyed aggregate of lineitem + a join. */
   def qOrderReconcile(s: SparkSession, d: String): DataFrame = {
     val lineTotal = lineitem(s, d)
       .groupBy(col("l_orderkey").as("o_orderkey"))
-      .agg(sum(col("l_extendedprice") * (lit(1.0) + col("l_tax")) *
-        (lit(1.0) - col("l_discount"))).as("line_total"))
+      .agg(Tables.moneySumDiscTax(
+        col("l_extendedprice"), col("l_discount"), col("l_tax")).as("s6"))
     orders(s, d).join(lineTotal, Seq("o_orderkey"), "left")
+      .withColumn("total_cents", round(col("o_totalprice") * 100).cast("long"))
+      .withColumn("line_cents", expr("(s6 + 5000) DIV 10000"))
       .select(
-        when(col("line_total").isNull, "no_lineitems")
-          .when(round(col("o_totalprice") * 100).cast("long") ===
-                round(col("line_total") * 100).cast("long"), "exact_cents")
-          .when(abs(col("o_totalprice") - col("line_total")) <= col("o_totalprice") * 0.01,
-            "within_1pct")
+        when(col("s6").isNull, "no_lineitems")
+          .when(col("total_cents") === col("line_cents"), "exact_cents")
+          .when(abs(col("total_cents") * 10000 - col("s6")) <=
+            col("total_cents") * 100, "within_1pct")
           .otherwise("mismatch").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_orders"))
       .orderBy("bucket")

@@ -99,8 +99,10 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        moneySumDisc(col("l_extendedprice"), col("l_discount")).as("_rev4"),
         count(lit(1)).as("n_items"))
+      .withColumn("revenue", unitsToDollarsExpr("_rev4", 100L))
+      .select("o_orderpriority", "revenue", "n_items")
       .orderBy("o_orderpriority")
 
   /** Left-semi (EXISTS) + left-anti (NOT EXISTS) against orders.
@@ -126,11 +128,14 @@ object Relational {
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
         round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        moneySumDisc(col("l_extendedprice"), col("l_discount")).as("_sdp4"),
         round(avg("l_quantity"), 2).as("avg_qty"),
         round(avg("l_extendedprice"), 2).as("avg_price"),
         round(avg("l_discount"), 2).as("avg_disc"),
         count(lit(1)).as("count_order"))
+      .withColumn("sum_disc_price", unitsToDollarsExpr("_sdp4", 100L))
+      .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "avg_qty", "avg_price", "avg_disc", "count_order")
       .orderBy("l_returnflag", "l_linestatus")
 
   /** Exact distinct aggregation. countDistinct expands to a two-phase
@@ -891,9 +896,10 @@ object Relational {
       .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"),
+        moneySumDisc(col("l_extendedprice"), col("l_discount")).as("_rev4"),
         count(lit(1)).as("n_items"))
+      .withColumn("revenue", unitsToDollarsExpr("_rev4", 100L))
+      .select("n_name", "revenue", "n_items")
       .filter(col("revenue") > 10000000)
       .orderBy("n_name")
 
@@ -1202,9 +1208,10 @@ object Relational {
       .groupBy("r_name", "p_brand")
       .agg(
         count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"),
+        moneySumDisc(col("l_extendedprice"), col("l_discount")).as("_rev4"),
         countDistinct("s_suppkey").as("n_suppliers"))
+      .withColumn("revenue", unitsToDollarsExpr("_rev4", 100L))
+      .select("r_name", "p_brand", "n_items", "revenue", "n_suppliers")
       .orderBy("r_name", "p_brand")
 
   /** Frequent-items sketch (approx_top_k, Spark 4 DataSketches): with

@@ -130,8 +130,9 @@ object ScaleOps {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"))
+        Tables.moneySumDisc(col("l_extendedprice"), col("l_discount")).as("_rev4"))
+      .withColumn("revenue", Tables.unitsToDollarsExpr("_rev4", 100L))
+      .select("o_orderpriority", "n_items", "revenue")
       .orderBy("o_orderpriority")
   }
 

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -40,4 +40,36 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  // ---- exact money arithmetic -------------------------------------
+  // Revenue-style sums Σ price·(1−disc)[·(1+tax)] have addends on a
+  // 1e-4 (or 1e-6) grid (2-decimal prices × 2-decimal rates), so the
+  // float sum lands SYSTEMATICALLY on the ROUND(·,2) half-boundary
+  // and accumulation-order dust flips the rounding between engines /
+  // partitionings (observed at sf0.1). These helpers sum EXACT
+  // integer units instead — integer addition is order-independent —
+  // and round to cents with integer arithmetic (`DIV`, never a
+  // double division of a >2^53 long). Long capacity: ~9.2e18 ≈
+  // 9e13 dollars of 1e-4 units per group (1e11 for 1e-6 units) —
+  // ample for any per-group sum at bench scale; a 100 TB deployment
+  // sums DECIMAL(38,0) units instead (same structure, no overflow).
+
+  /** Σ price·(1−disc) in exact 1e-4-dollar units → dollars with exact
+    * 2 decimals (column name to apply on an agg result). */
+  def moneySumDisc(price: Column, disc: Column): Column =
+    sum(round(price * 100).cast("long") *
+      (lit(100L) - round(disc * 100).cast("long")))
+
+  /** Σ price·(1−disc)·(1+tax) in exact 1e-6-dollar units. */
+  def moneySumDiscTax(price: Column, disc: Column, tax: Column): Column =
+    sum(round(price * 100).cast("long") *
+      (lit(100L) - round(disc * 100).cast("long")) *
+      (lit(100L) + round(tax * 100).cast("long")))
+
+  /** Round a named integer unit-sum column to dollars:
+    * (s + half) DIV units = cents (exact LONG division — a double
+    * division of a >2^53 long would corrupt the low digits), then an
+    * exact /100.0 of a small long. */
+  def unitsToDollarsExpr(sumCol: String, unitsPerCent: Long): Column =
+    expr(s"CAST((`$sumCol` + ${unitsPerCent / 2}) DIV $unitsPerCent AS DOUBLE) / 100.0")
 }

@@ -293,8 +293,15 @@ object TextOps {
 
   /** Document quality scoring: length, punctuation ratio, stopword
     * ratio, type-token diversity → composite score. Pure codegen'd
-    * column arithmetic — scales linearly. */
+    * column arithmetic — scales linearly. All four outputs use
+    * FLOOR-based rounding (⌊x·10⁴ + 0.5⌋/10⁴) instead of round():
+    * Spark's round() goes through the SHORTEST-DECIMAL string of the
+    * double (BigDecimal HALF_UP) while DuckDB rounds the binary
+    * value, so a score whose shortest repr is exactly x.xxx5 rounds
+    * DIFFERENTLY across engines (observed at sf0.1). floor of the
+    * identical double is identical everywhere. */
   def qQualityScore(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")
     val stopHits = size(filter(toks, t => t.isin(StopwordsEn: _*))).cast("double")
@@ -302,14 +309,14 @@ object TextOps {
     documents(s, d).select(
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
-      round(stopHits / nTok, 4).as("stopword_ratio"),
-      round(punct / greatest(length(col("text")), lit(1)).cast("double"), 4).as("punct_ratio"),
-      round(size(array_distinct(toks)).cast("double") / nTok, 4).as("ttr"),
-      round(
+      r4(stopHits / nTok).as("stopword_ratio"),
+      r4(punct / greatest(length(col("text")), lit(1)).cast("double")).as("punct_ratio"),
+      r4(size(array_distinct(toks)).cast("double") / nTok).as("ttr"),
+      r4(
         least(nTok / 100.0, lit(1.0)) * 0.4 +
           least(stopHits / nTok * 5.0, lit(1.0)) * 0.3 +
-          (lit(1.0) - least(punct / greatest(length(col("text")), lit(1)).cast("double") * 10.0, lit(1.0))) * 0.3,
-        4).as("quality"))
+          (lit(1.0) - least(punct / greatest(length(col("text")), lit(1)).cast("double") * 10.0, lit(1.0))) * 0.3)
+        .as("quality"))
       .orderBy("doc_id")
   }
 

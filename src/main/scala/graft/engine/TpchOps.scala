@@ -26,19 +26,26 @@ object TpchOps {
   /** TPC-H Q1: pricing summary report. */
   def qTpchQ1(s: SparkSession, d: String): DataFrame = {
     view(s, d, "lineitem")
+    // revenue-style sums in exact integer units (see Tables money helpers):
+    // the float sums land systematically on the ROUND(.,2) half-boundary
     s.sql("""
-      SELECT l_returnflag, l_linestatus,
-             CAST(SUM(l_quantity) AS BIGINT)                   AS sum_qty,
-             ROUND(SUM(l_extendedprice), 2)                    AS sum_base_price,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-             ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-             ROUND(AVG(l_quantity), 4)      AS avg_qty,
-             ROUND(AVG(l_extendedprice), 4) AS avg_price,
-             ROUND(AVG(l_discount), 4)      AS avg_disc,
-             CAST(COUNT(*) AS BIGINT)       AS count_order
-      FROM tpch_lineitem
-      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-      GROUP BY l_returnflag, l_linestatus
+      SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+             CAST((_s4 + 50) DIV 100 AS DOUBLE) / 100.0     AS sum_disc_price,
+             CAST((_s6 + 5000) DIV 10000 AS DOUBLE) / 100.0 AS sum_charge,
+             avg_qty, avg_price, avg_disc, count_order
+      FROM (
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(l_quantity) AS BIGINT)  AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2)   AS sum_base_price,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS _s4,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) * (100 + CAST(ROUND(l_tax*100) AS BIGINT))) AS _s6,
+               ROUND(AVG(l_quantity), 4)      AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               ROUND(AVG(l_discount), 4)      AS avg_disc,
+               CAST(COUNT(*) AS BIGINT)       AS count_order
+        FROM tpch_lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus) t
       ORDER BY l_returnflag, l_linestatus""")
   }
 
@@ -47,15 +54,19 @@ object TpchOps {
     Seq("lineitem", "orders", "customer").foreach(view(s, d, _))
     s.sql("""
       SELECT l_orderkey,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-             DATE_FORMAT(o_orderdate, 'yyyy-MM-dd') AS order_date
-      FROM tpch_customer
-      JOIN tpch_orders   ON c_custkey = o_custkey
-      JOIN tpch_lineitem ON l_orderkey = o_orderkey
-      WHERE c_mktsegment = 'BUILDING'
-        AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-        AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
-      GROUP BY l_orderkey, DATE_FORMAT(o_orderdate, 'yyyy-MM-dd')
+             CAST((_s4 + 50) DIV 100 AS DOUBLE) / 100.0 AS revenue,
+             order_date
+      FROM (
+        SELECT l_orderkey,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS _s4,
+               DATE_FORMAT(o_orderdate, 'yyyy-MM-dd') AS order_date
+        FROM tpch_customer
+        JOIN tpch_orders   ON c_custkey = o_custkey
+        JOIN tpch_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, DATE_FORMAT(o_orderdate, 'yyyy-MM-dd')) t
       ORDER BY revenue DESC, order_date, l_orderkey
       LIMIT 10""")
   }
@@ -64,12 +75,15 @@ object TpchOps {
   def qTpchQ6(s: SparkSession, d: String): DataFrame = {
     view(s, d, "lineitem")
     s.sql("""
-      SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
-             CAST(COUNT(*) AS BIGINT) AS n_lines
-      FROM tpch_lineitem
-      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-        AND l_discount BETWEEN 0.03 AND 0.07
-        AND l_quantity < 24""")
+      SELECT CAST((_s4 + 50) DIV 100 AS DOUBLE) / 100.0 AS revenue, n_lines
+      FROM (
+        SELECT SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                   * CAST(ROUND(l_discount*100) AS BIGINT)) AS _s4,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM tpch_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24) t""")
   }
 }
