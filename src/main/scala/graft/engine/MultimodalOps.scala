@@ -127,6 +127,7 @@ object MultimodalOps {
     javax.imageio.ImageIO.setUseCache(false)
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
+    if (iis == null) return None // stripped JRE without stream SPIs
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) None

@@ -19,21 +19,26 @@ object QualityOps {
   import Tables._
 
   /** Referential-integrity audit: orphan counts along the fact→dim
-    * chain (lineitem→orders, orders→customer), as LEFT ANTI joins.
-    * One row per checked edge with the orphan count and the checked
-    * row count — the shape a quality dashboard ingests. */
+    * chain (lineitem→orders, orders→customer), one left join +
+    * conditional aggregate per edge. One row per checked edge with
+    * the orphan count and the checked row count — the shape a
+    * quality dashboard ingests. */
   def qFkAudit(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
     val o = orders(s, d)
     val c = customer(s, d)
+    // ONE pass per edge: a left join marks orphans (null dim key) and
+    // a single conditional aggregate yields both counts — a separate
+    // anti-join + count would scan the fact table twice
     def audit(name: String, fact: DataFrame, key: String,
-              dim: DataFrame, dimKey: String): DataFrame = {
-      val orphans = fact.join(dim.select(col(dimKey).as(key)).distinct(),
-        Seq(key), "left_anti")
-      orphans.agg(count(lit(1)).as("n_orphans"))
-        .crossJoin(broadcast(fact.agg(count(lit(1)).as("n_checked"))))
+              dim: DataFrame, dimKey: String): DataFrame =
+      fact.join(
+          dim.select(col(dimKey).as(key)).distinct().withColumn("_hit", lit(1)),
+          Seq(key), "left")
+        .agg(
+          sum(when(col("_hit").isNull, 1L).otherwise(0L)).as("n_orphans"),
+          count(lit(1)).as("n_checked"))
         .select(lit(name).as("fk_edge"), col("n_orphans"), col("n_checked"))
-    }
     audit("lineitem->orders", li.select(col("l_orderkey").as("o_orderkey")),
         "o_orderkey", o, "o_orderkey")
       .unionByName(audit("orders->customer",

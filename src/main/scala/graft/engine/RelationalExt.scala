@@ -22,6 +22,16 @@ object RelationalExt {
     * family applies to its band buckets. */
   val MaxBasketSize = 120
 
+  /** The valve itself: distinct (order, part) rows from orders with
+    * at most [[MaxBasketSize]] distinct parts — the shared blocking
+    * input of both pair-mining queries (one definition so the two
+    * graph queries can never disagree on which orders participate). */
+  private def boundedBaskets(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("l_orderkey")))
+      .filter(col("bsz") <= MaxBasketSize)
+      .select("l_orderkey", "l_partkey")
+
   /** Several COUNT(DISTINCT …) over different keys in one aggregate —
     * Catalyst plans this with an Expand (one replicated stream per
     * distinct key) feeding a single shuffle, not one job per
@@ -44,10 +54,7 @@ object RelationalExt {
     * support via distributed top-k. Baskets larger than
     * [[MaxBasketSize]] are dropped first (skew valve, see above). */
   def qCopurchase(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("l_orderkey")))
-      .filter(col("bsz") <= MaxBasketSize)
-      .select("l_orderkey", "l_partkey")
+    val li = boundedBaskets(s, d)
     val a = li.toDF("l_orderkey", "p_a")
     val b = li.toDF("l_orderkey", "p_b")
     a.join(b, "l_orderkey")
@@ -101,11 +108,7 @@ object RelationalExt {
     * per-order fan-out to C(K,2) (a pathological mega-order would
     * otherwise emit quadratically many pairs on one key). */
   def qTriangleCount(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
-    val bounded = li.withColumn("bsz",
-        count(lit(1)).over(Window.partitionBy("l_orderkey")))
-      .filter(col("bsz") <= MaxBasketSize)
-      .select("l_orderkey", "l_partkey")
+    val bounded = boundedBaskets(s, d)
     val e = bounded.toDF("k", "pa").join(bounded.toDF("k", "pb"), "k")
       .filter(col("pa") < col("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("n"))

@@ -285,9 +285,12 @@ object StatsOps {
     val digit = substring(
       col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2))
         .cast("string"), 1, 1)
-    o.select(digit.as("digit"))
+    // total derives from the 9-row digit aggregate — never a second
+    // scan of the fact table
+    val counts = o.select(digit.as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(o.agg(count(lit(1)).cast("double").as("total"))))
+    counts
+      .crossJoin(broadcast(counts.agg(sum("n").cast("double").as("total"))))
       .select(col("digit"), col("n"),
         round(col("n") / col("total"), 4).as("share"),
         round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 4)

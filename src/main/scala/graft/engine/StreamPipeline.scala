@@ -98,12 +98,13 @@ final class StreamPipeline(
   /** Start the pipeline over a streaming DataFrame shaped like a
     * Kafka source row: (key, value: String payload, timestamp,
     * offset, partition). Returns the running query. Trigger interval
-    * defaults to the config's flush timer. */
+    * defaults (negative sentinel) to the config's flush timer;
+    * an EXPLICIT 0 stays 0 = trigger as fast as possible. */
   def start(spark: SparkSession, source: DataFrame, topic: String,
             intervalMs: Long = -1L): StreamingQuery =
     source.writeStream
       .trigger(Trigger.ProcessingTime(
-        if (intervalMs > 0) intervalMs else cfg.triggerIntervalMs))
+        if (intervalMs >= 0) intervalMs else cfg.triggerIntervalMs))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestBatch(spark, batch, topic)
       }

@@ -338,14 +338,6 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
-  /** DuckDB oracle for qAnnLsh: the hyperplanes are deterministic
-    * (fixed seed), so their 8×64 double constants are EMBEDDED in the
-    * generated SQL — bucket assignment, 1-bit multiprobe (xor), the
-    * bucket join, cosine scoring, and the per-query top-k are all
-    * replayed exactly in DuckDB list ops. Assumes the fixture's
-    * 64-dim embeddings (TESTDATA.md). Doubles are emitted via
-    * Double.toString, which round-trips bit-exactly through DuckDB's
-    * literal parser. */
   /** DuckDB bucket expression over a DOUBLE[] column named `v` with
     * the fixed-seed plane constants embedded (shared by the two
     * LSH-family oracle builders). */
@@ -357,6 +349,14 @@ object VectorOps {
   private def duckMaskList(nPlanes: Int): String =
     (Seq(0L) ++ (0 until nPlanes).map(i => 1L << i)).mkString(", ")
 
+  /** DuckDB oracle for qAnnLsh: the hyperplanes are deterministic
+    * (fixed seed), so their 8×64 double constants are EMBEDDED in the
+    * generated SQL — bucket assignment, 1-bit multiprobe (xor), the
+    * bucket join, cosine scoring, and the per-query top-k are all
+    * replayed exactly in DuckDB list ops. Assumes the fixture's
+    * 64-dim embeddings (TESTDATA.md). Doubles are emitted via
+    * Double.toString, which round-trips bit-exactly through DuckDB's
+    * literal parser. */
   def annLshOracleSql(k: Int = 10): String = {
     val planes = hyperplanes(8, 64)
     val bucket = duckBucketSql(planes)
