@@ -216,6 +216,8 @@ object SparkEntry {
     "q_freshness"          -> (QualityOps.qFreshness _),
     "q_window_nth"         -> (RelationalExt.qWindowNth _),
     "q_stream_rate"        -> (StreamingOps.qStreamRate _),
+    "q_tpch_q5"            -> (TpchOps.qTpchQ5 _),
+    "q_interval_overlap"   -> (AnalyticsOps.qIntervalOverlap _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -816,6 +818,38 @@ object SparkEntry {
         |        AND CAST(l_shipdate AS TIMESTAMP) <  TIMESTAMP '1997-01-01 00:00:00'
         |        AND l_discount BETWEEN 0.03 AND 0.07
         |        AND l_quantity < 24) t""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name, CAST((_s4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue, n_items
+        |FROM (SELECT n_name,
+        |             SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS _s4,
+        |             CAST(COUNT(*) AS BIGINT) AS n_items
+        |      FROM customer
+        |      JOIN orders   ON c_custkey = o_custkey
+        |      JOIN lineitem ON l_orderkey = o_orderkey
+        |      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |      JOIN nation   ON c_nationkey = n_nationkey
+        |      JOIN region   ON n_regionkey = r_regionkey
+        |      WHERE r_name IN ('ASIA', 'EUROPE')
+        |        AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01 00:00:00'
+        |        AND CAST(o_orderdate AS TIMESTAMP) <  TIMESTAMP '1997-01-01 00:00:00'
+        |      GROUP BY n_name) t
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s_us, event_id
+        |           FROM events),
+        |pts AS (SELECT user_id, s_us AS t, CAST(1 AS BIGINT) AS delta, event_id FROM e
+        |        UNION ALL
+        |        SELECT user_id, s_us + 300000000, CAST(-1 AS BIGINT), event_id FROM e),
+        |c AS (SELECT user_id,
+        |             SUM(delta) OVER (PARTITION BY user_id
+        |               ORDER BY t, delta, event_id
+        |               ROWS UNBOUNDED PRECEDING) AS conc
+        |      FROM pts)
+        |SELECT user_id, CAST(COUNT(*) / 2 AS BIGINT) AS n_events,
+        |       CAST(MAX(conc) AS BIGINT) AS peak_concurrent
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_fk_audit" ->
       """SELECT fk_edge, n_orphans, n_checked FROM (

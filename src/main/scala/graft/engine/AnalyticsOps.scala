@@ -387,4 +387,30 @@ object AnalyticsOps {
       .filter(col("t_s").isNotNull && col("t_p").isNotNull && col("t_p") >= col("t_s"))
       .select(col("user_id"), (col("t_p") - col("t_s")).as("micros_to_convert"))
       .orderBy("user_id")
+
+  /** Interval-overlap analysis: each event opens a 5-minute half-open
+    * window [ts, ts+5min); per user, the PEAK number of concurrently
+    * open windows — the classic sweep-line reduced to a window sum:
+    * +1 at each start, −1 at each end, running sum over (time, delta,
+    * event_id) order (delta ascending ⇒ ends process before starts at
+    * the same instant = half-open semantics), then a max. All integer
+    * arithmetic over exact µs — nothing can flap. O(n log n) per
+    * user vs the O(n²) pair self-join a naive overlap query runs. */
+  def qIntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("s_us"), col("event_id"))
+    val pts = e.select(col("user_id"), col("s_us").as("t"),
+        lit(1L).as("delta"), col("event_id"))
+      .unionByName(e.select(col("user_id"),
+        (col("s_us") + lit(300000000L)).as("t"),
+        lit(-1L).as("delta"), col("event_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("t"), col("delta"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    pts.withColumn("conc", sum("delta").over(w))
+      .groupBy("user_id")
+      .agg((count(lit(1)) / 2).cast("long").as("n_events"),
+        max("conc").as("peak_concurrent"))
+      .orderBy("user_id")
+  }
 }

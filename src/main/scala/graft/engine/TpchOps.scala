@@ -21,6 +21,9 @@ object TpchOps {
       case "lineitem" => Tables.lineitem(s, d)
       case "orders"   => Tables.orders(s, d)
       case "customer" => Tables.customer(s, d)
+      case "supplier" => Tables.supplier(s, d)
+      case "nation"   => Tables.nation(s, d)
+      case "region"   => Tables.region(s, d)
     }).createOrReplaceTempView(s"tpch_$name")
 
   /** TPC-H Q1: pricing summary report. */
@@ -85,5 +88,32 @@ object TpchOps {
           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
           AND l_discount BETWEEN 0.03 AND 0.07
           AND l_quantity < 24) t""")
+  }
+
+  /** TPC-H Q5: local-supplier regional revenue — customer and
+    * supplier constrained to the SAME nation, six tables, the
+    * canonical join-order workout (adapted: one year window over the
+    * fixture's date span; revenue via exact integer units). */
+  def qTpchQ5(s: SparkSession, d: String): DataFrame = {
+    Seq("lineitem", "orders", "customer", "supplier", "nation", "region")
+      .foreach(view(s, d, _))
+    s.sql("""
+      SELECT n_name, CAST((_s4 + 50) DIV 100 AS DOUBLE) / 100.0 AS revenue, n_items
+      FROM (
+        SELECT n_name,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS _s4,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM tpch_customer
+        JOIN tpch_orders   ON c_custkey = o_custkey
+        JOIN tpch_lineitem ON l_orderkey = o_orderkey
+        JOIN tpch_supplier ON l_suppkey = s_suppkey
+                          AND c_nationkey = s_nationkey
+        JOIN tpch_nation   ON c_nationkey = n_nationkey
+        JOIN tpch_region   ON n_regionkey = r_regionkey
+        WHERE r_name IN ('ASIA', 'EUROPE')
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name) t
+      ORDER BY revenue DESC, n_name""")
   }
 }
