@@ -218,6 +218,8 @@ object SparkEntry {
     "q_stream_rate"        -> (StreamingOps.qStreamRate _),
     "q_tpch_q5"            -> (TpchOps.qTpchQ5 _),
     "q_interval_overlap"   -> (AnalyticsOps.qIntervalOverlap _),
+    "q_langid_eval"        -> (TextOps.qLangidEval _),
+    "q_attribution"        -> (AnalyticsOps.qAttribution _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1007,6 +1009,58 @@ object SparkEntry {
         |            WHEN score > 0 THEN lng ELSE 'und' END AS predicted_lang,
         |       ROUND(score, 4) AS confidence
         |FROM u WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_langid_eval" ->
+      """WITH t AS (SELECT doc_id, lang AS labeled_lang, text,
+        |                  regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, labeled_lang, text,
+        |        CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_en,
+        |        CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_de,
+        |        CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_fr,
+        |        CAST(len(list_filter(toks, x -> x IN ('el','la','los','y','es','un','una','en','por','que'))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_es
+        |      FROM t),
+        |u AS (SELECT doc_id, labeled_lang, text, sc['score'] AS score, sc['lang'] AS lng,
+        |             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sc['score'] DESC, sc['lang'] DESC) AS rn
+        |      FROM s, UNNEST([{'score': s_de, 'lang': 'de'}, {'score': s_en, 'lang': 'en'},
+        |                      {'score': s_fr, 'lang': 'fr'}, {'score': s_es, 'lang': 'es'}]) AS z(sc)),
+        |p AS (SELECT labeled_lang,
+        |             CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |                  WHEN score > 0 THEN lng ELSE 'und' END AS predicted_lang
+        |      FROM u WHERE rn = 1),
+        |bl AS (SELECT labeled_lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_labeled,
+        |              CAST(SUM(CASE WHEN labeled_lang = predicted_lang THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        |       FROM p GROUP BY 1),
+        |bp AS (SELECT predicted_lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_predicted
+        |       FROM p GROUP BY 1),
+        |j AS (SELECT COALESCE(bl.lang, bp.lang) AS lang,
+        |             COALESCE(n_labeled, 0) AS n_labeled,
+        |             COALESCE(n_predicted, 0) AS n_predicted,
+        |             COALESCE(tp, 0) AS tp
+        |      FROM bl FULL OUTER JOIN bp ON bl.lang = bp.lang),
+        |m AS (SELECT lang, n_labeled, n_predicted, tp,
+        |             CASE WHEN n_predicted > 0 THEN FLOOR((tp / n_predicted) * 10000.0 + 0.5) / 10000.0 ELSE 0.0 END AS precision,
+        |             CASE WHEN n_labeled > 0 THEN FLOOR((tp / n_labeled) * 10000.0 + 0.5) / 10000.0 ELSE 0.0 END AS recall
+        |      FROM j)
+        |SELECT lang, n_labeled, n_predicted, tp, precision, recall,
+        |       CASE WHEN precision + recall > 0
+        |            THEN FLOOR((2.0 * precision * recall / (precision + recall)) * 10000.0 + 0.5) / 10000.0
+        |            ELSE 0.0 END AS f1
+        |FROM m ORDER BY lang""".stripMargin,
+
+    "q_attribution" ->
+      """WITH t AS (SELECT user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |           FROM events),
+        |a AS (SELECT event_type, value,
+        |             LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN event_type END IGNORE NULLS)
+        |               OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+        |      FROM t)
+        |SELECT COALESCE(last_touch, 'none') AS channel,
+        |       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |       ROUND(SUM(value), 2) AS attributed_value
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
 
     "q_stream_sliding" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),

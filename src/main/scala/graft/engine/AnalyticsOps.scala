@@ -413,4 +413,26 @@ object AnalyticsOps {
         max("conc").as("peak_concurrent"))
       .orderBy("user_id")
   }
+
+  /** Last-touch attribution: each purchase is credited to the user's
+    * most recent preceding click or view (within the session history)
+    * — the marketing-analytics primitive. One window pass: the
+    * conditional last_value over a running frame finds the touch
+    * without a self-join; exact µs timestamps; purchases with no
+    * prior touch attribute to 'none'. Output: touches per channel
+    * with credited purchase counts. */
+  def qAttribution(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("last_touch",
+        last(when(col("event_type").isin("click", "view"), col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("last_touch"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("value"), 2).as("attributed_value"))
+      .orderBy("channel")
+  }
 }

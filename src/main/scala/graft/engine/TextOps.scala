@@ -854,4 +854,34 @@ object TextOps {
         size(array_union(col("toks"), sw)).cast("long").as("n_union"))
       .orderBy("doc_id")
   }
+
+  /** Classifier evaluation of the lang-ID heuristic against the
+    * labeled lang column: per class — support, predictions, true
+    * positives, precision/recall/F1. The metrics every training
+    * pipeline computes after a model pass, here entirely in-engine:
+    * two tiny aggregates of the prediction table (by label, by
+    * prediction) full-outer-joined on the class. Ratios use
+    * floor-rounding (both engines floor the identical double —
+    * Spark's round() string-vs-binary divergence cannot fire). */
+  def qLangidEval(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val pred = qLangId(s, d).select(col("labeled_lang"), col("predicted_lang"))
+    val byLabel = pred.groupBy(col("labeled_lang").as("lang")).agg(
+      count(lit(1)).as("n_labeled"),
+      sum(when(col("labeled_lang") === col("predicted_lang"), 1L).otherwise(0L)).as("tp"))
+    val byPred = pred.groupBy(col("predicted_lang").as("lang")).agg(
+      count(lit(1)).as("n_predicted"))
+    byLabel.join(byPred, Seq("lang"), "full_outer")
+      .na.fill(0L, Seq("n_labeled", "tp", "n_predicted"))
+      .withColumn("precision",
+        when(col("n_predicted") > 0, r4(col("tp") / col("n_predicted"))).otherwise(lit(0.0)))
+      .withColumn("recall",
+        when(col("n_labeled") > 0, r4(col("tp") / col("n_labeled"))).otherwise(lit(0.0)))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          r4(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall")))).otherwise(lit(0.0)))
+      .select("lang", "n_labeled", "n_predicted", "tp", "precision", "recall", "f1")
+      .orderBy("lang")
+  }
 }
