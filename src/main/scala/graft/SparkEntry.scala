@@ -220,6 +220,9 @@ object SparkEntry {
     "q_interval_overlap"   -> (AnalyticsOps.qIntervalOverlap _),
     "q_langid_eval"        -> (TextOps.qLangidEval _),
     "q_attribution"        -> (AnalyticsOps.qAttribution _),
+    "q_repetition_score"   -> (CurationOps.qRepetitionScore _),
+    "q_char_dist"          -> (CurationOps.qCharDist _),
+    "q_mix_weights"        -> (CurationOps.qMixWeights _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1047,6 +1050,45 @@ object SparkEntry {
         |            THEN FLOOR((2.0 * precision * recall / (precision + recall)) * 10000.0 + 0.5) / 10000.0
         |            ELSE 0.0 END AS f1
         |FROM m ORDER BY lang""".stripMargin,
+
+    "q_repetition_score" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+        |g AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+        |      FROM t, UNNEST(range(1, GREATEST(len(ts) - 2, 0) + 1)) AS u(i)),
+        |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        |             CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct
+        |      FROM g GROUP BY doc_id)
+        |SELECT doc_id, n_trigrams, n_distinct,
+        |       FLOOR((1.0 - CAST(n_distinct AS DOUBLE) / n_trigrams) * 10000.0 + 0.5) / 10000.0 AS repetition
+        |FROM a WHERE n_trigrams > 0 ORDER BY doc_id""".stripMargin,
+
+    "q_char_dist" ->
+      """WITH p AS (SELECT lang,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit,
+        |  CAST(len(regexp_extract_all(text, '\s')) AS BIGINT) AS ws
+        |  FROM documents),
+        |a AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |             CAST(SUM(alpha) AS BIGINT) AS n_alpha,
+        |             CAST(SUM(digit) AS BIGINT) AS n_digit,
+        |             CAST(SUM(ws) AS BIGINT) AS n_ws
+        |      FROM p GROUP BY lang)
+        |SELECT lang, n_chars,
+        |  FLOOR((CAST(n_alpha AS DOUBLE) / n_chars) * 10000.0 + 0.5) / 10000.0 AS alpha_share,
+        |  FLOOR((CAST(n_digit AS DOUBLE) / n_chars) * 10000.0 + 0.5) / 10000.0 AS digit_share,
+        |  FLOOR((CAST(n_ws AS DOUBLE) / n_chars) * 10000.0 + 0.5) / 10000.0 AS ws_share,
+        |  FLOOR((CAST(n_chars - n_alpha - n_digit - n_ws AS DOUBLE) / n_chars) * 10000.0 + 0.5) / 10000.0 AS symbol_share
+        |FROM a ORDER BY lang""".stripMargin,
+
+    "q_mix_weights" ->
+      """WITH b AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS total, CAST(COUNT(*) AS DOUBLE) AS k FROM b)
+        |SELECT lang, n_docs,
+        |  FLOOR((n_docs / total) * 10000.0 + 0.5) / 10000.0 AS actual_share,
+        |  FLOOR((1.0 / k) * 10000.0 + 0.5) / 10000.0 AS target_share,
+        |  FLOOR(((1.0 / k) / (n_docs / total)) * 10000.0 + 0.5) / 10000.0 AS weight
+        |FROM b, t ORDER BY lang""".stripMargin,
 
     "q_attribution" ->
       """WITH t AS (SELECT user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts, event_id

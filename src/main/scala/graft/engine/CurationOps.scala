@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -157,5 +157,75 @@ object CurationOps {
                   ((col("c_b") + 1.0) / (col("n_b") + 1.0))), 4).as("drift"))
       .orderBy(abs(col("drift")).desc, col("term"))
       .limit(30)
+  }
+
+  /** Repetition score (the Gopher/MassiveText "repeated n-gram"
+    * quality rule): per document, the fraction of word-trigram
+    * occurrences that are duplicates — 1 − distinct/total. High
+    * scores flag boilerplate/spam for the corpus filter. Pure
+    * per-document HOF arithmetic (one narrow projection, no explode,
+    * no shuffle); floor-rounded ratio so both engines agree at the
+    * x.xxx5 boundary. */
+  def qRepetitionScore(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val ts = toks
+    val n = greatest(size(ts) - 2, lit(0))
+    val grams = zip_with(
+      slice(ts, lit(1), greatest(size(ts) - 2, lit(1))),
+      zip_with(
+        slice(ts, lit(2), greatest(size(ts) - 2, lit(1))),
+        slice(ts, lit(3), greatest(size(ts) - 2, lit(1))),
+        (b, c) => concat_ws(" ", b, c)),
+      (a, bc) => concat_ws(" ", a, bc))
+    documents(s, d)
+      .select(col("doc_id"), n.cast("long").as("n_trigrams"),
+        size(array_distinct(grams)).cast("long").as("n_distinct"))
+      .filter(col("n_trigrams") > 0)
+      .withColumn("repetition",
+        r4(lit(1.0) - col("n_distinct").cast("double") / col("n_trigrams")))
+      .orderBy("doc_id")
+  }
+
+  /** Character-class distribution per language: alpha / digit /
+    * whitespace / symbol shares of the corpus text — the
+    * symbol-to-word family of quality rules, aggregated per lang in
+    * ONE conditional regexp-count scan. */
+  def qCharDist(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    documents(s, d)
+      .select(col("lang"),
+        length(col("text")).cast("long").as("n_chars"),
+        regexp_count(col("text"), lit("[A-Za-z]")).cast("long").as("alpha"),
+        regexp_count(col("text"), lit("[0-9]")).cast("long").as("digit"),
+        regexp_count(col("text"), lit("\\s")).cast("long").as("ws"))
+      .groupBy("lang")
+      .agg(sum("n_chars").as("n_chars"), sum("alpha").as("n_alpha"),
+        sum("digit").as("n_digit"), sum("ws").as("n_ws"))
+      .select(col("lang"), col("n_chars"),
+        r4(col("n_alpha") / col("n_chars")).as("alpha_share"),
+        r4(col("n_digit") / col("n_chars")).as("digit_share"),
+        r4(col("n_ws") / col("n_chars")).as("ws_share"),
+        r4((col("n_chars") - col("n_alpha") - col("n_digit") - col("n_ws"))
+          / col("n_chars")).as("symbol_share"))
+      .orderBy("lang")
+  }
+
+  /** Training-mix sampling weights: given a target language mix
+    * (uniform here), the per-doc sampling weight that reshapes the
+    * corpus to it — weight = target_share / actual_share, the number
+    * a mixture sampler multiplies into per-row keep probabilities.
+    * One lang-cardinality aggregate + a 1-row broadcast; expected
+    * post-mix share ride along as the sanity column. */
+  def qMixWeights(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val byLang = documents(s, d).groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val tot = byLang.agg(sum("n_docs").cast("double").as("total"),
+      count(lit(1)).cast("double").as("k"))
+    byLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        r4(col("n_docs") / col("total")).as("actual_share"),
+        r4(lit(1.0) / col("k")).as("target_share"),
+        r4((lit(1.0) / col("k")) / (col("n_docs") / col("total"))).as("weight"))
+      .orderBy("lang")
   }
 }
