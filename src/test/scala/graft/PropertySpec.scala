@@ -190,3 +190,59 @@ object NgramProps extends Properties("NgramOps") {
       else (0 until 8).forall(p => out.getLong(p) == ref(p))
     }
 }
+
+/** Round-6 invariants: exact money arithmetic is order-independent and
+  * the Arrow-IPC serve layer round-trips arbitrary rows. */
+object ExactnessProps extends Properties("Exactness") {
+
+  // cents in [1, 10^7], rate-hundredths in [0, 10]: the fixture's domain
+  private val moneyRow: Gen[(Long, Long)] = for {
+    cents <- Gen.chooseNum(1L, 10000000L)
+    d100 <- Gen.chooseNum(0L, 10L)
+  } yield (cents, d100)
+
+  property("integer unit-sums are permutation-invariant (the float sum is not)") =
+    forAll(Gen.listOfN(50, moneyRow)) { rows =>
+      val units = rows.map { case (c, d) => c * (100L - d) }
+      val shuffled = scala.util.Random.shuffle(units)
+      units.sum == shuffled.sum &&
+        units.foldLeft(0L)(_ + _) == units.reverse.foldLeft(0L)(_ + _)
+    }
+
+  property("cents rounding of unit sums: (s+50) div 100 == round half-up") =
+    forAll(Gen.chooseNum(0L, 1000000000L)) { s =>
+      val cents = (s + 50L) / 100L
+      val expect = math.round(s / 100.0)
+      cents == expect
+    }
+}
+
+/** Arrow IPC serve roundtrip over random typed rows. */
+object FlightServeProps extends Properties("FlightServe") {
+  import graft.engine.{FlightServe, StreamStore}
+
+  private val row: Gen[Row] = for {
+    s <- Gen.alphaNumStr.map(_.take(12))
+    l <- Gen.chooseNum(Long.MinValue + 1, Long.MaxValue)
+    d <- Gen.chooseNum(-1e6, 1e6)
+    b <- Gen.oneOf(true, false)
+    nullStr <- Gen.oneOf(true, false)
+  } yield Row(if (nullStr) null else s, l, d, b)
+
+  private val schema = StructType(Seq(
+    StructField("s", StringType), StructField("l", LongType),
+    StructField("d", DoubleType), StructField("b", BooleanType)))
+
+  property("doGet IPC bytes decode back to the exact appended rows") =
+    forAll(Gen.listOfN(17, row)) { rows =>
+      val st = new StreamStore()
+      st.append("t", schema, rows.take(9))
+      st.append("t", schema, rows.drop(9))
+      val (_, batches) = FlightServe.readIpc(FlightServe.doGet(st, "t").get)
+      val got = batches.flatten
+      got.size == rows.size && rows.zip(got).forall { case (r, g) =>
+        (Option(r.get(0)).map(_.toString) == Option(g(0)).map(_.toString)) &&
+          r.get(1) == g(1) && r.get(2) == g(2) && r.get(3) == g(3)
+      }
+    }
+}
