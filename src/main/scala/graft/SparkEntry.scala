@@ -217,6 +217,18 @@ object SparkEntry {
     "q_window_nth"         -> (RelationalExt.qWindowNth _),
     "q_stream_rate"        -> (StreamingOps.qStreamRate _),
     "q_tpch_q5"            -> (TpchOps.qTpchQ5 _),
+    "q_tpch_q4"            -> (TpchOps.qTpchQ4 _),
+    "q_tpch_q7"            -> (TpchOps.qTpchQ7 _),
+    "q_tpch_q8"            -> (TpchOps.qTpchQ8 _),
+    "q_tpch_q9"            -> (TpchOps.qTpchQ9 _),
+    "q_tpch_q10"           -> (TpchOps.qTpchQ10 _),
+    "q_tpch_q13"           -> (TpchOps.qTpchQ13 _),
+    "q_tpch_q14"           -> (TpchOps.qTpchQ14 _),
+    "q_tpch_q15"           -> (TpchOps.qTpchQ15 _),
+    "q_tpch_q17"           -> (TpchOps.qTpchQ17 _),
+    "q_tpch_q18"           -> (TpchOps.qTpchQ18 _),
+    "q_tpch_q19"           -> (TpchOps.qTpchQ19 _),
+    "q_tpch_q22"           -> (TpchOps.qTpchQ22 _),
     "q_interval_overlap"   -> (AnalyticsOps.qIntervalOverlap _),
     "q_langid_eval"        -> (TextOps.qLangidEval _),
     "q_attribution"        -> (AnalyticsOps.qAttribution _),
@@ -840,6 +852,178 @@ object SparkEntry {
         |        AND CAST(o_orderdate AS TIMESTAMP) <  TIMESTAMP '1997-01-01 00:00:00'
         |      GROUP BY n_name) t
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND CAST(o_orderdate AS TIMESTAMP) <  TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND CAST(l_shipdate AS TIMESTAMP) > CAST(o_orderdate AS TIMESTAMP) + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |       CAST((_s4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue, n_items
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |             CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT) AS l_year,
+        |             SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS _s4,
+        |             CAST(COUNT(*) AS BIGINT) AS n_items
+        |      FROM supplier
+        |      JOIN lineitem ON s_suppkey = l_suppkey
+        |      JOIN orders   ON o_orderkey = l_orderkey
+        |      JOIN customer ON c_custkey = o_custkey
+        |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |      WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+        |          OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+        |        AND CAST(l_shipdate AS TIMESTAMP) BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                                              AND TIMESTAMP '1997-12-31 00:00:00'
+        |      GROUP BY n1.n_name, n2.n_name, CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT)) t
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q_tpch_q8" ->
+      """SELECT o_year, ROUND(CAST(nat_rev AS DOUBLE) / all_rev, 6) AS mkt_share, n_items
+        |FROM (SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_year,
+        |             SUM(CASE WHEN n2.n_name = 'NATION_1'
+        |                 THEN CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+        |                 ELSE 0 END) AS nat_rev,
+        |             SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS all_rev,
+        |             CAST(COUNT(*) AS BIGINT) AS n_items
+        |      FROM part
+        |      JOIN lineitem ON p_partkey = l_partkey
+        |      JOIN supplier ON s_suppkey = l_suppkey
+        |      JOIN orders   ON l_orderkey = o_orderkey
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |      JOIN region   ON n1.n_regionkey = r_regionkey
+        |      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |      WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+        |        AND CAST(o_orderdate AS TIMESTAMP) BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+        |                                               AND TIMESTAMP '1998-12-31 00:00:00'
+        |      GROUP BY CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)) t
+        |ORDER BY o_year""".stripMargin,
+
+    "q_tpch_q9" ->
+      """SELECT nation, o_year,
+        |       CAST((_s4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue, n_items
+        |FROM (SELECT n_name AS nation,
+        |             CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_year,
+        |             SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS _s4,
+        |             CAST(COUNT(*) AS BIGINT) AS n_items
+        |      FROM part
+        |      JOIN lineitem ON p_partkey = l_partkey
+        |      JOIN supplier ON s_suppkey = l_suppkey
+        |      JOIN orders   ON o_orderkey = l_orderkey
+        |      JOIN nation   ON s_nationkey = n_nationkey
+        |      WHERE p_name LIKE '%widget%'
+        |      GROUP BY n_name, CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)) t
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |       CAST((_s4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue,
+        |       c_acctbal, n_name
+        |FROM (SELECT c_custkey, c_name, c_acctbal, n_name,
+        |             SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS _s4
+        |      FROM customer
+        |      JOIN orders   ON c_custkey = o_custkey
+        |      JOIN lineitem ON l_orderkey = o_orderkey
+        |      JOIN nation   ON c_nationkey = n_nationkey
+        |      WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-10-01 00:00:00'
+        |        AND CAST(o_orderdate AS TIMESTAMP) <  TIMESTAMP '1997-01-01 00:00:00'
+        |        AND l_returnflag = 'R'
+        |      GROUP BY c_custkey, c_name, c_acctbal, n_name) t
+        |ORDER BY _s4 DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer
+        |      LEFT JOIN orders ON c_custkey = o_custkey
+        |                      AND o_orderpriority <> '5-LOW'
+        |      GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q14" ->
+      """SELECT ROUND(100.0 * CAST(promo AS DOUBLE) / total, 4) AS promo_revenue,
+        |       n_lines
+        |FROM (SELECT SUM(CASE WHEN p_type = 'PROMO'
+        |                 THEN CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+        |                 ELSE 0 END) AS promo,
+        |             SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS total,
+        |             CAST(COUNT(*) AS BIGINT) AS n_lines
+        |      FROM lineitem
+        |      JOIN part ON l_partkey = p_partkey
+        |      WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-09-01 00:00:00'
+        |        AND CAST(l_shipdate AS TIMESTAMP) <  TIMESTAMP '1996-10-01 00:00:00') t""".stripMargin,
+
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS total
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND CAST(l_shipdate AS TIMESTAMP) <  TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |       CAST((total + 50) // 100 AS DOUBLE) / 100.0 AS total_revenue
+        |FROM supplier
+        |JOIN rev ON s_suppkey = supplier_no
+        |WHERE total = (SELECT MAX(total) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q17" ->
+      """SELECT ROUND(CAST(_s AS DOUBLE) / 100.0 / 7.0, 2) AS avg_yearly, n_lines
+        |FROM (SELECT SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS _s,
+        |             CAST(COUNT(*) AS BIGINT) AS n_lines
+        |      FROM lineitem
+        |      JOIN part ON p_partkey = l_partkey
+        |      JOIN (SELECT l_partkey AS pk, AVG(l_quantity) AS avg_qty
+        |            FROM lineitem GROUP BY l_partkey) a ON pk = l_partkey
+        |      WHERE p_brand = 'Brand#23'
+        |        AND l_quantity < 0.2 * avg_qty) t""".stripMargin,
+
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS order_date,
+        |       o_totalprice, sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN (SELECT l_orderkey AS lok, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING SUM(l_quantity) > 300) big ON o_orderkey = lok
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT CAST((_s4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue, n_lines
+        |FROM (SELECT SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS _s4,
+        |             CAST(COUNT(*) AS BIGINT) AS n_lines
+        |      FROM lineitem
+        |      JOIN part ON p_partkey = l_partkey
+        |      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |         OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)) t""".stripMargin,
+
+    "q_tpch_q22" ->
+      """SELECT n_name AS cntry, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |       CAST(SUM(cb) AS DOUBLE) / 100.0 AS totacctbal
+        |FROM (SELECT c_custkey, c_nationkey,
+        |             CAST(ROUND(c_acctbal*100) AS BIGINT) AS cb
+        |      FROM customer) c
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE cb > (SELECT AVG(CAST(ROUND(c_acctbal*100) AS BIGINT))
+        |            FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
 
     "q_interval_overlap" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s_us, event_id

@@ -22,6 +22,7 @@ object TpchOps {
       case "orders"   => Tables.orders(s, d)
       case "customer" => Tables.customer(s, d)
       case "supplier" => Tables.supplier(s, d)
+      case "part"     => Tables.part(s, d)
       case "nation"   => Tables.nation(s, d)
       case "region"   => Tables.region(s, d)
     }).createOrReplaceTempView(s"tpch_$name")
@@ -88,6 +89,290 @@ object TpchOps {
           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
           AND l_discount BETWEEN 0.03 AND 0.07
           AND l_quantity < 24) t""")
+  }
+
+  /** TPC-H Q4 (adapted): order-priority checking. The fixture has no
+    * l_commitdate/l_receiptdate, so "late" is re-expressed as a line
+    * shipped more than 60 days after the order date — same plan shape
+    * as the spec query: a date-windowed scan of orders LEFT SEMI
+    * joined (EXISTS) to lineitem on orderkey with a cross-table date
+    * predicate, then a tiny groupBy on priority. The semi join
+    * shuffles both sides on orderkey once; the aggregate is 5 groups,
+    * map-side combined. */
+  def qTpchQ4(s: SparkSession, d: String): DataFrame = {
+    Seq("orders", "lineitem").foreach(view(s, d, _))
+    s.sql("""
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM tpch_orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM tpch_lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
+  /** TPC-H Q7: volume shipping between two nations, revenue by
+    * supplier-nation/customer-nation/year. The two nation lookups are
+    * 25-row broadcasts; the fact-side joins (lineitem-orders-customer,
+    * lineitem-supplier) shuffle on their keys once each; the output
+    * group space is 2 directions x years, so the final aggregate is
+    * map-side combined down to a handful of rows. */
+  def qTpchQ7(s: SparkSession, d: String): DataFrame = {
+    Seq("lineitem", "orders", "customer", "supplier", "nation")
+      .foreach(view(s, d, _))
+    s.sql("""
+      SELECT supp_nation, cust_nation, l_year,
+             CAST((_s4 + 50) DIV 100 AS DOUBLE) / 100.0 AS revenue, n_items
+      FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS _s4,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM tpch_supplier
+        JOIN tpch_lineitem ON s_suppkey = l_suppkey
+        JOIN tpch_orders   ON o_orderkey = l_orderkey
+        JOIN tpch_customer ON c_custkey = o_custkey
+        JOIN tpch_nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN tpch_nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+            OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+          AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1997-12-31 00:00:00'
+        GROUP BY n1.n_name, n2.n_name, CAST(YEAR(l_shipdate) AS BIGINT)) t
+      ORDER BY supp_nation, cust_nation, l_year""")
+  }
+
+  /** TPC-H Q8: national market share — the share of AMERICA-region
+    * PROMO-part revenue supplied by NATION_1, per order year. Both
+    * the numerator and denominator are exact integer 1e-4-dollar
+    * units, so the final double division is bit-identical across
+    * engines. Seven joins; nation/region are broadcast dims, the
+    * three fact joins shuffle once each. */
+  def qTpchQ8(s: SparkSession, d: String): DataFrame = {
+    Seq("lineitem", "orders", "customer", "supplier", "nation", "region",
+      "part").foreach(view(s, d, _))
+    s.sql("""
+      SELECT o_year, ROUND(CAST(nat_rev AS DOUBLE) / all_rev, 6) AS mkt_share, n_items
+      FROM (
+        SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+               SUM(CASE WHEN n2.n_name = 'NATION_1'
+                   THEN CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                   ELSE 0 END) AS nat_rev,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS all_rev,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM tpch_part
+        JOIN tpch_lineitem ON p_partkey = l_partkey
+        JOIN tpch_supplier ON s_suppkey = l_suppkey
+        JOIN tpch_orders   ON l_orderkey = o_orderkey
+        JOIN tpch_customer ON o_custkey = c_custkey
+        JOIN tpch_nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN tpch_region   ON n1.n_regionkey = r_regionkey
+        JOIN tpch_nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                              AND TIMESTAMP '1998-12-31 00:00:00'
+        GROUP BY CAST(YEAR(o_orderdate) AS BIGINT)) t
+      ORDER BY o_year""")
+  }
+
+  /** TPC-H Q9 (adapted): product-line revenue by supplier nation and
+    * order year for widget parts. The fixture has no partsupp, so
+    * profit degrades to discounted revenue — the join topology
+    * (part filter -> lineitem -> supplier -> orders -> nation) and the
+    * nation x year rollup are the point. p_name LIKE '%widget%' cannot
+    * push to parquet as an equality but prunes before the fact join. */
+  def qTpchQ9(s: SparkSession, d: String): DataFrame = {
+    Seq("lineitem", "orders", "supplier", "nation", "part")
+      .foreach(view(s, d, _))
+    s.sql("""
+      SELECT nation, o_year,
+             CAST((_s4 + 50) DIV 100 AS DOUBLE) / 100.0 AS revenue, n_items
+      FROM (
+        SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS _s4,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM tpch_part
+        JOIN tpch_lineitem ON p_partkey = l_partkey
+        JOIN tpch_supplier ON s_suppkey = l_suppkey
+        JOIN tpch_orders   ON o_orderkey = l_orderkey
+        JOIN tpch_nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY n_name, CAST(YEAR(o_orderdate) AS BIGINT)) t
+      ORDER BY nation, o_year DESC""")
+  }
+
+  /** TPC-H Q10: returned-item reporting — top 20 customers by revenue
+    * lost to returns in a quarter. TakeOrderedAndProject keeps the
+    * top-k distributed; ties on the rounded revenue are broken by
+    * custkey so the LIMIT edge is deterministic across engines. */
+  def qTpchQ10(s: SparkSession, d: String): DataFrame = {
+    Seq("lineitem", "orders", "customer", "nation").foreach(view(s, d, _))
+    s.sql("""
+      SELECT c_custkey, c_name,
+             CAST((_s4 + 50) DIV 100 AS DOUBLE) / 100.0 AS revenue,
+             c_acctbal, n_name
+      FROM (
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS _s4
+        FROM tpch_customer
+        JOIN tpch_orders   ON c_custkey = o_custkey
+        JOIN tpch_lineitem ON l_orderkey = o_orderkey
+        JOIN tpch_nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name) t
+      ORDER BY _s4 DESC, c_custkey
+      LIMIT 20""")
+  }
+
+  /** TPC-H Q13 (adapted): customer order-count distribution. The
+    * original excludes orders by a comment pattern; the fixture has no
+    * o_comment, so '5-LOW' priority stands in. LEFT JOIN keeps
+    * zero-order customers (count 0 bucket); two aggregates, the
+    * second over a distribution-sized (few-dozen-row) input. */
+  def qTpchQ13(s: SparkSession, d: String): DataFrame = {
+    Seq("orders", "customer").foreach(view(s, d, _))
+    s.sql("""
+      SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM tpch_customer
+        LEFT JOIN tpch_orders ON c_custkey = o_custkey
+                             AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey) t
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""")
+  }
+
+  /** TPC-H Q14: promotion effect — PROMO parts' share of one month's
+    * revenue. Single-row output; numerator and denominator are exact
+    * integer units so the percentage is engine-exact. */
+  def qTpchQ14(s: SparkSession, d: String): DataFrame = {
+    Seq("lineitem", "part").foreach(view(s, d, _))
+    s.sql("""
+      SELECT ROUND(100.0 * CAST(promo AS DOUBLE) / total, 4) AS promo_revenue,
+             n_lines
+      FROM (
+        SELECT SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                   ELSE 0 END) AS promo,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM tpch_lineitem
+        JOIN tpch_part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00') t""")
+  }
+
+  /** TPC-H Q15: top supplier — suppliers whose quarterly revenue
+    * equals the maximum. Revenue is an exact integer, so the
+    * max-equality predicate has no float boundary; the revenue CTE
+    * is supplier-count-sized and its MAX is a 1-row scalar subquery
+    * (broadcast back, not a driver collect). */
+  def qTpchQ15(s: SparkSession, d: String): DataFrame = {
+    Seq("lineitem", "supplier").foreach(view(s, d, _))
+    s.sql("""
+      WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS total
+        FROM tpch_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name,
+             CAST((total + 50) DIV 100 AS DOUBLE) / 100.0 AS total_revenue
+      FROM tpch_supplier
+      JOIN rev ON s_suppkey = supplier_no
+      WHERE total = (SELECT MAX(total) FROM rev)
+      ORDER BY s_suppkey""")
+  }
+
+  /** TPC-H Q17: small-quantity-order revenue for one brand. The
+    * correlated "20% of this part's average quantity" subquery is
+    * re-expressed as a per-part average aggregate joined back on
+    * partkey — the same two-pass shape Spark's decorrelator would
+    * produce, written explicitly so both engines run the identical
+    * plan. l_quantity is integer-valued in the fixture, so the
+    * average (exact integer sum / count) and the 0.2x threshold are
+    * bit-identical across engines. */
+  def qTpchQ17(s: SparkSession, d: String): DataFrame = {
+    Seq("lineitem", "part").foreach(view(s, d, _))
+    s.sql("""
+      SELECT ROUND(CAST(_s AS DOUBLE) / 100.0 / 7.0, 2) AS avg_yearly, n_lines
+      FROM (
+        SELECT SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS _s,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM tpch_lineitem
+        JOIN tpch_part ON p_partkey = l_partkey
+        JOIN (SELECT l_partkey AS pk, AVG(l_quantity) AS avg_qty
+              FROM tpch_lineitem GROUP BY l_partkey) a ON pk = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < 0.2 * avg_qty) t""")
+  }
+
+  /** TPC-H Q18: large-volume customers — orders whose total quantity
+    * exceeds 300. The HAVING aggregate runs on lineitem alone
+    * (one shuffle on orderkey, map-side combined), shrinking the fact
+    * side to a handful of orderkeys before the customer/orders joins. */
+  def qTpchQ18(s: SparkSession, d: String): DataFrame = {
+    Seq("lineitem", "orders", "customer").foreach(view(s, d, _))
+    s.sql("""
+      SELECT c_name, c_custkey, o_orderkey,
+             DATE_FORMAT(o_orderdate, 'yyyy-MM-dd') AS order_date,
+             o_totalprice, sum_qty
+      FROM tpch_customer
+      JOIN tpch_orders ON c_custkey = o_custkey
+      JOIN (SELECT l_orderkey AS lok, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+            FROM tpch_lineitem GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 300) big ON o_orderkey = lok
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 100""")
+  }
+
+  /** TPC-H Q19: discounted revenue across three brand/size/quantity
+    * branches OR-ed together — the disjunctive-predicate workout. The
+    * part join is on partkey with the disjunction evaluated post-join;
+    * single-row exact-integer output. */
+  def qTpchQ19(s: SparkSession, d: String): DataFrame = {
+    Seq("lineitem", "part").foreach(view(s, d, _))
+    s.sql("""
+      SELECT CAST((_s4 + 50) DIV 100 AS DOUBLE) / 100.0 AS revenue, n_lines
+      FROM (
+        SELECT SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS _s4,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM tpch_lineitem
+        JOIN tpch_part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)) t""")
+  }
+
+  /** TPC-H Q22 (adapted): dormant high-balance customers by nation.
+    * The fixture has no c_phone (no country code) and every customer
+    * has at least one order, so the anti-join is against RECENT
+    * orders (none since 2000-01-01) and grouping is by nation. The
+    * above-average threshold is computed in exact integer cents, so
+    * the comparison has no cross-engine float boundary. */
+  def qTpchQ22(s: SparkSession, d: String): DataFrame = {
+    Seq("orders", "customer", "nation").foreach(view(s, d, _))
+    s.sql("""
+      SELECT n_name AS cntry, CAST(COUNT(*) AS BIGINT) AS numcust,
+             CAST(SUM(cb) AS DOUBLE) / 100.0 AS totacctbal
+      FROM (
+        SELECT c_custkey, c_nationkey,
+               CAST(ROUND(c_acctbal*100) AS BIGINT) AS cb
+        FROM tpch_customer) c
+      JOIN tpch_nation ON c_nationkey = n_nationkey
+      WHERE cb > (SELECT AVG(CAST(ROUND(c_acctbal*100) AS BIGINT))
+                  FROM tpch_customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM tpch_orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      GROUP BY n_name
+      ORDER BY n_name""")
   }
 
   /** TPC-H Q5: local-supplier regional revenue — customer and

@@ -1,6 +1,6 @@
 package graft
 
-import graft.engine.TpchOps
+import graft.engine.{Tables, TpchOps}
 
 /** The spark.sql interface path: TPC-H-shaped queries over temp views,
   * with plan-shape assertions (the DuckDB differential is the value
@@ -22,6 +22,61 @@ class TpchSpec extends SparkSuite {
     assert(plan.contains("PushedFilters:") &&
       (plan.contains("GreaterThanOrEqual(l_shipdate") || plan.contains("IsNotNull(l_discount")),
       s"expected pushed scan filters in:\n${plan.take(1500)}")
+  }
+
+  test("Q4: late-ship EXISTS counts every priority, semi-join plan") {
+    val df = TpchOps.qTpchQ4(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected semi join:\n${plan.take(1200)}")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) > 0))
+  }
+
+  test("Q7: bidirectional nation-pair revenue, years within window") {
+    val rows = TpchOps.qTpchQ7(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(Set("NATION_12", "NATION_10")(r.getString(0)))
+      assert(r.getLong(2) == 1996L || r.getLong(2) == 1997L)
+    }
+  }
+
+  test("Q8: market share is a valid fraction per year") {
+    val rows = TpchOps.qTpchQ8(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+
+  test("Q13: order-count distribution conserves total customers") {
+    val rows = TpchOps.qTpchQ13(spark, sf).collect()
+    val total = rows.map(_.getLong(1)).sum
+    val nCust = Tables.customer(spark, sf).count()
+    assert(total == nCust, s"distribution covers $total of $nCust customers")
+  }
+
+  test("Q15: all returned suppliers share the identical max revenue") {
+    val rows = TpchOps.qTpchQ15(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getDouble(2)).distinct.length == 1)
+  }
+
+  test("Q17: quantity threshold keeps only sub-20%-of-average lines") {
+    val rows = TpchOps.qTpchQ17(spark, sf).collect()
+    assert(rows.length == 1 && rows.head.getLong(1) > 0)
+  }
+
+  test("Q18: sum_qty above threshold, ordered by totalprice desc") {
+    val rows = TpchOps.qTpchQ18(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(5) > 300))
+    val tp = rows.map(_.getDouble(4))
+    assert(tp.zip(tp.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("Q22: dormant high-balance customers grouped by nation") {
+    val rows = TpchOps.qTpchQ22(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) > 0))
   }
 
   test("Q3: top-10 via TakeOrderedAndProject, never a global sort") {
