@@ -235,6 +235,14 @@ object SparkEntry {
     "q_repetition_score"   -> (CurationOps.qRepetitionScore _),
     "q_char_dist"          -> (CurationOps.qCharDist _),
     "q_mix_weights"        -> (CurationOps.qMixWeights _),
+    "q_zipf_slope"         -> (CurationOps.qZipfSlope _),
+    "q_kl_divergence"      -> (CurationOps.qKlDivergence _),
+    "q_unigram_logprob"    -> (TextOps.qUnigramLogprob _),
+    "q_pq_assign"          -> ((s, d) => VectorOps.qPqAssign(s, d)),
+    "q_shard_assign"       -> (CurationOps.qShardAssign _),
+    "q_crossval_folds"     -> (CurationOps.qCrossvalFolds _),
+    "q_prefix_dedup"       -> (TextOps.qPrefixDedup _),
+    "q_bloom_join"         -> (ScaleOps.qBloomJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2700,6 +2708,113 @@ object SparkEntry {
         |       ROUND(sqrt(list_sum(list_transform(v,
         |            x -> pow(x - round(x * scale, 0) / scale, 2)))), 6) AS recon_err
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q_zipf_slope" ->
+      """WITH toks AS (SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS term
+        |              FROM documents),
+        |counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+        |top AS (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 200),
+        |r AS (SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, term) AS DOUBLE)) AS x,
+        |             ln(CAST(n AS DOUBLE)) AS y FROM top),
+        |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(x) AS sx, SUM(y) AS sy,
+        |             SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM r)
+        |SELECT CAST(k AS BIGINT) AS n_terms,
+        |       ROUND((k*sxy - sx*sy) / (k*sxx - sx*sx), 4) AS slope,
+        |       ROUND((sy - (k*sxy - sx*sy) / (k*sxx - sx*sx) * sx) / k, 4) AS intercept
+        |FROM s""".stripMargin,
+
+    "q_kl_divergence" ->
+      """WITH toks AS (SELECT source, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
+        |              FROM documents),
+        |sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+        |stot AS (SELECT source, CAST(SUM(c) AS DOUBLE) AS ns FROM sw GROUP BY 1),
+        |cw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cc FROM sw GROUP BY 1),
+        |ctot AS (SELECT CAST(SUM(cc) AS DOUBLE) AS n FROM cw)
+        |SELECT source, CAST(ns AS BIGINT) AS n_tokens,
+        |       ROUND(SUM((c/ns) * ln((c/ns) / (cc/n))), 4) AS kl
+        |FROM sw JOIN stot USING (source) JOIN cw USING (w) CROSS JOIN ctot
+        |GROUP BY source, ns ORDER BY source""".stripMargin,
+
+    "q_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
+        |              FROM documents),
+        |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+        |perdoc AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |                  SUM(ln(u.c / tot.n)) AS s
+        |           FROM toks t JOIN uni u USING (w) CROSS JOIN tot
+        |           GROUP BY t.doc_id)
+        |SELECT doc_id, n_tok, ROUND(s / n_tok, 4) AS avg_logprob
+        |FROM perdoc ORDER BY avg_logprob ASC, doc_id LIMIT 100""".stripMargin,
+
+    "q_pq_assign" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sub AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv
+        |        FROM e CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS m)),
+        |cb AS (SELECT m, vec_id AS centroid_id, sv AS cv FROM sub WHERE vec_id < 8),
+        |scored AS (SELECT s.vec_id, s.m, c.centroid_id,
+        |  CAST(floor(list_sum(list_transform(range(1,17),
+        |    i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]))) * 1e6 + 0.5) AS BIGINT) AS d2u
+        |  FROM sub s JOIN cb c ON s.m = c.m),
+        |best AS (SELECT vec_id, m, centroid_id, d2u,
+        |  row_number() OVER (PARTITION BY vec_id, m ORDER BY d2u, centroid_id) AS rn
+        |  FROM scored)
+        |SELECT vec_id,
+        |  MAX(CASE WHEN m=0 THEN centroid_id END) AS code0,
+        |  MAX(CASE WHEN m=1 THEN centroid_id END) AS code1,
+        |  MAX(CASE WHEN m=2 THEN centroid_id END) AS code2,
+        |  MAX(CASE WHEN m=3 THEN centroid_id END) AS code3,
+        |  CAST(SUM(d2u) AS DOUBLE) / 1e6 AS quant_err
+        |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_shard_assign" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+        |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 16 AS shard
+        |   FROM documents),
+        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM s)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       floor(COUNT(*) / (n / 16) * 10000 + 0.5) / 10000 AS balance
+        |FROM s CROSS JOIN tot GROUP BY shard, n ORDER BY shard""".stripMargin,
+
+    "q_crossval_folds" ->
+      """SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 5 AS fold,
+        |       lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin,
+
+    "q_prefix_dedup" ->
+      """WITH fp AS (SELECT doc_id,
+        |   md5(array_to_string(regexp_split_to_array(trim(text), '\s+')[1:8], ' ')) AS f
+        |   FROM documents)
+        |SELECT f AS prefix_fp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+        |FROM fp GROUP BY f HAVING COUNT(*) > 1
+        |ORDER BY n_docs DESC, prefix_fp LIMIT 50""".stripMargin,
+
+    "q_bloom_join" ->
+      """WITH b AS (SELECT CAST(doc_id AS VARCHAR) AS x FROM documents WHERE doc_id < 50),
+        |pos AS (SELECT ('0x' || substr(md5(x), 1, 8))::BIGINT % 1008 AS p FROM b
+        |        UNION ALL
+        |        SELECT ('0x' || substr(md5(x), 9, 8))::BIGINT % 1008 AS p FROM b),
+        |words AS (SELECT p // 63 AS w_idx, bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS w
+        |          FROM pos GROUP BY p // 63),
+        |probe AS (SELECT doc_id,
+        |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1008 AS p1,
+        |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT % 1008 AS p2
+        |          FROM documents),
+        |hit AS (SELECT doc_id,
+        |          CASE WHEN (w1.w >> CAST(p1 % 63 AS INT)) & 1 = 1
+        |                AND (w2.w >> CAST(p2 % 63 AS INT)) & 1 = 1 THEN 1 ELSE 0 END AS cand
+        |        FROM probe
+        |        LEFT JOIN words w1 ON p1 // 63 = w1.w_idx
+        |        LEFT JOIN words w2 ON p2 // 63 = w2.w_idx)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+        |       CAST(SUM(cand) AS BIGINT) AS n_candidates,
+        |       CAST(SUM(CASE WHEN doc_id < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |       CAST(SUM(CASE WHEN cand = 1 AND doc_id >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+        |       floor(SUM(CASE WHEN cand = 1 AND doc_id >= 50 THEN 1 ELSE 0 END)
+        |             / (COUNT(*) - 50.0) * 10000 + 0.5) / 10000 AS fp_rate
+        |FROM hit""".stripMargin,
 
     "q_triangle_count" ->
       """WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

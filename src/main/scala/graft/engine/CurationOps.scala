@@ -228,4 +228,94 @@ object CurationOps {
         r4((lit(1.0) / col("k")) / (col("n_docs") / col("total"))).as("weight"))
       .orderBy("lang")
   }
+
+  /** Zipf-law slope of the term-frequency distribution: least-squares
+    * fit of ln(freq) on ln(rank) over the top-200 vocabulary. A
+    * healthy natural-language corpus sits near slope −1; template/
+    * boilerplate-heavy corpora flatten it — a one-number corpus
+    * health check. The top-k is a distributed TakeOrderedAndProject
+    * (per-partition heaps), so the rank window and the closed-form
+    * regression run on ≤200 rows regardless of corpus size. */
+  def qZipfSlope(s: SparkSession, d: String): DataFrame = {
+    val counts = documents(s, d).select(explode(toks).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("term"))
+    val xy = counts.orderBy(col("n").desc, col("term")).limit(200)
+      .withColumn("x", log(row_number().over(w).cast("double")))
+      .withColumn("y", log(col("n").cast("double")))
+    val slope = (col("k") * col("sxy") - col("sx") * col("sy")) /
+      (col("k") * col("sxx") - col("sx") * col("sx"))
+    xy.agg(count(lit(1)).cast("double").as("k"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("k").cast("long").as("n_terms"),
+        round(slope, 4).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("k"), 4).as("intercept"))
+  }
+
+  /** Per-source KL divergence of the source's unigram distribution
+    * from the corpus distribution — the "is this source unlike the
+    * rest" signal a mixture curator reads before re-weighting.
+    * KL(s‖corpus) = Σ p_s(w)·ln(p_s(w)/p_c(w)), finite by
+    * construction (every source term exists in the corpus marginal).
+    * Per-(source,term) counts aggregate once; the vocabulary-sized
+    * corpus marginal joins back on the term key (shuffle join — never
+    * broadcast, a 100 TB vocabulary would OOM; AQE still broadcasts
+    * when it genuinely fits). Only the source-cardinality totals
+    * (a dim table) and the 1-row grand total are broadcast. */
+  def qKlDivergence(s: SparkSession, d: String): DataFrame = {
+    val sw = documents(s, d).select(col("source"), explode(toks).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val stot = sw.groupBy("source").agg(sum("c").cast("double").as("ns"))
+    val cw = sw.groupBy("w").agg(sum("c").as("cc"))
+    val ctot = cw.agg(sum("cc").cast("double").as("n"))
+    sw.join(broadcast(stot), "source")
+      .join(cw, "w")
+      .crossJoin(broadcast(ctot))
+      .groupBy("source", "ns")
+      .agg(round(sum((col("c") / col("ns")) *
+        log((col("c") / col("ns")) / (col("cc") / col("n")))), 4).as("kl"))
+      .select(col("source"), col("ns").cast("long").as("n_tokens"), col("kl"))
+      .orderBy("source")
+  }
+
+  /** Deterministic 16-way shard assignment by content-hash of the key
+    * — the final "write the training shards" step. Hash sharding is
+    * reproducible across engines, runs and partitionings (unlike
+    * round-robin, which is partitioning-dependent), so a re-run of a
+    * 100 TB shard job lands every doc in the same shard. Emits the
+    * per-shard balance audit (docs, bytes, ratio vs ideal) a shard
+    * writer checks before committing the layout. One aggregate. */
+  def qShardAssign(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val sh = documents(s, d).select(
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 16).as("shard"),
+      col("n_chars"))
+    val tot = sh.agg(count(lit(1)).cast("double").as("n"))
+    sh.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("total_chars"))
+      .crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("total_chars"),
+        r4(col("n_docs") / (col("n") / 16.0)).as("balance"))
+      .orderBy("shard")
+  }
+
+  /** Deterministic k-fold cross-validation split with a per-(fold,
+    * lang) stratification audit: fold = content-hash mod 5, so the
+    * assignment survives re-partitioning and re-runs, and the audit
+    * shows whether any fold is language-skewed enough to bias eval.
+    * Same scale shape as qShardAssign: one projection, one bounded
+    * aggregate (5 folds × |langs| rows). */
+  def qCrossvalFolds(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("long") % 5).as("fold"),
+        col("lang"))
+      .groupBy("fold", "lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("fold", "lang")
 }

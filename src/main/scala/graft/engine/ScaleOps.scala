@@ -219,4 +219,53 @@ object ScaleOps {
         sum(bit_count(col("bm"))).cast("long").as("n_users"),
         count(lit(1)).as("n_buckets"))
       .orderBy("event_type")
+
+  /** Bloom-filter pre-join: build a 1008-bit bloom (16 words × 63
+    * usable bits, k=2 md5-derived hashes) over a bounded key set and
+    * probe the full corpus against it — the broadcast-bloom pattern
+    * that lets a 100 TB fact scan drop non-matching rows BEFORE the
+    * join shuffle (Spark's own runtime row-group filtering, made
+    * explicit and engine-replayable). The filter build is a ≤16-row
+    * aggregate (broadcast twice for the two probe positions); the
+    * probe is a codegen'd projection + two tiny-table joins, no
+    * corpus shuffle. 63-bit words because a checked 1<<63 overflows
+    * DuckDB's BIGINT shift — same layout on both engines. Emits the
+    * candidate/exact/false-positive audit a capacity planner reads to
+    * size m and k. */
+  def qBloomJoin(s: SparkSession, d: String): DataFrame = {
+    val slots = 1008L
+    def h(src: Column, off: Int): Column =
+      conv(substring(md5(src.cast("string")), off, 8), 16, 10)
+        .cast("long") % slots
+    val docs = Tables.documents(s, d)
+    val pos = docs.filter(col("doc_id") < 50)
+      .select(h(col("doc_id"), 1).as("p"))
+      .union(docs.filter(col("doc_id") < 50)
+        .select(h(col("doc_id"), 9).as("p")))
+    val words = pos
+      .groupBy((col("p") / 63).cast("long").as("w_idx"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT)))")
+        .as("w"))
+    val probe = docs.select(col("doc_id"),
+      h(col("doc_id"), 1).as("p1"), h(col("doc_id"), 9).as("p2"))
+    val hit = probe
+      .join(broadcast(words.toDF("w1_idx", "w1")),
+        (col("p1") / 63).cast("long") === col("w1_idx"), "left")
+      .join(broadcast(words.toDF("w2_idx", "w2")),
+        (col("p2") / 63).cast("long") === col("w2_idx"), "left")
+      .select(col("doc_id"),
+        when(expr("(w1 >> CAST(p1 % 63 AS INT)) & 1 = 1") &&
+             expr("(w2 >> CAST(p2 % 63 AS INT)) & 1 = 1"), 1L)
+          .otherwise(0L).as("cand"))
+    hit.agg(
+      count(lit(1)).as("n_total"),
+      sum("cand").as("n_candidates"),
+      sum(when(col("doc_id") < 50, 1L).otherwise(0L)).as("n_true"),
+      sum(when(col("cand") === 1 && col("doc_id") >= 50, 1L).otherwise(0L))
+        .as("n_false_pos"))
+      .select(col("n_total"), col("n_candidates"), col("n_true"),
+        col("n_false_pos"),
+        (floor(col("n_false_pos") / (col("n_total") - 50.0) * 10000 + 0.5) /
+          10000).as("fp_rate"))
+  }
 }

@@ -884,4 +884,46 @@ object TextOps {
       .select("lang", "n_labeled", "n_predicted", "tp", "precision", "recall", "f1")
       .orderBy("lang")
   }
+
+  /** Unigram-LM perplexity proxy (the CCNet-style quality filter):
+    * score every document by the mean log-probability of its tokens
+    * under the corpus's own unigram distribution, and surface the
+    * 100 most-surprising (lowest-scoring) documents — the gibberish/
+    * boilerplate end a curation pass drops first. Two shuffles: the
+    * vocabulary aggregate, then the token-keyed join of the token
+    * stream against it (never broadcast — the vocabulary scales with
+    * the corpus; AQE still broadcasts when it genuinely fits). The
+    * final ranking is a distributed top-k on the ROUNDED score so
+    * both engines cut the same boundary. */
+  def qUnigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val uni = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum("c").cast("double").as("n"))
+    tok.join(uni, "w")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tok"),
+        sum(log(col("c") / col("n"))).as("s"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("s") / col("n_tok"), 4).as("avg_logprob"))
+      .orderBy(col("avg_logprob").asc, col("doc_id"))
+      .limit(100)
+  }
+
+  /** Prefix-fingerprint duplicate groups: md5 of the first 8 tokens.
+    * Boilerplate (license headers, templated intros) shows up as
+    * shared prefixes long before full-document hashes match — this is
+    * the cheap first pass before MinHash. One tokenize projection,
+    * one fingerprint-keyed aggregate; the report is the top-50 dup
+    * groups, a distributed top-k. */
+  def qPrefixDedup(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(tokens(col("text")), 1, 8))).as("prefix_fp"))
+      .groupBy("prefix_fp")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("n_docs").desc, col("prefix_fp"))
+      .limit(50)
 }

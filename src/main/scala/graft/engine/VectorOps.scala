@@ -410,4 +410,50 @@ object VectorOps {
        |WHERE cos_sim >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** Product-quantization code assignment — the compression step of a
+    * PQ/IVF-PQ index (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search"): each vector splits into m contiguous
+    * subvectors and every subvector is assigned its nearest codebook
+    * entry by squared L2, giving an m-byte code per vector. Like
+    * q_kmeans_assign, the codebook is FIXED and data-defined (the
+    * subvectors of the k lowest vec_ids) so the whole assignment is
+    * SQL-replayable. Scale shape: the codebook is m·k tiny rows —
+    * broadcast; the corpus explodes ×m (subvector rows), scores ×k
+    * against the broadcast, and the per-(vector,subspace) argmin is a
+    * bounded window on k candidates. One corpus pass, no shuffle
+    * beyond the final per-vector regroup. Distances are rounded
+    * BEFORE the argmin so both engines break ties identically. */
+  def qPqAssign(s: SparkSession, d: String, m: Int = 4, k: Int = 8): DataFrame = {
+    val subDim = (size(col("v")) / lit(m)).cast("int")
+    val sub = embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("m"),
+        slice(col("v"), col("m") * subDim + 1, subDim).as("sv"))
+    val cb = sub.filter(col("vec_id") < k)
+      .select(col("m").as("cm"), col("vec_id").as("centroid_id"),
+        col("sv").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "m")
+      .orderBy(col("d2u").asc, col("centroid_id").asc)
+    // Distances live in exact integer micro-units (floor(d²·1e6 + .5)):
+    // the argmin compares integers and the error sum is exact, so no
+    // engine ever rounds a half-boundary double — sums of 1e-6-grid
+    // values land on 1e-4 half-boundaries SYSTEMATICALLY otherwise.
+    sub.join(broadcast(cb), col("m") === col("cm"))
+      .withColumn("d2u", floor(aggregate(
+        zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x) * 1e6 + 0.5).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("vec_id")
+      .agg(
+        max(when(col("m") === 0, col("centroid_id"))).as("code0"),
+        max(when(col("m") === 1, col("centroid_id"))).as("code1"),
+        max(when(col("m") === 2, col("centroid_id"))).as("code2"),
+        max(when(col("m") === 3, col("centroid_id"))).as("code3"),
+        (sum("d2u").cast("double") / 1e6).as("quant_err"))
+      .orderBy("vec_id")
+  }
 }

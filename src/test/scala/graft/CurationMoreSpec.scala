@@ -65,4 +65,68 @@ class CurationMoreSpec extends SparkSuite {
       s"fixture basket $maxBasket exceeds valve ${RelationalExt.MaxBasketSize} — valve would alter output")
     assert(RelationalExt.MaxBasketSize == 120, "documented constant")
   }
+
+  test("zipf fit: negative slope, one row, rank-1 frequency dominates") {
+    val r = CurationOps.qZipfSlope(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) > 1, "needs a multi-term vocabulary")
+    assert(r.head.getDouble(1) < 0.0, s"zipf slope must be negative: ${r.head}")
+  }
+
+  test("kl divergence: non-negative per source, covers every source") {
+    val rows = CurationOps.qKlDivergence(spark, sf).collect()
+    val nSources = graft.engine.Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(rows.length == nSources)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0, s"negative KL: $r"))
+  }
+
+  test("unigram logprob: scores negative, ascending, capped at 100 docs") {
+    val rows = graft.engine.TextOps.qUnigramLogprob(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach(r => assert(r.getDouble(2) < 0.0, s"logprob must be < 0: $r"))
+    val ss = rows.map(_.getDouble(2))
+    assert(ss.zip(ss.tail).forall { case (a, b) => a <= b }, "not ascending")
+  }
+
+  test("shard assignment: 16 shards partition the corpus, balance ~1") {
+    val rows = CurationOps.qShardAssign(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((0L until 16L).toSet))
+    val nDocs = graft.engine.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "shards must partition corpus")
+    rows.foreach(r => assert(r.getDouble(3) > 0.3 && r.getDouble(3) < 3.0,
+      s"shard badly unbalanced: $r"))
+  }
+
+  test("crossval folds partition the corpus and cover every lang") {
+    val rows = CurationOps.qCrossvalFolds(spark, sf).collect()
+    val nDocs = graft.engine.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == nDocs)
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((0L until 5L).toSet))
+  }
+
+  test("prefix dedup: groups have >1 doc and canonical is the min id") {
+    val rows = graft.engine.TextOps.qPrefixDedup(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach(r => assert(r.getLong(1) > 1))
+    val ns = rows.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "not desc")
+  }
+
+  test("pq assign: codebook vectors code to themselves with zero error") {
+    val rows = VectorOps.qPqAssign(spark, sf).collect()
+    val n = graft.engine.Tables.embeddings(spark, sf).count()
+    assert(rows.length == n)
+    rows.filter(_.getLong(0) < 8).foreach { r =>
+      val id = r.getLong(0)
+      assert((1 to 4).forall(i => r.getLong(i) == id),
+        s"centroid $id must self-assign: $r")
+      assert(r.getDouble(5) == 0.0, s"centroid $id must have zero error: $r")
+    }
+    // non-codebook vectors: codes in range, error non-negative
+    rows.foreach { r =>
+      assert((1 to 4).forall(i => r.getLong(i) >= 0 && r.getLong(i) < 8))
+      assert(r.getDouble(5) >= 0.0)
+    }
+  }
 }

@@ -104,4 +104,17 @@ class ScaleOpsSpec extends SparkSuite {
       !plan.contains("Exchange hashpartitioning(o_orderkey"),
       s"co-bucketed join must not re-shuffle its key:\n${plan.take(1500)}")
   }
+
+  test("bloom pre-join: zero false negatives, bounded false-positive rate") {
+    val r = ScaleOps.qBloomJoin(spark, sf).collect()
+    assert(r.length == 1)
+    val (total, cand, nTrue, fp) =
+      (r.head.getLong(0), r.head.getLong(1), r.head.getLong(2), r.head.getLong(3))
+    // a bloom filter NEVER drops a true member: candidates ⊇ true set
+    assert(cand >= nTrue, s"false negatives: $cand candidates < $nTrue true")
+    assert(cand - fp == nTrue, s"candidate arithmetic: $r")
+    // m=1008, k=2, n=100 inserts → theoretical fp ≈ (1-e^(-200/1008))² ≈ 3.2%
+    assert(fp.toDouble / (total - nTrue) < 0.10,
+      s"fp rate out of band: $fp / ${total - nTrue}")
+  }
 }
