@@ -243,6 +243,9 @@ object SparkEntry {
     "q_crossval_folds"     -> (CurationOps.qCrossvalFolds _),
     "q_prefix_dedup"       -> (TextOps.qPrefixDedup _),
     "q_bloom_join"         -> (ScaleOps.qBloomJoin _),
+    "q_countmin"           -> ((s, d) => ScaleOps.qCountMin(s, d)),
+    "q_dim_stats"          -> (VectorOps.qDimStats _),
+    "q_bpe_merge"          -> (TextOps.qBpeMerge _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2815,6 +2818,44 @@ object SparkEntry {
         |       floor(SUM(CASE WHEN cand = 1 AND doc_id >= 50 THEN 1 ELSE 0 END)
         |             / (COUNT(*) - 50.0) * 10000 + 0.5) / 10000 AS fp_rate
         |FROM hit""".stripMargin,
+
+    "q_countmin" ->
+      """WITH cells AS (
+        |  SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+        |             CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS cell,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS r)
+        |  GROUP BY 1, 2),
+        |exact AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c_exact
+        |          FROM events GROUP BY 1
+        |          ORDER BY c_exact DESC, user_id LIMIT 20),
+        |h AS (SELECT user_id, c_exact, r,
+        |      ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+        |       CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS cell
+        |      FROM exact CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS r))
+        |SELECT h.user_id, h.c_exact, MIN(c.cnt) AS c_est,
+        |       CAST(MIN(c.cnt) - h.c_exact AS BIGINT) AS overcount
+        |FROM h JOIN cells c ON h.r = c.r AND h.cell = c.cell
+        |GROUP BY h.user_id, h.c_exact
+        |ORDER BY c_exact DESC, user_id""".stripMargin,
+
+    "q_dim_stats" ->
+      """WITH u AS (SELECT UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+        |                  generate_subscripts(embedding, 1) AS dim
+        |           FROM embeddings)
+        |SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(AVG(x), 4) AS mean, ROUND(STDDEV_POP(x), 4) AS std,
+        |       ROUND(MIN(x), 4) AS min_x, ROUND(MAX(x), 4) AS max_x
+        |FROM u GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "q_bpe_merge" ->
+      """WITH w AS (SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS word
+        |           FROM documents),
+        |cp AS (SELECT substr(word, CAST(i AS INT), 2) AS pair
+        |       FROM w, UNNEST(range(1, len(word))) AS t(i)
+        |       WHERE len(word) >= 2)
+        |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM cp GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
     "q_triangle_count" ->
       """WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

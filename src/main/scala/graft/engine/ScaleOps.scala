@@ -268,4 +268,40 @@ object ScaleOps {
         (floor(col("n_false_pos") / (col("n_total") - 50.0) * 10000 + 0.5) /
           10000).as("fp_rate"))
   }
+
+  /** Count-min sketch (Cormode–Muthukrishnan) with d=4 rows × w=64
+    * counters and md5-derived row hashes, audited against exact
+    * counts for the top-20 heaviest keys. The sketch build is the
+    * scale story: one pass over the stream projecting each event to d
+    * (row, cell) increments, collapsed by ONE bounded aggregate to
+    * d·w=256 cells — constant memory at any stream size, and the
+    * 256-row sketch broadcasts to answer point queries. Estimates
+    * are upper bounds (overcount ≥ 0, never under); the fixture's 150
+    * users vs 64 counters forces real collisions so the audit shows
+    * genuine overcounts. All-integer arithmetic: zero rounding,
+    * bit-exact in any engine. */
+  def qCountMin(s: SparkSession, d: String, w: Int = 64, dRows: Int = 4,
+                topK: Int = 20): DataFrame = {
+    def cell(r: Column, key: Column): Column =
+      conv(substring(md5(concat(r.cast("string"), lit(":"),
+        key.cast("string"))), 1, 8), 16, 10).cast("long") % w
+    val ev = Tables.events(s, d).select("user_id")
+    val cells = ev
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(dRows - 1))).as("r"))
+      .select(col("r"), cell(col("r"), col("user_id")).as("cell"))
+      .groupBy("r", "cell").agg(count(lit(1)).as("cnt"))
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("c_exact"))
+      .orderBy(col("c_exact").desc, col("user_id")).limit(topK)
+    exact
+      .select(col("user_id"), col("c_exact"),
+        explode(sequence(lit(0), lit(dRows - 1))).as("r"))
+      .withColumn("cell", cell(col("r"), col("user_id")))
+      .join(broadcast(cells), Seq("r", "cell"))
+      .groupBy("user_id", "c_exact")
+      .agg(min("cnt").as("c_est"))
+      .select(col("user_id"), col("c_exact"), col("c_est"),
+        (col("c_est") - col("c_exact")).as("overcount"))
+      .orderBy(col("c_exact").desc, col("user_id"))
+  }
 }

@@ -926,4 +926,23 @@ object TextOps {
       .filter(col("n_docs") > 1)
       .orderBy(col("n_docs").desc, col("prefix_fp"))
       .limit(50)
+
+  /** First BPE merge iteration: the corpus-wide frequency of every
+    * adjacent character pair inside words — the statistic a BPE
+    * tokenizer trainer maximizes at each merge step (Sennrich et al.,
+    * "Neural Machine Translation of Rare Words with Subword Units").
+    * Words explode ×(len−1) into pairs (linear fan-out, bounded by
+    * corpus bytes), then one aggregate + distributed top-20. A full
+    * trainer iterates this with the chosen merge applied; one step is
+    * the differentially-testable unit. */
+  def qBpeMerge(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(col("word"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(expr("substring(word, i, 2)").as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
 }

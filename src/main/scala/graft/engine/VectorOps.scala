@@ -456,4 +456,22 @@ object VectorOps {
         (sum("d2u").cast("double") / 1e6).as("quant_err"))
       .orderBy("vec_id")
   }
+
+  /** Per-dimension embedding statistics (mean/std/range) — the
+    * profile a whitening or normalization step computes first, and
+    * the drift monitor an embedding pipeline re-checks per batch.
+    * posexplode fans each vector into (dim, value) rows; one bounded
+    * aggregate (dim-cardinality groups) carries all four moments —
+    * map-side partials shrink the shuffle to dims × partitions. */
+  def qDimStats(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(posexplode(transform(col("embedding"), x => x.cast("double")))
+        .as(Seq("pos", "x")))
+      .groupBy((col("pos") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(avg("x"), 4).as("mean"),
+        round(stddev_pop("x"), 4).as("std"),
+        round(min("x"), 4).as("min_x"),
+        round(max("x"), 4).as("max_x"))
+      .orderBy("dim")
 }

@@ -113,6 +113,26 @@ class CurationMoreSpec extends SparkSuite {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "not desc")
   }
 
+  test("dim stats: one row per dimension, std>0, bounds ordered") {
+    val rows = VectorOps.qDimStats(spark, sf).collect()
+    assert(rows.length == 64, s"fixture embeddings are 64-dim: ${rows.length}")
+    val n = graft.engine.Tables.embeddings(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == n)
+      assert(r.getDouble(3) > 0.0, s"degenerate dim: $r")
+      assert(r.getDouble(4) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(5),
+        s"mean outside [min,max]: $r")
+    }
+  }
+
+  test("bpe merge: 20 two-char pairs, descending frequency") {
+    val rows = graft.engine.TextOps.qBpeMerge(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach(r => assert(r.getString(0).length == 2))
+    val ns = rows.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
   test("pq assign: codebook vectors code to themselves with zero error") {
     val rows = VectorOps.qPqAssign(spark, sf).collect()
     val n = graft.engine.Tables.embeddings(spark, sf).count()

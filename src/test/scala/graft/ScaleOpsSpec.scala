@@ -117,4 +117,19 @@ class ScaleOpsSpec extends SparkSuite {
     assert(fp.toDouble / (total - nTrue) < 0.10,
       s"fp rate out of band: $fp / ${total - nTrue}")
   }
+
+  test("count-min estimates are upper bounds and exact counts are right") {
+    val rows = ScaleOps.qCountMin(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS must never undercount: $r")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+    // exact side must agree with a direct count for the heaviest user
+    val top = rows.head
+    val direct = Tables.events(spark, sf)
+      .filter(col("user_id") === top.getLong(0)).count()
+    assert(top.getLong(1) == direct)
+  }
 }
