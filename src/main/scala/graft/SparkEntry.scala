@@ -2727,26 +2727,29 @@ object SparkEntry {
         |FROM s""".stripMargin,
 
     "q_kl_divergence" ->
-      """WITH toks AS (SELECT source, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
-        |              FROM documents),
-        |sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
-        |stot AS (SELECT source, CAST(SUM(c) AS DOUBLE) AS ns FROM sw GROUP BY 1),
-        |cw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cc FROM sw GROUP BY 1),
-        |ctot AS (SELECT CAST(SUM(cc) AS DOUBLE) AS n FROM cw)
-        |SELECT source, CAST(ns AS BIGINT) AS n_tokens,
-        |       ROUND(SUM((c/ns) * ln((c/ns) / (cc/n))), 4) AS kl
-        |FROM sw JOIN stot USING (source) JOIN cw USING (w) CROSS JOIN ctot
-        |GROUP BY source, ns ORDER BY source""".stripMargin,
+      """WITH sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        |            FROM (SELECT source, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
+        |                  FROM documents)
+        |            GROUP BY 1, 2),
+        |win AS (SELECT source, c, SUM(c) OVER (PARTITION BY w) AS cc FROM sw),
+        |per_src AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns,
+        |                   SUM(c * ln(c)) AS a, SUM(c * ln(cc)) AS b
+        |            FROM win GROUP BY source),
+        |g AS (SELECT source, ns, a, b, SUM(ns) OVER () AS n FROM per_src)
+        |SELECT source, ns AS n_tokens,
+        |       ROUND((a - b)/CAST(ns AS DOUBLE) - ln(ns) + ln(n), 4) AS kl
+        |FROM g ORDER BY source""".stripMargin,
 
     "q_unigram_logprob" ->
-      """WITH toks AS (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
-        |              FROM documents),
-        |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
-        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
-        |perdoc AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
-        |                  SUM(ln(u.c / tot.n)) AS s
-        |           FROM toks t JOIN uni u USING (w) CROSS JOIN tot
-        |           GROUP BY t.doc_id)
+      """WITH dwc AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        |             FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
+        |                   FROM documents)
+        |             GROUP BY 1, 2),
+        |cw AS (SELECT doc_id, w, cnt, SUM(cnt) OVER (PARTITION BY w) AS c FROM dwc),
+        |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM dwc),
+        |perdoc AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tok,
+        |                  SUM(cnt * ln(c / n)) AS s
+        |           FROM cw CROSS JOIN tot GROUP BY doc_id)
         |SELECT doc_id, n_tok, ROUND(s / n_tok, 4) AS avg_logprob
         |FROM perdoc ORDER BY avg_logprob ASC, doc_id LIMIT 100""".stripMargin,
 

@@ -259,24 +259,27 @@ object CurationOps {
     * rest" signal a mixture curator reads before re-weighting.
     * KL(s‖corpus) = Σ p_s(w)·ln(p_s(w)/p_c(w)), finite by
     * construction (every source term exists in the corpus marginal).
-    * Per-(source,term) counts aggregate once; the vocabulary-sized
-    * corpus marginal joins back on the term key (shuffle join — never
-    * broadcast, a 100 TB vocabulary would OOM; AQE still broadcasts
-    * when it genuinely fits). Only the source-cardinality totals
-    * (a dim table) and the 1-row grand total are broadcast. */
+    * ONE tokenize pass, via the log decomposition
+    * KL = (Σc·ln c − Σc·ln cc)/ns − ln ns + ln n (exact because
+    * Σ p_s = 1): the (source,term) aggregate is the only corpus-sized
+    * shuffle, the term marginal cc is a window sum over it, the three
+    * Σ terms ride ONE per-source aggregate, and the grand total n is
+    * a window over the per-source result (|sources| rows — a bounded
+    * dim). No second scan, no token-level join, no vocabulary-sized
+    * broadcast. */
   def qKlDivergence(s: SparkSession, d: String): DataFrame = {
     val sw = documents(s, d).select(col("source"), explode(toks).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("c"))
-    val stot = sw.groupBy("source").agg(sum("c").cast("double").as("ns"))
-    val cw = sw.groupBy("w").agg(sum("c").as("cc"))
-    val ctot = cw.agg(sum("cc").cast("double").as("n"))
-    sw.join(broadcast(stot), "source")
-      .join(cw, "w")
-      .crossJoin(broadcast(ctot))
-      .groupBy("source", "ns")
-      .agg(round(sum((col("c") / col("ns")) *
-        log((col("c") / col("ns")) / (col("cc") / col("n")))), 4).as("kl"))
-      .select(col("source"), col("ns").cast("long").as("n_tokens"), col("kl"))
+    sw.withColumn("cc", sum("c").over(Window.partitionBy("w")))
+      .groupBy("source")
+      .agg(sum("c").as("ns"),
+        sum(col("c") * log(col("c"))).as("a"),
+        sum(col("c") * log(col("cc"))).as("b"))
+      .withColumn("n", sum("ns").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("source"), col("ns").cast("long").as("n_tokens"),
+        round((col("a") - col("b")) / col("ns").cast("double") -
+          log(col("ns")) + log(col("n")), 4).as("kl"))
       .orderBy("source")
   }
 

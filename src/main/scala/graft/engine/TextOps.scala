@@ -889,22 +889,24 @@ object TextOps {
     * score every document by the mean log-probability of its tokens
     * under the corpus's own unigram distribution, and surface the
     * 100 most-surprising (lowest-scoring) documents — the gibberish/
-    * boilerplate end a curation pass drops first. Two shuffles: the
-    * vocabulary aggregate, then the token-keyed join of the token
-    * stream against it (never broadcast — the vocabulary scales with
-    * the corpus; AQE still broadcasts when it genuinely fits). The
-    * final ranking is a distributed top-k on the ROUNDED score so
-    * both engines cut the same boundary. */
+    * boilerplate end a curation pass drops first. ONE tokenize pass:
+    * tokens collapse immediately to (doc,term) counts (the only
+    * corpus-sized shuffle); the vocabulary marginal is a window sum
+    * over that aggregate partitioned by term — no token-level join,
+    * no vocabulary broadcast. The final ranking is a distributed
+    * top-k on the ROUNDED score so both engines cut the same
+    * boundary. */
   def qUnigramLogprob(s: SparkSession, d: String): DataFrame = {
-    val tok = documents(s, d)
+    val dwc = documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-    val uni = tok.groupBy("w").agg(count(lit(1)).as("c"))
-    val tot = uni.agg(sum("c").cast("double").as("n"))
-    tok.join(uni, "w")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    val tot = dwc.agg(sum("cnt").cast("double").as("n"))
+    dwc.withColumn("c", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("w")))
       .crossJoin(broadcast(tot))
       .groupBy("doc_id")
-      .agg(count(lit(1)).cast("long").as("n_tok"),
-        sum(log(col("c") / col("n"))).as("s"))
+      .agg(sum("cnt").cast("long").as("n_tok"),
+        sum(col("cnt") * log(col("c") / col("n"))).as("s"))
       .select(col("doc_id"), col("n_tok"),
         round(col("s") / col("n_tok"), 4).as("avg_logprob"))
       .orderBy(col("avg_logprob").asc, col("doc_id"))
