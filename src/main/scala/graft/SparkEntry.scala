@@ -246,6 +246,7 @@ object SparkEntry {
     "q_countmin"           -> ((s, d) => ScaleOps.qCountMin(s, d)),
     "q_dim_stats"          -> (VectorOps.qDimStats _),
     "q_bpe_merge"          -> (TextOps.qBpeMerge _),
+    "q_rank_fusion"        -> ((s, d) => VectorOps.qRankFusion(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2850,6 +2851,35 @@ object SparkEntry {
         |       ROUND(AVG(x), 4) AS mean, ROUND(STDDEV_POP(x), 4) AS std,
         |       ROUND(MIN(x), 4) AS min_x, ROUND(MAX(x), 4) AS max_x
         |FROM u GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "q_rank_fusion" ->
+      """WITH tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ts
+        |             FROM documents),
+        |q AS (SELECT doc_id AS q_id, ts AS qts FROM tok WHERE doc_id < 3),
+        |lex AS (SELECT q_id, t.doc_id AS cand,
+        |               CAST(len(list_intersect(qts, t.ts)) AS BIGINT) AS overlap
+        |        FROM q JOIN tok t ON t.doc_id <> q_id),
+        |lexr AS (SELECT q_id, cand,
+        |                row_number() OVER (PARTITION BY q_id ORDER BY overlap DESC, cand) AS r
+        |         FROM lex QUALIFY r <= 20),
+        |qe AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |       FROM embeddings WHERE vec_id < 3),
+        |vec AS (SELECT q_id, e.vec_id AS cand,
+        |               ROUND(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS cos
+        |        FROM qe JOIN embeddings e ON e.vec_id <> q_id),
+        |vecr AS (SELECT q_id, cand,
+        |                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand) AS r
+        |         FROM vec QUALIFY r <= 20),
+        |fused AS (SELECT COALESCE(l.q_id, v.q_id) AS q_id, COALESCE(l.cand, v.cand) AS cand,
+        |                 l.r AS lex_rank, v.r AS vec_rank,
+        |                 ROUND(COALESCE(1.0/(60+l.r), 0) + COALESCE(1.0/(60+v.r), 0), 6) AS rrf
+        |          FROM lexr l FULL OUTER JOIN vecr v ON l.q_id = v.q_id AND l.cand = v.cand),
+        |top AS (SELECT q_id, cand, CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+        |               CAST(COALESCE(vec_rank, 0) AS BIGINT) AS vec_rank, rrf,
+        |               row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, cand) AS rn
+        |        FROM fused QUALIFY rn <= 10)
+        |SELECT q_id, CAST(rn AS BIGINT) AS rank, cand, lex_rank, vec_rank, rrf
+        |FROM top ORDER BY q_id, rank""".stripMargin,
 
     "q_bpe_merge" ->
       """WITH w AS (SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS word

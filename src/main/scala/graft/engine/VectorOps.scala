@@ -463,6 +463,60 @@ object VectorOps {
     * posexplode fans each vector into (dim, value) rows; one bounded
     * aggregate (dim-cardinality groups) carries all four moments —
     * map-side partials shrink the shuffle to dims × partitions. */
+  /** Reciprocal-rank fusion of lexical and vector retrieval (Cormack
+    * et al., RRF): for each query doc, a token-overlap top-20 and a
+    * cosine top-20 fuse by Σ 1/(60+rank), the standard hybrid-search
+    * merge a RAG stack runs. Query set is bounded → broadcast to both
+    * corpus passes; ranks come from per-query windows (this is the
+    * brute-force baseline — at 100 TB the two candidate streams feed
+    * from the inverted index (q_inverted_index) and the ANN index
+    * (q_ann_lsh/ivf) instead, and the fusion stage is unchanged).
+    * Cosines are rounded BEFORE ranking; RRF scores are sums of the
+    * same two rationals in both engines — rank ties break by
+    * candidate id. */
+  def qRankFusion(s: SparkSession, d: String, nq: Int = 3, k: Int = 20,
+                  topN: Int = 10): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("ts"))
+    val q = tok.filter(col("doc_id") < nq)
+      .select(col("doc_id").as("q_id"), col("ts").as("qts"))
+    val lexr = tok.join(broadcast(q), col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id").as("cand"),
+        size(array_intersect(col("qts"), col("ts"))).cast("long").as("overlap"))
+      .withColumn("r", row_number().over(
+        W.partitionBy("q_id").orderBy(col("overlap").desc, col("cand"))))
+      .filter(col("r") <= k)
+      .select(col("q_id"), col("cand"), col("r").as("lex_rank"))
+    val emb = embeddings(s, d)
+    val qe = emb.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("vq"), col("embedding").as("qv"))
+    val vecr = emb.join(broadcast(qe), col("vec_id") =!= col("vq"))
+      .select(col("vq"), col("vec_id").as("vcand"),
+        round(nativeCosine(s, col("qv"), col("embedding")), 6).as("cos"))
+      .withColumn("r", row_number().over(
+        W.partitionBy("vq").orderBy(col("cos").desc, col("vcand"))))
+      .filter(col("r") <= k)
+      .select(col("vq"), col("vcand"), col("r").as("vec_rank"))
+    lexr.join(vecr,
+        col("q_id") === col("vq") && col("cand") === col("vcand"), "full_outer")
+      .select(
+        coalesce(col("q_id"), col("vq")).as("q_id"),
+        coalesce(col("cand"), col("vcand")).as("cand"),
+        col("lex_rank"), col("vec_rank"))
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(
+        W.partitionBy("q_id").orderBy(col("rrf").desc, col("cand"))).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("q_id"), col("rank"), col("cand"),
+        coalesce(col("lex_rank"), lit(0)).cast("long").as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0)).cast("long").as("vec_rank"),
+        col("rrf"))
+      .orderBy("q_id", "rank")
+  }
+
   def qDimStats(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
       .select(posexplode(transform(col("embedding"), x => x.cast("double")))

@@ -133,6 +133,25 @@ class CurationMoreSpec extends SparkSuite {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
   }
 
+  test("rank fusion: both-list hits outrank single-list hits") {
+    val rows = VectorOps.qRankFusion(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 10)
+      val scores = rs.sortBy(_.getLong(1)).map(_.getDouble(5))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        "rrf not descending within query")
+      // a candidate present in BOTH rankings beats one present in only
+      // the weakest single slot (1/61+1/80 > 1/61): rank-1 must be a
+      // both-lists hit whenever any both-lists hit exists
+      val both = rs.filter(r => r.getLong(3) > 0 && r.getLong(4) > 0)
+      if (both.nonEmpty) {
+        val top = rs.minBy(_.getLong(1))
+        assert(both.map(_.getDouble(5)).max <= top.getDouble(5) + 1e-9)
+      }
+    }
+  }
+
   test("pq assign: codebook vectors code to themselves with zero error") {
     val rows = VectorOps.qPqAssign(spark, sf).collect()
     val n = graft.engine.Tables.embeddings(spark, sf).count()
