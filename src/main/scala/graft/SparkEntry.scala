@@ -247,6 +247,11 @@ object SparkEntry {
     "q_dim_stats"          -> (VectorOps.qDimStats _),
     "q_bpe_merge"          -> (TextOps.qBpeMerge _),
     "q_rank_fusion"        -> ((s, d) => VectorOps.qRankFusion(s, d)),
+    "q_semdedup"           -> ((s, d) => VectorOps.qSemDedup(s, d)),
+    "q_embed_covariance"   -> (VectorOps.qEmbedCovariance _),
+    "q_quality_classifier" -> (TextOps.qQualityClassifier _),
+    "q_minhash_jaccard_est" -> (TextOps.qMinhashJaccardEst _),
+    "q_link_predict"       -> (RelationalExt.qLinkPredict _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2880,6 +2885,134 @@ object SparkEntry {
         |        FROM fused QUALIFY rn <= 10)
         |SELECT q_id, CAST(rn AS BIGINT) AS rank, cand, lex_rank, vec_rank, rrf
         |FROM top ORDER BY q_id, rank""".stripMargin,
+
+    "q_semdedup" ->
+      """WITH c AS (
+        |  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.centroid_id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) AS sim
+        |  FROM embeddings e CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id, centroid_id AS cluster FROM (
+        |    SELECT vec_id, centroid_id,
+        |           row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY sim DESC, centroid_id) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |evict AS (
+        |  SELECT hi.vec_id,
+        |         MAX(ROUND(list_cosine_similarity(
+        |           CAST(ea.embedding AS DOUBLE[]),
+        |           CAST(eb.embedding AS DOUBLE[])), 6)) AS max_lower_cos
+        |  FROM asg lo JOIN asg hi
+        |    ON lo.cluster = hi.cluster AND lo.vec_id < hi.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = lo.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = hi.vec_id
+        |  GROUP BY hi.vec_id)
+        |SELECT g.vec_id, g.cluster,
+        |       COALESCE(p.max_lower_cos, 0.0) AS max_lower_cos,
+        |       CAST(COALESCE(p.max_lower_cos, 0.0) < 0.92 AS INTEGER) AS is_kept
+        |FROM asg g LEFT JOIN evict p ON g.vec_id = p.vec_id
+        |ORDER BY g.vec_id""".stripMargin,
+
+    "q_embed_covariance" ->
+      """WITH u AS (SELECT vec_id, UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+        |                  generate_subscripts(embedding, 1) AS dim
+        |           FROM embeddings),
+        |m AS (SELECT dim, AVG(x) AS mu FROM u GROUP BY dim),
+        |p AS (SELECT a.dim AS dim_i, b.dim AS dim_j,
+        |             SUM(a.x * b.x) AS sp, COUNT(*) AS n
+        |      FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        |      GROUP BY 1, 2)
+        |SELECT CAST(dim_i AS BIGINT) AS dim_i, CAST(dim_j AS BIGINT) AS dim_j,
+        |       ROUND(sp / n - mi.mu * mj.mu, 6) AS cov
+        |FROM p JOIN m mi ON mi.dim = p.dim_i JOIN m mj ON mj.dim = p.dim_j
+        |ORDER BY dim_i, dim_j""".stripMargin,
+
+    "q_quality_classifier" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+        |           FROM documents),
+        |f AS (SELECT doc_id,
+        |             UNNEST(ts || CASE WHEN len(ts) >= 2
+        |               THEN list_transform(range(1, len(ts)),
+        |                      i -> ts[i] || ' ' || ts[i+1])
+        |               ELSE CAST([] AS VARCHAR[]) END) AS f
+        |      FROM t),
+        |w AS (SELECT doc_id,
+        |             ('0x' || substr(md5(f), 1, 15))::BIGINT % 2001 - 1000 AS w
+        |      FROM f)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+        |       CAST(SUM(w) AS BIGINT) AS score_sum,
+        |       CAST(SUM(w) > 0 AS INTEGER) AS keep
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_minhash_jaccard_est" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |  FROM documents),
+        |shd AS (
+        |  SELECT DISTINCT doc_id,
+        |    UNNEST(list_transform(range(1, len(arr) - 1),
+        |      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
+        |  FROM toks WHERE len(arr) >= 3),
+        |hset AS (
+        |  SELECT doc_id, list_sort(list(DISTINCT
+        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT)) AS hl
+        |  FROM shd GROUP BY doc_id),
+        |mh AS (
+        |  SELECT doc_id, p,
+        |    min(('0x' || substr(md5(CAST(p // 2 AS VARCHAR) || ':' || shingle),
+        |                        CAST(1 + 15 * (p % 2) AS INTEGER), 15))::BIGINT) AS mv
+        |  FROM shd, range(8) t(p) GROUP BY doc_id, p),
+        |sig AS (SELECT doc_id, list(mv ORDER BY p) AS sg FROM mh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, p // 2 AS band,
+        |    string_agg(CAST(mv AS VARCHAR), ',' ORDER BY p) AS s
+        |  FROM mh GROUP BY doc_id, p // 2),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.s = b.s AND a.doc_id < b.doc_id),
+        |sc AS (
+        |  SELECT da, db,
+        |    CAST(len(list_filter([1,2,3,4,5,6,7,8],
+        |      i -> sa.sg[i] = sb.sg[i])) AS BIGINT) AS n_match,
+        |    ROUND(CAST(len(list_intersect(ha.hl, hb.hl)) AS DOUBLE) /
+        |          (len(ha.hl) + len(hb.hl) - len(list_intersect(ha.hl, hb.hl))),
+        |          4) AS exact_jaccard
+        |  FROM pairs
+        |  JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db
+        |  JOIN hset ha ON ha.doc_id = da JOIN hset hb ON hb.doc_id = db)
+        |SELECT da, db, n_match, n_match / 8.0 AS est_jaccard, exact_jaccard,
+        |       ROUND(ABS(n_match / 8.0 - exact_jaccard), 4) AS abs_err
+        |FROM sc ORDER BY da, db""".stripMargin,
+
+    "q_link_predict" ->
+      """WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |li AS (SELECT l_orderkey, l_partkey FROM
+        |         (SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS bsz FROM li0)
+        |       WHERE bsz <= 120),
+        |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |      FROM li a JOIN li b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |adj0 AS (SELECT pa AS u, pb AS v FROM e
+        |         UNION ALL SELECT pb, pa FROM e),
+        |deg AS (SELECT u, COUNT(*) AS deg FROM adj0 GROUP BY u
+        |        HAVING COUNT(*) <= 500),
+        |adj AS (SELECT a.u, a.v FROM adj0 a
+        |        JOIN deg du ON du.u = a.u JOIN deg dv ON dv.u = a.v),
+        |cand AS (SELECT x.u AS a, y.v AS c, COUNT(*) AS cn
+        |         FROM adj x JOIN adj y ON x.v = y.u AND x.u < y.v
+        |         GROUP BY 1, 2),
+        |ne AS (SELECT a, c, cn FROM cand
+        |       WHERE NOT EXISTS (SELECT 1 FROM e WHERE pa = a AND pb = c))
+        |SELECT a, c, CAST(cn AS BIGINT) AS cn,
+        |       CAST(da.deg + dc.deg AS BIGINT) AS deg_sum,
+        |       ROUND(CAST(cn AS DOUBLE) / (da.deg + dc.deg - cn), 4) AS jacc
+        |FROM ne JOIN deg da ON da.u = a JOIN deg dc ON dc.u = c
+        |ORDER BY cn DESC, a, c LIMIT 50""".stripMargin,
 
     "q_bpe_merge" ->
       """WITH w AS (SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS word

@@ -947,4 +947,77 @@ object TextOps {
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(20)
+
+  /** fastText-style linear quality classifier inference (Joulin et
+    * al., "Bag of Tricks for Efficient Text Classification"): score
+    * every document as Σ w(feature) over unigram + word-bigram
+    * features, keep if the score is positive. The hashing trick is
+    * the real fastText mechanism — features never materialize a
+    * vocabulary table; each feature hashes straight to its weight
+    * slot — so inference is one explode (linear in tokens) + one
+    * aggregate, with NO weight-table join or broadcast at any corpus
+    * size. The weights themselves are the honest stub: md5-derived
+    * integers in [-1000, 1000] standing in for a trained model (the
+    * container has no trained classifier), which keeps every score
+    * integer-exact and SQL-replayable. Swapping in real weights =
+    * replacing one column expression; the distributed shape is what
+    * this query pins. */
+  def qQualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val ts = tokens(col("text"))
+    val bigrams = when(size(ts) >= 2,
+      transform(sequence(lit(1), size(ts) - 1), i =>
+        concat(element_at(ts, i), lit(" "), element_at(ts, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    documents(s, d)
+      .select(col("doc_id"), explode(concat(ts, bigrams)).as("f"))
+      .withColumn("w",
+        conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long") % 2001 - 1000)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("w").as("score_sum"))
+      .select(col("doc_id"), col("n_feats"), col("score_sum"),
+        (col("score_sum") > 0).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** MinHash estimator-quality audit: for every LSH candidate pair,
+    * the Jaccard ESTIMATE from 8-permutation signature agreement
+    * (matching positions / 8 — the unbiased MinHash estimator,
+    * Broder 1997) against the EXACT shingle-set Jaccard, with the
+    * absolute error. This is the audit that justifies a sketch
+    * parameter choice before running it over 100 TB — the same
+    * exact-vs-sketch comparison shape as q_countmin's audit, here
+    * for the dedup family. Signatures and shingle-hash sets are
+    * md5-derived (one native pass, shared machinery with
+    * q_dedup_minhash_md5), so the DuckDB oracle replays every value;
+    * the exact Jaccard runs only on CANDIDATE pairs (already
+    * LSH-blocked), never all pairs. */
+  def qMinhashJaccardEst(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    val base = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("arr"))
+      .filter(size(col("arr")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(call_function("graft_word_ngrams", col("arr"), lit(3)))
+          .as("shg"))
+      .select(col("doc_id"),
+        call_function("graft_md5_minhash", col("shg")).as("sig"),
+        sort_array(array_distinct(transform(col("shg"),
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("hs"))
+    md5MinhashPairs(s, d)
+      .join(base.select(col("doc_id").as("da"),
+        col("sig").as("sig_a"), col("hs").as("hs_a")), Seq("da"))
+      .join(base.select(col("doc_id").as("db"),
+        col("sig").as("sig_b"), col("hs").as("hs_b")), Seq("db"))
+      .select(col("da"), col("db"),
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (a, x) => a + x).as("n_match"),
+        round(call_function("graft_jaccard_sorted", col("hs_a"), col("hs_b")), 4)
+          .as("exact_jaccard"))
+      .withColumn("est_jaccard", col("n_match") / lit(8.0))
+      .withColumn("abs_err",
+        round(abs(col("est_jaccard") - col("exact_jaccard")), 4))
+      .select("da", "db", "n_match", "est_jaccard", "exact_jaccard", "abs_err")
+      .orderBy("da", "db")
+  }
 }

@@ -528,4 +528,88 @@ object VectorOps {
         round(min("x"), 4).as("min_x"),
         round(max("x"), 4).as("max_x"))
       .orderBy("dim")
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication = cluster the embedding space, then drop
+    * within-cluster near-duplicates by cosine. Clustering reuses the
+    * fixed data-defined centroids of [[qKmeansAssign]] (the k lowest
+    * vec_ids — SQL-replayable, unlike a trained k-means); within each
+    * cluster every vector compares only against LOWER-id
+    * cluster-mates, so the kept representative of a duplicate group
+    * is its lowest id (the paper's keep-one policy, made
+    * deterministic). The quadratic term is Σ cluster², never corpus²
+    * — one shuffle partitions by cluster, and at 100 TB the knob is
+    * k ≈ N / target-cluster-size, which keeps per-cluster pair
+    * fan-out constant while centroids stay a broadcast (this is
+    * exactly why the paper clusters first). Pair cosines are rounded
+    * to 6dp BEFORE the max/threshold so both engines compare
+    * identical grids. */
+  def qSemDedup(s: SparkSession, d: String, k: Int = 8,
+                tau: Double = 0.92): DataFrame = {
+    val emb = embeddings(s, d)
+    val cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("centroid_id").asc)
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("sim", nativeCosine(s, col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id").as("cluster"), col("embedding"))
+    val lo = assigned.select(col("cluster"), col("vec_id").as("lo_id"),
+      col("embedding").as("lo_emb"))
+    val hi = assigned.select(col("cluster"), col("vec_id").as("vec_id"),
+      col("embedding").as("hi_emb"))
+    val evict = hi.join(lo, "cluster")
+      .filter(col("lo_id") < col("vec_id"))
+      .select(col("vec_id"),
+        round(nativeCosine(s, col("lo_emb"), col("hi_emb")), 6).as("cos"))
+      .groupBy("vec_id")
+      .agg(max("cos").as("max_lower_cos"))
+    assigned.select("vec_id", "cluster")
+      .join(evict, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        col("cluster"),
+        coalesce(col("max_lower_cos"), lit(0.0)).as("max_lower_cos"),
+        (coalesce(col("max_lower_cos"), lit(0.0)) < tau)
+          .cast("int").as("is_kept"))
+      .orderBy("vec_id")
+  }
+
+  /** Upper-triangle covariance matrix of the embedding dimensions —
+    * the input to whitening / PCA, computed as one distributed
+    * aggregate: each vector fans out its d(d+1)/2 pair products
+    * map-side (pure HOFs, no UDF), partial aggregation collapses the
+    * shuffle to (pairs × partitions) rows, and per-dim means join
+    * back as a broadcast (d rows). cov(i,j) = E[xᵢxⱼ] − E[xᵢ]E[xⱼ]
+    * (population). At 100 TB this is the standard one-pass moment
+    * accumulation — the shuffle never exceeds d² regardless of row
+    * count; the d² fan-out happens before the combiner, so nothing
+    * quadratic in N ever moves. */
+  def qEmbedCovariance(s: SparkSession, d: String): DataFrame = {
+    val xs = transform(col("embedding"), x => x.cast("double"))
+    val idx = sequence(lit(0), size(col("v")) - 1)
+    val pairs = flatten(transform(idx, i =>
+      transform(sequence(i, size(col("v")) - 1), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("v"), i + 1) * element_at(col("v"), j + 1)).as("p")))))
+    val prods = embeddings(s, d)
+      .select(xs.as("v"))
+      .select(explode(pairs).as("pp"))
+      .groupBy(col("pp.i").as("i"), col("pp.j").as("j"))
+      .agg(sum("pp.p").as("sp"), count(lit(1)).as("n"))
+    val means = embeddings(s, d)
+      .select(posexplode(xs).as(Seq("pos", "x")))
+      .groupBy("pos").agg(avg("x").as("mu"))
+    prods
+      .join(broadcast(means.select(col("pos").as("i"), col("mu").as("mu_i"))), "i")
+      .join(broadcast(means.select(col("pos").as("j"), col("mu").as("mu_j"))), "j")
+      .select(
+        (col("i") + 1).cast("long").as("dim_i"),
+        (col("j") + 1).cast("long").as("dim_j"),
+        round(col("sp") / col("n") - col("mu_i") * col("mu_j"), 6).as("cov"))
+      .orderBy("dim_i", "dim_j")
+  }
 }
