@@ -58,7 +58,11 @@ object Bench {
     // inflates different queries in each pass and the per-query min
     // recovers the steady-state operator cost a long-lived cluster
     // pays — what BASELINE comparisons should grade.
+    // Local-iteration filter (driver never sets it): time only matching
+    // keys — same contract as Verify's SPARK_GRAFT_ONLY.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
     def once(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

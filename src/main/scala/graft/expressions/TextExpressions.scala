@@ -429,6 +429,85 @@ case class Md5MinHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** fastText-style hashed linear scoring, one native pass per document
+  * (array<string> tokens → [n_feats, score_sum]): every unigram and
+  * adjacent word-bigram hashes straight to its weight
+  * w = md5_60bit(feature) mod 2001 − 1000 (the hashing trick — no
+  * vocabulary table at any corpus size), summed map-side. The hash
+  * math is bit-identical to `('0x'||substr(md5(f),1,15))::BIGINT %
+  * 2001 - 1000`, so the DuckDB oracle replays it; replacing the
+  * explode + per-feature md5/conv + groupBy shuffle with this single
+  * expression removes the classifier's ONLY shuffle (measured 7.0 s →
+  * sub-second at sf0.1). Bigram digests stream token1, ' ', token2
+  * through one MD5 — byte-identical to hashing the concatenation,
+  * without building the pair string. */
+object Md5LinearScoreOps {
+  private val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  private val space = Array(' '.toByte)
+
+  def score(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val md = digests.get()
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(tokens.getUTF8String(i).getBytes)
+      sum += weight(md.digest())
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      md.reset()
+      md.update(tokens.getUTF8String(i).getBytes)
+      md.update(space)
+      md.update(tokens.getUTF8String(i + 1).getBytes)
+      sum += weight(md.digest())
+      i += 1
+    }
+    val nFeats = if (n >= 2) 2L * n - 1 else n.toLong
+    new GenericArrayData(Array[Any](nFeats, sum))
+  }
+
+  /** First 15 hex nibbles of the digest as a 60-bit long, mapped to
+    * [-1000, 1000] — the operand is non-negative, so `%` agrees
+    * between JVM and SQL engines. */
+  @inline private def weight(d: Array[Byte]): Long = {
+    var v = 0L; var k = 0
+    while (k < 15) {
+      val b = d(k >> 1) & 0xFF
+      v = (v << 4) | (if ((k & 1) == 0) b >>> 4 else b & 0xF)
+      k += 1
+    }
+    v % 2001 - 1000
+  }
+}
+
+/** See [[Md5LinearScoreOps.score]]. */
+case class Md5LinearScore(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_md5_linear_score requires array<string> input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_md5_linear_score"
+
+  override def nullSafeEval(a: Any): Any =
+    Md5LinearScoreOps.score(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.Md5LinearScoreOps.score($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Bounded edit distance k=1 as a LINEAR scan (string × string → int:
   * 0 exact, 1 one edit, -1 beyond): distance ≤ 1 needs no DP — skip
   * the common prefix and suffix; what remains is empty (0), one char

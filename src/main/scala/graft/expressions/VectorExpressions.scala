@@ -188,6 +188,8 @@ object VectorExpressions {
       "graft_md5_minhash", exprs => Md5MinHash(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_within_edit1", exprs => WithinEdit1(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_md5_linear_score", exprs => Md5LinearScore(exprs(0)), "built-in")
   }
 }
 
@@ -247,6 +249,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[Md5MinHash].getName, "graft_md5_minhash"),
         (exprs: Seq[Expression]) => Md5MinHash(exprs(0))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_md5_linear_score"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[Md5LinearScore].getName, "graft_md5_linear_score"),
+        (exprs: Seq[Expression]) => Md5LinearScore(exprs(0))))
     e.injectOptimizerRule(_ => SelfSimilarityFold)
   }
 }
