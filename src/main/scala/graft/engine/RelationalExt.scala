@@ -12,9 +12,9 @@ object RelationalExt {
   import Tables._
 
   /** Skew valve for order-blocked pair mining (q_copurchase,
-    * q_triangle_count): orders with more than this many distinct
-    * parts are dropped before the pair self-join, bounding per-order
-    * fan-out to C(K,2) = 7,140 pairs. TPC-H orders hold ≤7 line
+    * q_triangle_count, q_link_predict): orders with more than this
+    * many distinct parts are dropped before pair fan-out, bounding
+    * per-order cost to C(K,2) = 7,140 pairs. TPC-H orders hold ≤7 line
     * items, so the valve is inert on the fixtures (property-tested);
     * at 100 TB it is the guard that keeps one pathological mega-order
     * (a crawler cart, a bulk upload) from emitting quadratic pairs on
@@ -22,15 +22,27 @@ object RelationalExt {
     * family applies to its band buckets. */
   val MaxBasketSize = 120
 
-  /** The valve itself: distinct (order, part) rows from orders with
-    * at most [[MaxBasketSize]] distinct parts — the shared blocking
-    * input of both pair-mining queries (one definition so the two
-    * graph queries can never disagree on which orders participate). */
-  private def boundedBaskets(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("l_orderkey")))
-      .filter(col("bsz") <= MaxBasketSize)
-      .select("l_orderkey", "l_partkey")
+  /** The shared pair-support front end of the three graph-mining
+    * queries (q_copurchase, q_triangle_count, q_link_predict): per
+    * canonical part pair (pa < pb), in how many orders both appear.
+    * ONE aggregate builds the per-order distinct-part basket
+    * (collect_set dedups in the same shuffle that groups — no
+    * separate distinct, no window), the valve drops oversized
+    * baskets, and pairs fan out MAP-SIDE from the sorted basket
+    * array (exactly C(k,2) structs per order — the earlier
+    * distinct + window + self-join shape paid three shuffles, a
+    * window sort, and k² joined rows before the a<b filter; this
+    * pays two shuffles and never materializes the rejected half).
+    * Sortedness of the basket gives pa < pb for free. */
+  private def pairSupport(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")).between(2, MaxBasketSize))
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))), y =>
+          struct(x.as("pa"), y.as("pb")))))).as("p"))
+      .groupBy("p.pa", "p.pb").agg(count(lit(1)).as("n"))
 
   /** Several COUNT(DISTINCT …) over different keys in one aggregate —
     * Catalyst plans this with an Expand (one replicated stream per
@@ -49,21 +61,16 @@ object RelationalExt {
 
   /** Market-basket co-purchase mining: part pairs appearing in the
     * same order. The pair generation is blocked by order — each order
-    * holds ~4 line items, so the self-join fan-out is Σ C(k,2) per
-    * order (linear in orders), never |lineitem|². Top-50 pairs by
+    * holds ~4 line items, so the fan-out is Σ C(k,2) per order
+    * (linear in orders), never |lineitem|². Top-50 pairs by
     * support via distributed top-k. Baskets larger than
     * [[MaxBasketSize]] are dropped first (skew valve, see above). */
-  def qCopurchase(s: SparkSession, d: String): DataFrame = {
-    val li = boundedBaskets(s, d)
-    val a = li.toDF("l_orderkey", "p_a")
-    val b = li.toDF("l_orderkey", "p_b")
-    a.join(b, "l_orderkey")
-      .filter(col("p_a") < col("p_b"))
-      .groupBy("p_a", "p_b")
-      .agg(count(lit(1)).as("n_orders"))
+  def qCopurchase(s: SparkSession, d: String): DataFrame =
+    pairSupport(s, d)
+      .select(col("pa").as("p_a"), col("pb").as("p_b"),
+        col("n").as("n_orders"))
       .orderBy(col("n_orders").desc, col("p_a"), col("p_b"))
       .limit(50)
-  }
 
   /** Nested-type construction + navigation: each customer's orders are
     * collected into a sorted array of structs (the document shape the
@@ -99,7 +106,7 @@ object RelationalExt {
     * (graph-sized, not fact-sized); at 100 TB the same three-way
     * equi-join shuffles on edge endpoints — the standard
     * vertex-ordered triangle algorithm. The edge list is derived
-    * through a distinct + self-join + aggregate pipeline, so it is
+    * through the [[pairSupport]] aggregate pipeline, so it is
     * localCheckpoint'd (eager) once and the three-way join reads the
     * materialized partitions instead of recomputing that pipeline
     * three times (same lineage-truncation pattern as qDedupCluster).
@@ -119,19 +126,14 @@ object RelationalExt {
 
   /** The canonical (pa < pb) co-purchase edge list with support ≥ 2 —
     * shared blocking input of q_triangle_count and q_link_predict.
-    * Derived through distinct → self-join → aggregate, so it is
+    * Derived through the [[pairSupport]] pipeline, so it is
     * localCheckpoint'd (eager): consumers that read it several times
-    * scan materialized partitions instead of recomputing the
-    * pipeline. */
-  private def supportEdges(s: SparkSession, d: String): DataFrame = {
-    val bounded = boundedBaskets(s, d)
-    bounded.toDF("k", "pa").join(bounded.toDF("k", "pb"), "k")
-      .filter(col("pa") < col("pb"))
-      .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
+    * scan materialized partitions instead of recomputing it. */
+  private def supportEdges(s: SparkSession, d: String): DataFrame =
+    pairSupport(s, d)
       .filter(col("n") >= 2)
       .select("pa", "pb")
       .localCheckpoint(true)
-  }
 
   /** Common-neighbor link prediction over the co-purchase graph
     * (Liben-Nowell & Kleinberg 2003): for every NON-edge (a, c) at
