@@ -252,6 +252,10 @@ object SparkEntry {
     "q_quality_classifier" -> (TextOps.qQualityClassifier _),
     "q_minhash_jaccard_est" -> (TextOps.qMinhashJaccardEst _),
     "q_link_predict"       -> (RelationalExt.qLinkPredict _),
+    "q_kmeans_iter"        -> ((s, d) => VectorOps.qKmeansIter(s, d)),
+    "q_survival_km"        -> (AnalyticsOps.qSurvivalKm _),
+    "q_dup_substring"      -> (TextOps.qDupSubstring _),
+    "q_dedup_canonical"    -> (TextOps.qDedupCanonical _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3037,5 +3041,146 @@ object SparkEntry {
         |JOIN e e2 ON e1.pb = e2.pa
         |JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
         |ORDER BY a, b, c""".stripMargin,
+
+    "q_kmeans_iter" ->
+      """WITH c AS (
+        |  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.centroid_id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) AS sim
+        |  FROM embeddings e CROSS JOIN c),
+        |r AS (
+        |  SELECT vec_id, centroid_id,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+        |  FROM scored),
+        |m AS (SELECT centroid_id, vec_id FROM r WHERE rn = 1),
+        |nm AS (SELECT centroid_id, COUNT(*) AS n_members FROM m GROUP BY 1),
+        |u AS (SELECT m.centroid_id,
+        |             UNNEST(CAST(e.embedding AS DOUBLE[])) AS x,
+        |             generate_subscripts(e.embedding, 1) AS dim
+        |      FROM m JOIN embeddings e USING (vec_id)),
+        |agg AS (SELECT centroid_id, dim, AVG(x) AS new_mu FROM u GROUP BY 1, 2)
+        |SELECT a.centroid_id, CAST(a.dim AS BIGINT) AS dim,
+        |       CAST(nm.n_members AS BIGINT) AS n_members,
+        |       ROUND(a.new_mu, 6) AS new_mu,
+        |       ROUND(c.cvec[CAST(a.dim AS INTEGER)], 6) AS seed_x,
+        |       ROUND(a.new_mu - c.cvec[CAST(a.dim AS INTEGER)], 6) AS shift
+        |FROM agg a JOIN nm USING (centroid_id) JOIN c USING (centroid_id)
+        |ORDER BY centroid_id, dim""".stripMargin,
+
+    "q_survival_km" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |         MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+        |         MIN(CASE WHEN event_type = 'purchase'
+        |                  THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS tp,
+        |         MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS tlast
+        |  FROM events GROUP BY user_id),
+        |dur AS (
+        |  SELECT CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS observed,
+        |         (COALESCE(tp, tlast) - t0) // 86400000000 AS t
+        |  FROM per),
+        |byt AS (
+        |  SELECT t, SUM(observed) AS n_event, SUM(1 - observed) AS n_censor
+        |  FROM dur GROUP BY t),
+        |km AS (
+        |  SELECT t, n_event, n_censor,
+        |         SUM(n_event + n_censor) OVER () -
+        |           COALESCE(SUM(n_event + n_censor) OVER (ORDER BY t
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM byt),
+        |f AS (
+        |  SELECT t, n_risk, n_event, n_censor,
+        |         1.0 - CAST(n_event AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+        |  FROM km)
+        |SELECT CAST(t AS BIGINT) AS duration_days,
+        |       CAST(n_risk AS BIGINT) AS n_risk,
+        |       CAST(n_event AS BIGINT) AS n_event,
+        |       CAST(n_censor AS BIGINT) AS n_censor,
+        |       CASE WHEN MIN(factor) OVER (ORDER BY t
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0 THEN 0.0
+        |            ELSE ROUND(EXP(SUM(LN(CASE WHEN factor = 0 THEN 1.0 ELSE factor END))
+        |                OVER (ORDER BY t
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) END AS surv
+        |FROM f ORDER BY duration_days""".stripMargin,
+
+    "q_dup_substring" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |              FROM documents),
+        |base AS (SELECT doc_id,
+        |                list_transform(range(1, len(arr) - 3),
+        |                  i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' ||
+        |                       arr[i+3] || ' ' || arr[i+4]) AS w
+        |         FROM toks WHERE len(arr) >= 5),
+        |wins AS (SELECT doc_id, UNNEST(w) AS g FROM base),
+        |dup AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS nd
+        |                       FROM wins GROUP BY g) WHERE nd >= 2),
+        |dp AS (SELECT doc_id, COUNT(*) AS n_dup
+        |       FROM wins JOIN dup USING (g) GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(len(b.w) AS BIGINT) AS n_windows,
+        |       CAST(COALESCE(dp.n_dup, 0) AS BIGINT) AS n_dup_windows,
+        |       FLOOR(COALESCE(dp.n_dup, 0) / len(b.w) * 10000.0 + 0.5) / 10000.0 AS dup_frac,
+        |       CAST(FLOOR(COALESCE(dp.n_dup, 0) / len(b.w) * 10000.0 + 0.5) / 10000.0 >= 0.2
+        |            AS INTEGER) AS flag_dup
+        |FROM base b LEFT JOIN dp ON dp.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q_dedup_canonical" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr FROM documents
+        |), shd AS (
+        |  SELECT DISTINCT doc_id,
+        |    UNNEST(list_transform(range(1, len(arr) - 1),
+        |      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
+        |  FROM toks WHERE len(arr) >= 3
+        |), mh AS (
+        |  SELECT doc_id, p,
+        |    min(('0x' || substr(md5(CAST(p // 2 AS VARCHAR) || ':' || shingle),
+        |                        CAST(1 + 15 * (p % 2) AS INTEGER), 15))::BIGINT) AS mv
+        |  FROM shd, range(8) t(p) GROUP BY doc_id, p
+        |), bands AS (
+        |  SELECT doc_id, p // 2 AS band,
+        |    string_agg(CAST(mv AS VARCHAR), ',' ORDER BY p) AS sig
+        |  FROM mh GROUP BY doc_id, p // 2
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT da AS a, db AS b FROM pairs
+        |  UNION ALL SELECT db, da FROM pairs
+        |), reach(node, r) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+        |), comp AS (
+        |  SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+        |), q AS (
+        |  SELECT doc_id,
+        |         FLOOR((LEAST(n_tok / 100.0, 1.0) * 0.4
+        |               + LEAST(stop_hits / n_tok * 5.0, 1.0) * 0.3
+        |               + (1.0 - LEAST(punct / GREATEST(n_char, 1) * 10.0, 1.0)) * 0.3)
+        |               * 10000.0 + 0.5) / 10000.0 AS quality
+        |  FROM (SELECT doc_id,
+        |               CAST(array_length(ts) AS DOUBLE) AS n_tok,
+        |               CAST(array_length(list_filter(ts,
+        |                 x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) AS stop_hits,
+        |               CAST(array_length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS punct,
+        |               CAST(length(text) AS DOUBLE) AS n_char
+        |        FROM (SELECT doc_id, text,
+        |                     regexp_split_to_array(trim(text), '\s+') AS ts
+        |              FROM documents) a) b
+        |), lab AS (
+        |  SELECT q.doc_id, COALESCE(c.comp, q.doc_id) AS comp, q.quality
+        |  FROM q LEFT JOIN comp c ON c.node = q.doc_id
+        |)
+        |SELECT doc_id, comp, quality,
+        |       first_value(doc_id) OVER (PARTITION BY comp
+        |         ORDER BY quality DESC, doc_id) AS canonical_doc_id,
+        |       CAST(doc_id = first_value(doc_id) OVER (PARTITION BY comp
+        |         ORDER BY quality DESC, doc_id) AS INTEGER) AS keep
+        |FROM lab
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -435,4 +435,53 @@ object AnalyticsOps {
         round(sum("value"), 2).as("attributed_value"))
       .orderBy("channel")
   }
+  /** Kaplan-Meier survival estimate (Kaplan & Meier 1958) of
+    * time-to-conversion: per user, duration in whole days from first
+    * activity to first purchase (observed) or to last activity
+    * (right-censored). The corpus-sized work is ONE user_id
+    * aggregation; the KM table itself — at-risk counts, per-day
+    * events/censorings, and the product-limit survival curve — runs
+    * on the per-duration aggregate (≤ observation-window days, i.e.
+    * calendar-bounded), so the unpartitioned windows below never see
+    * corpus-sized input. Survival = exp(Σ ln(1 − dᵢ/nᵢ)), with an
+    * explicit zero-factor guard because Spark's ln(0) is NULL while
+    * C-family engines give -inf — the guard makes both engines emit
+    * an exact 0. */
+  def qSurvivalKm(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        min(unix_micros(col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("tp"),
+        max(unix_micros(col("ts"))).as("tlast"))
+      .select(
+        when(col("tp").isNotNull, 1).otherwise(0).as("observed"),
+        expr("(COALESCE(tp, tlast) - t0) DIV 86400000000").as("t"))
+    val byT = per.groupBy("t").agg(
+      sum(col("observed")).as("n_event"),
+      sum(lit(1) - col("observed")).as("n_censor"))
+    val all = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val prev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upto = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_risk",
+        sum(col("n_event") + col("n_censor")).over(all) -
+          coalesce(sum(col("n_event") + col("n_censor")).over(prev), lit(0L)))
+      .withColumn("factor",
+        lit(1.0) - col("n_event").cast("double") / col("n_risk").cast("double"))
+      .select(
+        col("t").cast("long").as("duration_days"),
+        col("n_risk").cast("long").as("n_risk"),
+        col("n_event").cast("long").as("n_event"),
+        col("n_censor").cast("long").as("n_censor"),
+        when(min(col("factor")).over(upto) === 0.0, lit(0.0))
+          .otherwise(round(exp(sum(log(
+            when(col("factor") === 0.0, 1.0).otherwise(col("factor")))).over(upto)), 6))
+          .as("surv"))
+      .orderBy("duration_days")
+  }
 }

@@ -670,6 +670,18 @@ object TextOps {
     * via localCheckpoint). Output: every clustered doc with its
     * component id (min doc_id in the component) and cluster size. */
   def qDedupCluster(s: SparkSession, d: String): DataFrame = {
+    val labels = clusterLabels(s, d)
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    labels.join(broadcast(sizes), "comp")
+      .select(col("node").as("doc_id"), col("comp"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Connected-component labels (node → min-doc_id component) of the
+    * minhash candidate-pair graph — the label-propagation loop shared
+    * by [[qDedupCluster]] and [[qDedupCanonical]]. Only docs that
+    * appear in at least one candidate pair are present. */
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
     val pairs = md5MinhashPairs(s, d)
     val edges = pairs.select(col("da").as("a"), col("db").as("b"))
       .union(pairs.select(col("db").as("a"), col("da").as("b")))
@@ -700,9 +712,77 @@ object TextOps {
       prevSum = s2
       iter += 1
     }
-    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
-    labels.join(broadcast(sizes), "comp")
-      .select(col("node").as("doc_id"), col("comp"), col("cluster_size"))
+    labels
+  }
+
+  /** Canonical-document selection — the pipeline stage after
+    * clustering: every document joins its near-dup component (docs
+    * with no candidate pair form singleton components), and within
+    * each component the highest-quality document (composite quality
+    * score of [[qQualityScore]], doc_id tie-break) is elected
+    * canonical; the rest are the rows a training-data pipeline
+    * drops. Quality is a map-side projection; the election is one
+    * keyed window over the component key — corpus-sized but fully
+    * distributed (components are tiny), no global window anywhere. */
+  def qDedupCanonical(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopHits = size(filter(toks, t => t.isin(StopwordsEn: _*))).cast("double")
+    val punct = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double")
+    val q = documents(s, d).select(
+      col("doc_id"),
+      r4(
+        least(nTok / 100.0, lit(1.0)) * 0.4 +
+          least(stopHits / nTok * 5.0, lit(1.0)) * 0.3 +
+          (lit(1.0) - least(punct / greatest(length(col("text")), lit(1)).cast("double") * 10.0, lit(1.0))) * 0.3)
+        .as("quality"))
+    val labels = clusterLabels(s, d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("comp")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    q.join(labels, q("doc_id") === labels("node"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"),
+        col("quality"))
+      .withColumn("canonical_doc_id", first("doc_id").over(w))
+      .select(col("doc_id"), col("comp"), col("quality"),
+        col("canonical_doc_id"),
+        (col("doc_id") === col("canonical_doc_id")).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-document duplicated-substring audit (the document-level
+    * signal of exact-substring dedup, Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): every 5-token
+    * window of every document, the fraction of a document's windows
+    * that also occur verbatim in ANOTHER document. Window
+    * generation is a native per-row expression (no token explode);
+    * the corpus-wide work is one shuffle keyed by the window string
+    * (count distinct docs per window) plus a semi-join of positions
+    * against the duplicated windows — both linear in total windows,
+    * the suffix-array-free approximation that scales to 100 TB.
+    * flag_dup marks documents above 20% duplicated windows. */
+  def qDupSubstring(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val base = documents(s, d)
+      .select(col("doc_id"),
+        call_function("graft_word_ngrams", tokens(col("text")), lit(5)).as("w"))
+      .filter(size(col("w")) > 0)
+    val wins = base.select(col("doc_id"), explode(col("w")).as("g"))
+    val dupGrams = wins.groupBy("g")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("g")
+    val dupPos = wins.join(dupGrams, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    base.select(col("doc_id"), size(col("w")).cast("long").as("n_windows"))
+      .join(dupPos, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
+        r4(coalesce(col("n_dup"), lit(0L)).cast("double") /
+          col("n_windows").cast("double")).as("dup_frac"))
+      .withColumn("flag_dup", (col("dup_frac") >= 0.2).cast("int"))
       .orderBy("doc_id")
   }
 

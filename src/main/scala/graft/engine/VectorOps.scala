@@ -579,37 +579,72 @@ object VectorOps {
   }
 
   /** Upper-triangle covariance matrix of the embedding dimensions —
-    * the input to whitening / PCA, computed as one distributed
-    * aggregate: each vector fans out its d(d+1)/2 pair products
-    * map-side (pure HOFs, no UDF), partial aggregation collapses the
-    * shuffle to (pairs × partitions) rows, and per-dim means join
-    * back as a broadcast (d rows). cov(i,j) = E[xᵢxⱼ] − E[xᵢ]E[xⱼ]
-    * (population). At 100 TB this is the standard one-pass moment
-    * accumulation — the shuffle never exceeds d² regardless of row
-    * count; the d² fan-out happens before the combiner, so nothing
-    * quadratic in N ever moves. */
+    * the input to whitening / PCA — via the native
+    * [[graft.expressions.VectorCovariance]] one-pass moment sketch:
+    * each task accumulates per-dim sums and the d(d+1)/2 pair-product
+    * sums in a tight loop over its rows, and ONE (d²+d)-double state
+    * per partition crosses the shuffle — invariant in row count, the
+    * shape that survives a 100 TB scan. (The previous formulation
+    * exploded 2080 pair-product structs per 64-dim vector through the
+    * hash aggregate; per-row overhead dwarfed the actual FMAs.)
+    * cov(i,j) = E[xᵢxⱼ] − E[xᵢ]E[xⱼ] (population). */
   def qEmbedCovariance(s: SparkSession, d: String): DataFrame = {
-    val xs = transform(col("embedding"), x => x.cast("double"))
-    val idx = sequence(lit(0), size(col("v")) - 1)
-    val pairs = flatten(transform(idx, i =>
-      transform(sequence(i, size(col("v")) - 1), j =>
-        struct(i.as("i"), j.as("j"),
-          (element_at(col("v"), i + 1) * element_at(col("v"), j + 1)).as("p")))))
-    val prods = embeddings(s, d)
-      .select(xs.as("v"))
-      .select(explode(pairs).as("pp"))
-      .groupBy(col("pp.i").as("i"), col("pp.j").as("j"))
-      .agg(sum("pp.p").as("sp"), count(lit(1)).as("n"))
-    val means = embeddings(s, d)
-      .select(posexplode(xs).as(Seq("pos", "x")))
-      .groupBy("pos").agg(avg("x").as("mu"))
-    prods
-      .join(broadcast(means.select(col("pos").as("i"), col("mu").as("mu_i"))), "i")
-      .join(broadcast(means.select(col("pos").as("j"), col("mu").as("mu_j"))), "j")
+    graft.expressions.VectorExpressions.register(s)
+    embeddings(s, d)
+      .agg(call_function("graft_vector_cov", col("embedding")).as("m"))
+      .select(size(col("m")).as("dd"),
+        posexplode(col("m")).as(Seq("p", "c")))
+      .withColumn("dim", sqrt(col("dd").cast("double")).cast("int"))
+      .withColumn("i", (col("p") / col("dim")).cast("int"))
+      .withColumn("j", col("p") % col("dim"))
+      .filter(col("i") <= col("j"))
       .select(
         (col("i") + 1).cast("long").as("dim_i"),
         (col("j") + 1).cast("long").as("dim_j"),
-        round(col("sp") / col("n") - col("mu_i") * col("mu_j"), 6).as("cov"))
+        round(col("c"), 6).as("cov"))
       .orderBy("dim_i", "dim_j")
+  }
+
+  /** One distributed Lloyd iteration (k-means update step): assign
+    * every vector to its nearest seed centroid (same deterministic
+    * vec_id < k seeds and cosine/tie rule as [[qKmeansAssign]]), then
+    * recompute each centroid as the element-wise member mean via the
+    * native graft_vector_avg aggregate — broadcast assign, one
+    * corpus pass, shuffle = one d-double partial per (centroid ×
+    * partition). Output is per (centroid, dim): the updated mean,
+    * the seed value it moved from, and the signed shift — k·d rows,
+    * bounded by model size, never by corpus size. This is the inner
+    * loop of distributed k-means at 100 TB (Lloyd 1982); the driver
+    * would iterate it to convergence exactly as qDedupCluster
+    * iterates label propagation. */
+  def qKmeansIter(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    val emb = embeddings(s, d)
+    val cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("centroid_id").asc)
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("sim", nativeCosine(s, col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val updated = assigned
+      .groupBy("centroid_id")
+      .agg(call_function("graft_vector_avg", col("embedding")).as("nc"),
+        count(lit(1)).as("n_members"))
+    updated
+      .select(col("centroid_id"), col("n_members"),
+        posexplode(col("nc")).as(Seq("p", "new_mu")))
+      .join(broadcast(cents), "centroid_id")
+      .select(
+        col("centroid_id"),
+        (col("p") + 1).cast("long").as("dim"),
+        col("n_members"),
+        round(col("new_mu"), 6).as("new_mu"),
+        round(element_at(col("cvec"), col("p") + 1).cast("double"), 6).as("seed_x"),
+        round(col("new_mu") - element_at(col("cvec"), col("p") + 1).cast("double"), 6)
+          .as("shift"))
+      .orderBy("centroid_id", "dim")
   }
 }

@@ -122,3 +122,181 @@ case class VectorAvg(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
 }
+
+/** Running co-moment state for one-pass covariance: per-dim sums plus
+  * the upper-triangle pair-product sums (length d(d+1)/2). */
+final class VectorCovBuffer(
+    var d: Int, var n: Long,
+    var sums: Array[Double], var prods: Array[Double]) {
+  def this() = this(0, 0L, null, null)
+
+  def grow(nd: Int): Unit =
+    if (sums == null) {
+      d = nd
+      sums = new Array[Double](nd)
+      prods = new Array[Double](nd * (nd + 1) / 2)
+    } else if (nd > d) {
+      val ns = new Array[Double](nd)
+      val np = new Array[Double](nd * (nd + 1) / 2)
+      System.arraycopy(sums, 0, ns, 0, d)
+      // re-index the old triangle into the wider one
+      var i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) {
+          np(i * nd - i * (i - 1) / 2 + (j - i)) =
+            prods(i * d - i * (i - 1) / 2 + (j - i))
+          j += 1
+        }
+        i += 1
+      }
+      d = nd; sums = ns; prods = np
+    }
+}
+
+/** One-pass population covariance matrix of a vector column
+  * (array<float> | array<double> → array<double> of length d·d,
+  * row-major): cov(i,j) = Σxᵢxⱼ/n − (Σxᵢ/n)(Σxⱼ/n).
+  *
+  * Why native: the compositional route fans every row out to its
+  * d(d+1)/2 pair products through an explode before the partial
+  * aggregate — a 64-dim corpus pushes 2080 struct rows per vector
+  * through the hash aggregate (row overhead dwarfs the FMA). Here the
+  * co-moment accumulation is a tight per-row loop over one buffer;
+  * what crosses the shuffle is ONE (d² + d)-double state per
+  * partition, invariant in row count — the textbook moment-sketch
+  * shape for a 100 TB scan. Ragged vectors extend the buffer and pad
+  * with zeros (positional semantics, same as graft_vector_avg). */
+case class VectorCovariance(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VectorCovBuffer] {
+
+  private lazy val elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_vector_cov requires array<float> or array<double> input, " +
+        s"got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_vector_cov"
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): VectorCovBuffer = new VectorCovBuffer()
+
+  override def update(buf: VectorCovBuffer, input: InternalRow): VectorCovBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val nd = arr.numElements()
+      buf.grow(nd)
+      val d = buf.d
+      val x = new Array[Double](nd)
+      var i = 0
+      while (i < nd) {
+        x(i) = if (arr.isNullAt(i)) 0.0
+          else if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        buf.sums(i) += x(i)
+        i += 1
+      }
+      i = 0
+      while (i < nd) {
+        val base = i * d - i * (i - 1) / 2 - i
+        val xi = x(i)
+        var j = i
+        while (j < nd) { buf.prods(base + j) += xi * x(j); j += 1 }
+        i += 1
+      }
+      buf.n += 1
+    }
+    buf
+  }
+
+  override def merge(buf: VectorCovBuffer, other: VectorCovBuffer): VectorCovBuffer = {
+    if (other.sums != null) {
+      buf.grow(other.d)
+      val d = buf.d
+      var i = 0
+      while (i < other.d) {
+        buf.sums(i) += other.sums(i)
+        val dstBase = i * d - i * (i - 1) / 2 - i
+        val srcBase = i * other.d - i * (i - 1) / 2 - i
+        var j = i
+        while (j < other.d) {
+          buf.prods(dstBase + j) += other.prods(srcBase + j)
+          j += 1
+        }
+        i += 1
+      }
+      buf.n += other.n
+    }
+    buf
+  }
+
+  override def eval(buf: VectorCovBuffer): Any =
+    if (buf.n == 0 || buf.sums == null) null
+    else {
+      val d = buf.d
+      val n = buf.n.toDouble
+      val out = new Array[Double](d * d)
+      var i = 0
+      while (i < d) {
+        val base = i * d - i * (i - 1) / 2 - i
+        var j = i
+        while (j < d) {
+          val c = buf.prods(base + j) / n - (buf.sums(i) / n) * (buf.sums(j) / n)
+          out(i * d + j) = c
+          out(j * d + i) = c
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+  override def serialize(buf: VectorCovBuffer): Array[Byte] = {
+    val nd = if (buf.sums == null) 0 else buf.d
+    val tri = nd * (nd + 1) / 2
+    val bb = ByteBuffer.allocate(8 + 4 + 8 * (nd + tri))
+    bb.putLong(buf.n).putInt(nd)
+    var i = 0
+    while (i < nd) { bb.putDouble(buf.sums(i)); i += 1 }
+    i = 0
+    while (i < tri) { bb.putDouble(buf.prods(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): VectorCovBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getLong()
+    val nd = bb.getInt()
+    if (nd == 0) new VectorCovBuffer(0, n, null, null)
+    else {
+      val sums = new Array[Double](nd)
+      var i = 0
+      while (i < nd) { sums(i) = bb.getDouble(); i += 1 }
+      val tri = nd * (nd + 1) / 2
+      val prods = new Array[Double](tri)
+      i = 0
+      while (i < tri) { prods(i) = bb.getDouble(); i += 1 }
+      new VectorCovBuffer(nd, n, sums, prods)
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorCovariance =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorCovariance =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}

@@ -179,6 +179,8 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vector_avg", exprs => VectorAvg(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vector_cov", exprs => VectorCovariance(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_char_ngrams", exprs => CharNgrams(exprs(0),
         litInt(exprs(1), "graft_char_ngrams")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -232,6 +234,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[VectorAvg].getName, "graft_vector_avg"),
         (exprs: Seq[Expression]) => VectorAvg(exprs(0))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_vector_cov"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[VectorCovariance].getName, "graft_vector_cov"),
+        (exprs: Seq[Expression]) => VectorCovariance(exprs(0))))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_char_ngrams"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
