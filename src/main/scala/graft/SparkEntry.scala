@@ -256,6 +256,11 @@ object SparkEntry {
     "q_survival_km"        -> (AnalyticsOps.qSurvivalKm _),
     "q_dup_substring"      -> (TextOps.qDupSubstring _),
     "q_dedup_canonical"    -> (TextOps.qDedupCanonical _),
+    "q_kanonymity"         -> (StatsOps.qKanonymity _),
+    "q_winsorize"          -> (StatsOps.qWinsorize _),
+    "q_oov_rate"           -> (CurationOps.qOovRate _),
+    "q_negative_sample"    -> (CurationOps.qNegativeSample _),
+    "q_containment_dedup"  -> ((s, d) => TextOps.qContainmentDedup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3182,5 +3187,112 @@ object SparkEntry {
         |         ORDER BY quality DESC, doc_id) AS INTEGER) AS keep
         |FROM lab
         |ORDER BY doc_id""".stripMargin,
+
+    "q_kanonymity" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |       c_mktsegment AS segment,
+        |       CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |       COUNT(*) AS n,
+        |       CAST(COUNT(*) >= 5 AS INTEGER) AS k_anonymous
+        |FROM customer
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH cents AS (
+        |  SELECT event_type, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |hist AS (SELECT event_type, c, COUNT(*) AS hn FROM cents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, c,
+        |         SUM(hn) OVER (PARTITION BY event_type ORDER BY c
+        |           ROWS UNBOUNDED PRECEDING) AS cumn,
+        |         SUM(hn) OVER (PARTITION BY event_type) AS n
+        |  FROM hist),
+        |th AS (
+        |  SELECT event_type,
+        |         MIN(CASE WHEN cumn >= CEIL(0.05 * n) THEN c END) AS lo,
+        |         MIN(CASE WHEN cumn >= CEIL(0.95 * n) THEN c END) AS hi
+        |  FROM cum GROUP BY 1)
+        |SELECT cents.event_type, COUNT(*) AS n,
+        |       MAX(lo) / 100.0 AS p05, MAX(hi) / 100.0 AS p95,
+        |       FLOOR(SUM(c) / (COUNT(*) * 100.0) * 10000.0 + 0.5) / 10000.0
+        |         AS mean_raw,
+        |       FLOOR(SUM(LEAST(GREATEST(c, lo), hi)) / (COUNT(*) * 100.0)
+        |             * 10000.0 + 0.5) / 10000.0 AS mean_winsor
+        |FROM cents JOIN th USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_oov_rate" ->
+      """WITH terms AS (
+        |  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |counts AS (SELECT term, COUNT(*) AS n FROM terms GROUP BY 1),
+        |vocab AS (SELECT term FROM counts ORDER BY n DESC, term LIMIT 1000)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_oov,
+        |       FLOOR(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+        |             / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |         AS oov_rate
+        |FROM terms t LEFT JOIN vocab v ON t.term = v.term
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "q_negative_sample" ->
+      """WITH nn AS (SELECT COUNT(*) AS n_ids FROM documents),
+        |draws AS (
+        |  SELECT doc_id, lang AS lang_a, draw,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |                             CAST(draw AS VARCHAR)), 1, 14))::BIGINT
+        |           % n_ids AS h,
+        |         n_ids
+        |  FROM documents
+        |  CROSS JOIN nn
+        |  CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS draw) t),
+        |neg AS (
+        |  SELECT doc_id, lang_a, draw,
+        |         CASE WHEN h = doc_id THEN (h + 1) % n_ids ELSE h END AS neg_id
+        |  FROM draws)
+        |SELECT g.doc_id, g.draw, g.neg_id,
+        |       CAST(g.lang_a <> b.lang AS INTEGER) AS cross_lang
+        |FROM neg g JOIN documents b ON g.neg_id = b.doc_id
+        |ORDER BY g.doc_id, g.draw""".stripMargin,
+
+    "q_containment_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |         array_to_string(arr[1:GREATEST(len(arr) - 1, 1)], ' ')
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |        FROM documents) t),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    UNNEST(list_transform(range(1, len(arr) - 1),
+        |      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS g
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |        FROM corpus) t2
+        |  WHERE len(arr) >= 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        |keep AS (
+        |  SELECT sh.doc_id, sh.g FROM sh
+        |  JOIN (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= 64) ok
+        |    ON sh.g = ok.g),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_common
+        |  FROM keep a JOIN keep b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, sa.n_sh AS n_a, sb.n_sh AS n_b, n_common,
+        |       FLOOR(n_common / CAST(sa.n_sh AS DOUBLE) * 10000.0 + 0.5)
+        |         / 10000.0 AS containment
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = da
+        |JOIN sizes sb ON sb.doc_id = db
+        |WHERE sa.n_sh <= sb.n_sh
+        |  AND FLOOR(n_common / CAST(sa.n_sh AS DOUBLE) * 10000.0 + 0.5)
+        |      / 10000.0 >= 0.8
+        |ORDER BY da, db""".stripMargin,
   )
 }

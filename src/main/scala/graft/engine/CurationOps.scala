@@ -321,4 +321,62 @@ object CurationOps {
       .groupBy("fold", "lang")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("fold", "lang")
+
+  /** Out-of-vocabulary rate per document against the corpus top-1000
+    * vocabulary — the tokenizer-coverage gate run before committing a
+    * vocab (a doc family with high OOV is about to be shredded into
+    * UNK tokens). The vocab is a top-k bounded by a CONSTANT, so
+    * broadcasting it is size-safe at any corpus scale (unlike the
+    * full-vocabulary broadcasts removed in round 6); the corpus-sized
+    * work is one tokenize-explode plus a map-side broadcast probe and
+    * one doc-key aggregate. */
+  def qOovRate(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val vocab = documents(s, d)
+      .select(explode(toks).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(1000)
+      .select("term").withColumn("in_vocab", lit(1))
+    documents(s, d)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", r4(col("n_oov") / col("n_tokens").cast("double")))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic negative sampling for contrastive training pairs:
+    * each document draws 3 pseudo-random partners via a content-free
+    * hash of (doc_id, draw) mapped into the id domain, stepping past
+    * an accidental self-pair. Hash-derived draws are the trick that
+    * makes the sample reproducible across re-runs, engines, and
+    * partitionings (same reason qShardAssign/qCrossvalFolds hash):
+    * no RNG state, no driver loop — one projection, one fan-out of
+    * constant arity 3, one (small-domain) join to resolve the
+    * partner's language for the cross-language audit flag. The id
+    * domain size rides along as a broadcast 1-row scalar (no driver
+    * action). */
+  def qNegativeSample(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("lang"))
+    val nDocs = docs.agg(count(lit(1)).as("n_ids"))
+    val draws = docs
+      .select(col("doc_id"), col("lang").as("lang_a"),
+        explode(array(lit(0), lit(1), lit(2))).as("draw"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("h",
+        conv(substring(md5(concat_ws(":", col("doc_id"), col("draw"))), 1, 14),
+          16, 10).cast("long") % col("n_ids"))
+      .withColumn("neg_id",
+        when(col("h") === col("doc_id"), (col("h") + 1) % col("n_ids"))
+          .otherwise(col("h")))
+    draws
+      .join(docs.select(col("doc_id").as("neg_id"), col("lang").as("lang_b")),
+        "neg_id")
+      .select(col("doc_id"), col("draw"), col("neg_id"),
+        (col("lang_a") =!= col("lang_b")).cast("int").as("cross_lang"))
+      .orderBy("doc_id", "draw")
+  }
 }

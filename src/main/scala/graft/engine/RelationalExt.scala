@@ -179,20 +179,29 @@ object RelationalExt {
 
   /** Weighted median: l_extendedprice weighted by l_quantity per
     * return flag — the first price whose cumulative weight crosses
-    * half the total. Weights are integral doubles, so the running sum
-    * is exact and the crossing test cannot flap between engines. One
-    * window shuffle on the flag; the qualifying-set min is a plain
-    * aggregate on the same partitioning. */
+    * half the total. HISTOGRAM-FIRST: quantity mass is aggregated per
+    * (flag, price) before any window, so the corpus-sized pass is one
+    * map-side-combinable hash aggregate and the running-sum window
+    * scans the per-flag PRICE HISTOGRAM (domain-bounded: prices live
+    * on a fixed 0.01 grid, so the histogram stays the same size at
+    * 100 TB while raw lineitem grows 1000×; the previous form windowed
+    * raw rows — 3 flag values = 3 partitions holding the whole table).
+    * The crossing price is identical on the histogram because every
+    * row of a price group qualifies iff the group-final cumulative
+    * weight crosses half-total. Weights are integral doubles, so the
+    * running sum is exact and the crossing test cannot flap between
+    * engines. */
   def qWeightedMedian(s: SparkSession, d: String): DataFrame = {
+    val hist = lineitem(s, d)
+      .groupBy("l_returnflag", "l_extendedprice")
+      .agg(sum("l_quantity").as("wq"))
     val w = Window.partitionBy("l_returnflag")
-      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_extendedprice"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val wAll = Window.partitionBy("l_returnflag")
-    lineitem(s, d)
-      .select("l_returnflag", "l_extendedprice", "l_quantity",
-        "l_orderkey", "l_linenumber")
-      .withColumn("cumw", sum("l_quantity").over(w))
-      .withColumn("tot", sum("l_quantity").over(wAll))
+    hist
+      .withColumn("cumw", sum("wq").over(w))
+      .withColumn("tot", sum("wq").over(wAll))
       .filter(col("cumw") >= col("tot") / 2.0)
       .groupBy("l_returnflag")
       .agg(

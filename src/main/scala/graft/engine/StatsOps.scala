@@ -326,4 +326,62 @@ object StatsOps {
               (lit(1.0) - (col("ca") + col("cb")) / (col("na") + col("nb"))) *
               (lit(1.0) / col("na") + lit(1.0) / col("nb"))), 4).as("z"))
   }
+
+  /** k-anonymity audit (Sweeney 2002) over the customer table's
+    * quasi-identifier tuple (nation, market segment, account-balance
+    * thousand-bucket): group sizes and a k≥5 flag per equivalence
+    * class, the release gate a privacy review runs before shipping
+    * training data containing user attributes. One map-side-combinable
+    * hash aggregate — group cardinality is the QI-domain product
+    * (nations × segments × buckets), bounded regardless of corpus
+    * size. floor of an identical double is identical across engines,
+    * so the bucket edge cannot flap. */
+  def qKanonymity(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .groupBy(
+        col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("k_anonymous", (col("n") >= 5).cast("int"))
+      .orderBy("nation", "segment", "bal_bucket")
+
+  /** Winsorized statistics per event type: clip `value` at the exact
+    * discrete p05/p95 and report raw vs clipped means — the standard
+    * outlier-robust normalization before reward/quality scores feed a
+    * training mix. Values are quantized to integer cents FIRST, so
+    * (a) the per-type quantile scan runs on the (type, cents)
+    * HISTOGRAM — domain-bounded, same size at 100 TB — not on raw
+    * events, and (b) every sum downstream is an exact integer (no
+    * float accumulation-order flap). Thresholds (10 rows) broadcast
+    * back onto the stream; the clip + final moments are one map-side
+    * pass. Quantile convention: smallest cents value whose cumulative
+    * count reaches ceil(f·n) — qQuantileDisc's pick, restated on the
+    * histogram. */
+  def qWinsorize(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val cents = events(s, d)
+      .select(col("event_type"), floor(col("value") * 100.0 + 0.5).cast("long").as("c"))
+    val hist = cents.groupBy("event_type", "c").agg(count(lit(1)).as("hn"))
+    val wCum = Window.partitionBy("event_type").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("event_type")
+    val th = hist
+      .withColumn("cum", sum("hn").over(wCum))
+      .withColumn("n", sum("hn").over(wAll))
+      .groupBy("event_type")
+      .agg(
+        min(when(col("cum") >= ceil(lit(0.05) * col("n")), col("c"))).as("lo"),
+        min(when(col("cum") >= ceil(lit(0.95) * col("n")), col("c"))).as("hi"))
+    cents.join(broadcast(th), "event_type")
+      .withColumn("w", least(greatest(col("c"), col("lo")), col("hi")))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        (max("lo") / 100.0).as("p05"),
+        (max("hi") / 100.0).as("p95"),
+        r4(sum("c") / (count(lit(1)) * 100.0)).as("mean_raw"),
+        r4(sum("w") / (count(lit(1)) * 100.0)).as("mean_winsor"))
+      .orderBy("event_type")
+  }
 }

@@ -1103,4 +1103,52 @@ object TextOps {
       .select("da", "db", "n_match", "est_jaccard", "exact_jaccard", "abs_err")
       .orderBy("da", "db")
   }
+
+  /** Maximum document frequency for a 3-shingle to participate in
+    * containment blocking (see [[qContainmentDedup]]): a shingle
+    * shared by more than this many docs is boilerplate (licence
+    * headers, navigation chrome) and would put a df² candidate burst
+    * on one join key — the same stop-key valve the LSH family applies
+    * to oversized buckets. */
+  val ContainmentMaxDf = 64
+
+  /** Shingle-CONTAINMENT dedup (Broder 1997's other resemblance
+    * measure): C(A→B) = |S(A) ∩ S(B)| / |S(A)| over distinct 3-word
+    * shingles. Jaccard misses sub-document duplication — a paragraph
+    * wholly lifted into a larger page scores low Jaccard but
+    * containment 1.0 — so pipelines run BOTH (Jaccard for mirror
+    * pages, containment for quote/aggregator pages). Candidate
+    * generation is an exploded self-join on the shingle VALUE with
+    * the [[ContainmentMaxDf]] stop-shingle valve, so the pair stream
+    * is Σ df² over surviving shingles (never all-pairs) and the
+    * intersection size falls out of the same join as a count —
+    * no re-scoring pass. Per-doc shingle-set sizes ride the pair via
+    * two dimension joins on the doc key. Directed: reported for the
+    * SMALLER side (the contained doc), both orders kept when sizes
+    * tie. */
+  def qContainmentDedup(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val sh = corpusWithDups(s, d)
+      .select(col("doc_id"), explode(array_distinct(
+        call_function("graft_word_ngrams", tokens(col("text")), lit(3)))).as("g"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val keep = sh.join(
+      sh.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ContainmentMaxDf)
+        .select("g"),
+      "g")
+    val inter = keep.select(col("doc_id").as("da"), col("g"))
+      .join(keep.select(col("doc_id").as("db"), col("g")), "g")
+      .filter(col("da") =!= col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("n_a")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("n_b")), "db")
+      .filter(col("n_a") <= col("n_b"))
+      .withColumn("containment", r4(col("n_common") / col("n_a").cast("double")))
+      .filter(col("containment") >= 0.8)
+      .select("da", "db", "n_a", "n_b", "n_common", "containment")
+      .orderBy("da", "db")
+  }
 }
