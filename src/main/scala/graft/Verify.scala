@@ -15,6 +15,9 @@ object Verify {
       // events.parquet stores ts as TIMESTAMP(NANOS); Spark 4 only reads
       // it with this flag (as a nanos long — Tables.events converts).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fixtures store timestamps as µs-without-timezone; read as
+      // session-TZ (UTC) timestamps so time funcs apply uniformly
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

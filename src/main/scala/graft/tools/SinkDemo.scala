@@ -8,7 +8,8 @@ object SinkDemo {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.ui.enabled","false").config("spark.sql.shuffle.partitions","4")
       .config("spark.sql.session.timeZone","UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong","true").getOrCreate()
+      .config("spark.sql.legacy.parquet.nanosAsLong","true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = java.nio.file.Files.createTempDirectory("graft_sinkdemo").toString
     Sinks.writePartitioned(Tables.events(spark, "/root/testdata/sf0.001"), s"$dir/p", "event_type")

@@ -14,6 +14,10 @@ trait SparkSuite extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // fixtures write timestamps as µs-without-timezone; read them as
+    // session-TZ (UTC) timestamps, not TIMESTAMP_NTZ, so time funcs
+    // (unix_micros, window, watermarks) apply uniformly
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .getOrCreate()
 
   val sf = "/root/testdata/sf0.001"
