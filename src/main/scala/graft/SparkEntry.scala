@@ -229,6 +229,12 @@ object SparkEntry {
     "q_tpch_q18"           -> (TpchOps.qTpchQ18 _),
     "q_tpch_q19"           -> (TpchOps.qTpchQ19 _),
     "q_tpch_q22"           -> (TpchOps.qTpchQ22 _),
+    "q_tpch_q2"            -> (TpchOps.qTpchQ2 _),
+    "q_tpch_q11"           -> (TpchOps.qTpchQ11 _),
+    "q_tpch_q12"           -> (TpchOps.qTpchQ12 _),
+    "q_tpch_q16"           -> (TpchOps.qTpchQ16 _),
+    "q_tpch_q20"           -> (TpchOps.qTpchQ20 _),
+    "q_tpch_q21"           -> (TpchOps.qTpchQ21 _),
     "q_interval_overlap"   -> (AnalyticsOps.qIntervalOverlap _),
     "q_langid_eval"        -> (TextOps.qLangidEval _),
     "q_attribution"        -> (AnalyticsOps.qAttribution _),
@@ -1050,6 +1056,106 @@ object SparkEntry {
         |                    AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
+
+    "q_tpch_q2" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+        |         MIN(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |             // CAST(l_quantity AS BIGINT)) AS cost_c
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |eu AS (
+        |  SELECT partkey, suppkey, cost_c, s_name, s_acctbal, n_name
+        |  FROM ps JOIN supplier ON suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+        |       p_partkey, p_brand,
+        |       CAST(cost_c AS DOUBLE) / 100.0 AS supply_cost
+        |FROM part JOIN eu ON p_partkey = partkey
+        |WHERE p_size BETWEEN 10 AND 20
+        |  AND cost_c = (SELECT MIN(e2.cost_c) FROM eu e2
+        |                WHERE e2.partkey = p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q_tpch_q11" ->
+      """WITH val AS (
+        |  SELECT l_partkey AS partkey,
+        |         SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |             * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS v
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation   ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_3', 'NATION_7')
+        |  GROUP BY l_partkey)
+        |SELECT partkey, CAST((v + 50) // 100 AS DOUBLE) / 100.0 AS part_value
+        |FROM val
+        |WHERE v * 10000 > (SELECT SUM(v) FROM val)
+        |ORDER BY part_value DESC, partkey""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l_linestatus AS ship_class,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND CAST(l_shipdate AS TIMESTAMP) <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND CAST(l_shipdate AS TIMESTAMP) >
+        |      CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#13'
+        |  AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q_tpch_q20" ->
+      """WITH shipped AS (
+        |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+        |         CAST(SUM(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND CAST(l_shipdate AS TIMESTAMP) <  TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l_partkey, l_suppkey)
+        |SELECT s_name, n_name, ROUND(s_acctbal, 2) AS s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT suppkey FROM shipped sh
+        |  WHERE sh.qty * 2 > (SELECT SUM(t.qty) FROM shipped t
+        |                      WHERE t.partkey = sh.partkey)
+        |    AND (SELECT COUNT(*) FROM shipped c
+        |         WHERE c.partkey = sh.partkey) >= 5)
+        |ORDER BY s_name""".stripMargin,
+
+    "q_tpch_q21" ->
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND CAST(l1.l_shipdate AS TIMESTAMP) >
+        |      CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND CAST(l3.l_shipdate AS TIMESTAMP) >
+        |                        CAST(l1.l_shipdate AS TIMESTAMP))
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
 
     "q_interval_overlap" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s_us, event_id

