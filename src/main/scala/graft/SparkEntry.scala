@@ -267,6 +267,12 @@ object SparkEntry {
     "q_oov_rate"           -> (CurationOps.qOovRate _),
     "q_negative_sample"    -> (CurationOps.qNegativeSample _),
     "q_containment_dedup"  -> ((s, d) => TextOps.qContainmentDedup(s, d)),
+    "q_domain_cap"         -> (CurationOps.qDomainCap _),
+    "q_dataset_card"       -> (CurationOps.qDatasetCard _),
+    "q_quality_funnel"     -> (CurationOps.qQualityFunnel _),
+    "q_gram_novelty"       -> (TextOps.qGramNovelty _),
+    "q_bigram_logprob"     -> (TextOps.qBigramLogprob _),
+    "q_skew_audit"         -> (ScaleOps.qSkewAudit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3400,5 +3406,130 @@ object SparkEntry {
         |  AND FLOOR(n_common / CAST(sa.n_sh AS DOUBLE) * 10000.0 + 0.5)
         |      / 10000.0 >= 0.8
         |ORDER BY da, db""".stripMargin,
+
+    "q_domain_cap" ->
+      """WITH r AS (SELECT source, doc_id,
+        |             row_number() OVER (PARTITION BY source
+        |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |           FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(SUM(CASE WHEN rk <= 10 THEN doc_id END) AS BIGINT) AS kept_id_sum
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_dataset_card" ->
+      """WITH base AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |         CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
+        |  FROM documents),
+        |tok AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |         CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab_size
+        |  FROM (SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
+        |        FROM documents)),
+        |tl AS (
+        |  SELECT lang AS top_lang, CAST(COUNT(*) AS BIGINT) AS top_lang_n
+        |  FROM documents GROUP BY lang
+        |  ORDER BY COUNT(*) DESC, lang LIMIT 1)
+        |SELECT n_docs, n_sources, n_langs, n_tokens, vocab_size,
+        |       ROUND(CAST(n_tokens AS DOUBLE) / n_docs, 4) AS mean_tokens,
+        |       top_lang,
+        |       ROUND(CAST(top_lang_n AS DOUBLE) / n_docs, 4) AS top_lang_share,
+        |       ROUND(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 4) AS dup_rate
+        |FROM base, tok, tl""".stripMargin,
+
+    "q_quality_funnel" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN n_tok >= 20 THEN 1 ELSE 0 END AS g1,
+        |         CASE WHEN n_tok >= 20 AND mwl >= 2.0 AND mwl <= 10.0
+        |              THEN 1 ELSE 0 END AS g2,
+        |         CASE WHEN n_tok >= 20 AND mwl >= 2.0 AND mwl <= 10.0
+        |                   AND sr >= 0.02 THEN 1 ELSE 0 END AS g3
+        |  FROM (SELECT len(t) AS n_tok,
+        |               CAST(length(regexp_replace(trim(text), '\s+', '', 'g'))
+        |                    AS DOUBLE) / len(t) AS mwl,
+        |               CAST(list_sum(list_transform(t,
+        |                 w -> CASE WHEN w IN ('a','the','and','of','to')
+        |                      THEN 1 ELSE 0 END)) AS DOUBLE) / len(t) AS sr
+        |        FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS t, text
+        |              FROM documents))),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_in,
+        |               CAST(SUM(g1) AS BIGINT) AS s1,
+        |               CAST(SUM(g2) AS BIGINT) AS s2,
+        |               CAST(SUM(g3) AS BIGINT) AS s3 FROM f)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'min_length' AS gate, n_in, s1 AS n_out,
+        |         ROUND(CAST(s1 AS DOUBLE) / n_in, 4) AS pass_rate FROM agg
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'word_shape', s1, s2,
+        |         ROUND(CAST(s2 AS DOUBLE) / s1, 4) FROM agg
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'stopword_floor', s2, s3,
+        |         ROUND(CAST(s3 AS DOUBLE) / s2, 4) FROM agg)
+        |ORDER BY stage""".stripMargin,
+
+    "q_gram_novelty" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |           FROM documents),
+        |g AS (SELECT DISTINCT doc_id, g FROM (
+        |        SELECT doc_id,
+        |               UNNEST(list_transform(generate_series(1, len(tk) - 2),
+        |                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+        |        FROM t WHERE len(tk) >= 3)),
+        |f AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY g) AS first_doc
+        |      FROM g)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_novel,
+        |       FLOOR(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+        |             / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |         AS novelty
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |           FROM documents),
+        |b0 AS (SELECT doc_id,
+        |              UNNEST(list_transform(generate_series(1, len(tk) - 1),
+        |                i -> {'w1': tk[i], 'w2': tk[i+1]})) AS bg
+        |       FROM t WHERE len(tk) >= 2),
+        |b AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2,
+        |             CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM b0 GROUP BY 1, 2, 3),
+        |c AS (SELECT doc_id, cnt,
+        |             SUM(cnt) OVER (PARTITION BY w1, w2) AS cb,
+        |             SUM(cnt) OVER (PARTITION BY w1) AS cl
+        |      FROM b)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+        |       FLOOR(SUM(cnt * ln(CAST(cb AS DOUBLE) / cl)) / SUM(cnt)
+        |             * 10000.0 + 0.5) / 10000.0 AS avg_logprob
+        |FROM c GROUP BY doc_id
+        |ORDER BY avg_logprob ASC, doc_id LIMIT 100""".stripMargin,
+
+    "q_skew_audit" ->
+      """WITH p1 AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        |p2 AS (SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        |p3 AS (SELECT l_suppkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 'l_orderkey' AS key_col, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |         CAST(SUM(c) AS BIGINT) AS n_rows, CAST(MAX(c) AS BIGINT) AS max_cnt,
+        |         ROUND(MAX(c) * COUNT(*) / CAST(SUM(c) AS DOUBLE), 4) AS skew_ratio,
+        |         ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_key_share
+        |  FROM p1
+        |  UNION ALL
+        |  SELECT 'l_partkey', CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT),
+        |         CAST(MAX(c) AS BIGINT),
+        |         ROUND(MAX(c) * COUNT(*) / CAST(SUM(c) AS DOUBLE), 4),
+        |         ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6)
+        |  FROM p2
+        |  UNION ALL
+        |  SELECT 'l_suppkey', CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT),
+        |         CAST(MAX(c) AS BIGINT),
+        |         ROUND(MAX(c) * COUNT(*) / CAST(SUM(c) AS DOUBLE), 4),
+        |         ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6)
+        |  FROM p3)
+        |ORDER BY key_col""".stripMargin,
   )
 }

@@ -379,4 +379,98 @@ object CurationOps {
         (col("lang_a") =!= col("lang_b")).cast("int").as("cross_lang"))
       .orderBy("doc_id", "draw")
   }
+
+  /** Per-domain quota sampling: keep at most K documents per source,
+    * chosen by DETERMINISTIC hash order (md5 of doc_id) so the
+    * sample is reproducible across engines, re-runs and
+    * partitionings — the standard "no domain may dominate the mix"
+    * curation valve (C4/Gopher cap per registrable domain). Reported
+    * per source: total, kept, and the kept-id checksum that lets a
+    * downstream stage assert the exact same sample.
+    *
+    * Scale: the per-source row_number sorts only within each
+    * source's partition (one hash shuffle on source). A pathological
+    * mega-domain makes that partition large; production first
+    * computes per-source counts (tiny agg), then keeps rows whose
+    * hash falls under the K/n quantile of the hash space — an
+    * approximate-K filter with NO window — and only exact-K's the
+    * survivors. The fixture path keeps the exact window. */
+  def qDomainCap(s: SparkSession, d: String): DataFrame = {
+    val k = 10
+    val rk = row_number().over(
+      Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+    documents(s, d)
+      .select(col("source"), col("doc_id"))
+      .withColumn("rk", rk)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= k, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") <= k, col("doc_id"))).as("kept_id_sum"))
+      .orderBy("source")
+  }
+
+  /** Dataset card: the one-row corpus summary a dataset release
+    * ships with — sizes, vocabulary, language concentration, exact-
+    * duplicate rate. Every input is a bounded aggregate (three
+    * single-pass aggs + a 1-row top-language pick) broadcast-joined
+    * into one row; nothing here grows with corpus size except the
+    * map-side-combined aggregations themselves. */
+  def qDatasetCard(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(md5(col("text"))).as("n_unique_texts"))
+    val tok = docs.select(explode(toks).as("w"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct("w").as("vocab_size"))
+    val topLang = docs.groupBy("lang").agg(count(lit(1)).as("ln"))
+      .orderBy(col("ln").desc, col("lang")).limit(1)
+      .select(col("lang").as("top_lang"), col("ln").as("top_lang_n"))
+    base.crossJoin(broadcast(tok)).crossJoin(broadcast(topLang))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("n_tokens"), col("vocab_size"),
+        round(col("n_tokens") / col("n_docs"), 4).as("mean_tokens"),
+        col("top_lang"),
+        round(col("top_lang_n") / col("n_docs"), 4).as("top_lang_share"),
+        round(lit(1.0) - col("n_unique_texts") / col("n_docs"), 4)
+          .as("dup_rate"))
+  }
+
+  /** Quality-gate funnel: how many documents survive each successive
+    * curation gate (min length → word-shape → stopword floor →
+    * repetition ceiling), the report that tells a pipeline owner
+    * WHICH gate is eating the corpus. One projection computes all
+    * gate flags per document (no shuffle), one 4-group aggregate
+    * counts cumulative survivors — the gates short-circuit in one
+    * pass instead of materializing four filtered copies. */
+  def qQualityFunnel(s: SparkSession, d: String): DataFrame = {
+    val t = toks
+    val nTok = size(t)
+    val meanWl = (length(regexp_replace(trim(col("text")), "\\s+", ""))
+      .cast("double") / nTok)
+    val stopRatio = aggregate(t, lit(0),
+      (acc, w) => acc + when(w.isin("a", "the", "and", "of", "to"), 1)
+        .otherwise(0)).cast("double") / nTok
+    val g1 = nTok >= 20
+    val g2 = g1 && meanWl >= 2.0 && meanWl <= 10.0
+    val g3 = g2 && stopRatio >= 0.02
+    val flags = documents(s, d).select(
+      g1.cast("long").as("g1"), g2.cast("long").as("g2"),
+      g3.cast("long").as("g3"), lit(1L).as("n"))
+      .agg(sum("n").as("n_in"), sum("g1").as("s1"),
+        sum("g2").as("s2"), sum("g3").as("s3"))
+    flags.select(explode(array(
+      struct(lit(1L).as("stage"), lit("min_length").as("gate"),
+        col("n_in").as("n_in"), col("s1").as("n_out")),
+      struct(lit(2L).as("stage"), lit("word_shape").as("gate"),
+        col("s1").as("n_in"), col("s2").as("n_out")),
+      struct(lit(3L).as("stage"), lit("stopword_floor").as("gate"),
+        col("s2").as("n_in"), col("s3").as("n_out")))).as("x"))
+      .select(col("x.stage"), col("x.gate"), col("x.n_in"), col("x.n_out"),
+        round(col("x.n_out").cast("double") / col("x.n_in"), 4)
+          .as("pass_rate"))
+      .orderBy("stage")
+  }
 }

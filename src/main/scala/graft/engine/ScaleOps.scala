@@ -304,4 +304,36 @@ object ScaleOps {
         (col("c_est") - col("c_exact")).as("overcount"))
       .orderBy(col("c_exact").desc, col("user_id"))
   }
+
+  /** Join-key skew audit: for each candidate shuffle key of the fact
+    * table, the per-key frequency profile that decides the physical
+    * join strategy — max/avg ratio (straggler factor), the share of
+    * rows on the single hottest key, and how many keys carry the top
+    * decile of rows. THE pre-flight check before choosing
+    * [[saltedJoin]] vs a plain shuffle at 100 TB. One
+    * map-side-combined count per key column; each per-key table is
+    * key-cardinality-sized, and its summary is a second tiny agg —
+    * raw rows are scanned once per audited column (production audits
+    * a sample). */
+  def qSkewAudit(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    def profile(keyCol: String): DataFrame = {
+      val counts = li.groupBy(col(keyCol).as("k"))
+        .agg(count(lit(1)).as("c"))
+      counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum("c").as("n_rows"),
+        max("c").as("max_cnt"))
+        .select(lit(keyCol).as("key_col"),
+          col("n_keys"), col("n_rows"), col("max_cnt"),
+          round(col("max_cnt") * col("n_keys") / col("n_rows").cast("double"), 4)
+            .as("skew_ratio"),
+          round(col("max_cnt") / col("n_rows").cast("double"), 6)
+            .as("top_key_share"))
+    }
+    profile("l_orderkey")
+      .unionByName(profile("l_partkey"))
+      .unionByName(profile("l_suppkey"))
+      .orderBy("key_col")
+  }
 }

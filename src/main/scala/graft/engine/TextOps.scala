@@ -1151,4 +1151,74 @@ object TextOps {
       .select("da", "db", "n_a", "n_b", "n_common", "containment")
       .orderBy("da", "db")
   }
+
+  /** N-gram novelty curve: per document (in doc_id order), the share
+    * of its distinct trigrams never seen in any EARLIER document —
+    * the diminishing-returns signal that tells a curation pipeline
+    * when additional data from a source stops adding information.
+    * "First seen" is the min doc_id over each gram's occurrences, so
+    * the whole curve is one tokenize projection, one distinct, one
+    * gram-keyed window min (single shuffle on gram), and a per-doc
+    * aggregate — no cross-doc self-join, no iteration. At 100 TB the
+    * gram-keyed shuffle is the cost; the standard valve is hashing
+    * grams to 64-bit and accepting collision noise (the count is
+    * statistical anyway). */
+  def qGramNovelty(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    // sequence(0, n) DESCENDS when n < 0 (unlike DuckDB's empty
+    // range), so sub-trigram docs are filtered out up front — they
+    // contribute no grams either way
+    val grams = documents(s, d)
+      .filter(expr("size(" + tokenExpr + ") >= 3"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(" + tokenExpr + ") - 3), " +
+          "i -> concat_ws(' ', " + tokenExpr + "[i], " +
+          tokenExpr + "[i+1], " + tokenExpr + "[i+2]))")).as("g"))
+      .distinct()
+    val first = min("doc_id").over(
+      org.apache.spark.sql.expressions.Window.partitionBy("g"))
+    grams.withColumn("first_doc", first)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        r4(col("n_novel") / col("n_grams").cast("double")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  private val tokenExpr = "split(trim(text), '\\\\s+')"
+
+  /** Bigram-LM document scoring: mean log P(w_i | w_{i-1}) per
+    * document under the corpus's own (unsmoothed) bigram model — the
+    * perplexity-proxy one notch above [[qUnigramLogprob]]; low
+    * scorers are boilerplate/garbled, suspiciously high scorers are
+    * near-duplicates of the corpus mode. Every bigram in scoring
+    * also occurs in the model (it came from the corpus), so the
+    * unsmoothed conditional is always finite. One tokenize+explode
+    * builds per-doc bigram counts; the bigram total and the
+    * left-word total are two window sums over different keys (two
+    * shuffles of the vocabulary-squared-bounded count table — never
+    * of raw text); the final per-doc aggregate is map-side combined. */
+  def qBigramLogprob(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val bg = documents(s, d)
+      .filter(expr("size(" + tokenExpr + ") >= 2")) // sequence() descends below 2
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(" + tokenExpr + ") - 2), " +
+          "i -> struct(" + tokenExpr + "[i] as w1, " +
+          tokenExpr + "[i+1] as w2))")).as("b"))
+      .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val wBg = org.apache.spark.sql.expressions.Window.partitionBy("w1", "w2")
+    val wL = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+    bg.withColumn("cb", sum("cnt").over(wBg))
+      .withColumn("cl", sum("cnt").over(wL))
+      .groupBy("doc_id")
+      .agg(sum("cnt").cast("long").as("n_bigrams"),
+        sum(col("cnt") * log(col("cb").cast("double") / col("cl"))).as("sl"))
+      .select(col("doc_id"), col("n_bigrams"),
+        r4(col("sl") / col("n_bigrams")).as("avg_logprob"))
+      .orderBy(col("avg_logprob").asc, col("doc_id"))
+      .limit(100)
+  }
 }

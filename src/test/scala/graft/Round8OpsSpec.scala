@@ -1,0 +1,85 @@
+package graft
+
+import graft.engine.{CurationOps, ScaleOps, Tables, TextOps}
+
+/** Invariant checks for the round-8 additions (the DuckDB
+  * differential at all three SFs is the primary gate — these pin the
+  * algorithmic laws the hash-compare can't express). */
+class Round8OpsSpec extends SparkSuite {
+
+  test("domain cap: kept counts never exceed the quota or the domain size") {
+    val rows = CurationOps.qDomainCap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, nKept) = (r.getLong(1), r.getLong(2))
+      assert(nKept <= 10L, s"quota is 10: $r")
+      assert(nKept <= nDocs && nKept == math.min(10L, nDocs),
+        s"kept must be min(10, domain size): $r")
+    }
+  }
+
+  test("domain cap is deterministic across partitionings") {
+    val a = CurationOps.qDomainCap(spark, sf).collect().map(_.toString)
+    val b = CurationOps.qDomainCap(spark, sf)
+      .repartition(7).collect().map(_.toString).sorted
+    assert(a.sorted.sameElements(b), "hash-ordered sample must be stable")
+  }
+
+  test("dataset card: one row, shares in [0,1], vocab bounded by tokens") {
+    val rows = CurationOps.qDatasetCard(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(4) <= r.getLong(3), "vocab_size <= n_tokens")
+    val dup = r.getDouble(8)
+    assert(dup >= 0.0 && dup <= 1.0, s"dup_rate in [0,1]: $dup")
+    val share = r.getDouble(7)
+    assert(share > 0.0 && share <= 1.0, s"top_lang_share in (0,1]: $share")
+  }
+
+  test("quality funnel: stages chain (stage k+1 reads stage k's survivors)") {
+    val rows = CurationOps.qQualityFunnel(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(2), s"n_out <= n_in: $r"))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) == a.getLong(3),
+        s"stage ${b.getLong(0)} must start from stage ${a.getLong(0)}'s output")
+    }
+  }
+
+  test("gram novelty: the first document is 100% novel, shares in [0,1]") {
+    val rows = TextOps.qGramNovelty(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getDouble(3) == 1.0, "lowest doc_id sees every gram first")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "novel <= total")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("bigram logprob: corpus-trained model gives finite non-positive scores") {
+    val rows = TextOps.qBigramLogprob(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, "only docs with bigrams are scored")
+      val lp = r.getDouble(2)
+      assert(!lp.isNaN && !lp.isInfinite && lp <= 0.0,
+        s"unsmoothed in-corpus bigram logprob must be finite and <= 0: $r")
+    }
+    val lps = rows.map(_.getDouble(2))
+    assert(lps.zip(lps.tail).forall { case (a, b) => a <= b }, "asc order")
+  }
+
+  test("skew audit: ratios are consistent with their definitions") {
+    val rows = ScaleOps.qSkewAudit(spark, sf).collect()
+    assert(rows.length == 3)
+    val nRows = Tables.lineitem(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(2) == nRows, "every key column counts all rows")
+      assert(r.getDouble(4) >= 1.0, s"max/avg ratio >= 1: $r")
+      val share = r.getDouble(5)
+      assert(share > 0.0 && share <= 1.0, s"top share in (0,1]: $r")
+      assert(r.getLong(3) <= nRows && r.getLong(1) <= nRows)
+    }
+  }
+}
