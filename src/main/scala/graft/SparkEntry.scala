@@ -273,6 +273,8 @@ object SparkEntry {
     "q_gram_novelty"       -> (TextOps.qGramNovelty _),
     "q_bigram_logprob"     -> (TextOps.qBigramLogprob _),
     "q_skew_audit"         -> (ScaleOps.qSkewAudit _),
+    "q_event_pattern"      -> (AnalyticsOps.qEventPattern _),
+    "q_embed_health"       -> (VectorOps.qEmbedHealth _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3531,5 +3533,35 @@ object SparkEntry {
         |         ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6)
         |  FROM p3)
         |ORDER BY key_col""".stripMargin,
+
+    "q_event_pattern" ->
+      """WITH s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |                  string_agg(substr(event_type, 1, 1), ''
+        |                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
+        |           FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |       CAST(len(regexp_extract_all(seq, 'vc+p')) AS BIGINT)
+        |         AS n_conversions,
+        |       CAST(CASE WHEN len(regexp_extract_all(seq, 'vc+p')) > 0
+        |            THEN 1 ELSE 0 END AS INTEGER) AS converted
+        |FROM s ORDER BY user_id""".stripMargin,
+
+    "q_embed_health" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT len(v) AS dim,
+        |             list_sum(list_transform(v, x -> x * x)) AS ss,
+        |             CASE WHEN len(list_filter(v,
+        |               x -> isnan(x) OR isinf(x))) > 0 THEN 1 ELSE 0 END AS bad
+        |      FROM e)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |       CAST(SUM(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_wrong_dim,
+        |       CAST(SUM(CASE WHEN ss = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_zero,
+        |       CAST(SUM(bad) AS BIGINT) AS n_nonfinite,
+        |       FLOOR(MIN(sqrt(ss)) * 10000.0 + 0.5) / 10000.0 AS min_norm,
+        |       FLOOR(MAX(sqrt(ss)) * 10000.0 + 0.5) / 10000.0 AS max_norm,
+        |       FLOOR(AVG(sqrt(ss)) * 10000.0 + 0.5) / 10000.0 AS mean_norm
+        |FROM s""".stripMargin,
   )
 }

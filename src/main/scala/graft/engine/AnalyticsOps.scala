@@ -484,4 +484,30 @@ object AnalyticsOps {
           .as("surv"))
       .orderBy("duration_days")
   }
+
+  /** Sequence-pattern detection (the regex form of MATCH_RECOGNIZE):
+    * each user's event history becomes an initial-letter string in
+    * exact (ts, event_id) order, and conversions are non-overlapping
+    * matches of view→clicks→purchase (`vc+p`) — arbitrary funnel
+    * shapes are one regex away, which is the operator's point versus
+    * the fixed-stage [[qFunnel]]. One shuffle (groupBy user);
+    * `array_sort` on (µs, id, initial) structs makes the sequence
+    * deterministic under any partitioning. Per-user history is
+    * bounded in practice (sessions); a hub user would cap the
+    * sequence the same way pair mining caps baskets. */
+  def qEventPattern(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("t"), col("event_id").as("e"),
+          substring(col("event_type"), 1, 1).as("i")).as("x"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        array_join(expr("transform(array_sort(collect_list(x)), v -> v.i)"),
+          "").as("seq"))
+      .select(col("user_id"), col("n_events"),
+        size(expr("regexp_extract_all(seq, 'vc+p', 0)")).cast("long")
+          .as("n_conversions"),
+        (size(expr("regexp_extract_all(seq, 'vc+p', 0)")) > 0).cast("int")
+          .as("converted"))
+      .orderBy("user_id")
 }

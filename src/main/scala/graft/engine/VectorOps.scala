@@ -647,4 +647,34 @@ object VectorOps {
           .as("shift"))
       .orderBy("centroid_id", "dim")
   }
+
+  /** Embedding-table health audit: the validation gate an embedding
+    * pipeline runs before indexing — dimension drift, zero vectors
+    * (cosine-undefined), non-finite values, and the norm envelope.
+    * Pure map-side HOF projections folded into a single-row
+    * aggregate; nothing shuffles but the final combine. The norm
+    * stats use the floor-based 4-decimal rounding shared with the
+    * other cross-engine rationals. */
+  def qEmbedHealth(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val v = expr("CAST(embedding AS ARRAY<DOUBLE>)")
+    val sumsq = expr(
+      "aggregate(CAST(embedding AS ARRAY<DOUBLE>), CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)")
+    val hasBad = expr(
+      "exists(CAST(embedding AS ARRAY<DOUBLE>), x -> isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE))")
+    Tables.embeddings(s, d)
+      .select(size(v).as("dim"), sumsq.as("ss"), hasBad.cast("long").as("bad"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum((col("dim") =!= 64).cast("long")).as("n_wrong_dim"),
+        sum((col("ss") === 0.0).cast("long")).as("n_zero"),
+        sum(col("bad")).as("n_nonfinite"),
+        min(sqrt(col("ss"))).as("mn"),
+        max(sqrt(col("ss"))).as("mx"),
+        avg(sqrt(col("ss"))).as("av"))
+      .select(col("n_vecs"), col("n_wrong_dim"), col("n_zero"),
+        col("n_nonfinite"),
+        r4(col("mn")).as("min_norm"), r4(col("mx")).as("max_norm"),
+        r4(col("av")).as("mean_norm"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.engine.{CurationOps, ScaleOps, Tables, TextOps}
+import graft.engine.{AnalyticsOps, CurationOps, ScaleOps, Tables, TextOps, VectorOps}
 
 /** Invariant checks for the round-8 additions (the DuckDB
   * differential at all three SFs is the primary gate — these pin the
@@ -81,5 +81,35 @@ class Round8OpsSpec extends SparkSuite {
       assert(share > 0.0 && share <= 1.0, s"top share in (0,1]: $r")
       assert(r.getLong(3) <= nRows && r.getLong(1) <= nRows)
     }
+  }
+
+  test("event pattern: conversions imply the converted flag, one row per user") {
+    val rows = AnalyticsOps.qEventPattern(spark, sf).collect()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.length == nUsers, "exactly one row per user")
+    rows.foreach { r =>
+      assert((r.getLong(2) > 0) == (r.getInt(3) == 1),
+        s"converted flag must mirror n_conversions: $r")
+      assert(r.getLong(2) <= r.getLong(1) / 3,
+        s"each vc+p match consumes >= 3 events: $r")
+    }
+  }
+
+  test("event pattern is deterministic across partitionings") {
+    val a = AnalyticsOps.qEventPattern(spark, sf).collect().map(_.toString)
+    val b = AnalyticsOps.qEventPattern(spark, sf).repartition(13)
+      .collect().map(_.toString).sorted
+    assert(a.sorted.sameElements(b), "ordered-struct sort must be stable")
+  }
+
+  test("embed health: fixture vectors are clean, norm envelope ordered") {
+    val rows = VectorOps.qEmbedHealth(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == Tables.embeddings(spark, sf).count())
+    assert(r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0,
+      s"fixture embeddings must be 64-dim, non-zero, finite: $r")
+    assert(r.getDouble(4) <= r.getDouble(6) && r.getDouble(6) <= r.getDouble(5),
+      s"min <= mean <= max norm: $r")
   }
 }
