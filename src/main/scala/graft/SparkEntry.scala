@@ -3384,11 +3384,12 @@ object SparkEntry {
         |        FROM documents) t),
         |sh AS (
         |  SELECT DISTINCT doc_id,
-        |    UNNEST(list_transform(range(1, len(arr) - 1),
-        |      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS g
+        |    UNNEST(list_transform(range(1, len(arr) - 3),
+        |      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' ||
+        |           arr[i+3] || ' ' || arr[i+4])) AS g
         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
         |        FROM corpus) t2
-        |  WHERE len(arr) >= 3),
+        |  WHERE len(arr) >= 5),
         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
         |keep AS (
         |  SELECT sh.doc_id, sh.g FROM sh

@@ -1104,7 +1104,7 @@ object TextOps {
       .orderBy("da", "db")
   }
 
-  /** Maximum document frequency for a 3-shingle to participate in
+  /** Maximum document frequency for a shingle to participate in
     * containment blocking (see [[qContainmentDedup]]): a shingle
     * shared by more than this many docs is boilerplate (licence
     * headers, navigation chrome) and would put a df² candidate burst
@@ -1112,9 +1112,19 @@ object TextOps {
     * to oversized buckets. */
   val ContainmentMaxDf = 64
 
+  /** Shingle width for containment dedup: 5 words. Wider than the
+    * trigram ops on purpose — the candidate fan-out is Σ df² over
+    * shingles, and df falls geometrically with width; 3-shingles on
+    * a small vocabulary are near-stopwords (df ~ corpus size, ~100M
+    * candidate pairs at sf0.1) while 5-shingles block the same
+    * lifted-paragraph duplicates at a fraction of the df. Broder's
+    * resemblance work uses 4-10-word shingles for exactly this
+    * selectivity reason. */
+  val ContainmentShingleW = 5
+
   /** Shingle-CONTAINMENT dedup (Broder 1997's other resemblance
-    * measure): C(A→B) = |S(A) ∩ S(B)| / |S(A)| over distinct 3-word
-    * shingles. Jaccard misses sub-document duplication — a paragraph
+    * measure): C(A→B) = |S(A) ∩ S(B)| / |S(A)| over distinct
+    * [[ContainmentShingleW]]-word shingles. Jaccard misses sub-document duplication — a paragraph
     * wholly lifted into a larger page scores low Jaccard but
     * containment 1.0 — so pipelines run BOTH (Jaccard for mirror
     * pages, containment for quote/aggregator pages). Candidate
@@ -1129,15 +1139,22 @@ object TextOps {
   def qContainmentDedup(s: SparkSession, d: String): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
     def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    // the tokenize+shingle explode feeds FOUR consumers (sizes, the
+    // df filter, and both sides of the candidate self-join); eager
+    // localCheckpoint materializes it once — same reuse pattern as
+    // qDedupCluster's edge list
     val sh = corpusWithDups(s, d)
       .select(col("doc_id"), explode(array_distinct(
-        call_function("graft_word_ngrams", tokens(col("text")), lit(3)))).as("g"))
+        call_function("graft_word_ngrams", tokens(col("text")),
+          lit(ContainmentShingleW)))).as("g"))
+      .localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val keep = sh.join(
       sh.groupBy("g").agg(count(lit(1)).as("df"))
         .filter(col("df") <= ContainmentMaxDf)
         .select("g"),
       "g")
+      .localCheckpoint(true) // read twice by the self-join below
     val inter = keep.select(col("doc_id").as("da"), col("g"))
       .join(keep.select(col("doc_id").as("db"), col("g")), "g")
       .filter(col("da") =!= col("db"))
@@ -1157,9 +1174,13 @@ object TextOps {
     * the diminishing-returns signal that tells a curation pipeline
     * when additional data from a source stops adding information.
     * "First seen" is the min doc_id over each gram's occurrences, so
-    * the whole curve is one tokenize projection, one distinct, one
-    * gram-keyed window min (single shuffle on gram), and a per-doc
-    * aggregate — no cross-doc self-join, no iteration. At 100 TB the
+    * the whole curve is two aggregates over the distinct doc-gram
+    * table — per-doc gram counts, and per-gram min-doc rolled up by
+    * its minimizing doc — joined on the (corpus-cardinality-bounded)
+    * doc key. No window (a gram-partitioned window would SORT the
+    * full pair table; the min-agg needs only a hash), no cross-doc
+    * self-join, no iteration. The pair table feeds both aggregates,
+    * so it is eagerly localCheckpoint'd once. At 100 TB the
     * gram-keyed shuffle is the cost; the standard valve is hashing
     * grams to 64-bit and accepting collision noise (the count is
     * statistical anyway). */
@@ -1167,22 +1188,25 @@ object TextOps {
     def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
     // sequence(0, n) DESCENDS when n < 0 (unlike DuckDB's empty
     // range), so sub-trigram docs are filtered out up front — they
-    // contribute no grams either way
+    // contribute no grams either way. Tokenize in its OWN projection:
+    // splicing the split() into every lambda slot would re-run the
+    // regex per array element instead of once per row.
     val grams = documents(s, d)
-      .filter(expr("size(" + tokenExpr + ") >= 3"))
+      .select(col("doc_id"), expr(tokenExpr).as("tk"))
+      .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(" + tokenExpr + ") - 3), " +
-          "i -> concat_ws(' ', " + tokenExpr + "[i], " +
-          tokenExpr + "[i+1], " + tokenExpr + "[i+2]))")).as("g"))
+        "transform(sequence(0, size(tk) - 3), " +
+          "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")).as("g"))
       .distinct()
-    val first = min("doc_id").over(
-      org.apache.spark.sql.expressions.Window.partitionBy("g"))
-    grams.withColumn("first_doc", first)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
-      .select(col("doc_id"), col("n_grams"), col("n_novel"),
-        r4(col("n_novel") / col("n_grams").cast("double")).as("novelty"))
+      .localCheckpoint(true)
+    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val novel = grams.groupBy("g").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        r4(coalesce(col("n_novel"), lit(0L)) /
+          col("n_grams").cast("double")).as("novelty"))
       .orderBy("doc_id")
   }
 
@@ -1195,24 +1219,29 @@ object TextOps {
     * near-duplicates of the corpus mode. Every bigram in scoring
     * also occurs in the model (it came from the corpus), so the
     * unsmoothed conditional is always finite. One tokenize+explode
-    * builds per-doc bigram counts; the bigram total and the
-    * left-word total are two window sums over different keys (two
-    * shuffles of the vocabulary-squared-bounded count table — never
-    * of raw text); the final per-doc aggregate is map-side combined. */
+    * builds per-doc bigram counts (localCheckpoint'd — it feeds both
+    * the model build and the scoring join); the MODEL is that table
+    * rolled up to vocabulary-squared-bounded (bigram, count) with
+    * the left-word total attached by a model-sized self-aggregate
+    * join, so scoring is ONE join of the per-doc table against the
+    * small model (AQE broadcasts it when it fits — the window
+    * formulation would instead sort-shuffle the full per-doc table
+    * twice, once per key, with the hot-left-word skew landing on
+    * single window partitions). */
   def qBigramLogprob(s: SparkSession, d: String): DataFrame = {
     def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
     val bg = documents(s, d)
-      .filter(expr("size(" + tokenExpr + ") >= 2")) // sequence() descends below 2
+      .select(col("doc_id"), expr(tokenExpr).as("tk"))
+      .filter(size(col("tk")) >= 2) // sequence() descends below 2
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(" + tokenExpr + ") - 2), " +
-          "i -> struct(" + tokenExpr + "[i] as w1, " +
-          tokenExpr + "[i+1] as w2))")).as("b"))
+        "transform(sequence(0, size(tk) - 2), " +
+          "i -> struct(tk[i] as w1, tk[i+1] as w2))")).as("b"))
       .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("cnt"))
-    val wBg = org.apache.spark.sql.expressions.Window.partitionBy("w1", "w2")
-    val wL = org.apache.spark.sql.expressions.Window.partitionBy("w1")
-    bg.withColumn("cb", sum("cnt").over(wBg))
-      .withColumn("cl", sum("cnt").over(wL))
+      .localCheckpoint(true)
+    val model = bg.groupBy("w1", "w2").agg(sum("cnt").as("cb"))
+    val left = model.groupBy("w1").agg(sum("cb").as("cl"))
+    bg.join(model.join(left, "w1"), Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(sum("cnt").cast("long").as("n_bigrams"),
         sum(col("cnt") * log(col("cb").cast("double") / col("cl"))).as("sl"))
