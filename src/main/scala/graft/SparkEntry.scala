@@ -275,6 +275,9 @@ object SparkEntry {
     "q_skew_audit"         -> (ScaleOps.qSkewAudit _),
     "q_event_pattern"      -> (AnalyticsOps.qEventPattern _),
     "q_embed_health"       -> (VectorOps.qEmbedHealth _),
+    "q_knn_eval"           -> ((s, d) => VectorOps.qKnnEval(s, d)),
+    "q_random_projection"  -> ((s, d) => VectorOps.qRandomProjection(s, d)),
+    "q_compaction_plan"    -> ((s, d) => ScaleOps.qCompactionPlan(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3564,5 +3567,68 @@ object SparkEntry {
         |       FLOOR(MAX(sqrt(ss)) * 10000.0 + 0.5) / 10000.0 AS max_norm,
         |       FLOOR(AVG(sqrt(ss)) * 10000.0 + 0.5) / 10000.0 AS mean_norm
         |FROM s""".stripMargin,
+
+    "q_knn_eval" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+        |                  CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id % 10 = 0),
+        |c AS (SELECT vec_id AS cid, label AS clabel,
+        |             CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |nn AS (SELECT qid, qlabel, clabel FROM (
+        |         SELECT qid, qlabel, cid, clabel,
+        |                row_number() OVER (PARTITION BY qid
+        |                  ORDER BY ROUND(list_cosine_similarity(qv, cv), 6)
+        |                    DESC, cid) AS rn
+        |         FROM q JOIN c ON cid <> qid) t WHERE rn <= 10),
+        |votes AS (SELECT qid, qlabel, clabel, COUNT(*) AS v
+        |          FROM nn GROUP BY 1, 2, 3),
+        |pred AS (SELECT qid, qlabel, clabel AS plabel FROM (
+        |           SELECT qid, qlabel, clabel,
+        |                  row_number() OVER (PARTITION BY qid
+        |                    ORDER BY v DESC, clabel) AS rn
+        |           FROM votes) t2 WHERE rn = 1)
+        |SELECT qlabel AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |       CAST(SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_correct,
+        |       FLOOR(SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END)
+        |             / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |         AS accuracy
+        |FROM pred GROUP BY qlabel ORDER BY qlabel""".stripMargin,
+
+    "q_random_projection" ->
+      """WITH signs AS (
+        |  SELECT j, k,
+        |         CAST((('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+        |             CAST(k AS VARCHAR)), 1, 8))::BIGINT % 2) * 2 - 1
+        |           AS DOUBLE) AS sgn
+        |  FROM (SELECT UNNEST(generate_series(0, 63)) AS j) a
+        |  CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS k) b),
+        |pos AS (SELECT vec_id,
+        |               UNNEST(list_transform(range(1, len(v) + 1),
+        |                 i -> {'j': i - 1, 'x': v[i]})) AS p
+        |        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |              FROM embeddings) e)
+        |SELECT vec_id, CAST(k AS BIGINT) AS out_dim,
+        |       ROUND(SUM(p.x * sgn) / 4.0, 6) AS component
+        |FROM pos JOIN signs ON p.j = signs.j
+        |GROUP BY vec_id, k
+        |ORDER BY vec_id, out_dim""".stripMargin,
+
+    "q_compaction_plan" ->
+      """WITH perday AS (
+        |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM events GROUP BY 1),
+        |binned AS (
+        |  SELECT day, n_rows,
+        |         CAST(COALESCE(SUM(n_rows) OVER (ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           // 20000 AS BIGINT) AS file_id
+        |  FROM perday)
+        |SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+        |       MIN(day) AS first_day, MAX(day) AS last_day
+        |FROM binned GROUP BY file_id ORDER BY file_id""".stripMargin,
   )
 }

@@ -336,4 +336,32 @@ object ScaleOps {
       .unionByName(profile("l_suppkey"))
       .orderBy("key_col")
   }
+
+  /** Small-partition compaction plan (the Iceberg/Delta `OPTIMIZE`
+    * planning step): roll daily event partitions up into target-sized
+    * output files by greedy date-ordered bin packing — a day lands in
+    * bin floor(rows_before_it / target), so bins are contiguous date
+    * ranges holding ~target rows. The plan itself is computed on the
+    * per-day count table (calendar-bounded — thousands of rows for
+    * years of data), so the unpartitioned cumulative window is safe;
+    * the 100 TB data movement the plan drives is a partition-pruned
+    * rewrite per bin, embarrassingly parallel. */
+  def qCompactionPlan(s: SparkSession, d: String,
+                      targetRows: Long = 20000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDay = Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_rows"))
+    val before = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perDay
+      .withColumn("cum_before", coalesce(sum("n_rows").over(before), lit(0L)))
+      .withColumn("file_id", expr(s"cum_before DIV $targetRows"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum("n_rows").as("n_rows"),
+        min("day").as("first_day"),
+        max("day").as("last_day"))
+      .orderBy("file_id")
+  }
 }

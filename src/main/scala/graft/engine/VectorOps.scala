@@ -677,4 +677,72 @@ object VectorOps {
         r4(col("mn")).as("min_norm"), r4(col("mx")).as("max_norm"),
         r4(col("av")).as("mean_norm"))
   }
+
+  /** kNN label-prediction eval: per-class accuracy of 10-nearest-
+    * neighbor majority vote over the embedding table — the intrinsic
+    * quality gate for an embedding space (do neighborhoods respect
+    * labels?). Queries are a deterministic 10% sample (vec_id % 10);
+    * the index side is the full table, scored brute-force with the
+    * native codegen'd cosine and ranked AFTER 6-decimal rounding so
+    * rank ties break identically on vec_id across engines. At 100 TB
+    * the brute-force candidate set is replaced by the ANN ops above
+    * (IVF lists / LSH buckets) — the vote/accuracy tail of the plan
+    * is unchanged, which is why the eval and the index share this
+    * file. */
+  def qKnnEval(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("cid"), col("label").as("clabel"),
+      col("embedding").as("cv"))
+    val wNn = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid")
+      .orderBy(col("sim").desc, col("cid"))
+    val nn = q.join(c, col("cid") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+        round(nativeCosine(s, col("qv"), col("cv")), 6).as("sim"))
+      .withColumn("rn", row_number().over(wNn))
+      .filter(col("rn") <= k)
+    val wVote = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid")
+      .orderBy(col("v").desc, col("clabel"))
+    val pred = nn.groupBy("qid", "qlabel", "clabel")
+      .agg(count(lit(1)).as("v"))
+      .withColumn("rn", row_number().over(wVote))
+      .filter(col("rn") === 1)
+    pred.groupBy(col("qlabel").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum((col("clabel") === col("qlabel")).cast("long")).as("n_correct"))
+      .select(col("label"), col("n_queries"), col("n_correct"),
+        r4(col("n_correct") / col("n_queries").cast("double")).as("accuracy"))
+      .orderBy("label")
+  }
+
+  /** Johnson-Lindenstrauss random projection 64 → 16 dims with a
+    * DETERMINISTIC ±1 sign matrix (md5 of "j:k" — reproducible
+    * across engines, re-runs and partitionings, like every other
+    * hash-drawn sample here; Achlioptas 2001 shows ±1 entries
+    * suffice for JL). The sign matrix is a 1024-row generated
+    * dimension table joined to the position-exploded vectors, so the
+    * projection is one explode, one broadcastable join, one grouped
+    * sum — no per-row 16-lambda chain, and the same plan shape
+    * handles any (d_in, d_out). */
+  def qRandomProjection(s: SparkSession, d: String,
+                        dOut: Int = 16): DataFrame = {
+    val signs = s.range(64).select(col("id").cast("int").as("j"))
+      .crossJoin(s.range(dOut).select(col("id").cast("int").as("k")))
+      .select(col("j"), col("k"),
+        (conv(substring(md5(concat_ws(":", col("j"), col("k"))), 1, 8),
+          16, 10).cast("long") % 2 * 2 - 1).cast("double").as("sgn"))
+    embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "x")))
+      .join(broadcast(signs), "j")
+      .groupBy("vec_id", "k")
+      .agg(sum(col("x").cast("double") * col("sgn")).as("ssum"))
+      .select(col("vec_id"), col("k").cast("long").as("out_dim"),
+        round(col("ssum") / 4.0, 6).as("component"))
+      .orderBy("vec_id", "out_dim")
+  }
 }

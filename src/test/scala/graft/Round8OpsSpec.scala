@@ -102,6 +102,43 @@ class Round8OpsSpec extends SparkSuite {
     assert(a.sorted.sameElements(b), "ordered-struct sort must be stable")
   }
 
+  test("knn eval: accuracy consistent with counts, every query voted once") {
+    val rows = VectorOps.qKnnEval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nQ = Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 0).count()
+    assert(rows.map(_.getLong(1)).sum == nQ, "every sampled query predicted")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "correct <= total")
+      val acc = r.getDouble(3)
+      assert(acc >= 0.0 && acc <= 1.0)
+    }
+  }
+
+  test("random projection: 16 components per vector, deterministic") {
+    val df = VectorOps.qRandomProjection(spark, sf)
+    val rows = df.collect()
+    val nVec = Tables.embeddings(spark, sf).count()
+    assert(rows.length == nVec * 16, "16 out-dims per vector")
+    val again = VectorOps.qRandomProjection(spark, sf)
+      .repartition(9).collect().map(_.toString).sorted
+    assert(rows.map(_.toString).sorted.sameElements(again),
+      "md5 sign matrix must be partition-invariant")
+  }
+
+  test("compaction plan: bins conserve rows and cover disjoint date ranges") {
+    val rows = ScaleOps.qCompactionPlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == total, "bins conserve all rows")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getString(4) < b.getString(3),
+          s"each day lands in exactly one bin, ranges disjoint: $a | $b")
+      case _ => () // a single bin has nothing to compare
+    }
+  }
+
   test("embed health: fixture vectors are clean, norm envelope ordered") {
     val rows = VectorOps.qEmbedHealth(spark, sf).collect()
     assert(rows.length == 1)
