@@ -278,6 +278,8 @@ object SparkEntry {
     "q_knn_eval"           -> ((s, d) => VectorOps.qKnnEval(s, d)),
     "q_random_projection"  -> ((s, d) => VectorOps.qRandomProjection(s, d)),
     "q_compaction_plan"    -> ((s, d) => ScaleOps.qCompactionPlan(s, d)),
+    "q_join_card_est"      -> (ScaleOps.qJoinCardEst _),
+    "q_bootstrap_ci"       -> ((s, d) => StatsOps.qBootstrapCi(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3630,5 +3632,56 @@ object SparkEntry {
         |       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
         |       MIN(day) AS first_day, MAX(day) AS last_day
         |FROM binned GROUP BY file_id ORDER BY file_id""".stripMargin,
+
+    "q_join_card_est" ->
+      """WITH ol AS (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+        |ll AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        |cc AS (SELECT c_custkey AS k, COUNT(*) AS c FROM customer GROUP BY 1),
+        |oc AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+        |j1 AS (SELECT a.k, a.c * b.c AS prod FROM ol a JOIN ll b ON a.k = b.k),
+        |j2 AS (SELECT a.k, a.c * b.c AS prod FROM cc a JOIN oc b ON a.k = b.k),
+        |r AS (
+        |  SELECT 'orders_lineitem_on_orderkey' AS join_name,
+        |         CAST(COALESCE((SELECT SUM(prod) * 20 FROM j1
+        |           WHERE ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT
+        |                 % 20 = 0), 0) AS BIGINT) AS est_rows,
+        |         CAST((SELECT SUM(prod) FROM j1) AS BIGINT) AS actual_rows
+        |  UNION ALL
+        |  SELECT 'customer_orders_on_custkey',
+        |         CAST(COALESCE((SELECT SUM(prod) * 20 FROM j2
+        |           WHERE ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT
+        |                 % 20 = 0), 0) AS BIGINT),
+        |         CAST((SELECT SUM(prod) FROM j2) AS BIGINT))
+        |SELECT join_name, est_rows, actual_rows,
+        |       ROUND((est_rows - actual_rows) / CAST(actual_rows AS DOUBLE), 4)
+        |         AS rel_err
+        |FROM r ORDER BY join_name""".stripMargin,
+
+    "q_bootstrap_ci" ->
+      """WITH base AS (SELECT event_id, value FROM events
+        |              WHERE event_type = 'purchase'),
+        |fan AS (SELECT event_id, value, r FROM base
+        |        CROSS JOIN (SELECT UNNEST(generate_series(0, 49)) AS r) t),
+        |wtab AS (SELECT r, value,
+        |           CASE WHEN u < 0.3679 THEN 0 WHEN u < 0.7358 THEN 1
+        |                WHEN u < 0.9197 THEN 2 WHEN u < 0.9810 THEN 3
+        |                WHEN u < 0.9963 THEN 4 WHEN u < 0.9994 THEN 5
+        |                ELSE 6 END AS w
+        |         FROM (SELECT r, value,
+        |                 ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' ||
+        |                   CAST(r AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS u
+        |               FROM fan) u0),
+        |means AS (SELECT r, SUM(w * value) / SUM(w) AS m,
+        |                 CAST(COUNT(*) AS BIGINT) AS n
+        |          FROM wtab GROUP BY r),
+        |ranked AS (SELECT m, n, row_number() OVER (ORDER BY m) AS rn FROM means)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(*) AS BIGINT) AS n_resamples,
+        |       FLOOR(AVG(m) * 10000.0 + 0.5) / 10000.0 AS mean_of_means,
+        |       FLOOR(MAX(CASE WHEN rn = 3 THEN m END) * 10000.0 + 0.5)
+        |         / 10000.0 AS ci_lo,
+        |       FLOOR(MAX(CASE WHEN rn = 48 THEN m END) * 10000.0 + 0.5)
+        |         / 10000.0 AS ci_hi
+        |FROM ranked""".stripMargin,
   )
 }

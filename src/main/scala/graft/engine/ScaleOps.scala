@@ -364,4 +364,45 @@ object ScaleOps {
         max("day").as("last_day"))
       .orderBy("file_id")
   }
+
+  /** Join-cardinality estimation audit (the planner statistic behind
+    * join ordering): |A ⋈ B| = Σ_k c_A(k)·c_B(k), estimated from a
+    * deterministic 5% KEY sample (md5(key) % 20 — sampling KEYS, not
+    * rows, keeps each sampled key's count exact, so the estimator is
+    * unbiased under key-sampling) and compared against the true
+    * cardinality computed from the FULL key-count tables — which
+    * costs only the count-table join, never the join itself. At
+    * 100 TB the count tables are key-cardinality-sized aggregates and
+    * the sample cuts the estimation join 20×; the audit reports the
+    * relative error that key skew induces (a hot key outside the
+    * sample is exactly how such estimates go wrong — the point of
+    * the audit). */
+  def qJoinCardEst(s: SparkSession, d: String): DataFrame = {
+    def keyCounts(df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+    def audit(name: String, a: DataFrame, b: DataFrame): DataFrame = {
+      val joined = a.select(col("k"), col("c").as("ca"))
+        .join(b.select(col("k"), col("c").as("cb")), "k")
+        .select(col("k"), (col("ca") * col("cb")).as("prod"))
+      val sampled = joined.filter(
+        conv(substring(md5(col("k").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 20 === 0)
+      joined.agg(sum("prod").as("actual_rows"))
+        .crossJoin(broadcast(
+          sampled.agg((sum("prod") * 20).as("est_rows"))))
+        .select(lit(name).as("join_name"),
+          coalesce(col("est_rows"), lit(0L)).as("est_rows"),
+          col("actual_rows"),
+          round((coalesce(col("est_rows"), lit(0L)) - col("actual_rows")) /
+            col("actual_rows").cast("double"), 4).as("rel_err"))
+    }
+    val orders = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val cust = Tables.customer(s, d)
+    audit("orders_lineitem_on_orderkey",
+      keyCounts(orders, "o_orderkey"), keyCounts(li, "l_orderkey"))
+      .unionByName(audit("customer_orders_on_custkey",
+        keyCounts(cust, "c_custkey"), keyCounts(orders, "o_custkey")))
+      .orderBy("join_name")
+  }
 }

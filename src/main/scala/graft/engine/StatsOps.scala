@@ -384,4 +384,41 @@ object StatsOps {
         r4(sum("w") / (count(lit(1)) * 100.0)).as("mean_winsor"))
       .orderBy("event_type")
   }
+
+  /** Deterministic Poisson bootstrap CI for the mean purchase value:
+    * each (row, resample) pair draws a Poisson(1) weight by pushing a
+    * uniform md5 hash through the inverse CDF — the standard
+    * streaming/distributed bootstrap (no resampled copies of the
+    * data; Poisson(1) counts approximate multinomial resampling), and
+    * hash-drawn so every engine, re-run and partitioning sees the
+    * SAME resamples. B=50 weighted means, CI = the 3rd and 48th
+    * order statistics (~p05/p95). The fan-out is B× the FILTERED
+    * rows (one event type), aggregated map-side into B groups; the
+    * order-statistic window runs on 50 rows. */
+  def qBootstrapCi(s: SparkSession, d: String, b: Int = 50): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    // inverse CDF of Poisson(1) at the cumulative probabilities
+    // e^{-1}·Σ 1/k!: 0.3679, 0.7358, 0.9197, 0.9810, 0.9963, 0.9994
+    val u = conv(substring(md5(concat_ws(":", col("event_id"), col("r"))),
+      1, 8), 16, 10).cast("double") / 4294967296.0
+    val w = when(u < 0.3679, 0).when(u < 0.7358, 1).when(u < 0.9197, 2)
+      .when(u < 0.9810, 3).when(u < 0.9963, 4).when(u < 0.9994, 5)
+      .otherwise(6)
+    val means = events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("value"),
+        explode(sequence(lit(0), lit(b - 1))).as("r"))
+      .withColumn("w", w)
+      .groupBy("r")
+      .agg((sum(col("w") * col("value")) / sum("w")).as("m"),
+        count(lit(1)).as("n"))
+    val ranked = means
+      .withColumn("rn", row_number().over(Window.orderBy("m")))
+    ranked.agg(
+      max("n").as("n_rows"),
+      count(lit(1)).as("n_resamples"),
+      r4(avg("m")).as("mean_of_means"),
+      r4(max(when(col("rn") === 3, col("m")))).as("ci_lo"),
+      r4(max(when(col("rn") === 48, col("m")))).as("ci_hi"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.engine.{AnalyticsOps, CurationOps, ScaleOps, Tables, TextOps, VectorOps}
+import graft.engine.{AnalyticsOps, CurationOps, ScaleOps, StatsOps, Tables, TextOps, VectorOps}
 
 /** Invariant checks for the round-8 additions (the DuckDB
   * differential at all three SFs is the primary gate — these pin the
@@ -137,6 +137,29 @@ class Round8OpsSpec extends SparkSuite {
           s"each day lands in exactly one bin, ranges disjoint: $a | $b")
       case _ => () // a single bin has nothing to compare
     }
+  }
+
+  test("join cardinality estimate: actual matches the executed join exactly") {
+    val rows = ScaleOps.qJoinCardEst(spark, sf).collect()
+    assert(rows.length == 2)
+    val actualOl = Tables.orders(spark, sf).join(
+      Tables.lineitem(spark, sf),
+      org.apache.spark.sql.functions.col("o_orderkey") ===
+        org.apache.spark.sql.functions.col("l_orderkey")).count()
+    val r = rows.find(_.getString(0) == "orders_lineitem_on_orderkey").get
+    assert(r.getLong(2) == actualOl,
+      "sum of count products must equal the real join cardinality")
+    rows.foreach(x => assert(x.getLong(1) >= 0))
+  }
+
+  test("bootstrap CI: interval brackets the mean of means, 50 resamples") {
+    val rows = StatsOps.qBootstrapCi(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(1) == 50, "B=50 resamples")
+    val (lo, mid, hi) = (r.getDouble(3), r.getDouble(2), r.getDouble(4))
+    assert(lo <= mid && mid <= hi, s"p05 <= mean <= p95: $r")
+    assert(r.getLong(0) > 0)
   }
 
   test("embed health: fixture vectors are clean, norm envelope ordered") {
