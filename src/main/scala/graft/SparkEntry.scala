@@ -280,6 +280,9 @@ object SparkEntry {
     "q_compaction_plan"    -> ((s, d) => ScaleOps.qCompactionPlan(s, d)),
     "q_join_card_est"      -> (ScaleOps.qJoinCardEst _),
     "q_bootstrap_ci"       -> ((s, d) => StatsOps.qBootstrapCi(s, d)),
+    "q_seasonal_dow"       -> (AnalyticsOps.qSeasonalDow _),
+    "q_cusum_drift"        -> (AnalyticsOps.qCusumDrift _),
+    "q_rolling_corr"       -> (AnalyticsOps.qRollingCorr _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3683,5 +3686,69 @@ object SparkEntry {
         |       FLOOR(MAX(CASE WHEN rn = 48 THEN m END) * 10000.0 + 0.5)
         |         / 10000.0 AS ci_hi
         |FROM ranked""".stripMargin,
+
+    "q_seasonal_dow" ->
+      """WITH byd AS (
+        |  SELECT event_type,
+        |         CAST(strftime(CAST(ts AS TIMESTAMP), '%w') AS INTEGER) AS dow,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT *, SUM(n) OVER (PARTITION BY event_type) AS tot_n,
+        |             SUM(sum_c) OVER (PARTITION BY event_type) AS tot_c
+        |      FROM byd)
+        |SELECT event_type, dow, n,
+        |       FLOOR(sum_c / (n * 100.0) * 10000.0 + 0.5) / 10000.0 AS dow_mean,
+        |       FLOOR((sum_c * tot_n) / CAST(n * tot_c AS DOUBLE)
+        |             * 10000.0 + 0.5) / 10000.0 AS seasonal_idx
+        |FROM t ORDER BY event_type, dow""".stripMargin,
+
+    "q_cusum_drift" ->
+      """WITH daily AS (
+        |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_c
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |t AS (SELECT *,
+        |        CAST(SUM(sum_c) OVER () AS DOUBLE) / SUM(n) OVER () AS mu_c,
+        |        SUM(sum_c) OVER (ORDER BY day
+        |          ROWS UNBOUNDED PRECEDING) AS cum_c,
+        |        SUM(n) OVER (ORDER BY day
+        |          ROWS UNBOUNDED PRECEDING) AS cum_n
+        |      FROM daily),
+        |c AS (SELECT *, (cum_c - cum_n * mu_c) / 100.0 AS cusum FROM t)
+        |SELECT day, n,
+        |       FLOOR(sum_c / (n * 100.0) * 10000.0 + 0.5) / 10000.0 AS daily_mean,
+        |       FLOOR(cusum * 10000.0 + 0.5) / 10000.0 AS cusum,
+        |       CAST(CASE WHEN ABS(cusum) = MAX(ABS(cusum)) OVER ()
+        |            THEN 1 ELSE 0 END AS INTEGER) AS is_peak
+        |FROM c ORDER BY day""".stripMargin,
+
+    "q_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS y
+        |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+        |wnd AS (SELECT day, x, y,
+        |          row_number() OVER (ORDER BY day) AS rn,
+        |          SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+        |          SUM(x*y) OVER w AS sxy, SUM(x*x) OVER w AS sx2,
+        |          SUM(y*y) OVER w AS sy2
+        |        FROM daily
+        |        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+        |                     AND CURRENT ROW))
+        |SELECT day, x AS n_click, y AS n_purchase,
+        |       CASE WHEN den = 0 THEN NULL
+        |            ELSE FLOOR(num / den * 10000.0 + 0.5) / 10000.0
+        |       END AS roll_corr
+        |FROM (SELECT day, x, y,
+        |        CAST(7*sxy - sx*sy AS DOUBLE) AS num,
+        |        sqrt(CAST(7*sx2 - sx*sx AS DOUBLE)
+        |             * CAST(7*sy2 - sy*sy AS DOUBLE)) AS den
+        |      FROM wnd WHERE rn >= 7) q
+        |ORDER BY day""".stripMargin,
   )
 }

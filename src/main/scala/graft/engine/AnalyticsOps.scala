@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -510,4 +510,96 @@ object AnalyticsOps {
         (size(expr("regexp_extract_all(seq, 'vc+p', 0)")) > 0).cast("int")
           .as("converted"))
       .orderBy("user_id")
+
+  /** Day-of-week seasonality profile: per (event type, weekday), the
+    * mean value and its seasonal index vs the type's overall mean —
+    * the decomposition input for traffic forecasting / anomaly
+    * baselines. All sums are exact integer cents, so the only float
+    * step is one final division; the per-type totals ride a window
+    * over the 35-row (type × dow) aggregate, never the fact table.
+    * Weekday is dayofweek-1 (0 = Sunday), matching strftime('%w'). */
+  def qSeasonalDow(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val cents = round(col("value") * 100).cast("long")
+    val byDow = events(s, d)
+      .select(col("event_type"), (dayofweek(col("ts")) - 1).cast("int").as("dow"),
+        cents.as("c"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n"), sum("c").as("sum_c"))
+    val wt = Window.partitionBy("event_type")
+    byDow
+      .withColumn("tot_n", sum("n").over(wt))
+      .withColumn("tot_c", sum("sum_c").over(wt))
+      .select(col("event_type"), col("dow"), col("n"),
+        r4(col("sum_c") / (col("n") * 100.0)).as("dow_mean"),
+        r4((col("sum_c") * col("tot_n")) /
+          (col("n") * col("tot_c")).cast("double")).as("seasonal_idx"))
+      .orderBy("event_type", "dow")
+  }
+
+  /** CUSUM drift detection on the daily purchase-value mean: the
+    * running sum of (daily mean − overall mean) spikes where the
+    * level shifts — the standard changepoint monitor for a metrics
+    * pipeline. The cumulative state is kept INTEGER (running cent
+    * and count sums — exact under any summation tree), so each
+    * day's CUSUM is one float expression over exact inputs:
+    * cum_cents − cum_n·μ. No float ever accumulates, which is what
+    * makes the peak flag and the 4-decimal rounding engine-exact. */
+  def qCusumDrift(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val daily = events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_c"))
+    val wAll = Window.partitionBy()
+    val wUpto = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("mu_c",
+        sum("sum_c").over(wAll).cast("double") / sum("n").over(wAll))
+      .withColumn("cum_c", sum("sum_c").over(wUpto))
+      .withColumn("cum_n", sum("n").over(wUpto))
+      .withColumn("cusum",
+        (col("cum_c") - col("cum_n") * col("mu_c")) / 100.0)
+      .withColumn("peak",
+        (abs(col("cusum")) === max(abs(col("cusum"))).over(wAll)).cast("int"))
+      .select(col("day"), col("n"),
+        r4(col("sum_c") / (col("n") * 100.0)).as("daily_mean"),
+        r4(col("cusum")).as("cusum"), col("peak").as("is_peak"))
+      .orderBy("day")
+  }
+
+  /** 7-day rolling Pearson correlation between daily click and
+    * purchase counts — co-movement monitoring (a funnel break shows
+    * as decorrelation). The rolling sums are INTEGER (counts and
+    * their products), so the correlation is one exact-input float
+    * expression per day; only full 7-day windows emit. Calendar-
+    * bounded single-partition window by construction. */
+  def qRollingCorr(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val daily = events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum((col("event_type") === "click").cast("long")).as("x"),
+        sum((col("event_type") === "purchase").cast("long")).as("y"))
+    val w7 = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    val wRn = Window.orderBy("day")
+    val n = lit(7L)
+    daily
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("sx", sum("x").over(w7))
+      .withColumn("sy", sum("y").over(w7))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w7))
+      .withColumn("sx2", sum(col("x") * col("x")).over(w7))
+      .withColumn("sy2", sum(col("y") * col("y")).over(w7))
+      .filter(col("rn") >= 7)
+      .withColumn("num", (n * col("sxy") - col("sx") * col("sy")).cast("double"))
+      .withColumn("den", sqrt((n * col("sx2") - col("sx") * col("sx"))
+        .cast("double") * (n * col("sy2") - col("sy") * col("sy")).cast("double")))
+      .select(col("day"), col("x").as("n_click"), col("y").as("n_purchase"),
+        when(col("den") === 0.0, lit(null).cast("double"))
+          .otherwise(r4(col("num") / col("den"))).as("roll_corr"))
+      .orderBy("day")
+  }
 }

@@ -162,6 +162,46 @@ class Round8OpsSpec extends SparkSuite {
     assert(r.getLong(0) > 0)
   }
 
+  test("seasonal dow: indices average to ~1 weighted by counts") {
+    val rows = AnalyticsOps.qSeasonalDow(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, grp) =>
+      val n = grp.map(_.getLong(2)).sum.toDouble
+      val weighted = grp.map(r => r.getDouble(4) * r.getLong(2)).sum / n
+      assert(math.abs(weighted - 1.0) < 0.01,
+        s"count-weighted mean seasonal index must be ~1, got $weighted")
+    }
+    rows.foreach(r => assert(r.getInt(1) >= 0 && r.getInt(1) <= 6))
+  }
+
+  test("cusum drift: exactly the peak rows flagged, final cusum ~0") {
+    val rows = AnalyticsOps.qCusumDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.count(_.getInt(4) == 1) >= 1, "at least one peak")
+    val maxAbs = rows.map(r => math.abs(r.getDouble(3))).max
+    rows.filter(_.getInt(4) == 1).foreach(r =>
+      assert(math.abs(math.abs(r.getDouble(3)) - maxAbs) < 1e-9))
+    // CUSUM telescopes: the last value is cum deviation of ALL events = 0
+    assert(math.abs(rows.last.getDouble(3)) < 0.01,
+      s"final cusum must telescope to ~0: ${rows.last}")
+  }
+
+  test("rolling corr: values in [-1,1], only full 7-day windows emitted") {
+    val rows = AnalyticsOps.qRollingCorr(spark, sf).collect()
+    val nDays = spark.read.parquet(s"$sf/events.parquet")
+      .select(org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.col("ts"), "yyyy-MM-dd"))
+      .distinct().count()
+    assert(rows.length == math.max(0L, nDays - 6),
+      "one row per day from the 7th onward")
+    rows.foreach { r =>
+      if (!r.isNullAt(3)) {
+        val c = r.getDouble(3)
+        assert(c >= -1.0001 && c <= 1.0001, s"corr in [-1,1]: $r")
+      }
+    }
+  }
+
   test("embed health: fixture vectors are clean, norm envelope ordered") {
     val rows = VectorOps.qEmbedHealth(spark, sf).collect()
     assert(rows.length == 1)
