@@ -283,6 +283,8 @@ object SparkEntry {
     "q_seasonal_dow"       -> (AnalyticsOps.qSeasonalDow _),
     "q_cusum_drift"        -> (AnalyticsOps.qCusumDrift _),
     "q_rolling_corr"       -> (AnalyticsOps.qRollingCorr _),
+    "q_calibration"        -> (TextOps.qCalibration _),
+    "q_weighted_sample"    -> (CurationOps.qWeightedSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3750,5 +3752,53 @@ object SparkEntry {
         |             * CAST(7*sy2 - sy*sy AS DOUBLE)) AS den
         |      FROM wnd WHERE rn >= 7) q
         |ORDER BY day""".stripMargin,
+
+    "q_calibration" ->
+      """WITH t AS (SELECT doc_id, lang AS labeled_lang, text,
+        |                  regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, labeled_lang, text,
+        |        CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_en,
+        |        CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_de,
+        |        CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_fr,
+        |        CAST(len(list_filter(toks, x -> x IN ('el','la','los','y','es','un','una','en','por','que'))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_es
+        |      FROM t),
+        |u AS (SELECT doc_id, labeled_lang, text, sc['score'] AS score, sc['lang'] AS lng,
+        |             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sc['score'] DESC, sc['lang'] DESC) AS rn
+        |      FROM s, UNNEST([{'score': s_de, 'lang': 'de'}, {'score': s_en, 'lang': 'en'},
+        |                      {'score': s_fr, 'lang': 'fr'}, {'score': s_es, 'lang': 'es'}]) AS z(sc)),
+        |scored AS (
+        |  SELECT doc_id, labeled_lang,
+        |         CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |              WHEN score > 0 THEN lng ELSE 'und' END AS predicted_lang,
+        |         ROUND(score, 4) AS confidence
+        |  FROM u WHERE rn = 1),
+        |b AS (SELECT LEAST(CAST(FLOOR(confidence * 20) AS BIGINT), 19) AS bin,
+        |             CAST(ROUND(confidence * 10000) AS BIGINT) AS conf_i,
+        |             CASE WHEN predicted_lang = labeled_lang
+        |                  THEN 1 ELSE 0 END AS ok
+        |      FROM scored)
+        |SELECT bin,
+        |       FLOOR(bin / 20.0 * 10000.0 + 0.5) / 10000.0 AS conf_lo,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       FLOOR(SUM(conf_i) / (COUNT(*) * 10000.0) * 10000.0 + 0.5)
+        |         / 10000.0 AS mean_conf,
+        |       CAST(SUM(ok) AS BIGINT) AS n_correct,
+        |       FLOOR(SUM(ok) / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5)
+        |         / 10000.0 AS accuracy
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, n_chars,
+        |         -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |              + 0.5) / 4294967296.0)
+        |           / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS key
+        |  FROM documents),
+        |top AS (SELECT * FROM k ORDER BY key, doc_id LIMIT 50)
+        |SELECT CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT) AS rank,
+        |       doc_id, n_chars,
+        |       FLOOR(key * 1000.0 * 1e6 + 0.5) / 1e6 AS key_x1000
+        |FROM top ORDER BY rank""".stripMargin,
   )
 }

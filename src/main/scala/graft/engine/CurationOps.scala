@@ -410,6 +410,32 @@ object CurationOps {
       .orderBy("source")
   }
 
+  /** Weighted sampling without replacement, Efraimidis–Spirakis
+    * exponential-clocks form: each document draws key = −ln(u)/w
+    * (u a deterministic md5 uniform, w = n_chars), and the 50
+    * smallest keys ARE a weighted sample without replacement —
+    * length-biased here, the "sample long documents preferentially"
+    * curation knob. One projection + a distributed top-k
+    * (TakeOrderedAndProject), no shuffle of the corpus, fully
+    * reproducible across engines/partitionings; the final rank
+    * window runs on the 50 selected rows only. */
+  def qWeightedSample(s: SparkSession, d: String): DataFrame = {
+    def r6(x: Column): Column = floor(x * 1e6 + 0.5) / 1e6
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("double") + 0.5) / 4294967296.0
+    val key = -log(u) / greatest(col("n_chars"), lit(1L)).cast("double")
+    val top = documents(s, d)
+      .select(col("doc_id"), col("n_chars"), key.as("k"))
+      .orderBy(col("k"), col("doc_id"))
+      .limit(50)
+    top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("k"), col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_chars"),
+        r6(col("k") * 1000.0).as("key_x1000"))
+      .orderBy("rank")
+  }
+
   /** Dataset card: the one-row corpus summary a dataset release
     * ships with — sizes, vocabulary, language concentration, exact-
     * duplicate rate. Every input is a bounded aggregate (three

@@ -348,6 +348,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Confidence calibration of the language identifier: documents are
+    * bucketed into FIXED-WIDTH confidence bins (0.05 wide — map-side
+    * arithmetic, deliberately not quantiles: an ntile over the doc
+    * table would funnel the corpus through one window partition at
+    * scale) and each bin reports its mean confidence vs empirical
+    * accuracy — the reliability-diagram input that tells a pipeline
+    * whether "0.9 confident" means 90% right before it thresholds on
+    * the score. One projection (the langid scorer) + one small-keyed
+    * aggregate. */
+  def qCalibration(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val scored = qLangId(s, d) // doc_id, labeled_lang, predicted_lang, confidence
+    scored
+      .select(
+        least(floor(col("confidence") * 20).cast("long"), lit(19L)).as("bin"),
+        col("confidence"),
+        (col("predicted_lang") === col("labeled_lang")).cast("long").as("ok"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("confidence") * 10000).cast("long")).as("conf_sum"),
+        sum("ok").as("n_correct"))
+      .select(col("bin"),
+        r4(col("bin") / 20.0).as("conf_lo"),
+        col("n"),
+        r4(col("conf_sum") / (col("n") * 10000.0)).as("mean_conf"),
+        col("n_correct"),
+        r4(col("n_correct") / col("n").cast("double")).as("accuracy"))
+      .orderBy("bin")
+  }
+
   /** Sliding-window document chunking (training-data prep staple):
     * overlapping token windows of `chunkTokens` with `stride`,
     * exploded in place — fan-out happens on the executor holding the

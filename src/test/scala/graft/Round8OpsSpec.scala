@@ -202,6 +202,33 @@ class Round8OpsSpec extends SparkSuite {
     }
   }
 
+  test("calibration: bins partition all docs, accuracy and conf in range") {
+    val rows = TextOps.qCalibration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == nDocs, "bins cover every document")
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 19)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getDouble(3) >= r.getDouble(1) - 1e-9,
+        s"mean conf at or above the bin floor: $r")
+    }
+  }
+
+  test("weighted sample: exactly 50, biased toward longer documents") {
+    val rows = CurationOps.qWeightedSample(spark, sf).collect()
+    assert(rows.length == math.min(50L, Tables.documents(spark, sf).count()))
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq,
+      "ranks are 1..k")
+    val ks = rows.map(_.getDouble(3))
+    assert(ks.zip(ks.tail).forall { case (a, b) => a <= b }, "keys ascend")
+    val sampleMean = rows.map(_.getLong(2)).sum.toDouble / rows.length
+    val popMean = Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > popMean,
+      s"length-weighted sample must skew long: $sampleMean vs $popMean")
+  }
+
   test("embed health: fixture vectors are clean, norm envelope ordered") {
     val rows = VectorOps.qEmbedHealth(spark, sf).collect()
     assert(rows.length == 1)
