@@ -285,6 +285,9 @@ object SparkEntry {
     "q_rolling_corr"       -> (AnalyticsOps.qRollingCorr _),
     "q_calibration"        -> (TextOps.qCalibration _),
     "q_weighted_sample"    -> (CurationOps.qWeightedSample _),
+    "q_target_encoding"    -> (StatsOps.qTargetEncoding _),
+    "q_group_scale"        -> (StatsOps.qGroupScale _),
+    "q_split_leakage"      -> (StatsOps.qSplitLeakage _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3800,5 +3803,46 @@ object SparkEntry {
         |       doc_id, n_chars,
         |       FLOOR(key * 1000.0 * 1e6 + 0.5) / 1e6 AS key_x1000
         |FROM top ORDER BY rank""".stripMargin,
+
+    "q_target_encoding" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |                   CAST(ROUND(value*100) AS BIGINT) AS c
+        |            FROM events),
+        |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |              CAST(SUM(c) AS BIGINT) AS sum_c
+        |       FROM ev GROUP BY 1)
+        |SELECT event_id, ev.event_type, c / 100.0 AS value,
+        |       CASE WHEN n > 1 THEN
+        |         FLOOR((sum_c - c) / ((n - 1) * 100.0) * 10000.0 + 0.5) / 10000.0
+        |       ELSE NULL END AS loo_mean
+        |FROM ev JOIN st ON ev.event_type = st.event_type
+        |ORDER BY event_id LIMIT 100""".stripMargin,
+
+    "q_group_scale" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |                   CAST(ROUND(value*100) AS BIGINT) AS c
+        |            FROM events),
+        |st AS (SELECT event_type, MIN(c) AS mn, MAX(c) AS mx
+        |       FROM ev GROUP BY 1)
+        |SELECT event_id, ev.event_type, c / 100.0 AS value,
+        |       CASE WHEN mx > mn THEN
+        |         FLOOR((c - mn) / CAST(mx - mn AS DOUBLE) * 10000.0 + 0.5)
+        |           / 10000.0
+        |       ELSE NULL END AS scaled
+        |FROM ev JOIN st ON ev.event_type = st.event_type
+        |ORDER BY event_id LIMIT 100""".stripMargin,
+
+    "q_split_leakage" ->
+      """WITH tr AS (SELECT DISTINCT user_id FROM events
+        |            WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-21 00:00:00'),
+        |te AS (SELECT DISTINCT user_id FROM events
+        |       WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-21 00:00:00'),
+        |ov AS (SELECT tr.user_id FROM tr JOIN te ON tr.user_id = te.user_id)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tr) AS n_train_users,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM te) AS n_test_users,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM ov) AS n_overlap,
+        |       FLOOR((SELECT COUNT(*) FROM ov)
+        |             / CAST((SELECT COUNT(*) FROM te) AS DOUBLE)
+        |             * 10000.0 + 0.5) / 10000.0 AS leakage_rate""".stripMargin,
   )
 }

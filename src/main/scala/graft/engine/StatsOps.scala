@@ -421,4 +421,74 @@ object StatsOps {
       r4(max(when(col("rn") === 3, col("m")))).as("ci_lo"),
       r4(max(when(col("rn") === 48, col("m")))).as("ci_hi"))
   }
+
+  /** Leave-one-out target encoding (the categorical-feature staple):
+    * each event's category (event_type) is replaced by the mean
+    * target value of all OTHER events in that category — LOO removes
+    * the self-leakage that makes naive target encoding overfit. The
+    * category stats are a 5-row aggregate broadcast back onto the
+    * facts (never a window over raw rows — a category partition is
+    * unbounded at 100 TB); the per-row encode is exact integer cents
+    * with one final division. Reported for a bounded sample (first
+    * 100 event ids) so the output stays fixture-sized. */
+  def qTargetEncoding(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val ev = events(s, d)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+    val stats = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("c").as("sum_c"))
+    ev.join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"),
+        (col("c") / 100.0).as("value"),
+        when(col("n") > 1,
+          r4((col("sum_c") - col("c")) / ((col("n") - 1) * 100.0)))
+          .otherwise(lit(null).cast("double")).as("loo_mean"))
+      .orderBy("event_id")
+      .limit(100)
+  }
+
+  /** Per-group min-max feature scaling: value → (v − min)/(max − min)
+    * within its event type, the normalization step before features
+    * feed a model. Same broadcast-stats shape as the target encoder
+    * (5-row aggregate joined back, no raw-row window); constant
+    * groups scale to NULL rather than dividing by zero. Bounded
+    * sample output (first 100 event ids). */
+  def qGroupScale(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val ev = events(s, d)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+    val stats = ev.groupBy("event_type")
+      .agg(min("c").as("mn"), max("c").as("mx"))
+    ev.join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"),
+        (col("c") / 100.0).as("value"),
+        when(col("mx") > col("mn"),
+          r4((col("c") - col("mn")) / (col("mx") - col("mn")).cast("double")))
+          .otherwise(lit(null).cast("double")).as("scaled"))
+      .orderBy("event_id")
+      .limit(100)
+  }
+
+  /** Train/test split leakage audit: split the event log at a date
+    * boundary (the standard temporal split) and measure user overlap
+    * — the leakage that silently inflates eval metrics when the same
+    * user's behavior spans both sides. Two distinct-user aggregates
+    * plus their intersection, all user-cardinality-bounded; the
+    * boundary date is a literal so both sides partition-prune. */
+  def qSplitLeakage(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+    val ev = events(s, d)
+    val train = ev.filter(col("ts") < cut).select("user_id").distinct()
+    val test = ev.filter(col("ts") >= cut).select("user_id").distinct()
+    val overlap = train.join(test, "user_id")
+    train.agg(count(lit(1)).as("n_train_users"))
+      .crossJoin(broadcast(test.agg(count(lit(1)).as("n_test_users"))))
+      .crossJoin(broadcast(overlap.agg(count(lit(1)).as("n_overlap"))))
+      .select(col("n_train_users"), col("n_test_users"), col("n_overlap"),
+        r4(col("n_overlap") / col("n_test_users").cast("double"))
+          .as("leakage_rate"))
+  }
 }

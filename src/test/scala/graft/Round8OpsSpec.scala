@@ -229,6 +229,40 @@ class Round8OpsSpec extends SparkSuite {
       s"length-weighted sample must skew long: $sampleMean vs $popMean")
   }
 
+  test("target encoding: LOO mean excludes the row's own value") {
+    val rows = StatsOps.qTargetEncoding(spark, sf).collect()
+    assert(rows.length == 100)
+    // recompute one row's LOO by hand from the full table
+    val r = rows.head
+    val all = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === r.getString(1))
+      .select(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.col("value") * 100).cast("long"))
+      .collect().map(_.getLong(0))
+    val c = math.round(r.getDouble(2) * 100)
+    val expect = (all.sum - c).toDouble / ((all.length - 1) * 100.0)
+    assert(math.abs(r.getDouble(3) - expect) < 1e-3,
+      s"LOO mismatch: got ${r.getDouble(3)}, want ~$expect")
+  }
+
+  test("group scale: scaled values in [0,1] with min->0 and max->1") {
+    val rows = StatsOps.qGroupScale(spark, sf).collect()
+    assert(rows.length == 100)
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      val v = r.getDouble(3)
+      assert(v >= 0.0 && v <= 1.0, s"scaled in [0,1]: $r")
+    }
+  }
+
+  test("split leakage: overlap bounded by both sides") {
+    val rows = StatsOps.qSplitLeakage(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (tr, te, ov) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(ov <= tr && ov <= te, "overlap is an intersection")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
   test("embed health: fixture vectors are clean, norm envelope ordered") {
     val rows = VectorOps.qEmbedHealth(spark, sf).collect()
     assert(rows.length == 1)
