@@ -288,6 +288,7 @@ object SparkEntry {
     "q_target_encoding"    -> (StatsOps.qTargetEncoding _),
     "q_group_scale"        -> (StatsOps.qGroupScale _),
     "q_split_leakage"      -> (StatsOps.qSplitLeakage _),
+    "q_dedup_simhash_md5"  -> (TextOps.qDedupSimhashMd5 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3844,5 +3845,45 @@ object SparkEntry {
         |       FLOOR((SELECT COUNT(*) FROM ov)
         |             / CAST((SELECT COUNT(*) FROM te) AS DOUBLE)
         |             * 10000.0 + 0.5) / 10000.0 AS leakage_rate""".stripMargin,
+
+    "q_dedup_simhash_md5" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |         array_to_string(arr[1:GREATEST(len(arr) - 1, 1)], ' ')
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |        FROM documents) t0),
+        |hs AS (SELECT doc_id,
+        |         list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |           w -> ('0x' || substr(md5(w), 1, 14))::BIGINT) AS hs
+        |       FROM corpus),
+        |fps AS (SELECT doc_id,
+        |          CAST(list_sum(list_transform(generate_series(0, 55),
+        |            b -> CASE WHEN 2 * len(list_filter(hs,
+        |                   h -> ((h >> b) & 1) = 1)) >= len(hs)
+        |                 THEN (CAST(1 AS BIGINT) << b)
+        |                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+        |        FROM hs),
+        |chunks0 AS (
+        |  SELECT doc_id, fp, c AS chunk,
+        |         (fp >> (c * 14)) & 16383 AS ch
+        |  FROM fps CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS c) cc),
+        |ok AS (SELECT chunk, ch FROM chunks0
+        |       GROUP BY chunk, ch HAVING COUNT(*) <= 64),
+        |chunks AS (SELECT c0.* FROM chunks0 c0
+        |           JOIN ok ON c0.chunk = ok.chunk AND c0.ch = ok.ch)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        |FROM chunks a JOIN chunks b
+        |  ON a.chunk = b.chunk AND a.ch = b.ch AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 7
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM (SELECT UNNEST([0, 1, 2]) AS cp) p
+        |    WHERE p.cp < a.chunk
+        |      AND ((a.fp >> (p.cp * 14)) & 16383) =
+        |          ((b.fp >> (p.cp * 14)) & 16383))
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

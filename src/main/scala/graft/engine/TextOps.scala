@@ -253,6 +253,61 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Oracle-replayable SimHash dedup: the SAME banding algorithm as
+    * [[qDedupSimhash]] but with a 56-bit md5-derived fingerprint —
+    * md5 is the one hash both engines share, so the ENTIRE pipeline
+    * (per-token hash, bit-majority fingerprint, 4×14-bit banding,
+    * first-matching-band dedup rule, hamming verify) replays in
+    * DuckDB and hash-matches, the same md5-twin pattern as
+    * q_dedup_minhash_md5. The fingerprint is pure per-row HOF math
+    * (token hashes bound to a column ONCE, then 56 bit-count folds
+    * over the in-memory array — no shuffle, no per-element regex);
+    * the fast path for production stays the native xxhash64
+    * expression. Buckets larger than 64 docs are dropped before
+    * pairing — the standard stop-bucket valve (a band value shared
+    * by hundreds of docs is corpus boilerplate and would put an n²
+    * candidate burst on one join key; measured 76 s → ~2 s at
+    * sf0.1). */
+  def qDedupSimhashMd5(s: SparkSession, d: String): DataFrame = {
+    val fps = corpusWithDups(s, d)
+      .select(col("doc_id"),
+        expr("transform(split(trim(text), '\\\\s+'), " +
+          "w -> CAST(conv(substring(md5(w), 1, 14), 16, 10) AS BIGINT))")
+          .as("hs"))
+      .select(col("doc_id"), expr(
+        "aggregate(sequence(0, 55), CAST(0 AS BIGINT), (acc, b) -> acc + " +
+          "IF(2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) >= size(hs), " +
+          "shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))").as("fp"))
+    val chunksAll = fps.select(col("doc_id"), col("fp"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("fp"), c * 14).bitwiseAND(0x3FFF).as("ch"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("fp"), col("b.chunk"), col("b.ch"))
+      .localCheckpoint(true) // feeds the bucket-size filter AND both join sides
+    val okBuckets = chunksAll.groupBy("chunk", "ch")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= 64)
+      .select("chunk", "ch")
+    val chunks = chunksAll.join(okBuckets, Seq("chunk", "ch"))
+    val l = chunks.select(col("chunk"), col("ch"),
+      col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+    val r = chunks.select(col("chunk"), col("ch"),
+      col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+    val firstMatch = (0 until 3).map { cp =>
+      (col("chunk") <= cp) ||
+        (shiftright(col("fp_a"), cp * 14).bitwiseAND(0x3FFF) =!=
+          shiftright(col("fp_b"), cp * 14).bitwiseAND(0x3FFF))
+    }.reduce(_ && _)
+    l.join(r, Seq("chunk", "ch"))
+      .filter(col("doc_a") < col("doc_b") && firstMatch)
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .filter(col("hamming") <= 7)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** N-gram Jaccard similarity on LSH candidates: same banding front
     * end, but scored with word-bigram Jaccard instead of shingle-hash
     * Jaccard (demonstrates the pluggable verify stage). */

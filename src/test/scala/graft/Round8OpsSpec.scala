@@ -263,6 +263,22 @@ class Round8OpsSpec extends SparkSuite {
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
   }
 
+  test("md5 simhash twin: exact copies collide at hamming 0, pairs ordered") {
+    val rows = TextOps.qDedupSimhashMd5(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // planted exact copies (doc_id + 1000000) share the identical
+    // fingerprint -> must appear at hamming 0 unless their buckets
+    // were valve-dropped (all four bands identical => all dropped
+    // together only if EVERY band is boilerplate, not on this fixture)
+    val zeroPairs = rows.filter(_.getLong(2) == 0)
+    assert(zeroPairs.exists(r => r.getLong(1) - r.getLong(0) == 1000000L),
+      "at least one planted exact copy at hamming 0")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs ordered doc_a < doc_b")
+      assert(r.getLong(2) <= 7, "hamming within threshold")
+    }
+  }
+
   test("embed health: fixture vectors are clean, norm envelope ordered") {
     val rows = VectorOps.qEmbedHealth(spark, sf).collect()
     assert(rows.length == 1)
