@@ -289,6 +289,7 @@ object SparkEntry {
     "q_group_scale"        -> (StatsOps.qGroupScale _),
     "q_split_leakage"      -> (StatsOps.qSplitLeakage _),
     "q_dedup_simhash_md5"  -> (TextOps.qDedupSimhashMd5 _),
+    "q_window_topk"        -> (AnalyticsOps.qWindowTopk _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3885,5 +3886,19 @@ object SparkEntry {
         |      AND ((a.fp >> (p.cp * 14)) & 16383) =
         |          ((b.fp >> (p.cp * 14)) & 16383))
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_window_topk" ->
+      """WITH c AS (
+        |  SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 21600) AS BIGINT)
+        |           * 21600 AS window_start,
+        |         user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start, rank, user_id, n FROM (
+        |  SELECT window_start, user_id, n,
+        |         CAST(row_number() OVER (PARTITION BY window_start
+        |           ORDER BY n DESC, user_id) AS BIGINT) AS rank
+        |  FROM c) t
+        |WHERE rank <= 3
+        |ORDER BY window_start, rank""".stripMargin,
   )
 }

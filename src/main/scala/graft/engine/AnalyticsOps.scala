@@ -511,6 +511,28 @@ object AnalyticsOps {
           .as("converted"))
       .orderBy("user_id")
 
+  /** Windowed leaderboard: top-3 users by event count per 6-hour
+    * tumbling window — the "trending now" query. The rank runs on
+    * the (window, user) AGGREGATE (one shuffle, map-side combined),
+    * not raw events; per-window cardinality is user-bounded, and at
+    * extreme fan-in the rank's per-window sort is replaced by a
+    * per-partition heap (TakeOrdered per window key) — same
+    * semantics, noted for the 100 TB path. Epoch-aligned floor
+    * arithmetic keeps the window key engine-portable. */
+  def qWindowTopk(s: SparkSession, d: String): DataFrame = {
+    val winStart = (unix_timestamp(col("ts")) / 21600).cast("long") * 21600
+    val counts = events(s, d)
+      .select(winStart.as("window_start"), col("user_id"))
+      .groupBy("window_start", "user_id")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("window_start")
+      .orderBy(col("n").desc, col("user_id"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("window_start", "rank", "user_id", "n")
+      .orderBy("window_start", "rank")
+  }
+
   /** Day-of-week seasonality profile: per (event type, weekday), the
     * mean value and its seasonal index vs the type's overall mean —
     * the decomposition input for traffic forecasting / anomaly

@@ -279,6 +279,19 @@ class Round8OpsSpec extends SparkSuite {
     }
   }
 
+  test("window topk: at most 3 per window, counts non-increasing in rank") {
+    val rows = AnalyticsOps.qWindowTopk(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, grp) =>
+      assert(grp.length <= 3)
+      val sorted = grp.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to grp.length).toSeq)
+      val ns = sorted.map(_.getLong(3))
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+        "counts non-increasing within a window")
+    }
+  }
+
   test("embed health: fixture vectors are clean, norm envelope ordered") {
     val rows = VectorOps.qEmbedHealth(spark, sf).collect()
     assert(rows.length == 1)
