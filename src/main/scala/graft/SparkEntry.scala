@@ -290,6 +290,7 @@ object SparkEntry {
     "q_split_leakage"      -> (StatsOps.qSplitLeakage _),
     "q_dedup_simhash_md5"  -> (TextOps.qDedupSimhashMd5 _),
     "q_window_topk"        -> (AnalyticsOps.qWindowTopk _),
+    "q_psi_drift"          -> (AnalyticsOps.qPsiDrift _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3900,5 +3901,30 @@ object SparkEntry {
         |  FROM c) t
         |WHERE rank <= 3
         |ORDER BY window_start, rank""".stripMargin,
+
+    "q_psi_drift" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         LEAST(CAST(ROUND(value*100) AS BIGINT) // 1000, 9) AS bin,
+        |         CASE WHEN CAST(ts AS TIMESTAMP) >=
+        |                   TIMESTAMP '2024-01-16 00:00:00'
+        |              THEN 1 ELSE 0 END AS late
+        |  FROM events),
+        |c AS (SELECT event_type, bin,
+        |             CAST(SUM(1 - late) AS BIGINT) AS c0,
+        |             CAST(SUM(late) AS BIGINT) AS c1
+        |      FROM b GROUP BY 1, 2),
+        |t AS (SELECT *, SUM(c0) OVER (PARTITION BY event_type) AS n0,
+        |             SUM(c1) OVER (PARTITION BY event_type) AS n1
+        |      FROM c),
+        |s AS (SELECT event_type, n0, n1,
+        |             ((c0 + 0.5) / (n0 + 5.0) - (c1 + 0.5) / (n1 + 5.0))
+        |               * ln(((c0 + 0.5) / (n0 + 5.0))
+        |                    / ((c1 + 0.5) / (n1 + 5.0))) AS term
+        |      FROM t)
+        |SELECT event_type, CAST(MAX(n0) AS BIGINT) AS n_before,
+        |       CAST(MAX(n1) AS BIGINT) AS n_after,
+        |       FLOOR(SUM(term) * 10000.0 + 0.5) / 10000.0 AS psi
+        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -533,6 +533,36 @@ object AnalyticsOps {
       .orderBy("window_start", "rank")
   }
 
+  /** Population stability index between the first and second half of
+    * the event log, per event type — THE model-monitoring drift
+    * metric (PSI > 0.2 = retrain). Values land in fixed $10-wide
+    * bins (map-side arithmetic, no quantile pass), each half's
+    * counts stay integer, and the 0.5/half-count smoothing keeps
+    * ln(p/q) finite on empty bins; the float PSI sum runs over ≤10
+    * bins per type. */
+  def qPsiDrift(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val binned = events(s, d)
+      .select(col("event_type"),
+        least(expr("CAST(ROUND(value*100) AS BIGINT) DIV 1000"), lit(9L))
+          .as("bin"),
+        (col("ts") >= cut).cast("long").as("late"))
+      .groupBy("event_type", "bin")
+      .agg(sum(lit(1L) - col("late")).as("c0"), sum("late").as("c1"))
+    val wt = Window.partitionBy("event_type")
+    binned
+      .withColumn("n0", sum("c0").over(wt))
+      .withColumn("n1", sum("c1").over(wt))
+      .withColumn("p", (col("c0") + 0.5) / (col("n0") + 5.0))
+      .withColumn("q", (col("c1") + 0.5) / (col("n1") + 5.0))
+      .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+      .groupBy("event_type")
+      .agg(max("n0").as("n_before"), max("n1").as("n_after"),
+        r4(sum("term")).as("psi"))
+      .orderBy("event_type")
+  }
+
   /** Day-of-week seasonality profile: per (event type, weekday), the
     * mean value and its seasonal index vs the type's overall mean —
     * the decomposition input for traffic forecasting / anomaly

@@ -292,6 +292,18 @@ class Round8OpsSpec extends SparkSuite {
     }
   }
 
+  test("psi drift: non-negative, halves partition each type's events") {
+    val rows = AnalyticsOps.qPsiDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val perType = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0, s"PSI is a sum of (p-q)ln(p/q) >= 0: $r")
+      assert(r.getLong(1) + r.getLong(2) == perType(r.getString(0)),
+        "before + after = all events of the type")
+    }
+  }
+
   test("embed health: fixture vectors are clean, norm envelope ordered") {
     val rows = VectorOps.qEmbedHealth(spark, sf).collect()
     assert(rows.length == 1)
