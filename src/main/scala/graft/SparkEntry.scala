@@ -291,6 +291,8 @@ object SparkEntry {
     "q_dedup_simhash_md5"  -> (TextOps.qDedupSimhashMd5 _),
     "q_window_topk"        -> (AnalyticsOps.qWindowTopk _),
     "q_psi_drift"          -> (AnalyticsOps.qPsiDrift _),
+    "q_data_contract"      -> (QualityOps.qDataContract _),
+    "q_stats_merge"        -> (StatsOps.qStatsMerge _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3926,5 +3928,81 @@ object SparkEntry {
         |       CAST(MAX(n1) AS BIGINT) AS n_after,
         |       FLOOR(SUM(term) * 10000.0 + 0.5) / 10000.0 AS psi
         |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_data_contract" ->
+      """SELECT * FROM (
+        |  SELECT 'positive_total' AS check_name,
+        |         'orders.o_totalprice' AS target,
+        |         CAST(COUNT(*) AS BIGINT) AS n_checked,
+        |         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_violations,
+        |         CAST(CASE WHEN SUM(CASE WHEN o_totalprice <= 0 THEN 1
+        |              ELSE 0 END) = 0 THEN 1 ELSE 0 END AS INTEGER) AS pass
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'unique_key', 'orders.o_orderkey',
+        |         CAST(COUNT(*) AS BIGINT),
+        |         CAST(SUM(CASE WHEN kn > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(CASE WHEN SUM(CASE WHEN kn > 1 THEN 1 ELSE 0 END) = 0
+        |              THEN 1 ELSE 0 END AS INTEGER)
+        |  FROM (SELECT COUNT(*) AS kn FROM orders GROUP BY o_orderkey) k
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orders', 'lineitem.l_orderkey',
+        |         CAST(COUNT(*) AS BIGINT),
+        |         CAST(COALESCE(SUM(1), 0) AS BIGINT),
+        |         CAST(CASE WHEN COUNT(*) = 0 THEN 1 ELSE 0 END AS INTEGER)
+        |  FROM (SELECT l_orderkey FROM lineitem
+        |        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) f
+        |  UNION ALL
+        |  SELECT 'discount_range', 'lineitem.l_discount',
+        |         CAST(COUNT(*) AS BIGINT),
+        |         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+        |              THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(CASE WHEN SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+        |              THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS INTEGER)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'acctbal_not_null', 'customer.c_acctbal',
+        |         CAST(COUNT(*) AS BIGINT),
+        |         CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT),
+        |         CAST(CASE WHEN SUM(CASE WHEN c_acctbal IS NULL THEN 1
+        |              ELSE 0 END) = 0 THEN 1 ELSE 0 END AS INTEGER)
+        |  FROM customer) t
+        |ORDER BY check_name""".stripMargin,
+
+    "q_stats_merge" ->
+      """WITH halves AS (
+        |  SELECT event_type,
+        |         CASE WHEN CAST(ts AS TIMESTAMP) >=
+        |                   TIMESTAMP '2024-01-16 00:00:00'
+        |              THEN 1 ELSE 0 END AS h,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS s,
+        |         CAST(SUM(CAST(ROUND(value*100) AS BIGINT)
+        |                  * CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS ss
+        |  FROM events GROUP BY 1, 2),
+        |hm AS (SELECT *, ss - s * s / CAST(n AS DOUBLE) AS m2 FROM halves),
+        |m AS (SELECT event_type,
+        |        CAST(SUM(n) AS BIGINT) AS n,
+        |        CAST(SUM(s) AS BIGINT) AS s,
+        |        CAST(SUM(ss) AS BIGINT) AS ss,
+        |        SUM(m2) +
+        |          (MAX(CASE WHEN h = 0 THEN s END) / CAST(MAX(CASE WHEN h = 0 THEN n END) AS DOUBLE)
+        |           - MAX(CASE WHEN h = 1 THEN s END) / CAST(MAX(CASE WHEN h = 1 THEN n END) AS DOUBLE))
+        |          * (MAX(CASE WHEN h = 0 THEN s END) / CAST(MAX(CASE WHEN h = 0 THEN n END) AS DOUBLE)
+        |             - MAX(CASE WHEN h = 1 THEN s END) / CAST(MAX(CASE WHEN h = 1 THEN n END) AS DOUBLE))
+        |          * MAX(CASE WHEN h = 0 THEN n END) * MAX(CASE WHEN h = 1 THEN n END)
+        |          / CAST(SUM(n) AS DOUBLE) AS m2_merged
+        |      FROM hm GROUP BY event_type)
+        |SELECT event_type, n,
+        |       FLOOR(s / (n * 100.0) * 10000.0 + 0.5) / 10000.0 AS mean,
+        |       FLOOR((ss - s * s / CAST(n AS DOUBLE)) / ((n - 1) * 10000.0)
+        |             * 10000.0 + 0.5) / 10000.0 AS var_direct,
+        |       FLOOR(m2_merged / ((n - 1) * 10000.0) * 10000.0 + 0.5)
+        |         / 10000.0 AS var_merged,
+        |       FLOOR(ABS(m2_merged - (ss - s * s / CAST(n AS DOUBLE)))
+        |             / ((n - 1) * 10000.0) * 1e6 + 0.5) / 1e6 AS merge_err
+        |FROM m ORDER BY event_type""".stripMargin,
   )
 }

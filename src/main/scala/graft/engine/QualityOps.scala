@@ -155,4 +155,43 @@ object QualityOps {
         (col("hwm_us") - col("newest_us")).as("lag_us"))
       .orderBy("event_type")
   }
+
+  /** Data-contract check: the declared table contract (ranges,
+    * uniqueness, referential integrity, null policy) evaluated as ONE
+    * report — what a pipeline runs before publishing a dataset
+    * version, and the composite form of the individual audits above.
+    * Each check is a single aggregate over its target (count of
+    * violating rows); the FK probe is a broadcast-able anti join.
+    * Nothing here is row-preserving, so the report is a fixed-height
+    * table regardless of data volume. */
+  def qDataContract(s: SparkSession, d: String): DataFrame = {
+    def check(name: String, target: String,
+              checked: DataFrame, violations: Column): DataFrame =
+      checked.agg(count(lit(1)).as("n_checked"),
+        sum(violations.cast("long")).as("n_violations"))
+        .select(lit(name).as("check_name"), lit(target).as("target"),
+          col("n_checked"),
+          coalesce(col("n_violations"), lit(0L)).as("n_violations"),
+          (coalesce(col("n_violations"), lit(0L)) === 0L).cast("int")
+            .as("pass"))
+    val o = orders(s, d)
+    val li = lineitem(s, d)
+    val dupKeys = o.groupBy("o_orderkey").agg(count(lit(1)).as("kn"))
+      .select((col("kn") > 1).as("v"))
+    val orphans = li.select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .select(lit(true).as("v"))
+    check("positive_total", "orders.o_totalprice",
+      o.select((col("o_totalprice") <= 0).as("v")), col("v"))
+      .unionByName(check("unique_key", "orders.o_orderkey", dupKeys, col("v")))
+      .unionByName(check("fk_lineitem_orders", "lineitem.l_orderkey",
+        orphans, col("v")))
+      .unionByName(check("discount_range", "lineitem.l_discount",
+        li.select((col("l_discount") < 0 || col("l_discount") > 1).as("v")),
+        col("v")))
+      .unionByName(check("acctbal_not_null", "customer.c_acctbal",
+        customer(s, d).select(col("c_acctbal").isNull.as("v")), col("v")))
+      .orderBy("check_name")
+  }
 }

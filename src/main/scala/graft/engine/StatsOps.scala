@@ -422,6 +422,48 @@ object StatsOps {
       r4(max(when(col("rn") === 48, col("m")))).as("ci_hi"))
   }
 
+  /** Mergeable-statistics law check (Chan et al. parallel variance):
+    * per event type, variance computed DIRECTLY from global integer
+    * sums vs variance MERGED from two partition-local summaries
+    * (n, Σ, M2) via M2 = M2a + M2b + δ²·na·nb/n — the algebra that
+    * lets a 1000-executor cluster combine per-partition statistics
+    * without a second pass. All inputs are exact integer cents; the
+    * float algebra runs on 2 summary rows per type, so both engines
+    * trace identical doubles and the reported merge error (zero in
+    * exact arithmetic, float dust here) rounds away identically. */
+  def qStatsMerge(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    def r6(x: Column): Column = floor(x * 1e6 + 0.5) / 1e6
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val halves = events(s, d)
+      .select(col("event_type"), (col("ts") >= cut).cast("int").as("h"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("event_type", "h")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"),
+        sum(col("c") * col("c")).as("ss"))
+      .withColumn("m2",
+        col("ss") - col("s") * col("s") / col("n").cast("double"))
+    val merged = halves.groupBy("event_type").agg(
+      sum("n").as("n"), sum("s").as("s"), sum("ss").as("ss"),
+      // Chan's merge of the two per-half M2s (cents²)
+      (sum("m2") +
+        (max(when(col("h") === 0, col("s"))) / max(when(col("h") === 0, col("n"))).cast("double") -
+          max(when(col("h") === 1, col("s"))) / max(when(col("h") === 1, col("n"))).cast("double"))
+          * (max(when(col("h") === 0, col("s"))) / max(when(col("h") === 0, col("n"))).cast("double") -
+            max(when(col("h") === 1, col("s"))) / max(when(col("h") === 1, col("n"))).cast("double"))
+          * max(when(col("h") === 0, col("n"))) * max(when(col("h") === 1, col("n")))
+          / sum("n").cast("double")).as("m2_merged"))
+    merged.select(col("event_type"), col("n"),
+      r4(col("s") / (col("n") * 100.0)).as("mean"),
+      r4((col("ss") - col("s") * col("s") / col("n").cast("double"))
+        / ((col("n") - 1) * 10000.0)).as("var_direct"),
+      r4(col("m2_merged") / ((col("n") - 1) * 10000.0)).as("var_merged"),
+      r6(abs(col("m2_merged") -
+        (col("ss") - col("s") * col("s") / col("n").cast("double")))
+        / ((col("n") - 1) * 10000.0)).as("merge_err"))
+      .orderBy("event_type")
+  }
+
   /** Leave-one-out target encoding (the categorical-feature staple):
     * each event's category (event_type) is replaced by the mean
     * target value of all OTHER events in that category — LOO removes

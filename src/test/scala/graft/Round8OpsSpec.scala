@@ -304,6 +304,28 @@ class Round8OpsSpec extends SparkSuite {
     }
   }
 
+  test("data contract: fixture satisfies every declared check") {
+    val rows = graft.engine.QualityOps.qDataContract(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getInt(4) == (if (r.getLong(3) == 0) 1 else 0),
+        s"pass flag mirrors violation count: $r")
+    }
+    // the generated fixture is referentially intact and in-range
+    assert(rows.forall(_.getInt(4) == 1), s"fixture passes its contract")
+  }
+
+  test("stats merge: Chan's merged variance equals the direct variance") {
+    val rows = StatsOps.qStatsMerge(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(5) < 1e-4, s"merge error must be float dust: $r")
+      assert(math.abs(r.getDouble(3) - r.getDouble(4)) <= 1e-3,
+        s"direct and merged variances agree: $r")
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
+
   test("embed health: fixture vectors are clean, norm envelope ordered") {
     val rows = VectorOps.qEmbedHealth(spark, sf).collect()
     assert(rows.length == 1)
