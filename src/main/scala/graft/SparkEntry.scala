@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, unix_timestamp}
 import graft.engine._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -293,6 +294,18 @@ object SparkEntry {
     "q_psi_drift"          -> (AnalyticsOps.qPsiDrift _),
     "q_data_contract"      -> (QualityOps.qDataContract _),
     "q_stats_merge"        -> (StatsOps.qStatsMerge _),
+    // exercises the custom physical operator (TopKPerKeyExec) through
+    // the driver's DuckDB differential
+    "q_topk_plan"          -> ((s, d) => {
+      val counts = Tables.events(s, d)
+        .select(((unix_timestamp(col("ts")) / 21600).cast("long") * 21600)
+          .as("window_start"), col("user_id"))
+        .groupBy("window_start", "user_id")
+        .agg(count(lit(1)).as("n"))
+      graft.plans.TopKPerKey.topKPerKey(counts, Seq("window_start"),
+        Seq(("n", false), ("user_id", true)), 3)
+        .orderBy("window_start", "user_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4004,5 +4017,19 @@ object SparkEntry {
         |       FLOOR(ABS(m2_merged - (ss - s * s / CAST(n AS DOUBLE)))
         |             / ((n - 1) * 10000.0) * 1e6 + 0.5) / 1e6 AS merge_err
         |FROM m ORDER BY event_type""".stripMargin,
+
+    "q_topk_plan" ->
+      """WITH c AS (
+        |  SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 21600) AS BIGINT)
+        |           * 21600 AS window_start,
+        |         user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start, user_id, n FROM (
+        |  SELECT window_start, user_id, n,
+        |         row_number() OVER (PARTITION BY window_start
+        |           ORDER BY n DESC, user_id) AS rank
+        |  FROM c) t
+        |WHERE rank <= 3
+        |ORDER BY window_start, user_id""".stripMargin,
   )
 }
