@@ -292,6 +292,7 @@ object SparkEntry {
     "q_dedup_simhash_md5"  -> (TextOps.qDedupSimhashMd5 _),
     "q_window_topk"        -> (AnalyticsOps.qWindowTopk _),
     "q_psi_drift"          -> (AnalyticsOps.qPsiDrift _),
+    "q_burst_detect"       -> (AnalyticsOps.qBurstDetect _),
     "q_data_contract"      -> (QualityOps.qDataContract _),
     "q_stats_merge"        -> (StatsOps.qStatsMerge _),
     // exercises the custom physical operator (TopKPerKeyExec) through
@@ -4031,5 +4032,27 @@ object SparkEntry {
         |  FROM c) t
         |WHERE rank <= 3
         |ORDER BY window_start, user_id""".stripMargin,
+
+    "q_burst_detect" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |         CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT)
+        |           * 3600 AS hour,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT *,
+        |        CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+        |          / COUNT(*) OVER (PARTITION BY event_type) AS mu,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY n DESC, hour) AS rn
+        |      FROM hourly)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |       FLOOR(MAX(mu) * 10000.0 + 0.5) / 10000.0 AS mu,
+        |       CAST(SUM(CASE WHEN n > mu + 3.0 * sqrt(mu)
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_bursts,
+        |       CAST(MAX(CASE WHEN rn = 1 THEN hour END) AS BIGINT)
+        |         AS peak_hour,
+        |       CAST(MAX(CASE WHEN rn = 1 THEN n END) AS BIGINT) AS peak_n
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

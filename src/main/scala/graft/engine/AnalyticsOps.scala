@@ -533,6 +533,36 @@ object AnalyticsOps {
       .orderBy("window_start", "rank")
   }
 
+  /** Rate-burst detection: hours whose event count exceeds the
+    * type's Poisson expectation by 3σ (n > μ + 3√μ) — the alerting
+    * rule a traffic monitor runs per tumbling hour. Hourly counts
+    * are one map-side-combined aggregate; the per-type summary
+    * (burst count, peak hour) runs on the calendar-×-type-bounded
+    * hourly table, so every float step sees exact integer inputs. */
+  def qBurstDetect(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val hourly = events(s, d)
+      .groupBy(col("event_type"),
+        ((unix_timestamp(col("ts")) / 3600).cast("long") * 3600).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val wt = Window.partitionBy("event_type")
+    val wPeak = Window.partitionBy("event_type")
+      .orderBy(col("n").desc, col("hour"))
+    hourly
+      .withColumn("mu", sum("n").over(wt).cast("double") /
+        count(lit(1)).over(wt))
+      .withColumn("burst", (col("n") > col("mu") + sqrt(col("mu")) * 3.0)
+        .cast("long"))
+      .withColumn("rn", row_number().over(wPeak))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        r4(max("mu")).as("mu"),
+        sum("burst").as("n_bursts"),
+        max(when(col("rn") === 1, col("hour"))).as("peak_hour"),
+        max(when(col("rn") === 1, col("n"))).as("peak_n"))
+      .orderBy("event_type")
+  }
+
   /** Population stability index between the first and second half of
     * the event log, per event type — THE model-monitoring drift
     * metric (PSI > 0.2 = retrain). Values land in fixed $10-wide

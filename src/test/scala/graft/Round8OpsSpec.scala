@@ -326,6 +326,17 @@ class Round8OpsSpec extends SparkSuite {
     }
   }
 
+  test("burst detect: peak count at least the mean, bursts bounded by hours") {
+    val rows = AnalyticsOps.qBurstDetect(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(5).toDouble >= r.getDouble(2) - 1e-9,
+        s"the peak hour's count is at least the average: $r")
+      assert(r.getLong(3) <= r.getLong(1), s"bursts <= hours: $r")
+      assert(r.getLong(4) % 3600 == 0, "peak hour is hour-aligned epoch")
+    }
+  }
+
   test("embed health: fixture vectors are clean, norm envelope ordered") {
     val rows = VectorOps.qEmbedHealth(spark, sf).collect()
     assert(rows.length == 1)
