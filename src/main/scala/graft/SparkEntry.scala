@@ -293,6 +293,8 @@ object SparkEntry {
     "q_window_topk"        -> (AnalyticsOps.qWindowTopk _),
     "q_psi_drift"          -> (AnalyticsOps.qPsiDrift _),
     "q_burst_detect"       -> (AnalyticsOps.qBurstDetect _),
+    "q_heldout_perplexity" -> (TextOps.qHeldoutPerplexity _),
+    "q_dup_profile"        -> (TextOps.qDupProfile _),
     "q_data_contract"      -> (QualityOps.qDataContract _),
     "q_stats_merge"        -> (StatsOps.qStatsMerge _),
     // exercises the custom physical operator (TopKPerKeyExec) through
@@ -4054,5 +4056,59 @@ object SparkEntry {
         |         AS peak_hour,
         |       CAST(MAX(CASE WHEN rn = 1 THEN n END) AS BIGINT) AS peak_n
         |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_heldout_perplexity" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |            FROM documents),
+        |bg AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2,
+        |              CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM (SELECT doc_id,
+        |               UNNEST(list_transform(generate_series(1, len(tk) - 1),
+        |                 i -> {'w1': tk[i], 'w2': tk[i+1]})) AS bg
+        |             FROM tk WHERE len(tk) >= 2) x
+        |       GROUP BY 1, 2, 3),
+        |train_bg AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS cb
+        |             FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |train_left AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cl
+        |               FROM train_bg GROUP BY 1),
+        |train_uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM (
+        |                SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
+        |                FROM documents WHERE doc_id % 2 = 0) u GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS t FROM train_uni),
+        |scored AS (
+        |  SELECT b.doc_id, b.cnt,
+        |         CASE WHEN m.cb IS NOT NULL THEN ln(m.cb / CAST(l.cl AS DOUBLE))
+        |              WHEN u.cu IS NOT NULL THEN ln(u.cu * 0.4 / t)
+        |              ELSE ln(0.4 / t) END AS lp
+        |  FROM bg b
+        |  LEFT JOIN train_bg m ON b.w1 = m.w1 AND b.w2 = m.w2
+        |  LEFT JOIN train_left l ON b.w1 = l.w1
+        |  LEFT JOIN train_uni u ON b.w2 = u.w
+        |  CROSS JOIN tot
+        |  WHERE b.doc_id % 2 = 1)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+        |       FLOOR(SUM(cnt * lp) / SUM(cnt) * 10000.0 + 0.5) / 10000.0
+        |         AS avg_logprob
+        |FROM scored GROUP BY doc_id
+        |ORDER BY avg_logprob ASC, doc_id LIMIT 100""".stripMargin,
+
+    "q_dup_profile" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |         array_to_string(arr[1:GREATEST(len(arr) - 1, 1)], ' ')
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |        FROM documents) t0),
+        |g AS (SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS g
+        |      FROM corpus GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(g) AS DOUBLE) AS tot FROM g)
+        |SELECT LEAST(g, 5) AS copy_bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |       CAST(SUM(g) AS BIGINT) AS n_docs,
+        |       FLOOR(SUM(g) / tot * 10000.0 + 0.5) / 10000.0 AS doc_share
+        |FROM g CROSS JOIN tot
+        |GROUP BY LEAST(g, 5), tot ORDER BY copy_bucket""".stripMargin,
   )
 }

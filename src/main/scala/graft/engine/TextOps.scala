@@ -308,6 +308,71 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** HELDOUT bigram perplexity with stupid backoff (Brants et al.
+    * 2007): train the LM on even doc_ids, score the odd ones —
+    * unlike [[qBigramLogprob]]'s in-corpus score, unseen bigrams are
+    * real here and back off to 0.4·unigram (then to a 0.4/T floor
+    * for unseen words), which is exactly the CCNet-style "score new
+    * text against a reference corpus" quality filter. The three
+    * model tables are vocabulary-bounded aggregates the scoring join
+    * broadcasts when they fit (AQE decides); the per-doc tokenize is
+    * hoisted out of the lambda slots per the house rule. */
+  def qHeldoutPerplexity(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    def bigrams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), expr(tokenExpr).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk) - 2), " +
+          "i -> struct(tk[i] as w1, tk[i+1] as w2))")).as("b"))
+      .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val docs = documents(s, d)
+    val trainBg = bigrams(docs.filter(col("doc_id") % 2 === 0))
+      .groupBy("w1", "w2").agg(sum("cnt").as("cb"))
+    val trainLeft = trainBg.groupBy("w1").agg(sum("cb").as("cl"))
+    val trainUni = docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(expr(tokenExpr)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val totalUni = trainUni.agg(sum("cu").cast("double").as("t"))
+    val scored = bigrams(docs.filter(col("doc_id") % 2 === 1))
+      .join(trainBg.join(trainLeft, "w1"), Seq("w1", "w2"), "left")
+      .join(trainUni.withColumnRenamed("w", "w2"), Seq("w2"), "left")
+      .crossJoin(broadcast(totalUni))
+      .withColumn("lp",
+        when(col("cb").isNotNull, log(col("cb") / col("cl").cast("double")))
+          .when(col("cu").isNotNull,
+            log(col("cu") * 0.4 / col("t")))
+          .otherwise(log(lit(0.4) / col("t"))))
+    scored.groupBy("doc_id")
+      .agg(sum("cnt").cast("long").as("n_bigrams"),
+        sum(col("cnt") * col("lp")).as("sl"))
+      .select(col("doc_id"), col("n_bigrams"),
+        r4(col("sl") / col("n_bigrams")).as("avg_logprob"))
+      .orderBy(col("avg_logprob").asc, col("doc_id"))
+      .limit(100)
+  }
+
+  /** Duplication profile: the copy-count histogram of exact-dup
+    * groups (1 = unique, 5 = five-plus copies) — the one-glance
+    * "how duplicated is this corpus" report that decides whether the
+    * expensive near-dup passes are even worth running. Two hash
+    * aggregates, both map-side combinable. */
+  def qDupProfile(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val groups = corpusWithDups(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("g"))
+    val total = groups.agg(sum("g").cast("double").as("tot"))
+    groups
+      .groupBy(least(col("g"), lit(5L)).as("copy_bucket"))
+      .agg(count(lit(1)).as("n_groups"), sum("g").as("n_docs"))
+      .crossJoin(broadcast(total))
+      .select(col("copy_bucket"), col("n_groups"), col("n_docs"),
+        r4(col("n_docs") / col("tot")).as("doc_share"))
+      .orderBy("copy_bucket")
+  }
+
   /** N-gram Jaccard similarity on LSH candidates: same banding front
     * end, but scored with word-bigram Jaccard instead of shingle-hash
     * Jaccard (demonstrates the pluggable verify stage). */

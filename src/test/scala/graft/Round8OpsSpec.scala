@@ -337,6 +337,29 @@ class Round8OpsSpec extends SparkSuite {
     }
   }
 
+  test("heldout perplexity: scores only odd docs, finite and non-positive") {
+    val rows = TextOps.qHeldoutPerplexity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 2 == 1, "only heldout (odd) docs are scored")
+      val lp = r.getDouble(2)
+      assert(!lp.isNaN && !lp.isInfinite && lp <= 0.0,
+        s"backoff keeps every score finite: $r")
+    }
+  }
+
+  test("dup profile: planted exact copies put >=2/3 of docs in 2+ buckets") {
+    val rows = TextOps.qDupProfile(spark, sf).collect()
+    // corpusWithDups plants an exact copy of every doc (bucket >= 2);
+    // the one-token-shorter near-copies may land in singleton groups
+    val dupDocs = rows.filter(_.getLong(0) >= 2).map(_.getLong(2)).sum
+    val allDocs = rows.map(_.getLong(2)).sum
+    assert(dupDocs * 3 >= allDocs * 2,
+      s"original+exact-copy pairs alone are 2/3 of the corpus: $dupDocs/$allDocs")
+    val share = rows.map(_.getDouble(3)).sum
+    assert(math.abs(share - 1.0) < 0.01, s"doc shares sum to ~1: $share")
+  }
+
   test("embed health: fixture vectors are clean, norm envelope ordered") {
     val rows = VectorOps.qEmbedHealth(spark, sf).collect()
     assert(rows.length == 1)
