@@ -295,6 +295,8 @@ object SparkEntry {
     "q_burst_detect"       -> (AnalyticsOps.qBurstDetect _),
     "q_heldout_perplexity" -> (TextOps.qHeldoutPerplexity _),
     "q_dup_profile"        -> (TextOps.qDupProfile _),
+    "q_optimizer_stats"    -> (ScaleOps.qOptimizerStats _),
+    "q_ivm_audit"          -> (ScaleOps.qIvmAudit _),
     "q_data_contract"      -> (QualityOps.qDataContract _),
     "q_stats_merge"        -> (StatsOps.qStatsMerge _),
     // exercises the custom physical operator (TopKPerKeyExec) through
@@ -4110,5 +4112,72 @@ object SparkEntry {
         |       FLOOR(SUM(g) / tot * 10000.0 + 0.5) / 10000.0 AS doc_share
         |FROM g CROSS JOIN tot
         |GROUP BY LEAST(g, 5), tot ORDER BY copy_bucket""".stripMargin,
+
+    "q_optimizer_stats" ->
+      """SELECT * FROM (
+        |  SELECT 'orders' AS table_name, 'o_orderkey' AS column_name,
+        |         CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv,
+        |         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_null,
+        |         CAST(MIN(o_orderkey) AS BIGINT) AS min_v,
+        |         CAST(MAX(o_orderkey) AS BIGINT) AS max_v
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'o_custkey', CAST(COUNT(*) AS BIGINT),
+        |         CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+        |         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(MIN(o_custkey) AS BIGINT), CAST(MAX(o_custkey) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_orderkey', CAST(COUNT(*) AS BIGINT),
+        |         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT),
+        |         CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(MIN(l_orderkey) AS BIGINT), CAST(MAX(l_orderkey) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_partkey', CAST(COUNT(*) AS BIGINT),
+        |         CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+        |         CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(MIN(l_partkey) AS BIGINT), CAST(MAX(l_partkey) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_suppkey', CAST(COUNT(*) AS BIGINT),
+        |         CAST(COUNT(DISTINCT l_suppkey) AS BIGINT),
+        |         CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(MIN(l_suppkey) AS BIGINT), CAST(MAX(l_suppkey) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'customer', 'c_custkey', CAST(COUNT(*) AS BIGINT),
+        |         CAST(COUNT(DISTINCT c_custkey) AS BIGINT),
+        |         CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(MIN(c_custkey) AS BIGINT), CAST(MAX(c_custkey) AS BIGINT)
+        |  FROM customer) t
+        |ORDER BY table_name, column_name""".stripMargin,
+
+    "q_ivm_audit" ->
+      """WITH full_v AS (
+        |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n_full
+        |  FROM events GROUP BY 1),
+        |old_v AS (
+        |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE CAST(ts AS TIMESTAMP) <
+        |        TIMESTAMP '2024-01-26 00:00:00' GROUP BY 1),
+        |delta_v AS (
+        |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE CAST(ts AS TIMESTAMP) >=
+        |        TIMESTAMP '2024-01-26 00:00:00' GROUP BY 1),
+        |merged AS (
+        |  SELECT day, CAST(SUM(n) AS BIGINT) AS n_merged
+        |  FROM (SELECT * FROM old_v UNION ALL SELECT * FROM delta_v) u
+        |  GROUP BY day)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |       CAST(SUM(CASE WHEN COALESCE(n_full, -1) <> COALESCE(n_merged, -2)
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+        |       CAST(SUM(n_full) AS BIGINT) AS total_rows
+        |FROM full_v FULL OUTER JOIN merged USING (day)""".stripMargin,
   )
 }

@@ -365,6 +365,60 @@ object ScaleOps {
       .orderBy("file_id")
   }
 
+  /** ANALYZE-style catalog statistics: per (table, key column) the
+    * row count, exact NDV, null count and value range — what a
+    * cost-based optimizer's `ANALYZE TABLE` collects and what
+    * [[qJoinCardEst]] consumes. One count-distinct aggregate per
+    * column (each map-side partially aggregated); restricted to the
+    * integer key columns so min/max are engine-exact without string
+    * formatting. At 100 TB the NDV switches to HLL (q_hll_sketch) —
+    * same report shape, bounded memory. */
+  def qOptimizerStats(s: SparkSession, d: String): DataFrame = {
+    def stats(tbl: String, df: DataFrame, column: String): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col(column)).as("ndv"),
+        sum(col(column).isNull.cast("long")).as("n_null"),
+        min(col(column)).cast("long").as("min_v"),
+        max(col(column)).cast("long").as("max_v"))
+        .select(lit(tbl).as("table_name"), lit(column).as("column_name"),
+          col("n_rows"), col("ndv"),
+          coalesce(col("n_null"), lit(0L)).as("n_null"),
+          col("min_v"), col("max_v"))
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    stats("orders", o, "o_orderkey")
+      .unionByName(stats("orders", o, "o_custkey"))
+      .unionByName(stats("lineitem", li, "l_orderkey"))
+      .unionByName(stats("lineitem", li, "l_partkey"))
+      .unionByName(stats("lineitem", li, "l_suppkey"))
+      .unionByName(stats("customer", Tables.customer(s, d), "c_custkey"))
+      .orderBy("table_name", "column_name")
+  }
+
+  /** Incremental view maintenance audit: the daily-count "view" is
+    * refreshed by MERGING yesterday's materialized aggregate with the
+    * delta partition's aggregate (the lakehouse refresh pattern), and
+    * the audit proves merge ≡ full recompute — count aggregates are
+    * mergeable, so only the delta is ever re-scanned. All integer. */
+  def qIvmAudit(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("2024-01-26 00:00:00").cast("timestamp")
+    val day = date_format(col("ts"), "yyyy-MM-dd")
+    val ev = Tables.events(s, d)
+    val full = ev.groupBy(day.as("day")).agg(count(lit(1)).as("n_full"))
+    val old = ev.filter(col("ts") < cut)
+      .groupBy(day.as("day")).agg(count(lit(1)).as("n"))
+    val delta = ev.filter(col("ts") >= cut)
+      .groupBy(day.as("day")).agg(count(lit(1)).as("n"))
+    val merged = old.unionByName(delta)
+      .groupBy("day").agg(sum("n").as("n_merged"))
+    full.join(merged, Seq("day"), "full_outer")
+      .agg(count(lit(1)).as("n_days"),
+        sum((coalesce(col("n_full"), lit(-1L)) =!=
+          coalesce(col("n_merged"), lit(-2L))).cast("long")).as("n_mismatch"),
+        sum("n_full").as("total_rows"))
+  }
+
   /** Join-cardinality estimation audit (the planner statistic behind
     * join ordering): |A ⋈ B| = Σ_k c_A(k)·c_B(k), estimated from a
     * deterministic 5% KEY sample (md5(key) % 20 — sampling KEYS, not

@@ -360,6 +360,28 @@ class Round8OpsSpec extends SparkSuite {
     assert(math.abs(share - 1.0) < 0.01, s"doc shares sum to ~1: $share")
   }
 
+  test("optimizer stats: NDV bounded by rows, ranges ordered, keys dense") {
+    val rows = ScaleOps.qOptimizerStats(spark, sf).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), s"ndv <= n_rows: $r")
+      assert(r.getLong(4) == 0, s"key columns are never null: $r")
+      assert(r.getLong(5) <= r.getLong(6), s"min <= max: $r")
+    }
+    val ok = rows.find(r => r.getString(0) == "orders" &&
+      r.getString(1) == "o_orderkey").get
+    assert(ok.getLong(2) == ok.getLong(3), "o_orderkey is unique")
+  }
+
+  test("IVM audit: merged refresh reproduces the full recompute exactly") {
+    val rows = ScaleOps.qIvmAudit(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(1) == 0, s"merge and recompute must agree: $r")
+    assert(r.getLong(2) == Tables.events(spark, sf).count(),
+      "view covers every event")
+  }
+
   test("embed health: fixture vectors are clean, norm envelope ordered") {
     val rows = VectorOps.qEmbedHealth(spark, sf).collect()
     assert(rows.length == 1)
