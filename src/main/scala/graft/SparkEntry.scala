@@ -297,6 +297,7 @@ object SparkEntry {
     "q_dup_profile"        -> (TextOps.qDupProfile _),
     "q_optimizer_stats"    -> (ScaleOps.qOptimizerStats _),
     "q_ivm_audit"          -> (ScaleOps.qIvmAudit _),
+    "q_tail_index"         -> ((s, d) => StatsOps.qTailIndex(s, d)),
     "q_data_contract"      -> (QualityOps.qDataContract _),
     "q_stats_merge"        -> (StatsOps.qStatsMerge _),
     // exercises the custom physical operator (TopKPerKeyExec) through
@@ -4179,5 +4180,18 @@ object SparkEntry {
         |            THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
         |       CAST(SUM(n_full) AS BIGINT) AS total_rows
         |FROM full_v FULL OUTER JOIN merged USING (day)""".stripMargin,
+
+    "q_tail_index" ->
+      """WITH top AS (
+        |  SELECT CAST(ROUND(value*100) AS BIGINT) AS c, event_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  ORDER BY c DESC, event_id LIMIT 101),
+        |b AS (SELECT MIN(c) AS ck1 FROM top)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_top,
+        |       MAX(ck1) / 100.0 AS x_boundary,
+        |       FLOOR(COUNT(*) / SUM(ln(c / CAST(ck1 AS DOUBLE)))
+        |             * 10000.0 + 0.5) / 10000.0 AS alpha
+        |FROM top CROSS JOIN b
+        |WHERE c > ck1""".stripMargin,
   )
 }

@@ -422,6 +422,34 @@ object StatsOps {
       r4(max(when(col("rn") === 48, col("m")))).as("ci_hi"))
   }
 
+  /** Hill estimator of the tail index: α = k / Σ ln(x_i / x_{k+1})
+    * over the top-k order statistics — the heavy-tail exponent that
+    * decides whether mean-based monitors are even meaningful for a
+    * metric (α ≤ 2 ⇒ infinite variance). The top-(k+1) selection is
+    * a distributed TakeOrderedAndProject on exact integer cents
+    * (ties at the boundary contribute ln(1) = 0, so tie-breaking
+    * cannot change the estimate); the log-sum runs on k+1 rows. */
+  def qTailIndex(s: SparkSession, d: String, k: Int = 100): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val top = events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(round(col("value") * 100).cast("long").as("c"),
+        col("event_id"))
+      .orderBy(col("c").desc, col("event_id"))
+      .limit(k + 1)
+    val xk1 = top.agg(min("c").as("ck1"))
+    // strictly-above-boundary rows: a multiset condition, so the
+    // estimate cannot depend on which boundary-tied row made the cut
+    top.crossJoin(broadcast(xk1))
+      .filter(col("c") > col("ck1"))
+      .agg(count(lit(1)).as("n_top"),
+        sum(log(col("c") / col("ck1").cast("double"))).as("lsum"),
+        max(col("ck1")).as("ck1"))
+      .select(col("n_top"),
+        (col("ck1") / 100.0).as("x_boundary"),
+        r4(col("n_top") / col("lsum")).as("alpha"))
+  }
+
   /** Mergeable-statistics law check (Chan et al. parallel variance):
     * per event type, variance computed DIRECTLY from global integer
     * sums vs variance MERGED from two partition-local summaries

@@ -382,6 +382,15 @@ class Round8OpsSpec extends SparkSuite {
       "view covers every event")
   }
 
+  test("tail index: positive alpha from at most k strictly-top values") {
+    val rows = StatsOps.qTailIndex(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) >= 1 && r.getLong(0) <= 100, s"n_top in [1,100]: $r")
+    assert(r.getDouble(1) > 0.0, "boundary value positive")
+    assert(r.getDouble(2) > 0.0, s"Hill alpha positive: $r")
+  }
+
   test("embed health: fixture vectors are clean, norm envelope ordered") {
     val rows = VectorOps.qEmbedHealth(spark, sf).collect()
     assert(rows.length == 1)
