@@ -298,6 +298,8 @@ object SparkEntry {
     "q_optimizer_stats"    -> (ScaleOps.qOptimizerStats _),
     "q_ivm_audit"          -> (ScaleOps.qIvmAudit _),
     "q_tail_index"         -> ((s, d) => StatsOps.qTailIndex(s, d)),
+    "q_churn_features"     -> (AnalyticsOps.qChurnFeatures _),
+    "q_equiheight_hist"    -> (ScaleOps.qEquiheightHist _),
     "q_data_contract"      -> (QualityOps.qDataContract _),
     "q_stats_merge"        -> (StatsOps.qStatsMerge _),
     // exercises the custom physical operator (TopKPerKeyExec) through
@@ -4193,5 +4195,46 @@ object SparkEntry {
         |             * 10000.0 + 0.5) / 10000.0 AS alpha
         |FROM top CROSS JOIN b
         |WHERE c > ck1""".stripMargin,
+
+    "q_churn_features" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         CAST(MAX(d) - MIN(d) AS BIGINT) AS tenure_days,
+        |         CAST(COUNT(*) AS BIGINT) AS n_events,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_purchases,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase'
+        |                  THEN CAST(ROUND(value*100) AS BIGINT)
+        |                  ELSE 0 END) AS BIGINT) / 100.0 AS monetary,
+        |         CAST(MAX(d) AS BIGINT) AS last_day,
+        |         CAST(SUM(CASE WHEN late = 1 THEN 1 ELSE -1 END) AS BIGINT)
+        |           AS trend
+        |  FROM (SELECT user_id, event_type, value,
+        |          CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+        |            AS d,
+        |          CASE WHEN CAST(ts AS TIMESTAMP) >=
+        |                    TIMESTAMP '2024-01-16 00:00:00'
+        |               THEN 1 ELSE 0 END AS late
+        |        FROM events) e
+        |  GROUP BY user_id),
+        |h AS (SELECT MAX(last_day) AS hwm FROM p)
+        |SELECT user_id, tenure_days, n_events, n_purchases, monetary,
+        |       CAST(hwm - last_day AS BIGINT) AS recency_days, trend
+        |FROM p CROSS JOIN h
+        |ORDER BY user_id LIMIT 100""".stripMargin,
+
+    "q_equiheight_hist" ->
+      """WITH hist AS (
+        |  SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (SELECT c,
+        |          SUM(cnt) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum,
+        |          SUM(cnt) OVER () AS n
+        |        FROM hist)
+        |SELECT CAST(decile AS BIGINT) AS decile, MIN(c) / 100.0 AS boundary
+        |FROM cum CROSS JOIN (SELECT UNNEST(generate_series(1, 9)) AS decile) z
+        |WHERE cum >= (n * decile + 9) // 10
+        |GROUP BY decile ORDER BY decile""".stripMargin,
   )
 }

@@ -533,6 +533,39 @@ object AnalyticsOps {
       .orderBy("window_start", "rank")
   }
 
+  /** Feature-store build: the per-user churn-model feature vector
+    * (tenure, recency, frequency, monetary, activity trend) computed
+    * in ONE user-keyed aggregate over the event log — conditional
+    * aggregation instead of five self-joins, the shape that holds at
+    * any event volume. Every feature is integer days/counts/cents
+    * (monetary divides cents by 100 exactly); the global high-water
+    * day rides along as a broadcast scalar. */
+  def qChurnFeatures(s: SparkSession, d: String): DataFrame = {
+    val day = datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+      .cast("long")
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val perUser = events(s, d)
+      .select(col("user_id"), day.as("day"), col("event_type"),
+        col("ts"), round(col("value") * 100).cast("long").as("c"))
+      .groupBy("user_id")
+      .agg(
+        (max("day") - min("day")).as("tenure_days"),
+        count(lit(1)).as("n_events"),
+        sum((col("event_type") === "purchase").cast("long")).as("n_purchases"),
+        (sum(when(col("event_type") === "purchase", col("c"))
+          .otherwise(0L)) / 100.0).as("monetary"),
+        max("day").as("last_day"),
+        (sum((col("ts") >= cut).cast("long")) -
+          sum((col("ts") < cut).cast("long"))).as("trend"))
+    val hwm = perUser.agg(max("last_day").as("hwm"))
+    perUser.crossJoin(broadcast(hwm))
+      .select(col("user_id"), col("tenure_days"), col("n_events"),
+        col("n_purchases"), col("monetary"),
+        (col("hwm") - col("last_day")).as("recency_days"), col("trend"))
+      .orderBy("user_id")
+      .limit(100)
+  }
+
   /** Rate-burst detection: hours whose event count exceeds the
     * type's Poisson expectation by 3σ (n > μ + 3√μ) — the alerting
     * rule a traffic monitor runs per tumbling hour. Hourly counts

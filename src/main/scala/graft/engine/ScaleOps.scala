@@ -419,6 +419,38 @@ object ScaleOps {
         sum("n_full").as("total_rows"))
   }
 
+  /** Equi-height histogram boundaries (the CBO histogram companion to
+    * [[qOptimizerStats]]): the nine decile cut points of
+    * l_extendedprice, computed EXACTLY from the integer-cents value
+    * histogram — one map-side-combined count per distinct value, a
+    * cumulative window over the value-DOMAIN-bounded histogram (a
+    * price grid, not the fact table; production pre-buckets an
+    * unbounded domain first), then a min-per-threshold pick. The definition (smallest value whose
+    * cumulative count reaches ⌈n·d/10⌉) is pure integer arithmetic,
+    * so both engines cut identically — the same histogram-first trick
+    * q_winsorize uses. */
+  def qEquiheightHist(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.lineitem(s, d)
+      .groupBy(round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
+    cum
+      .select(col("c"), col("cum"),
+        explode(expr("sequence(1, 9)")).as("decile"), col("n"))
+      .filter(col("cum") >= expr("(n * decile + 9) DIV 10"))
+      .groupBy("decile")
+      .agg(min("c").as("bc"))
+      .select(col("decile").cast("long").as("decile"),
+        (col("bc") / 100.0).as("boundary"))
+      .orderBy("decile")
+  }
+
   /** Join-cardinality estimation audit (the planner statistic behind
     * join ordering): |A ⋈ B| = Σ_k c_A(k)·c_B(k), estimated from a
     * deterministic 5% KEY sample (md5(key) % 20 — sampling KEYS, not

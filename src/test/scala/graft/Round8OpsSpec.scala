@@ -391,6 +391,34 @@ class Round8OpsSpec extends SparkSuite {
     assert(r.getDouble(2) > 0.0, s"Hill alpha positive: $r")
   }
 
+  test("churn features: counts consistent, recency non-negative") {
+    val rows = AnalyticsOps.qChurnFeatures(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "purchases <= events")
+      assert(r.getLong(5) >= 0, s"recency from the global high-water mark: $r")
+      assert(math.abs(r.getLong(6)) <= r.getLong(2), "trend bounded by events")
+      assert(r.getDouble(4) >= 0.0, "monetary non-negative")
+    }
+  }
+
+  test("equiheight hist: nine non-decreasing boundaries splitting ~deciles") {
+    val rows = ScaleOps.qEquiheightHist(spark, sf).collect()
+    assert(rows.length == 9)
+    val bs = rows.sortBy(_.getLong(0)).map(_.getDouble(1))
+    assert(bs.zip(bs.tail).forall { case (a, b) => a <= b }, "monotone cuts")
+    // each boundary is an actual data value with >= d/10 mass below-or-at
+    val li = Tables.lineitem(spark, sf)
+      .select(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.col("l_extendedprice") * 100)
+        .cast("long").as("c"))
+    val n = li.count().toDouble
+    val below = li.filter(
+      org.apache.spark.sql.functions.col("c") <= math.round(bs(4) * 100)).count()
+    assert(below / n >= 0.5 && below / n <= 0.51,
+      s"median cut holds ~half the mass: ${below / n}")
+  }
+
   test("embed health: fixture vectors are clean, norm envelope ordered") {
     val rows = VectorOps.qEmbedHealth(spark, sf).collect()
     assert(rows.length == 1)
