@@ -4225,14 +4225,15 @@ object SparkEntry {
 
     "q_equiheight_hist" ->
       """WITH hist AS (
-        |  SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c,
+        |  SELECT CAST(FLOOR(l_extendedprice) AS BIGINT) AS c,
         |         CAST(COUNT(*) AS BIGINT) AS cnt
         |  FROM lineitem GROUP BY 1),
         |cum AS (SELECT c,
         |          SUM(cnt) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum,
         |          SUM(cnt) OVER () AS n
         |        FROM hist)
-        |SELECT CAST(decile AS BIGINT) AS decile, MIN(c) / 100.0 AS boundary
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |       CAST(MIN(c) AS BIGINT) AS boundary_dollars
         |FROM cum CROSS JOIN (SELECT UNNEST(generate_series(1, 9)) AS decile) z
         |WHERE cum >= (n * decile + 9) // 10
         |GROUP BY decile ORDER BY decile""".stripMargin,

@@ -421,18 +421,20 @@ object ScaleOps {
 
   /** Equi-height histogram boundaries (the CBO histogram companion to
     * [[qOptimizerStats]]): the nine decile cut points of
-    * l_extendedprice, computed EXACTLY from the integer-cents value
-    * histogram — one map-side-combined count per distinct value, a
-    * cumulative window over the value-DOMAIN-bounded histogram (a
-    * price grid, not the fact table; production pre-buckets an
-    * unbounded domain first), then a min-per-threshold pick. The definition (smallest value whose
+    * l_extendedprice, computed EXACTLY from the integer whole-dollar
+    * value histogram — one map-side-combined count per distinct
+    * dollar value, a cumulative window over the value-DOMAIN-bounded
+    * histogram (a ~6k-row price grid, not the fact table — CBO cut
+    * points don't need sub-dollar precision, and the coarse grid is
+    * what keeps the single-partition cumsum safe at any row count),
+    * then a min-per-threshold pick. The definition (smallest value whose
     * cumulative count reaches ⌈n·d/10⌉) is pure integer arithmetic,
     * so both engines cut identically — the same histogram-first trick
     * q_winsorize uses. */
   def qEquiheightHist(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = Tables.lineitem(s, d)
-      .groupBy(round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .groupBy(floor(col("l_extendedprice")).cast("long").as("c"))
       .agg(count(lit(1)).as("cnt"))
     val wCum = Window.orderBy("c")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -447,7 +449,7 @@ object ScaleOps {
       .groupBy("decile")
       .agg(min("c").as("bc"))
       .select(col("decile").cast("long").as("decile"),
-        (col("bc") / 100.0).as("boundary"))
+        col("bc").as("boundary_dollars"))
       .orderBy("decile")
   }
 

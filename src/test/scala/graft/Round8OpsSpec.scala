@@ -405,17 +405,17 @@ class Round8OpsSpec extends SparkSuite {
   test("equiheight hist: nine non-decreasing boundaries splitting ~deciles") {
     val rows = ScaleOps.qEquiheightHist(spark, sf).collect()
     assert(rows.length == 9)
-    val bs = rows.sortBy(_.getLong(0)).map(_.getDouble(1))
+    val bs = rows.sortBy(_.getLong(0)).map(_.getLong(1))
     assert(bs.zip(bs.tail).forall { case (a, b) => a <= b }, "monotone cuts")
-    // each boundary is an actual data value with >= d/10 mass below-or-at
+    // the median boundary holds at least half the mass at-or-below it
     val li = Tables.lineitem(spark, sf)
-      .select(org.apache.spark.sql.functions.round(
-        org.apache.spark.sql.functions.col("l_extendedprice") * 100)
+      .select(org.apache.spark.sql.functions.floor(
+        org.apache.spark.sql.functions.col("l_extendedprice"))
         .cast("long").as("c"))
     val n = li.count().toDouble
     val below = li.filter(
-      org.apache.spark.sql.functions.col("c") <= math.round(bs(4) * 100)).count()
-    assert(below / n >= 0.5 && below / n <= 0.51,
+      org.apache.spark.sql.functions.col("c") <= bs(4)).count()
+    assert(below / n >= 0.5 && below / n <= 0.52,
       s"median cut holds ~half the mass: ${below / n}")
   }
 
