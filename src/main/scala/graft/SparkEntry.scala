@@ -300,6 +300,7 @@ object SparkEntry {
     "q_tail_index"         -> ((s, d) => StatsOps.qTailIndex(s, d)),
     "q_churn_features"     -> (AnalyticsOps.qChurnFeatures _),
     "q_equiheight_hist"    -> (ScaleOps.qEquiheightHist _),
+    "q_confusion_matrix"   -> (TextOps.qConfusionMatrix _),
     "q_data_contract"      -> (QualityOps.qDataContract _),
     "q_stats_merge"        -> (StatsOps.qStatsMerge _),
     // exercises the custom physical operator (TopKPerKeyExec) through
@@ -4237,5 +4238,32 @@ object SparkEntry {
         |FROM cum CROSS JOIN (SELECT UNNEST(generate_series(1, 9)) AS decile) z
         |WHERE cum >= (n * decile + 9) // 10
         |GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "q_confusion_matrix" ->
+      """WITH t AS (SELECT doc_id, lang AS labeled_lang, text,
+        |                  regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, labeled_lang, text,
+        |        CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_en,
+        |        CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_de,
+        |        CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_fr,
+        |        CAST(len(list_filter(toks, x -> x IN ('el','la','los','y','es','un','una','en','por','que'))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_es
+        |      FROM t),
+        |u AS (SELECT doc_id, labeled_lang, text, sc['score'] AS score, sc['lang'] AS lng,
+        |             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sc['score'] DESC, sc['lang'] DESC) AS rn
+        |      FROM s, UNNEST([{'score': s_de, 'lang': 'de'}, {'score': s_en, 'lang': 'en'},
+        |                      {'score': s_fr, 'lang': 'fr'}, {'score': s_es, 'lang': 'es'}]) AS z(sc)),
+        |scored AS (
+        |  SELECT labeled_lang,
+        |         CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |              WHEN score > 0 THEN lng ELSE 'und' END AS predicted_lang
+        |  FROM u WHERE rn = 1),
+        |m AS (SELECT labeled_lang, predicted_lang,
+        |             CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM scored GROUP BY 1, 2)
+        |SELECT labeled_lang, predicted_lang, n,
+        |       FLOOR(n / CAST(SUM(n) OVER (PARTITION BY labeled_lang)
+        |             AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS row_share
+        |FROM m ORDER BY labeled_lang, predicted_lang""".stripMargin,
   )
 }

@@ -498,6 +498,24 @@ object TextOps {
       .orderBy("bin")
   }
 
+  /** Language-ID confusion matrix: (labeled, predicted) counts with
+    * row shares — the error-analysis companion to the per-class
+    * precision/recall of q_langid_eval (WHICH languages get confused
+    * with which, not just how often). One scorer projection + one
+    * two-key aggregate; the matrix is |langs|²-bounded. */
+  def qConfusionMatrix(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val wRow = org.apache.spark.sql.expressions.Window
+      .partitionBy("labeled_lang")
+    qLangId(s, d)
+      .groupBy("labeled_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum("n").over(wRow))
+      .select(col("labeled_lang"), col("predicted_lang"), col("n"),
+        r4(col("n") / col("row_total").cast("double")).as("row_share"))
+      .orderBy("labeled_lang", "predicted_lang")
+  }
+
   /** Sliding-window document chunking (training-data prep staple):
     * overlapping token windows of `chunkTokens` with `stride`,
     * exploded in place — fan-out happens on the executor holding the

@@ -419,6 +419,17 @@ class Round8OpsSpec extends SparkSuite {
       s"median cut holds ~half the mass: ${below / n}")
   }
 
+  test("confusion matrix: row shares sum to 1, counts conserve docs") {
+    val rows = TextOps.qConfusionMatrix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(2)).sum ==
+      Tables.documents(spark, sf).count(), "every doc lands in one cell")
+    rows.groupBy(_.getString(0)).foreach { case (_, grp) =>
+      val share = grp.map(_.getDouble(3)).sum
+      assert(math.abs(share - 1.0) < 0.001, s"row shares sum to 1: $share")
+    }
+  }
+
   test("embed health: fixture vectors are clean, norm envelope ordered") {
     val rows = VectorOps.qEmbedHealth(spark, sf).collect()
     assert(rows.length == 1)
