@@ -179,29 +179,54 @@ object RelationalExt {
 
   /** Weighted median: l_extendedprice weighted by l_quantity per
     * return flag — the first price whose cumulative weight crosses
-    * half the total. HISTOGRAM-FIRST: quantity mass is aggregated per
+    * half the total. HISTOGRAM-FIRST (quantity mass is aggregated per
     * (flag, price) before any window, so the corpus-sized pass is one
-    * map-side-combinable hash aggregate and the running-sum window
-    * scans the per-flag PRICE HISTOGRAM (domain-bounded: prices live
-    * on a fixed 0.01 grid, so the histogram stays the same size at
-    * 100 TB while raw lineitem grows 1000×; the previous form windowed
-    * raw rows — 3 flag values = 3 partitions holding the whole table).
-    * The crossing price is identical on the histogram because every
-    * row of a price group qualifies iff the group-final cumulative
-    * weight crosses half-total. Weights are integral doubles, so the
-    * running sum is exact and the crossing test cannot flap between
-    * engines. */
+    * map-side-combinable hash aggregate), then a two-level cumulative
+    * sum over the histogram — see the inline comment. The crossing
+    * price is identical on the histogram because every row of a price
+    * group qualifies iff the group-final cumulative weight crosses
+    * half-total. */
   def qWeightedMedian(s: SparkSession, d: String): DataFrame = {
-    val hist = lineitem(s, d)
-      .groupBy("l_returnflag", "l_extendedprice")
-      .agg(sum("l_quantity").as("wq"))
-    val w = Window.partitionBy("l_returnflag")
+    // TWO-LEVEL cumulative sum, the same coarse-grid trick as
+    // q_equiheight_hist: the price histogram is still corpus-shaped
+    // (most (flag, price) pairs are distinct), so a flag-partitioned
+    // window over it would sort the whole table in 3 tasks. Instead
+    // the running sum walks the 100-dollar COARSE grid (calendar-
+    // sized: ~1k buckets per flag at any scale), locates the bucket
+    // the half-total falls in, and only THAT bucket's prices get the
+    // fine cumulative sum — the global window never touches more than
+    // one bucket's worth of rows per flag. Weights are integral
+    // doubles, so partial sums are exact in any grouping order and
+    // the crossing test cannot flap between engines.
+    // level 1: one map-side-combinable aggregate straight off the
+    // scan (prices are nearly all distinct, so a per-price histogram
+    // would be corpus-sized — bucket FIRST, never shuffle raw prices)
+    val base = lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"),
+        floor(col("l_extendedprice") / 100.0).as("bucket"))
+    val coarse = base.groupBy("l_returnflag", "bucket")
+      .agg(sum("l_quantity").as("bw"))
+    val tot = coarse.groupBy("l_returnflag").agg(sum("bw").as("tot"))
+    val wb = Window.partitionBy("l_returnflag").orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val crossing = coarse
+      .withColumn("cb", coalesce(sum("bw").over(wb), lit(0.0)))
+      .join(broadcast(tot), "l_returnflag")
+      .filter(col("cb") + col("bw") >= col("tot") / 2.0)
+      .groupBy("l_returnflag")
+      .agg(min(struct(col("bucket"), col("cb"), col("tot"))).as("c"))
+      .select(col("l_returnflag"), col("c.bucket").as("bucket"),
+        col("c.cb").as("cb"), col("c.tot").as("tot"))
+    // level 2: re-scan filtered to the ONE crossing bucket per flag
+    // (a broadcast semi-filter — ~1/1000 of the table survives), then
+    // the exact per-price cumulative walk runs on bucket-sized input
+    val wf = Window.partitionBy("l_returnflag")
       .orderBy(col("l_extendedprice"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy("l_returnflag")
-    hist
-      .withColumn("cumw", sum("wq").over(w))
-      .withColumn("tot", sum("wq").over(wAll))
+    base.join(broadcast(crossing), Seq("l_returnflag", "bucket"))
+      .groupBy("l_returnflag", "l_extendedprice")
+      .agg(sum("l_quantity").as("wq"), max("cb").as("cb"), max("tot").as("tot"))
+      .withColumn("cumw", col("cb") + sum("wq").over(wf))
       .filter(col("cumw") >= col("tot") / 2.0)
       .groupBy("l_returnflag")
       .agg(

@@ -1310,11 +1310,16 @@ object TextOps {
     // the tokenize+shingle explode feeds FOUR consumers (sizes, the
     // df filter, and both sides of the candidate self-join); eager
     // localCheckpoint materializes it once — same reuse pattern as
-    // qDedupCluster's edge list
+    // qDedupCluster's edge list. Shingles collapse to xxhash64 keys
+    // BEFORE the checkpoint: every downstream groupBy/join shuffles
+    // and compares 8-byte longs instead of ~40-byte shingle strings
+    // (the counts are hash-blind — a 2^-64 collision is the only way
+    // results could differ), and the materialized table shrinks ~5×.
     val sh = corpusWithDups(s, d)
       .select(col("doc_id"), explode(array_distinct(
         call_function("graft_word_ngrams", tokens(col("text")),
-          lit(ContainmentShingleW)))).as("g"))
+          lit(ContainmentShingleW)))).as("gs"))
+      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
       .localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val keep = sh.join(
