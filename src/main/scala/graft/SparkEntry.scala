@@ -301,6 +301,9 @@ object SparkEntry {
     "q_churn_features"     -> (AnalyticsOps.qChurnFeatures _),
     "q_equiheight_hist"    -> (ScaleOps.qEquiheightHist _),
     "q_confusion_matrix"   -> (TextOps.qConfusionMatrix _),
+    "q_auc"                -> (StatsOps.qAuc _),
+    "q_ks_test"            -> (StatsOps.qKsTest _),
+    "q_anova"              -> (StatsOps.qAnova _),
     "q_data_contract"      -> (QualityOps.qDataContract _),
     "q_stats_merge"        -> (StatsOps.qStatsMerge _),
     // exercises the custom physical operator (TopKPerKeyExec) through
@@ -4265,5 +4268,62 @@ object SparkEntry {
         |       FLOOR(n / CAST(SUM(n) OVER (PARTITION BY labeled_lang)
         |             AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS row_share
         |FROM m ORDER BY labeled_lang, predicted_lang""".stripMargin,
+
+    "q_auc" ->
+      """WITH h AS (
+        |  SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c,
+        |         COUNT(*) AS n,
+        |         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT np,
+        |         2 * (SUM(n) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) - n + 1)
+        |           + n - 1 AS mr2
+        |  FROM h),
+        |a AS (SELECT SUM(np) AS n_pos, SUM(n) - SUM(np) AS n_neg
+        |      FROM h),
+        |s AS (SELECT SUM(np * mr2) AS r2 FROM r)
+        |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+        |       FLOOR((r2 - n_pos * (n_pos + 1)) * 1.0
+        |             / (2.0 * n_pos * n_neg) * 10000.0 + 0.5) / 10000.0 AS auc
+        |FROM a, s""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH h AS (
+        |  SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c,
+        |         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n1,
+        |         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n2
+        |  FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1),
+        |t AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM h),
+        |cum AS (
+        |  SELECT c,
+        |         SUM(n1) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum1,
+        |         SUM(n2) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum2
+        |  FROM h),
+        |d AS (SELECT ABS(cum1 * t2 - cum2 * t1) AS dnum, c FROM cum, t),
+        |m AS (SELECT dnum, c FROM d ORDER BY dnum DESC, c ASC LIMIT 1)
+        |SELECT CAST(t1 AS BIGINT) AS n_purchase, CAST(t2 AS BIGINT) AS n_click,
+        |       FLOOR(dnum * 1.0 / (t1 * t2) * 10000.0 + 0.5) / 10000.0 AS ks_stat,
+        |       c / 100.0 AS ks_at
+        |FROM m, t""".stripMargin,
+
+    "q_anova" ->
+      """WITH g AS (
+        |  SELECT event_type, COUNT(*) AS ng,
+        |         SUM(c) AS sg, SUM(c * c) AS ssg
+        |  FROM (SELECT event_type,
+        |          CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+        |        FROM events) t GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+        |         SUM(CAST(sg * sg AS BIGINT) * 1.0 / ng) AS between_raw,
+        |         CAST(SUM(sg) AS BIGINT) AS stot,
+        |         CAST(SUM(ssg) AS BIGINT) AS sstot
+        |  FROM g)
+        |SELECT k, n, k - 1 AS df_between, n - k AS df_within,
+        |       FLOOR(((between_raw - CAST(stot * stot AS BIGINT) * 1.0 / n) / (k - 1))
+        |             / ((sstot - between_raw) / (n - k)) * 10000.0 + 0.5)
+        |         / 10000.0 AS f_stat
+        |FROM a""".stripMargin,
   )
 }

@@ -561,4 +561,100 @@ object StatsOps {
         r4(col("n_overlap") / col("n_test_users").cast("double"))
           .as("leakage_rate"))
   }
+
+  /** ROC AUC of "transaction value predicts purchase" via the
+    * Mann-Whitney U rank statistic — the classifier-eval primitive a
+    * quality-filter pipeline runs to grade each candidate signal.
+    * HISTOGRAM-FIRST: scores quantize to integer cents, so the rank
+    * walk runs on the (cents) histogram — domain-bounded (~49k rows
+    * at any corpus size; the unpartitioned window is deliberate and
+    * safe for exactly that reason) — and ties collapse into one
+    * histogram row whose shared midrank is the closed form
+    * 2·midrank = 2·rank_min + n − 1. Everything up to the final
+    * division is exact integer arithmetic (2·R₊ = Σ n₊·2midrank), so
+    * AUC = (2R₊ − n₊(n₊+1)) / (2·n₊·n₋) is one deterministic
+    * long-ratio division — no float accumulation anywhere. */
+  def qAuc(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val h = events(s, d)
+      .select(floor(col("value") * 100.0 + 0.5).cast("long").as("c"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+      .groupBy("c")
+      .agg(count(lit(1)).as("n"), sum("y").as("np"))
+    val w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    h.withColumn("cum", sum("n").over(w))
+      .select(col("n"), col("np"),
+        (lit(2L) * (col("cum") - col("n") + 1L) + col("n") - 1L).as("mr2"))
+      .agg(
+        sum("np").as("n_pos"),
+        (sum("n") - sum("np")).as("n_neg"),
+        sum(col("np") * col("mr2")).as("r2"))
+      .select(col("n_pos"), col("n_neg"),
+        r4((col("r2") - col("n_pos") * (col("n_pos") + 1L)) /
+          (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic between the purchase and
+    * click value distributions — the distribution-drift gate that
+    * complements qPsiDrift (binned) with the exact sup-norm ECDF
+    * distance. Same histogram-first shape as [[qAuc]]: both ECDFs are
+    * running sums over the shared cents histogram, and the sup is
+    * taken over CROSS-MULTIPLIED integer counts (|cum₁·N₂ − cum₂·N₁|)
+    * so no division happens until the single final ratio — exact at
+    * any scale, immune to float accumulation order. The max and its
+    * location come from one struct-max aggregate (largest diff,
+    * smallest cents on ties). */
+  def qKsTest(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val h = events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(floor(col("value") * 100.0 + 0.5).cast("long").as("c"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+      .groupBy("c")
+      .agg(sum("y").as("n1"), (count(lit(1)) - sum("y")).as("n2"))
+    val w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    val tot = h.agg(sum("n1").as("t1"), sum("n2").as("t2"))
+    h.withColumn("cum1", sum("n1").over(w))
+      .withColumn("cum2", sum("n2").over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("t1"), col("t2"),
+        abs(col("cum1") * col("t2") - col("cum2") * col("t1")).as("dnum"),
+        col("c"))
+      .groupBy("t1", "t2")
+      .agg(max(struct(col("dnum"), (-col("c")).as("negc"))).as("m"))
+      .select(
+        col("t1").as("n_purchase"), col("t2").as("n_click"),
+        r4(col("m.dnum") / (col("t1") * col("t2")).cast("double")).as("ks_stat"),
+        (-col("m.negc") / 100.0).as("ks_at"))
+  }
+
+  /** One-way ANOVA of transaction value across event types — the
+    * "does this categorical feature matter" screen run before
+    * per-category models are fit. ONE conditional-aggregate pass
+    * collects per-group (n, Σc, Σc²) in exact integer cents (c² sums
+    * stay inside long range), and the F statistic assembles on the
+    * group-cardinality-sized table: SSB = Σ s_g²/n_g − S²/N,
+    * SSW = Σ ss_g − Σ s_g²/n_g, F = (SSB/(k−1)) / (SSW/(N−k)).
+    * Squares of per-group long sums stay in long arithmetic (exact);
+    * only the final per-group divisions are floating point. */
+  def qAnova(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val g = events(s, d)
+      .select(col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("ng"), sum("c").as("sg"),
+        sum(col("c") * col("c")).as("ssg"))
+    g.agg(
+      count(lit(1)).as("k"),
+      sum("ng").as("n"),
+      sum(col("sg") * col("sg") / col("ng").cast("double")).as("between_raw"),
+      sum("sg").as("stot"),
+      sum("ssg").as("sstot"))
+      .select(col("k"), col("n"),
+        (col("k") - 1L).as("df_between"),
+        (col("n") - col("k")).as("df_within"),
+        r4(((col("between_raw") - col("stot") * col("stot") / col("n").cast("double")) / (col("k") - 1L)) /
+          ((col("sstot") - col("between_raw")) / (col("n") - col("k")))).as("f_stat"))
+  }
 }
