@@ -304,6 +304,8 @@ object SparkEntry {
     "q_auc"                -> (StatsOps.qAuc _),
     "q_ks_test"            -> (StatsOps.qKsTest _),
     "q_anova"              -> (StatsOps.qAnova _),
+    "q_mutual_info"        -> (AnalyticsOps.qMutualInfo _),
+    "q_woe_iv"             -> (AnalyticsOps.qWoeIv _),
     "q_data_contract"      -> (QualityOps.qDataContract _),
     "q_stats_merge"        -> (StatsOps.qStatsMerge _),
     // exercises the custom physical operator (TopKPerKeyExec) through
@@ -4325,5 +4327,47 @@ object SparkEntry {
         |             / ((sstot - between_raw) / (n - k)) * 10000.0 + 0.5)
         |         / 10000.0 AS f_stat
         |FROM a""".stripMargin,
+
+    "q_mutual_info" ->
+      """WITH joint AS (
+        |  SELECT l_returnflag, l_linestatus, COUNT(*) AS nij
+        |  FROM lineitem GROUP BY 1, 2),
+        |rm AS (SELECT l_returnflag, SUM(nij) AS ni FROM joint GROUP BY 1),
+        |cm AS (SELECT l_linestatus, SUM(nij) AS nj FROM joint GROUP BY 1),
+        |g AS (SELECT SUM(nij) AS n FROM joint)
+        |SELECT joint.l_returnflag, joint.l_linestatus,
+        |       CAST(nij AS BIGINT) AS n_lines,
+        |       FLOOR(LN(CAST(nij * n AS BIGINT) * 1.0
+        |                / CAST(ni * nj AS BIGINT)) * 10000.0 + 0.5)
+        |         / 10000.0 AS pmi,
+        |       FLOOR((nij * 1.0 / n)
+        |             * LN(CAST(nij * n AS BIGINT) * 1.0
+        |                  / CAST(ni * nj AS BIGINT)) * 10000.0 + 0.5)
+        |         / 10000.0 AS mi_contrib
+        |FROM joint
+        |JOIN rm ON joint.l_returnflag = rm.l_returnflag
+        |JOIN cm ON joint.l_linestatus = cm.l_linestatus
+        |CROSS JOIN g
+        |ORDER BY joint.l_returnflag, joint.l_linestatus""".stripMargin,
+
+    "q_woe_iv" ->
+      """WITH b AS (
+        |  SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bin,
+        |         COUNT(*) AS n,
+        |         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS g
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT SUM(g) AS gt, SUM(n) - SUM(g) AS bt FROM b)
+        |SELECT bin, bin * 50000 AS lo_dollars,
+        |       CAST(n AS BIGINT) AS n, CAST(g AS BIGINT) AS n_good,
+        |       CAST(n - g AS BIGINT) AS n_bad,
+        |       FLOOR((LN((g + 0.5) / (n - g + 0.5))
+        |              - LN(gt * 1.0 / bt)) * 10000.0 + 0.5)
+        |         / 10000.0 AS woe,
+        |       FLOOR((g * 1.0 / gt - (n - g) * 1.0 / bt)
+        |             * (LN((g + 0.5) / (n - g + 0.5))
+        |                - LN(gt * 1.0 / bt)) * 10000.0 + 0.5)
+        |         / 10000.0 AS iv_contrib
+        |FROM b CROSS JOIN t
+        |ORDER BY bin""".stripMargin,
   )
 }

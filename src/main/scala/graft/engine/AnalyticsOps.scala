@@ -717,4 +717,65 @@ object AnalyticsOps {
           .otherwise(r4(col("num") / col("den"))).as("roll_corr"))
       .orderBy("day")
   }
+
+  /** Mutual information between return flag and line status — the
+    * feature-selection screen that ranks categorical column pairs by
+    * shared information (chi-squared's information-theoretic twin,
+    * [[qChi2]]). One corpus aggregate builds the joint contingency
+    * table; marginals and the total derive FROM it (all
+    * domain-bounded, all broadcast). Per-cell PMI = ln(n_ij·N /
+    * (n_i·n_j)) is a log of a ratio of exact longs (products stay
+    * under 2^53, so the double conversion is exact), and the MI
+    * contribution n_ij/N · PMI follows — no float accumulation until
+    * the final (≤ |cells|-sized) rounding. */
+  def qMutualInfo(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val joint = lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("nij"))
+    val rm = joint.groupBy("l_returnflag").agg(sum("nij").as("ni"))
+    val cm = joint.groupBy("l_linestatus").agg(sum("nij").as("nj"))
+    val tot = joint.agg(sum("nij").as("n"))
+    joint
+      .join(broadcast(rm), "l_returnflag")
+      .join(broadcast(cm), "l_linestatus")
+      .crossJoin(broadcast(tot))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("nij").cast("long").as("n_lines"),
+        r4(log((col("nij") * col("n")).cast("double") /
+          (col("ni") * col("nj")).cast("double"))).as("pmi"),
+        r4((col("nij") / col("n").cast("double")) *
+          log((col("nij") * col("n")).cast("double") /
+            (col("ni") * col("nj")).cast("double"))).as("mi_contrib"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Weight-of-evidence / information-value binning of order value
+    * against fulfillment — the credit-scoring-style feature audit
+    * that grades a numeric column's separating power bin by bin
+    * (the categorical counterpart of [[StatsOps.qAuc]]'s rank view).
+    * One aggregate over 50k-dollar bins (domain-bounded), totals
+    * broadcast back; WOE uses the standard +0.5 Laplace smoothing so
+    * empty-side bins stay finite, and IV contribution =
+    * (g_i/G − b_i/B)·WOE. All counts exact longs; ln of a rational. */
+  def qWoeIv(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val b = orders(s, d)
+      .select(floor(col("o_totalprice") / 50000.0).cast("long").as("bin"),
+        (col("o_orderstatus") === "F").cast("long").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("g"))
+      .withColumn("b", col("n") - col("g"))
+    val tot = b.agg(sum("g").as("gt"), sum("b").as("bt"))
+    b.crossJoin(broadcast(tot))
+      .select(col("bin"), (col("bin") * 50000L).as("lo_dollars"),
+        col("n"), col("g").as("n_good"), col("b").as("n_bad"),
+        r4(log((col("g") + 0.5) / (col("b") + 0.5)) -
+          log(col("gt").cast("double") / col("bt"))).as("woe"),
+        r4((col("g") / col("gt").cast("double") -
+          col("b") / col("bt").cast("double")) *
+          (log((col("g") + 0.5) / (col("b") + 0.5)) -
+            log(col("gt").cast("double") / col("bt")))).as("iv_contrib"))
+      .orderBy("bin")
+  }
 }
