@@ -306,6 +306,8 @@ object SparkEntry {
     "q_anova"              -> (StatsOps.qAnova _),
     "q_mutual_info"        -> (AnalyticsOps.qMutualInfo _),
     "q_woe_iv"             -> (AnalyticsOps.qWoeIv _),
+    "q_user_path"          -> (AnalyticsOps.qUserPath _),
+    "q_runs_test"          -> (AnalyticsOps.qRunsTest _),
     "q_data_contract"      -> (QualityOps.qDataContract _),
     "q_stats_merge"        -> (StatsOps.qStatsMerge _),
     // exercises the custom physical operator (TopKPerKeyExec) through
@@ -4369,5 +4371,50 @@ object SparkEntry {
         |         / 10000.0 AS iv_contrib
         |FROM b CROSS JOIN t
         |ORDER BY bin""".stripMargin,
+
+    "q_user_path" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 3 GROUP BY 1)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY 1
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+
+    "q_runs_test" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, ts, event_id,
+        |         c - lag(c) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS delta
+        |  FROM c),
+        |s AS (SELECT user_id, ts, event_id,
+        |             CASE WHEN delta > 0 THEN 1 ELSE 0 END AS up
+        |      FROM d WHERE delta IS NOT NULL AND delta <> 0),
+        |g AS (
+        |  SELECT user_id, SUM(up) AS n_up, COUNT(*) - SUM(up) AS n_down,
+        |         SUM(CASE WHEN prev IS NULL OR prev <> up THEN 1 ELSE 0 END) AS runs
+        |  FROM (SELECT user_id, up,
+        |          lag(up) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |        FROM s) t
+        |  GROUP BY 1
+        |  HAVING SUM(up) > 0 AND COUNT(*) - SUM(up) > 0)
+        |SELECT user_id, CAST(n_up AS BIGINT) AS n_up,
+        |       CAST(n_down AS BIGINT) AS n_down, CAST(runs AS BIGINT) AS runs,
+        |       FLOOR((runs - (2.0 * n_up * n_down / (n_up + n_down) + 1.0))
+        |             / SQRT(2.0 * n_up * n_down
+        |                    * (2 * n_up * n_down - (n_up + n_down))
+        |                    / (CAST((n_up + n_down) * (n_up + n_down) AS BIGINT)
+        |                       * 1.0 * ((n_up + n_down) - 1)))
+        |             * 10000.0 + 0.5) / 10000.0 AS z_runs
+        |FROM g
+        |WHERE 2 * n_up * n_down - (n_up + n_down) > 0
+        |ORDER BY user_id""".stripMargin,
   )
 }

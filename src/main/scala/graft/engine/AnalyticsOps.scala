@@ -718,6 +718,75 @@ object AnalyticsOps {
       .orderBy("day")
   }
 
+  /** Top user journeys: the first three events of every user's
+    * timeline, concatenated into a path string ("signup>view>click"),
+    * counted across users — the onboarding-funnel discovery query
+    * ([[qMarkovTransitions]] gives edge weights; this gives whole
+    * prefixes). The per-user window orders each user's OWN events
+    * (bounded partitions, the sessionize shape); the prefix is
+    * assembled by sorting the ≤3 collected (rank, type) structs
+    * inside the row — no second window, no cross-user data motion
+    * beyond the path groupBy. Top-20 by user count, path tie-break. */
+  def qUserPath(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(20)
+  }
+
+  /** Wald-Wolfowitz runs test per user: is the up/down pattern of a
+    * user's transaction values random, or does it trend/alternate?
+    * (The sequence-level randomness audit that complements
+    * [[StatsOps.qAutocorr]]'s linear view.) Signs come from exact
+    * integer cents deltas (zero deltas dropped — ties carry no
+    * direction); runs are counted as sign changes + 1 via a second
+    * lag over the SAME per-user window (one sort, two frames). The
+    * z statistic against the exact null mean/variance is pure
+    * arithmetic on per-user counts; degenerate users (all-up,
+    * all-down, or σ = 0) are excluded by construction — the zscore
+    * lesson. */
+  def qRunsTest(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val signs = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("c"))
+      .withColumn("delta", col("c") - lag("c", 1).over(w))
+      .filter(col("delta").isNotNull && col("delta") =!= 0L)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("delta") > 0L).cast("long").as("up"))
+    val w2 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val perUser = signs
+      .withColumn("chg",
+        when(lag("up", 1).over(w2).isNull, 1L)
+          .when(lag("up", 1).over(w2) =!= col("up"), 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("up").as("n_up"),
+        (count(lit(1)) - sum("up")).as("n_down"),
+        sum("chg").as("runs"))
+      .filter(col("n_up") > 0L && col("n_down") > 0L)
+    perUser
+      .withColumn("m", col("n_up") + col("n_down"))
+      .withColumn("mu", (lit(2.0) * col("n_up") * col("n_down")) / col("m") + 1.0)
+      .withColumn("v",
+        (lit(2.0) * col("n_up") * col("n_down") *
+          (lit(2L) * col("n_up") * col("n_down") - col("m")).cast("double")) /
+          ((col("m") * col("m")).cast("double") * (col("m") - 1L)))
+      .filter(col("v") > 0.0)
+      .select(col("user_id"), col("n_up"), col("n_down"), col("runs"),
+        r4((col("runs") - col("mu")) / sqrt(col("v"))).as("z_runs"))
+      .orderBy("user_id")
+  }
+
   /** Mutual information between return flag and line status — the
     * feature-selection screen that ranks categorical column pairs by
     * shared information (chi-squared's information-theoretic twin,
