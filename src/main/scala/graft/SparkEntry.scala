@@ -308,6 +308,8 @@ object SparkEntry {
     "q_woe_iv"             -> (AnalyticsOps.qWoeIv _),
     "q_user_path"          -> (AnalyticsOps.qUserPath _),
     "q_runs_test"          -> (AnalyticsOps.qRunsTest _),
+    "q_cohort_ltv"         -> (AnalyticsOps.qCohortLtv _),
+    "q_tokenizer_fertility" -> (TextOps.qTokenizerFertility _),
     "q_data_contract"      -> (QualityOps.qDataContract _),
     "q_stats_merge"        -> (StatsOps.qStatsMerge _),
     // exercises the custom physical operator (TopKPerKeyExec) through
@@ -4416,5 +4418,39 @@ object SparkEntry {
         |FROM g
         |WHERE 2 * n_up * n_down - (n_up + n_down) > 0
         |ORDER BY user_id""".stripMargin,
+
+    "q_cohort_ltv" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |         date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk,
+        |         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT cohort, wk, SUM(c) AS wk_cents
+        |      FROM p JOIN f USING (user_id) GROUP BY 1, 2),
+        |s AS (SELECT cohort, COUNT(*) AS n_users FROM f GROUP BY 1)
+        |SELECT strftime(g.cohort, '%Y-%m-%d') AS cohort_week,
+        |       CAST(date_diff('day', CAST(g.cohort AS DATE), CAST(wk AS DATE))
+        |            // 7 AS BIGINT) AS week_index,
+        |       CAST(n_users AS BIGINT) AS n_users,
+        |       wk_cents / 100.0 AS wk_revenue,
+        |       SUM(wk_cents) OVER (PARTITION BY g.cohort ORDER BY wk
+        |         ROWS UNBOUNDED PRECEDING) / 100.0 AS cum_revenue
+        |FROM g JOIN s ON g.cohort = s.cohort
+        |ORDER BY cohort_week, week_index""".stripMargin,
+
+    "q_tokenizer_fertility" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(array_length(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_words,
+        |       CAST(SUM(array_length(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_tokens,
+        |       FLOOR(SUM(array_length(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) * 1.0
+        |             / SUM(array_length(regexp_split_to_array(trim(text), '\s+')))
+        |             * 10000.0 + 0.5) / 10000.0 AS fertility,
+        |       FLOOR(SUM(length(text)) * 1.0
+        |             / SUM(array_length(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')))
+        |             * 10000.0 + 0.5) / 10000.0 AS chars_per_token
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -787,6 +787,39 @@ object AnalyticsOps {
       .orderBy("user_id")
   }
 
+  /** Weekly-cohort lifetime value: users grouped by first-seen week,
+    * cumulative purchase revenue tracked per week since signup — the
+    * LTV curve behind every retention/payback decision, and the
+    * revenue companion of [[qRetentionCohort]]'s activity matrix.
+    * Two user-keyed aggregates (first-seen, weekly purchase cents)
+    * join on the user key; everything after lives on the (cohort ×
+    * week) grid — calendar-bounded, so the running sum's window is
+    * safe at any corpus size. Revenue in exact integer cents until
+    * the final /100. Weeks with no purchases for a cohort simply
+    * don't appear (the curve is over observed weeks). */
+  def qCohortLtv(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val first = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
+      .select(col("user_id"), date_trunc("week", col("first_ts")).as("cohort"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("c"))
+    val g = purch.join(first, "user_id")
+      .groupBy("cohort", "wk").agg(sum("c").as("wk_cents"))
+      .withColumn("week_index",
+        (datediff(to_date(col("wk")), to_date(col("cohort"))) / 7).cast("long"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+    val wcum = Window.partitionBy("cohort").orderBy("week_index")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    g.join(broadcast(sizes), "cohort")
+      .withColumn("cum_cents", sum("wk_cents").over(wcum))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_index"), col("n_users"),
+        (col("wk_cents") / 100.0).as("wk_revenue"),
+        (col("cum_cents") / 100.0).as("cum_revenue"))
+      .orderBy("cohort_week", "week_index")
+  }
+
   /** Mutual information between return flag and line status — the
     * feature-selection screen that ranks categorical column pairs by
     * shared information (chi-squared's information-theoretic twin,

@@ -397,6 +397,32 @@ object TextOps {
         sum("n_chars_actual").as("total_chars"))
       .orderBy("lang")
 
+  /** Tokenizer fertility per language: regex-piece tokens per
+    * whitespace word and characters per token — the tokenizer-
+    * coverage report a multilingual pipeline checks before fixing a
+    * vocabulary (high fertility = the tokenizer shatters that
+    * language; CJK shows it immediately since whitespace words and
+    * char-level pieces diverge). Pure map-side projection into a
+    * language-cardinality aggregate; ratios divide exact long sums
+    * once at the end. Shares [[qTokenCount]]'s piece regex so the two
+    * reports budget identically. */
+  def qTokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    documents(s, d)
+      .select(col("lang"),
+        size(tokens(col("text"))).cast("long").as("w"),
+        regexp_count(col("text"),
+          lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("t"),
+        length(col("text")).cast("long").as("ch"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+        sum("t").as("n_tokens"), sum("ch").as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        r4(col("n_tokens") / col("n_words").cast("double")).as("fertility"),
+        r4(col("n_chars") / col("n_tokens").cast("double")).as("chars_per_token"))
+      .orderBy("lang")
+  }
+
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
     * count (word pieces + standalone punctuation), plus a chars/4
     * subword estimate — the triad a training-data pipeline budgets
