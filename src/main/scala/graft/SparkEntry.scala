@@ -310,6 +310,7 @@ object SparkEntry {
     "q_runs_test"          -> (AnalyticsOps.qRunsTest _),
     "q_cohort_ltv"         -> (AnalyticsOps.qCohortLtv _),
     "q_tokenizer_fertility" -> (TextOps.qTokenizerFertility _),
+    "q_pca_iter"           -> (VectorOps.qPcaIter _),
     "q_data_contract"      -> (QualityOps.qDataContract _),
     "q_stats_merge"        -> (StatsOps.qStatsMerge _),
     // exercises the custom physical operator (TopKPerKeyExec) through
@@ -4452,5 +4453,22 @@ object SparkEntry {
         |             / SUM(array_length(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')))
         |             * 10000.0 + 0.5) / 10000.0 AS chars_per_token
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_pca_iter" ->
+      """WITH u AS (SELECT vec_id, UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+        |                  generate_subscripts(embedding, 1) AS dim
+        |           FROM embeddings),
+        |m AS (SELECT dim, AVG(x) AS mu FROM u GROUP BY dim),
+        |p AS (SELECT a.dim AS i, b.dim AS j, SUM(a.x * b.x) AS sp, COUNT(*) AS n
+        |      FROM u a JOIN u b ON a.vec_id = b.vec_id
+        |      GROUP BY 1, 2),
+        |c AS (SELECT i, j,
+        |        CAST(FLOOR((sp / n - mi.mu * mj.mu) * 1000000.0 + 0.5) AS BIGINT) AS c6
+        |      FROM p JOIN m mi ON mi.dim = p.i JOIN m mj ON mj.dim = p.j),
+        |r AS (SELECT i, SUM(c6) AS u FROM c GROUP BY i),
+        |nrm AS (SELECT SUM(u * u) AS ss FROM r)
+        |SELECT CAST(i AS BIGINT) AS dim, CAST(u AS BIGINT) AS u_micro,
+        |       FLOOR(u / SQRT(ss * 1.0) * 10000.0 + 0.5) / 10000.0 AS v1
+        |FROM r CROSS JOIN nrm ORDER BY dim""".stripMargin,
   )
 }

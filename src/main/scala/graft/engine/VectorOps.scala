@@ -605,6 +605,36 @@ object VectorOps {
       .orderBy("dim_i", "dim_j")
   }
 
+  /** One PCA power-iteration step: v₁ ∝ C·v₀ with v₀ = 1 (the
+    * all-ones probe), over the same one-pass covariance sketch as
+    * [[qEmbedCovariance]] — the third member of the one-distributed-
+    * iteration family ([[RelationalExt.qPagerankIter]] on graphs,
+    * [[qKmeansIter]] on clusters, this on spectra); a full PCA loops
+    * this matvec + renormalize. FIXED-POINT determinism, the
+    * pagerank trick restated: covariance entries quantize to integer
+    * micro-units BEFORE the matvec, so C·1 (= per-row sums of C) and
+    * the squared norm are exact integer arithmetic — the only floats
+    * are the final normalize divisions. The matvec is a d-group
+    * aggregate over the d² exploded entries: dimension-bounded,
+    * corpus-size-invariant. */
+  def qPcaIter(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    graft.expressions.VectorExpressions.register(s)
+    val m = embeddings(s, d)
+      .agg(call_function("graft_vector_cov", col("embedding")).as("m"))
+      .select(size(col("m")).as("dd"), posexplode(col("m")).as(Seq("p", "c")))
+      .withColumn("dim", sqrt(col("dd").cast("double")).cast("int"))
+      .select((col("p") / col("dim")).cast("int").as("i"),
+        floor(col("c") * 1000000.0 + 0.5).cast("long").as("c6"))
+    val u = m.groupBy("i").agg(sum("c6").as("u"))
+    val nrm = u.agg(sum(col("u") * col("u")).as("ss"))
+    u.crossJoin(broadcast(nrm))
+      .select((col("i") + 1).cast("long").as("dim"),
+        col("u").as("u_micro"),
+        r4(col("u") / sqrt(col("ss").cast("double"))).as("v1"))
+      .orderBy("dim")
+  }
+
   /** One distributed Lloyd iteration (k-means update step): assign
     * every vector to its nearest seed centroid (same deterministic
     * vec_id < k seeds and cosine/tie rule as [[qKmeansAssign]]), then
