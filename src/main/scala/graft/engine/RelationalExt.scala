@@ -151,10 +151,17 @@ object RelationalExt {
     val e = supportEdges(s, d)
     val adjAll = e.select(col("pa").as("u"), col("pb").as("v"))
       .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
+    // deg feeds four consumers (two hub filters, two final joins) and
+    // adj feeds both sides of the two-hop self-join — both are
+    // graph-sized (edge-list-bounded), so eager localCheckpoints
+    // truncate the union+join lineage instead of recomputing it per
+    // consumer (same reuse pattern as supportEdges itself).
     val deg = adjAll.groupBy("u").agg(count(lit(1)).as("deg"))
       .filter(col("deg") <= LinkPredictMaxDegree)
+      .localCheckpoint(true)
     val adj = adjAll.join(deg.select("u"), "u")
       .join(deg.select(col("u").as("v")), "v")
+      .localCheckpoint(true)
     val cand = adj.select(col("u").as("a"), col("v").as("b"))
       .join(adj.select(col("u").as("b"), col("v").as("c")), "b")
       .filter(col("a") < col("c"))

@@ -1322,11 +1322,11 @@ object TextOps {
     * wholly lifted into a larger page scores low Jaccard but
     * containment 1.0 — so pipelines run BOTH (Jaccard for mirror
     * pages, containment for quote/aggregator pages). Candidate
-    * generation is an exploded self-join on the shingle VALUE with
-    * the [[ContainmentMaxDf]] stop-shingle valve, so the pair stream
-    * is Σ df² over surviving shingles (never all-pairs) and the
-    * intersection size falls out of the same join as a count —
-    * no re-scoring pass. Per-doc shingle-set sizes ride the pair via
+    * generation collects each shingle bucket's doc list (bounded by
+    * the [[ContainmentMaxDf]] stop-shingle valve) and explodes
+    * ordered pairs map-side, so the pair stream is Σ df² over
+    * surviving shingles (never all-pairs) and the intersection size
+    * falls out of one pair count — no re-scoring pass, no self-join. Per-doc shingle-set sizes ride the pair via
     * two dimension joins on the doc key. Directed: reported for the
     * SMALLER side (the contained doc), both orders kept when sizes
     * tie. */
@@ -1348,14 +1348,16 @@ object TextOps {
       .select(col("doc_id"), xxhash64(col("gs")).as("g"))
       .localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val keep = sh.join(
-      sh.groupBy("g").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= ContainmentMaxDf)
-        .select("g"),
-      "g")
-      .localCheckpoint(true) // read twice by the self-join below
-    val inter = keep.select(col("doc_id").as("da"), col("g"))
-      .join(keep.select(col("doc_id").as("db"), col("g")), "g")
+    // IN-BUCKET pair generation: one groupBy on the shingle key
+    // collects each bucket's doc list, the df valve drops boilerplate
+    // buckets, and the ordered-pair fan-out happens MAP-SIDE from the
+    // bounded (≤ ContainmentMaxDf) lists — no df-filter join, no
+    // two-sided self-join, no second checkpoint. Same Σ df² candidate
+    // stream, two shuffles total (bucket build + pair count).
+    val inter = sh.groupBy("g").agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, ContainmentMaxDf))
+      .select(explode(col("ds")).as("da"), col("ds"))
+      .select(col("da"), explode(col("ds")).as("db"))
       .filter(col("da") =!= col("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("n_common"))
     inter

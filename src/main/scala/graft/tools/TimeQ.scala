@@ -11,13 +11,20 @@ object TimeQ {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>  // warm + 2 timed
+    val reps = sys.env.getOrElse("TIMEQ_RUNS", "3").toInt
+    names.foreach { n =>  // warm + N timed, report each + min
       graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
-      (1 to 2).foreach { i =>
+      val ts = (1 to reps).map { i =>
+        // drop cached localCheckpoint blocks from the previous run so
+        // storage-memory churn doesn't inflate later repetitions
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(n)(spark, d).count()
-        println(f"TIMEQ $n run$i ${(System.nanoTime()-t0)/1e9}%.3f s")
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"TIMEQ $n run$i $dt%.3f s")
+        dt
       }
+      println(f"TIMEQ $n min ${ts.min}%.3f s")
     }
     spark.stop()
   }
