@@ -1,0 +1,205 @@
+package graft.sources
+
+import java.util
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.engine.StreamStore
+
+/** Process-wide registry naming live [[StreamStore]] instances so the
+  * DataSource V2 path can address them by option. The reference serves
+  * its stream manager over a Flight endpoint (flight/server.go:82-245);
+  * the Spark-native analog is a V2 connector addressing the same
+  * catalog — `spark.read.format("graft-store")` instead of a DoGet
+  * RPC. PARITY-MODE like the store itself: the buffer lives in the
+  * driver JVM, which local-mode executors share; the 100 TB serve path
+  * is the checkpointed-parquet sink plus real topics, not this buffer
+  * (see StreamStore's scale note). */
+object GraftStoreRegistry {
+  private val stores = TrieMap.empty[String, StreamStore]
+  def register(name: String, store: StreamStore): Unit = stores.put(name, store)
+  def unregister(name: String): Unit = stores.remove(name)
+  def get(name: String): StreamStore =
+    stores.getOrElse(name,
+      throw new IllegalArgumentException(s"no registered graft store '$name'"))
+}
+
+/** DataSource V2 `TableProvider` exposing one StreamStore topic as a
+  * batch-readable table — the reference's read path (GetSchema + DoGet,
+  * flight/server.go:143-230) re-expressed on Spark's own connector
+  * API, so every Catalyst feature (column pruning, filter pushdown,
+  * AQE) applies to served streams for free:
+  *
+  *  - `inferSchema` = GetSchema (store.schemaOf)
+  *  - one `InputPartition` PER BUFFERED BATCH — the same batch
+  *    boundaries the reference streams as individual Arrow record
+  *    batches (flight/server.go:171-208) become Spark's parallelism
+  *    units
+  *  - `SupportsPushDownRequiredColumns`: the reader converts ONLY the
+  *    pruned fields to InternalRow (a projection the reference cannot
+  *    do — DoGet always ships whole batches)
+  *  - `SupportsPushDownFilters`: comparison/null predicates on atomic
+  *    columns are evaluated inside the partition reader, before any
+  *    row reaches Spark
+  *
+  * Usage: `spark.read.format("graft-store").option("store", n)
+  * .option("topic", t).load()`. */
+final class GraftStoreProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-store"
+
+  private def topicSchema(options: CaseInsensitiveStringMap): StructType = {
+    val store = GraftStoreRegistry.get(options.get("store"))
+    val topic = options.get("topic")
+    store.schemaOf(topic).getOrElse(
+      throw new IllegalArgumentException(s"unknown topic '$topic'"))
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    topicSchema(options)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new GraftStoreTable(properties.get("store"), properties.get("topic"), schema)
+}
+
+final class GraftStoreTable(storeName: String, topic: String, schema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-store:$storeName/$topic"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(storeName, topic, schema)
+}
+
+final class GraftScanBuilder(storeName: String, topic: String, full: StructType)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Accept the comparison/null family on atomic columns; everything
+    * else stays a Spark-side Filter. Pushed filters are NOT echoed
+    * back as post-scan filters (we return them fully handled), so the
+    * plan shows them only under PushedFilters. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition(GraftFilterEval.supported(full, _))
+    pushed = sup
+    unsup
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new GraftScan(storeName, topic, full, required, pushed)
+}
+
+final class GraftScan(storeName: String, topic: String, full: StructType,
+                      required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftStoreScan(store=$storeName, topic=$topic, " +
+      s"PushedFilters=[${pushed.mkString(", ")}], " +
+      s"ReadSchema=${required.simpleString})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = GraftStoreRegistry.get(storeName)
+      .batchesOf(topic).map(_._2.size).getOrElse(0)
+    (0 until n).map(i => GraftBatchPartition(i): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(storeName, topic, full, required, pushed)
+}
+
+final case class GraftBatchPartition(index: Int) extends InputPartition
+
+final class GraftReaderFactory(storeName: String, topic: String,
+                               full: StructType, required: StructType,
+                               pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val idx = partition.asInstanceOf[GraftBatchPartition].index
+    val rows = GraftStoreRegistry.get(storeName).batchesOf(topic)
+      .map(_._2.apply(idx)).getOrElse(Seq.empty)
+    val fieldIdx = required.fieldNames.map(full.fieldIndex)
+    val toCatalyst = CatalystTypeConverters.createToCatalystConverter(required)
+    val it = rows.iterator
+      .filter(r => pushed.forall(GraftFilterEval.eval(full, r, _)))
+      .map { r =>
+        val projected = org.apache.spark.sql.Row
+          .fromSeq(fieldIdx.toIndexedSeq.map(r.get))
+        toCatalyst(projected).asInstanceOf[InternalRow]
+      }
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Row-level evaluation of the pushed-filter family. Comparisons are
+  * type-directed on the ATOMIC types the store's topics carry
+  * (numerics, strings, booleans) — anything else is declared
+  * unsupported in [[GraftScanBuilder.pushFilters]] and evaluated by
+  * Spark above the scan, so pushdown can never change semantics. */
+private[sources] object GraftFilterEval {
+  private def atomic(schema: StructType, attr: String): Boolean =
+    schema.fields.find(_.name == attr).exists(f => f.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.StringType => true
+      case org.apache.spark.sql.types.BooleanType => true
+      case _ => false
+    })
+
+  def supported(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, _) => atomic(schema, a)
+    case GreaterThan(a, _) => atomic(schema, a)
+    case GreaterThanOrEqual(a, _) => atomic(schema, a)
+    case LessThan(a, _) => atomic(schema, a)
+    case LessThanOrEqual(a, _) => atomic(schema, a)
+    case IsNull(a) => schema.fieldNames.contains(a)
+    case IsNotNull(a) => schema.fieldNames.contains(a)
+    case _ => false
+  }
+
+  private def cmp(l: Any, r: Any): Int = (l, r) match {
+    case (a: Number, b: Number) =>
+      java.lang.Double.compare(a.doubleValue(), b.doubleValue())
+    case (a: String, b: String) => a.compareTo(b)
+    case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
+    case _ => throw new IllegalArgumentException(
+      s"unsupported comparison: ${l.getClass} vs ${r.getClass}")
+  }
+
+  def eval(schema: StructType, row: org.apache.spark.sql.Row, f: Filter): Boolean = {
+    def v(attr: String): Any = row.get(schema.fieldIndex(attr))
+    f match {
+      case IsNull(a) => v(a) == null
+      case IsNotNull(a) => v(a) != null
+      case EqualTo(a, x) => v(a) != null && cmp(v(a), x) == 0
+      case GreaterThan(a, x) => v(a) != null && cmp(v(a), x) > 0
+      case GreaterThanOrEqual(a, x) => v(a) != null && cmp(v(a), x) >= 0
+      case LessThan(a, x) => v(a) != null && cmp(v(a), x) < 0
+      case LessThanOrEqual(a, x) => v(a) != null && cmp(v(a), x) <= 0
+      case _ => true
+    }
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.StreamStore
+import graft.sources.{GraftScan, GraftStoreRegistry}
+
+/** The DataSource V2 read path over the stream store: schema
+  * inference (GetSchema analog), per-buffered-batch partitions,
+  * column pruning and filter pushdown — all asserted against the
+  * EXECUTED plan's BatchScanExec, not just results. */
+class GraftStoreSourceSpec extends SparkSuite {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("name", StringType),
+    StructField("v", LongType)))
+
+  private def freshStore(name: String): StreamStore = {
+    val st = new StreamStore(maxBytesPerStream = 1 << 20, ttlMillis = Long.MaxValue / 2)
+    st.append("t1", schema, (0L until 10L).map(i => Row(i, s"n$i", i * 10)))
+    st.append("t1", schema, (10L until 15L).map(i => Row(i, s"n$i", i * 10)))
+    GraftStoreRegistry.register(name, st)
+    st
+  }
+
+  private def read(store: String) =
+    spark.read.format("graft-store")
+      .option("store", store).option("topic", "t1").load()
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): GraftScan = {
+    df.collect() // force planning through AQE
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "expected a BatchScanExec in the executed plan")
+    scans.head.scan.asInstanceOf[GraftScan]
+  }
+
+  test("schema inference + full read round-trips the buffered batches") {
+    freshStore("s_full")
+    val df = read("s_full")
+    assert(df.schema.fieldNames.toSeq == Seq("k", "name", "v"))
+    assert(df.count() == 15)
+    assert(df.agg(sum("v")).head.getLong(0) == (0L until 15L).map(_ * 10).sum)
+    GraftStoreRegistry.unregister("s_full")
+  }
+
+  test("one input partition per buffered batch (reference batch boundaries)") {
+    freshStore("s_parts")
+    val df = read("s_parts")
+    assert(scanOf(df).toBatch.planInputPartitions().length == 2)
+    GraftStoreRegistry.unregister("s_parts")
+  }
+
+  test("column pruning reaches the scan: readSchema drops unselected fields") {
+    freshStore("s_prune")
+    val df = read("s_prune").select("v")
+    val scan = scanOf(df)
+    assert(scan.readSchema().fieldNames.toSeq == Seq("v"))
+    assert(df.agg(sum("v")).head.getLong(0) == (0L until 15L).map(_ * 10).sum)
+    GraftStoreRegistry.unregister("s_prune")
+  }
+
+  test("comparison filters are pushed, evaluated in the reader, and correct") {
+    freshStore("s_push")
+    val df = read("s_push").filter(col("v") >= 100 && col("name") =!= "n12")
+    val scan = scanOf(df)
+    // v >= 100 and the IsNotNulls push; name != 'n12' (Not) stays above
+    assert(scan.description().contains("GreaterThanOrEqual(v,100)"))
+    assert(!scan.description().contains("n12"))
+    assert(df.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 11L, 13L, 14L))
+    GraftStoreRegistry.unregister("s_push")
+  }
+
+  test("pushed filter + pruning compose: count with predicate only") {
+    freshStore("s_both")
+    val df = read("s_both").filter(col("k") < 3).select("name")
+    val scan = scanOf(df)
+    assert(scan.description().contains("LessThan(k,3)"))
+    assert(scan.readSchema().fieldNames.toSeq == Seq("name"))
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("n0", "n1", "n2"))
+    GraftStoreRegistry.unregister("s_both")
+  }
+
+  test("unknown store or topic fails loudly") {
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-store")
+        .option("store", "nope").option("topic", "t1").load()
+    }
+    freshStore("s_bad")
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-store")
+        .option("store", "s_bad").option("topic", "missing").load()
+    }
+    GraftStoreRegistry.unregister("s_bad")
+  }
+}
