@@ -325,6 +325,13 @@ object SparkEntry {
         Seq(("n", false), ("user_id", true)), 3)
         .orderBy("window_start", "user_id")
     }),
+    "q_decision_stump"     -> (MiningOps.qDecisionStump _),
+    "q_mann_kendall"       -> (MiningOps.qMannKendall _),
+    "q_spearman"           -> (MiningOps.qSpearman _),
+    "q_hhi"                -> (MiningOps.qHhi _),
+    "q_window_distinct"    -> (MiningOps.qWindowDistinct _),
+    "q_xml_parse"          -> (MiningOps.qXmlParse _),
+    "q_blocking_keys"      -> (MiningOps.qBlockingKeys _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4470,5 +4477,161 @@ object SparkEntry {
         |SELECT CAST(i AS BIGINT) AS dim, CAST(u AS BIGINT) AS u_micro,
         |       FLOOR(u / SQRT(ss * 1.0) * 10000.0 + 0.5) / 10000.0 AS v1
         |FROM r CROSS JOIN nrm ORDER BY dim""".stripMargin,
+
+    "q_decision_stump" ->
+      """WITH g AS (
+        |  SELECT CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) // 100000 AS bucket,
+        |         COUNT(*) AS n,
+        |         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS p
+        |  FROM lineitem GROUP BY 1),
+        |pre AS (
+        |  SELECT bucket,
+        |         CAST(SUM(n) OVER (ORDER BY bucket) AS BIGINT) AS n_l,
+        |         CAST(SUM(p) OVER (ORDER BY bucket) AS BIGINT) AS pos_l,
+        |         CAST(SUM(n) OVER () AS BIGINT) AS nt,
+        |         CAST(SUM(p) OVER () AS BIGINT) AS pt
+        |  FROM g),
+        |sc AS (
+        |  SELECT bucket, n_l, pos_l, nt - n_l AS n_r, pt - pos_l AS pos_r,
+        |         CAST((pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l)) * 1000000 // n_l
+        |            + ((pt - pos_l) * (pt - pos_l)
+        |               + ((nt - n_l) - (pt - pos_l)) * ((nt - n_l) - (pt - pos_l)))
+        |              * 1000000 // (nt - n_l) AS BIGINT) AS purity_score
+        |  FROM pre WHERE nt - n_l > 0)
+        |SELECT CAST((bucket + 1) * 1000 AS BIGINT) AS threshold_dollars,
+        |       n_l, pos_l, n_r, pos_r, purity_score,
+        |       purity_score = MAX(purity_score) OVER () AS is_best
+        |FROM sc ORDER BY threshold_dollars""".stripMargin,
+
+    "q_mann_kendall" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |k AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, c,
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id) AS rn
+        |    FROM c) x WHERE rn <= 64),
+        |nn AS (SELECT user_id, COUNT(*) AS n FROM k GROUP BY 1
+        |       HAVING COUNT(*) >= 10),
+        |s AS (
+        |  SELECT a.user_id,
+        |         CAST(SUM(CASE WHEN b.c > a.c THEN 1
+        |                       WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM k a JOIN k b ON a.user_id = b.user_id AND a.rn < b.rn
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT user_id, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+        |  FROM (SELECT user_id, c, COUNT(*) AS t FROM k GROUP BY 1, 2) x
+        |  GROUP BY 1)
+        |SELECT nn.user_id, CAST(nn.n AS BIGINT) AS n, s.s_stat,
+        |       CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - t.tie18 AS BIGINT) AS var18,
+        |       CASE WHEN s.s_stat > 0 THEN
+        |              FLOOR((s.s_stat - 1)
+        |                / SQRT((nn.n * (nn.n - 1) * (2 * nn.n + 5) - t.tie18) / 18.0)
+        |                * 10000.0 + 0.5) / 10000.0
+        |            WHEN s.s_stat < 0 THEN
+        |              FLOOR((s.s_stat + 1)
+        |                / SQRT((nn.n * (nn.n - 1) * (2 * nn.n + 5) - t.tie18) / 18.0)
+        |                * 10000.0 + 0.5) / 10000.0
+        |            ELSE 0.0 END AS z_mk
+        |FROM nn JOIN s ON s.user_id = nn.user_id
+        |        JOIN t ON t.user_id = nn.user_id
+        |WHERE nn.n * (nn.n - 1) * (2 * nn.n + 5) - t.tie18 > 0
+        |ORDER BY nn.user_id""".stripMargin,
+
+    "q_spearman" ->
+      """WITH base AS (
+        |  SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS mon,
+        |         CAST(props->>'$.k' AS BIGINT) AS k,
+        |         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events
+        |  WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL),
+        |rk AS (
+        |  SELECT event_type, mon,
+        |         2 * rank() OVER (PARTITION BY event_type, mon ORDER BY k)
+        |           + COUNT(*) OVER (PARTITION BY event_type, mon, k) - 1 AS rx,
+        |         2 * rank() OVER (PARTITION BY event_type, mon ORDER BY c)
+        |           + COUNT(*) OVER (PARTITION BY event_type, mon, c) - 1 AS ry
+        |  FROM base),
+        |m AS (
+        |  SELECT event_type, mon, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+        |         CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+        |         CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+        |         CAST(SUM(ry * ry) AS BIGINT) AS syy
+        |  FROM rk GROUP BY 1, 2 HAVING COUNT(*) >= 30)
+        |SELECT event_type, mon, n,
+        |       FLOOR((n * sxy - sx * sy)
+        |             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+        |                * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+        |             * 10000.0 + 0.5) / 10000.0 AS rho
+        |FROM m
+        |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |ORDER BY event_type, mon""".stripMargin,
+
+    "q_hhi" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |           // 100000 AS kd
+        |  FROM orders GROUP BY 1),
+        |seg AS (
+        |  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |         CAST(SUM(kd) AS BIGINT) AS tot_kd,
+        |         CAST(SUM(kd * kd) AS BIGINT) AS sq_kd,
+        |         CAST(MAX(kd) AS BIGINT) AS max_kd
+        |  FROM spend JOIN customer ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_mktsegment, n_customers, tot_kd,
+        |       CAST(sq_kd * 1000000 // (tot_kd * tot_kd) AS BIGINT) AS hhi_micro,
+        |       CAST(max_kd * 1000000 // tot_kd AS BIGINT) AS top_share_micro
+        |FROM seg WHERE tot_kd > 0
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_window_distinct" ->
+      """WITH f AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM (
+        |    SELECT user_id, event_type, ts, event_id,
+        |           row_number() OVER (PARTITION BY user_id, event_type
+        |             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |    FROM events) x WHERE rn = 1)
+        |SELECT user_id, event_type,
+        |       CAST(row_number() OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id) AS BIGINT) AS seen_order,
+        |       epoch_us(ts) AS ts_us
+        |FROM f ORDER BY user_id, seen_order""".stripMargin,
+
+    "q_xml_parse" ->
+      """SELECT o_orderpriority AS priority,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents,
+        |       CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+        |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin,
+
+    "q_blocking_keys" ->
+      """WITH s1 AS (SELECT split_part(p_name, ' ', 1) AS bk FROM part),
+        |s2 AS (SELECT p_brand AS bk FROM part),
+        |s3 AS (SELECT p_type || '|' || CAST(p_size AS VARCHAR) AS bk FROM part),
+        |agg AS (
+        |  SELECT 'name_token' AS scheme, COUNT(*) AS n_blocks, MAX(b) AS max_block,
+        |         SUM(b * (b - 1) // 2) AS cand_pairs, SUM(b) AS nn
+        |  FROM (SELECT bk, COUNT(*) AS b FROM s1 GROUP BY 1) x
+        |  UNION ALL
+        |  SELECT 'brand', COUNT(*), MAX(b), SUM(b * (b - 1) // 2), SUM(b)
+        |  FROM (SELECT bk, COUNT(*) AS b FROM s2 GROUP BY 1) x
+        |  UNION ALL
+        |  SELECT 'type_size', COUNT(*), MAX(b), SUM(b * (b - 1) // 2), SUM(b)
+        |  FROM (SELECT bk, COUNT(*) AS b FROM s3 GROUP BY 1) x)
+        |SELECT scheme, CAST(n_blocks AS BIGINT) AS n_blocks,
+        |       CAST(max_block AS BIGINT) AS max_block,
+        |       CAST(cand_pairs AS BIGINT) AS cand_pairs,
+        |       CAST((nn * (nn - 1) // 2 - cand_pairs) * 1000000
+        |            // (nn * (nn - 1) // 2) AS BIGINT) AS reduction_micro
+        |FROM agg ORDER BY scheme""".stripMargin,
   )
 }

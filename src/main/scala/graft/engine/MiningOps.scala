@@ -1,0 +1,272 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Pattern- and model-mining operators: in-engine model building /
+  * evaluation primitives a training-data pipeline runs next to its
+  * curation queries (the reference has no analytics surface at all —
+  * roar serves buffers over Flight; these are the queries its users
+  * run AFTER landing the data). Every query keeps its comparisons in
+  * exact integer arithmetic (cents, micro-units, integer divisions)
+  * so the DuckDB differential can never flap on a float boundary. */
+object MiningOps {
+
+  private def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+
+  /** Decision-stump split search: the first node of every tree
+    * ensemble (CART / XGBoost root), run as a QUERY. Label =
+    * returned line (l_returnflag = 'R'); feature = extended price;
+    * candidate thresholds = the whole-$1000 grid, so the corpus-sized
+    * pass is ONE map-side-combinable aggregate onto ~105 grid cells
+    * and the split scan (prefix sums + scoring) lives on the bounded
+    * grid. Split quality is the Gini purity gain numerator
+    * (pos²+neg²)/n per side, scaled ×1e6 and computed with INTEGER
+    * division — both engines agree bit-for-bit, so `is_best` (the
+    * argmax marker) is deterministic. At 100 TB the grid aggregate is
+    * the only full pass — exactly how distributed GBT implementations
+    * (e.g. Spark MLlib's own trees) do split finding with histogram
+    * bins. */
+  def qDecisionStump(s: SparkSession, d: String): DataFrame = {
+    val grid = lineitem(s, d)
+      .select(
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents"),
+        (col("l_returnflag") === "R").cast("long").as("pos"))
+      .select(expr("cents DIV 100000").as("bucket"), col("pos"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("pos").as("p"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = grid.agg(sum("n").as("nt"), sum("p").as("pt"))
+    val scored = grid
+      .withColumn("n_l", sum("n").over(w))
+      .withColumn("pos_l", sum("p").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_r", col("nt") - col("n_l"))
+      .withColumn("pos_r", col("pt") - col("pos_l"))
+      .filter(col("n_r") > 0L) // rightmost bucket splits nothing off
+      .withColumn("neg_l", col("n_l") - col("pos_l"))
+      .withColumn("neg_r", col("n_r") - col("pos_r"))
+      .withColumn("purity_score",
+        expr("(pos_l * pos_l + neg_l * neg_l) * 1000000L DIV n_l") +
+          expr("(pos_r * pos_r + neg_r * neg_r) * 1000000L DIV n_r"))
+    scored
+      .withColumn("is_best",
+        col("purity_score") === max("purity_score").over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(
+        ((col("bucket") + 1L) * 1000L).as("threshold_dollars"),
+        col("n_l"), col("pos_l"), col("n_r"), col("pos_r"),
+        col("purity_score"), col("is_best"))
+      .orderBy("threshold_dollars")
+  }
+
+  /** Per-user events capped to the first [[MkMaxEvents]] by
+    * (ts, event_id) with exact integer cents — shared input of the
+    * Mann-Kendall test. The cap is the standard sequence-mining skew
+    * valve: pair enumeration is C(n,2) per user, so a pathological
+    * hot user is bounded at C(64,2) = 2016 pairs. */
+  private def cappedSeq(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MkMaxEvents)
+  }
+
+  val MkMaxEvents = 64
+
+  /** Mann-Kendall trend test per user (the nonparametric "is this
+    * metric drifting" monitor): S = Σ_{i<j} sign(v_j − v_i) over the
+    * time-ordered value sequence — an EXACT INTEGER, computed from a
+    * per-user array with higher-order functions (collect bounded by
+    * [[MkMaxEvents]], ≤2016 sign terms map-side, zero shuffle beyond
+    * the user groupBy). The variance carries the full tie correction
+    * (Σ t(t−1)(2t+5) from the per-value tie counts), kept ×18 as an
+    * integer; only the final continuity-corrected z touches floats.
+    * Kendall's S doubles as the τ numerator, so this is also the
+    * rank-correlation-with-time query. */
+  def qMannKendall(s: SparkSession, d: String): DataFrame = {
+    val seq = cappedSeq(s, d)
+    val sStat = seq
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("rn"), col("c")))).as("a"))
+      .select(col("user_id"),
+        expr("transform(a, x -> x.c)").as("v"),
+        size(col("a")).cast("long").as("n"))
+      .filter(col("n") >= 10L)
+      .withColumn("s_stat", expr(
+        "aggregate(flatten(transform(sequence(0, CAST(n AS INT) - 2), " +
+          "i -> transform(sequence(i + 1, CAST(n AS INT) - 1), " +
+          "j -> CAST(sign(v[j] - v[i]) AS BIGINT)))), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .select("user_id", "n", "s_stat")
+    val ties = seq.groupBy("user_id", "c").agg(count(lit(1)).as("t"))
+      .groupBy("user_id")
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie18"))
+    sStat.join(ties, "user_id")
+      .withColumn("var18",
+        expr("n * (n - 1) * (2 * n + 5)") - col("tie18"))
+      .filter(col("var18") > 0L)
+      .withColumn("z_mk",
+        when(col("s_stat") > 0L,
+          r4((col("s_stat") - 1L) / sqrt(col("var18") / lit(18.0))))
+          .when(col("s_stat") < 0L,
+            r4((col("s_stat") + 1L) / sqrt(col("var18") / lit(18.0))))
+          .otherwise(lit(0.0)))
+      .select("user_id", "n", "s_stat", "var18", "z_mk")
+      .orderBy("user_id")
+  }
+
+  /** Spearman rank correlation between a numeric JSON payload field
+    * (props.k) and the event value, per (event_type, month):
+    * "does the payload knob track the metric, monotonically?" —
+    * Pearson's formula applied to DOUBLED AVERAGE RANKS, which are
+    * exact integers under ties (2·avg-rank = 2·min-rank + t − 1), so
+    * every moment sum (Σx, Σy, Σxy, Σx², Σy²) is integer-exact and
+    * the engines can only differ in the final rounded division.
+    * Ranking windows run per bounded (type, month) group — the
+    * corpus never funnels into one task. */
+  def qSpearman(s: SparkSession, d: String): DataFrame = {
+    val base = events(s, d)
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM").as("mon"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("c"))
+      .filter(col("k").isNotNull)
+    val ranked = base
+      .withColumn("rx", lit(2L) * rank().over(
+        Window.partitionBy("event_type", "mon").orderBy("k")) +
+        count(lit(1)).over(Window.partitionBy("event_type", "mon", "k")) - 1L)
+      .withColumn("ry", lit(2L) * rank().over(
+        Window.partitionBy("event_type", "mon").orderBy("c")) +
+        count(lit(1)).over(Window.partitionBy("event_type", "mon", "c")) - 1L)
+    ranked.groupBy("event_type", "mon")
+      .agg(count(lit(1)).as("n"),
+        sum("rx").as("sx"), sum("ry").as("sy"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"))
+      .filter(col("n") >= 30L)
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      // the two variance terms stay separate longs (each ≤ 4n⁴ —
+      // exact BIGINT); their PRODUCT would overflow, so the
+      // denominator is sqrt(vx)·sqrt(vy), the same expression the
+      // oracle computes so the float path is identical
+      .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+      .filter(col("vx") > 0L && col("vy") > 0L)
+      .select(col("event_type"), col("mon"), col("n"),
+        r4(col("num") / (sqrt(col("vx").cast("double")) *
+          sqrt(col("vy").cast("double")))).as("rho"))
+      .orderBy("event_type", "mon")
+  }
+
+  /** Herfindahl–Hirschman spend concentration per market segment:
+    * the "is this segment's revenue one whale or many minnows"
+    * monitor. Per-customer spend collapses to exact kilodollar units
+    * (integer division of cents — coarse on purpose: HHI is a
+    * concentration INDEX, and the kilodollar grid keeps every term,
+    * including the final ×1e6 quotient, inside exact BIGINT
+    * arithmetic at any scale a segment can reach). One fact-table
+    * aggregate (customer key), one segment rollup. */
+  def qHhi(s: SparkSession, d: String): DataFrame = {
+    val spend = orders(s, d)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy("o_custkey")
+      .agg(expr("sum(cents) DIV 100000").as("kd"))
+    spend.join(customer(s, d).select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment")), "o_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("kd").as("tot_kd"),
+        sum(col("kd") * col("kd")).as("sq_kd"),
+        max("kd").as("max_kd"))
+      .filter(col("tot_kd") > 0L)
+      .select(col("c_mktsegment"), col("n_customers"),
+        col("tot_kd"),
+        expr("sq_kd * 1000000L DIV (tot_kd * tot_kd)").as("hhi_micro"),
+        expr("max_kd * 1000000L DIV tot_kd").as("top_share_micro"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Running-distinct trajectory: for each user, the order in which
+    * they first touched each event type and when — the
+    * "feature-adoption curve" shape of COUNT(DISTINCT) OVER, which
+    * Spark (and ANSI) won't evaluate directly. Decomposed exactly:
+    * a first-seen filter (one row per (user, type)) then a bounded
+    * re-rank — output is (users × types)-sized, never fact-sized. */
+  def qWindowDistinct(s: SparkSession, d: String): DataFrame = {
+    val firstSeen = events(s, d)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") === 1)
+    firstSeen
+      .withColumn("seen_order", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+        .cast("long"))
+      .select(col("user_id"), col("event_type"), col("seen_order"),
+        unix_micros(col("ts")).as("ts_us"))
+      .orderBy("user_id", "seen_order")
+  }
+
+  /** XML ingestion path (Spark 4's built-in XML support): each order
+    * serialized to an XML envelope, parsed back with `from_xml` under
+    * an explicit schema, and aggregated from the PARSED struct — the
+    * per-row parse is codegen-adjacent (no UDF), the aggregate is one
+    * shuffle, and the oracle recomputes from the raw columns, pinning
+    * the parser round-trip exactly. Money rides as integer cents
+    * inside the XML so no float ever goes through a string. */
+  def qXmlParse(s: SparkSession, d: String): DataFrame = {
+    val xml = orders(s, d)
+      .select(concat(
+        lit("<o><k>"), col("o_orderkey"),
+        lit("</k><p>"), col("o_orderpriority"),
+        lit("</p><c>"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long"),
+        lit("</c></o>")).as("x"))
+    xml
+      .select(from_xml(col("x"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, p STRING, c BIGINT")).as("o"))
+      .groupBy(col("o.p").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum("o.c").as("sum_cents"),
+        min("o.k").as("min_key"))
+      .orderBy("priority")
+  }
+
+  /** Entity-resolution blocking-scheme audit: before any fuzzy-match
+    * join, which blocking key keeps the candidate-pair budget sane?
+    * Three schemes over the part catalog (first name token, brand,
+    * type×size); for each: block count, worst block, the exact
+    * candidate-pair total Σ C(b,2), and the reduction ratio vs the
+    * all-pairs C(N,2) in exact micro-units. Each scheme is one
+    * aggregate over block-key counts — the audit that sizes
+    * q_fuzzy_join-style blocked self-joins before they run. */
+  def qBlockingKeys(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d)
+    def scheme(name: String, key: Column): DataFrame =
+      p.select(key.as("bk"))
+        .groupBy("bk").agg(count(lit(1)).as("b"))
+        .agg(count(lit(1)).as("n_blocks"),
+          max("b").as("max_block"),
+          sum(expr("b * (b - 1) DIV 2")).as("cand_pairs"),
+          sum("b").as("nn"))
+        .select(lit(name).as("scheme"), col("n_blocks"), col("max_block"),
+          col("cand_pairs"),
+          expr("(nn * (nn - 1) DIV 2 - cand_pairs) * 1000000L " +
+            "DIV (nn * (nn - 1) DIV 2)").as("reduction_micro"))
+    scheme("name_token", split(col("p_name"), " ").getItem(0))
+      .unionByName(scheme("brand", col("p_brand")))
+      .unionByName(scheme("type_size",
+        concat(col("p_type"), lit("|"), col("p_size"))))
+      .orderBy("scheme")
+  }
+}
