@@ -332,6 +332,7 @@ object SparkEntry {
     "q_window_distinct"    -> (MiningOps.qWindowDistinct _),
     "q_xml_parse"          -> (MiningOps.qXmlParse _),
     "q_blocking_keys"      -> (MiningOps.qBlockingKeys _),
+    "q_jaro_winkler"       -> (MiningOps.qJaroWinkler _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4633,5 +4634,20 @@ object SparkEntry {
         |       CAST((nn * (nn - 1) // 2 - cand_pairs) * 1000000
         |            // (nn * (nn - 1) // 2) AS BIGINT) AS reduction_micro
         |FROM agg ORDER BY scheme""".stripMargin,
+
+    "q_jaro_winkler" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+        |p AS (
+        |  SELECT a.name AS name_a, b.name AS name_b
+        |  FROM n a JOIN n b
+        |    ON substr(a.name, 1, 1) = substr(b.name, 1, 1)
+        |   AND a.name < b.name)
+        |SELECT name_a, name_b, jw
+        |FROM (SELECT name_a, name_b,
+        |        FLOOR(jaro_winkler_similarity(name_a, name_b) * 10000.0 + 0.5)
+        |          / 10000.0 AS jw
+        |      FROM p) s
+        |WHERE jw >= 0.84
+        |ORDER BY name_a, name_b""".stripMargin,
   )
 }

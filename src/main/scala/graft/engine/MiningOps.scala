@@ -242,6 +242,33 @@ object MiningOps {
       .orderBy("priority")
   }
 
+  /** Jaro-Winkler fuzzy matching over the part-name dictionary via
+    * the NATIVE [[graft.expressions.JaroWinkler]] expression (Spark
+    * has no Jaro family; a UDF would box every pair and break
+    * codegen). The corpus collapses to its distinct-name dictionary
+    * FIRST (vocabulary-bounded), pairs are blocked on the first
+    * character (the standard ER blocking key for prefix-boosted JW —
+    * a pair differing in char 1 gets no Winkler boost and rarely
+    * clears the threshold), and the threshold compares the ROUNDED
+    * score — the fixture has a pair sitting exactly ON 0.84 (±1 ulp),
+    * and floor(x·1e4+0.5) absorbs that ulp identically in both
+    * engines while a raw-double compare would flap. */
+  def qJaroWinkler(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    val names = part(s, d).select(col("p_name").as("name")).distinct()
+    val pairs = names.select(col("name").as("name_a"),
+        substring(col("name"), 1, 1).as("blk"))
+      .join(names.select(col("name").as("name_b"),
+        substring(col("name"), 1, 1).as("blk")), "blk")
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("jw_raw",
+        call_function("graft_jaro_winkler", col("name_a"), col("name_b")))
+    pairs.withColumn("jw", r4(col("jw_raw")))
+      .filter(col("jw") >= 0.84)
+      .select("name_a", "name_b", "jw")
+      .orderBy("name_a", "name_b")
+  }
+
   /** Entity-resolution blocking-scheme audit: before any fuzzy-match
     * join, which blocking key keeps the candidate-pair budget sane?
     * Three schemes over the part catalog (first name token, brand,

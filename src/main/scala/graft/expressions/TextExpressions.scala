@@ -568,3 +568,89 @@ case class WithinEdit1(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Jaro-Winkler string similarity as a NATIVE codegen'd expression —
+  * Spark has levenshtein but no Jaro family; a Scala UDF would box
+  * both strings and break whole-stage codegen on the pair-scoring hot
+  * path. Semantics match the standard definition (and DuckDB 1.0's
+  * `jaro_winkler_similarity`, which oracles q_jaro_winkler):
+  * match window floor(max(|a|,|b|)/2)−1, transpositions = half the
+  * out-of-order matched positions, Winkler prefix boost (≤4 chars,
+  * p=0.1) applied only when jaro > 0.7, and the RapidFuzz edge rule
+  * that ANY empty side scores 0 (including empty vs empty). */
+object JaroOps {
+  def jaroWinkler(a: org.apache.spark.unsafe.types.UTF8String,
+                  b: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val x = a.toString; val y = b.toString
+    val n1 = x.length; val n2 = y.length
+    if (n1 == 0 || n2 == 0) return 0.0
+    if (x == y) return 1.0
+    val window = math.max(0, math.max(n1, n2) / 2 - 1)
+    val m1 = new Array[Boolean](n1)
+    val m2 = new Array[Boolean](n2)
+    var m = 0
+    var i = 0
+    while (i < n1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(n2 - 1, i + window)
+      var j = lo
+      var done = false
+      while (j <= hi && !done) {
+        if (!m2(j) && x.charAt(i) == y.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: matched chars of x vs matched chars of y, in order
+    var t2 = 0 // twice the transposition count (out-of-order positions)
+    var j = 0
+    i = 0
+    while (i < n1) {
+      if (m1(i)) {
+        while (!m2(j)) j += 1
+        if (x.charAt(i) != y.charAt(j)) t2 += 1
+        j += 1
+      }
+      i += 1
+    }
+    val t = t2 / 2.0
+    val jaro = (m.toDouble / n1 + m.toDouble / n2 + (m - t) / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var p = 0
+    val maxP = math.min(4, math.min(n1, n2))
+    while (p < maxP && x.charAt(p) == y.charAt(p)) p += 1
+    jaro + 0.1 * p * (1.0 - jaro)
+  }
+}
+
+/** See [[JaroOps.jaroWinkler]]. */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_jaro_winkler requires string inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def prettyName: String = "graft_jaro_winkler"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroOps.jaroWinkler(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.JaroOps.jaroWinkler($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -192,6 +192,8 @@ object VectorExpressions {
       "graft_within_edit1", exprs => WithinEdit1(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_md5_linear_score", exprs => Md5LinearScore(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
   }
 }
 

@@ -176,4 +176,30 @@ class TextExpressionSpec extends SparkSuite {
       .as[Seq[Long]].head()
     assert(empty.isEmpty)
   }
+
+  test("graft_jaro_winkler matches the standard (= DuckDB-pinned) values") {
+    VectorExpressions.register(spark)
+    // r4-rounded expectations pinned from duckdb 1.0 jaro_winkler_similarity
+    val cases = Seq(
+      ("martha", "marhta", 0.9611),  // classic transposition example
+      ("dwayne", "duane", 0.84),
+      ("dixon", "dicksonx", 0.8133), // boost applied (jaro 0.7667 > 0.7)
+      ("ab", "abzzzzzzzz", 0.7867),  // boost on a short prefix side
+      ("abqqqq", "abzzzz", 0.5556),  // prefix 2 but jaro ≤ 0.7 → NO boost
+      ("crate", "trace", 0.7333),    // prefix 0 → boost is a no-op
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0), ("", "", 0.0), // RapidFuzz empty rule
+      ("a", "b", 0.0))
+    cases.foreach { case (a, b, want) =>
+      val got = spark.sql(
+        s"SELECT floor(graft_jaro_winkler('$a', '$b') * 10000 + 0.5) / 10000")
+        .head.getDouble(0)
+      assert(got == want, s"jw($a, $b) = $got, want $want")
+      // symmetric by definition
+      val rev = spark.sql(
+        s"SELECT floor(graft_jaro_winkler('$b', '$a') * 10000 + 0.5) / 10000")
+        .head.getDouble(0)
+      assert(rev == got, s"jw not symmetric on ($a, $b)")
+    }
+  }
 }
