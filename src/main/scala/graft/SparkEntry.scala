@@ -333,7 +333,47 @@ object SparkEntry {
     "q_xml_parse"          -> (MiningOps.qXmlParse _),
     "q_blocking_keys"      -> (MiningOps.qBlockingKeys _),
     "q_jaro_winkler"       -> (MiningOps.qJaroWinkler _),
+    "q_components_ccf"     -> (GraphOps.qComponentsCcf _),
   )
+
+  /** Shared by q_dedup_cluster and q_components_ccf - two different
+    * distributed algorithms (min-label propagation vs CCF
+    * star-contraction) gated against ONE recursive-CTE closure. */
+  private lazy val dedupClusterOracle: String =
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr FROM documents
+        |), shd AS (
+        |  SELECT DISTINCT doc_id,
+        |    UNNEST(list_transform(range(1, len(arr) - 1),
+        |      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
+        |  FROM toks WHERE len(arr) >= 3
+        |), mh AS (
+        |  SELECT doc_id, p,
+        |    min(('0x' || substr(md5(CAST(p // 2 AS VARCHAR) || ':' || shingle),
+        |                        CAST(1 + 15 * (p % 2) AS INTEGER), 15))::BIGINT) AS mv
+        |  FROM shd, range(8) t(p) GROUP BY doc_id, p
+        |), bands AS (
+        |  SELECT doc_id, p // 2 AS band,
+        |    string_agg(CAST(mv AS VARCHAR), ',' ORDER BY p) AS sig
+        |  FROM mh GROUP BY doc_id, p // 2
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT da AS a, db AS b FROM pairs
+        |  UNION ALL SELECT db, da FROM pairs
+        |), reach(node, r) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+        |), comp AS (
+        |  SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+        |)
+        |SELECT c.node AS doc_id, c.comp,
+        |       CAST(COUNT(*) OVER (PARTITION BY c.comp) AS BIGINT) AS cluster_size
+        |FROM comp c
+        |ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" ->
@@ -2532,41 +2572,12 @@ object SparkEntry {
         |FROM ranked WHERE rn <= 3
         |ORDER BY doc_id, rn""".stripMargin,
 
-    "q_dedup_cluster" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr FROM documents
-        |), shd AS (
-        |  SELECT DISTINCT doc_id,
-        |    UNNEST(list_transform(range(1, len(arr) - 1),
-        |      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
-        |  FROM toks WHERE len(arr) >= 3
-        |), mh AS (
-        |  SELECT doc_id, p,
-        |    min(('0x' || substr(md5(CAST(p // 2 AS VARCHAR) || ':' || shingle),
-        |                        CAST(1 + 15 * (p % 2) AS INTEGER), 15))::BIGINT) AS mv
-        |  FROM shd, range(8) t(p) GROUP BY doc_id, p
-        |), bands AS (
-        |  SELECT doc_id, p // 2 AS band,
-        |    string_agg(CAST(mv AS VARCHAR), ',' ORDER BY p) AS sig
-        |  FROM mh GROUP BY doc_id, p // 2
-        |), pairs AS (
-        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-        |), edges AS (
-        |  SELECT da AS a, db AS b FROM pairs
-        |  UNION ALL SELECT db, da FROM pairs
-        |), reach(node, r) AS (
-        |  SELECT DISTINCT a, a FROM edges
-        |  UNION
-        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
-        |), comp AS (
-        |  SELECT node, MIN(r) AS comp FROM reach GROUP BY node
-        |)
-        |SELECT c.node AS doc_id, c.comp,
-        |       CAST(COUNT(*) OVER (PARTITION BY c.comp) AS BIGINT) AS cluster_size
-        |FROM comp c
-        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_cluster" -> dedupClusterOracle,
+
+    // identical oracle on purpose: q_components_ccf must produce the
+    // SAME components from the same candidate edges via the O(log d)
+    // CCF algorithm instead of min-label propagation
+    "q_components_ccf" -> dedupClusterOracle,
 
     "q_zorder_layout" ->
       """WITH mx AS (SELECT MAX(l_orderkey) + 1 AS mo, MAX(l_partkey) + 1 AS mp FROM lineitem),
