@@ -334,6 +334,8 @@ object SparkEntry {
     "q_blocking_keys"      -> (MiningOps.qBlockingKeys _),
     "q_jaro_winkler"       -> (MiningOps.qJaroWinkler _),
     "q_components_ccf"     -> (GraphOps.qComponentsCcf _),
+    "q_recall_at_k"        -> ((s, d) => VectorOps.qRecallAtK(s, d)),
+    "q_lorenz"             -> (MiningOps.qLorenz _),
   )
 
   /** Shared by q_dedup_cluster and q_components_ccf - two different
@@ -829,6 +831,7 @@ object SparkEntry {
     // Generated SQL: the fixed-seed hyperplane constants are embedded,
     // so bucket assignment + multiprobe + top-k replay end-to-end.
     "q_ann_lsh" -> VectorOps.annLshOracleSql(),
+    "q_recall_at_k" -> VectorOps.recallAtKOracleSql(),
     "q_embed_cosine_dup" -> VectorOps.embedCosineDupOracleSql(),
 
     // The multimodal stub decoder is deterministic FNV-1a over the
@@ -4660,5 +4663,30 @@ object SparkEntry {
         |      FROM p) s
         |WHERE jw >= 0.84
         |ORDER BY name_a, name_b""".stripMargin,
+
+    "q_lorenz" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT o_custkey, cents,
+        |        ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+        |      FROM spend),
+        |g AS (SELECT decile, COUNT(*) AS n_customers,
+        |        SUM(cents) AS decile_cents
+        |      FROM d GROUP BY 1),
+        |c AS (SELECT decile, n_customers, decile_cents,
+        |        SUM(decile_cents) OVER (ORDER BY decile) AS cum_cents,
+        |        SUM(n_customers) OVER (ORDER BY decile) AS cum_customers,
+        |        SUM(decile_cents) OVER () AS tc,
+        |        SUM(n_customers) OVER () AS tn
+        |      FROM g)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |       CAST(n_customers AS BIGINT) AS n_customers,
+        |       CAST(decile_cents AS BIGINT) AS decile_cents,
+        |       CAST(cum_customers * 1000000 // tn AS BIGINT) AS cum_pop_micro,
+        |       CAST(cum_cents * 1000000 // tc AS BIGINT) AS cum_spend_micro
+        |FROM c ORDER BY decile""".stripMargin,
   )
 }

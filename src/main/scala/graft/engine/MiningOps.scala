@@ -242,6 +242,37 @@ object MiningOps {
       .orderBy("priority")
   }
 
+  /** Lorenz curve of customer spend (the Gini coefficient's
+    * underlying curve, [[StatsOps]] has the scalar): customers sorted
+    * by spend are cut into deciles (ntile with a full-column
+    * tie-break so the cut is deterministic), and each decile reports
+    * its exact population and cumulative spend share in integer
+    * micro-units. The fact table collapses to the customer-keyed
+    * aggregate FIRST, so the unpartitioned ntile window runs on a
+    * dimension-sized input (the same bounded-window discipline as
+    * q_skyline); the cumulative sums then live on 10 rows. */
+  def qLorenz(s: SparkSession, d: String): DataFrame = {
+    val spend = orders(s, d)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy("o_custkey").agg(sum("cents").as("cents"))
+    val deciled = spend.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("cents"), col("o_custkey")))
+        .cast("long"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = deciled.agg(sum("cents").as("tc"), count(lit(1)).as("tn"))
+    deciled.groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("decile_cents"))
+      .withColumn("cum_cents", sum("decile_cents").over(w))
+      .withColumn("cum_customers", sum("n_customers").over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_customers"), col("decile_cents"),
+        expr("cum_customers * 1000000L DIV tn").as("cum_pop_micro"),
+        expr("cum_cents * 1000000L DIV tc").as("cum_spend_micro"))
+      .orderBy("decile")
+  }
+
   /** Jaro-Winkler fuzzy matching over the part-name dictionary via
     * the NATIVE [[graft.expressions.JaroWinkler]] expression (Spark
     * has no Jaro family; a UDF would box every pair and break

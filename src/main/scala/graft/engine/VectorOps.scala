@@ -775,4 +775,79 @@ object VectorOps {
         round(col("ssum") / 4.0, 6).as("component"))
       .orderBy("vec_id", "out_dim")
   }
+
+  /** ANN quality gate — recall@k of the multiprobe sign-LSH index
+    * against the exact brute-force neighborhood, per query: the
+    * metric every vector-index deployment watches before trusting an
+    * approximate index. The exact side broadcasts the BOUNDED query
+    * sample over the corpus (one scan, native codegen'd cosine);
+    * the approximate side is [[qAnnLsh]] itself, so the measured
+    * index is the production one, not a reimplementation. Both sides
+    * and the hit-join replay in DuckDB with the plane constants
+    * embedded ([[recallAtKOracleSql]]). */
+  def qRecallAtK(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val corpus = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = corpus.crossJoin(broadcast(queries))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(nativeCosine(s, col("q_emb"), col("embedding")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)))
+      .filter(col("rn") <= k)
+      .select("q_id", "vec_id")
+    val ann = qAnnLsh(s, d, k).select(col("q_id"), col("vec_id"),
+      lit(1L).as("hit"))
+    exact.join(ann, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("q_id"), col("k_exact"), col("n_hit"),
+        r4(col("n_hit") / col("k_exact").cast("double")).as("recall"))
+      .orderBy("q_id")
+  }
+
+  /** DuckDB oracle for qRecallAtK: exact brute-force top-k, the
+    * embedded-constant LSH top-k (same CTEs as [[annLshOracleSql]]),
+    * and the recall join — the whole eval replays. */
+  def recallAtKOracleSql(k: Int = 10): String = {
+    val planes = hyperplanes(8, 64)
+    val bucket = duckBucketSql(planes)
+    val masks = duckMaskList(planes.length)
+    s"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qs AS (SELECT vec_id AS q_id, v AS qv FROM t WHERE vec_id < 10),
+       |ex AS (SELECT qs.q_id, t.vec_id,
+       |         ROUND(list_cosine_similarity(qs.qv, t.v), 6) AS cos_sim
+       |       FROM qs JOIN t ON qs.q_id <> t.vec_id),
+       |exk AS (SELECT q_id, vec_id FROM (
+       |          SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |            ORDER BY cos_sim DESC, vec_id) AS rn FROM ex) x
+       |        WHERE rn <= $k),
+       |b AS (SELECT vec_id, v,
+       |        $bucket AS bucket
+       |      FROM t),
+       |qp AS (SELECT b.vec_id AS q_id, b.v AS qv, xor(b.bucket, m.m) AS bucket
+       |       FROM b, (SELECT UNNEST([$masks]) AS m) m
+       |       WHERE b.vec_id < 10),
+       |c AS (SELECT qp.q_id, i.vec_id,
+       |             ROUND(list_cosine_similarity(qp.qv, i.v), 6) AS cos_sim
+       |      FROM qp JOIN b i ON i.bucket = qp.bucket
+       |      WHERE qp.q_id <> i.vec_id),
+       |annk AS (SELECT q_id, vec_id, 1 AS hit FROM (
+       |           SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |             ORDER BY cos_sim DESC, vec_id) AS rn FROM c) x
+       |         WHERE rn <= $k)
+       |SELECT exk.q_id, CAST(COUNT(*) AS BIGINT) AS k_exact,
+       |       CAST(SUM(COALESCE(annk.hit, 0)) AS BIGINT) AS n_hit,
+       |       FLOOR(SUM(COALESCE(annk.hit, 0)) * 1.0 / COUNT(*)
+       |             * 10000.0 + 0.5) / 10000.0 AS recall
+       |FROM exk LEFT JOIN annk
+       |  ON annk.q_id = exk.q_id AND annk.vec_id = exk.vec_id
+       |GROUP BY exk.q_id
+       |ORDER BY exk.q_id""".stripMargin
+  }
 }
