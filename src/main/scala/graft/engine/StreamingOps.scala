@@ -538,6 +538,76 @@ object StreamingOps {
         OutputMode.Update())
   }
 
+  // ---- streaming heavy hitters (SpaceSaving) ----------------------
+
+  final case class HhEvent(key: String, item: String)
+  // not private: the state encoder's generated code must access it
+  final case class HhCounter(item: String, cnt: Long, err: Long)
+  final case class HhSummary(key: String, item: String,
+                             cnt: Long, err: Long, guaranteed: Boolean)
+
+  /** Streaming top-k heavy hitters per key via SpaceSaving (Metwally
+    * et al. 2005, "Efficient computation of frequent and top-k
+    * elements in data streams") on transformWithState: at most
+    * `capacity` counters of state per key FOREVER — the property that
+    * makes per-key frequency tracking viable on an unbounded stream
+    * (a plain groupBy count grows with the item cardinality; this is
+    * O(capacity), and any item with true count > n/capacity is
+    * guaranteed present). On overflow the minimum counter is evicted
+    * and its count inherited as the newcomer's error bound; emitted
+    * rows carry (cnt, err), so `cnt − err` is a certain lower bound
+    * and `guaranteed` marks items whose lower bound clears the next
+    * counter — the exact semantics monitoring dashboards need. The
+    * reference buffers raw rows (O12) and can answer nothing about
+    * frequency without a full scan; this is the streaming-state
+    * analog of q_approx_topk. */
+  class HeavyHittersProcessor(capacity: Int, k: Int)
+      extends StatefulProcessor[String, HhEvent, HhSummary] {
+    @transient private var counters: ListState[HhCounter] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counters = getHandle.getListState[HhCounter]("counters",
+        org.apache.spark.sql.Encoders.product[HhCounter], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[HhEvent],
+                                 tv: TimerValues): Iterator[HhSummary] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, HhCounter]
+      counters.get().foreach(c => m(c.item) = c)
+      rows.foreach { e =>
+        m.get(e.item) match {
+          case Some(c) => m(e.item) = c.copy(cnt = c.cnt + 1)
+          case None if m.size < capacity =>
+            m(e.item) = HhCounter(e.item, 1L, 0L)
+          case None =>
+            // evict the minimum counter (item tie-break for
+            // determinism); the newcomer inherits its count as error
+            val min = m.values.minBy(c => (c.cnt, c.item))
+            m.remove(min.item)
+            m(e.item) = HhCounter(e.item, min.cnt + 1, min.cnt)
+        }
+      }
+      val all = m.values.toSeq.sortBy(c => (-c.cnt, c.item))
+      counters.put(all.toArray)
+      val top = all.take(k)
+      // an item is a GUARANTEED top-k member when its certain lower
+      // bound (cnt − err) beats the count of the first counter left
+      // out of the summary (0 when everything fit)
+      val nextCnt = all.drop(k).headOption.map(_.cnt).getOrElse(0L)
+      top.iterator.map(c =>
+        HhSummary(key, c.item, c.cnt, c.err, (c.cnt - c.err) >= nextCnt))
+    }
+  }
+
+  def heavyHittersTws(events: Dataset[HhEvent], capacity: Int,
+                      k: Int): Dataset[HhSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .transformWithState(new HeavyHittersProcessor(capacity, k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Checkpointed exactly-once parquet sink (fixes the reference's
     * duplicate-persist wart, duckdb/sink.go:89-125 — it re-inserts
     * every buffered batch each 5s tick with no high-water mark; Spark's

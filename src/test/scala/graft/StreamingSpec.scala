@@ -372,6 +372,51 @@ class StreamingSpec extends SparkSuite {
       assert(r.getDouble(5) == 7.0)
     } finally q.stop()
   }
+
+  test("transformWithState SpaceSaving heavy hitters: bounded state, " +
+    "eviction error bounds, guarantee flags") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[StreamingOps.HhEvent]
+    val out = StreamingOps.heavyHittersTws(mem.toDS(), capacity = 3, k = 2)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("hh_out").start()
+    try {
+      def hh(k: String, i: String) = StreamingOps.HhEvent(k, i)
+      // batch 1 fits capacity exactly — counts are exact (err 0)
+      mem.addData(hh("t", "a"), hh("t", "a"), hh("t", "a"),
+        hh("t", "b"), hh("t", "b"), hh("t", "c"))
+      q.processAllAvailable()
+      // batch 2: d evicts the min counter c(1) and inherits its count
+      // as error; cross-micro-batch state carries a and b
+      mem.addData(hh("t", "d"), hh("t", "d"), hh("t", "d"), hh("t", "d"))
+      q.processAllAvailable()
+      // batch 3: c returns, evicts b(2); fresh key u stays exact
+      mem.addData(hh("t", "c"), hh("t", "c"), hh("t", "c"), hh("u", "x"))
+      q.processAllAvailable()
+      val rows = spark.table("hh_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4))).toSet
+      // batch 1: exact top-2, b(2) is the runner-up cut at k
+      assert(rows.contains(("t", "a", 3L, 0L, true)))
+      // batch 2: d = evicted c's count 1 + 1, then +3 → (5, err 1)
+      assert(rows.contains(("t", "d", 5L, 1L, true)))
+      // batch 3: c = evicted b's count 2 + 1, then +2 → (5, err 2);
+      // lower bound 3 exactly meets next counter a(3) → guaranteed
+      assert(rows.contains(("t", "c", 5L, 2L, true)))
+      assert(rows.contains(("u", "x", 1L, 0L, true)))
+      // b was evicted and never re-emitted after batch 3
+      assert(!rows.exists(r => r._1 == "t" && r._2 == "b" && r._3 > 2L))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
 
 case class Click(user_id: Long, click_id: Long, click_ts: Timestamp)
