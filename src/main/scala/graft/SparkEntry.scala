@@ -336,6 +336,7 @@ object SparkEntry {
     "q_components_ccf"     -> (GraphOps.qComponentsCcf _),
     "q_recall_at_k"        -> ((s, d) => VectorOps.qRecallAtK(s, d)),
     "q_lorenz"             -> (MiningOps.qLorenz _),
+    "q_session_window"     -> (AnalyticsOps.qSessionWindow _),
   )
 
   /** Shared by q_dedup_cluster and q_components_ccf - two different
@@ -4688,5 +4689,27 @@ object SparkEntry {
         |       CAST(cum_customers * 1000000 // tn AS BIGINT) AS cum_pop_micro,
         |       CAST(cum_cents * 1000000 // tc AS BIGINT) AS cum_spend_micro
         |FROM c ORDER BY decile""".stripMargin,
+
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |x AS (
+        |  SELECT user_id, ts, event_id, us,
+        |         CASE WHEN prev IS NULL OR us - prev >= 1800000000 THEN 1
+        |              ELSE 0 END AS is_new
+        |  FROM (SELECT *, lag(us) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS prev FROM e) t),
+        |s AS (
+        |  SELECT user_id, us,
+        |         SUM(is_new) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS sess_n
+        |  FROM x)
+        |SELECT user_id, CAST(MIN(us) AS BIGINT) AS start_us,
+        |       CAST(MAX(us) + 1800000000 AS BIGINT) AS end_us,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sess_n HAVING COUNT(*) >= 3
+        |ORDER BY user_id, start_us""".stripMargin,
   )
 }

@@ -224,6 +224,27 @@ object AnalyticsOps {
       .orderBy("user_id", "sess_n")
   }
 
+  /** Batch sessionization via Spark's BUILT-IN `session_window`
+    * (SessionWindowing + MergingSessionsExec — the engine's native
+    * gap-session operator, one shuffle on the user key, no windows):
+    * the API a Spark user reaches for first, cross-validated against
+    * the same gap semantics spelled out in SQL. Boundary pinned
+    * exactly: an event at `prev + gap` starts a NEW session
+    * (session_window merges only while `t < prev_end`), and the
+    * oracle replays that with integer-µs arithmetic. Complement of
+    * [[qSessionizeBatch]], which derives sessions from window
+    * functions instead. */
+  def qSessionWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") >= 3L)
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+
   /** Shannon entropy (bits) of each user's event-type mix — the
     * behavioral-diversity score a curation pipeline uses to separate
     * bots (entropy ~0) from organic users. Two-stage: count per
