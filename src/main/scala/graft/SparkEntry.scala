@@ -337,6 +337,7 @@ object SparkEntry {
     "q_recall_at_k"        -> ((s, d) => VectorOps.qRecallAtK(s, d)),
     "q_lorenz"             -> (MiningOps.qLorenz _),
     "q_session_window"     -> (AnalyticsOps.qSessionWindow _),
+    "q_theil_sen"          -> (MiningOps.qTheilSen _),
   )
 
   /** Shared by q_dedup_cluster and q_components_ccf - two different
@@ -4711,5 +4712,40 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sess_n HAVING COUNT(*) >= 3
         |ORDER BY user_id, start_us""".stripMargin,
+
+    "q_theil_sen" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |k AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, us, c,
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id) AS rn
+        |    FROM c) x WHERE rn <= 64),
+        |nn AS (SELECT user_id, COUNT(*) AS n FROM k GROUP BY 1
+        |       HAVING COUNT(*) >= 10),
+        |p AS (
+        |  SELECT a.user_id, b.c - a.c AS num, b.us - a.us AS den
+        |  FROM k a JOIN k b ON a.user_id = b.user_id AND a.rn < b.rn
+        |  JOIN nn ON nn.user_id = a.user_id
+        |  WHERE b.us - a.us > 0),
+        |sl AS (SELECT user_id, num, den,
+        |         (num * 3600000000.0) / den AS slope FROM p),
+        |r AS (
+        |  SELECT user_id, num, den, slope,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY slope, num, den) AS rn,
+        |         COUNT(*) OVER (PARTITION BY user_id) AS np
+        |  FROM sl)
+        |SELECT r.user_id, CAST(nn.n AS BIGINT) AS n,
+        |       CAST(np AS BIGINT) AS n_pairs,
+        |       CAST(num AS BIGINT) AS med_num, CAST(den AS BIGINT) AS med_den,
+        |       FLOOR(slope * 10000.0 + 0.5) / 10000.0 AS slope_cph
+        |FROM r JOIN nn ON nn.user_id = r.user_id
+        |WHERE rn = (np + 1) // 2
+        |ORDER BY r.user_id""".stripMargin,
   )
 }

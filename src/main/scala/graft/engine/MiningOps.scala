@@ -73,6 +73,7 @@ object MiningOps {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
         floor(col("value") * 100.0 + 0.5).cast("long").as("c"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= MkMaxEvents)
@@ -119,6 +120,48 @@ object MiningOps {
             r4((col("s_stat") + 1L) / sqrt(col("var18") / lit(18.0))))
           .otherwise(lit(0.0)))
       .select("user_id", "n", "s_stat", "var18", "z_mk")
+      .orderBy("user_id")
+  }
+
+  /** Theil-Sen robust trend slope per user — the median of all
+    * pairwise slopes, the estimator that shrugs off the outliers that
+    * wreck least-squares ([[qMannKendall]] is its significance test;
+    * together they are the standard robust-trend pair). Slopes are
+    * exact rationals (integer cent deltas over integer µs deltas,
+    * the [[MkMaxEvents]] cap bounding the C(n,2) fan-out per user);
+    * the median element is selected by row_number under a total
+    * order (slope, num, den) so both engines pick the IDENTICAL
+    * pair, then report its exact integer numerator/denominator
+    * alongside the rounded cents-per-hour slope. */
+  def qTheilSen(s: SparkSession, d: String): DataFrame = {
+    val slopes = cappedSeq(s, d)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("rn"), col("us"), col("c"))))
+        .as("a"))
+      .select(col("user_id"),
+        expr("transform(a, x -> x.us)").as("ts_us"),
+        expr("transform(a, x -> x.c)").as("cs"),
+        size(col("a")).as("n"))
+      .filter(col("n") >= 10)
+      .select(col("user_id"), col("n").cast("long").as("n"),
+        explode(expr(
+          "flatten(transform(sequence(0, n - 2), " +
+            "i -> transform(sequence(i + 1, n - 1), " +
+            "j -> struct(cs[j] - cs[i] AS num, ts_us[j] - ts_us[i] AS den))))"))
+          .as("p"))
+      .filter(col("p.den") > 0L)
+      .select(col("user_id"), col("n"),
+        col("p.num").as("num"), col("p.den").as("den"),
+        ((col("p.num") * lit(3600000000.0)) / col("p.den")).as("slope"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("slope"), col("num"), col("den"))
+    slopes
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("user_id")))
+      .filter(col("rn") === expr("(np + 1) DIV 2"))
+      .select(col("user_id"), col("n"), col("np").as("n_pairs"),
+        col("num").as("med_num"), col("den").as("med_den"),
+        r4(col("slope")).as("slope_cph"))
       .orderBy("user_id")
   }
 
