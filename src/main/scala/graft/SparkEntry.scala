@@ -338,6 +338,7 @@ object SparkEntry {
     "q_lorenz"             -> (MiningOps.qLorenz _),
     "q_session_window"     -> (AnalyticsOps.qSessionWindow _),
     "q_theil_sen"          -> (MiningOps.qTheilSen _),
+    "q_avro_roundtrip"     -> (Sinks.qAvroRoundtrip _),
   )
 
   /** Shared by q_dedup_cluster and q_components_ccf - two different
@@ -4747,5 +4748,13 @@ object SparkEntry {
         |FROM r JOIN nn ON nn.user_id = r.user_id
         |WHERE rn = (np + 1) // 2
         |ORDER BY r.user_id""".stripMargin,
+
+    "q_avro_roundtrip" ->
+      """SELECT o_orderpriority AS priority,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents,
+        |       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin,
   )
 }

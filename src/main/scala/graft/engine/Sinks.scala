@@ -163,6 +163,39 @@ object Sinks {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  private val avroCopies = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Land orders as Avro container files once per (JVM, sf) via the
+    * engine's own connector ([[graft.sources.AvroSink]]). */
+  def ensureAvroOrders(s: SparkSession, d: String): String =
+    avroCopies.computeIfAbsent(d, _ => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_avro_${pid}_" +
+        Integer.toHexString(d.hashCode)
+      graft.sources.AvroSink.write(
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents")),
+        path)
+      path
+    })
+
+  /** Avro sink + scan round-trip through the graft-avro DataSource V2
+    * connector (the spark-avro module is absent offline; this is the
+    * engine's own avro-core-based format — container files written
+    * per-partition, schema inferred from the container header, column
+    * pruning honored by the reader). Money rides as integer cents, so
+    * the DuckDB oracle recomputing from the parquet fixture pins the
+    * round-trip bit-exactly. */
+  def qAvroRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = ensureAvroOrders(s, d)
+    s.read.format("graft-avro").option("path", path).load()
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum("cents").as("sum_cents"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("priority")
+  }
+
   /** Partition-pruned scan end-to-end: land events partitioned by
     * event_type (the 100 TB layout — one directory per type), then
     * aggregate two types. The filter is a partition filter, so the
