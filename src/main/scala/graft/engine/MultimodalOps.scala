@@ -146,6 +146,41 @@ object MultimodalOps {
     finally iis.close()
   }
 
+  /** REAL audio decode for RIFF/WAVE payloads — pure-JVM header
+    * parsing, zero deps (the WAV container is a 44-byte-ish header;
+    * no codec library needed for PCM metadata). Walks the chunk list
+    * for `fmt ` (channels, sample rate, byte rate, bits/sample) and
+    * `data` (payload size), and derives duration = dataBytes·1000 /
+    * byteRate. Header-only like [[decodeImageHeader]]: cost is
+    * independent of audio length, the property that matters over
+    * billions of clips. Returns (sampleRate, bitsPerSample, channels,
+    * durationMs); None for non-WAV payloads (then the caller falls
+    * back to the stub — compressed audio needs a real codec). */
+  def decodeWavHeader(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u16(i: Int): Int =
+      (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long =
+      (payload(i) & 0xffL) | ((payload(i + 1) & 0xffL) << 8) |
+        ((payload(i + 2) & 0xffL) << 16) | ((payload(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String =
+      new String(payload, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (payload.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int, Long)] = None // channels, rate, bits, byteRate
+    var dataBytes = -1L
+    while (pos + 8 <= payload.length && (fmt.isEmpty || dataBytes < 0)) {
+      val id = tag(pos)
+      val sz = u32(pos + 4)
+      if (id == "fmt " && pos + 24 <= payload.length)
+        fmt = Some((u16(pos + 10), u32(pos + 12).toInt, u16(pos + 22), u32(pos + 16)))
+      else if (id == "data") dataBytes = sz
+      pos += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    fmt.collect { case (ch, rate, bits, byteRate) if byteRate > 0 && dataBytes >= 0 =>
+      (rate, bits, ch, dataBytes * 1000L / byteRate)
+    }
+  }
+
   // ======================= STUB DECODER ========================== //
   // Deterministic FAKE media decode for the mimes the JDK has no
   // codec for (audio/video) and for payloads no reader recognizes:
@@ -182,12 +217,18 @@ object MultimodalOps {
         // real decoder: codec context initialized here, once per partition
         javax.imageio.ImageIO.setUseCache(false)
         it.map { a =>
+          // audio rides the same row shape: width=sampleRate,
+          // height=bitsPerSample (documented field overloading — the
+          // DecodedAsset columns are generic media properties)
           val real =
-            if (a.mime.startsWith("image/")) decodeImageHeader(a.payload) else None
-          val (w, h, c, dur) = real match {
-            case Some((iw, ih, bands)) => (iw, ih, bands, 0L)
-            case None                  => stubDecode(a.payload)
-          }
+            if (a.mime.startsWith("image/")) decodeImageHeader(a.payload).map {
+              case (iw, ih, bands) => (iw, ih, bands, 0L)
+            }
+            else if (a.mime.startsWith("audio/")) decodeWavHeader(a.payload).map {
+              case (rate, bits, ch, dur) => (rate, bits, ch, dur)
+            }
+            else None
+          val (w, h, c, dur) = real.getOrElse(stubDecode(a.payload))
           DecodedAsset(a.asset_id, a.mime, a.payload.length.toLong, w, h, c, dur)
         }
       }

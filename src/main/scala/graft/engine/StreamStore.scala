@@ -35,6 +35,12 @@ final class StreamStore(
     val batches = mutable.ArrayDeque.empty[Batch]
     var currentBytes = 0L
     var droppedRows = 0L
+    /** Monotone count of batches EVER appended — the topic's streaming
+      * offset axis. The absolute index of the oldest still-buffered
+      * batch is `appended - batches.size` (eviction moves the tail of
+      * the axis, never renumbers it) — the same Kafka-style offset
+      * contract the streaming source needs. */
+    var appended = 0L
     var lastUpdated: Long = now()
   }
 
@@ -69,8 +75,30 @@ final class StreamStore(
     e.droppedRows += dropped
     e.batches.append(Batch(rows, size))
     e.currentBytes += size
+    e.appended += 1
     dropped
   }
+
+  /** Monotone batch-append count — the streaming source's latest
+    * offset for the topic (0 for unknown topics). */
+  def appendedBatches(topic: String): Long =
+    synchronized { streams.get(topic).map(_.appended).getOrElse(0L) }
+
+  /** Batches by ABSOLUTE append index in [from, until): the streaming
+    * source's getBatch. Indices already evicted by the byte budget are
+    * silently absent — drop-oldest loses data by contract
+    * (stream/manager.go's eviction), and the source surfaces that as
+    * missing offsets rather than failing the query. */
+  def batchSlice(topic: String, from: Long, until: Long): Seq[(Long, Seq[Row])] =
+    synchronized {
+      streams.get(topic).map { e =>
+        val first = e.appended - e.batches.size
+        e.batches.zipWithIndex.collect {
+          case (b, i) if first + i >= from && first + i < until =>
+            (first + i, b.rows)
+        }.toSeq
+      }.getOrElse(Seq.empty)
+    }
 
   /** Drop streams idle longer than the TTL (stream/manager.go:150-184);
     * returns expired topic names. The reference runs this on a ttl/2

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
@@ -77,7 +78,7 @@ final class GraftStoreTable(storeName: String, topic: String, schema: StructType
   override def name(): String = s"graft-store:$storeName/$topic"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(storeName, topic, schema)
 }
@@ -125,18 +126,77 @@ final class GraftScan(storeName: String, topic: String, full: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(storeName, topic, full, required, pushed)
+
+  /** Streaming read path — the store's batch-append counter is a
+    * Kafka-style monotone offset axis, so the topic doubles as a
+    * Structured Streaming source: each micro-batch covers the append
+    * indices [start, end) with ONE input partition per buffered batch
+    * (same parallelism contract as the batch path). This is the
+    * "Structured Streaming with Arrow Flight source" north star shape:
+    * the reference's clients poll DoGet for whatever the buffer holds;
+    * here a streaming query SUBSCRIBES to the same buffer and Spark's
+    * incremental engines (windows, watermarks, stateful ops) run on
+    * top for free. Offsets already evicted by the byte budget surface
+    * as missing batches, not failures — drop-oldest loses data by
+    * reference contract. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(storeName, topic, full, required, pushed)
+}
+
+final class GraftMicroBatchStream(storeName: String, topic: String,
+                                  full: StructType, required: StructType,
+                                  pushed: Array[Filter])
+    extends MicroBatchStream {
+  private def store = GraftStoreRegistry.get(storeName)
+
+  /** First offset to serve: the oldest batch still buffered when the
+    * query starts (Kafka `startingOffsets=earliest` on the surviving
+    * window — what a Flight client would see on its first DoGet). */
+  override def initialOffset(): Offset = {
+    val appended = store.appendedBatches(topic)
+    val buffered = store.batchesOf(topic).map(_._2.size.toLong).getOrElse(0L)
+    GraftOffset(appended - buffered)
+  }
+  override def latestOffset(): Offset = GraftOffset(store.appendedBatches(topic))
+  override def deserializeOffset(json: String): Offset = GraftOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftOffset].index
+    val e = end.asInstanceOf[GraftOffset].index
+    store.batchSlice(topic, s, e)
+      .map { case (abs, _) => GraftAbsolutePartition(abs): InputPartition }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(storeName, topic, full, required, pushed)
+}
+
+/** Offset = count of batches ever appended (monotone, Kafka-like). */
+final case class GraftOffset(index: Long) extends Offset {
+  override def json(): String = index.toString
 }
 
 final case class GraftBatchPartition(index: Int) extends InputPartition
+
+/** Streaming partition addressing one batch by ABSOLUTE append index. */
+final case class GraftAbsolutePartition(absIndex: Long) extends InputPartition
 
 final class GraftReaderFactory(storeName: String, topic: String,
                                full: StructType, required: StructType,
                                pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val idx = partition.asInstanceOf[GraftBatchPartition].index
-    val rows = GraftStoreRegistry.get(storeName).batchesOf(topic)
-      .map(_._2.apply(idx)).getOrElse(Seq.empty)
+    val rows = partition match {
+      case GraftBatchPartition(idx) =>
+        GraftStoreRegistry.get(storeName).batchesOf(topic)
+          .map(_._2.apply(idx)).getOrElse(Seq.empty)
+      case GraftAbsolutePartition(abs) =>
+        GraftStoreRegistry.get(storeName).batchSlice(topic, abs, abs + 1)
+          .headOption.map(_._2).getOrElse(Seq.empty)
+    }
     val fieldIdx = required.fieldNames.map(full.fieldIndex)
     val toCatalyst = CatalystTypeConverters.createToCatalystConverter(required)
     val it = rows.iterator

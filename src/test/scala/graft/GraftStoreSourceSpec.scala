@@ -98,4 +98,51 @@ class GraftStoreSourceSpec extends SparkSuite {
     }
     GraftStoreRegistry.unregister("s_bad")
   }
+
+  test("streaming source: incremental micro-batches follow the append offset") {
+    val st = freshStore("s_stream")
+    val q = spark.readStream.format("graft-store")
+      .option("store", "s_stream").option("topic", "t1").load()
+      .groupBy().agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .writeStream.format("memory").queryName("s_stream_sink")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val r1 = spark.table("s_stream_sink").head
+      assert(r1.getLong(0) == 15)
+      // new appends advance latestOffset; the NEXT micro-batch picks
+      // up exactly the new batches, never reprocessing old offsets
+      // (complete-mode totals stay consistent because state carries)
+      st.append("t1", schema, (15L until 18L).map(i => Row(i, s"n$i", i * 10)))
+      q.processAllAvailable()
+      val r2 = spark.table("s_stream_sink").head
+      assert(r2.getLong(0) == 18)
+      assert(r2.getLong(1) == (0L until 18L).map(_ * 10).sum)
+    } finally q.stop()
+    GraftStoreRegistry.unregister("s_stream")
+  }
+
+  test("streaming source: evicted offsets surface as missing batches, not failures") {
+    // tiny byte budget: appending batch 3 evicts batch 1 BEFORE the
+    // query starts; initialOffset begins at the oldest SURVIVING batch
+    val st = new StreamStore(maxBytesPerStream = 600, ttlMillis = Long.MaxValue / 2)
+    st.append("t1", schema, (0L until 10L).map(i => Row(i, s"n$i", i * 10)))
+    st.append("t1", schema, (10L until 20L).map(i => Row(i, s"n$i", i * 10)))
+    st.append("t1", schema, (20L until 30L).map(i => Row(i, s"n$i", i * 10)))
+    assert(st.droppedRows("t1") > 0, "fixture must actually evict")
+    assert(st.appendedBatches("t1") == 3)
+    GraftStoreRegistry.register("s_evict", st)
+    val q = spark.readStream.format("graft-store")
+      .option("store", "s_evict").option("topic", "t1").load()
+      .groupBy().agg(count(lit(1)).as("n"), min("k").as("mink"))
+      .writeStream.format("memory").queryName("s_evict_sink")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val r = spark.table("s_evict_sink").head
+      assert(r.getLong(0) == 20, "only the two surviving batches stream")
+      assert(r.getLong(1) == 10L, "evicted head batch is absent, not re-served")
+    } finally q.stop()
+    GraftStoreRegistry.unregister("s_evict")
+  }
 }

@@ -32,6 +32,49 @@ class MultimodalSpec extends SparkSuite {
     assert(MultimodalOps.decodeImageHeader("plain text".getBytes("UTF-8")).isEmpty)
   }
 
+  /** Encode a PCM WAV header+data with the JDK's own writer —
+    * known-good bytes for the RIFF parser assertions. */
+  private def wavBytes(sampleRate: Int, channels: Int, bits: Int,
+                       nFrames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, bits, channels, true, false)
+    val data = new Array[Byte](nFrames * channels * (bits / 8))
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real WAV decode: rate/bits/channels/duration from RIFF header bytes") {
+    // 8 kHz mono 16-bit, 8000 frames = exactly 1000 ms
+    assert(MultimodalOps.decodeWavHeader(wavBytes(8000, 1, 16, 8000)) ==
+      Some((8000, 16, 1, 1000L)))
+    // 44.1 kHz stereo 16-bit, 22050 frames = 500 ms
+    assert(MultimodalOps.decodeWavHeader(wavBytes(44100, 2, 16, 22050)) ==
+      Some((44100, 16, 2, 500L)))
+    // 8-bit audio
+    assert(MultimodalOps.decodeWavHeader(wavBytes(16000, 1, 8, 4000)) ==
+      Some((16000, 8, 1, 250L)))
+    // non-WAV bytes → None (stub fallback)
+    assert(MultimodalOps.decodeWavHeader("plain text pretending to be audio x"
+      .getBytes("UTF-8")).isEmpty)
+    assert(MultimodalOps.decodeWavHeader(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("decodeAssets routes audio/* WAV payloads through the real RIFF parser") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "audio/wav", wavBytes(8000, 1, 16, 8000)),
+      (2L, "audio/wav", Array[Byte](9, 9, 9))) // non-WAV → stub
+    val out = MultimodalOps.decodeAssets(rows.toDF("asset_id", "mime", "payload"))
+      .collect().map(a => a.asset_id -> a).toMap
+    assert(out(1L).width == 8000 && out(1L).height == 16 &&
+      out(1L).channels == 1 && out(1L).duration_ms == 1000L)
+    assert(out(2L).width >= 160 && out(2L).duration_ms >= 1000L) // stub ranges
+  }
+
   test("decodeAssets routes image/* through the real codec, rest through the stub") {
     import spark.implicits._
     val rows = Seq(
