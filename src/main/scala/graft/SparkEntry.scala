@@ -198,6 +198,16 @@ object SparkEntry {
     "q_stream_chained"     -> (StreamingOps.qStreamChained _),
     "q_pmi"                -> ((s, d) => CurationOps.qPmi(s, d)),
     "q_vector_quantize"    -> (VectorOps.qVectorQuantize _),
+    "q_item_sim"           -> (RelationalExt.qItemSim _),
+    "q_kcore"              -> (RelationalExt.qKcore _),
+    "q_fd_audit"           -> (QualityOps.qFdAudit _),
+    "q_acf_sweep"          -> (StatsOps.qAcfSweep _),
+    "q_holt_linear"        -> (StatsOps.qHoltLinear _),
+    "q_naive_bayes"        -> (MiningOps.qNaiveBayes _),
+    "q_stream_store_source" -> (StreamingOps.qStreamStoreSource _),
+    "q_silhouette"         -> ((s, dd) => VectorOps.qSilhouette(s, dd)),
+    "q_fixed_width"        -> (Sinks.qFixedWidth _),
+    "q_rake_keywords"      -> ((s, dd) => TextOps.qRakeKeywords(s, dd)),
     "q_triangle_count"     -> (RelationalExt.qTriangleCount _),
     "q_ewma"               -> (StatsOps.qEwma _),
     "q_mad"                -> (StatsOps.qMad _),
@@ -4756,5 +4766,257 @@ object SparkEntry {
         |         AS sum_cents,
         |       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
         |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin,
+
+    "q_item_sim" ->
+      """WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |li AS (SELECT l_orderkey, l_partkey FROM
+        |         (SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS bsz FROM li0)
+        |       WHERE bsz BETWEEN 2 AND 120),
+        |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |             CAST(COUNT(*) AS BIGINT) AS n_ab
+        |      FROM li a JOIN li b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |s AS (SELECT l_partkey AS pk, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n
+        |      FROM li GROUP BY 1),
+        |j AS (SELECT p.pa, p.pb, p.n_ab, sa.n AS n_a, sb.n AS n_b,
+        |             p.n_ab / sqrt(CAST(sa.n * sb.n AS DOUBLE)) AS sim
+        |      FROM p JOIN s sa ON sa.pk = p.pa JOIN s sb ON sb.pk = p.pb)
+        |SELECT pa AS p_a, pb AS p_b, n_ab, n_a, n_b, ROUND(sim, 6) AS cosine_sim
+        |FROM j ORDER BY sim DESC, pa, pb LIMIT 50""".stripMargin,
+
+    "q_kcore" ->
+      """WITH li0 AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM
+        |         (SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS bsz FROM li0)
+        |       WHERE bsz <= 120),
+        |e0 AS MATERIALIZED (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |       FROM li a JOIN li b
+        |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |d1 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+        |         (SELECT pa AS node FROM e0 UNION ALL SELECT pb FROM e0) GROUP BY 1),
+        |e1 AS MATERIALIZED (SELECT pa, pb FROM e0
+        |       WHERE pa IN (SELECT node FROM d1 WHERE deg >= 3)
+        |         AND pb IN (SELECT node FROM d1 WHERE deg >= 3)),
+        |d2 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+        |         (SELECT pa AS node FROM e1 UNION ALL SELECT pb FROM e1) GROUP BY 1),
+        |e2 AS MATERIALIZED (SELECT pa, pb FROM e1
+        |       WHERE pa IN (SELECT node FROM d2 WHERE deg >= 3)
+        |         AND pb IN (SELECT node FROM d2 WHERE deg >= 3)),
+        |d3 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+        |         (SELECT pa AS node FROM e2 UNION ALL SELECT pb FROM e2) GROUP BY 1),
+        |e3 AS MATERIALIZED (SELECT pa, pb FROM e2
+        |       WHERE pa IN (SELECT node FROM d3 WHERE deg >= 3)
+        |         AND pb IN (SELECT node FROM d3 WHERE deg >= 3))
+        |SELECT 1 AS round,
+        |       (SELECT CAST(COUNT(DISTINCT node) AS BIGINT) FROM
+        |          (SELECT pa AS node FROM e1 UNION ALL SELECT pb FROM e1)) AS n_nodes,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM e1) AS n_edges
+        |UNION ALL
+        |SELECT 2,
+        |       (SELECT CAST(COUNT(DISTINCT node) AS BIGINT) FROM
+        |          (SELECT pa AS node FROM e2 UNION ALL SELECT pb FROM e2)),
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM e2)
+        |UNION ALL
+        |SELECT 3,
+        |       (SELECT CAST(COUNT(DISTINCT node) AS BIGINT) FROM
+        |          (SELECT pa AS node FROM e3 UNION ALL SELECT pb FROM e3)),
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM e3)
+        |ORDER BY round""".stripMargin,
+
+    "q_fd_audit" ->
+      """WITH
+        |a1 AS (SELECT o_orderkey AS lhs, o_custkey AS rhs FROM orders),
+        |a2 AS (SELECT o_custkey AS lhs, o_orderpriority AS rhs FROM orders),
+        |a3 AS (SELECT l_partkey AS lhs, l_suppkey AS rhs FROM lineitem),
+        |g1 AS (SELECT lhs, SUM(c) AS n, MAX(c) AS mx, COUNT(*) AS n_rhs FROM
+        |         (SELECT lhs, rhs, COUNT(*) AS c FROM a1 GROUP BY 1, 2) GROUP BY 1),
+        |g2 AS (SELECT lhs, SUM(c) AS n, MAX(c) AS mx, COUNT(*) AS n_rhs FROM
+        |         (SELECT lhs, rhs, COUNT(*) AS c FROM a2 GROUP BY 1, 2) GROUP BY 1),
+        |g3 AS (SELECT lhs, SUM(c) AS n, MAX(c) AS mx, COUNT(*) AS n_rhs FROM
+        |         (SELECT lhs, rhs, COUNT(*) AS c FROM a3 GROUP BY 1, 2) GROUP BY 1)
+        |SELECT 'o_orderkey->o_custkey' AS fd,
+        |       CAST(COUNT(*) AS BIGINT) AS lhs_groups,
+        |       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+        |       CAST(SUM(n) AS BIGINT) AS n_rows,
+        |       ROUND(CAST(SUM(n - mx) AS DOUBLE) / SUM(n), 6) AS g3_rate,
+        |       CAST(CASE WHEN SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0
+        |            THEN 1 ELSE 0 END AS INTEGER) AS holds
+        |FROM g1
+        |UNION ALL
+        |SELECT 'o_custkey->o_orderpriority',
+        |       CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(SUM(n) AS BIGINT),
+        |       ROUND(CAST(SUM(n - mx) AS DOUBLE) / SUM(n), 6),
+        |       CAST(CASE WHEN SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0
+        |            THEN 1 ELSE 0 END AS INTEGER)
+        |FROM g2
+        |UNION ALL
+        |SELECT 'l_partkey->l_suppkey',
+        |       CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(SUM(n) AS BIGINT),
+        |       ROUND(CAST(SUM(n - mx) AS DOUBLE) / SUM(n), 6),
+        |       CAST(CASE WHEN SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0
+        |            THEN 1 ELSE 0 END AS INTEGER)
+        |FROM g3
+        |ORDER BY fd""".stripMargin,
+
+    "q_acf_sweep" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |           / COUNT(*) / 100.0 AS v
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, v,
+        |        LAG(v, 1) OVER w AS v1, LAG(v, 2) OVER w AS v2,
+        |        LAG(v, 3) OVER w AS v3, LAG(v, 4) OVER w AS v4,
+        |        LAG(v, 5) OVER w AS v5
+        |      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |u AS (SELECT event_type, 1 AS lag_k, v, v1 AS vlag FROM l
+        |      UNION ALL SELECT event_type, 2, v, v2 FROM l
+        |      UNION ALL SELECT event_type, 3, v, v3 FROM l
+        |      UNION ALL SELECT event_type, 4, v, v4 FROM l
+        |      UNION ALL SELECT event_type, 5, v, v5 FROM l)
+        |SELECT event_type, CAST(lag_k AS INTEGER) AS lag_k,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       ROUND(corr(v, vlag), 4) AS acf
+        |FROM u WHERE vlag IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, lag_k""".stripMargin,
+
+    "q_holt_linear" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |           / 100.0 AS v
+        |  FROM events GROUP BY 1, 2),
+        |seq AS (SELECT event_type, v,
+        |          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+        |          COUNT(*) OVER (PARTITION BY event_type) AS n
+        |        FROM daily),
+        |r(event_type, n, t, lvl, trd) AS (
+        |  SELECT a.event_type, a.n, 2, b.v, b.v - a.v
+        |  FROM seq a JOIN seq b ON b.event_type = a.event_type AND b.t = 2
+        |  WHERE a.t = 1 AND a.n >= 3
+        |  UNION ALL
+        |  SELECT r.event_type, r.n, r.t + 1,
+        |         0.5 * s.v + 0.5 * (r.lvl + r.trd),
+        |         0.25 * (0.5 * s.v + 0.5 * (r.lvl + r.trd) - r.lvl) + 0.75 * r.trd
+        |  FROM r JOIN seq s ON s.event_type = r.event_type AND s.t = r.t + 1
+        |  WHERE r.t < r.n)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |       FLOOR(lvl * 10000.0 + 0.5) / 10000.0 AS level,
+        |       FLOOR(trd * 10000.0 + 0.5) / 10000.0 AS trend,
+        |       FLOOR((lvl + 7.0 * trd) * 10000.0 + 0.5) / 10000.0 AS forecast_7d
+        |FROM r WHERE t = n ORDER BY event_type""".stripMargin,
+
+    "q_naive_bayes" ->
+      """WITH docs AS (SELECT doc_id, lang,
+        |                     regexp_split_to_array(trim(text), '\s+') AS toks
+        |              FROM documents),
+        |train AS (SELECT * FROM docs WHERE doc_id % 5 <> 0),
+        |test AS (SELECT * FROM docs WHERE doc_id % 5 = 0),
+        |twc AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM (SELECT lang, UNNEST(toks) AS w FROM train) GROUP BY 1, 2),
+        |v AS (SELECT COUNT(DISTINCT w) AS v FROM twc),
+        |nt AS (SELECT COUNT(*) AS n_train FROM train),
+        |langs AS (SELECT l.lang,
+        |    CAST(FLOOR(ln(CAST(p.nd AS DOUBLE) / nt.n_train) * 1e6 + 0.5) AS BIGINT) AS prior_u,
+        |    CAST(FLOOR(ln(1.0 / CAST(l.tot + v.v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS default_u,
+        |    l.tot + v.v AS denom
+        |  FROM (SELECT lang, SUM(c) AS tot FROM twc GROUP BY 1) l
+        |  JOIN (SELECT lang, COUNT(*) AS nd FROM train GROUP BY 1) p USING (lang)
+        |  CROSS JOIN nt CROSS JOIN v),
+        |model AS (SELECT t.w, t.lang,
+        |    CAST(FLOOR(ln(CAST(t.c + 1 AS DOUBLE) / CAST(g.denom AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |      - g.default_u AS delta_u
+        |  FROM twc t JOIN langs g USING (lang)),
+        |ttok AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        |         FROM (SELECT doc_id, UNNEST(toks) AS w FROM test) GROUP BY 1, 2),
+        |dl AS (SELECT tt.doc_id, m.lang, SUM(tt.cnt * m.delta_u) AS ds
+        |       FROM ttok tt JOIN model m USING (w) GROUP BY 1, 2),
+        |scored AS (SELECT d.doc_id, d.lang_true, g.lang,
+        |    g.prior_u + d.n_tok * g.default_u + COALESCE(dl.ds, 0) AS score_u
+        |  FROM (SELECT doc_id, lang AS lang_true, CAST(len(toks) AS BIGINT) AS n_tok
+        |        FROM test) d
+        |  CROSS JOIN langs g
+        |  LEFT JOIN dl ON dl.doc_id = d.doc_id AND dl.lang = g.lang),
+        |pred AS (SELECT doc_id, lang_true, lang AS lang_pred,
+        |           ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                              ORDER BY score_u DESC, lang ASC) AS rn
+        |         FROM scored)
+        |SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY lang_true, lang_pred""".stripMargin,
+
+    "q_stream_store_source" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM events WHERE event_id % 20 = 0
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_silhouette" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+        |dist AS (SELECT e.vec_id, c.centroid_id,
+        |  CAST(FLOOR(list_sum(list_transform(range(1, len(e.v) + 1),
+        |    i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) * 1e6 + 0.5) AS BIGINT) AS d2u
+        |  FROM e CROSS JOIN c),
+        |rk AS (SELECT vec_id, centroid_id, d2u,
+        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2u ASC, centroid_id ASC) AS rn
+        |  FROM dist),
+        |per AS (SELECT vec_id,
+        |  MAX(CASE WHEN rn = 1 THEN centroid_id END) AS centroid_id,
+        |  sqrt(MAX(CASE WHEN rn = 1 THEN d2u END) / 1e6) AS a,
+        |  sqrt(MAX(CASE WHEN rn = 2 THEN d2u END) / 1e6) AS b
+        |  FROM rk WHERE rn <= 2 GROUP BY vec_id),
+        |su AS (SELECT centroid_id,
+        |  CASE WHEN greatest(a, b) = 0 THEN 0
+        |       ELSE CAST(FLOOR((b - a) / greatest(a, b) * 1e6 + 0.5) AS BIGINT)
+        |  END AS s_u
+        |  FROM per)
+        |SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |       FLOOR(CAST(SUM(s_u) AS DOUBLE) / COUNT(*) + 0.5) / 1e6 AS mean_silhouette
+        |FROM su GROUP BY 1 ORDER BY centroid_id""".stripMargin,
+
+    "q_fixed_width" ->
+      """SELECT o_orderstatus AS status,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents,
+        |       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        |       MAX(strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')) AS max_date
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "q_rake_keywords" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |tok AS (SELECT doc_id, i AS pos, toks[i] AS w
+        |        FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+        |m AS (SELECT doc_id, pos, w,
+        |        w IN ('the','a','of','and','to','in','is','it','for','on') AS stop
+        |      FROM tok),
+        |isl AS (SELECT doc_id, pos, w, stop,
+        |          SUM(CASE WHEN stop THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |        FROM m),
+        |ph AS (SELECT doc_id, isl, pos, w FROM isl WHERE NOT stop),
+        |plen AS (SELECT doc_id, isl, COUNT(*) AS plen FROM ph GROUP BY 1, 2),
+        |wsc AS (SELECT w, SUM(plen) * 1000000 // COUNT(*) AS wu
+        |        FROM ph JOIN plen USING (doc_id, isl) GROUP BY w),
+        |ptxt AS (SELECT p.doc_id, p.isl,
+        |           string_agg(p.w, ' ' ORDER BY p.pos) AS phrase,
+        |           CAST(SUM(wsc.wu) AS BIGINT) AS score_u
+        |         FROM ph p
+        |         JOIN plen USING (doc_id, isl)
+        |         JOIN wsc ON wsc.w = p.w
+        |         WHERE plen BETWEEN 2 AND 4
+        |         GROUP BY 1, 2)
+        |SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |       CAST(MAX(score_u) AS BIGINT) AS score_u
+        |FROM ptxt GROUP BY 1
+        |ORDER BY score_u DESC, phrase LIMIT 50""".stripMargin,
   )
 }

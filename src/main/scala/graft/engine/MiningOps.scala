@@ -370,4 +370,61 @@ object MiningOps {
         concat(col("p_type"), lit("|"), col("p_size"))))
       .orderBy("scheme")
   }
+
+  /** Multinomial Naive Bayes language classifier, trained AND
+    * evaluated in-engine: add-one-smoothed token likelihoods per
+    * language on a deterministic 80/20 split (doc_id % 5), argmax
+    * scoring of the held-out fifth, confusion-matrix output. Scores
+    * are EXACT integers: each (token, lang) log-likelihood is
+    * quantized once to micro-nats (both engines floor the identical
+    * IEEE double), and per-document totals are integer sums — no
+    * float accumulation, so the argmax (tie-break: lang asc) can
+    * never flap. The smoothing identity keeps the plan sparse:
+    * score = prior + n_tok·default(lang) + Σ cnt·(logp − default),
+    * so only (token, lang) pairs SEEN in training join the test
+    * tokens — the model table is vocabulary-sized and the join is a
+    * plain shuffle on token (AQE broadcasts if it fits; no
+    * vocabulary-sized broadcast hint — the q_bm25 lesson). Per-lang
+    * constants (5 rows) are the only broadcasts. */
+  def qNaiveBayes(s: SparkSession, d: String): DataFrame = {
+    def unats(x: Column): Column = floor(log(x) * 1e6 + 0.5).cast("long")
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val test = docs.filter(col("doc_id") % 5 === 0)
+    // (lang, token) counts — the only corpus-sized training shuffle
+    val twc = train.select(col("lang"), explode(col("toks")).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val vocab = twc.agg(countDistinct("w").as("v"))
+    val langs = twc.groupBy("lang").agg(sum("c").as("tot"))
+      .join(train.groupBy("lang").agg(count(lit(1)).as("nd")), "lang")
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("n_train"))))
+      .crossJoin(broadcast(vocab))
+      .select(col("lang"),
+        unats(col("nd").cast("double") / col("n_train")).as("prior_u"),
+        unats(lit(1.0) / (col("tot") + col("v")).cast("double")).as("default_u"),
+        (col("tot") + col("v")).as("denom"))
+    val model = twc.join(broadcast(langs.select("lang", "denom", "default_u")), "lang")
+      .select(col("w"), col("lang"),
+        (unats((col("c") + 1L).cast("double") / col("denom").cast("double"))
+          - col("default_u")).as("delta_u"))
+    val testTok = test.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    val dl = testTok.join(model, "w")
+      .groupBy("doc_id", "lang").agg(sum(col("cnt") * col("delta_u")).as("ds"))
+    val scored = test
+      .select(col("doc_id"), col("lang").as("lang_true"),
+        size(col("toks")).cast("long").as("n_tok"))
+      .crossJoin(broadcast(langs.select("lang", "prior_u", "default_u")))
+      .join(dl, Seq("doc_id", "lang"), "left")
+      .select(col("doc_id"), col("lang_true"), col("lang"),
+        (col("prior_u") + col("n_tok") * col("default_u")
+          + coalesce(col("ds"), lit(0L))).as("score_u"))
+    scored.groupBy("doc_id", "lang_true")
+      .agg(min(struct((-col("score_u")).as("ns"), col("lang"))).as("best"))
+      .groupBy(col("lang_true"), col("best")("lang").as("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang_true", "lang_pred")
+  }
 }

@@ -194,4 +194,40 @@ object QualityOps {
         customer(s, d).select(col("c_acctbal").isNull.as("v")), col("v")))
       .orderBy("check_name")
   }
+
+  /** Approximate functional-dependency audit (Kivinen–Mannila g3):
+    * for each candidate FD lhs → rhs, the violation rate is the
+    * minimum fraction of rows to delete so the dependency holds —
+    * 1 − Σ_lhs max-class / N. The profiling primitive schema-discovery
+    * tools (Tane/Metanome lineage) run before trusting a key: here it
+    * separates a real key (o_orderkey → o_custkey, rate 0) from
+    * near-FDs the fixture violates. Per candidate: one
+    * (lhs, rhs)-count aggregate, then an lhs-level max/sum collapse,
+    * then a 1-row summary — two map-side-combinable shuffles each,
+    * no windows, so the audit runs at fact-table scale; the three
+    * 1-row summaries union on the driver plan. */
+  def qFdAudit(s: SparkSession, d: String): DataFrame = {
+    def g3(df: DataFrame, fdName: String, lhs: String, rhs: String): DataFrame =
+      df.groupBy(col(lhs).as("lhs"), col(rhs).as("rhs"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("lhs")
+        .agg(sum("c").as("n"), max("c").as("mx"),
+          count(lit(1)).as("n_rhs"))
+        .agg(
+          count(lit(1)).as("lhs_groups"),
+          sum((col("n_rhs") > 1).cast("long")).as("violating_groups"),
+          sum("n").as("n_rows"),
+          sum(col("n") - col("mx")).as("min_deletes"))
+        .select(lit(fdName).as("fd"),
+          col("lhs_groups"), col("violating_groups"), col("n_rows"),
+          round(col("min_deletes").cast("double") / col("n_rows"), 6)
+            .as("g3_rate"),
+          (col("violating_groups") === 0L).cast("int").as("holds"))
+    g3(orders(s, d), "o_orderkey->o_custkey", "o_orderkey", "o_custkey")
+      .unionByName(g3(orders(s, d), "o_custkey->o_orderpriority",
+        "o_custkey", "o_orderpriority"))
+      .unionByName(g3(lineitem(s, d), "l_partkey->l_suppkey",
+        "l_partkey", "l_suppkey"))
+      .orderBy("fd")
+  }
 }

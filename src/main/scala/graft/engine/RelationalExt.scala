@@ -296,4 +296,84 @@ object RelationalExt {
       .filter(col("rn") <= 5)
       .orderBy("c_mktsegment", "rn")
   }
+
+  /** Item-item cosine similarity over co-purchase baskets — the
+    * "customers who bought a also bought b" ranking primitive of a
+    * neighborhood recommender: sim(a,b) = n_ab / √(n_a·n_b) where
+    * n_ab is pair support and n_a the per-part basket count. ONE
+    * basket build (same aggregate + [[MaxBasketSize]] valve as
+    * [[pairSupport]]) is localCheckpoint'd and feeds both the
+    * map-side pair fan-out and the per-part support counts, so the
+    * fact table is scanned once. Pairs below support 2 are dropped
+    * before the support joins (graph-sized inputs from there on).
+    * IEEE sqrt/divide are exactly specified, so the unrounded sim
+    * used for ordering is bit-identical in both engines; display
+    * rounds to 6dp. */
+  def qItemSim(s: SparkSession, d: String): DataFrame = {
+    val baskets = lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")).between(2, MaxBasketSize))
+      .localCheckpoint(true)
+    val pairs = baskets
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))), y =>
+          struct(x.as("pa"), y.as("pb")))))).as("p"))
+      .groupBy("p.pa", "p.pb").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    val supp = baskets
+      .select(explode(col("ps")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("n"))
+    pairs
+      .join(supp.select(col("pk").as("pa"), col("n").as("n_a")), "pa")
+      .join(supp.select(col("pk").as("pb"), col("n").as("n_b")), "pb")
+      .withColumn("sim",
+        col("n_ab") / sqrt((col("n_a") * col("n_b")).cast("double")))
+      .orderBy(col("sim").desc, col("pa"), col("pb"))
+      .limit(50)
+      .select(col("pa").as("p_a"), col("pb").as("p_b"),
+        col("n_ab"), col("n_a"), col("n_b"),
+        round(col("sim"), 6).as("cosine_sim"))
+  }
+
+  /** k-core peeling of the co-purchase graph (k = 3, three unrolled
+    * rounds): each round drops vertices with degree < k and induces
+    * the surviving edge set — the standard subgraph-density filter
+    * for community mining and spam-cluster triage. Each round is one
+    * degree aggregate plus two semi-joins on the (graph-sized,
+    * support-thresholded) edge list, never the fact table; the
+    * edge list comes pre-checkpointed from [[supportEdges]]. The
+    * round count is a FIXED constant, not a driver convergence loop,
+    * so the whole query is three statically-planned stages and the
+    * DuckDB oracle replays it as unrolled CTEs — at 100 TB the same
+    * unrolled plan runs with edge-list-sized shuffles per round
+    * (peeling converges in few rounds on power-law graphs; a full
+    * fixpoint variant would add the qComponentsCcf-style O(1)
+    * signature check). Output: per-round surviving node/edge counts
+    * — the core-decomposition profile. */
+  def qKcore(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val k = 3
+    var e = supportEdges(s, d)
+    val rounds = (1 to 3).map { r =>
+      val deg = e.select(col("pa").as("node"))
+        .unionByName(e.select(col("pb").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node")
+      e = e.join(keep.select(col("node").as("pa")), "pa")
+        .join(keep.select(col("node").as("pb")), "pb")
+        .select("pa", "pb")
+        .localCheckpoint(true)
+      val nEdges = e.count()
+      val nNodes = e.select(col("pa").as("n"))
+        .unionByName(e.select(col("pb").as("n")))
+        .distinct().count()
+      (r, nNodes, nEdges)
+    }
+    rounds.toDF("round", "n_nodes", "n_edges")
+      .select(col("round").cast("int").as("round"),
+        col("n_nodes"), col("n_edges"))
+      .orderBy("round")
+  }
 }

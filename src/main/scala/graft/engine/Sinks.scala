@@ -214,4 +214,40 @@ object Sinks {
         countDistinct("user_id").as("n_users"))
       .orderBy("event_type")
   }
+
+  /** Fixed-width (copybook-style) text sink + parse roundtrip — the
+    * mainframe/legacy-feed ingestion format every lakehouse migration
+    * eventually meets. Encode: one `concat(lpad/rpad(...))` projection
+    * per row into `format("text")` (map-side, splittable lines, no
+    * shuffle). Decode: `substring` column carving + casts — all
+    * codegen'd builtins, so the parse runs inside WholeStageCodegen
+    * like a CSV scan would. The aggregate compares against the
+    * original table through the DuckDB oracle: any column drift,
+    * padding bug, or cents truncation breaks the hash. Money rides as
+    * zero-padded integer cents (exact), dates as ISO-8601 text. */
+  def qFixedWidth(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      expr("CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("cents"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("dt"))
+    val line = concat(
+      lpad(col("o_orderkey").cast("string"), 12, "0"),
+      rpad(col("o_orderstatus"), 1, " "),
+      lpad(col("cents").cast("string"), 14, "0"),
+      col("dt"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_fixed_width_$pid"
+    src.select(line.as("value")).write.mode(SaveMode.Overwrite).text(path)
+    s.read.text(path)
+      .select(
+        substring(col("value"), 1, 12).cast("long").as("okey"),
+        substring(col("value"), 13, 1).as("status"),
+        substring(col("value"), 14, 14).cast("long").as("cents"),
+        substring(col("value"), 28, 10).as("dt"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("cents").as("sum_cents"),
+        min("okey").as("min_key"),
+        max("dt").as("max_date"))
+      .orderBy("status")
+  }
 }

@@ -657,4 +657,81 @@ object StatsOps {
         r4(((col("between_raw") - col("stot") * col("stot") / col("n").cast("double")) / (col("k") - 1L)) /
           ((col("sstot") - col("between_raw")) / (col("n") - col("k")))).as("f_stat"))
   }
+
+  /** Autocorrelation-function sweep: ACF at lags 1–5 of each event
+    * type's DAILY mean value series — the periodicity profile
+    * (a weekly cycle shows as a lag-7 ridge, ours samples the short
+    * lags) that decides seasonal adjustment before drift monitors
+    * run. The fact table collapses to a calendar-sized daily series
+    * first (one hash shuffle; the mean is exact-integer cents over
+    * n, so both engines see bit-identical series values), then ONE
+    * window pass emits all five lags and an unpivot + corr aggregate
+    * finishes on (type × lag) groups. All post-collapse work is
+    * calendar-bounded — at 100 TB only the first aggregate touches
+    * the facts. */
+  def qAcfSweep(s: SparkSession, d: String): DataFrame = {
+    val day = to_date(col("ts"))
+    val daily = events(s, d)
+      .groupBy(col("event_type"), day.as("day"))
+      .agg((sum(expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)"))
+        .cast("double") / count(lit(1)) / 100.0).as("v"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagged = daily.select(
+      col("event_type"), col("v"),
+      lag("v", 1).over(w).as("v1"), lag("v", 2).over(w).as("v2"),
+      lag("v", 3).over(w).as("v3"), lag("v", 4).over(w).as("v4"),
+      lag("v", 5).over(w).as("v5"))
+    lagged
+      .select(col("event_type"), col("v"),
+        expr("stack(5, 1, v1, 2, v2, 3, v3, 4, v4, 5, v5) AS (lag_k, vlag)"))
+      .filter(col("vlag").isNotNull)
+      .groupBy("event_type", "lag_k")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr(col("v"), col("vlag")), 4).as("acf"))
+      .select(col("event_type"), col("lag_k").cast("int").as("lag_k"),
+        col("n_pairs"), col("acf"))
+      .orderBy("event_type", "lag_k")
+  }
+
+  /** Holt linear-trend double exponential smoothing (α = 0.5,
+    * β = 0.25) of each event type's daily total — the level+trend
+    * forecaster monitoring stacks run where a single EWMA lags a
+    * drifting series. The recurrence is inherently sequential, but
+    * the SERIES is calendar-bounded: the fact table collapses to
+    * exact-integer daily cents first (the only corpus-sized shuffle),
+    * and the fold runs as ONE aggregate() lambda over the per-type
+    * sorted array — no driver loop, no window, parallel across
+    * types. The oracle replays the identical recurrence as a
+    * recursive CTE; both engines execute the same IEEE expression
+    * tree in the same order, so the unrounded state matches
+    * bit-for-bit. Init: l₂ = v₂, b₂ = v₂ − v₁ (standard). Output:
+    * final level/trend and the 7-day-ahead forecast. */
+  def qHoltLinear(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val day = to_date(col("ts"))
+    val daily = events(s, d)
+      .groupBy(col("event_type"), day.as("day"))
+      .agg(sum(expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)")).as("cents"))
+      .select(col("event_type"), col("day"),
+        (col("cents").cast("double") / 100.0).as("v"))
+    val st = daily.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("v")))).as("xs"))
+      .filter(size(col("xs")) >= 3)
+      .select(col("event_type"), size(col("xs")).cast("long").as("n_days"),
+        aggregate(
+          slice(col("xs"), lit(3), size(col("xs")) - 2),
+          struct(
+            col("xs")(1)("v").as("lvl"),
+            (col("xs")(1)("v") - col("xs")(0)("v")).as("trd")),
+          (acc, x) => {
+            val lvl2 = lit(0.5) * x("v") + lit(0.5) * (acc("lvl") + acc("trd"))
+            val trd2 = lit(0.25) * (lvl2 - acc("lvl")) + lit(0.75) * acc("trd")
+            struct(lvl2.as("lvl"), trd2.as("trd"))
+          }).as("st"))
+    st.select(col("event_type"), col("n_days"),
+        r4(col("st")("lvl")).as("level"),
+        r4(col("st")("trd")).as("trend"),
+        r4(col("st")("lvl") + lit(7.0) * col("st")("trd")).as("forecast_7d"))
+      .orderBy("event_type")
+  }
 }

@@ -646,4 +646,41 @@ object StreamingOps {
           round(col("n").cast("double") / col("prev_n"), 4)))
       .orderBy("window_start", "event_type")
   }
+
+  /** End-to-end STREAMING read of the buffered store — the north
+    * star's "Structured Streaming with Arrow Flight source" shape,
+    * run for real: a deterministic fifth of the fixture events is
+    * appended to a [[StreamStore]] in event-id-keyed batches, a
+    * streaming query SUBSCRIBES via the graft-store MicroBatchStream
+    * (monotone append-count offsets, one partition per buffered
+    * batch), aggregates per event type into a memory sink, and the
+    * completed result is what the DuckDB oracle replays over the same
+    * subset. This is an actual StreamingQuery — micro-batch planning,
+    * offset log, the V2 streaming scan — not a batch plan that would
+    * also run under readStream. Sums are exact integer cents, so
+    * batch boundaries and row order cannot flap the hash. */
+  def qStreamStoreSource(s: SparkSession, d: String): DataFrame = {
+    val sub = events(s, d).filter(col("event_id") % 20 === 0)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val schema = sub.schema
+    val store = new StreamStore(maxBytesPerStream = 1L << 30,
+      ttlMillis = Long.MaxValue / 2)
+    sub.collect().groupBy(_.getLong(0) / 1000L).toSeq.sortBy(_._1)
+      .foreach { case (_, rs) => store.append("events", schema, rs.toSeq) }
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val storeName = s"verify_store_$tag"
+    val sinkName = s"store_src_$tag"
+    graft.sources.GraftStoreRegistry.register(storeName, store)
+    try {
+      val q = s.readStream.format("graft-store")
+        .option("store", storeName).option("topic", "events").load()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)")).as("sum_cents"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Complete()).start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.table(sinkName).orderBy("event_type")
+    } finally graft.sources.GraftStoreRegistry.unregister(storeName)
+  }
 }

@@ -603,6 +603,47 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    * are maximal stopword-free token runs (gaps-islands over the
+    * stopword positions — the island id is a running stopword count),
+    * each word scores deg/freq over ALL phrase occurrences (deg =
+    * Σ phrase length, freq = occurrence count), and a phrase scores
+    * the sum of its words' scores. Scores live in exact integer
+    * micro-units via INTEGER division (deg·1e6 DIV freq), so phrase
+    * sums are integers and the top-50 cut is engine-exact. Scale
+    * shape: one posexplode (the only corpus-sized fan-out), one
+    * doc-keyed window for islands, then everything aggregates to
+    * vocabulary-/phrase-sized tables; reported phrases are the
+    * 2–4-word candidates, deduped corpus-wide. */
+  def qRakeKeywords(s: SparkSession, d: String, topK: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val ph = documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .withColumn("stop", col("w").isin(StopwordsEn: _*))
+      .withColumn("isl", sum(col("stop").cast("int")).over(w))
+      .filter(!col("stop"))
+      .localCheckpoint(true)
+    val plen = ph.groupBy("doc_id", "isl").agg(count(lit(1)).as("plen"))
+    val wsc = ph.join(plen, Seq("doc_id", "isl"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .select(col("w"), expr("deg * 1000000L DIV freq").as("wu"))
+    ph.join(plen, Seq("doc_id", "isl"))
+      .filter(col("plen").between(2, 4))
+      .join(wsc, "w")
+      .groupBy("doc_id", "isl")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x("w"))).as("phrase"),
+        sum("wu").as("score_u"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"), max("score_u").as("score_u"))
+      .orderBy(col("score_u").desc, col("phrase"))
+      .limit(topK)
+  }
+
   /** Corpus-wide n-gram frequency: top-50 word bigrams. The bigram
     * fan-out happens executor-side (zip_with over adjacent token
     * slices, then explode); the count is map-side combinable, so the

@@ -424,6 +424,51 @@ object VectorOps {
     * bounded window on k candidates. One corpus pass, no shuffle
     * beyond the final per-vector regroup. Distances are rounded
     * BEFORE the argmin so both engines break ties identically. */
+  /** Simplified silhouette of the fixed-centroid k-means assignment
+    * (the clustering-quality score an IVF index build checks before
+    * trusting its partition: Hruschka et al.'s simplified variant
+    * uses centroid distances instead of all-pairs — O(n·k), not
+    * O(n²), which is the only silhouette that exists at corpus
+    * scale). Per vector: a = distance to its own (nearest) centroid,
+    * b = distance to the runner-up, s = (b−a)/max(a,b). Distances are
+    * micro-unit-quantized integers (the q_pq_assign convention) and
+    * per-vector s is quantized BEFORE the per-cluster mean, so the
+    * aggregate is an exact integer sum — no float accumulation
+    * anywhere. One broadcast of k centroids, one corpus pass, argmin
+    * via the per-vector ×k window. */
+  def qSilhouette(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    val emb = embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id")
+      .orderBy(col("d2u").asc, col("centroid_id").asc)
+    val per = emb.crossJoin(broadcast(cents))
+      .withColumn("d2u", floor(aggregate(
+        zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x) * 1e6 + 0.5).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("vec_id")
+      .agg(
+        max(when(col("rn") === 1, col("centroid_id"))).as("centroid_id"),
+        max(when(col("rn") === 1, col("d2u"))).as("a2u"),
+        max(when(col("rn") === 2, col("d2u"))).as("b2u"))
+      .withColumn("a", sqrt(col("a2u").cast("double") / 1e6))
+      .withColumn("b", sqrt(col("b2u").cast("double") / 1e6))
+      .withColumn("su",
+        when(greatest(col("a"), col("b")) === 0.0, lit(0L))
+          .otherwise(floor((col("b") - col("a"))
+            / greatest(col("a"), col("b")) * 1e6 + 0.5).cast("long")))
+    per.groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_members"),
+        (floor(sum("su").cast("double") / count(lit(1)) + 0.5) / 1e6)
+          .as("mean_silhouette"))
+      .orderBy("centroid_id")
+  }
+
   def qPqAssign(s: SparkSession, d: String, m: Int = 4, k: Int = 8): DataFrame = {
     val subDim = (size(col("v")) / lit(m)).cast("int")
     val sub = embeddings(s, d)
