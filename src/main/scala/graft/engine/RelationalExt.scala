@@ -355,6 +355,11 @@ object RelationalExt {
     val spark = s
     import spark.implicits._
     val k = 3
+    // Per-round localCheckpoint truncates the peel lineage (round 3
+    // would otherwise replay rounds 1–2's join shuffles); the round
+    // summary is ONE action — endpoints explode once, distinct-node
+    // and edge counts come out of the same aggregate (edges =
+    // endpoint rows / 2).
     var e = supportEdges(s, d)
     val rounds = (1 to 3).map { r =>
       val deg = e.select(col("pa").as("node"))
@@ -365,11 +370,10 @@ object RelationalExt {
         .join(keep.select(col("node").as("pb")), "pb")
         .select("pa", "pb")
         .localCheckpoint(true)
-      val nEdges = e.count()
-      val nNodes = e.select(col("pa").as("n"))
-        .unionByName(e.select(col("pb").as("n")))
-        .distinct().count()
-      (r, nNodes, nEdges)
+      val row = e.select(explode(array(col("pa"), col("pb"))).as("n"))
+        .agg(countDistinct("n").as("nn"), (count(lit(1)) / 2).as("ne"))
+        .first()
+      (r, row.getLong(0), row.getDouble(1).toLong)
     }
     rounds.toDF("round", "n_nodes", "n_edges")
       .select(col("round").cast("int").as("round"),

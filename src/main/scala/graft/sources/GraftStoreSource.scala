@@ -10,6 +10,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.catalog.SupportsWrite
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
@@ -68,19 +71,110 @@ final class GraftStoreProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     topicSchema(options)
 
+  /** Writes may target a topic the store hasn't seen (create-on-access,
+    * stream/manager.go:216-241): accept the caller's schema instead of
+    * forcing inference against a not-yet-existing topic. */
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new GraftStoreTable(properties.get("store"), properties.get("topic"), schema)
 }
 
 final class GraftStoreTable(storeName: String, topic: String, schema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-store:$storeName/$topic"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(storeName, topic, schema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(storeName, topic, info.schema())
+}
+
+/** Write path of the connector — the reference's ingest direction
+  * (consumer → manager.AddBatch, kafka/consumer.go feeding
+  * stream/manager.go) as a DataSource V2 sink, so BOTH
+  * `df.write.format("graft-store")` and `writeStream.format
+  * ("graft-store")` land batches in the byte-bounded store:
+  *
+  *  - executors serialize nothing to disk: each DataWriter collects
+  *    its partition's rows and ships them to the driver in its
+  *    commit message (the store is driver-held by parity-mode
+  *    contract, so the driver-side commit IS the only place the
+  *    append can happen — same topology as the reference's
+  *    single-process consumer→manager handoff)
+  *  - batch mode appends one store batch PER PARTITION (preserving
+  *    source parallelism as batch boundaries); streaming mode
+  *    appends one store batch PER EPOCH — a micro-batch is the
+  *    reference's per-poll batch unit (kafka/consumer.go micro-batch
+  *    flush)
+  *  - abort drops the buffered rows (nothing reached the store
+  *    before the driver-side commit → exactly-once per epoch)
+  */
+final class GraftWriteBuilder(storeName: String, topic: String,
+                              schema: StructType) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GraftBatchWrite(storeName, topic, schema)
+    override def toStreaming: StreamingWrite =
+      new GraftStreamingWrite(storeName, topic, schema)
+  }
+}
+
+final case class GraftWriteMessage(rows: Seq[org.apache.spark.sql.Row])
+    extends WriterCommitMessage
+
+final class GraftDataWriterFactory(schema: StructType)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    writer()
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] = writer()
+  private def writer(): DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
+    override def write(record: InternalRow): Unit =
+      buf += toScala(record.copy()).asInstanceOf[org.apache.spark.sql.Row]
+    override def commit(): WriterCommitMessage = GraftWriteMessage(buf.toSeq)
+    override def abort(): Unit = buf.clear()
+    override def close(): Unit = ()
+  }
+}
+
+final class GraftBatchWrite(storeName: String, topic: String,
+                            schema: StructType) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftDataWriterFactory(schema)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val store = GraftStoreRegistry.get(storeName)
+    messages.foreach {
+      case GraftWriteMessage(rows) if rows.nonEmpty =>
+        store.append(topic, schema, rows)
+      case _ => ()
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class GraftStreamingWrite(storeName: String, topic: String,
+                                schema: StructType) extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftDataWriterFactory(schema)
+  /** One store batch per epoch: the micro-batch IS the reference's
+    * per-poll batch unit, so its boundary becomes the buffer's batch
+    * boundary (and the streaming source's offset increment). */
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val rows = messages.flatMap {
+      case GraftWriteMessage(rs) => rs
+      case _ => Seq.empty
+    }.toSeq
+    if (rows.nonEmpty)
+      GraftStoreRegistry.get(storeName).append(topic, schema, rows)
+  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 final class GraftScanBuilder(storeName: String, topic: String, full: StructType)

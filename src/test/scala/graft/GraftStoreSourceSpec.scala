@@ -122,6 +122,53 @@ class GraftStoreSourceSpec extends SparkSuite {
     GraftStoreRegistry.unregister("s_stream")
   }
 
+  test("batch write: df.write lands one store batch per partition, create-on-access topic") {
+    val st = new StreamStore(maxBytesPerStream = 1 << 20, ttlMillis = Long.MaxValue / 2)
+    GraftStoreRegistry.register("s_bw", st)
+    import spark.implicits._
+    (0L until 20L).map(i => (i, s"n$i", i * 10)).toDF("k", "name", "v")
+      .repartition(4)
+      .write.format("graft-store")
+      .option("store", "s_bw").option("topic", "fresh_topic")
+      .mode("append").save()
+    assert(st.listTopics().contains("fresh_topic"), "create-on-access")
+    assert(st.appendedBatches("fresh_topic") == 4, "one batch per partition")
+    val back = read2("s_bw", "fresh_topic")
+    assert(back.count() == 20)
+    assert(back.agg(sum("v")).head.getLong(0) == (0L until 20L).map(_ * 10).sum)
+    GraftStoreRegistry.unregister("s_bw")
+  }
+
+  test("streaming write: each micro-batch appends ONE store batch (epoch = batch boundary)") {
+    import spark.implicits._
+    val st = new StreamStore(maxBytesPerStream = 1 << 20, ttlMillis = Long.MaxValue / 2)
+    GraftStoreRegistry.register("s_sw", st)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)](spark)
+    val q = in.toDF().toDF("k", "name", "v")
+      .writeStream.format("graft-store")
+      .option("store", "s_sw").option("topic", "t_sink")
+      .option("checkpointLocation",
+        s"${System.getProperty("java.io.tmpdir")}/graft_sw_ckpt_${System.nanoTime()}")
+      .start()
+    try {
+      in.addData((1L, "a", 10L), (2L, "b", 20L))
+      q.processAllAvailable()
+      assert(st.appendedBatches("t_sink") == 1)
+      in.addData((3L, "c", 30L))
+      q.processAllAvailable()
+      assert(st.appendedBatches("t_sink") == 2, "second epoch = second batch")
+      val back = read2("s_sw", "t_sink")
+      assert(back.count() == 3)
+      assert(back.agg(sum("v")).head.getLong(0) == 60L)
+    } finally q.stop()
+    GraftStoreRegistry.unregister("s_sw")
+  }
+
+  private def read2(store: String, topic: String) =
+    spark.read.format("graft-store")
+      .option("store", store).option("topic", topic).load()
+
   test("streaming source: evicted offsets surface as missing batches, not failures") {
     // tiny byte budget: appending batch 3 evicts batch 1 BEFORE the
     // query starts; initialOffset begins at the oldest SURVIVING batch
