@@ -208,6 +208,9 @@ object SparkEntry {
     "q_silhouette"         -> ((s, dd) => VectorOps.qSilhouette(s, dd)),
     "q_fixed_width"        -> (Sinks.qFixedWidth _),
     "q_rake_keywords"      -> ((s, dd) => TextOps.qRakeKeywords(s, dd)),
+    "q_entity_resolution"  -> (MiningOps.qEntityResolution _),
+    "q_assortativity"      -> (RelationalExt.qAssortativity _),
+    "q_lateness_audit"     -> (QualityOps.qLatenessAudit _),
     "q_triangle_count"     -> (RelationalExt.qTriangleCount _),
     "q_ewma"               -> (StatsOps.qEwma _),
     "q_mad"                -> (StatsOps.qMad _),
@@ -5018,5 +5021,74 @@ object SparkEntry {
         |       CAST(MAX(score_u) AS BIGINT) AS score_u
         |FROM ptxt GROUP BY 1
         |ORDER BY score_u DESC, phrase LIMIT 50""".stripMargin,
+
+    "q_entity_resolution" ->
+      """WITH RECURSIVE
+        |ids AS MATERIALIZED (SELECT p_name, MIN(p_partkey) AS nid,
+        |                            CAST(COUNT(*) AS BIGINT) AS n_parts
+        |                     FROM part GROUP BY 1),
+        |m AS MATERIALIZED (
+        |  SELECT a.nid AS da, b.nid AS db
+        |  FROM ids a JOIN ids b
+        |    ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+        |   AND a.p_name < b.p_name
+        |  WHERE FLOOR(jaro_winkler_similarity(a.p_name, b.p_name) * 10000.0 + 0.5)
+        |          / 10000.0 >= 0.88),
+        |edges AS MATERIALIZED (
+        |  SELECT da AS a, db AS b FROM m
+        |  UNION ALL SELECT db, da FROM m),
+        |reach(node, r) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+        |),
+        |comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node)
+        |SELECT c.comp AS entity_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_names,
+        |       CAST(SUM(i.n_parts) AS BIGINT) AS n_parts
+        |FROM comp c JOIN ids i ON i.nid = c.node
+        |GROUP BY 1 HAVING COUNT(*) >= 2
+        |ORDER BY entity_id""".stripMargin,
+
+    "q_assortativity" ->
+      """WITH li0 AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM
+        |         (SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS bsz FROM li0)
+        |       WHERE bsz <= 120),
+        |e0 AS MATERIALIZED (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |       FROM li a JOIN li b
+        |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |bi AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e0
+        |                    UNION ALL SELECT pb, pa FROM e0),
+        |deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM bi GROUP BY 1),
+        |x AS (SELECT dx.deg AS dx, dy.deg AS dy
+        |      FROM bi JOIN deg dx ON dx.u = bi.u JOIN deg dy ON dy.u = bi.v),
+        |s AS (SELECT COUNT(*) AS m2, SUM(dx) AS sx, SUM(dy) AS sy,
+        |             SUM(dx * dy) AS sxy, SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy
+        |      FROM x)
+        |SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+        |       FLOOR(CAST(m2 * sxy - sx * sy AS DOUBLE)
+        |         / (sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE))
+        |            * sqrt(CAST(m2 * syy - sy * sy AS DOUBLE)))
+        |         * 10000.0 + 0.5) / 10000.0 AS assortativity
+        |FROM s""".stripMargin,
+
+    "q_lateness_audit" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |                  epoch_us(CAST(ts AS TIMESTAMP))
+        |                    - (event_id % 10) * 90000000 AS us
+        |           FROM events),
+        |l AS (SELECT user_id, us,
+        |        GREATEST(0, COALESCE(MAX(us) OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), us) - us) AS late_us
+        |      FROM e)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |       CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+        |       CAST(SUM(late_us) AS BIGINT) AS total_late_us
+        |FROM l GROUP BY 1
+        |HAVING SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) > 0
+        |ORDER BY user_id""".stripMargin,
   )
 }

@@ -371,6 +371,41 @@ object MiningOps {
       .orderBy("scheme")
   }
 
+  /** End-to-end entity resolution over the part catalog — the full
+    * pipeline the blocking audit (qBlockingKeys), fuzzy matcher
+    * (qJaroWinkler) and components engine (GraphOps) exist FOR, run
+    * as one query: distinct names block on their first character,
+    * in-block pairs score with the native Jaro-Winkler expression,
+    * pairs at rounded-0.92+ become edges keyed by each name's
+    * MIN part key (a deterministic, SQL-replayable node id), and CCF
+    * transitive closure groups them into entities. Output: multi-name
+    * entities with name and part-record counts. Scale shape: the
+    * pair fan-out is Σ C(b,2) over first-char blocks of the DISTINCT
+    * name table (catalog-sized, not fact-sized); the closure runs on
+    * match-edges only. The 0.88 threshold compares the ROUNDED score
+    * (the q_jaro_winkler convention) so both engines cut the same
+    * boundary. */
+  def qEntityResolution(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    val ids = part(s, d).groupBy("p_name")
+      .agg(min("p_partkey").as("nid"), count(lit(1)).as("n_parts"))
+      .localCheckpoint(true)
+    val blocked = ids.select(col("nid"), col("p_name"),
+      substring(col("p_name"), 1, 1).as("blk"))
+    val edges = blocked.select(col("nid").as("a"), col("p_name").as("na"), col("blk"))
+      .join(blocked.select(col("nid").as("b"), col("p_name").as("nb"), col("blk")), "blk")
+      .filter(col("na") < col("nb"))
+      .withColumn("jw", r4(call_function("graft_jaro_winkler", col("na"), col("nb"))))
+      .filter(col("jw") >= 0.88)
+      .select("a", "b")
+    val labels = GraphOps.ccfComponents(edges)
+    labels.join(ids.select(col("nid").as("node"), col("n_parts")), "node")
+      .groupBy(col("comp").as("entity_id"))
+      .agg(count(lit(1)).as("n_names"), sum("n_parts").as("n_parts"))
+      .filter(col("n_names") >= 2)
+      .orderBy("entity_id")
+  }
+
   /** Multinomial Naive Bayes language classifier, trained AND
     * evaluated in-engine: add-one-smoothed token likelihoods per
     * language on a deterministic 80/20 split (doc_id % 5), argmax

@@ -230,4 +230,36 @@ object QualityOps {
         "l_partkey", "l_suppkey"))
       .orderBy("fd")
   }
+
+  /** Event-time lateness audit — the measurement that SIZES a
+    * streaming watermark before anyone picks "1 hour": treating
+    * event_id as arrival order, an event is late when its event time
+    * sits behind the per-user running maximum; the gap (in exact
+    * integer µs) is how much watermark delay would have been needed
+    * to keep it. The fixture stream arrives perfectly ordered, so —
+    * like q_pii_redact's synthetic PII — a DETERMINISTIC arrival
+    * jitter derived from event_id (0–13.5 min back-shift, identical
+    * in both engines) supplies the disorder; the audit itself is the
+    * production operator. One window pass over the user-keyed
+    * stream, µs integers end to end — no float, no timestamp
+    * arithmetic ambiguity. Users with zero disorder are dropped (the
+    * report is the exception list). */
+  def qLatenessAudit(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        (unix_micros(col("ts")) - (col("event_id") % 10) * 90000000L).as("us"))
+      .withColumn("late_us",
+        greatest(lit(0L),
+          coalesce(max("us").over(w), col("us")) - col("us")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("late_us") > 0).cast("long")).as("n_late"),
+        max("late_us").as("max_late_us"),
+        sum("late_us").as("total_late_us"))
+      .filter(col("n_late") > 0)
+      .orderBy("user_id")
+  }
 }

@@ -380,4 +380,34 @@ object RelationalExt {
         col("n_nodes"), col("n_edges"))
       .orderBy("round")
   }
+
+  /** Degree assortativity of the co-purchase graph (Newman 2002):
+    * the Pearson correlation of endpoint degrees over all directed
+    * edge orientations — positive means hubs link hubs (social-graph
+    * shape), negative means hubs link leaves (technological/
+    * dependency shape). The moment sums (Σx, Σy, Σxy, Σx², Σy²) are
+    * EXACT integers over the graph-sized edge list, so the final
+    * Pearson formula is one deterministic double expression — the
+    * same exact-moments trick q_spearman/q_anova use. One degree
+    * aggregate + two joins back onto the (checkpointed) edge list. */
+  def qAssortativity(s: SparkSession, d: String): DataFrame = {
+    val e = supportEdges(s, d)
+    val bi = e.select(col("pa").as("u"), col("pb").as("v"))
+      .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
+    val deg = bi.groupBy("u").agg(count(lit(1)).as("deg"))
+    bi.join(deg.select(col("u"), col("deg").as("dx")), "u")
+      .join(deg.select(col("u").as("v"), col("deg").as("dy")), "v")
+      .agg(
+        count(lit(1)).as("m2"),
+        sum("dx").as("sx"), sum("dy").as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(
+        (col("m2") / 2).cast("long").as("n_edges"),
+        (floor((col("m2") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("m2") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * sqrt((col("m2") * col("syy") - col("sy") * col("sy")).cast("double")))
+          * 10000.0 + 0.5) / 10000.0).as("assortativity"))
+  }
 }
