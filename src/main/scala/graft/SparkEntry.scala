@@ -211,6 +211,9 @@ object SparkEntry {
     "q_entity_resolution"  -> (MiningOps.qEntityResolution _),
     "q_assortativity"      -> (RelationalExt.qAssortativity _),
     "q_lateness_audit"     -> (QualityOps.qLatenessAudit _),
+    "q_recommender_eval"   -> (RelationalExt.qRecommenderEval _),
+    "q_conformal_interval" -> (MiningOps.qConformalInterval _),
+    "q_seasonal_decompose" -> (StatsOps.qSeasonalDecompose _),
     "q_triangle_count"     -> (RelationalExt.qTriangleCount _),
     "q_ewma"               -> (StatsOps.qEwma _),
     "q_mad"                -> (StatsOps.qMad _),
@@ -5090,5 +5093,96 @@ object SparkEntry {
         |FROM l GROUP BY 1
         |HAVING SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) > 0
         |ORDER BY user_id""".stripMargin,
+
+    "q_recommender_eval" ->
+      """WITH li0 AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |b AS MATERIALIZED (SELECT l_orderkey, list_sort(list(l_partkey)) AS ps
+        |     FROM li0 GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 120),
+        |tr AS MATERIALIZED (SELECT * FROM b WHERE l_orderkey % 5 <> 0),
+        |te AS MATERIALIZED (SELECT * FROM b WHERE l_orderkey % 5 = 0),
+        |trli AS MATERIALIZED (SELECT l_orderkey, UNNEST(ps) AS pk FROM tr),
+        |p AS MATERIALIZED (SELECT a.pk AS pa, c.pk AS pb, COUNT(*) AS n_ab
+        |     FROM trli a JOIN trli c
+        |       ON a.l_orderkey = c.l_orderkey AND a.pk < c.pk
+        |     GROUP BY 1, 2),
+        |s AS MATERIALIZED (SELECT pk, COUNT(*) AS n FROM trli GROUP BY 1),
+        |sims AS MATERIALIZED (SELECT p.pa, p.pb,
+        |     CAST(FLOOR(p.n_ab / sqrt(CAST(sa.n * sb.n AS DOUBLE)) * 1e6 + 0.5)
+        |       AS BIGINT) AS sim_u
+        |     FROM p JOIN s sa ON sa.pk = p.pa JOIN s sb ON sb.pk = p.pb),
+        |bidir AS MATERIALIZED (SELECT pa, pb, sim_u FROM sims
+        |     UNION ALL SELECT pb, pa, sim_u FROM sims),
+        |pq AS MATERIALIZED (SELECT okey, target, qs, UNNEST(qs) AS q FROM
+        |     (SELECT l_orderkey AS okey, ps[len(ps)] AS target,
+        |             ps[1:len(ps)-1] AS qs FROM te)),
+        |scored AS MATERIALIZED (SELECT pq.okey, pq.target, bd.pb,
+        |     SUM(bd.sim_u) AS score_u
+        |     FROM pq JOIN bidir bd ON bd.pa = pq.q
+        |     WHERE bd.pb <> pq.q AND NOT list_contains(pq.qs, bd.pb)
+        |     GROUP BY 1, 2, 3),
+        |rk AS (SELECT okey, target, pb,
+        |         ROW_NUMBER() OVER (PARTITION BY okey
+        |                            ORDER BY score_u DESC, pb ASC) AS rnk
+        |       FROM scored),
+        |pb2 AS (SELECT okey, target,
+        |          MAX(CASE WHEN rnk <= 10 AND pb = target THEN 1 ELSE 0 END) AS hit
+        |        FROM rk GROUP BY 1, 2),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+        |               CAST(SUM(hit) AS BIGINT) AS hits FROM pb2),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test FROM te)
+        |SELECT nt.n_test, agg.n_scored, agg.hits,
+        |       FLOOR(CAST(agg.hits AS DOUBLE) / agg.n_scored * 10000.0 + 0.5)
+        |         / 10000.0 AS hit_rate_at_10
+        |FROM agg CROSS JOIN nt""".stripMargin,
+
+    "q_conformal_interval" ->
+      """WITH o AS (SELECT o_orderpriority AS prio, o_orderkey AS okey,
+        |                  CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+        |           FROM orders),
+        |fit AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_train,
+        |               CAST(SUM(c) // COUNT(*) AS BIGINT) AS mu_cents
+        |        FROM o WHERE okey % 5 >= 2 GROUP BY 1),
+        |cal AS (SELECT o.prio, o.okey, abs(o.c - fit.mu_cents) AS r
+        |        FROM o JOIN fit USING (prio) WHERE okey % 5 = 1),
+        |calr AS (SELECT prio, r,
+        |           ROW_NUMBER() OVER (PARTITION BY prio ORDER BY r, okey) AS rk,
+        |           COUNT(*) OVER (PARTITION BY prio) AS n_calib
+        |         FROM cal),
+        |qh AS (SELECT prio, CAST(n_calib AS BIGINT) AS n_calib,
+        |              CAST(r AS BIGINT) AS qhat_cents
+        |       FROM calr WHERE rk = ((n_calib + 1) * 9 + 9) // 10)
+        |SELECT o.prio, fit.n_train, fit.mu_cents, qh.n_calib, qh.qhat_cents,
+        |       CAST(COUNT(*) AS BIGINT) AS n_test,
+        |       FLOOR(CAST(SUM(CASE WHEN abs(o.c - fit.mu_cents) <= qh.qhat_cents
+        |                           THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS coverage
+        |FROM o JOIN fit USING (prio) JOIN qh USING (prio)
+        |WHERE o.okey % 5 = 0
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY prio""".stripMargin,
+
+    "q_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, day, cents,
+        |        COUNT(*) OVER w AS n7, SUM(cents) OVER w AS s7
+        |      FROM daily
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |detr AS (SELECT event_type, day, cents,
+        |           cents - CAST(s7 // 7 AS BIGINT) AS detr,
+        |           CAST(dayofweek(day) + 1 AS INTEGER) AS dow
+        |         FROM t WHERE n7 = 7),
+        |sea AS (SELECT event_type, dow,
+        |          CAST(FLOOR(CAST(SUM(detr) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+        |            AS seasonal_cents
+        |        FROM detr GROUP BY 1, 2)
+        |SELECT d.event_type, d.dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |       MAX(sea.seasonal_cents) AS seasonal_cents,
+        |       CAST(FLOOR(CAST(SUM(abs(d.detr - sea.seasonal_cents)) AS DOUBLE)
+        |         / COUNT(*) + 0.5) AS BIGINT) AS mean_abs_resid
+        |FROM detr d JOIN sea USING (event_type, dow)
+        |GROUP BY 1, 2 ORDER BY event_type, dow""".stripMargin,
   )
 }

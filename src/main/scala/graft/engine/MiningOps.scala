@@ -406,6 +406,49 @@ object MiningOps {
       .orderBy("entity_id")
   }
 
+  /** Split-conformal prediction intervals (Vovk; the
+    * distribution-free uncertainty wrapper production scoring
+    * pipelines bolt onto ANY point model): a per-priority mean-cents
+    * model fits on 3/5 of orders, the calibration fifth supplies
+    * q̂ = the ⌈0.9·(n+1)⌉-th smallest absolute residual, and the test
+    * fifth measures empirical coverage of μ ± q̂ (guaranteed ≥ 90%
+    * in expectation by exchangeability). Everything is exact
+    * integers — the model is an integer DIV mean, residuals are
+    * cent deltas, q̂ is an exact rank selection under a (residual,
+    * key) total order — so both engines pick the identical quantile
+    * element. In production the calibration set is a bounded sample,
+    * which is what keeps the per-group rank window safe at corpus
+    * scale. */
+  def qConformalInterval(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(
+      col("o_orderpriority").as("prio"), col("o_orderkey").as("okey"),
+      floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"))
+    val fit = o.filter(col("okey") % 5 >= 2).groupBy("prio")
+      .agg(count(lit(1)).as("n_train"),
+        expr("CAST(SUM(c) DIV COUNT(*) AS BIGINT)").as("mu_cents"))
+    val calib = o.filter(col("okey") % 5 === 1)
+      .join(broadcast(fit), "prio")
+      .withColumn("r", abs(col("c") - col("mu_cents")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("prio").orderBy(col("r"), col("okey"))))
+    val nCal = calib.groupBy("prio").agg(count(lit(1)).as("n_calib"))
+      .withColumn("k", expr("((n_calib + 1) * 9 + 9) DIV 10"))
+    val qhat = calib.join(broadcast(nCal), "prio")
+      .filter(col("rk") === col("k"))
+      .select(col("prio"), col("n_calib"), col("r").as("qhat_cents"))
+    o.filter(col("okey") % 5 === 0)
+      .join(broadcast(fit), "prio")
+      .join(broadcast(qhat), "prio")
+      .groupBy("prio", "n_train", "mu_cents", "n_calib", "qhat_cents")
+      .agg(count(lit(1)).as("n_test"),
+        sum((abs(col("c") - col("mu_cents")) <= col("qhat_cents"))
+          .cast("long")).as("covered"))
+      .select(col("prio"), col("n_train"), col("mu_cents"),
+        col("n_calib"), col("qhat_cents"), col("n_test"),
+        r4(col("covered").cast("double") / col("n_test")).as("coverage"))
+      .orderBy("prio")
+  }
+
   /** Multinomial Naive Bayes language classifier, trained AND
     * evaluated in-engine: add-one-smoothed token likelihoods per
     * language on a deterministic 80/20 split (doc_id % 5), argmax

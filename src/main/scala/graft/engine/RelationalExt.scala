@@ -381,6 +381,65 @@ object RelationalExt {
       .orderBy("round")
   }
 
+  /** Leave-one-out hit-rate@10 evaluation of the item-item cosine
+    * recommender — the offline eval every recommender ships with
+    * (train on 4/5 of baskets, hold out each test basket's LAST item,
+    * check whether summed-similarity ranking recovers it). Pair sims
+    * are quantized to integer micro-units BEFORE the per-candidate
+    * sum, so candidate ranking is an exact-integer total order
+    * ((score, part) tie-break) and the @10 cut can never flap.
+    * Scale shape: identical to qItemSim (one basket build feeds
+    * pair counts and supports; pair fan-out is Σ C(k,2) map-side);
+    * the eval join fans test items onto the BIDIRECTIONAL sim table
+    * keyed by item — vocabulary-sized, shuffle-joined (no broadcast
+    * hint; AQE decides). */
+  def qRecommenderEval(s: SparkSession, d: String): DataFrame = {
+    val baskets = lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")).between(2, MaxBasketSize))
+      .localCheckpoint(true)
+    val train = baskets.filter(col("l_orderkey") % 5 =!= 0)
+    val test = baskets.filter(col("l_orderkey") % 5 === 0)
+    val pairs = train
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))), y =>
+          struct(x.as("pa"), y.as("pb")))))).as("p"))
+      .groupBy("p.pa", "p.pb").agg(count(lit(1)).as("n_ab"))
+    val supp = train.select(explode(col("ps")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("n"))
+    val sims = pairs
+      .join(supp.select(col("pk").as("pa"), col("n").as("n_a")), "pa")
+      .join(supp.select(col("pk").as("pb"), col("n").as("n_b")), "pb")
+      .select(col("pa"), col("pb"),
+        floor(col("n_ab") / sqrt((col("n_a") * col("n_b")).cast("double"))
+          * 1e6 + 0.5).cast("long").as("sim_u"))
+    val bidir = sims.unionByName(
+      sims.select(col("pb").as("pa"), col("pa").as("pb"), col("sim_u")))
+    val probes = test.select(col("l_orderkey").as("okey"),
+        element_at(col("ps"), -1).as("target"),
+        slice(col("ps"), lit(1), size(col("ps")) - 1).as("qs"))
+      .select(col("okey"), col("target"), col("qs"),
+        explode(col("qs")).as("q"))
+    val ranked = probes.join(bidir, col("q") === col("pa"))
+      .filter(col("pb") =!= col("q") && !array_contains(col("qs"), col("pb")))
+      .groupBy(col("okey"), col("target"), col("pb"))
+      .agg(sum("sim_u").as("score_u"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("okey")
+          .orderBy(col("score_u").desc, col("pb").asc)))
+    val perBasket = ranked.groupBy("okey", "target")
+      .agg(max(when(col("rnk") <= 10 && col("pb") === col("target"), 1L)
+        .otherwise(0L)).as("hit"))
+    perBasket.agg(
+        count(lit(1)).as("n_scored"),
+        sum("hit").as("hits"))
+      .crossJoin(broadcast(test.agg(count(lit(1)).as("n_test"))))
+      .select(col("n_test"), col("n_scored"), col("hits"),
+        (floor(col("hits").cast("double") / col("n_scored") * 10000.0 + 0.5)
+          / 10000.0).as("hit_rate_at_10"))
+  }
+
   /** Degree assortativity of the co-purchase graph (Newman 2002):
     * the Pearson correlation of endpoint degrees over all directed
     * edge orientations — positive means hubs link hubs (social-graph

@@ -693,6 +693,47 @@ object StatsOps {
       .orderBy("event_type", "lag_k")
   }
 
+  /** Classical additive seasonal decomposition of each event type's
+    * daily total: trend = centered 7-day moving average (full
+    * windows only), seasonal = day-of-week mean of the detrended
+    * series, residual = what's left — the STL-style split a
+    * seasonality-aware monitor runs before alerting on raw deltas
+    * (q_seasonal_dow's index is the multiplicative cousin; this is
+    * the additive decomposition with an explicit trend removal).
+    * The fact table collapses to calendar-sized daily cents first;
+    * every later step is integer-exact (trend = 7-day sum DIV 7 on
+    * nonneg totals; seasonal and residual means quantized via
+    * FLOOR(x + .5) of an integer/count ratio — identical doubles in
+    * both engines, no ordered float accumulation anywhere). Output:
+    * the 5×7 seasonal profile with residual magnitude per cell. */
+  def qSeasonalDecompose(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)")).as("cents"))
+    val w7 = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-3, 3)
+    val detr = daily
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("s7", sum("cents").over(w7))
+      .filter(col("n7") === 7)
+      .withColumn("trend_u", expr("CAST(s7 DIV 7 AS BIGINT)"))
+      .withColumn("detr", col("cents") - col("trend_u"))
+      .withColumn("dow", dayofweek(col("day")).cast("int"))
+    val seasonal = detr.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_days"), sum("detr").as("sd"))
+      .withColumn("seasonal_cents",
+        floor(col("sd").cast("double") / col("n_days") + 0.5).cast("long"))
+    detr.join(seasonal.select("event_type", "dow", "seasonal_cents"),
+        Seq("event_type", "dow"))
+      .withColumn("resid", col("detr") - col("seasonal_cents"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_days"),
+        max("seasonal_cents").as("seasonal_cents"),
+        floor(sum(abs(col("resid"))).cast("double") / count(lit(1)) + 0.5)
+          .cast("long").as("mean_abs_resid"))
+      .orderBy("event_type", "dow")
+  }
+
   /** Holt linear-trend double exponential smoothing (α = 0.5,
     * β = 0.25) of each event type's daily total — the level+trend
     * forecaster monitoring stacks run where a single EWMA lags a
