@@ -214,6 +214,8 @@ object SparkEntry {
     "q_recommender_eval"   -> (RelationalExt.qRecommenderEval _),
     "q_conformal_interval" -> (MiningOps.qConformalInterval _),
     "q_seasonal_decompose" -> (StatsOps.qSeasonalDecompose _),
+    "q_hits_iter"          -> (RelationalExt.qHitsIter _),
+    "q_geo_grid_join"      -> (RelationalExt.qGeoGridJoin _),
     "q_triangle_count"     -> (RelationalExt.qTriangleCount _),
     "q_ewma"               -> (StatsOps.qEwma _),
     "q_mad"                -> (StatsOps.qMad _),
@@ -5184,5 +5186,44 @@ object SparkEntry {
         |         / COUNT(*) + 0.5) AS BIGINT) AS mean_abs_resid
         |FROM detr d JOIN sea USING (event_type, dow)
         |GROUP BY 1, 2 ORDER BY event_type, dow""".stripMargin,
+
+    "q_hits_iter" ->
+      """WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+        |a AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS auth FROM e GROUP BY 1)
+        |SELECT e.src AS partkey, CAST(COUNT(*) AS BIGINT) AS out_deg,
+        |       CAST(SUM(a.auth) AS BIGINT) AS hub_score
+        |FROM e JOIN a USING (dst)
+        |GROUP BY 1 ORDER BY hub_score DESC, partkey LIMIT 100""".stripMargin,
+
+    "q_geo_grid_join" ->
+      """WITH u AS MATERIALIZED (
+        |  SELECT user_id,
+        |         CAST(user_id % 40 AS DOUBLE) * 0.1 + 0.05 AS lat_deg,
+        |         CAST(user_id // 40 AS DOUBLE) * 0.1 + 0.05 AS lon_deg
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |r AS MATERIALIZED (SELECT user_id AS ub, lat_deg AS lat_b, lon_deg AS lon_b,
+        |       CAST(FLOOR(lat_deg) AS BIGINT) AS cla,
+        |       ((CAST(FLOOR(lon_deg + 180) AS BIGINT) % 360) + 360) % 360 AS clo
+        |     FROM u),
+        |l AS MATERIALIZED (SELECT user_id AS ua, lat_deg AS lat_a, lon_deg AS lon_a,
+        |       CAST(FLOOR(lat_deg) AS BIGINT) + dx.dx AS cla,
+        |       (((CAST(FLOOR(lon_deg + 180) AS BIGINT) % 360) + dy.dy) % 360 + 360) % 360 AS clo
+        |     FROM u,
+        |          (SELECT UNNEST([-1, 0, 1]) AS dx) dx,
+        |          (SELECT UNNEST([-1, 0, 1]) AS dy) dy),
+        |cand AS (SELECT l.ua, r.ub, l.lat_a, l.lon_a, r.lat_b, r.lon_b
+        |         FROM l JOIN r USING (cla, clo) WHERE l.ua < r.ub),
+        |dd AS (SELECT ua, ub,
+        |         FLOOR(2 * 6371 * asin(sqrt(
+        |           POW(sin((lat_b - lat_a) * pi() / 180 / 2), 2)
+        |           + cos(lat_a * pi() / 180) * cos(lat_b * pi() / 180)
+        |             * POW(sin((lon_b - lon_a) * pi() / 180 / 2), 2)))
+        |           * 10000.0 + 0.5) / 10000.0 AS dist_r
+        |       FROM cand)
+        |SELECT CAST(FLOOR(dist_r / 25.0) AS BIGINT) AS band_25km,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(COUNT(DISTINCT ua) AS BIGINT) AS n_users_a
+        |FROM dd WHERE dist_r <= 100.0
+        |GROUP BY 1 ORDER BY band_25km""".stripMargin,
   )
 }

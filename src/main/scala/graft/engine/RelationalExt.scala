@@ -300,6 +300,78 @@ object RelationalExt {
       .limit(100)
   }
 
+  /** One HITS iteration (Kleinberg 1999) over the part→supplier
+    * supply graph — the hub/authority counterpart of
+    * [[qPagerankIter]], same one-distributed-iteration family
+    * (pagerank, k-means step, PCA step): from uniform hubs,
+    * authority(supplier) = in-degree, and the hub update
+    * hub(part) = Σ authority over its suppliers is EXACT INTEGER
+    * arithmetic, so no normalization float ever crosses engines.
+    * Two shuffles (degree aggregate + the edge join back), top-100
+    * hubs under a (score, key) total order. */
+  def qHitsIter(s: SparkSession, d: String): DataFrame = {
+    val e = lineitem(s, d)
+      .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct()
+    val auth = e.groupBy("dst").agg(count(lit(1)).as("auth"))
+    e.join(auth, "dst")
+      .groupBy("src")
+      .agg(count(lit(1)).as("out_deg"), sum("auth").as("hub_score"))
+      .select(col("src").as("partkey"), col("out_deg"), col("hub_score"))
+      .orderBy(col("hub_score").desc, col("partkey"))
+      .limit(100)
+  }
+
+  /** Grid-bucketed spatial self-join — "user pairs within 100 km"
+    * via the standard geohash-style block-then-verify: each point
+    * lands in a 1°×1° cell, one side EXPLODES its 3×3 cell
+    * neighborhood map-side (9 keys per point), candidates join on
+    * the cell key (never all-pairs), and the exact haversine check
+    * runs per candidate. Longitude cells wrap at the antimeridian;
+    * the a<b canonicalization dedups the symmetric pair. Coordinates
+    * are a DENSE synthetic mapping (an ~11 km point lattice from
+    * user_id, deterministic in both engines — q_geo_distance's
+    * globe-spread mapping leaves no two fixture users within 100 km);
+    * the distance filter compares the ROUNDED-4dp value so a
+    * libm-ulp difference can never flap a boundary pair. Output:
+    * 25-km distance-band histogram of qualifying pairs. */
+  def qGeoGridJoin(s: SparkSession, d: String): DataFrame = {
+    val users = events(s, d).select("user_id").distinct()
+      .withColumn("lat_deg", (col("user_id") % 40) * 0.1 + 0.05)
+      .withColumn("lon_deg", expr("user_id DIV 40") * 0.1 + 0.05)
+      .localCheckpoint(true)
+    def cellLat(c: org.apache.spark.sql.Column) = floor(c).cast("long")
+    def cellLon(c: org.apache.spark.sql.Column) =
+      ((floor(c + 180).cast("long") % 360) + 360) % 360
+    val right = users.select(col("user_id").as("ub"),
+      col("lat_deg").as("lat_b"), col("lon_deg").as("lon_b"),
+      cellLat(col("lat_deg")).as("cla"), cellLon(col("lon_deg")).as("clo"))
+    val left = users.select(col("user_id").as("ua"),
+        col("lat_deg").as("lat_a"), col("lon_deg").as("lon_a"),
+        cellLat(col("lat_deg")).as("cla0"), cellLon(col("lon_deg")).as("clo0"))
+      .select(col("ua"), col("lat_a"), col("lon_a"),
+        explode(expr(
+          "flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), " +
+            "dy -> struct(cla0 + dx AS cla, ((clo0 + dy) % 360 + 360) % 360 AS clo))))"))
+          .as("c"))
+      .select(col("ua"), col("lat_a"), col("lon_a"),
+        col("c.cla").as("cla"), col("c.clo").as("clo"))
+    // operand order mirrors the oracle text exactly ((Δ·π)/180/2,
+    // not Δ·(π/180)/2) so the trig arguments are bit-identical
+    val dist = lit(2.0 * 6371.0) * asin(sqrt(
+      pow(sin((col("lat_b") - col("lat_a")) * math.Pi / 180 / 2), 2) +
+        cos(col("lat_a") * math.Pi / 180) * cos(col("lat_b") * math.Pi / 180) *
+          pow(sin((col("lon_b") - col("lon_a")) * math.Pi / 180 / 2), 2)))
+    left.join(right, Seq("cla", "clo"))
+      .filter(col("ua") < col("ub"))
+      .withColumn("dist_r", floor(dist * 10000.0 + 0.5) / 10000.0)
+      .filter(col("dist_r") <= 100.0)
+      .groupBy(floor(col("dist_r") / 25.0).cast("long").as("band_25km"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("ua").as("n_users_a"))
+      .orderBy("band_25km")
+  }
+
   /** Window-navigation breadth: nth_value / first_value / last_value
     * over an explicit running frame, per market segment ordered by
     * account balance (custkey tie-break everywhere — both engines
