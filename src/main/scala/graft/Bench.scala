@@ -66,6 +66,12 @@ object Bench {
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
     def once(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
+      // drop the PREVIOUS query's localCheckpoint blocks before the
+      // clock starts (TimeQ protocol): a dozen checkpointing queries
+      // would otherwise pin storage memory across the whole pass and
+      // squeeze execution memory for every later query — each query
+      // pays for its own cache, none pays for its predecessors'
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9

@@ -216,6 +216,8 @@ object SparkEntry {
     "q_seasonal_decompose" -> (StatsOps.qSeasonalDecompose _),
     "q_hits_iter"          -> (RelationalExt.qHitsIter _),
     "q_geo_grid_join"      -> (RelationalExt.qGeoGridJoin _),
+    "q_sprt"               -> (StatsOps.qSprt _),
+    "q_bpe_apply"          -> (TextOps.qBpeApply _),
     "q_triangle_count"     -> (RelationalExt.qTriangleCount _),
     "q_ewma"               -> (StatsOps.qEwma _),
     "q_mad"                -> (StatsOps.qMad _),
@@ -5225,5 +5227,52 @@ object SparkEntry {
         |       CAST(COUNT(DISTINCT ua) AS BIGINT) AS n_users_a
         |FROM dd WHERE dist_r <= 100.0
         |GROUP BY 1 ORDER BY band_25km""".stripMargin,
+
+    "q_sprt" ->
+      """WITH c AS (SELECT user_id % 2 AS arm, event_id,
+        |  CASE WHEN value > 100 THEN 405465 ELSE -57158 END AS inc_u
+        |  FROM events WHERE event_type = 'click'),
+        |l AS (SELECT arm, event_id, inc_u,
+        |  SUM(inc_u) OVER (PARTITION BY arm ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr_u
+        |  FROM c)
+        |SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |  CAST(COALESCE(MIN(CASE WHEN llr_u >= 2944439 THEN event_id END), -1)
+        |    AS BIGINT) AS first_cross_up,
+        |  CAST(COALESCE(MIN(CASE WHEN llr_u <= -2944439 THEN event_id END), -1)
+        |    AS BIGINT) AS first_cross_dn,
+        |  CAST(SUM(inc_u) AS BIGINT) AS final_llr_u,
+        |  CASE WHEN MIN(CASE WHEN llr_u >= 2944439 THEN event_id END) IS NOT NULL
+        |        AND (MIN(CASE WHEN llr_u <= -2944439 THEN event_id END) IS NULL
+        |             OR MIN(CASE WHEN llr_u >= 2944439 THEN event_id END)
+        |                < MIN(CASE WHEN llr_u <= -2944439 THEN event_id END))
+        |       THEN 'accept_h1'
+        |       WHEN MIN(CASE WHEN llr_u <= -2944439 THEN event_id END) IS NOT NULL
+        |       THEN 'accept_h0'
+        |       ELSE 'continue' END AS decision
+        |FROM l GROUP BY arm ORDER BY arm""".stripMargin,
+
+    "q_bpe_apply" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM
+        |    (SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS word
+        |     FROM documents)
+        |  GROUP BY 1),
+        |tp AS (SELECT pair,
+        |         substr(pair, 1, 1) || ' ' || substr(pair, 2, 1) AS spaced
+        |       FROM (SELECT substr(word, CAST(i AS INT), 2) AS pair, SUM(freq) AS n
+        |             FROM v, UNNEST(range(1, len(word))) AS t(i)
+        |             WHERE len(word) >= 2
+        |             GROUP BY 1 ORDER BY n DESC, pair LIMIT 1))
+        |SELECT v.word, v.freq, tp.pair AS merge_pair,
+        |       replace(array_to_string(regexp_split_to_array(v.word, ''), ' '),
+        |               tp.spaced, tp.pair) AS symbols_after,
+        |       CAST(CASE WHEN replace(
+        |           array_to_string(regexp_split_to_array(v.word, ''), ' '),
+        |           tp.spaced, tp.pair)
+        |         <> array_to_string(regexp_split_to_array(v.word, ''), ' ')
+        |         THEN 1 ELSE 0 END AS INTEGER) AS changed
+        |FROM v CROSS JOIN tp
+        |ORDER BY v.freq DESC, v.word LIMIT 30""".stripMargin,
   )
 }

@@ -693,6 +693,48 @@ object StatsOps {
       .orderBy("event_type", "lag_k")
   }
 
+  /** Sequential probability ratio test (Wald's SPRT) per experiment
+    * arm — the always-valid sequential A/B monitor that stops the
+    * moment the evidence crosses a boundary instead of waiting for a
+    * fixed n: clicks ordered by event_id are Bernoulli trials
+    * (conversion = value > 100), H₀: p = 0.10 vs H₁: p = 0.15,
+    * boundaries ±ln(19) (α = β = 0.05). Each observation's
+    * log-likelihood increment is one of TWO constants, quantized
+    * once to micro-nats — the running LLR is an exact integer
+    * cumsum, so the first-crossing observation and the decision are
+    * engine-exact. One window pass per arm; the per-arm sequence is
+    * the data, so the cumsum partitioning is the experiment's own
+    * granularity. */
+  def qSprt(s: SparkSession, d: String): DataFrame = {
+    // micro-nat constants pinned as literals (ln(1.5), ln(17/18),
+    // ln(19)) so both engines share the exact integers
+    val succU = 405465L
+    val failU = -57158L
+    val boundU = 2944439L
+    val w = Window.partitionBy("arm").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val llr = events(s, d)
+      .filter(col("event_type") === "click")
+      .select((col("user_id") % 2).as("arm"), col("event_id"),
+        when(col("value") > 100, lit(succU)).otherwise(lit(failU)).as("inc_u"))
+      .withColumn("llr_u", sum("inc_u").over(w))
+    llr.groupBy("arm")
+      .agg(
+        count(lit(1)).as("n_obs"),
+        min(when(col("llr_u") >= boundU, col("event_id"))).as("up_id"),
+        min(when(col("llr_u") <= -boundU, col("event_id"))).as("dn_id"),
+        sum("inc_u").as("final_llr_u"))
+      .select(col("arm"), col("n_obs"),
+        coalesce(col("up_id"), lit(-1L)).as("first_cross_up"),
+        coalesce(col("dn_id"), lit(-1L)).as("first_cross_dn"),
+        col("final_llr_u"),
+        when(col("up_id").isNotNull &&
+            (col("dn_id").isNull || col("up_id") < col("dn_id")), "accept_h1")
+          .when(col("dn_id").isNotNull, "accept_h0")
+          .otherwise("continue").as("decision"))
+      .orderBy("arm")
+  }
+
   /** Classical additive seasonal decomposition of each event type's
     * daily total: trend = centered 7-day moving average (full
     * windows only), seasonal = day-of-week mean of the detrended

@@ -1263,6 +1263,46 @@ object TextOps {
       .orderBy(col("n").desc, col("pair"))
       .limit(20)
 
+  /** One BPE merge APPLIED — the training step [[qBpeMerge]]'s
+    * frequency table exists for: the corpus-wide most frequent
+    * adjacent character pair (tie-break: pair asc) becomes one
+    * symbol in every vocabulary word's symbol sequence. Words are
+    * spaced single-char symbols, so a left-to-right `replace` of
+    * "x y" → "xy" is exactly the BPE merge (single-char symbols make
+    * every substring match boundary-aligned, and both engines
+    * replace left-to-right non-overlapping). The vocabulary is the
+    * bounded table; the merge is one broadcast of a 1-row pair.
+    * Output: the top-30 words by frequency with their post-merge
+    * segmentations — the tokenizer-construction loop's inner step as
+    * a query. */
+  def qBpeApply(s: SparkSession, d: String): DataFrame = {
+    val vocab = documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val top = vocab
+      .filter(length(col("word")) >= 2)
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(expr("substring(word, i, 2)").as("pair"), col("freq"))
+      .groupBy("pair").agg(sum("freq").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(1)
+      .select(col("pair"),
+        concat(substring(col("pair"), 1, 1), lit(" "),
+          substring(col("pair"), 2, 1)).as("spaced"))
+    vocab
+      .crossJoin(broadcast(top))
+      .withColumn("symbols",
+        concat_ws(" ", split(col("word"), "")))
+      .withColumn("symbols_after",
+        expr("replace(symbols, spaced, pair)"))
+      .select(col("word"), col("freq"), col("pair").as("merge_pair"),
+        col("symbols_after"),
+        (col("symbols_after") =!= col("symbols")).cast("int").as("changed"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(30)
+  }
+
   /** fastText-style linear quality classifier inference (Joulin et
     * al., "Bag of Tricks for Efficient Text Classification"): score
     * every document as Σ w(feature) over unigram + word-bigram
