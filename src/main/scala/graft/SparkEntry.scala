@@ -218,6 +218,9 @@ object SparkEntry {
     "q_geo_grid_join"      -> (RelationalExt.qGeoGridJoin _),
     "q_sprt"               -> (StatsOps.qSprt _),
     "q_bpe_apply"          -> (TextOps.qBpeApply _),
+    "q_diff_in_diff"       -> (StatsOps.qDiffInDiff _),
+    "q_cuped"              -> (StatsOps.qCuped _),
+    "q_mann_whitney"       -> (MiningOps.qMannWhitney _),
     "q_triangle_count"     -> (RelationalExt.qTriangleCount _),
     "q_ewma"               -> (StatsOps.qEwma _),
     "q_mad"                -> (StatsOps.qMad _),
@@ -5274,5 +5277,89 @@ object SparkEntry {
         |         THEN 1 ELSE 0 END AS INTEGER) AS changed
         |FROM v CROSS JOIN tp
         |ORDER BY v.freq DESC, v.word LIMIT 30""".stripMargin,
+
+    "q_diff_in_diff" ->
+      """WITH p AS (SELECT user_id % 2 AS arm,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |             CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+        |           FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT CAST((MIN(us) + MAX(us)) // 2 AS BIGINT) AS mid FROM p),
+        |m AS (SELECT arm, CASE WHEN us >= b.mid THEN 1 ELSE 0 END AS post,
+        |        CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mean_c
+        |      FROM p CROSS JOIN b GROUP BY 1, 2)
+        |SELECT
+        |  MAX(CASE WHEN arm = 1 AND post = 0 THEN n END) AS n_t_pre,
+        |  MAX(CASE WHEN arm = 1 AND post = 1 THEN n END) AS n_t_post,
+        |  MAX(CASE WHEN arm = 0 AND post = 0 THEN n END) AS n_c_pre,
+        |  MAX(CASE WHEN arm = 0 AND post = 1 THEN n END) AS n_c_post,
+        |  FLOOR(MAX(CASE WHEN arm = 1 AND post = 0 THEN mean_c END) * 100.0 + 0.5)
+        |    / 100.0 AS mean_t_pre,
+        |  FLOOR(MAX(CASE WHEN arm = 1 AND post = 1 THEN mean_c END) * 100.0 + 0.5)
+        |    / 100.0 AS mean_t_post,
+        |  FLOOR(MAX(CASE WHEN arm = 0 AND post = 0 THEN mean_c END) * 100.0 + 0.5)
+        |    / 100.0 AS mean_c_pre,
+        |  FLOOR(MAX(CASE WHEN arm = 0 AND post = 1 THEN mean_c END) * 100.0 + 0.5)
+        |    / 100.0 AS mean_c_post,
+        |  FLOOR(((MAX(CASE WHEN arm = 1 AND post = 1 THEN mean_c END)
+        |          - MAX(CASE WHEN arm = 1 AND post = 0 THEN mean_c END))
+        |         - (MAX(CASE WHEN arm = 0 AND post = 1 THEN mean_c END)
+        |            - MAX(CASE WHEN arm = 0 AND post = 0 THEN mean_c END)))
+        |        * 100.0 + 0.5) / 100.0 AS did_cents
+        |FROM m""".stripMargin,
+
+    "q_cuped" ->
+      """WITH p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |             CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+        |           FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT CAST((MIN(us) + MAX(us)) // 2 AS BIGINT) AS mid FROM p),
+        |pu AS (SELECT user_id,
+        |         SUM(CASE WHEN us < b.mid THEN c ELSE 0 END) AS x,
+        |         SUM(CASE WHEN us >= b.mid THEN c ELSE 0 END) AS y
+        |       FROM p CROSS JOIN b GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |        CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |        CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |        CAST(SUM(y * y) AS DOUBLE) AS syy
+        |      FROM pu)
+        |SELECT n,
+        |  FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6
+        |    AS theta,
+        |  FLOOR((n * sxy - sx * sy) / sqrt(n * sxx - sx * sx)
+        |        / sqrt(n * syy - sy * sy) * 1e6 + 0.5) / 1e6 AS rho,
+        |  FLOOR((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e4 + 0.5) / 1e4
+        |    AS variance_reduction
+        |FROM m""".stripMargin,
+
+    "q_mann_whitney" ->
+      """WITH base AS (SELECT o_orderstatus AS status,
+        |    CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS yr,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END
+        |      AS grp_a,
+        |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |rk AS (SELECT status, yr, grp_a,
+        |    2 * RANK() OVER (PARTITION BY status, yr ORDER BY c)
+        |      + COUNT(*) OVER (PARTITION BY status, yr, c) - 1 AS r2
+        |  FROM base),
+        |ties AS (SELECT status, yr, SUM(t * t * t - t) AS tsum FROM
+        |    (SELECT status, yr, c, COUNT(*) AS t FROM base GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2),
+        |agg AS (SELECT status, yr, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(grp_a) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN grp_a = 1 THEN r2 ELSE 0 END) AS BIGINT) AS sr2a
+        |  FROM rk GROUP BY 1, 2)
+        |SELECT a.status, a.yr, a.na, a.n - a.na AS nb,
+        |  CAST(a.sr2a - a.na * (a.na + 1) AS BIGINT) AS u2,
+        |  CAST(t.tsum AS BIGINT) AS tsum,
+        |  FLOOR(CAST(a.sr2a - a.na * (a.na + 1) - a.na * (a.n - a.na) AS DOUBLE)
+        |    / sqrt(CAST(a.na AS DOUBLE) * (a.n - a.na)
+        |           * ((a.n + 1) - CAST(t.tsum AS DOUBLE) / a.n / (a.n - 1)) / 3.0)
+        |    * 10000.0 + 0.5) / 10000.0 AS z_u
+        |FROM agg a JOIN ties t USING (status, yr)
+        |WHERE a.na >= 10 AND a.n - a.na >= 10
+        |ORDER BY status, yr""".stripMargin,
   )
 }

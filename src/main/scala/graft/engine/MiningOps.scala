@@ -209,6 +209,49 @@ object MiningOps {
       .orderBy("event_type", "mon")
   }
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) per (status, year) stratum:
+    * do urgent-priority orders draw from a different value
+    * distribution than the rest — the nonparametric two-sample test
+    * that needs no normality assumption (the parametric counterpart
+    * is qTtest). Uses the qSpearman doubled-average-rank trick so
+    * every rank sum is an EXACT integer under ties: 2U = ΣR₂(A) −
+    * n_A(n_A+1) exactly, and the tie-corrected variance carries
+    * Σ(t³−t) as an exact integer; only the final z divides doubles.
+    * Ranking windows run per bounded (status, year) stratum — the
+    * table never funnels into one task. */
+  def qMannWhitney(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d).select(
+      col("o_orderstatus").as("status"),
+      year(col("o_orderdate")).cast("int").as("yr"),
+      (col("o_orderpriority").isin("1-URGENT", "2-HIGH")).cast("int").as("grp_a"),
+      floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"))
+    val w = Window.partitionBy("status", "yr")
+    val ranked = base
+      .withColumn("r2", lit(2L) * rank().over(w.orderBy("c")) +
+        count(lit(1)).over(Window.partitionBy("status", "yr", "c")) - 1L)
+    val ties = base.groupBy("status", "yr", "c").agg(count(lit(1)).as("t"))
+      .groupBy("status", "yr")
+      .agg(sum(expr("t * t * t - t")).as("tsum"))
+    ranked.groupBy("status", "yr")
+      .agg(count(lit(1)).as("n"),
+        sum("grp_a").as("na"),
+        sum(when(col("grp_a") === 1, col("r2")).otherwise(0L)).as("sr2a"))
+      .join(ties, Seq("status", "yr"))
+      .filter(col("na") >= 10L && (col("n") - col("na")) >= 10L)
+      .withColumn("nb", col("n") - col("na"))
+      .withColumn("u2", col("sr2a") - col("na") * (col("na") + 1L))
+      // var(2U) = nA·nB·((n+1) − T/(n(n−1)))/3, tie-corrected
+      .withColumn("var2u",
+        col("na").cast("double") * col("nb") *
+          ((col("n") + 1L).cast("double")
+            - col("tsum").cast("double") / col("n") / (col("n") - 1L)) / 3.0)
+      .select(col("status"), col("yr"), col("na"), col("nb"),
+        col("u2"), col("tsum"),
+        (floor((col("u2") - col("na") * col("nb")).cast("double")
+          / sqrt(col("var2u")) * 10000.0 + 0.5) / 10000.0).as("z_u"))
+      .orderBy("status", "yr")
+  }
+
   /** Herfindahl–Hirschman spend concentration per market segment:
     * the "is this segment's revenue one whale or many minnows"
     * monitor. Per-customer spend collapses to exact kilodollar units

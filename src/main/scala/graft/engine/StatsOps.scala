@@ -693,6 +693,83 @@ object StatsOps {
       .orderBy("event_type", "lag_k")
   }
 
+  /** Difference-in-differences estimate — the quasi-experimental
+    * workhorse when treatment wasn't randomized per user-time:
+    * treatment arm = user_id parity, periods split at the exact
+    * integer-µs midpoint of the purchase stream, metric = mean
+    * purchase cents. All four cell means come from exact integer
+    * (Σcents, n) pairs, so the DiD point estimate is one
+    * deterministic double expression. One aggregate over the facts
+    * (4 cells) + a broadcast of the 1-row time bounds. */
+  def qDiffInDiff(s: SparkSession, d: String): DataFrame = {
+    val p = events(s, d).filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("arm"), unix_micros(col("ts")).as("us"),
+        expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").as("c"))
+    val bounds = p.agg(expr("CAST((MIN(us) + MAX(us)) DIV 2 AS BIGINT)").as("mid"))
+    val cells = p.crossJoin(broadcast(bounds))
+      .withColumn("post", (col("us") >= col("mid")).cast("int"))
+      .groupBy("arm", "post")
+      .agg(count(lit(1)).as("n"), sum("c").as("sc"))
+      .withColumn("mean_c", col("sc").cast("double") / col("n"))
+    def cell(a: Int, po: Int, c: String) =
+      max(when(col("arm") === a && col("post") === po, col(c)))
+    cells.agg(
+        cell(1, 0, "n").as("n_t_pre"), cell(1, 1, "n").as("n_t_post"),
+        cell(0, 0, "n").as("n_c_pre"), cell(0, 1, "n").as("n_c_post"),
+        cell(1, 0, "mean_c").as("m_t_pre"), cell(1, 1, "mean_c").as("m_t_post"),
+        cell(0, 0, "mean_c").as("m_c_pre"), cell(0, 1, "mean_c").as("m_c_post"))
+      .select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+        (floor(col("m_t_pre") * 100.0 + 0.5) / 100.0).as("mean_t_pre"),
+        (floor(col("m_t_post") * 100.0 + 0.5) / 100.0).as("mean_t_post"),
+        (floor(col("m_c_pre") * 100.0 + 0.5) / 100.0).as("mean_c_pre"),
+        (floor(col("m_c_post") * 100.0 + 0.5) / 100.0).as("mean_c_post"),
+        (floor(((col("m_t_post") - col("m_t_pre"))
+          - (col("m_c_post") - col("m_c_pre"))) * 100.0 + 0.5) / 100.0)
+          .as("did_cents"))
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013) — the pre-experiment
+    * covariate adjustment every experimentation platform applies
+    * before reading a metric: per user, x = pre-period spend, y =
+    * post-period spend (exact integer cents), θ = cov(x,y)/var(x)
+    * from EXACT integer moment sums, and the adjusted metric's
+    * variance shrinks by exactly ρ². The whole statistic is one
+    * per-user aggregate (the only fact-scale shuffle) + one 1-row
+    * moment collapse; every sum is integer-exact so both engines
+    * compute the identical doubles. */
+  def qCuped(s: SparkSession, d: String): DataFrame = {
+    val p = events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").as("c"))
+    val bounds = p.agg(expr("CAST((MIN(us) + MAX(us)) DIV 2 AS BIGINT)").as("mid"))
+    val perUser = p.crossJoin(broadcast(bounds))
+      .groupBy("user_id")
+      .agg(sum(when(col("us") < col("mid"), col("c")).otherwise(0L)).as("x"),
+        sum(when(col("us") >= col("mid"), col("c")).otherwise(0L)).as("y"))
+    perUser.agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      // combine the (exact) sums in DOUBLE: n·Σxy would overflow
+      // int64 at larger corpora, and DuckDB's HUGEINT sums would then
+      // silently diverge — double(n)·double(Σxy) rounds identically
+      // in both engines instead
+      .withColumn("vx", col("n").cast("double") * col("sxx")
+        - col("sx").cast("double") * col("sx"))
+      .withColumn("vy", col("n").cast("double") * col("syy")
+        - col("sy").cast("double") * col("sy"))
+      .withColumn("cxy", col("n").cast("double") * col("sxy")
+        - col("sx").cast("double") * col("sy"))
+      .select(col("n"),
+        (floor(col("cxy") / col("vx") * 1e6 + 0.5) / 1e6).as("theta"),
+        (floor(col("cxy") / sqrt(col("vx")) / sqrt(col("vy")) * 1e6 + 0.5) / 1e6)
+          .as("rho"),
+        (floor(col("cxy") * col("cxy") / (col("vx") * col("vy")) * 1e4 + 0.5)
+          / 1e4).as("variance_reduction"))
+  }
+
   /** Sequential probability ratio test (Wald's SPRT) per experiment
     * arm — the always-valid sequential A/B monitor that stops the
     * moment the evidence crosses a boundary instead of waiting for a
