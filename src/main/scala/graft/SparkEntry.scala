@@ -221,6 +221,7 @@ object SparkEntry {
     "q_diff_in_diff"       -> (StatsOps.qDiffInDiff _),
     "q_cuped"              -> (StatsOps.qCuped _),
     "q_mann_whitney"       -> (MiningOps.qMannWhitney _),
+    "q_graph_bfs"          -> (RelationalExt.qGraphBfs _),
     "q_triangle_count"     -> (RelationalExt.qTriangleCount _),
     "q_ewma"               -> (StatsOps.qEwma _),
     "q_mad"                -> (StatsOps.qMad _),
@@ -5361,5 +5362,32 @@ object SparkEntry {
         |FROM agg a JOIN ties t USING (status, yr)
         |WHERE a.na >= 10 AND a.n - a.na >= 10
         |ORDER BY status, yr""".stripMargin,
+
+    "q_graph_bfs" ->
+      """WITH RECURSIVE
+        |li0 AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM
+        |         (SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS bsz FROM li0)
+        |       WHERE bsz <= 120),
+        |e0 AS MATERIALIZED (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |       FROM li a JOIN li b
+        |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |bi AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e0
+        |                    UNION ALL SELECT pb, pa FROM e0),
+        |s AS MATERIALIZED (SELECT u FROM
+        |       (SELECT u, COUNT(*) AS deg FROM bi GROUP BY 1)
+        |     ORDER BY deg DESC, u ASC LIMIT 1),
+        |walk(node, lvl) AS (
+        |  SELECT u, 0 FROM s
+        |  UNION
+        |  SELECT bi.v, walk.lvl + 1
+        |  FROM walk JOIN bi ON bi.u = walk.node
+        |  WHERE walk.lvl < 10),
+        |dist AS (SELECT node, MIN(lvl) AS lvl FROM walk GROUP BY 1)
+        |SELECT CAST(lvl AS INTEGER) AS lvl,
+        |       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |       CAST(MIN(node) AS BIGINT) AS min_node
+        |FROM dist GROUP BY 1 ORDER BY lvl""".stripMargin,
   )
 }

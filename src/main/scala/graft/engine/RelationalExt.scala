@@ -528,6 +528,50 @@ object RelationalExt {
           / 10000.0).as("hit_rate_at_10"))
   }
 
+  /** Distributed BFS from the co-purchase graph's max-degree hub —
+    * the traversal primitive the component/pagerank family doesn't
+    * cover (reachability with DISTANCE). Classic frontier expansion:
+    * each round joins the current frontier against the bidirectional
+    * adjacency (one shuffle on the edge key), anti-joins the visited
+    * set, and checkpoints — rounds are bounded by the hub's
+    * eccentricity (≤10 here; power-law graphs have tiny diameters).
+    * Per-level state is node-set-sized, never quadratic. The oracle
+    * replays it as a recursive CTE with per-step UNION dedup. Output:
+    * nodes-per-level profile — the hop-distance histogram an
+    * influence/blast-radius analysis reads. */
+  def qGraphBfs(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val e = supportEdges(s, d)
+    val bi = e.select(col("pa").as("u"), col("pb").as("v"))
+      .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
+      .localCheckpoint(true)
+    val src = bi.groupBy("u").agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("u").asc)
+      .limit(1).select("u").as[Long].head()
+    var visited = Seq(src).toDF("node").withColumn("lvl", lit(0))
+      .localCheckpoint(true)
+    var frontier = visited.select("node")
+    var lvl = 0
+    var done = frontier.isEmpty
+    while (!done && lvl < 10) {
+      lvl += 1
+      frontier = bi.join(frontier.withColumnRenamed("node", "u"), "u")
+        .select(col("v").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      done = frontier.isEmpty
+      if (!done)
+        visited = visited
+          .unionByName(frontier.withColumn("lvl", lit(lvl)))
+          .localCheckpoint(true)
+    }
+    visited.groupBy("lvl")
+      .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"))
+      .select(col("lvl").cast("int").as("lvl"), col("n_nodes"), col("min_node"))
+      .orderBy("lvl")
+  }
+
   /** Degree assortativity of the co-purchase graph (Newman 2002):
     * the Pearson correlation of endpoint degrees over all directed
     * edge orientations — positive means hubs link hubs (social-graph
