@@ -222,6 +222,7 @@ object SparkEntry {
     "q_cuped"              -> (StatsOps.qCuped _),
     "q_mann_whitney"       -> (MiningOps.qMannWhitney _),
     "q_graph_bfs"          -> (RelationalExt.qGraphBfs _),
+    "q_arrow_roundtrip"    -> (FlightServe.qArrowRoundtrip _),
     "q_triangle_count"     -> (RelationalExt.qTriangleCount _),
     "q_ewma"               -> (StatsOps.qEwma _),
     "q_mad"                -> (StatsOps.qMad _),
@@ -5389,5 +5390,14 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_nodes,
         |       CAST(MIN(node) AS BIGINT) AS min_node
         |FROM dist GROUP BY 1 ORDER BY lvl""".stripMargin,
+
+    "q_arrow_roundtrip" ->
+      """SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents,
+        |       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        |       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders WHERE o_orderkey % 50 = 0
+        |GROUP BY 1 ORDER BY status""".stripMargin,
   )
 }

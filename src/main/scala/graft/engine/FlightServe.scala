@@ -141,4 +141,38 @@ object FlightServe {
   }
 
   private lazy val defaultAllocator: BufferAllocator = new RootAllocator()
+
+  /** End-to-end Arrow-IPC serve roundtrip as an ORACLE-GATED query:
+    * a deterministic fiftieth of orders lands in a store, DoGet
+    * serializes the buffer as one Arrow IPC stream (the reference's
+    * client wire format, flight/server.go:171-208), [[readIpc]]
+    * decodes it client-side, and the decoded rows aggregate back in
+    * Spark — any value corruption in the Arrow encode/decode path
+    * breaks the DuckDB hash. Money rides as integer cents (the IPC
+    * path carries them as Arrow BigInt, lossless by construction). */
+  def qArrowRoundtrip(s: org.apache.spark.sql.SparkSession,
+                      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sub = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
+    val schema = sub.schema
+    val store = new StreamStore(1L << 30, Long.MaxValue / 2)
+    sub.collect().grouped(500).foreach(rs => store.append("orders", schema, rs.toSeq))
+    val bytes = doGet(store, "orders").get
+    val (_, batches) = readIpc(bytes)
+    val rows = batches.flatten.map { vs =>
+      Row(vs(0).asInstanceOf[java.lang.Long].longValue(),
+        vs(1).toString,
+        vs(2).asInstanceOf[java.lang.Long].longValue())
+    }
+    s.createDataFrame(s.sparkContext.parallelize(rows.toList), schema)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        sum("cents").as("sum_cents"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("status")
+  }
 }
