@@ -104,7 +104,25 @@ object Bench {
     val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
     val qs = slow.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+    // Ingest-throughput probe against the reference's ONLY published
+    // performance claim ("thousands of messages per second",
+    // art/article.md:96): the fixture event stream pushed through the
+    // store's append path in reference-default 1024-row batches
+    // (cmd/serve.go:214), measured as rows/sec. Single-node and
+    // driver-side like the reference's consumer→manager handoff.
+    val ingestRps: Long = try {
+      import org.apache.spark.sql.functions.col
+      val rows = graft.engine.Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value").collect()
+      val schema = graft.engine.Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value").schema
+      val store = new graft.engine.StreamStore(1L << 30, Long.MaxValue / 2)
+      val t0 = System.nanoTime()
+      rows.grouped(1024).foreach(b => store.append("events", schema, b.toSeq))
+      val dt = (System.nanoTime() - t0) / 1e9
+      (rows.length / dt).toLong
+    } catch { case _: Throwable => -1L }
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"errors":$errs,"ingest_rows_per_sec":$ingestRps,"queries":$qs,"sf":"$sfDir"}"""
     require(line.length < 1800, s"bench line too long: ${line.length}")
     println(line)
     spark.stop()
