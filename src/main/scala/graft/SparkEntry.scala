@@ -364,6 +364,12 @@ object SparkEntry {
     "q_session_window"     -> (AnalyticsOps.qSessionWindow _),
     "q_theil_sen"          -> (MiningOps.qTheilSen _),
     "q_avro_roundtrip"     -> (Sinks.qAvroRoundtrip _),
+    "q_clustering_coeff"   -> (RelationalExt.qClusteringCoeff _),
+    "q_modularity"         -> (RelationalExt.qModularity _),
+    "q_cramers_v"          -> (AnalyticsOps.qCramersV _),
+    "q_cohen_kappa"        -> (TextOps.qCohenKappa _),
+    "q_ohlc_bars"          -> (AnalyticsOps.qOhlcBars _),
+    "q_bollinger"          -> (StatsOps.qBollinger _),
   )
 
   /** Shared by q_dedup_cluster and q_components_ccf - two different
@@ -5399,5 +5405,168 @@ object SparkEntry {
         |       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
         |FROM orders WHERE o_orderkey % 50 = 0
         |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "q_clustering_coeff" ->
+      """WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |li AS (SELECT l_orderkey, l_partkey FROM
+        |         (SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS bsz FROM li0)
+        |       WHERE bsz BETWEEN 2 AND 120),
+        |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |      FROM li a JOIN li b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+        |          (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+        |        GROUP BY 1),
+        |tri AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |        FROM e e1
+        |        JOIN e e2 ON e1.pb = e2.pa
+        |        JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+        |tpn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM
+        |          (SELECT a AS node FROM tri UNION ALL
+        |           SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |        GROUP BY 1)
+        |SELECT deg.node AS part, deg.deg, COALESCE(tpn.n_tri, 0) AS n_tri,
+        |       FLOOR(COALESCE(tpn.n_tri, 0) * 2.0
+        |             / CAST(deg.deg * (deg.deg - 1) AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |         AS clustering_coeff
+        |FROM deg LEFT JOIN tpn ON tpn.node = deg.node
+        |WHERE deg.deg >= 2
+        |ORDER BY part""".stripMargin,
+
+    "q_modularity" ->
+      """WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |li AS (SELECT l_orderkey, l_partkey FROM
+        |         (SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS bsz FROM li0)
+        |       WHERE bsz BETWEEN 2 AND 120),
+        |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |      FROM li a JOIN li b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |eb AS (SELECT p1.p_brand AS ba, p2.p_brand AS bb
+        |       FROM e JOIN part p1 ON p1.p_partkey = e.pa
+        |              JOIN part p2 ON p2.p_partkey = e.pb),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM eb),
+        |intra AS (SELECT ba AS brand, CAST(COUNT(*) AS BIGINT) AS e_c
+        |          FROM eb WHERE ba = bb GROUP BY 1),
+        |degs AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS d_c FROM
+        |           (SELECT ba AS brand FROM eb UNION ALL SELECT bb FROM eb)
+        |         GROUP BY 1)
+        |SELECT degs.brand, COALESCE(intra.e_c, 0) AS e_c, degs.d_c,
+        |       mm.m AS m_edges,
+        |       FLOOR((4.0 * mm.m * COALESCE(intra.e_c, 0) - degs.d_c * degs.d_c)
+        |             / (4.0 * mm.m * mm.m) * 1e6 + 0.5) / 1e6 AS q_contrib
+        |FROM degs LEFT JOIN intra ON intra.brand = degs.brand CROSS JOIN mm
+        |ORDER BY degs.brand""".stripMargin,
+
+    "q_cramers_v" ->
+      """WITH obs AS (SELECT n_name, o_orderpriority,
+        |                    CAST(COUNT(*) AS BIGINT) AS o
+        |             FROM orders
+        |             JOIN customer ON o_custkey = c_custkey
+        |             JOIN nation ON c_nationkey = n_nationkey
+        |             GROUP BY 1, 2),
+        |rt AS (SELECT n_name, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+        |ct AS (SELECT o_orderpriority, CAST(SUM(o) AS BIGINT) AS c
+        |       FROM obs GROUP BY 1),
+        |g AS (SELECT CAST(SUM(o) AS BIGINT) AS t,
+        |             CAST(COUNT(DISTINCT n_name) AS BIGINT) AS nr,
+        |             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nc
+        |      FROM obs),
+        |cells AS (SELECT rt.r, ct.c, g.t, g.nr, g.nc, COALESCE(obs.o, 0) AS o0
+        |          FROM rt CROSS JOIN ct CROSS JOIN g
+        |          LEFT JOIN obs ON obs.n_name = rt.n_name
+        |                       AND obs.o_orderpriority = ct.o_orderpriority),
+        |u AS (SELECT t, nr, nc, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |             CAST(SUM(CAST(FLOOR(
+        |               CAST(t * o0 - r * c AS DOUBLE) * CAST(t * o0 - r * c AS DOUBLE)
+        |               / CAST(t * r * c AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+        |               AS chi2_u
+        |      FROM cells GROUP BY 1, 2, 3)
+        |SELECT t AS n_orders, n_cells, chi2_u / 1e6 AS chi2,
+        |       FLOOR(SQRT(chi2_u / 1e6
+        |             / CAST(t * (LEAST(nr, nc) - 1) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |         AS cramers_v
+        |FROM u""".stripMargin,
+
+    "q_cohen_kappa" ->
+      """WITH t AS (SELECT doc_id, lang AS labeled_lang, text,
+        |                  regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, labeled_lang, text,
+        |        CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_en,
+        |        CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_de,
+        |        CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_fr,
+        |        CAST(len(list_filter(toks, x -> x IN ('el','la','los','y','es','un','una','en','por','que'))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_es
+        |      FROM t),
+        |u AS (SELECT doc_id, labeled_lang, text, sc['score'] AS score, sc['lang'] AS lng,
+        |             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sc['score'] DESC, sc['lang'] DESC) AS rn
+        |      FROM s, UNNEST([{'score': s_de, 'lang': 'de'}, {'score': s_en, 'lang': 'en'},
+        |                      {'score': s_fr, 'lang': 'fr'}, {'score': s_es, 'lang': 'es'}]) AS z(sc)),
+        |scored AS (
+        |  SELECT labeled_lang,
+        |         CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |              WHEN score > 0 THEN lng ELSE 'und' END AS predicted_lang
+        |  FROM u WHERE rn = 1),
+        |m AS (SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM scored GROUP BY 1, 2),
+        |rt AS (SELECT labeled_lang, CAST(SUM(n) AS BIGINT) AS r FROM m GROUP BY 1),
+        |ct AS (SELECT predicted_lang, CAST(SUM(n) AS BIGINT) AS c FROM m GROUP BY 1),
+        |pe AS (SELECT CAST(SUM(r * c) AS BIGINT) AS pe_num
+        |       FROM rt JOIN ct ON labeled_lang = predicted_lang),
+        |dg AS (SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+        |              CAST(SUM(CASE WHEN labeled_lang = predicted_lang THEN n
+        |                            ELSE 0 END) AS BIGINT) AS n_agree
+        |       FROM m)
+        |SELECT n_docs, n_agree, pe_num,
+        |       FLOOR(CAST(n_docs * n_agree - pe_num AS DOUBLE)
+        |             / CAST(n_docs * n_docs - pe_num AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |         AS kappa
+        |FROM dg CROSS JOIN pe""".stripMargin,
+
+    "q_ohlc_bars" ->
+      """WITH b AS (SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_ts,
+        |                  CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |r AS (SELECT *,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type, hour_ts
+        |                           ORDER BY ts, event_id) AS rn_a,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type, hour_ts
+        |                           ORDER BY ts DESC, event_id DESC) AS rn_d
+        |      FROM b)
+        |SELECT event_type, hour_ts, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(MAX(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_c,
+        |       CAST(MAX(cents) AS BIGINT) AS high_c,
+        |       CAST(MIN(cents) AS BIGINT) AS low_c,
+        |       CAST(MAX(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_c,
+        |       CAST(SUM(cents) AS BIGINT) AS total_c,
+        |       CAST(FLOOR(CAST(SUM(cents) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+        |         AS mean_c
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_bollinger" ->
+      """WITH daily AS (SELECT event_type,
+        |                      CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) AS day,
+        |                      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |               FROM events GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |        COUNT(*) OVER tw AS cnt,
+        |        CAST(SUM(x) OVER tw AS BIGINT) AS sx,
+        |        CAST(SUM(x * x) OVER tw AS BIGINT) AS sxx
+        |      FROM daily
+        |      WINDOW tw AS (PARTITION BY event_type ORDER BY day
+        |                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, x AS close_c,
+        |       FLOOR(sx / 20.0 * 1e4 + 0.5) / 1e4 AS mean_c,
+        |       FLOOR(SQRT((20.0 * sxx - CAST(sx AS DOUBLE) * sx)
+        |             / (20.0 * 19.0)) * 1e4 + 0.5) / 1e4 AS sigma_c,
+        |       ((20.0 * x - sx) * (20.0 * x - sx) * 19.0 >
+        |          1600.0 * (20.0 * sxx - CAST(sx AS DOUBLE) * sx))
+        |         AND x * 20 > sx AS breach_hi,
+        |       ((20.0 * x - sx) * (20.0 * x - sx) * 19.0 >
+        |          1600.0 * (20.0 * sxx - CAST(sx AS DOUBLE) * sx))
+        |         AND x * 20 < sx AS breach_lo
+        |FROM w WHERE cnt = 20 ORDER BY 1, 2""".stripMargin,
   )
 }

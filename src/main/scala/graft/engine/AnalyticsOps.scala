@@ -901,4 +901,81 @@ object AnalyticsOps {
             log(col("gt").cast("double") / col("bt")))).as("iv_contrib"))
       .orderBy("bin")
   }
+
+  /** Cramér's V association strength for nation × order-priority —
+    * the normalized effect size the raw χ² of [[qChi2]] lacks
+    * (χ² grows with N; V ∈ [0,1] is scale-free). The χ² sum is kept
+    * CROSS-ENGINE EXACT by the micro-unit trick: each cell's
+    * contribution (N·O − R·C)²/(N·R·C) is one deterministic double
+    * expression over exact integer marginals (the difference fits a
+    * double exactly at < 2^53; the square's IEEE rounding is
+    * identical on identical inputs), floor-quantized to integer
+    * micro-units per cell, then integer-summed — so accumulation
+    * order can never flap the total. Zero-observed cells are
+    * materialized by crossing the marginals, exactly as qChi2. */
+  def qCramersV(s: SparkSession, d: String): DataFrame = {
+    val obs = orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "o_orderpriority")
+      .agg(count(lit(1)).as("o"))
+    val rt = obs.groupBy("n_name").agg(sum("o").as("r"))
+    val ct = obs.groupBy("o_orderpriority").agg(sum("o").as("c"))
+    val g = obs.agg(sum("o").as("t"),
+      countDistinct("n_name").as("nr"),
+      countDistinct("o_orderpriority").as("nc"))
+    val cells = rt.crossJoin(broadcast(ct)).crossJoin(broadcast(g))
+      .join(obs, Seq("n_name", "o_orderpriority"), "left")
+      .withColumn("o0", coalesce(col("o"), lit(0L)))
+      // exact-int difference, evaluated in double (< 2^53, exact)
+      .withColumn("diff",
+        (col("t") * col("o0") - col("r") * col("c")).cast("double"))
+      .withColumn("contrib_u",
+        floor(col("diff") * col("diff")
+          / (col("t") * col("r") * col("c")).cast("double") * 1e6 + 0.5)
+          .cast("long"))
+    cells
+      .groupBy("t", "nr", "nc")
+      .agg(count(lit(1)).as("n_cells"), sum("contrib_u").as("chi2_u"))
+      .select(
+        col("t").as("n_orders"), col("n_cells"),
+        (col("chi2_u") / 1e6).as("chi2"),
+        (floor(sqrt(col("chi2_u") / 1e6
+          / (col("t") * (least(col("nr"), col("nc")) - 1)).cast("double"))
+          * 1e6 + 0.5) / 1e6).as("cramers_v"))
+  }
+
+  /** Hourly OHLC bars per event type — the time-series candle
+    * aggregation every market/telemetry pipeline runs. Values are
+    * exact integer cents; open/close are picked by a (ts, event_id)
+    * total order inside each (type, hour) partition, so first/last
+    * can never flap on timestamp ties. The window partitions by
+    * (type, hour) — micro-batch-sized slices, never a global sort —
+    * and the mean is reported from the exact integer (Σcents, n)
+    * pair. At 100 TB the same plan shuffles once on the composite
+    * bucket key. */
+  def qOhlcBars(s: SparkSession, d: String): DataFrame = {
+    val base = events(s, d).select(
+      col("event_type"), col("event_id"), col("ts"),
+      unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("event_type", "hour_ts")
+      .orderBy(col("ts"), col("event_id"))
+    base
+      .withColumn("rn_a", row_number().over(w))
+      .withColumn("rn_d", row_number().over(
+        Window.partitionBy("event_type", "hour_ts")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .groupBy("event_type", "hour_ts")
+      .agg(
+        count(lit(1)).as("n"),
+        max(when(col("rn_a") === 1, col("cents"))).as("open_c"),
+        max("cents").as("high_c"),
+        min("cents").as("low_c"),
+        max(when(col("rn_d") === 1, col("cents"))).as("close_c"),
+        sum("cents").as("total_c"))
+      .withColumn("mean_c",
+        floor(col("total_c").cast("double") / col("n") + 0.5).cast("long"))
+      .orderBy("event_type", "hour_ts")
+  }
 }

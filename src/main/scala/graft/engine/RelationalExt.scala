@@ -572,6 +572,69 @@ object RelationalExt {
       .orderBy("lvl")
   }
 
+  /** Local clustering coefficient per node of the co-purchase graph
+    * (Watts–Strogatz 1998): 2·triangles(v) / (deg(v)·(deg(v)−1)) —
+    * the per-node companion to the global q_triangle_count and the
+    * standard community-density signal. Triangle membership comes
+    * from the same canonical three-way edge join (each triangle
+    * enumerated once, then exploded to its three corners — a 3×
+    * fan-out of the triangle list, not the edge list); degrees from
+    * one aggregate over the bidirectional edges. Both inputs are
+    * graph-sized and the edge list is checkpointed by
+    * [[supportEdges]], so the join tree reads materialized
+    * partitions. The coefficient is a single IEEE division of exact
+    * integers, floor-rounded to 6dp identically in both engines. */
+  def qClusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    val e = supportEdges(s, d)
+    val deg = e.select(col("pa").as("node"))
+      .unionByName(e.select(col("pb").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tri = e.toDF("a", "b")
+      .join(e.toDF("b", "c"), "b")
+      .join(e.toDF("a", "c"), Seq("a", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("deg") >= 2)
+      .join(tri, Seq("node"), "left")
+      .na.fill(0L, Seq("n_tri"))
+      .select(col("node").as("part"), col("deg"), col("n_tri"),
+        (floor(col("n_tri") * 2.0
+          / (col("deg") * (col("deg") - 1)).cast("double")
+          * 1e6 + 0.5) / 1e6).as("clustering_coeff"))
+      .orderBy("part")
+  }
+
+  /** Modularity of the BRAND partition over the co-purchase graph
+    * (Newman–Girvan 2004): Q = Σ_c [ e_c/m − (d_c/2m)² ] — do parts
+    * of the same brand co-purchase more than a degree-preserving
+    * random graph predicts? Per-brand contribution reported as
+    * (4·m·e_c − d_c²) / 4m², one deterministic double expression
+    * over EXACT integer moments (m = edges, e_c = intra-brand edges,
+    * d_c = brand degree sum). The brand dim joins onto the
+    * graph-sized edge list with plain shuffle joins (no broadcast
+    * hint — the part dim is corpus-scaled; AQE broadcasts when it
+    * actually fits). */
+  def qModularity(s: SparkSession, d: String): DataFrame = {
+    val e = supportEdges(s, d)
+    val brand = part(s, d).select(col("p_partkey"), col("p_brand"))
+    val eb = e
+      .join(brand.select(col("p_partkey").as("pa"), col("p_brand").as("ba")), "pa")
+      .join(brand.select(col("p_partkey").as("pb"), col("p_brand").as("bb")), "pb")
+      .localCheckpoint(true)
+    val m = eb.count()
+    val intra = eb.filter(col("ba") === col("bb"))
+      .groupBy(col("ba").as("brand")).agg(count(lit(1)).as("e_c"))
+    val degSum = eb.select(col("ba").as("brand"))
+      .unionByName(eb.select(col("bb").as("brand")))
+      .groupBy("brand").agg(count(lit(1)).as("d_c"))
+    degSum.join(intra, Seq("brand"), "left")
+      .na.fill(0L, Seq("e_c"))
+      .select(col("brand"), col("e_c"), col("d_c"), lit(m).as("m_edges"),
+        (floor((lit(4.0) * m * col("e_c") - col("d_c") * col("d_c"))
+          / (lit(4.0) * m * m) * 1e6 + 0.5) / 1e6).as("q_contrib"))
+      .orderBy("brand")
+  }
+
   /** Degree assortativity of the co-purchase graph (Newman 2002):
     * the Pearson correlation of endpoint degrees over all directed
     * edge orientations — positive means hubs link hubs (social-graph

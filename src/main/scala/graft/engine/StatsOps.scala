@@ -894,4 +894,45 @@ object StatsOps {
         r4(col("st")("lvl") + lit(7.0) * col("st")("trd")).as("forecast_7d"))
       .orderBy("event_type")
   }
+
+  /** Bollinger bands on the daily spend series per event type:
+    * trailing-20-day mean ± 2σ with breach flags — the volatility
+    * envelope monitor time-series ops run on throughput and spend
+    * alike. The corpus collapses to an exact-integer-cents DAILY
+    * table first (one map-side-combinable aggregate), so the
+    * trailing window runs on calendar-sized input — the same
+    * pre-aggregate-then-window shape as qSeasonalDecompose. All
+    * window sums are exact integers; mean and σ are single
+    * deterministic double expressions from (n, Σx, Σx²); the breach
+    * test compares EXACT INTEGERS cross-multiplied — 19·(20x − S)² >
+    * 1600·(20Σx² − S²) ⇔ (x − mean)² > 4σ² — evaluated in double
+    * (operands < 2^53-exact inputs, identical IEEE rounding both
+    * engines), so the flag can never flap on float dust. */
+  def qBollinger(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-19, 0)
+    daily
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("sx", sum("x").over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .filter(col("cnt") === 20)
+      .withColumn("lhs",
+        (lit(20.0) * col("x") - col("sx")) * (lit(20.0) * col("x") - col("sx")) * 19.0)
+      .withColumn("rhs",
+        lit(1600.0) * (lit(20.0) * col("sxx") - col("sx") * col("sx")))
+      .select(
+        col("event_type"), col("day"), col("x").as("close_c"),
+        (floor(col("sx") / 20.0 * 1e4 + 0.5) / 1e4).as("mean_c"),
+        (floor(sqrt((lit(20.0) * col("sxx") - col("sx") * col("sx"))
+          / (20.0 * 19.0)) * 1e4 + 0.5) / 1e4).as("sigma_c"),
+        (col("lhs") > col("rhs") &&
+          col("x") * 20L > col("sx")).as("breach_hi"),
+        (col("lhs") > col("rhs") &&
+          col("x") * 20L < col("sx")).as("breach_lo"))
+      .orderBy("event_type", "day")
+  }
 }

@@ -542,6 +542,36 @@ object TextOps {
       .orderBy("labeled_lang", "predicted_lang")
   }
 
+  /** Cohen's kappa agreement between the lang-ID prediction and the
+    * labeled language — chance-corrected accuracy, the one-number
+    * companion to [[qConfusionMatrix]] (raw accuracy overstates
+    * agreement when one class dominates). κ = (N·Σdiag − Σ_k r_k·c_k)
+    * / (N² − Σ_k r_k·c_k), assembled ENTIRELY from exact integer
+    * marginals of the |langs|² confusion matrix, so the only float
+    * op is the final division (deterministic on identical exact
+    * inputs, floor-rounded to 6dp both engines). One scorer
+    * projection + one tiny two-key aggregate — matrix-sized state
+    * from there on. */
+  def qCohenKappa(s: SparkSession, d: String): DataFrame = {
+    val m = qLangId(s, d)
+      .groupBy("labeled_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val rt = m.groupBy("labeled_lang").agg(sum("n").as("r"))
+    val ct = m.groupBy("predicted_lang").agg(sum("n").as("c"))
+    val pe = rt.join(ct, col("labeled_lang") === col("predicted_lang"))
+      .agg(sum(col("r") * col("c")).as("pe_num"))
+    val diag = m.agg(
+      sum("n").as("n_docs"),
+      sum(when(col("labeled_lang") === col("predicted_lang"), col("n"))
+        .otherwise(0L)).as("n_agree"))
+    diag.crossJoin(broadcast(pe))
+      .select(col("n_docs"), col("n_agree"), col("pe_num"),
+        (floor((col("n_docs") * col("n_agree") - col("pe_num")).cast("double")
+          / (col("n_docs") * col("n_docs") - col("pe_num")).cast("double")
+          * 1e6 + 0.5) / 1e6).as("kappa"))
+  }
+
   /** Sliding-window document chunking (training-data prep staple):
     * overlapping token windows of `chunkTokens` with `stride`,
     * exploded in place — fan-out happens on the executor holding the

@@ -1,0 +1,81 @@
+package graft
+
+import graft.engine.{AnalyticsOps, RelationalExt, StatsOps, TextOps}
+
+/** Invariant checks for the round-12 additions — per-node clustering
+  * coefficients, partition modularity, association/agreement effect
+  * sizes, OHLC bars, Bollinger bands. The DuckDB differential at all
+  * three SFs is the primary gate; these pin the algorithmic laws the
+  * hash-compare can't express. */
+class Round12OpsSpec extends SparkSuite {
+
+  test("clustering coefficient ∈ [0,1]; triangles bounded by C(deg,2)") {
+    val rows = RelationalExt.qClusteringCoeff(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (deg, nTri, cc) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(deg >= 2, s"only deg>=2 nodes defined: $r")
+      assert(nTri <= deg * (deg - 1) / 2,
+        s"more triangles than neighbor pairs: $r")
+      assert(cc >= 0.0 && cc <= 1.0, s"coefficient out of range: $r")
+    }
+  }
+
+  test("modularity: intra edges bounded, degree sums total 2m, Q in [-1,1]") {
+    val rows = RelationalExt.qModularity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val m = rows.head.getLong(3)
+    assert(rows.map(_.getLong(3)).forall(_ == m), "m must be global")
+    assert(rows.map(_.getLong(2)).sum == 2 * m,
+      "brand degree sums must total 2m")
+    assert(rows.map(_.getLong(1)).sum <= m,
+      "intra-brand edges cannot exceed all edges")
+    val q = rows.map(_.getDouble(4)).sum
+    assert(q >= -1.0 && q <= 1.0, s"modularity out of range: $q")
+  }
+
+  test("Cramér's V ∈ [0,1] and χ² non-negative") {
+    val r = AnalyticsOps.qCramersV(spark, sf).head
+    assert(r.getDouble(2) >= 0.0, s"chi2 negative: $r")
+    val v = r.getDouble(3)
+    assert(v >= 0.0 && v <= 1.0, s"V out of range: $v")
+  }
+
+  test("Cohen's kappa ≤ accuracy's chance-corrected bound and ≤ 1") {
+    val r = TextOps.qCohenKappa(spark, sf).head
+    val (n, agree, peNum, kappa) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(agree <= n && peNum <= n * n)
+    assert(kappa <= 1.0, s"kappa > 1: $r")
+    // kappa and raw accuracy sit on the same side of the chance rate
+    val acc = agree.toDouble / n
+    val pe = peNum.toDouble / (n.toDouble * n)
+    assert((kappa >= 0) == (acc >= pe), s"kappa sign disagrees: $r")
+  }
+
+  test("OHLC bars: low ≤ open/close/mean ≤ high, totals consistent") {
+    val rows = AnalyticsOps.qOhlcBars(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, o, h, l, c, tot, mean) = (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))
+      assert(l <= o && o <= h, s"open outside range: $r")
+      assert(l <= c && c <= h, s"close outside range: $r")
+      assert(l <= mean && mean <= h, s"mean outside range: $r")
+      assert(tot >= n * l && tot <= n * h, s"total outside bounds: $r")
+    }
+  }
+
+  test("Bollinger: sigma ≥ 0, breach flags mutually exclusive and correct side") {
+    val rows = StatsOps.qBollinger(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (x, mean, sigma) = (r.getLong(2), r.getDouble(3), r.getDouble(4))
+      val (hi, lo) = (r.getBoolean(5), r.getBoolean(6))
+      assert(sigma >= 0.0, s"negative sigma: $r")
+      assert(!(hi && lo), s"both breach flags set: $r")
+      if (hi) assert(x > mean, s"hi breach below mean: $r")
+      if (lo) assert(x < mean, s"lo breach above mean: $r")
+    }
+  }
+}
