@@ -370,6 +370,8 @@ object SparkEntry {
     "q_cohen_kappa"        -> (TextOps.qCohenKappa _),
     "q_ohlc_bars"          -> (AnalyticsOps.qOhlcBars _),
     "q_bollinger"          -> (StatsOps.qBollinger _),
+    "q_mrr"                -> (RelationalExt.qMrrAt10 _),
+    "q_stream_enrich"      -> (StreamingOps.qStreamEnrich _),
   )
 
   /** Shared by q_dedup_cluster and q_components_ccf - two different
@@ -5568,5 +5570,56 @@ object SparkEntry {
         |          1600.0 * (20.0 * sxx - CAST(sx AS DOUBLE) * sx))
         |         AND x * 20 < sx AS breach_lo
         |FROM w WHERE cnt = 20 ORDER BY 1, 2""".stripMargin,
+
+    "q_mrr" ->
+      """WITH li0 AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |b AS MATERIALIZED (SELECT l_orderkey, list_sort(list(l_partkey)) AS ps
+        |     FROM li0 GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 120),
+        |tr AS MATERIALIZED (SELECT * FROM b WHERE l_orderkey % 5 <> 0),
+        |te AS MATERIALIZED (SELECT * FROM b WHERE l_orderkey % 5 = 0),
+        |trli AS MATERIALIZED (SELECT l_orderkey, UNNEST(ps) AS pk FROM tr),
+        |p AS MATERIALIZED (SELECT a.pk AS pa, c.pk AS pb, COUNT(*) AS n_ab
+        |     FROM trli a JOIN trli c
+        |       ON a.l_orderkey = c.l_orderkey AND a.pk < c.pk
+        |     GROUP BY 1, 2),
+        |s AS MATERIALIZED (SELECT pk, COUNT(*) AS n FROM trli GROUP BY 1),
+        |sims AS MATERIALIZED (SELECT p.pa, p.pb,
+        |     CAST(FLOOR(p.n_ab / sqrt(CAST(sa.n * sb.n AS DOUBLE)) * 1e6 + 0.5)
+        |       AS BIGINT) AS sim_u
+        |     FROM p JOIN s sa ON sa.pk = p.pa JOIN s sb ON sb.pk = p.pb),
+        |bidir AS MATERIALIZED (SELECT pa, pb, sim_u FROM sims
+        |     UNION ALL SELECT pb, pa, sim_u FROM sims),
+        |pq AS MATERIALIZED (SELECT okey, target, qs, UNNEST(qs) AS q FROM
+        |     (SELECT l_orderkey AS okey, ps[len(ps)] AS target,
+        |             ps[1:len(ps)-1] AS qs FROM te)),
+        |scored AS MATERIALIZED (SELECT pq.okey, pq.target, bd.pb,
+        |     SUM(bd.sim_u) AS score_u
+        |     FROM pq JOIN bidir bd ON bd.pa = pq.q
+        |     WHERE bd.pb <> pq.q AND NOT list_contains(pq.qs, bd.pb)
+        |     GROUP BY 1, 2, 3),
+        |rk AS (SELECT okey, target, pb,
+        |         ROW_NUMBER() OVER (PARTITION BY okey
+        |                            ORDER BY score_u DESC, pb ASC) AS rnk
+        |       FROM scored),
+        |pb2 AS (SELECT okey,
+        |          MAX(CASE WHEN rnk <= 10 AND pb = target
+        |                   THEN 2520 // rnk ELSE 0 END) AS rr_u
+        |        FROM rk GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+        |       CAST(SUM(CASE WHEN rr_u > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |       CAST(SUM(rr_u) AS BIGINT) AS rr_sum_u,
+        |       FLOOR(CAST(SUM(rr_u) AS DOUBLE)
+        |             / CAST(COUNT(*) * 2520 AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |         AS mrr_at_10
+        |FROM pb2""".stripMargin,
+
+    "q_stream_enrich" ->
+      """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |         AS window_start,
+        |       COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

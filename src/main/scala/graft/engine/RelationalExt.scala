@@ -486,6 +486,25 @@ object RelationalExt {
     * keyed by item — vocabulary-sized, shuffle-joined (no broadcast
     * hint; AQE decides). */
   def qRecommenderEval(s: SparkSession, d: String): DataFrame = {
+    val (test, ranked) = recommenderRanked(s, d)
+    val perBasket = ranked.groupBy("okey", "target")
+      .agg(max(when(col("rnk") <= 10 && col("pb") === col("target"), 1L)
+        .otherwise(0L)).as("hit"))
+    perBasket.agg(
+        count(lit(1)).as("n_scored"),
+        sum("hit").as("hits"))
+      .crossJoin(broadcast(test.agg(count(lit(1)).as("n_test"))))
+      .select(col("n_test"), col("n_scored"), col("hits"),
+        (floor(col("hits").cast("double") / col("n_scored") * 10000.0 + 0.5)
+          / 10000.0).as("hit_rate_at_10"))
+  }
+
+  /** Shared leave-one-out recommender front end of qRecommenderEval
+    * and qMrrAt10: train the item-item micro-unit cosine table on 4/5
+    * of the baskets, probe each test basket's prefix, and rank the
+    * candidates per basket under the exact-integer (score, part)
+    * total order. Returns (test baskets, ranked candidates). */
+  private def recommenderRanked(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val b = baskets(s, d)
     val train = b.filter(col("l_orderkey") % 5 =!= 0)
     val test = b.filter(col("l_orderkey") % 5 === 0)
@@ -516,16 +535,31 @@ object RelationalExt {
       .withColumn("rnk", row_number().over(
         Window.partitionBy("okey")
           .orderBy(col("score_u").desc, col("pb").asc)))
-    val perBasket = ranked.groupBy("okey", "target")
-      .agg(max(when(col("rnk") <= 10 && col("pb") === col("target"), 1L)
-        .otherwise(0L)).as("hit"))
+    (test, ranked)
+  }
+
+  /** Mean reciprocal rank @10 of the item-item recommender — the
+    * rank-sensitive companion to qRecommenderEval's flat hit rate
+    * (a hit at rank 1 and a hit at rank 10 count identically there;
+    * MRR weights them 1 vs 1/10). Reciprocal ranks are EXACT
+    * INTEGERS via the lcm trick: 2520 = lcm(1..10), so 2520/rank is
+    * an exact integer for every rank the @10 cut admits, the
+    * per-basket contribution sum is order-independent integer
+    * addition, and the final MRR is one deterministic double
+    * division — no float rank accumulation to flap the oracle. */
+  def qMrrAt10(s: SparkSession, d: String): DataFrame = {
+    val (_, ranked) = recommenderRanked(s, d)
+    val perBasket = ranked.groupBy("okey")
+      .agg(max(when(col("pb") === col("target") && col("rnk") <= 10,
+        expr("2520 DIV rnk")).otherwise(0L)).as("rr_u"))
     perBasket.agg(
         count(lit(1)).as("n_scored"),
-        sum("hit").as("hits"))
-      .crossJoin(broadcast(test.agg(count(lit(1)).as("n_test"))))
-      .select(col("n_test"), col("n_scored"), col("hits"),
-        (floor(col("hits").cast("double") / col("n_scored") * 10000.0 + 0.5)
-          / 10000.0).as("hit_rate_at_10"))
+        sum(when(col("rr_u") > 0, 1L).otherwise(0L)).as("n_hits"),
+        sum("rr_u").as("rr_sum_u"))
+      .select(col("n_scored"), col("n_hits"), col("rr_sum_u"),
+        (floor(col("rr_sum_u").cast("double")
+          / (col("n_scored") * 2520L).cast("double") * 1e6 + 0.5) / 1e6)
+          .as("mrr_at_10"))
   }
 
   /** Distributed BFS from the co-purchase graph's max-degree hub —

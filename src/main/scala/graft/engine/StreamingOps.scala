@@ -328,6 +328,34 @@ object StreamingOps {
         col("event_type"), col("n_events"), col("peak_hour_events"),
         col("n_hours"), col("total_value"))
 
+  /** Stream-static enrichment: the streaming fact joins a STATIC
+    * dimension (customer → market segment) before a watermarked
+    * hourly rollup — the canonical "enrich then aggregate" streaming
+    * topology (Spark re-plans the static side per micro-batch; no
+    * state is kept for it, unlike a stream-stream join). The join is
+    * LEFT so an unmatched stream key degrades to an UNKNOWN segment
+    * instead of dropping revenue. No broadcast hint — the dim is
+    * corpus-scaled at 100 TB and AQE broadcasts when it actually
+    * fits. Cents are exact integers end to end. */
+  def streamingEnrich(stream: DataFrame, dim: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "1 hour")
+      .join(dim.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment")), Seq("user_id"), "left")
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+        col("n"), col("cents"))
+
+  /** Batch replay of [[streamingEnrich]] for the DuckDB differential
+    * (events.user_id is a customer key in the fixtures). */
+  def qStreamEnrich(s: SparkSession, d: String): DataFrame =
+    streamingEnrich(events(s, d), customer(s, d))
+      .orderBy("window_start", "segment")
+
   /** Input/output rows for the stateful TTL sessionizer. */
   final case class SessionEvent(key: String, ts: java.sql.Timestamp, value: Double)
   final case class SessionUpdate(key: String, n_events: Long,

@@ -66,6 +66,17 @@ class Round12OpsSpec extends SparkSuite {
     }
   }
 
+  test("MRR@10 bounded by hit rate: n_hits/n ≥ mrr ≥ n_hits/(10n)") {
+    val r = RelationalExt.qMrrAt10(spark, sf).head
+    val (n, hits, rrSum, mrr) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(hits <= n)
+    // each hit contributes between 2520/10 and 2520/1
+    assert(rrSum >= hits * 252 && rrSum <= hits * 2520,
+      s"rr sum outside lcm bounds: $r")
+    assert(mrr >= 0.0 && mrr <= 1.0)
+  }
+
   test("Bollinger: sigma ≥ 0, breach flags mutually exclusive and correct side") {
     val rows = StatsOps.qBollinger(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class EnrichEv(ts: Timestamp, user_id: Long, value: Double)
 case class Doc(ts: Timestamp, doc_id: Long, text: String)
 
 /** Structured Streaming paths driven by MemoryStream (SURVEY.md §5.4):
@@ -343,6 +344,35 @@ class StreamingSpec extends SparkSuite {
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
+  }
+
+  test("stream-static enrichment join aggregates per segment across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((7L, "BUILDING"), (8L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[EnrichEv]
+    val out = StreamingOps.streamingEnrich(mem.toDF(), dim)
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      // two micro-batches: the static side is re-joined per epoch
+      mem.addData(
+        EnrichEv(ts("2024-01-01 10:05:00"), 7L, 1.25),
+        EnrichEv(ts("2024-01-01 10:55:00"), 8L, 2.50))
+      q.processAllAvailable()
+      mem.addData(
+        EnrichEv(ts("2024-01-01 10:59:00"), 7L, 4.00),
+        EnrichEv(ts("2024-01-01 10:59:30"), 99L, 8.00)) // no dim match
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val h = ts("2024-01-01 10:00:00").getTime / 1000
+      assert(rows == Set(
+        (h, "BUILDING", 2L, 525L),
+        (h, "MACHINERY", 1L, 250L),
+        (h, "UNKNOWN", 1L, 800L)), s"got $rows")
+    } finally q.stop()
   }
 
   test("chained hour→day aggregation runs as one multi-stateful streaming query") {
