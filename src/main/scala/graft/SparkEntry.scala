@@ -372,6 +372,10 @@ object SparkEntry {
     "q_bollinger"          -> (StatsOps.qBollinger _),
     "q_mrr"                -> (RelationalExt.qMrrAt10 _),
     "q_stream_enrich"      -> (StreamingOps.qStreamEnrich _),
+    "q_changepoint"        -> (StatsOps.qChangepoint _),
+    "q_forecast_baseline"  -> (StatsOps.qForecastBaseline _),
+    "q_brier"              -> (TextOps.qBrier _),
+    "q_sql_native"         -> (VectorOps.qSqlNative _),
   )
 
   /** Shared by q_dedup_cluster and q_components_ccf - two different
@@ -5621,5 +5625,96 @@ object SparkEntry {
         |       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events LEFT JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+        |                      CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) AS day,
+        |                      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |               FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day,
+        |        CAST(ROW_NUMBER() OVER pw AS BIGINT) AS idx,
+        |        CAST(SUM(x) OVER pw AS BIGINT) AS cs,
+        |        CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |        CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS st
+        |      FROM daily
+        |      WINDOW pw AS (PARTITION BY event_type ORDER BY day
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |gained AS (SELECT *,
+        |        (cs * cs) / CAST(idx AS DOUBLE)
+        |          + ((st - cs) * (st - cs)) / CAST(n - idx AS DOUBLE)
+        |          - (st * st) / CAST(n AS DOUBLE) AS gain
+        |      FROM w WHERE idx < n),
+        |best AS (SELECT *,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type
+        |                           ORDER BY gain DESC, idx ASC) AS rk
+        |      FROM gained)
+        |SELECT event_type, day AS split_day, idx AS n_left,
+        |       n - idx AS n_right,
+        |       CAST(FLOOR(cs / CAST(idx AS DOUBLE) + 0.5) AS BIGINT) AS mean_left_c,
+        |       CAST(FLOOR((st - cs) / CAST(n - idx AS DOUBLE) + 0.5) AS BIGINT)
+        |         AS mean_right_c,
+        |       CAST(FLOOR(gain / 100.0) AS BIGINT) AS gain_floor
+        |FROM best WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    "q_forecast_baseline" ->
+      """WITH daily AS (SELECT event_type,
+        |                      CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) AS day,
+        |                      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |               FROM events GROUP BY 1, 2),
+        |lagged AS (SELECT event_type, x,
+        |             LAG(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS f
+        |           FROM daily),
+        |e AS (SELECT event_type, ABS(x - f) AS abs_err,
+        |             CAST(FLOOR(ABS(x - f) / CAST(x AS DOUBLE) * 1e6 + 0.5)
+        |               AS BIGINT) AS ape_u
+        |      FROM lagged WHERE f IS NOT NULL AND x > 0)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |       CAST(SUM(abs_err) AS BIGINT) AS sum_abs_err_c,
+        |       CAST((CAST(SUM(abs_err) AS BIGINT) + COUNT(*) // 2) // COUNT(*)
+        |         AS BIGINT) AS mae_c,
+        |       CAST((CAST(SUM(ape_u) AS BIGINT) + COUNT(*) // 2) // COUNT(*)
+        |         AS BIGINT) AS mape_u
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_brier" ->
+      """WITH t AS (SELECT doc_id, lang AS labeled_lang, text,
+        |                  regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, labeled_lang, text,
+        |        CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_en,
+        |        CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_de,
+        |        CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_fr,
+        |        CAST(len(list_filter(toks, x -> x IN ('el','la','los','y','es','un','una','en','por','que'))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_es
+        |      FROM t),
+        |u AS (SELECT doc_id, labeled_lang, text, sc['score'] AS score, sc['lang'] AS lng,
+        |             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sc['score'] DESC, sc['lang'] DESC) AS rn
+        |      FROM s, UNNEST([{'score': s_de, 'lang': 'de'}, {'score': s_en, 'lang': 'en'},
+        |                      {'score': s_fr, 'lang': 'fr'}, {'score': s_es, 'lang': 'es'}]) AS z(sc)),
+        |scored AS (
+        |  SELECT labeled_lang,
+        |         CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |              WHEN score > 0 THEN lng ELSE 'und' END AS predicted_lang,
+        |         ROUND(score, 4) AS confidence
+        |  FROM u WHERE rn = 1),
+        |c AS (SELECT labeled_lang,
+        |        CAST(FLOOR((confidence -
+        |          CASE WHEN predicted_lang = labeled_lang THEN 1.0 ELSE 0.0 END)
+        |          * (confidence -
+        |          CASE WHEN predicted_lang = labeled_lang THEN 1.0 ELSE 0.0 END)
+        |          * 1e6 + 0.5) AS BIGINT) AS c_u
+        |      FROM scored)
+        |SELECT labeled_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST((CAST(SUM(c_u) AS BIGINT) + COUNT(*) // 2) // COUNT(*)
+        |         AS BIGINT) AS brier_u
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sql_native" ->
+      """SELECT vec_id, label,
+        |       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |          WHERE vec_id = 0)), 6) AS cos_sim
+        |FROM embeddings
+        |WHERE vec_id % 20 = 0 AND vec_id <> 0
+        |ORDER BY vec_id""".stripMargin,
   )
 }

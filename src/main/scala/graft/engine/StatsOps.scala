@@ -895,6 +895,83 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Binary-segmentation changepoint (one split) per event type on
+    * the daily spend series: the split t maximizing the SSE reduction
+    * S_L²/n_L + S_R²/n_R − S²/n (the Σx² term cancels, so only
+    * PREFIX SUMS are needed). The corpus collapses to the exact-cents
+    * daily table first; the candidate scan is then one calendar-sized
+    * window pass. Every candidate's gain is the same double
+    * expression over exact integer prefix sums — identical inputs +
+    * identical IEEE ops = identical doubles in both engines — and the
+    * argmax breaks ties by earliest index, so the chosen split can
+    * never flap. */
+  def qChangepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val wAll = Window.partitionBy("event_type")
+    val gained = daily
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .withColumn("cs", sum("x").over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("st", sum("x").over(wAll))
+      .filter(col("idx") < col("n"))
+      .withColumn("gain",
+        (col("cs") * col("cs")) / col("idx").cast("double")
+          + ((col("st") - col("cs")) * (col("st") - col("cs")))
+            / (col("n") - col("idx")).cast("double")
+          - (col("st") * col("st")) / col("n").cast("double"))
+    gained
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("gain").desc, col("idx").asc)))
+      .filter(col("rk") === 1)
+      .select(
+        col("event_type"), col("day").as("split_day"),
+        col("idx").as("n_left"), (col("n") - col("idx")).as("n_right"),
+        (floor(col("cs") / col("idx").cast("double") + 0.5)).cast("long")
+          .as("mean_left_c"),
+        (floor((col("st") - col("cs"))
+          / (col("n") - col("idx")).cast("double") + 0.5)).cast("long")
+          .as("mean_right_c"),
+        floor(col("gain") / 100.0).cast("long").as("gain_floor"))
+      .orderBy("event_type")
+  }
+
+  /** Seasonal-naive forecast evaluation per event type: forecast(day)
+    * = actual(day − 7), the baseline every real forecaster must beat
+    * (Hyndman & Athanasopoulos, "Forecasting: Principles and
+    * Practice"). Errors are EXACT integer cents (|x − x₋₇|), the
+    * per-day percentage errors are floor-quantized micro-units, and
+    * both means are integer half-up divisions — nothing float
+    * accumulates. One daily aggregate + one lag window on the
+    * calendar-sized series. */
+  def qForecastBaseline(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("f", lag("x", 7).over(w))
+      .filter(col("f").isNotNull && col("x") > 0)
+      .withColumn("abs_err", abs(col("x") - col("f")))
+      .withColumn("ape_u",
+        floor(col("abs_err") / col("x").cast("double") * 1e6 + 0.5).cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum("abs_err").as("sum_abs_err_c"),
+        sum("ape_u").as("sum_ape_u"))
+      .select(
+        col("event_type"), col("n_days"), col("sum_abs_err_c"),
+        expr("(sum_abs_err_c + n_days DIV 2) DIV n_days").as("mae_c"),
+        expr("(sum_ape_u + n_days DIV 2) DIV n_days").as("mape_u"))
+      .orderBy("event_type")
+  }
+
   /** Bollinger bands on the daily spend series per event type:
     * trailing-20-day mean ± 2σ with breach flags — the volatility
     * envelope monitor time-series ops run on throughput and spend

@@ -572,6 +572,30 @@ object TextOps {
           * 1e6 + 0.5) / 1e6).as("kappa"))
   }
 
+  /** Per-class Brier score of the lang-ID confidence — the proper
+    * scoring rule companion to [[qCalibration]]'s reliability bins
+    * (calibration bins can look fine while the score is poor; Brier
+    * penalizes both miscalibration and low resolution). Each doc's
+    * contribution (confidence − 1{correct})² is one deterministic
+    * double expression (the confidence doubles are already
+    * cross-engine identical — q_calibration sums them quantized),
+    * floor-quantized to micro-units per doc, then integer-summed per
+    * class, so accumulation order can't flap. The final mean is an
+    * integer half-up division. */
+  def qBrier(s: SparkSession, d: String): DataFrame =
+    qLangId(s, d)
+      .select(col("labeled_lang"),
+        (col("confidence") -
+          when(col("predicted_lang") === col("labeled_lang"), 1.0d)
+            .otherwise(0.0d)).as("e"))
+      .select(col("labeled_lang"),
+        floor(col("e") * col("e") * 1e6 + 0.5).cast("long").as("c_u"))
+      .groupBy("labeled_lang")
+      .agg(count(lit(1)).as("n_docs"), sum("c_u").as("sum_u"))
+      .select(col("labeled_lang"), col("n_docs"),
+        expr("(sum_u + n_docs DIV 2) DIV n_docs").as("brier_u"))
+      .orderBy("labeled_lang")
+
   /** Sliding-window document chunking (training-data prep staple):
     * overlapping token windows of `chunkTokens` with `stride`,
     * exploded in place — fan-out happens on the executor holding the

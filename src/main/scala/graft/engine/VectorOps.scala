@@ -895,4 +895,26 @@ object VectorOps {
        |GROUP BY exk.q_id
        |ORDER BY exk.q_id""".stripMargin
   }
+
+  /** The SQL-interface path of the custom-expression library: the
+    * same codegen'd [[graft.expressions.CosineSimilarity]] invoked
+    * as a REGISTERED SQL FUNCTION from query text (a user who only
+    * speaks SQL gets the native expression, not a UDF) — the
+    * `SparkSessionExtensions.injectFunction` /
+    * `FunctionRegistry.createOrReplaceTempFunction` surface that
+    * GraftExtensions installs, exercised end to end through the
+    * DuckDB differential. The probe vector is a scalar subquery, so
+    * the plan is one narrow scan + a broadcast scalar — no join. */
+  def qSqlNative(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    embeddings(s, d).createOrReplaceTempView("graft_emb_sql")
+    s.sql(
+      """SELECT vec_id, label,
+        |       ROUND(graft_cosine(embedding,
+        |         (SELECT embedding FROM graft_emb_sql WHERE vec_id = 0)), 6)
+        |         AS cos_sim
+        |FROM graft_emb_sql
+        |WHERE vec_id % 20 = 0 AND vec_id <> 0
+        |ORDER BY vec_id""".stripMargin)
+  }
 }

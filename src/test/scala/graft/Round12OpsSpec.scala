@@ -1,6 +1,6 @@
 package graft
 
-import graft.engine.{AnalyticsOps, RelationalExt, StatsOps, TextOps}
+import graft.engine.{AnalyticsOps, RelationalExt, StatsOps, TextOps, VectorOps}
 
 /** Invariant checks for the round-12 additions — per-node clustering
   * coefficients, partition modularity, association/agreement effect
@@ -75,6 +75,58 @@ class Round12OpsSpec extends SparkSuite {
     assert(rrSum >= hits * 252 && rrSum <= hits * 2520,
       s"rr sum outside lcm bounds: $r")
     assert(mrr >= 0.0 && mrr <= 1.0)
+  }
+
+  test("changepoint: split interior, gain non-negative, means bracket total mean") {
+    val rows = StatsOps.qChangepoint(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nl, nr) = (r.getLong(2), r.getLong(3))
+      assert(nl >= 1 && nr >= 1, s"split not interior: $r")
+      assert(r.getLong(6) >= 0, s"SSE reduction negative: $r")
+      val (ml, mr) = (r.getLong(4), r.getLong(5))
+      assert(ml != mr || r.getLong(6) == 0,
+        s"identical segment means need zero gain: $r")
+    }
+  }
+
+  test("seasonal-naive forecast eval: MAE bounded by per-day errors") {
+    val rows = StatsOps.qForecastBaseline(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, sumErr, mae, mape) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n > 0 && mae >= 0 && mape >= 0)
+      assert(math.abs(mae - sumErr.toDouble / n) <= 1.0,
+        s"MAE not the mean of errors: $r")
+    }
+  }
+
+  test("Brier score per class ∈ [0, 1e6] micro-units") {
+    val rows = TextOps.qBrier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getLong(2)
+      assert(b >= 0 && b <= 1000000L, s"brier out of range: $r")
+    }
+  }
+
+  test("SQL-registered native cosine matches the Column-API expression") {
+    val viaSql = VectorOps.qSqlNative(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(viaSql.nonEmpty)
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val qLit = org.apache.spark.sql.functions.array(
+      q.map(org.apache.spark.sql.functions.lit): _*)
+    val viaCol = emb
+      .filter(org.apache.spark.sql.functions.expr("vec_id % 20 = 0 AND vec_id <> 0"))
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.round(
+          VectorOps.nativeCosine(spark, org.apache.spark.sql.functions.col("embedding"), qLit), 6))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql == viaCol, "SQL path and Column path disagree")
   }
 
   test("Bollinger: sigma ≥ 0, breach flags mutually exclusive and correct side") {
