@@ -376,6 +376,9 @@ object SparkEntry {
     "q_forecast_baseline"  -> (StatsOps.qForecastBaseline _),
     "q_brier"              -> (TextOps.qBrier _),
     "q_sql_native"         -> (VectorOps.qSqlNative _),
+    "q_ndcg"               -> (RelationalExt.qNdcgAt10 _),
+    "q_temperature_sampling" -> ((s, d) => CurationOps.qTemperatureSampling(s, d)),
+    "q_dbscan_core"        -> ((s, d) => RelationalExt.qDbscanCore(s, d)),
   )
 
   /** Shared by q_dedup_cluster and q_components_ccf - two different
@@ -5716,5 +5719,110 @@ object SparkEntry {
         |FROM embeddings
         |WHERE vec_id % 20 = 0 AND vec_id <> 0
         |ORDER BY vec_id""".stripMargin,
+
+    "q_ndcg" ->
+      """WITH li0 AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |b AS MATERIALIZED (SELECT l_orderkey, list_sort(list(l_partkey)) AS ps
+        |     FROM li0 GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 120),
+        |tr AS MATERIALIZED (SELECT * FROM b WHERE l_orderkey % 5 <> 0),
+        |te AS MATERIALIZED (SELECT * FROM b WHERE l_orderkey % 5 = 0),
+        |trli AS MATERIALIZED (SELECT l_orderkey, UNNEST(ps) AS pk FROM tr),
+        |p AS MATERIALIZED (SELECT a.pk AS pa, c.pk AS pb, COUNT(*) AS n_ab
+        |     FROM trli a JOIN trli c
+        |       ON a.l_orderkey = c.l_orderkey AND a.pk < c.pk
+        |     GROUP BY 1, 2),
+        |s AS MATERIALIZED (SELECT pk, COUNT(*) AS n FROM trli GROUP BY 1),
+        |sims AS MATERIALIZED (SELECT p.pa, p.pb,
+        |     CAST(FLOOR(p.n_ab / sqrt(CAST(sa.n * sb.n AS DOUBLE)) * 1e6 + 0.5)
+        |       AS BIGINT) AS sim_u
+        |     FROM p JOIN s sa ON sa.pk = p.pa JOIN s sb ON sb.pk = p.pb),
+        |bidir AS MATERIALIZED (SELECT pa, pb, sim_u FROM sims
+        |     UNION ALL SELECT pb, pa, sim_u FROM sims),
+        |pq AS MATERIALIZED (SELECT okey, target, qs, UNNEST(qs) AS q FROM
+        |     (SELECT l_orderkey AS okey, ps[len(ps)] AS target,
+        |             ps[1:len(ps)-1] AS qs FROM te)),
+        |scored AS MATERIALIZED (SELECT pq.okey, pq.target, bd.pb,
+        |     SUM(bd.sim_u) AS score_u
+        |     FROM pq JOIN bidir bd ON bd.pa = pq.q
+        |     WHERE bd.pb <> pq.q AND NOT list_contains(pq.qs, bd.pb)
+        |     GROUP BY 1, 2, 3),
+        |rk AS (SELECT okey, target, pb,
+        |         ROW_NUMBER() OVER (PARTITION BY okey
+        |                            ORDER BY score_u DESC, pb ASC) AS rnk
+        |       FROM scored),
+        |pb2 AS (SELECT okey,
+        |          MAX(CASE WHEN pb = target THEN
+        |            CASE rnk WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+        |                     WHEN 3 THEN 500000 WHEN 4 THEN 430677
+        |                     WHEN 5 THEN 386853 WHEN 6 THEN 356207
+        |                     WHEN 7 THEN 333333 WHEN 8 THEN 315465
+        |                     WHEN 9 THEN 301030 WHEN 10 THEN 289065
+        |                     ELSE 0 END
+        |          ELSE 0 END) AS gain_u
+        |        FROM rk GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+        |       CAST(SUM(CASE WHEN gain_u > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |       CAST(SUM(gain_u) AS BIGINT) AS gain_sum_u,
+        |       FLOOR(CAST(SUM(gain_u) AS DOUBLE)
+        |             / CAST(COUNT(*) * 1000000 AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |         AS ndcg_at_10
+        |FROM pb2""".stripMargin,
+
+    "q_temperature_sampling" ->
+      """WITH bl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |            FROM documents GROUP BY 1),
+        |piv AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+        |          CAST(SUM(CASE WHEN lang = 'de' THEN n_docs ELSE 0 END) AS BIGINT) AS n_de,
+        |          CAST(SUM(CASE WHEN lang = 'en' THEN n_docs ELSE 0 END) AS BIGINT) AS n_en,
+        |          CAST(SUM(CASE WHEN lang = 'es' THEN n_docs ELSE 0 END) AS BIGINT) AS n_es,
+        |          CAST(SUM(CASE WHEN lang = 'fr' THEN n_docs ELSE 0 END) AS BIGINT) AS n_fr,
+        |          CAST(SUM(CASE WHEN lang = 'zh' THEN n_docs ELSE 0 END) AS BIGINT) AS n_zh
+        |        FROM bl),
+        |dn AS (SELECT total,
+        |         SQRT(n_de / CAST(total AS DOUBLE)) + SQRT(n_en / CAST(total AS DOUBLE))
+        |           + SQRT(n_es / CAST(total AS DOUBLE)) + SQRT(n_fr / CAST(total AS DOUBLE))
+        |           + SQRT(n_zh / CAST(total AS DOUBLE)) AS denom
+        |       FROM piv)
+        |SELECT lang, n_docs,
+        |       FLOOR(n_docs / CAST(total AS DOUBLE) * 1e6 + 0.5) / 1e6 AS p_natural,
+        |       FLOOR(SQRT(n_docs / CAST(total AS DOUBLE)) / denom * 1e6 + 0.5) / 1e6
+        |         AS p_sampled,
+        |       FLOOR(SQRT(n_docs / CAST(total AS DOUBLE)) / denom
+        |             / (n_docs / CAST(total AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS boost
+        |FROM bl CROSS JOIN dn ORDER BY lang""".stripMargin,
+
+    "q_dbscan_core" ->
+      """WITH u AS MATERIALIZED (
+        |  SELECT user_id,
+        |         CAST(user_id % 40 AS DOUBLE) * 0.1 + 0.05 AS lat_deg,
+        |         CAST(user_id // 40 AS DOUBLE) * 0.1 + 0.05 AS lon_deg
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |r AS MATERIALIZED (SELECT user_id AS ub, lat_deg AS lat_b, lon_deg AS lon_b,
+        |       CAST(FLOOR(lat_deg) AS BIGINT) AS cla,
+        |       ((CAST(FLOOR(lon_deg + 180) AS BIGINT) % 360) + 360) % 360 AS clo
+        |     FROM u),
+        |l AS MATERIALIZED (SELECT user_id AS ua, lat_deg AS lat_a, lon_deg AS lon_a,
+        |       CAST(FLOOR(lat_deg) AS BIGINT) + dx.dx AS cla,
+        |       (((CAST(FLOOR(lon_deg + 180) AS BIGINT) % 360) + dy.dy) % 360 + 360) % 360 AS clo
+        |     FROM u,
+        |          (SELECT UNNEST([-1, 0, 1]) AS dx) dx,
+        |          (SELECT UNNEST([-1, 0, 1]) AS dy) dy),
+        |cand AS (SELECT l.ua, r.ub, l.lat_a, l.lon_a, r.lat_b, r.lon_b
+        |         FROM l JOIN r USING (cla, clo) WHERE l.ua <> r.ub),
+        |dd AS (SELECT ua, ub,
+        |         FLOOR(2 * 6371 * asin(sqrt(
+        |           POW(sin((lat_b - lat_a) * pi() / 180 / 2), 2)
+        |           + cos(lat_a * pi() / 180) * cos(lat_b * pi() / 180)
+        |             * POW(sin((lon_b - lon_a) * pi() / 180 / 2), 2)))
+        |           * 10000.0 + 0.5) / 10000.0 AS dist_r
+        |       FROM cand),
+        |nb AS (SELECT ua AS user_id, CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+        |              MIN(dist_r) AS nearest_km
+        |       FROM dd WHERE dist_r <= 15.0 GROUP BY 1)
+        |SELECT u.user_id, COALESCE(nb.n_neighbors, 0) AS n_neighbors,
+        |       COALESCE(nb.nearest_km, -1.0) AS nearest_km,
+        |       COALESCE(nb.n_neighbors, 0) >= 3 AS is_core
+        |FROM u LEFT JOIN nb ON nb.user_id = u.user_id
+        |ORDER BY u.user_id""".stripMargin,
   )
 }

@@ -229,6 +229,41 @@ object CurationOps {
       .orderBy("lang")
   }
 
+  /** Temperature-scaled sampling weights toward a FLATTENED language
+    * mix (the multilingual-pretraining rebalance of Conneau et al.,
+    * "Unsupervised Cross-lingual Representation Learning at Scale":
+    * sample language l with probability pₗ^α / Σ p^α). α = 0.5 makes
+    * the exponent an exact IEEE sqrt. The normalizer sums the five
+    * per-language terms IN ONE PINNED ORDER — the shares pivot to
+    * columns via conditional aggregation and the sum is written
+    * lang-alphabetically as a literal expression chain in BOTH
+    * engines — because a 5-term float sum folded in aggregate order
+    * would be the only nondeterminism in the query. Complements
+    * qMixWeights (uniform target) with the standard temperature
+    * interpolation between natural and uniform. */
+  def qTemperatureSampling(s: SparkSession, d: String): DataFrame = {
+    def r6(x: Column): Column = floor(x * 1e6 + 0.5) / 1e6
+    val byLang = documents(s, d).groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val piv = byLang.agg(
+      sum("n_docs").as("total"),
+      sum(when(col("lang") === "de", col("n_docs")).otherwise(0L)).as("n_de"),
+      sum(when(col("lang") === "en", col("n_docs")).otherwise(0L)).as("n_en"),
+      sum(when(col("lang") === "es", col("n_docs")).otherwise(0L)).as("n_es"),
+      sum(when(col("lang") === "fr", col("n_docs")).otherwise(0L)).as("n_fr"),
+      sum(when(col("lang") === "zh", col("n_docs")).otherwise(0L)).as("n_zh"))
+    def sh(c: String) = sqrt(col(c) / col("total").cast("double"))
+    val denom = piv.select((sh("n_de") + sh("n_en") + sh("n_es") +
+      sh("n_fr") + sh("n_zh")).as("denom"), col("total"))
+    byLang.crossJoin(broadcast(denom))
+      .select(col("lang"), col("n_docs"),
+        r6(col("n_docs") / col("total").cast("double")).as("p_natural"),
+        r6(sqrt(col("n_docs") / col("total").cast("double")) / col("denom"))
+          .as("p_sampled"),
+        r6(sqrt(col("n_docs") / col("total").cast("double")) / col("denom")
+          / (col("n_docs") / col("total").cast("double"))).as("boost"))
+      .orderBy("lang")
+  }
+
   /** Zipf-law slope of the term-frequency distribution: least-squares
     * fit of ln(freq) on ln(rank) over the top-200 vocabulary. A
     * healthy natural-language corpus sits near slope −1; template/

@@ -562,6 +562,87 @@ object RelationalExt {
           .as("mrr_at_10"))
   }
 
+  /** NDCG@10 of the item-item recommender — completes the ranking-
+    * eval trio (hit rate = position-blind, MRR = 1/rank, NDCG =
+    * 1/log2(1+rank): the standard graded-relevance weighting). With
+    * ONE relevant item per basket the ideal DCG is exactly 1, so
+    * NDCG@10 is the discount at the target's rank. The ten discount
+    * values are PINNED integer micro-unit literals (the q_sprt
+    * pattern: cross-engine libm log2 never runs at query time), so
+    * the per-basket gains and their sum are exact integers. */
+  def qNdcgAt10(s: SparkSession, d: String): DataFrame = {
+    val (_, ranked) = recommenderRanked(s, d)
+    val gain = (1 to 10).foldLeft(lit(0L)) { (acc, r) =>
+      when(col("rnk") === r, lit(NdcgDiscountU(r - 1))).otherwise(acc)
+    }
+    val perBasket = ranked.groupBy("okey")
+      .agg(max(when(col("pb") === col("target"), gain).otherwise(0L))
+        .as("gain_u"))
+    perBasket.agg(
+        count(lit(1)).as("n_scored"),
+        sum(when(col("gain_u") > 0, 1L).otherwise(0L)).as("n_hits"),
+        sum("gain_u").as("gain_sum_u"))
+      .select(col("n_scored"), col("n_hits"), col("gain_sum_u"),
+        (floor(col("gain_sum_u").cast("double")
+          / (col("n_scored") * 1000000L).cast("double") * 1e6 + 0.5) / 1e6)
+          .as("ndcg_at_10"))
+  }
+
+  /** round(1e6 / log2(rank+1)) for rank 1..10 — pinned literals (see
+    * [[qNdcgAt10]]); both engines consume the same integers. */
+  val NdcgDiscountU: Seq[Long] = Seq(1000000L, 630930L, 500000L, 430677L,
+    386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+
+  /** DBSCAN core-point detection over the synthetic point lattice
+    * (same deterministic geometry as [[qGeoGridJoin]]): a point is a
+    * CORE point if ≥ minPts other points lie within eps = 15 km —
+    * the density classification the full DBSCAN clustering expands
+    * from. Same scale shape as the grid join: 3×3 cell-neighborhood
+    * blocking keys the candidate join (never all-pairs), the exact
+    * haversine verify runs per candidate on the ROUNDED distance so
+    * libm ulps can't flap a boundary neighbor, and the density count
+    * is one aggregate over the verified pairs. */
+  def qDbscanCore(s: SparkSession, d: String, minPts: Int = 3): DataFrame = {
+    val users = events(s, d).select("user_id").distinct()
+      .withColumn("lat_deg", (col("user_id") % 40) * 0.1 + 0.05)
+      .withColumn("lon_deg", expr("user_id DIV 40") * 0.1 + 0.05)
+      .localCheckpoint(true)
+    def cellLat(c: org.apache.spark.sql.Column) = floor(c).cast("long")
+    def cellLon(c: org.apache.spark.sql.Column) =
+      ((floor(c + 180).cast("long") % 360) + 360) % 360
+    val right = users.select(col("user_id").as("ub"),
+      col("lat_deg").as("lat_b"), col("lon_deg").as("lon_b"),
+      cellLat(col("lat_deg")).as("cla"), cellLon(col("lon_deg")).as("clo"))
+    val left = users.select(col("user_id").as("ua"),
+        col("lat_deg").as("lat_a"), col("lon_deg").as("lon_a"),
+        cellLat(col("lat_deg")).as("cla0"), cellLon(col("lon_deg")).as("clo0"))
+      .select(col("ua"), col("lat_a"), col("lon_a"),
+        explode(expr(
+          "flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), " +
+            "dy -> struct(cla0 + dx AS cla, ((clo0 + dy) % 360 + 360) % 360 AS clo))))"))
+          .as("c"))
+      .select(col("ua"), col("lat_a"), col("lon_a"),
+        col("c.cla").as("cla"), col("c.clo").as("clo"))
+    val dist = lit(2.0 * 6371.0) * asin(sqrt(
+      pow(sin((col("lat_b") - col("lat_a")) * math.Pi / 180 / 2), 2) +
+        cos(col("lat_a") * math.Pi / 180) * cos(col("lat_b") * math.Pi / 180) *
+          pow(sin((col("lon_b") - col("lon_a")) * math.Pi / 180 / 2), 2)))
+    val neigh = left.join(right, Seq("cla", "clo"))
+      .filter(col("ua") =!= col("ub"))
+      .withColumn("dist_r", floor(dist * 10000.0 + 0.5) / 10000.0)
+      .filter(col("dist_r") <= 15.0)
+      .groupBy(col("ua").as("user_id"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        min("dist_r").as("nearest_km"))
+    users.select("user_id")
+      .join(neigh, Seq("user_id"), "left")
+      .na.fill(0L, Seq("n_neighbors"))
+      .select(col("user_id"), col("n_neighbors"),
+        coalesce(col("nearest_km"), lit(-1.0)).as("nearest_km"),
+        (col("n_neighbors") >= minPts).as("is_core"))
+      .orderBy("user_id")
+  }
+
   /** Distributed BFS from the co-purchase graph's max-degree hub —
     * the traversal primitive the component/pagerank family doesn't
     * cover (reachability with DISTANCE). Classic frontier expansion:

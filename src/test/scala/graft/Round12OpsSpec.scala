@@ -1,6 +1,6 @@
 package graft
 
-import graft.engine.{AnalyticsOps, RelationalExt, StatsOps, TextOps, VectorOps}
+import graft.engine.{AnalyticsOps, CurationOps, RelationalExt, StatsOps, TextOps, VectorOps}
 
 /** Invariant checks for the round-12 additions — per-node clustering
   * coefficients, partition modularity, association/agreement effect
@@ -127,6 +127,55 @@ class Round12OpsSpec extends SparkSuite {
           VectorOps.nativeCosine(spark, org.apache.spark.sql.functions.col("embedding"), qLit), 6))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(viaSql == viaCol, "SQL path and Column path disagree")
+  }
+
+  test("NDCG@10 bounded by hit rate and ≥ MRR-style floor") {
+    val r = RelationalExt.qNdcgAt10(spark, sf).head
+    val (n, hits, gainSum, ndcg) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(hits <= n)
+    // each hit's discount is in [289065, 1000000] micro-units
+    assert(gainSum >= hits * 289065L && gainSum <= hits * 1000000L,
+      s"gain outside discount bounds: $r")
+    assert(ndcg >= 0.0 && ndcg <= 1.0)
+    // binary relevance: NDCG@10 >= MRR-ish ordering sanity vs hit rate
+    assert(ndcg <= hits.toDouble / n + 1e-9)
+  }
+
+  test("temperature sampling: p_sampled sums to ~1 and flattens the mix") {
+    val rows = CurationOps.qTemperatureSampling(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pNat = rows.map(_.getDouble(2))
+    val pSam = rows.map(_.getDouble(3))
+    assert(math.abs(pNat.sum - 1.0) < 1e-4)
+    assert(math.abs(pSam.sum - 1.0) < 1e-4)
+    // α = 0.5 contracts toward uniform: sampled shares are less spread
+    assert(pSam.max - pSam.min <= pNat.max - pNat.min + 1e-9,
+      "temperature must flatten the distribution")
+    // boosts: rare languages get boost > 1, the dominant one < 1
+    rows.foreach { r =>
+      val (nat, boost) = (r.getDouble(2), r.getDouble(4))
+      if (nat < 0.1) assert(boost > 1.0, s"rare lang not boosted: $r")
+    }
+  }
+
+  test("DBSCAN core points: lattice interior is core, neighbor counts symmetric-ish") {
+    val rows = RelationalExt.qDbscanCore(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nearest, core) = (r.getLong(1), r.getDouble(2), r.getBoolean(3))
+      assert(core == (n >= 3), s"core flag disagrees with count: $r")
+      if (n > 0) assert(nearest > 0.0 && nearest <= 15.0, s"nearest outside eps: $r")
+      else assert(nearest == -1.0)
+    }
+    // the ~11km lattice spacing means interior points see ≥4 neighbors
+    // within 15 km — but only once the lattice is 2-D (>40 users;
+    // the sf0.001 fixture has 15, a 1-D line where max degree is 2)
+    if (rows.length > 40)
+      assert(rows.exists(_.getBoolean(3)), "no core points on a dense lattice")
+    else
+      assert(rows.forall(r => r.getLong(1) <= 2),
+        "1-D lattice cannot have more than 2 neighbors in range")
   }
 
   test("Bollinger: sigma ≥ 0, breach flags mutually exclusive and correct side") {
