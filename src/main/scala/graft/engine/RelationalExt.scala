@@ -499,12 +499,38 @@ object RelationalExt {
           / 10000.0).as("hit_rate_at_10"))
   }
 
-  /** Shared leave-one-out recommender front end of qRecommenderEval
-    * and qMrrAt10: train the item-item micro-unit cosine table on 4/5
-    * of the baskets, probe each test basket's prefix, and rank the
-    * candidates per basket under the exact-integer (score, part)
-    * total order. Returns (test baskets, ranked candidates). */
+  /** One parquet copy of the ranked leave-one-out candidate table per
+    * (JVM, sfDir) — the staged intermediate THREE eval queries read
+    * (q_recommender_eval, q_mrr, q_ndcg). The ranking pipeline (pair
+    * fan-out → sim joins → per-basket window) is the expensive part
+    * and is identical across the three metrics, so it runs once as
+    * table prep under the same memoization contract as
+    * [[ensureBaskets]]; each eval then scans a candidates-sized
+    * table. */
+  private val rankedCopies =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureRecRanked(s: SparkSession, d: String): String =
+    rankedCopies.computeIfAbsent(d, _ => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_recranked_${pid}_" +
+        Integer.toHexString(d.hashCode)
+      recommenderRankedFresh(s, d)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** Shared leave-one-out recommender front end of qRecommenderEval,
+    * qMrrAt10 and qNdcgAt10: train the item-item micro-unit cosine
+    * table on 4/5 of the baskets, probe each test basket's prefix,
+    * and rank the candidates per basket under the exact-integer
+    * (score, part) total order. Returns (test baskets, ranked
+    * candidates — read from the staged copy). */
   private def recommenderRanked(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val test = baskets(s, d).filter(col("l_orderkey") % 5 === 0)
+    (test, s.read.parquet(ensureRecRanked(s, d)))
+  }
+
+  /** The un-staged ranking pipeline (see [[ensureRecRanked]]). */
+  private def recommenderRankedFresh(s: SparkSession, d: String): DataFrame = {
     val b = baskets(s, d)
     val train = b.filter(col("l_orderkey") % 5 =!= 0)
     val test = b.filter(col("l_orderkey") % 5 === 0)
@@ -528,14 +554,13 @@ object RelationalExt {
         slice(col("ps"), lit(1), size(col("ps")) - 1).as("qs"))
       .select(col("okey"), col("target"), col("qs"),
         explode(col("qs")).as("q"))
-    val ranked = probes.join(bidir, col("q") === col("pa"))
+    probes.join(bidir, col("q") === col("pa"))
       .filter(col("pb") =!= col("q") && !array_contains(col("qs"), col("pb")))
       .groupBy(col("okey"), col("target"), col("pb"))
       .agg(sum("sim_u").as("score_u"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("okey")
           .orderBy(col("score_u").desc, col("pb").asc)))
-    (test, ranked)
   }
 
   /** Mean reciprocal rank @10 of the item-item recommender — the
