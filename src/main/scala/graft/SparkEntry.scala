@@ -379,6 +379,7 @@ object SparkEntry {
     "q_ndcg"               -> (RelationalExt.qNdcgAt10 _),
     "q_temperature_sampling" -> ((s, d) => CurationOps.qTemperatureSampling(s, d)),
     "q_dbscan_core"        -> ((s, d) => RelationalExt.qDbscanCore(s, d)),
+    "q_isotonic"           -> (MiningOps.qIsotonic _),
   )
 
   /** Shared by q_dedup_cluster and q_components_ccf - two different
@@ -5824,5 +5825,47 @@ object SparkEntry {
         |       COALESCE(nb.n_neighbors, 0) >= 3 AS is_core
         |FROM u LEFT JOIN nb ON nb.user_id = u.user_id
         |ORDER BY u.user_id""".stripMargin,
+
+    "q_isotonic" ->
+      """WITH ev AS (
+        |  SELECT LEAST(CAST(FLOOR(value / 50) AS BIGINT), 19) AS bucket,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |bins AS (
+        |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS w, CAST(SUM(y) AS BIGINT) AS s
+        |  FROM ev GROUP BY 1),
+        |base AS (
+        |  SELECT 0 AS step,
+        |         list({'lo': bucket, 'w': w, 's': s} ORDER BY bucket) AS st
+        |  FROM bins),
+        |it AS (
+        |  WITH RECURSIVE r AS (
+        |    SELECT step, st FROM base
+        |    UNION ALL
+        |    SELECT step + 1,
+        |      CASE WHEN v IS NULL THEN st
+        |           ELSE st[1:v-1] ||
+        |                [{'lo': st[v].lo, 'w': st[v].w + st[v+1].w,
+        |                  's': st[v].s + st[v+1].s}] ||
+        |                st[v+2:]
+        |      END
+        |    FROM (
+        |      SELECT step, st,
+        |             list_filter(range(1, len(st)),
+        |               i -> st[i].s * st[i+1].w > st[i+1].s * st[i].w)[1] AS v
+        |      FROM r)
+        |    WHERE step < 19)
+        |  SELECT st FROM r WHERE step = 19),
+        |pools AS (SELECT UNNEST(st) AS p FROM it),
+        |fitted AS (SELECT p.lo AS pool_lo, p.w AS pool_w, p.s AS pool_s FROM pools)
+        |SELECT b.bucket, b.w AS n, b.s AS n_pos,
+        |       CAST(FLOOR(b.s / CAST(b.w AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+        |         AS raw_rate_u,
+        |       CAST(FLOOR(f.pool_s / CAST(f.pool_w AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+        |         AS iso_rate_u
+        |FROM bins b
+        |JOIN fitted f
+        |  ON f.pool_lo = (SELECT MAX(pool_lo) FROM fitted WHERE pool_lo <= b.bucket)
+        |ORDER BY b.bucket""".stripMargin,
   )
 }

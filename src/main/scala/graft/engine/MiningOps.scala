@@ -548,4 +548,53 @@ object MiningOps {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang_true", "lang_pred")
   }
+
+  /** Isotonic regression of purchase rate on value bucket via PAVA
+    * (pool-adjacent-violators, Barlow et al. 1972) — the calibration
+    * fit every score-to-probability mapping pipeline runs (sklearn's
+    * `IsotonicRegression`, CTR calibration). The corpus collapses to
+    * a ≤20-row bucket histogram in ONE map-side-combinable aggregate
+    * — at 100 TB the same single shuffle — and PAVA then pools the
+    * BOUNDED bucket table on the driver (same bounded-collect
+    * contract as the k-means sample / dict codes: O(bins), never
+    * corpus rows). Pool means are exact rationals (Σs, Σw integers);
+    * the strict-violation merge (s_prev·w_cur > s_cur·w_prev, integer
+    * cross-multiplication) makes the pool walk engine-exact, and the
+    * DuckDB oracle replays the identical merge sequence as a bounded
+    * recursive CTE over a struct-list state (19 statically-bounded
+    * steps — the fixpoint is the unique L2 projection either way).
+    * Fitted rates are floor-quantized micro-units of the pool
+    * rationals. */
+  def qIsotonic(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val bins = events(s, d)
+      .select(least(floor(col("value") / 50).cast("long"), lit(19L)).as("bucket"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("w"), sum("y").as("s"))
+      .orderBy("bucket")
+      .collect() // ≤ 20 rows — the bounded bucket table, never corpus rows
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    bins.foreach { r =>
+      stack += Array(r.getLong(0), r.getLong(1), r.getLong(2))
+      while (stack.length > 1 && {
+        val a = stack(stack.length - 2); val b = stack.last
+        a(2) * b(1) > b(2) * a(1) // mean(prev) > mean(cur), exact ints
+      }) {
+        val b = stack.remove(stack.length - 1)
+        val a = stack.last
+        a(1) += b(1); a(2) += b(2)
+      }
+    }
+    def microRate(sv: Long, w: Long): Long =
+      math.floor(sv / w.toDouble * 1e6 + 0.5).toLong
+    val fitted = bins.map { r =>
+      val (b, w, sv) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val pool = stack.filter(_(0) <= b).last
+      (b, w, sv, microRate(sv, w), microRate(pool(2), pool(1)))
+    }.toSeq
+    fitted.toDF("bucket", "n", "n_pos", "raw_rate_u", "iso_rate_u")
+      .orderBy("bucket")
+  }
 }

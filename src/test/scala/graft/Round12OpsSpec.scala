@@ -1,6 +1,6 @@
 package graft
 
-import graft.engine.{AnalyticsOps, CurationOps, RelationalExt, StatsOps, TextOps, VectorOps}
+import graft.engine.{AnalyticsOps, CurationOps, MiningOps, RelationalExt, StatsOps, TextOps, VectorOps}
 
 /** Invariant checks for the round-12 additions — per-node clustering
   * coefficients, partition modularity, association/agreement effect
@@ -176,6 +176,21 @@ class Round12OpsSpec extends SparkSuite {
     else
       assert(rows.forall(r => r.getLong(1) <= 2),
         "1-D lattice cannot have more than 2 neighbors in range")
+  }
+
+  test("isotonic fit is non-decreasing and weight-mean-preserving") {
+    val rows = MiningOps.qIsotonic(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val iso = rows.map(_.getLong(4))
+    iso.sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a, s"isotonic fit decreased: ${iso.mkString(",")}")
+    case _ => ()
+    }
+    // Σ w·iso_rate ≈ Σ n_pos (PAVA preserves the weighted mean)
+    val wSum = rows.map(r => r.getLong(1) * r.getLong(4)).sum / 1e6
+    val sSum = rows.map(_.getLong(2)).sum.toDouble
+    assert(math.abs(wSum - sSum) < 1.0,
+      s"PAVA must preserve the weighted mean: $wSum vs $sSum")
   }
 
   test("Bollinger: sigma ≥ 0, breach flags mutually exclusive and correct side") {
