@@ -380,6 +380,7 @@ object SparkEntry {
     "q_temperature_sampling" -> ((s, d) => CurationOps.qTemperatureSampling(s, d)),
     "q_dbscan_core"        -> ((s, d) => RelationalExt.qDbscanCore(s, d)),
     "q_isotonic"           -> (MiningOps.qIsotonic _),
+    "q_store_agg_pushdown" -> (FlightServe.qStoreAggPushdown _),
   )
 
   /** Shared by q_dedup_cluster and q_components_ccf - two different
@@ -5867,5 +5868,16 @@ object SparkEntry {
         |JOIN fitted f
         |  ON f.pool_lo = (SELECT MAX(pool_lo) FROM fitted WHERE pool_lo <= b.bucket)
         |ORDER BY b.bucket""".stripMargin,
+
+    "q_store_agg_pushdown" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(o_orderstatus) AS BIGINT) AS n_status,
+        |       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        |       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+        |       CAST(MIN(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS min_cents,
+        |       CAST(MAX(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS max_cents
+        |FROM orders WHERE o_orderkey % 50 = 0""".stripMargin,
   )
 }

@@ -175,4 +175,39 @@ object FlightServe {
         max("o_orderkey").as("max_key"))
       .orderBy("status")
   }
+
+  /** The aggregate-pushdown serve path, differential-gated: a
+    * deterministic orders slice lands in the store, the graft-store
+    * V2 connector reads it, and the ungrouped COUNT/MIN/MAX
+    * aggregation pushes COMPLETELY into the scan (no Aggregate node —
+    * asserted: the buffer answers the summary itself, one row out,
+    * the Flight-server analog of a summary action that never ships
+    * batches). Any error in the pushdown evaluation breaks the
+    * DuckDB hash. */
+  def qStoreAggPushdown(s: org.apache.spark.sql.SparkSession,
+                        d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sub = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
+    val schema = sub.schema
+    val store = new StreamStore(1L << 30, Long.MaxValue / 2)
+    sub.collect().grouped(500).foreach(rs => store.append("orders", schema, rs.toSeq))
+    graft.sources.GraftStoreRegistry.register("agg_push_store", store)
+    try {
+      val df = s.read.format("graft-store")
+        .option("store", "agg_push_store").option("topic", "orders").load()
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_orderstatus")).as("n_status"),
+          min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"),
+          min("cents").as("min_cents"),
+          max("cents").as("max_cents"))
+      val out = df.collect().toSeq // settle before unregistering
+      require(!df.queryExecution.executedPlan.toString.contains("HashAggregate"),
+        "store aggregation must push completely into the scan")
+      s.createDataFrame(s.sparkContext.parallelize(out.toList), df.schema)
+    } finally graft.sources.GraftStoreRegistry.unregister("agg_push_store")
+  }
 }

@@ -7,8 +7,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.catalog.SupportsWrite
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
@@ -179,10 +180,12 @@ final class GraftStreamingWrite(storeName: String, topic: String,
 
 final class GraftScanBuilder(storeName: String, topic: String, full: StructType)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[GraftAggSpec] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -198,28 +201,119 @@ final class GraftScanBuilder(storeName: String, topic: String, full: StructType)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** COMPLETE aggregate pushdown for ungrouped COUNT(*)/COUNT(col)/
+    * MIN/MAX over the store's atomic columns — Spark removes the
+    * Aggregate node entirely and the scan answers from the buffer in
+    * one pass (the analog of a Flight server answering a summary
+    * action without shipping batches; the reference can only ship
+    * whole buffers, flight/server.go:171-208). Anything unsupported
+    * (grouping, distinct counts, sums over non-atomic types) is
+    * declined and Spark aggregates above the scan as usual, so
+    * pushdown can never change semantics. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.forall(GraftAggSpec.supported(full, _))
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!supportCompletePushDown(agg)) return false
+    pushedAgg = Some(GraftAggSpec(agg.aggregateExpressions.toSeq, full))
+    true
+  }
+
   override def build(): Scan =
-    new GraftScan(storeName, topic, full, required, pushed)
+    new GraftScan(storeName, topic, full, required, pushed, pushedAgg)
+}
+
+/** A fully-pushed ungrouped aggregation: the funcs in output order and
+  * the one-row schema the scan must produce for them. */
+final case class GraftAggSpec(funcs: Seq[AggregateFunc], full: StructType) {
+  import org.apache.spark.sql.types._
+
+  /** Output schema, positional: Spark matches the scan's readSchema
+    * to the pushed aggregate expressions by position. */
+  lazy val schema: StructType = StructType(funcs.zipWithIndex.map {
+    case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_: Count, i)     => StructField(s"agg_$i", LongType, nullable = false)
+    case (m: Min, i) =>
+      StructField(s"agg_$i", full(GraftAggSpec.colOf(m.column).get).dataType)
+    case (m: Max, i) =>
+      StructField(s"agg_$i", full(GraftAggSpec.colOf(m.column).get).dataType)
+    case (f, _) => throw new IllegalStateException(s"unsupported pushed agg $f")
+  })
+
+  /** Evaluate over the filtered buffered rows (one row out). */
+  def eval(rows: Seq[org.apache.spark.sql.Row]): Seq[Any] = funcs.map {
+    case _: CountStar => rows.size.toLong
+    case c: Count =>
+      val i = full.fieldIndex(GraftAggSpec.colOf(c.column).get)
+      rows.count(_.get(i) != null).toLong
+    case m: Min =>
+      val i = full.fieldIndex(GraftAggSpec.colOf(m.column).get)
+      rows.iterator.map(_.get(i)).filter(_ != null)
+        .reduceOption((a, b) => if (GraftFilterEval.cmp(a, b) <= 0) a else b)
+        .orNull
+    case m: Max =>
+      val i = full.fieldIndex(GraftAggSpec.colOf(m.column).get)
+      rows.iterator.map(_.get(i)).filter(_ != null)
+        .reduceOption((a, b) => if (GraftFilterEval.cmp(a, b) >= 0) a else b)
+        .orNull
+    case f => throw new IllegalStateException(s"unsupported pushed agg $f")
+  }
+
+  override def toString: String = funcs.mkString(", ")
+}
+
+object GraftAggSpec {
+  /** Single-level column behind an aggregate argument, if it is one. */
+  def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+
+  private def atomic(schema: StructType, name: String): Boolean =
+    schema.fields.find(_.name == name).exists(f => f.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.StringType => true
+      case org.apache.spark.sql.types.BooleanType => true
+      case _ => false
+    })
+
+  def supported(schema: StructType, f: AggregateFunc): Boolean = f match {
+    case _: CountStar => true
+    case c: Count =>
+      !c.isDistinct && colOf(c.column).exists(schema.fieldNames.contains)
+    case m: Min => colOf(m.column).exists(atomic(schema, _))
+    case m: Max => colOf(m.column).exists(atomic(schema, _))
+    case _ => false
+  }
 }
 
 final class GraftScan(storeName: String, topic: String, full: StructType,
-                      required: StructType, pushed: Array[Filter])
+                      required: StructType, pushed: Array[Filter],
+                      agg: Option[GraftAggSpec] = None)
     extends Scan with Batch {
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftStoreScan(store=$storeName, topic=$topic, " +
       s"PushedFilters=[${pushed.mkString(", ")}], " +
-      s"ReadSchema=${required.simpleString})"
+      agg.map(a => s"PushedAggregation=[$a], ").getOrElse("") +
+      s"ReadSchema=${readSchema().simpleString})"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = GraftStoreRegistry.get(storeName)
-      .batchesOf(topic).map(_._2.size).getOrElse(0)
-    (0 until n).map(i => GraftBatchPartition(i): InputPartition).toArray
-  }
+  /** A fully-pushed aggregation answers in ONE partition (the single
+    * output row); otherwise one partition per buffered batch. */
+  override def planInputPartitions(): Array[InputPartition] =
+    if (agg.isDefined) Array(GraftAggPartition)
+    else {
+      val n = GraftStoreRegistry.get(storeName)
+        .batchesOf(topic).map(_._2.size).getOrElse(0)
+      (0 until n).map(i => GraftBatchPartition(i): InputPartition).toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(storeName, topic, full, required, pushed)
+    new GraftReaderFactory(storeName, topic, full, required, pushed, agg)
 
   /** Streaming read path — the store's batch-append counter is a
     * Kafka-style monotone offset axis, so the topic doubles as a
@@ -275,14 +369,37 @@ final case class GraftOffset(index: Long) extends Offset {
 
 final case class GraftBatchPartition(index: Int) extends InputPartition
 
+/** Single partition answering a fully-pushed aggregation. */
+case object GraftAggPartition extends InputPartition
+
 /** Streaming partition addressing one batch by ABSOLUTE append index. */
 final case class GraftAbsolutePartition(absIndex: Long) extends InputPartition
 
 final class GraftReaderFactory(storeName: String, topic: String,
                                full: StructType, required: StructType,
-                               pushed: Array[Filter])
+                               pushed: Array[Filter],
+                               agg: Option[GraftAggSpec] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    partition match {
+      case GraftAggPartition =>
+        // fully-pushed ungrouped aggregation: filter the whole buffer,
+        // evaluate the funcs, emit the single result row
+        val spec = agg.get
+        val all = GraftStoreRegistry.get(storeName).batchesOf(topic)
+          .map(_._2.flatten).getOrElse(Seq.empty)
+          .filter(r => pushed.forall(GraftFilterEval.eval(full, r, _)))
+        val toCat = CatalystTypeConverters.createToCatalystConverter(spec.schema)
+        val out = toCat(org.apache.spark.sql.Row.fromSeq(spec.eval(all)))
+          .asInstanceOf[InternalRow]
+        return new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val h = !emitted; emitted = true; h }
+          override def get(): InternalRow = out
+          override def close(): Unit = ()
+        }
+      case _ => ()
+    }
     val rows = partition match {
       case GraftBatchPartition(idx) =>
         GraftStoreRegistry.get(storeName).batchesOf(topic)
@@ -290,6 +407,8 @@ final class GraftReaderFactory(storeName: String, topic: String,
       case GraftAbsolutePartition(abs) =>
         GraftStoreRegistry.get(storeName).batchSlice(topic, abs, abs + 1)
           .headOption.map(_._2).getOrElse(Seq.empty)
+      case other =>
+        throw new IllegalStateException(s"unexpected partition $other")
     }
     val fieldIdx = required.fieldNames.map(full.fieldIndex)
     val toCatalyst = CatalystTypeConverters.createToCatalystConverter(required)
@@ -334,7 +453,7 @@ private[sources] object GraftFilterEval {
     case _ => false
   }
 
-  private def cmp(l: Any, r: Any): Int = (l, r) match {
+  private[sources] def cmp(l: Any, r: Any): Int = (l, r) match {
     case (a: Number, b: Number) =>
       java.lang.Double.compare(a.doubleValue(), b.doubleValue())
     case (a: String, b: String) => a.compareTo(b)

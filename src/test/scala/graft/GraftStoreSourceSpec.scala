@@ -86,6 +86,50 @@ class GraftStoreSourceSpec extends SparkSuite {
     GraftStoreRegistry.unregister("s_both")
   }
 
+  test("ungrouped COUNT/MIN/MAX push COMPLETELY: no aggregate above the scan") {
+    freshStore("s_agg")
+    val df = read("s_agg").agg(
+      count(lit(1)).as("n"), count(col("name")).as("nn"),
+      min("v").as("mn"), max("v").as("mx"), max("name").as("mxs"))
+    val r = df.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getString(4)) == (15L, 15L, 0L, 140L, "n9"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"),
+      s"aggregate must be fully pushed:\n$plan")
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.scan.asInstanceOf[GraftScan]
+    assert(scan.description().contains("PushedAggregation="),
+      scan.description())
+    GraftStoreRegistry.unregister("s_agg")
+  }
+
+  test("aggregate pushdown composes with pushed filters") {
+    freshStore("s_aggf")
+    val df = read("s_aggf").filter(col("v") >= 100)
+      .agg(count(lit(1)).as("n"), min("k").as("mn"))
+    val r = df.head
+    assert((r.getLong(0), r.getLong(1)) == (5L, 10L))
+    assert(!df.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    GraftStoreRegistry.unregister("s_aggf")
+  }
+
+  test("unsupported aggregations decline pushdown and stay correct") {
+    freshStore("s_aggd")
+    // SUM and grouped aggregations are not pushed — Spark computes them
+    val g = read("s_aggd").groupBy("name").agg(count(lit(1)).as("n"))
+    assert(g.count() == 15)
+    assert(g.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    val sdf = read("s_aggd").agg(sum("v"))
+    assert(sdf.head.getLong(0) == (0L until 15L).map(_ * 10).sum)
+    assert(sdf.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    // distinct count also declines
+    val ddf = read("s_aggd").agg(countDistinct("name"))
+    assert(ddf.head.getLong(0) == 15L)
+    GraftStoreRegistry.unregister("s_aggd")
+  }
+
   test("unknown store or topic fails loudly") {
     intercept[IllegalArgumentException] {
       spark.read.format("graft-store")
