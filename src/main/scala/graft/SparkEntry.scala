@@ -381,6 +381,9 @@ object SparkEntry {
     "q_dbscan_core"        -> ((s, d) => RelationalExt.qDbscanCore(s, d)),
     "q_isotonic"           -> (MiningOps.qIsotonic _),
     "q_store_agg_pushdown" -> (FlightServe.qStoreAggPushdown _),
+    "q_label_propagation"  -> (RelationalExt.qLabelPropagation _),
+    "q_kendall_tau"        -> (MiningOps.qKendallTau _),
+    "q_jackknife"          -> (StatsOps.qJackknife _),
   )
 
   /** Shared by q_dedup_cluster and q_components_ccf - two different
@@ -5879,5 +5882,99 @@ object SparkEntry {
         |       CAST(MAX(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
         |         AS max_cents
         |FROM orders WHERE o_orderkey % 50 = 0""".stripMargin,
+
+    "q_label_propagation" ->
+      """WITH li0 AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM
+        |         (SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS bsz FROM li0)
+        |       WHERE bsz BETWEEN 2 AND 120),
+        |e AS MATERIALIZED (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |      FROM li a JOIN li b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |bi AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e
+        |      UNION ALL SELECT pb, pa FROM e),
+        |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM bi),
+        |l1 AS MATERIALIZED (SELECT node, lbl FROM (
+        |      SELECT bi.u AS node, l.lbl,
+        |             ROW_NUMBER() OVER (PARTITION BY bi.u
+        |               ORDER BY COUNT(*) DESC, l.lbl ASC) AS rk
+        |      FROM bi JOIN l0 l ON l.node = bi.v GROUP BY bi.u, l.lbl)
+        |      WHERE rk = 1),
+        |l2 AS MATERIALIZED (SELECT node, lbl FROM (
+        |      SELECT bi.u AS node, l.lbl,
+        |             ROW_NUMBER() OVER (PARTITION BY bi.u
+        |               ORDER BY COUNT(*) DESC, l.lbl ASC) AS rk
+        |      FROM bi JOIN l1 l ON l.node = bi.v GROUP BY bi.u, l.lbl)
+        |      WHERE rk = 1),
+        |l3 AS MATERIALIZED (SELECT node, lbl FROM (
+        |      SELECT bi.u AS node, l.lbl,
+        |             ROW_NUMBER() OVER (PARTITION BY bi.u
+        |               ORDER BY COUNT(*) DESC, l.lbl ASC) AS rk
+        |      FROM bi JOIN l2 l ON l.node = bi.v GROUP BY bi.u, l.lbl)
+        |      WHERE rk = 1)
+        |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |       CAST(MIN(node) AS BIGINT) AS min_node,
+        |       CAST(MAX(node) AS BIGINT) AS max_node
+        |FROM l3 GROUP BY 1 HAVING COUNT(*) >= 2
+        |ORDER BY community""".stripMargin,
+
+    "q_kendall_tau" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |k AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, c,
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id) AS rn
+        |    FROM c) x WHERE rn <= 64),
+        |nn AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM k GROUP BY 1
+        |       HAVING COUNT(*) >= 10),
+        |s AS (
+        |  SELECT a.user_id,
+        |         CAST(SUM(CASE WHEN b.c > a.c THEN 1
+        |                       WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM k a JOIN k b ON a.user_id = b.user_id AND a.rn < b.rn
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT user_id, CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n2
+        |  FROM (SELECT user_id, c, COUNT(*) AS t FROM k GROUP BY 1, 2) x
+        |  GROUP BY 1)
+        |SELECT nn.user_id, nn.n, s.s_stat,
+        |       CAST(nn.n * (nn.n - 1) // 2 AS BIGINT) AS n0, t.n2,
+        |       FLOOR(s.s_stat / SQRT(CAST((nn.n * (nn.n - 1) // 2)
+        |             * ((nn.n * (nn.n - 1) // 2) - t.n2) AS DOUBLE))
+        |             * 1e6 + 0.5) / 1e6 AS tau_b
+        |FROM nn JOIN s ON s.user_id = nn.user_id
+        |        JOIN t ON t.user_id = nn.user_id
+        |WHERE nn.n * (nn.n - 1) // 2 > t.n2
+        |ORDER BY nn.user_id""".stripMargin,
+
+    "q_jackknife" ->
+      """WITH daily AS (
+        |  SELECT CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS p
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(p) AS BIGINT) AS pp,
+        |               CAST(COUNT(*) AS BIGINT) AS dd
+        |        FROM daily),
+        |x AS (SELECT CAST(FLOOR((pp - p) / CAST(nn - n AS DOUBLE) * 1e6 + 0.5)
+        |        AS BIGINT) AS x
+        |      FROM daily CROSS JOIN tot WHERE nn > n),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS d_days,
+        |             CAST(SUM(x) AS BIGINT) AS sx,
+        |             CAST(SUM(x * x) AS BIGINT) AS sxx
+        |      FROM x)
+        |SELECT m.d_days, tot.nn AS n_events, tot.pp AS n_purchases,
+        |       CAST(FLOOR(tot.pp / CAST(tot.nn AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+        |         AS rate_u,
+        |       CAST(FLOOR(SQRT(CAST((m.d_days - 1)
+        |             * (m.d_days * m.sxx - m.sx * m.sx) AS DOUBLE))
+        |             / m.d_days + 0.5) AS BIGINT) AS se_jack_u
+        |FROM m CROSS JOIN tot""".stripMargin,
   )
 }

@@ -123,6 +123,42 @@ object MiningOps {
       .orderBy("user_id")
   }
 
+  /** Kendall τ-b of value vs time per user — the NORMALIZED form of
+    * [[qMannKendall]]'s S (S alone grows with n; τ-b ∈ [−1,1] is
+    * comparable across users). Time order is tie-free by the
+    * (ts, event_id) total order, so τ-b = S / √(n0·(n0 − n2)) with
+    * n0 = C(n,2) and n2 = Σ t(t−1)/2 the value-tie pairs — every
+    * input an exact integer under the same [[MkMaxEvents]] valve;
+    * only the final sqrt-division touches floats (identical IEEE on
+    * identical inputs, floor-rounded 6dp). */
+  def qKendallTau(s: SparkSession, d: String): DataFrame = {
+    val seq = cappedSeq(s, d)
+    val sStat = seq
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("rn"), col("c")))).as("a"))
+      .select(col("user_id"),
+        expr("transform(a, x -> x.c)").as("v"),
+        size(col("a")).cast("long").as("n"))
+      .filter(col("n") >= 10L)
+      .withColumn("s_stat", expr(
+        "aggregate(flatten(transform(sequence(0, CAST(n AS INT) - 2), " +
+          "i -> transform(sequence(i + 1, CAST(n AS INT) - 1), " +
+          "j -> CAST(sign(v[j] - v[i]) AS BIGINT)))), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .select("user_id", "n", "s_stat")
+    val ties = seq.groupBy("user_id", "c").agg(count(lit(1)).as("t"))
+      .groupBy("user_id")
+      .agg(sum(expr("t * (t - 1) DIV 2")).as("n2"))
+    sStat.join(ties, "user_id")
+      .withColumn("n0", expr("n * (n - 1) DIV 2"))
+      .filter(col("n0") > col("n2"))
+      .select(col("user_id"), col("n"), col("s_stat"), col("n0"), col("n2"),
+        (floor(col("s_stat")
+          / sqrt((col("n0") * (col("n0") - col("n2"))).cast("double"))
+          * 1e6 + 0.5) / 1e6).as("tau_b"))
+      .orderBy("user_id")
+  }
+
   /** Theil-Sen robust trend slope per user — the median of all
     * pairwise slopes, the estimator that shrugs off the outliers that
     * wreck least-squares ([[qMannKendall]] is its significance test;

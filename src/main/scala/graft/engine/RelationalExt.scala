@@ -668,6 +668,46 @@ object RelationalExt {
       .orderBy("user_id")
   }
 
+  /** Label-propagation community detection (Raghavan et al. 2007)
+    * over the co-purchase graph — THREE synchronous rounds with a
+    * fully deterministic update: each node adopts its neighborhood's
+    * most frequent label, ties broken by smallest label (classic LPA
+    * is order-randomized; the deterministic variant is what a
+    * reproducible pipeline runs). Unlike connected components this
+    * can SPLIT a component into dense regions. Each round is one
+    * edge-keyed join + a (node, label) count aggregate + a per-node
+    * argmax — all graph-sized, localCheckpoint'd per round like
+    * qKcore; the round count is a static constant so the oracle
+    * replays it as unrolled CTEs. Output: per-community node counts
+    * of the round-3 labeling. */
+  def qLabelPropagation(s: SparkSession, d: String): DataFrame = {
+    val e = supportEdges(s, d)
+    val bi = e.select(col("pa").as("u"), col("pb").as("v"))
+      .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
+      .localCheckpoint(true)
+    var labels = bi.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    (1 to 3).foreach { _ =>
+      val counts = bi
+        .join(labels.select(col("node").as("v"), col("lbl")), "v")
+        .groupBy(col("u").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = counts
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("node")
+            .orderBy(col("cnt").desc, col("lbl").asc)))
+        .filter(col("rk") === 1)
+        .select("node", "lbl")
+        .localCheckpoint(true)
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"),
+        max("node").as("max_node"))
+      .filter(col("n_nodes") >= 2)
+      .orderBy("community")
+  }
+
   /** Distributed BFS from the co-purchase graph's max-degree hub —
     * the traversal primitive the component/pagerank family doesn't
     * cover (reachability with DISTANCE). Classic frontier expansion:

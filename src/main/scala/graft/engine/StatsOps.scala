@@ -972,6 +972,43 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Leave-one-day-out jackknife standard error of the conversion-
+    * rate RATIO estimator (purchases / events) — the classic
+    * jackknife use case: a ratio's naive binomial SE is wrong
+    * because both numerator and denominator vary by day (Efron &
+    * Tibshirani ch. 11; the delete-one-group form every experiment
+    * platform ships next to its bootstrap). Complements
+    * q_bootstrap_ci with the deterministic resampling alternative.
+    * Each leave-one-out rate θ₍d₎ = (P−p_d)/(N−n_d) is an exact
+    * integer rational, floor-quantized to micro-units per day; the
+    * pseudo-value variance then comes from exact integer moment sums
+    * (D·Σx² − (Σx)², the q_spearman trick), so only the final sqrt
+    * touches floats. One daily aggregate — calendar-sized state. */
+  def qJackknife(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+    val tot = daily.agg(sum("n").as("nn"), sum("p").as("pp"),
+      count(lit(1)).as("dd"))
+    val x = daily.crossJoin(broadcast(tot))
+      .filter(col("nn") > col("n"))
+      .select(floor((col("pp") - col("p"))
+        / (col("nn") - col("n")).cast("double") * 1e6 + 0.5)
+        .cast("long").as("x"))
+    x.agg(count(lit(1)).as("d_days"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("d_days"),
+        col("nn").as("n_events"), col("pp").as("n_purchases"),
+        floor(col("pp") / col("nn").cast("double") * 1e6 + 0.5).cast("long")
+          .as("rate_u"),
+        floor(sqrt(((col("d_days") - 1)
+          * (col("d_days") * col("sxx") - col("sx") * col("sx"))).cast("double"))
+          / col("d_days") + 0.5).cast("long").as("se_jack_u"))
+  }
+
   /** Bollinger bands on the daily spend series per event type:
     * trailing-20-day mean ± 2σ with breach flags — the volatility
     * envelope monitor time-series ops run on throughput and spend

@@ -193,6 +193,45 @@ class Round12OpsSpec extends SparkSuite {
       s"PAVA must preserve the weighted mean: $wSum vs $sSum")
   }
 
+  test("label propagation: communities partition nodes, labels are members") {
+    val rows = RelationalExt.qLabelPropagation(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lbl, n, mn, mx) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n >= 2)
+      assert(mn <= mx)
+    }
+    // community ids are distinct (it's a partition keyed by label)
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length)
+  }
+
+  test("Kendall tau-b ∈ [-1,1] and sign-matches S") {
+    val rows = MiningOps.qKendallTau(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, sStat, n0, n2, tau) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(n0 == n * (n - 1) / 2)
+      assert(n2 >= 0 && n2 < n0)
+      assert(tau >= -1.0 && tau <= 1.0, s"tau out of range: $r")
+      assert(math.signum(tau) == math.signum(sStat.toDouble) || sStat == 0)
+    }
+  }
+
+  test("jackknife SE of the ratio estimator is small and non-negative") {
+    val r = StatsOps.qJackknife(spark, sf).head
+    val (dd, nEv, nP, rate, se) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nP <= nEv)
+    assert(rate >= 0 && rate <= 1000000L)
+    assert(se >= 0, s"negative SE: $r")
+    // delete-one-day perturbations of a stable daily rate are tiny
+    assert(se < rate.max(1L), s"jackknife SE larger than the rate itself: $r")
+    assert(dd >= 2)
+  }
+
   test("Bollinger: sigma ≥ 0, breach flags mutually exclusive and correct side") {
     val rows = StatsOps.qBollinger(spark, sf).collect()
     assert(rows.nonEmpty)
