@@ -384,6 +384,7 @@ object SparkEntry {
     "q_label_propagation"  -> (RelationalExt.qLabelPropagation _),
     "q_kendall_tau"        -> (MiningOps.qKendallTau _),
     "q_jackknife"          -> (StatsOps.qJackknife _),
+    "q_store_topn_pushdown" -> (FlightServe.qStoreTopNPushdown _),
   )
 
   /** Shared by q_dedup_cluster and q_components_ccf - two different
@@ -5976,5 +5977,11 @@ object SparkEntry {
         |             * (m.d_days * m.sxx - m.sx * m.sx) AS DOUBLE))
         |             / m.d_days + 0.5) AS BIGINT) AS se_jack_u
         |FROM m CROSS JOIN tot""".stripMargin,
+
+    "q_store_topn_pushdown" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |       CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 50 = 0
+        |ORDER BY cents DESC, o_orderkey LIMIT 20""".stripMargin,
   )
 }

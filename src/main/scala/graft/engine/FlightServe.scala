@@ -210,4 +210,35 @@ object FlightServe {
       s.createDataFrame(s.sparkContext.parallelize(out.toList), df.schema)
     } finally graft.sources.GraftStoreRegistry.unregister("agg_push_store")
   }
+
+  /** The top-N-pushdown serve path, differential-gated: the V2
+    * connector receives ORDER BY cents DESC, key ASC LIMIT 20 and
+    * answers it INSIDE the scan (no TakeOrderedAndProject — asserted)
+    * — the reference's client-side `--limit` (cmd/client.go:193)
+    * moved into the server, with the sort the reference cannot do at
+    * all (data is served in arrival order, stream/manager.go:376). */
+  def qStoreTopNPushdown(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sub = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
+    val schema = sub.schema
+    val store = new StreamStore(1L << 30, Long.MaxValue / 2)
+    sub.collect().grouped(500).foreach(rs => store.append("orders", schema, rs.toSeq))
+    graft.sources.GraftStoreRegistry.register("topn_push_store", store)
+    try {
+      val df = s.read.format("graft-store")
+        .option("store", "topn_push_store").option("topic", "orders").load()
+        .orderBy(col("cents").desc, col("o_orderkey").asc)
+        .limit(20)
+      val out = df.collect().toSeq
+      val plan = df.queryExecution.executedPlan.toString
+      require(!plan.contains("TakeOrderedAndProject"),
+        "top-N must push completely into the store scan")
+      s.createDataFrame(s.sparkContext.parallelize(out.toList), df.schema)
+        .orderBy(col("cents").desc, col("o_orderkey").asc)
+    } finally graft.sources.GraftStoreRegistry.unregister("topn_push_store")
+  }
 }

@@ -7,9 +7,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.catalog.SupportsWrite
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
@@ -181,11 +181,14 @@ final class GraftStreamingWrite(storeName: String, topic: String,
 final class GraftScanBuilder(storeName: String, topic: String, full: StructType)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[GraftAggSpec] = None
+  private var pushedLimit: Option[Int] = None
+  private var pushedSort: Seq[SortOrder] = Seq.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -220,8 +223,36 @@ final class GraftScanBuilder(storeName: String, topic: String, full: StructType)
     true
   }
 
+  /** FULL limit pushdown: the scan answers with the first N filtered
+    * rows in buffer (= append) order — the reference's client-side
+    * `--limit` (cmd/client.go:193) moved INTO the server, so at most
+    * N rows ever leave the buffer. Fully handled (not partial): the
+    * scan switches to one partition that stops iterating at N. */
+  override def pushLimit(limit: Int): Boolean = {
+    if (pushedAgg.isDefined) return false
+    pushedLimit = Some(limit)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = false
+
+  /** FULL top-N pushdown (ORDER BY + LIMIT): supported for sort keys
+    * on atomic columns; the scan sorts the filtered buffer under the
+    * requested direction/null ordering and emits exactly N rows, so
+    * Spark drops its own TakeOrderedAndProject. */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    if (pushedAgg.isDefined) return false
+    val ok = orders.forall(o =>
+      GraftAggSpec.colOf(o.expression())
+        .exists(n => full.fieldNames.contains(n) && GraftFilterEval.atomicCol(full, n)))
+    if (!ok) return false
+    pushedSort = orders.toSeq
+    pushedLimit = Some(limit)
+    true
+  }
+
   override def build(): Scan =
-    new GraftScan(storeName, topic, full, required, pushed, pushedAgg)
+    new GraftScan(storeName, topic, full, required, pushed, pushedAgg,
+      pushedLimit, pushedSort)
 }
 
 /** A fully-pushed ungrouped aggregation: the funcs in output order and
@@ -292,7 +323,9 @@ object GraftAggSpec {
 
 final class GraftScan(storeName: String, topic: String, full: StructType,
                       required: StructType, pushed: Array[Filter],
-                      agg: Option[GraftAggSpec] = None)
+                      agg: Option[GraftAggSpec] = None,
+                      limit: Option[Int] = None,
+                      sort: Seq[SortOrder] = Seq.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
   override def toBatch: Batch = this
@@ -300,12 +333,16 @@ final class GraftScan(storeName: String, topic: String, full: StructType,
     s"GraftStoreScan(store=$storeName, topic=$topic, " +
       s"PushedFilters=[${pushed.mkString(", ")}], " +
       agg.map(a => s"PushedAggregation=[$a], ").getOrElse("") +
+      limit.map(n => if (sort.nonEmpty)
+        s"PushedTopN=[${sort.mkString(", ")} LIMIT $n], "
+      else s"PushedLimit=[$n], ").getOrElse("") +
       s"ReadSchema=${readSchema().simpleString})"
 
-  /** A fully-pushed aggregation answers in ONE partition (the single
-    * output row); otherwise one partition per buffered batch. */
+  /** A fully-pushed aggregation / limit / top-N answers in ONE
+    * partition (the scan must produce a globally-correct bounded
+    * result); otherwise one partition per buffered batch. */
   override def planInputPartitions(): Array[InputPartition] =
-    if (agg.isDefined) Array(GraftAggPartition)
+    if (agg.isDefined || limit.isDefined) Array(GraftAggPartition)
     else {
       val n = GraftStoreRegistry.get(storeName)
         .batchesOf(topic).map(_._2.size).getOrElse(0)
@@ -313,7 +350,8 @@ final class GraftScan(storeName: String, topic: String, full: StructType,
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(storeName, topic, full, required, pushed, agg)
+    new GraftReaderFactory(storeName, topic, full, required, pushed, agg,
+      limit, sort)
 
   /** Streaming read path — the store's batch-append counter is a
     * Kafka-style monotone offset axis, so the topic doubles as a
@@ -378,11 +416,36 @@ final case class GraftAbsolutePartition(absIndex: Long) extends InputPartition
 final class GraftReaderFactory(storeName: String, topic: String,
                                full: StructType, required: StructType,
                                pushed: Array[Filter],
-                               agg: Option[GraftAggSpec] = None)
+                               agg: Option[GraftAggSpec] = None,
+                               limit: Option[Int] = None,
+                               sort: Seq[SortOrder] = Seq.empty)
     extends PartitionReaderFactory {
+
+  /** Comparator for the pushed top-N sort: per key, nulls placed by
+    * the requested NullOrdering (NOT flipped by direction — Spark's
+    * SortOrder already encodes the final null position), non-null
+    * values by the typed comparison, flipped for DESC. */
+  private def cmpRows(a: org.apache.spark.sql.Row,
+                      b: org.apache.spark.sql.Row): Int = {
+    import org.apache.spark.sql.connector.expressions.NullOrdering
+    sort.iterator.map { o =>
+      val i = full.fieldIndex(GraftAggSpec.colOf(o.expression()).get)
+      val (va, vb) = (a.get(i), b.get(i))
+      if (va == null && vb == null) 0
+      else if (va == null) {
+        if (o.nullOrdering() == NullOrdering.NULLS_FIRST) -1 else 1
+      } else if (vb == null) {
+        if (o.nullOrdering() == NullOrdering.NULLS_FIRST) 1 else -1
+      } else {
+        val c = GraftFilterEval.cmp(va, vb)
+        if (o.direction() == SortDirection.DESCENDING) -c else c
+      }
+    }.find(_ != 0).getOrElse(0)
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     partition match {
-      case GraftAggPartition =>
+      case GraftAggPartition if agg.isDefined =>
         // fully-pushed ungrouped aggregation: filter the whole buffer,
         // evaluate the funcs, emit the single result row
         val spec = agg.get
@@ -401,6 +464,16 @@ final class GraftReaderFactory(storeName: String, topic: String,
       case _ => ()
     }
     val rows = partition match {
+      case GraftAggPartition =>
+        // fully-pushed limit / top-N: filter the whole buffer, sort if
+        // a top-N order was pushed (stable, so ties keep append
+        // order), cap at N — at most N rows ever leave the scan
+        val all = GraftStoreRegistry.get(storeName).batchesOf(topic)
+          .map(_._2.flatten).getOrElse(Seq.empty)
+          .filter(r => pushed.forall(GraftFilterEval.eval(full, r, _)))
+        val ordered =
+          if (sort.nonEmpty) all.sortWith((a, b) => cmpRows(a, b) < 0) else all
+        ordered.take(limit.getOrElse(Int.MaxValue))
       case GraftBatchPartition(idx) =>
         GraftStoreRegistry.get(storeName).batchesOf(topic)
           .map(_._2.apply(idx)).getOrElse(Seq.empty)
@@ -434,13 +507,15 @@ final class GraftReaderFactory(storeName: String, topic: String,
   * unsupported in [[GraftScanBuilder.pushFilters]] and evaluated by
   * Spark above the scan, so pushdown can never change semantics. */
 private[sources] object GraftFilterEval {
-  private def atomic(schema: StructType, attr: String): Boolean =
+  private[sources] def atomicCol(schema: StructType, attr: String): Boolean =
     schema.fields.find(_.name == attr).exists(f => f.dataType match {
       case _: org.apache.spark.sql.types.NumericType => true
       case org.apache.spark.sql.types.StringType => true
       case org.apache.spark.sql.types.BooleanType => true
       case _ => false
     })
+  private def atomic(schema: StructType, attr: String): Boolean =
+    atomicCol(schema, attr)
 
   def supported(schema: StructType, f: Filter): Boolean = f match {
     case EqualTo(a, _) => atomic(schema, a)

@@ -130,6 +130,39 @@ class GraftStoreSourceSpec extends SparkSuite {
     GraftStoreRegistry.unregister("s_aggd")
   }
 
+  test("LIMIT pushes fully: the scan emits at most N rows") {
+    freshStore("s_lim")
+    val df = read("s_lim").limit(4)
+    assert(df.count() == 4)
+    val scan = scanOf(df)
+    assert(scan.description().contains("PushedLimit=[4]"), scan.description())
+    // one bounded partition answers; no per-batch fan-out
+    assert(scan.toBatch.planInputPartitions().length == 1)
+    GraftStoreRegistry.unregister("s_lim")
+  }
+
+  test("ORDER BY + LIMIT pushes as top-N: Spark drops its own sort") {
+    freshStore("s_topn")
+    val df = read("s_topn").orderBy(col("v").desc).limit(3)
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((14L, 140L), (13L, 130L), (12L, 120L)))
+    val scan = scanOf(df)
+    assert(scan.description().contains("PushedTopN="), scan.description())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("TakeOrderedAndProject") && !plan.contains("Sort "),
+      s"top-N must be fully pushed:\n$plan")
+    GraftStoreRegistry.unregister("s_topn")
+  }
+
+  test("top-N pushdown composes with pushed filters") {
+    freshStore("s_topnf")
+    val df = read("s_topnf").filter(col("v") < 100)
+      .orderBy(col("k").desc).limit(2)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(9L, 8L))
+    assert(scanOf(df).description().contains("PushedTopN="))
+    GraftStoreRegistry.unregister("s_topnf")
+  }
+
   test("unknown store or topic fails loudly") {
     intercept[IllegalArgumentException] {
       spark.read.format("graft-store")
