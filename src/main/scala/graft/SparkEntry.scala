@@ -385,6 +385,11 @@ object SparkEntry {
     "q_kendall_tau"        -> (MiningOps.qKendallTau _),
     "q_jackknife"          -> (StatsOps.qJackknife _),
     "q_store_topn_pushdown" -> (FlightServe.qStoreTopNPushdown _),
+    "q_levene"             -> (StatsOps.qLevene _),
+    "q_fano"               -> (StatsOps.qFano _),
+    "q_lift_gains"         -> (AnalyticsOps.qLiftGains _),
+    "q_punchcard"          -> (AnalyticsOps.qPunchcard _),
+    "q_simpson_diversity"  -> ((s, d) => CurationOps.qSimpsonDiversity(s, d)),
   )
 
   /** Shared by q_dedup_cluster and q_components_ccf - two different
@@ -5983,5 +5988,119 @@ object SparkEntry {
         |       CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
         |FROM orders WHERE o_orderkey % 50 = 0
         |ORDER BY cents DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_levene" ->
+      """WITH c AS (SELECT event_type, event_id,
+        |                  CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+        |           FROM events),
+        |r AS (SELECT event_type, c,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |          ORDER BY c, event_id) AS BIGINT) AS rn,
+        |        CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |      FROM c),
+        |med AS (SELECT event_type,
+        |          MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+        |                   THEN c END) AS med
+        |        FROM r GROUP BY 1),
+        |z AS (SELECT c.event_type, ABS(c.c - med.med) AS z
+        |      FROM c JOIN med ON med.event_type = c.event_type),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ni,
+        |             CAST(SUM(z) AS BIGINT) AS si,
+        |             CAST(SUM(z * z) AS BIGINT) AS qi
+        |      FROM z GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(ni) AS BIGINT) AS nn,
+        |               CAST(SUM(si) AS BIGINT) AS ss,
+        |               CAST(COUNT(*) AS BIGINT) AS k
+        |        FROM g),
+        |cells AS (SELECT nn, k,
+        |            CAST(FLOOR(ni
+        |              * (si / CAST(ni AS DOUBLE) - ss / CAST(nn AS DOUBLE))
+        |              * (si / CAST(ni AS DOUBLE) - ss / CAST(nn AS DOUBLE))
+        |              * 1e2 + 0.5) AS BIGINT) AS b_c,
+        |            CAST(FLOOR((qi - CAST(si AS DOUBLE) * si / CAST(ni AS DOUBLE))
+        |              * 1e2 + 0.5) AS BIGINT) AS w_c
+        |          FROM g CROSS JOIN tot),
+        |u AS (SELECT nn, k, CAST(SUM(b_c) AS BIGINT) AS sb_c,
+        |             CAST(SUM(w_c) AS BIGINT) AS sw_c
+        |      FROM cells GROUP BY 1, 2)
+        |SELECT k AS n_groups, nn AS n_events, sb_c, sw_c,
+        |       FLOOR(CAST(nn - k AS DOUBLE) / (k - 1)
+        |             * sb_c / sw_c * 1e4 + 0.5) / 1e4 AS bf_w
+        |FROM u""".stripMargin,
+
+    "q_fano" ->
+      """WITH daily AS (SELECT event_type,
+        |                      CAST(epoch(date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) AS day,
+        |                      CAST(COUNT(*) AS BIGINT) AS x
+        |               FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d_days,
+        |             CAST(SUM(x) AS BIGINT) AS sx,
+        |             CAST(SUM(x * x) AS BIGINT) AS sxx
+        |      FROM daily GROUP BY 1)
+        |SELECT event_type, d_days, sx AS n_events,
+        |       FLOOR(CAST(d_days * sxx - sx * sx AS DOUBLE)
+        |             / CAST(d_days * (d_days - 1) AS DOUBLE)
+        |             / (sx / CAST(d_days AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS fano,
+        |       FLOOR(CAST(d_days * sxx - sx * sx AS DOUBLE)
+        |             / CAST(d_days * (d_days - 1) AS DOUBLE)
+        |             / (sx / CAST(d_days AS DOUBLE))
+        |             * CAST(d_days - 1 AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |         AS dispersion_stat
+        |FROM m WHERE d_days > 1 AND sx > 0
+        |ORDER BY event_type""".stripMargin,
+
+    "q_lift_gains" ->
+      """WITH u AS (SELECT user_id,
+        |             CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |               AS spend_c,
+        |             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |               AS BIGINT) AS purchases
+        |           FROM events GROUP BY 1),
+        |r AS (SELECT *,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY spend_c DESC, user_id) AS BIGINT) AS rk,
+        |        CAST(COUNT(*) OVER () AS BIGINT) AS nu
+        |      FROM u),
+        |dec AS (SELECT CAST(CEIL(rk * 10.0 / nu) AS BIGINT) AS decile,
+        |               CAST(COUNT(*) AS BIGINT) AS n_users,
+        |               CAST(SUM(purchases) AS BIGINT) AS n_purch
+        |        FROM r GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS tu,
+        |               CAST(SUM(n_purch) AS BIGINT) AS tp FROM dec),
+        |cum AS (SELECT dec.*, tot.tu, tot.tp,
+        |          CAST(SUM(n_purch) OVER (ORDER BY decile) AS BIGINT) AS cum_purch,
+        |          CAST(SUM(n_users) OVER (ORDER BY decile) AS BIGINT) AS cum_users
+        |        FROM dec CROSS JOIN tot)
+        |SELECT decile, n_users, n_purch,
+        |       CAST(FLOOR(cum_purch / CAST(tp AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+        |         AS cum_gain_u,
+        |       CAST(FLOOR(cum_purch / CAST(tp AS DOUBLE)
+        |             / (cum_users / CAST(tu AS DOUBLE)) * 1e4 + 0.5) AS BIGINT)
+        |         AS lift_x10000
+        |FROM cum ORDER BY decile""".stripMargin,
+
+    "q_punchcard" ->
+      """SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS dow,
+        |       (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000) // 3600000000 AS hour,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_simpson_diversity" ->
+      """WITH bs AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        |            FROM documents GROUP BY 1, 2),
+        |g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sources,
+        |             CAST(SUM(n) AS BIGINT) AS n_docs,
+        |             CAST(SUM(n * (n - 1)) AS BIGINT) AS pairs_same
+        |      FROM bs GROUP BY 1)
+        |SELECT lang, n_sources, n_docs,
+        |       FLOOR((1.0 - pairs_same
+        |             / CAST(n_docs * (n_docs - 1) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |         AS simpson_d,
+        |       CASE WHEN pairs_same > 0 THEN
+        |         FLOOR(CAST(n_docs * (n_docs - 1) AS DOUBLE)
+        |               / pairs_same * 1e4 + 0.5) / 1e4
+        |       END AS effective_sources
+        |FROM g WHERE n_docs > 1 ORDER BY lang""".stripMargin,
   )
 }

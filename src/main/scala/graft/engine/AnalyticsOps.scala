@@ -945,6 +945,56 @@ object AnalyticsOps {
           * 1e6 + 0.5) / 1e6).as("cramers_v"))
   }
 
+  /** Cumulative gains / lift chart by spend decile — the marketing
+    * targeting-eval staple ("the top 10% of spenders hold X% of
+    * purchases"). The decile boundary is an exact integer rank rule
+    * (ceil(rank·10 / n_users)) over the USER-AGGREGATE table, so the
+    * ranking window runs on |users| rows, never events. Shares and
+    * lift are floor-quantized micro-units of exact integer counts;
+    * the cumulative sums run over the 10-row decile table. */
+  def qLiftGains(s: SparkSession, d: String): DataFrame = {
+    val users = events(s, d)
+      .groupBy("user_id")
+      .agg(sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("spend_c"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"))
+    val ranked = users
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("spend_c").desc, col("user_id").asc)).cast("long"))
+      .withColumn("nu", count(lit(1)).over(Window.partitionBy()).cast("long"))
+      .withColumn("decile", ceil(col("rk") * 10.0 / col("nu")).cast("long"))
+    val dec = ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum("purchases").as("n_purch"))
+    val tot = dec.agg(sum("n_users").as("tu"), sum("n_purch").as("tp"))
+    val wc = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec.crossJoin(broadcast(tot))
+      .withColumn("cum_purch", sum("n_purch").over(wc))
+      .withColumn("cum_users", sum("n_users").over(wc))
+      .select(col("decile"), col("n_users"), col("n_purch"),
+        floor(col("cum_purch") / col("tp").cast("double") * 1e6 + 0.5)
+          .cast("long").as("cum_gain_u"),
+        floor(col("cum_purch") / col("tp").cast("double")
+          / (col("cum_users") / col("tu").cast("double")) * 1e4 + 0.5)
+          .cast("long").as("lift_x10000"))
+      .orderBy("decile")
+  }
+
+  /** Day-of-week × hour activity punchcard — the weekly-rhythm grid
+    * every ops dashboard opens with. The day-of-week is a PURE
+    * INTEGER formula on the epoch day ((days + 4) mod 7, 0 = Sunday;
+    * 1970-01-01 was a Thursday) so both engines derive it without
+    * any locale/week-start convention, and spend is exact cents.
+    * One map-side-combinable aggregate to a ≤168-row grid. */
+  def qPunchcard(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(
+        expr("(unix_micros(ts) DIV 86400000000 + 4) % 7").as("dow"),
+        expr("(unix_micros(ts) % 86400000000) DIV 3600000000").as("hour"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("c"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n"), sum("c").as("cents"))
+      .orderBy("dow", "hour")
+
   /** Hourly OHLC bars per event type — the time-series candle
     * aggregation every market/telemetry pipeline runs. Values are
     * exact integer cents; open/close are picked by a (ts, event_id)

@@ -264,6 +264,33 @@ object CurationOps {
       .orderBy("lang")
   }
 
+  /** Simpson diversity of SOURCES within each language — the
+    * concentration check a corpus release runs next to its language
+    * mix (a language whose documents all come from one source is a
+    * contamination/bias risk however large it is). Simpson's
+    * λ = Σ n_s(n_s−1) / (N(N−1)) is an EXACT RATIONAL of integer
+    * counts (the unbiased finite-sample form), D = 1 − λ its
+    * diversity; effective source count 1/λ is the only other float.
+    * One two-key aggregate to a |lang|×|source| table. */
+  def qSimpsonDiversity(s: SparkSession, d: String): DataFrame = {
+    val bySrc = documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    bySrc.groupBy("lang")
+      .agg(count(lit(1)).as("n_sources"),
+        sum("n").as("n_docs"),
+        sum(col("n") * (col("n") - 1)).as("pairs_same"))
+      .filter(col("n_docs") > 1)
+      .select(col("lang"), col("n_sources"), col("n_docs"),
+        (floor((lit(1.0) - col("pairs_same")
+          / (col("n_docs") * (col("n_docs") - 1)).cast("double"))
+          * 1e6 + 0.5) / 1e6).as("simpson_d"),
+        when(col("pairs_same") > 0,
+          floor((col("n_docs") * (col("n_docs") - 1)).cast("double")
+            / col("pairs_same") * 1e4 + 0.5) / 1e4)
+          .as("effective_sources"))
+      .orderBy("lang")
+  }
+
   /** Zipf-law slope of the term-frequency distribution: least-squares
     * fit of ln(freq) on ln(rank) over the top-200 vocabulary. A
     * healthy natural-language corpus sits near slope −1; template/

@@ -1009,6 +1009,93 @@ object StatsOps {
           / col("d_days") + 0.5).cast("long").as("se_jack_u"))
   }
 
+  /** Brown–Forsythe variance-homogeneity test across event types
+    * (Levene's test with the MEDIAN center — the robust variant):
+    * the companion every ANOVA needs, since q_anova's F assumes equal
+    * variances. Group medians are exact-cents discrete picks (the
+    * ceil(q·n) ranking rule q_quantile_disc pins); the absolute
+    * deviations are exact integers; and both the between- and
+    * within-group sums of squares are assembled from per-group
+    * integer moments, micro-quantized per group then integer-summed
+    * (the q_cramers_v pattern), so only the final ratio is a float.
+    * One ranked pass for medians + one aggregate — two shuffles on
+    * the type key. */
+  def qLevene(s: SparkSession, d: String): DataFrame = {
+    val cents = events(s, d).select(col("event_type"), col("event_id"),
+      floor(col("value") * 100.0 + 0.5).cast("long").as("c"))
+    val w = Window.partitionBy("event_type").orderBy(col("c"), col("event_id"))
+    val wAll = Window.partitionBy("event_type")
+    val med = cents
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .groupBy("event_type")
+      .agg(max(when(col("rn") === ceil(lit(0.5) * col("n")).cast("long"),
+        col("c"))).as("med"))
+    val z = cents.join(med, "event_type")
+      .select(col("event_type"), abs(col("c") - col("med")).as("z"))
+    val g = z.groupBy("event_type")
+      .agg(count(lit(1)).as("ni"), sum("z").as("si"),
+        sum(col("z") * col("z")).as("qi"))
+    val tot = g.agg(sum("ni").as("nn"), sum("si").as("ss"),
+      count(lit(1)).as("k"))
+    g.crossJoin(broadcast(tot))
+      .select(col("nn"), col("k"),
+        // between: n_i·(z̄_i − z̄)² quantized to centi-units per group
+        // (coarser than micro on purpose: the sums of squares are up
+        // to ~1e15 at sf0.1, so a 1e6 scale would overflow the long;
+        // both engines quantize identically and the scale cancels in
+        // the final ratio). si² is evaluated as double·long — si is
+        // < 2^53-exact, so the product is the correctly-rounded true
+        // square in BOTH engines (DuckDB mirrors the cast; its
+        // BIGINT·BIGINT would raise on overflow).
+        floor(col("ni")
+          * (col("si") / col("ni").cast("double")
+            - col("ss") / col("nn").cast("double"))
+          * (col("si") / col("ni").cast("double")
+            - col("ss") / col("nn").cast("double")) * 1e2 + 0.5)
+          .cast("long").as("b_c"),
+        // within: Σz² − S_i²/n_i in centi-units, exact per group
+        floor((col("qi") - col("si").cast("double") * col("si")
+          / col("ni").cast("double"))
+          * 1e2 + 0.5).cast("long").as("w_c"))
+      .groupBy("nn", "k")
+      .agg(sum("b_c").as("sb_c"), sum("w_c").as("sw_c"))
+      .select(col("k").as("n_groups"), col("nn").as("n_events"),
+        col("sb_c"), col("sw_c"),
+        (floor((col("nn") - col("k")).cast("double") / (col("k") - 1)
+          * col("sb_c") / col("sw_c") * 1e4 + 0.5) / 1e4).as("bf_w"))
+  }
+
+  /** Overdispersion audit of the daily event-count series per type:
+    * Fano factor (variance / mean) and the index-of-dispersion
+    * statistic (d−1)·Var/mean, which is χ²_{d−1} under the Poisson
+    * hypothesis — the model check behind q_burst_detect's 3σ rule
+    * (a Poisson alert threshold on an overdispersed series
+    * false-alarms constantly). All moments are exact integer sums
+    * over the calendar-sized daily table; the two ratios are single
+    * deterministic double expressions, floor-rounded 4dp. */
+  def qFano(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("x"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("d_days"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("d_days") > 1 && col("sx") > 0)
+      .select(col("event_type"), col("d_days"), col("sx").as("n_events"),
+        (floor((col("d_days") * col("sxx") - col("sx") * col("sx")).cast("double")
+          / (col("d_days") * (col("d_days") - 1)).cast("double")
+          / (col("sx") / col("d_days").cast("double")) * 1e4 + 0.5) / 1e4)
+          .as("fano"),
+        (floor((col("d_days") * col("sxx") - col("sx") * col("sx")).cast("double")
+          / (col("d_days") * (col("d_days") - 1)).cast("double")
+          / (col("sx") / col("d_days").cast("double"))
+          * (col("d_days") - 1).cast("double") * 1e4 + 0.5) / 1e4)
+          .as("dispersion_stat"))
+      .orderBy("event_type")
+  }
+
   /** Bollinger bands on the daily spend series per event type:
     * trailing-20-day mean ± 2σ with breach flags — the volatility
     * envelope monitor time-series ops run on throughput and spend

@@ -232,6 +232,60 @@ class Round12OpsSpec extends SparkSuite {
     assert(dd >= 2)
   }
 
+  test("Brown–Forsythe W non-negative; sums of squares positive") {
+    val r = StatsOps.qLevene(spark, sf).head
+    assert(r.getLong(0) >= 2, "needs at least two groups")
+    assert(r.getLong(2) >= 0 && r.getLong(3) > 0)
+    assert(r.getDouble(4) >= 0.0, s"W negative: $r")
+  }
+
+  test("Fano factor positive; dispersion stat = (d-1)·fano") {
+    val rows = StatsOps.qFano(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d, fano, disp) = (r.getLong(1), r.getDouble(3), r.getDouble(4))
+      assert(fano > 0.0)
+      assert(math.abs(disp - fano * (d - 1)) <= 0.01 * (d - 1) + 0.01,
+        s"dispersion inconsistent with fano: $r")
+    }
+  }
+
+  test("lift/gains: cumulative gain monotone to 1, top decile lift ≥ 1 ordering") {
+    val rows = AnalyticsOps.qLiftGains(spark, sf).collect()
+    assert(rows.length == 10, s"expected 10 deciles, got ${rows.length}")
+    val gains = rows.map(_.getLong(3))
+    gains.sliding(2).foreach { case Array(a, b) => assert(b >= a)
+    case _ => () }
+    assert(gains.last == 1000000L, "cumulative gain must end at 1")
+    assert(rows.last.getLong(4) == 10000L, "full-population lift is exactly 1")
+  }
+
+  test("punchcard: dow ∈ [0,6], hour ∈ [0,23], counts total the stream") {
+    val rows = AnalyticsOps.qPunchcard(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 6)
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 23)
+    }
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == graft.engine.Tables.events(spark, sf).count())
+  }
+
+  test("Simpson diversity ∈ [0,1); effective sources ≤ richness") {
+    val rows = CurationOps.qSimpsonDiversity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nSrc, d) = (r.getLong(1), r.getDouble(3))
+      assert(d >= 0.0 && d < 1.0, s"D out of range: $r")
+      // the UNBIASED n(n−1) estimator's effective number may slightly
+      // exceed richness on near-uniform small samples (its plug-in
+      // Σp² counterpart cannot) — so only the ≥1 law holds here
+      if (!r.isNullAt(4))
+        assert(r.getDouble(4) >= 1.0 - 1e-9,
+          s"effective sources below 1: $r (richness $nSrc)")
+    }
+  }
+
   test("Bollinger: sigma ≥ 0, breach flags mutually exclusive and correct side") {
     val rows = StatsOps.qBollinger(spark, sf).collect()
     assert(rows.nonEmpty)
