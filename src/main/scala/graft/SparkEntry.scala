@@ -390,6 +390,7 @@ object SparkEntry {
     "q_lift_gains"         -> (AnalyticsOps.qLiftGains _),
     "q_punchcard"          -> (AnalyticsOps.qPunchcard _),
     "q_simpson_diversity"  -> ((s, d) => CurationOps.qSimpsonDiversity(s, d)),
+    "q_abc_class"          -> (AnalyticsOps.qAbcClass _),
   )
 
   /** Shared by q_dedup_cluster and q_components_ccf - two different
@@ -6102,5 +6103,27 @@ object SparkEntry {
         |               / pairs_same * 1e4 + 0.5) / 1e4
         |       END AS effective_sources
         |FROM g WHERE n_docs > 1 ORDER BY lang""".stripMargin,
+
+    "q_abc_class" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS u
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT l_partkey, u,
+        |        CAST(SUM(u) OVER (ORDER BY u DESC, l_partkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(SUM(u) OVER () AS BIGINT) AS tot
+        |      FROM rev),
+        |k AS (SELECT CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+        |                  WHEN cum * 20 <= tot * 19 THEN 'B'
+        |                  ELSE 'C' END AS cls, u, tot
+        |      FROM c)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |       CAST((CAST(SUM(u) AS BIGINT) + 5000) // 10000 AS DOUBLE) / 100.0
+        |         AS revenue,
+        |       CAST(FLOOR(CAST(SUM(u) AS BIGINT) / CAST(MAX(tot) AS DOUBLE)
+        |             * 1e6 + 0.5) AS BIGINT) AS share_u
+        |FROM k GROUP BY 1 ORDER BY cls""".stripMargin,
   )
 }

@@ -945,6 +945,36 @@ object AnalyticsOps {
           * 1e6 + 0.5) / 1e6).as("cramers_v"))
   }
 
+  /** ABC (Pareto) revenue classification of parts: A = parts covering
+    * the first 80% of revenue, B = the next 15%, C = the tail — the
+    * inventory-analysis staple. Revenue is the exact 1e-4-unit
+    * discounted sum ([[Tables.moneySumDisc]]); the cumulative-share
+    * window runs over the PART-AGGREGATE table (dimension-sized, the
+    * q_skyline pre-aggregate rule), and the two class boundaries are
+    * INTEGER cross-multiplications (cum·5 ≤ tot·4, cum·20 ≤ tot·19)
+    * so no float share ever decides a class. */
+  def qAbcClass(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .groupBy("l_partkey")
+      .agg(moneySumDisc(col("l_extendedprice"), col("l_discount")).as("u"))
+    val wc = Window.orderBy(col("u").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("cum", sum("u").over(wc))
+      .withColumn("tot", sum("u").over(Window.partitionBy()))
+      .withColumn("cls",
+        when(col("cum") * 5 <= col("tot") * 4, "A")
+          .when(col("cum") * 20 <= col("tot") * 19, "B")
+          .otherwise("C"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"), sum("u").as("su"), max("tot").as("tot"))
+      .select(col("cls"), col("n_parts"),
+        unitsToDollarsExpr("su", 10000L).as("revenue"),
+        floor(col("su") / col("tot").cast("double") * 1e6 + 0.5).cast("long")
+          .as("share_u"))
+      .orderBy("cls")
+  }
+
   /** Cumulative gains / lift chart by spend decile — the marketing
     * targeting-eval staple ("the top 10% of spenders hold X% of
     * purchases"). The decile boundary is an exact integer rank rule

@@ -356,6 +356,56 @@ object StreamingOps {
     streamingEnrich(events(s, d), customer(s, d))
       .orderBy("window_start", "segment")
 
+  /** Streaming CDC apply — the `foreachBatch` MERGE sink every
+    * lakehouse pipeline runs when the table format has no native
+    * upsert: each micro-batch of change rows (key, seq, op, payload)
+    * merges last-wins into a keyed parquet state, delete ops drop
+    * the key. State versions are APPEND-ONLY (`v<epoch>` dirs, the
+    * latest is current) so a crashed epoch can never half-overwrite
+    * the previous state — re-running the epoch just rewrites its
+    * version, giving idempotent exactly-once state per epoch on top
+    * of the checkpointed offsets. The per-key last-wins rule is the
+    * same (seq desc) total order as the batch q_cdc_upsert, so the
+    * spec asserts stream-applied state ≡ the batch rewrite of the
+    * full change log. */
+  def cdcApply(changes: DataFrame, statePath: String,
+               checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val spark = batch.sparkSession
+        val prev = latestCdcState(spark, statePath)
+        // keep the winning row PER KEY including delete tombstones —
+        // dropping a tombstone from state would let a late lower-seq
+        // row resurrect the key in a later epoch; reads filter them
+        val merged = prev.map(_.unionByName(batch)).getOrElse(batch)
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("key")
+              .orderBy(col("seq").desc)))
+          .filter(col("rn") === 1)
+          .drop("rn")
+        merged.write.mode("overwrite")
+          .parquet(s"$statePath/v$epochId")
+        ()
+      }
+      .start()
+
+  /** The current CDC state: highest v<epoch> version dir, if any. */
+  def latestCdcState(spark: SparkSession, statePath: String): Option[DataFrame] = {
+    val dir = new java.io.File(statePath)
+    val versions = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption
+        .map(_ -> f))
+    if (versions.isEmpty) None
+    else Some(spark.read.parquet(versions.maxBy(_._1)._2.getPath))
+  }
+
+  /** The live CDC view: current state minus delete tombstones. */
+  def currentCdcView(spark: SparkSession, statePath: String): Option[DataFrame] =
+    latestCdcState(spark, statePath).map(_.filter(col("op") =!= "delete"))
+
   /** Input/output rows for the stateful TTL sessionizer. */
   final case class SessionEvent(key: String, ts: java.sql.Timestamp, value: Double)
   final case class SessionUpdate(key: String, n_events: Long,

@@ -286,6 +286,20 @@ class Round12OpsSpec extends SparkSuite {
     }
   }
 
+  test("ABC classification: shares sum to 1, A-class respects the 80% cut") {
+    val rows = AnalyticsOps.qAbcClass(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCls = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val shareSum = rows.map(_.getLong(3)).sum
+    assert(math.abs(shareSum - 1000000L) <= rows.length,
+      s"shares must sum to ~1e6: $shareSum")
+    byCls.get("A").foreach { case (_, _, share) =>
+      assert(share <= 800000L + 10000L, s"A share far above 80%: $share")
+    }
+    assert(byCls.keySet.subsetOf(Set("A", "B", "C")))
+  }
+
   test("Bollinger: sigma ≥ 0, breach flags mutually exclusive and correct side") {
     val rows = StatsOps.qBollinger(spark, sf).collect()
     assert(rows.nonEmpty)

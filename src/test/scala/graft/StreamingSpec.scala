@@ -7,6 +7,7 @@ import java.sql.Timestamp
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
 case class EnrichEv(ts: Timestamp, user_id: Long, value: Double)
+case class Chg(key: Long, seq: Long, op: String, value: Double)
 case class Doc(ts: Timestamp, doc_id: Long, text: String)
 
 /** Structured Streaming paths driven by MemoryStream (SURVEY.md §5.4):
@@ -372,6 +373,35 @@ class StreamingSpec extends SparkSuite {
         (h, "BUILDING", 2L, 525L),
         (h, "MACHINERY", 1L, 250L),
         (h, "UNKNOWN", 1L, 800L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("streaming CDC apply: foreachBatch merge is last-wins, tombstones persist") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Chg]
+    val dir = java.nio.file.Files.createTempDirectory("cdc_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc_ckpt").toString
+    val q = StreamingOps.cdcApply(mem.toDF(), dir, ckpt)
+    try {
+      mem.addData(
+        Chg(1L, 1L, "insert", 1.0), Chg(2L, 1L, "insert", 2.0),
+        Chg(1L, 2L, "update", 5.0))
+      q.processAllAvailable()
+      // epoch 2: delete key 2, insert key 3, and a LATE lower-seq
+      // update for key 2 that must NOT resurrect it
+      mem.addData(
+        Chg(2L, 2L, "delete", 0.0), Chg(3L, 3L, "insert", 9.0),
+        Chg(2L, 0L, "update", 7.0))
+      q.processAllAvailable()
+      val st = StreamingOps.currentCdcView(spark, dir).get.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        .toSet
+      assert(st == Set((1L, 2L, "update", 5.0), (3L, 3L, "insert", 9.0)),
+        s"got $st")
+      // the tombstone is still IN state (only the view filters it)
+      val raw = StreamingOps.latestCdcState(spark, dir).get.collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(raw.contains((2L, "delete")), s"tombstone lost: $raw")
     } finally q.stop()
   }
 
