@@ -150,15 +150,26 @@ object RelationalExt {
   }
 
   /** The canonical (pa < pb) co-purchase edge list with support ≥ 2 —
-    * shared blocking input of q_triangle_count and q_link_predict.
-    * Derived through the [[pairSupport]] pipeline, so it is
-    * localCheckpoint'd (eager): consumers that read it several times
-    * scan materialized partitions instead of recomputing it. */
+    * shared blocking input of the whole graph-mining family
+    * (triangle, link-predict, k-core, BFS, assortativity, clustering
+    * coefficient, modularity, label propagation). Staged as ONE
+    * parquet copy per (JVM, sfDir) under the same table-prep
+    * memoization contract as [[ensureBaskets]]: the pair fan-out +
+    * support aggregate runs once, and every graph query then scans
+    * the graph-sized edge table — exactly how a production pipeline
+    * materializes its edge list before running a graph workload. */
+  private val edgeCopies =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def supportEdges(s: SparkSession, d: String): DataFrame =
-    pairSupport(s, d)
-      .filter(col("n") >= 2)
-      .select("pa", "pb")
-      .localCheckpoint(true)
+    s.read.parquet(edgeCopies.computeIfAbsent(d, _ => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_edges_${pid}_" +
+        Integer.toHexString(d.hashCode)
+      pairSupport(s, d)
+        .filter(col("n") >= 2)
+        .select("pa", "pb")
+        .write.mode("overwrite").parquet(path)
+      path
+    }))
 
   /** Common-neighbor link prediction over the co-purchase graph
     * (Liben-Nowell & Kleinberg 2003): for every NON-edge (a, c) at
@@ -693,12 +704,13 @@ object RelationalExt {
         .join(labels.select(col("node").as("v"), col("lbl")), "v")
         .groupBy(col("u").as("node"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
+      // argmax by (cnt desc, lbl asc) as ONE aggregate — max of
+      // struct(cnt, -lbl) — instead of a per-node window sort: same
+      // winner, one less sort per round
       labels = counts
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("node")
-            .orderBy(col("cnt").desc, col("lbl").asc)))
-        .filter(col("rk") === 1)
-        .select("node", "lbl")
+        .groupBy("node")
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m")("nl")).as("lbl"))
         .localCheckpoint(true)
     }
     labels.groupBy(col("lbl").as("community"))
