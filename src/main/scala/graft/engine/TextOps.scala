@@ -916,7 +916,24 @@ object TextOps {
     * q_dedup_minhash_md5 (emits the pairs) and q_dedup_cluster
     * (resolves them into connected components). Returns distinct
     * (da, db) with da < db. */
-  def md5MinhashPairs(s: SparkSession, d: String): DataFrame = {
+  /** One parquet copy of the minhash candidate pairs per (JVM,
+    * sfDir) — FOUR queries consume them (q_dedup_minhash_md5, the
+    * two clustering variants, q_dedup_canonical), so the signature
+    * pass + band self-join runs once as table prep under the same
+    * memoization contract as the graph family's staged edge list. */
+  private val minhashPairCopies =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def md5MinhashPairs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(minhashPairCopies.computeIfAbsent(d, _ => {
+      val path = System.getProperty("java.io.tmpdir") +
+        s"/graft_mhpairs_${ProcessHandle.current().pid()}_" +
+        Integer.toHexString(d.hashCode)
+      md5MinhashPairsFresh(s, d).write.mode("overwrite").parquet(path)
+      path
+    }))
+
+  /** The un-staged candidate-pair pipeline (see [[md5MinhashPairs]]). */
+  private def md5MinhashPairsFresh(s: SparkSession, d: String): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
     val toks = documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("arr"))
