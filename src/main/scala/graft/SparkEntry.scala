@@ -391,6 +391,8 @@ object SparkEntry {
     "q_punchcard"          -> (AnalyticsOps.qPunchcard _),
     "q_simpson_diversity"  -> ((s, d) => CurationOps.qSimpsonDiversity(s, d)),
     "q_abc_class"          -> (AnalyticsOps.qAbcClass _),
+    "q_audience_overlap"   -> (AnalyticsOps.qAudienceOverlap _),
+    "q_gap_histogram"      -> (AnalyticsOps.qGapHistogram _),
   )
 
   /** Shared by q_dedup_cluster and q_components_ccf - two different
@@ -6125,5 +6127,38 @@ object SparkEntry {
         |       CAST(FLOOR(CAST(SUM(u) AS BIGINT) / CAST(MAX(tot) AS DOUBLE)
         |             * 1e6 + 0.5) AS BIGINT) AS share_u
         |FROM k GROUP BY 1 ORDER BY cls""".stripMargin,
+
+    "q_audience_overlap" ->
+      """WITH au AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM au GROUP BY 1),
+        |iv AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |              CAST(COUNT(*) AS BIGINT) AS n_common
+        |       FROM au a JOIN au b
+        |         ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |       GROUP BY 1, 2)
+        |SELECT iv.ta, iv.tb, sa.n AS n_a, sb.n AS n_b, iv.n_common,
+        |       FLOOR(iv.n_common
+        |             / CAST(sa.n + sb.n - iv.n_common AS DOUBLE) * 1e6 + 0.5)
+        |         / 1e6 AS jaccard
+        |FROM iv JOIN sz sa ON sa.event_type = iv.ta
+        |        JOIN sz sb ON sb.event_type = iv.tb
+        |ORDER BY iv.ta, iv.tb""".stripMargin,
+
+    "q_gap_histogram" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |                  CAST(ts AS TIMESTAMP) AS ts, event_id
+        |           FROM events),
+        |g AS (SELECT event_type,
+        |        (us - LAG(us, 1) OVER (PARTITION BY user_id, event_type
+        |                               ORDER BY ts, event_id)) // 1000000 AS gap_s
+        |      FROM e)
+        |SELECT event_type,
+        |       CAST(length(format('{:b}', gap_s)) - 1 AS BIGINT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       MIN(gap_s) AS min_s, MAX(gap_s) AS max_s
+        |FROM g WHERE gap_s IS NOT NULL AND gap_s >= 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -945,6 +945,58 @@ object AnalyticsOps {
           * 1e6 + 0.5) / 1e6).as("cramers_v"))
   }
 
+  /** Audience-overlap matrix: per pair of event types, how many users
+    * do both, with the exact Jaccard of the two audience sets — the
+    * segment-overlap report every growth/ads pipeline keeps (do
+    * clickers also purchase?). The per-type audience collapses to a
+    * DISTINCT (type, user) table first, so the pair join is
+    * audience-sized; intersection and union are exact integers
+    * (|A∪B| = |A| + |B| − |A∩B|) and only the final Jaccard division
+    * is a float, floor-rounded 6dp. */
+  def qAudienceOverlap(s: SparkSession, d: String): DataFrame = {
+    val au = events(s, d).select("event_type", "user_id").distinct()
+      .localCheckpoint(true)
+    val sizes = au.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val inter = au.toDF("ta", "user_id")
+      .join(au.toDF("tb", "user_id"), "user_id")
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("event_type").as("ta"), col("n").as("n_a")), "ta")
+      .join(sizes.select(col("event_type").as("tb"), col("n").as("n_b")), "tb")
+      .select(col("ta"), col("tb"), col("n_a"), col("n_b"), col("n_common"),
+        (floor(col("n_common")
+          / (col("n_a") + col("n_b") - col("n_common")).cast("double")
+          * 1e6 + 0.5) / 1e6).as("jaccard"))
+      .orderBy("ta", "tb")
+  }
+
+  /** Inter-event gap histogram per event type: the distribution of
+    * seconds between a user's consecutive events of that type,
+    * power-of-2 bucketed — the empirical input behind session-gap
+    * and watermark sizing (q_lateness_audit measures disorder; this
+    * measures cadence). Gaps are exact integer seconds from exact µs;
+    * the bucket is the binary digit count (floor(log2) WITHOUT a
+    * float log — the q_length_buckets idiom). One lag window keyed
+    * (user, type) + one small aggregate. */
+  def qGapHistogram(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag("us", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_s", expr("(us - prev) DIV 1000000"))
+      .filter(col("gap_s") >= 1)
+    gaps
+      .groupBy(col("event_type"),
+        (length(bin(col("gap_s"))) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("gap_s").as("min_s"), max("gap_s").as("max_s"))
+      .orderBy("event_type", "bucket")
+  }
+
   /** ABC (Pareto) revenue classification of parts: A = parts covering
     * the first 80% of revenue, B = the next 15%, C = the tail — the
     * inventory-analysis staple. Revenue is the exact 1e-4-unit

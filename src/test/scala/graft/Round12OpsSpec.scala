@@ -300,6 +300,27 @@ class Round12OpsSpec extends SparkSuite {
     assert(byCls.keySet.subsetOf(Set("A", "B", "C")))
   }
 
+  test("audience overlap: intersection bounded by both sets, Jaccard in [0,1]") {
+    val rows = AnalyticsOps.qAudienceOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb, common, j) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(common <= math.min(na, nb), s"intersection too big: $r")
+      assert(j >= 0.0 && j <= 1.0, s"jaccard out of range: $r")
+    }
+  }
+
+  test("gap histogram: buckets are floor(log2), min/max stay inside the bucket") {
+    val rows = AnalyticsOps.qGapHistogram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, mn, mx) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(mn >= (1L << b) && mx < (1L << (b + 1)),
+        s"gap outside its power-of-2 bucket: $r")
+    }
+  }
+
   test("Bollinger: sigma ≥ 0, breach flags mutually exclusive and correct side") {
     val rows = StatsOps.qBollinger(spark, sf).collect()
     assert(rows.nonEmpty)
