@@ -3168,18 +3168,25 @@ object SparkEntry {
         |FROM asg g LEFT JOIN evict p ON g.vec_id = p.vec_id
         |ORDER BY g.vec_id""".stripMargin,
 
+    // Mirrors the micro-unit quantized sketch: per-row values/products
+    // floor to exact integers, sums are order-independent, and the
+    // final expression shape matches VectorCovariance.eval op-for-op
+    // so every IEEE step is bit-identical across engines.
     "q_embed_covariance" ->
       """WITH u AS (SELECT vec_id, UNNEST(CAST(embedding AS DOUBLE[])) AS x,
         |                  generate_subscripts(embedding, 1) AS dim
         |           FROM embeddings),
-        |m AS (SELECT dim, AVG(x) AS mu FROM u GROUP BY dim),
+        |a AS (SELECT dim, SUM(FLOOR(x * 1000000.0 + 0.5)) AS sq FROM u GROUP BY dim),
         |p AS (SELECT a.dim AS dim_i, b.dim AS dim_j,
-        |             SUM(a.x * b.x) AS sp, COUNT(*) AS n
+        |             SUM(FLOOR(a.x * b.x * 1000000.0 + 0.5)) AS sp, COUNT(*) AS n
         |      FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.dim <= b.dim
         |      GROUP BY 1, 2)
         |SELECT CAST(dim_i AS BIGINT) AS dim_i, CAST(dim_j AS BIGINT) AS dim_j,
-        |       ROUND(sp / n - mi.mu * mj.mu, 6) AS cov
-        |FROM p JOIN m mi ON mi.dim = p.dim_i JOIN m mj ON mj.dim = p.dim_j
+        |       FLOOR((sp / (1000000.0 * n)
+        |              - (CAST(ai.sq AS DOUBLE) * aj.sq)
+        |                / (1000000.0 * 1000000.0 * n * n)) * 1000000.0 + 0.5)
+        |         / 1000000.0 AS cov
+        |FROM p JOIN a ai ON ai.dim = p.dim_i JOIN a aj ON aj.dim = p.dim_j
         |ORDER BY dim_i, dim_j""".stripMargin,
 
     "q_quality_classifier" ->
@@ -5071,7 +5078,7 @@ object SparkEntry {
         |m AS MATERIALIZED (
         |  SELECT a.nid AS da, b.nid AS db
         |  FROM ids a JOIN ids b
-        |    ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+        |    ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
         |   AND a.p_name < b.p_name
         |  WHERE FLOOR(jaro_winkler_similarity(a.p_name, b.p_name) * 10000.0 + 0.5)
         |          / 10000.0 >= 0.88),
@@ -5657,9 +5664,9 @@ object SparkEntry {
         |      WINDOW pw AS (PARTITION BY event_type ORDER BY day
         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |gained AS (SELECT *,
-        |        (cs * cs) / CAST(idx AS DOUBLE)
-        |          + ((st - cs) * (st - cs)) / CAST(n - idx AS DOUBLE)
-        |          - (st * st) / CAST(n AS DOUBLE) AS gain
+        |        (CAST(cs AS DOUBLE) * cs) / CAST(idx AS DOUBLE)
+        |          + (CAST(st - cs AS DOUBLE) * (st - cs)) / CAST(n - idx AS DOUBLE)
+        |          - (CAST(st AS DOUBLE) * st) / CAST(n AS DOUBLE) AS gain
         |      FROM w WHERE idx < n),
         |best AS (SELECT *,
         |        ROW_NUMBER() OVER (PARTITION BY event_type

@@ -94,8 +94,10 @@ object GraphOps {
     val pairs = TextOps.md5MinhashPairs(s, d)
     val labels = ccfComponents(
       pairs.select(col("da").as("a"), col("db").as("b")))
+    // Component-count-sized table — unbounded at scale, no broadcast
+    // hint (AQE decides at runtime); same rationale as qDedupCluster.
     val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
-    labels.join(broadcast(sizes), "comp")
+    labels.join(sizes, "comp")
       .select(col("node").as("doc_id"), col("comp"), col("cluster_size"))
       .orderBy("doc_id")
   }

@@ -453,7 +453,12 @@ object MiningOps {
   /** End-to-end entity resolution over the part catalog — the full
     * pipeline the blocking audit (qBlockingKeys), fuzzy matcher
     * (qJaroWinkler) and components engine (GraphOps) exist FOR, run
-    * as one query: distinct names block on their first character,
+    * as one query: distinct names block on their FIRST NAME TOKEN —
+    * the scheme this pipeline's own audit ([[qBlockingKeys]]) shows
+    * is strictly better than first-char blocking (orders of
+    * magnitude fewer candidate pairs at the same recall on
+    * whitespace-token names; Σ C(b,2) within ~26 first-char blocks
+    * grows quadratically in catalog size) —
     * in-block pairs score with the native Jaro-Winkler expression,
     * pairs at rounded-0.92+ become edges keyed by each name's
     * MIN part key (a deterministic, SQL-replayable node id), and CCF
@@ -470,7 +475,7 @@ object MiningOps {
       .agg(min("p_partkey").as("nid"), count(lit(1)).as("n_parts"))
       .localCheckpoint(true)
     val blocked = ids.select(col("nid"), col("p_name"),
-      substring(col("p_name"), 1, 1).as("blk"))
+      split(col("p_name"), " ").getItem(0).as("blk"))
     val edges = blocked.select(col("nid").as("a"), col("p_name").as("na"), col("blk"))
       .join(blocked.select(col("nid").as("b"), col("p_name").as("nb"), col("blk")), "blk")
       .filter(col("na") < col("nb"))

@@ -22,8 +22,6 @@ object RelationalExt {
     * family applies to its band buckets. */
   val MaxBasketSize = 120
 
-  private val pid = ProcessHandle.current().pid()
-
   /** One parquet copy of the distinct-part ORDER BASKETS per (JVM,
     * sfDir) — the staged intermediate table SIX queries derive from
     * (q_copurchase, q_triangle_count, q_link_predict, q_kcore,
@@ -40,8 +38,7 @@ object RelationalExt {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ensureBaskets(s: SparkSession, d: String): String =
     basketCopies.computeIfAbsent(d, _ => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_baskets_${pid}_" +
-        Integer.toHexString(d.hashCode)
+      val path = StagedPaths.tmp("graft_baskets")
       lineitem(s, d)
         .groupBy("l_orderkey")
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
@@ -162,8 +159,7 @@ object RelationalExt {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def supportEdges(s: SparkSession, d: String): DataFrame =
     s.read.parquet(edgeCopies.computeIfAbsent(d, _ => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_edges_${pid}_" +
-        Integer.toHexString(d.hashCode)
+      val path = StagedPaths.tmp("graft_edges")
       pairSupport(s, d)
         .filter(col("n") >= 2)
         .select("pa", "pb")
@@ -522,8 +518,7 @@ object RelationalExt {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ensureRecRanked(s: SparkSession, d: String): String =
     rankedCopies.computeIfAbsent(d, _ => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_recranked_${pid}_" +
-        Integer.toHexString(d.hashCode)
+      val path = StagedPaths.tmp("graft_recranked")
       recommenderRankedFresh(s, d)
         .write.mode("overwrite").parquet(path)
       path

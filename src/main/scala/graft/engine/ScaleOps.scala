@@ -84,9 +84,10 @@ object ScaleOps {
 
   def ensureBucketedJoinTables(s: SparkSession, d: String): (String, String) =
     bucketPrep.computeIfAbsent(d, _ => {
-      val sfx = s"${ProcessHandle.current().pid()}_${Integer.toHexString(d.hashCode)}"
+      val sfx = StagedPaths.suffix()
       val (lt, ot) = (s"graft_li_bkt_$sfx", s"graft_ord_bkt_$sfx")
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bkt_$sfx"
+      val base = StagedPaths.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_bkt_$sfx")
       writeBucketed(Tables.lineitem(s, d)
         .select("l_orderkey", "l_extendedprice", "l_discount"),
         lt, s"$base/li", 8, "l_orderkey")

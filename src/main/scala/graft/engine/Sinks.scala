@@ -120,8 +120,7 @@ object Sinks {
 
   def ensurePartitionedEvents(s: SparkSession, d: String): String =
     partitionedCopies.computeIfAbsent(d, _ => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_partition_prune_${pid}_" +
-        Integer.toHexString(d.hashCode)
+      val path = StagedPaths.tmp("graft_partition_prune")
       writePartitioned(
         Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value"),
         path, "event_type")
@@ -135,8 +134,7 @@ object Sinks {
 
   def ensureOrcLineitem(s: SparkSession, d: String): String =
     orcCopies.computeIfAbsent(d, _ => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_orc_${pid}_" +
-        Integer.toHexString(d.hashCode)
+      val path = StagedPaths.tmp("graft_orc")
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_quantity", "l_extendedprice",
           "l_returnflag", "l_linestatus", "l_shipdate")
@@ -169,8 +167,7 @@ object Sinks {
     * engine's own connector ([[graft.sources.AvroSink]]). */
   def ensureAvroOrders(s: SparkSession, d: String): String =
     avroCopies.computeIfAbsent(d, _ => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_avro_${pid}_" +
-        Integer.toHexString(d.hashCode)
+      val path = StagedPaths.tmp("graft_avro")
       graft.sources.AvroSink.write(
         Tables.orders(s, d).select(
           col("o_orderkey"), col("o_orderpriority"),

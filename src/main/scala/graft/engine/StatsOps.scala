@@ -919,10 +919,15 @@ object StatsOps {
       .withColumn("st", sum("x").over(wAll))
       .filter(col("idx") < col("n"))
       .withColumn("gain",
-        (col("cs") * col("cs")) / col("idx").cast("double")
-          + ((col("st") - col("cs")) * (col("st") - col("cs")))
+        // Never square a long sum: cast the left operand to double
+        // first (exact — |cs| < 2^53), so the product is a correctly
+        // rounded double instead of silently wrapping past 2^63 under
+        // non-ANSI mode at ~30× this scale. Oracle mirrors
+        // CAST(x AS DOUBLE) * x.
+        (col("cs").cast("double") * col("cs")) / col("idx").cast("double")
+          + ((col("st") - col("cs")).cast("double") * (col("st") - col("cs")))
             / (col("n") - col("idx")).cast("double")
-          - (col("st") * col("st")) / col("n").cast("double"))
+          - (col("st").cast("double") * col("st")) / col("n").cast("double"))
     gained
       .withColumn("rk", row_number().over(
         Window.partitionBy("event_type")
@@ -1123,12 +1128,15 @@ object StatsOps {
       .filter(col("cnt") === 20)
       .withColumn("lhs",
         (lit(20.0) * col("x") - col("sx")) * (lit(20.0) * col("x") - col("sx")) * 19.0)
+      // sx² as double·long (matching the oracle's CAST(sx AS DOUBLE) *
+      // sx), never long·long: sx² is already ~5.5e15 at sf0.1 and a
+      // long product wraps at scale while the oracle's double doesn't.
       .withColumn("rhs",
-        lit(1600.0) * (lit(20.0) * col("sxx") - col("sx") * col("sx")))
+        lit(1600.0) * (lit(20.0) * col("sxx") - col("sx").cast("double") * col("sx")))
       .select(
         col("event_type"), col("day"), col("x").as("close_c"),
         (floor(col("sx") / 20.0 * 1e4 + 0.5) / 1e4).as("mean_c"),
-        (floor(sqrt((lit(20.0) * col("sxx") - col("sx") * col("sx"))
+        (floor(sqrt((lit(20.0) * col("sxx") - col("sx").cast("double") * col("sx"))
           / (20.0 * 19.0)) * 1e4 + 0.5) / 1e4).as("sigma_c"),
         (col("lhs") > col("rhs") &&
           col("x") * 20L > col("sx")).as("breach_hi"),

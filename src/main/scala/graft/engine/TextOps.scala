@@ -762,9 +762,12 @@ object TextOps {
     * distinct per (doc, term), so df is a plain count, not a
     * countDistinct over re-exploded raw terms) — the two aggregations
     * share one tokenize+explode+shuffle via Spark's ReuseExchange, and
-    * the corpus text bytes are read once. df is vocabulary-sized, so
-    * the join back to tf broadcasts at any corpus scale.
-    * Ties break on the term text. */
+    * the corpus text bytes are read once. The df join back to tf is a
+    * plain shuffle join on term — vocabulary grows with corpus
+    * (Heaps' law), so a forced broadcast OOMs executors at scale; AQE
+    * converts it to broadcast at runtime when df genuinely fits (the
+    * q_bm25 lesson, cf. MiningOps.qNaiveBayes). Ties break on the
+    * term text. */
   def qTfidf(s: SparkSession, d: String, topK: Int = 3): DataFrame = {
     val terms = documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
@@ -773,7 +776,7 @@ object TextOps {
       .agg(count(lit(1)).as("df"))
     val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(broadcast(df), "term")
+      .join(df, "term")
       .crossJoin(broadcast(n))
       .withColumn("score", round(
         col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 4))
@@ -917,9 +920,7 @@ object TextOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   def md5MinhashPairs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(minhashPairCopies.computeIfAbsent(d, _ => {
-      val path = System.getProperty("java.io.tmpdir") +
-        s"/graft_mhpairs_${ProcessHandle.current().pid()}_" +
-        Integer.toHexString(d.hashCode)
+      val path = StagedPaths.tmp("graft_mhpairs")
       md5MinhashPairsFresh(s, d).write.mode("overwrite").parquet(path)
       path
     }))
@@ -969,8 +970,11 @@ object TextOps {
     * component id (min doc_id in the component) and cluster size. */
   def qDedupCluster(s: SparkSession, d: String): DataFrame = {
     val labels = clusterLabels(s, d)
+    // sizes is component-count-sized — order of the node count on a
+    // 100 TB dup graph — so no broadcast hint: plain shuffle join on
+    // comp, and AQE broadcasts at runtime only when it actually fits.
     val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
-    labels.join(broadcast(sizes), "comp")
+    labels.join(sizes, "comp")
       .select(col("node").as("doc_id"), col("comp"), col("cluster_size"))
       .orderBy("doc_id")
   }
@@ -1581,9 +1585,7 @@ object TextOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def docBigrams(s: SparkSession, d: String): DataFrame =
     s.read.parquet(bigramCopies.computeIfAbsent(d, _ => {
-      val path = System.getProperty("java.io.tmpdir") +
-        s"/graft_bigrams_${ProcessHandle.current().pid()}_" +
-        Integer.toHexString(d.hashCode)
+      val path = StagedPaths.tmp("graft_bigrams")
       documents(s, d)
         .select(col("doc_id"), expr(tokenExpr).as("tk"))
         .filter(size(col("tk")) >= 2) // sequence() descends below 2

@@ -632,11 +632,21 @@ object VectorOps {
     * shape that survives a 100 TB scan. (The previous formulation
     * exploded 2080 pair-product structs per 64-dim vector through the
     * hash aggregate; per-row overhead dwarfed the actual FMAs.)
-    * cov(i,j) = E[xᵢxⱼ] − E[xᵢ]E[xⱼ] (population). */
+    * cov(i,j) = E[xᵢxⱼ] − E[xᵢ]E[xⱼ] (population).
+    *
+    * DETERMINISM: the sketch runs in micro-unit quantized mode
+    * (scale 1e6) — per-row values and pair products floor to exact
+    * integers before accumulation, so partition/merge order cannot
+    * move a cell across the final rounding boundary and the DuckDB
+    * oracle, summing the same integers through the same expression
+    * shape, lands bit-identical. Bounds at sf0.1: |x| < 0.6, n=2000
+    * → per-cell product sums < 7e8, dim sums < 1.2e9, cross-products
+    * < 1.5e18 done in double on both engines (exact ints < 2^53,
+    * correctly-rounded product — identical). */
   def qEmbedCovariance(s: SparkSession, d: String): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
     embeddings(s, d)
-      .agg(call_function("graft_vector_cov", col("embedding")).as("m"))
+      .agg(call_function("graft_vector_cov", col("embedding"), lit(1e6)).as("m"))
       .select(size(col("m")).as("dd"),
         posexplode(col("m")).as(Seq("p", "c")))
       .withColumn("dim", sqrt(col("dd").cast("double")).cast("int"))
@@ -646,7 +656,7 @@ object VectorOps {
       .select(
         (col("i") + 1).cast("long").as("dim_i"),
         (col("j") + 1).cast("long").as("dim_j"),
-        round(col("c"), 6).as("cov"))
+        (floor(col("c") * 1000000.0 + 0.5) / 1000000.0).as("cov"))
       .orderBy("dim_i", "dim_j")
   }
 

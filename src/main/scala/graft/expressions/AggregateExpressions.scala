@@ -166,9 +166,19 @@ final class VectorCovBuffer(
   * what crosses the shuffle is ONE (d² + d)-double state per
   * partition, invariant in row count — the textbook moment-sketch
   * shape for a 100 TB scan. Ragged vectors extend the buffer and pad
-  * with zeros (positional semantics, same as graft_vector_avg). */
+  * with zeros (positional semantics, same as graft_vector_avg).
+  *
+  * With `scale` > 0 the sketch is ORDER-INDEPENDENT: each row's
+  * values and pair products quantize to integer units
+  * (`floor(v·scale + 0.5)`) before accumulation, so partial sums are
+  * exact integers in any partition/merge order and an oracle engine
+  * summing the same integers lands on the bit-identical double —
+  * the repo's standard cross-engine determinism trick lifted into
+  * the sketch itself. Bound the sums before picking the scale: at
+  * micro (1e6) units, per-cell product sums must stay < 2^53. */
 case class VectorCovariance(
     child: Expression,
+    scale: Double = 0.0,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[VectorCovBuffer] {
@@ -201,11 +211,12 @@ case class VectorCovariance(
       buf.grow(nd)
       val d = buf.d
       val x = new Array[Double](nd)
+      val s = scale
       var i = 0
       while (i < nd) {
         x(i) = if (arr.isNullAt(i)) 0.0
           else if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-        buf.sums(i) += x(i)
+        buf.sums(i) += (if (s > 0.0) math.floor(x(i) * s + 0.5) else x(i))
         i += 1
       }
       i = 0
@@ -213,7 +224,12 @@ case class VectorCovariance(
         val base = i * d - i * (i - 1) / 2 - i
         val xi = x(i)
         var j = i
-        while (j < nd) { buf.prods(base + j) += xi * x(j); j += 1 }
+        if (s > 0.0)
+          while (j < nd) {
+            buf.prods(base + j) += math.floor(xi * x(j) * s + 0.5); j += 1
+          }
+        else
+          while (j < nd) { buf.prods(base + j) += xi * x(j); j += 1 }
         i += 1
       }
       buf.n += 1
@@ -247,13 +263,23 @@ case class VectorCovariance(
     else {
       val d = buf.d
       val n = buf.n.toDouble
+      val s = scale
       val out = new Array[Double](d * d)
       var i = 0
       while (i < d) {
         val base = i * d - i * (i - 1) / 2 - i
         var j = i
         while (j < d) {
-          val c = buf.prods(base + j) / n - (buf.sums(i) / n) * (buf.sums(j) / n)
+          // Quantized path: written as the exact expression shape the
+          // DuckDB oracle mirrors — every operand is an exact integer
+          // in a double, so each IEEE op is correctly rounded and
+          // bit-identical across engines.
+          val c =
+            if (s > 0.0)
+              buf.prods(base + j) / (s * n) -
+                (buf.sums(i) * buf.sums(j)) / (s * s * n * n)
+            else
+              buf.prods(base + j) / n - (buf.sums(i) / n) * (buf.sums(j) / n)
           out(i * d + j) = c
           out(j * d + i) = c
           j += 1

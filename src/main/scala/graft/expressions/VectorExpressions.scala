@@ -159,6 +159,18 @@ object VectorExpressions {
       s"$fn expects integer literal parameters, got $other")
   }
 
+  private[expressions] def litDouble(e: Expression, fn: String): Double = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toDouble
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a numeric literal parameter, got $other")
+  }
+
+  private[expressions] def covBuilder(exprs: Seq[Expression]): Expression =
+    VectorCovariance(exprs(0),
+      if (exprs.length > 1) litDouble(exprs(1), "graft_vector_cov") else 0.0)
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(SelfSimilarityFold))
       spark.experimental.extraOptimizations =
@@ -179,7 +191,7 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vector_avg", exprs => VectorAvg(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_vector_cov", exprs => VectorCovariance(exprs(0)), "built-in")
+      "graft_vector_cov", covBuilder _, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_char_ngrams", exprs => CharNgrams(exprs(0),
         litInt(exprs(1), "graft_char_ngrams")), "built-in")
@@ -240,7 +252,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_vector_cov"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[VectorCovariance].getName, "graft_vector_cov"),
-        (exprs: Seq[Expression]) => VectorCovariance(exprs(0))))
+        (exprs: Seq[Expression]) => VectorExpressions.covBuilder(exprs)))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_char_ngrams"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -529,6 +529,17 @@ private[sources] object GraftFilterEval {
   }
 
   private[sources] def cmp(l: Any, r: Any): Int = (l, r) match {
+    // Integral pairs compare exactly: the double fallback collapses
+    // BIGINTs differing only above 2^53, which would corrupt pushed
+    // MIN/MAX and top-N ordering with no aggregate above the scan to
+    // catch it.
+    case (a: java.lang.Long, b: java.lang.Long) =>
+      java.lang.Long.compare(a.longValue(), b.longValue())
+    case (a: Number, b: Number)
+        if !(a.isInstanceOf[java.lang.Double] || a.isInstanceOf[java.lang.Float] ||
+             b.isInstanceOf[java.lang.Double] || b.isInstanceOf[java.lang.Float] ||
+             a.isInstanceOf[java.math.BigDecimal] || b.isInstanceOf[java.math.BigDecimal]) =>
+      java.lang.Long.compare(a.longValue(), b.longValue())
     case (a: Number, b: Number) =>
       java.lang.Double.compare(a.doubleValue(), b.doubleValue())
     case (a: String, b: String) => a.compareTo(b)

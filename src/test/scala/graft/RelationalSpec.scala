@@ -27,6 +27,26 @@ class RelationalSpec extends SparkSuite {
       s"README says ${m.get.group(1)} queries; SparkEntry has ${SparkEntry.queries.size}")
     assert(m.get.group(2).toInt == SparkEntry.oracleSql.size,
       s"README says ${m.get.group(2)} oracles; SparkEntry has ${SparkEntry.oracleSql.size}")
+    // Second README occurrence (Correctness section): "(N oracles)".
+    val m2 = "\\((\\d+) oracles\\) in DuckDB".r.findFirstMatchIn(readme)
+    assert(m2.isDefined, "README Correctness section no longer states the oracle count")
+    assert(m2.get.group(1).toInt == SparkEntry.oracleSql.size,
+      s"README Correctness section says ${m2.get.group(1)} oracles; " +
+        s"SparkEntry has ${SparkEntry.oracleSql.size}")
+  }
+
+  test("SURVEY.md current-totals line matches SparkEntry (drift guard)") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    // The LAST "current totals X queries / Y oracles" line is the live one.
+    val ms = "current totals (\\d+) queries / (\\d+) oracles".r
+      .findAllMatchIn(survey).toSeq
+    assert(ms.nonEmpty, "SURVEY.md no longer states current totals")
+    val last = ms.last
+    assert(last.group(1).toInt == SparkEntry.queries.size,
+      s"SURVEY says ${last.group(1)} queries; SparkEntry has ${SparkEntry.queries.size}")
+    assert(last.group(2).toInt == SparkEntry.oracleSql.size,
+      s"SURVEY says ${last.group(2)} oracles; SparkEntry has ${SparkEntry.oracleSql.size}")
   }
 
   test("every SURVEY.md §2c declared key is implemented") {
