@@ -223,6 +223,7 @@ object SparkEntry {
     "q_mann_whitney"       -> (MiningOps.qMannWhitney _),
     "q_graph_bfs"          -> (RelationalExt.qGraphBfs _),
     "q_arrow_roundtrip"    -> (FlightServe.qArrowRoundtrip _),
+    "q_arrow_tcp_serve"    -> (ArrowTcpServer.qArrowTcpServe _),
     "q_triangle_count"     -> (RelationalExt.qTriangleCount _),
     "q_ewma"               -> (StatsOps.qEwma _),
     "q_mad"                -> (StatsOps.qMad _),
@@ -889,6 +890,7 @@ object SparkEntry {
     // so bucket assignment + multiprobe + top-k replay end-to-end.
     "q_ann_lsh" -> VectorOps.annLshOracleSql(),
     "q_recall_at_k" -> VectorOps.recallAtKOracleSql(),
+    "q_ann_ivf" -> VectorOps.annIvfOracleSql(),
     "q_embed_cosine_dup" -> VectorOps.embedCosineDupOracleSql(),
 
     // The multimodal stub decoder is deterministic FNV-1a over the
@@ -5428,6 +5430,18 @@ object SparkEntry {
         |FROM dist GROUP BY 1 ORDER BY lvl""".stripMargin,
 
     "q_arrow_roundtrip" ->
+      """SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents,
+        |       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        |       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders WHERE o_orderkey % 50 = 0
+        |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // Same ground truth as q_arrow_roundtrip: the TCP path serves the
+    // identical DoGet bytes over a real localhost socket, so any
+    // framing/decode corruption diverges from this aggregate.
+    "q_arrow_tcp_serve" ->
       """SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
         |         AS sum_cents,

@@ -1,0 +1,186 @@
+package graft.engine
+
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.io.{BufferedReader, InputStreamReader, OutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** A network-reachable Arrow-IPC serving endpoint over the
+  * [[StreamStore]] — the reference's remote-client surface
+  * (flight/server.go:82-245) WITHOUT gRPC: Flight's transport jars
+  * (flight-rpc, grpc-java) are not in the offline Spark distribution,
+  * but the bytes a Flight server puts on the wire for DoGet are
+  * exactly the Arrow IPC stream format [[FlightServe.doGet]] already
+  * produces. This class gives those bytes a live `localhost:port`
+  * socket with zero new dependencies, so an external pyarrow /
+  * DuckDB / arrow-rs client can connect, list topics, fetch a
+  * schema, and stream record batches.
+  *
+  * Protocol (one request per connection, HTTP/1.0-style — the
+  * response framing is the Arrow stream format itself, which is
+  * self-delimiting via its end-of-stream marker):
+  *
+  *   - `LIST\n`          → UTF-8 text: `OK <n>\n` then n lines
+  *                          `<topic>\t<rows>\t<bytes>\t<nBatches>\n`
+  *   - `SCHEMA <topic>\n` → raw Arrow IPC stream, schema message +
+  *                          EOS, zero batches (what GetSchema carries)
+  *   - `GET <topic>\n`    → raw Arrow IPC stream, schema + one record
+  *                          batch per buffered store batch (identical
+  *                          bytes to [[FlightServe.doGet]])
+  *   - unknown topic      → `ERR not found\n`
+  *   - malformed request  → `ERR bad request\n`
+  *
+  * A pyarrow client is three lines:
+  * {{{
+  *   sock.sendall(b"GET orders\n")
+  *   reader = pyarrow.ipc.open_stream(sock.makefile("rb"))
+  *   table = reader.read_all()
+  * }}}
+  *
+  * Scale note: like [[FlightServe]], this serves the bounded
+  * parity-mode store (GraftConfig.bufferLimitBytes per stream); the
+  * 100 TB serve path stays parquet/temp-view scans. The accept loop
+  * and per-connection handlers run on daemon threads so an
+  * embedding JVM exits cleanly. */
+final class ArrowTcpServer(store: StreamStore, port: Int = 0)
+    extends AutoCloseable {
+
+  private val server = new ServerSocket()
+  server.bind(new InetSocketAddress("127.0.0.1", port))
+
+  /** The bound (possibly ephemeral) port clients connect to. */
+  val boundPort: Int = server.getLocalPort
+
+  @volatile private var running = true
+
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-arrow-tcp-conn")
+      t.setDaemon(true)
+      t
+    })
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        pool.submit(new Runnable { def run(): Unit = handle(sock) })
+        ()
+      } catch {
+        case _: java.net.SocketException if !running => // closed
+        case _: Throwable if !running =>
+      }
+    }
+  }, "graft-arrow-tcp-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def text(out: OutputStream, s: String): Unit =
+    out.write(s.getBytes(UTF_8))
+
+  private def handle(sock: Socket): Unit = {
+    try {
+      val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
+      val out = sock.getOutputStream
+      val line = Option(in.readLine()).getOrElse("")
+      line.trim.split("\\s+", 2) match {
+        case Array("LIST") | Array("LIST", _) =>
+          val infos = FlightServe.listFlights(store)
+          text(out, s"OK ${infos.size}\n")
+          infos.foreach { i =>
+            text(out, s"${i.topic}\t${i.rows}\t${i.bytes}\t${i.nBatches}\n")
+          }
+        case Array("SCHEMA", topic) =>
+          store.schemaOf(topic) match {
+            case Some(schema) =>
+              // An IPC stream with zero batches: schema message + EOS.
+              val root = org.apache.arrow.vector.VectorSchemaRoot.create(
+                FlightServe.arrowSchema(schema), allocator)
+              try {
+                val w = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null, out)
+                w.start(); w.end(); w.close()
+              } finally root.close()
+            case None => text(out, "ERR not found\n")
+          }
+        case Array("GET", topic) =>
+          FlightServe.doGet(store, topic, allocator) match {
+            case Some(bytes) => out.write(bytes)
+            case None        => text(out, "ERR not found\n")
+          }
+        case _ => text(out, "ERR bad request\n")
+      }
+      out.flush()
+    } catch {
+      case _: Throwable => // client went away mid-response
+    } finally {
+      try sock.close() catch { case _: Throwable => }
+    }
+  }
+
+  private lazy val allocator =
+    new org.apache.arrow.memory.RootAllocator()
+
+  override def close(): Unit = {
+    running = false
+    try server.close() catch { case _: Throwable => }
+    pool.shutdown()
+  }
+}
+
+object ArrowTcpServer {
+
+  /** The TCP serve path as an ORACLE-GATED query: the same
+    * deterministic orders slice as [[FlightServe.qArrowRoundtrip]]
+    * lands in a store, an [[ArrowTcpServer]] binds an ephemeral
+    * localhost port, and a PLAIN `java.net.Socket` client — no graft
+    * classes on the "wire" side beyond the Arrow reader any IPC
+    * client embeds — sends `GET orders\n` and decodes the response
+    * directly off the socket stream with ArrowStreamReader. The
+    * decoded rows re-aggregate in Spark against the DuckDB oracle:
+    * any corruption in the socket framing or IPC encode/decode
+    * breaks the hash. */
+  def qArrowTcpServe(s: org.apache.spark.sql.SparkSession,
+                     d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    val sub = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
+    val schema = sub.schema
+    val store = new StreamStore(1L << 30, Long.MaxValue / 2)
+    sub.collect().grouped(500).foreach(rs => store.append("orders", schema, rs.toSeq))
+    val srv = new ArrowTcpServer(store)
+    val rows =
+      try {
+        val sock = new Socket("127.0.0.1", srv.boundPort)
+        try {
+          sock.getOutputStream.write("GET orders\n".getBytes(UTF_8))
+          sock.getOutputStream.flush()
+          val r = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+            sock.getInputStream, new org.apache.arrow.memory.RootAllocator())
+          try {
+            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+            while (r.loadNextBatch()) {
+              val root = r.getVectorSchemaRoot
+              (0 until root.getRowCount).foreach { i =>
+                out += Row(
+                  root.getVector(0).getObject(i)
+                    .asInstanceOf[java.lang.Long].longValue(),
+                  root.getVector(1).getObject(i).toString,
+                  root.getVector(2).getObject(i)
+                    .asInstanceOf[java.lang.Long].longValue())
+              }
+            }
+            out.toList
+          } finally r.close()
+        } finally sock.close()
+      } finally srv.close()
+    s.createDataFrame(s.sparkContext.parallelize(rows), schema)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        sum("cents").as("sum_cents"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("status")
+  }
+}

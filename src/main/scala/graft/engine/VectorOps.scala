@@ -217,31 +217,160 @@ object VectorOps {
   /** IVF ANN: k-means coarse quantizer, vectors inverted by nearest
     * centroid, queries probe their nprobe closest centroids and
     * exhaust only those lists. At 100 TB the inverted lists are the
-    * partitioning key — a query touches nprobe/k of the corpus. */
+    * partitioning key — a query touches nprobe/k of the corpus.
+    *
+    * FULLY SQL-REPLAYABLE (the q_pq_assign convention lifted to the
+    * whole index): embeddings quantize to integer micro-units first,
+    * so every dot product and norm is an EXACT integer (≤ 64·(6e5)² ≈
+    * 2.3e13 < 2^53) in any summation order; cosines quantize to
+    * integer micro-cos via one identical IEEE expression
+    * (`floor(dot/(√na·√nb)·1e6 + 0.5)`, zero-norm guard −2e6) before
+    * every argmax/ranking, so training (bounded ordered ≤4096-row
+    * sample, FAISS practice — the one permissible driver-side
+    * collect), assignment, probe ranking and candidate scoring all
+    * break ties identically in both engines. Centroid updates are
+    * rounded integer means. [[annIvfOracleSql]] replays the 5 Lloyd
+    * iterations as unrolled CTE stages and the serve path as the
+    * same probe/score SQL. */
   def qAnnIvf(s: SparkSession, d: String, k: Int = 10, nClusters: Int = 16,
-              nProbe: Int = 2): DataFrame = {
+              nProbe: Int = 2, iters: Int = 5, sampleN: Int = 4096): DataFrame = {
+    val S = 1000000.0
     val emb = embeddings(s, d)
-    val centroids = kmeansCentroidsSampled(emb, nClusters, iters = 5)
-    val indexed = emb.withColumn("cluster", nearestCentroid(s, centroids))
-    // query side: rank this query's centroids, keep nProbe
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(
-        nativeCosine(s, col("embedding"), array(c.map(lit): _*)).as("score"),
-        lit(i).as("idx"))
+    val base = emb.select(col("vec_id"),
+        transform(col("embedding"), x => floor(x.cast("double") * S + 0.5)).as("v"))
+      .withColumn("nv", aggregate(
+        zip_with(col("v"), col("v"), (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+    // ---- driver-side training on the ordered bounded sample ----
+    val sample: Array[Array[Long]] = base.orderBy("vec_id").limit(math.max(sampleN, nClusters))
+      .select("v").collect().map(_.getSeq[Long](0).toArray)
+    val dim = sample.head.length
+    def dotL(a: Array[Long], b: Array[Long]): Long = {
+      var i = 0; var acc = 0L
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
     }
-    val probes = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        explode(slice(reverse(array_sort(array(scored: _*))), 1, nProbe)
-          .getField("idx")).as("cluster"))
-    probes.join(indexed, Seq("cluster"))
+    def csuL(dot: Long, na: Long, nb: Long): Long =
+      if (na == 0L || nb == 0L) -2000000L
+      else math.floor(dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)) * S + 0.5).toLong
+    var cents: Array[Array[Long]] = sample.take(nClusters).map(_.clone())
+    for (_ <- 0 until iters) {
+      val ncs = cents.map(c => dotL(c, c))
+      val sums = Array.fill(nClusters)(new Array[Long](dim))
+      val counts = new Array[Long](nClusters)
+      sample.foreach { v =>
+        val nv = dotL(v, v)
+        var best = 0; var bestS = Long.MinValue; var c = 0
+        while (c < nClusters) {
+          val sc = csuL(dotL(v, cents(c)), nv, ncs(c))
+          if (sc > bestS) { bestS = sc; best = c } // strict > = lowest idx on tie
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old // empty cluster keeps its centroid
+        else Array.tabulate(dim)(i =>
+          math.floor(sums(c)(i).toDouble / counts(c) + 0.5).toLong)
+      }
+    }
+    val ncs = cents.map(c => dotL(c, c))
+    // ---- distributed index + probe with centroid literals ----
+    def csuLit(v: Column, nv: Column, cl: Array[Long], nc: Long): Column =
+      if (nc == 0L) lit(-2000000L)
+      else when(nv === 0L, lit(-2000000L)).otherwise(
+        floor(aggregate(zip_with(v, array(cl.map(lit(_)): _*), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).cast("double")
+          / (sqrt(nv.cast("double")) * lit(math.sqrt(nc.toDouble))) * S + 0.5)
+          .cast("long"))
+    def csuPair(a: Column, na: Column, b: Column, nb: Column): Column =
+      when(na === 0L || nb === 0L, lit(-2000000L)).otherwise(
+        floor(aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+            .cast("double")
+          / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))) * S + 0.5)
+          .cast("long"))
+    // argmax by (score, -idx): lexicographic max = highest score, lowest idx
+    val scored = cents.zipWithIndex.map { case (cl, i) =>
+      struct(csuLit(col("v"), col("nv"), cl, ncs(i)).as("score"),
+        lit(-i).as("negidx"))
+    }
+    val indexed = base.withColumn("cluster",
+      (-array_max(array(scored: _*)).getField("negidx")).cast("int"))
+    val probes = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("qnv"),
+        explode(slice(reverse(array_sort(array(scored: _*))), 1, nProbe)).as("p"))
+      .select(col("q_id"), col("qv"), col("qnv"),
+        (-col("p.negidx")).cast("int").as("cluster"))
+    // probes are 10·nProbe rows — a bounded broadcast by construction
+    broadcast(probes).join(indexed, Seq("cluster"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
-        round(nativeCosine(s, col("q_emb"), col("embedding")), 6).as("cos_sim"))
+        csuPair(col("qv"), col("qnv"), col("v"), col("nv")).as("cos_micro"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-          .orderBy(col("cos_sim").desc, col("vec_id").asc)).cast("long"))
+          .orderBy(col("cos_micro").desc, col("vec_id").asc)).cast("long"))
       .filter(col("rn") <= k)
       .orderBy("q_id", "rn")
+  }
+
+  /** DuckDB oracle for [[qAnnIvf]]: the ENTIRE pipeline replays —
+    * micro-unit quantization, the 5 Lloyd iterations as unrolled CTE
+    * stages (assign via the identical quantized-cosine window,
+    * update via rounded integer means, empty clusters COALESCE to
+    * their previous centroid), corpus assignment, probe ranking and
+    * candidate top-k. Every comparison both engines make is on
+    * identical exact integers or bit-identical doubles. */
+  def annIvfOracleSql(k: Int = 10, nClusters: Int = 16, nProbe: Int = 2,
+                      iters: Int = 5, sampleN: Int = 4096): String = {
+    def csu(v: String, nv: String, c: String, nc: String): String =
+      s"CASE WHEN $nv = 0 OR $nc = 0 THEN -2000000 " +
+        s"ELSE FLOOR(list_dot_product($v, $c) / (SQRT($nv) * SQRT($nc)) * 1000000.0 + 0.5) END"
+    val lloyd = (1 to iters).map { i =>
+      val p = s"c${i - 1}"
+      s"""a$i AS (SELECT vec_id, v, c FROM (
+         |    SELECT s.vec_id, s.v, kk.c,
+         |           ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+         |             ${csu("s.v", "s.nv", "kk.v", "kk.nc")} DESC, kk.c ASC) AS rn
+         |    FROM smp s CROSS JOIN $p kk) x WHERE rn = 1),
+         |e$i AS (SELECT c, UNNEST(v) AS x, generate_subscripts(v, 1) AS dim FROM a$i),
+         |u$i AS (SELECT c, dim, SUM(x) AS su, COUNT(*) AS cnt FROM e$i GROUP BY 1, 2),
+         |m$i AS (SELECT c, list(FLOOR(su / cnt + 0.5) ORDER BY dim) AS v FROM u$i GROUP BY c),
+         |c$i AS (SELECT p.c, COALESCE(m.v, p.v) AS v,
+         |               list_dot_product(COALESCE(m.v, p.v), COALESCE(m.v, p.v)) AS nc
+         |        FROM $p p LEFT JOIN m$i m ON m.c = p.c)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tn AS (SELECT vec_id,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |                        x -> FLOOR(x * 1000000.0 + 0.5)) AS v,
+       |         list_dot_product(list_transform(CAST(embedding AS DOUBLE[]),
+       |                        x -> FLOOR(x * 1000000.0 + 0.5)),
+       |                          list_transform(CAST(embedding AS DOUBLE[]),
+       |                        x -> FLOOR(x * 1000000.0 + 0.5))) AS nv
+       |       FROM embeddings),
+       |smp AS (SELECT vec_id, v, nv FROM tn ORDER BY vec_id LIMIT $sampleN),
+       |c0 AS (SELECT vec_id AS c, v, nv AS nc FROM smp WHERE vec_id < $nClusters),
+       |$lloyd,
+       |idx AS (SELECT vec_id, v, nv, c FROM (
+       |    SELECT t.vec_id, t.v, t.nv, kk.c,
+       |           ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+       |             ${csu("t.v", "t.nv", "kk.v", "kk.nc")} DESC, kk.c ASC) AS rn
+       |    FROM tn t CROSS JOIN c$iters kk) x WHERE rn = 1),
+       |pr AS (SELECT q_id, qv, qnv, c FROM (
+       |    SELECT q.vec_id AS q_id, q.v AS qv, q.nv AS qnv, kk.c,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |             ${csu("q.v", "q.nv", "kk.v", "kk.nc")} DESC, kk.c ASC) AS rn
+       |    FROM tn q CROSS JOIN c$iters kk WHERE q.vec_id < 10) x WHERE rn <= $nProbe),
+       |cand AS (SELECT p.q_id, i.vec_id,
+       |           CAST(${csu("p.qv", "p.qnv", "i.v", "i.nv")} AS BIGINT) AS cos_micro
+       |         FROM pr p JOIN idx i ON i.c = p.c
+       |         WHERE p.q_id <> i.vec_id),
+       |r AS (SELECT q_id, vec_id, cos_micro,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |          ORDER BY cos_micro DESC, vec_id ASC) AS BIGINT) AS rn
+       |      FROM cand)
+       |SELECT q_id, vec_id, cos_micro, rn FROM r WHERE rn <= $k
+       |ORDER BY q_id, rn""".stripMargin
   }
 
   /** Embedding-cosine near-duplicate pairs: LSH-bucket blocking, then
