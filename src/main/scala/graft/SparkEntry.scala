@@ -97,6 +97,7 @@ object SparkEntry {
     "q_buffer_eviction"    -> (StreamingOps.qBufferEviction _),
     "q_csv_roundtrip"      -> (Sinks.qCsvRoundtrip _),
     "q_multimodal_meta"    -> (MultimodalOps.qMultimodalMeta _),
+    "q_media_codecs"       -> (MultimodalOps.qMediaCodecs _),
     "q_frame_sample"       -> (MultimodalOps.qFrameSample _),
     "q_media_embed"        -> ((s, d) => MultimodalOps.qMediaEmbed(s, d)),
     "q_window_range_frame" -> (Relational.qWindowRangeFrame _),
@@ -899,6 +900,7 @@ object SparkEntry {
     // code points == UTF-8 bytes) with HUGEINT mod-2^64 arithmetic
     // and explicit sign-extension for Scala's arithmetic >> shifts.
     // That turns the stub's determinism into a checkable contract.
+    "q_media_codecs" -> MultimodalOps.mediaCodecsOracleSql,
     "q_multimodal_meta" -> (MultimodalOps.fnvOracleCommonSql +
       """
         |SELECT mime, CAST(COUNT(*) AS BIGINT) AS n_assets,

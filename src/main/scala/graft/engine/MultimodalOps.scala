@@ -9,13 +9,19 @@ import org.apache.spark.sql.types._
   * metadata struct; decode / feature-extract / resize / frame-sample
   * run as per-partition batch transforms.
   *
-  * DECODE IS A STUB: the container has no image/audio codecs, so
-  * `stubDecode` derives deterministic fake properties from the payload
-  * bytes (clearly marked below). Everything AROUND the stub — schema,
-  * binary handling, partition-batch iteration (`mapPartitions`, the
-  * Scala analog of a vectorized Python `mapInPandas`), explode
-  * fan-out for frame sampling, and the aggregation layer — is real,
-  * tested Spark plumbing that a codec drop-in would inherit unchanged.
+  * DECODE IS REAL FOR METADATA, STUBBED FOR SAMPLES: images decode
+  * via `javax.imageio` (header-only), WAV via pure-JVM RIFF chunk
+  * parsing, MP3 via MPEG frame-header walking, MP4 via ISO BMFF box
+  * walking — all zero-dependency, all oracle-gated through
+  * `q_media_codecs`. Only decoding the actual coded SAMPLES
+  * (pixels/PCM from compressed formats) needs a codec library the
+  * container lacks; for payloads no parser recognizes, `stubDecode`
+  * derives deterministic fake properties (clearly marked below).
+  * Everything around decode — schema, binary handling,
+  * partition-batch iteration (`mapPartitions`, the Scala analog of a
+  * vectorized Python `mapInPandas`), explode fan-out for frame
+  * sampling, and the aggregation layer — is real, tested Spark
+  * plumbing a codec drop-in would inherit unchanged.
   *
   * Scale notes: payload bytes stay on the executors end-to-end (no
   * collect); frame sampling is an explode (rows fan out in place, no
@@ -181,13 +187,272 @@ object MultimodalOps {
     }
   }
 
+  /** REAL compressed-audio decode for MPEG audio (MP3) — pure-JVM
+    * frame-header parsing, zero deps: MPEG-1 Layer III frames are
+    * self-describing (11-bit sync, bitrate/samplerate indices,
+    * padding bit), so sample rate, bitrate, channel mode and — by
+    * walking the frame chain, each frame exactly
+    * `144·bitrate/sampleRate + padding` bytes — the frame count and
+    * duration (1152 samples/frame) all come from headers without any
+    * codec. Header-walk cost is frames-count-bounded, independent of
+    * what a PCM decode would cost. Skips a leading ID3v2 tag.
+    * Returns (sampleRate, bitrateKbps, channels, durationMs); None
+    * unless the payload starts (post-ID3) with a valid MPEG-1
+    * Layer III frame — ASCII text can never false-positive (sync
+    * needs a 0xFF byte). */
+  def decodeMp3Header(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    val bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val rates = Array(44100, 48000, 32000)
+    var pos = 0
+    // ID3v2: "ID3" + ver(2) + flags(1) + syncsafe size(4)
+    if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3') {
+      val sz = ((payload(6) & 0x7f) << 21) | ((payload(7) & 0x7f) << 14) |
+        ((payload(8) & 0x7f) << 7) | (payload(9) & 0x7f)
+      pos = 10 + sz
+    }
+    var frames = 0L
+    var sampleRate = 0
+    var bitrateKbps = 0
+    var channels = 0
+    var ok = true
+    while (ok && pos + 4 <= payload.length) {
+      val b0 = payload(pos) & 0xff; val b1 = payload(pos + 1) & 0xff
+      val b2 = payload(pos + 2) & 0xff; val b3 = payload(pos + 3) & 0xff
+      // sync + MPEG-1 (version bits 11) + Layer III (layer bits 01)
+      if (b0 == 0xff && (b1 & 0xe0) == 0xe0 && (b1 & 0x18) == 0x18 && (b1 & 0x06) == 0x02) {
+        val bi = (b2 >> 4) & 0xf
+        val si = (b2 >> 2) & 0x3
+        if (bi >= 1 && bi <= 14 && si <= 2) {
+          val br = bitrates(bi) * 1000
+          val sr = rates(si)
+          val padding = (b2 >> 1) & 0x1
+          if (frames == 0) {
+            sampleRate = sr; bitrateKbps = bitrates(bi)
+            channels = if (((b3 >> 6) & 0x3) == 3) 1 else 2
+          }
+          frames += 1
+          pos += 144 * br / sr + padding
+        } else ok = false
+      } else ok = false
+    }
+    if (frames == 0) None
+    else Some((sampleRate, bitrateKbps, channels,
+      frames * 1152L * 1000L / sampleRate))
+  }
+
+  /** REAL compressed-video decode for MP4 / ISO BMFF — pure-JVM box
+    * (atom) walking, zero deps: the container is length-prefixed
+    * boxes, so `moov/mvhd` (timescale + duration) and the first
+    * track's `tkhd` (16.16 fixed-point width/height) parse without
+    * touching a single coded video sample. Requires the payload to
+    * open with an `ftyp` box (ISO BMFF's signature — random text
+    * can't satisfy the size/type structure). Returns
+    * (width, height, trackCount, durationMs). */
+  def decodeMp4Header(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u32(i: Int): Long =
+      ((payload(i) & 0xffL) << 24) | ((payload(i + 1) & 0xffL) << 16) |
+        ((payload(i + 2) & 0xffL) << 8) | (payload(i + 3) & 0xffL)
+    def tag(i: Int): String =
+      new String(payload, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (payload.length < 16 || tag(4) != "ftyp") return None
+    var pos = 0
+    var moov = -1L
+    var moovEnd = -1L
+    while (moov < 0 && pos + 8 <= payload.length) {
+      val sz = u32(pos)
+      if (sz < 8 || pos + sz > payload.length) return None
+      if (tag(pos + 4) == "moov") { moov = pos + 8; moovEnd = pos + sz }
+      pos += sz.toInt
+    }
+    if (moov < 0) return None
+    var p = moov.toInt
+    var timescale = 0L; var duration = -1L
+    var tracks = 0; var w = 0; var h = 0
+    while (p + 8 <= moovEnd) {
+      val sz = u32(p)
+      if (sz < 8 || p + sz > moovEnd) return None
+      tag(p + 4) match {
+        case "mvhd" if (payload(p + 8) & 0xff) == 0 => // version 0
+          timescale = u32(p + 8 + 12)
+          duration = u32(p + 8 + 16)
+        case "trak" =>
+          tracks += 1
+          if (tracks == 1) {
+            // walk trak children for tkhd (v0: width/height at 76/80)
+            var q = p + 8
+            val trakEnd = p + sz
+            while (q + 8 <= trakEnd) {
+              val ssz = u32(q)
+              if (ssz < 8 || q + ssz > trakEnd) return None
+              if (tag(q + 4) == "tkhd" && (payload(q + 8) & 0xff) == 0) {
+                w = (u32(q + 8 + 76) >> 16).toInt
+                h = (u32(q + 8 + 80) >> 16).toInt
+              }
+              q += ssz.toInt
+            }
+          }
+        case _ =>
+      }
+      p += sz.toInt
+    }
+    if (timescale <= 0 || duration < 0) None
+    else Some((w, h, tracks, duration * 1000L / timescale))
+  }
+
+  // =================== FIXTURE MEDIA SYNTHESIS ==================== //
+  // Deterministic REAL container bytes for the codec-decode
+  // differential (q_media_codecs): tiny but structurally valid PNG /
+  // WAV / MP3 / MP4 payloads whose properties are pure functions of
+  // the parameters, so a SQL oracle can recompute what the parsers
+  // must report without parsing anything.
+
+  def makeWav(rate: Int, ch: Int, bits: Int, nSamples: Int): Array[Byte] = {
+    val dataBytes = nSamples * ch * (bits / 8)
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1.toShort).putShort(ch.toShort)
+      .putInt(rate).putInt(rate * ch * (bits / 8))
+      .putShort((ch * bits / 8).toShort).putShort(bits.toShort)
+    bb.put("data".getBytes).putInt(dataBytes)
+    bb.array()
+  }
+
+  def makeMp3(nFrames: Int): Array[Byte] = {
+    // MPEG-1 Layer III, 128 kbps, 44100 Hz, stereo, no padding → 417 B
+    val frameLen = 144 * 128000 / 44100
+    val out = new Array[Byte](nFrames * frameLen)
+    var f = 0
+    while (f < nFrames) {
+      val base = f * frameLen
+      out(base) = 0xff.toByte; out(base + 1) = 0xfb.toByte
+      out(base + 2) = 0x90.toByte; out(base + 3) = 0x00.toByte
+      f += 1
+    }
+    out
+  }
+
+  def makeMp4(w: Int, h: Int, durationTicks: Long, timescale: Int = 1000): Array[Byte] = {
+    // ftyp content: major brand + minor version + 1 compatible brand = 12
+    val bb = java.nio.ByteBuffer.allocate(20 + 8 + 108 + 100)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(20).put("ftyp".getBytes).put("isom".getBytes).putInt(0).put("isom".getBytes)
+    bb.putInt(8 + 108 + 100).put("moov".getBytes)
+    // mvhd v0: 8 header + 100 content
+    bb.putInt(108).put("mvhd".getBytes).putInt(0) // version+flags
+      .putInt(0).putInt(0).putInt(timescale).putInt(durationTicks.toInt)
+      .putInt(0x00010000).putShort(0x0100.toShort).put(new Array[Byte](10))
+      .put(new Array[Byte](36)).put(new Array[Byte](24)).putInt(2)
+    // trak > tkhd v0: 8 + (8 + 84)
+    bb.putInt(100).put("trak".getBytes)
+    bb.putInt(92).put("tkhd".getBytes).putInt(0)
+      .putInt(0).putInt(0).putInt(1).putInt(0).putInt(durationTicks.toInt)
+      .put(new Array[Byte](8)).putShort(0).putShort(0).putShort(0).putShort(0)
+      .put(new Array[Byte](36))
+      .putInt(w << 16).putInt(h << 16)
+    bb.array()
+  }
+
+  def makePng(w: Int, h: Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+  // ================================================================ //
+
+  /** The codec-decode differential (driver contract entry): per doc,
+    * synthesize a REAL container payload — PNG, WAV, MP3 frames or an
+    * MP4 box tree, parameters pure functions of doc_id — then decode
+    * it back with the REAL pure-JVM parsers ([[decodeImageHeader]],
+    * [[decodeWavHeader]], [[decodeMp3Header]], [[decodeMp4Header]];
+    * the stub is NOT in this path). The DuckDB oracle recomputes
+    * every property from the same doc_id formulas without parsing, so
+    * any bug in either the synthesizers or the parsers breaks the
+    * hash. Payload bytes are built and consumed inside one
+    * mapPartitions — nothing binary crosses a shuffle. */
+  def qMediaCodecs(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val m = id % 4
+          val (kind, payload) = m match {
+            case 0 => ("image/png", makePng(16 + (id % 16).toInt, 8 + (id % 8).toInt))
+            case 1 => ("audio/wav", makeWav(8000 * (1 + (id % 3).toInt),
+              1 + (id % 2).toInt, 16, 500 + (id % 1000).toInt))
+            case 2 => ("audio/mpeg", makeMp3(5 + (id % 20).toInt))
+            case _ => ("video/mp4", makeMp4(320 + (id % 4).toInt * 16,
+              240 + (id % 4).toInt * 16, 1000L + id % 60000L))
+          }
+          val (w, h, c, dur) = m match {
+            case 0 =>
+              val (iw, ih, bands) = decodeImageHeader(payload).get
+              (iw, ih, bands, 0L)
+            case 1 => decodeWavHeader(payload).get
+            case 2 => decodeMp3Header(payload).get
+            case _ => decodeMp4Header(payload).get
+          }
+          // PNG byte length is encoder-dependent (zlib), not a doc_id
+          // formula — report -1 so the column stays oracle-computable;
+          // the container formats report their structural size.
+          val blen = if (m == 0) -1L else payload.length.toLong
+          (id, kind, blen, w.toLong, h.toLong, c.toLong, dur)
+        }
+      }
+      .toDF("asset_id", "kind", "byte_len", "width", "height", "channels", "duration_ms")
+      .orderBy("asset_id")
+  }
+
+  /** DuckDB oracle for [[qMediaCodecs]]: the doc_id→parameter
+    * formulas restated in SQL (byte_len for the synthesized WAV/MP3/
+    * MP4 containers is structural arithmetic; PNG byte length is
+    * encoder-dependent, so that column reports the only
+    * formula-stable value, the decoded dimensions — see the CASE). */
+  val mediaCodecsOracleSql: String =
+    """SELECT doc_id AS asset_id,
+      |  CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+      |                  WHEN 2 THEN 'audio/mpeg' ELSE 'video/mp4' END AS kind,
+      |  CAST(CASE doc_id % 4
+      |    WHEN 0 THEN -1
+      |    WHEN 1 THEN 44 + (500 + doc_id % 1000) * (1 + doc_id % 2) * 2
+      |    WHEN 2 THEN (5 + doc_id % 20) * 417
+      |    ELSE 236 END AS BIGINT) AS byte_len,
+      |  CAST(CASE doc_id % 4
+      |    WHEN 0 THEN 16 + doc_id % 16
+      |    WHEN 1 THEN 8000 * (1 + doc_id % 3)
+      |    WHEN 2 THEN 44100
+      |    ELSE 320 + (doc_id % 4) * 16 END AS BIGINT) AS width,
+      |  CAST(CASE doc_id % 4
+      |    WHEN 0 THEN 8 + doc_id % 8
+      |    WHEN 1 THEN 16
+      |    WHEN 2 THEN 128
+      |    ELSE 240 + (doc_id % 4) * 16 END AS BIGINT) AS height,
+      |  CAST(CASE doc_id % 4
+      |    WHEN 0 THEN 3
+      |    WHEN 1 THEN 1 + doc_id % 2
+      |    WHEN 2 THEN 2
+      |    ELSE 1 END AS BIGINT) AS channels,
+      |  CAST(CASE doc_id % 4
+      |    WHEN 0 THEN 0
+      |    WHEN 1 THEN ((500 + doc_id % 1000) * (1 + doc_id % 2) * 2) * 1000
+      |                // (8000 * (1 + doc_id % 3) * (1 + doc_id % 2) * 2)
+      |    WHEN 2 THEN (5 + doc_id % 20) * 1152 * 1000 // 44100
+      |    ELSE 1000 + doc_id % 60000 END AS BIGINT) AS duration_ms
+      |FROM documents ORDER BY asset_id""".stripMargin
+
   // ======================= STUB DECODER ========================== //
-  // Deterministic FAKE media decode for the mimes the JDK has no
-  // codec for (audio/video) and for payloads no reader recognizes:
-  // properties are derived from the payload bytes via FNV-1a so tests
-  // are reproducible. A real implementation replaces ONLY this
-  // function with a codec call (ffmpeg bindings etc.); the Spark
-  // plumbing around it is unchanged.
+  // Deterministic FAKE media decode for payloads NO real parser
+  // recognizes (the fixture's text-as-bytes assets, and compressed
+  // formats beyond the image/WAV/MP3/MP4 parsers above): properties
+  // are derived from the payload bytes via FNV-1a so tests are
+  // reproducible. A real implementation replaces ONLY this function
+  // with a codec call (ffmpeg bindings etc.); the Spark plumbing
+  // around it is unchanged.
   def stubDecode(payload: Array[Byte]): (Int, Int, Int, Long) = {
     var h = 0xcbf29ce484222325L
     var i = 0
@@ -224,9 +489,16 @@ object MultimodalOps {
             if (a.mime.startsWith("image/")) decodeImageHeader(a.payload).map {
               case (iw, ih, bands) => (iw, ih, bands, 0L)
             }
-            else if (a.mime.startsWith("audio/")) decodeWavHeader(a.payload).map {
-              case (rate, bits, ch, dur) => (rate, bits, ch, dur)
-            }
+            else if (a.mime.startsWith("audio/"))
+              decodeWavHeader(a.payload).map {
+                case (rate, bits, ch, dur) => (rate, bits, ch, dur)
+              }.orElse(decodeMp3Header(a.payload).map {
+                case (rate, kbps, ch, dur) => (rate, kbps, ch, dur)
+              })
+            else if (a.mime.startsWith("video/"))
+              decodeMp4Header(a.payload).map {
+                case (vw, vh, _, dur) => (vw, vh, 3, dur)
+              }
             else None
           val (w, h, c, dur) = real.getOrElse(stubDecode(a.payload))
           DecodedAsset(a.asset_id, a.mime, a.payload.length.toLong, w, h, c, dur)

@@ -141,6 +141,60 @@ class MultimodalSpec extends SparkSuite {
     assert(m.map(_.getLong(1)).sum == graft.engine.Tables.documents(spark, sf).count())
   }
 
+  test("real MP3 decode: frame walk yields rate/bitrate/channels/duration") {
+    val mp3 = MultimodalOps.makeMp3(nFrames = 10)
+    val Some((rate, kbps, ch, dur)) = MultimodalOps.decodeMp3Header(mp3)
+    assert(rate == 44100 && kbps == 128 && ch == 2)
+    assert(dur == 10L * 1152 * 1000 / 44100)
+    // ID3v2 prefix is skipped
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 5) ++ new Array[Byte](5) ++ mp3
+    assert(MultimodalOps.decodeMp3Header(id3).contains((rate, kbps, ch, dur)))
+    // ASCII text can never sync (no 0xFF byte)
+    assert(MultimodalOps.decodeMp3Header("plain text payload".getBytes).isEmpty)
+    // truncated/garbage after a bad frame header rejects cleanly
+    assert(MultimodalOps.decodeMp3Header(Array[Byte](0xff.toByte, 0x00, 0x00, 0x00)).isEmpty)
+  }
+
+  test("real MP4 decode: box walk yields dimensions/tracks/duration") {
+    val mp4 = MultimodalOps.makeMp4(w = 640, h = 360, durationTicks = 2500L)
+    val Some((w, h, tracks, dur)) = MultimodalOps.decodeMp4Header(mp4)
+    assert(w == 640 && h == 360 && tracks == 1)
+    assert(dur == 2500L) // timescale 1000 → ticks are ms
+    // payloads that don't open with ftyp reject (text, WAV, MP3)
+    assert(MultimodalOps.decodeMp4Header("not a movie at all".getBytes).isEmpty)
+    assert(MultimodalOps.decodeMp4Header(MultimodalOps.makeWav(8000, 1, 16, 10)).isEmpty)
+    assert(MultimodalOps.decodeMp4Header(MultimodalOps.makeMp3(3)).isEmpty)
+  }
+
+  test("decodeAssets routes MP3 audio and MP4 video through the real parsers") {
+    import spark.implicits._
+    val rows = Seq(
+      MultimodalOps.Asset(1L, "audio/mpeg", MultimodalOps.makeMp3(20)),
+      MultimodalOps.Asset(2L, "video/mp4", MultimodalOps.makeMp4(320, 240, 7000L)),
+      MultimodalOps.Asset(3L, "video/mp4", "garbage video bytes".getBytes))
+    val d = MultimodalOps.decodeAssets(rows.toDF("asset_id", "mime", "payload"))
+      .collect().map(a => a.asset_id -> a).toMap
+    assert(d(1L).width == 44100 && d(1L).height == 128 &&
+      d(1L).duration_ms == 20L * 1152 * 1000 / 44100)
+    assert(d(2L).width == 320 && d(2L).height == 240 && d(2L).duration_ms == 7000L)
+    // unparseable video falls back to the deterministic stub
+    val (sw, sh, _, sdur) = MultimodalOps.stubDecode("garbage video bytes".getBytes)
+    assert(d(3L).width == sw && d(3L).height == sh && d(3L).duration_ms == sdur)
+  }
+
+  test("q_media_codecs: synthesized containers round-trip through real parsers") {
+    val r = MultimodalOps.qMediaCodecs(spark, sf).collect()
+    assert(r.length == graft.engine.Tables.documents(spark, sf).count())
+    val byKind = r.groupBy(_.getString(1))
+    assert(byKind.keySet == Set("image/png", "audio/wav", "audio/mpeg", "video/mp4"))
+    byKind("audio/mpeg").foreach { row =>
+      assert(row.getLong(3) == 44100 && row.getLong(5) == 2)
+    }
+    byKind("video/mp4").foreach { row =>
+      assert(row.getLong(2) == 236 && row.getLong(6) >= 1000)
+    }
+  }
+
   test("media embed: top-k is deterministic, bounded, sorted by cosine") {
     val a = MultimodalOps.qMediaEmbed(spark, sf).collect()
     val b = MultimodalOps.qMediaEmbed(spark, sf).collect()

@@ -3,9 +3,15 @@
 run graft.Verify (done separately via sbt), then compare each result
 parquet against DuckDB executing oracle_sql.json on the same fixtures.
 Columns are sorted by name before comparison (driver semantics)."""
-import sys, json, glob, os
+import sys, json, glob, os, re
 import duckdb
 import pandas as pd
+
+# Same per-key filter Verify/Bench honor (regex on key names), so a
+# targeted sbt Verify run can be checked without 350 spurious
+# "no spark result parquet" failures.
+only = os.environ.get("SPARK_GRAFT_ONLY")
+only_re = re.compile(only) if only else None
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -18,6 +24,8 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
 fail = 0
 for name in sorted(oracles):
+    if only_re and not only_re.search(name):
+        continue
     sql = oracles[name]
     res_files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not res_files:
