@@ -291,6 +291,7 @@ object SparkEntry {
     "q_dup_substring"      -> (TextOps.qDupSubstring _),
     "q_dedup_canonical"    -> (TextOps.qDedupCanonical _),
     "q_kanonymity"         -> (StatsOps.qKanonymity _),
+    "q_l_diversity"        -> (StatsOps.qLDiversity _),
     "q_winsorize"          -> (StatsOps.qWinsorize _),
     "q_oov_rate"           -> (CurationOps.qOovRate _),
     "q_negative_sample"    -> (CurationOps.qNegativeSample _),
@@ -298,6 +299,9 @@ object SparkEntry {
     "q_domain_cap"         -> (CurationOps.qDomainCap _),
     "q_dataset_card"       -> (CurationOps.qDatasetCard _),
     "q_quality_funnel"     -> (CurationOps.qQualityFunnel _),
+    "q_gopher_rules"       -> (CurationOps.qGopherRules _),
+    "q_url_dedup"          -> (CurationOps.qUrlDedup _),
+    "q_encoding_audit"     -> (TextOps.qEncodingAudit _),
     "q_gram_novelty"       -> (TextOps.qGramNovelty _),
     "q_bigram_logprob"     -> (TextOps.qBigramLogprob _),
     "q_skew_audit"         -> (ScaleOps.qSkewAudit _),
@@ -362,6 +366,8 @@ object SparkEntry {
     "q_jaro_winkler"       -> (MiningOps.qJaroWinkler _),
     "q_components_ccf"     -> (GraphOps.qComponentsCcf _),
     "q_recall_at_k"        -> ((s, d) => VectorOps.qRecallAtK(s, d)),
+    "q_matryoshka_eval"    -> ((s, d) => VectorOps.qMatryoshkaEval(s, d)),
+    "q_pr_curve"           -> (VectorOps.qPrCurve _),
     "q_lorenz"             -> (MiningOps.qLorenz _),
     "q_session_window"     -> (AnalyticsOps.qSessionWindow _),
     "q_theil_sen"          -> (MiningOps.qTheilSen _),
@@ -891,6 +897,57 @@ object SparkEntry {
     // so bucket assignment + multiprobe + top-k replay end-to-end.
     "q_ann_lsh" -> VectorOps.annLshOracleSql(),
     "q_recall_at_k" -> VectorOps.recallAtKOracleSql(),
+
+    "q_matryoshka_eval" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |qs AS (SELECT vec_id AS q_id, v AS qv FROM t WHERE vec_id < 10),
+        |dims AS (SELECT UNNEST([16, 32, 64]) AS dim),
+        |sc AS (SELECT qs.q_id, dims.dim, t.vec_id,
+        |         ROUND(list_cosine_similarity(qs.qv, t.v), 6) AS full_sim,
+        |         ROUND(list_cosine_similarity(
+        |           qs.qv[1:dims.dim], t.v[1:dims.dim]), 6) AS trunc_sim
+        |       FROM qs, dims, t WHERE t.vec_id <> qs.q_id),
+        |rk AS (SELECT q_id, dim, vec_id,
+        |         ROW_NUMBER() OVER (PARTITION BY q_id, dim
+        |           ORDER BY full_sim DESC, vec_id) AS rn_full,
+        |         ROW_NUMBER() OVER (PARTITION BY q_id, dim
+        |           ORDER BY trunc_sim DESC, vec_id) AS rn_trunc
+        |       FROM sc)
+        |SELECT q_id, CAST(dim AS BIGINT) AS dim,
+        |       CAST(SUM(CASE WHEN rn_full <= 10 AND rn_trunc <= 10
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS overlap,
+        |       FLOOR(SUM(CASE WHEN rn_full <= 10 AND rn_trunc <= 10
+        |                      THEN 1 ELSE 0 END) * 1.0 / 10
+        |             * 10000.0 + 0.5) / 10000.0 AS overlap_ratio
+        |FROM rk GROUP BY q_id, dim ORDER BY q_id, dim""".stripMargin,
+
+    "q_pr_curve" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos,
+        |         CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1e6 + 0.5)
+        |              AS BIGINT) AS score_u
+        |  FROM embeddings),
+        |g AS (SELECT (CAST(i AS BIGINT) - 5) * 100000 AS thresh_u
+        |      FROM range(11) t(i)),
+        |c AS (SELECT g.thresh_u,
+        |             CASE WHEN s.score_u >= g.thresh_u THEN 1 ELSE 0 END AS pred,
+        |             s.pos
+        |      FROM s, g),
+        |a AS (SELECT thresh_u,
+        |             CAST(SUM(pred * pos) AS BIGINT) AS tp,
+        |             CAST(SUM(pred * (1 - pos)) AS BIGINT) AS fp,
+        |             CAST(SUM((1 - pred) * pos) AS BIGINT) AS fn
+        |      FROM c GROUP BY thresh_u)
+        |SELECT FLOOR(thresh_u / 1e6 * 10000.0 + 0.5) / 10000.0 AS threshold,
+        |       tp, fp, fn,
+        |       FLOOR(tp * 1.0 / GREATEST(tp + fp, 1) * 10000.0 + 0.5)
+        |         / 10000.0 AS precision,
+        |       FLOOR(tp * 1.0 / GREATEST(tp + fn, 1) * 10000.0 + 0.5)
+        |         / 10000.0 AS recall,
+        |       FLOOR(2 * tp * 1.0 / GREATEST(2 * tp + fp + fn, 1)
+        |             * 10000.0 + 0.5) / 10000.0 AS f1
+        |FROM a ORDER BY threshold""".stripMargin,
     "q_ann_ivf" -> VectorOps.annIvfOracleSql(),
     "q_embed_cosine_dup" -> VectorOps.embedCosineDupOracleSql(),
 
@@ -3442,6 +3499,21 @@ object SparkEntry {
         |FROM lab
         |ORDER BY doc_id""".stripMargin,
 
+    "q_l_diversity" ->
+      """WITH ps AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |         c_mktsegment AS segment,
+        |         COUNT(*) AS seg_n
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT nation, bal_bucket,
+        |       CAST(SUM(seg_n) AS BIGINT) AS n,
+        |       CAST(COUNT(*) AS BIGINT) AS distinct_sensitive,
+        |       CAST(MAX(seg_n) AS BIGINT) AS modal_count,
+        |       CAST(COUNT(*) >= 3 AS INTEGER) AS l_diverse
+        |FROM ps GROUP BY nation, bal_bucket
+        |ORDER BY nation, bal_bucket""".stripMargin,
+
     "q_kanonymity" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nation,
         |       c_mktsegment AS segment,
@@ -3582,6 +3654,94 @@ object SparkEntry {
         |       ROUND(CAST(top_lang_n AS DOUBLE) / n_docs, 4) AS top_lang_share,
         |       ROUND(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 4) AS dup_rate
         |FROM base, tok, tl""".stripMargin,
+
+    "q_gopher_rules" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |         len(t) AS n,
+        |         length(regexp_replace(trim(text), '\s+', '', 'g')) AS wchars,
+        |         len(list_distinct(t)) AS ndistinct,
+        |         list_sum(list_transform(t, w ->
+        |           CASE WHEN w IN ('the','a','and','of','to','in','is')
+        |                THEN 1 ELSE 0 END)) AS nstop,
+        |         list_max(list_transform(t, w -> length(w))) AS maxwl
+        |  FROM (SELECT lang, text,
+        |               regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM documents)),
+        |r AS (
+        |  SELECT lang,
+        |         CASE WHEN n BETWEEN 30 AND 90 THEN 1 ELSE 0 END AS r1,
+        |         CASE WHEN wchars >= 3 * n AND wchars <= 10 * n
+        |              THEN 1 ELSE 0 END AS r2,
+        |         CASE WHEN 2 * ndistinct >= n THEN 1 ELSE 0 END AS r3,
+        |         CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS r4,
+        |         CASE WHEN maxwl <= 15 THEN 1 ELSE 0 END AS r5
+        |  FROM f)
+        |SELECT lang,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(r1) AS BIGINT) AS word_count_pass,
+        |       CAST(SUM(r2) AS BIGINT) AS mean_word_len_pass,
+        |       CAST(SUM(r3) AS BIGINT) AS ttr_pass,
+        |       CAST(SUM(r4) AS BIGINT) AS stopword_pass,
+        |       CAST(SUM(r5) AS BIGINT) AS max_word_len_pass,
+        |       CAST(SUM(r1 * r2 * r3 * r4 * r5) AS BIGINT) AS all_pass,
+        |       FLOOR(SUM(r1 * r2 * r3 * r4 * r5) * 1.0 / COUNT(*)
+        |             * 10000.0 + 0.5) / 10000.0 AS keep_rate
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_url_dedup" ->
+      """WITH raw AS (
+        |  SELECT 'https://' ||
+        |         CASE WHEN event_id % 2 = 0 THEN 'Shop.Example.COM'
+        |              ELSE 'shop.example.com' END ||
+        |         '/p/' || event_type ||
+        |         CASE WHEN event_id % 3 = 0 THEN '/' ELSE '' END ||
+        |         '?id=' || CAST(user_id % 50 AS VARCHAR) ||
+        |         CASE WHEN event_id % 4 = 0
+        |              THEN '&utm_source=mail&utm_campaign=x' ELSE '' END ||
+        |         CASE WHEN event_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM events),
+        |c AS (
+        |  SELECT url,
+        |         'https://' ||
+        |         lower(regexp_extract(url, 'https://([^/]+)', 1)) ||
+        |         rtrim(regexp_extract(url, 'https://[^/]+([^?#]*)', 1), '/') ||
+        |         '?id=' || regexp_extract(url, '[?&]id=([^&#]*)', 1)
+        |           AS canonical_url
+        |  FROM raw)
+        |SELECT canonical_url,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants
+        |FROM c GROUP BY canonical_url
+        |ORDER BY canonical_url""".stripMargin,
+
+    "q_encoding_audit" ->
+      """WITH inj AS (
+        |  SELECT lang,
+        |         text ||
+        |         CASE WHEN doc_id % 7 = 0 THEN ' �你好' ELSE '' END ||
+        |         CASE WHEN doc_id % 11 = 0 THEN chr(7) ELSE '' END AS txt
+        |  FROM documents),
+        |m AS (
+        |  SELECT lang,
+        |         length(txt) AS nc,
+        |         strlen(txt) AS nb,
+        |         length(txt) - length(regexp_replace(txt,
+        |           '[^\x00-\x7F]', '', 'g')) AS non_ascii,
+        |         CASE WHEN contains(txt, '�') THEN 1 ELSE 0 END AS has_repl,
+        |         CASE WHEN regexp_matches(txt,
+        |           '[\x00-\x08\x0B\x0C\x0E-\x1F]') THEN 1 ELSE 0 END AS has_ctrl
+        |  FROM inj)
+        |SELECT lang,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(nc) AS BIGINT) AS total_chars,
+        |       CAST(SUM(nb) AS BIGINT) AS total_bytes,
+        |       CAST(SUM(non_ascii) AS BIGINT) AS non_ascii_chars,
+        |       CAST(SUM(has_repl) AS BIGINT) AS docs_with_replacement,
+        |       CAST(SUM(has_ctrl) AS BIGINT) AS docs_with_control,
+        |       FLOOR((SUM(nc) - SUM(non_ascii)) * 1.0 / SUM(nc)
+        |             * 10000.0 + 0.5) / 10000.0 AS ascii_ratio
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_quality_funnel" ->
       """WITH f AS (

@@ -561,4 +561,94 @@ object CurationOps {
           .as("pass_rate"))
       .orderBy("stage")
   }
+
+  /** Gopher-style per-rule quality report (Rae et al. 2021 §A1.1 /
+    * C4, Raffel et al. 2020): unlike [[qQualityFunnel]]'s sequential
+    * gates, each rule is evaluated INDEPENDENTLY so the report shows
+    * which filters actually bite on this corpus before anyone picks
+    * an AND-order. Rules: word-count bounds, mean-word-length bounds,
+    * type/token-ratio floor (the repetition rule), stopword floor,
+    * max-word-length cap. Every comparison is exact-integer
+    * (mean-word-length and TTR are cross-multiplied, never divided),
+    * so no float boundary can flap between engines. One tokenize
+    * projection (split bound to a column FIRST — the lambda-slot
+    * tokenizer lesson) into a lang-cardinality hash aggregate:
+    * map-side combinable, one shuffle of ~5 groups at any corpus
+    * size. */
+  def qGopherRules(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val stops = Seq("the", "a", "and", "of", "to", "in", "is")
+    val flags = documents(s, d)
+      .select(col("lang"), toks.as("t"), trim(col("text")).as("txt"))
+      .select(
+        col("lang"),
+        size(col("t")).cast("long").as("n"),
+        length(regexp_replace(col("txt"), "\\s+", "")).cast("long").as("wchars"),
+        size(array_distinct(col("t"))).cast("long").as("ndistinct"),
+        size(filter(col("t"), w => w.isin(stops: _*))).cast("long").as("nstop"),
+        array_max(transform(col("t"), w => length(w))).cast("long").as("maxwl"))
+      .select(
+        col("lang"),
+        (col("n") >= 30 && col("n") <= 90).cast("long").as("r1"),
+        (col("wchars") >= lit(3L) * col("n") &&
+          col("wchars") <= lit(10L) * col("n")).cast("long").as("r2"),
+        (lit(2L) * col("ndistinct") >= col("n")).cast("long").as("r3"),
+        (col("nstop") >= 2).cast("long").as("r4"),
+        (col("maxwl") <= 15).cast("long").as("r5"))
+    flags
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("r1").as("word_count_pass"),
+        sum("r2").as("mean_word_len_pass"),
+        sum("r3").as("ttr_pass"),
+        sum("r4").as("stopword_pass"),
+        sum("r5").as("max_word_len_pass"),
+        sum(col("r1") * col("r2") * col("r3") * col("r4") * col("r5"))
+          .as("all_pass"))
+      .withColumn("keep_rate", r4(col("all_pass") / col("n_docs").cast("double")))
+      .orderBy("lang")
+  }
+
+  /** URL canonicalization dedup — the FIRST dedup stage of every web
+    * crawl pipeline (CCNet, RefinedWeb): raw URLs differ by host
+    * case, tracking parameters, fragments and trailing slashes while
+    * naming the same resource. Raw URLs are synthesized
+    * deterministically from event columns (the qUrlParse convention),
+    * then canonicalized with Spark's dedicated `parse_url`
+    * (lowercased host, trailing-slash-stripped path, whitelisted
+    * query params only, fragment dropped); the oracle re-derives the
+    * canonical form with REGEXES — two independent URL
+    * implementations checked against each other. Grouping is by
+    * canonical URL (bounded: type × id-bucket domain); the
+    * distinct-raw-variant count inside each group is exact. At crawl
+    * scale this is one hash aggregate on the canonical key — the
+    * cheap stage that removes ~40% of a crawl before any content
+    * hashing runs. */
+  def qUrlDedup(s: SparkSession, d: String): DataFrame = {
+    val raw = events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      concat(
+        lit("https://"),
+        when(col("event_id") % 2 === 0, lit("Shop.Example.COM"))
+          .otherwise(lit("shop.example.com")),
+        lit("/p/"), col("event_type"),
+        when(col("event_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        lit("?id="), (col("user_id") % 50).cast("string"),
+        when(col("event_id") % 4 === 0, lit("&utm_source=mail&utm_campaign=x"))
+          .otherwise(lit("")),
+        when(col("event_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+        .as("url"))
+    raw
+      .select(col("url"),
+        concat(
+          lit("https://"), lower(parse_url(col("url"), lit("HOST"))),
+          rtrim(parse_url(col("url"), lit("PATH")), "/"),
+          lit("?id="), parse_url(col("url"), lit("QUERY"), lit("id")))
+          .as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("url")).as("n_raw_variants"))
+      .orderBy("canonical_url")
+  }
 }

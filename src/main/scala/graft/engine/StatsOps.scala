@@ -1144,4 +1144,34 @@ object StatsOps {
           col("x") * 20L < col("sx")).as("breach_lo"))
       .orderBy("event_type", "day")
   }
+
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the release
+    * gate that catches what [[qKanonymity]] misses: a k-anonymous
+    * equivalence class whose SENSITIVE attribute is uniform still
+    * leaks it. Quasi-identifiers here are (nation,
+    * account-balance-thousand bucket); the sensitive attribute is the
+    * market segment. Per class: size, distinct sensitive values, the
+    * l≥3 flag, and the modal-share numerator/denominator as exact
+    * integers (the entropy/recursive variants threshold on the modal
+    * share — reported as a rational, never a float division of
+    * counts). Group cardinality is the QI-domain product, bounded at
+    * any corpus size; the modal count is a max over a (class,
+    * segment)-grouped subaggregate — two map-side-combinable hash
+    * aggregates, no window over raw rows. */
+  def qLDiversity(s: SparkSession, d: String): DataFrame = {
+    val perSeg = customer(s, d)
+      .groupBy(
+        col("c_nationkey").cast("long").as("nation"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"),
+        col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("seg_n"))
+    perSeg
+      .groupBy("nation", "bal_bucket")
+      .agg(
+        sum("seg_n").as("n"),
+        count(lit(1)).as("distinct_sensitive"),
+        max("seg_n").as("modal_count"))
+      .withColumn("l_diverse", (col("distinct_sensitive") >= 3).cast("int"))
+      .orderBy("nation", "bal_bucket")
+  }
 }

@@ -1612,4 +1612,52 @@ object TextOps {
       .orderBy(col("avg_logprob").asc, col("doc_id"))
       .limit(100)
   }
+
+  /** Encoding / mojibake audit — the ingest gate a multilingual crawl
+    * runs before any tokenizer sees the bytes: per language, how many
+    * documents carry U+FFFD replacement characters (a decoder already
+    * lost data upstream), ASCII control characters (binary junk in
+    * text fields), and how much of the corpus is multi-byte UTF-8
+    * (chars vs bytes — the cost driver for byte-level tokenizers).
+    * The fixture corpus is pure ASCII, so corruption is INJECTED
+    * deterministically from doc_id (the qUrlParse synthesis
+    * convention): every 7th doc gains a replacement char + CJK tail,
+    * every 11th a BEL control char — the audit must find exactly
+    * those. Char counts come from regexp stripping on the Spark side
+    * and RE2 stripping in DuckDB (independent engines, same counts);
+    * everything aggregates exact integers per lang — one map-side
+    * projection, one ~5-group shuffle at any corpus size. */
+  def qEncodingAudit(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val injected = documents(s, d).select(
+      col("lang"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit(" �你好"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("\u0007")).otherwise(lit("")))
+        .as("txt"))
+    injected
+      .select(
+        col("lang"),
+        length(col("txt")).cast("long").as("n_chars"),
+        octet_length(col("txt")).cast("long").as("n_bytes"),
+        (length(col("txt")) -
+          length(regexp_replace(col("txt"), "[^\\x00-\\x7F]", "")))
+          .cast("long").as("non_ascii"),
+        col("txt").contains("�").cast("long").as("has_repl"),
+        rlike(col("txt"), lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+          .cast("long").as("has_ctrl"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum("n_bytes").as("total_bytes"),
+        sum("non_ascii").as("non_ascii_chars"),
+        sum("has_repl").as("docs_with_replacement"),
+        sum("has_ctrl").as("docs_with_control"))
+      .withColumn("ascii_ratio",
+        r4((col("total_chars") - col("non_ascii_chars")) /
+          col("total_chars").cast("double")))
+      .orderBy("lang")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` fixture (vec_id,
@@ -1055,5 +1056,89 @@ object VectorOps {
         |FROM graft_emb_sql
         |WHERE vec_id % 20 = 0 AND vec_id <> 0
         |ORDER BY vec_id""".stripMargin)
+  }
+
+  /** Matryoshka truncation eval (Kusupati et al. 2022): how much of
+    * the exact top-k neighborhood survives when the index stores only
+    * the first 16 / 32 of 64 dimensions — the measurement behind
+    * every "train full-dim, serve truncated" deployment decision.
+    * The probe set (vec_id < 10, the recall_at_k convention) is
+    * crossed with the dim grid and BROADCAST over one corpus scan;
+    * both rankings use the same codegen'd cosine on `slice`d arrays
+    * with round-6 + vec_id tie-breaks, so ordering is deterministic
+    * on both engines. Per (probe, dim): |top10_truncated ∩
+    * top10_full| and the overlap ratio. Scale: bounded-probe
+    * broadcast — identical contract to [[qRecallAtK]]; a full-corpus
+    * variant would ride the IVF index instead. */
+  def qMatryoshkaEval(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val corpus = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val probes = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(s.range(1).select(explode(
+        array(lit(16), lit(32), lit(64))).as("dim"))))
+    val scored = corpus.crossJoin(broadcast(probes))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("dim"), col("vec_id"),
+        round(nativeCosine(s, col("q_emb"), col("embedding")), 6)
+          .as("full_sim"),
+        round(nativeCosine(s,
+          slice(col("q_emb"), lit(1), col("dim")),
+          slice(col("embedding"), lit(1), col("dim"))), 6)
+          .as("trunc_sim"))
+    val wFull = Window.partitionBy("q_id", "dim")
+      .orderBy(col("full_sim").desc, col("vec_id").asc)
+    val wTrunc = Window.partitionBy("q_id", "dim")
+      .orderBy(col("trunc_sim").desc, col("vec_id").asc)
+    scored
+      .withColumn("rn_full", row_number().over(wFull))
+      .withColumn("rn_trunc", row_number().over(wTrunc))
+      .filter(col("rn_full") <= k || col("rn_trunc") <= k)
+      .groupBy("q_id", "dim")
+      .agg(sum((col("rn_full") <= k && col("rn_trunc") <= k).cast("long"))
+        .as("overlap"))
+      .select(col("q_id"), col("dim").cast("long").as("dim"),
+        col("overlap"), r4(col("overlap") / k.toDouble).as("overlap_ratio"))
+      .orderBy("q_id", "dim")
+  }
+
+  /** Precision/recall/F1 threshold sweep — the PR curve every
+    * retrieval-classifier ships with before anyone picks an operating
+    * point. Target: label == 0; score: the vector's projection onto a
+    * fixed axis (component 0 — the simplest linear head), quantized
+    * to exact integer micro-units so every threshold comparison and
+    * every TP/FP/FN count is integer-exact on both engines. The
+    * 11-threshold grid explodes map-side (11 rows per vector, partial
+    * aggregation before the 11-group shuffle) — one corpus scan, no
+    * window, no sort of raw rows at any scale. F1 = 2TP/(2TP+FP+FN)
+    * as an exact rational, floor-quantized once. */
+  def qPrCurve(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val scored = embeddings(s, d).select(
+      (col("label") === 0).cast("long").as("pos"),
+      floor(element_at(col("embedding"), 1).cast("double") * 1e6 + 0.5)
+        .cast("long").as("score_u"))
+    val grid = s.range(11).select(
+      ((col("id") - 5) * 100000L).as("thresh_u"))
+    scored.crossJoin(broadcast(grid))
+      .select(col("thresh_u"),
+        (col("score_u") >= col("thresh_u")).cast("long").as("pred"),
+        col("pos"))
+      .groupBy("thresh_u")
+      .agg(
+        sum(col("pred") * col("pos")).as("tp"),
+        sum(col("pred") * (lit(1L) - col("pos"))).as("fp"),
+        sum((lit(1L) - col("pred")) * col("pos")).as("fn"))
+      .select(
+        r4(col("thresh_u") / 1e6).as("threshold"),
+        col("tp"), col("fp"), col("fn"),
+        r4(col("tp") / greatest(col("tp") + col("fp"), lit(1L)).cast("double"))
+          .as("precision"),
+        r4(col("tp") / greatest(col("tp") + col("fn"), lit(1L)).cast("double"))
+          .as("recall"),
+        r4(lit(2L) * col("tp") /
+          greatest(lit(2L) * col("tp") + col("fp") + col("fn"), lit(1L))
+            .cast("double")).as("f1"))
+      .orderBy("threshold")
   }
 }

@@ -1,0 +1,109 @@
+package graft
+
+import graft.engine.{CurationOps, StatsOps, TextOps, VectorOps}
+
+/** Invariant checks for the round-13 additions — Gopher rule report,
+  * encoding audit, URL canonicalization dedup, Matryoshka truncation
+  * eval, PR threshold sweep, l-diversity. The DuckDB differential at
+  * all three SFs is the primary gate; these pin the algorithmic laws
+  * the hash-compare can't express. */
+class Round13OpsSpec extends SparkSuite {
+
+  test("gopher rules: every per-rule count ≤ n_docs; all_pass ≤ min rule; keep_rate ∈ [0,1]") {
+    val rows = CurationOps.qGopherRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val passes = (2 to 6).map(r.getLong)
+      val allPass = r.getLong(7)
+      assert(passes.forall(p => p >= 0 && p <= n), s"rule count out of range: $r")
+      assert(allPass <= passes.min, s"conjunction exceeds a conjunct: $r")
+      val rate = r.getDouble(8)
+      assert(rate >= 0.0 && rate <= 1.0)
+      // word-count bounds [30,90] must actually bite on this corpus (10..99 tokens)
+      assert(r.getLong(2) < n, s"word-count rule should reject some docs: $r")
+    }
+  }
+
+  test("encoding audit finds exactly the injected corruption (1/7 replacement, 1/11 control)") {
+    val rows = TextOps.qEncodingAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = rows.map(_.getLong(1)).sum
+    val withRepl = rows.map(_.getLong(5)).sum
+    val withCtrl = rows.map(_.getLong(6)).sum
+    // fixture corpus is pure ASCII, so corruption counts are the doc_id
+    // residue classes exactly (doc_ids are 0..n-1 contiguous)
+    assert(withRepl == (0L until nDocs).count(_ % 7 == 0),
+      s"replacement-char docs: got $withRepl of $nDocs")
+    assert(withCtrl == (0L until nDocs).count(_ % 11 == 0),
+      s"control-char docs: got $withCtrl of $nDocs")
+    rows.foreach { r =>
+      // injected tail ' �你好' = 4 chars, 1+3+3+3=10 bytes: bytes > chars iff non-ASCII present
+      assert(r.getLong(3) >= r.getLong(2), s"bytes < chars: $r")
+      assert(r.getDouble(7) <= 1.0 && r.getDouble(7) > 0.9,
+        s"ascii_ratio implausible for a 4-char injection: $r")
+    }
+  }
+
+  test("url dedup: canonical groups merge case/utm/slash/fragment variants, never ids") {
+    val rows = CurationOps.qUrlDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val url = r.getString(0)
+      assert(url == url.toLowerCase || !url.startsWith("https://shop.example.com") == false,
+        s"canonical host must be lowercased: $url")
+      assert(!url.contains("utm_") && !url.contains("#"), s"tracking/fragment survived: $url")
+      assert(!url.stripSuffix(s"?${url.split('?').last}").endsWith("/"),
+        s"trailing slash survived: $url")
+      assert(r.getLong(2) <= r.getLong(1), s"more variants than events: $r")
+    }
+    // synthesis produces ≥2 raw variants for any canonical group with both parities
+    assert(rows.exists(_.getLong(2) >= 2), "no group merged multiple raw variants")
+  }
+
+  test("matryoshka eval: overlap@10 ≤ 10, full-dim (64) overlap is exactly k, monotone-ish in dim") {
+    val rows = VectorOps.qMatryoshkaEval(spark, sf).collect()
+    assert(rows.length == 30, s"10 probes × 3 dims expected, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 10, s"overlap out of range: $r")
+    }
+    // dim=64 truncation is the identity: overlap must be exactly k
+    rows.filter(_.getLong(1) == 64).foreach { r =>
+      assert(r.getLong(2) == 10, s"full-dim overlap must be 10: $r")
+    }
+    // averaged over probes, more dims cannot hurt much: mean(32) ≥ mean(16) - 1
+    def mean(dim: Long) = {
+      val xs = rows.filter(_.getLong(1) == dim).map(_.getLong(2).toDouble)
+      xs.sum / xs.length
+    }
+    assert(mean(32) >= mean(16) - 1.0, s"32-dim much worse than 16-dim: ${mean(32)} vs ${mean(16)}")
+  }
+
+  test("pr curve: recall monotone non-increasing in threshold; counts conserve positives") {
+    val rows = VectorOps.qPrCurve(spark, sf).collect()
+    assert(rows.length == 11)
+    val sorted = rows.sortBy(_.getDouble(0))
+    val positives = sorted.map(r => r.getLong(1) + r.getLong(3)).distinct
+    assert(positives.length == 1, s"tp+fn must be constant: ${positives.toSeq}")
+    val recalls = sorted.map(_.getDouble(5))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b <= a + 1e-9 },
+      s"recall must fall as threshold rises: ${recalls.toSeq}")
+    // extreme thresholds: at -0.5 everything is predicted positive (scores > -0.37)
+    assert(sorted.head.getDouble(5) == 1.0, "recall at lowest threshold must be 1")
+  }
+
+  test("l-diversity: distinct sensitive ≤ min(n, 5 segments); modal count consistent") {
+    val rows = StatsOps.qLDiversity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, ds, modal, flag) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))
+      assert(ds >= 1 && ds <= math.min(n, 5L), s"distinct sensitive out of range: $r")
+      assert(modal >= (n + ds - 1) / ds && modal <= n - ds + 1,
+        s"modal count outside pigeonhole bounds: $r")
+      assert((flag == 1) == (ds >= 3), s"flag disagrees with l=3: $r")
+    }
+    // the audit must be non-trivial both ways on the fixture
+    assert(rows.exists(_.getInt(5) == 1) && rows.exists(_.getInt(5) == 0),
+      "fixture should contain both diverse and non-diverse classes")
+  }
+}
