@@ -98,6 +98,9 @@ object SparkEntry {
     "q_csv_roundtrip"      -> (Sinks.qCsvRoundtrip _),
     "q_multimodal_meta"    -> (MultimodalOps.qMultimodalMeta _),
     "q_media_codecs"       -> (MultimodalOps.qMediaCodecs _),
+    "q_audio_pcm_stats"    -> (MultimodalOps.qAudioPcmStats _),
+    "q_pixel_dedup"        -> (MultimodalOps.qPixelDedup _),
+    "q_zone_map"           -> (ScaleOps.qZoneMap _),
     "q_frame_sample"       -> (MultimodalOps.qFrameSample _),
     "q_media_embed"        -> ((s, d) => MultimodalOps.qMediaEmbed(s, d)),
     "q_window_range_frame" -> (Relational.qWindowRangeFrame _),
@@ -958,6 +961,45 @@ object SparkEntry {
     // and explicit sign-extension for Scala's arithmetic >> shifts.
     // That turns the stub's determinism into a checkable contract.
     "q_media_codecs" -> MultimodalOps.mediaCodecsOracleSql,
+    "q_audio_pcm_stats" -> MultimodalOps.audioPcmStatsOracleSql,
+    "q_pixel_dedup" -> MultimodalOps.pixelDedupOracleSql,
+
+    "q_zone_map" ->
+      """WITH priced AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |         CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |wz AS (SELECT okey // 1000 AS zone, MAX(cents) AS zmax,
+        |              COUNT(*) AS zrows FROM priced GROUP BY 1),
+        |cz AS (SELECT cents // 2500000 AS zone, MAX(cents) AS zmax,
+        |              COUNT(*) AS zrows FROM priced GROUP BY 1),
+        |g AS (SELECT (CAST(i AS BIGINT) + 1) * 5000000 AS thresh_cents
+        |      FROM range(9) t(i)),
+        |wa AS (SELECT thresh_cents,
+        |         CAST(COUNT(*) AS BIGINT) AS write_zones,
+        |         CAST(SUM(CASE WHEN zmax <= thresh_cents THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS write_zones_skipped,
+        |         CAST(SUM(CASE WHEN zmax <= thresh_cents THEN zrows ELSE 0 END)
+        |              AS BIGINT) AS write_rows_skipped,
+        |         SUM(zrows) AS wr
+        |       FROM wz, g GROUP BY 1),
+        |ca AS (SELECT thresh_cents,
+        |         CAST(COUNT(*) AS BIGINT) AS clustered_zones,
+        |         CAST(SUM(CASE WHEN zmax <= thresh_cents THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS clustered_zones_skipped,
+        |         CAST(SUM(CASE WHEN zmax <= thresh_cents THEN zrows ELSE 0 END)
+        |              AS BIGINT) AS clustered_rows_skipped,
+        |         SUM(zrows) AS cr
+        |       FROM cz, g GROUP BY 1)
+        |SELECT wa.thresh_cents,
+        |       write_zones, write_zones_skipped, write_rows_skipped,
+        |       FLOOR(write_rows_skipped * 1.0 / wr * 10000.0 + 0.5)
+        |         / 10000.0 AS write_skip_ratio,
+        |       clustered_zones, clustered_zones_skipped, clustered_rows_skipped,
+        |       FLOOR(clustered_rows_skipped * 1.0 / cr * 10000.0 + 0.5)
+        |         / 10000.0 AS clustered_skip_ratio
+        |FROM wa JOIN ca USING (thresh_cents)
+        |ORDER BY thresh_cents""".stripMargin,
     "q_multimodal_meta" -> (MultimodalOps.fnvOracleCommonSql +
       """
         |SELECT mime, CAST(COUNT(*) AS BIGINT) AS n_assets,

@@ -9,14 +9,19 @@ import org.apache.spark.sql.types._
   * metadata struct; decode / feature-extract / resize / frame-sample
   * run as per-partition batch transforms.
   *
-  * DECODE IS REAL FOR METADATA, STUBBED FOR SAMPLES: images decode
-  * via `javax.imageio` (header-only), WAV via pure-JVM RIFF chunk
-  * parsing, MP3 via MPEG frame-header walking, MP4 via ISO BMFF box
-  * walking — all zero-dependency, all oracle-gated through
-  * `q_media_codecs`. Only decoding the actual coded SAMPLES
-  * (pixels/PCM from compressed formats) needs a codec library the
-  * container lacks; for payloads no parser recognizes, `stubDecode`
-  * derives deterministic fake properties (clearly marked below).
+  * DECODE IS REAL DOWN TO SAMPLES WHERE THE JDK CAN GET THERE:
+  * metadata for all four container families — images via
+  * `javax.imageio`, WAV via pure-JVM RIFF chunk parsing, MP3 via
+  * MPEG frame-header walking, MP4 via ISO BMFF box walking — all
+  * zero-dependency, oracle-gated through `q_media_codecs`; and REAL
+  * SAMPLE DATA on the two lossless paths: PNG pixels through the
+  * JDK's full PNG codec (`q_pixel_dedup` hashes really-decoded
+  * pixels) and 16-bit PCM through `decodeWavPcm` (`q_audio_pcm_stats`
+  * — for uncompressed PCM the RIFF parser IS the codec). Only coded
+  * samples of COMPRESSED audio/video (MP3 granules, H.264 frames)
+  * need a codec library the container lacks; for payloads no parser
+  * recognizes, `stubDecode` derives deterministic fake properties
+  * (clearly marked below).
   * Everything around decode — schema, binary handling,
   * partition-batch iteration (`mapPartitions`, the Scala analog of a
   * vectorized Python `mapInPandas`), explode fan-out for frame
@@ -361,6 +366,85 @@ object MultimodalOps {
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
+
+  /** 16-bit mono PCM WAV with REAL sample data: sample i is the
+    * integer sawtooth `((a·i + b) mod 2048) − 1024` — a pure function
+    * of (a, b, i) that a SQL oracle recomputes without parsing a
+    * byte. */
+  def makeWavPcm(rate: Int, a: Int, b: Int, nSamples: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + nSamples * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + nSamples * 2).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1.toShort).putShort(1.toShort)
+      .putInt(rate).putInt(rate * 2).putShort(2.toShort).putShort(16.toShort)
+    bb.put("data".getBytes).putInt(nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort((((a * i + b) % 2048) - 1024).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** REAL PCM sample decode — the uncompressed-audio case where a
+    * pure-JVM parser IS the full codec: RIFF chunk walk to the `data`
+    * chunk, then little-endian int16 reads. Returns the sample array
+    * for 16-bit PCM payloads, None otherwise. */
+  def decodeWavPcm(payload: Array[Byte]): Option[Array[Short]] = {
+    def u16(i: Int): Int = (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long =
+      (payload(i) & 0xffL) | ((payload(i + 1) & 0xffL) << 8) |
+        ((payload(i + 2) & 0xffL) << 16) | ((payload(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String =
+      new String(payload, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (payload.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var bits = -1
+    var dataAt = -1
+    var dataBytes = 0
+    while (pos + 8 <= payload.length && (bits < 0 || dataAt < 0)) {
+      val id = tag(pos)
+      val sz = u32(pos + 4).toInt
+      if (id == "fmt " && pos + 24 <= payload.length) bits = u16(pos + 22)
+      else if (id == "data") { dataAt = pos + 8; dataBytes = sz }
+      pos += 8 + sz + (sz & 1)
+    }
+    if (bits != 16 || dataAt < 0 || dataAt + dataBytes > payload.length) None
+    else {
+      val out = new Array[Short](dataBytes / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((payload(dataAt + 2 * i) & 0xff) |
+          (payload(dataAt + 2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      Some(out)
+    }
+  }
+
+  /** Deterministic 16×16 8-bit grayscale gradient PNG: pixel (x, y)
+    * has value `(a·x + b·y + c) mod 256`. PNG grayscale is lossless,
+    * so a real encode→decode roundtrip must reproduce every pixel
+    * bit-exactly — which is what lets a SQL oracle recompute the
+    * perceptual hash downstream from (a, b, c) alone. */
+  def makeGradPng(a: Int, b: Int, c: Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        raster.setSample(x, y, 0, (a * x + b * y + c) % 256)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
   // ================================================================ //
 
   /** The codec-decode differential (driver contract entry): per doc,
@@ -444,6 +528,151 @@ object MultimodalOps {
       |    WHEN 2 THEN (5 + doc_id % 20) * 1152 * 1000 // 44100
       |    ELSE 1000 + doc_id % 60000 END AS BIGINT) AS duration_ms
       |FROM documents ORDER BY asset_id""".stripMargin
+
+  /** SAMPLE-LEVEL audio analytics over really-decoded PCM — the
+    * loudness/clipping audit an audio-training pipeline runs per
+    * asset: each doc synthesizes a 16-bit mono WAV whose samples are
+    * a pure (doc_id, i) sawtooth ([[makeWavPcm]]), the REAL RIFF
+    * parser reads them back ([[decodeWavPcm]] — for uncompressed PCM
+    * the parser IS the full codec, no stub anywhere in this path),
+    * and peak / mean-abs / energy / zero-crossings accumulate as
+    * exact integers inside the same mapPartitions (payload bytes
+    * never cross a shuffle; output is 6 scalars per asset). The
+    * oracle regenerates every sample with LATERAL UNNEST(range(n))
+    * and must land on identical integers; rms is the one rooted
+    * value — sqrt of an exactly-representable rational, IEEE-rounded
+    * identically on both engines, then floor-quantized to millis. */
+  def qAudioPcmStats(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val a = 3 + (id % 7).toInt
+          val b = (id % 512).toInt
+          val n = 400 + (id % 200).toInt
+          val samples = decodeWavPcm(makeWavPcm(8000, a, b, n)).get
+          var peak = 0L; var sumAbs = 0L; var sumSq = 0L; var zc = 0L
+          var i = 0
+          while (i < samples.length) {
+            val v = samples(i).toLong
+            val av = math.abs(v)
+            if (av > peak) peak = av
+            sumAbs += av
+            sumSq += v * v
+            if (i > 0 && ((v >= 0) != (samples(i - 1) >= 0))) zc += 1
+            i += 1
+          }
+          val rmsMilli =
+            math.floor(math.sqrt(sumSq.toDouble / samples.length) * 1000.0 + 0.5).toLong
+          (id, samples.length.toLong, peak, sumAbs, sumSq, zc, rmsMilli)
+        }
+      }
+      .toDF("doc_id", "n_samples", "peak", "sum_abs", "sum_sq",
+        "zero_crossings", "rms_milli")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[qAudioPcmStats]]: every sample regenerated
+    * from the (doc_id, i) formula, aggregated per doc — any byte-level
+    * bug in the WAV writer or the PCM reader shifts an integer. */
+  val audioPcmStatsOracleSql: String =
+    """WITH p AS (SELECT doc_id, 3 + doc_id % 7 AS a, doc_id % 512 AS b,
+      |                  400 + doc_id % 200 AS n FROM documents),
+      |s AS (SELECT p.doc_id, p.n, t.i,
+      |             ((p.a * t.i + p.b) % 2048) - 1024 AS v
+      |      FROM p, LATERAL (SELECT UNNEST(range(p.n)) AS i) t),
+      |sl AS (SELECT doc_id, n, i, v,
+      |              LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      |       FROM s)
+      |SELECT doc_id,
+      |       CAST(MAX(n) AS BIGINT) AS n_samples,
+      |       CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+      |       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+      |       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+      |       CAST(SUM(CASE WHEN pv IS NOT NULL
+      |                      AND (v >= 0) <> (pv >= 0)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+      |       CAST(FLOOR(SQRT(CAST(SUM(v * v) AS DOUBLE) / MAX(n))
+      |                  * 1000.0 + 0.5) AS BIGINT) AS rms_milli
+      |FROM sl GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Perceptual-hash image dedup over REALLY-decoded pixels — the
+    * near-duplicate-image stage of a multimodal pipeline, on the one
+    * image path the JDK fully decodes (PNG grayscale is lossless):
+    * per doc, a 16×16 gradient PNG is synthesized from doc_id
+    * parameters ([[makeGradPng]]), ImageIO decodes it back to pixels,
+    * and the classic 64-bit average-hash (aHash) is computed from
+    * them — 8×8 grid of 2×2 integer block means, each bit = block
+    * mean above the global mean — as a 64-char bit string (strings
+    * sidestep the sign bit a BIGINT hash would hit). Identical
+    * parameter triples collide exactly, so grouping by hash IS the
+    * dedup; everything after the per-partition decode is one hash
+    * aggregate on a 64-char key — the same shape at any corpus size.
+    * The oracle recomputes all 64 block means in closed form from
+    * (a, b, c): an encoder or decoder bug anywhere in the pixel path
+    * flips a bit and breaks the hash compare. */
+  def qPixelDedup(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val (a, b, c) = ((id % 5).toInt, (id % 3).toInt, (id % 7).toInt * 16)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(makeGradPng(a, b, c)))
+          val raster = img.getRaster
+          val means = new Array[Int](64)
+          var by = 0
+          while (by < 8) {
+            var bx = 0
+            while (bx < 8) {
+              means(by * 8 + bx) =
+                (raster.getSample(2 * bx, 2 * by, 0) +
+                  raster.getSample(2 * bx + 1, 2 * by, 0) +
+                  raster.getSample(2 * bx, 2 * by + 1, 0) +
+                  raster.getSample(2 * bx + 1, 2 * by + 1, 0)) / 4
+              bx += 1
+            }
+            by += 1
+          }
+          val global = means.sum / 64
+          val hash = means.map(m => if (m > global) '1' else '0').mkString
+          (id, hash)
+        }
+      }
+      .toDF("doc_id", "hash")
+      .groupBy("hash")
+      .agg(count(lit(1)).as("n_images"), min("doc_id").as("canonical_doc"))
+      .orderBy("hash")
+  }
+
+  /** DuckDB oracle for [[qPixelDedup]]: the 64 block means in closed
+    * form, the same floor divisions, the same bit string. */
+  val pixelDedupOracleSql: String =
+    """WITH p AS (SELECT doc_id, doc_id % 5 AS a, doc_id % 3 AS b,
+      |                  (doc_id % 7) * 16 AS c FROM documents),
+      |g AS (SELECT p.doc_id, p.a, p.b, p.c, bx.i AS bx, by.i AS by
+      |      FROM p,
+      |           LATERAL (SELECT UNNEST(range(8)) AS i) bx,
+      |           LATERAL (SELECT UNNEST(range(8)) AS i) by),
+      |m AS (SELECT doc_id, bx, by,
+      |        CAST((((a * (2*bx)     + b * (2*by)     + c) % 256)
+      |            + ((a * (2*bx + 1) + b * (2*by)     + c) % 256)
+      |            + ((a * (2*bx)     + b * (2*by + 1) + c) % 256)
+      |            + ((a * (2*bx + 1) + b * (2*by + 1) + c) % 256)) // 4
+      |             AS BIGINT) AS mean
+      |      FROM g),
+      |gm AS (SELECT doc_id, CAST(SUM(mean) // 64 AS BIGINT) AS glob
+      |       FROM m GROUP BY doc_id),
+      |h AS (SELECT m.doc_id,
+      |             string_agg(CASE WHEN m.mean > gm.glob THEN '1' ELSE '0' END,
+      |                        '' ORDER BY m.by * 8 + m.bx) AS hash
+      |      FROM m JOIN gm USING (doc_id) GROUP BY m.doc_id)
+      |SELECT hash, CAST(COUNT(*) AS BIGINT) AS n_images,
+      |       CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+      |FROM h GROUP BY hash ORDER BY hash""".stripMargin
 
   // ======================= STUB DECODER ========================== //
   // Deterministic FAKE media decode for payloads NO real parser

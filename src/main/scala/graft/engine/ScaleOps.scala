@@ -494,4 +494,54 @@ object ScaleOps {
         keyCounts(cust, "c_custkey"), keyCounts(orders, "o_custkey")))
       .orderBy("join_name")
   }
+
+  /** Zone-map (min/max) skipping evaluation — the row-group-pruning
+    * measurement behind every 100 TB layout decision (parquet
+    * row-group stats, ORC stripe stats, Iceberg/Delta file stats all
+    * prune on exactly this): for a sweep of `o_totalprice > C`
+    * predicates, how many zones (and rows) can a scan skip when the
+    * data sits in WRITE order (zone = orderkey block — price is
+    * uncorrelated, min/max spans are wide, little skips) vs
+    * CLUSTERED order (zone = price bucket — tight spans, nearly
+    * everything below C skips). Prices quantize to exact cents so a
+    * zone's max and the threshold can never disagree across engines.
+    * Plan shape: two zone-cardinality aggregates (map-side
+    * combinable; zone count grows with data but stays tiny next to
+    * rows), a broadcast 9-row threshold grid, and a threshold-keyed
+    * re-aggregate — no raw-row window, no sort, no layout rewrite. */
+  def qZoneMap(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val priced = Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("okey"),
+      floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    def zoneStats(zone: Column) = priced
+      .groupBy(zone.as("zone"))
+      .agg(max("cents").as("zmax"), count(lit(1)).as("zrows"))
+    val grid = s.range(9).select(
+      ((col("id") + 1) * 5000000L).as("thresh_cents")) // $50k .. $450k
+    def skipAgg(stats: DataFrame, prefix: String) = stats
+      .crossJoin(broadcast(grid))
+      .groupBy("thresh_cents")
+      .agg(
+        count(lit(1)).as(s"${prefix}_zones"),
+        sum((col("zmax") <= col("thresh_cents")).cast("long"))
+          .as(s"${prefix}_zones_skipped"),
+        sum(when(col("zmax") <= col("thresh_cents"), col("zrows"))
+          .otherwise(lit(0L))).as(s"${prefix}_rows_skipped"),
+        sum("zrows").as(s"${prefix}_rows"))
+    val write = skipAgg(zoneStats(floor(col("okey") / 1000.0).cast("long")), "write")
+    val clustered = skipAgg(
+      zoneStats(floor(col("cents") / 2500000.0).cast("long")), "clustered")
+    write.join(clustered, "thresh_cents")
+      .select(col("thresh_cents"),
+        col("write_zones"), col("write_zones_skipped"),
+        col("write_rows_skipped"),
+        r4(col("write_rows_skipped") / col("write_rows").cast("double"))
+          .as("write_skip_ratio"),
+        col("clustered_zones"), col("clustered_zones_skipped"),
+        col("clustered_rows_skipped"),
+        r4(col("clustered_rows_skipped") / col("clustered_rows").cast("double"))
+          .as("clustered_skip_ratio"))
+      .orderBy("thresh_cents")
+  }
 }

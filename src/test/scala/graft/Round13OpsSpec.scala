@@ -1,6 +1,6 @@
 package graft
 
-import graft.engine.{CurationOps, StatsOps, TextOps, VectorOps}
+import graft.engine.{CurationOps, MultimodalOps, ScaleOps, StatsOps, TextOps, VectorOps}
 
 /** Invariant checks for the round-13 additions — Gopher rule report,
   * encoding audit, URL canonicalization dedup, Matryoshka truncation
@@ -105,5 +105,67 @@ class Round13OpsSpec extends SparkSuite {
     // the audit must be non-trivial both ways on the fixture
     assert(rows.exists(_.getInt(5) == 1) && rows.exists(_.getInt(5) == 0),
       "fixture should contain both diverse and non-diverse classes")
+  }
+
+  test("PCM decode roundtrip: known sawtooth samples come back bit-exact") {
+    val wav = MultimodalOps.makeWavPcm(8000, 5, 100, 64)
+    val samples = MultimodalOps.decodeWavPcm(wav).get
+    assert(samples.length == 64)
+    (0 until 64).foreach { i =>
+      assert(samples(i) == ((5 * i + 100) % 2048 - 1024).toShort,
+        s"sample $i mismatch")
+    }
+    // the header-only parser agrees on the same payload
+    val (rate, bits, ch, _) = MultimodalOps.decodeWavHeader(wav).get
+    assert(rate == 8000 && bits == 16 && ch == 1)
+    // non-PCM / malformed payloads refuse rather than misread
+    assert(MultimodalOps.decodeWavPcm("not audio".getBytes).isEmpty)
+  }
+
+  test("audio pcm stats: peak ≤ 1024, |sum| bounds consistent, rms ≤ peak") {
+    val rows = MultimodalOps.qAudioPcmStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, peak, sumAbs, sumSq, zc, rms) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(peak <= 1024 && peak >= 1, s"sawtooth peak out of range: $r")
+      assert(sumAbs <= n * peak && sumSq <= n * peak * peak, s"sum bounds: $r")
+      assert(zc < n, s"more crossings than samples: $r")
+      assert(rms <= peak * 1000, s"rms exceeds peak: $r")
+    }
+  }
+
+  test("pixel dedup: gradient PNGs with identical (a,b,c) collide; groups partition the corpus") {
+    val rows = MultimodalOps.qPixelDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0).length == 64, s"aHash must be 64 bits: $r")
+      assert(r.getString(0).forall(c => c == '0' || c == '1'))
+    }
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "groups must partition all docs")
+    // only 105 parameter triples exist, so grouping must actually dedup
+    assert(rows.length < nDocs, "no deduplication happened")
+    // decode really ran: a known gradient's hash matches a direct recompute
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(MultimodalOps.makeGradPng(2, 1, 32)))
+    assert(img.getRaster.getSample(3, 4, 0) == (2 * 3 + 1 * 4 + 32) % 256,
+      "PNG roundtrip must be pixel-lossless")
+  }
+
+  test("zone map: clustered layout always skips at least as much as write order") {
+    val rows = ScaleOps.qZoneMap(spark, sf).collect()
+    assert(rows.length == 9)
+    rows.foreach { r =>
+      val (wSkip, cSkip) = (r.getDouble(4), r.getDouble(8))
+      assert(cSkip >= wSkip - 1e-9,
+        s"value-clustered zones must dominate write-order zones: $r")
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(6) <= r.getLong(5),
+        s"skipped zones exceed zone count: $r")
+    }
+    // the sweep must be non-trivial: clustered skipping grows with threshold
+    val cRatios = rows.sortBy(_.getLong(0)).map(_.getDouble(8))
+    assert(cRatios.last > cRatios.head,
+      s"clustered skip ratio should rise across thresholds: ${cRatios.toSeq}")
   }
 }
