@@ -304,6 +304,9 @@ object SparkEntry {
     "q_quality_funnel"     -> (CurationOps.qQualityFunnel _),
     "q_gopher_rules"       -> (CurationOps.qGopherRules _),
     "q_url_dedup"          -> (CurationOps.qUrlDedup _),
+    "q_feature_hashing"    -> (CurationOps.qFeatureHashing _),
+    "q_dp_noise"           -> (StatsOps.qDpNoise _),
+    "q_ips_eval"           -> (AnalyticsOps.qIpsEval _),
     "q_encoding_audit"     -> (TextOps.qEncodingAudit _),
     "q_gram_novelty"       -> (TextOps.qGramNovelty _),
     "q_bigram_logprob"     -> (TextOps.qBigramLogprob _),
@@ -3540,6 +3543,67 @@ object SparkEntry {
         |         ORDER BY quality DESC, doc_id) AS INTEGER) AS keep
         |FROM lab
         |ORDER BY doc_id""".stripMargin,
+
+    "q_feature_hashing" ->
+      """WITH tf AS (
+        |  SELECT token, COUNT(*) AS occ FROM (
+        |    SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token
+        |    FROM documents) GROUP BY token),
+        |b AS (SELECT ('0x' || substr(md5(token), 1, 8))::BIGINT % 1024 AS bucket,
+        |             occ
+        |      FROM tf),
+        |pb AS (SELECT bucket, COUNT(*) AS load, SUM(occ) AS occ
+        |       FROM b GROUP BY bucket),
+        |l AS (SELECT load,
+        |             CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |             CAST(SUM(load) AS BIGINT) AS n_token_types,
+        |             CAST(SUM(occ) AS BIGINT) AS n_occurrences
+        |      FROM pb GROUP BY load),
+        |e AS (SELECT CAST(0 AS BIGINT) AS load,
+        |             CAST(1024 - (SELECT COUNT(*) FROM pb) AS BIGINT) AS n_buckets,
+        |             CAST(0 AS BIGINT) AS n_token_types,
+        |             CAST(0 AS BIGINT) AS n_occurrences)
+        |SELECT * FROM (SELECT * FROM l UNION ALL SELECT * FROM e)
+        |WHERE n_buckets > 0 ORDER BY load""".stripMargin,
+
+    "q_dp_noise" ->
+      """WITH c AS (SELECT event_type, COUNT(*) AS true_n
+        |           FROM events GROUP BY 1),
+        |u AS (SELECT event_type, true_n,
+        |        ((('0x' || substr(md5(event_type), 1, 8))::BIGINT % 999999)
+        |         + 1 - 500000) / 1e6 AS u
+        |      FROM c),
+        |n AS (SELECT event_type, true_n, u,
+        |        -1.0 * sign(u) * ln(1 - 2 * abs(u)) AS noise
+        |      FROM u)
+        |SELECT event_type, true_n,
+        |       FLOOR(noise * 10000.0 + 0.5) / 10000.0 AS noise,
+        |       CAST(FLOOR(true_n + noise + 0.5) AS BIGINT) AS released_n,
+        |       CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM n ORDER BY event_type""".stripMargin,
+
+    "q_ips_eval" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id % 4 AS BIGINT) AS segment,
+        |         event_type AS action,
+        |         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS r_c
+        |  FROM events),
+        |xa AS (SELECT segment, action, COUNT(*) AS n_xa, SUM(r_c) AS rsum_c
+        |       FROM e GROUP BY 1, 2),
+        |t AS (SELECT segment, n_xa, rsum_c,
+        |             CASE WHEN action = 'purchase' THEN 3 ELSE 1 END AS w
+        |      FROM xa),
+        |t2 AS (SELECT segment, n_xa, rsum_c, w,
+        |              (rsum_c * w * 1000000) // n_xa AS term_u
+        |       FROM t)
+        |SELECT segment,
+        |       CAST(SUM(n_xa) AS BIGINT) AS n_x,
+        |       CAST(COUNT(*) AS BIGINT) AS n_actions,
+        |       FLOOR(SUM(rsum_c) * 1.0 / SUM(n_xa) * 10000.0 + 0.5)
+        |         / 10000.0 AS logged_avg_cents,
+        |       FLOOR(SUM(term_u) * 1.0 / (SUM(w) * 1000000)
+        |             * 10000.0 + 0.5) / 10000.0 AS ips_avg_cents
+        |FROM t2 GROUP BY segment ORDER BY segment""".stripMargin,
 
     "q_l_diversity" ->
       """WITH ps AS (

@@ -1110,4 +1110,44 @@ object AnalyticsOps {
         floor(col("total_c").cast("double") / col("n") + 0.5).cast("long"))
       .orderBy("event_type", "hour_ts")
   }
+
+  /** Offline policy evaluation via inverse-propensity scoring (IPS,
+    * Horvitz–Thompson): "what would average reward be if we served
+    * the purchase-preferring policy instead of what was logged?" —
+    * answered from the log alone, the counterfactual eval every
+    * recommendation/ranking team runs before an online A/B. Logged
+    * propensities are the empirical action frequencies per user
+    * segment μ(a|x) = n_xa/n_x; the target policy puts weight 3 on
+    * `purchase` and 1 elsewhere over the segment's observed action
+    * support. Algebra keeps everything integer-exact until one final
+    * division: IPS_x = Σ_a [R_xa·w_a / n_xa] / W_x with each term
+    * floor-scaled to exact micro-cent units, so the Σ_a sum (5
+    * terms) cannot float-order-flap. Plan: one (segment, action)
+    * hash aggregate — 20 groups at any log size — then a
+    * segment-level re-aggregate; nothing bigger than the group
+    * table ever shuffles. */
+  def qIpsEval(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val perXA = events(s, d)
+      .select((col("user_id") % 4).cast("long").as("segment"),
+        col("event_type").as("action"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("r_c"))
+      .groupBy("segment", "action")
+      .agg(count(lit(1)).as("n_xa"), sum("r_c").as("rsum_c"))
+      .withColumn("w", when(col("action") === "purchase", 3L).otherwise(1L))
+      .withColumn("term_u", expr("(rsum_c * w * 1000000) div n_xa"))
+    perXA
+      .groupBy("segment")
+      .agg(
+        sum("n_xa").as("n_x"),
+        count(lit(1)).as("n_actions"),
+        sum("w").as("w_total"),
+        sum("rsum_c").as("logged_c"),
+        sum("term_u").as("ips_u"))
+      .select(col("segment"), col("n_x"), col("n_actions"),
+        r4(col("logged_c") / col("n_x").cast("double")).as("logged_avg_cents"),
+        r4(col("ips_u") / (col("w_total") * 1000000L).cast("double"))
+          .as("ips_avg_cents"))
+      .orderBy("segment")
+  }
 }

@@ -651,4 +651,36 @@ object CurationOps {
         countDistinct(col("url")).as("n_raw_variants"))
       .orderBy("canonical_url")
   }
+
+  /** Feature-hashing (hashing-trick) collision audit (Weinberger et
+    * al. 2009): before a pipeline commits to hashing its vocabulary
+    * into 2^k buckets instead of materializing a dictionary, it
+    * measures how much signal the collisions destroy. Every distinct
+    * token hashes (md5 → first 8 hex digits → mod 1024) to a bucket;
+    * the report is the bucket-LOAD histogram — for each load L (L
+    * distinct tokens sharing a bucket): how many buckets, how many
+    * token types, and how many corpus occurrences now alias each
+    * other — plus the load-0 row (empty buckets) so the histogram
+    * sums to exactly 1024. Vocabulary is corpus-bounded (Heaps' law)
+    * but the aggregate chain is vocab → 1024 buckets → ≤ vocab
+    * loads: each stage map-side combinable, nothing broadcast. */
+  def qFeatureHashing(s: SparkSession, d: String): DataFrame = {
+    val tf = documents(s, d)
+      .select(explode(toks).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("occ"))
+      .withColumn("bucket",
+        conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long") % 1024L)
+    val perBucket = tf.groupBy("bucket")
+      .agg(count(lit(1)).as("load"), sum("occ").as("occ"))
+    val loaded = perBucket.groupBy("load")
+      .agg(count(lit(1)).as("n_buckets"),
+        (sum("load")).as("n_token_types"),
+        sum("occ").as("n_occurrences"))
+    val empty = perBucket.agg(
+      (lit(1024L) - count(lit(1))).as("n_buckets"))
+      .select(lit(0L).as("load"), col("n_buckets"),
+        lit(0L).as("n_token_types"), lit(0L).as("n_occurrences"))
+    loaded.unionByName(empty).filter(col("n_buckets") > 0).orderBy("load")
+  }
 }

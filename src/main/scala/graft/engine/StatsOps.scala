@@ -1174,4 +1174,39 @@ object StatsOps {
       .withColumn("l_diverse", (col("distinct_sensitive") >= 3).cast("int"))
       .orderBy("nation", "bal_bucket")
   }
+
+  /** ε-differential-privacy release mechanism with SEEDED Laplace
+    * noise — the third member of the privacy family
+    * ([[qKanonymity]], [[qLDiversity]]): per-event-type counts
+    * released through the standard Laplace(1/ε) mechanism, but with
+    * the uniform draw derived from md5(key) instead of an RNG, so
+    * the released table is reproducible and the mechanism itself is
+    * differentially testable (a seeded mechanism is what a privacy
+    * team uses to UNIT-TEST noise calibration; production swaps the
+    * hash for a real RNG without touching the query shape). The
+    * inverse-CDF transform: u ∈ [−0.499999, 0.499999] from the hash
+    * (the ±0.5 endpoints that would blow up ln(0) are unreachable by
+    * construction), noise = −b·sign(u)·ln(1−2|u|) with b = 1/ε.
+    * Counts aggregate exactly; the one float op (ln) is IEEE-evaluated
+    * on an exactly-representable rational in both engines. Sensitivity
+    * of a disjoint count partition is 1, so every released count uses
+    * the full budget — ε accounting rides along per row. */
+  def qDpNoise(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val eps = 1.0
+    val counts = events(s, d).groupBy("event_type")
+      .agg(count(lit(1)).as("true_n"))
+    val u = ((conv(substring(md5(col("event_type")), 1, 8), 16, 10)
+      .cast("long") % 999999L) + 1L - 500000L).cast("double") / 1e6
+    counts
+      .withColumn("u", u)
+      .withColumn("noise",
+        lit(-1.0 / eps) * signum(col("u")) *
+          log(lit(1.0) - lit(2.0) * abs(col("u"))))
+      .select(col("event_type"), col("true_n"),
+        r4(col("noise")).as("noise"),
+        floor(col("true_n") + col("noise") + 0.5).cast("long").as("released_n"),
+        lit(eps).as("epsilon"))
+      .orderBy("event_type")
+  }
 }

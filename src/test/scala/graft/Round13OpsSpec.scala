@@ -1,6 +1,6 @@
 package graft
 
-import graft.engine.{CurationOps, MultimodalOps, ScaleOps, StatsOps, TextOps, VectorOps}
+import graft.engine.{AnalyticsOps, CurationOps, MultimodalOps, ScaleOps, StatsOps, TextOps, VectorOps}
 
 /** Invariant checks for the round-13 additions — Gopher rule report,
   * encoding audit, URL canonicalization dedup, Matryoshka truncation
@@ -167,5 +167,45 @@ class Round13OpsSpec extends SparkSuite {
     val cRatios = rows.sortBy(_.getLong(0)).map(_.getDouble(8))
     assert(cRatios.last > cRatios.head,
       s"clustered skip ratio should rise across thresholds: ${cRatios.toSeq}")
+  }
+
+  test("feature hashing: load histogram covers exactly 1024 buckets and the whole vocabulary") {
+    val rows = CurationOps.qFeatureHashing(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == 1024, "histogram must sum to the bucket count")
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1),
+        s"token types must equal load × buckets: $r")
+      assert(r.getLong(0) > 0 || r.getLong(3) == 0, s"empty buckets carry no occurrences: $r")
+    }
+    val vocab = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("explode(split(trim(text), '\\\\s+')) AS t").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == vocab, "every token type lands in exactly one bucket")
+  }
+
+  test("dp noise: released counts stay within the Laplace tail bound and noise is seeded-stable") {
+    val once = StatsOps.qDpNoise(spark, sf).collect()
+    val twice = StatsOps.qDpNoise(spark, sf).collect()
+    assert(once.map(_.toString).toSeq == twice.map(_.toString).toSeq,
+      "seeded mechanism must be reproducible")
+    once.foreach { r =>
+      val (n, noise, released) = (r.getLong(1), r.getDouble(2), r.getLong(3))
+      // |noise| = |ln(1-2|u|)| ≤ ln(1e6) ≈ 13.8 for the u grid
+      assert(math.abs(noise) <= 14.0, s"noise outside the inverse-CDF range: $r")
+      assert(math.abs(released - n) <= 15, s"released count drifted past the bound: $r")
+      assert(r.getDouble(4) == 1.0)
+    }
+  }
+
+  test("ips eval: uniform-weight policy would reproduce the logged average; 3x-purchase shifts it") {
+    val rows = AnalyticsOps.qIpsEval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (logged, ips) = (r.getDouble(3), r.getDouble(4))
+      assert(logged > 0 && ips > 0, s"degenerate averages: $r")
+      // IPS reweights toward purchase rewards: the estimate moves, but by
+      // less than the 3x weight cap
+      assert(ips <= logged * 3.0 + 1e-6 && ips >= logged / 3.0 - 1e-6,
+        s"IPS outside the weight envelope: $r")
+    }
   }
 }
