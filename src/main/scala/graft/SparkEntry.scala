@@ -307,6 +307,9 @@ object SparkEntry {
     "q_feature_hashing"    -> (CurationOps.qFeatureHashing _),
     "q_dp_noise"           -> (StatsOps.qDpNoise _),
     "q_ips_eval"           -> (AnalyticsOps.qIpsEval _),
+    "q_pseudonymize"       -> (StatsOps.qPseudonymize _),
+    "q_word_analogy"       -> (VectorOps.qWordAnalogy _),
+    "q_incremental_dedup"  -> (TextOps.qIncrementalDedup _),
     "q_encoding_audit"     -> (TextOps.qEncodingAudit _),
     "q_gram_novelty"       -> (TextOps.qGramNovelty _),
     "q_bigram_logprob"     -> (TextOps.qBigramLogprob _),
@@ -3604,6 +3607,84 @@ object SparkEntry {
         |       FLOOR(SUM(term_u) * 1.0 / (SUM(w) * 1000000)
         |             * 10000.0 + 0.5) / 10000.0 AS ips_avg_cents
         |FROM t2 GROUP BY segment ORDER BY segment""".stripMargin,
+
+    "q_pseudonymize" ->
+      """WITH t AS (
+        |  SELECT user_id,
+        |         substr(md5('graft-salt-v1:' || CAST(user_id AS VARCHAR)),
+        |                1, 8) AS token
+        |  FROM events),
+        |u AS (SELECT user_id, MIN(token) AS token, COUNT(*) AS n_ev
+        |      FROM t GROUP BY user_id),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |             CAST(COUNT(DISTINCT token) AS BIGINT) AS n_tokens,
+        |             CAST(COUNT(*) - COUNT(DISTINCT token) AS BIGINT)
+        |               AS n_collisions,
+        |             CAST(SUM(n_ev) AS BIGINT) AS n_events
+        |      FROM u),
+        |v AS (SELECT CAST(SUM(c) AS BIGINT) AS n_events_via_token
+        |      FROM (SELECT COUNT(*) AS c FROM t GROUP BY token))
+        |SELECT a.n_users, a.n_tokens, a.n_collisions, a.n_events,
+        |       v.n_events_via_token,
+        |       CASE WHEN a.n_events = v.n_events_via_token
+        |            THEN 1 ELSE 0 END AS lossless
+        |FROM a, v""".stripMargin,
+
+    "q_word_analogy" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |p AS (SELECT probe, 3 * probe AS id_a, 3 * probe + 1 AS id_b,
+        |             3 * probe + 2 AS id_c
+        |      FROM (SELECT UNNEST(range(5)) AS probe)),
+        |tri AS (SELECT p.probe, p.id_a, p.id_b, p.id_c,
+        |          list_transform(range(1, 65),
+        |            i -> a.v[i] - b.v[i] + c.v[i]) AS target
+        |        FROM p JOIN t a ON a.vec_id = p.id_a
+        |               JOIN t b ON b.vec_id = p.id_b
+        |               JOIN t c ON c.vec_id = p.id_c),
+        |sc AS (SELECT tri.probe, tri.id_a, tri.id_b, tri.id_c, t.vec_id,
+        |         ROUND(
+        |           list_sum(list_transform(range(1, 65),
+        |             i -> tri.target[i] * t.v[i])) /
+        |           (sqrt(list_sum(list_transform(range(1, 65),
+        |              i -> tri.target[i] * tri.target[i]))) *
+        |            sqrt(list_sum(list_transform(range(1, 65),
+        |              i -> t.v[i] * t.v[i])))), 6) AS cos_sim
+        |       FROM tri, t
+        |       WHERE t.vec_id <> tri.id_a AND t.vec_id <> tri.id_b
+        |         AND t.vec_id <> tri.id_c),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe
+        |         ORDER BY cos_sim DESC, vec_id) AS rn FROM sc)
+        |SELECT CAST(probe AS BIGINT) AS probe,
+        |       CAST(id_a AS BIGINT) AS id_a,
+        |       CAST(id_b AS BIGINT) AS id_b,
+        |       CAST(id_c AS BIGINT) AS id_c,
+        |       vec_id AS best_id,
+        |       FLOOR(cos_sim * 10000.0 + 0.5) / 10000.0 AS cos_sim
+        |FROM rk WHERE rn = 1 ORDER BY probe""".stripMargin,
+
+    "q_incremental_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |  UNION ALL SELECT doc_id + 2000000,
+        |    array_to_string(arr[1:greatest(len(arr) - 1, 1)], ' ')
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(text), '\s+') AS arr
+        |        FROM documents)),
+        |h AS (SELECT doc_id, md5(text) AS h FROM corpus),
+        |ex AS (SELECT DISTINCT h FROM h WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, h FROM h WHERE doc_id % 2 = 1),
+        |f AS (SELECT h, MIN(doc_id) AS first_id FROM b GROUP BY h),
+        |cls AS (SELECT b.doc_id,
+        |          CASE WHEN b.h IN (SELECT h FROM ex) THEN 'dup_of_existing'
+        |               WHEN b.doc_id > f.first_id THEN 'dup_in_batch'
+        |               ELSE 'unique' END AS status
+        |        FROM b JOIN f USING (h))
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       FLOOR(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER ()
+        |             * 10000.0 + 0.5) / 10000.0 AS share
+        |FROM cls GROUP BY status ORDER BY status""".stripMargin,
 
     "q_l_diversity" ->
       """WITH ps AS (

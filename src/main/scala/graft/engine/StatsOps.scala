@@ -1209,4 +1209,35 @@ object StatsOps {
         lit(eps).as("epsilon"))
       .orderBy("event_type")
   }
+
+  /** Consistent pseudonymization audit — the de-identification step a
+    * pipeline runs before user-keyed data leaves the trust boundary:
+    * every user_id maps through a salted keyed hash to an 8-hex token,
+    * and the audit proves the two properties that make pseudonymized
+    * data still analyzable: (1) cardinality is preserved up to
+    * measured collisions (distinct tokens + collisions = distinct
+    * users — the birthday-bound check for the chosen token width),
+    * and (2) re-keying events by token conserves the event count
+    * exactly (referential integrity survives the mapping). One
+    * distinct-user aggregate (user-cardinality sized, not row-sized)
+    * and one re-keyed count — the same two-aggregate shape at any log
+    * size. */
+  def qPseudonymize(s: SparkSession, d: String): DataFrame = {
+    val tokened = events(s, d)
+      .select(col("user_id"),
+        substring(md5(concat(lit("graft-salt-v1:"),
+          col("user_id").cast("string"))), 1, 8).as("token"))
+    val users = tokened.groupBy("user_id")
+      .agg(first("token").as("token"), count(lit(1)).as("n_ev"))
+    users.agg(
+      count(lit(1)).as("n_users"),
+      countDistinct(col("token")).as("n_tokens"),
+      (count(lit(1)) - countDistinct(col("token"))).as("n_collisions"),
+      sum("n_ev").as("n_events"))
+      .crossJoin(broadcast(
+        tokened.groupBy("token").agg(count(lit(1)).as("c"))
+          .agg(sum("c").as("n_events_via_token"))))
+      .withColumn("lossless",
+        (col("n_events") === col("n_events_via_token")).cast("int"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data text pipeline operators (BASELINE north star; the
@@ -1659,5 +1660,42 @@ object TextOps {
         r4((col("total_chars") - col("non_ascii_chars")) /
           col("total_chars").cast("double")))
       .orderBy("lang")
+  }
+
+  /** Incremental-snapshot dedup — the shape a PRODUCTION ingest
+    * pipeline actually runs (nobody re-dedups 100 TB per day; new
+    * arrivals check against the existing corpus): the dup-rich corpus
+    * splits into an "existing snapshot" (even doc_id) and a "new
+    * batch" (odd doc_id), and each new document classifies as
+    * `dup_of_existing` (its content hash is already in the snapshot —
+    * at scale, an anti-joinable bloom/hash lookup), `dup_in_batch`
+    * (first seen inside this batch, claimed by a smaller doc_id), or
+    * `unique`. Exactly one class per doc, so the counts partition the
+    * batch (spec-pinned). Plan: hash-keyed aggregate on the snapshot
+    * side + one join on the 32-hex content hash + one min-per-hash
+    * aggregate inside the batch — every stage is hash-partitioned on
+    * the fingerprint, the classic incremental-dedup join at any
+    * scale. */
+  def qIncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val hashed = corpusWithDups(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val existing = hashed.filter(col("doc_id") % 2 === 0)
+      .select(col("h")).distinct()
+      .withColumn("in_existing", lit(1L))
+    val batch = hashed.filter(col("doc_id") % 2 === 1)
+    val firstInBatch = batch.groupBy("h").agg(min("doc_id").as("first_id"))
+    batch
+      .join(existing, Seq("h"), "left")
+      .join(firstInBatch, Seq("h"))
+      .select(col("doc_id"),
+        when(col("in_existing").isNotNull, lit("dup_of_existing"))
+          .when(col("doc_id") > col("first_id"), lit("dup_in_batch"))
+          .otherwise(lit("unique")).as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", r4(col("n_docs") /
+        sum(col("n_docs")).over(Window.partitionBy()).cast("double")))
+      .orderBy("status")
   }
 }

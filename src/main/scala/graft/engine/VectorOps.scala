@@ -1102,6 +1102,56 @@ object VectorOps {
       .orderBy("q_id", "dim")
   }
 
+  /** Embedding-arithmetic analogy eval (Mikolov et al. 2013: king −
+    * man + woman ≈ queen): for five fixed probe triples (a, b, c),
+    * find the corpus vector nearest to v_a − v_b + v_c excluding the
+    * triple itself — the compositionality check every embedding
+    * release runs. The composed target is built in DOUBLE (float
+    * arithmetic would diverge from the oracle's double lists) and
+    * both dot products and norms accumulate via index-ordered
+    * sequential HOFs, so the 64-term sums are bit-identical across
+    * engines; ranking rounds to 6 with vec_id tie-break (the
+    * recall_at_k convention). Plan: 5 target rows broadcast over one
+    * corpus scan, one top-1 window per probe — the bounded-probe
+    * contract; a full analogy suite would batch more probes through
+    * the identical plan. */
+  def qWordAnalogy(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val corpus = embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    def pick(id: Int, as: String) = corpus.filter(col("vec_id") === id)
+      .select(col("v").as(as))
+    val probes = (0 until 5).map { p =>
+      val (a, b, c) = (3 * p, 3 * p + 1, 3 * p + 2)
+      pick(a, "va").crossJoin(broadcast(pick(b, "vb")))
+        .crossJoin(broadcast(pick(c, "vc")))
+        .select(lit(p.toLong).as("probe"),
+          lit(a.toLong).as("id_a"), lit(b.toLong).as("id_b"),
+          lit(c.toLong).as("id_c"),
+          zip_with(zip_with(col("va"), col("vb"), (x, y) => x - y),
+            col("vc"), (x, y) => x + y).as("target"))
+    }.reduce(_ unionByName _)
+    val scored = corpus.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("id_a") &&
+        col("vec_id") =!= col("id_b") && col("vec_id") =!= col("id_c"))
+      .select(col("probe"), col("id_a"), col("id_b"), col("id_c"),
+        col("vec_id"),
+        round(
+          aggregate(zip_with(col("target"), col("v"), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x) /
+            (sqrt(aggregate(col("target"), lit(0.0),
+              (acc, x) => acc + x * x)) *
+              sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))),
+          6).as("cos_sim"))
+    scored
+      .withColumn("rn", row_number().over(Window.partitionBy("probe")
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("probe"), col("id_a"), col("id_b"), col("id_c"),
+        col("vec_id").as("best_id"), r4(col("cos_sim")).as("cos_sim"))
+      .orderBy("probe")
+  }
+
   /** Precision/recall/F1 threshold sweep — the PR curve every
     * retrieval-classifier ships with before anyone picks an operating
     * point. Target: label == 0; score: the vector's projection onto a
@@ -1130,7 +1180,7 @@ object VectorOps {
         sum(col("pred") * (lit(1L) - col("pos"))).as("fp"),
         sum((lit(1L) - col("pred")) * col("pos")).as("fn"))
       .select(
-        r4(col("thresh_u") / 1e6).as("threshold"),
+        r4(col("thresh_u") / lit(1e6)).as("threshold"),
         col("tp"), col("fp"), col("fn"),
         r4(col("tp") / greatest(col("tp") + col("fp"), lit(1L)).cast("double"))
           .as("precision"),

@@ -208,4 +208,37 @@ class Round13OpsSpec extends SparkSuite {
         s"IPS outside the weight envelope: $r")
     }
   }
+
+  test("pseudonymize: cardinality conserved up to collisions and rekeyed counts lossless") {
+    val r = StatsOps.qPseudonymize(spark, sf).head
+    val (users, tokens, coll, ev, evTok, lossless) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))
+    assert(tokens + coll == users, s"token accounting broken: $r")
+    assert(ev == evTok && lossless == 1, s"rekeying lost events: $r")
+    assert(coll <= users / 100, s"8-hex token space should rarely collide: $r")
+  }
+
+  test("word analogy: best match excludes the triple and scores within [-1,1]") {
+    val rows = VectorOps.qWordAnalogy(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (a, b, c, best, cos) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(best != a && best != b && best != c, s"triple leaked into answer: $r")
+      assert(cos >= -1.0 && cos <= 1.0000001, s"cosine out of range: $r")
+    }
+  }
+
+  test("incremental dedup: classes partition the odd batch; planted copies guarantee all classes") {
+    val rows = TextOps.qIncrementalDedup(spark, sf).collect()
+    val byStatus = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every even doc has an odd exact copy at +1000000 parity... the planted
+    // corpus guarantees a non-empty dup_of_existing class and shares sum to 1
+    assert(byStatus.keySet.subsetOf(Set("dup_of_existing", "dup_in_batch", "unique")))
+    assert(byStatus.getOrElse("dup_of_existing", 0L) > 0, s"planted cross-parity dups missing: $byStatus")
+    val shares = rows.map(_.getDouble(2)).sum
+    assert(math.abs(shares - 1.0) < 0.001, s"shares must sum to ~1: $shares")
+    val nOdd = TextOps.corpusWithDups(spark, sf).filter("doc_id % 2 = 1").count()
+    assert(rows.map(_.getLong(1)).sum == nOdd, "classes must partition the batch")
+  }
 }
