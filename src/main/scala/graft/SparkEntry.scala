@@ -308,6 +308,8 @@ object SparkEntry {
     "q_dp_noise"           -> (StatsOps.qDpNoise _),
     "q_ips_eval"           -> (AnalyticsOps.qIpsEval _),
     "q_pseudonymize"       -> (StatsOps.qPseudonymize _),
+    "q_geohash_encode"     -> (StatsOps.qGeohashEncode _),
+    "q_lr_step"            -> (VectorOps.qLrStep _),
     "q_word_analogy"       -> (VectorOps.qWordAnalogy _),
     "q_incremental_dedup"  -> (TextOps.qIncrementalDedup _),
     "q_encoding_audit"     -> (TextOps.qEncodingAudit _),
@@ -3607,6 +3609,24 @@ object SparkEntry {
         |       FLOOR(SUM(term_u) * 1.0 / (SUM(w) * 1000000)
         |             * 10000.0 + 0.5) / 10000.0 AS ips_avg_cents
         |FROM t2 GROUP BY segment ORDER BY segment""".stripMargin,
+
+    "q_geohash_encode" -> StatsOps.geohashEncodeOracleSql,
+
+    "q_lr_step" ->
+      """WITH t AS (SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+        |                  CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |e AS (SELECT t.y, j.j AS dim, t.v[j.j] AS x
+        |      FROM t, LATERAL (SELECT UNNEST(range(1, 65)) AS j) j),
+        |g AS (SELECT dim,
+        |        CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(CAST(FLOOR((0.5 - y) * x * 1000000.0 + 0.5)
+        |                      AS BIGINT)) AS BIGINT) AS grad_u
+        |      FROM e GROUP BY dim)
+        |SELECT CAST(dim AS BIGINT) AS dim, n, grad_u,
+        |       FLOOR(-0.1 * grad_u / (n * 1000000.0) * 1000000.0 + 0.5)
+        |         / 1000000.0 AS w_new
+        |FROM g ORDER BY dim""".stripMargin,
 
     "q_pseudonymize" ->
       """WITH t AS (

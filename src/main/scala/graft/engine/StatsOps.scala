@@ -229,6 +229,70 @@ object StatsOps {
       .orderBy("ring")
   }
 
+  /** Geohash encoding (Niemeyer 2008) — the spatial bucketing key
+    * every geo-partitioned lakehouse sorts by: user coordinates (the
+    * [[qGeoDistance]] synthesis convention) quantize to 20 bits per
+    * axis, interleave lon-first into a 40-bit cell id, and emit as
+    * the standard 8-character base-32 string. The bit plumbing is
+    * explicit integer shifts (a 20-term sum both engines evaluate
+    * exactly — no float anywhere after the quantization floor), so
+    * the hash is reproducible down to the last character. Output
+    * groups by the 3-char prefix (~156 km cells): the coarse-cell
+    * occupancy report a geo layout uses to pick partition
+    * granularity. User-cardinality aggregate; the encode itself is a
+    * map-side projection at any scale. */
+  def qGeohashEncode(s: SparkSession, d: String): DataFrame = {
+    val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    val u = events(s, d).select("user_id").distinct()
+    val lat = col("user_id") % 180 - lit(89.5)
+    val lon = (col("user_id") * 7) % 360 - lit(179.5)
+    val latQ = least(floor((lat + 90.0) / 180.0 * 1048576.0),
+      lit(1048575.0)).cast("long")
+    val lonQ = least(floor((lon + 180.0) / 360.0 * 1048576.0),
+      lit(1048575.0)).cast("long")
+    // interleave: even bit positions (from MSB) take lon bits, odd take lat
+    val h = (0 until 20).map { k =>
+      (shiftleft(shiftright(lonQ, 19 - k).bitwiseAND(1L), 39 - 2 * k)) +
+        (shiftleft(shiftright(latQ, 19 - k).bitwiseAND(1L), 38 - 2 * k))
+    }.reduce(_ + _)
+    val gh = concat((0 until 8).map { k =>
+      lit(alphabet).substr(
+        (shiftright(h, 35 - 5 * k).bitwiseAND(31L) + 1).cast("int"), lit(1))
+    }: _*)
+    u.withColumn("geohash", gh)
+      .groupBy(substring(col("geohash"), 1, 3).as("cell"))
+      .agg(count(lit(1)).as("n_users"),
+        min("geohash").as("first_hash"), max("geohash").as("last_hash"))
+      .orderBy("cell")
+  }
+
+  /** DuckDB oracle for [[qGeohashEncode]]: the identical 20-term
+    * interleave and base-32 lookup, generated from the same loop
+    * bounds so the two engines cannot drift on a shift constant. */
+  lazy val geohashEncodeOracleSql: String = {
+    val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    val terms = (0 until 20).map { k =>
+      s"(((lon_q >> ${19 - k}) & 1) << ${39 - 2 * k}) + " +
+        s"(((lat_q >> ${19 - k}) & 1) << ${38 - 2 * k})"
+    }.mkString(" + ")
+    val chars = (0 until 8).map { k =>
+      s"substr('$alphabet', CAST(((h >> ${35 - 5 * k}) & 31) + 1 AS INTEGER), 1)"
+    }.mkString(" || ")
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |q AS (SELECT user_id,
+       |        CAST(LEAST(FLOOR(((user_id % 180 - 89.5) + 90.0)
+       |          / 180.0 * 1048576.0), 1048575) AS BIGINT) AS lat_q,
+       |        CAST(LEAST(FLOOR((((user_id * 7) % 360 - 179.5) + 180.0)
+       |          / 360.0 * 1048576.0), 1048575) AS BIGINT) AS lon_q
+       |      FROM u),
+       |hh AS (SELECT user_id, $terms AS h FROM q),
+       |g AS (SELECT user_id, $chars AS geohash FROM hh)
+       |SELECT substr(geohash, 1, 3) AS cell,
+       |       CAST(COUNT(*) AS BIGINT) AS n_users,
+       |       MIN(geohash) AS first_hash, MAX(geohash) AS last_hash
+       |FROM g GROUP BY 1 ORDER BY cell""".stripMargin
+  }
+
   /** Exponentially weighted moving average (decay 0.5) over each
     * user's value sequence, as an EXPLICIT 5-term lag composition:
     * the fixed-depth form keeps the weights exact binary fractions

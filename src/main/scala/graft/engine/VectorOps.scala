@@ -1152,6 +1152,36 @@ object VectorOps {
       .orderBy("probe")
   }
 
+  /** One full-batch gradient step of logistic regression, distributed
+    * — the inner loop of every "train a linear probe on embeddings"
+    * job, in the shape it actually runs at scale: the gradient is a
+    * per-dimension SUM over the corpus, so each row quantizes its
+    * contribution to an exact micro-unit integer FIRST and the
+    * shuffle carries 64 integer partial sums — float accumulation
+    * order can never flap the result (the embed_covariance lesson,
+    * applied before the bug this time). Starting at w = 0 the
+    * sigmoid is exactly ½ for every row, so the per-row gradient
+    * (σ − y)·x_j = (½ − y)·x_j is an exactly-representable double
+    * before quantization on both engines. Output: per dimension, the
+    * integer gradient sum and the post-step weight (η = 0.1),
+    * micro-quantized. Plan: one posexplode projection into a
+    * 64-group aggregate — map-side combinable, nothing broadcast,
+    * corpus-size-independent reduce. */
+  def qLrStep(s: SparkSession, d: String): DataFrame = {
+    def r6(x: Column): Column = floor(x * 1e6 + 0.5) / 1e6
+    embeddings(s, d)
+      .select((col("label") === 0).cast("long").as("y"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        floor((lit(0.5) - col("y")) * col("x").cast("double") * 1e6 + 0.5)
+          .cast("long").as("g_u"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("g_u").as("grad_u"))
+      .select(col("dim"), col("n"), col("grad_u"),
+        r6(lit(-0.1) * col("grad_u") / (col("n") * lit(1e6))).as("w_new"))
+      .orderBy("dim")
+  }
+
   /** Precision/recall/F1 threshold sweep — the PR curve every
     * retrieval-classifier ships with before anyone picks an operating
     * point. Target: label == 0; score: the vector's projection onto a

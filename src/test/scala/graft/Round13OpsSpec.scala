@@ -241,4 +241,33 @@ class Round13OpsSpec extends SparkSuite {
     val nOdd = TextOps.corpusWithDups(spark, sf).filter("doc_id % 2 = 1").count()
     assert(rows.map(_.getLong(1)).sum == nOdd, "classes must partition the batch")
   }
+
+  test("geohash: 8 chars from the base-32 alphabet, cells partition users, prefixes consistent") {
+    val rows = StatsOps.qGeohashEncode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz".toSet
+    rows.foreach { r =>
+      val (cell, first, last) = (r.getString(0), r.getString(2), r.getString(3))
+      assert(cell.length == 3 && first.length == 8 && last.length == 8)
+      assert(first.forall(alphabet) && last.forall(alphabet), s"non-base32 char: $r")
+      assert(first.startsWith(cell) && last.startsWith(cell),
+        s"group member outside its own cell: $r")
+      assert(first <= last)
+    }
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == users, "cells must partition all users")
+  }
+
+  test("lr step: sigma=1/2 start means gradient flips sign with label majority; weights tiny") {
+    val rows = VectorOps.qLrStep(spark, sf).collect()
+    assert(rows.length == 64)
+    val n = rows.head.getLong(1)
+    assert(rows.forall(_.getLong(1) == n), "every dimension sees every row")
+    rows.foreach { r =>
+      // |per-row quantized grad| ≤ 0.5 * |x| * 1e6 ≤ 0.5e6 → |sum| ≤ n*0.5e6
+      assert(math.abs(r.getLong(2)) <= n * 500000L, s"gradient outside bound: $r")
+      assert(math.abs(r.getDouble(3)) <= 0.05 + 1e-9, s"eta=0.1 step too large: $r")
+    }
+  }
 }
