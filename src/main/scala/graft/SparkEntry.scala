@@ -310,6 +310,9 @@ object SparkEntry {
     "q_pseudonymize"       -> (StatsOps.qPseudonymize _),
     "q_geohash_encode"     -> (StatsOps.qGeohashEncode _),
     "q_lr_step"            -> (VectorOps.qLrStep _),
+    "q_ctr_smoothing"      -> (AnalyticsOps.qCtrSmoothing _),
+    "q_pinball_loss"       -> (StatsOps.qPinballLoss _),
+    "q_removal_effect"     -> (AnalyticsOps.qRemovalEffect _),
     "q_word_analogy"       -> (VectorOps.qWordAnalogy _),
     "q_incremental_dedup"  -> (TextOps.qIncrementalDedup _),
     "q_encoding_audit"     -> (TextOps.qEncodingAudit _),
@@ -3611,6 +3614,59 @@ object SparkEntry {
         |FROM t2 GROUP BY segment ORDER BY segment""".stripMargin,
 
     "q_geohash_encode" -> StatsOps.geohashEncodeOracleSql,
+    "q_removal_effect" -> AnalyticsOps.removalEffectOracleSql,
+
+    "q_ctr_smoothing" ->
+      """WITH pu AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+        |  FROM events GROUP BY user_id),
+        |pq AS (SELECT user_id, n, k, (k * 1000000) // n AS r_u FROM pu),
+        |mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |              CAST(SUM(r_u) AS BIGINT) AS sr,
+        |              CAST(SUM(r_u * r_u) AS BIGINT) AS srr
+        |       FROM pq),
+        |ab AS (SELECT n_users, sr, srr,
+        |         sr / (n_users * 1e6) AS m,
+        |         (srr * 1.0 / n_users -
+        |          (sr * 1.0 / n_users) * (sr * 1.0 / n_users)) / 1e12 AS v
+        |       FROM mo),
+        |ab2 AS (SELECT *,
+        |          CASE WHEN v > 0 THEN m * (1.0 - m) / v - 1.0
+        |               ELSE 0.0 END AS common
+        |        FROM ab)
+        |SELECT pq.user_id, CAST(pq.n AS BIGINT) AS n, CAST(pq.k AS BIGINT) AS k,
+        |       FLOOR(pq.k * 1.0 / pq.n * 10000.0 + 0.5) / 10000.0 AS raw_rate,
+        |       FLOOR(CASE WHEN ab2.common > 0
+        |               THEN (pq.k + ab2.m * ab2.common) /
+        |                    (pq.n + ab2.m * ab2.common +
+        |                     (1.0 - ab2.m) * ab2.common)
+        |               ELSE pq.k * 1.0 / pq.n END
+        |             * 10000.0 + 0.5) / 10000.0 AS shrunk_rate
+        |FROM pq, ab2 ORDER BY pq.user_id""".stripMargin,
+
+    "q_pinball_loss" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         epoch(date_trunc('day', CAST(ts AS TIMESTAMP))) AS day,
+        |         CAST(SUM(ROUND(value * 100)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |lagd AS (SELECT event_type, x,
+        |           LAG(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS f
+        |         FROM daily),
+        |e AS (SELECT event_type, x - f AS d FROM lagd WHERE f IS NOT NULL),
+        |q AS (SELECT event_type, d, UNNEST([5, 9]) AS q10 FROM e),
+        |p AS (SELECT event_type, q10,
+        |             GREATEST(q10 * d, (q10 - 10) * d) AS pin10_c
+        |      FROM q)
+        |SELECT event_type,
+        |       FLOOR(q10 / 10.0 * 10000.0 + 0.5) / 10000.0 AS quantile,
+        |       CAST(COUNT(*) AS BIGINT) AS n_days,
+        |       CAST(SUM(pin10_c) AS BIGINT) AS total_pin10_c,
+        |       FLOOR(SUM(pin10_c) * 1.0 / (COUNT(*) * 10.0)
+        |             * 10000.0 + 0.5) / 10000.0 AS mean_pinball_c
+        |FROM p GROUP BY event_type, q10
+        |ORDER BY event_type, quantile""".stripMargin,
 
     "q_lr_step" ->
       """WITH t AS (SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,

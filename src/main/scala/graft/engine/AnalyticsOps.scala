@@ -1111,6 +1111,181 @@ object AnalyticsOps {
       .orderBy("event_type", "hour_ts")
   }
 
+  /** Markov removal-effect attribution (Anderl et al. 2014) — the
+    * principled alternative to [[qAttribution]]'s last-touch rule:
+    * fit the first-order journey chain, then for each channel ask
+    * "how much conversion disappears if this channel vanishes?"
+    * (remove its transitions WITHOUT renormalizing — lost mass IS
+    * the channel's contribution). Reach-purchase probabilities come
+    * from 8 synchronous value-iteration steps with purchase
+    * absorbing, every step in exact ppm integers: r(s) ←
+    * (Σ_t n_st·r(t)) div n_s, so engines cannot drift. The
+    * CORPUS-side work is two aggregates (transition counts +
+    * first-event counts); the chain itself is a model table bounded
+    * by |channels|² — it collapses to the driver by the documented
+    * bounded-model contract (≤25 rows at any corpus size; the same
+    * iteration distributes over a states DataFrame if the state
+    * space ever grew) and the 5-scenario × 8-step recursion runs in
+    * exact integer Scala, replayed by an UNROLLED 40-CTE oracle
+    * generated from the same loop bounds. */
+  def qRemovalEffect(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val base = events(s, d).select("user_id", "event_type", "ts", "event_id")
+    val tr = base
+      .withColumn("dst", lead("event_type", 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val init = base
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("event_type").agg(count(lit(1)).as("n0"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val states = (tr.keys.flatMap(k => Seq(k._1, k._2)) ++ init.keys).toSeq.distinct.sorted
+    val outs = states.map(s0 => s0 -> tr.collect {
+      case ((src, _), n) if src == s0 => n
+    }.sum).toMap
+    val totalUsers = init.values.sum
+    def convPpm(removed: Option[String]): Long = {
+      var r = states.map(s0 =>
+        s0 -> (if (s0 == "purchase") 1000000L else 0L)).toMap
+      for (_ <- 0 until 8) {
+        r = states.map { s0 =>
+          s0 -> (
+            if (s0 == "purchase") 1000000L
+            else if (removed.contains(s0)) 0L
+            else {
+              val ns = outs(s0)
+              if (ns == 0L) 0L
+              else states.filterNot(removed.contains).map(t =>
+                tr.getOrElse((s0, t), 0L) * r(t)).sum / ns
+            })
+        }.toMap
+      }
+      states.filterNot(removed.contains)
+        .map(s0 => init.getOrElse(s0, 0L) * r(s0)).sum / totalUsers
+    }
+    val full = convPpm(None)
+    val rows = ("none", full, 0L) +: states.filterNot(_ == "purchase").map { c =>
+      val conv = convPpm(Some(c))
+      (c, conv, 1000000L - conv * 1000000L / full)
+    }
+    val spark = s
+    import spark.implicits._
+    rows.toDF("removed_channel", "conv_ppm", "removal_effect_ppm")
+      .orderBy("removed_channel")
+  }
+
+  /** DuckDB oracle for [[qRemovalEffect]]: the same 8 value-iteration
+    * steps per scenario, UNROLLED as generated CTE chains (one per
+    * removal scenario) over the transition and first-event counts —
+    * integer ppm arithmetic end to end, so a drift anywhere in the
+    * chain fit or the iteration breaks the compare. */
+  lazy val removalEffectOracleSql: String = {
+    val scens = Seq("none" -> None, "click" -> Some("click"),
+      "error" -> Some("error"), "signup" -> Some("signup"),
+      "view" -> Some("view"))
+    def chain(tag: String, removed: Option[String]): String = {
+      val rm = removed.map(c => s"AND tr.dst <> '$c' AND tr.src <> '$c'")
+        .getOrElse("")
+      val rmInit = removed.map(c => s"WHERE init.s <> '$c'").getOrElse("")
+      val steps = (1 to 8).map { k =>
+        val prev = if (k == 1) s"r_${tag}_0" else s"r_${tag}_${k - 1}"
+        s"""r_${tag}_$k AS (
+           |  SELECT st.s,
+           |    CASE WHEN st.s = 'purchase' THEN CAST(1000000 AS BIGINT)
+           |         ${removed.map(c => s"WHEN st.s = '$c' THEN CAST(0 AS BIGINT)").getOrElse("")}
+           |         ELSE CAST(COALESCE(agg.v // outs.n_s, 0) AS BIGINT) END AS r
+           |  FROM st
+           |  LEFT JOIN (SELECT tr.src, SUM(tr.n * p.r) AS v
+           |             FROM tr JOIN $prev p ON p.s = tr.dst
+           |             WHERE 1=1 $rm GROUP BY tr.src) agg ON agg.src = st.s
+           |  LEFT JOIN outs ON outs.src = st.s)""".stripMargin
+      }.mkString(",\n")
+      s"""r_${tag}_0 AS (
+         |  SELECT s, CASE WHEN s = 'purchase' THEN CAST(1000000 AS BIGINT)
+         |                 ELSE CAST(0 AS BIGINT) END AS r FROM st),
+         |$steps,
+         |conv_$tag AS (
+         |  SELECT CAST(SUM(init.n0 * r.r) // (SELECT SUM(n0) FROM init)
+         |              AS BIGINT) AS conv_ppm
+         |  FROM init JOIN r_${tag}_8 r ON r.s = init.s $rmInit)""".stripMargin
+    }
+    val chains = scens.map { case (tag, rem) => chain(tag, rem) }.mkString(",\n")
+    val selects = scens.map { case (tag, rem) =>
+      val name = rem.getOrElse("none")
+      if (rem.isEmpty)
+        s"SELECT 'none' AS removed_channel, conv_ppm, CAST(0 AS BIGINT) AS removal_effect_ppm FROM conv_$tag"
+      else
+        s"""SELECT '$name', conv_$tag.conv_ppm,
+           |  CAST(1000000 - conv_$tag.conv_ppm * 1000000 // conv_none.conv_ppm
+           |       AS BIGINT)
+           |FROM conv_$tag, conv_none""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH pairs AS (
+       |  SELECT user_id, event_type AS src,
+       |         LEAD(event_type) OVER (PARTITION BY user_id
+       |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+       |  FROM events),
+       |tr AS (SELECT src, dst, COUNT(*) AS n FROM pairs
+       |       WHERE dst IS NOT NULL GROUP BY 1, 2),
+       |outs AS (SELECT src, SUM(n) AS n_s FROM tr GROUP BY 1),
+       |st AS (SELECT DISTINCT event_type AS s FROM events),
+       |init AS (
+       |  SELECT event_type AS s, COUNT(*) AS n0 FROM (
+       |    SELECT user_id, event_type, ROW_NUMBER() OVER (
+       |      PARTITION BY user_id
+       |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+       |    FROM events) f WHERE rn = 1 GROUP BY 1),
+       |$chains
+       |SELECT * FROM ($selects) ORDER BY removed_channel""".stripMargin
+  }
+
+  /** Empirical-Bayes rate shrinkage (beta-binomial, method of
+    * moments) — the fix for every "this user converted 1-for-1 so
+    * their rate is 100%" report: per-user purchase rates shrink
+    * toward a Beta prior whose (α, β) are moment-matched from the
+    * observed rate distribution itself. The moment estimation is the
+    * float-order trap (a mean and variance over per-user RATIOS), so
+    * each user's rate quantizes to an exact ppm integer first and
+    * the corpus-level Σr, Σr² are integer sums; α and β then derive
+    * from two exact integers identically on both engines, and only
+    * the final per-user shrink divides doubles. Plan: one user-level
+    * aggregate, one 1-row moment aggregate broadcast back — the
+    * two-pass shape at any log size. Degenerate variance (≤ 0 or
+    * prior mass ≤ 0) falls back to the raw rate on both engines. */
+  def qCtrSmoothing(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val perUser = events(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum((col("event_type") === "purchase").cast("long")).as("k"))
+      .withColumn("r_u", expr("(k * 1000000) div n"))
+    val moments = perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum("r_u").as("sr"),
+      sum(col("r_u") * col("r_u")).as("srr"))
+    perUser.crossJoin(broadcast(moments))
+      .withColumn("m", col("sr") / (col("n_users") * lit(1e6)))
+      .withColumn("v",
+        (col("srr") / col("n_users") -
+          (col("sr") / col("n_users")) * (col("sr") / col("n_users"))) / lit(1e12))
+      .withColumn("common",
+        when(col("v") > 0, col("m") * (lit(1.0) - col("m")) / col("v") - 1.0)
+          .otherwise(lit(0.0)))
+      .withColumn("alpha", col("m") * col("common"))
+      .withColumn("beta", (lit(1.0) - col("m")) * col("common"))
+      .select(col("user_id"), col("n"), col("k"),
+        r4(col("k") / col("n").cast("double")).as("raw_rate"),
+        r4(when(col("common") > 0,
+          (col("k") + col("alpha")) / (col("n") + col("alpha") + col("beta")))
+          .otherwise(col("k") / col("n").cast("double"))).as("shrunk_rate"))
+      .orderBy("user_id")
+  }
+
   /** Offline policy evaluation via inverse-propensity scoring (IPS,
     * Horvitz–Thompson): "what would average reward be if we served
     * the purchase-preferring policy instead of what was logged?" —

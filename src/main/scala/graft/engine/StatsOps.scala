@@ -1041,6 +1041,41 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Pinball (quantile) loss of the seasonal-naive forecast at
+    * q = 0.5 and q = 0.9 — the eval that turns [[qForecastBaseline]]
+    * from a point-forecast report into a quantile one (every capacity
+    * planner cares about the P90 miss, not the mean miss). With the
+    * error in exact cents and both quantiles on the 1/10 grid,
+    * 10× the pinball loss is EXACTLY max(10q·d, 10(q−1)·d) with
+    * integer coefficients {5,−5} / {9,−1}: the whole sweep is
+    * integer arithmetic until one final mean. Same single-window
+    * plan as the baseline eval; the quantile grid rides along as a
+    * 2-row explode. */
+  def qPinballLoss(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("f", lag("x", 7).over(w))
+      .filter(col("f").isNotNull)
+      .withColumn("d", col("x") - col("f"))
+      .select(col("event_type"), col("d"),
+        explode(array(lit(5L), lit(9L))).as("q10"))
+      .withColumn("pin10_c",
+        greatest(col("q10") * col("d"), (col("q10") - 10L) * col("d")))
+      .groupBy("event_type", "q10")
+      .agg(count(lit(1)).as("n_days"), sum("pin10_c").as("total_pin10_c"))
+      .select(col("event_type"),
+        r4(col("q10") / lit(10.0)).as("quantile"),
+        col("n_days"), col("total_pin10_c"),
+        r4(col("total_pin10_c") / (col("n_days") * lit(10.0)))
+          .as("mean_pinball_c"))
+      .orderBy("event_type", "quantile")
+  }
+
   /** Leave-one-day-out jackknife standard error of the conversion-
     * rate RATIO estimator (purchases / events) — the classic
     * jackknife use case: a ratio's naive binomial SE is wrong

@@ -270,4 +270,44 @@ class Round13OpsSpec extends SparkSuite {
       assert(math.abs(r.getDouble(3)) <= 0.05 + 1e-9, s"eta=0.1 step too large: $r")
     }
   }
+
+  test("ctr smoothing: shrinkage pulls extreme small-sample rates toward the prior mean") {
+    val rows = AnalyticsOps.qCtrSmoothing(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val grand = rows.map(_.getLong(2)).sum.toDouble / rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val (raw, shrunk) = (r.getDouble(3), r.getDouble(4))
+      assert(shrunk >= 0.0 && shrunk <= 1.0, s"rate out of range: $r")
+      // shrunk sits between raw and the pooled mean (within rounding)
+      assert(shrunk >= math.min(raw, grand) - 0.06 &&
+        shrunk <= math.max(raw, grand) + 0.06, s"shrinkage overshot: $r")
+    }
+  }
+
+  test("pinball loss: q=0.9 penalizes under-forecast 9x; loss nonneg; both quantiles present") {
+    val rows = StatsOps.qPinballLoss(spark, sf).collect()
+    assert(rows.map(_.getDouble(1)).distinct.sorted.toSeq == Seq(0.5, 0.9))
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0, s"pinball loss must be nonnegative: $r")
+      assert(r.getDouble(4) >= 0.0)
+    }
+    // per type, the q=0.5 loss is half the MAE — so 2*pin(0.5) == MAE exactly
+    val mae = StatsOps.qForecastBaseline(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap // sum_abs_err_c
+    rows.filter(_.getDouble(1) == 0.5).foreach { r =>
+      assert(r.getLong(3) == mae(r.getString(0)) * 5,
+        s"10*pinball(0.5) must equal 5*sum|err|: $r")
+    }
+  }
+
+  test("removal effect: effects in [0, 1e6]; removing any channel cannot raise conversion") {
+    val rows = AnalyticsOps.qRemovalEffect(spark, sf).collect()
+    assert(rows.length == 5)
+    val full = rows.find(_.getString(0) == "none").get.getLong(1)
+    assert(full > 0, "baseline chain must convert someone")
+    rows.filter(_.getString(0) != "none").foreach { r =>
+      assert(r.getLong(1) <= full, s"removal increased conversion: $r")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000000L, s"effect outside ppm range: $r")
+    }
+  }
 }
