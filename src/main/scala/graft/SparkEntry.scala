@@ -311,6 +311,9 @@ object SparkEntry {
     "q_geohash_encode"     -> (StatsOps.qGeohashEncode _),
     "q_lr_step"            -> (VectorOps.qLrStep _),
     "q_ctr_smoothing"      -> (AnalyticsOps.qCtrSmoothing _),
+    "q_dpp_join"           -> (Sinks.qDppJoin _),
+    "q_yule_k"             -> (TextOps.qYuleK _),
+    "q_rendezvous_resize"  -> (CurationOps.qRendezvousResize _),
     "q_pinball_loss"       -> (StatsOps.qPinballLoss _),
     "q_removal_effect"     -> (AnalyticsOps.qRemovalEffect _),
     "q_word_analogy"       -> (VectorOps.qWordAnalogy _),
@@ -3615,6 +3618,36 @@ object SparkEntry {
 
     "q_geohash_encode" -> StatsOps.geohashEncodeOracleSql,
     "q_removal_effect" -> AnalyticsOps.removalEffectOracleSql,
+    "q_rendezvous_resize" -> CurationOps.rendezvousResizeOracleSql,
+
+    "q_dpp_join" ->
+      """WITH dim AS (
+        |  SELECT * FROM (VALUES
+        |    ('purchase', 'conversion'), ('signup', 'conversion'),
+        |    ('click', 'engagement'), ('view', 'engagement'),
+        |    ('error', 'ops')) AS t(event_type, category))
+        |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+        |       CAST(SUM(CAST(FLOOR(e.value * 100.0 + 0.5) AS BIGINT))
+        |            AS BIGINT) AS value_c
+        |FROM events e JOIN dim ON dim.event_type = e.event_type
+        |WHERE dim.category = 'conversion'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_yule_k" ->
+      """WITH tf AS (
+        |  SELECT lang, token, COUNT(*) AS m FROM (
+        |    SELECT lang, UNNEST(regexp_split_to_array(trim(text), '\s+'))
+        |             AS token
+        |    FROM documents) t GROUP BY 1, 2)
+        |SELECT lang,
+        |       CAST(SUM(m) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(*) AS BIGINT) AS n_types,
+        |       CAST(SUM(m * m) AS BIGINT) AS sum_m2vm,
+        |       FLOOR(10000.0 * (SUM(m * m) - SUM(m)) /
+        |             (SUM(m) * 1.0 * SUM(m)) * 10000.0 + 0.5) / 10000.0
+        |         AS yule_k
+        |FROM tf GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_ctr_smoothing" ->
       """WITH pu AS (

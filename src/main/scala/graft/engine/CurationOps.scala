@@ -652,6 +652,63 @@ object CurationOps {
       .orderBy("canonical_url")
   }
 
+  /** Rendezvous-hashing (HRW, Thaler & Ravishankar 1998) resize
+    * audit — the measurement behind "use consistent hashing, not
+    * mod-N": when the shard count grows 8 → 10, highest-random-
+    * weight assignment moves ONLY the keys whose new-shard score
+    * wins (~2/10 of keys, all landing on the new shards), while
+    * mod-N reshuffles almost everything. Both assignments and both
+    * movement counts are computed in one map-side pass — the argmax
+    * is a `greatest` over score·16+shard packed integers (exact,
+    * tie-free by construction since the shard id is the low bits),
+    * no explode, no join — then a single global aggregate. The
+    * oracle regenerates every score from the same md5 formula. */
+  def qRendezvousResize(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    def score(sh: Int) =
+      conv(substring(md5(concat(col("user_id").cast("string"),
+        lit(":"), lit(sh.toString))), 1, 8), 16, 10).cast("long") * 16L + sh
+    def hrw(n: Int) = (greatest((0 until n).map(score): _*) % 16L)
+    events(s, d).select("user_id").distinct()
+      .select(
+        hrw(8).as("s8"), hrw(10).as("s10"),
+        (col("user_id") % 8).as("m8"), (col("user_id") % 10).as("m10"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum((col("s8") =!= col("s10")).cast("long")).as("hrw_moved"),
+        sum((col("s10") >= 8).cast("long")).as("hrw_moved_to_new"),
+        sum((col("m8") =!= col("m10")).cast("long")).as("mod_moved"))
+      .select(col("n_keys"), col("hrw_moved"), col("hrw_moved_to_new"),
+        r4(col("hrw_moved") / col("n_keys").cast("double")).as("hrw_moved_share"),
+        col("mod_moved"),
+        r4(col("mod_moved") / col("n_keys").cast("double")).as("mod_moved_share"))
+  }
+
+  /** DuckDB oracle for [[qRendezvousResize]]: every score regenerated
+    * from the same md5 packing formula, GREATEST generated from the
+    * same shard loop. */
+  lazy val rendezvousResizeOracleSql: String = {
+    def score(sh: Int) =
+      s"(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':$sh'), 1, 8))::BIGINT * 16 + $sh)"
+    def hrw(n: Int) =
+      s"(GREATEST(${(0 until n).map(score).mkString(", ")}) % 16)"
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |a AS (SELECT ${hrw(8)} AS s8, ${hrw(10)} AS s10,
+       |        user_id % 8 AS m8, user_id % 10 AS m10 FROM u)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |  CAST(SUM(CASE WHEN s8 <> s10 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS hrw_moved,
+       |  CAST(SUM(CASE WHEN s10 >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS hrw_moved_to_new,
+       |  FLOOR(SUM(CASE WHEN s8 <> s10 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+       |        * 10000.0 + 0.5) / 10000.0 AS hrw_moved_share,
+       |  CAST(SUM(CASE WHEN m8 <> m10 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS mod_moved,
+       |  FLOOR(SUM(CASE WHEN m8 <> m10 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+       |        * 10000.0 + 0.5) / 10000.0 AS mod_moved_share
+       |FROM a""".stripMargin
+  }
+
   /** Feature-hashing (hashing-trick) collision audit (Weinberger et
     * al. 2009): before a pipeline commits to hashing its vocabulary
     * into 2^k buckets instead of materializing a dictionary, it

@@ -212,6 +212,50 @@ object Sinks {
       .orderBy("event_type")
   }
 
+  /** Dynamic partition pruning evidence — the join-driven pruning
+    * that makes star joins cheap on a partitioned 100 TB fact table:
+    * the partition filter is NOT in the query text (only the dim
+    * side's `category = 'conversion'` predicate is); Spark must
+    * derive it AT RUNTIME from the broadcast dim and inject it into
+    * the partitioned scan. The query REQUIRES the executed plan to
+    * carry a `dynamicpruning` partition filter (the FlightServe
+    * plan-assert convention) — if a config regression ever turns DPP
+    * off, the query fails rather than silently scanning every
+    * partition. Result shape is a plain join-aggregate the oracle
+    * replays on the raw table. */
+  private val dppDimCopies =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def qDppJoin(s: SparkSession, d: String): DataFrame = {
+    val path = ensurePartitionedEvents(s, d)
+    val spark = s
+    import spark.implicits._
+    // The dim must be a REAL scan: a literal LocalRelation constant-folds
+    // its filter away during optimization and DPP then sees no selective
+    // predicate on the filtering side — staged once per (JVM, sfDir).
+    val dimPath = dppDimCopies.computeIfAbsent(d, _ => {
+      val p = StagedPaths.tmp("graft_dpp_dim")
+      Seq(
+        ("purchase", "conversion"), ("signup", "conversion"),
+        ("click", "engagement"), ("view", "engagement"), ("error", "ops"))
+        .toDF("event_type", "category")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      p
+    })
+    val dim = s.read.parquet(dimPath)
+    val out = s.read.parquet(path)
+      .join(dim.filter(col("category") === "conversion"), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("user_id").as("n_users"),
+        sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("value_c"))
+      .orderBy("event_type")
+    val plan = out.queryExecution.executedPlan.toString
+    require(plan.toLowerCase.contains("dynamicpruning"),
+      "partitioned scan must carry a runtime DPP filter, got:\n" + plan.take(2000))
+    out
+  }
+
   /** Fixed-width (copybook-style) text sink + parse roundtrip — the
     * mainframe/legacy-feed ingestion format every lakehouse migration
     * eventually meets. Encode: one `concat(lpad/rpad(...))` projection

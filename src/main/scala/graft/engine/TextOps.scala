@@ -1662,6 +1662,34 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Yule's K lexical-diversity characteristic (Yule 1944) — the
+    * length-robust repetitiveness measure a corpus-quality report
+    * pairs with TTR (TTR collapses as documents grow; K does not):
+    * K = 10⁴·(Σm²·V_m − N)/N², computed per language entirely from
+    * the frequency-of-frequencies spectrum — term frequencies, then
+    * ΣV_m, Σm²V_m as exact integer sums (the spectrum aggregate is
+    * the same one [[MiningOps]]-style Zipf audits use), with one
+    * final double division. Two map-side-combinable hash aggregates
+    * (corpus → vocab → 5 langs); nothing broadcast, nothing
+    * windowed. */
+  def qYuleK(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy("lang", "token")
+      .agg(count(lit(1)).as("m"))
+      .groupBy("lang")
+      .agg(
+        sum("m").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("m") * col("m")).as("sum_m2vm"))
+      .select(col("lang"), col("n_tokens"), col("n_types"), col("sum_m2vm"),
+        r4(lit(10000.0) * (col("sum_m2vm") - col("n_tokens")) /
+          (col("n_tokens").cast("double") * col("n_tokens").cast("double")))
+          .as("yule_k"))
+      .orderBy("lang")
+  }
+
   /** Incremental-snapshot dedup — the shape a PRODUCTION ingest
     * pipeline actually runs (nobody re-dedups 100 TB per day; new
     * arrivals check against the existing corpus): the dup-rich corpus

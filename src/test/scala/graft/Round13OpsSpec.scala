@@ -310,4 +310,35 @@ class Round13OpsSpec extends SparkSuite {
       assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000000L, s"effect outside ppm range: $r")
     }
   }
+
+  test("dpp join: runtime partition filter planned (require inside the query) and result sane") {
+    val rows = graft.engine.Sinks.qDppJoin(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("purchase", "signup"),
+      "only the conversion category's partitions should survive")
+    rows.foreach(r => assert(r.getLong(1) > 0))
+  }
+
+  test("yule's K: identity sum_m2vm ≥ n_tokens with equality iff all types are hapax") {
+    val rows = TextOps.qYuleK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, types, s2, k) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(s2 >= n, s"sum m^2 Vm < N impossible: $r")
+      assert(types <= n)
+      assert(k >= 0.0, s"K negative: $r")
+      // word-soup corpus repeats heavily: K far from the hapax-only zero
+      assert(k > 10.0, s"repetitive corpus should have substantial K: $r")
+    }
+  }
+
+  test("rendezvous resize: HRW moves only to new shards (~2/10); mod-N reshuffles most keys") {
+    val r = CurationOps.qRendezvousResize(spark, sf).head
+    val (n, hrwMoved, toNew, hrwShare, modShare) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(5))
+    assert(hrwMoved == toNew,
+      s"HRW monotonicity: every moved key must land on a NEW shard: $r")
+    assert(hrwShare < 0.5 && hrwShare > 0.0, s"HRW move share implausible: $r")
+    assert(modShare > hrwShare, s"mod-N must move more keys than HRW: $r")
+    assert(n > 0)
+  }
 }
