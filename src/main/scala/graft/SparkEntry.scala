@@ -312,6 +312,8 @@ object SparkEntry {
     "q_lr_step"            -> (VectorOps.qLrStep _),
     "q_ctr_smoothing"      -> (AnalyticsOps.qCtrSmoothing _),
     "q_dpp_join"           -> (Sinks.qDppJoin _),
+    "q_hll_md5"            -> (ScaleOps.qHllMd5 _),
+    "q_bloom_fpr"          -> (TextOps.qBloomFpr _),
     "q_yule_k"             -> (TextOps.qYuleK _),
     "q_rendezvous_resize"  -> (CurationOps.qRendezvousResize _),
     "q_pinball_loss"       -> (StatsOps.qPinballLoss _),
@@ -3619,6 +3621,81 @@ object SparkEntry {
     "q_geohash_encode" -> StatsOps.geohashEncodeOracleSql,
     "q_removal_effect" -> AnalyticsOps.removalEffectOracleSql,
     "q_rendezvous_resize" -> CurationOps.rendezvousResizeOracleSql,
+
+    "q_hll_md5" ->
+      """WITH h AS (
+        |  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |           AS h
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |rk AS (SELECT h % 256 AS j, h // 256 AS w FROM h),
+        |regs AS (SELECT j, MAX(r) AS m FROM (
+        |  SELECT j,
+        |    LEAST(CAST(bit_count((w & -w) - 1) AS BIGINT) + 1, 52) AS r
+        |  FROM rk) t GROUP BY j),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_filled,
+        |          CAST(SUM(CAST(1 AS BIGINT) << CAST(52 - m AS INTEGER))
+        |               AS BIGINT) AS sum_filled_u
+        |        FROM regs),
+        |ex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        |       FROM events),
+        |est AS (SELECT agg.n_filled, ex.n_exact,
+        |          (0.7213 / (1.0 + 1.079 / 256)) * 65536.0
+        |            * 4503599627370496.0 /
+        |            (agg.sum_filled_u +
+        |             (256 - agg.n_filled) * 4503599627370496) AS raw_est
+        |        FROM agg, ex),
+        |fin AS (SELECT n_filled, n_exact,
+        |          CASE WHEN raw_est <= 640.0 AND n_filled < 256
+        |               THEN 256.0 * ln(256.0 / (256 - n_filled))
+        |               ELSE raw_est END AS e
+        |        FROM est)
+        |SELECT n_filled, n_exact,
+        |       FLOOR(e * 10000.0 + 0.5) / 10000.0 AS hll_estimate,
+        |       FLOOR((e - n_exact) / n_exact * 10000.0 + 0.5) / 10000.0
+        |         AS rel_err
+        |FROM fin""".stripMargin,
+
+    "q_bloom_fpr" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |  UNION ALL SELECT doc_id + 2000000,
+        |    array_to_string(arr[1:greatest(len(arr) - 1, 1)], ' ')
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(text), '\s+') AS arr
+        |        FROM documents)),
+        |hsh AS (SELECT doc_id, md5(text) AS h FROM corpus),
+        |ex AS (SELECT DISTINCT h FROM hsh WHERE doc_id % 2 = 0),
+        |pos AS (SELECT ex.h,
+        |          ('0x' || substr(md5(ex.h || ':' || i.i), 1, 8))::BIGINT
+        |            % 65536 AS pos
+        |        FROM ex, (SELECT UNNEST([0, 1, 2]) AS i) i),
+        |bits AS (SELECT DISTINCT pos FROM pos),
+        |bp AS (SELECT DISTINCT h FROM hsh
+        |       WHERE doc_id % 2 = 1
+        |         AND h NOT IN (SELECT h FROM ex)),
+        |pp AS (SELECT bp.h,
+        |         ('0x' || substr(md5(bp.h || ':' || i.i), 1, 8))::BIGINT
+        |           % 65536 AS pos
+        |       FROM bp, (SELECT UNNEST([0, 1, 2]) AS i) i),
+        |per AS (SELECT h, COUNT(DISTINCT pos) AS np,
+        |          COUNT(DISTINCT CASE WHEN pos IN (SELECT pos FROM bits)
+        |                              THEN pos END) AS nh
+        |        FROM pp GROUP BY h),
+        |s1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS bits_set FROM bits),
+        |s2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_absent_probes,
+        |         CAST(SUM(CASE WHEN nh = np THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS false_positives
+        |       FROM per)
+        |SELECT CAST(65536 AS BIGINT) AS m_bits, CAST(3 AS BIGINT) AS k_hashes,
+        |       s1.bits_set,
+        |       FLOOR(s1.bits_set * 1.0 / 65536.0 * 10000.0 + 0.5) / 10000.0
+        |         AS load_factor,
+        |       s2.n_absent_probes, s2.false_positives,
+        |       FLOOR(s2.false_positives * 1.0 /
+        |             GREATEST(s2.n_absent_probes, 1)
+        |             * 10000.0 + 0.5) / 10000.0 AS fpr
+        |FROM s1, s2""".stripMargin,
 
     "q_dpp_join" ->
       """WITH dim AS (

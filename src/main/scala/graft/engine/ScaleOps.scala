@@ -495,6 +495,57 @@ object ScaleOps {
       .orderBy("join_name")
   }
 
+  /** HyperLogLog with an SQL-replayable hash — the md5-twin upgrade
+    * for the sketch family (the q_dedup_minhash_md5 pattern): the
+    * production q_hll_sketch / q_agg_approx_distinct keys use Spark's
+    * native xxhash sketches (declared no-oracle), while this twin
+    * runs the SAME algorithm — 256 registers, trailing-zero rank,
+    * harmonic mean — on md5-derived 60-bit hashes, so DuckDB can
+    * replay every register EXACTLY: rank is
+    * bit_count((w & −w) − 1) + 1 (the isolated lowest set bit turned
+    * into a popcount — no loop, no log), the harmonic sum
+    * Σ2^(−M_j) scales to the exact integer Σ2^(52−M_j), and the one
+    * double division at the end is of two exactly-representable
+    * values. The register table is 256 rows at any cardinality —
+    * THE point of HLL at 100 TB (a groupBy-max that map-side
+    * combines; merging sketches = max of registers). Reports the
+    * exact count alongside for a measured relative error. */
+  def qHllMd5(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val alpha = lit(0.7213 / (1.0 + 1.079 / 256))
+    val pow52 = lit(4503599627370496.0) // 2^52, exact
+    val ranked = Tables.events(s, d).select(col("user_id")).distinct()
+      .select(conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .select((col("h") % 256).as("j"), expr("h div 256").as("w"))
+      .select(col("j"),
+        least(bit_count((col("w").bitwiseAND(-col("w"))) - 1) + 1, lit(52))
+          .cast("long").as("r"))
+    val regs = ranked.groupBy("j").agg(max("r").as("m"))
+      .agg(count(lit(1)).as("n_filled"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(52 - m AS INT))"))
+          .as("sum_filled_u"))
+    val exact = Tables.events(s, d)
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    regs.crossJoin(broadcast(exact))
+      // empty registers contribute 2^52 each (M = 0)
+      .withColumn("harmonic_u", col("sum_filled_u") +
+        (lit(256L) - col("n_filled")) * lit(4503599627370496L))
+      .withColumn("raw_est", alpha * lit(65536.0) * pow52 / col("harmonic_u"))
+      // Flajolet et al. 2007 small-range correction: below 2.5m with
+      // empty registers, linear counting m·ln(m/V) beats the raw
+      // harmonic estimate (which overestimates badly at tiny n —
+      // caught by the spec before this branch existed)
+      .withColumn("est",
+        when(col("raw_est") <= 640.0 && col("n_filled") < 256,
+          lit(256.0) * log(lit(256.0) / (lit(256L) - col("n_filled"))))
+          .otherwise(col("raw_est")))
+      .select(col("n_filled"), col("n_exact"),
+        r4(col("est")).as("hll_estimate"),
+        r4((col("est") - col("n_exact")) / col("n_exact").cast("double"))
+          .as("rel_err"))
+  }
+
   /** Zone-map (min/max) skipping evaluation — the row-group-pruning
     * measurement behind every 100 TB layout decision (parquet
     * row-group stats, ORC stripe stats, Iceberg/Delta file stats all

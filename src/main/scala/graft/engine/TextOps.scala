@@ -1662,6 +1662,51 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Bloom-filter false-positive audit for the incremental-dedup
+    * front door: before [[qIncrementalDedup]]'s anti-join runs at
+    * 100 TB, a bloom filter of the existing snapshot's content
+    * hashes screens the new batch (a positive still needs the real
+    * lookup; a negative skips it — so the FPR is exactly the wasted
+    * lookup rate). This audit BUILDS the filter (m = 65536 bits,
+    * k = 3 md5-derived positions per key), probes it with the
+    * batch's truly-absent hashes, and reports the measured FPR next
+    * to the bit-load — all via distinct/join set algebra, so both
+    * engines count the same exact bits (double-hash position
+    * collisions handled by comparing DISTINCT position counts).
+    * Plan: position explode (×3) → distinct bit table (≤ m rows
+    * forever) → one join per probe set; the filter table is
+    * m-bounded at any corpus size, which is the entire point. */
+  def qBloomFpr(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    def positionsOf(df: DataFrame) = df
+      .select(col("h"), explode(array(lit(0), lit(1), lit(2))).as("i"))
+      .select(col("h"),
+        (conv(substring(md5(concat(col("h"), lit(":"),
+          col("i").cast("string"))), 1, 8), 16, 10).cast("long") % 65536L)
+          .as("pos"))
+    val hashed = corpusWithDups(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val existing = hashed.filter(col("doc_id") % 2 === 0).select("h").distinct()
+    val bits = positionsOf(existing).select("pos").distinct()
+    val absent = hashed.filter(col("doc_id") % 2 === 1).select("h").distinct()
+      .join(existing, Seq("h"), "left_anti")
+    val perProbe = positionsOf(absent)
+      .join(bits.withColumn("hit", lit(1L)), Seq("pos"), "left")
+      .groupBy("h")
+      .agg(countDistinct(col("pos")).as("np"),
+        countDistinct(when(col("hit").isNotNull, col("pos"))).as("nh"))
+    val s1 = bits.agg(count(lit(1)).as("bits_set"))
+    val s2 = perProbe.agg(
+      count(lit(1)).as("n_absent_probes"),
+      sum((col("nh") === col("np")).cast("long")).as("false_positives"))
+    s1.crossJoin(broadcast(s2))
+      .select(lit(65536L).as("m_bits"), lit(3L).as("k_hashes"),
+        col("bits_set"), r4(col("bits_set") / lit(65536.0)).as("load_factor"),
+        col("n_absent_probes"), col("false_positives"),
+        r4(col("false_positives") /
+          greatest(col("n_absent_probes"), lit(1L)).cast("double")).as("fpr"))
+  }
+
   /** Yule's K lexical-diversity characteristic (Yule 1944) — the
     * length-robust repetitiveness measure a corpus-quality report
     * pairs with TTR (TTR collapses as documents grow; K does not):

@@ -341,4 +341,28 @@ class Round13OpsSpec extends SparkSuite {
     assert(modShare > hrwShare, s"mod-N must move more keys than HRW: $r")
     assert(n > 0)
   }
+
+  test("hll md5 twin: estimate within 10% of exact (1.04/sqrt(256) ≈ 6.5% expected)") {
+    val r = graft.engine.ScaleOps.qHllMd5(spark, sf).head
+    val (filled, exact, est, relErr) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    assert(filled <= 256 && filled > 0)
+    assert(exact > 0 && est > 0)
+    assert(math.abs(relErr) < 0.10, s"HLL error outside 10%: $r")
+    assert(math.abs(est / exact - 1.0 - relErr) < 0.01, "rel_err must restate estimate/exact")
+  }
+
+  test("bloom fpr: no false negatives possible by construction; fpr consistent with load^k") {
+    val r = TextOps.qBloomFpr(spark, sf).head
+    val (m, k, bitsSet, load, probes, fps, fpr) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))
+    assert(m == 65536 && k == 3)
+    assert(bitsSet <= m && load <= 1.0)
+    assert(fps <= probes, s"more false positives than probes: $r")
+    // measured FPR tracks the theoretical load^k within a loose factor
+    val theory = math.pow(load, k.toDouble)
+    assert(fpr <= theory * 3 + 0.01 && fpr >= theory / 5 - 0.01,
+      s"FPR $fpr inconsistent with load^k = $theory")
+  }
 }
