@@ -313,6 +313,7 @@ object SparkEntry {
     "q_ctr_smoothing"      -> (AnalyticsOps.qCtrSmoothing _),
     "q_dpp_join"           -> (Sinks.qDppJoin _),
     "q_hll_md5"            -> (ScaleOps.qHllMd5 _),
+    "q_store_meta_cols"    -> (StreamingOps.qStoreMetaCols _),
     "q_bloom_fpr"          -> (TextOps.qBloomFpr _),
     "q_yule_k"             -> (TextOps.qYuleK _),
     "q_rendezvous_resize"  -> (CurationOps.qRendezvousResize _),
@@ -5537,6 +5538,13 @@ object SparkEntry {
         |         FROM scored)
         |SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY lang_true, lang_pred""".stripMargin,
+
+    "q_store_meta_cols" ->
+      """SELECT event_id // 1000 AS batch_offset,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM events WHERE event_id % 20 = 0
+        |GROUP BY 1 ORDER BY batch_offset""".stripMargin,
 
     "q_stream_store_source" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

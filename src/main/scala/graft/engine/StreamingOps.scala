@@ -761,4 +761,37 @@ object StreamingOps {
       s.table(sinkName).orderBy("event_type")
     } finally graft.sources.GraftStoreRegistry.unregister(storeName)
   }
+
+  /** The connector's METADATA COLUMNS, differentially gated: the same
+    * deterministic store staging as [[qStreamStoreSource]] (one batch
+    * per 1000-id block, appended in block order), then a batch read
+    * that groups by `_batch_offset` — the Kafka-offset analog the
+    * reference projects per message (O4). Because block b of the
+    * sorted append IS ids [1000b, 1000b+999], the oracle recomputes
+    * every row's batch offset as `event_id // 1000` without touching
+    * the store: a provenance bug anywhere in the partition planning
+    * or the metadata getters breaks the hash. */
+  def qStoreMetaCols(s: SparkSession, d: String): DataFrame = {
+    val sub = events(s, d).filter(col("event_id") % 20 === 0)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val schema = sub.schema
+    val store = new StreamStore(maxBytesPerStream = 1L << 30,
+      ttlMillis = Long.MaxValue / 2)
+    sub.collect().groupBy(_.getLong(0) / 1000L).toSeq.sortBy(_._1)
+      .foreach { case (_, rs) => store.append("events", schema, rs.toSeq) }
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val storeName = s"verify_meta_$tag"
+    graft.sources.GraftStoreRegistry.register(storeName, store)
+    try {
+      s.read.format("graft-store")
+        .option("store", storeName).option("topic", "events").load()
+        .select(col("_batch_offset").as("batch_offset"), col("event_id"))
+        .groupBy("batch_offset")
+        .agg(count(lit(1)).as("n_rows"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("batch_offset")
+        // the store is JVM-local: materialize before unregistering
+        .localCheckpoint(true)
+    } finally graft.sources.GraftStoreRegistry.unregister(storeName)
+  }
 }

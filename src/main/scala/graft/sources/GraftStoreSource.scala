@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
@@ -83,9 +83,24 @@ final class GraftStoreProvider extends TableProvider with DataSourceRegister {
 }
 
 final class GraftStoreTable(storeName: String, topic: String, schema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsMetadataColumns {
   override def name(): String = s"graft-store:$storeName/$topic"
   override def schema(): StructType = schema
+
+  /** Kafka-style row provenance (reference O4 metadata projection:
+    * the consumer exposes topic/partition/offset per message;
+    * here the store's monotone append axis plays the offset role):
+    * `_batch_offset` is the ABSOLUTE append index of the batch a row
+    * was served from — stable across drop-oldest eviction, exactly
+    * like a Kafka offset survives retention — and `_row_in_batch`
+    * the position inside it. Metadata columns appear only when
+    * selected (never in `SELECT *`), per the DSv2 contract. */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    GraftMetaColumn(GraftStoreTable.BatchOffsetCol,
+      "absolute append index of the store batch serving this row (Kafka offset analog; stable across eviction)"),
+    GraftMetaColumn(GraftStoreTable.RowInBatchCol,
+      "row position within its store batch"))
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
@@ -93,6 +108,20 @@ final class GraftStoreTable(storeName: String, topic: String, schema: StructType
     new GraftScanBuilder(storeName, topic, schema)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(storeName, topic, info.schema())
+}
+
+object GraftStoreTable {
+  val BatchOffsetCol = "_batch_offset"
+  val RowInBatchCol = "_row_in_batch"
+  val MetaCols: Set[String] = Set(BatchOffsetCol, RowInBatchCol)
+}
+
+final case class GraftMetaColumn(name: String, about: String)
+    extends MetadataColumn {
+  override def dataType(): org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.LongType
+  override def isNullable: Boolean = false
+  override def comment(): String = about
 }
 
 /** Write path of the connector — the reference's ingest direction
@@ -344,9 +373,12 @@ final class GraftScan(storeName: String, topic: String, full: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     if (agg.isDefined || limit.isDefined) Array(GraftAggPartition)
     else {
-      val n = GraftStoreRegistry.get(storeName)
-        .batchesOf(topic).map(_._2.size).getOrElse(0)
-      (0 until n).map(i => GraftBatchPartition(i): InputPartition).toArray
+      val store = GraftStoreRegistry.get(storeName)
+      val appended = store.appendedBatches(topic)
+      val n = store.batchesOf(topic).map(_._2.size).getOrElse(0)
+      val base = appended - n // oldest surviving batch's absolute index
+      (0 until n).map(i =>
+        GraftBatchPartition(i, base + i): InputPartition).toArray
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -405,7 +437,10 @@ final case class GraftOffset(index: Long) extends Offset {
   override def json(): String = index.toString
 }
 
-final case class GraftBatchPartition(index: Int) extends InputPartition
+/** Batch-read partition: ordinal index into the surviving buffer plus
+  * the batch's ABSOLUTE append index (for the metadata columns). */
+final case class GraftBatchPartition(index: Int, absIndex: Long)
+    extends InputPartition
 
 /** Single partition answering a fully-pushed aggregation. */
 case object GraftAggPartition extends InputPartition
@@ -463,33 +498,50 @@ final class GraftReaderFactory(storeName: String, topic: String,
         }
       case _ => ()
     }
-    val rows = partition match {
+    // Every path carries (row, absolute batch index, row-in-batch)
+    // so the metadata columns can be served from any partition kind.
+    val attributed: Seq[(org.apache.spark.sql.Row, Long, Long)] = partition match {
       case GraftAggPartition =>
         // fully-pushed limit / top-N: filter the whole buffer, sort if
         // a top-N order was pushed (stable, so ties keep append
         // order), cap at N — at most N rows ever leave the scan
-        val all = GraftStoreRegistry.get(storeName).batchesOf(topic)
-          .map(_._2.flatten).getOrElse(Seq.empty)
-          .filter(r => pushed.forall(GraftFilterEval.eval(full, r, _)))
+        val store = GraftStoreRegistry.get(storeName)
+        val batches = store.batchesOf(topic).map(_._2).getOrElse(Seq.empty)
+        val base = store.appendedBatches(topic) - batches.size
+        val all = batches.zipWithIndex.flatMap { case (b, i) =>
+          b.zipWithIndex.map { case (r, j) => (r, base + i, j.toLong) }
+        }.filter(t => pushed.forall(GraftFilterEval.eval(full, t._1, _)))
         val ordered =
-          if (sort.nonEmpty) all.sortWith((a, b) => cmpRows(a, b) < 0) else all
+          if (sort.nonEmpty) all.sortWith((a, b) => cmpRows(a._1, b._1) < 0)
+          else all
         ordered.take(limit.getOrElse(Int.MaxValue))
-      case GraftBatchPartition(idx) =>
+      case GraftBatchPartition(idx, abs) =>
         GraftStoreRegistry.get(storeName).batchesOf(topic)
           .map(_._2.apply(idx)).getOrElse(Seq.empty)
+          .zipWithIndex.map { case (r, j) => (r, abs, j.toLong) }
       case GraftAbsolutePartition(abs) =>
         GraftStoreRegistry.get(storeName).batchSlice(topic, abs, abs + 1)
           .headOption.map(_._2).getOrElse(Seq.empty)
+          .zipWithIndex.map { case (r, j) => (r, abs, j.toLong) }
       case other =>
         throw new IllegalStateException(s"unexpected partition $other")
     }
-    val fieldIdx = required.fieldNames.map(full.fieldIndex)
+    val getters: Array[(org.apache.spark.sql.Row, Long, Long) => Any] =
+      required.fieldNames.map {
+        case GraftStoreTable.BatchOffsetCol =>
+          (_: org.apache.spark.sql.Row, abs: Long, _: Long) => abs
+        case GraftStoreTable.RowInBatchCol =>
+          (_: org.apache.spark.sql.Row, _: Long, j: Long) => j
+        case n =>
+          val i = full.fieldIndex(n)
+          (r: org.apache.spark.sql.Row, _: Long, _: Long) => r.get(i)
+      }
     val toCatalyst = CatalystTypeConverters.createToCatalystConverter(required)
-    val it = rows.iterator
-      .filter(r => pushed.forall(GraftFilterEval.eval(full, r, _)))
-      .map { r =>
+    val it = attributed.iterator
+      .filter(t => pushed.forall(GraftFilterEval.eval(full, t._1, _)))
+      .map { case (r, abs, j) =>
         val projected = org.apache.spark.sql.Row
-          .fromSeq(fieldIdx.toIndexedSeq.map(r.get))
+          .fromSeq(getters.toIndexedSeq.map(g => g(r, abs, j)))
         toCatalyst(projected).asInstanceOf[InternalRow]
       }
     new PartitionReader[InternalRow] {

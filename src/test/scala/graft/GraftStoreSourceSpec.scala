@@ -269,4 +269,43 @@ class GraftStoreSourceSpec extends SparkSuite {
     } finally q.stop()
     GraftStoreRegistry.unregister("s_evict")
   }
+
+  test("metadata columns: _batch_offset/_row_in_batch when selected, absent from SELECT *") {
+    freshStore("s_meta")
+    val df = read("s_meta")
+    assert(!df.schema.fieldNames.contains("_batch_offset"),
+      "metadata columns must not leak into SELECT *")
+    val m = df.select(col("k"), col("_batch_offset"), col("_row_in_batch"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(m.size == 15)
+    // batch 0 holds k=0..9, batch 1 holds k=10..14; row position in order
+    m.foreach { case (k, b, j) =>
+      assert(b == (if (k < 10) 0L else 1L), s"wrong batch offset for k=$k: $b")
+      assert(j == (if (k < 10) k else k - 10), s"wrong row position for k=$k: $j")
+    }
+    GraftStoreRegistry.unregister("s_meta")
+  }
+
+  test("metadata offsets are ABSOLUTE: eviction moves the window, not the numbering") {
+    val st = new StreamStore(maxBytesPerStream = 260, ttlMillis = Long.MaxValue / 2)
+    // 10 rows x 3 cols x 8 = 240 bytes/batch: each append evicts the previous
+    st.append("t1", schema, (0L until 10L).map(i => Row(i, s"n$i", i)))
+    st.append("t1", schema, (10L until 20L).map(i => Row(i, s"n$i", i)))
+    st.append("t1", schema, (20L until 30L).map(i => Row(i, s"n$i", i)))
+    GraftStoreRegistry.register("s_meta_ev", st)
+    val offs = read("s_meta_ev").select(col("_batch_offset")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(offs == Set(2L), s"only the 3rd append survives, numbered 2: $offs")
+    GraftStoreRegistry.unregister("s_meta_ev")
+  }
+
+  test("metadata columns compose with pushed filters and pruning") {
+    freshStore("s_meta_f")
+    val rows = read("s_meta_f").filter(col("v") >= 100)
+      .select(col("k"), col("_batch_offset"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.map(_._1).toSet == (10L until 15L).toSet)
+    assert(rows.forall(_._2 == 1L), "filtered rows keep their true provenance")
+    GraftStoreRegistry.unregister("s_meta_f")
+  }
 }
