@@ -314,6 +314,9 @@ object SparkEntry {
     "q_dpp_join"           -> (Sinks.qDppJoin _),
     "q_hll_md5"            -> (ScaleOps.qHllMd5 _),
     "q_store_meta_cols"    -> (StreamingOps.qStoreMetaCols _),
+    "q_datetime_parse"     -> (IngestQueries.qDatetimeParse _),
+    "q_num_parse"          -> (IngestQueries.qNumParse _),
+    "q_robots_filter"      -> (CurationOps.qRobotsFilter _),
     "q_bloom_fpr"          -> (TextOps.qBloomFpr _),
     "q_yule_k"             -> (TextOps.qYuleK _),
     "q_rendezvous_resize"  -> (CurationOps.qRendezvousResize _),
@@ -5538,6 +5541,100 @@ object SparkEntry {
         |         FROM scored)
         |SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY lang_true, lang_pred""".stripMargin,
+
+    "q_datetime_parse" ->
+      """WITH f AS (
+        |  SELECT event_id % 4 AS fmt, CAST(ts AS TIMESTAMP) AS t
+        |  FROM events),
+        |r AS (SELECT fmt, t,
+        |        CASE fmt
+        |          WHEN 0 THEN strftime(t, '%Y-%m-%dT%H:%M:%S')
+        |          WHEN 1 THEN strftime(t, '%m/%d/%Y %H:%M:%S')
+        |          WHEN 2 THEN strftime(t, '%Y%m%d%H%M%S')
+        |          -- floor before the cast: CAST(DOUBLE AS BIGINT) rounds
+        |          -- in DuckDB while Spark's unix_timestamp truncates
+        |          ELSE CAST(CAST(floor(epoch(t)) AS BIGINT) AS VARCHAR)
+        |          END AS raw
+        |      FROM f),
+        |p AS (SELECT fmt, t,
+        |        CASE fmt
+        |          WHEN 0 THEN strptime(raw, '%Y-%m-%dT%H:%M:%S')
+        |          WHEN 1 THEN strptime(raw, '%m/%d/%Y %H:%M:%S')
+        |          WHEN 2 THEN strptime(raw, '%Y%m%d%H%M%S')
+        |          ELSE to_timestamp(CAST(raw AS BIGINT)) END AS parsed
+        |      FROM r)
+        |SELECT CAST(fmt AS BIGINT) AS fmt,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CASE WHEN CAST(epoch(parsed) AS BIGINT) =
+        |                          CAST(epoch(date_trunc('second', t)) AS BIGINT)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok,
+        |       CAST(MIN(CAST(epoch(parsed) AS BIGINT)) AS BIGINT) AS min_epoch,
+        |       CAST(MAX(CAST(epoch(parsed) AS BIGINT)) AS BIGINT) AS max_epoch
+        |FROM p GROUP BY 1 ORDER BY fmt""".stripMargin,
+
+    "q_num_parse" ->
+      """WITH b AS (
+        |  SELECT event_id % 5 AS shape,
+        |         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |r AS (SELECT shape, c,
+        |        CAST(c // 100 AS VARCHAR) AS dollars,
+        |        lpad(CAST(c % 100 AS VARCHAR), 2, '0') AS frac
+        |      FROM b),
+        |w AS (SELECT shape, c,
+        |        dollars || '.' || frac AS plain,
+        |        CASE WHEN length(dollars) > 3
+        |             THEN substr(dollars, 1, length(dollars) - 3) || ',' ||
+        |                  substr(dollars, length(dollars) - 2, 3) || '.' || frac
+        |             ELSE dollars || '.' || frac END AS grouped
+        |      FROM r),
+        |raws AS (SELECT shape, c,
+        |           CASE shape
+        |             WHEN 0 THEN plain
+        |             WHEN 1 THEN '$' || plain
+        |             WHEN 2 THEN '  ' || plain || ' '
+        |             WHEN 3 THEN '(' || plain || ')'
+        |             ELSE grouped END AS raw
+        |         FROM w),
+        |parsed AS (SELECT shape, c,
+        |             CASE WHEN contains(raw, '(') THEN 1 ELSE 0 END AS neg,
+        |             regexp_replace(raw, '[$,()\s]', '', 'g') AS clean
+        |           FROM raws),
+        |fin AS (SELECT shape, c, neg,
+        |          (1 - 2 * neg) *
+        |          (CAST(string_split(clean, '.')[1] AS BIGINT) * 100 +
+        |           CAST(string_split(clean, '.')[2] AS BIGINT)) AS parsed_c
+        |        FROM parsed)
+        |SELECT CAST(shape AS BIGINT) AS shape,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(parsed_c) AS BIGINT) AS sum_parsed_c,
+        |       CAST(SUM(CASE WHEN parsed_c = (1 - 2 * neg) * c
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+        |FROM fin GROUP BY 1 ORDER BY shape""".stripMargin,
+
+    "q_robots_filter" ->
+      """WITH rules AS (
+        |  SELECT * FROM (VALUES
+        |    ('/p', 0), ('/p/click', 1), ('/p/purchase', 1),
+        |    ('/p/error', 0), ('/static', 1)) t(prefix, rule_allow)),
+        |paths AS (
+        |  SELECT '/p/' || event_type ||
+        |         CASE WHEN event_id % 3 = 0 THEN '/' ELSE '' END AS path
+        |  FROM events),
+        |dp AS (SELECT DISTINCT path FROM paths),
+        |m AS (SELECT dp.path, r.prefix, r.rule_allow
+        |      FROM dp LEFT JOIN rules r ON dp.path LIKE r.prefix || '%'),
+        |v AS (SELECT path,
+        |        CAST(SUM(CASE WHEN prefix IS NOT NULL THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_rules_matched,
+        |        CAST(COALESCE(
+        |          (MAX({'l': length(prefix), 'a': rule_allow})).a, 1)
+        |          AS BIGINT) AS allowed
+        |      FROM m GROUP BY path)
+        |SELECT p.path, v.n_rules_matched, v.allowed,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM paths p JOIN v USING (path)
+        |GROUP BY 1, 2, 3 ORDER BY p.path""".stripMargin,
 
     "q_store_meta_cols" ->
       """SELECT event_id // 1000 AS batch_offset,

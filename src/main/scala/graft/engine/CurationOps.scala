@@ -652,6 +652,43 @@ object CurationOps {
       .orderBy("canonical_url")
   }
 
+  /** robots.txt compliance filter — the legally-load-bearing step of
+    * every crawl pipeline, with the semantics people get wrong: the
+    * LONGEST matching prefix rule wins (so `Allow: /p/click` beats
+    * `Disallow: /p`), and no match at all defaults to allowed. URL
+    * paths come from the event synthesis (with the trailing-slash
+    * variant so prefix matching is exercised against both shapes);
+    * the 5-rule table joins against DISTINCT paths only — the
+    * verdict table is path-cardinality (bounded) and events never
+    * join a rules table row-by-row at scale; the final count rides
+    * the broadcast verdicts. The oracle restates the longest-prefix
+    * arbitration relationally. */
+  def qRobotsFilter(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val rules = Seq(
+      ("/p", 0L), ("/p/click", 1L), ("/p/purchase", 1L),
+      ("/p/error", 0L), ("/static", 1L))
+      .toDF("prefix", "rule_allow")
+    val paths = events(s, d)
+      .select(concat(lit("/p/"), col("event_type"),
+        when(col("event_id") % 3 === 0, lit("/")).otherwise(lit("")))
+        .as("path"))
+    val verdicts = paths.distinct()
+      .join(rules, col("path").startsWith(col("prefix")), "left")
+      .groupBy("path")
+      .agg(
+        sum(col("prefix").isNotNull.cast("long")).as("n_rules_matched"),
+        coalesce(
+          max(struct(length(col("prefix")).as("l"), col("rule_allow").as("a")))
+            .getField("a"),
+          lit(1L)).as("allowed"))
+    paths.join(broadcast(verdicts), "path")
+      .groupBy("path", "n_rules_matched", "allowed")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("path")
+  }
+
   /** Rendezvous-hashing (HRW, Thaler & Ravishankar 1998) resize
     * audit — the measurement behind "use consistent hashing, not
     * mod-N": when the shard count grows 8 → 10, highest-random-

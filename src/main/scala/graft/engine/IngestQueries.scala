@@ -159,4 +159,89 @@ object IngestQueries {
         try_variant_get(col("v"), "$.zzz", "bigint").isNotNull
           .cast("int").as("has_zzz"))
       .orderBy("event_id")
+
+  /** Multi-format timestamp parsing — the messy-feed normalization
+    * every ingest layer owns: each event's timestamp is FORMATTED
+    * into one of four wire shapes (ISO-8601, US slash-date, compact
+    * yyyyMMddHHmmss, epoch-seconds string) and parsed back with the
+    * per-format parser, exercising Spark's `to_timestamp` pattern
+    * machinery against DuckDB's `strptime` — two independent format
+    * engines that must land on the identical instant. Output is the
+    * per-format roundtrip audit in epoch seconds (timestamp-typed
+    * outputs draw the ns/µs dtype warning — the q_stream_tumbling
+    * lesson). Map-side projection into a 4-group aggregate. */
+  def qDatetimeParse(s: SparkSession, d: String): DataFrame = {
+    val ts = col("ts")
+    val formatted = events(s, d)
+      .select(col("event_id"), (col("event_id") % 4).as("fmt"), ts)
+      .withColumn("raw",
+        when(col("fmt") === 0, date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"))
+          .when(col("fmt") === 1, date_format(ts, "MM/dd/yyyy HH:mm:ss"))
+          .when(col("fmt") === 2, date_format(ts, "yyyyMMddHHmmss"))
+          .otherwise(unix_timestamp(ts).cast("string")))
+    formatted
+      .withColumn("parsed",
+        when(col("fmt") === 0,
+          to_timestamp(col("raw"), "yyyy-MM-dd'T'HH:mm:ss"))
+          .when(col("fmt") === 1, to_timestamp(col("raw"), "MM/dd/yyyy HH:mm:ss"))
+          .when(col("fmt") === 2, to_timestamp(col("raw"), "yyyyMMddHHmmss"))
+          .otherwise(to_timestamp(col("raw").cast("long"))))
+      .select(col("fmt").cast("long").as("fmt"),
+        unix_timestamp(col("parsed")).as("epoch_s"),
+        (unix_timestamp(col("parsed")) === unix_timestamp(ts))
+          .cast("long").as("ok"))
+      .groupBy("fmt")
+      .agg(count(lit(1)).as("n"), sum("ok").as("n_roundtrip_ok"),
+        min("epoch_s").as("min_epoch"), max("epoch_s").as("max_epoch"))
+      .orderBy("fmt")
+  }
+
+  /** Robust numeric-string parsing — the "$1,234.56", "(45.10)",
+    * padded-whitespace mess a finance feed actually ships: amounts
+    * are RENDERED from exact integer cents into five wire shapes
+    * (plain, currency-prefixed, padded, parenthesized-negative,
+    * comma-grouped — the grouping built by string surgery on the
+    * integer, so both engines synthesize identical bytes), then
+    * parsed back by stripping/sign logic into cents. The oracle
+    * renders and parses with its own string functions; the per-shape
+    * sums must agree to the cent. One projection, 5-group
+    * aggregate. */
+  def qNumParse(s: SparkSession, d: String): DataFrame = {
+    val cents = floor(col("value") * 100.0 + 0.5).cast("long")
+    val base = events(s, d)
+      .select(col("event_id"), (col("event_id") % 5).as("shape"),
+        cents.as("c"))
+      // div, not `/`: Column./ on longs is DOUBLE division, and the
+      // "12.3"-shaped string it renders would corrupt the wire format
+      .withColumn("dollars", expr("c div 100").cast("string"))
+      .withColumn("frac", lpad((col("c") % 100L).cast("string"), 2, "0"))
+      .withColumn("plain", concat(col("dollars"), lit("."), col("frac")))
+      .withColumn("grouped",
+        when(length(col("dollars")) > 3,
+          concat(col("dollars").substr(lit(1), length(col("dollars")) - 3),
+            lit(","),
+            col("dollars").substr(length(col("dollars")) - 2, lit(3)),
+            lit("."), col("frac")))
+          .otherwise(col("plain")))
+      .withColumn("raw",
+        when(col("shape") === 0, col("plain"))
+          .when(col("shape") === 1, concat(lit("$"), col("plain")))
+          .when(col("shape") === 2, concat(lit("  "), col("plain"), lit(" ")))
+          .when(col("shape") === 3, concat(lit("("), col("plain"), lit(")")))
+          .otherwise(col("grouped")))
+    base
+      .withColumn("neg", col("raw").contains("(").cast("long"))
+      .withColumn("clean",
+        regexp_replace(col("raw"), "[$,()\\s]", ""))
+      .withColumn("parsed_c",
+        (lit(1L) - lit(2L) * col("neg")) *
+          (split(col("clean"), "\\.").getItem(0).cast("long") * 100L +
+            split(col("clean"), "\\.").getItem(1).cast("long")))
+      .groupBy(col("shape").cast("long").as("shape"))
+      .agg(count(lit(1)).as("n"),
+        sum("parsed_c").as("sum_parsed_c"),
+        sum((col("parsed_c") === (lit(1L) - lit(2L) * col("neg")) * col("c"))
+          .cast("long")).as("n_exact"))
+      .orderBy("shape")
+  }
 }

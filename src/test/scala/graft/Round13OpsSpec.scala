@@ -365,4 +365,34 @@ class Round13OpsSpec extends SparkSuite {
     assert(fpr <= theory * 3 + 0.01 && fpr >= theory / 5 - 0.01,
       s"FPR $fpr inconsistent with load^k = $theory")
   }
+
+  test("datetime parse: every format round-trips every row to the exact second") {
+    val rows = graft.engine.IngestQueries.qDatetimeParse(spark, sf).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1), s"lossy roundtrip for format: $r")
+      assert(r.getLong(3) <= r.getLong(4))
+    }
+  }
+
+  test("num parse: all five wire shapes parse back to the exact cents") {
+    val rows = graft.engine.IngestQueries.qNumParse(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1), s"inexact parse in shape: $r")
+    }
+    // the parenthesized shape (its own row subset) parses negative
+    val byShape = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byShape(3L) < 0 && byShape(0L) > 0, "(x) must parse with flipped sign")
+  }
+
+  test("robots filter: longest prefix wins — Allow:/p/click beats Disallow:/p; default deny via /p") {
+    val rows = CurationOps.qRobotsFilter(spark, sf).collect()
+    val verdict = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    Seq("/p/click", "/p/click/", "/p/purchase").foreach(p =>
+      assert(verdict(p) == 1L, s"$p should be allowed by its specific rule"))
+    Seq("/p/error", "/p/view", "/p/signup").foreach(p =>
+      assert(verdict(p) == 0L, s"$p should fall to Disallow:/p"))
+    rows.foreach(r => assert(r.getLong(1) >= 1, s"every path matches at least /p: $r"))
+  }
 }
