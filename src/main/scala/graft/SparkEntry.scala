@@ -315,6 +315,8 @@ object SparkEntry {
     "q_hll_md5"            -> (ScaleOps.qHllMd5 _),
     "q_store_meta_cols"    -> (StreamingOps.qStoreMetaCols _),
     "q_datetime_parse"     -> (IngestQueries.qDatetimeParse _),
+    "q_ua_parse"           -> (IngestQueries.qUaParse _),
+    "q_rate_limit"         -> (AnalyticsOps.qRateLimit _),
     "q_num_parse"          -> (IngestQueries.qNumParse _),
     "q_robots_filter"      -> (CurationOps.qRobotsFilter _),
     "q_bloom_fpr"          -> (TextOps.qBloomFpr _),
@@ -5541,6 +5543,30 @@ object SparkEntry {
         |         FROM scored)
         |SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY lang_true, lang_pred""".stripMargin,
+
+    "q_rate_limit" -> AnalyticsOps.rateLimitOracleSql,
+
+    "q_ua_parse" ->
+      """WITH ua AS (
+        |  SELECT 'Mozilla/5.0 (' ||
+        |         CASE user_id % 3
+        |           WHEN 0 THEN 'Windows NT 10.0; Win64; x64'
+        |           WHEN 1 THEN 'Macintosh; Intel Mac OS X 10_15_7'
+        |           ELSE 'X11; Linux x86_64' END ||
+        |         ') AppleWebKit/537.36 (KHTML, like Gecko) ' ||
+        |         CASE event_id % 2
+        |           WHEN 0 THEN 'Chrome/' || CAST(100 + event_id % 30 AS VARCHAR)
+        |                       || '.0.0.0 Safari/537.36'
+        |           ELSE 'Firefox/' || CAST(100 + event_id % 30 AS VARCHAR)
+        |                || '.0' END AS ua
+        |  FROM events)
+        |SELECT regexp_extract(ua, '\((Windows|Macintosh|X11)[^)]*\)', 1)
+        |         AS os_family,
+        |       regexp_extract(ua, '(Chrome|Firefox)/', 1) AS browser,
+        |       CAST(regexp_extract(ua, '(?:Chrome|Firefox)/(\d+)', 1)
+        |            AS BIGINT) AS major,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM ua GROUP BY 1, 2, 3 ORDER BY os_family, browser, major""".stripMargin,
 
     "q_datetime_parse" ->
       """WITH f AS (

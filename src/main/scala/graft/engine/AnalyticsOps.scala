@@ -1111,6 +1111,82 @@ object AnalyticsOps {
       .orderBy("event_type", "hour_ts")
   }
 
+  /** Token-bucket rate-limit audit — "how many of each user's
+    * requests would a burst-3, 1-token-per-day quota have
+    * admitted?": the capacity-planning replay every API team runs
+    * before turning a limiter on. The bucket is GENUINELY
+    * sequential state (each admission depends on the previous
+    * decision), which makes this the documented legitimate use of
+    * the mapPartitions last resort: repartition by user, sort within
+    * partitions by (ts, event_id), and run the integer bucket
+    * recurrence in one pass per partition — the state is one long
+    * per in-flight user, users are partition-contiguous by
+    * construction, and nothing ever collects. All arithmetic is
+    * integer (elapsed seconds div 86400), so the DuckDB oracle replays
+    * the recurrence exactly as a recursive CTE stepping row-rank by
+    * row-rank across all users simultaneously. */
+  def qRateLimit(s: SparkSession, d: String): DataFrame = {
+    val cap = 3L
+    val spark = s
+    import spark.implicits._
+    events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"), col("event_id"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "t_us", "event_id")
+      .select(col("user_id").as("u"), expr("t_us div 1000000").as("t_s"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        var curUser = Long.MinValue
+        var tokens = 0L
+        var prevT = 0L
+        it.map { case (u, t) =>
+          if (u != curUser) { curUser = u; tokens = cap; prevT = t }
+          else {
+            tokens = math.min(cap, tokens + (t - prevT) / 86400L)
+            prevT = t
+          }
+          val admitted = tokens > 0L
+          if (admitted) tokens -= 1L
+          (u, if (admitted) 1L else 0L)
+        }
+      }
+      .toDF("user_id", "admitted")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum("admitted").as("n_admitted"),
+        (count(lit(1)) - sum("admitted")).as("n_rejected"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB oracle for [[qRateLimit]]: the identical integer bucket
+    * recurrence as a recursive CTE — one step per per-user row rank,
+    * all users advancing together. */
+  val rateLimitOracleSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id,
+      |         CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+      |              AS BIGINT) AS t_s,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id
+      |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, rn, t_s,
+      |         CAST(CASE WHEN 3 > 0 THEN 1 ELSE 0 END AS BIGINT) AS admitted,
+      |         CAST(3 - 1 AS BIGINT) AS tokens_after
+      |  FROM e WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.rn, e.t_s,
+      |         CASE WHEN LEAST(3, s.tokens_after + (e.t_s - s.t_s) // 86400) > 0
+      |              THEN 1 ELSE 0 END,
+      |         LEAST(3, s.tokens_after + (e.t_s - s.t_s) // 86400) -
+      |         CASE WHEN LEAST(3, s.tokens_after + (e.t_s - s.t_s) // 86400) > 0
+      |              THEN 1 ELSE 0 END
+      |  FROM s JOIN e ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(admitted) AS BIGINT) AS n_admitted,
+      |       CAST(COUNT(*) - SUM(admitted) AS BIGINT) AS n_rejected
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Markov removal-effect attribution (Anderl et al. 2014) — the
     * principled alternative to [[qAttribution]]'s last-touch rule:
     * fit the first-order journey chain, then for each channel ask

@@ -244,4 +244,36 @@ object IngestQueries {
           .cast("long")).as("n_exact"))
       .orderBy("shape")
   }
+
+  /** User-agent string parsing — the clickstream-enrichment step
+    * between raw logs and any device report: full Mozilla-style UA
+    * strings are synthesized from event columns (three OS platforms,
+    * two browser families with versions), then DISSECTED back with
+    * regexes into OS family, browser family and major version. Spark
+    * (Java regex) and DuckDB (RE2) each run their own extraction —
+    * the same pattern text, two regex engines that must cut identical
+    * substrings. Map-side projection into a small-group aggregate. */
+  def qUaParse(s: SparkSession, d: String): DataFrame = {
+    val os = when(col("user_id") % 3 === 0, lit("Windows NT 10.0; Win64; x64"))
+      .when(col("user_id") % 3 === 1, lit("Macintosh; Intel Mac OS X 10_15_7"))
+      .otherwise(lit("X11; Linux x86_64"))
+    val browser = when(col("event_id") % 2 === 0,
+      concat(lit("Chrome/"), (lit(100L) + col("event_id") % 30).cast("string"),
+        lit(".0.0.0 Safari/537.36")))
+      .otherwise(concat(lit("Firefox/"),
+        (lit(100L) + col("event_id") % 30).cast("string"), lit(".0")))
+    val ua = concat(lit("Mozilla/5.0 ("), os,
+      lit(") AppleWebKit/537.36 (KHTML, like Gecko) "), browser)
+    events(s, d)
+      .select(ua.as("ua"))
+      .select(
+        regexp_extract(col("ua"), "\\((Windows|Macintosh|X11)[^)]*\\)", 1)
+          .as("os_family"),
+        regexp_extract(col("ua"), "(Chrome|Firefox)/", 1).as("browser"),
+        regexp_extract(col("ua"), "(?:Chrome|Firefox)/(\\d+)", 1)
+          .cast("long").as("major"))
+      .groupBy("os_family", "browser", "major")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("os_family", "browser", "major")
+  }
 }

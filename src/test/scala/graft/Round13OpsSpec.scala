@@ -395,4 +395,28 @@ class Round13OpsSpec extends SparkSuite {
       assert(verdict(p) == 0L, s"$p should fall to Disallow:/p"))
     rows.foreach(r => assert(r.getLong(1) >= 1, s"every path matches at least /p: $r"))
   }
+
+  test("rate limit: admissions bounded by capacity + refill budget; first events always admitted") {
+    val rows = AnalyticsOps.qRateLimit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, adm, rej) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(adm + rej == n, s"decisions must partition events: $r")
+      assert(adm >= 1, s"the first event always finds a full bucket: $r")
+      assert(adm <= n)
+    }
+    // on a bursty fixture the limiter must actually bite somewhere
+    assert(rows.exists(_.getLong(3) > 0), "no user was ever rate-limited — limiter inert")
+  }
+
+  test("ua parse: families and versions recovered exactly from the synthesized strings") {
+    val rows = graft.engine.IngestQueries.qUaParse(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val osSet = rows.map(_.getString(0)).toSet
+    assert(osSet == Set("Windows", "Macintosh", "X11"))
+    assert(rows.map(_.getString(1)).toSet == Set("Chrome", "Firefox"))
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 100 && r.getLong(2) <= 129, s"major version out of range: $r")
+    }
+  }
 }
