@@ -316,6 +316,8 @@ object SparkEntry {
     "q_store_meta_cols"    -> (StreamingOps.qStoreMetaCols _),
     "q_datetime_parse"     -> (IngestQueries.qDatetimeParse _),
     "q_ua_parse"           -> (IngestQueries.qUaParse _),
+    "q_skipgram"           -> (TextOps.qSkipgram _),
+    "q_unicode_fold"       -> (TextOps.qUnicodeFold _),
     "q_rate_limit"         -> (AnalyticsOps.qRateLimit _),
     "q_num_parse"          -> (IngestQueries.qNumParse _),
     "q_robots_filter"      -> (CurationOps.qRobotsFilter _),
@@ -5545,6 +5547,44 @@ object SparkEntry {
         |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY lang_true, lang_pred""".stripMargin,
 
     "q_rate_limit" -> AnalyticsOps.rateLimitOracleSql,
+
+    "q_skipgram" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |p AS (
+        |  SELECT UNNEST(list_concat(
+        |    list_transform(range(1, len(tk)),
+        |      i -> {'w1': tk[i], 'w2': tk[i + 1], 'wt': 2}),
+        |    list_transform(range(1, len(tk) - 1),
+        |      i -> {'w1': tk[i], 'w2': tk[i + 2], 'wt': 1}))) AS s
+        |  FROM toks WHERE len(tk) >= 3)
+        |SELECT s.w1 AS w1, s.w2 AS w2,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(SUM(s.wt) AS BIGINT) AS weight_halves
+        |FROM p GROUP BY 1, 2
+        |ORDER BY weight_halves DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "q_unicode_fold" ->
+      """WITH varied AS (
+        |  SELECT doc_id, text AS vtext FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, translate(text, 'aeiou', 'áéíóú')
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, upper(text)
+        |  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0),
+        |folded AS (
+        |  SELECT translate(lower(vtext), 'áéíóú', 'aeiou') AS f, vtext
+        |  FROM varied),
+        |groups AS (
+        |  SELECT f, CAST(COUNT(*) AS BIGINT) AS n_variants,
+        |         CAST(COUNT(DISTINCT vtext) AS BIGINT) AS n_distinct_raw
+        |  FROM folded GROUP BY f)
+        |SELECT n_variants, n_distinct_raw,
+        |       CAST(COUNT(*) AS BIGINT) AS n_groups
+        |FROM groups GROUP BY 1, 2
+        |ORDER BY n_variants, n_distinct_raw""".stripMargin,
 
     "q_ua_parse" ->
       """WITH ua AS (

@@ -1662,6 +1662,61 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Skip-gram pair generation (word2vec data prep, Mikolov et al.
+    * 2013): (center, context) pairs within a ±2 window, weighted
+    * 1/distance — emitted WITHOUT a positions self-join: each doc
+    * builds its distance-1 and distance-2 pairs by two shifted
+    * array zips inside one projection (the bigram-table trick
+    * widened), so the only shuffle is the pair aggregate. Weights
+    * stay integer by counting in half-units (distance 1 → 2,
+    * distance 2 → 1). Top-50 by weighted count with full tie-breaks
+    * — a distributed top-k, never a full sort. */
+  def qSkipgram(s: SparkSession, d: String): DataFrame = {
+    val pairs = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(explode(concat(
+        expr("transform(sequence(0, size(tk) - 2), " +
+          "i -> struct(tk[i] as w1, tk[i+1] as w2, 2L as wt))"),
+        expr("transform(sequence(0, size(tk) - 3), " +
+          "i -> struct(tk[i] as w1, tk[i+2] as w2, 1L as wt))")))
+        .as("p"))
+      .select(col("p.w1"), col("p.w2"), col("p.wt"))
+    pairs
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n_pairs"), sum("wt").as("weight_halves"))
+      .orderBy(col("weight_halves").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
+  /** Unicode-fold dedup — the accent/case normalization stage a
+    * multilingual crawl runs before exact hashing ("Café", "café"
+    * and "cafe" are one document): variant COPIES are planted
+    * deterministically (every 7th doc gains an accented-vowel copy,
+    * every 5th an uppercased one), then folded back by lowercasing
+    * + the same explicit `translate` table on both engines (Spark
+    * has no strip_accents; an explicit map is engine-portable and
+    * audit-able). Grouping by the folded text must merge exactly the
+    * planted variants. */
+  def qUnicodeFold(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text").as("vtext"))
+    val accentCopies = documents(s, d).filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        translate(col("text"), "aeiou", "áéíóú").as("vtext"))
+    val upperCopies = documents(s, d)
+      .filter(col("doc_id") % 5 === 0 && col("doc_id") % 7 =!= 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        upper(col("text")).as("vtext"))
+    base.unionByName(accentCopies).unionByName(upperCopies)
+      .withColumn("folded", translate(lower(col("vtext")), "áéíóú", "aeiou"))
+      .groupBy("folded")
+      .agg(count(lit(1)).as("n_variants"),
+        countDistinct(col("vtext")).as("n_distinct_raw"))
+      .groupBy("n_variants", "n_distinct_raw")
+      .agg(count(lit(1)).as("n_groups"))
+      .orderBy("n_variants", "n_distinct_raw")
+  }
+
   /** Bloom-filter false-positive audit for the incremental-dedup
     * front door: before [[qIncrementalDedup]]'s anti-join runs at
     * 100 TB, a bloom filter of the existing snapshot's content

@@ -419,4 +419,28 @@ class Round13OpsSpec extends SparkSuite {
       assert(r.getLong(2) >= 100 && r.getLong(2) <= 129, s"major version out of range: $r")
     }
   }
+
+  test("skipgram: adjacent pairs carry double the distance-2 weight; top-50 well-ordered") {
+    val rows = TextOps.qSkipgram(spark, sf).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val (n, w) = (r.getLong(2), r.getLong(3))
+      // each pair occurrence contributes 1 or 2 half-units
+      assert(w >= n && w <= 2 * n, s"weight outside the per-pair bounds: $r")
+    }
+    val ws = rows.map(_.getLong(3))
+    assert(ws.zip(ws.tail).forall { case (a, b) => b <= a }, "must be sorted by weight desc")
+  }
+
+  test("unicode fold: planted accent/case copies merge into exactly 2-variant groups") {
+    val rows = TextOps.qUnicodeFold(spark, sf).collect()
+    val byKey = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(byKey.contains((2L, 2L)), s"no folded groups found: ${byKey}")
+    assert(byKey.keySet.forall { case (v, d) => d <= v && v <= 3 },
+      s"unexpected group shapes: $byKey")
+    // planted copies: every doc with id%7==0 or id%5==0 gets exactly one variant
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val planted = (0L until nDocs).count(i => i % 7 == 0 || i % 5 == 0)
+    assert(byKey((2L, 2L)) == planted, "every planted variant must fold into its original")
+  }
 }
