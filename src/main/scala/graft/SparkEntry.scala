@@ -317,6 +317,8 @@ object SparkEntry {
     "q_datetime_parse"     -> (IngestQueries.qDatetimeParse _),
     "q_ua_parse"           -> (IngestQueries.qUaParse _),
     "q_skipgram"           -> (TextOps.qSkipgram _),
+    "q_mmr_rerank"         -> (VectorOps.qMmrRerank _),
+    "q_entry_exit"         -> (AnalyticsOps.qEntryExit _),
     "q_unicode_fold"       -> (TextOps.qUnicodeFold _),
     "q_rate_limit"         -> (AnalyticsOps.qRateLimit _),
     "q_num_parse"          -> (IngestQueries.qNumParse _),
@@ -5547,6 +5549,33 @@ object SparkEntry {
         |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY lang_true, lang_pred""".stripMargin,
 
     "q_rate_limit" -> AnalyticsOps.rateLimitOracleSql,
+
+    "q_mmr_rerank" -> VectorOps.mmrRerankOracleSql,
+
+    "q_entry_exit" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+        |  FROM events),
+        |m AS (SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+        |                       OR ms - lag(ms) OVER w > 1800000
+        |                     THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id
+        |        ORDER BY ms, event_id)),
+        |s2 AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+        |         ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS sess_n
+        |       FROM m),
+        |g AS (SELECT user_id, sess_n, COUNT(*) AS n_events,
+        |        (MIN({'ms': ms, 'id': event_id, 't': event_type})).t AS entry,
+        |        (MAX({'ms': ms, 'id': event_id, 't': event_type})).t AS exit
+        |      FROM s2 GROUP BY 1, 2)
+        |SELECT entry, exit,
+        |       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_bounces,
+        |       FLOOR(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+        |             / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS bounce_share
+        |FROM g GROUP BY 1, 2 ORDER BY entry, exit""".stripMargin,
 
     "q_skipgram" ->
       """WITH toks AS (

@@ -1111,6 +1111,39 @@ object AnalyticsOps {
       .orderBy("event_type", "hour_ts")
   }
 
+  /** Entry/exit-page report with bounce rate — the web-analytics
+    * staple over gap-sessionized journeys ([[qSessionizeBatch]]'s
+    * 30-minute gap convention): per (entry event, exit event) pair,
+    * how many sessions start and end there and what share are
+    * single-event bounces. One window pass to mark session starts,
+    * one session-keyed aggregate using the deterministic (ts,
+    * event_id) total order for first/last, one pair-keyed rollup —
+    * the pair table is |types|² bounded at any log size. */
+  def qEntryExit(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val e = events(s, d)
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("prev", lag(col("ms"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("ms") - col("prev") > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_n",
+        sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    e.groupBy("user_id", "sess_n")
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("ms"), col("event_id"), col("event_type")))
+          .getField("event_type").as("entry"),
+        max(struct(col("ms"), col("event_id"), col("event_type")))
+          .getField("event_type").as("exit"))
+      .groupBy("entry", "exit")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum((col("n_events") === 1).cast("long")).as("n_bounces"))
+      .withColumn("bounce_share",
+        r4(col("n_bounces") / col("n_sessions").cast("double")))
+      .orderBy("entry", "exit")
+  }
+
   /** Token-bucket rate-limit audit — "how many of each user's
     * requests would a burst-3, 1-token-per-day quota have
     * admitted?": the capacity-planning replay every API team runs

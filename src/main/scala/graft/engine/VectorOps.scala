@@ -1152,6 +1152,126 @@ object VectorOps {
       .orderBy("probe")
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    * 1998) — the diversification pass between "top-k by cosine" and
+    * what a retrieval system actually shows: greedily pick 5 of the
+    * top-8 candidates maximizing relevance minus max-similarity to
+    * what's already picked (λ = ½, both terms carried at full
+    * weight). The DISTRIBUTED work is the two bounded-probe corpus
+    * passes (candidate top-8 per probe, then the 8×8 in-candidate
+    * similarity table); the greedy selection itself is a
+    * model-table computation over ≤ 40 candidate rows and collapses
+    * to the driver under the documented bounded-model contract,
+    * in exact micro-unit integers (scores and similarities
+    * floor-quantized BEFORE selection, so tie-breaks are
+    * engine-stable). The oracle replays the same 5 greedy steps as
+    * generated CTEs with struct-max argmax. */
+  def qMmrRerank(s: SparkSession, d: String): DataFrame = {
+    val corpus = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val probes = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cands = corpus.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(nativeCosine(s, col("q_emb"), col("embedding")), 6).as("cos"))
+      .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rn") <= 8)
+      .select(col("q_id"), col("vec_id"),
+        floor(col("cos") * 1e6 + 0.5).cast("long").as("rel_u"))
+    val withEmb = cands.join(corpus, "vec_id")
+      .select(col("q_id"), col("vec_id"), col("rel_u"), col("embedding"))
+    val pairs = withEmb.as("a")
+      .join(withEmb.as("b"), Seq("q_id"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("q_id"), col("a.vec_id").as("ca"), col("b.vec_id").as("cb"),
+        floor(round(nativeCosine(s, col("a.embedding"), col("b.embedding")), 6)
+          * 1e6 + 0.5).cast("long").as("sim_u"))
+    // bounded model tables: 5 probes × 8 candidates (+ 8×7 pairs each)
+    val candRows = cands.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val simMap = pairs.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    val out = candRows.groupBy(_._1).toSeq.flatMap { case (q, cs) =>
+      var remaining = cs.map(c => (c._2, c._3)).toList // (vec_id, rel_u)
+      var selected = List.empty[Long]
+      (1 to 5).map { k =>
+        val scored = remaining.map { case (v, rel) =>
+          val msim =
+            if (selected.isEmpty) 0L
+            else selected.map(sv => simMap((q, v, sv))).max
+          (v, rel - msim)
+        }
+        val (bestV, bestScore) = scored.maxBy { case (v, sc) => (sc, -v) }
+        selected ::= bestV
+        remaining = remaining.filterNot(_._1 == bestV)
+        (q, k.toLong, bestV, bestScore)
+      }
+    }
+    val spark = s
+    import spark.implicits._
+    out.toDF("q_id", "rank", "vec_id", "score_u")
+      .orderBy("q_id", "rank")
+  }
+
+  /** DuckDB oracle for [[qMmrRerank]]: the top-8 candidate and
+    * pairwise-similarity CTEs plus FIVE generated greedy-selection
+    * steps (struct-max argmax, smaller-vec_id tie-break via negated
+    * id) — integer micro-units end to end. */
+  lazy val mmrRerankOracleSql: String = {
+    def prevUnion(k: Int) =
+      (1 until k).map(i => s"SELECT * FROM sel_$i").mkString(" UNION ALL ")
+    val steps = (1 to 5).map { k =>
+      val remaining =
+        if (k == 1) "cands c"
+        else
+          s"""cands c WHERE NOT EXISTS (
+             |    SELECT 1 FROM (${prevUnion(k)}) x
+             |    WHERE x.q_id = c.q_id AND x.v = c.vec_id)""".stripMargin
+      val msim =
+        if (k == 1) "CAST(0 AS BIGINT) AS msim"
+        else
+          s"""(SELECT MAX(p.sim_u) FROM pairs p
+             |     JOIN (${prevUnion(k)}) x
+             |       ON x.q_id = p.q_id AND x.v = p.cb
+             |     WHERE p.q_id = c.q_id AND p.ca = c.vec_id) AS msim""".stripMargin
+      s"""sc_$k AS (
+         |  SELECT c.q_id, c.vec_id, c.rel_u, $msim
+         |  FROM $remaining),
+         |sel_$k AS (
+         |  SELECT q_id, CAST($k AS BIGINT) AS rank,
+         |         -((MAX({'sc': rel_u - COALESCE(msim, 0),
+         |                 'nv': -vec_id})).nv) AS v,
+         |         (MAX({'sc': rel_u - COALESCE(msim, 0),
+         |               'nv': -vec_id})).sc AS score_u
+         |  FROM sc_$k GROUP BY q_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |qs AS (SELECT vec_id AS q_id, v AS qv FROM t WHERE vec_id < 5),
+       |sc0 AS (SELECT qs.q_id, t.vec_id,
+       |          ROUND(list_cosine_similarity(qs.qv, t.v), 6) AS cos
+       |        FROM qs, t WHERE t.vec_id <> qs.q_id),
+       |rk AS (SELECT q_id, vec_id, cos, ROW_NUMBER() OVER (
+       |         PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+       |       FROM sc0),
+       |cands AS (SELECT q_id, vec_id,
+       |            CAST(FLOOR(cos * 1e6 + 0.5) AS BIGINT) AS rel_u
+       |          FROM rk WHERE rn <= 8),
+       |pairs AS (SELECT a.q_id, a.vec_id AS ca, b.vec_id AS cb,
+       |            CAST(FLOOR(ROUND(list_cosine_similarity(ta.v, tb.v), 6)
+       |                 * 1e6 + 0.5) AS BIGINT) AS sim_u
+       |          FROM cands a
+       |          JOIN cands b ON b.q_id = a.q_id AND b.vec_id <> a.vec_id
+       |          JOIN t ta ON ta.vec_id = a.vec_id
+       |          JOIN t tb ON tb.vec_id = b.vec_id),
+       |$steps
+       |SELECT q_id, rank, CAST(v AS BIGINT) AS vec_id,
+       |       CAST(score_u AS BIGINT) AS score_u
+       |FROM (${(1 to 5).map(i => s"SELECT * FROM sel_$i").mkString(" UNION ALL ")})
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** One full-batch gradient step of logistic regression, distributed
     * — the inner loop of every "train a linear probe on embeddings"
     * job, in the shape it actually runs at scale: the gradient is a

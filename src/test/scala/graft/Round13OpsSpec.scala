@@ -443,4 +443,41 @@ class Round13OpsSpec extends SparkSuite {
     val planted = (0L until nDocs).count(i => i % 7 == 0 || i % 5 == 0)
     assert(byKey((2L, 2L)) == planted, "every planted variant must fold into its original")
   }
+
+  test("mmr rerank: 5 distinct picks per probe, scores in the rel±maxsim envelope, deterministic") {
+    val rows = VectorOps.qMmrRerank(spark, sf).collect()
+    assert(rows.length == 25, "5 probes × 5 picks")
+    rows.groupBy(_.getLong(0)).foreach { case (q, ps) =>
+      assert(ps.map(_.getLong(2)).distinct.length == 5, s"repeat pick for probe $q")
+    }
+    // score = rel − max_sim with rel, sim ∈ [−1, 1]: bounded by ±2e6 µ-units
+    rows.foreach(r => assert(math.abs(r.getLong(3)) <= 2000000L,
+      s"score outside the cosine envelope: $r"))
+    // greedy over quantized integers must be run-to-run stable
+    val again = VectorOps.qMmrRerank(spark, sf).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
+  test("entry/exit: session counts conserve; bounces only where entry == exit") {
+    val rows = AnalyticsOps.qEntryExit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), s"more bounces than sessions: $r")
+      if (r.getString(0) != r.getString(1))
+        assert(r.getLong(3) == 0, s"a 1-event session cannot have entry != exit: $r")
+    }
+    val totalSessions = rows.map(_.getLong(2)).sum
+    val viaSessionize = {
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      spark.read.parquet(s"$sf/events.parquet")
+        .withColumn("ms", unix_millis(col("ts")))
+        .withColumn("prev", lag("ms", 1).over(w))
+        .withColumn("is_new", when(col("prev").isNull ||
+          col("ms") - col("prev") > 1800000L, 1L).otherwise(0L))
+        .agg(sum("is_new")).head.getLong(0)
+    }
+    assert(totalSessions == viaSessionize, "entry/exit pairs must cover every session")
+  }
 }
