@@ -323,6 +323,7 @@ object SparkEntry {
     "q_rate_limit"         -> (AnalyticsOps.qRateLimit _),
     "q_num_parse"          -> (IngestQueries.qNumParse _),
     "q_robots_filter"      -> (CurationOps.qRobotsFilter _),
+    "q_pipeline_e2e"       -> (CurationOps.qPipelineE2e _),
     "q_bloom_fpr"          -> (TextOps.qBloomFpr _),
     "q_yule_k"             -> (TextOps.qYuleK _),
     "q_rendezvous_resize"  -> (CurationOps.qRendezvousResize _),
@@ -5706,6 +5707,33 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN parsed_c = (1 - 2 * neg) * c
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
         |FROM fin GROUP BY 1 ORDER BY shape""".stripMargin,
+
+    "q_pipeline_e2e" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, text,
+        |         len(t) AS n_tok,
+        |         list_sum(list_transform(t, w ->
+        |           CASE WHEN w IN ('the','a','and','of','to','in','is')
+        |                THEN 1 ELSE 0 END)) AS n_stop
+        |  FROM (SELECT doc_id, lang, text,
+        |               regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM documents)),
+        |kept AS (SELECT * FROM scored
+        |         WHERE n_tok BETWEEN 30 AND 90 AND n_stop >= 2),
+        |dedup AS (
+        |  SELECT (MIN({'d': doc_id, 'l': lang, 'n': n_tok})).d AS doc_id,
+        |         (MIN({'d': doc_id, 'l': lang, 'n': n_tok})).l AS lang,
+        |         (MIN({'d': doc_id, 'l': lang, 'n': n_tok})).n AS n_tok
+        |  FROM kept GROUP BY text),
+        |sharded AS (
+        |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+        |           % 8 AS shard,
+        |         lang, n_tok
+        |  FROM dedup)
+        |SELECT shard, lang,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM sharded GROUP BY 1, 2 ORDER BY shard, lang""".stripMargin,
 
     "q_robots_filter" ->
       """WITH rules AS (

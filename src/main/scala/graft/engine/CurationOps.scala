@@ -652,6 +652,38 @@ object CurationOps {
       .orderBy("canonical_url")
   }
 
+  /** The end-to-end curation pipeline as ONE declarative plan — the
+    * composition capstone: quality gate (the Gopher word-count +
+    * stopword rules) → exact dedup (min doc_id per surviving text)
+    * → hash shard assignment → per-(shard, lang) manifest with doc
+    * and token totals. The point is that the whole chain stays a
+    * single Catalyst plan: the filter is map-side before the dedup
+    * shuffle, the dedup aggregate carries (doc_id, lang, tokens)
+    * through one groupBy(text), the shard key is computed from the
+    * kept doc — three narrow stages and two shuffles end to end, the
+    * shape that holds at 100 TB because every stage prunes before
+    * the next pays for it. */
+  def qPipelineE2e(s: SparkSession, d: String): DataFrame = {
+    val stops = Seq("the", "a", "and", "of", "to", "in", "is")
+    val kept = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"), toks.as("t"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(col("t")).cast("long").as("n_tok"),
+        size(filter(col("t"), w => w.isin(stops: _*))).cast("long").as("n_stop"))
+      .filter(col("n_tok") >= 30 && col("n_tok") <= 90 && col("n_stop") >= 2)
+    kept
+      .groupBy("text")
+      .agg(min(struct(col("doc_id"), col("lang"), col("n_tok"))).as("keep"))
+      .select(col("keep.doc_id").as("doc_id"), col("keep.lang").as("lang"),
+        col("keep.n_tok").as("n_tok"))
+      .withColumn("shard",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("long") % 8L)
+      .groupBy("shard", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy("shard", "lang")
+  }
+
   /** robots.txt compliance filter — the legally-load-bearing step of
     * every crawl pipeline, with the semantics people get wrong: the
     * LONGEST matching prefix rule wins (so `Allow: /p/click` beats
