@@ -2911,7 +2911,7 @@ object SparkEntry {
         |        ON a.user_id = b.user_id AND a.event_type < b.event_type
         |      GROUP BY 1, 2)
         |SELECT t_a, t_b, n_both,
-        |       ROUND(n_both * n_users / (ma.n_t * mb.n_t), 4) AS lift
+        |       ROUND(n_both * n_users / (CAST(ma.n_t AS DOUBLE) * mb.n_t), 4) AS lift
         |FROM p CROSS JOIN n
         |JOIN m ma ON ma.event_type = p.t_a
         |JOIN m mb ON mb.event_type = p.t_b
@@ -3742,15 +3742,15 @@ object SparkEntry {
         |  SELECT user_id, COUNT(*) AS n,
         |         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
         |  FROM events GROUP BY user_id),
-        |pq AS (SELECT user_id, n, k, (k * 1000000) // n AS r_u FROM pu),
+        |pq AS (SELECT user_id, n, k, (k * 10000) // n AS r_u FROM pu),
         |mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
         |              CAST(SUM(r_u) AS BIGINT) AS sr,
         |              CAST(SUM(r_u * r_u) AS BIGINT) AS srr
         |       FROM pq),
         |ab AS (SELECT n_users, sr, srr,
-        |         sr / (n_users * 1e6) AS m,
+        |         sr / (n_users * 1e4) AS m,
         |         (srr * 1.0 / n_users -
-        |          (sr * 1.0 / n_users) * (sr * 1.0 / n_users)) / 1e12 AS v
+        |          (sr * 1.0 / n_users) * (sr * 1.0 / n_users)) / 1e8 AS v
         |       FROM mo),
         |ab2 AS (SELECT *,
         |          CASE WHEN v > 0 THEN m * (1.0 - m) / v - 1.0
@@ -4421,9 +4421,9 @@ object SparkEntry {
         |            ELSE FLOOR(num / den * 10000.0 + 0.5) / 10000.0
         |       END AS roll_corr
         |FROM (SELECT day, x, y,
-        |        CAST(7*sxy - sx*sy AS DOUBLE) AS num,
-        |        sqrt(CAST(7*sx2 - sx*sx AS DOUBLE)
-        |             * CAST(7*sy2 - sy*sy AS DOUBLE)) AS den
+        |        7.0*sxy - CAST(sx AS DOUBLE)*sy AS num,
+        |        sqrt((7.0*sx2 - CAST(sx AS DOUBLE)*sx)
+        |             * (7.0*sy2 - CAST(sy AS DOUBLE)*sy)) AS den
         |      FROM wnd WHERE rn >= 7) q
         |ORDER BY day""".stripMargin,
 
@@ -4648,7 +4648,7 @@ object SparkEntry {
         |         CAST(SUM(CAST(ROUND(value*100) AS BIGINT)
         |                  * CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS ss
         |  FROM events GROUP BY 1, 2),
-        |hm AS (SELECT *, ss - s * s / CAST(n AS DOUBLE) AS m2 FROM halves),
+        |hm AS (SELECT *, ss - CAST(s AS DOUBLE) * s / n AS m2 FROM halves),
         |m AS (SELECT event_type,
         |        CAST(SUM(n) AS BIGINT) AS n,
         |        CAST(SUM(s) AS BIGINT) AS s,
@@ -4663,11 +4663,11 @@ object SparkEntry {
         |      FROM hm GROUP BY event_type)
         |SELECT event_type, n,
         |       FLOOR(s / (n * 100.0) * 10000.0 + 0.5) / 10000.0 AS mean,
-        |       FLOOR((ss - s * s / CAST(n AS DOUBLE)) / ((n - 1) * 10000.0)
+        |       FLOOR((ss - CAST(s AS DOUBLE) * s / n) / ((n - 1) * 10000.0)
         |             * 10000.0 + 0.5) / 10000.0 AS var_direct,
         |       FLOOR(m2_merged / ((n - 1) * 10000.0) * 10000.0 + 0.5)
         |         / 10000.0 AS var_merged,
-        |       FLOOR(ABS(m2_merged - (ss - s * s / CAST(n AS DOUBLE)))
+        |       FLOOR(ABS(m2_merged - (ss - CAST(s AS DOUBLE) * s / n))
         |             / ((n - 1) * 10000.0) * 1e6 + 0.5) / 1e6 AS merge_err
         |FROM m ORDER BY event_type""".stripMargin,
 
@@ -4925,7 +4925,7 @@ object SparkEntry {
         |      FROM h),
         |s AS (SELECT SUM(np * mr2) AS r2 FROM r)
         |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
-        |       FLOOR((r2 - n_pos * (n_pos + 1)) * 1.0
+        |       FLOOR((r2 - CAST(n_pos AS DOUBLE) * (n_pos + 1))
         |             / (2.0 * n_pos * n_neg) * 10000.0 + 0.5) / 10000.0 AS auc
         |FROM a, s""".stripMargin,
 
@@ -4941,10 +4941,10 @@ object SparkEntry {
         |         SUM(n1) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum1,
         |         SUM(n2) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum2
         |  FROM h),
-        |d AS (SELECT ABS(cum1 * t2 - cum2 * t1) AS dnum, c FROM cum, t),
+        |d AS (SELECT ABS(CAST(cum1 AS DOUBLE) * t2 - CAST(cum2 AS DOUBLE) * t1) AS dnum, c FROM cum, t),
         |m AS (SELECT dnum, c FROM d ORDER BY dnum DESC, c ASC LIMIT 1)
         |SELECT CAST(t1 AS BIGINT) AS n_purchase, CAST(t2 AS BIGINT) AS n_click,
-        |       FLOOR(dnum * 1.0 / (t1 * t2) * 10000.0 + 0.5) / 10000.0 AS ks_stat,
+        |       FLOOR(dnum / (CAST(t1 AS DOUBLE) * t2) * 10000.0 + 0.5) / 10000.0 AS ks_stat,
         |       c / 100.0 AS ks_at
         |FROM m, t""".stripMargin,
 
@@ -4957,12 +4957,12 @@ object SparkEntry {
         |        FROM events) t GROUP BY 1),
         |a AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n,
-        |         SUM(CAST(sg * sg AS BIGINT) * 1.0 / ng) AS between_raw,
+        |         SUM(CAST(sg AS DOUBLE) * sg / ng) AS between_raw,
         |         CAST(SUM(sg) AS BIGINT) AS stot,
         |         CAST(SUM(ssg) AS BIGINT) AS sstot
         |  FROM g)
         |SELECT k, n, k - 1 AS df_between, n - k AS df_within,
-        |       FLOOR(((between_raw - CAST(stot * stot AS BIGINT) * 1.0 / n) / (k - 1))
+        |       FLOOR(((between_raw - CAST(stot AS DOUBLE) * stot / n) / (k - 1))
         |             / ((sstot - between_raw) / (n - k)) * 10000.0 + 0.5)
         |         / 10000.0 AS f_stat
         |FROM a""".stripMargin,
@@ -4976,12 +4976,12 @@ object SparkEntry {
         |g AS (SELECT SUM(nij) AS n FROM joint)
         |SELECT joint.l_returnflag, joint.l_linestatus,
         |       CAST(nij AS BIGINT) AS n_lines,
-        |       FLOOR(LN(CAST(nij * n AS BIGINT) * 1.0
-        |                / CAST(ni * nj AS BIGINT)) * 10000.0 + 0.5)
+        |       FLOOR(LN(CAST(nij AS DOUBLE) * n
+        |                / (CAST(ni AS DOUBLE) * nj)) * 10000.0 + 0.5)
         |         / 10000.0 AS pmi,
         |       FLOOR((nij * 1.0 / n)
-        |             * LN(CAST(nij * n AS BIGINT) * 1.0
-        |                  / CAST(ni * nj AS BIGINT)) * 10000.0 + 0.5)
+        |             * LN(CAST(nij AS DOUBLE) * n
+        |                  / (CAST(ni AS DOUBLE) * nj)) * 10000.0 + 0.5)
         |         / 10000.0 AS mi_contrib
         |FROM joint
         |JOIN rm ON joint.l_returnflag = rm.l_returnflag
@@ -5191,12 +5191,13 @@ object SparkEntry {
         |         CAST(SUM(ry * ry) AS BIGINT) AS syy
         |  FROM rk GROUP BY 1, 2 HAVING COUNT(*) >= 30)
         |SELECT event_type, mon, n,
-        |       FLOOR((n * sxy - sx * sy)
-        |             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
-        |                * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+        |       FLOOR((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |             / (SQRT(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |                * SQRT(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
         |             * 10000.0 + 0.5) / 10000.0 AS rho
         |FROM m
-        |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |WHERE CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+        |  AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
         |ORDER BY event_type, mon""".stripMargin,
 
     "q_hhi" ->
@@ -5881,9 +5882,9 @@ object SparkEntry {
         |             SUM(dx * dy) AS sxy, SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy
         |      FROM x)
         |SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
-        |       FLOOR(CAST(m2 * sxy - sx * sy AS DOUBLE)
-        |         / (sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE))
-        |            * sqrt(CAST(m2 * syy - sy * sy AS DOUBLE)))
+        |       FLOOR((CAST(m2 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |         / (sqrt(CAST(m2 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |            * sqrt(CAST(m2 AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
         |         * 10000.0 + 0.5) / 10000.0 AS assortativity
         |FROM s""".stripMargin,
 
@@ -6261,7 +6262,8 @@ object SparkEntry {
         |         GROUP BY 1)
         |SELECT degs.brand, COALESCE(intra.e_c, 0) AS e_c, degs.d_c,
         |       mm.m AS m_edges,
-        |       FLOOR((4.0 * mm.m * COALESCE(intra.e_c, 0) - degs.d_c * degs.d_c)
+        |       FLOOR((4.0 * mm.m * COALESCE(intra.e_c, 0)
+        |              - CAST(degs.d_c AS DOUBLE) * degs.d_c)
         |             / (4.0 * mm.m * mm.m) * 1e6 + 0.5) / 1e6 AS q_contrib
         |FROM degs LEFT JOIN intra ON intra.brand = degs.brand CROSS JOIN mm
         |ORDER BY degs.brand""".stripMargin,
@@ -6286,8 +6288,9 @@ object SparkEntry {
         |                       AND obs.o_orderpriority = ct.o_orderpriority),
         |u AS (SELECT t, nr, nc, CAST(COUNT(*) AS BIGINT) AS n_cells,
         |             CAST(SUM(CAST(FLOOR(
-        |               CAST(t * o0 - r * c AS DOUBLE) * CAST(t * o0 - r * c AS DOUBLE)
-        |               / CAST(t * r * c AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+        |               (CAST(t AS DOUBLE) * o0 - CAST(r AS DOUBLE) * c)
+        |               * (CAST(t AS DOUBLE) * o0 - CAST(r AS DOUBLE) * c)
+        |               / (CAST(t AS DOUBLE) * r * c) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
         |               AS chi2_u
         |      FROM cells GROUP BY 1, 2, 3)
         |SELECT t AS n_orders, n_cells, chi2_u / 1e6 AS chi2,
@@ -6765,8 +6768,9 @@ object SparkEntry {
         |SELECT m.d_days, tot.nn AS n_events, tot.pp AS n_purchases,
         |       CAST(FLOOR(tot.pp / CAST(tot.nn AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
         |         AS rate_u,
-        |       CAST(FLOOR(SQRT(CAST((m.d_days - 1)
-        |             * (m.d_days * m.sxx - m.sx * m.sx) AS DOUBLE))
+        |       CAST(FLOOR(SQRT(CAST(m.d_days - 1 AS DOUBLE)
+        |             * (CAST(m.d_days AS DOUBLE) * m.sxx
+        |                - CAST(m.sx AS DOUBLE) * m.sx))
         |             / m.d_days + 0.5) AS BIGINT) AS se_jack_u
         |FROM m CROSS JOIN tot""".stripMargin,
 
@@ -6825,10 +6829,10 @@ object SparkEntry {
         |             CAST(SUM(x * x) AS BIGINT) AS sxx
         |      FROM daily GROUP BY 1)
         |SELECT event_type, d_days, sx AS n_events,
-        |       FLOOR(CAST(d_days * sxx - sx * sx AS DOUBLE)
+        |       FLOOR((CAST(d_days AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
         |             / CAST(d_days * (d_days - 1) AS DOUBLE)
         |             / (sx / CAST(d_days AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS fano,
-        |       FLOOR(CAST(d_days * sxx - sx * sx AS DOUBLE)
+        |       FLOOR((CAST(d_days AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
         |             / CAST(d_days * (d_days - 1) AS DOUBLE)
         |             / (sx / CAST(d_days AS DOUBLE))
         |             * CAST(d_days - 1 AS DOUBLE) * 1e4 + 0.5) / 1e4

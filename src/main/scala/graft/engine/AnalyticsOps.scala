@@ -730,9 +730,14 @@ object AnalyticsOps {
       .withColumn("sx2", sum(col("x") * col("x")).over(w7))
       .withColumn("sy2", sum(col("y") * col("y")).over(w7))
       .filter(col("rn") >= 7)
-      .withColumn("num", (n * col("sxy") - col("sx") * col("sy")).cast("double"))
-      .withColumn("den", sqrt((n * col("sx2") - col("sx") * col("sx"))
-        .cast("double") * (n * col("sy2") - col("sy") * col("sy")).cast("double")))
+      // products of 7-day count sums are n⁴-scale: at ~1e9 events/day
+      // n·sxy passes 2⁶³ — compute each product in double (exact
+      // conversion below 2⁵³, identical IEEE rounding both engines)
+      .withColumn("num", n.cast("double") * col("sxy") -
+        col("sx").cast("double") * col("sy"))
+      .withColumn("den", sqrt(
+        (n.cast("double") * col("sx2") - col("sx").cast("double") * col("sx")) *
+        (n.cast("double") * col("sy2") - col("sy").cast("double") * col("sy"))))
       .select(col("day"), col("x").as("n_click"), col("y").as("n_purchase"),
         when(col("den") === 0.0, lit(null).cast("double"))
           .otherwise(r4(col("num") / col("den"))).as("roll_corr"))
@@ -865,11 +870,13 @@ object AnalyticsOps {
       .crossJoin(broadcast(tot))
       .select(col("l_returnflag"), col("l_linestatus"),
         col("nij").cast("long").as("n_lines"),
-        r4(log((col("nij") * col("n")).cast("double") /
-          (col("ni") * col("nj")).cast("double"))).as("pmi"),
+        // nij·n and ni·nj are n²-scale count products — wrap past
+        // ~3·10⁹ rows — so they multiply double·long (q_spearman rule)
+        r4(log(col("nij").cast("double") * col("n") /
+          (col("ni").cast("double") * col("nj")))).as("pmi"),
         r4((col("nij") / col("n").cast("double")) *
-          log((col("nij") * col("n")).cast("double") /
-            (col("ni") * col("nj")).cast("double"))).as("mi_contrib"))
+          log(col("nij").cast("double") * col("n") /
+            (col("ni").cast("double") * col("nj")))).as("mi_contrib"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
@@ -927,12 +934,15 @@ object AnalyticsOps {
     val cells = rt.crossJoin(broadcast(ct)).crossJoin(broadcast(g))
       .join(obs, Seq("n_name", "o_orderpriority"), "left")
       .withColumn("o0", coalesce(col("o"), lit(0L)))
-      // exact-int difference, evaluated in double (< 2^53, exact)
+      // N·O and R·C are n²-scale count products (and N·R·C is n³) —
+      // they wrap past ~3·10⁹ orders — so each multiplies double·long;
+      // identical IEEE rounding both engines (q_spearman rule)
       .withColumn("diff",
-        (col("t") * col("o0") - col("r") * col("c")).cast("double"))
+        col("t").cast("double") * col("o0") -
+          col("r").cast("double") * col("c"))
       .withColumn("contrib_u",
         floor(col("diff") * col("diff")
-          / (col("t") * col("r") * col("c")).cast("double") * 1e6 + 0.5)
+          / (col("t").cast("double") * col("r") * col("c")) * 1e6 + 0.5)
           .cast("long"))
     cells
       .groupBy("t", "nr", "nc")
@@ -1359,8 +1369,8 @@ object AnalyticsOps {
     * toward a Beta prior whose (α, β) are moment-matched from the
     * observed rate distribution itself. The moment estimation is the
     * float-order trap (a mean and variance over per-user RATIOS), so
-    * each user's rate quantizes to an exact ppm integer first and
-    * the corpus-level Σr, Σr² are integer sums; α and β then derive
+    * each user's rate quantizes to an exact basis-point integer first
+    * and the corpus-level Σr, Σr² are integer sums; α and β then derive
     * from two exact integers identically on both engines, and only
     * the final per-user shrink divides doubles. Plan: one user-level
     * aggregate, one 1-row moment aggregate broadcast back — the
@@ -1372,16 +1382,19 @@ object AnalyticsOps {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n"),
         sum((col("event_type") === "purchase").cast("long")).as("k"))
-      .withColumn("r_u", expr("(k * 1000000) div n"))
+      // rates quantize to exact BASIS-POINT integers for the moment
+      // pass: r_b ≤ 10⁴ keeps Σr_b² an exact long to ~9·10¹⁰ users
+      // (the ppm grid wrapped Σr² at 9.2M users — a real corpus size)
+      .withColumn("r_b", expr("(k * 10000) div n"))
     val moments = perUser.agg(
       count(lit(1)).as("n_users"),
-      sum("r_u").as("sr"),
-      sum(col("r_u") * col("r_u")).as("srr"))
+      sum("r_b").as("sr"),
+      sum(col("r_b") * col("r_b")).as("srr"))
     perUser.crossJoin(broadcast(moments))
-      .withColumn("m", col("sr") / (col("n_users") * lit(1e6)))
+      .withColumn("m", col("sr") / (col("n_users") * lit(1e4)))
       .withColumn("v",
         (col("srr") / col("n_users") -
-          (col("sr") / col("n_users")) * (col("sr") / col("n_users"))) / lit(1e12))
+          (col("sr") / col("n_users")) * (col("sr") / col("n_users"))) / lit(1e8))
       .withColumn("common",
         when(col("v") > 0, col("m") * (lit(1.0) - col("m")) / col("v") - 1.0)
           .otherwise(lit(0.0)))

@@ -231,17 +231,21 @@ object MiningOps {
         sum(col("rx") * col("rx")).as("sxx"),
         sum(col("ry") * col("ry")).as("syy"))
       .filter(col("n") >= 30L)
-      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
-      // the two variance terms stay separate longs (each ≤ 4n⁴ —
-      // exact BIGINT); their PRODUCT would overflow, so the
-      // denominator is sqrt(vx)·sqrt(vy), the same expression the
-      // oracle computes so the float path is identical
-      .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
-      .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
-      .filter(col("vx") > 0L && col("vy") > 0L)
+      // the moment SUMS (sx..syy ≤ 4n³) are exact longs, but the
+      // n⁴-scale PRODUCTS (n·sxy, sx·sy, n·sxx, sx², …) pass 2⁶³ at
+      // group size n ≈ 55k — Spark (non-ANSI) would wrap silently —
+      // so each product is computed in double (operands convert
+      // exactly below 2⁵³; both engines round the product the same
+      // IEEE way, keeping the differential signal intact at scale)
+      .withColumn("num", col("n").cast("double") * col("sxy") -
+        col("sx").cast("double") * col("sy"))
+      .withColumn("vx", col("n").cast("double") * col("sxx") -
+        col("sx").cast("double") * col("sx"))
+      .withColumn("vy", col("n").cast("double") * col("syy") -
+        col("sy").cast("double") * col("sy"))
+      .filter(col("vx") > 0.0 && col("vy") > 0.0)
       .select(col("event_type"), col("mon"), col("n"),
-        r4(col("num") / (sqrt(col("vx").cast("double")) *
-          sqrt(col("vy").cast("double")))).as("rho"))
+        r4(col("num") / (sqrt(col("vx")) * sqrt(col("vy")))).as("rho"))
       .orderBy("event_type", "mon")
   }
 
@@ -265,6 +269,11 @@ object MiningOps {
     val ranked = base
       .withColumn("r2", lit(2L) * rank().over(w.orderBy("c")) +
         count(lit(1)).over(Window.partitionBy("status", "yr", "c")) - 1L)
+    // overflow bound: t³ is the cube of a SINGLE cent-value's tie
+    // count within one (status, yr) stratum — it passes 2⁶³ only if
+    // one exact price repeats > 2.09M times in a stratum, i.e. a
+    // degenerate constant column, at which point the test itself is
+    // meaningless (var→0). Documented, not cast.
     val ties = base.groupBy("status", "yr", "c").agg(count(lit(1)).as("t"))
       .groupBy("status", "yr")
       .agg(sum(expr("t * t * t - t")).as("tsum"))

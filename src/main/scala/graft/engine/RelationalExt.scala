@@ -817,7 +817,11 @@ object RelationalExt {
     degSum.join(intra, Seq("brand"), "left")
       .na.fill(0L, Seq("e_c"))
       .select(col("brand"), col("e_c"), col("d_c"), lit(m).as("m_edges"),
-        (floor((lit(4.0) * m * col("e_c") - col("d_c") * col("d_c"))
+        // d_c² is the square of an aggregated degree sum — wraps past
+        // ~3·10⁹ brand-incident edge endpoints — so it is computed
+        // double·long (q_spearman rule); 4·m·e_c is already double-led
+        (floor((lit(4.0) * m * col("e_c") -
+            col("d_c").cast("double") * col("d_c"))
           / (lit(4.0) * m * m) * 1e6 + 0.5) / 1e6).as("q_contrib"))
       .orderBy("brand")
   }
@@ -846,9 +850,16 @@ object RelationalExt {
         sum(col("dy") * col("dy")).as("syy"))
       .select(
         (col("m2") / 2).cast("long").as("n_edges"),
-        (floor((col("m2") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / (sqrt((col("m2") * col("sxx") - col("sx") * col("sx")).cast("double"))
-            * sqrt((col("m2") * col("syy") - col("sy") * col("sy")).cast("double")))
+        // the moment SUMS stay exact longs under the degree cap, but
+        // m2·sxy / sx·sy are n⁴-scale products that wrap past ~1e10
+        // edges — each product computed in double (exact operand
+        // conversion below 2⁵³, identical IEEE rounding both engines)
+        (floor((col("m2").cast("double") * col("sxy") -
+            col("sx").cast("double") * col("sy"))
+          / (sqrt(col("m2").cast("double") * col("sxx") -
+              col("sx").cast("double") * col("sx"))
+            * sqrt(col("m2").cast("double") * col("syy") -
+              col("sy").cast("double") * col("sy")))
           * 10000.0 + 0.5) / 10000.0).as("assortativity"))
   }
 }

@@ -125,8 +125,11 @@ object StatsOps {
       .join(broadcast(marg.toDF("t_b", "n_b")), "t_b")
       .crossJoin(broadcast(nUsers))
       .select(col("t_a"), col("t_b"), col("n_both"),
+        // n_a·n_b is a product of user counts — wraps past ~3·10⁹
+        // users per type — so it multiplies double-led (n_users is
+        // already double)
         round(col("n_both") * col("n_users") /
-          (col("n_a") * col("n_b")), 4).as("lift"))
+          (col("n_a").cast("double") * col("n_b")), 4).as("lift"))
       .orderBy("t_a", "t_b")
   }
 
@@ -533,8 +536,10 @@ object StatsOps {
       .groupBy("event_type", "h")
       .agg(count(lit(1)).as("n"), sum("c").as("s"),
         sum(col("c") * col("c")).as("ss"))
+      // s² is the square of an aggregated cent sum — wraps past ~$30M
+      // per (type, half), so it is computed double·long (q_spearman rule)
       .withColumn("m2",
-        col("ss") - col("s") * col("s") / col("n").cast("double"))
+        col("ss") - col("s").cast("double") * col("s") / col("n"))
     val merged = halves.groupBy("event_type").agg(
       sum("n").as("n"), sum("s").as("s"), sum("ss").as("ss"),
       // Chan's merge of the two per-half M2s (cents²)
@@ -547,11 +552,11 @@ object StatsOps {
           / sum("n").cast("double")).as("m2_merged"))
     merged.select(col("event_type"), col("n"),
       r4(col("s") / (col("n") * 100.0)).as("mean"),
-      r4((col("ss") - col("s") * col("s") / col("n").cast("double"))
+      r4((col("ss") - col("s").cast("double") * col("s") / col("n"))
         / ((col("n") - 1) * 10000.0)).as("var_direct"),
       r4(col("m2_merged") / ((col("n") - 1) * 10000.0)).as("var_merged"),
       r6(abs(col("m2_merged") -
-        (col("ss") - col("s") * col("s") / col("n").cast("double")))
+        (col("ss") - col("s").cast("double") * col("s") / col("n")))
         / ((col("n") - 1) * 10000.0)).as("merge_err"))
       .orderBy("event_type")
   }
@@ -654,7 +659,10 @@ object StatsOps {
         (sum("n") - sum("np")).as("n_neg"),
         sum(col("np") * col("mr2")).as("r2"))
       .select(col("n_pos"), col("n_neg"),
-        r4((col("r2") - col("n_pos") * (col("n_pos") + 1L)) /
+        // n₊(n₊+1) is an n²-scale product of counts — wraps past
+        // ~3·10⁹ positives — so it is computed double·long
+        // (q_spearman rule; 2R₊ itself is exact to n·n₊ ≈ 4.6·10¹⁸)
+        r4((col("r2") - col("n_pos").cast("double") * (col("n_pos") + 1L)) /
           (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
   }
 
@@ -682,25 +690,32 @@ object StatsOps {
       .withColumn("cum2", sum("n2").over(w))
       .crossJoin(broadcast(tot))
       .select(col("t1"), col("t2"),
-        abs(col("cum1") * col("t2") - col("cum2") * col("t1")).as("dnum"),
+        // cum·t cross-products are n²-scale — wrap past ~3·10⁹ rows
+        // per class — so they multiply double·long (q_spearman rule);
+        // both engines compute the identical doubles, so the argmax
+        // ordering stays engine-stable
+        abs(col("cum1").cast("double") * col("t2") -
+          col("cum2").cast("double") * col("t1")).as("dnum"),
         col("c"))
       .groupBy("t1", "t2")
       .agg(max(struct(col("dnum"), (-col("c")).as("negc"))).as("m"))
       .select(
         col("t1").as("n_purchase"), col("t2").as("n_click"),
-        r4(col("m.dnum") / (col("t1") * col("t2")).cast("double")).as("ks_stat"),
+        r4(col("m.dnum") / (col("t1").cast("double") * col("t2"))).as("ks_stat"),
         (-col("m.negc") / 100.0).as("ks_at"))
   }
 
   /** One-way ANOVA of transaction value across event types — the
     * "does this categorical feature matter" screen run before
     * per-category models are fit. ONE conditional-aggregate pass
-    * collects per-group (n, Σc, Σc²) in exact integer cents (c² sums
-    * stay inside long range), and the F statistic assembles on the
-    * group-cardinality-sized table: SSB = Σ s_g²/n_g − S²/N,
-    * SSW = Σ ss_g − Σ s_g²/n_g, F = (SSB/(k−1)) / (SSW/(N−k)).
-    * Squares of per-group long sums stay in long arithmetic (exact);
-    * only the final per-group divisions are floating point. */
+    * collects per-group (n, Σc, Σc²) in exact integer cents (bound:
+    * Σc² wraps past ~9·10⁸ rows per group at c ≈ 10⁵ cents — beyond
+    * that, shard the pass and merge 128-bit), and the F statistic
+    * assembles on the group-cardinality-sized table:
+    * SSB = Σ s_g²/n_g − S²/N, SSW = Σ ss_g − Σ s_g²/n_g,
+    * F = (SSB/(k−1)) / (SSW/(N−k)). The n⁴-scale squares of the
+    * aggregated sums (s_g², S²) are computed double·long — they pass
+    * 2⁶³ at ~$30M group revenue (the q_spearman rule). */
   def qAnova(s: SparkSession, d: String): DataFrame = {
     def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
     val g = events(s, d)
@@ -709,16 +724,20 @@ object StatsOps {
       .groupBy("event_type")
       .agg(count(lit(1)).as("ng"), sum("c").as("sg"),
         sum(col("c") * col("c")).as("ssg"))
+    // sg² / stot² are squares of aggregated cent SUMS — they pass 2⁶³
+    // once a group's revenue exceeds ~$30M, so each square is computed
+    // double·long (sg converts exactly below 2⁵³; both engines round
+    // the product identically — the q_spearman rule)
     g.agg(
       count(lit(1)).as("k"),
       sum("ng").as("n"),
-      sum(col("sg") * col("sg") / col("ng").cast("double")).as("between_raw"),
+      sum(col("sg").cast("double") * col("sg") / col("ng")).as("between_raw"),
       sum("sg").as("stot"),
       sum("ssg").as("sstot"))
       .select(col("k"), col("n"),
         (col("k") - 1L).as("df_between"),
         (col("n") - col("k")).as("df_within"),
-        r4(((col("between_raw") - col("stot") * col("stot") / col("n").cast("double")) / (col("k") - 1L)) /
+        r4(((col("between_raw") - col("stot").cast("double") * col("stot") / col("n")) / (col("k") - 1L)) /
           ((col("sstot") - col("between_raw")) / (col("n") - col("k")))).as("f_stat"))
   }
 
@@ -1108,8 +1127,13 @@ object StatsOps {
         col("nn").as("n_events"), col("pp").as("n_purchases"),
         floor(col("pp") / col("nn").cast("double") * 1e6 + 0.5).cast("long")
           .as("rate_u"),
-        floor(sqrt(((col("d_days") - 1)
-          * (col("d_days") * col("sxx") - col("sx") * col("sx"))).cast("double"))
+        // (d−1)·(d·sxx − sx²) is d³·10¹²-scale with µ-unit rates — it
+        // wraps past ~2100 days, so each factor multiplies in double
+        // (q_spearman rule; sxx itself is calendar- and ppm-bounded:
+        // exact until d_days > 9.2·10⁶)
+        floor(sqrt((col("d_days") - 1).cast("double")
+          * (col("d_days").cast("double") * col("sxx") -
+             col("sx").cast("double") * col("sx")))
           / col("d_days") + 0.5).cast("long").as("se_jack_u"))
   }
 
@@ -1187,12 +1211,18 @@ object StatsOps {
       .agg(count(lit(1)).as("d_days"), sum("x").as("sx"),
         sum(col("x") * col("x")).as("sxx"))
       .filter(col("d_days") > 1 && col("sx") > 0)
+      // d_days·sxx and sx² are products of aggregated daily-count
+      // sums — sx² wraps past ~3·10⁹ total events per type — so each
+      // is computed double·long (q_spearman rule; sxx itself stays an
+      // exact long until a single day exceeds ~3·10⁹ events)
       .select(col("event_type"), col("d_days"), col("sx").as("n_events"),
-        (floor((col("d_days") * col("sxx") - col("sx") * col("sx")).cast("double")
+        (floor((col("d_days").cast("double") * col("sxx") -
+            col("sx").cast("double") * col("sx"))
           / (col("d_days") * (col("d_days") - 1)).cast("double")
           / (col("sx") / col("d_days").cast("double")) * 1e4 + 0.5) / 1e4)
           .as("fano"),
-        (floor((col("d_days") * col("sxx") - col("sx") * col("sx")).cast("double")
+        (floor((col("d_days").cast("double") * col("sxx") -
+            col("sx").cast("double") * col("sx"))
           / (col("d_days") * (col("d_days") - 1)).cast("double")
           / (col("sx") / col("d_days").cast("double"))
           * (col("d_days") - 1).cast("double") * 1e4 + 0.5) / 1e4)

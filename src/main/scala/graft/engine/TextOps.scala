@@ -1779,6 +1779,11 @@ object TextOps {
       .groupBy("lang", "token")
       .agg(count(lit(1)).as("m"))
       .groupBy("lang")
+      // overflow bound: Σm² (and sum_m2vm, an OUTPUT column) passes
+      // 2⁶³ once one (lang, token) exceeds ~3·10⁹ occurrences — a
+      // multi-TB single-language corpus's top stopword. Beyond that
+      // the column itself outgrows BIGINT: re-type to decimal(38,0)
+      // (DuckDB's SUM already returns HUGEINT) rather than cast here.
       .agg(
         sum("m").as("n_tokens"),
         count(lit(1)).as("n_types"),
