@@ -2927,16 +2927,40 @@ object SparkEntry {
     "q_rfm" ->
       """WITH per AS (SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_day,
         |                    CAST(COUNT(*) AS BIGINT) AS freq,
-        |                    SUM(o_totalprice) AS monetary
+        |                    SUM(o_totalprice) AS monetary,
+        |                    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |                         // 100 AS BIGINT) AS mon_d
         |             FROM orders GROUP BY 1),
         |mx AS (SELECT MAX(last_day) AS max_day FROM per),
-        |t AS (SELECT o_custkey,
-        |             CAST(datediff('day', last_day, max_day) AS BIGINT) AS recency_days,
-        |             freq, monetary,
-        |             5 - NTILE(4) OVER (ORDER BY datediff('day', last_day, max_day), o_custkey) AS r,
-        |             NTILE(4) OVER (ORDER BY freq, o_custkey) AS f,
-        |             NTILE(4) OVER (ORDER BY monetary, o_custkey) AS m
-        |      FROM per CROSS JOIN mx)
+        |base AS (SELECT per.*,
+        |                CAST(datediff('day', last_day, max_day) AS BIGINT) AS recency_days
+        |         FROM per CROSS JOIN mx),
+        |hr AS (SELECT recency_days AS v, COUNT(*) AS cnt FROM base GROUP BY 1),
+        |hrc AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum, SUM(cnt) OVER () AS n FROM hr),
+        |rb AS (SELECT MIN(CASE WHEN cum*4 >= n THEN v END) AS b1,
+        |              MIN(CASE WHEN cum*4 >= n*2 THEN v END) AS b2,
+        |              MIN(CASE WHEN cum*4 >= n*3 THEN v END) AS b3 FROM hrc),
+        |hf AS (SELECT freq AS v, COUNT(*) AS cnt FROM base GROUP BY 1),
+        |hfc AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum, SUM(cnt) OVER () AS n FROM hf),
+        |fb AS (SELECT MIN(CASE WHEN cum*4 >= n THEN v END) AS b1,
+        |              MIN(CASE WHEN cum*4 >= n*2 THEN v END) AS b2,
+        |              MIN(CASE WHEN cum*4 >= n*3 THEN v END) AS b3 FROM hfc),
+        |hm AS (SELECT mon_d AS v, COUNT(*) AS cnt FROM base GROUP BY 1),
+        |hmc AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum, SUM(cnt) OVER () AS n FROM hm),
+        |mb AS (SELECT MIN(CASE WHEN cum*4 >= n THEN v END) AS b1,
+        |              MIN(CASE WHEN cum*4 >= n*2 THEN v END) AS b2,
+        |              MIN(CASE WHEN cum*4 >= n*3 THEN v END) AS b3 FROM hmc),
+        |t AS (SELECT o_custkey, recency_days, freq, monetary,
+        |        5 - (1 + CASE WHEN recency_days > rb.b1 THEN 1 ELSE 0 END
+        |               + CASE WHEN recency_days > rb.b2 THEN 1 ELSE 0 END
+        |               + CASE WHEN recency_days > rb.b3 THEN 1 ELSE 0 END) AS r,
+        |        1 + CASE WHEN freq > fb.b1 THEN 1 ELSE 0 END
+        |          + CASE WHEN freq > fb.b2 THEN 1 ELSE 0 END
+        |          + CASE WHEN freq > fb.b3 THEN 1 ELSE 0 END AS f,
+        |        1 + CASE WHEN mon_d > mb.b1 THEN 1 ELSE 0 END
+        |          + CASE WHEN mon_d > mb.b2 THEN 1 ELSE 0 END
+        |          + CASE WHEN mon_d > mb.b3 THEN 1 ELSE 0 END AS m
+        |      FROM base CROSS JOIN rb CROSS JOIN fb CROSS JOIN mb)
         |SELECT o_custkey AS custkey, recency_days, freq,
         |       ROUND(monetary, 2) AS monetary,
         |       CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f, CAST(m AS BIGINT) AS m,
@@ -5283,11 +5307,14 @@ object SparkEntry {
         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
         |           AS cents
         |  FROM orders GROUP BY 1),
-        |d AS (SELECT o_custkey, cents,
-        |        ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
-        |      FROM spend),
-        |g AS (SELECT decile, COUNT(*) AS n_customers,
-        |        SUM(cents) AS decile_cents
+        |grid AS (SELECT cents // 100 AS gv, COUNT(*) AS nc, SUM(cents) AS gc
+        |         FROM spend GROUP BY 1),
+        |d AS (SELECT gv, nc, gc,
+        |        (SUM(nc) OVER (ORDER BY gv) * 10 + SUM(nc) OVER () - 1)
+        |          // SUM(nc) OVER () AS decile
+        |      FROM grid),
+        |g AS (SELECT decile, SUM(nc) AS n_customers,
+        |        SUM(gc) AS decile_cents
         |      FROM d GROUP BY 1),
         |c AS (SELECT decile, n_customers, decile_cents,
         |        SUM(decile_cents) OVER (ORDER BY decile) AS cum_cents,
@@ -6847,13 +6874,15 @@ object SparkEntry {
         |             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
         |               AS BIGINT) AS purchases
         |           FROM events GROUP BY 1),
-        |r AS (SELECT *,
-        |        CAST(ROW_NUMBER() OVER (ORDER BY spend_c DESC, user_id) AS BIGINT) AS rk,
-        |        CAST(COUNT(*) OVER () AS BIGINT) AS nu
-        |      FROM u),
-        |dec AS (SELECT CAST(CEIL(rk * 10.0 / nu) AS BIGINT) AS decile,
-        |               CAST(COUNT(*) AS BIGINT) AS n_users,
-        |               CAST(SUM(purchases) AS BIGINT) AS n_purch
+        |grid AS (SELECT spend_c // 100 AS g, COUNT(*) AS nu, SUM(purchases) AS np
+        |         FROM u GROUP BY 1),
+        |r AS (SELECT g, nu, np,
+        |        (SUM(nu) OVER (ORDER BY g DESC) * 10 + SUM(nu) OVER () - 1)
+        |          // SUM(nu) OVER () AS decile
+        |      FROM grid),
+        |dec AS (SELECT CAST(decile AS BIGINT) AS decile,
+        |               CAST(SUM(nu) AS BIGINT) AS n_users,
+        |               CAST(SUM(np) AS BIGINT) AS n_purch
         |        FROM r GROUP BY 1),
         |tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS tu,
         |               CAST(SUM(n_purch) AS BIGINT) AS tp FROM dec),
@@ -6900,19 +6929,21 @@ object SparkEntry {
         |         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
         |           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS u
         |  FROM lineitem GROUP BY 1),
-        |c AS (SELECT l_partkey, u,
-        |        CAST(SUM(u) OVER (ORDER BY u DESC, l_partkey
+        |grid AS (SELECT u // 10000 AS g, COUNT(*) AS np, SUM(u) AS gu
+        |         FROM rev GROUP BY 1),
+        |c AS (SELECT g, np, gu,
+        |        CAST(SUM(gu) OVER (ORDER BY g DESC
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
-        |        CAST(SUM(u) OVER () AS BIGINT) AS tot
-        |      FROM rev),
+        |        CAST(SUM(gu) OVER () AS BIGINT) AS tot
+        |      FROM grid),
         |k AS (SELECT CASE WHEN cum * 5 <= tot * 4 THEN 'A'
         |                  WHEN cum * 20 <= tot * 19 THEN 'B'
-        |                  ELSE 'C' END AS cls, u, tot
+        |                  ELSE 'C' END AS cls, np, gu, tot
         |      FROM c)
-        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
-        |       CAST((CAST(SUM(u) AS BIGINT) + 5000) // 10000 AS DOUBLE) / 100.0
+        |SELECT cls, CAST(SUM(np) AS BIGINT) AS n_parts,
+        |       CAST((CAST(SUM(gu) AS BIGINT) + 5000) // 10000 AS DOUBLE) / 100.0
         |         AS revenue,
-        |       CAST(FLOOR(CAST(SUM(u) AS BIGINT) / CAST(MAX(tot) AS DOUBLE)
+        |       CAST(FLOOR(CAST(SUM(gu) AS BIGINT) / CAST(MAX(tot) AS DOUBLE)
         |             * 1e6 + 0.5) AS BIGINT) AS share_u
         |FROM k GROUP BY 1 ORDER BY cls""".stripMargin,
 

@@ -1010,26 +1010,32 @@ object AnalyticsOps {
   /** ABC (Pareto) revenue classification of parts: A = parts covering
     * the first 80% of revenue, B = the next 15%, C = the tail — the
     * inventory-analysis staple. Revenue is the exact 1e-4-unit
-    * discounted sum ([[Tables.moneySumDisc]]); the cumulative-share
-    * window runs over the PART-AGGREGATE table (dimension-sized, the
-    * q_skyline pre-aggregate rule), and the two class boundaries are
-    * INTEGER cross-multiplications (cum·5 ≤ tot·4, cum·20 ≤ tot·19)
-    * so no float share ever decides a class. */
+    * discounted sum ([[Tables.moneySumDisc]]); the part aggregate
+    * then collapses onto a whole-dollar revenue grid
+    * (value-domain-bounded, never |parts|-sized) and the cumulative
+    * window walks the GRID descending — revenue-tied parts share a
+    * class (the previous per-part window split ties by partkey,
+    * funneling |parts| rows through one task's sort at scale). The
+    * two class boundaries stay INTEGER cross-multiplications
+    * (cum·5 ≤ tot·4, cum·20 ≤ tot·19) so no float share ever decides
+    * a class. */
   def qAbcClass(s: SparkSession, d: String): DataFrame = {
     val rev = lineitem(s, d)
       .groupBy("l_partkey")
       .agg(moneySumDisc(col("l_extendedprice"), col("l_discount")).as("u"))
-    val wc = Window.orderBy(col("u").desc, col("l_partkey"))
+    val grid = rev.groupBy(expr("u DIV 10000").as("g"))
+      .agg(count(lit(1)).as("np"), sum("u").as("gu"))
+    val wc = Window.orderBy(col("g").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rev
-      .withColumn("cum", sum("u").over(wc))
-      .withColumn("tot", sum("u").over(Window.partitionBy()))
+    grid
+      .withColumn("cum", sum("gu").over(wc))
+      .withColumn("tot", sum("gu").over(Window.partitionBy()))
       .withColumn("cls",
         when(col("cum") * 5 <= col("tot") * 4, "A")
           .when(col("cum") * 20 <= col("tot") * 19, "B")
           .otherwise("C"))
       .groupBy("cls")
-      .agg(count(lit(1)).as("n_parts"), sum("u").as("su"), max("tot").as("tot"))
+      .agg(sum("np").as("n_parts"), sum("gu").as("su"), max("tot").as("tot"))
       .select(col("cls"), col("n_parts"),
         unitsToDollarsExpr("su", 10000L).as("revenue"),
         floor(col("su") / col("tot").cast("double") * 1e6 + 0.5).cast("long")
@@ -1039,23 +1045,30 @@ object AnalyticsOps {
 
   /** Cumulative gains / lift chart by spend decile — the marketing
     * targeting-eval staple ("the top 10% of spenders hold X% of
-    * purchases"). The decile boundary is an exact integer rank rule
-    * (ceil(rank·10 / n_users)) over the USER-AGGREGATE table, so the
-    * ranking window runs on |users| rows, never events. Shares and
-    * lift are floor-quantized micro-units of exact integer counts;
-    * the cumulative sums run over the 10-row decile table. */
+    * purchases"). Deciles are cut BY VALUE: the user aggregate
+    * collapses onto a whole-dollar spend grid (value-domain-bounded,
+    * never |users|-sized), each grid row's decile is the exact
+    * integer ⌈cum·10/n⌉ of its last user under the descending-spend
+    * order, and spend-tied users share a decile (the previous global
+    * row_number split ties by user_id, funneling |users| rows through
+    * one task's sort at scale). Shares and lift are floor-quantized
+    * micro-units of exact integer counts; the cumulative sums run
+    * over the ≤10-row decile table. */
   def qLiftGains(s: SparkSession, d: String): DataFrame = {
     val users = events(s, d)
       .groupBy("user_id")
       .agg(sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("spend_c"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"))
-    val ranked = users
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("spend_c").desc, col("user_id").asc)).cast("long"))
-      .withColumn("nu", count(lit(1)).over(Window.partitionBy()).cast("long"))
-      .withColumn("decile", ceil(col("rk") * 10.0 / col("nu")).cast("long"))
-    val dec = ranked.groupBy("decile")
-      .agg(count(lit(1)).as("n_users"), sum("purchases").as("n_purch"))
+    val grid = users.groupBy(expr("spend_c DIV 100").as("g"))
+      .agg(count(lit(1)).as("nu"), sum("purchases").as("np"))
+    val wCum = Window.orderBy(col("g").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val deciled = grid
+      .withColumn("cum_n", sum("nu").over(wCum))
+      .withColumn("tun", sum("nu").over(Window.partitionBy()))
+      .withColumn("decile", expr("(cum_n * 10 + tun - 1) DIV tun"))
+    val dec = deciled.groupBy("decile")
+      .agg(sum("nu").as("n_users"), sum("np").as("n_purch"))
     val tot = dec.agg(sum("n_users").as("tu"), sum("n_purch").as("tp"))
     val wc = Window.orderBy("decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

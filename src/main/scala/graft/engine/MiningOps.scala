@@ -374,27 +374,34 @@ object MiningOps {
   }
 
   /** Lorenz curve of customer spend (the Gini coefficient's
-    * underlying curve, [[StatsOps]] has the scalar): customers sorted
-    * by spend are cut into deciles (ntile with a full-column
-    * tie-break so the cut is deterministic), and each decile reports
-    * its exact population and cumulative spend share in integer
-    * micro-units. The fact table collapses to the customer-keyed
-    * aggregate FIRST, so the unpartitioned ntile window runs on a
-    * dimension-sized input (the same bounded-window discipline as
-    * q_skyline); the cumulative sums then live on 10 rows. */
+    * underlying curve, [[StatsOps]] has the scalar): customers are
+    * cut into spend deciles BY VALUE — the customer aggregate
+    * collapses onto a whole-dollar spend grid (value-domain-bounded
+    * histogram, never |customers|-sized), each grid row's decile is
+    * the exact integer ⌈cum·10/n⌉ of its LAST customer, and the
+    * cumulative shares then live on ≤10 rows. Spend-tied customers
+    * share a decile (the previous global ntile split ties by custkey,
+    * which funneled |customers| rows through one task's sort at
+    * scale); populations stay within one grid row of n/10. */
   def qLorenz(s: SparkSession, d: String): DataFrame = {
     val spend = orders(s, d)
       .select(col("o_custkey"),
         floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
       .groupBy("o_custkey").agg(sum("cents").as("cents"))
-    val deciled = spend.withColumn("decile",
-      ntile(10).over(Window.orderBy(col("cents"), col("o_custkey")))
-        .cast("long"))
+    val grid = spend.groupBy(expr("cents DIV 100").as("g"))
+      .agg(count(lit(1)).as("nc"), sum("cents").as("gc"))
+    val wCum = Window.orderBy("g")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val deciled = grid
+      .withColumn("cum_n", sum("nc").over(wCum))
+      .withColumn("tn", sum("nc").over(wAll))
+      .withColumn("decile", expr("(cum_n * 10 + tn - 1) DIV tn"))
     val w = Window.orderBy("decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = deciled.agg(sum("cents").as("tc"), count(lit(1)).as("tn"))
+    val tot = grid.agg(sum("gc").as("tc"), sum("nc").as("tn"))
     deciled.groupBy("decile")
-      .agg(count(lit(1)).as("n_customers"), sum("cents").as("decile_cents"))
+      .agg(sum("nc").as("n_customers"), sum("gc").as("decile_cents"))
       .withColumn("cum_cents", sum("decile_cents").over(w))
       .withColumn("cum_customers", sum("n_customers").over(w))
       .crossJoin(broadcast(tot))

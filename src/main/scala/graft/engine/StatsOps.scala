@@ -156,27 +156,60 @@ object StatsOps {
 
   /** RFM segmentation: per customer — Recency (days since last order,
     * vs the global max date), Frequency (order count), Monetary
-    * (total spend) — each quartiled with ntile (custkey tie-break so
-    * both engines bucket identically), concatenated into the classic
-    * 3-digit segment. One shuffle to per-customer rows; the three
-    * ntile windows share one global sort each over |customers| rows. */
+    * (total spend) — each quartiled by VALUE against exact
+    * equi-height boundaries, concatenated into the classic 3-digit
+    * segment. No global ntile sort: each dimension's three quartile
+    * cut points come from an integer value-domain histogram (days /
+    * order counts / whole dollars — all bounded by the value range,
+    * never by |customers|) via the ⌈n·k/4⌉ cross-multiplied rule
+    * (the q_equiheight_hist pattern), the 1-row boundary tables
+    * broadcast back, and every customer buckets map-side — value
+    * ties share a quartile (the defensible segmentation semantics;
+    * the previous custkey tie-split funneled 10⁸⁺ rows through one
+    * task's sort at scale). */
   def qRfm(s: SparkSession, d: String): DataFrame = {
     val per = orders(s, d)
       .groupBy("o_custkey")
       .agg(max(col("o_orderdate").cast("date")).as("last_day"),
         count(lit(1)).as("freq"),
-        sum("o_totalprice").as("monetary"))
-    def tile(c: Column, asc: Boolean): Column =
-      ntile(4).over(Window.orderBy(
-        (if (asc) c.asc else c.desc), col("o_custkey"))).cast("long")
-    per
+        sum("o_totalprice").as("monetary"),
+        // whole-dollar grid for the monetary histogram (exact cents
+        // sum, integer DIV — never a floored double sum)
+        expr("CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))" +
+          " DIV 100 AS BIGINT)").as("mon_d"))
+      .localCheckpoint(true)
+    val base = per
       .crossJoin(broadcast(per.agg(max("last_day").as("max_day"))))
       .withColumn("recency_days",
         datediff(col("max_day"), col("last_day")).cast("long"))
+      .localCheckpoint(true)
+    // exact ⌈n·k/4⌉ quartile boundaries from the value histogram:
+    // b_k = smallest v with 4·cum(v) ≥ n·k  (cross-multiplied ints)
+    def bounds(vals: DataFrame): DataFrame = {
+      val wCum = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      vals.groupBy("v").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(wCum))
+        .withColumn("n", sum("cnt").over(wAll))
+        .agg(min(when(col("cum") * 4 >= col("n"), col("v"))).as("b1"),
+          min(when(col("cum") * 4 >= col("n") * 2, col("v"))).as("b2"),
+          min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as("b3"))
+    }
+    def tileUp(x: Column, b: String): Column =
+      lit(1L) + (x > col(s"$b.b1")).cast("long") +
+        (x > col(s"$b.b2")).cast("long") + (x > col(s"$b.b3")).cast("long")
+    base
+      .crossJoin(broadcast(bounds(base.select(col("recency_days").as("v")))
+        .select(struct(col("b1"), col("b2"), col("b3")).as("rb"))))
+      .crossJoin(broadcast(bounds(base.select(col("freq").as("v")))
+        .select(struct(col("b1"), col("b2"), col("b3")).as("fb"))))
+      .crossJoin(broadcast(bounds(base.select(col("mon_d").as("v")))
+        .select(struct(col("b1"), col("b2"), col("b3")).as("mb"))))
       // recency: smaller = better = bucket 4; freq/monetary: bigger = 4
-      .withColumn("r", lit(5L) - tile(col("recency_days"), asc = true))
-      .withColumn("f", tile(col("freq"), asc = true))
-      .withColumn("m", tile(col("monetary"), asc = true))
+      .withColumn("r", lit(5L) - tileUp(col("recency_days"), "rb"))
+      .withColumn("f", tileUp(col("freq"), "fb"))
+      .withColumn("m", tileUp(col("mon_d"), "mb"))
       .select(col("o_custkey").as("custkey"), col("recency_days"),
         col("freq"), round(col("monetary"), 2).as("monetary"),
         col("r"), col("f"), col("m"),

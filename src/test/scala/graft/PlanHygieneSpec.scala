@@ -30,4 +30,33 @@ class PlanHygieneSpec extends SparkSuite {
     assert(offenders.isEmpty,
       s"queries planning a true cartesian product: $offenders")
   }
+
+  /** The quantile/classification family must never run an
+    * unpartitioned window DIRECTLY over an entity-keyed aggregate
+    * (|customers|/|users|/|parts| grow with the corpus and would
+    * funnel through one task's sort): their global windows may only
+    * sit on value-domain-bounded histograms (day counts, whole-dollar
+    * grids). Guarded structurally: for each key, every unpartitioned
+    * logical Window's nearest descendant Aggregate must not group by
+    * an entity key. */
+  test("no unpartitioned window over an entity-keyed aggregate (quantile family)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val entityKeys =
+      Seq("custkey", "user_id", "partkey", "orderkey", "suppkey", "doc_id")
+    val keys = Seq("q_rfm", "q_lorenz", "q_lift_gains", "q_abc_class")
+    val bad = keys.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          w.child.collectFirst { case a: Aggregate => a }.flatMap { a =>
+            val refs = a.groupingExpressions
+              .flatMap(_.references.map(_.name.toLowerCase))
+            val hits = refs.filter(r => entityKeys.exists(r.contains))
+            if (hits.nonEmpty) Some(s"$name grouping=$refs") else None
+          }
+      }.flatten
+    }
+    assert(bad.isEmpty,
+      s"unpartitioned window over an entity-keyed aggregate: $bad")
+  }
 }
