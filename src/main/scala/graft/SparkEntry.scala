@@ -99,6 +99,7 @@ object SparkEntry {
     "q_multimodal_meta"    -> (MultimodalOps.qMultimodalMeta _),
     "q_media_codecs"       -> (MultimodalOps.qMediaCodecs _),
     "q_audio_pcm_stats"    -> (MultimodalOps.qAudioPcmStats _),
+    "q_audio_adpcm_stats"  -> (MultimodalOps.qAudioAdpcmStats _),
     "q_pixel_dedup"        -> (MultimodalOps.qPixelDedup _),
     "q_zone_map"           -> (ScaleOps.qZoneMap _),
     "q_frame_sample"       -> (MultimodalOps.qFrameSample _),
@@ -989,6 +990,7 @@ object SparkEntry {
     // That turns the stub's determinism into a checkable contract.
     "q_media_codecs" -> MultimodalOps.mediaCodecsOracleSql,
     "q_audio_pcm_stats" -> MultimodalOps.audioPcmStatsOracleSql,
+    "q_audio_adpcm_stats" -> MultimodalOps.audioAdpcmStatsOracleSql,
     "q_pixel_dedup" -> MultimodalOps.pixelDedupOracleSql,
 
     "q_zone_map" ->

@@ -14,14 +14,15 @@ import org.apache.spark.sql.types._
   * `javax.imageio`, WAV via pure-JVM RIFF chunk parsing, MP3 via
   * MPEG frame-header walking, MP4 via ISO BMFF box walking — all
   * zero-dependency, oracle-gated through `q_media_codecs`; and REAL
-  * SAMPLE DATA on the two lossless paths: PNG pixels through the
-  * JDK's full PNG codec (`q_pixel_dedup` hashes really-decoded
-  * pixels) and 16-bit PCM through `decodeWavPcm` (`q_audio_pcm_stats`
-  * — for uncompressed PCM the RIFF parser IS the codec). Only coded
-  * samples of COMPRESSED audio/video (MP3 granules, H.264 frames)
-  * need a codec library the container lacks; for payloads no parser
-  * recognizes, `stubDecode` derives deterministic fake properties
-  * (clearly marked below).
+  * SAMPLE DATA on three paths: PNG pixels through the JDK's full PNG
+  * codec (`q_pixel_dedup` hashes really-decoded pixels), 16-bit PCM
+  * through `decodeWavPcm` (`q_audio_pcm_stats` — for uncompressed
+  * PCM the RIFF parser IS the codec), and COMPRESSED audio through
+  * the real IMA ADPCM nibble-predictor decoder `decodeWavAdpcm`
+  * (`q_audio_adpcm_stats`). Only perceptually-coded samples (MP3
+  * granules, H.264 frames) still need a codec library the container
+  * lacks; for payloads no parser recognizes, `stubDecode` derives
+  * deterministic fake properties (clearly marked below).
   * Everything around decode — schema, binary handling,
   * partition-batch iteration (`mapPartitions`, the Scala analog of a
   * vectorized Python `mapInPandas`), explode fan-out for frame
@@ -422,6 +423,130 @@ object MultimodalOps {
     }
   }
 
+  /** IMA/DVI ADPCM step-size table (89 entries) and index-adjust
+    * table — the public tables from the IMA Digital Audio Focus and
+    * Technical Working Groups recommendation (the WAV format-0x11
+    * codec). */
+  val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767)
+
+  val ImaIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Synthesize a mono IMA-ADPCM WAV (wFormatTag = 0x11): proper
+    * RIFF/fmt(+cbSize/samplesPerBlock)/data layout with ONE block —
+    * 4-byte block header (initial predictor int16le, step index u8,
+    * reserved 0) followed by the nibble stream, low nibble first.
+    * The COMPRESSED stream itself is the deterministic formula
+    * nib(k) = (a·k + b + k²) mod 16 with initial predictor
+    * (b mod 2048) − 1024 and initial index (3a + b) mod 89, so a SQL
+    * oracle can replay the decoder's integer state machine without
+    * needing an encoder on either side. */
+  def makeWavAdpcm(rate: Int, a: Int, b: Int, nSamples: Int): Array[Byte] = {
+    val nNib = nSamples - 1
+    val nibBytes = (nNib + 1) / 2
+    val blockBytes = 4 + nibBytes
+    val bb = java.nio.ByteBuffer.allocate(44 + 4 + blockBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(40 + blockBytes).put("WAVE".getBytes)
+    // fmt: tag 0x11, mono, 4-bit, cbSize=2, wSamplesPerBlock
+    bb.put("fmt ".getBytes).putInt(20).putShort(0x11.toShort)
+      .putShort(1.toShort).putInt(rate).putInt(rate / 2)
+      .putShort(blockBytes.toShort).putShort(4.toShort)
+      .putShort(2.toShort).putShort(nSamples.toShort)
+    bb.put("data".getBytes).putInt(blockBytes)
+    bb.putShort((((b % 2048) + 2048) % 2048 - 1024).toShort)
+    bb.put(((3 * a + b) % 89).toByte).put(0.toByte)
+    var k = 0
+    var cur = 0
+    while (k < nNib) {
+      val nib = ((a * k + b + k * k) % 16 + 16) % 16
+      if (k % 2 == 0) cur = nib
+      else { bb.put((cur | (nib << 4)).toByte); cur = 0 }
+      k += 1
+    }
+    if (nNib % 2 == 1) bb.put(cur.toByte)
+    bb.array()
+  }
+
+  /** REAL IMA ADPCM sample decode (WAV format 0x11) — the pure-JVM
+    * nibble-predictor state machine that extends sample-level audio
+    * from uncompressed PCM ([[decodeWavPcm]]) to a genuinely
+    * COMPRESSED codec: RIFF walk to fmt/data, then per block read the
+    * (predictor, step index) header — the header predictor IS sample
+    * 0 — and advance the predictor through the IMA tables one 4-bit
+    * nibble at a time (diff = step/8 + bit2·step + bit1·step/2 +
+    * bit0·step/4, sign from bit3, int16 clamp, index clamp 0..88).
+    * Pure integer arithmetic end to end, which is what lets the
+    * DuckDB oracle replay every sample with a recursive CTE. */
+  def decodeWavAdpcm(payload: Array[Byte]): Option[Array[Short]] = {
+    def u16(i: Int): Int = (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
+    def s16(i: Int): Int = u16(i).toShort.toInt
+    def u32(i: Int): Long =
+      (payload(i) & 0xffL) | ((payload(i + 1) & 0xffL) << 8) |
+        ((payload(i + 2) & 0xffL) << 16) | ((payload(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String =
+      new String(payload, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (payload.length < 48 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var fmtTag = -1; var channels = -1; var spb = -1
+    var dataAt = -1; var dataBytes = 0
+    while (pos + 8 <= payload.length && (fmtTag < 0 || dataAt < 0)) {
+      val id = tag(pos)
+      val sz = u32(pos + 4).toInt
+      if (id == "fmt " && pos + 28 <= payload.length) {
+        fmtTag = u16(pos + 8); channels = u16(pos + 10)
+        if (sz >= 20) spb = u16(pos + 26)
+      } else if (id == "data") { dataAt = pos + 8; dataBytes = sz }
+      pos += 8 + sz + (sz & 1)
+    }
+    if (fmtTag != 0x11 || channels != 1 || spb <= 0 || dataAt < 0 ||
+      dataAt + dataBytes > payload.length) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[Short]
+    var bp = dataAt
+    val end = dataAt + dataBytes
+    while (bp + 4 <= end) {
+      var pred = s16(bp)
+      var idx = payload(bp + 2) & 0xff
+      if (idx > 88) idx = 88
+      out += pred.toShort
+      var emitted = 1
+      var np = bp + 4
+      val blockEnd = math.min(end, np + (spb - 1 + 1) / 2)
+      while (np < blockEnd && emitted < spb) {
+        val byte = payload(np) & 0xff
+        var half = 0
+        while (half < 2 && emitted < spb) {
+          val nib = if (half == 0) byte & 0xf else byte >>> 4
+          val step = ImaStepTable(idx)
+          var diff = step >> 3
+          if ((nib & 4) != 0) diff += step
+          if ((nib & 2) != 0) diff += step >> 1
+          if ((nib & 1) != 0) diff += step >> 2
+          pred = if ((nib & 8) != 0) pred - diff else pred + diff
+          if (pred > 32767) pred = 32767
+          if (pred < -32768) pred = -32768
+          idx += ImaIndexTable(nib)
+          if (idx < 0) idx = 0
+          if (idx > 88) idx = 88
+          out += pred.toShort
+          emitted += 1
+          half += 1
+        }
+        np += 1
+      }
+      bp = blockEnd
+    }
+    if (out.isEmpty) None else Some(out.toArray)
+  }
+
   /** Deterministic 16×16 8-bit grayscale gradient PNG: pixel (x, y)
     * has value `(a·x + b·y + c) mod 256`. PNG grayscale is lossless,
     * so a real encode→decode roundtrip must reproduce every pixel
@@ -594,6 +719,106 @@ object MultimodalOps {
       |                      AND (v >= 0) <> (pv >= 0)
       |                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
       |       CAST(FLOOR(SQRT(CAST(SUM(v * v) AS DOUBLE) / MAX(n))
+      |                  * 1000.0 + 0.5) AS BIGINT) AS rms_milli
+      |FROM sl GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** SAMPLE-LEVEL audio analytics over a genuinely COMPRESSED codec —
+    * the [[qAudioPcmStats]] twin on IMA ADPCM (WAV format 0x11): each
+    * doc synthesizes a format-0x11 WAV whose 4-bit nibble stream is a
+    * pure (doc_id, k) formula ([[makeWavAdpcm]] — compressed data
+    * synthesized directly, so no encoder is needed on either side),
+    * the REAL nibble-predictor decoder reconstructs every int16
+    * sample ([[decodeWavAdpcm]]), and the same exact-integer
+    * peak / mean-abs / energy / zero-crossing stats accumulate inside
+    * one mapPartitions (payload bytes never cross a shuffle). The
+    * oracle replays the IDENTICAL predictor state machine as a
+    * recursive CTE stepping every doc one sample per iteration (the
+    * q_rate_limit oracle pattern) against the 89-entry step table —
+    * any drift in the table, the clamp, or the diff assembly shifts
+    * an integer. */
+  def qAudioAdpcmStats(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val a = 3 + (id % 7).toInt
+          val b = (id % 512).toInt
+          val n = 121 + (id % 64).toInt
+          val samples = decodeWavAdpcm(makeWavAdpcm(8000, a, b, n)).get
+          var peak = 0L; var sumAbs = 0L; var sumSq = 0L; var zc = 0L
+          var i = 0
+          while (i < samples.length) {
+            val v = samples(i).toLong
+            val av = math.abs(v)
+            if (av > peak) peak = av
+            sumAbs += av
+            sumSq += v * v
+            if (i > 0 && ((v >= 0) != (samples(i - 1) >= 0))) zc += 1
+            i += 1
+          }
+          val rmsMilli =
+            math.floor(math.sqrt(sumSq.toDouble / samples.length) * 1000.0 + 0.5).toLong
+          (id, samples.length.toLong, peak, sumAbs, sumSq, zc, rmsMilli)
+        }
+      }
+      .toDF("doc_id", "n_samples", "peak", "sum_abs", "sum_sq",
+        "zero_crossings", "rms_milli")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[qAudioAdpcmStats]]: the IMA predictor
+    * recurrence replayed per sample by a recursive CTE — pred/index
+    * state advances doc-by-doc one nibble per iteration, the step
+    * table joins by index, and the aggregates must land on the
+    * decoder's exact integers. */
+  val audioAdpcmStatsOracleSql: String =
+    """WITH RECURSIVE p AS (SELECT doc_id, 3 + doc_id % 7 AS a,
+      |                            doc_id % 512 AS b,
+      |                            121 + doc_id % 64 AS n FROM documents),
+      |st AS (SELECT UNNEST(range(89)) AS idx, UNNEST([
+      |         7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,
+      |         34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,
+      |         143,157,173,190,209,230,253,279,307,337,371,408,449,
+      |         494,544,598,658,724,796,876,963,1060,1166,1282,1411,
+      |         1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,
+      |         4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,
+      |         11487,12635,13899,15289,16818,18500,20350,22385,24623,
+      |         27086,29794,32767]) AS step),
+      |dec AS (
+      |  SELECT doc_id, CAST(0 AS BIGINT) AS i,
+      |         CAST((b % 2048) - 1024 AS BIGINT) AS pred,
+      |         CAST((3 * a + b) % 89 AS BIGINT) AS sidx
+      |  FROM p
+      |  UNION ALL
+      |  SELECT d.doc_id, d.i + 1,
+      |    GREATEST(-32768, LEAST(32767,
+      |      d.pred
+      |      + CASE WHEN ((a * d.i + b + d.i * d.i) % 16) // 8 = 1
+      |             THEN -1 ELSE 1 END
+      |        * (st.step // 8
+      |           + (((a * d.i + b + d.i * d.i) % 16) // 4 % 2) * st.step
+      |           + (((a * d.i + b + d.i * d.i) % 16) // 2 % 2) * (st.step // 2)
+      |           + (((a * d.i + b + d.i * d.i) % 16) % 2) * (st.step // 4)))),
+      |    GREATEST(0, LEAST(88, d.sidx +
+      |      CASE ((a * d.i + b + d.i * d.i) % 16) % 8
+      |        WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8
+      |        ELSE -1 END))
+      |  FROM dec d JOIN p ON p.doc_id = d.doc_id
+      |  JOIN st ON st.idx = d.sidx
+      |  WHERE d.i < p.n - 1),
+      |sl AS (SELECT doc_id, i, pred AS v,
+      |              LAG(pred) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      |       FROM dec)
+      |SELECT doc_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_samples,
+      |       CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+      |       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+      |       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+      |       CAST(SUM(CASE WHEN pv IS NOT NULL
+      |                      AND (v >= 0) <> (pv >= 0)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+      |       CAST(FLOOR(SQRT(CAST(SUM(v * v) AS DOUBLE) / COUNT(*))
       |                  * 1000.0 + 0.5) AS BIGINT) AS rms_milli
       |FROM sl GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
