@@ -229,6 +229,7 @@ object SparkEntry {
     "q_graph_bfs"          -> (RelationalExt.qGraphBfs _),
     "q_arrow_roundtrip"    -> (FlightServe.qArrowRoundtrip _),
     "q_arrow_tcp_serve"    -> (ArrowTcpServer.qArrowTcpServe _),
+    "q_arrow_tcp_put"      -> (ArrowTcpServer.qArrowTcpPut _),
     "q_triangle_count"     -> (RelationalExt.qTriangleCount _),
     "q_ewma"               -> (StatsOps.qEwma _),
     "q_mad"                -> (StatsOps.qMad _),
@@ -6241,6 +6242,15 @@ object SparkEntry {
         |       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
         |       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
         |FROM orders WHERE o_orderkey % 50 = 0
+        |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "q_arrow_tcp_put" ->
+      """SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents,
+        |       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        |       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders WHERE o_orderkey % 50 = 1
         |GROUP BY 1 ORDER BY status""".stripMargin,
 
     "q_clustering_coeff" ->

@@ -1303,7 +1303,9 @@ object AnalyticsOps {
     val full = convPpm(None)
     val rows = ("none", full, 0L) +: states.filterNot(_ == "purchase").map { c =>
       val conv = convPpm(Some(c))
-      (c, conv, 1000000L - conv * 1000000L / full)
+      // a slice with zero purchases makes the baseline 0 — report a
+      // zero effect rather than divide (oracle mirrors the guard)
+      (c, conv, if (full == 0L) 0L else 1000000L - conv * 1000000L / full)
     }
     val spark = s
     import spark.implicits._
@@ -1353,7 +1355,9 @@ object AnalyticsOps {
         s"SELECT 'none' AS removed_channel, conv_ppm, CAST(0 AS BIGINT) AS removal_effect_ppm FROM conv_$tag"
       else
         s"""SELECT '$name', conv_$tag.conv_ppm,
-           |  CAST(1000000 - conv_$tag.conv_ppm * 1000000 // conv_none.conv_ppm
+           |  CAST(CASE WHEN conv_none.conv_ppm = 0 THEN 0
+           |            ELSE 1000000 - conv_$tag.conv_ppm * 1000000
+           |                 // conv_none.conv_ppm END
            |       AS BIGINT)
            |FROM conv_$tag, conv_none""".stripMargin
     }.mkString("\nUNION ALL\n")

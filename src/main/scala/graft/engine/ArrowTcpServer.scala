@@ -26,6 +26,11 @@ import java.nio.charset.StandardCharsets.UTF_8
   *   - `GET <topic>\n`    → raw Arrow IPC stream, schema + one record
   *                          batch per buffered store batch (identical
   *                          bytes to [[FlightServe.doGet]])
+  *   - `PUT <topic>\n` + raw Arrow IPC stream body
+  *                        → appends every record batch to the topic
+  *                          (the DoPut ingest half of the reference's
+  *                          ingest-serve symmetry), replies
+  *                          `OK <rows> <batches>\n`
   *   - unknown topic      → `ERR not found\n`
   *   - malformed request  → `ERR bad request\n`
   *
@@ -66,8 +71,10 @@ final class ArrowTcpServer(store: StreamStore, port: Int = 0)
         pool.submit(new Runnable { def run(): Unit = handle(sock) })
         ()
       } catch {
-        case _: java.net.SocketException if !running => // closed
-        case _: Throwable if !running =>
+        case _: Throwable if !running => // closed during shutdown
+        case _: Throwable => // transient accept/submit failure: the
+          // acceptor must survive (a dead acceptor leaves a bound
+          // port that never serves again); drop this connection only
       }
     }
   }, "graft-arrow-tcp-accept")
@@ -77,11 +84,24 @@ final class ArrowTcpServer(store: StreamStore, port: Int = 0)
   private def text(out: OutputStream, s: String): Unit =
     out.write(s.getBytes(UTF_8))
 
+  /** Read the request line byte-by-byte from the RAW stream — a
+    * BufferedReader would read ahead and swallow the Arrow IPC body
+    * that follows a PUT line. */
+  private def readLine(in: java.io.InputStream, max: Int = 4096): String = {
+    val sb = new java.lang.StringBuilder
+    var c = in.read()
+    while (c >= 0 && c != '\n' && sb.length < max) {
+      if (c != '\r') sb.append(c.toChar)
+      c = in.read()
+    }
+    sb.toString
+  }
+
   private def handle(sock: Socket): Unit = {
     try {
-      val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
+      val in = sock.getInputStream
       val out = sock.getOutputStream
-      val line = Option(in.readLine()).getOrElse("")
+      val line = readLine(in)
       line.trim.split("\\s+", 2) match {
         case Array("LIST") | Array("LIST", _) =>
           val infos = FlightServe.listFlights(store)
@@ -106,6 +126,16 @@ final class ArrowTcpServer(store: StreamStore, port: Int = 0)
             case Some(bytes) => out.write(bytes)
             case None        => text(out, "ERR not found\n")
           }
+        case Array("PUT", topic) =>
+          // DoPut: the rest of the connection is one Arrow IPC
+          // stream; every record batch appends to the topic.
+          try {
+            val (rows, batches) = FlightServe.doPut(store, topic, in, allocator)
+            text(out, s"OK $rows $batches\n")
+          } catch {
+            case e: Exception =>
+              text(out, s"ERR put failed: ${e.getClass.getSimpleName}\n")
+          }
         case _ => text(out, "ERR bad request\n")
       }
       out.flush()
@@ -116,13 +146,19 @@ final class ArrowTcpServer(store: StreamStore, port: Int = 0)
     }
   }
 
-  private lazy val allocator =
+  private val allocator =
     new org.apache.arrow.memory.RootAllocator()
 
   override def close(): Unit = {
     running = false
     try server.close() catch { case _: Throwable => }
     pool.shutdown()
+    // direct Arrow memory is not GC-reclaimed — release it with the
+    // endpoint (waiting briefly for in-flight handlers to drain)
+    try {
+      pool.awaitTermination(2, java.util.concurrent.TimeUnit.SECONDS)
+      allocator.close()
+    } catch { case _: Throwable => }
   }
 }
 
@@ -151,29 +187,105 @@ object ArrowTcpServer {
     sub.collect().grouped(500).foreach(rs => store.append("orders", schema, rs.toSeq))
     val srv = new ArrowTcpServer(store)
     val rows =
+      try socketGet(srv.boundPort, "orders")
+      finally srv.close()
+    s.createDataFrame(s.sparkContext.parallelize(rows), schema)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        sum("cents").as("sum_cents"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("status")
+  }
+
+  /** Plain-socket GET client: sends `GET <topic>`, decodes the IPC
+    * response off the stream, closes its allocator. */
+  private def socketGet(port: Int, topic: String): List[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.Row
+    val sock = new Socket("127.0.0.1", port)
+    try {
+      sock.getOutputStream.write(s"GET $topic\n".getBytes(UTF_8))
+      sock.getOutputStream.flush()
+      val alloc = new org.apache.arrow.memory.RootAllocator()
+      try {
+        val r = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+          sock.getInputStream, alloc)
+        try {
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          while (r.loadNextBatch()) {
+            val root = r.getVectorSchemaRoot
+            (0 until root.getRowCount).foreach { i =>
+              out += Row(
+                root.getVector(0).getObject(i)
+                  .asInstanceOf[java.lang.Long].longValue(),
+                root.getVector(1).getObject(i).toString,
+                root.getVector(2).getObject(i)
+                  .asInstanceOf[java.lang.Long].longValue())
+            }
+          }
+          out.toList
+        } finally r.close()
+      } finally alloc.close()
+    } finally sock.close()
+  }
+
+  /** The DoPut ingest path as an ORACLE-GATED query — the write half
+    * of the reference's ingest-serve symmetry over the same real
+    * socket: a deterministic orders slice is IPC-serialized by a
+    * plain-socket CLIENT writer into `PUT orders`, the server appends
+    * it to a fresh store through [[FlightServe.doPut]] (exercising
+    * the Arrow→Spark reverse mapping), and a second connection GETs
+    * the bytes back for the aggregate — both wire directions in one
+    * differential: corruption in either framing, the IPC encode, or
+    * the type round-trip breaks the DuckDB hash. */
+  def qArrowTcpPut(s: org.apache.spark.sql.SparkSession,
+                   d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sub = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 50 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
+    val schema = sub.schema
+    val data = sub.collect()
+    val store = new StreamStore(1L << 30, Long.MaxValue / 2)
+    val srv = new ArrowTcpServer(store)
+    val rows =
       try {
         val sock = new Socket("127.0.0.1", srv.boundPort)
         try {
-          sock.getOutputStream.write("GET orders\n".getBytes(UTF_8))
-          sock.getOutputStream.flush()
-          val r = new org.apache.arrow.vector.ipc.ArrowStreamReader(
-            sock.getInputStream, new org.apache.arrow.memory.RootAllocator())
+          val out = sock.getOutputStream
+          out.write("PUT orders\n".getBytes(UTF_8))
+          val alloc = new org.apache.arrow.memory.RootAllocator()
           try {
-            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-            while (r.loadNextBatch()) {
-              val root = r.getVectorSchemaRoot
-              (0 until root.getRowCount).foreach { i =>
-                out += Row(
-                  root.getVector(0).getObject(i)
-                    .asInstanceOf[java.lang.Long].longValue(),
-                  root.getVector(1).getObject(i).toString,
-                  root.getVector(2).getObject(i)
-                    .asInstanceOf[java.lang.Long].longValue())
+            val root = org.apache.arrow.vector.VectorSchemaRoot.create(
+              FlightServe.arrowSchema(schema), alloc)
+            try {
+              val w = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null, out)
+              w.start()
+              data.grouped(500).foreach { batch =>
+                root.allocateNew()
+                batch.zipWithIndex.foreach { case (r, i) =>
+                  root.getVector(0)
+                    .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+                    .setSafe(i, r.getLong(0))
+                  root.getVector(1)
+                    .asInstanceOf[org.apache.arrow.vector.VarCharVector]
+                    .setSafe(i, r.getString(1).getBytes(UTF_8))
+                  root.getVector(2)
+                    .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+                    .setSafe(i, r.getLong(2))
+                }
+                root.setRowCount(batch.size)
+                w.writeBatch()
               }
-            }
-            out.toList
-          } finally r.close()
+              w.end() // EOS marker only — the socket stays open for the ack
+            } finally root.close()
+          } finally alloc.close()
+          out.flush()
+          val ack = new String(sock.getInputStream.readNBytes(3), UTF_8)
+          require(ack == "OK ", s"PUT not acknowledged: $ack")
         } finally sock.close()
+        socketGet(srv.boundPort, "orders")
       } finally srv.close()
     s.createDataFrame(s.sparkContext.parallelize(rows), schema)
       .groupBy(col("o_orderstatus").as("status"))

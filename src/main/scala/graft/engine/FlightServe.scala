@@ -119,6 +119,71 @@ object FlightServe {
       } finally root.close()
     }
 
+  /** Arrow→Spark field mapping — the inverse of [[arrowField]] over
+    * the same closed type lattice, used by the DoPut ingest
+    * direction. */
+  private[engine] def sparkField(f: Field): StructField = {
+    val t: DataType = f.getType match {
+      case _: ArrowType.Utf8 => StringType
+      case i: ArrowType.Int if i.getBitWidth == 64 => LongType
+      case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+      case _: ArrowType.FloatingPoint => DoubleType
+      case _: ArrowType.Bool => BooleanType
+      case _: ArrowType.Binary => BinaryType
+      case _: ArrowType.Timestamp => TimestampType
+      case other => throw new IllegalArgumentException(
+        s"FlightServe: unsupported Arrow type $other for field ${f.getName}")
+    }
+    StructField(f.getName, t, f.isNullable)
+  }
+
+  def sparkSchema(as: ArrowSchema): StructType =
+    StructType(as.getFields.asScala.map(sparkField).toArray)
+
+  private def fromArrow(v: Any): Any = v match {
+    case t: org.apache.arrow.vector.util.Text => t.toString
+    case other => other
+  }
+
+  /** DoPut: read ONE Arrow IPC stream from `in` and append each
+    * record batch to `topic` (the reference's ingest-serve symmetry —
+    * flight DoPut is the write half of DoGet). Values convert through
+    * the same closed lattice as [[arrowField]]; timestamps arrive as
+    * epoch-micros and land as java.time.Instant (what [[setValue]]
+    * writes back out). Returns (rows, batches) appended. */
+  def doPut(store: StreamStore, topic: String, in: java.io.InputStream,
+            allocator: BufferAllocator = defaultAllocator): (Long, Int) = {
+    val r = new ArrowStreamReader(in, allocator)
+    try {
+      val root0 = r.getVectorSchemaRoot
+      val schema = sparkSchema(root0.getSchema)
+      val tsIdx = schema.fields.zipWithIndex.collect {
+        case (f, i) if f.dataType == TimestampType => i
+      }.toSet
+      var rows = 0L
+      var batches = 0
+      while (r.loadNextBatch()) {
+        val root = r.getVectorSchemaRoot
+        val batch = (0 until root.getRowCount).map { i =>
+          Row.fromSeq((0 until root.getFieldVectors.size()).map { j =>
+            val raw = root.getVector(j).getObject(i)
+            if (raw == null) null
+            else if (tsIdx(j)) {
+              val us = raw.asInstanceOf[java.lang.Long].longValue()
+              java.time.Instant.ofEpochSecond(
+                Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+            } else fromArrow(raw)
+          })
+        }
+        store.append(topic, schema, batch)
+        rows += batch.size
+        batches += 1
+      }
+      (rows, batches)
+    } finally r.close(false) // keep the source open: over a socket the
+    // "OK" response still has to go out on the same connection
+  }
+
   /** Client-side decode of a DoGet payload (what pyarrow.ipc /
     * arrow-rs would do): returns (schema, per-batch row values) with
     * Arrow-native values (UTF-8 Text, epoch-micros longs, …). */

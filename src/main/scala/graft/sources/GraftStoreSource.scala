@@ -580,6 +580,10 @@ private[sources] object GraftFilterEval {
     case _ => false
   }
 
+  private def isLongSafe(n: Number): Boolean =
+    n.isInstanceOf[java.lang.Long] || n.isInstanceOf[java.lang.Integer] ||
+      n.isInstanceOf[java.lang.Short] || n.isInstanceOf[java.lang.Byte]
+
   private[sources] def cmp(l: Any, r: Any): Int = (l, r) match {
     // Integral pairs compare exactly: the double fallback collapses
     // BIGINTs differing only above 2^53, which would corrupt pushed
@@ -587,10 +591,10 @@ private[sources] object GraftFilterEval {
     // catch it.
     case (a: java.lang.Long, b: java.lang.Long) =>
       java.lang.Long.compare(a.longValue(), b.longValue())
-    case (a: Number, b: Number)
-        if !(a.isInstanceOf[java.lang.Double] || a.isInstanceOf[java.lang.Float] ||
-             b.isInstanceOf[java.lang.Double] || b.isInstanceOf[java.lang.Float] ||
-             a.isInstanceOf[java.math.BigDecimal] || b.isInstanceOf[java.math.BigDecimal]) =>
+    // exact branch is a WHITELIST of long-safe integrals: a blacklist
+    // would let java.math.BigInteger through, whose longValue()
+    // silently truncates above 64 bits
+    case (a: Number, b: Number) if isLongSafe(a) && isLongSafe(b) =>
       java.lang.Long.compare(a.longValue(), b.longValue())
     case (a: Number, b: Number) =>
       java.lang.Double.compare(a.doubleValue(), b.doubleValue())

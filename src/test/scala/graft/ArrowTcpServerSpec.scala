@@ -119,4 +119,57 @@ class ArrowTcpServerSpec extends SparkSuite {
       assert(r.getLong(3) % 50 == 0 && r.getLong(4) % 50 == 0)
     }
   }
+
+  test("PUT appends an Arrow IPC stream over the wire and GET reads it back") {
+    val st = new StreamStore()
+    val srv = new ArrowTcpServer(st)
+    try {
+      val sock = new Socket("127.0.0.1", srv.boundPort)
+      try {
+        val out = sock.getOutputStream
+        out.write("PUT wired\n".getBytes(UTF_8))
+        val alloc = new org.apache.arrow.memory.RootAllocator()
+        try {
+          val root = org.apache.arrow.vector.VectorSchemaRoot.create(
+            FlightServe.arrowSchema(schema), alloc)
+          try {
+            val w = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null, out)
+            w.start()
+            root.allocateNew()
+            (0 until 3).foreach { i =>
+              root.getVector(0).asInstanceOf[org.apache.arrow.vector.VarCharVector]
+                .setSafe(i, s"p$i".getBytes(UTF_8))
+              root.getVector(1).asInstanceOf[org.apache.arrow.vector.BigIntVector]
+                .setSafe(i, i * 100L)
+            }
+            root.setRowCount(3)
+            w.writeBatch()
+            w.end()
+          } finally root.close()
+        } finally alloc.close()
+        out.flush()
+        val ack = new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream, UTF_8)).readLine()
+        assert(ack == "OK 3 1", s"unexpected PUT ack: $ack")
+      } finally sock.close()
+      // the store now holds the pushed rows…
+      val (sch, batches) = st.batchesOf("wired").get
+      assert(sch.fieldNames.toSeq == Seq("k", "v"))
+      assert(batches.flatten.map(r => (r.getString(0), r.getLong(1))) ==
+        Seq(("p0", 0L), ("p1", 100L), ("p2", 200L)))
+      // …and GET serves them back over a second connection
+      val sock2 = send(srv.boundPort, "GET wired")
+      try {
+        val r = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+          sock2.getInputStream, new org.apache.arrow.memory.RootAllocator())
+        try {
+          assert(r.loadNextBatch())
+          val root = r.getVectorSchemaRoot
+          assert(root.getRowCount == 3)
+          assert(root.getVector(1).getObject(2)
+            .asInstanceOf[java.lang.Long].longValue() == 200L)
+        } finally r.close()
+      } finally sock2.close()
+    } finally srv.close()
+  }
 }
