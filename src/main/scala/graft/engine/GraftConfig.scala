@@ -87,4 +87,76 @@ object GraftConfig {
     GraftConfig(batchSize = batchSize,
       ttlMillis = parseDuration(ttl),
       bufferLimitBytes = parseBytes(bufferLimit))
+
+  /** Dotted config keys ↔ case-class fields — the same paths the
+    * reference's config.yaml nests (config/config.yaml: kafka.*,
+    * stream.*) plus the consumer knobs its code hardcodes. */
+  private val Keys: Seq[String] = Seq(
+    "kafka.batch_size", "stream.ttl", "stream.buffer_limit",
+    "stream.trigger_interval", "stream.infer_sample_size",
+    "kafka.group_id", "kafka.starting_offsets",
+    "kafka.min_fetch_bytes", "kafka.max_fetch_bytes")
+
+  /** Parse the MINIMAL yaml shape the reference's config.yaml uses —
+    * two-level `section:` / `  key: value` nesting with comments and
+    * optional quotes — into dotted keys. List items and deeper
+    * nesting are skipped (none of the mapped knobs live there). No
+    * yaml dependency: the offline distribution has none, and this
+    * covers the file's actual grammar. */
+  def parseYamlish(text: String): Map[String, String] = {
+    var section = ""
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    text.linesIterator.foreach { raw =>
+      val noComment = raw.takeWhile(_ != '#')
+      val line = noComment.replaceAll("\\s+$", "")
+      if (line.nonEmpty && !line.trim.startsWith("-")) {
+        val indented = line.startsWith(" ") || line.startsWith("\t")
+        line.trim.split(":", 2) match {
+          case Array(k, v) if v.trim.isEmpty && !indented =>
+            section = k.trim
+          case Array(k, v) if v.trim.nonEmpty =>
+            val key = if (indented && section.nonEmpty) s"$section.${k.trim}" else k.trim
+            out(key) = v.trim.stripPrefix("\"").stripSuffix("\"")
+          case _ => // bare nested section or malformed: skip
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** Viper-style env name for a dotted key: upper-cased, dots →
+    * underscores (the reference calls AutomaticEnv with no prefix —
+    * `stream.ttl` reads STREAM_TTL). */
+  def envName(key: String): String = key.replace('.', '_').toUpperCase
+
+  private def applyKey(c: GraftConfig, key: String, v: String): GraftConfig =
+    key match {
+      case "kafka.batch_size"         => c.copy(batchSize = v.trim.toInt)
+      case "stream.ttl"               => c.copy(ttlMillis = parseDuration(v))
+      case "stream.buffer_limit"      => c.copy(bufferLimitBytes = parseBytes(v))
+      case "stream.trigger_interval"  => c.copy(triggerIntervalMs = parseDuration(v))
+      case "stream.infer_sample_size" => c.copy(inferSampleSize = v.trim.toInt)
+      case "kafka.group_id"           => c.copy(groupId = v.trim)
+      case "kafka.starting_offsets"   => c.copy(startingOffsets = v.trim)
+      case "kafka.min_fetch_bytes"    => c.copy(minFetchBytes = v.trim.toLong)
+      case "kafka.max_fetch_bytes"    => c.copy(maxFetchBytes = v.trim.toLong)
+      case _                          => c // unknown keys are ignored, as viper does
+    }
+
+  /** The reference's full layering (cmd/root.go:48-74): defaults (or
+    * flag-built base) < config FILE < ENV — viper resolves
+    * AutomaticEnv above the file, so an env var overrides the same
+    * key from yaml. Unknown file keys are ignored; env is consulted
+    * per mapped key only. */
+  def layered(base: GraftConfig = Default,
+              fileText: Option[String] = None,
+              env: Map[String, String] = sys.env): GraftConfig = {
+    val fromFile = fileText.map(parseYamlish).getOrElse(Map.empty)
+    val afterFile = Keys.foldLeft(base) { (c, k) =>
+      fromFile.get(k).map(applyKey(c, k, _)).getOrElse(c)
+    }
+    Keys.foldLeft(afterFile) { (c, k) =>
+      env.get(envName(k)).map(applyKey(c, k, _)).getOrElse(c)
+    }
+  }
 }

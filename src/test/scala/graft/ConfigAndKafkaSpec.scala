@@ -38,6 +38,40 @@ class ConfigAndKafkaSpec extends SparkSuite {
     intercept[IllegalArgumentException](GraftConfig.parseBytes("100XB"))
   }
 
+  test("GraftConfig file/env layering: defaults < yaml file < env (cmd/root.go:48-74)") {
+    // the reference's own config.yaml grammar: sections, comments, quotes
+    val yaml =
+      """# Roar Configuration
+        |kafka:
+        |  brokers: "localhost:9092"   # unmapped key: ignored
+        |  batch_size: 2048
+        |  group_id: "filegroup"
+        |stream:
+        |  ttl: "5m"
+        |  buffer_limit: "1GB"
+        |""".stripMargin
+    val fileOnly = GraftConfig.layered(fileText = Some(yaml), env = Map.empty)
+    assert(fileOnly.batchSize == 2048)
+    assert(fileOnly.ttlMillis == 300000L)
+    assert(fileOnly.bufferLimitBytes == 1024L * 1024 * 1024)
+    assert(fileOnly.groupId == "filegroup")
+    // untouched keys keep their defaults
+    assert(fileOnly.startingOffsets == GraftConfig.Default.startingOffsets)
+    // env beats file for the same key (viper AutomaticEnv), file
+    // still wins over defaults for keys the env doesn't set
+    val layered = GraftConfig.layered(fileText = Some(yaml),
+      env = Map("STREAM_TTL" -> "90s", "KAFKA_STARTING_OFFSETS" -> "earliest"))
+    assert(layered.ttlMillis == 90000L, "env must override the file")
+    assert(layered.batchSize == 2048, "file must survive where env is silent")
+    assert(layered.startingOffsets == "earliest", "env must override defaults")
+    // env-name mapping is the viper convention
+    assert(GraftConfig.envName("stream.buffer_limit") == "STREAM_BUFFER_LIMIT")
+    // no file at all: env still layers over defaults
+    val envOnly = GraftConfig.layered(env = Map("KAFKA_BATCH_SIZE" -> "4096"))
+    assert(envOnly.batchSize == 4096)
+    assert(envOnly.ttlMillis == GraftConfig.Default.ttlMillis)
+  }
+
   test("config threads through store + pipeline (buffer budget honored)") {
     // tiny budget → drop-oldest eviction kicks in, proving the cfg value
     // (not the default) reached the store

@@ -35,6 +35,24 @@ class RelationalSpec extends SparkSuite {
         s"SparkEntry has ${SparkEntry.oracleSql.size}")
   }
 
+  test("twin contract: the no-oracle key set is exactly the documented 5 (drift guard)") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val documented = Set("q_agg_approx_distinct", "q_hll_sketch",
+      "q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram_jaccard")
+    assert(noOracle == documented,
+      s"no-oracle keys drifted from the README twin table: $noOracle")
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    documented.foreach { k =>
+      assert(readme.contains(s"`$k`"), s"README twin table must list $k")
+    }
+    // every twin named in the table must exist AND carry an oracle
+    Seq("q_hll_md5", "q_dedup_minhash_md5", "q_dedup_simhash_md5",
+      "q_minhash_jaccard_est").foreach { t =>
+      assert(SparkEntry.oracleSql.contains(t), s"twin $t must be oracled")
+    }
+  }
+
   test("SURVEY.md current-totals line matches SparkEntry (drift guard)") {
     val survey = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
