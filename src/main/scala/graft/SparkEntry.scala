@@ -214,6 +214,7 @@ object SparkEntry {
     "q_fixed_width"        -> (Sinks.qFixedWidth _),
     "q_rake_keywords"      -> ((s, dd) => TextOps.qRakeKeywords(s, dd)),
     "q_entity_resolution"  -> (MiningOps.qEntityResolution _),
+    "q_fellegi_sunter"     -> (MiningOps.qFellegiSunter _),
     "q_assortativity"      -> (RelationalExt.qAssortativity _),
     "q_lateness_audit"     -> (QualityOps.qLatenessAudit _),
     "q_recommender_eval"   -> (RelationalExt.qRecommenderEval _),
@@ -5865,6 +5866,8 @@ object SparkEntry {
         |       CAST(MAX(score_u) AS BIGINT) AS score_u
         |FROM ptxt GROUP BY 1
         |ORDER BY score_u DESC, phrase LIMIT 50""".stripMargin,
+
+    "q_fellegi_sunter" -> MiningOps.fellegiSunterOracleSql,
 
     "q_entity_resolution" ->
       """WITH RECURSIVE

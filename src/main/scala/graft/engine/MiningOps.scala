@@ -506,6 +506,155 @@ object MiningOps {
       .orderBy("entity_id")
   }
 
+  /** Fellegi–Sunter probabilistic record linkage (1969) — the
+    * weight-LEARNING stage the deterministic ER pipeline
+    * ([[qEntityResolution]]) lacks: EM estimates per-feature match
+    * probabilities m_k / non-match probabilities u_k and the match
+    * prior p from UNLABELED candidate pairs, yielding the log-odds
+    * match weight every production linker thresholds on. The
+    * distributed work is the pair generation (first-token blocking,
+    * the ER discipline), native Jaro-Winkler feature scoring, and ONE
+    * aggregate collapsing the pairs onto the 2³ = 8 agreement-pattern
+    * table; the 3 EM iterations then run on that ≤8-row table in the
+    * driver (bounded collect, the MMR-model-table precedent) with
+    * every parameter floor-quantized to ppm integers BETWEEN steps —
+    * the E-step doubles are deterministic functions of exact ppm
+    * ints, so the DuckDB oracle replays the identical 3 iterations as
+    * unrolled CTE stages and must land on the same integers.
+    * Overflow bound: the M-step sums Σ wq·n·10⁶ stay exact longs to
+    * ~9.2M candidate pairs; beyond that, drop the ppm grid one decade
+    * (the scale cancels in every ratio). Parameters clamp to
+    * [1, 999999] ppm so a degenerate feature can never zero a
+    * likelihood. */
+  def qFellegiSunter(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    val ids = part(s, d).groupBy("p_name")
+      .agg(min("p_brand").as("brand"), min("p_size").as("psize"))
+      .withColumn("blk", split(col("p_name"), " ").getItem(0))
+    val pats = ids.select(col("p_name").as("na"), col("brand").as("ba"),
+        col("psize").as("sa"), col("blk"))
+      .join(ids.select(col("p_name").as("nb"), col("brand").as("bb"),
+        col("psize").as("sb"), col("blk")), "blk")
+      .filter(col("na") < col("nb"))
+      .select(
+        (r4(call_function("graft_jaro_winkler", col("na"), col("nb"))) >= 0.92)
+          .cast("long").as("g_jw"),
+        (col("ba") === col("bb")).cast("long").as("g_brand"),
+        (col("sa") === col("sb")).cast("long").as("g_size"))
+      .groupBy("g_jw", "g_brand", "g_size")
+      .agg(count(lit(1)).as("n_pairs"))
+      .collect() // ≤ 8 agreement patterns — bounded by construction
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def clamp(x: Long): Long = math.max(1L, math.min(999999L, x))
+    // E-step weight for pattern bits under ppm params — one
+    // deterministic double expression (the oracle writes the same)
+    def eW(m: Array[Long], u: Array[Long], p: Long,
+           bits: Seq[Long]): (Double, Double, Double) = {
+      val pm = bits.zipWithIndex.map { case (b, k) =>
+        (if (b == 1L) m(k) else 1000000L - m(k)).toDouble / 1e6 }.product
+      val pu = bits.zipWithIndex.map { case (b, k) =>
+        (if (b == 1L) u(k) else 1000000L - u(k)).toDouble / 1e6 }.product
+      val pr = p.toDouble / 1e6
+      (pm, pu, pr * pm / (pr * pm + (1.0 - pr) * pu))
+    }
+    var m = Array(900000L, 900000L, 900000L)
+    var u = Array(100000L, 100000L, 100000L)
+    var p = 100000L
+    (1 to 3).foreach { _ =>
+      val wq = pats.map { case (b1, b2, b3, n) =>
+        val (_, _, w) = eW(m, u, p, Seq(b1, b2, b3))
+        (Seq(b1, b2, b3), n, math.floor(w * 1e6 + 0.5).toLong)
+      }
+      val sw = wq.map { case (_, n, w) => w * n }.sum
+      val sv = wq.map { case (_, n, w) => (1000000L - w) * n }.sum
+      val nTot = pats.map(_._4).sum
+      m = Array.tabulate(3) { k =>
+        val sk = wq.collect { case (b, n, w) if b(k) == 1L => w * n }.sum
+        clamp((sk * 1000000L + sw / 2) / math.max(sw, 1L)) }
+      u = Array.tabulate(3) { k =>
+        val sk = wq.collect { case (b, n, w) if b(k) == 1L => (1000000L - w) * n }.sum
+        clamp((sk * 1000000L + sv / 2) / math.max(sv, 1L)) }
+      p = clamp((sw + nTot / 2) / nTot)
+    }
+    val spark = s
+    import spark.implicits._
+    pats.toSeq.map { case (b1, b2, b3, n) =>
+      val (pm, pu, w) = eW(m, u, p, Seq(b1, b2, b3))
+      (b1, b2, b3, n,
+        math.floor(w * 1e6 + 0.5).toLong,
+        math.floor(math.log(pm / pu) / math.log(2.0) * 10000.0 + 0.5) / 10000.0)
+    }.toDF("g_jw", "g_brand", "g_size", "n_pairs", "w_ppm", "log2_odds")
+      .orderBy("g_jw", "g_brand", "g_size")
+  }
+
+  /** DuckDB oracle for [[qFellegiSunter]]: the identical 3 EM
+    * iterations unrolled as generated CTE stages over the 8-row
+    * agreement-pattern table — every parameter ppm-quantized with the
+    * same integer rounding and clamps, every E-step double written in
+    * the same operation order, so a drift anywhere in the recurrence
+    * shifts an integer. */
+  lazy val fellegiSunterOracleSql: String = {
+    // per-pattern likelihood factors under params from CTE `par$i`
+    def pm(i: Int) =
+      s"""(CASE WHEN pc.g_jw = 1 THEN par$i.m1 ELSE 1000000 - par$i.m1 END / 1e6)
+         | * (CASE WHEN pc.g_brand = 1 THEN par$i.m2 ELSE 1000000 - par$i.m2 END / 1e6)
+         | * (CASE WHEN pc.g_size = 1 THEN par$i.m3 ELSE 1000000 - par$i.m3 END / 1e6)""".stripMargin
+    def pu(i: Int) =
+      s"""(CASE WHEN pc.g_jw = 1 THEN par$i.u1 ELSE 1000000 - par$i.u1 END / 1e6)
+         | * (CASE WHEN pc.g_brand = 1 THEN par$i.u2 ELSE 1000000 - par$i.u2 END / 1e6)
+         | * (CASE WHEN pc.g_size = 1 THEN par$i.u3 ELSE 1000000 - par$i.u3 END / 1e6)""".stripMargin
+    def mStep(bit: String, w: String) =
+      s"""CAST(GREATEST(1, LEAST(999999,
+         |  (SUM(CASE WHEN $bit = 1 THEN $w * n ELSE 0 END) * 1000000 + SUM($w * n) // 2)
+         |  // GREATEST(SUM($w * n), 1))) AS BIGINT)""".stripMargin
+    val iters = (1 to 3).map { k =>
+      val j = k - 1
+      s"""e$k AS (
+         |  SELECT pc.g_jw, pc.g_brand, pc.g_size, pc.n,
+         |    CAST(FLOOR((par$j.p / 1e6) * (${pm(j)})
+         |      / ((par$j.p / 1e6) * (${pm(j)})
+         |         + (1.0 - par$j.p / 1e6) * (${pu(j)})) * 1e6 + 0.5) AS BIGINT) AS wq
+         |  FROM pc CROSS JOIN par$j),
+         |par$k AS (
+         |  SELECT
+         |    ${mStep("g_jw", "wq")} AS m1,
+         |    ${mStep("g_brand", "wq")} AS m2,
+         |    ${mStep("g_size", "wq")} AS m3,
+         |    ${mStep("g_jw", "(1000000 - wq)")} AS u1,
+         |    ${mStep("g_brand", "(1000000 - wq)")} AS u2,
+         |    ${mStep("g_size", "(1000000 - wq)")} AS u3,
+         |    CAST(GREATEST(1, LEAST(999999,
+         |      (SUM(wq * n) + SUM(n) // 2) // SUM(n))) AS BIGINT) AS p
+         |  FROM e$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ids0 AS (SELECT p_name, MIN(p_brand) AS brand, MIN(p_size) AS psize
+       |              FROM part GROUP BY 1),
+       |ids AS MATERIALIZED (SELECT p_name, brand, psize,
+       |                            split_part(p_name, ' ', 1) AS blk FROM ids0),
+       |pc AS MATERIALIZED (
+       |  SELECT CAST(CASE WHEN FLOOR(jaro_winkler_similarity(a.p_name, b.p_name)
+       |                     * 10000.0 + 0.5) / 10000.0 >= 0.92
+       |              THEN 1 ELSE 0 END AS BIGINT) AS g_jw,
+       |         CAST(CASE WHEN a.brand = b.brand THEN 1 ELSE 0 END AS BIGINT) AS g_brand,
+       |         CAST(CASE WHEN a.psize = b.psize THEN 1 ELSE 0 END AS BIGINT) AS g_size,
+       |         CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM ids a JOIN ids b ON a.blk = b.blk AND a.p_name < b.p_name
+       |  GROUP BY 1, 2, 3),
+       |par0 AS (SELECT CAST(900000 AS BIGINT) AS m1, CAST(900000 AS BIGINT) AS m2,
+       |                CAST(900000 AS BIGINT) AS m3, CAST(100000 AS BIGINT) AS u1,
+       |                CAST(100000 AS BIGINT) AS u2, CAST(100000 AS BIGINT) AS u3,
+       |                CAST(100000 AS BIGINT) AS p),
+       |$iters
+       |SELECT pc.g_jw, pc.g_brand, pc.g_size, pc.n AS n_pairs,
+       |       CAST(FLOOR((par3.p / 1e6) * (${pm(3)})
+       |         / ((par3.p / 1e6) * (${pm(3)})
+       |            + (1.0 - par3.p / 1e6) * (${pu(3)})) * 1e6 + 0.5) AS BIGINT) AS w_ppm,
+       |       FLOOR(LN((${pm(3)}) / (${pu(3)})) / LN(2.0) * 10000.0 + 0.5)
+       |         / 10000.0 AS log2_odds
+       |FROM pc CROSS JOIN par3
+       |ORDER BY pc.g_jw, pc.g_brand, pc.g_size""".stripMargin
+  }
+
   /** Split-conformal prediction intervals (Vovk; the
     * distribution-free uncertainty wrapper production scoring
     * pipelines bolt onto ANY point model): a per-priority mean-cents

@@ -469,7 +469,27 @@ object TextOps {
     * latin-script profiles plus a CJK-codepoint check — the n-gram
     * heuristic family, expressed as pure column arithmetic. Emits the
     * prediction alongside the labeled lang for agreement analysis. */
-  def qLangId(s: SparkSession, d: String): DataFrame = {
+  def qLangId(s: SparkSession, d: String): DataFrame =
+    langScored(s, d).orderBy("doc_id")
+
+  /** One parquet copy of the lang-ID scored table per (JVM, sfDir) —
+    * SIX queries consume it (q_lang_id, q_calibration,
+    * q_confusion_matrix, q_cohen_kappa, q_brier, q_langid_eval), and
+    * the scorer's four interpreted HOF filters per document are the
+    * dominant cost of each, so the scoring pass runs once as table
+    * prep under the same memoization contract as the graph family's
+    * staged edge list. */
+  private val langScoredCopies =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def langScored(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(langScoredCopies.computeIfAbsent(d, _ => {
+      val path = StagedPaths.tmp("graft_langid")
+      langScoredFresh(s, d).write.mode("overwrite").parquet(path)
+      path
+    }))
+
+  /** The un-staged lang-ID scorer (see [[langScored]]). */
+  private def langScoredFresh(s: SparkSession, d: String): DataFrame = {
     val toks = tokens(lower(col("text")))
     val scores = LangStopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
       struct(
@@ -484,7 +504,6 @@ object TextOps {
         .when(best.getField("score") > 0, best.getField("lang"))
         .otherwise(lit("und")).as("predicted_lang"),
       round(best.getField("score"), 4).as("confidence"))
-      .orderBy("doc_id")
   }
 
   /** Confidence calibration of the language identifier: documents are
@@ -498,7 +517,7 @@ object TextOps {
     * aggregate. */
   def qCalibration(s: SparkSession, d: String): DataFrame = {
     def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
-    val scored = qLangId(s, d) // doc_id, labeled_lang, predicted_lang, confidence
+    val scored = langScored(s, d) // doc_id, labeled_lang, predicted_lang, confidence
     scored
       .select(
         least(floor(col("confidence") * 20).cast("long"), lit(19L)).as("bin"),
@@ -526,7 +545,7 @@ object TextOps {
     def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
     val wRow = org.apache.spark.sql.expressions.Window
       .partitionBy("labeled_lang")
-    qLangId(s, d)
+    langScored(s, d)
       .groupBy("labeled_lang", "predicted_lang")
       .agg(count(lit(1)).as("n"))
       .withColumn("row_total", sum("n").over(wRow))
@@ -546,7 +565,7 @@ object TextOps {
     * projection + one tiny two-key aggregate — matrix-sized state
     * from there on. */
   def qCohenKappa(s: SparkSession, d: String): DataFrame = {
-    val m = qLangId(s, d)
+    val m = langScored(s, d)
       .groupBy("labeled_lang", "predicted_lang")
       .agg(count(lit(1)).as("n"))
       .localCheckpoint(true)
@@ -576,7 +595,7 @@ object TextOps {
     * class, so accumulation order can't flap. The final mean is an
     * integer half-up division. */
   def qBrier(s: SparkSession, d: String): DataFrame =
-    qLangId(s, d)
+    langScored(s, d)
       .select(col("labeled_lang"),
         (col("confidence") -
           when(col("predicted_lang") === col("labeled_lang"), 1.0d)
@@ -1248,7 +1267,7 @@ object TextOps {
     * Spark's round() string-vs-binary divergence cannot fire). */
   def qLangidEval(s: SparkSession, d: String): DataFrame = {
     def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
-    val pred = qLangId(s, d).select(col("labeled_lang"), col("predicted_lang"))
+    val pred = langScored(s, d).select(col("labeled_lang"), col("predicted_lang"))
     val byLabel = pred.groupBy(col("labeled_lang").as("lang")).agg(
       count(lit(1)).as("n_labeled"),
       sum(when(col("labeled_lang") === col("predicted_lang"), 1L).otherwise(0L)).as("tp"))

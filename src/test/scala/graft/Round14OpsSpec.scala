@@ -84,4 +84,29 @@ class Round14OpsSpec extends SparkSuite {
     // the compressed stream must actually exercise both signs somewhere
     assert(rows.exists(_.getLong(5) > 0), "no zero crossings anywhere — degenerate synth")
   }
+
+  test("fellegi-sunter EM: weights ordered by agreement, probabilities in range") {
+    val rows = graft.engine.MiningOps.qFellegiSunter(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 8)
+    val byBits = rows.map(r =>
+      ((r.getLong(0), r.getLong(1), r.getLong(2)), (r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    rows.foreach { r =>
+      val w = r.getLong(4)
+      assert(w >= 0 && w <= 1000000, s"w_ppm out of range: $r")
+      assert(r.getLong(3) > 0)
+    }
+    // more agreements must never DECREASE the match weight when the
+    // EM has learned informative features: compare patterns that
+    // differ in exactly one bit (both present in the fixture)
+    for {
+      ((b1, b2, b3), (_, w, lo)) <- byBits
+      k <- 0 to 2
+      flipped = Seq(b1, b2, b3).updated(k, 1L - Seq(b1, b2, b3)(k))
+      if Seq(b1, b2, b3)(k) == 1L
+      ((_, wLess, loLess)) <- byBits.get((flipped(0), flipped(1), flipped(2)))
+    } {
+      assert(w >= wLess, s"agreement bit $k lowered w: $byBits")
+      assert(lo >= loLess, s"agreement bit $k lowered log-odds: $byBits")
+    }
+  }
 }
