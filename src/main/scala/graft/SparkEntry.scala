@@ -337,6 +337,8 @@ object SparkEntry {
     "q_encoding_audit"     -> (TextOps.qEncodingAudit _),
     "q_gram_novelty"       -> (TextOps.qGramNovelty _),
     "q_bigram_logprob"     -> (TextOps.qBigramLogprob _),
+    "q_kneser_ney"         -> (TextOps.qKneserNey _),
+    "q_delta_varint"       -> (TextOps.qDeltaVarint _),
     "q_skew_audit"         -> (ScaleOps.qSkewAudit _),
     "q_event_pattern"      -> (AnalyticsOps.qEventPattern _),
     "q_embed_health"       -> (VectorOps.qEmbedHealth _),
@@ -4202,6 +4204,59 @@ object SparkEntry {
         |             / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
         |         AS novelty
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_kneser_ney" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |           FROM documents),
+        |b0 AS (SELECT doc_id,
+        |              UNNEST(list_transform(generate_series(1, len(tk) - 1),
+        |                i -> {'w1': tk[i], 'w2': tk[i+1]})) AS bg
+        |       FROM t WHERE len(tk) >= 2),
+        |b AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2,
+        |             CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM b0 GROUP BY 1, 2, 3),
+        |m AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS cb FROM b GROUP BY 1, 2),
+        |l AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cl,
+        |             CAST(COUNT(*) AS BIGINT) AS nl FROM m GROUP BY 1),
+        |r AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nc FROM m GROUP BY 1),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbt FROM m),
+        |sc AS (SELECT b.doc_id, b.cnt,
+        |         ln(((4.0 * m.cb - 3.0) * g.nbt + 3.0 * l.nl * r.nc)
+        |            / (4.0 * l.cl * g.nbt)) AS lp
+        |       FROM b JOIN m ON m.w1 = b.w1 AND m.w2 = b.w2
+        |       JOIN l ON l.w1 = b.w1 JOIN r ON r.w2 = b.w2 CROSS JOIN g)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+        |       FLOOR(SUM(cnt * lp) / SUM(cnt) * 10000.0 + 0.5) / 10000.0
+        |         AS avg_kn_logprob
+        |FROM sc GROUP BY doc_id
+        |ORDER BY avg_kn_logprob ASC, doc_id LIMIT 100""".stripMargin,
+
+    "q_delta_varint" ->
+      """WITH p AS (SELECT doc_id,
+        |                  UNNEST(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS term
+        |           FROM documents),
+        |gp AS (SELECT term, doc_id,
+        |         COALESCE(doc_id - LAG(doc_id) OVER (PARTITION BY term ORDER BY doc_id),
+        |                  doc_id) AS gap
+        |       FROM p),
+        |v AS (SELECT term,
+        |        CASE WHEN gap < 128 THEN 1
+        |             WHEN gap < 16384 THEN 2
+        |             WHEN gap < 2097152 THEN 3
+        |             WHEN gap < 268435456 THEN 4
+        |             ELSE 5 END AS vb
+        |      FROM gp),
+        |pt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+        |              CAST(SUM(vb) AS BIGINT) AS vbytes
+        |       FROM v GROUP BY 1)
+        |SELECT CAST(length(format('{:b}', df)) - 1 AS BIGINT) AS df_bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |       CAST(SUM(df) AS BIGINT) AS n_postings,
+        |       CAST(SUM(df) * 8 AS BIGINT) AS raw_bytes,
+        |       CAST(SUM(vbytes) AS BIGINT) AS varint_bytes,
+        |       FLOOR(SUM(vbytes) / (SUM(df) * 8.0) * 10000.0 + 0.5) / 10000.0
+        |         AS compress_ratio
+        |FROM pt GROUP BY 1 ORDER BY df_bucket""".stripMargin,
 
     "q_bigram_logprob" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk

@@ -1618,6 +1618,85 @@ object TextOps {
       path
     }))
 
+  /** Kneser–Ney smoothed bigram scoring — the LM-quality notch above
+    * [[qBigramLogprob]]'s unsmoothed conditional and
+    * [[qHeldoutPerplexity]]'s stupid-backoff: interpolated KN with
+    * the standard D = 0.75 discount redistributes mass to the
+    * CONTINUATION distribution (how many distinct contexts a word
+    * follows — "Francisco" is frequent but only ever follows "San").
+    * With D = 3/4 every probability is an exact quarter-unit
+    * rational: P_KN = ((4c − 3)·N₁₊(··) + 3·N₁₊(w₁·)·N₁₊(·w₂)) /
+    * (4·c(w₁·)·N₁₊(··)) — numerator and denominator assembled in
+    * double (the n⁴-product rule: c·N₁₊(··) wraps long past ~3·10⁹
+    * bigram types) in the same operation order both engines, one ln.
+    * Model tables (bigram / left-context / continuation counts) are
+    * all vocabulary-bounded aggregates of the staged per-doc bigram
+    * table; scoring is one join chain against them. Emits the 100
+    * most-surprising docs under the smoothed model. */
+  def qKneserNey(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val bg = docBigrams(s, d)
+    val model = bg.groupBy("w1", "w2").agg(sum("cnt").as("cb"))
+      .localCheckpoint(true) // feeds 3 aggregates + the scoring join
+    val left = model.groupBy("w1")
+      .agg(sum("cb").as("cl"), count(lit(1)).as("nl"))
+    val right = model.groupBy("w2").agg(count(lit(1)).as("nc"))
+    val tot = model.agg(count(lit(1)).as("nbt"))
+    bg.join(model, Seq("w1", "w2")).join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", log(
+        ((lit(4.0) * col("cb") - 3.0) * col("nbt") +
+          lit(3.0) * col("nl") * col("nc")) /
+          (lit(4.0) * col("cl") * col("nbt"))))
+      .groupBy("doc_id")
+      .agg(sum("cnt").cast("long").as("n_bigrams"),
+        sum(col("cnt") * col("lp")).as("sl"))
+      .select(col("doc_id"), col("n_bigrams"),
+        r4(col("sl") / col("n_bigrams")).as("avg_kn_logprob"))
+      .orderBy(col("avg_kn_logprob").asc, col("doc_id"))
+      .limit(100)
+  }
+
+  /** Posting-list delta + varint compression audit — the
+    * storage-layout measurement behind every inverted index at scale
+    * (Lucene/CLP-style): per term, doc_ids sort ascending, adjacent
+    * gaps encode as LEB128 varints (1 byte under 2⁷, 2 under 2¹⁴, …),
+    * and the byte cost rolls up by posting-list-length power-of-2
+    * bucket — showing exactly where delta coding wins (dense stopword
+    * lists → tiny gaps → 1-byte codes) vs where it can't (singleton
+    * lists store the raw id). Pure integer arithmetic end to end; the
+    * per-term lag window partitions by term (the inverted-index /
+    * tfidf shape — Heaps' law bounds the hot-term partition count,
+    * and a posting list is exactly what a real index materializes
+    * per term anyway). */
+  def qDeltaVarint(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    val post = documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+    val perTerm = post
+      .withColumn("gap",
+        coalesce(col("doc_id") - lag("doc_id", 1).over(w), col("doc_id")))
+      .withColumn("vb",
+        when(col("gap") < (1L << 7), 1L)
+          .when(col("gap") < (1L << 14), 2L)
+          .when(col("gap") < (1L << 21), 3L)
+          .when(col("gap") < (1L << 28), 4L)
+          .otherwise(5L))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("vb").as("vbytes"))
+    perTerm
+      .groupBy((length(bin(col("df"))) - 1).cast("long").as("df_bucket"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum("df").as("n_postings"),
+        sum("vbytes").as("varint_bytes"))
+      .select(col("df_bucket"), col("n_terms"), col("n_postings"),
+        (col("n_postings") * 8L).as("raw_bytes"),
+        col("varint_bytes"),
+        r4(col("varint_bytes") / (col("n_postings") * 8.0)).as("compress_ratio"))
+      .orderBy("df_bucket")
+  }
+
   def qBigramLogprob(s: SparkSession, d: String): DataFrame = {
     def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
     val bg = docBigrams(s, d)

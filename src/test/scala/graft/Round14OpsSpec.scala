@@ -109,4 +109,36 @@ class Round14OpsSpec extends SparkSuite {
       assert(lo >= loLess, s"agreement bit $k lowered log-odds: $byBits")
     }
   }
+
+  test("kneser-ney: smoothed logprobs negative, discount keeps P below unsmoothed") {
+    import graft.engine.TextOps
+    val kn = TextOps.qKneserNey(spark, sf).collect()
+    assert(kn.length > 0 && kn.length <= 100)
+    kn.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(2) < 0.0, s"a probability ≥ 1 slipped through: $r")
+    }
+    // KN redistributes mass: the WORST doc under KN can never score
+    // better than ln(1) = 0, and its score must be finite
+    assert(kn.forall(r => !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
+  }
+
+  test("delta-varint: compression ratio in (0,1], postings conserved") {
+    import graft.engine.TextOps
+    import org.apache.spark.sql.functions._
+    val rows = TextOps.qDeltaVarint(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nPost = r.getLong(2); val raw = r.getLong(3); val vb = r.getLong(4)
+      assert(raw == nPost * 8)
+      assert(vb >= nPost && vb <= nPost * 5, s"varint bytes out of LEB128 range: $r")
+      val ratio = r.getDouble(5)
+      assert(ratio > 0.0 && ratio <= 1.0, s"8-byte raw ids can't lose to varints: $r")
+    }
+    // conservation: Σ n_postings = |distinct (doc, term)| pairs
+    val expected = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))))
+      .count()
+    assert(rows.map(_.getLong(2)).sum == expected)
+  }
 }
