@@ -102,6 +102,7 @@ object SparkEntry {
     "q_audio_adpcm_stats"  -> (MultimodalOps.qAudioAdpcmStats _),
     "q_pixel_dedup"        -> (MultimodalOps.qPixelDedup _),
     "q_zone_map"           -> (ScaleOps.qZoneMap _),
+    "q_mv_rewrite"         -> (ScaleOps.qMvRewrite _),
     "q_frame_sample"       -> (MultimodalOps.qFrameSample _),
     "q_media_embed"        -> ((s, d) => MultimodalOps.qMediaEmbed(s, d)),
     "q_window_range_frame" -> (Relational.qWindowRangeFrame _),
@@ -4257,6 +4258,16 @@ object SparkEntry {
         |       FLOOR(SUM(vbytes) / (SUM(df) * 8.0) * 10000.0 + 0.5) / 10000.0
         |         AS compress_ratio
         |FROM pt GROUP BY 1 ORDER BY df_bucket""".stripMargin,
+
+    "q_mv_rewrite" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+        |            AS BIGINT) AS sum_price_cents,
+        |       MIN(l_extendedprice) AS min_price,
+        |       MAX(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1, 2
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_bigram_logprob" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk

@@ -595,4 +595,61 @@ object ScaleOps {
           .as("clustered_skip_ratio"))
       .orderBy("thresh_cents")
   }
+
+  /** One parquet copy of the lineitem rollup MV per (JVM, sfDir) —
+    * the summary table [[graft.plans.MvAggregateRewrite]] redirects
+    * matching aggregates to. Partial states, not results: counts,
+    * min/max, exact-cents sums — each mergeable. */
+  private val mvCopies =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def lineitemMv(s: SparkSession, d: String): String =
+    mvCopies.computeIfAbsent(d, _ => {
+      val path = StagedPaths.tmp("graft_mv_li")
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("mv_cnt"),
+          min("l_extendedprice").as("mv_min_price"),
+          max("l_extendedprice").as("mv_max_price"),
+          sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"))
+            .as("mv_sum_price_cents"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** Materialized-view rewrite as an ORACLE-GATED query: a plain
+    * fact-table aggregate (the q_agg_hash shape) runs with
+    * [[graft.plans.MvAggregateRewrite]] armed; the rule must redirect
+    * it to the staged rollup MV (REQUIRED in the executed plan — the
+    * q_dpp_join evidence discipline) and merge the MV's partial
+    * states, while DuckDB computes the same answer from the BASE
+    * table — the differential proves the rewrite preserves semantics
+    * exactly (counts re-sum, min/max re-extremize, exact-cents sums
+    * re-sum; no double re-aggregation anywhere). At 100 TB the MV is
+    * |groups|-sized where the fact scan is the whole corpus. */
+  def qMvRewrite(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    val mvPath = lineitemMv(s, d)
+    s.conf.set("graft.mv.path", mvPath)
+    s.conf.set("graft.mv.base", s"$d/lineitem")
+    try {
+      val q = Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"))
+            .as("sum_price_cents"),
+          min("l_extendedprice").as("min_price"),
+          max("l_extendedprice").as("max_price"))
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains("graft_mv_li"),
+        "MV rewrite did not fire — the executed plan still scans the fact table")
+      require(!plan.contains("lineitem.parquet"),
+        "MV rewrite left a fact-table scan in the plan")
+      val rows = q.collect() // executes under the armed rewrite
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq), q.schema)
+        .orderBy("l_returnflag", "l_linestatus")
+    } finally {
+      s.conf.set("graft.mv.path", "")
+      s.conf.set("graft.mv.base", "")
+    }
+  }
 }

@@ -175,6 +175,9 @@ object VectorExpressions {
     if (!spark.experimental.extraOptimizations.contains(SelfSimilarityFold))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SelfSimilarityFold
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.MvAggregateRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.MvAggregateRewrite
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -276,5 +279,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           classOf[Md5LinearScore].getName, "graft_md5_linear_score"),
         (exprs: Seq[Expression]) => Md5LinearScore(exprs(0))))
     e.injectOptimizerRule(_ => SelfSimilarityFold)
+    e.injectOptimizerRule(_ => graft.plans.MvAggregateRewrite)
   }
 }

@@ -141,4 +141,42 @@ class Round14OpsSpec extends SparkSuite {
       .count()
     assert(rows.map(_.getLong(2)).sum == expected)
   }
+
+  test("mv rewrite: fires on the registered shape, equals the base answer, bails on filters") {
+    import graft.engine.{ScaleOps, Tables}
+    import org.apache.spark.sql.functions._
+    // the oracle-gated query asserts the rewrite fired internally;
+    // here, equality against an independently computed base answer
+    val viaMv = ScaleOps.qMvRewrite(spark, sf).collect()
+    val base = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"))
+          .as("sum_price_cents"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+      .collect()
+    assert(viaMv.map(_.toString).toSeq == base.map(_.toString).toSeq)
+    // a FILTER breaks the bare-scan precondition: the rule must bail
+    // (the MV pre-aggregates the full table, a filtered rewrite would
+    // be WRONG) — with the conf armed, the plan must keep the fact scan
+    graft.expressions.VectorExpressions.register(spark)
+    spark.conf.set("graft.mv.path", "/tmp/nonexistent_mv_never_read")
+    spark.conf.set("graft.mv.base", s"$sf/lineitem")
+    try {
+      val filtered = Tables.lineitem(spark, sf)
+        .filter(col("l_quantity") > 10)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"))
+      val plan = filtered.queryExecution.optimizedPlan.toString
+      assert(plan.contains("Filter"), "filtered aggregate must keep its filter + fact scan")
+      assert(plan.contains("l_quantity"), "filtered aggregate must keep the fact relation")
+      assert(!plan.contains("nonexistent_mv_never_read"),
+        "rule rewrote a FILTERED aggregate — that answer would be wrong")
+    } finally {
+      spark.conf.set("graft.mv.path", "")
+      spark.conf.set("graft.mv.base", "")
+    }
+  }
 }
