@@ -100,6 +100,9 @@ object SparkEntry {
     "q_media_codecs"       -> (MultimodalOps.qMediaCodecs _),
     "q_audio_pcm_stats"    -> (MultimodalOps.qAudioPcmStats _),
     "q_audio_adpcm_stats"  -> (MultimodalOps.qAudioAdpcmStats _),
+    "q_audio_ulaw_stats"   -> (MultimodalOps.qAudioUlawStats _),
+    "q_blocklist_scan"     -> (TextOps.qBlocklistScan _),
+    "q_pq_adc_scan"        -> ((s, d) => VectorOps.qPqAdcScan(s, d)),
     "q_pixel_dedup"        -> (MultimodalOps.qPixelDedup _),
     "q_zone_map"           -> (ScaleOps.qZoneMap _),
     "q_mv_rewrite"         -> (ScaleOps.qMvRewrite _),
@@ -996,6 +999,8 @@ object SparkEntry {
     "q_media_codecs" -> MultimodalOps.mediaCodecsOracleSql,
     "q_audio_pcm_stats" -> MultimodalOps.audioPcmStatsOracleSql,
     "q_audio_adpcm_stats" -> MultimodalOps.audioAdpcmStatsOracleSql,
+    "q_audio_ulaw_stats" -> MultimodalOps.audioUlawStatsOracleSql,
+    "q_blocklist_scan" -> TextOps.blocklistScanOracleSql,
     "q_pixel_dedup" -> MultimodalOps.pixelDedupOracleSql,
 
     "q_zone_map" ->
@@ -3191,6 +3196,30 @@ object SparkEntry {
         |  MAX(CASE WHEN m=3 THEN centroid_id END) AS code3,
         |  CAST(SUM(d2u) AS DOUBLE) / 1e6 AS quant_err
         |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_pq_adc_scan" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sub AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv
+        |        FROM e CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS m)),
+        |cb AS (SELECT m, vec_id AS centroid_id, sv AS cv FROM sub WHERE vec_id < 8),
+        |scored AS (SELECT s.vec_id, s.m, c.centroid_id,
+        |  CAST(floor(list_sum(list_transform(range(1,17),
+        |    i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]))) * 1e6 + 0.5) AS BIGINT) AS d2u
+        |  FROM sub s JOIN cb c ON s.m = c.m),
+        |codes AS (SELECT vec_id, m, centroid_id AS code FROM (
+        |  SELECT vec_id, m, centroid_id,
+        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2u, centroid_id) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |q AS (SELECT m, sv AS qv FROM sub WHERE vec_id = 0),
+        |lut AS (SELECT c.m, c.centroid_id,
+        |  CAST(floor(list_sum(list_transform(range(1,17),
+        |    i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))) * 1e6 + 0.5) AS BIGINT) AS lut_u
+        |  FROM cb c JOIN q ON c.m = q.m)
+        |SELECT cd.vec_id, CAST(SUM(l.lut_u) AS BIGINT) AS adc_u,
+        |       CAST(SUM(l.lut_u) AS DOUBLE) / 1e6 AS adc_dist
+        |FROM codes cd JOIN lut l ON cd.m = l.m AND cd.code = l.centroid_id
+        |WHERE cd.vec_id <> 0
+        |GROUP BY cd.vec_id ORDER BY adc_u, vec_id LIMIT 10""".stripMargin,
 
     "q_shard_assign" ->
       """WITH s AS (SELECT doc_id, n_chars,

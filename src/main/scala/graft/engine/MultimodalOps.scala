@@ -547,6 +547,77 @@ object MultimodalOps {
     if (out.isEmpty) None else Some(out.toArray)
   }
 
+  /** Synthesize a mono G.711 μ-law WAV (wFormatTag = 0x07, 8 bits per
+    * sample): the COMPRESSED byte stream is the deterministic formula
+    * code(i) = (a·i + b + i²) mod 256 — compressed data synthesized
+    * directly (like [[makeWavAdpcm]]), so no encoder is needed on
+    * either side and a SQL oracle can expand every code in closed
+    * form. */
+  def makeWavUlaw(rate: Int, a: Int, b: Int, nSamples: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + nSamples)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + nSamples).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(0x07.toShort).putShort(1.toShort)
+      .putInt(rate).putInt(rate).putShort(1.toShort).putShort(8.toShort)
+    bb.put("data".getBytes).putInt(nSamples)
+    var i = 0
+    while (i < nSamples) {
+      bb.put((((a * i + b + i * i) % 256 + 256) % 256).toByte)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** G.711 μ-law code → linear sample (the CCITT expansion): complement
+    * the code, split sign / 3-bit exponent / 4-bit mantissa, and expand
+    * magnitude = ((mant·8 + 132) << exp) − 132 — max ±32124, the
+    * standard 16-bit-domain decode. Pure integer arithmetic, STATELESS
+    * per sample (unlike ADPCM's predictor), which is what lets the
+    * oracle expand every sample with a plain closed-form expression
+    * instead of a recursive CTE. */
+  @inline def ulawToLinear(code: Int): Int = {
+    val u = ~code & 0xff
+    val exp = (u >> 4) & 7
+    val mant = u & 0xf
+    val mag = (((mant << 3) + 0x84) << exp) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** REAL G.711 μ-law sample decode (WAV format 0x07) — RIFF walk to a
+    * fmt chunk with wFormatTag 7 / 8 bits / mono, then per-byte
+    * logarithmic expansion through [[ulawToLinear]]. Companded audio is
+    * the third genuinely-encoded codec the pipeline decodes at sample
+    * level (after PCM passthrough and ADPCM prediction). */
+  def decodeWavUlaw(payload: Array[Byte]): Option[Array[Short]] = {
+    def u16(i: Int): Int = (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long =
+      (payload(i) & 0xffL) | ((payload(i + 1) & 0xffL) << 8) |
+        ((payload(i + 2) & 0xffL) << 16) | ((payload(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String =
+      new String(payload, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (payload.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var fmtTag = -1; var channels = -1; var bits = -1
+    var dataAt = -1; var dataBytes = 0
+    while (pos + 8 <= payload.length && (fmtTag < 0 || dataAt < 0)) {
+      val id = tag(pos)
+      val sz = u32(pos + 4).toInt
+      if (id == "fmt " && pos + 24 <= payload.length) {
+        fmtTag = u16(pos + 8); channels = u16(pos + 10); bits = u16(pos + 22)
+      } else if (id == "data") { dataAt = pos + 8; dataBytes = sz }
+      pos += 8 + sz + (sz & 1)
+    }
+    if (fmtTag != 0x07 || channels != 1 || bits != 8 || dataAt < 0 ||
+      dataAt + dataBytes > payload.length) return None
+    val out = new Array[Short](dataBytes)
+    var i = 0
+    while (i < dataBytes) {
+      out(i) = ulawToLinear(payload(dataAt + i) & 0xff).toShort
+      i += 1
+    }
+    if (out.isEmpty) None else Some(out)
+  }
+
   /** Deterministic 16×16 8-bit grayscale gradient PNG: pixel (x, y)
     * has value `(a·x + b·y + c) mod 256`. PNG grayscale is lossless,
     * so a real encode→decode roundtrip must reproduce every pixel
@@ -819,6 +890,78 @@ object MultimodalOps {
       |                      AND (v >= 0) <> (pv >= 0)
       |                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
       |       CAST(FLOOR(SQRT(CAST(SUM(v * v) AS DOUBLE) / COUNT(*))
+      |                  * 1000.0 + 0.5) AS BIGINT) AS rms_milli
+      |FROM sl GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** SAMPLE-LEVEL audio analytics over COMPANDED audio — the third
+    * member of the codec-stats family (PCM passthrough, ADPCM
+    * prediction, now G.711 μ-law logarithmic expansion): each doc
+    * synthesizes a format-0x07 WAV whose 8-bit code stream is a pure
+    * (doc_id, i) formula ([[makeWavUlaw]]), the REAL μ-law decoder
+    * expands every code ([[decodeWavUlaw]]/[[ulawToLinear]]), and the
+    * exact-integer stats accumulate inside one mapPartitions (payload
+    * bytes never cross a shuffle). μ-law is stateless per sample, so
+    * the oracle expands each code with the closed-form
+    * sign·(((mant·8+132)·2^exp)−132) — no recursion needed; any drift
+    * in the complement, bit split, or bias shifts an integer. */
+  def qAudioUlawStats(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val a = 3 + (id % 11).toInt
+          val b = (id % 256).toInt
+          val n = 300 + (id % 150).toInt
+          val samples = decodeWavUlaw(makeWavUlaw(8000, a, b, n)).get
+          var peak = 0L; var sumAbs = 0L; var sumSq = 0L; var zc = 0L
+          var i = 0
+          while (i < samples.length) {
+            val v = samples(i).toLong
+            val av = math.abs(v)
+            if (av > peak) peak = av
+            sumAbs += av
+            sumSq += v * v
+            if (i > 0 && ((v >= 0) != (samples(i - 1) >= 0))) zc += 1
+            i += 1
+          }
+          val rmsMilli =
+            math.floor(math.sqrt(sumSq.toDouble / samples.length) * 1000.0 + 0.5).toLong
+          (id, samples.length.toLong, peak, sumAbs, sumSq, zc, rmsMilli)
+        }
+      }
+      .toDF("doc_id", "n_samples", "peak", "sum_abs", "sum_sq",
+        "zero_crossings", "rms_milli")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[qAudioUlawStats]]: every μ-law code expanded
+    * in closed form from the (doc_id, i) formula — u = 255 − code,
+    * exponent (u/16) mod 8, mantissa u mod 16, magnitude
+    * (mant·8+132)·2^exp − 132, sign from u ≥ 128 — then the same
+    * exact-integer aggregates as the PCM/ADPCM twins. */
+  val audioUlawStatsOracleSql: String =
+    """WITH p AS (SELECT doc_id, 3 + doc_id % 11 AS a, doc_id % 256 AS b,
+      |                  300 + doc_id % 150 AS n FROM documents),
+      |s AS (SELECT p.doc_id, p.n, t.i,
+      |             255 - ((p.a * t.i + p.b + t.i * t.i) % 256) AS u
+      |      FROM p, LATERAL (SELECT UNNEST(range(p.n)) AS i) t),
+      |v AS (SELECT doc_id, n, i,
+      |             (CASE WHEN u >= 128 THEN -1 ELSE 1 END)
+      |             * (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132) AS v
+      |      FROM s),
+      |sl AS (SELECT doc_id, n, i, v,
+      |              LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      |       FROM v)
+      |SELECT doc_id,
+      |       CAST(MAX(n) AS BIGINT) AS n_samples,
+      |       CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+      |       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+      |       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+      |       CAST(SUM(CASE WHEN pv IS NOT NULL
+      |                      AND (v >= 0) <> (pv >= 0)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+      |       CAST(FLOOR(SQRT(CAST(SUM(v * v) AS DOUBLE) / MAX(n))
       |                  * 1000.0 + 0.5) AS BIGINT) AS rms_milli
       |FROM sl GROUP BY doc_id ORDER BY doc_id""".stripMargin
 

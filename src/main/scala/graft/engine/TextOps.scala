@@ -1929,4 +1929,56 @@ object TextOps {
         sum(col("n_docs")).over(Window.partitionBy()).cast("double")))
       .orderBy("status")
   }
+
+  /** Blocklist dictionary for [[qBlocklistScan]]. Every term is
+    * BORDERLESS (no proper prefix equals a suffix), so occurrences of
+    * one term can never overlap each other — which makes the
+    * automaton's all-occurrences count equal DuckDB's non-overlapping
+    * replace()-based count, the property the differential rests on. */
+  val BlocklistTerms: Seq[String] =
+    Seq("batch", "fast", "merge", "query", "scan", "stream", "table", "vector")
+
+  /** Multi-pattern blocklist scan — the contraband/PII dictionary
+    * audit every curation pipeline fronts ingestion with, built the
+    * only way that survives 100 TB × a 10⁵-term dictionary: ONE
+    * Aho–Corasick automaton pass per document (native
+    * `graft_multi_pattern_counts`, [[graft.expressions.MultiPatternOps]])
+    * instead of |dict| contains()/LIKE scans that each re-read the
+    * corpus. Per-document per-term counts come out as one array, and
+    * the per-term rollup (docs hit, total occurrences) is a bounded
+    * |dict|-group aggregate with map-side partials. The DuckDB oracle
+    * recounts every term with length/replace arithmetic — a different
+    * algorithm entirely, so a bug in the trie, the failure links, or
+    * the output merging shifts an integer. */
+  def qBlocklistScan(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        call_function("graft_multi_pattern_counts", col("text"),
+          lit(BlocklistTerms.mkString(" "))).as("cnts"))
+      .select(posexplode(col("cnts")).as(Seq("idx", "cnt")))
+      .groupBy("idx")
+      .agg(sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("n_docs"),
+        sum("cnt").as("total_hits"))
+      .select(
+        element_at(typedLit(BlocklistTerms), col("idx").cast("int") + 1).as("term"),
+        col("n_docs"), col("total_hits"))
+      .orderBy("term")
+  }
+
+  /** DuckDB oracle for [[qBlocklistScan]] — substring counting by
+    * length/replace set algebra per (doc, term); borderless terms make
+    * non-overlapping counts equal the automaton's all-occurrence
+    * counts. */
+  val blocklistScanOracleSql: String =
+    """WITH terms AS (SELECT UNNEST(['batch','fast','merge','query',
+      |                              'scan','stream','table','vector']) AS term),
+      |c AS (SELECT d.doc_id, t.term,
+      |        (length(d.text) - length(replace(d.text, t.term, '')))
+      |          // length(t.term) AS cnt
+      |      FROM documents d CROSS JOIN terms t)
+      |SELECT term,
+      |       CAST(SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+      |       CAST(SUM(cnt) AS BIGINT) AS total_hits
+      |FROM c GROUP BY term ORDER BY term""".stripMargin
 }

@@ -632,6 +632,58 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** PQ asymmetric-distance (ADC) top-k scan — the compressed-domain
+    * query path product quantization exists FOR (Jégou et al. 2011,
+    * the FAISS IVFADC inner loop): the corpus is first ENCODED to
+    * m-subspace codes (the [[qPqAssign]] argmin, corpus pass #1 —
+    * amortized across all queries in a real index build), then a
+    * query's distance to every vector is Σ_m LUT[m, code_m], where the
+    * LUT is the m×k table of query-subvector-to-centroid distances —
+    * so the per-query scan touches only m small ints per vector plus a
+    * broadcast 32-row table, never the raw floats. Distances live in
+    * exact integer micro-units (the q_pq_assign convention): the LUT
+    * entries are quantized BEFORE the sum, so the ADC total is an
+    * exact integer sum of 4 table lookups and the top-10 argsort
+    * cannot float-flap on either engine. */
+  def qPqAdcScan(s: SparkSession, d: String, m: Int = 4, k: Int = 8,
+                 topN: Int = 10): DataFrame = {
+    val subDim = (size(col("v")) / lit(m)).cast("int")
+    val sub = embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("m"),
+        slice(col("v"), col("m") * subDim + 1, subDim).as("sv"))
+    val cb = sub.filter(col("vec_id") < k)
+      .select(col("m").as("cm"), col("vec_id").as("centroid_id"),
+        col("sv").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "m")
+      .orderBy(col("d2u").asc, col("centroid_id").asc)
+    val codes = sub.join(broadcast(cb), col("m") === col("cm"))
+      .withColumn("d2u", floor(aggregate(
+        zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x) * 1e6 + 0.5).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("centroid_id").as("code"))
+    // query = vec_id 0; LUT = m×k query-subvector-to-centroid distances
+    val qsub = sub.filter(col("vec_id") === 0)
+      .select(col("m").as("qm"), col("sv").as("qv"))
+    val lut = cb.join(qsub, col("cm") === col("qm"))
+      .select(col("cm"), col("centroid_id"),
+        floor(aggregate(
+          zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x) * 1e6 + 0.5).cast("long").as("lut_u"))
+    codes.filter(col("vec_id") =!= 0)
+      .join(broadcast(lut),
+        col("m") === col("cm") && col("code") === col("centroid_id"))
+      .groupBy("vec_id")
+      .agg(sum("lut_u").as("adc_u"))
+      .withColumn("adc_dist", col("adc_u").cast("double") / 1e6)
+      .orderBy(col("adc_u").asc, col("vec_id").asc)
+      .limit(topN)
+  }
+
   /** Per-dimension embedding statistics (mean/std/range) — the
     * profile a whitening or normalization step computes first, and
     * the drift monitor an embedding pipeline re-checks per batch.

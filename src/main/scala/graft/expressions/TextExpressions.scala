@@ -654,3 +654,126 @@ case class JaroWinkler(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Aho–Corasick multi-pattern automaton over UTF-8 bytes — the
+  * blocklist/PII dictionary scan of a curation pipeline done the way
+  * it must be done at 100 TB: ONE pass over each document regardless
+  * of dictionary size, instead of |dict| contains()/LIKE passes (the
+  * naive plan re-reads every corpus byte once per term). Classic
+  * construction (Aho & Corasick 1975): byte trie, BFS failure links,
+  * output links merging suffix matches; the automaton reports EVERY
+  * occurrence (including overlaps across patterns). Automata are
+  * memoized per pattern-set so each executor builds one per JVM, not
+  * one per row. */
+object MultiPatternOps {
+  final class Automaton(patterns: Array[Array[Byte]], val nPatterns: Int) {
+    private val nexts = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Byte, Integer]())
+    private val fail = scala.collection.mutable.ArrayBuffer(0)
+    private val out = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+
+    { // goto function: byte trie
+      var p = 0
+      while (p < patterns.length) {
+        var st = 0
+        val pat = patterns(p)
+        var i = 0
+        while (i < pat.length) {
+          val nx = nexts(st).get(pat(i))
+          if (nx == null) {
+            nexts += new java.util.HashMap[Byte, Integer]()
+            fail += 0
+            out += scala.collection.mutable.ArrayBuffer.empty[Int]
+            nexts(st).put(pat(i), nexts.length - 1)
+            st = nexts.length - 1
+          } else st = nx
+          i += 1
+        }
+        out(st) += p
+        p += 1
+      }
+      // failure links by BFS; output links merge suffix matches
+      val q = new java.util.ArrayDeque[Integer]()
+      nexts(0).forEach { (_, v) => fail(v) = 0; q.add(v) }
+      while (!q.isEmpty) {
+        val u = q.poll().intValue()
+        nexts(u).forEach { (b, v) =>
+          q.add(v)
+          var f = fail(u)
+          while (f != 0 && nexts(f).get(b) == null) f = fail(f)
+          val nf = nexts(f).get(b)
+          fail(v) = if (nf != null && nf != v) nf.intValue() else 0
+          out(v) ++= out(fail(v))
+        }
+      }
+    }
+
+    /** One pass over the text; per-pattern occurrence counts. */
+    def countAll(bytes: Array[Byte]): Array[Long] = {
+      val counts = new Array[Long](nPatterns)
+      var st = 0
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i)
+        var nx = nexts(st).get(b)
+        while (nx == null && st != 0) { st = fail(st); nx = nexts(st).get(b) }
+        st = if (nx == null) 0 else nx.intValue()
+        val o = out(st)
+        var j = 0
+        while (j < o.length) { counts(o(j)) += 1; j += 1 }
+        i += 1
+      }
+      counts
+    }
+  }
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Automaton]()
+
+  /** Key = patterns joined on a single space (dictionary terms are
+    * space-free by contract, enforced by the expression). */
+  def automaton(key: String): Automaton =
+    memo.computeIfAbsent(key, { k =>
+      val pats = k.split(' ').map(_.getBytes("UTF-8"))
+      new Automaton(pats, pats.length)
+    })
+
+  def countAll(text: org.apache.spark.unsafe.types.UTF8String,
+               key: String): ArrayData =
+    new GenericArrayData(
+      automaton(key).countAll(text.getBytes).map(v => v: Any))
+}
+
+/** See [[MultiPatternOps]]: string → array<long> of per-pattern
+  * occurrence counts in one automaton pass. */
+case class MultiPatternCounts(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+  require(patterns.nonEmpty && patterns.forall(p => p.nonEmpty && !p.contains(' ')),
+    "graft_multi_pattern_counts: patterns must be non-empty and space-free")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_multi_pattern_counts requires string input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_multi_pattern_counts"
+
+  private lazy val key: String = patterns.mkString(" ")
+
+  override def nullSafeEval(a: Any): Any =
+    MultiPatternOps.countAll(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], key)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val keyRef = ctx.addReferenceObj("acKey", key, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.MultiPatternOps.countAll($a, $keyRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -167,6 +167,13 @@ object VectorExpressions {
       s"$fn expects a numeric literal parameter, got $other")
   }
 
+  private[expressions] def litString(e: Expression, fn: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a string literal parameter, got $other")
+  }
+
   private[expressions] def covBuilder(exprs: Seq[Expression]): Expression =
     VectorCovariance(exprs(0),
       if (exprs.length > 1) litDouble(exprs(1), "graft_vector_cov") else 0.0)
@@ -209,6 +216,10 @@ object VectorExpressions {
       "graft_md5_linear_score", exprs => Md5LinearScore(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_multi_pattern_counts", exprs => MultiPatternCounts(exprs(0),
+        litString(exprs(1), "graft_multi_pattern_counts")
+          .split(' ').toIndexedSeq), "built-in")
   }
 }
 

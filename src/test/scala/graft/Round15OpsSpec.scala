@@ -1,0 +1,113 @@
+package graft
+
+import graft.engine.{MultimodalOps, TextOps, VectorOps}
+import graft.expressions.MultiPatternOps
+
+/** Invariant checks for the round-15 additions — G.711 μ-law sample
+  * decode, the Aho–Corasick multi-pattern scan, and the PQ
+  * asymmetric-distance scan. The DuckDB differential at all three SFs
+  * is the primary gate; these pin the laws the hash-compare can't
+  * express. */
+class Round15OpsSpec extends SparkSuite {
+
+  test("u-law expansion: CCITT endpoint and zero codes decode to the spec values") {
+    // code 0x00 → u=0xFF → sign, exp 7, mant 15 → −32124 (the G.711 max)
+    assert(MultimodalOps.ulawToLinear(0x00) == -32124)
+    assert(MultimodalOps.ulawToLinear(0x80) == 32124)
+    // code 0xFF → u=0 → +0; code 0x7F → u=0x80 → −0 = 0
+    assert(MultimodalOps.ulawToLinear(0xFF) == 0)
+    assert(MultimodalOps.ulawToLinear(0x7F) == 0)
+    // first positive segment steps by 8: u = 0..15 → 0, 8, 16, …
+    (0 until 15).foreach { m =>
+      assert(MultimodalOps.ulawToLinear(0xFF - (m + 1)) -
+        MultimodalOps.ulawToLinear(0xFF - m) == 8)
+    }
+  }
+
+  test("u-law expansion: monotone decreasing over positive codes, odd symmetry") {
+    // u in 0..127 (codes 0xFF down to 0x80) is the positive half,
+    // strictly non-decreasing in u; negative half mirrors it exactly.
+    val pos = (0 to 127).map(u => MultimodalOps.ulawToLinear(~u & 0xff))
+    assert(pos.zip(pos.tail).forall { case (a, b) => a <= b })
+    (0 to 127).foreach { u =>
+      val p = MultimodalOps.ulawToLinear(~u & 0xff)
+      val n = MultimodalOps.ulawToLinear(~(u | 0x80) & 0xff)
+      assert(n == -p, s"u=$u: negative half must mirror positive")
+    }
+  }
+
+  test("u-law synth/decode twin: every sample equals the closed-form expansion") {
+    (0L until 40L).foreach { id =>
+      val a = 3 + (id % 11).toInt
+      val b = (id % 256).toInt
+      val n = 300 + (id % 150).toInt
+      val out = MultimodalOps.decodeWavUlaw(MultimodalOps.makeWavUlaw(8000, a, b, n)).get
+      assert(out.length == n)
+      (0 until n).foreach { i =>
+        val code = ((a * i + b + i * i) % 256 + 256) % 256
+        assert(out(i) == MultimodalOps.ulawToLinear(code).toShort)
+      }
+    }
+  }
+
+  test("u-law decoder rejects non-mu-law containers") {
+    assert(MultimodalOps.decodeWavUlaw(MultimodalOps.makeWavPcm(8000, 3, 5, 100)).isEmpty)
+    assert(MultimodalOps.decodeWavUlaw(MultimodalOps.makeWavAdpcm(8000, 3, 5, 121)).isEmpty)
+    assert(MultimodalOps.decodeWavUlaw(Array.fill[Byte](50)(0)).isEmpty)
+  }
+
+  test("Aho-Corasick: counts equal brute-force all-occurrence counts on random text") {
+    val patterns = Array("ab", "bca", "aa", "abab", "c")
+    val key = patterns.mkString(" ")
+    val rng = new scala.util.Random(7)
+    (0 until 200).foreach { _ =>
+      val text = Array.fill(rng.nextInt(60))("abc".charAt(rng.nextInt(3))).mkString
+      val got = MultiPatternOps.automaton(key).countAll(text.getBytes("UTF-8"))
+      patterns.zipWithIndex.foreach { case (p, i) =>
+        var cnt = 0L
+        var from = 0
+        while ({ val k = text.indexOf(p, from); if (k >= 0) { cnt += 1; from = k + 1; true } else false }) ()
+        assert(got(i) == cnt, s"pattern=$p text=$text got=${got(i)} want=$cnt")
+      }
+    }
+  }
+
+  test("Aho-Corasick: overlapping occurrences are all reported") {
+    val key = "aaa aba"
+    val got = MultiPatternOps.automaton(key).countAll("aaaaa".getBytes("UTF-8"))
+    assert(got(0) == 3, "aaa occurs at 3 overlapping positions in aaaaa")
+    val got2 = MultiPatternOps.automaton(key).countAll("ababab".getBytes("UTF-8"))
+    assert(got2(1) == 2, "aba occurs at 2 overlapping positions in ababab")
+  }
+
+  test("blocklist terms are borderless, so AC counts equal replace-based counts") {
+    TextOps.BlocklistTerms.foreach { t =>
+      (1 until t.length).foreach { k =>
+        assert(t.take(k) != t.takeRight(k),
+          s"term '$t' has a border of length $k — replace-count would diverge")
+      }
+    }
+  }
+
+  test("q_blocklist_scan: one row per term, hits bounded by corpus size") {
+    val df = TextOps.qBlocklistScan(spark, sf).collect()
+    assert(df.length == TextOps.BlocklistTerms.length)
+    val nDocs = graft.engine.Tables.documents(spark, sf).count()
+    df.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 0L && r.getAs[Long]("n_docs") <= nDocs)
+      assert(r.getAs[Long]("total_hits") >= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("q_pq_adc_scan: top-10 ascending exact-integer distances, query excluded") {
+    val rows = VectorOps.qPqAdcScan(spark, sf).collect()
+    assert(rows.length == 10)
+    val adcs = rows.map(_.getAs[Long]("adc_u"))
+    assert(adcs.zip(adcs.tail).forall { case (a, b) => a <= b })
+    assert(rows.forall(_.getAs[Long]("vec_id") != 0L))
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("adc_dist") -
+        r.getAs[Long]("adc_u").toDouble / 1e6) < 1e-12)
+    }
+  }
+}

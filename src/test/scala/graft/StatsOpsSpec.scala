@@ -71,7 +71,7 @@ class StatsOpsSpec extends SparkSuite {
     assert(math.abs(row.getDouble(3) - t) < 1e-3, s"t ${row.getDouble(3)} vs $t")
   }
 
-  test("rfm buckets are 1..4 and the segment digits decompose") {
+  test("rfm buckets are 1..4, the segment digits decompose, and buckets follow the histogram-boundary rule") {
     val rows = StatsOps.qRfm(spark, sf).collect()
     rows.foreach { r =>
       val (rr, f, m, seg) = (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
@@ -79,11 +79,30 @@ class StatsOpsSpec extends SparkSuite {
         (1L to 4L).contains(m))
       assert(seg == rr * 100 + f * 10 + m)
     }
-    // quartiles must be balanced within ±1 of n/4
-    val n = rows.length
-    Seq(4, 5, 6).foreach { c =>
-      val hist = rows.groupBy(_.getLong(c)).view.mapValues(_.length)
-      assert(hist.values.max - hist.values.min <= 1, s"unbalanced ntile col $c")
+    // Since the dimension-window migration, quartiles come from exact
+    // ⌈n·k/4⌉ value-histogram boundaries and VALUE TIES SHARE A BUCKET
+    // (no ±1 ntile balance law anymore). Replay the cross-multiplied
+    // rule in-process and require exact agreement per dimension.
+    def tiles(vals: Array[Long]): Map[Long, Long] = {
+      val n = vals.length.toLong
+      val hist = vals.groupBy(identity).view.mapValues(_.length).toSeq.sortBy(_._1)
+      val bounds = Array.fill(3)(Long.MaxValue)
+      var cum = 0L
+      hist.foreach { case (v, c) =>
+        cum += c
+        (1 to 3).foreach { k =>
+          if (4L * cum >= n * k && bounds(k - 1) == Long.MaxValue) bounds(k - 1) = v
+        }
+      }
+      vals.distinct.map(v => v -> (1L + bounds.count(v > _))).toMap
+    }
+    val rec = tiles(rows.map(_.getLong(1)))
+    val frq = tiles(rows.map(_.getLong(2)))
+    rows.foreach { r =>
+      assert(r.getLong(4) == 5L - rec(r.getLong(1)),
+        s"recency bucket mismatch at days=${r.getLong(1)}")
+      assert(r.getLong(5) == frq(r.getLong(2)),
+        s"frequency bucket mismatch at freq=${r.getLong(2)}")
     }
   }
 
