@@ -103,6 +103,10 @@ object SparkEntry {
     "q_audio_ulaw_stats"   -> (MultimodalOps.qAudioUlawStats _),
     "q_blocklist_scan"     -> (TextOps.qBlocklistScan _),
     "q_pq_adc_scan"        -> ((s, d) => VectorOps.qPqAdcScan(s, d)),
+    "q_gif_pixel_stats"    -> (MultimodalOps.qGifPixelStats _),
+    "q_hll_union_md5"      -> (ScaleOps.qHllUnionMd5 _),
+    "q_phrase_query"       -> ((s, d) => TextOps.qPhraseQuery(s, d)),
+    "q_join_shuffle_hash"  -> (Relational.qJoinShuffleHash _),
     "q_pixel_dedup"        -> (MultimodalOps.qPixelDedup _),
     "q_zone_map"           -> (ScaleOps.qZoneMap _),
     "q_mv_rewrite"         -> (ScaleOps.qMvRewrite _),
@@ -1001,6 +1005,17 @@ object SparkEntry {
     "q_audio_adpcm_stats" -> MultimodalOps.audioAdpcmStatsOracleSql,
     "q_audio_ulaw_stats" -> MultimodalOps.audioUlawStatsOracleSql,
     "q_blocklist_scan" -> TextOps.blocklistScanOracleSql,
+    "q_gif_pixel_stats" -> MultimodalOps.gifPixelStatsOracleSql,
+    "q_hll_union_md5" -> ScaleOps.hllUnionMd5OracleSql,
+    "q_phrase_query" -> TextOps.phraseQueryOracleSql,
+    "q_join_shuffle_hash" ->
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_pixel_dedup" -> MultimodalOps.pixelDedupOracleSql,
 
     "q_zone_map" ->

@@ -965,6 +965,99 @@ object MultimodalOps {
       |                  * 1000.0 + 0.5) AS BIGINT) AS rms_milli
       |FROM sl GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Synthesize a 16×16 grayscale GIF — pixel (x, y) =
+    * (a·x + b·y + c) mod 256 — through the JDK's real GIF encoder
+    * (LZW compression, palette quantization of an already-8-bit
+    * image is lossless; verified by the roundtrip spec). Like
+    * [[makeGradPng]] but through a genuinely COMPRESSED image codec:
+    * LZW is the dictionary coder PNG's DEFLATE displaced, and the
+    * decode path exercises palette indirection the PNG path never
+    * touches. */
+  def makeGradGif(a: Int, b: Int, c: Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        raster.setSample(x, y, 0, (a * x + b * y + c) % 256)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    bos.toByteArray
+  }
+
+  /** PIXEL-LEVEL image analytics over a REALLY LZW-decoded GIF — the
+    * second lossless image codec in the decode family (PNG/DEFLATE in
+    * [[qPixelDedup]], GIF/LZW here, reading through the palette): per
+    * doc, a 16×16 gradient GIF is synthesized from doc_id parameters
+    * ([[makeGradGif]]), ImageIO's real LZW decoder reads it back, and
+    * exact-integer pixel features accumulate in the same
+    * mapPartitions — sum, min, max, and horizontal-gradient energy
+    * Σ|p(x+1,y) − p(x,y)| (the edge-detector primitive an image
+    * dedup/quality pass runs). The oracle recomputes every pixel from
+    * (a, b, c) in closed form: an encoder palette bug or LZW decode
+    * bug anywhere shifts an integer. Payload bytes never cross a
+    * shuffle. */
+  def qGifPixelStats(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val (a, b, c) = (2 + (id % 9).toInt, 1 + (id % 6).toInt, (id % 11).toInt * 8)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(makeGradGif(a, b, c)))
+          var sum = 0L; var mn = 255L; var mx = 0L; var hgrad = 0L
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            var prev = -1L
+            while (x < 16) {
+              val v = (img.getRGB(x, y) & 0xff).toLong
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              if (prev >= 0) hgrad += math.abs(v - prev)
+              prev = v
+              x += 1
+            }
+            y += 1
+          }
+          (id, 256L, sum, mn, mx, hgrad)
+        }
+      }
+      .toDF("doc_id", "n_px", "px_sum", "px_min", "px_max", "hgrad")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[qGifPixelStats]]: the 16×16 grid regenerated
+    * from the (doc_id) parameter formulas, aggregated per doc. */
+  val gifPixelStatsOracleSql: String =
+    """WITH p AS (SELECT doc_id, 2 + doc_id % 9 AS a, 1 + doc_id % 6 AS b,
+      |                  (doc_id % 11) * 8 AS c FROM documents),
+      |px AS (SELECT p.doc_id, g.x, g.y,
+      |              (p.a * g.x + p.b * g.y + p.c) % 256 AS v
+      |       FROM p, LATERAL (SELECT x.x, y.y
+      |         FROM (SELECT UNNEST(range(16)) AS x) x,
+      |              (SELECT UNNEST(range(16)) AS y) y) g),
+      |hp AS (SELECT doc_id, y, x, v,
+      |              LAG(v) OVER (PARTITION BY doc_id, y ORDER BY x) AS pv
+      |       FROM px)
+      |SELECT doc_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_px,
+      |       CAST(SUM(v) AS BIGINT) AS px_sum,
+      |       CAST(MIN(v) AS BIGINT) AS px_min,
+      |       CAST(MAX(v) AS BIGINT) AS px_max,
+      |       CAST(SUM(CASE WHEN pv IS NULL THEN 0 ELSE ABS(v - pv) END) AS BIGINT) AS hgrad
+      |FROM hp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Perceptual-hash image dedup over REALLY-decoded pixels — the
     * near-duplicate-image stage of a multimodal pipeline, on the one
     * image path the JDK fully decodes (PNG grayscale is lossless):

@@ -105,6 +105,36 @@ object Relational {
       .select("o_orderpriority", "revenue", "n_items")
       .orderBy("o_orderpriority")
 
+  /** Shuffled-HASH join, plan-REQUIRED — the third join strategy next
+    * to broadcast (qJoinBroadcast) and sort-merge (qJoinSmj), and the
+    * right one when both sides are too big to broadcast but one side's
+    * PER-PARTITION slice fits in memory: it skips both sort passes SMJ
+    * pays, which on a 100 TB fact⋈fact equi-join is the difference
+    * between one shuffle and one shuffle plus two full sorts. The
+    * SHUFFLE_HASH hint pins the strategy (AQE would otherwise demote
+    * small-SF runs to broadcast) and the executed plan is REQUIRED to
+    * carry a ShuffledHashJoin node (the qDppJoin evidence discipline) —
+    * a silent optimizer fallback to SMJ fails the query rather than
+    * passing on the wrong plan. Result is a plain join-aggregate the
+    * oracle replays strategy-free. */
+  def qJoinShuffleHash(s: SparkSession, d: String): DataFrame = {
+    val out = lineitem(s, d)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .hint("SHUFFLE_HASH")
+      .join(orders(s, d).select("o_orderkey", "o_orderstatus"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        sum("l_quantity").cast("long").as("sum_qty"),
+        sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"))
+          .as("price_cents"))
+      .orderBy("o_orderstatus")
+    val plan = out.queryExecution.executedPlan.toString
+    require(plan.contains("ShuffledHashJoin"),
+      "executed plan must use a shuffled hash join, got:\n" + plan.take(2000))
+    out
+  }
+
   /** Left-semi (EXISTS) + left-anti (NOT EXISTS) against orders.
     * Semi/anti joins shuffle only the distinct keys of the right side —
     * at scale, dramatically cheaper than an inner join + distinct. */

@@ -546,6 +546,130 @@ object ScaleOps {
           .as("rel_err"))
   }
 
+  /** HLL sketch MERGE — the property HyperLogLog exists for at
+    * 100 TB: per-slice sketches (here: click users vs purchase users,
+    * genuinely overlapping sets) merge by REGISTER MAX into the exact
+    * sketch of the union — no re-scan of either slice — and
+    * inclusion–exclusion turns the three estimates into an
+    * intersection estimate, the classic audience-overlap measurement
+    * at sketch cost. Same md5-replayable register math as
+    * [[qHllMd5]]; each tag's registers are a ≤256-row aggregate, the
+    * merged tag is a second ≤256-row aggregate over those, and each
+    * estimate is floor-quantized to 1e-4 BEFORE the inclusion–
+    * exclusion subtraction, so est_inter is exact arithmetic on
+    * 1e-4-grid rationals — engine-stable by construction. Exact
+    * counts ride along for measured error. */
+  def qHllUnionMd5(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val alpha = lit(0.7213 / (1.0 + 1.079 / 256))
+    val pow52 = lit(4503599627370496.0) // 2^52, exact
+    val ev = Tables.events(s, d)
+    val tagged = ev.filter(col("event_type") === "click")
+      .select(col("user_id")).distinct().withColumn("tag", lit("a"))
+      .unionByName(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct().withColumn("tag", lit("b")))
+    val ranked = tagged
+      .select(col("tag"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .select(col("tag"), (col("h") % 256).as("j"), expr("h div 256").as("w"))
+      .select(col("tag"), col("j"),
+        least(bit_count((col("w").bitwiseAND(-col("w"))) - 1) + 1, lit(52))
+          .cast("long").as("r"))
+    val regsAB = ranked.groupBy("tag", "j").agg(max("r").as("m"))
+    val regs = regsAB.unionByName(
+      regsAB.groupBy("j").agg(max("m").as("m")).withColumn("tag", lit("u"))
+        .select("tag", "j", "m"))
+    val ests = regs.groupBy("tag")
+      .agg(count(lit(1)).as("n_filled"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(52 - m AS INT))"))
+          .as("sum_filled_u"))
+      .withColumn("harmonic_u", col("sum_filled_u") +
+        (lit(256L) - col("n_filled")) * lit(4503599627370496L))
+      .withColumn("raw_est", alpha * lit(65536.0) * pow52 / col("harmonic_u"))
+      .withColumn("est", r4(
+        when(col("raw_est") <= 640.0 && col("n_filled") < 256,
+          lit(256.0) * log(lit(256.0) / (lit(256L) - col("n_filled"))))
+          .otherwise(col("raw_est"))))
+      .groupBy()
+      .agg(max(when(col("tag") === "a", col("est"))).as("est_a"),
+        max(when(col("tag") === "b", col("est"))).as("est_b"),
+        max(when(col("tag") === "u", col("est"))).as("est_union"))
+      .withColumn("est_inter",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0)))
+    val exact = ev
+      .agg(countDistinct(when(col("event_type") === "click", col("user_id")))
+          .as("n_exact_a"),
+        countDistinct(when(col("event_type") === "purchase", col("user_id")))
+          .as("n_exact_b"),
+        countDistinct(when(col("event_type").isin("click", "purchase"),
+          col("user_id"))).as("n_exact_union"))
+      .withColumn("n_exact_inter",
+        col("n_exact_a") + col("n_exact_b") - col("n_exact_union"))
+    exact.crossJoin(broadcast(ests))
+      .select(col("n_exact_a"), col("n_exact_b"), col("n_exact_union"),
+        col("n_exact_inter"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_inter"))
+  }
+
+  /** DuckDB oracle for [[qHllUnionMd5]]: the identical register
+    * pipeline replayed per tag, the merged tag as a max-of-registers
+    * re-aggregate, and the same quantize-then-subtract inclusion–
+    * exclusion. */
+  val hllUnionMd5OracleSql: String =
+    """WITH tagged AS (
+      |  SELECT 'a' AS tag, user_id FROM
+      |    (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+      |  UNION ALL
+      |  SELECT 'b' AS tag, user_id FROM
+      |    (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')),
+      |h AS (SELECT tag,
+      |        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |      FROM tagged),
+      |rk AS (SELECT tag, h % 256 AS j,
+      |         LEAST(bit_count(((h // 256) & -(h // 256)) - 1) + 1, 52) AS r
+      |       FROM h),
+      |regsab AS (SELECT tag, j, MAX(r) AS m FROM rk GROUP BY tag, j),
+      |regs AS (SELECT tag, j, m FROM regsab
+      |  UNION ALL
+      |  SELECT 'u' AS tag, j, MAX(m) AS m FROM regsab GROUP BY j),
+      |agg AS (SELECT tag, COUNT(*) AS n_filled,
+      |          SUM(1::BIGINT << CAST(52 - m AS INT)) AS sum_filled_u
+      |        FROM regs GROUP BY tag),
+      |est AS (SELECT tag, n_filled,
+      |          CAST(sum_filled_u + (256 - n_filled) * 4503599627370496 AS DOUBLE)
+      |            AS harmonic_u
+      |        FROM agg),
+      |est2 AS (SELECT tag,
+      |           (0.7213 / (1.0 + 1.079 / 256)) * 65536.0 * 4503599627370496.0
+      |             / harmonic_u AS raw_est, n_filled
+      |         FROM est),
+      |est3 AS (SELECT tag,
+      |           floor((CASE WHEN raw_est <= 640.0 AND n_filled < 256
+      |                  THEN 256.0 * ln(256.0 / (256 - n_filled))
+      |                  ELSE raw_est END) * 10000.0 + 0.5) / 10000.0 AS est
+      |         FROM est2),
+      |pivoted AS (SELECT
+      |    MAX(CASE WHEN tag = 'a' THEN est END) AS est_a,
+      |    MAX(CASE WHEN tag = 'b' THEN est END) AS est_b,
+      |    MAX(CASE WHEN tag = 'u' THEN est END) AS est_union
+      |  FROM est3),
+      |exact AS (SELECT
+      |    COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+      |      AS n_exact_a,
+      |    COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+      |      AS n_exact_b,
+      |    COUNT(DISTINCT CASE WHEN event_type IN ('click','purchase')
+      |                   THEN user_id END) AS n_exact_union
+      |  FROM events)
+      |SELECT CAST(n_exact_a AS BIGINT) AS n_exact_a,
+      |       CAST(n_exact_b AS BIGINT) AS n_exact_b,
+      |       CAST(n_exact_union AS BIGINT) AS n_exact_union,
+      |       CAST(n_exact_a + n_exact_b - n_exact_union AS BIGINT) AS n_exact_inter,
+      |       est_a, est_b, est_union,
+      |       GREATEST(est_a + est_b - est_union, 0.0) AS est_inter
+      |FROM exact CROSS JOIN pivoted""".stripMargin
+
   /** Zone-map (min/max) skipping evaluation — the row-group-pruning
     * measurement behind every 100 TB layout decision (parquet
     * row-group stats, ORC stripe stats, Iceberg/Delta file stats all

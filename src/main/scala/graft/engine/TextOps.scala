@@ -1966,6 +1966,49 @@ object TextOps {
       .orderBy("term")
   }
 
+  /** Positional-index phrase query — the second retrieval primitive a
+    * search stack needs after boolean term lookup (q_inverted_index):
+    * find documents containing the exact phrase "fast scan" by
+    * intersecting POSITIONAL posting lists — postings for the two
+    * terms join on (doc, pos₂ = pos₁+1), the textbook phrase-query
+    * algorithm (Manning et al., IR ch.2). The corpus is tokenized
+    * once (posexplode, checkpointed so both term filters read the
+    * same pass); everything after is joins between two term-posting
+    * lists, which at 100 TB are df(term)-sized — tiny next to the
+    * corpus — and the join keys on doc_id so co-occurring positions
+    * hash together. The oracle recounts adjacent pairs per document
+    * with a list comprehension over the split array — a different
+    * algorithm (array scan vs posting join) that must land on
+    * identical counts. */
+  def qPhraseQuery(s: SparkSession, d: String, t1: String = "fast",
+                   t2: String = "scan"): DataFrame = {
+    val posts = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .filter(col("term").isin(t1, t2))
+      .localCheckpoint(true) // one corpus pass feeds both posting lists
+    val p1 = posts.filter(col("term") === t1).select(col("doc_id"), col("pos"))
+    val p2 = posts.filter(col("term") === t2)
+      .select(col("doc_id").as("d2"), col("pos").as("pos2"))
+    p1.join(p2, col("doc_id") === col("d2") && col("pos2") === col("pos") + 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  /** DuckDB oracle for [[qPhraseQuery]]: adjacent-pair counting by a
+    * list comprehension over each document's token array. */
+  val phraseQueryOracleSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |         regexp_split_to_array(trim(text), '\s+') AS a FROM documents),
+      |occ AS (SELECT doc_id,
+      |          len(list_filter(range(1, len(a)),
+      |              i -> a[i] = 'fast' AND a[i+1] = 'scan')) AS cnt
+      |        FROM toks)
+      |SELECT doc_id, CAST(cnt AS BIGINT) AS n_occ
+      |FROM occ WHERE cnt > 0
+      |ORDER BY n_occ DESC, doc_id LIMIT 50""".stripMargin
+
   /** DuckDB oracle for [[qBlocklistScan]] — substring counting by
     * length/replace set algebra per (doc, term); borderless terms make
     * non-overlapping counts equal the automaton's all-occurrence

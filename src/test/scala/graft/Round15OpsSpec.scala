@@ -99,6 +99,57 @@ class Round15OpsSpec extends SparkSuite {
     }
   }
 
+  test("GIF synth/decode twin: LZW+palette roundtrip is pixel-lossless at every doc shape") {
+    javax.imageio.ImageIO.setUseCache(false)
+    (0L until 30L).foreach { id =>
+      val (a, b, c) = (2 + (id % 9).toInt, 1 + (id % 6).toInt, (id % 11).toInt * 8)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(MultimodalOps.makeGradGif(a, b, c)))
+      (0 until 16).foreach { y =>
+        (0 until 16).foreach { x =>
+          assert((img.getRGB(x, y) & 0xff) == (a * x + b * y + c) % 256,
+            s"pixel ($x,$y) of doc $id lost in the GIF roundtrip")
+        }
+      }
+    }
+  }
+
+  test("q_hll_union_md5: merge dominance and inclusion-exclusion sanity") {
+    val r = graft.engine.ScaleOps.qHllUnionMd5(spark, sf).head()
+    val (ea, eb, eu) = (r.getAs[Double]("est_a"), r.getAs[Double]("est_b"),
+      r.getAs[Double]("est_union"))
+    // register-max merge can only raise the estimate of either slice
+    assert(eu >= math.max(ea, eb) - 1e-9, s"union est $eu below max($ea, $eb)")
+    assert(r.getAs[Double]("est_inter") >= 0.0)
+    val (xa, xb, xu) = (r.getAs[Long]("n_exact_a"), r.getAs[Long]("n_exact_b"),
+      r.getAs[Long]("n_exact_union"))
+    assert(xu <= xa + xb && xu >= math.max(xa, xb))
+    assert(r.getAs[Long]("n_exact_inter") == xa + xb - xu)
+  }
+
+  test("q_phrase_query: posting-join counts match a direct string scan per doc") {
+    val got = TextOps.qPhraseQuery(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+    val want = docs.map { r =>
+      val toks = r.getString(1).trim.split("\\s+")
+      r.getLong(0) -> (0 until toks.length - 1)
+        .count(i => toks(i) == "fast" && toks(i + 1) == "scan").toLong
+    }.filter(_._2 > 0).toMap
+    // top-50 of the sf0.001 fixture is the full positive set
+    if (want.size <= 50) assert(got == want)
+    else got.foreach { case (d, n) => assert(want(d) == n) }
+  }
+
+  test("q_join_shuffle_hash: the hint survives into the executed plan") {
+    // the query itself REQUIRES ShuffledHashJoin (it throws otherwise);
+    // this pins that the requirement is real and results are sane
+    val rows = graft.engine.Relational.qJoinShuffleHash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_items") > 0L))
+  }
+
   test("q_pq_adc_scan: top-10 ascending exact-integer distances, query excluded") {
     val rows = VectorOps.qPqAdcScan(spark, sf).collect()
     assert(rows.length == 10)
