@@ -107,6 +107,10 @@ object SparkEntry {
     "q_hll_union_md5"      -> (ScaleOps.qHllUnionMd5 _),
     "q_phrase_query"       -> ((s, d) => TextOps.qPhraseQuery(s, d)),
     "q_join_shuffle_hash"  -> (Relational.qJoinShuffleHash _),
+    "q_collocation_g2"     -> (TextOps.qCollocationG2 _),
+    "q_merkle_diff"        -> (ScaleOps.qMerkleDiff _),
+    "q_point_in_polygon"   -> (StatsOps.qPointInPolygon _),
+    "q_shapley_attribution" -> (AnalyticsOps.qShapleyAttribution _),
     "q_pixel_dedup"        -> (MultimodalOps.qPixelDedup _),
     "q_zone_map"           -> (ScaleOps.qZoneMap _),
     "q_mv_rewrite"         -> (ScaleOps.qMvRewrite _),
@@ -1008,6 +1012,10 @@ object SparkEntry {
     "q_gif_pixel_stats" -> MultimodalOps.gifPixelStatsOracleSql,
     "q_hll_union_md5" -> ScaleOps.hllUnionMd5OracleSql,
     "q_phrase_query" -> TextOps.phraseQueryOracleSql,
+    "q_collocation_g2" -> TextOps.collocationG2OracleSql,
+    "q_merkle_diff" -> ScaleOps.merkleDiffOracleSql,
+    "q_point_in_polygon" -> StatsOps.pointInPolygonOracleSql,
+    "q_shapley_attribution" -> AnalyticsOps.shapleyAttributionOracleSql,
     "q_join_shuffle_hash" ->
       """SELECT o_orderstatus,
         |  CAST(COUNT(*) AS BIGINT) AS n_items,

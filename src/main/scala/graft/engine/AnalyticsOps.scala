@@ -1464,4 +1464,87 @@ object AnalyticsOps {
           .as("ips_avg_cents"))
       .orderBy("segment")
   }
+
+  /** EXACT Shapley-value attribution over the 3-channel touch lattice
+    * (Shapley 1953 applied to conversion credit — the principled
+    * successor to last-touch (qAttribution) and the cooperative-game
+    * counterpart of q_removal_effect's Markov view): each user's
+    * touched-channel set {click, view, signup} is a 3-bit mask, the
+    * coalition value v(S) = conversions of users whose touch set ⊆ S
+    * (what S alone could have driven), and each channel's Shapley
+    * value is the classic permutation-weighted sum of marginal
+    * contributions. With n = 3 the weights are sixths, so 6·φᵢ =
+    * 2[v({i})−v(∅)] + [v({i,j})−v({j})] + [v({i,k})−v({k})] +
+    * 2[v(N)−v(N∖i)] — EXACT integer arithmetic end to end; the one
+    * division (by 6) happens at output under r4. The corpus-sized
+    * work is ONE user aggregate onto the 8-row mask table; v(S) is an
+    * 8×8 bounded subset join, and efficiency (Σφᵢ = v(N) − v(∅)) is
+    * pinned by spec. */
+  def qShapleyAttribution(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val users = Tables.events(s, d).groupBy("user_id")
+      .agg((max(when(col("event_type") === "click", 1L).otherwise(0L)) +
+        max(when(col("event_type") === "view", 2L).otherwise(0L)) +
+        max(when(col("event_type") === "signup", 4L).otherwise(0L))).as("mask"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+    val model = users.groupBy("mask").agg(sum("conv").as("n_conv"))
+    val grid = (0L to 7L).toDF("s")
+    val vS = model.crossJoin(broadcast(grid))
+      .filter(col("mask").bitwiseAND(col("s")) === col("mask"))
+      .groupBy("s").agg(sum("n_conv").as("v"))
+    val vAggs = (0 to 7).map(i => max(when(col("s") === i, col("v"))).as(s"v$i"))
+    val vrow = vS.groupBy().agg(vAggs.head, vAggs.tail: _*)
+    def v(i: Int) = coalesce(col(s"v$i"), lit(0L))
+    vrow.select(explode(array(
+      struct(lit("click").as("channel"),
+        (lit(2L) * (v(1) - v(0)) + (v(3) - v(2)) + (v(5) - v(4)) +
+          lit(2L) * (v(7) - v(6))).as("sixths")),
+      struct(lit("view").as("channel"),
+        (lit(2L) * (v(2) - v(0)) + (v(3) - v(1)) + (v(6) - v(4)) +
+          lit(2L) * (v(7) - v(5))).as("sixths")),
+      struct(lit("signup").as("channel"),
+        (lit(2L) * (v(4) - v(0)) + (v(5) - v(1)) + (v(6) - v(2)) +
+          lit(2L) * (v(7) - v(3))).as("sixths")))).as("c"))
+      .select(col("c.channel").as("channel"), col("c.sixths").as("sixths"))
+      .withColumn("shapley", r4(col("sixths") / 6.0))
+      .orderBy("channel")
+  }
+
+  /** DuckDB oracle for [[qShapleyAttribution]]: the identical mask
+    * aggregate, subset-sum coalition values, and sixths formulas. */
+  val shapleyAttributionOracleSql: String =
+    """WITH u AS (SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |  + MAX(CASE WHEN event_type = 'view' THEN 2 ELSE 0 END)
+      |  + MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END) AS mask,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id),
+      |m AS (SELECT mask, SUM(conv) AS n_conv FROM u GROUP BY mask),
+      |g AS (SELECT UNNEST(range(8)) AS s),
+      |vs AS (SELECT g.s, SUM(m.n_conv) AS v
+      |       FROM m CROSS JOIN g WHERE (m.mask & g.s) = m.mask GROUP BY g.s),
+      |p AS (SELECT
+      |    COALESCE(MAX(CASE WHEN s = 0 THEN v END), 0) AS v0,
+      |    COALESCE(MAX(CASE WHEN s = 1 THEN v END), 0) AS v1,
+      |    COALESCE(MAX(CASE WHEN s = 2 THEN v END), 0) AS v2,
+      |    COALESCE(MAX(CASE WHEN s = 3 THEN v END), 0) AS v3,
+      |    COALESCE(MAX(CASE WHEN s = 4 THEN v END), 0) AS v4,
+      |    COALESCE(MAX(CASE WHEN s = 5 THEN v END), 0) AS v5,
+      |    COALESCE(MAX(CASE WHEN s = 6 THEN v END), 0) AS v6,
+      |    COALESCE(MAX(CASE WHEN s = 7 THEN v END), 0) AS v7
+      |  FROM vs),
+      |out AS (
+      |  SELECT 'click' AS channel,
+      |    2 * (v1 - v0) + (v3 - v2) + (v5 - v4) + 2 * (v7 - v6) AS sixths FROM p
+      |  UNION ALL
+      |  SELECT 'view',
+      |    2 * (v2 - v0) + (v3 - v1) + (v6 - v4) + 2 * (v7 - v5) FROM p
+      |  UNION ALL
+      |  SELECT 'signup',
+      |    2 * (v4 - v0) + (v5 - v1) + (v6 - v2) + 2 * (v7 - v3) FROM p)
+      |SELECT channel, CAST(sixths AS BIGINT) AS sixths,
+      |       FLOOR(sixths / 6.0 * 10000.0 + 0.5) / 10000.0 AS shapley
+      |FROM out ORDER BY channel""".stripMargin
 }

@@ -720,6 +720,76 @@ object ScaleOps {
       .orderBy("thresh_cents")
   }
 
+  /** Merkle-style bucket diff — the cross-replica table-sync
+    * primitive (DynamoDB anti-entropy, Cassandra repair, Delta SHALLOW
+    * CLONE verification all run this shape): both replicas hash every
+    * row to an order-independent per-bucket digest (xor of md5-derived
+    * row hashes — commutative, so the aggregate map-side combines and
+    * never sorts), and ONLY buckets whose digests disagree need
+    * row-level resync. At 100 TB that is comparing |buckets| longs
+    * instead of shipping either table. The replica is derived
+    * in-engine with deterministic drift (every 997th key updated,
+    * every 1009th deleted), so the expected diff set is a pure
+    * function of the key space and the oracle recomputes both sides'
+    * digests from scratch — a hash-combine bug on either side
+    * surfaces as a phantom or missing bucket. */
+  def qMerkleDiff(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.orders(s, d).select(col("o_orderkey").cast("long").as("k"),
+      floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    val b = a.filter(col("k") % 1009 =!= 0)
+      .withColumn("cents",
+        when(col("k") % 997 === 0, col("cents") + 1).otherwise(col("cents")))
+    def leaves(t: DataFrame) = t
+      .select((col("k") % 256).as("bucket"),
+        conv(substring(md5(concat_ws("|",
+          col("k").cast("string"), col("cents").cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), bit_xor(col("h")).as("hash"))
+    val la = leaves(a)
+      .select(col("bucket"), col("n").as("rows_a"), col("hash").as("hash_a"))
+    val lb = leaves(b)
+      .select(col("bucket").as("bb"), col("n").as("rows_b"), col("hash").as("hash_b"))
+    la.join(lb, col("bucket") === col("bb"), "full_outer")
+      .select(coalesce(col("bucket"), col("bb")).as("bucket"),
+        coalesce(col("rows_a"), lit(0L)).as("rows_a"),
+        coalesce(col("rows_b"), lit(0L)).as("rows_b"),
+        coalesce(col("hash_a"), lit(0L)).as("ha"),
+        coalesce(col("hash_b"), lit(0L)).as("hb"))
+      .filter(col("rows_a") =!= col("rows_b") || col("ha") =!= col("hb"))
+      .withColumn("kind",
+        when(col("rows_a") =!= col("rows_b"), lit("rowcount"))
+          .otherwise(lit("content")))
+      .select("bucket", "kind", "rows_a", "rows_b")
+      .orderBy("bucket")
+  }
+
+  /** DuckDB oracle for [[qMerkleDiff]]: both replicas' bucket digests
+    * recomputed from scratch with the same md5-xor combine. */
+  val merkleDiffOracleSql: String =
+    """WITH a AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+      |             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      |           FROM orders),
+      |b AS (SELECT k, CASE WHEN k % 997 = 0 THEN cents + 1 ELSE cents END AS cents
+      |      FROM a WHERE k % 1009 <> 0),
+      |la AS (SELECT k % 256 AS bucket, CAST(COUNT(*) AS BIGINT) AS rows_a,
+      |         bit_xor(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+      |           CAST(cents AS VARCHAR)), 1, 15))::BIGINT) AS ha
+      |       FROM a GROUP BY 1),
+      |lb AS (SELECT k % 256 AS bucket, CAST(COUNT(*) AS BIGINT) AS rows_b,
+      |         bit_xor(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+      |           CAST(cents AS VARCHAR)), 1, 15))::BIGINT) AS hb
+      |       FROM b GROUP BY 1)
+      |SELECT COALESCE(la.bucket, lb.bucket) AS bucket,
+      |       CASE WHEN COALESCE(rows_a, 0) <> COALESCE(rows_b, 0)
+      |            THEN 'rowcount' ELSE 'content' END AS kind,
+      |       CAST(COALESCE(rows_a, 0) AS BIGINT) AS rows_a,
+      |       CAST(COALESCE(rows_b, 0) AS BIGINT) AS rows_b
+      |FROM la FULL OUTER JOIN lb ON la.bucket = lb.bucket
+      |WHERE COALESCE(rows_a, 0) <> COALESCE(rows_b, 0)
+      |   OR COALESCE(ha, 0) <> COALESCE(hb, 0)
+      |ORDER BY bucket""".stripMargin
+
   /** One parquet copy of the lineitem rollup MV per (JVM, sfDir) —
     * the summary table [[graft.plans.MvAggregateRewrite]] redirects
     * matching aggregates to. Partial states, not results: counts,

@@ -265,6 +265,79 @@ object StatsOps {
       .orderBy("ring")
   }
 
+  /** Point-in-polygon vertices for [[qPointInPolygon]] — a CONCAVE
+    * hexagon on the 0..1000 integer lattice (concavity is what makes
+    * ray casting non-trivial: a ray can cross the boundary 0, 2 or 4
+    * times). */
+  val PipPolygon: Seq[(Int, Int)] =
+    Seq((100, 100), (900, 150), (700, 500), (850, 900), (400, 800), (150, 600))
+
+  /** Point-in-polygon containment — the geofence primitive every
+    * spatial join reduces to after cell pre-filtering (q_geo_grid_join
+    * culls candidates; THIS test decides them): the crossing-number
+    * ray cast (PNPOLY) against a concave hexagon, with the
+    * division-free cross-multiplied form t = (px−x1)(y2−y1) −
+    * (x2−x1)(py−y1) so every comparison is exact integer arithmetic —
+    * no float anywhere, both engines land on identical toggles even
+    * for on-edge lattice points. Points derive from user_id (the
+    * qGeoDistance synthesis convention); the polygon is a 6-row
+    * broadcast, crossings sum per user, parity decides. One corpus
+    * pass, one user-cardinality aggregate, one 2-row rollup. */
+  def qPointInPolygon(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val edges = PipPolygon.indices.map { i =>
+      val (x1, y1) = PipPolygon(i)
+      val (x2, y2) = PipPolygon((i + 1) % PipPolygon.size)
+      (x1.toLong, y1.toLong, x2.toLong, y2.toLong)
+    }.toDF("x1", "y1", "x2", "y2")
+    // multiplicative spread (×131 / ×211, coprime to 1000): sequential
+    // user ids cover the whole lattice instead of hugging the x<|users|
+    // strip, so both parity classes materialize at every SF
+    val pts = events(s, d).select("user_id").distinct()
+      .select(col("user_id"), ((col("user_id") * 131) % 1000).as("px"),
+        ((col("user_id") * 211) % 1000).as("py"))
+    val t = (col("px") - col("x1")) * (col("y2") - col("y1")) -
+      (col("x2") - col("x1")) * (col("py") - col("y1"))
+    val crossing = ((col("y1") > col("py")) =!= (col("y2") > col("py"))) &&
+      ((col("y2") > col("y1") && t < 0) || (col("y2") < col("y1") && t > 0))
+    pts.crossJoin(broadcast(edges))
+      .groupBy("user_id")
+      .agg(sum(crossing.cast("long")).as("n_cross"))
+      .select(col("user_id"), (col("n_cross") % 2 === 1).cast("long").as("inside"))
+      .groupBy("inside")
+      .agg(count(lit(1)).as("n_users"),
+        min("user_id").as("min_user"), max("user_id").as("max_user"))
+      .orderBy("inside")
+  }
+
+  /** DuckDB oracle for [[qPointInPolygon]]: the identical
+    * division-free crossing test over the same 6 edges, generated
+    * from the same vertex list. */
+  lazy val pointInPolygonOracleSql: String = {
+    val edgeRows = PipPolygon.indices.map { i =>
+      val (x1, y1) = PipPolygon(i)
+      val (x2, y2) = PipPolygon((i + 1) % PipPolygon.size)
+      s"($x1, $y1, $x2, $y2)"
+    }.mkString(", ")
+    s"""WITH edges(x1, y1, x2, y2) AS (VALUES $edgeRows),
+       |pts AS (SELECT DISTINCT user_id, (user_id * 131) % 1000 AS px,
+       |               (user_id * 211) % 1000 AS py FROM events),
+       |cr AS (SELECT p.user_id,
+       |         SUM(CASE WHEN ((e.y1 > p.py) <> (e.y2 > p.py)) AND
+       |           ((e.y2 > e.y1 AND (p.px - e.x1) * (e.y2 - e.y1)
+       |              - (e.x2 - e.x1) * (p.py - e.y1) < 0) OR
+       |            (e.y2 < e.y1 AND (p.px - e.x1) * (e.y2 - e.y1)
+       |              - (e.x2 - e.x1) * (p.py - e.y1) > 0))
+       |           THEN 1 ELSE 0 END) AS n_cross
+       |       FROM pts p CROSS JOIN edges e GROUP BY p.user_id)
+       |SELECT CAST(n_cross % 2 AS BIGINT) AS inside,
+       |       CAST(COUNT(*) AS BIGINT) AS n_users,
+       |       CAST(MIN(user_id) AS BIGINT) AS min_user,
+       |       CAST(MAX(user_id) AS BIGINT) AS max_user
+       |FROM cr GROUP BY 1 ORDER BY inside""".stripMargin
+  }
+
   /** Geohash encoding (Niemeyer 2008) — the spatial bucketing key
     * every geo-partitioned lakehouse sorts by: user coordinates (the
     * [[qGeoDistance]] synthesis convention) quantize to 20 bits per

@@ -1657,6 +1657,76 @@ object TextOps {
       .limit(100)
   }
 
+  /** Dunning log-likelihood-ratio collocations (Dunning 1993, the
+    * standard significance test for "these two words belong
+    * together") — the notch above [[qPmi]]'s raw ratio: G² compares
+    * the 2×2 contingency table of (w₁ leads, w₂ follows) against
+    * independence via G² = 2·(Σ k·ln k over cells − row sums − col
+    * sums + N·ln N), robust at low counts where PMI explodes. Model
+    * tables are the vocabulary-bounded rollups of the staged per-doc
+    * bigram table ([[docBigrams]] — one corpus tokenize, shared with
+    * the LM family); the G² assembly is per-bigram arithmetic in the
+    * SAME operation order both engines (x·ln x terms left-to-right),
+    * quantized to 1e-4 before the top-25 cut, ties on the words. */
+  def qCollocationG2(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    def xlx(c: Column): Column =
+      when(c > 0, c.cast("double") * log(c.cast("double"))).otherwise(lit(0.0))
+    val m = docBigrams(s, d).groupBy("w1", "w2")
+      .agg(sum("cnt").cast("long").as("k11"))
+      .localCheckpoint(true) // feeds 3 rollups + the scoring join
+    val c1 = m.groupBy("w1").agg(sum("k11").as("c1"))
+    val c2 = m.groupBy("w2").agg(sum("k11").as("c2"))
+    val n = m.agg(sum("k11").as("nn"))
+    m.filter(col("k11") >= 5)
+      .join(c1, "w1").join(c2, "w2").crossJoin(broadcast(n))
+      .withColumn("k12", col("c1") - col("k11"))
+      .withColumn("k21", col("c2") - col("k11"))
+      .withColumn("k22", col("nn") - col("c1") - col("c2") + col("k11"))
+      .withColumn("g2", r4(lit(2.0) * (
+        xlx(col("k11")) + xlx(col("k12")) + xlx(col("k21")) + xlx(col("k22"))
+          - xlx(col("c1")) - xlx(col("nn") - col("c1"))
+          - xlx(col("c2")) - xlx(col("nn") - col("c2"))
+          + xlx(col("nn")))))
+      .select(col("w1"), col("w2"), col("k11").as("n_pair"), col("g2"))
+      .orderBy(col("g2").desc, col("w1"), col("w2"))
+      .limit(25)
+  }
+
+  /** DuckDB oracle for [[qCollocationG2]]: the same bigram rollups
+    * and the identical left-to-right G² assembly. */
+  val collocationG2OracleSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      |           FROM documents),
+      |b0 AS (SELECT doc_id,
+      |              UNNEST(list_transform(generate_series(1, len(tk) - 1),
+      |                i -> {'w1': tk[i], 'w2': tk[i+1]})) AS bg
+      |       FROM t WHERE len(tk) >= 2),
+      |m AS (SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS k11
+      |      FROM b0 GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(SUM(k11) AS BIGINT) AS c1 FROM m GROUP BY 1),
+      |c2 AS (SELECT w2, CAST(SUM(k11) AS BIGINT) AS c2 FROM m GROUP BY 1),
+      |n AS (SELECT CAST(SUM(k11) AS BIGINT) AS nn FROM m),
+      |sc AS (SELECT m.w1, m.w2, m.k11,
+      |         c1.c1 - m.k11 AS k12, c2.c2 - m.k11 AS k21,
+      |         n.nn - c1.c1 - c2.c2 + m.k11 AS k22,
+      |         c1.c1 AS c1v, c2.c2 AS c2v, n.nn AS nnv
+      |       FROM m JOIN c1 ON c1.w1 = m.w1 JOIN c2 ON c2.w2 = m.w2
+      |       CROSS JOIN n WHERE m.k11 >= 5)
+      |SELECT w1, w2, k11 AS n_pair,
+      |  FLOOR(2.0 * (
+      |    (CASE WHEN k11 > 0 THEN CAST(k11 AS DOUBLE) * ln(CAST(k11 AS DOUBLE)) ELSE 0.0 END)
+      |    + (CASE WHEN k12 > 0 THEN CAST(k12 AS DOUBLE) * ln(CAST(k12 AS DOUBLE)) ELSE 0.0 END)
+      |    + (CASE WHEN k21 > 0 THEN CAST(k21 AS DOUBLE) * ln(CAST(k21 AS DOUBLE)) ELSE 0.0 END)
+      |    + (CASE WHEN k22 > 0 THEN CAST(k22 AS DOUBLE) * ln(CAST(k22 AS DOUBLE)) ELSE 0.0 END)
+      |    - (CASE WHEN c1v > 0 THEN CAST(c1v AS DOUBLE) * ln(CAST(c1v AS DOUBLE)) ELSE 0.0 END)
+      |    - (CASE WHEN nnv - c1v > 0 THEN CAST(nnv - c1v AS DOUBLE) * ln(CAST(nnv - c1v AS DOUBLE)) ELSE 0.0 END)
+      |    - (CASE WHEN c2v > 0 THEN CAST(c2v AS DOUBLE) * ln(CAST(c2v AS DOUBLE)) ELSE 0.0 END)
+      |    - (CASE WHEN nnv - c2v > 0 THEN CAST(nnv - c2v AS DOUBLE) * ln(CAST(nnv - c2v AS DOUBLE)) ELSE 0.0 END)
+      |    + (CASE WHEN nnv > 0 THEN CAST(nnv AS DOUBLE) * ln(CAST(nnv AS DOUBLE)) ELSE 0.0 END)
+      |  ) * 10000.0 + 0.5) / 10000.0 AS g2
+      |FROM sc ORDER BY g2 DESC, w1, w2 LIMIT 25""".stripMargin
+
   /** Posting-list delta + varint compression audit — the
     * storage-layout measurement behind every inverted index at scale
     * (Lucene/CLP-style): per term, doc_ids sort ascending, adjacent

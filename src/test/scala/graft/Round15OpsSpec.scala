@@ -150,6 +150,71 @@ class Round15OpsSpec extends SparkSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_items") > 0L))
   }
 
+  test("q_shapley_attribution: efficiency law and non-negativity") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.engine.AnalyticsOps.qShapleyAttribution(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("channel")).toSeq == Seq("click", "signup", "view"))
+    rows.foreach(r => assert(r.getAs[Long]("sixths") >= 0L,
+      "v is monotone, so every Shapley value is non-negative"))
+    // efficiency: sum of sixths == 6 * (v(N) - v(empty))
+    val u = graft.engine.Tables.events(spark, sf).groupBy("user_id")
+      .agg((max(when(col("event_type") === "click", 1L).otherwise(0L)) +
+        max(when(col("event_type") === "view", 2L).otherwise(0L)) +
+        max(when(col("event_type") === "signup", 4L).otherwise(0L))).as("mask"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .collect()
+    val vN = u.map(_.getAs[Long]("conv")).sum
+    val v0 = u.filter(_.getAs[Long]("mask") == 0L).map(_.getAs[Long]("conv")).sum
+    assert(rows.map(_.getAs[Long]("sixths")).sum == 6L * (vN - v0),
+      "Shapley values must exactly distribute v(N) - v(empty)")
+  }
+
+  test("q_merkle_diff: differing buckets are exactly those touched by the drift") {
+    import org.apache.spark.sql.functions._
+    val got = graft.engine.ScaleOps.qMerkleDiff(spark, sf).collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[String]("kind")).toMap
+    val keys = graft.engine.Tables.orders(spark, sf)
+      .select(col("o_orderkey").cast("long")).collect().map(_.getLong(0))
+    val delB = keys.filter(_ % 1009 == 0).map(_ % 256).toSet
+    val updB = keys.filter(_ % 997 == 0).map(_ % 256).toSet
+    assert(got.keySet == (delB ++ updB), s"diff buckets ${got.keySet} vs expected ${delB ++ updB}")
+    got.foreach { case (b, kind) =>
+      if (delB.contains(b)) assert(kind == "rowcount")
+      else assert(kind == "content", s"update-only bucket $b must be a content diff")
+    }
+  }
+
+  test("q_point_in_polygon: parity matches a brute-force ray cast, both classes present") {
+    val rows = graft.engine.StatsOps.qPointInPolygon(spark, sf).collect()
+    assert(rows.length == 2, "both inside and outside classes must materialize")
+    val got = rows.map(r => r.getAs[Long]("inside") -> r.getAs[Long]("n_users")).toMap
+    val P = graft.engine.StatsOps.PipPolygon
+    def inside(px: Long, py: Long): Boolean = {
+      var c = 0
+      P.indices.foreach { i =>
+        val (x1, y1) = P(i); val (x2, y2) = P((i + 1) % P.size)
+        if ((y1 > py) != (y2 > py)) {
+          val t = (px - x1) * (y2 - y1) - (x2 - x1) * (py - y1)
+          if ((y2 > y1 && t < 0) || (y2 < y1 && t > 0)) c += 1
+        }
+      }
+      c % 2 == 1
+    }
+    val users = graft.engine.Tables.events(spark, sf)
+      .select("user_id").distinct().collect().map(_.getLong(0))
+    val wantIn = users.count(u => inside((u * 131) % 1000, (u * 211) % 1000)).toLong
+    assert(got(1L) == wantIn && got(0L) == users.length - wantIn)
+  }
+
+  test("q_collocation_g2: scores are non-negative and supported pairs only") {
+    val rows = graft.engine.TextOps.qCollocationG2(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pair") >= 5L)
+      assert(r.getAs[Double]("g2") >= 0.0, "G-squared is a deviance, never negative")
+    }
+  }
+
   test("q_pq_adc_scan: top-10 ascending exact-integer distances, query excluded") {
     val rows = VectorOps.qPqAdcScan(spark, sf).collect()
     assert(rows.length == 10)
