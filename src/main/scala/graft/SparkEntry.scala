@@ -111,6 +111,8 @@ object SparkEntry {
     "q_merkle_diff"        -> (ScaleOps.qMerkleDiff _),
     "q_point_in_polygon"   -> (StatsOps.qPointInPolygon _),
     "q_shapley_attribution" -> (AnalyticsOps.qShapleyAttribution _),
+    "q_unigram_segment"    -> (TextOps.qUnigramSegment _),
+    "q_randomized_response" -> (CurationOps.qRandomizedResponse _),
     "q_pixel_dedup"        -> (MultimodalOps.qPixelDedup _),
     "q_zone_map"           -> (ScaleOps.qZoneMap _),
     "q_mv_rewrite"         -> (ScaleOps.qMvRewrite _),
@@ -1016,6 +1018,8 @@ object SparkEntry {
     "q_merkle_diff" -> ScaleOps.merkleDiffOracleSql,
     "q_point_in_polygon" -> StatsOps.pointInPolygonOracleSql,
     "q_shapley_attribution" -> AnalyticsOps.shapleyAttributionOracleSql,
+    "q_unigram_segment" -> TextOps.unigramSegmentOracleSql,
+    "q_randomized_response" -> CurationOps.randomizedResponseOracleSql,
     "q_join_shuffle_hash" ->
       """SELECT o_orderstatus,
         |  CAST(COUNT(*) AS BIGINT) AS n_items,

@@ -809,4 +809,51 @@ object CurationOps {
         lit(0L).as("n_token_types"), lit(0L).as("n_occurrences"))
     loaded.unionByName(empty).filter(col("n_buckets") > 0).orderBy("load")
   }
+
+  /** Randomized response (Warner 1965) — the LOCAL-DP mechanism that
+    * completes the privacy family (k-anonymity/l-diversity restructure,
+    * central-DP Laplace release, pseudonymization; this one randomizes
+    * AT THE SOURCE so the collector never holds a truthful bit): each
+    * user reports their true converted-bit with p = 3/4 and the flip
+    * with 1/4 (ε = ln 3 local DP), the coin derived from md5(user_id)
+    * so the mechanism is reproducible and the oracle replays every
+    * coin; the collector debiases with the closed form
+    * π̂ = 2·r̄ − 1/2. Corpus work is one user aggregate + one scalar
+    * aggregate; the estimate and truth ride together for measured
+    * error. */
+  def qRandomizedResponse(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val u = Tables.events(s, d).groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("truth"))
+    val coin = conv(substring(md5(concat(col("user_id").cast("string"),
+      lit(":rr"))), 1, 8), 16, 10).cast("long") % 4
+    u.withColumn("report",
+        when(coin < 3, col("truth")).otherwise(lit(1L) - col("truth")))
+      .agg(count(lit(1)).as("n_users"), sum("truth").as("n_true"),
+        sum("report").as("n_reported"))
+      .withColumn("true_rate", r4(col("n_true") / col("n_users").cast("double")))
+      .withColumn("est_rate",
+        r4(lit(2.0) * col("n_reported") / col("n_users") - 0.5))
+  }
+
+  /** DuckDB oracle for [[qRandomizedResponse]]: every md5 coin
+    * replayed, the same debias arithmetic. */
+  val randomizedResponseOracleSql: String =
+    """WITH u AS (SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS truth
+      |  FROM events GROUP BY user_id),
+      |r AS (SELECT user_id, truth,
+      |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':rr'), 1, 8))::BIGINT
+      |              % 4 < 3
+      |         THEN truth ELSE 1 - truth END AS report
+      |  FROM u)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+      |       CAST(SUM(truth) AS BIGINT) AS n_true,
+      |       CAST(SUM(report) AS BIGINT) AS n_reported,
+      |       FLOOR(SUM(truth) / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5)
+      |         / 10000.0 AS true_rate,
+      |       FLOOR((2.0 * SUM(report) / COUNT(*) - 0.5) * 10000.0 + 0.5)
+      |         / 10000.0 AS est_rate
+      |FROM r""".stripMargin
 }

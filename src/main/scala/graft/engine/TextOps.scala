@@ -2079,6 +2079,148 @@ object TextOps {
       |FROM occ WHERE cnt > 0
       |ORDER BY n_occ DESC, doc_id LIMIT 50""".stripMargin
 
+  /** Unigram-LM piece vocabulary for [[qUnigramSegment]] — corpus
+    * words with integer costs (≈ −log p in decishannons) plus an
+    * implicit any-single-char fallback at cost 11 (applied in BOTH
+    * engines), so segmentation always succeeds and multi-char pieces
+    * win where they exist. Single source of truth: the DuckDB
+    * oracle's VALUES list is GENERATED from this table, so the two
+    * engines cannot drift on a piece or a cost. */
+  val UnigramPieces: Seq[(String, Int)] = Seq(
+    "table" -> 9, "value" -> 9, "batch" -> 9, "query" -> 9, "group" -> 9,
+    "order" -> 9, "small" -> 9, "spark" -> 9, "merge" -> 9,
+    "window" -> 10, "stream" -> 10, "filter" -> 10, "vector" -> 10,
+    "column" -> 10, "customer" -> 12,
+    "scan" -> 8, "fast" -> 8, "data" -> 8, "part" -> 8, "hash" -> 8,
+    "line" -> 8, "sort" -> 8, "slow" -> 8, "join" -> 8,
+    "key" -> 7, "agg" -> 7, "row" -> 7, "the" -> 7, "big" -> 7,
+    "a" -> 5)
+  val UnigramCharCost = 11
+  val UnigramPrefixLen = 20
+
+  /** SentencePiece-style unigram-LM segmentation (Kudo 2018) — the
+    * tokenizer-family rung above BPE (q_bpe_merge/q_bpe_apply): given
+    * a piece vocabulary with costs, find the MINIMUM-cost segmentation
+    * of each document's space-stripped 20-char prefix by Viterbi DP —
+    * cost[i] = min over pieces p ending at i of cost[i−|p|] + c(p),
+    * with a universal single-char fallback. The greedy longest-match
+    * cost rides along: greedy ≥ optimal everywhere (spec law), and the
+    * gap is exactly why production tokenizers run Viterbi, not greedy.
+    * Per-document DP over a ≤20-char window is embarrassingly parallel
+    * map-side work (the codec-decode execution shape — one
+    * mapPartitions, nothing crosses a shuffle); the DuckDB oracle
+    * replays the DP as a recursive CTE carrying the last-8-costs list
+    * and the greedy walk as a second recursive CTE, both generated
+    * from [[UnigramPieces]]. Exact integers end to end. */
+  def qUnigramSegment(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val pieces = UnigramPieces.map { case (p, c) => (p, p.length, c.toLong) }.toArray
+    Tables.documents(s, d)
+      .select(col("doc_id"), translate(trim(col("text")), " ", "").as("sq"))
+      .filter(length(col("sq")) >= UnigramPrefixLen)
+      .select(col("doc_id"), substring(col("sq"), 1, UnigramPrefixLen).as("sq"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, str) =>
+          val (mc, gc) = unigramSegmentCosts(str, pieces)
+          (id, mc, gc)
+        }
+      }
+      .toDF("doc_id", "min_cost", "greedy_cost")
+      .orderBy("doc_id")
+  }
+
+  /** The per-string DP behind [[qUnigramSegment]] (factored out so the
+    * spec can hand-walk crafted strings): returns (Viterbi min cost,
+    * greedy longest-match cost). */
+  def unigramSegmentCosts(str: String,
+      piecesIn: Array[(String, Int, Long)] = null): (Long, Long) = {
+    val pieces = if (piecesIn != null) piecesIn
+      else UnigramPieces.map { case (p, c) => (p, p.length, c.toLong) }.toArray
+    val n = str.length
+    // Viterbi: min-cost over all segmentations
+    val cost = new Array[Long](n + 1)
+    var i = 1
+    while (i <= n) {
+      var best = cost(i - 1) + UnigramCharCost
+      var k = 0
+      while (k < pieces.length) {
+        val (p, l, c) = pieces(k)
+        if (l <= i && str.regionMatches(i - l, p, 0, l)) {
+          val cand = cost(i - l) + c
+          if (cand < best) best = cand
+        }
+        k += 1
+      }
+      cost(i) = best
+      i += 1
+    }
+    // greedy longest-match walk (multi-char pieces only; singles fall back)
+    var pos = 0
+    var greedy = 0L
+    while (pos < n) {
+      var bestLen = 1
+      var bestCost = UnigramCharCost.toLong
+      var k = 0
+      while (k < pieces.length) {
+        val (p, l, c) = pieces(k)
+        if (pos + l <= n && l > bestLen && str.regionMatches(pos, p, 0, l)) {
+          bestLen = l; bestCost = c
+        }
+        k += 1
+      }
+      greedy += bestCost
+      pos += bestLen
+    }
+    (cost(n), greedy)
+  }
+
+  /** DuckDB oracle for [[qUnigramSegment]] — the Viterbi DP as a
+    * recursive CTE carrying the trailing-8-costs list, the greedy walk
+    * as a forward recursive CTE picking the longest match via a packed
+    * len·1000+cost argmax; the pieces VALUES are generated from
+    * [[UnigramPieces]]. */
+  lazy val unigramSegmentOracleSql: String = {
+    val values = UnigramPieces
+      .map { case (p, c) => s"('$p',${p.length},$c)" }.mkString(",\n      |  ")
+    val N = UnigramPrefixLen
+    s"""WITH RECURSIVE
+      |pieces(p, len, cost) AS (VALUES
+      |  $values),
+      |docs AS (SELECT doc_id, substr(replace(trim(text), ' ', ''), 1, $N) AS s
+      |         FROM documents WHERE length(replace(trim(text), ' ', '')) >= $N),
+      |dp AS (
+      |  SELECT doc_id, s, 0 AS i, [CAST(0 AS BIGINT)] AS costs FROM docs
+      |  UNION ALL
+      |  SELECT doc_id, s, i + 1,
+      |    (list_prepend(
+      |      LEAST(
+      |        COALESCE((SELECT MIN(costs[pc.len] + pc.cost) FROM pieces pc
+      |                  WHERE pc.len <= i + 1
+      |                    AND substr(s, i + 2 - pc.len, pc.len) = pc.p),
+      |                 9223372036854775807),
+      |        costs[1] + $UnigramCharCost),
+      |      costs))[1:8]
+      |  FROM dp WHERE i < $N),
+      |greedy AS (
+      |  SELECT doc_id, s, 0 AS pos, CAST(0 AS BIGINT) AS acc FROM docs
+      |  UNION ALL
+      |  SELECT doc_id, s,
+      |    pos + COALESCE(sel // 1000, 1),
+      |    acc + COALESCE(sel % 1000, $UnigramCharCost)
+      |  FROM (SELECT doc_id, s, pos, acc,
+      |          (SELECT MAX(pc.len * 1000 + pc.cost) FROM pieces pc
+      |           WHERE pc.len > 1 AND pos + pc.len <= $N
+      |             AND substr(s, pos + 1, pc.len) = pc.p) AS sel
+      |        FROM greedy WHERE pos < $N))
+      |SELECT dp.doc_id, CAST(dp.costs[1] AS BIGINT) AS min_cost,
+      |       CAST(g.acc AS BIGINT) AS greedy_cost
+      |FROM dp JOIN (SELECT doc_id, acc FROM greedy WHERE pos = $N) g
+      |  ON g.doc_id = dp.doc_id
+      |WHERE dp.i = $N ORDER BY dp.doc_id""".stripMargin
+  }
+
   /** DuckDB oracle for [[qBlocklistScan]] — substring counting by
     * length/replace set algebra per (doc, term); borderless terms make
     * non-overlapping counts equal the automaton's all-occurrence

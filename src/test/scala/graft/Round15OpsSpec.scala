@@ -215,6 +215,59 @@ class Round15OpsSpec extends SparkSuite {
     }
   }
 
+  test("unigram segmentation: hand-walked costs, Viterbi beats greedy where it must") {
+    // "the"(7) + "table"(9) + "scan"(8) + 8 fallback chars (11 each) = 112
+    val (mc1, gc1) = TextOps.unigramSegmentCosts("thetablescanqqqqqqqq")
+    assert(mc1 == 7 + 9 + 8 + 8 * 11, s"got $mc1")
+    assert(gc1 == mc1, "no overlap traps here, greedy finds the same split")
+    // greedy trap: "batchescan..." greedy eats "batch"(9), pays e(11),
+    // then "scan"(8) = 28; Viterbi can't do better here (b-a-t-c-h-e
+    // singles are worse), so equal — but on "ascan": greedy eats "a"? no,
+    // singles excluded from greedy: greedy: a(11)+scan(8)=19; Viterbi:
+    // a(5)+scan(8)=13 — strictly better.
+    val (mc2, gc2) = TextOps.unigramSegmentCosts("ascan")
+    assert(mc2 == 5 + 8 && gc2 == 11 + 8, s"got $mc2/$gc2")
+    assert(mc2 < gc2)
+    // all-fallback string
+    val (mc3, gc3) = TextOps.unigramSegmentCosts("zzzz")
+    assert(mc3 == 44 && gc3 == 44)
+  }
+
+  test("q_unigram_segment: min_cost <= greedy_cost on every document") {
+    val rows = TextOps.qUnigramSegment(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mc, gc) = (r.getAs[Long]("min_cost"), r.getAs[Long]("greedy_cost"))
+      assert(mc <= gc, s"doc ${r.getLong(0)}: Viterbi $mc must not exceed greedy $gc")
+      assert(mc >= TextOps.UnigramPrefixLen * 5 / 8 && gc <= TextOps.UnigramPrefixLen * 11,
+        "costs bounded by cheapest-piece and all-fallback rates")
+    }
+  }
+
+  test("q_randomized_response: md5 coins replay exactly, debias formula holds") {
+    val r = graft.engine.CurationOps.qRandomizedResponse(spark, sf).head()
+    val users = graft.engine.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("truth"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var nRep = 0L
+    users.foreach { case (uid, truth) =>
+      md.reset()
+      val hex = md.digest(s"$uid:rr".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      val coin = java.lang.Long.parseLong(hex, 16) % 4
+      nRep += (if (coin < 3) truth else 1L - truth)
+    }
+    assert(r.getAs[Long]("n_reported") == nRep, "coin replay must match")
+    assert(r.getAs[Long]("n_users") == users.length.toLong)
+    val est = math.floor((2.0 * nRep / users.length - 0.5) * 10000.0 + 0.5) / 10000.0
+    assert(math.abs(r.getAs[Double]("est_rate") - est) < 1e-12)
+  }
+
   test("q_pq_adc_scan: top-10 ascending exact-integer distances, query excluded") {
     val rows = VectorOps.qPqAdcScan(spark, sf).collect()
     assert(rows.length == 10)
