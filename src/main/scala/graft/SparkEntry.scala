@@ -113,6 +113,8 @@ object SparkEntry {
     "q_shapley_attribution" -> (AnalyticsOps.qShapleyAttribution _),
     "q_unigram_segment"    -> (TextOps.qUnigramSegment _),
     "q_randomized_response" -> (CurationOps.qRandomizedResponse _),
+    "q_ransac_line"        -> ((s, d) => MiningOps.qRansacLine(s, d)),
+    "q_permutation_test"   -> ((s, d) => StatsOps.qPermutationTest(s, d)),
     "q_pixel_dedup"        -> (MultimodalOps.qPixelDedup _),
     "q_zone_map"           -> (ScaleOps.qZoneMap _),
     "q_mv_rewrite"         -> (ScaleOps.qMvRewrite _),
@@ -1020,6 +1022,8 @@ object SparkEntry {
     "q_shapley_attribution" -> AnalyticsOps.shapleyAttributionOracleSql,
     "q_unigram_segment" -> TextOps.unigramSegmentOracleSql,
     "q_randomized_response" -> CurationOps.randomizedResponseOracleSql,
+    "q_ransac_line" -> MiningOps.ransacLineOracleSql,
+    "q_permutation_test" -> StatsOps.permutationTestOracleSql,
     "q_join_shuffle_hash" ->
       """SELECT o_orderstatus,
         |  CAST(COUNT(*) AS BIGINT) AS n_items,

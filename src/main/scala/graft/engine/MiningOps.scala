@@ -169,6 +169,83 @@ object MiningOps {
     * order (slope, num, den) so both engines pick the IDENTICAL
     * pair, then report its exact integer numerator/denominator
     * alongside the rounded cents-per-hour slope. */
+  /** RANSAC line fit (Fischler & Bolles 1981) — the robust estimator
+    * that tolerates arbitrary outlier fractions where Theil–Sen's
+    * breakdown stops at 29%: sample a 2-point model per trial, count
+    * inliers within a residual tolerance, keep the trial with the
+    * largest consensus set. Trials are md5-seeded from the trial id
+    * (reproducible, oracle-replayable); the day table the points come
+    * from is CALENDAR-bounded (~2.4k rows for 7 years — the qSkyline
+    * precedent for its unpartitioned row_number), so model selection
+    * is tiny and the corpus-scaled work is only the daily aggregate.
+    * The inlier test is the division-free cross-multiplied form
+    * |(y−y₁)(x₂−x₁) − (y₂−y₁)(x−x₁)| ≤ tol·|x₂−x₁| — exact integer
+    * arithmetic end to end, no slope division anywhere. */
+  def qRansacLine(s: SparkSession, d: String, nTrials: Int = 16,
+                  tol: Long = 10L): DataFrame = {
+    val days = orders(s, d)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("x"))
+      .agg(count(lit(1)).as("y"))
+    // calendar-bounded index (≤ ~2.4k rows): safe unpartitioned window
+    val idx = days
+      .withColumn("rn", row_number().over(Window.orderBy("x")) - 1)
+      .localCheckpoint(true) // feeds the count, two point joins, and the scan
+    val nd = idx.agg(count(lit(1)).as("nd"))
+    val tr = s.range(nTrials).select(col("id").as("trial"))
+      .crossJoin(broadcast(nd))
+      .withColumn("i1", conv(substring(md5(concat(lit("a:"),
+        col("trial").cast("string"))), 1, 8), 16, 10).cast("long") % col("nd"))
+      .withColumn("i2r", conv(substring(md5(concat(lit("b:"),
+        col("trial").cast("string"))), 1, 8), 16, 10).cast("long") % (col("nd") - 1))
+      // uniform distinct second index: shift past i1
+      .withColumn("i2", when(col("i2r") >= col("i1"), col("i2r") + 1)
+        .otherwise(col("i2r")))
+      .join(idx.select(col("rn").as("i1"), col("x").as("x1"), col("y").as("y1")), "i1")
+      .join(idx.select(col("rn").as("i2"), col("x").as("x2"), col("y").as("y2")), "i2")
+      .select("trial", "x1", "y1", "x2", "y2")
+    val scored = idx.crossJoin(broadcast(tr))
+      .withColumn("inlier",
+        (abs((col("y") - col("y1")) * (col("x2") - col("x1")) -
+          (col("y2") - col("y1")) * (col("x") - col("x1"))) <=
+          lit(tol) * abs(col("x2") - col("x1"))).cast("long"))
+      .groupBy("trial")
+      .agg(sum("inlier").as("n_inliers"))
+    scored
+      .withColumn("is_best", (row_number().over(
+        Window.orderBy(col("n_inliers").desc, col("trial"))) === 1).cast("long"))
+      .select("trial", "n_inliers", "is_best")
+      .orderBy("trial")
+  }
+
+  /** DuckDB oracle for [[qRansacLine]]: the same md5-seeded trials,
+    * point lookups, and cross-multiplied inlier test. */
+  val ransacLineOracleSql: String =
+    """WITH days AS (SELECT CAST(datediff('day', DATE '1970-01-01',
+      |                CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+      |              CAST(COUNT(*) AS BIGINT) AS y
+      |       FROM orders GROUP BY 1),
+      |idx AS (SELECT x, y, row_number() OVER (ORDER BY x) - 1 AS rn FROM days),
+      |nd AS (SELECT COUNT(*) AS nd FROM idx),
+      |tr1 AS (SELECT t.trial,
+      |          ('0x' || substr(md5('a:' || t.trial), 1, 8))::BIGINT % nd.nd AS i1,
+      |          ('0x' || substr(md5('b:' || t.trial), 1, 8))::BIGINT % (nd.nd - 1) AS i2r
+      |        FROM (SELECT UNNEST(range(16)) AS trial) t CROSS JOIN nd),
+      |tr AS (SELECT t.trial, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+      |       FROM (SELECT trial, i1,
+      |               CASE WHEN i2r >= i1 THEN i2r + 1 ELSE i2r END AS i2
+      |             FROM tr1) t
+      |       JOIN idx a ON a.rn = t.i1 JOIN idx b ON b.rn = t.i2),
+      |sc AS (SELECT p.trial,
+      |         SUM(CASE WHEN ABS((i.y - p.y1) * (p.x2 - p.x1)
+      |                         - (p.y2 - p.y1) * (i.x - p.x1))
+      |                    <= 10 * ABS(p.x2 - p.x1) THEN 1 ELSE 0 END) AS n_inliers
+      |       FROM idx i CROSS JOIN tr p GROUP BY p.trial)
+      |SELECT trial, CAST(n_inliers AS BIGINT) AS n_inliers,
+      |       CAST(CASE WHEN row_number() OVER (ORDER BY n_inliers DESC, trial) = 1
+      |            THEN 1 ELSE 0 END AS BIGINT) AS is_best
+      |FROM sc ORDER BY trial""".stripMargin
+
   def qTheilSen(s: SparkSession, d: String): DataFrame =
     // The C(n,2) slope set is bounded per user (≤2016 under
     // MkMaxEvents), so the whole estimator — pair fan-out, the

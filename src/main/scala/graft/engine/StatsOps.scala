@@ -476,6 +476,85 @@ object StatsOps {
     * conditional-aggregation pass over the filtered stream (same
     * single-pass shape as qTtest), scalar math on the 1-row result.
     * Division/sqrt order matches the oracle exactly. */
+  /** Randomization (permutation) test of the purchase-vs-click mean
+    * value difference — the nonparametric significance machinery when
+    * the t-test's normality assumption (qTtest/qAbTest) is off the
+    * table: under H₀ labels are exchangeable, so re-labeling events
+    * with md5-seeded coins and recomputing the statistic traces the
+    * null distribution, and the p-value is the rank of the observed
+    * stat within it ((1+#{perm ≥ obs})/(1+P), the standard
+    * add-one-smoothed form). All 64 permutations compute in ONE pass:
+    * the event table crosses a broadcast 64-row perm grid and a single
+    * (perm, group) aggregate carries every resample — no loop, no
+    * repeated scans. The statistic quantizes to micro-cent integers
+    * (one IEEE division per group, floor) so cross-perm comparisons
+    * are exact longs on both engines. */
+  def qPermutationTest(s: SparkSession, d: String, nPerms: Int = 64): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    def statU(sa: Column, na: Column, sb: Column, nb: Column): Column =
+      floor(abs(sa.cast("double") * 1e6 / na - sb.cast("double") * 1e6 / nb)
+        + 0.5).cast("long")
+    val ev = events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("vc"))
+      .localCheckpoint(true) // one corpus scan feeds observed + all perms
+    val obs = ev.agg(
+        sum(when(col("event_type") === "purchase", col("vc"))).as("sa"),
+        count(when(col("event_type") === "purchase", lit(1))).as("na"),
+        sum(when(col("event_type") === "click", col("vc"))).as("sb"),
+        count(when(col("event_type") === "click", lit(1))).as("nb"))
+      .select(statU(col("sa"), col("na"), col("sb"), col("nb")).as("stat_obs_u"))
+    val perms = ev
+      .crossJoin(broadcast(s.range(nPerms).select(col("id").as("p"))))
+      .withColumn("grp", conv(substring(md5(concat(
+        col("event_id").cast("string"), lit(":"), col("p").cast("string"))),
+        1, 8), 16, 10).cast("long") % 2)
+      .groupBy("p")
+      .agg(sum(when(col("grp") === 0, col("vc"))).as("sa"),
+        count(when(col("grp") === 0, lit(1))).as("na"),
+        sum(when(col("grp") === 1, col("vc"))).as("sb"),
+        count(when(col("grp") === 1, lit(1))).as("nb"))
+      .select(col("p"), statU(col("sa"), col("na"), col("sb"), col("nb"))
+        .as("stat_p"))
+    perms.crossJoin(broadcast(obs))
+      .agg(max("stat_obs_u").as("stat_obs_u"),
+        count(lit(1)).as("n_perms"),
+        sum((col("stat_p") >= col("stat_obs_u")).cast("long")).as("n_ge"))
+      .withColumn("p_value",
+        r4((col("n_ge") + 1).cast("double") / (col("n_perms") + 1)))
+  }
+
+  /** DuckDB oracle for [[qPermutationTest]]: every md5 coin replayed,
+    * the same micro-cent statistic and add-one p-value. */
+  val permutationTestOracleSql: String =
+    """WITH ev AS (SELECT event_id, event_type,
+      |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+      |       FROM events WHERE event_type IN ('purchase', 'click')),
+      |obs AS (SELECT CAST(FLOOR(ABS(
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN vc END) AS DOUBLE)
+      |      * 1e6 / COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+      |    - CAST(SUM(CASE WHEN event_type = 'click' THEN vc END) AS DOUBLE)
+      |      * 1e6 / COUNT(CASE WHEN event_type = 'click' THEN 1 END)) + 0.5)
+      |    AS BIGINT) AS stat_obs_u FROM ev),
+      |pg AS (SELECT ev.vc, g.p,
+      |         ('0x' || substr(md5(CAST(ev.event_id AS VARCHAR) || ':' ||
+      |           CAST(g.p AS VARCHAR)), 1, 8))::BIGINT % 2 AS grp
+      |       FROM ev CROSS JOIN (SELECT UNNEST(range(64)) AS p) g),
+      |perms AS (SELECT p, CAST(FLOOR(ABS(
+      |    CAST(SUM(CASE WHEN grp = 0 THEN vc END) AS DOUBLE)
+      |      * 1e6 / COUNT(CASE WHEN grp = 0 THEN 1 END)
+      |    - CAST(SUM(CASE WHEN grp = 1 THEN vc END) AS DOUBLE)
+      |      * 1e6 / COUNT(CASE WHEN grp = 1 THEN 1 END)) + 0.5)
+      |    AS BIGINT) AS stat_p FROM pg GROUP BY p)
+      |SELECT MAX(obs.stat_obs_u) AS stat_obs_u,
+      |       CAST(COUNT(*) AS BIGINT) AS n_perms,
+      |       CAST(SUM(CASE WHEN stat_p >= obs.stat_obs_u THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_ge,
+      |       FLOOR((SUM(CASE WHEN stat_p >= obs.stat_obs_u THEN 1 ELSE 0 END) + 1)
+      |         / CAST(COUNT(*) + 1 AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS p_value
+      |FROM perms CROSS JOIN obs""".stripMargin
+
   def qAbTest(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).filter(col("event_type").isin("click", "view"))
     def cnt(t: String, conv: Boolean): Column = {

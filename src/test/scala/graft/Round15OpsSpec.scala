@@ -268,6 +268,32 @@ class Round15OpsSpec extends SparkSuite {
     assert(math.abs(r.getAs[Double]("est_rate") - est) < 1e-12)
   }
 
+  test("q_ransac_line: one winner, consensus bounded by the day count") {
+    val rows = graft.engine.MiningOps.qRansacLine(spark, sf).collect()
+    assert(rows.length == 16)
+    assert(rows.map(_.getAs[Long]("is_best")).sum == 1L, "exactly one best trial")
+    val nDays = graft.engine.Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("o_orderdate"))).distinct().count()
+    val best = rows.filter(_.getAs[Long]("is_best") == 1L).head.getAs[Long]("n_inliers")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_inliers") >= 2L, "the 2 sample points are always inliers")
+      assert(r.getAs[Long]("n_inliers") <= nDays)
+      assert(r.getAs[Long]("n_inliers") <= best, "winner has the max consensus")
+    }
+  }
+
+  test("q_permutation_test: p-value bounds and determinism") {
+    val r1 = graft.engine.StatsOps.qPermutationTest(spark, sf).head()
+    val r2 = graft.engine.StatsOps.qPermutationTest(spark, sf).head()
+    assert(r1 == r2, "md5-seeded permutations must be run-to-run stable")
+    assert(r1.getAs[Long]("n_perms") == 64L)
+    val p = r1.getAs[Double]("p_value")
+    assert(p > 0.0 && p <= 1.0)
+    assert(r1.getAs[Long]("n_ge") <= 64L)
+    assert(math.abs(p - math.floor((r1.getAs[Long]("n_ge") + 1) / 65.0 * 10000.0 + 0.5) / 10000.0) < 1e-12)
+  }
+
   test("q_pq_adc_scan: top-10 ascending exact-integer distances, query excluded") {
     val rows = VectorOps.qPqAdcScan(spark, sf).collect()
     assert(rows.length == 10)
