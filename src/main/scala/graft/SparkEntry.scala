@@ -115,6 +115,9 @@ object SparkEntry {
     "q_randomized_response" -> (CurationOps.qRandomizedResponse _),
     "q_ransac_line"        -> ((s, d) => MiningOps.qRansacLine(s, d)),
     "q_permutation_test"   -> ((s, d) => StatsOps.qPermutationTest(s, d)),
+    "q_lsh_recall_audit"   -> ((s, d) => TextOps.qLshRecallAudit(s, d)),
+    "q_uplift_segments"    -> (StatsOps.qUpliftSegments _),
+    "q_prefix_autocomplete" -> (TextOps.qPrefixAutocomplete _),
     "q_pixel_dedup"        -> (MultimodalOps.qPixelDedup _),
     "q_zone_map"           -> (ScaleOps.qZoneMap _),
     "q_mv_rewrite"         -> (ScaleOps.qMvRewrite _),
@@ -1024,6 +1027,9 @@ object SparkEntry {
     "q_randomized_response" -> CurationOps.randomizedResponseOracleSql,
     "q_ransac_line" -> MiningOps.ransacLineOracleSql,
     "q_permutation_test" -> StatsOps.permutationTestOracleSql,
+    "q_lsh_recall_audit" -> TextOps.lshRecallAuditOracleSql,
+    "q_uplift_segments" -> StatsOps.upliftSegmentsOracleSql,
+    "q_prefix_autocomplete" -> TextOps.prefixAutocompleteOracleSql,
     "q_join_shuffle_hash" ->
       """SELECT o_orderstatus,
         |  CAST(COUNT(*) AS BIGINT) AS n_items,

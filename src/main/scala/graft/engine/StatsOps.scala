@@ -476,6 +476,75 @@ object StatsOps {
     * conditional-aggregation pass over the filtered stream (same
     * single-pass shape as qTtest), scalar math on the 1-row result.
     * Division/sqrt order matches the oracle exactly. */
+  /** Heterogeneous-treatment-effect (uplift) segments — the
+    * two-model/T-learner readout an experimentation stack layers over
+    * a raw A/B result (qAbTest gives ONE average effect; uplift asks
+    * WHERE it concentrates): users split into md5-derived treatment
+    * arms (an A/A split here — the expected uplift is ≈0, which makes
+    * the audit honest: anything large is noise the reader should see),
+    * segmented by activity tercile, and per segment the treated and
+    * control conversion rates are each floor-quantized to the 1e-4
+    * grid BEFORE subtracting, so the uplift column is exact grid
+    * arithmetic. One user aggregate + one segment aggregate. */
+  def qUpliftSegments(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val u = events(s, d).groupBy("user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .withColumn("segment",
+        when(col("n_ev") < 62, lit("low"))
+          .when(col("n_ev") < 71, lit("mid")).otherwise(lit("high")))
+      .withColumn("t", conv(substring(md5(concat(col("user_id").cast("string"),
+        lit(":up"))), 1, 8), 16, 10).cast("long") % 2)
+    u.groupBy("segment")
+      .agg(count(when(col("t") === 1, lit(1))).as("n_treat"),
+        sum(when(col("t") === 1, col("y"))).as("y_treat"),
+        count(when(col("t") === 0, lit(1))).as("n_ctrl"),
+        sum(when(col("t") === 0, col("y"))).as("y_ctrl"))
+      // tiny-SF guard: an empty arm reports rate 0 (both engines) so
+      // the uplift column stays total
+      .withColumn("rate_treat", when(col("n_treat") === 0, lit(0.0))
+        .otherwise(r4(col("y_treat") / col("n_treat").cast("double"))))
+      .withColumn("rate_ctrl", when(col("n_ctrl") === 0, lit(0.0))
+        .otherwise(r4(col("y_ctrl") / col("n_ctrl").cast("double"))))
+      .withColumn("uplift", col("rate_treat") - col("rate_ctrl"))
+      .orderBy("segment")
+  }
+
+  /** DuckDB oracle for [[qUpliftSegments]]: the same md5 arms,
+    * terciles, and quantize-then-subtract uplift. */
+  val upliftSegmentsOracleSql: String =
+    """WITH u AS (SELECT user_id, COUNT(*) AS n_ev,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      |  FROM events GROUP BY user_id),
+      |seg AS (SELECT user_id, y,
+      |    CASE WHEN n_ev < 62 THEN 'low'
+      |         WHEN n_ev < 71 THEN 'mid' ELSE 'high' END AS segment,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':up'), 1, 8))::BIGINT % 2 AS t
+      |  FROM u)
+      |SELECT segment,
+      |  CAST(COUNT(CASE WHEN t = 1 THEN 1 END) AS BIGINT) AS n_treat,
+      |  CAST(SUM(CASE WHEN t = 1 THEN y END) AS BIGINT) AS y_treat,
+      |  CAST(COUNT(CASE WHEN t = 0 THEN 1 END) AS BIGINT) AS n_ctrl,
+      |  CAST(SUM(CASE WHEN t = 0 THEN y END) AS BIGINT) AS y_ctrl,
+      |  CASE WHEN COUNT(CASE WHEN t = 1 THEN 1 END) = 0 THEN 0.0
+      |    ELSE FLOOR(SUM(CASE WHEN t = 1 THEN y END)
+      |      / CAST(COUNT(CASE WHEN t = 1 THEN 1 END) AS DOUBLE) * 10000.0 + 0.5)
+      |      / 10000.0 END AS rate_treat,
+      |  CASE WHEN COUNT(CASE WHEN t = 0 THEN 1 END) = 0 THEN 0.0
+      |    ELSE FLOOR(SUM(CASE WHEN t = 0 THEN y END)
+      |      / CAST(COUNT(CASE WHEN t = 0 THEN 1 END) AS DOUBLE) * 10000.0 + 0.5)
+      |      / 10000.0 END AS rate_ctrl,
+      |  (CASE WHEN COUNT(CASE WHEN t = 1 THEN 1 END) = 0 THEN 0.0
+      |    ELSE FLOOR(SUM(CASE WHEN t = 1 THEN y END)
+      |      / CAST(COUNT(CASE WHEN t = 1 THEN 1 END) AS DOUBLE) * 10000.0 + 0.5)
+      |      / 10000.0 END)
+      |  - (CASE WHEN COUNT(CASE WHEN t = 0 THEN 1 END) = 0 THEN 0.0
+      |    ELSE FLOOR(SUM(CASE WHEN t = 0 THEN y END)
+      |      / CAST(COUNT(CASE WHEN t = 0 THEN 1 END) AS DOUBLE) * 10000.0 + 0.5)
+      |      / 10000.0 END) AS uplift
+      |FROM seg GROUP BY segment ORDER BY segment""".stripMargin
+
   /** Randomization (permutation) test of the purchase-vs-click mean
     * value difference — the nonparametric significance machinery when
     * the t-test's normality assumption (qTtest/qAbTest) is off the

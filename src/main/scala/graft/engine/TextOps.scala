@@ -1466,6 +1466,110 @@ object TextOps {
       .orderBy("da", "db")
   }
 
+  /** LSH recall/precision audit — the measurement that justifies (or
+    * indicts) every banded-minhash dedup deployment: on a bounded
+    * ground-truth sample (doc_id < 200 — all-pairs exact Jaccard is
+    * only computable on a sample, which is exactly how production
+    * audits run), compare the band-collision candidate set against
+    * the true ≥τ pair set for a τ grid. Recall says what the banding
+    * misses (the S-curve's left tail); precision says what the
+    * verify stage must filter. Same 8-hash md5 signature and 4×2
+    * banding as the production q_dedup_minhash_md5 path, so the audit
+    * measures THE deployed configuration; exact Jaccards quantize to
+    * 1e-4 longs before every τ comparison (no float boundary flap),
+    * and the all-pairs join broadcasts the 200-row side (bounded by
+    * contract, never corpus-scaled). */
+  def qLshRecallAudit(s: SparkSession, d: String, sample: Int = 200): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val base = documents(s, d).filter(col("doc_id") < sample)
+      .select(col("doc_id"), tokens(col("text")).as("arr"))
+      .filter(size(col("arr")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(call_function("graft_word_ngrams", col("arr"), lit(3)))
+          .as("shg"))
+      .select(col("doc_id"),
+        call_function("graft_md5_minhash", col("shg")).as("sig"),
+        sort_array(array_distinct(transform(col("shg"),
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("hs"))
+      .localCheckpoint(true)
+    val a = base.select(col("doc_id").as("da"), col("sig").as("sig_a"),
+      col("hs").as("hs_a"))
+    val b = base.select(col("doc_id").as("db"), col("sig").as("sig_b"),
+      col("hs").as("hs_b"))
+    val cand = (0 until 4).map { k =>
+      element_at(col("sig_a"), 2 * k + 1) === element_at(col("sig_b"), 2 * k + 1) &&
+        element_at(col("sig_a"), 2 * k + 2) === element_at(col("sig_b"), 2 * k + 2)
+    }.reduce(_ || _)
+    val scored = a.join(broadcast(b), col("da") < col("db"))
+      .select(col("da"), col("db"), cand.cast("long").as("cand"),
+        floor(call_function("graft_jaccard_sorted", col("hs_a"), col("hs_b"))
+          * 10000.0 + 0.5).cast("long").as("ju"))
+    val grid = s.range(4).select(((col("id") + 1) * 2000L).as("tau_u"))
+    scored.crossJoin(broadcast(grid))
+      .groupBy("tau_u")
+      .agg(sum((col("ju") >= col("tau_u")).cast("long")).as("n_true"),
+        sum("cand").as("n_cand"),
+        sum((col("cand") === 1 && col("ju") >= col("tau_u")).cast("long")).as("tp"))
+      .withColumn("recall",
+        when(col("n_true") === 0, lit(1.0))
+          .otherwise(r4(col("tp") / col("n_true").cast("double"))))
+      .withColumn("precision",
+        when(col("n_cand") === 0, lit(1.0))
+          .otherwise(r4(col("tp") / col("n_cand").cast("double"))))
+      .orderBy("tau_u")
+  }
+
+  /** DuckDB oracle for [[qLshRecallAudit]]: the md5 signature, band
+    * collisions, exact Jaccards, and τ-grid classification replayed
+    * from scratch. */
+  val lshRecallAuditOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+      |  FROM documents WHERE doc_id < 200),
+      |shd AS (
+      |  SELECT DISTINCT doc_id,
+      |    UNNEST(list_transform(range(1, len(arr) - 1),
+      |      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
+      |  FROM toks WHERE len(arr) >= 3),
+      |hset AS (
+      |  SELECT doc_id, list_sort(list(DISTINCT
+      |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT)) AS hl
+      |  FROM shd GROUP BY doc_id),
+      |mh AS (
+      |  SELECT doc_id, p,
+      |    min(('0x' || substr(md5(CAST(p // 2 AS VARCHAR) || ':' || shingle),
+      |                        CAST(1 + 15 * (p % 2) AS INTEGER), 15))::BIGINT) AS mv
+      |  FROM shd, range(8) t(p) GROUP BY doc_id, p),
+      |sig AS (SELECT doc_id, list(mv ORDER BY p) AS sg FROM mh GROUP BY doc_id),
+      |sc AS (
+      |  SELECT sa.doc_id AS da, sb.doc_id AS db,
+      |    CASE WHEN (sa.sg[1] = sb.sg[1] AND sa.sg[2] = sb.sg[2])
+      |           OR (sa.sg[3] = sb.sg[3] AND sa.sg[4] = sb.sg[4])
+      |           OR (sa.sg[5] = sb.sg[5] AND sa.sg[6] = sb.sg[6])
+      |           OR (sa.sg[7] = sb.sg[7] AND sa.sg[8] = sb.sg[8])
+      |         THEN 1 ELSE 0 END AS cand,
+      |    CAST(FLOOR(CAST(len(list_intersect(ha.hl, hb.hl)) AS DOUBLE) /
+      |          (len(ha.hl) + len(hb.hl) - len(list_intersect(ha.hl, hb.hl)))
+      |          * 10000.0 + 0.5) AS BIGINT) AS ju
+      |  FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id
+      |  JOIN hset ha ON ha.doc_id = sa.doc_id
+      |  JOIN hset hb ON hb.doc_id = sb.doc_id),
+      |grid AS (SELECT CAST(UNNEST([2000, 4000, 6000, 8000]) AS BIGINT) AS tau_u)
+      |SELECT g.tau_u,
+      |  CAST(SUM(CASE WHEN ju >= g.tau_u THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+      |  CAST(SUM(cand) AS BIGINT) AS n_cand,
+      |  CAST(SUM(CASE WHEN cand = 1 AND ju >= g.tau_u THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS tp,
+      |  CASE WHEN SUM(CASE WHEN ju >= g.tau_u THEN 1 ELSE 0 END) = 0 THEN 1.0
+      |       ELSE FLOOR(SUM(CASE WHEN cand = 1 AND ju >= g.tau_u THEN 1 ELSE 0 END)
+      |         / CAST(SUM(CASE WHEN ju >= g.tau_u THEN 1 ELSE 0 END) AS DOUBLE)
+      |         * 10000.0 + 0.5) / 10000.0 END AS recall,
+      |  CASE WHEN SUM(cand) = 0 THEN 1.0
+      |       ELSE FLOOR(SUM(CASE WHEN cand = 1 AND ju >= g.tau_u THEN 1 ELSE 0 END)
+      |         / CAST(SUM(cand) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 END AS precision
+      |FROM sc CROSS JOIN grid g GROUP BY g.tau_u ORDER BY tau_u""".stripMargin
+
   /** Maximum document frequency for a shingle to participate in
     * containment blocking (see [[qContainmentDedup]]): a shingle
     * shared by more than this many docs is boilerplate (licence
@@ -2220,6 +2324,47 @@ object TextOps {
       |  ON g.doc_id = dp.doc_id
       |WHERE dp.i = $N ORDER BY dp.doc_id""".stripMargin
   }
+
+  /** Prefix autocomplete index — the search-as-you-type completion
+    * table (the third retrieval primitive after boolean lookup and the
+    * phrase query): the corpus vocabulary rolls up to (word, freq),
+    * each word fans out to its 1–3-char prefixes, and a per-prefix
+    * top-3 by (freq desc, word) is the completion list a typeahead
+    * serves. Everything after the vocabulary aggregate is
+    * vocab-bounded (Heaps-law), so the window sort never sees corpus
+    * rows; ties at the cut break on the word text. */
+  def qPrefixAutocomplete(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 3)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy("prefix")
+      .orderBy(col("freq").desc, col("w").asc)
+    vocab
+      .select(col("w"), col("freq"), explode(array(
+        substring(col("w"), 1, 1), substring(col("w"), 1, 2),
+        substring(col("w"), 1, 3))).as("prefix"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("prefix"), col("rank"), col("w").as("completion"), col("freq"))
+      .orderBy("prefix", "rank")
+  }
+
+  /** DuckDB oracle for [[qPrefixAutocomplete]]. */
+  val prefixAutocompleteOracleSql: String =
+    """WITH vocab AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+      |    SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
+      |    FROM documents) WHERE length(w) >= 3 GROUP BY w),
+      |pre AS (SELECT w, freq,
+      |          UNNEST([substr(w,1,1), substr(w,1,2), substr(w,1,3)]) AS prefix
+      |        FROM vocab),
+      |rk AS (SELECT prefix, w, freq,
+      |         CAST(row_number() OVER (PARTITION BY prefix
+      |           ORDER BY freq DESC, w ASC) AS BIGINT) AS rank
+      |       FROM pre)
+      |SELECT prefix, rank, w AS completion, freq
+      |FROM rk WHERE rank <= 3 ORDER BY prefix, rank""".stripMargin
 
   /** DuckDB oracle for [[qBlocklistScan]] — substring counting by
     * length/replace set algebra per (doc, term); borderless terms make

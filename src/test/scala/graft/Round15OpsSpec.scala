@@ -294,6 +294,48 @@ class Round15OpsSpec extends SparkSuite {
     assert(math.abs(p - math.floor((r1.getAs[Long]("n_ge") + 1) / 65.0 * 10000.0 + 0.5) / 10000.0) < 1e-12)
   }
 
+  test("q_lsh_recall_audit: contingency bounds and tau monotonicity") {
+    val rows = TextOps.qLshRecallAudit(spark, sf).collect()
+    assert(rows.length == 4)
+    var prevTrue = Long.MaxValue
+    rows.foreach { r =>
+      val (nt, nc, tp) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_cand"),
+        r.getAs[Long]("tp"))
+      assert(tp <= math.min(nt, nc), "true positives bounded by both margins")
+      assert(nt <= prevTrue, "ground-truth pair count shrinks as tau rises")
+      prevTrue = nt
+      assert(r.getAs[Double]("recall") >= 0.0 && r.getAs[Double]("recall") <= 1.0)
+      assert(r.getAs[Double]("precision") >= 0.0 && r.getAs[Double]("precision") <= 1.0)
+    }
+  }
+
+  test("q_uplift_segments: arms partition users, uplift is grid-exact") {
+    val rows = graft.engine.StatsOps.qUpliftSegments(spark, sf).collect()
+    assert(rows.length == 3)
+    val total = rows.map(r => r.getAs[Long]("n_treat") + r.getAs[Long]("n_ctrl")).sum
+    val nUsers = graft.engine.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(total == nUsers, "segments x arms must partition the user base")
+    rows.foreach { r =>
+      val (rt, rc) = (r.getAs[Double]("rate_treat"), r.getAs[Double]("rate_ctrl"))
+      assert(rt >= 0.0 && rt <= 1.0 && rc >= 0.0 && rc <= 1.0)
+      assert(math.abs(r.getAs[Double]("uplift") - (rt - rc)) < 1e-12,
+        "uplift must be exactly the difference of the quantized rates")
+    }
+  }
+
+  test("q_prefix_autocomplete: completions carry their prefix, ranks dense, freq ordered") {
+    val rows = TextOps.qPrefixAutocomplete(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("prefix")).foreach { case (p, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length).toSeq)
+      sorted.foreach(r => assert(r.getAs[String]("completion").startsWith(p)))
+      val freqs = sorted.map(_.getAs[Long]("freq"))
+      assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("q_pq_adc_scan: top-10 ascending exact-integer distances, query excluded") {
     val rows = VectorOps.qPqAdcScan(spark, sf).collect()
     assert(rows.length == 10)
