@@ -317,6 +317,8 @@ object SparkEntry {
     "q_dedup_canonical"    -> (TextOps.qDedupCanonical _),
     "q_kanonymity"         -> (StatsOps.qKanonymity _),
     "q_l_diversity"        -> (StatsOps.qLDiversity _),
+    "q_tcloseness"         -> (StatsOps.qTcloseness _),
+    "q_als_step"           -> (MiningOps.qAlsStep _),
     "q_winsorize"          -> (StatsOps.qWinsorize _),
     "q_oov_rate"           -> (CurationOps.qOovRate _),
     "q_negative_sample"    -> (CurationOps.qNegativeSample _),
@@ -1015,6 +1017,8 @@ object SparkEntry {
     "q_audio_pcm_stats" -> MultimodalOps.audioPcmStatsOracleSql,
     "q_audio_adpcm_stats" -> MultimodalOps.audioAdpcmStatsOracleSql,
     "q_audio_ulaw_stats" -> MultimodalOps.audioUlawStatsOracleSql,
+    "q_tcloseness" -> StatsOps.tclosenessOracleSql,
+    "q_als_step" -> MiningOps.alsStepOracleSql,
     "q_blocklist_scan" -> TextOps.blocklistScanOracleSql,
     "q_gif_pixel_stats" -> MultimodalOps.gifPixelStatsOracleSql,
     "q_hll_union_md5" -> ScaleOps.hllUnionMd5OracleSql,

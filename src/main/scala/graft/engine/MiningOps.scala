@@ -880,4 +880,98 @@ object MiningOps {
     fitted.toDF("bucket", "n", "n_pos", "raw_rate_u", "iso_rate_u")
       .orderBy("bucket")
   }
+
+  /** One ALS half-step (Koren/Bell/Volinsky 2009; Zhou et al. 2008) —
+    * the matrix-factorization LEARNING stage the recommender family
+    * ([[qItemSim]], co-purchase, the eval battery) sits on top of.
+    * Alternating least squares fixes one factor side and solves the
+    * other side's per-entity ridge regression INDEPENDENTLY — which is
+    * exactly why ALS distributes: with item factors fixed, every user's
+    * solve touches only that user's ratings. Here the item side is a
+    * deterministic md5-derived integer factor table (f ∈ [−2,2]², the
+    * fixed side of the alternation; production seeds randomly — the
+    * step's algebra is identical) and the user side solves the d=2
+    * ridge normal equations (XᵀX + λI)w = Xᵀr in CLOSED FORM:
+    *   det = a11·a22 − a12²,  w1 = (a22·b1 − a12·b2)/det,
+    *   w2 = (a11·b2 − a12·b1)/det,   λ = 1.
+    * All five Gram/moment sums are exact long sums of small-integer
+    * products (ridge makes det ≥ 1 by Cauchy–Schwarz), so the solve is
+    * an integer rational both engines evaluate identically; w1/w2 are
+    * reported as exact numerator/det longs plus one quantized double.
+    * Bound: |a22·b1| ≤ (4n+1)·700n for n = items/user (qty ≤ 350 per
+    * pair at bench scale) — exact in a long to n ≈ 5e4 items/user and
+    * inside 2⁵³ after the ×10⁴ quantization; a 100 TB run lifts the two
+    * final products to DECIMAL.
+    * Distributed shape: one fact-fact shuffle join (orders ⋈ lineitem),
+    * one (user,part) aggregate, factors derived MAP-SIDE from the hash
+    * (no factor-table join at all — the fixed side travels as code, the
+    * degenerate-but-real analog of broadcasting k×d centroids), then
+    * one map-side-combinable per-user Gram aggregate and a projection
+    * solve. Nothing driver-side; per-user cost is O(ratings). */
+  def qAlsStep(s: SparkSession, d: String): DataFrame = {
+    val ratings = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+        col("l_quantity")), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .agg(sum(floor(col("l_quantity") + 0.5).cast("long")).as("r"))
+    def fac(off: Int): Column =
+      (conv(substring(md5(col("p").cast("string")), off, 4), 16, 10)
+        .cast("long") % 5L) - 2L
+    val gram = ratings
+      .withColumn("f1", fac(1)).withColumn("f2", fac(5))
+      .groupBy("c")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum("r").as("sum_r"),
+        (sum(col("f1") * col("f1")) + 1L).as("a11"),
+        (sum(col("f2") * col("f2")) + 1L).as("a22"),
+        sum(col("f1") * col("f2")).as("a12"),
+        sum(col("f1") * col("r")).as("b1"),
+        sum(col("f2") * col("r")).as("b2"))
+    gram
+      .withColumn("det", col("a11") * col("a22") - col("a12") * col("a12"))
+      .withColumn("w1_num", col("a22") * col("b1") - col("a12") * col("b2"))
+      .withColumn("w2_num", col("a11") * col("b2") - col("a12") * col("b1"))
+      .select(
+        col("c").cast("long").as("custkey"),
+        col("n_items"), col("sum_r"),
+        col("det"), col("w1_num"), col("w2_num"),
+        (floor(col("w1_num").cast("double") * 10000.0 / col("det") + 0.5)
+          / 10000.0).as("w1"),
+        (floor(col("w2_num").cast("double") * 10000.0 / col("det") + 0.5)
+          / 10000.0).as("w2"))
+      .orderBy("custkey")
+  }
+
+  /** DuckDB oracle for [[qAlsStep]]: the identical md5 factor table and
+    * closed-form 2×2 ridge solve — any drift in a factor digit, a Gram
+    * sum, or the determinant algebra shifts an exact integer. */
+  val alsStepOracleSql: String =
+    """WITH r AS (
+      |  SELECT o_custkey AS c, l_partkey AS p,
+      |         CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS r
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2),
+      |f AS (
+      |  SELECT c, p, r,
+      |         ('0x' || substr(md5(CAST(p AS VARCHAR)), 1, 4))::BIGINT % 5 - 2 AS f1,
+      |         ('0x' || substr(md5(CAST(p AS VARCHAR)), 5, 4))::BIGINT % 5 - 2 AS f2
+      |  FROM r),
+      |g AS (
+      |  SELECT c, COUNT(*) AS n_items, CAST(SUM(r) AS BIGINT) AS sum_r,
+      |         CAST(SUM(f1 * f1) + 1 AS BIGINT) AS a11,
+      |         CAST(SUM(f2 * f2) + 1 AS BIGINT) AS a22,
+      |         CAST(SUM(f1 * f2) AS BIGINT) AS a12,
+      |         CAST(SUM(f1 * r) AS BIGINT) AS b1,
+      |         CAST(SUM(f2 * r) AS BIGINT) AS b2
+      |  FROM f GROUP BY 1)
+      |SELECT CAST(c AS BIGINT) AS custkey, n_items, sum_r,
+      |       a11 * a22 - a12 * a12 AS det,
+      |       a22 * b1 - a12 * b2 AS w1_num,
+      |       a11 * b2 - a12 * b1 AS w2_num,
+      |       FLOOR(CAST(a22 * b1 - a12 * b2 AS DOUBLE) * 10000.0
+      |             / (a11 * a22 - a12 * a12) + 0.5) / 10000.0 AS w1,
+      |       FLOOR(CAST(a11 * b2 - a12 * b1 AS DOUBLE) * 10000.0
+      |             / (a11 * a22 - a12 * a12) + 0.5) / 10000.0 AS w2
+      |FROM g ORDER BY custkey""".stripMargin
 }

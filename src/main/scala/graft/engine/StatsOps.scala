@@ -1623,4 +1623,89 @@ object StatsOps {
       .withColumn("lossless",
         (col("n_events") === col("n_events_via_token")).cast("int"))
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the top of
+    * the privacy-release ladder ([[qKanonymity]] → [[qLDiversity]] →
+    * here): an l-diverse class whose sensitive-value MIX still differs
+    * sharply from the corpus-wide mix leaks by skew, so each
+    * equivalence class must keep its sensitive distribution within
+    * distance t of the global one. The sensitive attribute
+    * (market segment) is categorical, for which the paper's EMD under
+    * the equal-distance ground metric reduces to total variation:
+    *   EMD_c = ½ Σ_v |p_c(v) − q(v)|.
+    * Every term is kept EXACT by cross-multiplication —
+    * |seg_n·N − g_n·n_c| over the common denominator n_c·N — so the
+    * audit reports the distance as an integer rational
+    * (emd_num / emd_den) plus one quantized double, and the t ≤ 0.2
+    * gate is the integer comparison 5·emd_num ≤ emd_den (no float ever
+    * decides a release). Products are count×count ≤ N²: exact in a
+    * long to N ≈ 3e9 customers; a 100 TB deployment lifts the two
+    * multiplies to DECIMAL(38,0) — same shape.
+    * Distributed shape: one (QI × segment) hash aggregate (QI-domain
+    * bounded, same size at any corpus), the 5-row global mix broadcast
+    * onto the bounded class×segment grid built with a cross join, and
+    * a left join so segments ABSENT from a class still contribute
+    * |0 − g_n·n_c| — dropping them understates the distance exactly
+    * when the class is most skewed. */
+  def qTcloseness(s: SparkSession, d: String): DataFrame = {
+    val perSeg = customer(s, d)
+      .groupBy(
+        col("c_nationkey").cast("long").as("nation"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"),
+        col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("seg_n"))
+    val global = perSeg.groupBy("segment").agg(sum("seg_n").as("g_n"))
+      .crossJoin(broadcast(
+        perSeg.agg(sum("seg_n").as("big_n"))))
+    val classes = perSeg.groupBy("nation", "bal_bucket")
+      .agg(sum("seg_n").as("n_c"))
+    classes
+      .crossJoin(broadcast(global))
+      .join(perSeg, Seq("nation", "bal_bucket", "segment"), "left")
+      .withColumn("term",
+        abs(coalesce(col("seg_n"), lit(0L)) * col("big_n") -
+          col("g_n") * col("n_c")))
+      .groupBy("nation", "bal_bucket")
+      .agg(
+        max("n_c").as("n"),
+        sum("term").as("emd_num"),
+        (lit(2L) * max("n_c") * max("big_n")).as("emd_den"))
+      .select(
+        col("nation"), col("bal_bucket"), col("n"),
+        col("emd_num"), col("emd_den"),
+        (floor(col("emd_num").cast("double") * 10000.0 / col("emd_den")
+          + 0.5) / 10000.0).as("emd"),
+        (col("emd_num") * 5L <= col("emd_den")).cast("int").as("t_close"))
+      .orderBy("nation", "bal_bucket")
+  }
+
+  /** DuckDB oracle for [[qTcloseness]]: the identical cross-multiplied
+    * total-variation EMD, grid built the same way (classes × global
+    * segment mix, left join back to observed cells). */
+  val tclosenessOracleSql: String =
+    """WITH ps AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+      |         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+      |         c_mktsegment AS segment, COUNT(*) AS seg_n
+      |  FROM customer GROUP BY 1, 2, 3),
+      |gmix AS (SELECT segment, CAST(SUM(seg_n) AS BIGINT) AS g_n FROM ps GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(seg_n) AS BIGINT) AS big_n FROM ps),
+      |cls AS (SELECT nation, bal_bucket, CAST(SUM(seg_n) AS BIGINT) AS n_c
+      |        FROM ps GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT cls.nation, cls.bal_bucket, cls.n_c, gmix.segment, gmix.g_n,
+      |         tot.big_n, COALESCE(ps.seg_n, 0) AS seg_n
+      |  FROM cls CROSS JOIN gmix CROSS JOIN tot
+      |  LEFT JOIN ps ON ps.nation = cls.nation
+      |    AND ps.bal_bucket = cls.bal_bucket AND ps.segment = gmix.segment)
+      |SELECT nation, bal_bucket, MAX(n_c) AS n,
+      |       CAST(SUM(ABS(seg_n * big_n - g_n * n_c)) AS BIGINT) AS emd_num,
+      |       CAST(2 * MAX(n_c) * MAX(big_n) AS BIGINT) AS emd_den,
+      |       FLOOR(CAST(SUM(ABS(seg_n * big_n - g_n * n_c)) AS DOUBLE)
+      |             * 10000.0 / (2 * MAX(n_c) * MAX(big_n)) + 0.5) / 10000.0
+      |         AS emd,
+      |       CAST(SUM(ABS(seg_n * big_n - g_n * n_c)) * 5
+      |            <= 2 * MAX(n_c) * MAX(big_n) AS INTEGER) AS t_close
+      |FROM grid GROUP BY nation, bal_bucket
+      |ORDER BY nation, bal_bucket""".stripMargin
 }
