@@ -319,6 +319,8 @@ object SparkEntry {
     "q_l_diversity"        -> (StatsOps.qLDiversity _),
     "q_tcloseness"         -> (StatsOps.qTcloseness _),
     "q_als_step"           -> (MiningOps.qAlsStep _),
+    "q_textrank"           -> ((s, dd) => TextOps.qTextrank(s, dd)),
+    "q_holt_winters"       -> (StatsOps.qHoltWinters _),
     "q_winsorize"          -> (StatsOps.qWinsorize _),
     "q_oov_rate"           -> (CurationOps.qOovRate _),
     "q_negative_sample"    -> (CurationOps.qNegativeSample _),
@@ -1019,6 +1021,8 @@ object SparkEntry {
     "q_audio_ulaw_stats" -> MultimodalOps.audioUlawStatsOracleSql,
     "q_tcloseness" -> StatsOps.tclosenessOracleSql,
     "q_als_step" -> MiningOps.alsStepOracleSql,
+    "q_textrank" -> TextOps.textrankOracleSql,
+    "q_holt_winters" -> StatsOps.holtWintersOracleSql,
     "q_blocklist_scan" -> TextOps.blocklistScanOracleSql,
     "q_gif_pixel_stats" -> MultimodalOps.gifPixelStatsOracleSql,
     "q_hll_union_md5" -> ScaleOps.hllUnionMd5OracleSql,

@@ -1708,4 +1708,125 @@ object StatsOps {
       |            <= 2 * MAX(n_c) * MAX(big_n) AS INTEGER) AS t_close
       |FROM grid GROUP BY nation, bal_bucket
       |ORDER BY nation, bal_bucket""".stripMargin
+
+  /** Additive Holt–Winters triple exponential smoothing (α = ½,
+    * β = ¼, γ = ¼, period 7) of each event type's daily total — the
+    * seasonal rung above [[qHoltLinear]]: level + trend + a rotating
+    * 7-slot seasonal state, the forecaster that stops a weekly cycle
+    * from masquerading as trend drift. Same execution contract as
+    * Holt linear: the fact table collapses to exact-integer daily
+    * cents first (the only corpus-sized shuffle), and the inherently
+    * sequential recurrence folds ONE `aggregate()` lambda over the
+    * per-type calendar-bounded sorted array — no driver loop,
+    * parallel across types. Init (classic two-period): l₀ = week-1
+    * mean, b₀ = (week-2 mean − week-1 mean)/7, s_i = v_i − l₀;
+    * smoothing runs from t = 8 with
+    *   l′ = α(v − s_old) + (1−α)(l + b),
+    *   b′ = β(l′ − l) + (1−β)b,
+    *   s′ = γ(v − l′) + (1−γ)s_old,
+    * the seasonal slot rotating (pos mod 7) + 1. Every operand chain
+    * is the same IEEE expression tree in the same order on both
+    * engines (the oracle repeats the l′ subexpression exactly as
+    * [[qHoltLinear]]'s does), so the unrounded state matches
+    * bit-for-bit; only the final report quantizes. Output: final
+    * level/trend, the 7-slot seasonal profile, and the 1-day-ahead
+    * forecast l′ + b′ + s[next]. */
+  def qHoltWinters(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)")).as("cents"))
+      .select(col("event_type"), col("day"),
+        (col("cents").cast("double") / 100.0).as("v"))
+    def vAt(i: Int): Column = col("xs")(i)("v")
+    val st = daily.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("v")))).as("xs"))
+      .filter(size(col("xs")) >= 15)
+      .withColumn("n_days", size(col("xs")).cast("long"))
+      .withColumn("w1",
+        vAt(0) + vAt(1) + vAt(2) + vAt(3) + vAt(4) + vAt(5) + vAt(6))
+      .withColumn("w2",
+        vAt(7) + vAt(8) + vAt(9) + vAt(10) + vAt(11) + vAt(12) + vAt(13))
+      .withColumn("l0", col("w1") / 7.0)
+      .withColumn("b0", (col("w2") - col("w1")) / 49.0)
+      .withColumn("s0",
+        transform(slice(col("xs"), 1, 7), x => x("v") - col("l0")))
+      .withColumn("fin", aggregate(
+        slice(col("xs"), lit(8), size(col("xs")) - 7),
+        struct(col("l0").as("lvl"), col("b0").as("trd"),
+          col("s0").as("s"), lit(1).as("pos")),
+        (acc, x) => {
+          val sOld = element_at(acc("s"), acc("pos"))
+          val lvl2 = lit(0.5) * (x("v") - sOld) +
+            lit(0.5) * (acc("lvl") + acc("trd"))
+          val trd2 = lit(0.25) * (lvl2 - acc("lvl")) + lit(0.75) * acc("trd")
+          val sNew = lit(0.25) * (x("v") - lvl2) + lit(0.75) * sOld
+          struct(lvl2.as("lvl"), trd2.as("trd"),
+            concat(slice(acc("s"), lit(1), acc("pos") - 1), array(sNew),
+              slice(acc("s"), acc("pos") + 1, lit(7) - acc("pos"))).as("s"),
+            ((acc("pos") % 7) + 1).as("pos"))
+        }))
+    st.select(col("event_type"), col("n_days"),
+        r4(col("fin")("lvl")).as("level"),
+        r4(col("fin")("trd")).as("trend"),
+        r4(element_at(col("fin")("s"), lit(1))).as("s1"),
+        r4(element_at(col("fin")("s"), lit(2))).as("s2"),
+        r4(element_at(col("fin")("s"), lit(3))).as("s3"),
+        r4(element_at(col("fin")("s"), lit(4))).as("s4"),
+        r4(element_at(col("fin")("s"), lit(5))).as("s5"),
+        r4(element_at(col("fin")("s"), lit(6))).as("s6"),
+        r4(element_at(col("fin")("s"), lit(7))).as("s7"),
+        r4(col("fin")("lvl") + col("fin")("trd") +
+          element_at(col("fin")("s"), col("fin")("pos"))).as("forecast_1d"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[qHoltWinters]]: the identical recurrence as a
+    * recursive CTE carrying the rotating 7-slot seasonal list, the l′
+    * subexpression repeated verbatim where the lambda reuses it (an
+    * identical IEEE tree evaluates identically, repeated or not). */
+  val holtWintersOracleSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |         CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      |           / 100.0 AS v
+      |  FROM events GROUP BY 1, 2),
+      |arr AS (SELECT event_type, list(v ORDER BY day) AS xs
+      |        FROM daily GROUP BY 1),
+      |base AS (
+      |  SELECT event_type, xs, CAST(len(xs) AS BIGINT) AS n,
+      |         xs[1]+xs[2]+xs[3]+xs[4]+xs[5]+xs[6]+xs[7] AS w1,
+      |         xs[8]+xs[9]+xs[10]+xs[11]+xs[12]+xs[13]+xs[14] AS w2
+      |  FROM arr WHERE len(xs) >= 15),
+      |init AS (
+      |  SELECT event_type, xs, n, w1 / 7.0 AS lvl, (w2 - w1) / 49.0 AS trd,
+      |         list_transform(xs[1:7], x -> x - w1 / 7.0) AS s
+      |  FROM base),
+      |r(event_type, xs, n, idx, lvl, trd, s, pos) AS (
+      |  SELECT event_type, xs, n, CAST(8 AS BIGINT), lvl, trd, s, 1 FROM init
+      |  UNION ALL
+      |  SELECT event_type, xs, n, idx + 1,
+      |         0.5 * (xs[idx] - s[pos]) + 0.5 * (lvl + trd),
+      |         0.25 * ((0.5 * (xs[idx] - s[pos]) + 0.5 * (lvl + trd)) - lvl)
+      |           + 0.75 * trd,
+      |         s[1:pos-1]
+      |           || [0.25 * (xs[idx]
+      |                - (0.5 * (xs[idx] - s[pos]) + 0.5 * (lvl + trd)))
+      |               + 0.75 * s[pos]]
+      |           || s[pos+1:7],
+      |         (pos % 7) + 1
+      |  FROM r WHERE idx <= n)
+      |SELECT event_type, n AS n_days,
+      |       FLOOR(lvl * 10000.0 + 0.5) / 10000.0 AS level,
+      |       FLOOR(trd * 10000.0 + 0.5) / 10000.0 AS trend,
+      |       FLOOR(s[1] * 10000.0 + 0.5) / 10000.0 AS s1,
+      |       FLOOR(s[2] * 10000.0 + 0.5) / 10000.0 AS s2,
+      |       FLOOR(s[3] * 10000.0 + 0.5) / 10000.0 AS s3,
+      |       FLOOR(s[4] * 10000.0 + 0.5) / 10000.0 AS s4,
+      |       FLOOR(s[5] * 10000.0 + 0.5) / 10000.0 AS s5,
+      |       FLOOR(s[6] * 10000.0 + 0.5) / 10000.0 AS s6,
+      |       FLOOR(s[7] * 10000.0 + 0.5) / 10000.0 AS s7,
+      |       FLOOR((lvl + trd + s[pos]) * 10000.0 + 0.5) / 10000.0
+      |         AS forecast_1d
+      |FROM r WHERE idx = n + 1 ORDER BY event_type""".stripMargin
 }

@@ -2381,4 +2381,84 @@ object TextOps {
       |       CAST(SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
       |       CAST(SUM(cnt) AS BIGINT) AS total_hits
       |FROM c GROUP BY term ORDER BY term""".stripMargin
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) — the
+    * graph-based ranker above frequency/RAKE: words vote for their
+    * co-occurrence neighbors, so a word adjacent to many WELL-CONNECTED
+    * words outranks a merely frequent one. Graph = adjacent-pair
+    * co-occurrences from the staged per-doc bigram table
+    * ([[docBigrams]] — one corpus tokenize shared with the LM family),
+    * content words approximated by length ≥ 4 (the paper's POS filter,
+    * lexicon-free), symmetrized with least/greatest canonicalization
+    * and edge weight = corpus pair count. TWO weighted power
+    * iterations in FIXED-POINT arithmetic: from WS⁰ = 10⁶ units,
+    * each node pushes (WS_u·w_uv) DIV strength_u per edge (integer
+    * division — exact, order-independent sums) and
+    * WS' = 150000 + (17·Σinflow) DIV 20 (d = 0.85 as the exact
+    * rational 17/20), so both engines land on identical longs with no
+    * normalization float anywhere. Bound: inflow ≤ deg_v·WS_max —
+    * ≤ ~2⁵⁰ even at a 10⁶-type vocabulary with hub degrees 10⁴.
+    * Distributed shape: everything after the bigram table is
+    * vocabulary-bounded (Heaps law) — two edge-join + aggregate
+    * rounds, the same shape a converged TextRank repeats; top-20
+    * under a (score, word) total order. */
+  def qTextrank(s: SparkSession, d: String): DataFrame = {
+    val und = docBigrams(s, d)
+      .filter(length(col("w1")) >= 4 && length(col("w2")) >= 4 &&
+        col("w1") =!= col("w2"))
+      .select(least(col("w1"), col("w2")).as("a"),
+        greatest(col("w1"), col("w2")).as("b"), col("cnt"))
+      .groupBy("a", "b").agg(sum("cnt").as("w"))
+    val edges = und.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .union(und.select(col("b").as("u"), col("a").as("v"), col("w")))
+    val strength = edges.groupBy("u").agg(sum("w").as("s_u"),
+      count(lit(1)).as("deg"))
+    def sweep(ws: DataFrame): DataFrame =
+      edges.join(strength.select("u", "s_u"), "u")
+        .join(ws.select(col("word").as("u"), col("ws")), "u")
+        .withColumn("contrib", expr("(ws * w) DIV s_u"))
+        .groupBy("v")
+        .agg(sum("contrib").as("inflow"))
+        .select(col("v").as("word"),
+          (lit(150000L) + expr("(17 * inflow) DIV 20")).as("ws"))
+    val ws0 = strength.select(col("u").as("word"), lit(1000000L).as("ws"))
+    val ws2 = sweep(sweep(ws0))
+    ws2.join(strength.select(col("u").as("word"), col("s_u"), col("deg")),
+        "word")
+      .select(col("word"), col("deg"), col("s_u").as("strength"),
+        col("ws").as("textrank_u"),
+        (col("ws").cast("double") / 1e6).as("textrank"))
+      .orderBy(col("ws").desc, col("word"))
+      .limit(20)
+  }
+
+  /** DuckDB oracle for [[qTextrank]]: rebuilds the symmetric
+    * co-occurrence graph from token arrays and replays both
+    * fixed-point sweeps with the identical integer divisions. */
+  val textrankOracleSql: String =
+    """WITH tok AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ts
+      |             FROM documents WHERE len(trim(text)) > 0),
+      |bp AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+      |       FROM tok, UNNEST(range(1, len(ts))) AS t(i)
+      |       WHERE len(ts[i]) >= 4 AND len(ts[i+1]) >= 4
+      |         AND ts[i] <> ts[i+1]),
+      |und AS (SELECT LEAST(w1, w2) AS a, GREATEST(w1, w2) AS b,
+      |               CAST(COUNT(*) AS BIGINT) AS w
+      |        FROM bp GROUP BY 1, 2),
+      |e AS (SELECT a AS u, b AS v, w FROM und
+      |      UNION ALL SELECT b AS u, a AS v, w FROM und),
+      |st AS (SELECT u, CAST(SUM(w) AS BIGINT) AS s_u,
+      |              CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+      |i1 AS (SELECT e.v AS word,
+      |              150000 + (17 * SUM((1000000 * e.w) // st.s_u)) // 20 AS ws
+      |       FROM e JOIN st ON st.u = e.u GROUP BY e.v),
+      |i2 AS (SELECT e.v AS word,
+      |              150000 + (17 * SUM((i1.ws * e.w) // st.s_u)) // 20 AS ws
+      |       FROM e JOIN st ON st.u = e.u JOIN i1 ON i1.word = e.u
+      |       GROUP BY e.v)
+      |SELECT i2.word, st.deg, st.s_u AS strength,
+      |       CAST(i2.ws AS BIGINT) AS textrank_u,
+      |       CAST(i2.ws AS DOUBLE) / 1e6 AS textrank
+      |FROM i2 JOIN st ON st.u = i2.word
+      |ORDER BY i2.ws DESC, i2.word LIMIT 20""".stripMargin
 }

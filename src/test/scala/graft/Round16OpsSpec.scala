@@ -87,6 +87,63 @@ class Round16OpsSpec extends SparkSuite {
     }
   }
 
+  test("q_textrank: top-20 content words, integral fixed-point scores, deterministic") {
+    val rows = graft.engine.TextOps.qTextrank(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[String]("word").length >= 4, "content-word filter leaked")
+      val u = r.getAs[Long]("textrank_u")
+      assert(u >= 150000L, "score floor is the (1-d) teleport mass")
+      assert(r.getAs[Double]("textrank") == u.toDouble / 1e6)
+      assert(r.getAs[Long]("strength") >= r.getAs[Long]("deg"),
+        "edge weights are >= 1 so strength >= degree")
+    }
+    val scores = rows.map(_.getAs[Long]("textrank_u"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val again = graft.engine.TextOps.qTextrank(spark, sf).collect()
+      .map(_.getAs[Long]("textrank_u"))
+    assert(scores.toSeq == again.toSeq, "fixed-point sweeps must be run-stable")
+  }
+
+  test("q_holt_winters: in-JVM replay of the triple-smoothing recurrence matches") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)")).as("cents"))
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .map { case (t, rs) =>
+        t -> rs.sortBy(_.getAs[java.sql.Date]("day").toString)
+          .map(_.getAs[Long]("cents").toDouble / 100.0)
+      }
+    def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val rows = StatsOps.qHoltWinters(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val xs = daily(r.getAs[String]("event_type"))
+      assert(xs.length >= 15 && xs.length == r.getAs[Long]("n_days"))
+      val w1 = xs.take(7).reduceLeft(_ + _)
+      val w2 = xs.slice(7, 14).reduceLeft(_ + _)
+      var lvl = w1 / 7.0; var trd = (w2 - w1) / 49.0
+      val s = xs.take(7).map(_ - lvl).toBuffer
+      var pos = 0
+      for (i <- 7 until xs.length) {
+        val v = xs(i); val sOld = s(pos)
+        val lvl2 = 0.5 * (v - sOld) + 0.5 * (lvl + trd)
+        val trd2 = 0.25 * (lvl2 - lvl) + 0.75 * trd
+        s(pos) = 0.25 * (v - lvl2) + 0.75 * sOld
+        lvl = lvl2; trd = trd2; pos = (pos + 1) % 7
+      }
+      assert(r.getAs[Double]("level") == r4(lvl), "level drifted from the replay")
+      assert(r.getAs[Double]("trend") == r4(trd), "trend drifted from the replay")
+      (1 to 7).foreach { k =>
+        assert(r.getAs[Double](s"s$k") == r4(s(k - 1)), s"seasonal slot $k drifted")
+      }
+      assert(r.getAs[Double]("forecast_1d") == r4(lvl + trd + s(pos)),
+        "forecast must be level + trend + next seasonal slot")
+    }
+  }
+
   test("q_als_step: covers exactly the customers with ordered lineitems") {
     import org.apache.spark.sql.functions._
     val n = MiningOps.qAlsStep(spark, sf).count()
