@@ -321,6 +321,8 @@ object SparkEntry {
     "q_als_step"           -> (MiningOps.qAlsStep _),
     "q_textrank"           -> ((s, dd) => TextOps.qTextrank(s, dd)),
     "q_holt_winters"       -> (StatsOps.qHoltWinters _),
+    "q_hilbert_layout"     -> (ScaleOps.qHilbertLayout _),
+    "q_rle_audit"          -> (ScaleOps.qRleAudit _),
     "q_winsorize"          -> (StatsOps.qWinsorize _),
     "q_oov_rate"           -> (CurationOps.qOovRate _),
     "q_negative_sample"    -> (CurationOps.qNegativeSample _),
@@ -1023,6 +1025,8 @@ object SparkEntry {
     "q_als_step" -> MiningOps.alsStepOracleSql,
     "q_textrank" -> TextOps.textrankOracleSql,
     "q_holt_winters" -> StatsOps.holtWintersOracleSql,
+    "q_hilbert_layout" -> ScaleOps.hilbertLayoutOracleSql,
+    "q_rle_audit" -> ScaleOps.rleAuditOracleSql,
     "q_blocklist_scan" -> TextOps.blocklistScanOracleSql,
     "q_gif_pixel_stats" -> MultimodalOps.gifPixelStatsOracleSql,
     "q_hll_union_md5" -> ScaleOps.hllUnionMd5OracleSql,

@@ -846,4 +846,229 @@ object ScaleOps {
       s.conf.set("graft.mv.base", "")
     }
   }
+
+  /** Run-length-encoding audit — the compression-planning measurement
+    * behind every "should we sort before writing?" layout decision:
+    * parquet's RLE/dictionary hybrid pays per RUN, and runs reset at
+    * row-group boundaries, so the faithful model is runs-per-block,
+    * not global runs. Rows land in write-order blocks
+    * (l_orderkey DIV 64 ≈ a row group) and each candidate column's
+    * run count is Σ over rows of "differs from the previous row in
+    * this block" under ONE shared within-block total order — the
+    * physical key columns first, then every measured column, so rows
+    * tied on the full ordering are identical in every measured column
+    * and the run count cannot depend on tie placement. The five flag
+    * columns come from one window pass (block-partitioned, ≤ ~450
+    * rows per partition — parallel across blocks, NO global sort),
+    * melted with stack() into the per-column report. rle_ratio =
+    * runs/rows is the direct "RLE pays off" signal (1.0 = every row
+    * a run, incompressible; low-cardinality flags ≪ 1). */
+  def qRleAudit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    val w = Window.partitionBy("blk").orderBy(ord.map(col): _*)
+    val measured = Seq("l_returnflag", "l_linestatus", "l_shipdate",
+      "l_quantity", "l_tax")
+    val flagged = measured.foldLeft(
+      Tables.lineitem(s, d).withColumn("blk", expr("l_orderkey DIV 64"))) {
+      case (df, c) =>
+        df.withColumn(s"f_$c",
+          when(lag(col(c), 1).over(w).isNull ||
+            col(c) =!= lag(col(c), 1).over(w), 1L).otherwise(0L))
+    }
+    val stacked = measured.map(c => s"'$c', f_$c").mkString(", ")
+    flagged
+      .select(col("blk"),
+        expr(s"stack(${measured.size}, $stacked) AS (col_name, run_start)"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("blk")).as("n_blocks"),
+        sum("run_start").as("n_runs"))
+      .withColumn("rle_ratio",
+        floor(col("n_runs").cast("double") * 10000.0 / col("n_rows") + 0.5)
+          / 10000.0)
+      .orderBy("col_name")
+  }
+
+  /** DuckDB oracle for [[qRleAudit]]: identical block-partitioned
+    * windows under the identical total order, melted by UNION ALL. */
+  lazy val rleAuditOracleSql: String = {
+    val ord = "l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+      "l_quantity, l_extendedprice, l_discount, l_tax, " +
+      "l_returnflag, l_linestatus, l_shipdate"
+    val measured = Seq("l_returnflag", "l_linestatus", "l_shipdate",
+      "l_quantity", "l_tax")
+    val flags = measured.map(c =>
+      s"CASE WHEN LAG($c) OVER (PARTITION BY blk ORDER BY $ord) IS NULL " +
+        s"OR $c <> LAG($c) OVER (PARTITION BY blk ORDER BY $ord) " +
+        s"THEN 1 ELSE 0 END AS f_$c").mkString(",\n|         ")
+    val arms = measured.map(c =>
+      s"SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        s"CAST(COUNT(DISTINCT blk) AS BIGINT) AS n_blocks, " +
+        s"CAST(SUM(f_$c) AS BIGINT) AS n_runs FROM fl")
+      .mkString("\n|  UNION ALL ")
+    s"""WITH b AS (SELECT *, l_orderkey // 64 AS blk FROM lineitem),
+       |fl AS (
+       |  SELECT blk,
+       |         $flags
+       |  FROM b),
+       |m AS (
+       |  $arms)
+       |SELECT col_name, n_rows, n_blocks, n_runs,
+       |       FLOOR(CAST(n_runs AS DOUBLE) * 10000.0 / n_rows + 0.5) / 10000.0
+       |         AS rle_ratio
+       |FROM m ORDER BY col_name""".stripMargin
+  }
+
+  /** Per-level SQL for the Hilbert xy→d walk (order = number of bit
+    * levels, grid 2^order × 2^order). ONE generator feeds BOTH the
+    * Spark projection chain and the DuckDB CTE chain, so the two
+    * engines cannot drift on a reflection or a quadrant constant —
+    * the q_geohash_encode discipline. Each level extracts the
+    * quadrant bits (rx, ry), adds s²·((3rx)⊻ry) — written as the
+    * CASE `rx=1 ? 3−ry : ry` because `^` means POWER in DuckDB —
+    * then STRIPS the level bit (x & (s−1); the textbook C version
+    * reflects unstripped coordinates and relies on masking at the
+    * next `& s`, which a negative intermediate would corrupt in
+    * two's-complement SQL) and applies the quadrant transform:
+    * ry=0 swaps axes, rx=1 additionally reflects both within the
+    * s×s subsquare. Only +,−,&,CASE — portable, codegen-friendly. */
+  private[graft] def hilbertLevelSql(order: Int): Seq[(Seq[String], Seq[String])] =
+    (0 until order).map { i =>
+      val s = 1 << (order - 1 - i)
+      val a = Seq(
+        s"CASE WHEN (x$i & $s) > 0 THEN 1 ELSE 0 END AS rx$i",
+        s"CASE WHEN (y$i & $s) > 0 THEN 1 ELSE 0 END AS ry$i",
+        s"(x$i & ${s - 1}) AS xs$i",
+        s"(y$i & ${s - 1}) AS ys$i")
+      val b = Seq(
+        s"(d$i + ${s.toLong * s} * (CASE WHEN rx$i = 1 THEN 3 - ry$i ELSE ry$i END)) AS d${i + 1}",
+        s"(CASE WHEN ry$i = 0 THEN (CASE WHEN rx$i = 1 THEN ${s - 1} - ys$i ELSE ys$i END) ELSE xs$i END) AS x${i + 1}",
+        s"(CASE WHEN ry$i = 0 THEN (CASE WHEN rx$i = 1 THEN ${s - 1} - xs$i ELSE xs$i END) ELSE ys$i END) AS y${i + 1}")
+      (a, b)
+    }
+
+  /** Apply the generated Hilbert walk to a frame carrying x0/y0/d0. */
+  private[graft] def hilbertApply(df: DataFrame, order: Int): DataFrame =
+    hilbertLevelSql(order).foldLeft(df) { case (acc, (a, b)) =>
+      acc.selectExpr("*" +: a: _*).selectExpr("*" +: b: _*)
+    }
+
+  /** Hilbert-curve layout audit — the head-to-head against
+    * [[qZorderLayout]] that decides which space-filling curve a
+    * 100 TB table is clustered by. Same 256×256 (orderkey, partkey)
+    * bucketing; each populated CELL gets both its Morton z-value and
+    * its order-8 Hilbert index (generated walk, [[hilbertLevelSql]]).
+    * Two readouts per curve, both on the ≤ 65536-row distinct-cell
+    * table (bounded by the GRID, not the corpus — the qSkyline
+    * single-window precedent, documented):
+    * (1) jump locality — Σ and max of the L1 distance between
+    *     curve-consecutive populated cells, plus the share of unit
+    *     steps: Hilbert's defining property is that EVERY dense step
+    *     is a grid neighbor, where Morton takes diagonal leaps at
+    *     every tile boundary; this is the metric that predicts scan
+    *     cache behavior.
+    * (2) range bboxes over DELIBERATELY unaligned 1000-cell ranges —
+    *     power-of-4-aligned ranges (e.g. 1024) tile BOTH curves into
+    *     perfect 32×32 squares and the comparison degenerates
+    *     (measured: identical 65536 totals at DIV 1024); unaligned
+    *     ranges straddle tile boundaries, where Morton's bbox blows
+    *     up and Hilbert's stays compact.
+    * Exact integer areas/jumps end to end. */
+  def qHilbertLayout(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, d)
+    val mx = li.agg((max("l_orderkey") + 1).as("mo"), (max("l_partkey") + 1).as("mp"))
+    val base = li.crossJoin(broadcast(mx))
+      .select(expr("(l_orderkey * 256) DIV mo").as("x"),
+        expr("(l_partkey * 256) DIV mp").as("y"))
+      .distinct()
+      .withColumn("zval", spread8(col("x"))
+        .bitwiseOR(shiftleft(spread8(col("y")), 1)))
+      .withColumn("x0", col("x")).withColumn("y0", col("y"))
+      .withColumn("d0", lit(0L))
+    val hv = hilbertApply(base, 8).withColumn("hval", col("d8"))
+      .select("x", "y", "zval", "hval").localCheckpoint(true)
+    def rollup(curve: String, v: String): DataFrame = {
+      val w = Window.orderBy(col(v))
+      val jumps = hv
+        .withColumn("jump",
+          abs(col("x") - lag("x", 1).over(w)) +
+            abs(col("y") - lag("y", 1).over(w)))
+        .filter(col("jump").isNotNull)
+        .agg(
+          (count(lit(1)) + 1L).as("n_cells"),
+          sum("jump").as("total_jump"),
+          max("jump").as("max_jump"),
+          (floor(sum(when(col("jump") === 1L, 1L).otherwise(0L))
+            .cast("double") * 10000.0 / count(lit(1)) + 0.5) / 10000.0)
+            .as("unit_step_share"))
+      val bbox = hv.groupBy(expr(s"$v DIV 1000").as("rng"))
+        .agg(min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .agg(
+          sum((col("max_x") - col("min_x") + 1L) *
+            (col("max_y") - col("min_y") + 1L)).as("sum_bbox_area"),
+          max((col("max_x") - col("min_x") + 1L) *
+            (col("max_y") - col("min_y") + 1L)).as("max_bbox_area"))
+      jumps.crossJoin(bbox)
+        .select(lit(curve).as("curve"), col("n_cells"), col("total_jump"),
+          col("max_jump"), col("unit_step_share"),
+          col("sum_bbox_area"), col("max_bbox_area"))
+    }
+    rollup("hilbert", "hval")
+      .unionAll(rollup("zorder", "zval"))
+      .orderBy("curve")
+  }
+
+  /** DuckDB oracle for [[qHilbertLayout]]: the z-value via the same
+    * shift-mask spreads as q_zorder_layout's oracle and the Hilbert
+    * walk via the SAME generated per-level SQL, chained as CTEs. */
+  lazy val hilbertLayoutOracleSql: String = {
+    val levels = hilbertLevelSql(8).zipWithIndex.map { case ((a, b), i) =>
+      val prev = if (i == 0) "base" else s"h${i - 1}b"
+      s"h${i}a AS (SELECT *, ${a.mkString(", ")} FROM $prev),\n" +
+        s"h${i}b AS (SELECT *, ${b.mkString(", ")} FROM h${i}a)"
+    }.mkString(",\n")
+    def arm(curve: String, v: String): String =
+      s"""  SELECT '$curve' AS curve,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM vals) AS n_cells,
+         |    (SELECT CAST(SUM(jump) AS BIGINT) FROM
+         |       (SELECT ABS(x - LAG(x) OVER (ORDER BY $v))
+         |             + ABS(y - LAG(y) OVER (ORDER BY $v)) AS jump FROM vals)
+         |     WHERE jump IS NOT NULL) AS total_jump,
+         |    (SELECT CAST(MAX(jump) AS BIGINT) FROM
+         |       (SELECT ABS(x - LAG(x) OVER (ORDER BY $v))
+         |             + ABS(y - LAG(y) OVER (ORDER BY $v)) AS jump FROM vals)
+         |     WHERE jump IS NOT NULL) AS max_jump,
+         |    (SELECT FLOOR(CAST(SUM(CASE WHEN jump = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |             * 10000.0 / COUNT(*) + 0.5) / 10000.0 FROM
+         |       (SELECT ABS(x - LAG(x) OVER (ORDER BY $v))
+         |             + ABS(y - LAG(y) OVER (ORDER BY $v)) AS jump FROM vals)
+         |     WHERE jump IS NOT NULL) AS unit_step_share,
+         |    (SELECT CAST(SUM((max_x - min_x + 1) * (max_y - min_y + 1)) AS BIGINT) FROM
+         |       (SELECT MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+         |        FROM vals GROUP BY $v // 1000)) AS sum_bbox_area,
+         |    (SELECT CAST(MAX((max_x - min_x + 1) * (max_y - min_y + 1)) AS BIGINT) FROM
+         |       (SELECT MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+         |        FROM vals GROUP BY $v // 1000)) AS max_bbox_area""".stripMargin
+    s"""WITH mx AS (SELECT MAX(l_orderkey) + 1 AS mo, MAX(l_partkey) + 1 AS mp FROM lineitem),
+       |pre AS (
+       |  SELECT DISTINCT (l_orderkey * 256) // mo AS x, (l_partkey * 256) // mp AS y
+       |  FROM lineitem CROSS JOIN mx),
+       |sp1 AS (SELECT *, ((x | (x << 4)) & 3855) AS x1m, ((y | (y << 4)) & 3855) AS y1m FROM pre),
+       |sp2 AS (SELECT *, ((x1m | (x1m << 2)) & 13107) AS x2m, ((y1m | (y1m << 2)) & 13107) AS y2m FROM sp1),
+       |base AS (SELECT x, y,
+       |    (((x2m | (x2m << 1)) & 21845) | ((((y2m | (y2m << 1)) & 21845)) << 1)) AS zval,
+       |    x AS x0, y AS y0, CAST(0 AS BIGINT) AS d0 FROM sp2),
+       |$levels,
+       |vals AS (SELECT x, y, zval, d8 AS hval FROM h7b)
+       |SELECT * FROM (
+       |${arm("hilbert", "hval")}
+       |  UNION ALL
+       |${arm("zorder", "zval")})
+       |ORDER BY curve""".stripMargin
+  }
 }

@@ -144,6 +144,59 @@ class Round16OpsSpec extends SparkSuite {
     }
   }
 
+  test("hilbert generator: order-4 walk is a bijection with unit-step adjacency") {
+    import org.apache.spark.sql.functions._
+    // A dense 16x16 grid through the SAME generated SQL the query and
+    // oracle share: d must be a bijection of 0..255 and every
+    // consecutive pair of cells must be grid neighbors (L1 distance
+    // exactly 1) — the property that DEFINES a Hilbert curve and that
+    // z-order provably lacks.
+    val grid = spark.range(256)
+      .selectExpr("CAST(id % 16 AS BIGINT) AS x0",
+        "CAST(id DIV 16 AS BIGINT) AS y0", "CAST(0 AS BIGINT) AS d0",
+        "CAST(id % 16 AS BIGINT) AS gx", "CAST(id DIV 16 AS BIGINT) AS gy")
+    val walked = graft.engine.ScaleOps.hilbertApply(grid, 4)
+      .select(col("d4").cast("long"), col("gx"), col("gy"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(walked.map(_._1).sorted.toSeq == (0L until 256L).toSeq,
+      "order-4 Hilbert index must be a bijection of 0..255")
+    val byD = walked.sortBy(_._1)
+    byD.zip(byD.tail).foreach { case ((_, x1, y1), (d, x2, y2)) =>
+      assert(math.abs(x2 - x1) + math.abs(y2 - y1) == 1,
+        s"step into d=$d jumps more than one cell: ($x1,$y1)->($x2,$y2)")
+    }
+  }
+
+  test("q_hilbert_layout: hilbert dominates zorder on every locality metric") {
+    val rows = graft.engine.ScaleOps.qHilbertLayout(spark, sf).collect()
+      .map(r => r.getAs[String]("curve") -> r).toMap
+    val (h, z) = (rows("hilbert"), rows("zorder"))
+    assert(h.getAs[Long]("n_cells") == z.getAs[Long]("n_cells"))
+    assert(h.getAs[Long]("total_jump") < z.getAs[Long]("total_jump"),
+      "hilbert must have strictly less total curve jump than morton")
+    assert(h.getAs[Long]("max_jump") <= z.getAs[Long]("max_jump"))
+    assert(h.getAs[Double]("unit_step_share") > z.getAs[Double]("unit_step_share"))
+    assert(h.getAs[Long]("sum_bbox_area") < z.getAs[Long]("sum_bbox_area"),
+      "unaligned-range bboxes must be tighter under hilbert")
+  }
+
+  test("q_rle_audit: run counts bracketed, blocks shared, cardinality orders ratios") {
+    val rows = graft.engine.ScaleOps.qRleAudit(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(rows.size == 5)
+    val blocks = rows.values.map(_.getAs[Long]("n_blocks")).toSet
+    assert(blocks.size == 1, "every column sees the same physical blocks")
+    rows.values.foreach { r =>
+      val (nr, nb, runs) = (r.getAs[Long]("n_rows"), r.getAs[Long]("n_blocks"),
+        r.getAs[Long]("n_runs"))
+      assert(runs >= nb && runs <= nr,
+        "each block starts a run; a run needs at least one row")
+    }
+    assert(rows("l_returnflag").getAs[Double]("rle_ratio") <
+      rows("l_quantity").getAs[Double]("rle_ratio"),
+      "a 3-value flag must RLE-compress better than a ~50-value measure")
+  }
+
   test("q_als_step: covers exactly the customers with ordered lineitems") {
     import org.apache.spark.sql.functions._
     val n = MiningOps.qAlsStep(spark, sf).count()
