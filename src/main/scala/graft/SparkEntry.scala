@@ -323,6 +323,8 @@ object SparkEntry {
     "q_holt_winters"       -> (StatsOps.qHoltWinters _),
     "q_hilbert_layout"     -> (ScaleOps.qHilbertLayout _),
     "q_rle_audit"          -> (ScaleOps.qRleAudit _),
+    "q_assoc_rules"        -> (RelationalExt.qAssocRules _),
+    "q_front_coding"       -> ((s, dd) => TextOps.qFrontCoding(s, dd)),
     "q_winsorize"          -> (StatsOps.qWinsorize _),
     "q_oov_rate"           -> (CurationOps.qOovRate _),
     "q_negative_sample"    -> (CurationOps.qNegativeSample _),
@@ -1027,6 +1029,8 @@ object SparkEntry {
     "q_holt_winters" -> StatsOps.holtWintersOracleSql,
     "q_hilbert_layout" -> ScaleOps.hilbertLayoutOracleSql,
     "q_rle_audit" -> ScaleOps.rleAuditOracleSql,
+    "q_assoc_rules" -> RelationalExt.assocRulesOracleSql,
+    "q_front_coding" -> TextOps.frontCodingOracleSql,
     "q_blocklist_scan" -> TextOps.blocklistScanOracleSql,
     "q_gif_pixel_stats" -> MultimodalOps.gifPixelStatsOracleSql,
     "q_hll_union_md5" -> ScaleOps.hllUnionMd5OracleSql,

@@ -81,6 +81,76 @@ object RelationalExt {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderstatus")
 
+  /** Association rules (Agrawal & Srikant 1994) over the co-purchase
+    * baskets — the rule-mining semantics the basket family's counts
+    * ([[qCopurchase]]) and similarities ([[qItemSim]]) stop short of:
+    * every frequent pair (support ≥ 3) yields BOTH directed rules
+    * A→B and B→A, scored with confidence n_AB/n_A and lift
+    * n_AB·N/(n_A·n_B) — the same-numbers-different-questions trio
+    * (how often together / how reliably A implies B / how far above
+    * independence). Supports and pair counts come from the staged
+    * basket table (map-side C(k,2) fan-out, [[MaxBasketSize]] skew
+    * valve); the rule table is pair-bounded, the two support joins
+    * are vocabulary-sized, and the basket total is a broadcast
+    * 1-row aggregate. Confidence/lift are quantized from identical
+    * left-assoc IEEE expressions (products ≤ ~2⁴¹, exact in double);
+    * the top-40 ordering (lift, confidence, antecedent, consequent)
+    * is total because (ante, cons) is unique per direction. */
+  def qAssocRules(s: SparkSession, d: String): DataFrame = {
+    val b = baskets(s, d)
+    val nB = b.agg(count(lit(1)).as("n_baskets"))
+    val supp = b.select(explode(col("ps")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("n_item"))
+    val pairs = pairSupport(s, d).filter(col("n") >= 3)
+    val both = pairs.select(col("pa").as("ante"), col("pb").as("cons"), col("n"))
+      .union(pairs.select(col("pb").as("ante"), col("pa").as("cons"), col("n")))
+    both
+      .join(supp.select(col("pk").as("ante"), col("n_item").as("n_ante")), "ante")
+      .join(supp.select(col("pk").as("cons"), col("n_item").as("n_cons")), "cons")
+      .crossJoin(broadcast(nB))
+      .withColumn("confidence",
+        floor(col("n").cast("double") * 10000.0 / col("n_ante") + 0.5) / 10000.0)
+      .withColumn("lift",
+        floor(col("n").cast("double") * col("n_baskets") * 10000.0 /
+          (col("n_ante") * col("n_cons")) + 0.5) / 10000.0)
+      .select(col("ante").as("antecedent"), col("cons").as("consequent"),
+        col("n").as("n_both"), col("n_ante"), col("n_cons"),
+        col("n_baskets"), col("confidence"), col("lift"))
+      .orderBy(col("lift").desc, col("confidence").desc,
+        col("antecedent"), col("consequent"))
+      .limit(40)
+  }
+
+  /** DuckDB oracle for [[qAssocRules]]: baskets replayed as the
+    * bounded distinct-pair self-join, identical quantized scoring. */
+  val assocRulesOracleSql: String =
+    """WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |li AS (SELECT l_orderkey, l_partkey FROM
+      |         (SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS bsz FROM li0)
+      |       WHERE bsz BETWEEN 2 AND 120),
+      |nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM li),
+      |supp AS (SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS n_item
+      |         FROM li GROUP BY 1),
+      |pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+      |              CAST(COUNT(*) AS BIGINT) AS n
+      |       FROM li a JOIN li b
+      |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |       GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |rr AS (SELECT pa AS ante, pb AS cons, n FROM pr
+      |       UNION ALL SELECT pb AS ante, pa AS cons, n FROM pr)
+      |SELECT rr.ante AS antecedent, rr.cons AS consequent,
+      |       n AS n_both, sa.n_item AS n_ante, sc.n_item AS n_cons,
+      |       nb.n_baskets,
+      |       FLOOR(CAST(n AS DOUBLE) * 10000.0 / sa.n_item + 0.5) / 10000.0
+      |         AS confidence,
+      |       FLOOR(CAST(n AS DOUBLE) * nb.n_baskets * 10000.0
+      |             / (sa.n_item * sc.n_item) + 0.5) / 10000.0 AS lift
+      |FROM rr JOIN supp sa ON sa.pk = rr.ante
+      |JOIN supp sc ON sc.pk = rr.cons
+      |CROSS JOIN nb
+      |ORDER BY lift DESC, confidence DESC, antecedent, consequent
+      |LIMIT 40""".stripMargin
+
   /** Market-basket co-purchase mining: part pairs appearing in the
     * same order. The pair generation is blocked by order — each order
     * holds ~4 line items, so the fan-out is Σ C(k,2) per order

@@ -2382,6 +2382,84 @@ object TextOps {
       |       CAST(SUM(cnt) AS BIGINT) AS total_hits
       |FROM c GROUP BY term ORDER BY term""".stripMargin
 
+  /** Common-prefix length as generated SQL — prefix equality is
+    * monotone (substr(a,1,k) = substr(b,1,k) implies equality at every
+    * j < k, and can never hold past a difference for DISTINCT strings),
+    * so cpl = Σ_{k=1..30} [prefixes of length k equal]. One generator
+    * feeds both engines; 30 caps the shared prefix (vocab words beyond
+    * 30 identical chars would undercount — document-corpus tokens top
+    * out far below). */
+  private def cplSql(a: String, b: String): String =
+    (1 to 30).map(k =>
+      s"(CASE WHEN substr($a, 1, $k) = substr($b, 1, $k) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
+  /** Front-coded term-dictionary audit (the Lucene/RocksDB prefix
+    * compression every sorted string dictionary ships with): within
+    * each first-letter partition of the vocabulary, consecutive sorted
+    * terms share a measured common prefix and a front-coded entry
+    * stores only (prefix-len, suffix-len, suffix chars) = len − cpl + 2
+    * cost units, with a full restart entry (len + 1) every 16 terms so
+    * point lookups stay O(block) — the exact layout trade a terms
+    * dictionary tunes. Char-cost model (multi-byte chars count 1 on
+    * both engines — the COMPARISON is the point, not absolute bytes).
+    * Everything after the vocabulary aggregate is Heaps-law-bounded;
+    * the windows are letter-partitioned (no global sort), and the cpl
+    * is the generated monotone-prefix sum ([[cplSql]]) — identical
+    * integer arithmetic in both engines. */
+  def qFrontCoding(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("letter").orderBy("w")
+    documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("letter", substring(col("w"), 1, 1))
+      .withColumn("prev", lag("w", 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cpl", when(col("prev").isNull, 0L)
+        .otherwise(expr(s"CAST(${cplSql("prev", "w")} AS BIGINT)")))
+      .withColumn("fbytes",
+        when((col("rn") - 1) % 16 === 0, length(col("w")).cast("long") + 1L)
+          .otherwise(length(col("w")).cast("long") - col("cpl") + 2L))
+      .groupBy("letter")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long") + 1L).as("plain_bytes"),
+        sum("fbytes").as("front_bytes"),
+        sum("cpl").as("shared_chars"))
+      .withColumn("ratio",
+        floor(col("front_bytes").cast("double") * 10000.0 /
+          col("plain_bytes") + 0.5) / 10000.0)
+      .orderBy("letter")
+  }
+
+  /** DuckDB oracle for [[qFrontCoding]]: identical letter-partitioned
+    * windows and the same generated prefix sum. */
+  lazy val frontCodingOracleSql: String =
+    s"""WITH tok AS (SELECT UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |             FROM documents),
+       |v AS (SELECT w, COUNT(*) AS freq FROM tok WHERE len(w) > 0 GROUP BY 1),
+       |fc AS (SELECT w, substr(w, 1, 1) AS letter,
+       |         LAG(w) OVER (PARTITION BY substr(w, 1, 1) ORDER BY w) AS prev,
+       |         ROW_NUMBER() OVER (PARTITION BY substr(w, 1, 1) ORDER BY w) AS rn
+       |       FROM v),
+       |c AS (SELECT *, CASE WHEN prev IS NULL THEN 0
+       |                     ELSE ${cplSql("prev", "w")} END AS cpl FROM fc),
+       |m AS (SELECT letter, COUNT(*) AS n_words,
+       |        SUM(len(w) + 1) AS plain_bytes,
+       |        SUM(CASE WHEN (rn - 1) % 16 = 0 THEN len(w) + 1
+       |                 ELSE len(w) - cpl + 2 END) AS front_bytes,
+       |        SUM(cpl) AS shared_chars
+       |      FROM c GROUP BY 1)
+       |SELECT letter, CAST(n_words AS BIGINT) AS n_words,
+       |       CAST(plain_bytes AS BIGINT) AS plain_bytes,
+       |       CAST(front_bytes AS BIGINT) AS front_bytes,
+       |       CAST(shared_chars AS BIGINT) AS shared_chars,
+       |       FLOOR(CAST(front_bytes AS DOUBLE) * 10000.0 / plain_bytes + 0.5)
+       |         / 10000.0 AS ratio
+       |FROM m ORDER BY letter""".stripMargin
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004) — the
     * graph-based ranker above frequency/RAKE: words vote for their
     * co-occurrence neighbors, so a word adjacent to many WELL-CONNECTED

@@ -197,6 +197,60 @@ class Round16OpsSpec extends SparkSuite {
       "a 3-value flag must RLE-compress better than a ~50-value measure")
   }
 
+  test("q_assoc_rules: directional pairs share lift, confidence bounded by support algebra") {
+    val rows = graft.engine.RelationalExt.qAssocRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, na, nc) = (r.getAs[Long]("n_both"), r.getAs[Long]("n_ante"),
+        r.getAs[Long]("n_cons"))
+      assert(n >= 3L, "support threshold must hold")
+      assert(n <= na && n <= nc, "joint support cannot exceed a marginal")
+      val conf = r.getAs[Double]("confidence")
+      assert(conf == math.floor(n.toDouble * 10000.0 / na + 0.5) / 10000.0)
+      assert(conf > 0.0 && conf <= 1.0)
+      assert(r.getAs[Double]("lift") > 0.0)
+    }
+    // A->B and B->A derive from the same unordered pair: if both made
+    // the top-40, their lifts are the identical quantized rational.
+    rows.groupBy(r => {
+      val (a, b) = (r.getAs[Long]("antecedent"), r.getAs[Long]("consequent"))
+      (math.min(a, b), math.max(a, b))
+    }).values.filter(_.length == 2).foreach { pair =>
+      assert(pair(0).getAs[Double]("lift") == pair(1).getAs[Double]("lift"),
+        "lift is symmetric in the rule direction")
+    }
+  }
+
+  test("q_front_coding: in-JVM replay of the blocked prefix layout matches exactly") {
+    import org.apache.spark.sql.functions._
+    val vocab = graft.engine.Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select("w").distinct().collect().map(_.getString(0))
+    def cpl(a: String, b: String): Long =
+      (1 to 30).count(k => a.take(k) == b.take(k)).toLong
+    val expected = vocab.groupBy(_.substring(0, 1)).map { case (letter, ws) =>
+      val sorted = ws.sorted
+      var (plain, front, shared) = (0L, 0L, 0L)
+      sorted.zipWithIndex.foreach { case (w, i) =>
+        plain += w.length + 1
+        val c = if (i == 0) 0L else cpl(sorted(i - 1), w)
+        shared += c
+        front += (if (i % 16 == 0) w.length + 1L else w.length - c + 2L)
+      }
+      letter -> (sorted.length.toLong, plain, front, shared)
+    }
+    val rows = graft.engine.TextOps.qFrontCoding(spark, sf).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, p, f, sh) = expected(r.getAs[String]("letter"))
+      assert(r.getAs[Long]("n_words") == n)
+      assert(r.getAs[Long]("plain_bytes") == p, "plain cost drifted")
+      assert(r.getAs[Long]("front_bytes") == f, "front-coded cost drifted")
+      assert(r.getAs[Long]("shared_chars") == sh, "prefix sum drifted")
+    }
+  }
+
   test("q_als_step: covers exactly the customers with ordered lineitems") {
     import org.apache.spark.sql.functions._
     val n = MiningOps.qAlsStep(spark, sf).count()
