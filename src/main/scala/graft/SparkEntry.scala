@@ -325,6 +325,8 @@ object SparkEntry {
     "q_rle_audit"          -> (ScaleOps.qRleAudit _),
     "q_assoc_rules"        -> (RelationalExt.qAssocRules _),
     "q_front_coding"       -> ((s, dd) => TextOps.qFrontCoding(s, dd)),
+    "q_kruskal_wallis"     -> (MiningOps.qKruskalWallis _),
+    "q_soundex_blocking"   -> (MiningOps.qSoundexBlocking _),
     "q_winsorize"          -> (StatsOps.qWinsorize _),
     "q_oov_rate"           -> (CurationOps.qOovRate _),
     "q_negative_sample"    -> (CurationOps.qNegativeSample _),
@@ -1031,6 +1033,8 @@ object SparkEntry {
     "q_rle_audit" -> ScaleOps.rleAuditOracleSql,
     "q_assoc_rules" -> RelationalExt.assocRulesOracleSql,
     "q_front_coding" -> TextOps.frontCodingOracleSql,
+    "q_kruskal_wallis" -> MiningOps.kruskalWallisOracleSql,
+    "q_soundex_blocking" -> MiningOps.soundexBlockingOracleSql,
     "q_blocklist_scan" -> TextOps.blocklistScanOracleSql,
     "q_gif_pixel_stats" -> MultimodalOps.gifPixelStatsOracleSql,
     "q_hll_union_md5" -> ScaleOps.hllUnionMd5OracleSql,

@@ -374,6 +374,131 @@ object MiningOps {
       .orderBy("status", "yr")
   }
 
+  /** The TPC-H order priorities, in fixture spelling — the fixed
+    * k=5 group set [[qKruskalWallis]] pivots onto. */
+  private val kwPrios =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** Per-group H-statistic term Σ T_g²/n_g written on DOUBLED rank
+    * sums (T_g = d_g/2, so T_g²/n_g = d_g²/(4n_g)) as ONE generated
+    * fixed-order left-assoc chain — an aggregate SUM of doubles would
+    * add in partition order and the two engines could round
+    * differently; a written chain over the pivoted columns evaluates
+    * the identical IEEE tree in both. The d²-scale product is the
+    * documented never-square-a-long-sum case: CAST(d AS DOUBLE) * d
+    * (operands < 2⁵³ convert exactly at any tested SF; above, both
+    * engines round bigint→double to nearest identically). Double
+    * literals carry E0 throughout the shared generators: Spark's
+    * expr() parses a bare `12.0` as DECIMAL(3,1) (poisoning the whole
+    * tree to decimal) while DuckDB reads it as DOUBLE — `12.0E0` is
+    * DOUBLE in both. */
+  private def kwSumTermSql(k: Int): String =
+    (0 until k).map(i =>
+      s"(CASE WHEN n$i > 0 THEN CAST(d$i AS DOUBLE) * d$i / (4.0E0 * n$i) " +
+        s"ELSE 0.0E0 END)").mkString(" + ")
+
+  /** Non-empty-group count over the pivoted columns, both engines. */
+  private def kwKGroupsSql(k: Int): String =
+    "CAST(" + (0 until k).map(i =>
+      s"(CASE WHEN n$i > 0 THEN 1 ELSE 0 END)").mkString(" + ") +
+      " AS BIGINT)"
+
+  /** Tie-corrected H, quantized: H = [12/(N(N+1))·Σ T_g²/n_g −
+    * 3(N+1)] / [1 − Σ(t³−t)/(N³−N)]. N³ would wrap BIGINT at
+    * N ≈ 2.1M rows per stratum, so the correction denominator is
+    * the double chain CAST(n AS DOUBLE)·n·n − n on both engines. */
+  private val kwHSql: String =
+    "floor((12.0E0 * sumterm / CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) + 1.0E0)" +
+      " - 3.0E0 * (CAST(n AS DOUBLE) + 1.0E0))" +
+      " / (1.0E0 - CAST(tsum AS DOUBLE)" +
+      " / (CAST(n AS DOUBLE) * n * n - n)) * 10000.0E0 + 0.5E0) / 10000.0E0"
+
+  /** Kruskal–Wallis H per order-year stratum: do the five order
+    * priorities draw total price from the same distribution — the
+    * k-group nonparametric rank test completing the in-house ladder
+    * (parametric [[qAnova]]-style F, two-group [[qMannWhitney]], now
+    * k-group ranks). The rank machinery NEVER sorts the fact table:
+    * doubled average ranks come from the value-domain histogram —
+    * per-(yr, cent) tie counts, a cumulative window over DISTINCT
+    * cent values (bounded by the price domain, not the corpus — the
+    * q_equiheight_hist discipline), and the exact integer identity
+    * 2·r̄(c) = 2·cum_before(c) + t(c) + 1, so every rank sum d_g is
+    * an exact long under arbitrary ties (Σ_g d_g = N(N+1) exactly —
+    * spec-pinned). Groups pivot onto fixed columns so the only float
+    * arithmetic is a generated fixed-order chain ([[kwSumTermSql]])
+    * evaluated identically by both engines. Overflow bounds: d_g ≤
+    * n_g·(2N+1) wraps only past N ≈ 2.1e9 rows in ONE year stratum;
+    * t³ is the [[qMannWhitney]] documented bound (a single exact
+    * cent price repeated >2.09M times in a stratum). */
+  def qKruskalWallis(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d).select(
+      year(col("o_orderdate")).cast("int").as("yr"),
+      col("o_orderpriority").as("grp"),
+      floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"))
+    val cell = base.groupBy("yr", "c", "grp").agg(count(lit(1)).as("t"))
+    val tc = cell.groupBy("yr", "c").agg(sum("t").as("tcnt"))
+    val tcw = tc.withColumn("cumb",
+      sum("tcnt").over(Window.partitionBy("yr").orderBy("c")) - col("tcnt"))
+    val contrib = cell.join(tcw, Seq("yr", "c"))
+      .withColumn("dr",
+        col("t") * (lit(2L) * col("cumb") + col("tcnt") + 1L))
+    val pivCols = kwPrios.zipWithIndex.flatMap { case (p, i) =>
+      Seq(sum(when(col("grp") === p, col("dr")).otherwise(0L)).as(s"d$i"),
+        sum(when(col("grp") === p, col("t")).otherwise(0L)).as(s"n$i"))
+    }
+    val piv = contrib.groupBy("yr").agg(pivCols.head, pivCols.tail: _*)
+    val ties = tc.groupBy("yr")
+      .agg(sum(expr("tcnt * tcnt * tcnt - tcnt")).as("tsum"),
+        sum("tcnt").as("n"))
+    piv.join(ties, "yr")
+      .filter(col("n") >= 50L)
+      .filter(col("tsum").cast("double") <
+        col("n").cast("double") * col("n") * col("n") - col("n"))
+      .withColumn("sumterm", expr(kwSumTermSql(kwPrios.size)))
+      .withColumn("k_groups", expr(kwKGroupsSql(kwPrios.size)))
+      .withColumn("h", expr(kwHSql))
+      .select("yr", "n", "k_groups", "tsum", "h")
+      .orderBy("yr")
+  }
+
+  /** DuckDB oracle for [[qKruskalWallis]]: identical histogram-rank
+    * decomposition, with the pivoted term chain / k-group count / H
+    * emitted by the SAME generators the Spark plan evaluates. */
+  lazy val kruskalWallisOracleSql: String = {
+    val pivSelect = kwPrios.zipWithIndex.flatMap { case (p, i) =>
+      Seq(s"SUM(CASE WHEN grp = '$p' THEN dr ELSE 0 END) AS d$i",
+        s"SUM(CASE WHEN grp = '$p' THEN t ELSE 0 END) AS n$i")
+    }.mkString(", ")
+    s"""WITH base AS (SELECT
+       |    CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS yr,
+       |    o_orderpriority AS grp,
+       |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+       |  FROM orders),
+       |cell AS (SELECT yr, c, grp, CAST(COUNT(*) AS BIGINT) AS t
+       |         FROM base GROUP BY 1, 2, 3),
+       |tc AS (SELECT yr, c, CAST(SUM(t) AS BIGINT) AS tcnt
+       |       FROM cell GROUP BY 1, 2),
+       |tcw AS (SELECT yr, c, tcnt,
+       |    CAST(SUM(tcnt) OVER (PARTITION BY yr ORDER BY c) - tcnt AS BIGINT)
+       |      AS cumb FROM tc),
+       |con AS (SELECT cell.yr, cell.grp, cell.t,
+       |    cell.t * (2 * w.cumb + w.tcnt + 1) AS dr
+       |  FROM cell JOIN tcw w ON cell.yr = w.yr AND cell.c = w.c),
+       |piv AS (SELECT yr, $pivSelect FROM con GROUP BY 1),
+       |ties AS (SELECT yr,
+       |    CAST(SUM(tcnt * tcnt * tcnt - tcnt) AS BIGINT) AS tsum,
+       |    CAST(SUM(tcnt) AS BIGINT) AS n FROM tc GROUP BY 1),
+       |j AS (SELECT piv.*, ties.tsum, ties.n
+       |  FROM piv JOIN ties USING (yr)
+       |  WHERE ties.n >= 50
+       |    AND CAST(tsum AS DOUBLE) <
+       |        CAST(n AS DOUBLE) * n * n - n),
+       |st AS (SELECT *, ${kwSumTermSql(kwPrios.size)} AS sumterm FROM j)
+       |SELECT yr, n, ${kwKGroupsSql(kwPrios.size)} AS k_groups, tsum,
+       |       $kwHSql AS h
+       |FROM st ORDER BY yr""".stripMargin
+  }
+
   /** Herfindahl–Hirschman spend concentration per market segment:
     * the "is this segment's revenue one whale or many minnows"
     * monitor. Per-customer spend collapses to exact kilodollar units
@@ -541,6 +666,98 @@ object MiningOps {
       .unionByName(scheme("type_size",
         concat(col("p_type"), lit("|"), col("p_size"))))
       .orderBy("scheme")
+  }
+
+  /** Soundex per-position code ('0'–'6') of character i of a
+    * lowercase-letter column — one Scala source of truth feeding both
+    * engines (the cpl/Hilbert generator discipline). Out-of-range
+    * substr returns '' on both engines → code '0'. */
+  private def sxCode(w: String, i: Int): String =
+    s"(CASE WHEN substr($w, $i, 1) IN ('b', 'f', 'p', 'v') THEN '1'" +
+      s" WHEN substr($w, $i, 1) IN ('c', 'g', 'j', 'k', 'q', 's', 'x', 'z')" +
+      s" THEN '2'" +
+      s" WHEN substr($w, $i, 1) IN ('d', 't') THEN '3'" +
+      s" WHEN substr($w, $i, 1) = 'l' THEN '4'" +
+      s" WHEN substr($w, $i, 1) IN ('m', 'n') THEN '5'" +
+      s" WHEN substr($w, $i, 1) = 'r' THEN '6' ELSE '0' END)"
+
+  /** American Soundex assembled from pre-staged per-position code
+    * columns c1..cL: position i emits its digit iff its code is
+    * nonzero AND differs from the code of the last preceding
+    * non-(h,w) character — the textbook streaming rule (vowels reset
+    * the comparison base to '0', h/w are transparent) expressed
+    * positionally: lastCode(i) walks j = i−1..1 for the first char
+    * not in (h,w). When every preceding char is h/w the ELSE '0'
+    * branch applies, which equals the h/w first letter's own code —
+    * consistent with the stream. All-string arithmetic, so the
+    * generated expression is engine-neutral verbatim. */
+  private def sxAssemble(w: String, maxLen: Int): String = {
+    def lastCode(i: Int): String =
+      "(CASE " + ((i - 1) to 1 by -1).map(j =>
+        s"WHEN substr($w, $j, 1) NOT IN ('h', 'w') THEN c$j")
+        .mkString(" ") + " ELSE '0' END)"
+    val digits = (2 to maxLen).map(i =>
+      s"(CASE WHEN c$i <> '0' AND c$i <> ${lastCode(i)} THEN c$i" +
+        s" ELSE '' END)")
+    s"concat(upper(substr($w, 1, 1)), " +
+      s"substr(concat(${digits.mkString(", ")}, '000'), 1, 3))"
+  }
+
+  /** Phonetic blocking head-to-head: [[qBlockingKeys]] sizes exact
+    * key schemes; this audit adds the scheme entity resolution
+    * reaches for when names are MISSPELLED — American Soundex
+    * (Russell 1918, the blocking key every record-linkage toolkit
+    * ships) over the first part-name token, vs exact-token blocking
+    * on the same rows. Soundex merges sound-alike tokens, so it can
+    * only coarsen: fewer blocks, larger candidate budget — the
+    * recall-vs-cost trade quantified by the paired rows. The codes
+    * are computed by generated per-position SQL ([[sxCode]] staged
+    * once per position, [[sxAssemble]]) — identical string
+    * arithmetic in both engines, no UDF; length-capped tokens are
+    * excluded (not truncated) so the cap never bends a code. One
+    * catalog-sized pass stages the codes; everything after is
+    * block-key-sized. */
+  def qSoundexBlocking(s: SparkSession, d: String): DataFrame = {
+    val maxLen = 12
+    var tok = part(s, d)
+      .select(split(col("p_name"), " ").getItem(0).as("w"))
+      .filter(col("w").rlike("^[a-z]{1,12}$"))
+    (1 to maxLen).foreach { j =>
+      tok = tok.withColumn(s"c$j", expr(sxCode("w", j)))
+    }
+    val keyed = tok.withColumn("sx", expr(sxAssemble("w", maxLen)))
+    def scheme(name: String, key: Column): DataFrame =
+      keyed.select(key.as("bk"))
+        .groupBy("bk").agg(count(lit(1)).as("b"))
+        .agg(count(lit(1)).as("n_blocks"),
+          max("b").as("max_block"),
+          sum(expr("b * (b - 1) DIV 2")).as("cand_pairs"),
+          sum("b").as("n_rows"))
+        .select(lit(name).as("scheme"), col("n_blocks"),
+          col("max_block"), col("cand_pairs"), col("n_rows"))
+    scheme("exact", col("w"))
+      .unionByName(scheme("soundex", col("sx")))
+      .orderBy("scheme")
+  }
+
+  /** DuckDB oracle for [[qSoundexBlocking]]: the same generated code
+    * stage and assembly, per-scheme rollups via union. */
+  lazy val soundexBlockingOracleSql: String = {
+    val maxLen = 12
+    val codeCols = (1 to maxLen).map(j => s"${sxCode("w", j)} AS c$j")
+      .mkString(", ")
+    s"""WITH tok AS (SELECT split_part(p_name, ' ', 1) AS w FROM part
+       |  WHERE regexp_matches(split_part(p_name, ' ', 1), '^[a-z]{1,12}$$')),
+       |codes AS (SELECT w, $codeCols FROM tok),
+       |k AS (SELECT w, ${sxAssemble("w", maxLen)} AS sx FROM codes),
+       |e AS (SELECT 'exact' AS scheme, w AS bk FROM k
+       |      UNION ALL SELECT 'soundex', sx FROM k),
+       |b AS (SELECT scheme, bk, COUNT(*) AS b FROM e GROUP BY 1, 2)
+       |SELECT scheme, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       |       CAST(MAX(b) AS BIGINT) AS max_block,
+       |       CAST(SUM(b * (b - 1) // 2) AS BIGINT) AS cand_pairs,
+       |       CAST(SUM(b) AS BIGINT) AS n_rows
+       |FROM b GROUP BY 1 ORDER BY scheme""".stripMargin
   }
 
   /** End-to-end entity resolution over the part catalog — the full

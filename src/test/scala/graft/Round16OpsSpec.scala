@@ -251,6 +251,112 @@ class Round16OpsSpec extends SparkSuite {
     }
   }
 
+  test("q_kruskal_wallis: doubled rank sums obey N(N+1) and H replays in-JVM") {
+    import org.apache.spark.sql.functions._
+    // independent in-JVM replay from the raw orders table
+    val raw = Tables.orders(spark, sf).select(
+      year(col("o_orderdate")).cast("int").as("yr"),
+      col("o_orderpriority").as("grp"),
+      floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val expected = raw.groupBy(_._1).flatMap { case (yr, rows) =>
+      val n = rows.length.toLong
+      // doubled average rank per value from the sorted tie histogram
+      val hist = rows.groupBy(_._3).map { case (c, g) => c -> g.length.toLong }
+      val sortedVals = hist.keys.toArray.sorted
+      var cum = 0L
+      val d2 = scala.collection.mutable.Map[Long, Long]()
+      sortedVals.foreach { c =>
+        d2(c) = 2L * cum + hist(c) + 1L; cum += hist(c)
+      }
+      val byGrp = rows.groupBy(_._2).map { case (g, rs) =>
+        g -> (rs.map(r => d2(r._3)).sum, rs.length.toLong)
+      }
+      val sumD = byGrp.values.map(_._1).sum
+      assert(sumD == n * (n + 1L), s"yr $yr: doubled rank sums must total N(N+1)")
+      val tsum = hist.values.map(t => t * t * t - t).sum
+      if (n < 50L || tsum.toDouble >= n.toDouble * n * n - n) None
+      else {
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val sumterm = prios.map { p =>
+          byGrp.get(p).filter(_._2 > 0L)
+            .map { case (dg, ng) => dg.toDouble * dg / (4.0 * ng) }
+            .getOrElse(0.0)
+        }.reduceLeft(_ + _)
+        val nd = n.toDouble
+        val h = math.floor((12.0 * sumterm / nd / (nd + 1.0) - 3.0 * (nd + 1.0)) /
+          (1.0 - tsum.toDouble / (nd * n * n - n)) * 10000.0 + 0.5) / 10000.0
+        val k = prios.count(p => byGrp.get(p).exists(_._2 > 0L)).toLong
+        Some(yr -> (n, k, tsum, h))
+      }
+    }.toMap
+    val rows = MiningOps.qKruskalWallis(spark, sf).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, k, tsum, h) = expected(r.getAs[Int]("yr"))
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("k_groups") == k)
+      assert(r.getAs[Long]("tsum") == tsum, "tie correction drifted")
+      assert(r.getAs[Double]("h") == h, "H statistic drifted from the replay")
+      assert(r.getAs[Double]("h") >= 0.0, "H is a scaled variance, never negative")
+    }
+  }
+
+  test("q_soundex_blocking: generated SQL matches reference soundex; merging only coarsens") {
+    import org.apache.spark.sql.functions._
+    def refSoundex(w: String): String = {
+      def code(c: Char): Char = c match {
+        case 'b' | 'f' | 'p' | 'v' => '1'
+        case 'c' | 'g' | 'j' | 'k' | 'q' | 's' | 'x' | 'z' => '2'
+        case 'd' | 't' => '3'
+        case 'l' => '4'
+        case 'm' | 'n' => '5'
+        case 'r' => '6'
+        case _ => '0'
+      }
+      val sb = new StringBuilder
+      var prev = code(w.head)
+      w.tail.foreach { c =>
+        val k = code(c)
+        if (k != '0' && k != prev) sb += k
+        if (c != 'h' && c != 'w') prev = k
+      }
+      (w.head.toUpper + sb.result().padTo(3, '0').toString).take(4)
+    }
+    // classic algorithm fixtures: h/w transparency, vowel reset, first-letter collapse
+    assert(refSoundex("robert") == "R163" && refSoundex("rupert") == "R163")
+    assert(refSoundex("ashcraft") == "A261", "h-transparency must merge s/c")
+    assert(refSoundex("tymczak") == "T522", "vowel reset must re-emit")
+    assert(refSoundex("pfister") == "P236", "first-letter code collapses the f")
+    // the staged generated-SQL soundex must equal the streaming reference
+    var tok = Tables.part(spark, sf)
+      .select(split(col("p_name"), " ").getItem(0).as("w"))
+      .filter(col("w").rlike("^[a-z]{1,12}$")).distinct()
+    (1 to 12).foreach(j => tok = tok.withColumn(s"c$j",
+      expr(s"(CASE WHEN substr(w, $j, 1) IN ('b', 'f', 'p', 'v') THEN '1'" +
+        s" WHEN substr(w, $j, 1) IN ('c', 'g', 'j', 'k', 'q', 's', 'x', 'z') THEN '2'" +
+        s" WHEN substr(w, $j, 1) IN ('d', 't') THEN '3'" +
+        s" WHEN substr(w, $j, 1) = 'l' THEN '4'" +
+        s" WHEN substr(w, $j, 1) IN ('m', 'n') THEN '5'" +
+        s" WHEN substr(w, $j, 1) = 'r' THEN '6' ELSE '0' END)")))
+    // assemble exactly as the query does, via its own oracle SQL fragment
+    val asm = MiningOps.soundexBlockingOracleSql
+      .split("k AS \\(SELECT w, ")(1).split(" AS sx FROM codes\\)")(0)
+    tok.withColumn("sx", expr(asm)).collect().foreach { r =>
+      val (w, sx) = (r.getAs[String]("w"), r.getAs[String]("sx"))
+      assert(sx == refSoundex(w), s"generated soundex('$w') = $sx != ${refSoundex(w)}")
+    }
+    val rows = MiningOps.qSoundexBlocking(spark, sf).collect()
+      .map(r => r.getAs[String]("scheme") ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("max_block"),
+          r.getAs[Long]("cand_pairs"), r.getAs[Long]("n_rows"))).toMap
+    val (e, p) = (rows("exact"), rows("soundex"))
+    assert(e._4 == p._4, "both schemes block the identical row set")
+    assert(p._1 <= e._1, "phonetic merging can only reduce block count")
+    assert(p._2 >= e._2 && p._3 >= e._3,
+      "coarser blocks mean a larger worst block and candidate budget")
+  }
+
   test("q_als_step: covers exactly the customers with ordered lineitems") {
     import org.apache.spark.sql.functions._
     val n = MiningOps.qAlsStep(spark, sf).count()
