@@ -327,6 +327,8 @@ object SparkEntry {
     "q_front_coding"       -> ((s, dd) => TextOps.qFrontCoding(s, dd)),
     "q_kruskal_wallis"     -> (MiningOps.qKruskalWallis _),
     "q_soundex_blocking"   -> (MiningOps.qSoundexBlocking _),
+    "q_cochran_q"          -> (MiningOps.qCochranQ _),
+    "q_mcnemar"            -> (MiningOps.qMcnemar _),
     "q_winsorize"          -> (StatsOps.qWinsorize _),
     "q_oov_rate"           -> (CurationOps.qOovRate _),
     "q_negative_sample"    -> (CurationOps.qNegativeSample _),
@@ -1035,6 +1037,8 @@ object SparkEntry {
     "q_front_coding" -> TextOps.frontCodingOracleSql,
     "q_kruskal_wallis" -> MiningOps.kruskalWallisOracleSql,
     "q_soundex_blocking" -> MiningOps.soundexBlockingOracleSql,
+    "q_cochran_q" -> MiningOps.cochranQOracleSql,
+    "q_mcnemar" -> MiningOps.mcnemarOracleSql,
     "q_blocklist_scan" -> TextOps.blocklistScanOracleSql,
     "q_gif_pixel_stats" -> MultimodalOps.gifPixelStatsOracleSql,
     "q_hll_union_md5" -> ScaleOps.hllUnionMd5OracleSql,

@@ -499,6 +499,159 @@ object MiningOps {
        |FROM st ORDER BY yr""".stripMargin
   }
 
+  /** Cochran's Q numerator — k·ΣG_j² − (ΣG_j)² over the pivoted
+    * per-treatment success totals, as ONE generated fixed-order
+    * double chain (the [[kwSumTermSql]] discipline: squares of long
+    * sums take the CAST-to-DOUBLE form, double literals carry E0). */
+  private def cochranNumSql(k: Int): String = {
+    val sq = (0 until k).map(i => s"CAST(g$i AS DOUBLE) * g$i")
+      .mkString(" + ")
+    val tot = (0 until k).map(i => s"g$i").mkString(" + ")
+    s"($k.0E0 * ($sq) - CAST($tot AS DOUBLE) * ($tot))"
+  }
+
+  /** Cochran's Q test per calendar month: do the three engagement
+    * treatments (view, click, purchase) succeed at the same rate
+    * across the SAME users — the k-treatment matched binary test
+    * completing the ladder ([[qMannWhitney]] two-group continuous,
+    * [[qKruskalWallis]] k-group continuous, now k-treatment binary;
+    * McNemar is its k=2 case, [[qMcnemar]]). Blocks are users; the
+    * block set needs no careful definition because Q is INVARIANT to
+    * all-zero and all-one blocks (an all-one user shifts every G_j
+    * equally, leaving the numerator's differences unchanged, and
+    * contributes k·k − k² = 0 to the denominator — spec-pinned by
+    * injecting synthetic all-one blocks and requiring the identical
+    * statistic). Blocks are (user, day) rather than bare users:
+    * measured on the fixture, month-level user blocks all saturate
+    * (every active user does all three treatments in a month, so
+    * Σ L(k−L) = 0 and the test degenerates); the daily matched
+    * observation is also the standard repeated-measures shape.
+    * Arithmetic: the denominator k·ΣL − ΣL² stays an
+    * exact long at any scale (L ≤ k per user); the numerator's
+    * squares of user-count sums take the documented CAST-to-DOUBLE
+    * chain ([[cochranNumSql]], fixed order, both engines). One
+    * fact-table distinct, then everything is (month × user)- then
+    * month-sized. */
+  def qCochranQ(s: SparkSession, d: String): DataFrame = {
+    val treatments = Seq("view", "click", "purchase")
+    val cell = events(s, d)
+      .filter(col("event_type").isin(treatments: _*))
+      .select(date_format(col("ts"), "yyyy-MM").as("mon"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("user_id"), col("event_type").as("typ"))
+      .distinct()
+    val gCols = treatments.zipWithIndex.map { case (t, i) =>
+      sum(when(col("typ") === t, 1L).otherwise(0L)).as(s"g$i")
+    }
+    val g = cell.groupBy("mon").agg(gCols.head, gCols.tail: _*)
+    val l = cell.groupBy("mon", "user_id", "day").agg(count(lit(1)).as("lr"))
+      .groupBy("mon")
+      .agg(count(lit(1)).as("n_blocks"), sum("lr").as("suml"),
+        sum(col("lr") * col("lr")).as("suml2"))
+    val k = treatments.size
+    g.join(l, "mon")
+      .withColumn("den", lit(k.toLong) * col("suml") - col("suml2"))
+      .filter(col("den") > 0L)
+      .withColumn("q_stat", expr(
+        s"floor(${k - 1}.0E0 * ${cochranNumSql(k)} / den" +
+          " * 10000.0E0 + 0.5E0) / 10000.0E0"))
+      .select(col("mon"), col("n_blocks"),
+        col("g0").as("g_view"), col("g1").as("g_click"),
+        col("g2").as("g_purchase"), col("den"), col("q_stat"))
+      .orderBy("mon")
+  }
+
+  /** DuckDB oracle for [[qCochranQ]]: same distinct/pivot/Q chain,
+    * numerator emitted by the shared generator. The ns-timestamp is
+    * cast before strftime (the fixture gotcha). */
+  lazy val cochranQOracleSql: String = {
+    val treatments = Seq("view", "click", "purchase")
+    val k = treatments.size
+    val gSel = treatments.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN typ = '$t' THEN 1 ELSE 0 END) AS g$i"
+    }.mkString(", ")
+    s"""WITH cell AS (SELECT DISTINCT
+       |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS mon,
+       |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+       |    user_id, event_type AS typ
+       |  FROM events
+       |  WHERE event_type IN ('view', 'click', 'purchase')),
+       |g AS (SELECT mon, $gSel FROM cell GROUP BY 1),
+       |l AS (SELECT mon, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       |    CAST(SUM(lr) AS BIGINT) AS suml,
+       |    CAST(SUM(lr * lr) AS BIGINT) AS suml2
+       |  FROM (SELECT mon, user_id, day, COUNT(*) AS lr
+       |        FROM cell GROUP BY 1, 2, 3) GROUP BY 1),
+       |j AS (SELECT g.*, l.n_blocks, l.suml, l.suml2,
+       |    $k * l.suml - l.suml2 AS den
+       |  FROM g JOIN l USING (mon) WHERE $k * l.suml - l.suml2 > 0)
+       |SELECT mon, n_blocks, CAST(g0 AS BIGINT) AS g_view,
+       |       CAST(g1 AS BIGINT) AS g_click,
+       |       CAST(g2 AS BIGINT) AS g_purchase,
+       |       CAST(den AS BIGINT) AS den,
+       |       floor(${k - 1}.0E0 * ${cochranNumSql(k)} / den
+       |         * 10000.0E0 + 0.5E0) / 10000.0E0 AS q_stat
+       |FROM j ORDER BY mon""".stripMargin
+  }
+
+  /** McNemar's χ² with continuity correction, shared by both
+    * engines: only the b/c discordant counts matter, the statistic
+    * is (|b−c|−1)²/(b+c), conventionally 0 when |b−c| ≤ 1 (the
+    * correction would otherwise overshoot). The square takes the
+    * CAST-to-DOUBLE chain per the house rule. */
+  private val mcnemarChiSql: String =
+    "(CASE WHEN ABS(b - c) <= 1 OR b + c = 0 THEN 0.0E0" +
+      " ELSE floor(CAST(ABS(b - c) - 1 AS DOUBLE) * (ABS(b - c) - 1)" +
+      " / (b + c) * 10000.0E0 + 0.5E0) / 10000.0E0 END)"
+
+  /** McNemar's test per document source: are two deterministic
+    * English detectors — A = contains the stopword ' the ',
+    * B = pure-ASCII text (UTF-8 byte length = char length, no
+    * regex; Spark spells bytes `octet_length`, DuckDB `strlen` —
+    * DuckDB's octet_length is BLOB/BIT-only) —
+    * DIFFERENTLY accurate against the lang label on the SAME
+    * documents? The paired-classifier significance test every model
+    * comparison needs (accuracy deltas on shared eval sets are
+    * paired, so the unpaired tests overstate significance): only the
+    * discordant pairs b (A right, B wrong) and c (B right, A wrong)
+    * carry signal. One corpus pass aggregates four exact counts per
+    * source; χ² is the shared generated expression
+    * ([[mcnemarChiSql]]). */
+  def qMcnemar(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(
+      col("source"),
+      (col("lang") === "en").as("y"),
+      expr("contains(lower(text), ' the ')").as("pa"),
+      (expr("octet_length(text)") === length(col("text"))).as("pb"))
+    base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("y").cast("long")).as("n_en"),
+        sum((col("pa") === col("y") && col("pb") =!= col("y"))
+          .cast("long")).as("b"),
+        sum((col("pa") =!= col("y") && col("pb") === col("y"))
+          .cast("long")).as("c"))
+      .withColumn("chi2_cc", expr(mcnemarChiSql))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[qMcnemar]]: identical detectors and the
+    * shared χ² expression. */
+  lazy val mcnemarOracleSql: String =
+    s"""WITH base AS (SELECT source,
+       |    (lang = 'en') AS y,
+       |    contains(lower(text), ' the ') AS pa,
+       |    (strlen(text) = length(text)) AS pb
+       |  FROM documents),
+       |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       |    CAST(SUM(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS b,
+       |    CAST(SUM(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c
+       |  FROM base GROUP BY 1)
+       |SELECT source, n_docs, n_en, b, c, $mcnemarChiSql AS chi2_cc
+       |FROM agg ORDER BY source""".stripMargin
+
   /** Herfindahl–Hirschman spend concentration per market segment:
     * the "is this segment's revenue one whale or many minnows"
     * monitor. Per-customer spend collapses to exact kilodollar units

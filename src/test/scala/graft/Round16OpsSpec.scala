@@ -357,6 +357,85 @@ class Round16OpsSpec extends SparkSuite {
       "coarser blocks mean a larger worst block and candidate budget")
   }
 
+  test("q_cochran_q: in-JVM replay matches; Q invariant to all-one blocks") {
+    import org.apache.spark.sql.functions._
+    val treatments = Seq("view", "click", "purchase")
+    // replay Q from (mon, user, day, typ) cells with the engines' exact tree
+    def qOf(cells: Seq[(String, Long, String, String)]): Map[String, (Long, Long, Double)] =
+      cells.groupBy(_._1).flatMap { case (mon, rows) =>
+        val g = treatments.map(t => rows.count(_._4 == t).toLong)
+        val ls = rows.groupBy(r => (r._2, r._3)).values.map(_.length.toLong)
+        val den = 3L * ls.sum - ls.map(l => l * l).sum
+        if (den <= 0L) None else {
+          val sq = g.map(x => x.toDouble * x).reduceLeft(_ + _)
+          val tot = g.sum
+          val num = 3.0 * sq - tot.toDouble * tot
+          val q = math.floor(2.0 * num / den * 10000.0 + 0.5) / 10000.0
+          Some(mon -> (ls.size.toLong, den, q))
+        }
+      }
+    val cells = Tables.events(spark, sf)
+      .filter(col("event_type").isin(treatments: _*))
+      .select(date_format(col("ts"), "yyyy-MM").as("mon"),
+        col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type").as("typ"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq
+    val expected = qOf(cells)
+    val rows = MiningOps.qCochranQ(spark, sf).collect()
+    assert(rows.length == expected.size && rows.nonEmpty)
+    rows.foreach { r =>
+      val (nu, den, q) = expected(r.getAs[String]("mon"))
+      assert(r.getAs[Long]("n_blocks") == nu)
+      assert(r.getAs[Long]("den") == den, "exact-long denominator drifted")
+      assert(r.getAs[Double]("q_stat") == q, "Q drifted from the replay")
+      assert(r.getAs[Double]("q_stat") >= 0.0)
+    }
+    // invariance: users who did ALL k treatments shift every G_j
+    // equally and contribute 0 to the denominator — synthetic
+    // all-one blocks must leave every month's Q bit-identical
+    val mon0 = cells.head._1
+    val synth = (1 to 7).flatMap(i =>
+      treatments.map(t => (mon0, -i.toLong, s"$mon0-01", t)))
+    val augmented = qOf(cells ++ synth)
+    expected.foreach { case (mon, (_, den, q)) =>
+      assert(augmented(mon)._2 == den && augmented(mon)._3 == q,
+        s"all-one blocks must not move Q (month $mon)")
+    }
+  }
+
+  test("q_mcnemar: in-JVM replay of detectors and corrected chi-square") {
+    val docs = Tables.documents(spark, sf)
+      .select("source", "lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val expected = docs.groupBy(_._1).map { case (src, rows) =>
+      var (b, c, nEn) = (0L, 0L, 0L)
+      rows.foreach { case (_, lang, text) =>
+        val y = lang == "en"
+        val pa = text.toLowerCase.contains(" the ")
+        val pb = text.getBytes("UTF-8").length ==
+          text.codePointCount(0, text.length)
+        if (y) nEn += 1
+        if (pa == y && pb != y) b += 1
+        if (pa != y && pb == y) c += 1
+      }
+      val chi = if (math.abs(b - c) <= 1L || b + c == 0L) 0.0
+        else math.floor((math.abs(b - c) - 1L).toDouble * (math.abs(b - c) - 1L) /
+          (b + c) * 10000.0 + 0.5) / 10000.0
+      src -> (rows.length.toLong, nEn, b, c, chi)
+    }
+    val rows = MiningOps.qMcnemar(spark, sf).collect()
+    assert(rows.length == expected.size && rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nEn, b, c, chi) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("n_en") == nEn, "label count drifted")
+      assert(r.getAs[Long]("b") == b && r.getAs[Long]("c") == c,
+        "discordant-pair counts drifted from the replayed detectors")
+      assert(r.getAs[Double]("chi2_cc") == chi, "chi-square drifted")
+    }
+  }
+
   test("q_als_step: covers exactly the customers with ordered lineitems") {
     import org.apache.spark.sql.functions._
     val n = MiningOps.qAlsStep(spark, sf).count()
