@@ -47,6 +47,8 @@ object Bench {
       catch { case _: Throwable => () }
       try graft.engine.ScaleOps.ensureBucketedJoinTables(spark, sfDir)
       catch { case _: Throwable => () }
+      try graft.engine.ScaleOps.ensureCompactionExec(spark, sfDir)
+      catch { case _: Throwable => () }
     }
     // stable alphabetical order: Map iteration order varies across
     // builds, which made per-query timings incomparable across rounds
@@ -76,6 +78,28 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    // Host-speed calibration probe: a PINNED workload that never
+    // changes across rounds (hash 10⁷ longs, full-shuffle sort, count
+    // — data-independent, representative shuffle+sort+codegen mix).
+    // The host shows uniform minutes-scale load drift (round 7→8:
+    // median per-query ratio 1.22 with zero plan regressions, two
+    // back-to-back full runs within 0.2%) that round-over-round total
+    // comparisons kept re-litigating; `calibration_sec` measures the
+    // drift directly so the comparison divides it out:
+    //   normalized_total = total · (CalibrationRef / calibration_sec).
+    // CalibrationRef is the probe's cost on the round-9 host at the
+    // moment the protocol was pinned — an arbitrary but FIXED unit, so
+    // normalized totals are comparable across rounds by construction.
+    val CalibrationRef = 0.55
+    def calibrateOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(10000000L).select(hash(col("id")).as("h"))
+        .orderBy("h").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrateOnce() // untimed: its own codegen/JIT warm-up
+    val calibration = (1 to 3).map(_ => calibrateOnce()).min
     val pass1 = ordered.map { case (name, fn) => name -> once(fn) }.toMap
     val results = ordered.map { case (name, fn) =>
       val a = pass1(name)
@@ -98,7 +122,7 @@ object Bench {
       .mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter("bench_full.json")
-      try w.println(s"""{"total":${ms(total)},"n":${results.size},"queries":$full}""")
+      try w.println(s"""{"total":${ms(total)},"n":${results.size},"calibration_sec":${ms(calibration)},"queries":$full}""")
       finally w.close()
     } catch { case _: Throwable => () }
     val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
@@ -122,7 +146,8 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       (rows.length / dt).toLong
     } catch { case _: Throwable => -1L }
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"errors":$errs,"ingest_rows_per_sec":$ingestRps,"queries":$qs,"sf":"$sfDir"}"""
+    val totalNorm = if (calibration > 0) total * CalibrationRef / calibration else total
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"errors":$errs,"calibration_sec":${ms(calibration)},"calibration_ref":$CalibrationRef,"total_normalized":${ms(totalNorm)},"ingest_rows_per_sec":$ingestRps,"queries":$qs,"sf":"$sfDir"}"""
     require(line.length < 1800, s"bench line too long: ${line.length}")
     println(line)
     spark.stop()

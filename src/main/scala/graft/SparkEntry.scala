@@ -305,6 +305,7 @@ object SparkEntry {
     "q_countmin"           -> ((s, d) => ScaleOps.qCountMin(s, d)),
     "q_dim_stats"          -> (VectorOps.qDimStats _),
     "q_bpe_merge"          -> (TextOps.qBpeMerge _),
+    "q_bpe_train"          -> (TextOps.qBpeTrain _),
     "q_rank_fusion"        -> ((s, d) => VectorOps.qRankFusion(s, d)),
     "q_semdedup"           -> ((s, d) => VectorOps.qSemDedup(s, d)),
     "q_embed_covariance"   -> (VectorOps.qEmbedCovariance _),
@@ -376,6 +377,7 @@ object SparkEntry {
     "q_knn_eval"           -> ((s, d) => VectorOps.qKnnEval(s, d)),
     "q_random_projection"  -> ((s, d) => VectorOps.qRandomProjection(s, d)),
     "q_compaction_plan"    -> ((s, d) => ScaleOps.qCompactionPlan(s, d)),
+    "q_compaction_exec"    -> (ScaleOps.qCompactionExec _),
     "q_join_card_est"      -> (ScaleOps.qJoinCardEst _),
     "q_bootstrap_ci"       -> ((s, d) => StatsOps.qBootstrapCi(s, d)),
     "q_seasonal_dow"       -> (AnalyticsOps.qSeasonalDow _),
@@ -3524,6 +3526,8 @@ object SparkEntry {
         |FROM ne JOIN deg da ON da.u = a JOIN deg dc ON dc.u = c
         |ORDER BY cn DESC, a, c LIMIT 50""".stripMargin,
 
+    "q_bpe_train" -> TextOps.bpeTrainOracleSql,
+
     "q_bpe_merge" ->
       """WITH w AS (SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS word
         |           FROM documents),
@@ -4496,6 +4500,8 @@ object SparkEntry {
         |       MIN(day) AS first_day, MAX(day) AS last_day
         |FROM binned GROUP BY file_id ORDER BY file_id""".stripMargin,
 
+    "q_compaction_exec" -> ScaleOps.compactionExecOracleSql,
+
     "q_join_card_est" ->
       """WITH ol AS (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
         |ll AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
@@ -4559,7 +4565,8 @@ object SparkEntry {
         |      FROM byd)
         |SELECT event_type, dow, n,
         |       FLOOR(sum_c / (n * 100.0) * 10000.0 + 0.5) / 10000.0 AS dow_mean,
-        |       FLOOR((sum_c * tot_n) / CAST(n * tot_c AS DOUBLE)
+        |       FLOOR((CAST(sum_c AS DOUBLE) * tot_n)
+        |             / (CAST(n AS DOUBLE) * tot_c)
         |             * 10000.0 + 0.5) / 10000.0 AS seasonal_idx
         |FROM t ORDER BY event_type, dow""".stripMargin,
 

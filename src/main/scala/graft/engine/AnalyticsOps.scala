@@ -668,8 +668,13 @@ object AnalyticsOps {
       .withColumn("tot_c", sum("sum_c").over(wt))
       .select(col("event_type"), col("dow"), col("n"),
         r4(col("sum_c") / (col("n") * 100.0)).as("dow_mean"),
-        r4((col("sum_c") * col("tot_n")) /
-          (col("n") * col("tot_c")).cast("double")).as("seasonal_idx"))
+        // sum_c·tot_n and n·tot_c are each cross-products of two
+        // corpus-scale aggregated longs (~10¹⁶ × 10¹² at 10¹² rows) —
+        // they wrap 2⁶³ silently in non-ANSI Spark, so both products
+        // go double-led (cast BEFORE the multiply, mirrored in the
+        // oracle); exact in double at any SF the gate runs.
+        r4((col("sum_c").cast("double") * col("tot_n")) /
+          (col("n").cast("double") * col("tot_c"))).as("seasonal_idx"))
       .orderBy("event_type", "dow")
   }
 

@@ -435,6 +435,11 @@ object MiningOps {
       year(col("o_orderdate")).cast("int").as("yr"),
       col("o_orderpriority").as("grp"),
       floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"))
+      // restrict N / the rank histogram / tie sums to the SAME group
+      // domain the pivot enumerates — an o_orderpriority value outside
+      // kwPrios would otherwise count in n and tsum while feeding no
+      // d_g, silently skewing H (mirrored in the oracle's WHERE)
+      .filter(col("grp").isin(kwPrios: _*))
     val cell = base.groupBy("yr", "c", "grp").agg(count(lit(1)).as("t"))
     val tc = cell.groupBy("yr", "c").agg(sum("t").as("tcnt"))
     val tcw = tc.withColumn("cumb",
@@ -469,11 +474,12 @@ object MiningOps {
       Seq(s"SUM(CASE WHEN grp = '$p' THEN dr ELSE 0 END) AS d$i",
         s"SUM(CASE WHEN grp = '$p' THEN t ELSE 0 END) AS n$i")
     }.mkString(", ")
+    val prioIn = kwPrios.map(p => s"'$p'").mkString(", ")
     s"""WITH base AS (SELECT
        |    CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS yr,
        |    o_orderpriority AS grp,
        |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
-       |  FROM orders),
+       |  FROM orders WHERE o_orderpriority IN ($prioIn)),
        |cell AS (SELECT yr, c, grp, CAST(COUNT(*) AS BIGINT) AS t
        |         FROM base GROUP BY 1, 2, 3),
        |tc AS (SELECT yr, c, CAST(SUM(t) AS BIGINT) AS tcnt
@@ -844,7 +850,7 @@ object MiningOps {
     * branch applies, which equals the h/w first letter's own code —
     * consistent with the stream. All-string arithmetic, so the
     * generated expression is engine-neutral verbatim. */
-  private def sxAssemble(w: String, maxLen: Int): String = {
+  private[graft] def sxAssemble(w: String, maxLen: Int): String = {
     def lastCode(i: Int): String =
       "(CASE " + ((i - 1) to 1 by -1).map(j =>
         s"WHEN substr($w, $j, 1) NOT IN ('h', 'w') THEN c$j")

@@ -93,7 +93,11 @@ object RelationalExt {
     * valve); the rule table is pair-bounded, the two support joins
     * are vocabulary-sized, and the basket total is a broadcast
     * 1-row aggregate. Confidence/lift are quantized from identical
-    * left-assoc IEEE expressions (products ≤ ~2⁴¹, exact in double);
+    * left-assoc IEEE expressions; the lift denominator is a DOUBLE-led
+    * product (n_ante·n_cons of two aggregated supports would pass 2⁶³
+    * at ~3×10⁹ near-universal baskets and wrap silently in non-ANSI
+    * Spark while DuckDB widens — the cross-product case of the
+    * never-square-a-long-sum rule);
     * the top-40 ordering (lift, confidence, antecedent, consequent)
     * is total because (ante, cons) is unique per direction. */
   def qAssocRules(s: SparkSession, d: String): DataFrame = {
@@ -112,7 +116,7 @@ object RelationalExt {
         floor(col("n").cast("double") * 10000.0 / col("n_ante") + 0.5) / 10000.0)
       .withColumn("lift",
         floor(col("n").cast("double") * col("n_baskets") * 10000.0 /
-          (col("n_ante") * col("n_cons")) + 0.5) / 10000.0)
+          (col("n_ante").cast("double") * col("n_cons")) + 0.5) / 10000.0)
       .select(col("ante").as("antecedent"), col("cons").as("consequent"),
         col("n").as("n_both"), col("n_ante"), col("n_cons"),
         col("n_baskets"), col("confidence"), col("lift"))
@@ -144,7 +148,7 @@ object RelationalExt {
       |       FLOOR(CAST(n AS DOUBLE) * 10000.0 / sa.n_item + 0.5) / 10000.0
       |         AS confidence,
       |       FLOOR(CAST(n AS DOUBLE) * nb.n_baskets * 10000.0
-      |             / (sa.n_item * sc.n_item) + 0.5) / 10000.0 AS lift
+      |             / (CAST(sa.n_item AS DOUBLE) * sc.n_item) + 0.5) / 10000.0 AS lift
       |FROM rr JOIN supp sa ON sa.pk = rr.ante
       |JOIN supp sc ON sc.pk = rr.cons
       |CROSS JOIN nb

@@ -366,6 +366,153 @@ object ScaleOps {
       .orderBy("file_id")
   }
 
+  /** One executed compaction per (JVM, sfDir): the before/after
+    * layouts [[qCompactionExec]] measures. Table prep, memoized like
+    * the bucketed/ORC copies — the rewrite is paid once per dataset,
+    * the query times the measurement on the landed files. */
+  private val compactPrep =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** EXECUTES the compaction [[qCompactionPlan]] only plans — the
+    * Iceberg/Delta `OPTIMIZE` data movement itself. Lands events
+    * twice: (1) the small-file "before" layout, one parquet file per
+    * day (`repartition(day)` puts each day in one task, `partitionBy`
+    * splits by value — exactly one file per day by construction);
+    * (2) the compacted "after" layout, one file per greedy
+    * date-ordered bin of ~total/8 rows (the fixture analogue of the
+    * fixed 128 MB production target: a byte target keeps bin count
+    * proportional to data while the day count is calendar-fixed, so
+    * a corpus-relative row target reproduces the files-shrink shape
+    * at every SF). The bin assignment is computed on the per-day
+    * count table (calendar-bounded window), the rewrite is one
+    * broadcast join + shuffle-by-bin — embarrassingly parallel at
+    * 100 TB, no global sort. */
+  def ensureCompactionExec(s: SparkSession, d: String): (String, String) =
+    compactPrep.computeIfAbsent(d, _ => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      val small = StagedPaths.tmp("graft_compact_small")
+      ev.repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(small)
+      val perDay = ev.groupBy("day").agg(count(lit(1)).as("n_rows"))
+      val before = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val dayBin = perDay
+        .crossJoin(broadcast(perDay.agg(sum("n_rows").as("t"))))
+        .withColumn("cum_before",
+          coalesce(sum("n_rows").over(before), lit(0L)))
+        .withColumn("file_id",
+          expr("cum_before DIV greatest(1L, (t + 7L) DIV 8L)"))
+        .select("day", "file_id")
+      val big = StagedPaths.tmp("graft_compact_big")
+      s.read.parquet(small).withColumn("day", col("day").cast("string"))
+        .join(broadcast(dayBin), "day")
+        .repartition(col("file_id"))
+        .write.mode("overwrite").partitionBy("file_id").parquet(big)
+      (small, big)
+    })
+
+  /** Compaction-execution audit: zone-map skipping measured on the
+    * PHYSICAL files of both landed layouts (zones recovered with
+    * `input_file_name()` — per-file max day and row count, exactly
+    * what parquet footer stats would prune on), swept over the
+    * `day >= T` recency predicates a time-series scan runs. Pins the
+    * full OPTIMIZE trade empirically: file count shrinks ~30→8,
+    * rows are conserved through BOTH rewrites (totals hash-compared
+    * against the source table via the oracle), day-aligned
+    * thresholds skip identical ROWS in both layouts while mid-bin
+    * thresholds skip fewer rows after compaction (bins are whole-day
+    * groups — pruning granularity is the price of fewer files). The
+    * oracle replays the bin packing logically from the source table,
+    * so a rewrite that dropped/duplicated rows, split a bin into two
+    * files, or mis-assigned a day fails the hash. */
+  def qCompactionExec(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val (small, big) = ensureCompactionExec(s, d)
+    def zones(path: String): DataFrame = s.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(max(col("day").cast("string")).as("zmax"),
+        count(lit(1)).as("zrows"))
+    val thresh = s.read.parquet(small)
+      .select(col("day").cast("string").as("th")).distinct()
+      .filter(expr("CAST(substr(th, 9, 2) AS INT) % 5 = 0"))
+    def sweep(z: DataFrame, p: String): DataFrame = z
+      .crossJoin(broadcast(thresh))
+      .groupBy("th")
+      .agg(count(lit(1)).as(s"${p}_files"),
+        sum((col("zmax") < col("th")).cast("long"))
+          .as(s"${p}_files_skipped"),
+        sum(when(col("zmax") < col("th"), col("zrows")).otherwise(0L))
+          .as(s"${p}_rows_skipped"),
+        sum("zrows").as(s"${p}_rows"))
+    sweep(zones(small), "before").join(sweep(zones(big), "after"), "th")
+      .select(col("th").as("thresh_day"),
+        col("before_files"), col("before_files_skipped"),
+        col("before_rows_skipped"),
+        r4(col("before_rows_skipped").cast("double") / col("before_rows"))
+          .as("before_skip_ratio"),
+        col("after_files"), col("after_files_skipped"),
+        col("after_rows_skipped"),
+        r4(col("after_rows_skipped").cast("double") / col("after_rows"))
+          .as("after_skip_ratio"),
+        col("before_rows").as("rows_total"),
+        (col("before_rows") === col("after_rows")).cast("int")
+          .as("rows_conserved"))
+      .orderBy("thresh_day")
+  }
+
+  /** DuckDB oracle for [[qCompactionExec]]: the before layout's zones
+    * are the per-day counts, the after layout's zones are the greedy
+    * date-ordered bins replayed logically — if the executed rewrites
+    * differ from this logical plan in ANY file's membership or row
+    * count, the measured sweep diverges and the hash fails. */
+  val compactionExecOracleSql: String =
+    """WITH pd AS (
+      |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM pd),
+      |bins AS (
+      |  SELECT day, n,
+      |    CAST(COALESCE(SUM(n) OVER (ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |         // GREATEST(1, (tot.t + 7) // 8) AS BIGINT) AS file_id
+      |  FROM pd CROSS JOIN tot),
+      |zb AS (SELECT day AS zmax, n AS zrows FROM pd),
+      |za AS (SELECT MAX(day) AS zmax, CAST(SUM(n) AS BIGINT) AS zrows
+      |       FROM bins GROUP BY file_id),
+      |th AS (SELECT day AS th FROM pd
+      |       WHERE CAST(substr(day, 9, 2) AS INTEGER) % 5 = 0),
+      |sb AS (SELECT th, CAST(COUNT(*) AS BIGINT) AS before_files,
+      |         CAST(SUM(CASE WHEN zmax < th THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS before_files_skipped,
+      |         CAST(SUM(CASE WHEN zmax < th THEN zrows ELSE 0 END) AS BIGINT)
+      |           AS before_rows_skipped,
+      |         CAST(SUM(zrows) AS BIGINT) AS before_rows
+      |       FROM zb CROSS JOIN th GROUP BY th),
+      |sa AS (SELECT th, CAST(COUNT(*) AS BIGINT) AS after_files,
+      |         CAST(SUM(CASE WHEN zmax < th THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS after_files_skipped,
+      |         CAST(SUM(CASE WHEN zmax < th THEN zrows ELSE 0 END) AS BIGINT)
+      |           AS after_rows_skipped,
+      |         CAST(SUM(zrows) AS BIGINT) AS after_rows
+      |       FROM za CROSS JOIN th GROUP BY th)
+      |SELECT sb.th AS thresh_day,
+      |       before_files, before_files_skipped, before_rows_skipped,
+      |       FLOOR(CAST(before_rows_skipped AS DOUBLE) / before_rows
+      |             * 10000.0 + 0.5) / 10000.0 AS before_skip_ratio,
+      |       after_files, after_files_skipped, after_rows_skipped,
+      |       FLOOR(CAST(after_rows_skipped AS DOUBLE) / after_rows
+      |             * 10000.0 + 0.5) / 10000.0 AS after_skip_ratio,
+      |       before_rows AS rows_total,
+      |       CAST(CASE WHEN before_rows = after_rows THEN 1 ELSE 0 END
+      |            AS INTEGER) AS rows_conserved
+      |FROM sb JOIN sa USING (th)
+      |ORDER BY thresh_day""".stripMargin
+
   /** ANALYZE-style catalog statistics: per (table, key column) the
     * row count, exact NDV, null count and value range — what a
     * cost-based optimizer's `ANALYZE TABLE` collects and what
@@ -992,6 +1139,10 @@ object ScaleOps {
     val hv = hilbertApply(base, 8).withColumn("hval", col("d8"))
       .select("x", "y", "zval", "hval").localCheckpoint(true)
     def rollup(curve: String, v: String): DataFrame = {
+      // Unpartitioned window — single-task sort by design: the input is
+      // the DISTINCT-cell table of a 256×256 grid, ≤ 65536 rows at ANY
+      // corpus size (the qSkyline bounded-global-window precedent). A
+      // grid-resolution bump re-evaluates this bound, not the caller.
       val w = Window.orderBy(col(v))
       val jumps = hv
         .withColumn("jump",

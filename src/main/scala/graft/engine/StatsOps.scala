@@ -1662,6 +1662,13 @@ object StatsOps {
     classes
       .crossJoin(broadcast(global))
       .join(perSeg, Seq("nation", "bal_bucket", "segment"), "left")
+      // Deliberate exact-integer cross-multiplication (the t-closeness
+      // gate must not misclassify a class sitting exactly at t): each
+      // factor ≤ big_n, so every product ≤ big_n² and the longs are
+      // exact while big_n < 2³¹·⁵ ≈ 3.04×10⁹ customers. Past that,
+      // consume the double `emd` column with a quantized threshold
+      // instead of the exact gate — the bound is structural (a 2⁶³
+      // wrap), not a fixture artifact.
       .withColumn("term",
         abs(coalesce(col("seg_n"), lit(0L)) * col("big_n") -
           col("g_n") * col("n_c")))

@@ -1390,6 +1390,135 @@ object TextOps {
       .limit(30)
   }
 
+  /** Number of merges [[qBpeTrain]] learns — small enough to unroll
+    * as oracle CTE stages, large enough that later merges build on
+    * earlier merged symbols (multi-char pairs appear by step ~3 on
+    * the fixture). */
+  private val BpeTrainSteps = 8
+
+  /** Multi-iteration BPE TRAINER (Sennrich et al. 2016) — the full
+    * loop [[qBpeMerge]] (one count) and [[qBpeApply]] (one merge)
+    * stop short of: k = [[BpeTrainSteps]] merges learned end to end,
+    * then the corpus tokenized with the learned table. Symbols ride
+    * an individually-wrapped encoding `|a||b||c|` so one string
+    * `replace` IS the exact left-to-right non-overlapping BPE merge
+    * at every step, including after symbols grow multi-char: the
+    * pattern `|pa||pb|` can never match inside another symbol (its
+    * interior `||` only occurs at symbol boundaries) and the
+    * replacement re-emits both wrappers, so adjacent disjoint
+    * occurrences all merge in one pass — the failure modes of
+    * space-separated encodings (boundary false-positives, delimiter
+    * consumption between back-to-back matches) are impossible by
+    * construction. Training is vocab-frequency-weighted (equivalent
+    * to corpus-occurrence counts), restricted to purely alphabetic
+    * tokens so the wrapper char is collision-free. Distributed
+    * shape: ONE corpus tokenize builds the Heaps-bounded (word,
+    * freq) vocab, localCheckpointed; each of the k rounds is a
+    * pair-count aggregate + broadcast 1-row argmax + map-side
+    * replace over that small table (the q_ann_ivf Lloyd discipline —
+    * checkpoint per round keeps lineage flat). Output: one row per
+    * merge step with the chosen pair, its weighted count, and the
+    * post-merge vocabulary state (distinct symbol types, total
+    * corpus token count, compression vs character-level) — the
+    * curve a tokenizer trainer tunes k against. */
+  def qBpeTrain(s: SparkSession, d: String): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val v0 = documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("sym", regexp_replace(col("word"), "(.)", "|$1|"))
+      .localCheckpoint(true)
+    val chars = v0
+      .agg(sum(col("freq") * length(col("word"))).as("chars"))
+    def symList(df: DataFrame): DataFrame = df.withColumn("l",
+      split(expr("trim(BOTH '|' FROM sym)"), "\\|\\|"))
+    var cur = v0
+    val stepRows = (1 to BpeTrainSteps).map { i =>
+      val top = symList(cur)
+        .filter(size(col("l")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(l) - 1)," +
+            " j -> struct(element_at(l, j) AS pa," +
+            " element_at(l, j + 1) AS pb))")).as("p"))
+        .groupBy("p.pa", "p.pb").agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("pa"), col("pb"))
+        .limit(1)
+        .localCheckpoint(true)
+      cur = cur.crossJoin(broadcast(top))
+        .withColumn("sym", expr(
+          "replace(sym, concat('|', pa, '||', pb, '|')," +
+            " concat('|', pa, pb, '|'))"))
+        .select("word", "freq", "sym")
+        .localCheckpoint(true)
+      val toks = symList(cur)
+        .agg(sum(col("freq") * size(col("l"))).as("tokens_total"))
+      val nsym = symList(cur)
+        .select(explode(col("l")).as("u"))
+        .agg(countDistinct("u").as("n_symbols"))
+      top.select(lit(i).cast("long").as("step"),
+          concat(col("pa"), col("pb")).as("merge_pair"),
+          col("n").as("pair_n"))
+        .crossJoin(broadcast(nsym))
+        .crossJoin(broadcast(toks))
+    }
+    stepRows.reduce(_ unionByName _)
+      .crossJoin(broadcast(chars))
+      .select(col("step"), col("merge_pair"), col("pair_n"),
+        col("n_symbols"), col("tokens_total"),
+        r4(col("tokens_total").cast("double") / col("chars"))
+          .as("compression_ratio"))
+      .orderBy("step")
+  }
+
+  /** DuckDB oracle for [[qBpeTrain]]: the k training rounds unrolled
+    * as CTE stages (count → argmax → replace → stats per stage), one
+    * generated template per step — a divergence at ANY round (tie
+    * broken differently, a merge applied to a boundary-crossing
+    * match, a stat off by one symbol) cascades into every later
+    * round's chosen pair and fails the hash. */
+  lazy val bpeTrainOracleSql: String = {
+    val stages = (1 to BpeTrainSteps).map { i =>
+      s"""l$i AS (SELECT freq, string_split(trim(BOTH '|' FROM sym), '||') AS l
+         |  FROM v${i - 1}),
+         |p$i AS (SELECT pr.pa AS pa, pr.pb AS pb, CAST(SUM(freq) AS BIGINT) AS n
+         |  FROM (SELECT freq,
+         |          UNNEST(list_transform(generate_series(1, len(l) - 1),
+         |            j -> {'pa': l[j], 'pb': l[j + 1]})) AS pr
+         |        FROM l$i WHERE len(l) >= 2)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT pa, pb, n FROM p$i ORDER BY n DESC, pa, pb LIMIT 1),
+         |v$i AS (SELECT word, freq,
+         |    replace(sym, '|' || pa || '||' || pb || '|',
+         |            '|' || pa || pb || '|') AS sym
+         |  FROM v${i - 1} CROSS JOIN b$i),
+         |t$i AS (SELECT CAST(SUM(freq *
+         |    len(string_split(trim(BOTH '|' FROM sym), '||'))) AS BIGINT)
+         |    AS tokens_total FROM v$i),
+         |s$i AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_symbols
+         |  FROM (SELECT UNNEST(string_split(trim(BOTH '|' FROM sym), '||')) AS u
+         |        FROM v$i)),
+         |r$i AS (SELECT CAST($i AS BIGINT) AS step, pa || pb AS merge_pair,
+         |    n AS pair_n, n_symbols, tokens_total
+         |  FROM b$i CROSS JOIN s$i CROSS JOIN t$i)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to BpeTrainSteps).map(i => s"SELECT * FROM r$i")
+      .mkString(" UNION ALL ")
+    s"""WITH v0 AS (
+       |  SELECT word, freq, regexp_replace(word, '(.)', '|\\1|', 'g') AS sym
+       |  FROM (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |          SELECT UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |          FROM documents)
+       |        WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1)),
+       |$stages,
+       |chars AS (SELECT CAST(SUM(freq * len(word)) AS BIGINT) AS chars FROM v0)
+       |SELECT step, merge_pair, pair_n, n_symbols, tokens_total,
+       |       FLOOR(CAST(tokens_total AS DOUBLE) / chars * 10000.0 + 0.5)
+       |         / 10000.0 AS compression_ratio
+       |FROM ($unions) CROSS JOIN chars
+       |ORDER BY step""".stripMargin
+  }
+
   /** fastText-style linear quality classifier inference (Joulin et
     * al., "Bag of Tricks for Efficient Text Classification"): score
     * every document as Σ w(feature) over unigram + word-bigram
@@ -2386,9 +2515,11 @@ object TextOps {
     * monotone (substr(a,1,k) = substr(b,1,k) implies equality at every
     * j < k, and can never hold past a difference for DISTINCT strings),
     * so cpl = Σ_{k=1..30} [prefixes of length k equal]. One generator
-    * feeds both engines; 30 caps the shared prefix (vocab words beyond
-    * 30 identical chars would undercount — document-corpus tokens top
-    * out far below). */
+    * feeds both engines; callers must EXCLUDE tokens longer than 30
+    * chars at their vocab stage (as [[qFrontCoding]] does) — a pair
+    * sharing more identical leading chars than the term count would
+    * otherwise silently undercount on both engines, which no oracle
+    * can catch. */
   private def cplSql(a: String, b: String): String =
     (1 to 30).map(k =>
       s"(CASE WHEN substr($a, 1, $k) = substr($b, 1, $k) THEN 1 ELSE 0 END)")
@@ -2412,7 +2543,12 @@ object TextOps {
     val w = Window.partitionBy("letter").orderBy("w")
     documents(s, d)
       .select(explode(tokens(col("text"))).as("w"))
-      .filter(length(col("w")) > 0)
+      // ≤ 30 EXCLUDES over-long tokens rather than truncating their
+      // measured prefix (the qSoundexBlocking length-cap discipline):
+      // cplSql sums 30 prefix-equality terms, so a vocab pair sharing
+      // >30 leading chars would silently undercount shared_chars /
+      // front_bytes on BOTH engines — the cap must never bend a count
+      .filter(length(col("w")).between(1, 30))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .withColumn("letter", substring(col("w"), 1, 1))
       .withColumn("prev", lag("w", 1).over(w))
@@ -2439,7 +2575,8 @@ object TextOps {
   lazy val frontCodingOracleSql: String =
     s"""WITH tok AS (SELECT UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
        |             FROM documents),
-       |v AS (SELECT w, COUNT(*) AS freq FROM tok WHERE len(w) > 0 GROUP BY 1),
+       |v AS (SELECT w, COUNT(*) AS freq FROM tok
+       |      WHERE len(w) BETWEEN 1 AND 30 GROUP BY 1),
        |fc AS (SELECT w, substr(w, 1, 1) AS letter,
        |         LAG(w) OVER (PARTITION BY substr(w, 1, 1) ORDER BY w) AS prev,
        |         ROW_NUMBER() OVER (PARTITION BY substr(w, 1, 1) ORDER BY w) AS rn

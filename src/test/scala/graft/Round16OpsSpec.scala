@@ -339,9 +339,10 @@ class Round16OpsSpec extends SparkSuite {
         s" WHEN substr(w, $j, 1) = 'l' THEN '4'" +
         s" WHEN substr(w, $j, 1) IN ('m', 'n') THEN '5'" +
         s" WHEN substr(w, $j, 1) = 'r' THEN '6' ELSE '0' END)")))
-    // assemble exactly as the query does, via its own oracle SQL fragment
-    val asm = MiningOps.soundexBlockingOracleSql
-      .split("k AS \\(SELECT w, ")(1).split(" AS sx FROM codes\\)")(0)
+    // assemble exactly as the query does, via the shared generator
+    // (the same sxAssemble instance both the Spark plan and the oracle
+    // SQL embed — no fragile string-parsing of the oracle text)
+    val asm = MiningOps.sxAssemble("w", 12)
     tok.withColumn("sx", expr(asm)).collect().foreach { r =>
       val (w, sx) = (r.getAs[String]("w"), r.getAs[String]("sx"))
       assert(sx == refSoundex(w), s"generated soundex('$w') = $sx != ${refSoundex(w)}")
