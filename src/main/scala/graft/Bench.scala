@@ -79,8 +79,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // Host-speed calibration probe: a PINNED workload that never
-    // changes across rounds (hash 10⁷ longs, full-shuffle sort, count
-    // — data-independent, representative shuffle+sort+codegen mix).
+    // changes across rounds (hash 3·10⁷ longs into 3·10⁶ groups,
+    // shuffle-aggregate, re-aggregate — data-independent,
+    // representative hash+shuffle+codegen mix; the final sum CONSUMES
+    // the group counts, so no optimizer rule can elide the aggregate
+    // the way EliminateSorts removes a sort under count()).
     // The host shows uniform minutes-scale load drift (round 7→8:
     // median per-query ratio 1.22 with zero plan regressions, two
     // back-to-back full runs within 0.2%) that round-over-round total
@@ -90,12 +93,14 @@ object Bench {
     // CalibrationRef is the probe's cost on the round-9 host at the
     // moment the protocol was pinned — an arbitrary but FIXED unit, so
     // normalized totals are comparable across rounds by construction.
-    val CalibrationRef = 0.55
+    val CalibrationRef = 2.73
     def calibrateOnce(): Double = {
       import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
-      spark.range(10000000L).select(hash(col("id")).as("h"))
-        .orderBy("h").count()
+      spark.range(30000000L)
+        .select(pmod(hash(col("id")), lit(3000000)).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("c"))
+        .agg(sum("c")).collect()
       (System.nanoTime() - t0) / 1e9
     }
     calibrateOnce() // untimed: its own codegen/JIT warm-up

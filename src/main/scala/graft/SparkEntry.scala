@@ -188,6 +188,7 @@ object SparkEntry {
     "q_topk_agg"           -> ((s, d) => Relational.qTopkAgg(s, d)),
     "q_salted_join"        -> (ScaleOps.qSaltedJoin _),
     "q_decontaminate"      -> (TextOps.qDecontaminate _),
+    "q_dsir_select"        -> (CurationOps.qDsirSelect _),
     "q_percent_total"      -> (Relational.qPercentTotal _),
     "q_entropy"            -> (AnalyticsOps.qEntropy _),
     "q_chi2"               -> (AnalyticsOps.qChi2 _),
@@ -314,6 +315,7 @@ object SparkEntry {
     "q_link_predict"       -> (RelationalExt.qLinkPredict _),
     "q_kmeans_iter"        -> ((s, d) => VectorOps.qKmeansIter(s, d)),
     "q_survival_km"        -> (AnalyticsOps.qSurvivalKm _),
+    "q_dup_spans"          -> (TextOps.qDupSpans _),
     "q_dup_substring"      -> (TextOps.qDupSubstring _),
     "q_dedup_canonical"    -> (TextOps.qDedupCanonical _),
     "q_kanonymity"         -> (StatsOps.qKanonymity _),
@@ -2670,6 +2672,8 @@ object SparkEntry {
         |    / SUM(revenue) OVER (), 4) AS cum_share
         |FROM rev ORDER BY revenue DESC, n_name""".stripMargin,
 
+    "q_dsir_select" -> CurationOps.dsirSelectOracleSql,
+
     "q_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, doc_id % 97 = 0 AS is_bench,
@@ -3614,6 +3618,8 @@ object SparkEntry {
         |                OVER (ORDER BY t
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) END AS surv
         |FROM f ORDER BY duration_days""".stripMargin,
+
+    "q_dup_spans" -> TextOps.dupSpansOracleSql,
 
     "q_dup_substring" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr

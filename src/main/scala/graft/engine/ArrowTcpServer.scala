@@ -21,6 +21,13 @@ import java.nio.charset.StandardCharsets.UTF_8
   *
   *   - `LIST\n`          → UTF-8 text: `OK <n>\n` then n lines
   *                          `<topic>\t<rows>\t<bytes>\t<nBatches>\n`
+  *   - `LIST <criteria>\n` → same, filtered to topics CONTAINING the
+  *                          criteria string (ListFlights' criteria
+  *                          expression, app-defined bytes in Flight)
+  *   - `ACTION health\n`  → `OK OK\n`; `ACTION listTopics\n` →
+  *                          `OK <t1,t2,…>\n` (sorted) — the
+  *                          reference's two DoAction verbs; other
+  *                          types → `ERR action … not implemented\n`
   *   - `SCHEMA <topic>\n` → raw Arrow IPC stream, schema message +
   *                          EOS, zero batches (what GetSchema carries)
   *   - `GET <topic>\n`    → raw Arrow IPC stream, schema + one record
@@ -103,11 +110,32 @@ final class ArrowTcpServer(store: StreamStore, port: Int = 0)
       val out = sock.getOutputStream
       val line = readLine(in)
       line.trim.split("\\s+", 2) match {
-        case Array("LIST") | Array("LIST", _) =>
+        case Array("LIST") =>
           val infos = FlightServe.listFlights(store)
           text(out, s"OK ${infos.size}\n")
           infos.foreach { i =>
             text(out, s"${i.topic}\t${i.rows}\t${i.bytes}\t${i.nBatches}\n")
+          }
+        case Array("LIST", criteria) =>
+          // ListFlights criteria (flight/server.go:82 accepts the
+          // expression; Flight leaves its bytes app-defined): here a
+          // topic-substring filter — the natural criteria for a
+          // topic-per-table store.
+          val infos = FlightServe.listFlights(store)
+            .filter(_.topic.contains(criteria.trim))
+          text(out, s"OK ${infos.size}\n")
+          infos.foreach { i =>
+            text(out, s"${i.topic}\t${i.rows}\t${i.bytes}\t${i.nBatches}\n")
+          }
+        case Array("ACTION", actionType) =>
+          // DoAction verbs, exactly the reference's two
+          // (flight/server.go:233-245): health → "OK", listTopics →
+          // comma-joined topic names; anything else unimplemented.
+          actionType.trim match {
+            case "health"     => text(out, "OK OK\n")
+            case "listTopics" =>
+              text(out, s"OK ${store.listTopics().sorted.mkString(",")}\n")
+            case other => text(out, s"ERR action $other not implemented\n")
           }
         case Array("SCHEMA", topic) =>
           store.schemaOf(topic) match {

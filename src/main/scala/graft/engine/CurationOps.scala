@@ -856,4 +856,105 @@ object CurationOps {
       |       FLOOR((2.0 * SUM(report) / COUNT(*) - 0.5) * 10000.0 + 0.5)
       |         / 10000.0 AS est_rate
       |FROM r""".stripMargin
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.
+    * 2023), the modern pretraining-curation selector: score every raw
+    * document by how target-like its hashed n-gram distribution is,
+    * then sample with Gumbel-top-k so selection is importance
+    * RESAMPLING rather than greedy thresholding (greedy top-k
+    * saturates on near-identical highest-weight docs; the Gumbel
+    * noise makes inclusion probability proportional to the
+    * importance weight — the paper's key move). Mechanics here:
+    * tokens hash into m = 64 buckets (the hashing trick — the model
+    * is m numbers, never a vocabulary), bag-of-hashed-tokens unigram
+    * models fit on target (lang = 'en') and raw (all docs) with
+    * add-one smoothing, and the per-doc log importance weight is
+    * Σ_b c_b(doc)·(ln p̂_t(b) − ln p̂_r(b)) in the micro-nat
+    * fixed-point discipline (ln quantized to 1e-6 — the q_lang_id
+    * pattern, so both engines land on identical longs; per-doc sums
+    * are doc-length-bounded). The Gumbel key is seeded from
+    * md5(doc_id) (u ∈ [1e-6, 0.999999] by construction, endpoints
+    * unreachable — the q_dp_noise inverse-CDF discipline), quantized
+    * to micro-units, and added to the log weight; top-200 under a
+    * (key desc, doc_id) total order. Distributed shape at 100 TB:
+    * one corpus tokenize, a 64-row broadcast model, one doc-keyed
+    * aggregate, a distributed top-k — no vocabulary table, no
+    * broadcast that grows with data. */
+  def qDsirSelect(s: SparkSession, d: String): DataFrame = {
+    def unats(x: Column): Column = floor(log(x) * 1e6 + 0.5).cast("long")
+    val m = 64
+    val b = documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(toks).as("w"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % m)
+          .as("bucket"))
+    val raw = b.groupBy("bucket").agg(count(lit(1)).as("c_r"))
+    val tgt = b.filter(col("lang") === "en")
+      .groupBy("bucket").agg(count(lit(1)).as("c_t"))
+    val tots = b.agg(count(lit(1)).as("tr"),
+      sum((col("lang") === "en").cast("long")).as("tt"))
+    val delta = s.range(m).select(col("id").as("bucket"))
+      .join(raw, Seq("bucket"), "left")
+      .join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("bucket"),
+        (unats((coalesce(col("c_t"), lit(0L)) + 1L).cast("double") /
+          (col("tt") + m).cast("double")) -
+         unats((coalesce(col("c_r"), lit(0L)) + 1L).cast("double") /
+           (col("tr") + m).cast("double"))).as("d_u"))
+    val lw = b.groupBy("doc_id", "bucket").agg(count(lit(1)).as("cb"))
+      .join(broadcast(delta), "bucket")
+      .groupBy("doc_id").agg(sum(col("cb") * col("d_u")).as("lw_u"))
+    val u = ((conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":dsir"))), 1, 8), 16, 10).cast("long") % 999999L) + 1L)
+      .cast("double") / 1e6
+    documents(s, d).select(col("doc_id"), col("lang"))
+      .join(lw, "doc_id")
+      .withColumn("gumbel_u",
+        floor(-log(-log(u)) * 1e6 + 0.5).cast("long"))
+      .withColumn("key_u", col("lw_u") + col("gumbel_u"))
+      .orderBy(col("key_u").desc, col("doc_id"))
+      .limit(200)
+      .select("doc_id", "lang", "lw_u", "gumbel_u", "key_u")
+  }
+
+  /** DuckDB oracle for [[qDsirSelect]]: identical hashed buckets,
+    * smoothed micro-nat model, Gumbel seed, and total order. */
+  val dsirSelectOracleSql: String =
+    """WITH tok AS (SELECT doc_id, lang,
+      |               UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
+      |             FROM documents),
+      |bk AS (SELECT doc_id, lang,
+      |         ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS bucket
+      |       FROM tok),
+      |raw AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_r
+      |        FROM bk GROUP BY 1),
+      |tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_t
+      |        FROM bk WHERE lang = 'en' GROUP BY 1),
+      |tots AS (SELECT CAST(COUNT(*) AS BIGINT) AS tr,
+      |                CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+      |                     AS BIGINT) AS tt
+      |         FROM bk),
+      |grid AS (SELECT g AS bucket FROM range(64) t(g)),
+      |delta AS (SELECT grid.bucket,
+      |    CAST(FLOOR(ln((COALESCE(c_t, 0) + 1)
+      |                  / CAST(tt + 64 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+      |  - CAST(FLOOR(ln((COALESCE(c_r, 0) + 1)
+      |                  / CAST(tr + 64 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+      |    AS d_u
+      |  FROM grid LEFT JOIN raw USING (bucket) LEFT JOIN tgt USING (bucket)
+      |  CROSS JOIN tots),
+      |dw AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cb
+      |       FROM bk GROUP BY 1, 2),
+      |lw AS (SELECT doc_id, CAST(SUM(cb * d_u) AS BIGINT) AS lw_u
+      |       FROM dw JOIN delta USING (bucket) GROUP BY 1),
+      |keyed AS (SELECT d.doc_id, d.lang, lw.lw_u,
+      |    CAST(FLOOR(-ln(-ln((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+      |                 || ':dsir'), 1, 8))::BIGINT % 999999 + 1) / 1e6))
+      |               * 1e6 + 0.5) AS BIGINT) AS gumbel_u
+      |  FROM documents d JOIN lw ON lw.doc_id = d.doc_id)
+      |SELECT doc_id, lang, lw_u, gumbel_u, lw_u + gumbel_u AS key_u
+      |FROM keyed
+      |ORDER BY key_u DESC, doc_id
+      |LIMIT 200""".stripMargin
 }

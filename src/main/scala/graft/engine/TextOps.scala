@@ -1108,6 +1108,119 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Maximal duplicated-SPAN extraction (the Lee et al. 2022
+    * completion of [[qDupSubstring]], which only scores the
+    * duplicated-window FRACTION): the actual token spans a curation
+    * pipeline would cut, per document pair. Positions of every
+    * 5-token window meet in a window-keyed join (valved: windows in
+    * ≥ 2 docs with ≤ 64 total occurrences — the stop-gram valve that
+    * keeps boilerplate windows from quadratic pair blow-up; a valve-
+    * dropped window can split one long boilerplate span in two, the
+    * documented price of scale, identical in both engines), then
+    * matching positions group into maximal runs by the classic
+    * gaps-and-islands move ON THE DIAGONAL: a match (pa, pb)
+    * continues (pa+1, pb+1), so runs live at constant pa − pb and
+    * `pa − row_number() over (pair, diagonal order by pa)` is
+    * constant exactly along a maximal run. A run of L windows is a
+    * duplicated span of L + 4 tokens; the top-50 spans under a total
+    * order rejoin the source token array to emit the span text
+    * itself (120-char preview). Everything is linear in total
+    * windows except the valve-bounded pair join; the island window
+    * partitions by (pair, diagonal) — plentiful small partitions, no
+    * global sort. */
+  def qDupSpans(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val base = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("arr"))
+      .withColumn("w", call_function("graft_word_ngrams", col("arr"), lit(5)))
+      .filter(size(col("w")) > 0)
+    val wins = base
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("g"))
+    val valve = wins.groupBy("g")
+      .agg(countDistinct("doc_id").as("nd"), count(lit(1)).as("no"))
+      .filter(col("nd") >= 2 && col("no") <= 64)
+      .select("g")
+    val dup = wins.join(valve, Seq("g"), "left_semi")
+    val pairs = dup
+      .select(col("g"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(dup.select(col("g"), col("doc_id").as("doc_b"),
+        col("pos").as("pb")), "g")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "pa", "pb")
+    val wIsl = Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("pa") - col("pb"))
+      .orderBy("pa")
+    val spans = pairs
+      .withColumn("island", col("pa") - row_number().over(wIsl))
+      .groupBy(col("doc_a"), col("doc_b"),
+        (col("pa") - col("pb")).as("diag"), col("island"))
+      .agg(min("pa").as("start_a"), min("pb").as("start_b"),
+        count(lit(1)).as("n_windows"))
+      .withColumn("span_tokens", col("n_windows") + 4L)
+      .orderBy(col("span_tokens").desc, col("doc_a"), col("doc_b"),
+        col("start_a"), col("start_b"))
+      .limit(50)
+    spans
+      .join(base.select(col("doc_id").as("doc_a"), col("arr")), "doc_a")
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("n_windows"), col("span_tokens"),
+        substring(concat_ws(" ",
+          slice(col("arr"), col("start_a").cast("int"),
+            col("span_tokens").cast("int"))), 1, 120).as("span_preview"))
+      .orderBy(col("span_tokens").desc, col("doc_a"), col("doc_b"),
+        col("start_a"), col("start_b"))
+  }
+
+  /** DuckDB oracle for [[qDupSpans]]: identical valve, diagonal
+    * islands, and span-text slice — span-BOUNDARY exactness is pinned
+    * because start/length feed the text slice, so an off-by-one in
+    * either engine's island arithmetic changes span_preview and
+    * fails the hash. */
+  val dupSpansOracleSql: String =
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+      |              FROM documents),
+      |base AS (SELECT doc_id, arr,
+      |           list_transform(range(1, len(arr) - 3),
+      |             i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' ||
+      |                  arr[i+3] || ' ' || arr[i+4]) AS w
+      |         FROM toks WHERE len(arr) >= 5),
+      |wins AS (SELECT doc_id, pr.pos AS pos, pr.g AS g
+      |         FROM (SELECT doc_id,
+      |                 UNNEST(list_transform(generate_series(1, len(w)),
+      |                   i -> {'pos': i, 'g': w[i]})) AS pr
+      |               FROM base)),
+      |valve AS (SELECT g FROM (
+      |            SELECT g, COUNT(DISTINCT doc_id) AS nd, COUNT(*) AS nocc
+      |            FROM wins GROUP BY g)
+      |          WHERE nd >= 2 AND nocc <= 64),
+      |dup AS (SELECT wins.* FROM wins JOIN valve USING (g)),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |                 a.pos AS pa, b.pos AS pb
+      |          FROM dup a JOIN dup b
+      |            ON a.g = b.g AND a.doc_id < b.doc_id),
+      |isl AS (SELECT *, pa - ROW_NUMBER() OVER (
+      |          PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS island
+      |        FROM pairs),
+      |spans AS (SELECT doc_a, doc_b, pa - pb AS diag, island,
+      |            CAST(MIN(pa) AS BIGINT) AS start_a,
+      |            CAST(MIN(pb) AS BIGINT) AS start_b,
+      |            CAST(COUNT(*) AS BIGINT) AS n_windows,
+      |            CAST(COUNT(*) + 4 AS BIGINT) AS span_tokens
+      |          FROM isl GROUP BY 1, 2, 3, 4),
+      |topn AS (SELECT * FROM spans
+      |         ORDER BY span_tokens DESC, doc_a, doc_b, start_a, start_b
+      |         LIMIT 50)
+      |SELECT t.doc_a, t.doc_b, t.start_a, t.start_b, t.n_windows,
+      |       t.span_tokens,
+      |       substr(array_to_string(
+      |         b2.arr[CAST(t.start_a AS INTEGER) :
+      |                CAST(t.start_a + t.span_tokens - 1 AS INTEGER)], ' '),
+      |         1, 120) AS span_preview
+      |FROM topn t JOIN base b2 ON b2.doc_id = t.doc_a
+      |ORDER BY span_tokens DESC, doc_a, doc_b, start_a, start_b""".stripMargin
+
   /** Okapi BM25 (k1 = 1.2, b = 0.75) top terms per document — the
     * ranking-grade upgrade of q_tfidf. Document length and term
     * frequency come out of ONE (doc, term) aggregation (dl is derived

@@ -1,0 +1,134 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-cliff differential rung: the oracle gate runs two orders of
+  * magnitude below the design point, so wrong-at-scale hazards that
+  * are *empirical* (a plan that quietly goes quadratic, a valve that
+  * stops valving, a window that serializes) can hide behind green
+  * hashes. This tool measures the cliff directly: it derives a
+  * `factor`× corpus from the sf0.1 fixture by key-shifted replication
+  * (replica r adds r·10⁷ to every entity key, so joins stay
+  * referentially intact and group cardinalities scale like a real
+  * corpus; document texts get a per-replica suffix token so
+  * cross-replica docs are near- but not exact-duplicates — dup GROUP
+  * COUNTS scale ×factor while group sizes stay fixture-like), then
+  * times the N slowest queries (from bench_full.json) at both scales
+  * and reports the per-query growth exponent log_factor(t_big/t_base).
+  * A query above exponent 1.3 is flagged super-linear — the
+  * q_spearman-class alarm, caught empirically instead of by review.
+  *
+  * Replication is derived data for BENCHMARKING only (never an oracle
+  * input): fixtures in /root/testdata remain the sole correctness
+  * surface. Usage:
+  *   runMain graft.tools.ScaleCliff [baseDir] [factor] [outJson] [topN]
+  */
+object ScaleCliff {
+
+  private val Off = 10000000L
+
+  private def scaledCopy(s: SparkSession, base: String, factor: Int): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_scalecliff_x$factor"
+    val marker = new java.io.File(s"$dir/embeddings.parquet/_SUCCESS")
+    if (marker.exists()) return dir
+    val reps = s.range(factor).toDF("r")
+    def shift(c: String): org.apache.spark.sql.Column =
+      (col(c) + col("r") * Off).as(c)
+    def write(name: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    def rd(name: String): DataFrame = s.read.parquet(s"$base/$name.parquet")
+    // tiny dims stay constant at any SF (25 nations is reality)
+    write("region", rd("region"))
+    write("nation", rd("nation"))
+    write("customer", rd("customer").crossJoin(reps).select(
+      shift("c_custkey"), col("c_name"), col("c_nationkey"),
+      col("c_acctbal"), col("c_mktsegment")))
+    write("supplier", rd("supplier").crossJoin(reps).select(
+      shift("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal")))
+    write("part", rd("part").crossJoin(reps).select(
+      shift("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+      col("p_size"), col("p_retailprice")))
+    write("orders", rd("orders").crossJoin(reps).select(
+      shift("o_orderkey"), shift("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")))
+    write("lineitem", rd("lineitem").crossJoin(reps).select(
+      shift("l_orderkey"), shift("l_partkey"), shift("l_suppkey"),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"),
+      col("l_linestatus"), col("l_shipdate")))
+    write("events", rd("events").crossJoin(reps).select(
+      shift("event_id"), col("ts"), shift("user_id"), col("event_type"),
+      col("value"), col("props")))
+    write("documents", rd("documents").crossJoin(reps).select(
+      shift("doc_id"),
+      concat(col("text"), lit(" zr"), col("r")).as("text"),
+      col("lang"), col("source"), col("n_chars")))
+    write("embeddings", rd("embeddings").crossJoin(reps).select(
+      shift("vec_id"), col("embedding"), col("label")))
+    dir
+  }
+
+  private def slowestKeys(n: Int): Seq[String] = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("bench_full.json")), "UTF-8")
+    val inner = txt.substring(txt.indexOf("\"queries\":{") + 11)
+    "\"(q_[a-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(inner)
+      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+      .sortBy(-_._2).take(n).map(_._1)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val outJson = args.lift(2).getOrElse("BENCH_sfX.json")
+    val topN = args.lift(3).map(_.toInt).getOrElse(25)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val big = scaledCopy(spark, base, factor)
+    println(s"[scalecliff] scaled corpus at $big (${factor}x $base)")
+    val keys = slowestKeys(topN)
+    val qs = graft.SparkEntry.queries
+    // codegen/JIT warm-up at the smallest SF (same protocol as Bench)
+    val warm = new java.io.File(base).getParent + "/sf0.001"
+    keys.foreach { k =>
+      try qs(k)(spark, warm).count() catch { case _: Throwable => () }
+    }
+    def once(k: String, dir: String): Double = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      val t0 = System.nanoTime()
+      try qs(k)(spark, dir).count()
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def ms(v: Double): String =
+      java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val rows = keys.map { k =>
+      val b = math.min(once(k, base) match { case x if x < 0 => Double.MaxValue; case x => x },
+        once(k, base) match { case x if x < 0 => Double.MaxValue; case x => x })
+      val g = once(k, big)
+      val ratio = if (b > 0 && b < Double.MaxValue && g > 0) g / b else -1.0
+      val expo = if (ratio > 0) math.log(ratio) / math.log(factor.toDouble) else -1.0
+      val flag = expo > 1.3
+      println(s"[scalecliff] $k base=${ms(if (b == Double.MaxValue) -1 else b)}s " +
+        s"x$factor=${ms(g)}s ratio=${ms(ratio)} exponent=${ms(expo)}" +
+        (if (flag) " SUPER-LINEAR" else ""))
+      s""""$k":{"base_sec":${ms(if (b == Double.MaxValue) -1 else b)},"scaled_sec":${ms(g)},"ratio":${ms(ratio)},"exponent":${ms(expo)},"superlinear":$flag}"""
+    }
+    val w = new java.io.PrintWriter(outJson)
+    try w.println(
+      s"""{"base":"$base","factor":$factor,"top_n":$topN,"queries":{${rows.mkString(",")}}}""")
+    finally w.close()
+    println(s"[scalecliff] wrote $outJson")
+    spark.stop()
+  }
+}

@@ -172,4 +172,34 @@ class ArrowTcpServerSpec extends SparkSuite {
       } finally sock2.close()
     } finally srv.close()
   }
+
+  test("LIST <criteria> filters to topics containing the criteria string") {
+    val st = storeWith2Batches()
+    st.append("order_deltas", StructType(Seq(StructField("a", LongType))), Seq(Row(1L)))
+    st.append("events", StructType(Seq(StructField("a", LongType))), Seq(Row(2L)))
+    val srv = new ArrowTcpServer(st)
+    try {
+      val resp = readAllText(send(srv.boundPort, "LIST order")).split("\n").toSeq
+      assert(resp.head == "OK 2", s"criteria must match orders + order_deltas: $resp")
+      assert(resp.tail.map(_.split("\t")(0)).toSet == Set("orders", "order_deltas"))
+      val none = readAllText(send(srv.boundPort, "LIST zebra")).split("\n").toSeq
+      assert(none.head == "OK 0")
+      // bare LIST stays unfiltered
+      val all = readAllText(send(srv.boundPort, "LIST")).split("\n").toSeq
+      assert(all.head == "OK 3")
+    } finally srv.close()
+  }
+
+  test("ACTION carries the reference's two DoAction verbs; unknown types are unimplemented") {
+    val st = storeWith2Batches()
+    st.append("events", StructType(Seq(StructField("a", LongType))), Seq(Row(2L)))
+    val srv = new ArrowTcpServer(st)
+    try {
+      assert(readAllText(send(srv.boundPort, "ACTION health")).trim == "OK OK")
+      assert(readAllText(send(srv.boundPort, "ACTION listTopics")).trim ==
+        "OK events,orders")
+      val bad = readAllText(send(srv.boundPort, "ACTION reboot")).trim
+      assert(bad.startsWith("ERR action reboot not implemented"))
+    } finally srv.close()
+  }
 }

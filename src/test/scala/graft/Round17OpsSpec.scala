@@ -1,0 +1,84 @@
+package graft
+
+import graft.engine.{CurationOps, ScaleOps, Tables}
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the round-17 additions. The three-SF DuckDB
+  * differential is the primary gate; these pin what hash-compare
+  * can't: full in-JVM replays (shared-template bugs) and physical
+  * layout facts (file counts on disk). */
+class Round17OpsSpec extends SparkSuite {
+
+  test("q_dsir_select: full in-JVM replay of the model, weights, Gumbel keys") {
+    // independent third implementation: JVM md5 + math.log, no Spark
+    // expressions, no SQL — pins the hashed-bucket model and the
+    // seeded Gumbel recipe against both engines' shared design
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def bucket(w: String): Long =
+      java.lang.Long.parseLong(md5hex(w).take(8), 16) % 64L
+    def unats(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = docs.map { case (id, lang, text) =>
+      (id, lang, text.trim.split("\\s+").toSeq.map(bucket))
+    }
+    val cR = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val cT = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    toks.foreach { case (_, lang, bs) =>
+      bs.foreach { b => cR(b) += 1; if (lang == "en") cT(b) += 1 }
+    }
+    val tr = cR.values.sum
+    val tt = cT.values.sum
+    val dU = (0L until 64L).map(b => b ->
+      (unats((cT(b) + 1).toDouble / (tt + 64)) -
+       unats((cR(b) + 1).toDouble / (tr + 64)))).toMap
+    val expected = toks.map { case (id, lang, bs) =>
+      val lw = bs.map(dU).sum
+      val u = ((java.lang.Long.parseLong(
+        md5hex(s"$id:dsir").take(8), 16) % 999999L) + 1L).toDouble / 1e6
+      val g = math.floor(-math.log(-math.log(u)) * 1e6 + 0.5).toLong
+      id -> (lang, lw, g, lw + g)
+    }.toMap
+    val got = CurationOps.qDsirSelect(spark, sf).collect()
+    assert(got.length == math.min(200, docs.length))
+    // the selected SET must be the reference's own Gumbel-top-200
+    val refTop = expected.toSeq
+      .sortBy { case (id, (_, _, _, key)) => (-key, id) }
+      .take(200).map(_._1).toSet
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == refTop,
+      "selected set must equal the reference trainer's Gumbel-top-k")
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (lang, lw, g, key) = expected(id)
+      assert(r.getAs[String]("lang") == lang)
+      assert(r.getAs[Long]("lw_u") == lw, s"doc $id log-weight")
+      assert(r.getAs[Long]("gumbel_u") == g, s"doc $id gumbel")
+      assert(r.getAs[Long]("key_u") == key, s"doc $id key")
+    }
+  }
+
+  test("q_compaction_exec: physical layouts on disk match the logical plan") {
+    val (small, big) = ScaleOps.ensureCompactionExec(spark, sf)
+    def parquetFiles(dir: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(dir))
+    }
+    val nDays = Tables.events(spark, sf)
+      .select(date_format(col("ts"), "yyyy-MM-dd")).distinct().count()
+    assert(parquetFiles(small).size == nDays,
+      "before layout must hold exactly one physical file per day")
+    val after = parquetFiles(big).size
+    assert(after < nDays && after <= 9,
+      s"compacted layout must shrink to ~8 bins, got $after files")
+    // row conservation through BOTH rewrites, against the source table
+    val n0 = Tables.events(spark, sf).count()
+    assert(spark.read.parquet(small).count() == n0)
+    assert(spark.read.parquet(big).count() == n0)
+  }
+}
