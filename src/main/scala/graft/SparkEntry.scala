@@ -59,6 +59,7 @@ object SparkEntry {
     "q_doc_fingerprint"    -> (TextOps.qDocFingerprint _),
     "q_vector_topk"        -> ((s, d) => VectorOps.qVectorTopK(s, d)),
     "q_ann_lsh"            -> ((s, d) => VectorOps.qAnnLsh(s, d)),
+    "q_ann_beam"           -> ((s, d) => VectorOps.qAnnBeam(s, d)),
     "q_ann_ivf"            -> ((s, d) => VectorOps.qAnnIvf(s, d)),
     "q_embed_cosine_dup"   -> ((s, d) => VectorOps.qEmbedCosineDup(s, d)),
     "q_grouping_sets"      -> (Relational.qGroupingSets _),
@@ -316,6 +317,7 @@ object SparkEntry {
     "q_kmeans_iter"        -> ((s, d) => VectorOps.qKmeansIter(s, d)),
     "q_survival_km"        -> (AnalyticsOps.qSurvivalKm _),
     "q_dup_spans"          -> (TextOps.qDupSpans _),
+    "q_late_interaction"   -> (TextOps.qLateInteraction _),
     "q_dup_substring"      -> (TextOps.qDupSubstring _),
     "q_dedup_canonical"    -> (TextOps.qDedupCanonical _),
     "q_kanonymity"         -> (StatsOps.qKanonymity _),
@@ -1018,6 +1020,7 @@ object SparkEntry {
         |       FLOOR(2 * tp * 1.0 / GREATEST(2 * tp + fp + fn, 1)
         |             * 10000.0 + 0.5) / 10000.0 AS f1
         |FROM a ORDER BY threshold""".stripMargin,
+    "q_ann_beam" -> VectorOps.annBeamOracleSql(),
     "q_ann_ivf" -> VectorOps.annIvfOracleSql(),
     "q_embed_cosine_dup" -> VectorOps.embedCosineDupOracleSql(),
 
@@ -3620,6 +3623,7 @@ object SparkEntry {
         |FROM f ORDER BY duration_days""".stripMargin,
 
     "q_dup_spans" -> TextOps.dupSpansOracleSql,
+    "q_late_interaction" -> TextOps.lateInteractionOracleSql,
 
     "q_dup_substring" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr

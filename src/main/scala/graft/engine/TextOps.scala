@@ -1221,6 +1221,76 @@ object TextOps {
       |FROM topn t JOIN base b2 ON b2.doc_id = t.doc_a
       |ORDER BY span_tokens DESC, doc_a, doc_b, start_a, start_b""".stripMargin
 
+  /** Late-interaction retrieval scoring (the ColBERT MaxSim shape,
+    * Khattab & Zaharia 2020) — the ranking family's third member
+    * beyond bag-of-words ([[qBm25]]) and single-vector cosine
+    * (q_vector_topk): every QUERY token keeps its own vector and
+    * scores against the doc's best-matching TOKEN, so multi-aspect
+    * queries don't collapse into one averaged direction:
+    * score(q, d) = Σ_{i ∈ q} max_{j ∈ d} sim(qᵢ, dⱼ). Token vectors
+    * are the honest stub (the container has no trained encoder):
+    * 16-dim ±1 vectors from the first 16 md5 bits of the token —
+    * which makes the similarity EXACT INTEGER arithmetic via the
+    * Hamming identity dot(a, b) = 16 − 2·popcount(bits_a XOR bits_b),
+    * so no engine ever materializes a vector, compares a float, or
+    * runs anything but bit_count on the hot path. Swapping in real
+    * token embeddings replaces one column expression; what this query
+    * pins is the late-interaction PLAN at 100 TB: distinct (doc,
+    * token) table × broadcast 4-token query, one (doc, query-token)
+    * max aggregate, one doc sum — per-doc cost linear in distinct
+    * tokens, query-side fan-out bounded by the query length, no
+    * vocabulary table, no all-pairs. */
+  def qLateInteraction(s: SparkSession, d: String): DataFrame = {
+    val queryToks = Seq("fast", "query", "stream", "vector")
+    def bits16(c: Column): Column =
+      conv(substring(md5(c), 1, 4), 16, 10).cast("long")
+    val qt = s.range(1)
+      .select(explode(array(queryToks.map(lit): _*)).as("qtok"))
+      .select(col("qtok"), bits16(col("qtok")).as("qbits"))
+    val dt = documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .distinct()
+      .select(col("doc_id"), bits16(col("w")).as("wbits"))
+    val maxsim = dt.crossJoin(broadcast(qt))
+      .select(col("doc_id"), col("qtok"),
+        (lit(16L) - lit(2L) * bit_count(col("qbits")
+          .bitwiseXOR(col("wbits"))).cast("long")).as("dot"))
+      .groupBy("doc_id", "qtok").agg(max("dot").as("ms"))
+    val pivots = queryToks.map(t =>
+      max(when(col("qtok") === t, col("ms"))).as(s"ms_$t"))
+    val aggs = sum("ms").as("score") +: pivots
+    maxsim.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** DuckDB oracle for [[qLateInteraction]]: same md5 16-bit token
+    * codes, Hamming-identity dots, max-per-query-token and doc sum. */
+  lazy val lateInteractionOracleSql: String = {
+    val queryToks = Seq("fast", "query", "stream", "vector")
+    val qtList = queryToks.map(t => s"'$t'").mkString(", ")
+    val pivots = queryToks.map(t =>
+      s"MAX(CASE WHEN qtok = '$t' THEN ms END) AS ms_$t").mkString(",\n       ")
+    s"""WITH qt AS (SELECT qtok,
+       |        ('0x' || substr(md5(qtok), 1, 4))::BIGINT AS qbits
+       |      FROM (SELECT UNNEST([$qtList]) AS qtok)),
+       |dt AS (SELECT DISTINCT doc_id, w FROM (
+       |        SELECT doc_id,
+       |               UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |        FROM documents)),
+       |db AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 4))::BIGINT AS wbits
+       |       FROM dt),
+       |ms AS (SELECT doc_id, qtok,
+       |         CAST(MAX(16 - 2 * bit_count(xor(qbits, wbits))) AS BIGINT) AS ms
+       |       FROM db CROSS JOIN qt GROUP BY 1, 2)
+       |SELECT doc_id, CAST(SUM(ms) AS BIGINT) AS score,
+       |       $pivots
+       |FROM ms GROUP BY doc_id
+       |ORDER BY score DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
   /** Okapi BM25 (k1 = 1.2, b = 0.75) top terms per document — the
     * ranking-grade upgrade of q_tfidf. Document length and term
     * frequency come out of ONE (doc, term) aggregation (dl is derived

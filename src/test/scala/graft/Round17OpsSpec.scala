@@ -61,6 +61,51 @@ class Round17OpsSpec extends SparkSuite {
     }
   }
 
+  test("q_ann_beam: visited is budget-bounded, beam never beats brute force") {
+    val rows = graft.engine.VectorOps.qAnnBeam(spark, sf).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      // visited ≤ 1 + H·B·(M+1) with (M, B, H) = (8, 8, 6)
+      assert(r.getAs[Long]("n_visited") <= 1 + 6 * 8 * 9, "beam budget")
+      assert(r.getAs[Long]("ann_best") <= r.getAs[Long]("exact_best"),
+        "an ANN result can never outscore the exact top-1")
+      val nHit = r.getAs[Long]("n_hit")
+      assert(nHit >= 0 && nHit <= 5)
+      assert(r.getAs[Double]("recall") ==
+        math.floor(nHit.toDouble / 5 * 10000.0 + 0.5) / 10000.0)
+      val annTop = r.getAs[String]("ann_top").split(",")
+      assert(annTop.length == annTop.distinct.length, "top-k ids unique")
+    }
+  }
+
+  test("q_late_interaction: in-JVM MaxSim replay; score is the pivot sum") {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def bits16(w: String): Long = java.lang.Long.parseLong(md5hex(w).take(4), 16)
+    val qtoks = Seq("fast", "query", "stream", "vector")
+    val qbits = qtoks.map(t => t -> bits16(t)).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.split("\\s+").toSet.map(bits16)).toMap
+    val rows = graft.engine.TextOps.qLateInteraction(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val perTok = qtoks.map { t =>
+        t -> docs(id).map(wb =>
+          16L - 2L * java.lang.Long.bitCount(qbits(t) ^ wb)).max
+      }.toMap
+      qtoks.foreach { t =>
+        assert(r.getAs[Long](s"ms_$t") == perTok(t), s"doc $id ms_$t")
+      }
+      assert(r.getAs[Long]("score") == perTok.values.sum,
+        s"doc $id score must equal the sum of its per-query-token maxes")
+    }
+  }
+
   test("q_compaction_exec: physical layouts on disk match the logical plan") {
     val (small, big) = ScaleOps.ensureCompactionExec(spark, sf)
     def parquetFiles(dir: String): Seq[java.io.File] = {
