@@ -464,6 +464,7 @@ object SparkEntry {
     "q_label_propagation"  -> (RelationalExt.qLabelPropagation _),
     "q_kendall_tau"        -> (MiningOps.qKendallTau _),
     "q_jackknife"          -> (StatsOps.qJackknife _),
+    "q_store_runtime_prune" -> (FlightServe.qStoreRuntimePrune _),
     "q_store_topn_pushdown" -> (FlightServe.qStoreTopNPushdown _),
     "q_levene"             -> (StatsOps.qLevene _),
     "q_fano"               -> (StatsOps.qFano _),
@@ -6988,6 +6989,8 @@ object SparkEntry {
         |                - CAST(m.sx AS DOUBLE) * m.sx))
         |             / m.d_days + 0.5) AS BIGINT) AS se_jack_u
         |FROM m CROSS JOIN tot""".stripMargin,
+
+    "q_store_runtime_prune" -> FlightServe.storeRuntimePruneOracleSql,
 
     "q_store_topn_pushdown" ->
       """SELECT o_orderkey, o_orderstatus,

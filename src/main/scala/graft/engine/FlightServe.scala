@@ -276,6 +276,99 @@ object FlightServe {
     } finally graft.sources.GraftStoreRegistry.unregister("agg_push_store")
   }
 
+  /** One staged parquet dim per (JVM, sfDir) for the runtime-pruning
+    * audit — a REAL parquet scan, because a literal LocalRelation dim
+    * constant-folds during optimization and Spark's PartitionPruning
+    * rule then sees no selective build side (the round-13 DPP
+    * gotcha). */
+  private val runtimeDims =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureRuntimeDim(s: org.apache.spark.sql.SparkSession,
+                               d: String): String =
+    runtimeDims.computeIfAbsent(d, _ => {
+      import org.apache.spark.sql.functions._
+      val path = StagedPaths.tmp("graft_rtp_dim")
+      Tables.orders(s, d).filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey").as("dk"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** Runtime-filter (DPP-style) batch pruning through the V2 store
+    * scan, differential-gated: the store lands a key-SORTED orders
+    * slice in 50-row batches (so each buffered batch covers a
+    * contiguous key range — the arrival-order clustering a CDC/append
+    * stream naturally has), a staged parquet dimension joins it under
+    * a selective bottom-third-of-the-key-domain predicate, and Spark's PartitionPruning
+    * rule pushes the build side's IN-values into
+    * [[graft.sources.GraftScan.filter]] at runtime — the scan's zone
+    * check then PLANS ONLY the batches whose [min, max] key range can
+    * match (asserted: the executed plan carries dynamicpruning AND
+    * [[graft.sources.GraftScanMetrics]] shows fewer planned than
+    * buffered batches). The reference ships whole buffers per DoGet
+    * (flight/server.go:171-208); this is the join-driven analog of
+    * Iceberg's runtime file pruning on the same buffer. The DuckDB
+    * oracle replays the join from the parquet fixtures — pruning that
+    * ever changed RESULTS would break the hash, pinning the
+    * semantics-preserving contract runtime filters rely on. */
+  def qStoreRuntimePrune(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sub = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
+      .orderBy("o_orderkey")
+    val schema = sub.schema
+    val store = new StreamStore(1L << 30, Long.MaxValue / 2)
+    sub.collect().grouped(50).foreach(rs => store.append("orders", schema, rs.toSeq))
+    graft.sources.GraftStoreRegistry.register("rtp_store", store)
+    try {
+      // scale-relative selectivity: the bottom third of the key domain
+      // (a fixed cutoff would cover the whole domain at the smallest
+      // SF and prune nothing); the 1-row max is a bounded collect
+      val maxKey = Tables.orders(s, d)
+        .agg(max("o_orderkey")).head().getLong(0)
+      val dim = s.read.parquet(ensureRuntimeDim(s, d))
+        .filter(col("dk") < lit(maxKey / 3))
+      val fact = s.read.format("graft-store")
+        .option("store", "rtp_store").option("topic", "orders").load()
+      val df = fact.join(broadcast(dim), col("o_orderkey") === col("dk"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("o_orderstatus")
+      val out = df.collect().toSeq
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.toLowerCase(java.util.Locale.ROOT).contains("dynamicpruning"),
+        "the store scan must carry a runtime (DPP) filter")
+      val (kept, total) = graft.sources.GraftScanMetrics
+        .lastPlanned("orders").getOrElse((0, 0))
+      require(kept < total,
+        s"runtime zone pruning must drop batches (planned $kept of $total)")
+      s.createDataFrame(s.sparkContext.parallelize(out.toList), df.schema)
+        .orderBy("o_orderstatus")
+    } finally graft.sources.GraftStoreRegistry.unregister("rtp_store")
+  }
+
+  /** DuckDB oracle for [[qStoreRuntimePrune]]: the same join replayed
+    * from the parquet fixtures with no store and no pruning — results
+    * must be identical regardless of which batches were planned. */
+  val storeRuntimePruneOracleSql: String =
+    """WITH f AS (SELECT o_orderkey, o_orderstatus,
+      |             CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      |           FROM orders WHERE o_orderkey % 10 = 0),
+      |dm AS (SELECT o_orderkey AS dk FROM orders
+      |       WHERE o_orderkey % 50 = 0
+      |         AND o_orderkey < (SELECT MAX(o_orderkey) // 3 FROM orders))
+      |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |       CAST(MIN(f.o_orderkey) AS BIGINT) AS min_key,
+      |       CAST(MAX(f.o_orderkey) AS BIGINT) AS max_key
+      |FROM f JOIN dm ON dm.dk = f.o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The top-N-pushdown serve path, differential-gated: the V2
     * connector receives ORDER BY cents DESC, key ASC LIMIT 20 and
     * answers it INSIDE the scan (no TakeOrderedAndProject — asserted)

@@ -9,12 +9,12 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.catalog.SupportsWrite
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -355,7 +355,33 @@ final class GraftScan(storeName: String, topic: String, full: StructType,
                       agg: Option[GraftAggSpec] = None,
                       limit: Option[Int] = None,
                       sort: Seq[SortOrder] = Seq.empty)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
+
+  /** Runtime (DPP-style) IN filters injected by Spark's
+    * PartitionPruning rule from the build side of a join — arrives
+    * between planning and execution, so it lives in a var. */
+  @volatile private var runtimeIn: Option[(String, Set[Long])] = None
+
+  /** Join keys eligible for runtime filtering: the integral atomic
+    * columns (batch zone min/max compare as longs). */
+  override def filterAttributes(): Array[NamedReference] =
+    full.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType ||
+        f.dataType == org.apache.spark.sql.types.ShortType =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+    }
+
+  /** Accept the IN runtime filter on an integral column; anything
+    * else is ignored (runtime filters are semantics-preserving hints
+    * — the join above the scan re-applies the predicate, so partial
+    * or absent application can never change results, exactly the
+    * contract file-pruning sources like Iceberg rely on). */
+  override def filter(filters: Array[Filter]): Unit =
+    filters.collectFirst {
+      case In(attr, values) if filterAttributes().exists(_.describe() == attr) =>
+        attr -> values.collect { case n: Number => n.longValue() }.toSet
+    }.foreach(f => runtimeIn = Some(f))
   override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
   override def toBatch: Batch = this
   override def description(): String =
@@ -369,16 +395,44 @@ final class GraftScan(storeName: String, topic: String, full: StructType,
 
   /** A fully-pushed aggregation / limit / top-N answers in ONE
     * partition (the scan must produce a globally-correct bounded
-    * result); otherwise one partition per buffered batch. */
+    * result); otherwise one partition per buffered batch — MINUS the
+    * batches a runtime IN filter's zone check excludes: a batch whose
+    * [min, max] on the filter column contains NO filter value cannot
+    * contribute a join match, so its partition is never planned (the
+    * buffer analog of Iceberg's runtime file pruning; at 100 TB this
+    * is the difference between scanning every buffered batch and
+    * touching only the key ranges the dimension actually selects). */
   override def planInputPartitions(): Array[InputPartition] =
     if (agg.isDefined || limit.isDefined) Array(GraftAggPartition)
     else {
       val store = GraftStoreRegistry.get(storeName)
       val appended = store.appendedBatches(topic)
-      val n = store.batchesOf(topic).map(_._2.size).getOrElse(0)
+      val batches = store.batchesOf(topic).map(_._2).getOrElse(Seq.empty)
+      val n = batches.size
       val base = appended - n // oldest surviving batch's absolute index
-      (0 until n).map(i =>
-        GraftBatchPartition(i, base + i): InputPartition).toArray
+      val keep: Int => Boolean = runtimeIn match {
+        case Some((attr, values)) if full.fieldNames.contains(attr) =>
+          val idx = full.fieldIndex(attr)
+          i => {
+            var mn = Long.MaxValue
+            var mx = Long.MinValue
+            var hasNull = false
+            batches(i).foreach { r =>
+              r.get(idx) match {
+                case num: Number =>
+                  val v = num.longValue()
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                case _ => hasNull = true
+              }
+            }
+            hasNull || values.exists(v => v >= mn && v <= mx)
+          }
+        case _ => _ => true
+      }
+      val kept = (0 until n).filter(keep)
+      GraftScanMetrics.record(topic, kept.size, n)
+      kept.map(i => GraftBatchPartition(i, base + i): InputPartition).toArray
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -444,6 +498,17 @@ final case class GraftBatchPartition(index: Int, absIndex: Long)
 
 /** Single partition answering a fully-pushed aggregation. */
 case object GraftAggPartition extends InputPartition
+
+/** Test/audit hook: last (kept, total) batch-partition counts planned
+  * per topic — how the runtime-filter zone pruning is observed from
+  * specs and the q_store_runtime_prune audit. */
+private[graft] object GraftScanMetrics {
+  private val planned = new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+  def record(topic: String, kept: Int, total: Int): Unit =
+    planned.put(topic, (kept, total))
+  def lastPlanned(topic: String): Option[(Int, Int)] =
+    Option(planned.get(topic))
+}
 
 /** Streaming partition addressing one batch by ABSOLUTE append index. */
 final case class GraftAbsolutePartition(absIndex: Long) extends InputPartition

@@ -106,6 +106,45 @@ class Round17OpsSpec extends SparkSuite {
     }
   }
 
+  test("store runtime filtering: zone check plans exactly the matching batches") {
+    import graft.engine.StreamStore
+    import graft.sources.{GraftScan, GraftStoreRegistry, GraftScanMetrics}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("s", StringType)))
+    val store = new StreamStore()
+    // four batches with disjoint contiguous key ranges
+    (0 until 4).foreach { b =>
+      store.append("zp", schema,
+        (0L until 50L).map(i => Row(b * 50L + i, s"v$b")))
+    }
+    GraftStoreRegistry.register("zp_store", store)
+    try {
+      def scan() = new GraftScan("zp_store", "zp", schema, schema, Array.empty)
+      // no runtime filter → all four batches planned
+      assert(scan().planInputPartitions().length == 4)
+      // IN values inside batch 1's range only → one batch planned
+      val s1 = scan()
+      s1.filter(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("k", Array[Any](60L, 70L, 95L))))
+      assert(s1.planInputPartitions().length == 1)
+      assert(GraftScanMetrics.lastPlanned("zp").contains((1, 4)))
+      // values straddling two ranges → two batches
+      val s2 = scan()
+      s2.filter(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("k", Array[Any](10L, 160L))))
+      assert(s2.planInputPartitions().length == 2)
+      // a filter on a non-eligible (string) column is ignored
+      val s3 = scan()
+      s3.filter(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("s", Array[Any]("v1"))))
+      assert(s3.planInputPartitions().length == 4)
+      // the eligible-attribute list is the integral columns
+      assert(scan().filterAttributes().map(_.describe()).toSeq == Seq("k"))
+    } finally GraftStoreRegistry.unregister("zp_store")
+  }
+
   test("q_compaction_exec: physical layouts on disk match the logical plan") {
     val (small, big) = ScaleOps.ensureCompactionExec(spark, sf)
     def parquetFiles(dir: String): Seq[java.io.File] = {
