@@ -112,10 +112,25 @@ object ScaleCliff {
     }
     def ms(v: Double): String =
       java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // min over TWO FULL PASSES on BOTH sides (the Bench protocol —
+    // full passes put minutes between a key's two samples so a host
+    // pulse inflates different keys in each pass): a single scaled
+    // run caught a pulse and flagged q_dedup_simhash at exponent
+    // 1.42 where an isolated min-of-2 re-measure reads 1.06 — the
+    // detector must not be noisier than the thing it detects
+    def pass(dir: String): Map[String, Double] =
+      keys.map(k => k -> once(k, dir)).toMap
+    def best(m1: Map[String, Double], m2: Map[String, Double],
+             k: String): Double = (m1(k), m2(k)) match {
+      case (a, b) if a < 0 => b
+      case (a, b) if b < 0 => a
+      case (a, b) => math.min(a, b)
+    }
+    val (b1, b2) = (pass(base), pass(base))
+    val (g1, g2) = (pass(big), pass(big))
     val rows = keys.map { k =>
-      val b = math.min(once(k, base) match { case x if x < 0 => Double.MaxValue; case x => x },
-        once(k, base) match { case x if x < 0 => Double.MaxValue; case x => x })
-      val g = once(k, big)
+      val b = best(b1, b2, k) match { case x if x < 0 => Double.MaxValue; case x => x }
+      val g = best(g1, g2, k)
       val ratio = if (b > 0 && b < Double.MaxValue && g > 0) g / b else -1.0
       val expo = if (ratio > 0) math.log(ratio) / math.log(factor.toDouble) else -1.0
       val flag = expo > 1.3
