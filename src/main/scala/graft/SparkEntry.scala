@@ -382,6 +382,7 @@ object SparkEntry {
     "q_random_projection"  -> ((s, d) => VectorOps.qRandomProjection(s, d)),
     "q_compaction_plan"    -> ((s, d) => ScaleOps.qCompactionPlan(s, d)),
     "q_compaction_exec"    -> (ScaleOps.qCompactionExec _),
+    "q_quantile_sketch"    -> (ScaleOps.qQuantileSketch _),
     "q_join_card_est"      -> (ScaleOps.qJoinCardEst _),
     "q_bootstrap_ci"       -> ((s, d) => StatsOps.qBootstrapCi(s, d)),
     "q_seasonal_dow"       -> (AnalyticsOps.qSeasonalDow _),
@@ -4512,6 +4513,7 @@ object SparkEntry {
         |FROM binned GROUP BY file_id ORDER BY file_id""".stripMargin,
 
     "q_compaction_exec" -> ScaleOps.compactionExecOracleSql,
+    "q_quantile_sketch" -> ScaleOps.quantileSketchOracleSql,
 
     "q_join_card_est" ->
       """WITH ol AS (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),

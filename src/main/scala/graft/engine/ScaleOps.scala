@@ -601,6 +601,133 @@ object ScaleOps {
       .orderBy("decile")
   }
 
+  /** Mergeable quantile sketch — the distributed-quantile pattern
+    * that completes the sketch family (Count-Min counts, HLL
+    * cardinality, Bloom membership; this adds RANKS): every shard
+    * summarizes its rows into a 256-bin equal-width integer histogram
+    * over the global cents domain, the 8 shard sketches MERGE by
+    * plain bin-wise addition (count histograms merge losslessly —
+    * the property GK/t-digest approximate and the reason a 100 TB
+    * ANALYZE ships 256 longs per executor instead of sorting
+    * anything), and each decile is estimated as the first bin whose
+    * cumulative count reaches the target rank. The audit pins the
+    * sketch's defining guarantee per decile: the EXACT quantile
+    * (value-domain-histogram discipline, q_equiheight_hist) must lie
+    * INSIDE the estimated bin — `inside_bin` is 1 by construction
+    * unless binning, sharding, or the merge is broken, and the
+    * rank-error bound is the reported max bin load. Plan shape: one
+    * fact pass into a (shard × 256)-row aggregate (map-side
+    * combined), a 256-row merge, and the value-domain exact table —
+    * nothing corpus-sized past the first aggregate. */
+  def qQuantileSketch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nBins = 256
+    val cents = Tables.lineitem(s, d).select(
+      floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("c"),
+      (conv(substring(md5(concat_ws(":",
+        col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 8).as("shard"))
+    val dom = cents.agg(min("c").as("lo"), max("c").as("hi"),
+      count(lit(1)).as("n"))
+    val binned = cents.crossJoin(broadcast(dom))
+      .select(col("shard"),
+        expr("(c - lo) * 256 DIV (hi - lo + 1)").as("bin"))
+    val shardHist = binned.groupBy("shard", "bin")
+      .agg(count(lit(1)).as("cnt"))
+    val merged = shardHist.groupBy("bin").agg(sum("cnt").as("cnt"))
+    val wCum = Window.orderBy("bin") // ≤ 256 rows by construction
+    val cum = merged
+      .withColumn("cum", sum("cnt").over(wCum))
+      .crossJoin(broadcast(dom))
+    val est = cum
+      .select(col("bin"), col("cum"), col("lo"), col("hi"), col("n"),
+        explode(expr("sequence(1, 9)")).as("p"))
+      .filter(col("cum") >= expr("(n * p + 9) DIV 10"))
+      .groupBy("p")
+      .agg(min("bin").as("bin_id"), first("lo").as("lo"),
+        first("hi").as("hi"), first("n").as("n"))
+      .select(col("p"),
+        expr("(n * p + 9) DIV 10").as("target_rank"),
+        col("bin_id"),
+        expr("lo + bin_id * (hi - lo + 1) DIV 256").as("bin_lo_cents"),
+        expr("lo + (bin_id + 1) * (hi - lo + 1) DIV 256 - 1")
+          .as("bin_hi_cents"))
+    // exact deciles from the value-domain histogram (bounded cumsum)
+    val vals = Tables.lineitem(s, d)
+      .groupBy(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")
+        .as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val wVal = Window.orderBy("c")
+    val exact = vals
+      .withColumn("cum", sum("cnt").over(wVal))
+      .withColumn("n", sum("cnt").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("c"), col("cum"),
+        explode(expr("sequence(1, 9)")).as("p"), col("n"))
+      .filter(col("cum") >= expr("(n * p + 9) DIV 10"))
+      .groupBy("p").agg(min("c").as("exact_cents"))
+    val maxLoad = merged.agg(max("cnt").as("rank_err_bound"))
+    est.join(exact, "p")
+      .crossJoin(broadcast(maxLoad))
+      .select(col("p").cast("long").as("p"), col("target_rank"),
+        col("bin_id"), col("bin_lo_cents"), col("bin_hi_cents"),
+        col("exact_cents"), col("rank_err_bound"),
+        (col("exact_cents").between(col("bin_lo_cents"),
+          col("bin_hi_cents"))).cast("int").as("inside_bin"))
+      .orderBy("p")
+  }
+
+  /** DuckDB oracle for [[qQuantileSketch]]: same md5 shards, same
+    * integer binning, bin-wise merge, and exact value-domain deciles. */
+  val quantileSketchOracleSql: String =
+    """WITH cents AS (SELECT
+      |    CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c,
+      |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+      |                        CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+      |      % 8 AS shard
+      |  FROM lineitem),
+      |dom AS (SELECT MIN(c) AS lo, MAX(c) AS hi,
+      |               CAST(COUNT(*) AS BIGINT) AS n FROM cents),
+      |sh AS (SELECT shard, (c - lo) * 256 // (hi - lo + 1) AS bin,
+      |              CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM cents CROSS JOIN dom GROUP BY 1, 2),
+      |mg AS (SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+      |       FROM sh GROUP BY 1),
+      |cm AS (SELECT bin, cnt,
+      |         CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
+      |       FROM mg),
+      |est AS (SELECT p, MIN(bin) AS bin_id FROM cm
+      |        CROSS JOIN (SELECT UNNEST(range(1, 10)) AS p)
+      |        CROSS JOIN dom
+      |        WHERE cum >= (n * p + 9) // 10
+      |        GROUP BY p),
+      |vals AS (SELECT CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+      |           AS c, CAST(COUNT(*) AS BIGINT) AS cnt
+      |         FROM lineitem GROUP BY 1),
+      |vc AS (SELECT c, CAST(SUM(cnt) OVER (ORDER BY c) AS BIGINT) AS cum
+      |       FROM vals),
+      |ex AS (SELECT p, MIN(c) AS exact_cents FROM vc
+      |       CROSS JOIN (SELECT UNNEST(range(1, 10)) AS p)
+      |       CROSS JOIN dom
+      |       WHERE cum >= (n * p + 9) // 10
+      |       GROUP BY p),
+      |ml AS (SELECT CAST(MAX(cnt) AS BIGINT) AS rank_err_bound FROM mg)
+      |SELECT CAST(p AS BIGINT) AS p,
+      |       CAST((n * p + 9) // 10 AS BIGINT) AS target_rank,
+      |       bin_id,
+      |       CAST(lo + bin_id * (hi - lo + 1) // 256 AS BIGINT)
+      |         AS bin_lo_cents,
+      |       CAST(lo + (bin_id + 1) * (hi - lo + 1) // 256 - 1 AS BIGINT)
+      |         AS bin_hi_cents,
+      |       exact_cents, rank_err_bound,
+      |       CAST(CASE WHEN exact_cents BETWEEN
+      |              lo + bin_id * (hi - lo + 1) // 256 AND
+      |              lo + (bin_id + 1) * (hi - lo + 1) // 256 - 1
+      |            THEN 1 ELSE 0 END AS INTEGER) AS inside_bin
+      |FROM est JOIN ex USING (p) CROSS JOIN dom CROSS JOIN ml
+      |ORDER BY p""".stripMargin
+
   /** Join-cardinality estimation audit (the planner statistic behind
     * join ordering): |A ⋈ B| = Σ_k c_A(k)·c_B(k), estimated from a
     * deterministic 5% KEY sample (md5(key) % 20 — sampling KEYS, not
