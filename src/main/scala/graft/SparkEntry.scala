@@ -308,6 +308,7 @@ object SparkEntry {
     "q_dim_stats"          -> (VectorOps.qDimStats _),
     "q_bpe_merge"          -> (TextOps.qBpeMerge _),
     "q_bpe_train"          -> (TextOps.qBpeTrain _),
+    "q_unigram_train"      -> (TextOps.qUnigramTrain _),
     "q_rank_fusion"        -> ((s, d) => VectorOps.qRankFusion(s, d)),
     "q_semdedup"           -> ((s, d) => VectorOps.qSemDedup(s, d)),
     "q_embed_covariance"   -> (VectorOps.qEmbedCovariance _),
@@ -3536,6 +3537,7 @@ object SparkEntry {
         |ORDER BY cn DESC, a, c LIMIT 50""".stripMargin,
 
     "q_bpe_train" -> TextOps.bpeTrainOracleSql,
+    "q_unigram_train" -> TextOps.unigramTrainOracleSql,
 
     "q_bpe_merge" ->
       """WITH w AS (SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS word

@@ -2637,6 +2637,181 @@ object TextOps {
       |WHERE dp.i = $N ORDER BY dp.doc_id""".stripMargin
   }
 
+  /** Viterbi ARGMIN segmentation (the backtrace [[unigramSegmentCosts]]
+    * stops short of) under the tie-break both engines replay exactly:
+    * at each end position the chosen step is the LONGEST piece whose
+    * cost achieves the DP minimum; if no piece achieves it, the
+    * single-char fallback (bucketed as "<char>"). Longest-wins is
+    * total: two distinct achieving pieces of equal length would be the
+    * same substring, and a length-1 piece can never cost-tie the char
+    * fallback (distinct costs on the same predecessor). */
+  private[graft] def unigramViterbiSteps(str: String,
+      piecesIn: Array[(String, Int, Long)] = null): Seq[String] = {
+    val pieces = if (piecesIn != null) piecesIn
+      else UnigramPieces.map { case (p, c) => (p, p.length, c.toLong) }.toArray
+    val n = str.length
+    val cost = new Array[Long](n + 1)
+    var i = 1
+    while (i <= n) {
+      var best = cost(i - 1) + UnigramCharCost
+      var k = 0
+      while (k < pieces.length) {
+        val (p, l, c) = pieces(k)
+        if (l <= i && str.regionMatches(i - l, p, 0, l)) {
+          val cand = cost(i - l) + c
+          if (cand < best) best = cand
+        }
+        k += 1
+      }
+      cost(i) = best
+      i += 1
+    }
+    val steps = scala.collection.mutable.ListBuffer.empty[String]
+    var pos = n
+    while (pos > 0) {
+      var bestP: String = null
+      var bestL = 0
+      var k = 0
+      while (k < pieces.length) {
+        val (p, l, c) = pieces(k)
+        if (l <= pos && str.regionMatches(pos - l, p, 0, l) &&
+            cost(pos - l) + c == cost(pos) && l > bestL) {
+          bestP = p; bestL = l
+        }
+        k += 1
+      }
+      if (bestP == null) { steps += "<char>"; pos -= 1 }
+      else { steps += bestP; pos -= bestL }
+    }
+    steps.toList
+  }
+
+  /** SentencePiece unigram hard-EM TRAINING step (Kudo 2018, the
+    * trainer [[qUnigramSegment]]'s inference exists inside) — the
+    * second tokenizer trainer next to [[qBpeTrain]], completing both
+    * halves of the modern-tokenizer story (BPE grows a vocabulary
+    * bottom-up by merging; unigram-LM starts from a candidate
+    * inventory and RE-WEIGHTS it from how the corpus actually
+    * segments). E-step (hard): every document prefix Viterbi-segments
+    * under the current piece costs with the exact backtrace tie-break
+    * ([[unigramViterbiSteps]] — longest achieving piece, char
+    * fallback bucketed as "<char>"); piece-usage counts aggregate
+    * corpus-wide. M-step: new_cost(p) = −⌊ln((used_p + 1)/(T + V))
+    * ·10⁶ + 0.5⌋ micro-nats (add-one smoothing over the V = 30-entry
+    * inventory), the re-weighting the next iteration would segment
+    * under. The report carries old cost, usage, and new cost per
+    * piece plus the corpus cost — the signal SentencePiece prunes
+    * against. Distributed shape: segmentation is a pure map over
+    * docs (per-partition DP, no state), counting is one
+    * inventory-bounded aggregate, the M-step a broadcast 1-row total
+    * — the oracle replays the DP forward pass AND the backtrace as
+    * recursive CTEs, so a one-step tie-break divergence anywhere in
+    * 20 positions × every doc fails the hash. */
+  def qUnigramTrain(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val pieces = UnigramPieces.map { case (p, c) => (p, p.length, c.toLong) }.toArray
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), translate(trim(col("text")), " ", "").as("sq"))
+      .filter(length(col("sq")) >= UnigramPrefixLen)
+      .select(col("doc_id"), substring(col("sq"), 1, UnigramPrefixLen).as("sq"))
+      .as[(Long, String)]
+    val used = base
+      .mapPartitions(_.flatMap { case (_, str) =>
+        unigramViterbiSteps(str, pieces)
+      })
+      .toDF("piece")
+      .groupBy("piece").agg(count(lit(1)).as("used"))
+    val corpus = base
+      .mapPartitions(_.map { case (_, str) =>
+        unigramSegmentCosts(str, pieces)._1
+      })
+      .toDF("c").agg(sum("c").as("corpus_cost_u"))
+    val tot = used.agg(sum("used").as("t_steps"))
+    val vocab = (UnigramPieces :+ ("<char>" -> UnigramCharCost))
+      .toDF("piece", "oc")
+    val nV = UnigramPieces.size + 1
+    vocab
+      .join(used, Seq("piece"), "left")
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(corpus))
+      .select(col("piece"),
+        when(col("piece") === "<char>", 1L)
+          .otherwise(length(col("piece")).cast("long")).as("plen"),
+        col("oc").cast("long").as("old_cost"),
+        coalesce(col("used"), lit(0L)).as("used"),
+        (-floor(log((coalesce(col("used"), lit(0L)) + 1L).cast("double") /
+          (col("t_steps") + nV).cast("double")) * 1e6 + 0.5)).cast("long")
+          .as("new_cost_u"),
+        col("t_steps"), col("corpus_cost_u"))
+      .orderBy("piece")
+  }
+
+  /** DuckDB oracle for [[qUnigramTrain]]: the forward DP carries the
+    * FULL per-position cost list, the backtrace is a second recursive
+    * CTE choosing the longest achieving piece at each position (char
+    * fallback when the scalar subquery finds none), and the count /
+    * M-step arithmetic mirrors the Spark expressions exactly. */
+  lazy val unigramTrainOracleSql: String = {
+    val values = UnigramPieces
+      .map { case (p, c) => s"('$p',${p.length},$c)" }.mkString(",\n      |  ")
+    val N = UnigramPrefixLen
+    val vocabValues = (UnigramPieces :+ ("<char>" -> UnigramCharCost))
+      .map { case (p, c) =>
+        s"('$p',${if (p == "<char>") 1 else p.length},$c)" }
+      .mkString(",\n      |  ")
+    val nV = UnigramPieces.size + 1
+    s"""WITH RECURSIVE
+      |pieces(p, len, cost) AS (VALUES
+      |  $values),
+      |vocab(piece, plen, oc) AS (VALUES
+      |  $vocabValues),
+      |docs AS (SELECT doc_id, substr(replace(trim(text), ' ', ''), 1, $N) AS s
+      |         FROM documents WHERE length(replace(trim(text), ' ', '')) >= $N),
+      |dp AS (
+      |  SELECT doc_id, s, 0 AS i, [CAST(0 AS BIGINT)] AS costs FROM docs
+      |  UNION ALL
+      |  SELECT doc_id, s, i + 1,
+      |    list_append(costs, LEAST(
+      |      COALESCE((SELECT MIN(costs[i + 2 - pc.len] + pc.cost) FROM pieces pc
+      |                WHERE pc.len <= i + 1
+      |                  AND substr(s, i + 2 - pc.len, pc.len) = pc.p),
+      |               9223372036854775807),
+      |      costs[i + 1] + $UnigramCharCost))
+      |  FROM dp WHERE i < $N),
+      |fin AS (SELECT doc_id, s, costs FROM dp WHERE i = $N),
+      |bt AS (
+      |  SELECT doc_id, s, costs, $N AS pos,
+      |         CAST(NULL AS VARCHAR) AS step FROM fin
+      |  UNION ALL
+      |  SELECT doc_id, s, costs,
+      |    pos - COALESCE(alen, 1),
+      |    CASE WHEN alen IS NULL THEN '<char>'
+      |         ELSE substr(s, pos - alen + 1, alen) END
+      |  FROM (SELECT doc_id, s, costs, pos,
+      |          (SELECT MAX(pc.len) FROM pieces pc
+      |           WHERE pc.len <= pos
+      |             AND substr(s, pos - pc.len + 1, pc.len) = pc.p
+      |             AND costs[pos + 1 - pc.len] + pc.cost = costs[pos + 1])
+      |            AS alen
+      |        FROM bt WHERE pos > 0)),
+      |used AS (SELECT step AS piece, CAST(COUNT(*) AS BIGINT) AS used
+      |         FROM bt WHERE step IS NOT NULL GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(used) AS BIGINT) AS t_steps FROM used),
+      |corp AS (SELECT CAST(SUM(costs[${N + 1}]) AS BIGINT) AS corpus_cost_u
+      |         FROM fin)
+      |SELECT v.piece, CAST(v.plen AS BIGINT) AS plen,
+      |       CAST(v.oc AS BIGINT) AS old_cost,
+      |       CAST(COALESCE(u.used, 0) AS BIGINT) AS used,
+      |       CAST(-FLOOR(ln((COALESCE(u.used, 0) + 1)
+      |              / CAST(t_steps + $nV AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+      |         AS new_cost_u,
+      |       t_steps, corpus_cost_u
+      |FROM vocab v LEFT JOIN used u ON u.piece = v.piece
+      |CROSS JOIN tot CROSS JOIN corp
+      |ORDER BY v.piece""".stripMargin
+  }
+
   /** Prefix autocomplete index — the search-as-you-type completion
     * table (the third retrieval primitive after boolean lookup and the
     * phrase query): the corpus vocabulary rolls up to (word, freq),

@@ -106,6 +106,42 @@ class Round17OpsSpec extends SparkSuite {
     }
   }
 
+  test("q_unigram_train: backtrace reconstructs the string at exactly the Viterbi cost; longest-wins ties") {
+    import graft.engine.TextOps
+    val pieces = TextOps.UnigramPieces
+      .map { case (p, c) => (p, p.length, c.toLong) }.toArray
+    val costs = TextOps.UnigramPieces.toMap
+    Tables.documents(spark, sf)
+      .select(translate(trim(col("text")), " ", "").as("sq"))
+      .filter(length(col("sq")) >= TextOps.UnigramPrefixLen)
+      .select(substring(col("sq"), 1, TextOps.UnigramPrefixLen))
+      .collect().map(_.getString(0)).take(50).foreach { str =>
+      val steps = TextOps.unigramViterbiSteps(str, pieces)
+      // steps tile the string exactly (reversed order: backtrace walks right→left)
+      val lens = steps.map(p => if (p == "<char>") 1 else p.length)
+      assert(lens.sum == str.length, s"steps must tile '$str'")
+      var pos = str.length
+      steps.foreach { p =>
+        if (p != "<char>") {
+          assert(str.regionMatches(pos - p.length, p, 0, p.length),
+            s"step $p must match '$str' ending at $pos")
+        }
+        pos -= (if (p == "<char>") 1 else p.length)
+      }
+      // step costs sum to the DP minimum — argmin is genuinely optimal
+      val stepCost = steps.map(p =>
+        if (p == "<char>") TextOps.UnigramCharCost.toLong
+        else costs(p).toLong).sum
+      assert(stepCost == TextOps.unigramSegmentCosts(str, pieces)._1,
+        s"backtrace cost must equal Viterbi min for '$str'")
+    }
+    // crafted exact tie: piece 'ab' at cost 22 == char+char (11+11);
+    // the longest-achieving-piece rule must pick the piece
+    val tiePieces = Array(("ab", 2, 22L))
+    assert(TextOps.unigramViterbiSteps("ab", tiePieces) == Seq("ab"),
+      "cost tie between a piece and char-fallback must resolve longest-first")
+  }
+
   test("store runtime filtering: zone check plans exactly the matching batches") {
     import graft.engine.StreamStore
     import graft.sources.{GraftScan, GraftStoreRegistry, GraftScanMetrics}
