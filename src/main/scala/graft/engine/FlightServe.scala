@@ -344,7 +344,7 @@ object FlightServe {
       require(plan.toLowerCase(java.util.Locale.ROOT).contains("dynamicpruning"),
         "the store scan must carry a runtime (DPP) filter")
       val (kept, total) = graft.sources.GraftScanMetrics
-        .lastPlanned("orders").getOrElse((0, 0))
+        .lastPlanned("rtp_store", "orders").getOrElse((0, 0))
       require(kept < total,
         s"runtime zone pruning must drop batches (planned $kept of $total)")
       s.createDataFrame(s.sparkContext.parallelize(out.toList), df.schema)

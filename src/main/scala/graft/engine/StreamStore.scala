@@ -29,12 +29,21 @@ final class StreamStore(
     ttlMillis: Long = 60000L,
     now: () => Long = () => System.currentTimeMillis()) {
 
-  final case class Batch(rows: Seq[Row], sizeBytes: Long)
+  import StreamStore.Zone
+
+  final case class Batch(rows: Seq[Row], sizeBytes: Long,
+                         zones: Map[String, Zone])
 
   private final class Entry(val schema: StructType) {
     val batches = mutable.ArrayDeque.empty[Batch]
     var currentBytes = 0L
+    var currentRows = 0L
     var droppedRows = 0L
+    /** Batches whose zone stats were computed — incremented only in
+      * append, so specs can pin "planning never rescans rows" as
+      * `zoneComputations == appended` regardless of how many times a
+      * query was planned over the topic. */
+    var zoneComputations = 0L
     /** Monotone count of batches EVER appended — the topic's streaming
       * offset axis. The absolute index of the oldest still-buffered
       * batch is `appended - batches.size` (eviction moves the tail of
@@ -70,14 +79,62 @@ final class StreamStore(
     while (e.currentBytes + size > maxBytesPerStream && e.batches.nonEmpty) {
       val old = e.batches.removeHead()
       e.currentBytes -= old.sizeBytes
+      e.currentRows -= old.rows.size
       dropped += old.rows.size
     }
     e.droppedRows += dropped
-    e.batches.append(Batch(rows, size))
+    e.batches.append(Batch(rows, size, computeZones(schema, rows)))
+    e.zoneComputations += 1
     e.currentBytes += size
+    e.currentRows += rows.size
     e.appended += 1
     dropped
   }
+
+  /** One pass over the rows the append already holds: min/max/hasNull
+    * per integral column (the types the V2 scan's runtime filter can
+    * zone-compare as longs). Cost is O(rows × integral cols) paid once
+    * per batch at write time — plan time then reads these maps in
+    * O(#batches), the footer-stats discipline Iceberg/parquet use. */
+  private def computeZones(schema: StructType, rows: Seq[Row]): Map[String, Zone] = {
+    import org.apache.spark.sql.types._
+    val cols = schema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == ShortType || f.dataType == ByteType => (f.name, i)
+    }
+    cols.map { case (name, idx) =>
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var hasNull = false
+      rows.foreach { r =>
+        r.get(idx) match {
+          case n: Number =>
+            val v = n.longValue()
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+          case _ => hasNull = true
+        }
+      }
+      name -> Zone(mn, mx, hasNull)
+    }.toMap
+  }
+
+  /** Zone stats per surviving batch, aligned with [[batchesOf]] order —
+    * the plan-time read side of the append-time stats. O(#batches). */
+  def batchZonesOf(topic: String): Seq[Map[String, Zone]] = synchronized {
+    streams.get(topic).map(_.batches.map(_.zones).toSeq).getOrElse(Seq.empty)
+  }
+
+  /** How many batches ever had zones computed (== appends that landed).
+    * Spec hook: planning must not change this — zones are never
+    * recomputed at plan time. */
+  def zoneComputations(topic: String): Long =
+    synchronized { streams.get(topic).map(_.zoneComputations).getOrElse(0L) }
+
+  /** Rows currently buffered (maintained incrementally on append and
+    * eviction — the numRows half of the scan's reported statistics). */
+  def bufferedRows(topic: String): Long =
+    synchronized { streams.get(topic).map(_.currentRows).getOrElse(0L) }
 
   /** Monotone batch-append count — the streaming source's latest
     * offset for the topic (0 for unknown topics). */
@@ -156,6 +213,15 @@ final class StreamStore(
 }
 
 object StreamStore {
+  /** Per-batch, per-integral-column zone statistics computed ONCE at
+    * append time (the Iceberg-footer analog: min/max/hasNull written
+    * when the data lands, read — never recomputed — at plan time).
+    * `hasNull` covers SQL NULLs; a batch whose [min, max] range on a
+    * join key excludes every runtime-filter value and holds no nulls
+    * cannot contribute a match, so the V2 scan skips planning its
+    * partition without touching a row. */
+  final case class Zone(min: Long, max: Long, hasNull: Boolean)
+
   /** Config-driven constructor (O26): byte budget + TTL from one
     * [[GraftConfig]], clock still injectable for deterministic tests. */
   def apply(cfg: GraftConfig,

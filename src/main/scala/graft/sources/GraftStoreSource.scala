@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.catalog.SupportsWrite
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
@@ -355,7 +355,8 @@ final class GraftScan(storeName: String, topic: String, full: StructType,
                       agg: Option[GraftAggSpec] = None,
                       limit: Option[Int] = None,
                       sort: Seq[SortOrder] = Seq.empty)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
 
   /** Runtime (DPP-style) IN filters injected by Spark's
     * PartitionPruning rule from the build side of a join — arrives
@@ -363,12 +364,18 @@ final class GraftScan(storeName: String, topic: String, full: StructType,
   @volatile private var runtimeIn: Option[(String, Set[Long])] = None
 
   /** Join keys eligible for runtime filtering: the integral atomic
-    * columns (batch zone min/max compare as longs). */
+    * columns (batch zone min/max compare as longs) — restricted to the
+    * PRUNED read schema: Spark's PartitionPruning resolves these
+    * references against the scan relation's output, so advertising a
+    * column the query didn't select fails analysis outright (hit when
+    * reported statistics first made a pruned store scan the broadcast
+    * side of a join). */
   override def filterAttributes(): Array[NamedReference] =
-    full.fields.collect {
-      case f if f.dataType == org.apache.spark.sql.types.LongType ||
+    required.fields.collect {
+      case f if (f.dataType == org.apache.spark.sql.types.LongType ||
         f.dataType == org.apache.spark.sql.types.IntegerType ||
-        f.dataType == org.apache.spark.sql.types.ShortType =>
+        f.dataType == org.apache.spark.sql.types.ShortType) &&
+        full.fieldNames.contains(f.name) =>
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
     }
 
@@ -383,6 +390,28 @@ final class GraftScan(storeName: String, topic: String, full: StructType,
         attr -> values.collect { case n: Number => n.longValue() }.toSet
     }.foreach(f => runtimeIn = Some(f))
   override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
+
+  /** Honest table statistics for the planner: the store already tracks
+    * buffered bytes and rows incrementally, so report them — without
+    * this, a DSv2 relation is sized at `spark.sql.defaultSizeInBytes`
+    * (effectively infinite) and a join against a 2 KB store topic
+    * falls back to sort-merge instead of broadcast. With it, the same
+    * broadcast-vs-SMJ economics every parquet table in the repo gets
+    * from file sizes apply to served streams, and
+    * `autoBroadcastJoinThreshold` stays the single knob (spec-pinned:
+    * threshold -1 suppresses the broadcast again). */
+  override def estimateStatistics(): Statistics = {
+    val store = GraftStoreRegistry.get(storeName)
+    val bytes = store.currentBytes(topic)
+    val rows = store.bufferedRows(topic)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftStoreScan(store=$storeName, topic=$topic, " +
@@ -407,31 +436,26 @@ final class GraftScan(storeName: String, topic: String, full: StructType,
     else {
       val store = GraftStoreRegistry.get(storeName)
       val appended = store.appendedBatches(topic)
-      val batches = store.batchesOf(topic).map(_._2).getOrElse(Seq.empty)
-      val n = batches.size
+      val n = store.batchesOf(topic).map(_._2.size).getOrElse(0)
       val base = appended - n // oldest surviving batch's absolute index
       val keep: Int => Boolean = runtimeIn match {
         case Some((attr, values)) if full.fieldNames.contains(attr) =>
-          val idx = full.fieldIndex(attr)
-          i => {
-            var mn = Long.MaxValue
-            var mx = Long.MinValue
-            var hasNull = false
-            batches(i).foreach { r =>
-              r.get(idx) match {
-                case num: Number =>
-                  val v = num.longValue()
-                  if (v < mn) mn = v
-                  if (v > mx) mx = v
-                case _ => hasNull = true
-              }
-            }
-            hasNull || values.exists(v => v >= mn && v <= mx)
+          // Zone stats were computed ONCE when each batch was appended
+          // (StreamStore.computeZones) — plan time is a pure O(#batches)
+          // map lookup, never a row scan (spec-pinned: zoneComputations
+          // is unchanged by planning). A column with no recorded zone
+          // (shouldn't happen for an eligible integral attr) keeps its
+          // batch — pruning is an optimization, never a filter.
+          val zones = store.batchZonesOf(topic)
+          i => zones(i).get(attr) match {
+            case Some(z) =>
+              z.hasNull || values.exists(v => v >= z.min && v <= z.max)
+            case None => true
           }
         case _ => _ => true
       }
       val kept = (0 until n).filter(keep)
-      GraftScanMetrics.record(topic, kept.size, n)
+      GraftScanMetrics.record(storeName, topic, kept.size, n)
       kept.map(i => GraftBatchPartition(i, base + i): InputPartition).toArray
     }
 
@@ -500,14 +524,18 @@ final case class GraftBatchPartition(index: Int, absIndex: Long)
 case object GraftAggPartition extends InputPartition
 
 /** Test/audit hook: last (kept, total) batch-partition counts planned
-  * per topic — how the runtime-filter zone pruning is observed from
-  * specs and the q_store_runtime_prune audit. */
+  * per (store, topic) — how the runtime-filter zone pruning is
+  * observed from specs and the q_store_runtime_prune audit. Keyed by
+  * BOTH names: topic-only keying let a same-named topic in a different
+  * registered store (or a concurrent suite) overwrite the reading the
+  * audit was about to assert on. */
 private[graft] object GraftScanMetrics {
-  private val planned = new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
-  def record(topic: String, kept: Int, total: Int): Unit =
-    planned.put(topic, (kept, total))
-  def lastPlanned(topic: String): Option[(Int, Int)] =
-    Option(planned.get(topic))
+  private val planned =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Int, Int)]()
+  def record(store: String, topic: String, kept: Int, total: Int): Unit =
+    planned.put((store, topic), (kept, total))
+  def lastPlanned(store: String, topic: String): Option[(Int, Int)] =
+    Option(planned.get((store, topic)))
 }
 
 /** Streaming partition addressing one batch by ABSOLUTE append index. */

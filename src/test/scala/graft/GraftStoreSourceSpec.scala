@@ -299,6 +299,38 @@ class GraftStoreSourceSpec extends SparkSuite {
     GraftStoreRegistry.unregister("s_meta_ev")
   }
 
+  test("SupportsReportStatistics: store-backed dims broadcast from reported stats") {
+    val st = freshStore("s_stats")
+    try {
+      // the scan reports exactly the store's incrementally-tracked sizes
+      val scan = new GraftScan("s_stats", "t1", schema, schema, Array.empty)
+      val stats = scan.estimateStatistics()
+      assert(stats.sizeInBytes().getAsLong == st.currentBytes("t1"))
+      assert(stats.numRows().getAsLong == 15L)
+      assert(st.currentBytes("t1") == 15L * 3 * 8, "rows x cols x 8 contract")
+      // a probe side estimated far above the broadcast threshold joined
+      // to the 360-byte store topic: the STATIC plan (pre-AQE, so the
+      // decision can only come from reported stats, not runtime shuffle
+      // sizes) must pick BroadcastHashJoin under the default 10 MB
+      // threshold — without SupportsReportStatistics the V2 relation
+      // sizes at spark.sql.defaultSizeInBytes and this is a sort-merge
+      val big = spark.range(0L, 2000000L).selectExpr("id % 15 AS k", "id AS w")
+      val joined = big.join(read("s_stats"), "k")
+        .agg(count(lit(1)).as("n"), sum("w").as("sw"))
+      assert(joined.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+        "store side must broadcast because of its reported statistics")
+      assert(joined.head.getLong(0) == 2000000L, "join result stays correct")
+      // the threshold is honored: -1 must suppress the stats-driven broadcast
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j2 = big.join(read("s_stats"), "k").agg(count(lit(1)).as("n"))
+        assert(!j2.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+          "autoBroadcastJoinThreshold=-1 must disable the broadcast")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally GraftStoreRegistry.unregister("s_stats")
+  }
+
   test("metadata columns compose with pushed filters and pruning") {
     freshStore("s_meta_f")
     val rows = read("s_meta_f").filter(col("v") >= 100)

@@ -165,7 +165,7 @@ class Round17OpsSpec extends SparkSuite {
       s1.filter(Array[org.apache.spark.sql.sources.Filter](
         org.apache.spark.sql.sources.In("k", Array[Any](60L, 70L, 95L))))
       assert(s1.planInputPartitions().length == 1)
-      assert(GraftScanMetrics.lastPlanned("zp").contains((1, 4)))
+      assert(GraftScanMetrics.lastPlanned("zp_store", "zp").contains((1, 4)))
       // values straddling two ranges → two batches
       val s2 = scan()
       s2.filter(Array[org.apache.spark.sql.sources.Filter](
@@ -178,6 +178,15 @@ class Round17OpsSpec extends SparkSuite {
       assert(s3.planInputPartitions().length == 4)
       // the eligible-attribute list is the integral columns
       assert(scan().filterAttributes().map(_.describe()).toSeq == Seq("k"))
+      // O(#batches) plan-time contract: zone stats were computed once
+      // per APPEND; the four plannings above recomputed nothing (no
+      // plan-time row scans — the Iceberg-footer discipline)
+      assert(store.zoneComputations("zp") == 4L,
+        "zones must be computed at append time only, never at planning")
+      // and the stats themselves are the per-batch append-time ranges
+      val zs = store.batchZonesOf("zp")
+      assert(zs.map(_("k")) == (0 until 4).map(b =>
+        StreamStore.Zone(b * 50L, b * 50L + 49L, hasNull = false)))
     } finally GraftStoreRegistry.unregister("zp_store")
   }
 
