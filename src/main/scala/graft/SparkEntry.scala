@@ -384,6 +384,7 @@ object SparkEntry {
     "q_compaction_plan"    -> ((s, d) => ScaleOps.qCompactionPlan(s, d)),
     "q_compaction_exec"    -> (ScaleOps.qCompactionExec _),
     "q_quantile_sketch"    -> (ScaleOps.qQuantileSketch _),
+    "q_quantile_sketch_sql" -> (ScaleOps.qQuantileSketchSql _),
     "q_join_card_est"      -> (ScaleOps.qJoinCardEst _),
     "q_bootstrap_ci"       -> ((s, d) => StatsOps.qBootstrapCi(s, d)),
     "q_seasonal_dow"       -> (AnalyticsOps.qSeasonalDow _),
@@ -4516,6 +4517,7 @@ object SparkEntry {
 
     "q_compaction_exec" -> ScaleOps.compactionExecOracleSql,
     "q_quantile_sketch" -> ScaleOps.quantileSketchOracleSql,
+    "q_quantile_sketch_sql" -> ScaleOps.quantileSketchSqlOracleSql,
 
     "q_join_card_est" ->
       """WITH ol AS (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),

@@ -647,11 +647,18 @@ object ScaleOps {
       .groupBy("p")
       .agg(min("bin").as("bin_id"), first("lo").as("lo"),
         first("hi").as("hi"), first("n").as("n"))
+      // bin bounds must exactly INVERT the binning map (c-lo)*256 DIV W:
+      // bin b holds offsets [ceil(b*W/256), ceil((b+1)*W/256) - 1], so
+      // both edges use ceiling division. Floor on the high edge (the
+      // round-9 shape) left the topmost cent of almost every bin outside
+      // its computed bounds whenever W % 256 != 0 — an exact decile
+      // landing there read inside_bin = 0 with no sketch bug, making the
+      // "1 by construction" claim non-structural. Now it is structural.
       .select(col("p"),
         expr("(n * p + 9) DIV 10").as("target_rank"),
         col("bin_id"),
-        expr("lo + bin_id * (hi - lo + 1) DIV 256").as("bin_lo_cents"),
-        expr("lo + (bin_id + 1) * (hi - lo + 1) DIV 256 - 1")
+        expr("lo + (bin_id * (hi - lo + 1) + 255) DIV 256").as("bin_lo_cents"),
+        expr("lo + ((bin_id + 1) * (hi - lo + 1) + 255) DIV 256 - 1")
           .as("bin_hi_cents"))
     // exact deciles from the value-domain histogram (bounded cumsum)
     val vals = Tables.lineitem(s, d)
@@ -716,16 +723,128 @@ object ScaleOps {
       |SELECT CAST(p AS BIGINT) AS p,
       |       CAST((n * p + 9) // 10 AS BIGINT) AS target_rank,
       |       bin_id,
-      |       CAST(lo + bin_id * (hi - lo + 1) // 256 AS BIGINT)
+      |       CAST(lo + (bin_id * (hi - lo + 1) + 255) // 256 AS BIGINT)
       |         AS bin_lo_cents,
-      |       CAST(lo + (bin_id + 1) * (hi - lo + 1) // 256 - 1 AS BIGINT)
+      |       CAST(lo + ((bin_id + 1) * (hi - lo + 1) + 255) // 256 - 1 AS BIGINT)
       |         AS bin_hi_cents,
       |       exact_cents, rank_err_bound,
       |       CAST(CASE WHEN exact_cents BETWEEN
-      |              lo + bin_id * (hi - lo + 1) // 256 AND
-      |              lo + (bin_id + 1) * (hi - lo + 1) // 256 - 1
+      |              lo + (bin_id * (hi - lo + 1) + 255) // 256 AND
+      |              lo + ((bin_id + 1) * (hi - lo + 1) + 255) // 256 - 1
       |            THEN 1 ELSE 0 END AS INTEGER) AS inside_bin
       |FROM est JOIN ex USING (p) CROSS JOIN dom CROSS JOIN ml
+      |ORDER BY p""".stripMargin
+
+  /** The quantile-sketch discipline as a REUSABLE SQL aggregate —
+    * [[graft.expressions.QuantileSketch]] invoked through `spark.sql`
+    * TEXT (the q_sql_native pattern): per-shard sketches come from a
+    * GROUPed `graft_quantile_sketch(c, lo, hi)` call, the SQL-visible
+    * merge is plain bin-wise addition over the posexploded arrays
+    * (the losslessness that lets a 100 TB ANALYZE ship 256 longs per
+    * executor), and the deciles + inside-bin audit replay
+    * [[qQuantileSketch]]'s guarantee on the merged histogram — with
+    * the ceiling bin bounds that exactly tile the binning map, so
+    * inside_bin = 1 is structural, not coincidental. The DuckDB
+    * oracle rebuilds the same histogram relationally: any binning,
+    * clamping, partial-aggregation, or merge bug in the native
+    * aggregate shifts a count, moves a cum, and breaks the hash. */
+  def qQuantileSketchSql(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_li_sketch")
+    s.sql(
+      """WITH cents AS (
+        |  SELECT CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c,
+        |         CAST(conv(substr(md5(concat(CAST(l_orderkey AS STRING), ':',
+        |           CAST(l_linenumber AS STRING))), 1, 8), 16, 10) AS BIGINT) % 8
+        |           AS shard
+        |  FROM graft_li_sketch),
+        |dom AS (SELECT MIN(c) AS lo, MAX(c) AS hi,
+        |               CAST(COUNT(*) AS BIGINT) AS n FROM cents),
+        |shard_sk AS (
+        |  SELECT shard, graft_quantile_sketch(c, lo, hi) AS bins
+        |  FROM cents CROSS JOIN dom GROUP BY shard),
+        |merged AS (
+        |  SELECT pos AS bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+        |  FROM shard_sk LATERAL VIEW posexplode(bins) t AS pos, cnt
+        |  GROUP BY pos),
+        |cm AS (SELECT bin, cnt,
+        |              SUM(cnt) OVER (ORDER BY bin) AS cum FROM merged),
+        |est AS (
+        |  SELECT p, MIN(bin) AS bin_id
+        |  FROM cm CROSS JOIN (SELECT explode(sequence(1, 9)) AS p) ps
+        |  CROSS JOIN dom
+        |  WHERE cum >= (n * p + 9) DIV 10
+        |  GROUP BY p),
+        |vals AS (SELECT CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |           AS c, CAST(COUNT(*) AS BIGINT) AS cnt
+        |         FROM graft_li_sketch GROUP BY 1),
+        |vc AS (SELECT c, SUM(cnt) OVER (ORDER BY c) AS cum FROM vals),
+        |ex AS (SELECT p, MIN(c) AS exact_cents
+        |       FROM vc CROSS JOIN (SELECT explode(sequence(1, 9)) AS p) ps
+        |       CROSS JOIN dom
+        |       WHERE cum >= (n * p + 9) DIV 10
+        |       GROUP BY p)
+        |SELECT CAST(p AS BIGINT) AS p,
+        |       CAST((n * p + 9) DIV 10 AS BIGINT) AS target_rank,
+        |       CAST(bin_id AS BIGINT) AS bin_id,
+        |       (SELECT cnt FROM merged m WHERE m.bin = est.bin_id) AS bin_cnt,
+        |       lo + (bin_id * (hi - lo + 1) + 255) DIV 256 AS bin_lo_cents,
+        |       lo + ((bin_id + 1) * (hi - lo + 1) + 255) DIV 256 - 1
+        |         AS bin_hi_cents,
+        |       exact_cents,
+        |       CAST(CASE WHEN exact_cents BETWEEN
+        |              lo + (bin_id * (hi - lo + 1) + 255) DIV 256 AND
+        |              lo + ((bin_id + 1) * (hi - lo + 1) + 255) DIV 256 - 1
+        |            THEN 1 ELSE 0 END AS INT) AS inside_bin
+        |FROM est JOIN ex USING (p) CROSS JOIN dom
+        |ORDER BY p""".stripMargin)
+  }
+
+  /** DuckDB oracle for [[qQuantileSketchSql]]: the histogram the
+    * native aggregate builds, rebuilt relationally — same md5 shards
+    * (grouping cannot change a bin-wise sum, so the shard axis drops
+    * out), same binning, same ceiling bin bounds. */
+  val quantileSketchSqlOracleSql: String =
+    """WITH cents AS (SELECT
+      |    CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c
+      |  FROM lineitem),
+      |dom AS (SELECT MIN(c) AS lo, MAX(c) AS hi,
+      |               CAST(COUNT(*) AS BIGINT) AS n FROM cents),
+      |mg AS (SELECT (c - lo) * 256 // (hi - lo + 1) AS bin,
+      |              CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM cents CROSS JOIN dom GROUP BY 1),
+      |cm AS (SELECT bin, cnt,
+      |         CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
+      |       FROM mg),
+      |est AS (SELECT p, MIN(bin) AS bin_id FROM cm
+      |        CROSS JOIN (SELECT UNNEST(range(1, 10)) AS p)
+      |        CROSS JOIN dom
+      |        WHERE cum >= (n * p + 9) // 10
+      |        GROUP BY p),
+      |vals AS (SELECT CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+      |           AS c, CAST(COUNT(*) AS BIGINT) AS cnt
+      |         FROM lineitem GROUP BY 1),
+      |vc AS (SELECT c, CAST(SUM(cnt) OVER (ORDER BY c) AS BIGINT) AS cum
+      |       FROM vals),
+      |ex AS (SELECT p, MIN(c) AS exact_cents FROM vc
+      |       CROSS JOIN (SELECT UNNEST(range(1, 10)) AS p)
+      |       CROSS JOIN dom
+      |       WHERE cum >= (n * p + 9) // 10
+      |       GROUP BY p)
+      |SELECT CAST(p AS BIGINT) AS p,
+      |       CAST((n * p + 9) // 10 AS BIGINT) AS target_rank,
+      |       CAST(bin_id AS BIGINT) AS bin_id,
+      |       (SELECT cnt FROM mg m WHERE m.bin = est.bin_id) AS bin_cnt,
+      |       CAST(lo + (bin_id * (hi - lo + 1) + 255) // 256 AS BIGINT)
+      |         AS bin_lo_cents,
+      |       CAST(lo + ((bin_id + 1) * (hi - lo + 1) + 255) // 256 - 1
+      |         AS BIGINT) AS bin_hi_cents,
+      |       exact_cents,
+      |       CAST(CASE WHEN exact_cents BETWEEN
+      |              lo + (bin_id * (hi - lo + 1) + 255) // 256 AND
+      |              lo + ((bin_id + 1) * (hi - lo + 1) + 255) // 256 - 1
+      |            THEN 1 ELSE 0 END AS INTEGER) AS inside_bin
+      |FROM est JOIN ex USING (p) CROSS JOIN dom
       |ORDER BY p""".stripMargin
 
   /** Join-cardinality estimation audit (the planner statistic behind

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Element-wise running sum + count for vector averaging. */
 final class VectorAvgBuffer(var sums: Array[Double], var count: Long) {
@@ -121,6 +121,95 @@ case class VectorAvg(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
+}
+
+/** Mergeable quantile sketch as a REUSABLE SQL aggregate —
+  * `graft_quantile_sketch(value, lo, hi)` → array<long> of 256 bin
+  * counts over the integer domain [lo, hi]. The per-query inline
+  * version (ScaleOps.qQuantileSketch) stays as the audit; this lifts
+  * the same discipline into an aggregate ANY query can call through
+  * `spark.sql` text, grouped or global.
+  *
+  * Merge is plain bin-wise addition — count histograms merge
+  * LOSSLESSLY (the property GK/t-digest only approximate), which is
+  * exactly what TypedImperativeAggregate's partial/merge protocol
+  * needs: each executor ships 256 longs regardless of row count, so a
+  * 100 TB ANALYZE never sorts anything. Binning matches the audited
+  * query: bin = (v − lo)·256 DIV (hi − lo + 1), clamped to [0, 255]
+  * for out-of-domain stragglers (late rows under a stale domain
+  * estimate land in an edge bin rather than erroring — rank error
+  * stays bounded by bin load). `lo`/`hi` ride each input row (the
+  * standard cross-join-the-1-row-domain shape), NOT the buffer, so a
+  * group whose rows disagree on the domain is caller error — the
+  * guarantee holds for constant-per-group domains. */
+case class QuantileSketch(
+    child: Expression,
+    loExpr: Expression,
+    hiExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  private val nBins = 256
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(child, loExpr, hiExpr).forall(_.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_quantile_sketch requires (BIGINT value, BIGINT lo, BIGINT hi)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_quantile_sketch"
+  override def children: Seq[Expression] = Seq(child, loExpr, hiExpr)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](nBins)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    val lo = loExpr.eval(input)
+    val hi = hiExpr.eval(input)
+    if (v != null && lo != null && hi != null) {
+      val vv = v.asInstanceOf[Long]
+      val lv = lo.asInstanceOf[Long]
+      val hv = hi.asInstanceOf[Long]
+      val w = math.max(1L, hv - lv + 1L)
+      val bin = math.min(nBins - 1L, math.max(0L, (vv - lv) * nBins / w)).toInt
+      buf(bin) += 1L
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < nBins) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * nBins)
+    var i = 0
+    while (i < nBins) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val a = new Array[Long](nBins)
+    var i = 0
+    while (i < nBins) { a(i) = bb.getLong(); i += 1 }
+    a
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), loExpr = newChildren(1), hiExpr = newChildren(2))
 }
 
 /** Running co-moment state for one-pass covariance: per-dim sums plus

@@ -220,6 +220,9 @@ object VectorExpressions {
       "graft_multi_pattern_counts", exprs => MultiPatternCounts(exprs(0),
         litString(exprs(1), "graft_multi_pattern_counts")
           .split(' ').toIndexedSeq), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_quantile_sketch",
+      exprs => QuantileSketch(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }
 
@@ -289,6 +292,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[Md5LinearScore].getName, "graft_md5_linear_score"),
         (exprs: Seq[Expression]) => Md5LinearScore(exprs(0))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_quantile_sketch"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[QuantileSketch].getName, "graft_quantile_sketch"),
+        (exprs: Seq[Expression]) => QuantileSketch(exprs(0), exprs(1), exprs(2))))
     e.injectOptimizerRule(_ => SelfSimilarityFold)
     e.injectOptimizerRule(_ => graft.plans.MvAggregateRewrite)
   }
