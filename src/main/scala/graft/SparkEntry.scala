@@ -330,6 +330,7 @@ object SparkEntry {
     "q_hilbert_layout"     -> (ScaleOps.qHilbertLayout _),
     "q_rle_audit"          -> (ScaleOps.qRleAudit _),
     "q_assoc_rules"        -> (RelationalExt.qAssocRules _),
+    "q_assoc_rules_frac"   -> (RelationalExt.qAssocRulesFrac _),
     "q_front_coding"       -> ((s, dd) => TextOps.qFrontCoding(s, dd)),
     "q_kruskal_wallis"     -> (MiningOps.qKruskalWallis _),
     "q_soundex_blocking"   -> (MiningOps.qSoundexBlocking _),
@@ -1045,6 +1046,7 @@ object SparkEntry {
     "q_hilbert_layout" -> ScaleOps.hilbertLayoutOracleSql,
     "q_rle_audit" -> ScaleOps.rleAuditOracleSql,
     "q_assoc_rules" -> RelationalExt.assocRulesOracleSql,
+    "q_assoc_rules_frac" -> RelationalExt.assocRulesFracOracleSql,
     "q_front_coding" -> TextOps.frontCodingOracleSql,
     "q_kruskal_wallis" -> MiningOps.kruskalWallisOracleSql,
     "q_soundex_blocking" -> MiningOps.soundexBlockingOracleSql,

@@ -155,6 +155,102 @@ object RelationalExt {
       |ORDER BY lift DESC, confidence DESC, antecedent, consequent
       |LIMIT 40""".stripMargin
 
+  /** Association rules under FRACTIONAL minimum support — the form
+    * Agrawal & Srikant actually state (support as a share of baskets)
+    * and the scale knob SURVEY §6.1 records against [[qAssocRules]]'s
+    * absolute threshold: an absolute `n ≥ 3` admits more pairs as the
+    * corpus grows (measured exponent 1.25 at ×10 — the rule table
+    * itself inflates), while `n/N ≥ 1%` converges to the pairs whose
+    * TRUE co-occurrence probability clears the bar, so the output is
+    * scale-INVARIANT. Items are coarsened to the brand axis (bounded
+    * vocabulary — the granularity at which 1% support is meaningful on
+    * uniform TPC-H baskets at every SF; part-key pairs are almost all
+    * singletons). The threshold compares exact integers
+    * (`100·n ≥ N` ⟺ n/N ≥ 0.01 — no float threshold to disagree on),
+    * the brand dim joins broadcast, pair fan-out is map-side C(k,2)
+    * with k ≤ |brands| = 25, and every post-basket table is bounded by
+    * the brand-pair vocabulary (≤ C(25,2) rules) at ANY corpus size —
+    * the structural reason the ScaleCliff exponent is ~flat where the
+    * absolute form measured 1.25. */
+  def qAssocRulesFrac(s: SparkSession, d: String): DataFrame = {
+    val b = lineitem(s, d)
+      .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+      .filter(size(col("bs")) >= 2)
+      .localCheckpoint(true) // feeds nB, supp, and the pair fan-out
+    val nB = b.agg(count(lit(1)).as("n_baskets"))
+    val supp = b.select(explode(col("bs")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("n_item"))
+    val pairs = b
+      .select(explode(flatten(transform(col("bs"), (x, i) =>
+        transform(slice(col("bs"), i + 2, size(col("bs"))), y =>
+          struct(x.as("pa"), y.as("pb")))))).as("p"))
+      .groupBy("p.pa", "p.pb").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(nB))
+      .filter(col("n") * 100 >= col("n_baskets"))
+    val both = pairs
+      .select(col("pa").as("ante"), col("pb").as("cons"),
+        col("n"), col("n_baskets"))
+      .union(pairs.select(col("pb").as("ante"), col("pa").as("cons"),
+        col("n"), col("n_baskets")))
+    both
+      .join(supp.select(col("pk").as("ante"), col("n_item").as("n_ante")), "ante")
+      .join(supp.select(col("pk").as("cons"), col("n_item").as("n_cons")), "cons")
+      // same left-assoc IEEE shape as the oracle: (n·10000)/N, not
+      // (n/N)·10000 — association order must match or the quantization
+      // can land one ulp apart
+      .withColumn("support_frac",
+        floor(col("n").cast("double") * 10000.0 / col("n_baskets") + 0.5)
+          / 10000.0)
+      .withColumn("confidence",
+        floor(col("n").cast("double") * 10000.0 / col("n_ante") + 0.5) / 10000.0)
+      .withColumn("lift",
+        floor(col("n").cast("double") * col("n_baskets") * 10000.0 /
+          (col("n_ante").cast("double") * col("n_cons")) + 0.5) / 10000.0)
+      .select(col("ante").as("antecedent"), col("cons").as("consequent"),
+        col("n").as("n_both"), col("n_ante"), col("n_cons"),
+        col("n_baskets"), col("support_frac"), col("confidence"), col("lift"))
+      .orderBy(col("lift").desc, col("confidence").desc,
+        col("antecedent"), col("consequent"))
+  }
+
+  /** DuckDB oracle for [[qAssocRulesFrac]]: brand baskets replayed as
+    * the distinct-pair self-join; identical integer threshold and
+    * quantized scoring. */
+  val assocRulesFracOracleSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, p_brand
+      |            FROM lineitem JOIN part ON p_partkey = l_partkey),
+      |sz AS (SELECT l_orderkey FROM li GROUP BY 1 HAVING COUNT(*) >= 2),
+      |li2 AS (SELECT li.* FROM li JOIN sz USING (l_orderkey)),
+      |nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+      |       FROM li2),
+      |supp AS (SELECT p_brand AS pk, CAST(COUNT(*) AS BIGINT) AS n_item
+      |         FROM li2 GROUP BY 1),
+      |pr AS (SELECT a.p_brand AS pa, b.p_brand AS pb,
+      |              CAST(COUNT(*) AS BIGINT) AS n
+      |       FROM li2 a JOIN li2 b
+      |         ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      |       GROUP BY 1, 2),
+      |fq AS (SELECT pa, pb, n, n_baskets FROM pr CROSS JOIN nb
+      |       WHERE n * 100 >= n_baskets),
+      |rr AS (SELECT pa AS ante, pb AS cons, n, n_baskets FROM fq
+      |       UNION ALL SELECT pb AS ante, pa AS cons, n, n_baskets FROM fq)
+      |SELECT rr.ante AS antecedent, rr.cons AS consequent,
+      |       n AS n_both, sa.n_item AS n_ante, sc.n_item AS n_cons,
+      |       n_baskets,
+      |       FLOOR(CAST(n AS DOUBLE) * 10000.0 / n_baskets + 0.5) / 10000.0
+      |         AS support_frac,
+      |       FLOOR(CAST(n AS DOUBLE) * 10000.0 / sa.n_item + 0.5) / 10000.0
+      |         AS confidence,
+      |       FLOOR(CAST(n AS DOUBLE) * n_baskets * 10000.0
+      |             / (CAST(sa.n_item AS DOUBLE) * sc.n_item) + 0.5) / 10000.0
+      |         AS lift
+      |FROM rr JOIN supp sa ON sa.pk = rr.ante
+      |JOIN supp sc ON sc.pk = rr.cons
+      |ORDER BY lift DESC, confidence DESC, antecedent, consequent""".stripMargin
+
   /** Market-basket co-purchase mining: part pairs appearing in the
     * same order. The pair generation is blocked by order — each order
     * holds ~4 line items, so the fan-out is Σ C(k,2) per order
