@@ -378,6 +378,7 @@ object SparkEntry {
     "q_kneser_ney"         -> (TextOps.qKneserNey _),
     "q_delta_varint"       -> (TextOps.qDeltaVarint _),
     "q_skew_audit"         -> (ScaleOps.qSkewAudit _),
+    "q_skew_join_aqe"      -> (ScaleOps.qSkewJoinAqe _),
     "q_event_pattern"      -> (AnalyticsOps.qEventPattern _),
     "q_embed_health"       -> (VectorOps.qEmbedHealth _),
     "q_knn_eval"           -> ((s, d) => VectorOps.qKnnEval(s, d)),
@@ -4423,6 +4424,8 @@ object SparkEntry {
         |         ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6)
         |  FROM p3)
         |ORDER BY key_col""".stripMargin,
+
+    "q_skew_join_aqe" -> ScaleOps.skewJoinAqeOracleSql,
 
     "q_event_pattern" ->
       """WITH s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,

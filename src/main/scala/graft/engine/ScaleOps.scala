@@ -338,6 +338,103 @@ object ScaleOps {
       .orderBy("key_col")
   }
 
+  /** AQE skew-join evidence, plan-REQUIRED — the mechanism a 100 TB
+    * shuffle on a skewed key actually survives by, completing the
+    * plan-evidence family (q_dpp_join pins DPP, q_store_runtime_prune
+    * pins runtime filtering, q_join_shuffle_hash/q_bucket_join pin
+    * join strategies; nothing pinned OptimizeSkewedJoin). The fixture
+    * manufactures the skew [[qSkewAudit]] merely measures: ~75% of
+    * lineitem rows collapse onto join key 0 (every l_orderkey not
+    * divisible by 4), so one reducer partition carries 3/4 of the
+    * fact table — the straggler that, unsplit, makes a 1000-executor
+    * shuffle finish at the speed of one. With the skew thresholds
+    * scaled to fixture size (the 256 MB production default, shrunk so
+    * the sf0.01 hot partition qualifies), AQE's OptimizeSkewedJoin
+    * must SPLIT that partition: the final adaptive plan is REQUIRED
+    * to carry `skew=true` on the join and a skewed AQEShuffleRead —
+    * a config regression that silently turns the rescue off fails the
+    * query rather than passing on the straggler plan. Broadcast is
+    * disabled for the query (skew handling only exists on shuffle
+    * joins; at 100 TB neither side would broadcast anyway) and every
+    * touched conf is restored. The oracle replays the join
+    * strategy-free: splitting a partition can never change results. */
+  def qSkewJoinAqe(s: SparkSession, d: String): DataFrame = {
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      // AQE splits a skewed REDUCER partition by regrouping its MAPPER
+      // chunks, so the join shuffle needs >1 map task to have anything
+      // to regroup — the single-row-group fixture parquet scans as ONE
+      // mapper, making the hot partition atomic. The upstream hash
+      // repartition (by the original uniform key) gives the join
+      // exchange 8 mappers; at 100 TB the fact side arrives from
+      // thousands of mappers and this step is the natural state of
+      // the world, not an extra shuffle.
+      val fact = Tables.lineitem(s, d)
+        .repartition(8, col("l_orderkey"))
+        .select(
+          when(col("l_orderkey") % 4 === 0, col("l_orderkey"))
+            .otherwise(lit(0L)).as("k"),
+          floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents"))
+      // dim is UNIQUE on k by construction: the surviving real keys
+      // keep their own order row, the collapsed mass gets one
+      // synthetic 'Z' row — no join multiplication to hide behind
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("grp"))
+        .unionByName(s.range(1).select(lit(0L).as("k"), lit("Z").as("grp")))
+      val df = fact.join(dim, "k")
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("cents").as("min_cents"), max("cents").as("max_cents"))
+        .orderBy("grp")
+      val out = df.collect().toSeq
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("skew=true"),
+        "final adaptive plan must split the skewed join partition " +
+          "(OptimizeSkewedJoin), got:\n" + plan.take(3000))
+      require(plan.contains("AQEShuffleRead") && plan.contains("skewed"),
+        "skewed AQEShuffleRead missing from the final plan:\n" +
+          plan.take(3000))
+      s.createDataFrame(s.sparkContext.parallelize(out.toList), df.schema)
+        .orderBy("grp")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** DuckDB oracle for [[qSkewJoinAqe]]: the same collapsed-key join
+    * replayed strategy-free — skew splitting that ever changed
+    * RESULTS would break the hash. */
+  val skewJoinAqeOracleSql: String =
+    """WITH fact AS (SELECT CASE WHEN l_orderkey % 4 = 0 THEN l_orderkey
+      |                          ELSE 0 END AS k,
+      |                     CAST(FLOOR(l_extendedprice * 100.0 + 0.5)
+      |                       AS BIGINT) AS cents
+      |              FROM lineitem),
+      |dm AS (SELECT o_orderkey AS k, o_orderstatus AS grp FROM orders
+      |       WHERE o_orderkey % 4 = 0
+      |       UNION ALL SELECT 0, 'Z')
+      |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |       CAST(MIN(cents) AS BIGINT) AS min_cents,
+      |       CAST(MAX(cents) AS BIGINT) AS max_cents
+      |FROM fact JOIN dm USING (k)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Small-partition compaction plan (the Iceberg/Delta `OPTIMIZE`
     * planning step): roll daily event partitions up into target-sized
     * output files by greedy date-ordered bin packing — a day lands in
