@@ -340,6 +340,7 @@ object SparkEntry {
     "q_oov_rate"           -> (CurationOps.qOovRate _),
     "q_negative_sample"    -> (CurationOps.qNegativeSample _),
     "q_containment_dedup"  -> ((s, d) => TextOps.qContainmentDedup(s, d)),
+    "q_containment_hybrid" -> ((s, d) => TextOps.qContainmentHybrid(s, d)),
     "q_domain_cap"         -> (CurationOps.qDomainCap _),
     "q_dataset_card"       -> (CurationOps.qDatasetCard _),
     "q_quality_funnel"     -> (CurationOps.qQualityFunnel _),
@@ -4148,6 +4149,8 @@ object SparkEntry {
         |  AND FLOOR(n_common / CAST(sa.n_sh AS DOUBLE) * 10000.0 + 0.5)
         |      / 10000.0 >= 0.8
         |ORDER BY da, db""".stripMargin,
+
+    "q_containment_hybrid" -> TextOps.containmentHybridOracleSql,
 
     "q_domain_cap" ->
       """WITH r AS (SELECT source, doc_id,

@@ -1954,6 +1954,179 @@ object TextOps {
       .orderBy("da", "db")
   }
 
+  /** Exact-band df cap for [[qContainmentHybrid]]: shingles shared by
+    * at most this many docs carry their containment evidence exactly;
+    * deeper shingles route their docs to the MinHash estimate. 3 = the
+    * corpusWithDups within-family duplication depth, so the designed
+    * duplicates stay exact at fixture scale while corpus-growth-
+    * inflated shingles (the ×10 sweep multiplies cross-replica df by
+    * the replication factor) migrate to the estimate path. */
+  val HybridExactMaxDf = 3
+
+  /** HYBRID containment dedup — the escape hatch SURVEY §6.1 documents
+    * for [[qContainmentDedup]]'s one measured super-linear band,
+    * shipped as code: the exact path's Σ df² candidate stream is
+    * intrinsically quadratic in duplication depth inside the open band
+    * below the df valve (measured exponent 1.37–1.49 at ×10), so the
+    * hybrid ROUTES by df — shingles with df ≤ [[HybridExactMaxDf]]
+    * keep the exact in-bucket pair counting (burst ≤ df² ≤ 9 per
+    * shingle, and corpus growth pushes shingles OUT of this band
+    * rather than inflating it), while docs holding any deeper shingle
+    * form a sub-corpus deduped by banded md5-MinHash (4 bands × 2 of 8
+    * permutations — one signature per doc, band buckets stop-valved at
+    * 64: cost linear in docs, never Σ df²). One result table, tagged
+    * by path: exact rows score true containment on the shallow-shingle
+    * evidence; minhash rows score the unbiased Jaccard estimate
+    * (matches/8 ≥ 0.5). The semantic trade is explicit: a pair whose
+    * shared shingles are all DEEP scores no exact containment and is
+    * caught (as resemblance, not containment) by the estimate path —
+    * that is the price of killing the quadratic band, and the reason
+    * production pipelines run banding + verify rather than exact
+    * intersection once duplication depth grows. Both paths are fully
+    * DuckDB-replayable (string shingles for df, md5 permutations for
+    * signatures), and both are LIVE at fixture scale (df ≤ 3 exact
+    * mass, ~200 deep docs) — the differential gates real code, not a
+    * dormant branch. Bounded collects only: df/bucket counts come
+    * FIRST, collect_list happens after the ≤ df-cap / ≤ 64 joins. */
+  def qContainmentHybrid(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val corpus = corpusWithDups(s, d)
+    val sh = corpus
+      .select(col("doc_id"), explode(array_distinct(
+        call_function("graft_word_ngrams", tokens(col("text")),
+          lit(ContainmentShingleW)))).as("gs"))
+      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
+      .localCheckpoint(true)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val dfs = sh.groupBy("g").agg(count(lit(1)).as("dfg"))
+      .localCheckpoint(true) // feeds the exact-band filter AND deep routing
+    // EXACT band: count-first, then the bounded (≤ HybridExactMaxDf)
+    // collect — no unbounded bucket list ever materializes
+    val exact = sh
+      .join(dfs.filter(col("dfg").between(2, HybridExactMaxDf)).select("g"), "g")
+      .groupBy("g").agg(collect_list(col("doc_id")).as("ds"))
+      .select(explode(col("ds")).as("da"), col("ds"))
+      .select(col("da"), explode(col("ds")).as("db"))
+      .filter(col("da") =!= col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("evidence"))
+      .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("n_a")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("n_b")), "db")
+      .filter(col("n_a") <= col("n_b"))
+      .withColumn("score", r4(col("evidence") / col("n_a").cast("double")))
+      .filter(col("score") >= 0.8)
+      .select(col("da"), col("db"), lit("exact").as("path"),
+        col("evidence"), col("score"))
+    // DEEP sub-corpus: any shingle above the exact cap routes the doc
+    // to signature-based estimation (cost: one signature per doc)
+    val deepDocs = sh
+      .join(dfs.filter(col("dfg") > HybridExactMaxDf).select("g"), "g")
+      .select("doc_id").distinct()
+    val sigs = corpus.join(deepDocs, "doc_id")
+      .select(col("doc_id"), tokens(col("text")).as("arr"))
+      .filter(size(col("arr")) >= ContainmentShingleW)
+      .select(col("doc_id"), call_function("graft_md5_minhash",
+        array_distinct(call_function("graft_word_ngrams", col("arr"),
+          lit(ContainmentShingleW)))).as("sig"))
+      .localCheckpoint(true) // feeds banding and both pair-score joins
+    val bands = sigs.select(col("doc_id"), posexplode(array(
+        (0 until 4).map(b => concat_ws(",",
+          element_at(col("sig"), 2 * b + 1).cast("string"),
+          element_at(col("sig"), 2 * b + 2).cast("string"))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bsig")
+    val bcount = bands.groupBy("band", "bsig").agg(count(lit(1)).as("bc"))
+    val est = bands
+      .join(bcount.filter(col("bc").between(2, 64)).select("band", "bsig"),
+        Seq("band", "bsig"))
+      .groupBy("band", "bsig").agg(collect_list(col("doc_id")).as("ds"))
+      .select(explode(col("ds")).as("da"), col("ds"))
+      .select(col("da"), explode(col("ds")).as("db"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+      .join(sigs.select(col("doc_id").as("da"), col("sig").as("sig_a")), "da")
+      .join(sigs.select(col("doc_id").as("db"), col("sig").as("sig_b")), "db")
+      .select(col("da"), col("db"),
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (a, x) => a + x).as("evidence"))
+      .filter(col("evidence") >= 4)
+      .withColumn("score", col("evidence") / lit(8.0))
+      .select(col("da"), col("db"), lit("minhash").as("path"),
+        col("evidence"), col("score"))
+    exact.unionByName(est).orderBy("path", "da", "db")
+  }
+
+  /** DuckDB oracle for [[qContainmentHybrid]]: both routes replayed —
+    * string shingles for the df bands and exact counts, the md5
+    * permutation minimums for signatures/banding/estimates. */
+  val containmentHybridOracleSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |         array_to_string(arr[1:GREATEST(len(arr) - 1, 1)], ' ')
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+      |        FROM documents) t),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    UNNEST(list_transform(range(1, len(arr) - 3),
+      |      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' ||
+      |           arr[i+3] || ' ' || arr[i+4])) AS g
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+      |        FROM corpus) t2
+      |  WHERE len(arr) >= 5),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |dfs AS (SELECT g, COUNT(*) AS dfg FROM sh GROUP BY 1),
+      |ex0 AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS evidence
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+      |  JOIN dfs ON dfs.g = a.g AND dfs.dfg BETWEEN 2 AND 3
+      |  GROUP BY 1, 2),
+      |ex AS (
+      |  SELECT da, db, 'exact' AS path, CAST(evidence AS BIGINT) AS evidence,
+      |         FLOOR(evidence / CAST(sa.n_sh AS DOUBLE) * 10000.0 + 0.5)
+      |           / 10000.0 AS score
+      |  FROM ex0 JOIN sizes sa ON sa.doc_id = da
+      |  JOIN sizes sb ON sb.doc_id = db
+      |  WHERE sa.n_sh <= sb.n_sh
+      |    AND FLOOR(evidence / CAST(sa.n_sh AS DOUBLE) * 10000.0 + 0.5)
+      |        / 10000.0 >= 0.8),
+      |deep AS (SELECT DISTINCT sh.doc_id FROM sh
+      |         JOIN dfs ON sh.g = dfs.g AND dfs.dfg > 3),
+      |mh AS (
+      |  SELECT sh.doc_id, p,
+      |    min(('0x' || substr(md5(CAST(p // 2 AS VARCHAR) || ':' || g),
+      |                        CAST(1 + 15 * (p % 2) AS INTEGER), 15))::BIGINT)
+      |      AS mv
+      |  FROM sh JOIN deep USING (doc_id), range(8) t(p)
+      |  GROUP BY sh.doc_id, p),
+      |bnd AS (
+      |  SELECT doc_id, p // 2 AS band,
+      |    string_agg(CAST(mv AS VARCHAR), ',' ORDER BY p) AS bsig
+      |  FROM mh GROUP BY doc_id, p // 2),
+      |ok AS (SELECT band, bsig FROM bnd GROUP BY 1, 2
+      |       HAVING COUNT(*) BETWEEN 2 AND 64),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bsig = b.bsig
+      |    AND a.doc_id < b.doc_id
+      |  JOIN ok ON ok.band = a.band AND ok.bsig = a.bsig),
+      |est AS (
+      |  SELECT c.da, c.db, 'minhash' AS path,
+      |         CAST(SUM(CASE WHEN ma.mv = mb.mv THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS evidence,
+      |         CAST(SUM(CASE WHEN ma.mv = mb.mv THEN 1 ELSE 0 END) AS DOUBLE)
+      |           / 8 AS score
+      |  FROM cand c
+      |  JOIN mh ma ON ma.doc_id = c.da
+      |  JOIN mh mb ON mb.doc_id = c.db AND mb.p = ma.p
+      |  GROUP BY 1, 2
+      |  HAVING SUM(CASE WHEN ma.mv = mb.mv THEN 1 ELSE 0 END) >= 4)
+      |SELECT * FROM ex UNION ALL SELECT * FROM est
+      |ORDER BY path, da, db""".stripMargin
+
   /** N-gram novelty curve: per document (in doc_id order), the share
     * of its distinct trigrams never seen in any EARLIER document —
     * the diminishing-returns signal that tells a curation pipeline

@@ -33,39 +33,39 @@ object ScaleCliff {
     val marker = new java.io.File(s"$dir/embeddings.parquet/_SUCCESS")
     if (marker.exists()) return dir
     val reps = s.range(factor).toDF("r")
-    def shift(c: String): org.apache.spark.sql.Column =
-      (col(c) + col("r") * Off).as(c)
     def write(name: String, df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
     def rd(name: String): DataFrame = s.read.parquet(s"$base/$name.parquet")
+    // Shift ONLY the named key columns; every other fixture column
+    // passes through schema-blind, so a driver-side fixture refresh
+    // that adds columns can never silently narrow the scaled corpus
+    // (a dropped column would error the sweep's queries as ratio -1
+    // and the coverage loss would read as "measured").
+    def shifted(name: String, keys: Set[String],
+                textSuffix: Boolean = false): Unit = {
+      val df0 = rd(name)
+      val cols = df0.columns.toIndexedSeq.map {
+        case c if keys.contains(c) => (col(c) + col("r") * Off).as(c)
+        case "text" if textSuffix =>
+          // per-replica suffix token: cross-replica docs are NEAR- but
+          // not exact-duplicates, so dup group COUNTS scale ×factor
+          // while group sizes stay fixture-like
+          concat(col("text"), lit(" zr"), col("r")).as("text")
+        case c => col(c)
+      }
+      write(name, df0.crossJoin(reps).select(cols: _*))
+    }
     // tiny dims stay constant at any SF (25 nations is reality)
     write("region", rd("region"))
     write("nation", rd("nation"))
-    write("customer", rd("customer").crossJoin(reps).select(
-      shift("c_custkey"), col("c_name"), col("c_nationkey"),
-      col("c_acctbal"), col("c_mktsegment")))
-    write("supplier", rd("supplier").crossJoin(reps).select(
-      shift("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal")))
-    write("part", rd("part").crossJoin(reps).select(
-      shift("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
-      col("p_size"), col("p_retailprice")))
-    write("orders", rd("orders").crossJoin(reps).select(
-      shift("o_orderkey"), shift("o_custkey"), col("o_orderstatus"),
-      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")))
-    write("lineitem", rd("lineitem").crossJoin(reps).select(
-      shift("l_orderkey"), shift("l_partkey"), shift("l_suppkey"),
-      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
-      col("l_discount"), col("l_tax"), col("l_returnflag"),
-      col("l_linestatus"), col("l_shipdate")))
-    write("events", rd("events").crossJoin(reps).select(
-      shift("event_id"), col("ts"), shift("user_id"), col("event_type"),
-      col("value"), col("props")))
-    write("documents", rd("documents").crossJoin(reps).select(
-      shift("doc_id"),
-      concat(col("text"), lit(" zr"), col("r")).as("text"),
-      col("lang"), col("source"), col("n_chars")))
-    write("embeddings", rd("embeddings").crossJoin(reps).select(
-      shift("vec_id"), col("embedding"), col("label")))
+    shifted("customer", Set("c_custkey"))
+    shifted("supplier", Set("s_suppkey"))
+    shifted("part", Set("p_partkey"))
+    shifted("orders", Set("o_orderkey", "o_custkey"))
+    shifted("lineitem", Set("l_orderkey", "l_partkey", "l_suppkey"))
+    shifted("events", Set("event_id", "user_id"))
+    shifted("documents", Set("doc_id"), textSuffix = true)
+    shifted("embeddings", Set("vec_id"))
     dir
   }
 
@@ -83,6 +83,11 @@ object ScaleCliff {
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val outJson = args.lift(2).getOrElse("BENCH_sfX.json")
     val topN = args.lift(3).map(_.toInt).getOrElse(25)
+    // optional 5th arg: explicit comma-separated key list (overrides
+    // the slowest-N selection) — targeted exponent re-measures of a
+    // specific key without timing the whole slow set
+    val explicitKeys = args.lift(4).map(_.split(',').toSeq.map(_.trim)
+      .filter(_.nonEmpty))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -96,7 +101,7 @@ object ScaleCliff {
     spark.sparkContext.setLogLevel("WARN")
     val big = scaledCopy(spark, base, factor)
     println(s"[scalecliff] scaled corpus at $big (${factor}x $base)")
-    val keys = slowestKeys(topN)
+    val keys = explicitKeys.getOrElse(slowestKeys(topN))
     val qs = graft.SparkEntry.queries
     // codegen/JIT warm-up at the smallest SF (same protocol as Bench)
     val warm = new java.io.File(base).getParent + "/sf0.001"
