@@ -1426,8 +1426,6 @@ object VectorOps {
     * more favorably. */
   def qAnnBeam(s: SparkSession, d: String, M: Int = 8, B: Int = 8,
                H: Int = 6, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
     val S = 1000000.0
     val emb = embeddings(s, d)
     val dim = emb.select("embedding").head().getSeq[Float](0).length
@@ -1439,6 +1437,21 @@ object VectorOps {
       .withColumn("nv", aggregate(
         zip_with(col("v"), col("v"), (a, b) => a * b), lit(0L), (acc, x) => acc + x))
       .localCheckpoint(true)
+    beamReportFrom(base, planes.length, M, B, H, k, maxBucket = 64)
+  }
+
+  /** The beam-search pipeline shared by [[qAnnBeam]] (unstructured
+    * fixture embeddings — the honest worst case) and
+    * [[qAnnBeamClustered]] (planted clusters — the favorable regime):
+    * graph build from valved multiprobe LSH buckets, H unrolled hops,
+    * visited-set top-k with brute-force recall. `base` must carry
+    * (vec_id, v: array<bigint> micro-units, nv, bucket). */
+  private def beamReportFrom(base: DataFrame, nPlanes: Int, M: Int,
+                             B: Int, H: Int, k: Int,
+                             maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val S = 1000000.0
     def cs(a: Column, na: Column, b: Column, nb: Column): Column =
       when(na === 0L || nb === 0L, lit(-2000000L)).otherwise(
         floor(aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
@@ -1446,11 +1459,11 @@ object VectorOps {
           / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))) * S + 0.5)
           .cast("long"))
     val okBuckets = base.groupBy("bucket").agg(count(lit(1)).as("c"))
-      .filter(col("c") <= 64).select("bucket")
+      .filter(col("c") <= maxBucket).select("bucket")
     val idx = base.join(okBuckets, "bucket")
       .select(col("bucket"), col("vec_id").as("b_id"),
         col("v").as("vb"), col("nv").as("nb"))
-    val masks = (lit(0L) +: planes.indices.map(i => lit(1L << i)))
+    val masks = (lit(0L) +: (0 until nPlanes).map(i => lit(1L << i)))
     val src = base.select(col("vec_id").as("a"), col("v").as("va"),
         col("nv").as("na"),
         explode(array(masks.map(m => col("bucket").bitwiseXOR(m)): _*))
@@ -1546,6 +1559,61 @@ object VectorOps {
         col("exact_top"), col("exact_best"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         r4(coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"))
+      .orderBy("q_id")
+  }
+
+  /** Planted-cluster counterpart of [[qAnnBeam]] — the SAME beam
+    * pipeline (same M/B/H/k dial, same valved multiprobe graph build)
+    * over a synthetic embedding table with REAL local structure, so
+    * the ANN story reports the trade CURVE, not one point: qAnnBeam
+    * honestly measures the worst case (recall ≈ 0.3 at an ~18% scan on
+    * deliberately unstructured fixture vectors, where graph navigation
+    * has nothing to exploit), this key measures the favorable regime
+    * graph ANN is deployed for. Vectors are vec_id-formula-derived so
+    * the oracle replays every coordinate: cluster = vec_id mod
+    * ceil(N/25) (≈25-member clusters — inside the bucket valve even
+    * when two clusters collide in a sign-LSH bucket, which is why this
+    * variant raises the valve to 128), centroid coordinate j is
+    * ±1000 by bit j of md5(cluster), plus per-(vec, dim) md5 noise in
+    * [-200, 200] — within-cluster cosine ≈ 0.97, cross ≈ 0 ± 0.12.
+    * The report adds the corpus size and the scan fraction
+    * (n_visited / N), making the (recall, scan_frac) trade readable
+    * per query; the spec pins the favorable-regime claim
+    * (mean recall@5 ≥ 0.8 at a bounded scan fraction). */
+  def qAnnBeamClustered(s: SparkSession, d: String, M: Int = 8,
+                        B: Int = 8, H: Int = 6, k: Int = 5): DataFrame = {
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val planes = hyperplanes(8, 64)
+    val nCfg = embeddings(s, d).agg(count(lit(1)).as("n_corpus"))
+      .select(col("n_corpus"),
+        greatest(lit(1L), ceil(col("n_corpus") / 25.0).cast("long"))
+          .as("n_clusters"))
+    // cluster hash hoisted to its own column: one md5 per ROW, not 64
+    // (the per-(vec, dim) noise md5 inside the lambda is unavoidable —
+    // it IS the per-coordinate randomness)
+    val base = embeddings(s, d).select("vec_id")
+      .crossJoin(broadcast(nCfg))
+      .withColumn("cl", col("vec_id") % col("n_clusters"))
+      .withColumn("ch", conv(substring(md5(
+        concat(lit("c:"), col("cl").cast("string"))), 1, 15), 16, 10)
+        .cast("long"))
+      .withColumn("v", expr(
+        "transform(sequence(0, 63), j -> " +
+          "CASE WHEN (shiftright(ch, CAST(j % 60 AS INT)) & 1) = 1 " +
+          "THEN 1000L ELSE -1000L END " +
+          "+ (CAST(conv(substring(md5(concat('n:', CAST(vec_id AS STRING), " +
+          "':', CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT) % 401) - 200)"))
+      .withColumn("bucket",
+        lshBucket(transform(col("v"), x => x.cast("double")), planes))
+      .withColumn("nv", aggregate(
+        zip_with(col("v"), col("v"), (a, b) => a * b), lit(0L),
+        (acc, x) => acc + x))
+      .select("vec_id", "v", "nv", "bucket")
+      .localCheckpoint(true)
+    beamReportFrom(base, planes.length, M, B, H, k, maxBucket = 128)
+      .crossJoin(broadcast(nCfg.select("n_corpus")))
+      .withColumn("scan_frac",
+        r4(col("n_visited") / col("n_corpus").cast("double")))
       .orderBy("q_id")
   }
 
