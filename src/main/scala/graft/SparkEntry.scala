@@ -60,6 +60,7 @@ object SparkEntry {
     "q_vector_topk"        -> ((s, d) => VectorOps.qVectorTopK(s, d)),
     "q_ann_lsh"            -> ((s, d) => VectorOps.qAnnLsh(s, d)),
     "q_ann_beam"           -> ((s, d) => VectorOps.qAnnBeam(s, d)),
+    "q_ann_beam_clustered" -> ((s, d) => VectorOps.qAnnBeamClustered(s, d)),
     "q_ann_ivf"            -> ((s, d) => VectorOps.qAnnIvf(s, d)),
     "q_embed_cosine_dup"   -> ((s, d) => VectorOps.qEmbedCosineDup(s, d)),
     "q_grouping_sets"      -> (Relational.qGroupingSets _),
@@ -373,6 +374,7 @@ object SparkEntry {
     "q_removal_effect"     -> (AnalyticsOps.qRemovalEffect _),
     "q_word_analogy"       -> (VectorOps.qWordAnalogy _),
     "q_incremental_dedup"  -> (TextOps.qIncrementalDedup _),
+    "q_stream_neardup_lsh" -> (TextOps.qStreamNeardupLsh _),
     "q_encoding_audit"     -> (TextOps.qEncodingAudit _),
     "q_gram_novelty"       -> (TextOps.qGramNovelty _),
     "q_bigram_logprob"     -> (TextOps.qBigramLogprob _),
@@ -1028,6 +1030,7 @@ object SparkEntry {
         |             * 10000.0 + 0.5) / 10000.0 AS f1
         |FROM a ORDER BY threshold""".stripMargin,
     "q_ann_beam" -> VectorOps.annBeamOracleSql(),
+    "q_ann_beam_clustered" -> VectorOps.annBeamClusteredOracleSql(),
     "q_ann_ivf" -> VectorOps.annIvfOracleSql(),
     "q_embed_cosine_dup" -> VectorOps.embedCosineDupOracleSql(),
 
@@ -4003,6 +4006,51 @@ object SparkEntry {
         |       vec_id AS best_id,
         |       FLOOR(cos_sim * 10000.0 + 0.5) / 10000.0 AS cos_sim
         |FROM rk WHERE rn = 1 ORDER BY probe""".stripMargin,
+
+    "q_stream_neardup_lsh" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |  UNION ALL SELECT doc_id + 2000000,
+        |    array_to_string(arr[1:greatest(len(arr) - 1, 1)], ' ')
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(text), '\s+') AS arr
+        |        FROM documents)),
+        |toks AS (SELECT doc_id,
+        |           regexp_split_to_array(trim(text), '\s+') AS arr
+        |         FROM corpus),
+        |shd AS (
+        |  SELECT DISTINCT doc_id,
+        |    UNNEST(list_transform(range(1, len(arr) - 1),
+        |      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
+        |  FROM toks WHERE len(arr) >= 3),
+        |mh AS (
+        |  SELECT doc_id, p,
+        |    min(('0x' || substr(md5(CAST(p // 2 AS VARCHAR) || ':' || shingle),
+        |                        CAST(1 + 15 * (p % 2) AS INTEGER), 15))::BIGINT) AS mv
+        |  FROM shd, range(8) t(p) GROUP BY doc_id, p),
+        |bands AS (
+        |  SELECT doc_id, p // 2 AS band,
+        |    string_agg(CAST(mv AS VARCHAR), ',' ORDER BY p) AS sig
+        |  FROM mh GROUP BY doc_id, p // 2),
+        |ex AS (SELECT DISTINCT band, sig FROM bands
+        |       WHERE doc_id < 1000000 AND doc_id % 2 = 0),
+        |pb AS (SELECT doc_id, band, sig FROM bands WHERE doc_id >= 1000000),
+        |de AS (SELECT DISTINCT pb.doc_id FROM pb JOIN ex USING (band, sig)),
+        |fi AS (SELECT band, sig, MIN(doc_id) AS first_id
+        |       FROM pb GROUP BY 1, 2),
+        |dib AS (SELECT DISTINCT pb.doc_id FROM pb JOIN fi USING (band, sig)
+        |        WHERE pb.doc_id > fi.first_id),
+        |cls AS (
+        |  SELECT c.doc_id,
+        |    CASE WHEN c.doc_id IN (SELECT doc_id FROM de) THEN 'dup_of_existing'
+        |         WHEN c.doc_id IN (SELECT doc_id FROM dib) THEN 'dup_in_batch'
+        |         ELSE 'unique' END AS status
+        |  FROM corpus c WHERE c.doc_id >= 1000000)
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       FLOOR(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER ()
+        |             * 10000.0 + 0.5) / 10000.0 AS share
+        |FROM cls GROUP BY status ORDER BY status""".stripMargin,
 
     "q_incremental_dedup" ->
       """WITH corpus AS (

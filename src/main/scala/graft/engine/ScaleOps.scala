@@ -715,7 +715,17 @@ object ScaleOps {
     * rank-error bound is the reported max bin load. Plan shape: one
     * fact pass into a (shard × 256)-row aggregate (map-side
     * combined), a 256-row merge, and the value-domain exact table —
-    * nothing corpus-sized past the first aggregate. */
+    * nothing corpus-sized past the first aggregate.
+    *
+    * Deliberately INDEPENDENT of the native SQL aggregate
+    * ([[qQuantileSketchSql]] / graft_quantile_sketch): this relational
+    * build IS the differential for the native code — the two keys
+    * construct the same histogram through disjoint implementations
+    * (DataFrame groupBy arithmetic here; a TypedImperativeAggregate's
+    * update/merge/serialize protocol there), so a bug in either one
+    * breaks exactly one hash. Folding this query onto the aggregate
+    * would collapse the two implementations into one and erase that
+    * cross-check. */
   def qQuantileSketch(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nBins = 256

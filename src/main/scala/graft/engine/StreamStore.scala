@@ -125,6 +125,38 @@ final class StreamStore(
     streams.get(topic).map(_.batches.map(_.zones).toSeq).getOrElse(Seq.empty)
   }
 
+  /** ONE consistent plan-time snapshot: (appended counter, per-batch
+    * zones, batch count). `planInputPartitions` previously read the
+    * batch count and the zone list through two separate synchronized
+    * calls — a concurrent append/eviction between them could shift the
+    * zones Seq so zones(i) described a DIFFERENT batch than index i,
+    * silently zone-pruning a batch whose rows matched the runtime
+    * filter (wrong join results at worst, IndexOutOfBounds at best).
+    * All three facts now come from one lock acquisition, so the
+    * keep-decisions are internally consistent; the reader factory then
+    * addresses batches by ABSOLUTE append index, which tolerates
+    * eviction between plan and execute (evicted = missing offsets by
+    * contract, never misattributed rows). */
+  def planSnapshot(topic: String): (Long, Seq[Map[String, Zone]]) =
+    synchronized {
+      streams.get(topic).map { e =>
+        (e.appended, e.batches.map(_.zones).toSeq)
+      }.getOrElse((0L, Seq.empty))
+    }
+
+  /** Per-batch (rows, bytes, zones) in buffer order — the statistics
+    * source for the V2 scan's `estimateStatistics`: with the pushed
+    * filters checked against each batch's zones, the scan reports the
+    * POST-filter size the planner should cost (the parquet-footer
+    * discipline: a selective filter on a store topic shrinks its
+    * estimated size, flipping joins to broadcast exactly as file
+    * sources do). One synchronized snapshot, O(#batches). */
+  def batchStatsOf(topic: String): Seq[(Int, Long, Map[String, Zone])] =
+    synchronized {
+      streams.get(topic).map(_.batches.map(b =>
+        (b.rows.size, b.sizeBytes, b.zones)).toSeq).getOrElse(Seq.empty)
+    }
+
   /** How many batches ever had zones computed (== appends that landed).
     * Spec hook: planning must not change this — zones are never
     * recomputed at plan time. */

@@ -945,28 +945,36 @@ object TextOps {
       path
     }))
 
-  /** The un-staged candidate-pair pipeline (see [[md5MinhashPairs]]). */
-  private def md5MinhashPairsFresh(s: SparkSession, d: String): DataFrame = {
-    graft.expressions.VectorExpressions.register(s)
-    val toks = documents(s, d)
+  /** Banded md5-MinHash signature rows (doc_id, band, sig) — 4 bands
+    * of 2 concatenated 60-bit permutation minima per doc with ≥ 3
+    * tokens. The full 8-value signature comes from ONE native pass per
+    * document (graft_md5_minhash: 4 MD5 digests per shingle, two
+    * 60-bit permutation values sliced from each — bit-identical to the
+    * conv(substr(md5(…))) SQL the oracles replay). No shingle explode,
+    * no groupBy: banding is purely map-side. Shared by the batch
+    * candidate-pair pipeline ([[md5MinhashPairsFresh]]) and the
+    * streaming ingest index ([[qStreamNeardupLsh]]). */
+  private def md5Bands(df: DataFrame): DataFrame = {
+    val toks = df
       .select(col("doc_id"), tokens(col("text")).as("arr"))
       .filter(size(col("arr")) >= 3)
-    // full 8-value signature in ONE native pass per document
-    // (graft_md5_minhash: 4 MD5 digests per shingle, two 60-bit
-    // permutation values sliced from each — bit-identical to the
-    // conv(substr(md5(…))) SQL the oracle replays). No shingle
-    // explode, no groupBy: the first shuffle in the whole plan is
-    // the band self-join.
     val sig8 = toks.select(col("doc_id"),
       call_function("graft_md5_minhash",
         array_distinct(call_function("graft_word_ngrams", col("arr"), lit(3))))
         .as("sig"))
-    val sigs = sig8.select(col("doc_id"), posexplode(array(
+    sig8.select(col("doc_id"), posexplode(array(
         (0 until 4).map(b => concat_ws(",",
           element_at(col("sig"), 2 * b + 1).cast("string"),
           element_at(col("sig"), 2 * b + 2).cast("string"))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "sig")
+  }
+
+  /** The un-staged candidate-pair pipeline (see [[md5MinhashPairs]]).
+    * The first shuffle in the whole plan is the band self-join. */
+  private def md5MinhashPairsFresh(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    val sigs = md5Bands(documents(s, d))
     sigs.alias("a")
       .join(sigs.alias("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -2586,6 +2594,91 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("share", r4(col("n_docs") /
         sum(col("n_docs")).over(Window.partitionBy()).cast("double")))
+      .orderBy("status")
+  }
+
+  /** One staged banded-signature index per (JVM, sfDir) for
+    * [[qStreamNeardupLsh]] — the production shape: the corpus is
+    * banded ONCE at index-build time; each arriving batch only probes.
+    */
+  private val neardupIndexCopies =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Streaming near-dup LSH ingest — [[qIncrementalDedup]]'s contract
+    * (dup_of_existing / dup_in_batch / unique over an
+    * existing-corpus-vs-new-batch split) upgraded from exact md5
+    * hashing to banded md5-MinHash, the production shape for near-dup
+    * at ingest time: new documents are checked against a STAGED LSH
+    * index of the existing corpus, never against the corpus itself.
+    *
+    * Existing corpus = the EVEN original documents; the arriving
+    * batch = every original's exact (+1000000) and near (+2000000,
+    * last token dropped) copy from [[corpusWithDups]], so all three
+    * statuses are genuinely populated: copies of even docs band-match
+    * the index (dup_of_existing); for odd docs — absent from the
+    * index — the exact copy arrives first and lands unique while its
+    * near copy catches it in-batch (dup_in_batch); docs with < 3
+    * tokens carry no bands and stay unique. Scale discipline, plan-REQUIRED: (1) the index
+    * is banded once and staged to parquet — an ingest epoch never
+    * re-bands the corpus (the staged read appears in the plan); (2)
+    * the index side is pruned to the PROBE's band keys with a
+    * broadcast LEFT SEMI join — the batch's distinct (band, sig) keys
+    * (bounded by 4 × batch size, tiny next to the corpus) broadcast,
+    * and the index filters map-side with NO shuffle of the index, the
+    * buffer analog of a point lookup into a (band, sig)-bucketed
+    * table. At 100 TB the index is bucketed by (band, sig) and the
+    * probe touches only matching buckets; the broadcast-semi shape
+    * here is the same algebra with the bucket pruning left to layout.
+    * The DuckDB oracle replays the banding (the exact
+    * conv(substr(md5)) arithmetic of q_dedup_minhash_md5) and both
+    * join levels from scratch. */
+  def qStreamNeardupLsh(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+    val corpus = corpusWithDups(s, d)
+    val indexPath = neardupIndexCopies.computeIfAbsent(d, _ => {
+      val p = StagedPaths.tmp("graft_nd_index")
+      md5Bands(corpus.filter(col("doc_id") < 1000000 &&
+          col("doc_id") % 2 === 0))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    val index = s.read.parquet(indexPath)
+    val probe = md5Bands(corpus.filter(col("doc_id") >= 1000000))
+      .localCheckpoint(true) // one banding pass feeds both join levels
+    val probeKeys = probe.select("band", "sig").distinct()
+    // the index pruned to the probe's bands: broadcast semi-join —
+    // index rows filter map-side against the batch's band keys
+    val hits = index.join(broadcast(probeKeys), Seq("band", "sig"),
+        "left_semi")
+      .select("band", "sig").distinct()
+    val dupEx = probe.join(broadcast(hits), Seq("band", "sig"), "left_semi")
+      .select("doc_id").distinct()
+    val firstIn = probe.groupBy("band", "sig").agg(min("doc_id").as("first_id"))
+    val dupBatch = probe.join(firstIn, Seq("band", "sig"))
+      .filter(col("doc_id") > col("first_id"))
+      .select("doc_id").distinct()
+    val batchDocs = corpus.filter(col("doc_id") >= 1000000).select("doc_id")
+    val df = batchDocs
+      .join(dupEx.withColumn("de", lit(1L)), Seq("doc_id"), "left")
+      .join(dupBatch.withColumn("db", lit(1L)), Seq("doc_id"), "left")
+      .select(
+        when(col("de").isNotNull, lit("dup_of_existing"))
+          .when(col("db").isNotNull, lit("dup_in_batch"))
+          .otherwise(lit("unique")).as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", r4(col("n_docs") /
+        sum(col("n_docs")).over(Window.partitionBy()).cast("double")))
+      .orderBy("status")
+    val out = df.collect().toSeq // ≤ 3 rows; materializes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("graft_nd_index"),
+      "the staged LSH index must be READ, not re-banded:\n" + plan.take(3000))
+    require(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      "index probing must be a broadcast semi-join (no index shuffle):\n" +
+        plan.take(3000))
+    s.createDataFrame(s.sparkContext.parallelize(out.toList), df.schema)
       .orderBy("status")
   }
 

@@ -1625,7 +1625,68 @@ object VectorOps {
                        k: Int = 5): String = {
     val planes = hyperplanes(8, 64)
     val bucket = duckBucketSql(planes)
-    val masks = duckMaskList(planes.length)
+    val tCtes =
+      s"""td AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |            FROM embeddings),
+         |tb AS (SELECT vec_id, $bucket AS bucket FROM td),
+         |tn AS (SELECT vec_id,
+         |         list_transform(CAST(embedding AS DOUBLE[]),
+         |                        x -> FLOOR(x * 1000000.0 + 0.5)) AS v
+         |       FROM embeddings),
+         |t AS (SELECT tn.vec_id, tn.v, list_dot_product(tn.v, tn.v) AS nv,
+         |             tb.bucket
+         |      FROM tn JOIN tb ON tb.vec_id = tn.vec_id)""".stripMargin
+    beamOracleBody(tCtes, planes.length, M, B, H, k, maxBucket = 64)
+  }
+
+  /** DuckDB oracle for [[qAnnBeamClustered]]: replays the planted
+    * fixture coordinate-for-coordinate (the vectors are vec_id-formula
+    * md5 derivations precisely so this is possible), then the SAME
+    * beam-pipeline CTEs as [[annBeamOracleSql]] at the clustered
+    * variant's 128 valve, plus the (n_corpus, scan_frac) columns. */
+  def annBeamClusteredOracleSql(M: Int = 8, B: Int = 8, H: Int = 6,
+                                k: Int = 5): String = {
+    val planes = hyperplanes(8, 64)
+    val bucket = duckBucketSql(planes)
+    val tCtes =
+      s"""ncfg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,
+         |    GREATEST(CAST(1 AS BIGINT),
+         |             CAST(CEIL(COUNT(*) / 25.0) AS BIGINT)) AS n_clusters
+         |  FROM embeddings),
+         |chash AS (SELECT e.vec_id, CAST(('0x' || substr(md5('c:' ||
+         |      CAST(e.vec_id % n.n_clusters AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      AS ch
+         |    FROM embeddings e CROSS JOIN ncfg n),
+         |tv AS (SELECT vec_id, list_transform(range(0, 64), j ->
+         |      (CASE WHEN ((ch >> CAST(j % 60 AS INT)) & 1) = 1
+         |            THEN 1000 ELSE -1000 END)
+         |      + (CAST(('0x' || substr(md5('n:' || CAST(vec_id AS VARCHAR) ||
+         |          ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 401)
+         |      - 200) AS v
+         |    FROM chash),
+         |tb AS (SELECT vec_id, $bucket AS bucket
+         |       FROM (SELECT vec_id, CAST(v AS DOUBLE[]) AS v FROM tv)),
+         |t AS (SELECT tv.vec_id, CAST(tv.v AS DOUBLE[]) AS v,
+         |             CAST(list_dot_product(tv.v, tv.v) AS DOUBLE) AS nv,
+         |             tb.bucket
+         |      FROM tv JOIN tb ON tb.vec_id = tv.vec_id)""".stripMargin
+    beamOracleBody(tCtes, planes.length, M, B, H, k, maxBucket = 128,
+      extraSelect = """,
+        |       n_corpus,
+        |       FLOOR(CAST(n_visited AS DOUBLE) / n_corpus * 10000.0 + 0.5)
+        |         / 10000.0 AS scan_frac""".stripMargin,
+      extraFrom = " CROSS JOIN (SELECT n_corpus FROM ncfg) nc")
+  }
+
+  /** The shared beam-search CTE pipeline: `tCtes` must define a CTE
+    * `t(vec_id, v, nv, bucket)`; everything downstream (valved graph
+    * build, H unrolled hops, visited top-k, brute-force recall) is
+    * identical between the unstructured and clustered fixtures. */
+  private def beamOracleBody(tCtes: String, nPlanes: Int, M: Int, B: Int,
+                             H: Int, k: Int, maxBucket: Int,
+                             extraSelect: String = "",
+                             extraFrom: String = ""): String = {
+    val masks = duckMaskList(nPlanes)
     def csu(v: String, nv: String, c: String, nc: String): String =
       s"CASE WHEN $nv = 0 OR $nc = 0 THEN -2000000 " +
         s"ELSE FLOOR(list_dot_product($v, $c) / (SQRT($nv) * SQRT($nc)) * 1000000.0 + 0.5) END"
@@ -1646,17 +1707,9 @@ object VectorOps {
     }.mkString(",\n")
     val visUnion = (1 to H).map(h => s"SELECT q_id, vec_id FROM c$h")
       .mkString(" UNION ALL ")
-    s"""WITH td AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-       |            FROM embeddings),
-       |tb AS (SELECT vec_id, $bucket AS bucket FROM td),
-       |tn AS (SELECT vec_id,
-       |         list_transform(CAST(embedding AS DOUBLE[]),
-       |                        x -> FLOOR(x * 1000000.0 + 0.5)) AS v
-       |       FROM embeddings),
-       |t AS (SELECT tn.vec_id, tn.v, list_dot_product(tn.v, tn.v) AS nv,
-       |             tb.bucket
-       |      FROM tn JOIN tb ON tb.vec_id = tn.vec_id),
-       |okb AS (SELECT bucket FROM t GROUP BY bucket HAVING COUNT(*) <= 64),
+    s"""WITH $tCtes,
+       |okb AS (SELECT bucket FROM t GROUP BY bucket
+       |        HAVING COUNT(*) <= $maxBucket),
        |idx AS (SELECT t.* FROM t JOIN okb USING (bucket)),
        |src AS (SELECT t.vec_id AS a, t.v AS va, t.nv AS na,
        |               xor(t.bucket, m.m) AS bucket
@@ -1708,9 +1761,9 @@ object VectorOps {
        |       exact_top, exact_best,
        |       CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
        |       FLOOR(CAST(COALESCE(n_hit, 0) AS DOUBLE) / $k * 10000.0 + 0.5)
-       |         / 10000.0 AS recall
+       |         / 10000.0 AS recall$extraSelect
        |FROM annagg JOIN extagg USING (q_id) JOIN nvis USING (q_id)
-       |LEFT JOIN hits USING (q_id)
+       |LEFT JOIN hits USING (q_id)$extraFrom
        |ORDER BY q_id""".stripMargin
   }
 }

@@ -174,7 +174,18 @@ case class QuantileSketch(
       val lv = lo.asInstanceOf[Long]
       val hv = hi.asInstanceOf[Long]
       val w = math.max(1L, hv - lv + 1L)
-      val bin = math.min(nBins - 1L, math.max(0L, (vv - lv) * nBins / w)).toInt
+      // Clamp INTO the domain before the multiply: (vv - lv) * nBins
+      // overflows Long for values ~2^55 above lo, wrapping negative and
+      // silently landing far-out-of-domain stragglers in bin 0 instead
+      // of the documented edge bin 255. For a domain itself wider than
+      // 2^55 even in-domain offsets overflow the multiply, so that
+      // (cold) band takes an exact 128-bit path — same integer
+      // semantics, never a wrapped product.
+      val c = math.min(hv, math.max(lv, vv))
+      val d = c - lv
+      val bin =
+        if (d <= Long.MaxValue / nBins) (d * nBins / w).toInt
+        else (BigInt(d) * nBins / w).toInt
       buf(bin) += 1L
     }
     buf

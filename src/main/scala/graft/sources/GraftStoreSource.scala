@@ -350,6 +350,56 @@ object GraftAggSpec {
   }
 }
 
+/** Batch-zone vs filter intersection tests: can ANY row of a batch
+  * with these zones satisfy the filter? Conservative by construction —
+  * unknown filter shapes, non-zoned columns, and non-integral values
+  * answer true, so zone pruning is an optimization and never a filter
+  * (the same contract parquet row-group statistics carry). */
+object GraftZonePrune {
+  import graft.engine.StreamStore.Zone
+
+  private def lv(x: Any): Option[Long] = x match {
+    case n: Number => Some(n.longValue())
+    case _ => None
+  }
+  private def nonEmpty(z: Zone): Boolean = z.min <= z.max
+
+  def mayMatch(zones: Map[String, Zone], filters: Array[Filter]): Boolean =
+    filters.forall(mayMatchOne(zones, _))
+
+  private def cmp(zones: Map[String, Zone], c: String, v: Any)
+                 (ok: (Zone, Long) => Boolean): Boolean =
+    zones.get(c) match {
+      case Some(z) => lv(v) match {
+        case Some(x) => nonEmpty(z) && ok(z, x)
+        case None => true
+      }
+      case None => true
+    }
+
+  private def mayMatchOne(zones: Map[String, Zone], f: Filter): Boolean =
+    f match {
+      case EqualTo(c, v) => cmp(zones, c, v)((z, x) => z.min <= x && x <= z.max)
+      case GreaterThan(c, v) => cmp(zones, c, v)((z, x) => z.max > x)
+      case GreaterThanOrEqual(c, v) => cmp(zones, c, v)((z, x) => z.max >= x)
+      case LessThan(c, v) => cmp(zones, c, v)((z, x) => z.min < x)
+      case LessThanOrEqual(c, v) => cmp(zones, c, v)((z, x) => z.min <= x)
+      case In(c, vs) =>
+        zones.get(c) match {
+          case Some(z) =>
+            // any non-integral value keeps the batch (conservative)
+            vs.exists(v => lv(v) match {
+              case Some(x) => nonEmpty(z) && z.min <= x && x <= z.max
+              case None => true
+            })
+          case None => true
+        }
+      case IsNull(c) => zones.get(c).forall(_.hasNull)
+      case IsNotNull(c) => zones.get(c).forall(nonEmpty)
+      case _ => true
+    }
+}
+
 final class GraftScan(storeName: String, topic: String, full: StructType,
                       required: StructType, pushed: Array[Filter],
                       agg: Option[GraftAggSpec] = None,
@@ -369,13 +419,17 @@ final class GraftScan(storeName: String, topic: String, full: StructType,
     * references against the scan relation's output, so advertising a
     * column the query didn't select fails analysis outright (hit when
     * reported statistics first made a pruned store scan the broadcast
-    * side of a join). */
+    * side of a join). When an aggregate is pushed down the scan's
+    * output is agg.schema, not `required` — advertising source columns
+    * there reopens the same failure, and runtime row-filtering a
+    * fully-pushed aggregate is meaningless anyway, so advertise
+    * nothing. */
   override def filterAttributes(): Array[NamedReference] =
-    required.fields.collect {
-      case f if (f.dataType == org.apache.spark.sql.types.LongType ||
+    if (agg.isDefined) Array.empty
+    else required.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.LongType ||
         f.dataType == org.apache.spark.sql.types.IntegerType ||
-        f.dataType == org.apache.spark.sql.types.ShortType) &&
-        full.fieldNames.contains(f.name) =>
+        f.dataType == org.apache.spark.sql.types.ShortType =>
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
     }
 
@@ -391,24 +445,59 @@ final class GraftScan(storeName: String, topic: String, full: StructType,
     }.foreach(f => runtimeIn = Some(f))
   override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
 
-  /** Honest table statistics for the planner: the store already tracks
-    * buffered bytes and rows incrementally, so report them — without
-    * this, a DSv2 relation is sized at `spark.sql.defaultSizeInBytes`
-    * (effectively infinite) and a join against a 2 KB store topic
-    * falls back to sort-merge instead of broadcast. With it, the same
-    * broadcast-vs-SMJ economics every parquet table in the repo gets
-    * from file sizes apply to served streams, and
-    * `autoBroadcastJoinThreshold` stays the single knob (spec-pinned:
-    * threshold -1 suppresses the broadcast again). */
+  /** Honest table statistics for the planner, now FILTER-AWARE: the
+    * pushed predicates are checked against every batch's append-time
+    * zones and only the batches that can match are counted — the
+    * parquet-footer discipline, applied to the buffer. Pushed filters
+    * are fully handled by this scan (no post-scan Filter node
+    * remains), so the scan's reported stats ARE the post-filter
+    * estimate the planner costs: a selective filter on a store topic
+    * shrinks its estimated size and flips the join to broadcast
+    * exactly the way footer statistics do for files (spec-pinned:
+    * same join, same threshold — with the filter the static plan
+    * broadcasts the store side, without it it sort-merges; threshold
+    * -1 suppresses both). Without any of this, a DSv2 relation is
+    * sized at `spark.sql.defaultSizeInBytes` (effectively infinite).
+    * The surviving zones also surface per-column min/max/null
+    * COLUMN statistics (`Statistics.columnStats`), so a CBO-enabled
+    * planner estimates selectivity on store topics from real ranges,
+    * mirroring what footers give every other table. */
   override def estimateStatistics(): Statistics = {
     val store = GraftStoreRegistry.get(storeName)
-    val bytes = store.currentBytes(topic)
-    val rows = store.bufferedRows(topic)
+    val batches = store.batchStatsOf(topic)
+    val kept = batches.filter(b => GraftZonePrune.mayMatch(b._3, pushed))
+    val bytes = kept.map(_._2).sum
+    val rows = kept.map(_._1.toLong).sum
+    // merge surviving batches' zones per column: min of mins, max of
+    // maxs, null seen anywhere; a column is reported only when every
+    // surviving batch zoned it (all-batch coverage keeps the merged
+    // range honest)
+    val colNames = kept.flatMap(_._3.keySet).distinct
+      .filter(c => kept.forall(_._3.contains(c)))
+    val colStats = colNames.flatMap { c =>
+      val zs = kept.map(_._3(c)).filter(z => z.min <= z.max)
+      if (zs.isEmpty) None
+      else Some(
+        org.apache.spark.sql.connector.expressions.Expressions.column(c)
+          .asInstanceOf[NamedReference] -> {
+          val mn = zs.map(_.min).min
+          val mx = zs.map(_.max).max
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def min(): java.util.Optional[Object] =
+              java.util.Optional.of(java.lang.Long.valueOf(mn))
+            override def max(): java.util.Optional[Object] =
+              java.util.Optional.of(java.lang.Long.valueOf(mx))
+          }
+        })
+    }.toMap
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats.asJava
     }
   }
 
@@ -435,18 +524,21 @@ final class GraftScan(storeName: String, topic: String, full: StructType,
     if (agg.isDefined || limit.isDefined) Array(GraftAggPartition)
     else {
       val store = GraftStoreRegistry.get(storeName)
-      val appended = store.appendedBatches(topic)
-      val n = store.batchesOf(topic).map(_._2.size).getOrElse(0)
+      // ONE synchronized snapshot: appended counter + zones together,
+      // so a concurrent append/eviction can't shift the zones Seq
+      // between reading the count and indexing into it (which would
+      // zone-prune the WRONG batch — wrong join results).
+      val (appended, zones) = store.planSnapshot(topic)
+      val n = zones.size
       val base = appended - n // oldest surviving batch's absolute index
-      val keep: Int => Boolean = runtimeIn match {
+      // Zone stats were computed ONCE when each batch was appended
+      // (StreamStore.computeZones) — plan time is a pure O(#batches)
+      // map lookup, never a row scan (spec-pinned: zoneComputations
+      // is unchanged by planning). A column with no recorded zone
+      // (shouldn't happen for an eligible integral attr) keeps its
+      // batch — pruning is an optimization, never a filter.
+      val keepRuntime: Int => Boolean = runtimeIn match {
         case Some((attr, values)) if full.fieldNames.contains(attr) =>
-          // Zone stats were computed ONCE when each batch was appended
-          // (StreamStore.computeZones) — plan time is a pure O(#batches)
-          // map lookup, never a row scan (spec-pinned: zoneComputations
-          // is unchanged by planning). A column with no recorded zone
-          // (shouldn't happen for an eligible integral attr) keeps its
-          // batch — pruning is an optimization, never a filter.
-          val zones = store.batchZonesOf(topic)
           i => zones(i).get(attr) match {
             case Some(z) =>
               z.hasNull || values.exists(v => v >= z.min && v <= z.max)
@@ -454,7 +546,12 @@ final class GraftScan(storeName: String, topic: String, full: StructType,
           }
         case _ => _ => true
       }
-      val kept = (0 until n).filter(keep)
+      // STATIC pushed filters prune partitions by the same zone test
+      // the statistics use — a batch no pushed predicate can match is
+      // never planned (the reader would filter out every row anyway;
+      // at 100 TB this is footer-level row-group skipping)
+      val kept = (0 until n).filter(i =>
+        GraftZonePrune.mayMatch(zones(i), pushed) && keepRuntime(i))
       GraftScanMetrics.record(storeName, topic, kept.size, n)
       kept.map(i => GraftBatchPartition(i, base + i): InputPartition).toArray
     }
@@ -506,8 +603,24 @@ final class GraftMicroBatchStream(storeName: String, topic: String,
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(storeName, topic, full, required, pushed)
+  /** The streaming reader always serves full ++ BOTH metadata columns:
+    * unlike the batch path (where V2ScanRelationPushDown prunes and
+    * the scan learns exactly which metadata fields were selected),
+    * a StreamingDataSourceV2ScanRelation that references ANY metadata
+    * column carries ALL declared metadata columns in declaration
+    * order — and one that references none reads only the data
+    * ordinals, so the two trailing slots are simply never read.
+    * Serving them unconditionally satisfies both shapes (previously a
+    * streaming SELECT of `_batch_offset` crashed with
+    * ArrayIndexOutOfBounds because the reader emitted 3-slot rows
+    * under a 5-attribute relation). */
+  override def createReaderFactory(): PartitionReaderFactory = {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val withMeta = StructType(full.fields ++ Seq(
+      StructField(GraftStoreTable.BatchOffsetCol, LongType, nullable = false),
+      StructField(GraftStoreTable.RowInBatchCol, LongType, nullable = false)))
+    new GraftReaderFactory(storeName, topic, full, withMeta, pushed)
+  }
 }
 
 /** Offset = count of batches ever appended (monotone, Kafka-like). */

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
@@ -339,5 +341,137 @@ class GraftStoreSourceSpec extends SparkSuite {
     assert(rows.map(_._1).toSet == (10L until 15L).toSet)
     assert(rows.forall(_._2 == 1L), "filtered rows keep their true provenance")
     GraftStoreRegistry.unregister("s_meta_f")
+  }
+
+  /** Store with 8 key-ranged batches of 50 rows (k in [i·50, i·50+50)):
+    * 1200 B per batch (rows × cols × 8), 9600 B total — the fixture
+    * for filter-aware statistics and static zone pruning. */
+  private def rangedStore(name: String): StreamStore = {
+    val st = new StreamStore(maxBytesPerStream = 1 << 20,
+      ttlMillis = Long.MaxValue / 2)
+    (0 until 8).foreach { i =>
+      st.append("t1", schema,
+        (i * 50L until i * 50L + 50L).map(j => Row(j, s"n$j", j * 10)))
+    }
+    GraftStoreRegistry.register(name, st)
+    st
+  }
+
+  test("filter-aware statistics: pushed zone-checked filters shrink the estimate and flip the join to broadcast") {
+    rangedStore("s_zstats")
+    try {
+      // unit level: a pushed k < 50 keeps exactly one batch's stats
+      val unfiltered = new GraftScan("s_zstats", "t1", schema, schema,
+        Array.empty).estimateStatistics()
+      assert(unfiltered.numRows().getAsLong == 400L)
+      assert(unfiltered.sizeInBytes().getAsLong == 9600L)
+      val filtered = new GraftScan("s_zstats", "t1", schema, schema,
+        Array(org.apache.spark.sql.sources.LessThan("k", 50L)))
+        .estimateStatistics()
+      assert(filtered.numRows().getAsLong == 50L,
+        "only the one batch whose zone intersects k < 50 is counted")
+      assert(filtered.sizeInBytes().getAsLong == 1200L)
+      // column statistics surface the merged zone ranges (real min/max
+      // for CBO selectivity, the footer analog)
+      val cs = unfiltered.columnStats()
+      assert(!cs.isEmpty, "zoned integral columns must report column stats")
+      val kStats = cs.asScala.collectFirst {
+        case (ref, st) if ref.describe() == "k" => st
+      }.get
+      assert(kStats.min().get() == java.lang.Long.valueOf(0L))
+      assert(kStats.max().get() == java.lang.Long.valueOf(399L))
+      // plan level: threshold between the filtered (1200 B) and
+      // unfiltered (9600 B) estimates — the SAME join goes broadcast
+      // only when the selective filter is pushed. Static plan (pre-AQE)
+      // so the decision can only come from the reported statistics.
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "5000")
+      try {
+        val big = spark.range(0L, 500000L).selectExpr("id % 400 AS k", "id AS w")
+        val withFilter = big.join(read("s_zstats").filter(col("k") < 50), "k")
+          .agg(count(lit(1)).as("n"))
+        assert(withFilter.queryExecution.sparkPlan.toString
+            .contains("BroadcastHashJoin"),
+          "post-filter estimate (1200 B) is under the 5000 B threshold")
+        assert(withFilter.head.getLong(0) == 500000L / 400 * 50,
+          "broadcast flip never changes results")
+        val noFilter = big.join(read("s_zstats"), "k")
+          .agg(count(lit(1)).as("n"))
+        assert(!noFilter.queryExecution.sparkPlan.toString
+            .contains("BroadcastHashJoin"),
+          "unfiltered estimate (9600 B) stays above the threshold — " +
+            "the flip is attributable to the filter-aware statistics")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally GraftStoreRegistry.unregister("s_zstats")
+  }
+
+  test("static pushed filters zone-prune planned partitions (footer-style row-group skipping)") {
+    val st = rangedStore("s_zprune")
+    try {
+      val zonesBefore = st.zoneComputations("t1")
+      val df = read("s_zprune").filter(col("k") >= 350)
+      val scan = scanOf(df)
+      assert(scan.toBatch.planInputPartitions().length == 1,
+        "only the batch whose zone intersects k >= 350 is planned")
+      assert(df.count() == 50)
+      assert(df.agg(min("k")).head.getLong(0) == 350L)
+      assert(st.zoneComputations("t1") == zonesBefore,
+        "planning reads append-time zones, never recomputes them")
+      // an impossible predicate plans ZERO partitions and returns empty
+      val none = read("s_zprune").filter(col("k") > 100000)
+      assert(none.count() == 0)
+      assert(scanOf(none).toBatch.planInputPartitions().isEmpty)
+    } finally GraftStoreRegistry.unregister("s_zprune")
+  }
+
+  test("eviction BETWEEN micro-batches: a slow consumer loses offsets by contract, rows are never misattributed") {
+    // budget holds two 240 B batches; the consumer reads the first two
+    // appends, goes away, and three more appends evict the FIRST
+    // UNCONSUMED batch (absolute offset 2) before it returns. The
+    // restart must surface that as missing offsets — batch 2's rows
+    // absent, batches 3-4 intact — exactly the reference's drop-oldest
+    // loses-data-by-contract semantics (stream/manager.go:286-310),
+    // never as a failure or as rows served under wrong offsets.
+    val st = new StreamStore(maxBytesPerStream = 600,
+      ttlMillis = Long.MaxValue / 2)
+    st.append("t1", schema, (0L until 10L).map(i => Row(i, s"n$i", i)))
+    st.append("t1", schema, (10L until 20L).map(i => Row(i, s"n$i", i)))
+    GraftStoreRegistry.register("s_evict_mb", st)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_evmb").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-store")
+        .option("store", "s_evict_mb").option("topic", "t1").load()
+        .select(col("k"), col("_batch_offset"))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => got.add((r.getLong(0), r.getLong(1))))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      drain()
+      assert(got.size == 20, "first drain reads both buffered batches")
+      st.append("t1", schema, (20L until 30L).map(i => Row(i, s"n$i", i)))
+      st.append("t1", schema, (30L until 40L).map(i => Row(i, s"n$i", i)))
+      st.append("t1", schema, (40L until 50L).map(i => Row(i, s"n$i", i)))
+      assert(st.appendedBatches("t1") == 5)
+      assert(st.batchSlice("t1", 2, 3).isEmpty,
+        "fixture must have evicted the first unconsumed batch")
+      drain()
+      val all = got.asScala.toSeq
+      val ks = all.map(_._1).toSet
+      assert(ks == ((0L until 20L) ++ (30L until 50L)).toSet,
+        s"offset-2 rows (k 20..29) are MISSING by contract, the rest " +
+          s"intact: got ${ks.toSeq.sorted.mkString(",")}")
+      // provenance stays absolute: every served row carries the true
+      // append index of its batch, so nothing is misattributed
+      all.foreach { case (k, off) =>
+        assert(off == k / 10, s"row k=$k served under wrong offset $off")
+      }
+    } finally GraftStoreRegistry.unregister("s_evict_mb")
   }
 }
