@@ -1633,7 +1633,8 @@ object VectorOps {
          |         list_transform(CAST(embedding AS DOUBLE[]),
          |                        x -> FLOOR(x * 1000000.0 + 0.5)) AS v
          |       FROM embeddings),
-         |t AS (SELECT tn.vec_id, tn.v, list_dot_product(tn.v, tn.v) AS nv,
+         |t AS MATERIALIZED (
+         |      SELECT tn.vec_id, tn.v, list_dot_product(tn.v, tn.v) AS nv,
          |             tb.bucket
          |      FROM tn JOIN tb ON tb.vec_id = tn.vec_id)""".stripMargin
     beamOracleBody(tCtes, planes.length, M, B, H, k, maxBucket = 64)
@@ -1657,7 +1658,8 @@ object VectorOps {
          |      CAST(e.vec_id % n.n_clusters AS VARCHAR)), 1, 15)) AS BIGINT)
          |      AS ch
          |    FROM embeddings e CROSS JOIN ncfg n),
-         |tv AS (SELECT vec_id, list_transform(range(0, 64), j ->
+         |tv AS MATERIALIZED (
+         |    SELECT vec_id, list_transform(range(0, 64), j ->
          |      (CASE WHEN ((ch >> CAST(j % 60 AS INT)) & 1) = 1
          |            THEN 1000 ELSE -1000 END)
          |      + (CAST(('0x' || substr(md5('n:' || CAST(vec_id AS VARCHAR) ||
@@ -1666,7 +1668,8 @@ object VectorOps {
          |    FROM chash),
          |tb AS (SELECT vec_id, $bucket AS bucket
          |       FROM (SELECT vec_id, CAST(v AS DOUBLE[]) AS v FROM tv)),
-         |t AS (SELECT tv.vec_id, CAST(tv.v AS DOUBLE[]) AS v,
+         |t AS MATERIALIZED (
+         |      SELECT tv.vec_id, CAST(tv.v AS DOUBLE[]) AS v,
          |             CAST(list_dot_product(tv.v, tv.v) AS DOUBLE) AS nv,
          |             tb.bucket
          |      FROM tv JOIN tb ON tb.vec_id = tv.vec_id)""".stripMargin
@@ -1692,7 +1695,7 @@ object VectorOps {
         s"ELSE FLOOR(list_dot_product($v, $c) / (SQRT($nv) * SQRT($nc)) * 1000000.0 + 0.5) END"
     val hops = (1 to H).map { h =>
       val prev = s"b${h - 1}"
-      s"""c$h AS (SELECT DISTINCT q_id, vec_id FROM (
+      s"""c$h AS MATERIALIZED (SELECT DISTINCT q_id, vec_id FROM (
          |    SELECT q_id, vec_id FROM $prev
          |    UNION ALL
          |    SELECT p.q_id, e.b_id AS vec_id FROM $prev p JOIN e ON e.a = p.vec_id)),
@@ -1701,7 +1704,7 @@ object VectorOps {
          |        FROM c$h c JOIN t ON t.vec_id = c.vec_id
          |        JOIN q ON q.q_id = c.q_id
          |        WHERE c.vec_id <> c.q_id),
-         |b$h AS (SELECT q_id, vec_id FROM (
+         |b$h AS MATERIALIZED (SELECT q_id, vec_id FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
          |      ORDER BY w DESC, vec_id) AS rn FROM s$h) WHERE rn <= $B)""".stripMargin
     }.mkString(",\n")
@@ -1710,7 +1713,7 @@ object VectorOps {
     s"""WITH $tCtes,
        |okb AS (SELECT bucket FROM t GROUP BY bucket
        |        HAVING COUNT(*) <= $maxBucket),
-       |idx AS (SELECT t.* FROM t JOIN okb USING (bucket)),
+       |idx AS MATERIALIZED (SELECT t.* FROM t JOIN okb USING (bucket)),
        |src AS (SELECT t.vec_id AS a, t.v AS va, t.nv AS na,
        |               xor(t.bucket, m.m) AS bucket
        |        FROM t, (SELECT UNNEST([$masks]) AS m) m),
@@ -1718,10 +1721,10 @@ object VectorOps {
        |         MAX(CAST(${csu("src.va", "src.na", "i.v", "i.nv")} AS BIGINT)) AS w
        |       FROM src JOIN idx i USING (bucket)
        |       WHERE i.vec_id <> src.a GROUP BY 1, 2),
-       |e AS (SELECT a, b_id FROM (
+       |e AS MATERIALIZED (SELECT a, b_id FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY a
        |      ORDER BY w DESC, b_id) AS rn FROM ew) WHERE rn <= $M),
-       |q AS (SELECT vec_id AS q_id, v AS qv, nv AS qnv FROM t
+       |q AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv, nv AS qnv FROM t
        |      WHERE vec_id < 8),
        |bent AS (SELECT tq.vec_id AS q_id, MIN(i.vec_id) AS b_ent
        |         FROM t tq JOIN idx i ON i.bucket = tq.bucket
@@ -1732,18 +1735,18 @@ object VectorOps {
        |$hops,
        |vis AS (SELECT DISTINCT q_id, vec_id FROM (
        |    SELECT q_id, vec_id FROM b0 UNION ALL $visUnion)),
-       |vsc AS (SELECT c.q_id, c.vec_id,
+       |vsc AS MATERIALIZED (SELECT c.q_id, c.vec_id,
        |          CAST(${csu("q.qv", "q.qnv", "t.v", "t.nv")} AS BIGINT) AS w
        |        FROM vis c JOIN t ON t.vec_id = c.vec_id
        |        JOIN q ON q.q_id = c.q_id
        |        WHERE c.vec_id <> c.q_id),
-       |ann AS (SELECT q_id, vec_id, w, rn FROM (
+       |ann AS MATERIALIZED (SELECT q_id, vec_id, w, rn FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
        |      ORDER BY w DESC, vec_id) AS rn FROM vsc) WHERE rn <= $k),
        |esc AS (SELECT q.q_id, t.vec_id,
        |          CAST(${csu("q.qv", "q.qnv", "t.v", "t.nv")} AS BIGINT) AS w
        |        FROM t, q WHERE t.vec_id <> q.q_id),
-       |ext AS (SELECT q_id, vec_id, w, rn FROM (
+       |ext AS MATERIALIZED (SELECT q_id, vec_id, w, rn FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
        |      ORDER BY w DESC, vec_id) AS rn FROM esc) WHERE rn <= $k),
        |annagg AS (SELECT q_id,
