@@ -424,6 +424,72 @@ class GraftStoreSourceSpec extends SparkSuite {
     } finally GraftStoreRegistry.unregister("s_zprune")
   }
 
+  test("GraftZonePrune: intersection tests are exact on the comparison family, conservative elsewhere") {
+    import org.apache.spark.sql.sources._
+    import graft.engine.StreamStore.Zone
+    import graft.sources.GraftZonePrune.mayMatch
+    val z = Map("k" -> Zone(10L, 20L, hasNull = false),
+      "n" -> Zone(5L, 5L, hasNull = true),
+      "empty" -> Zone(Long.MaxValue, Long.MinValue, hasNull = true))
+    def one(f: Filter): Boolean = mayMatch(z, Array(f))
+    // EqualTo: inside / edges / outside
+    assert(one(EqualTo("k", 15L)) && one(EqualTo("k", 10L)) && one(EqualTo("k", 20L)))
+    assert(!one(EqualTo("k", 9L)) && !one(EqualTo("k", 21L)))
+    // strict vs non-strict comparisons at the zone edges
+    assert(!one(GreaterThan("k", 20L)) && one(GreaterThanOrEqual("k", 20L)))
+    assert(!one(LessThan("k", 10L)) && one(LessThanOrEqual("k", 10L)))
+    assert(one(GreaterThan("k", 19L)) && one(LessThan("k", 11L)))
+    // In: any value intersecting keeps the batch
+    assert(one(In("k", Array(1L, 99L, 12L))) && !one(In("k", Array(1L, 99L))))
+    // null predicates read hasNull / emptiness
+    assert(!one(IsNull("k")) && one(IsNull("n")) && one(IsNull("empty")))
+    assert(one(IsNotNull("k")) && !one(IsNotNull("empty")))
+    // all-null zone can't satisfy a comparison
+    assert(!one(EqualTo("empty", 0L)))
+    // conservative: unzoned column, non-integral value, unknown shape
+    assert(one(EqualTo("name", "x")) && one(EqualTo("k", "notanumber")))
+    assert(one(StringStartsWith("name", "a")))
+    assert(one(In("k", Array[Any](1L, "weird"))))
+    // conjunction: every filter must be satisfiable
+    assert(!mayMatch(z, Array[Filter](EqualTo("k", 15L), EqualTo("k", 9L))))
+    // property sweep vs brute force on a dense domain
+    val zz = Map("k" -> Zone(100L, 110L, hasNull = false))
+    for (v <- 95L to 115L) {
+      assert(mayMatch(zz, Array[Filter](EqualTo("k", v))) ==
+        (100L to 110L).contains(v))
+      assert(mayMatch(zz, Array[Filter](GreaterThan("k", v))) ==
+        (100L to 110L).exists(_ > v))
+      assert(mayMatch(zz, Array[Filter](LessThan("k", v))) ==
+        (100L to 110L).exists(_ < v))
+    }
+  }
+
+  test("CBO surface: DSv2 column statistics reach the optimized plan's attribute stats") {
+    rangedStore("s_cbo")
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val base = read("s_cbo").queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.get
+      val stats = base.computeStats()
+      assert(stats.rowCount.contains(BigInt(400)),
+        s"row count from reported statistics: ${stats.rowCount}")
+      val kAttr = base.output.find(_.name == "k").get
+      val colStat = stats.attributeStats.get(kAttr)
+      assert(colStat.isDefined,
+        "zone-derived column statistics must surface as attributeStats under CBO")
+      assert(colStat.get.min.contains(0L) && colStat.get.max.contains(399L),
+        s"merged zone range expected [0, 399]: ${colStat.get}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+      GraftStoreRegistry.unregister("s_cbo")
+    }
+  }
+
   test("eviction BETWEEN micro-batches: a slow consumer loses offsets by contract, rows are never misattributed") {
     // budget holds two 240 B batches; the consumer reads the first two
     // appends, goes away, and three more appends evict the FIRST
