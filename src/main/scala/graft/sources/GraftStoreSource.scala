@@ -105,7 +105,8 @@ final class GraftStoreTable(storeName: String, topic: String, schema: StructType
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(storeName, topic, schema)
+    new GraftScanBuilder(storeName, topic, schema,
+      Option(options.get("maxBatchesPerTrigger")).map(_.toLong))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(storeName, topic, info.schema())
 }
@@ -207,7 +208,9 @@ final class GraftStreamingWrite(storeName: String, topic: String,
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-final class GraftScanBuilder(storeName: String, topic: String, full: StructType)
+final class GraftScanBuilder(storeName: String, topic: String,
+                             full: StructType,
+                             maxBatchesPerTrigger: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates
@@ -281,7 +284,7 @@ final class GraftScanBuilder(storeName: String, topic: String, full: StructType)
 
   override def build(): Scan =
     new GraftScan(storeName, topic, full, required, pushed, pushedAgg,
-      pushedLimit, pushedSort)
+      pushedLimit, pushedSort, maxBatchesPerTrigger)
 }
 
 /** A fully-pushed ungrouped aggregation: the funcs in output order and
@@ -404,7 +407,8 @@ final class GraftScan(storeName: String, topic: String, full: StructType,
                       required: StructType, pushed: Array[Filter],
                       agg: Option[GraftAggSpec] = None,
                       limit: Option[Int] = None,
-                      sort: Seq[SortOrder] = Seq.empty)
+                      sort: Seq[SortOrder] = Seq.empty,
+                      maxBatchesPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -573,14 +577,47 @@ final class GraftScan(storeName: String, topic: String, full: StructType,
     * as missing batches, not failures — drop-oldest loses data by
     * reference contract. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(storeName, topic, full, required, pushed)
+    new GraftMicroBatchStream(storeName, topic, full, required, pushed,
+      maxBatchesPerTrigger)
 }
 
 final class GraftMicroBatchStream(storeName: String, topic: String,
                                   full: StructType, required: StructType,
-                                  pushed: Array[Filter])
-    extends MicroBatchStream {
+                                  pushed: Array[Filter],
+                                  maxBatchesPerTrigger: Option[Long] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   private def store = GraftStoreRegistry.get(storeName)
+
+  /** Backpressure as CODE (reference O9-O11: the consumer's batch-size
+    * / fetch-window caps how much each poll admits,
+    * kafka/consumer.go): `maxBatchesPerTrigger` caps how many append
+    * offsets one micro-batch covers — the Kafka maxOffsetsPerTrigger
+    * analog at the store's offset granularity (one offset = one
+    * appended batch). Spark's rate control calls
+    * latestOffset(start, limit) when SupportsAdmissionControl is
+    * implemented; an unset option keeps ReadAllAvailable (the previous
+    * behavior, unchanged). Admitting fewer offsets also narrows the
+    * eviction race: a bounded trigger drains in arrival order instead
+    * of snapshotting one giant batch while the budget churns. */
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    maxBatchesPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+  }
+
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.ReadMaxRows
+    val s = Option(start).map(_.asInstanceOf[GraftOffset].index)
+      .getOrElse(initialOffset().asInstanceOf[GraftOffset].index)
+    val avail = store.appendedBatches(topic)
+    GraftOffset(limit match {
+      case r: ReadMaxRows => math.min(avail, s + r.maxRows())
+      case _ => avail
+    })
+  }
 
   /** First offset to serve: the oldest batch still buffered when the
     * query starts (Kafka `startingOffsets=earliest` on the surviving

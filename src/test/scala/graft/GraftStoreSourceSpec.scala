@@ -490,6 +490,44 @@ class GraftStoreSourceSpec extends SparkSuite {
     }
   }
 
+  test("maxBatchesPerTrigger: admission control caps offsets per micro-batch (Kafka maxOffsetsPerTrigger analog)") {
+    def threeBatchStore(name: String): Unit = {
+      val st = new StreamStore(maxBytesPerStream = 1 << 20,
+        ttlMillis = Long.MaxValue / 2)
+      (0 until 3).foreach { i =>
+        st.append("t1", schema,
+          (i * 10L until i * 10L + 10L).map(j => Row(j, s"n$j", j)))
+      }
+      GraftStoreRegistry.register(name, st)
+    }
+    def microBatchSizes(name: String, opt: Option[String]): Seq[Long] = {
+      val sizes = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val rd = spark.readStream.format("graft-store")
+        .option("store", name).option("topic", "t1")
+      val q = opt.fold(rd)(v => rd.option("maxBatchesPerTrigger", v)).load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          sizes.add((id, df.count())); ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      sizes.asScala.toSeq.sortBy(_._1).map(_._2).filter(_ > 0)
+    }
+    threeBatchStore("s_adm1")
+    threeBatchStore("s_adm2")
+    try {
+      // capped: three appends drain as THREE micro-batches of one
+      // store batch each — the reference's batch-size/fetch-window
+      // backpressure (O9-O11) as admission control, not documentation
+      assert(microBatchSizes("s_adm1", Some("1")) == Seq(10L, 10L, 10L))
+      // uncapped default: ReadAllAvailable admits everything at once
+      assert(microBatchSizes("s_adm2", None) == Seq(30L))
+    } finally {
+      GraftStoreRegistry.unregister("s_adm1")
+      GraftStoreRegistry.unregister("s_adm2")
+    }
+  }
+
   test("eviction BETWEEN micro-batches: a slow consumer loses offsets by contract, rows are never misattributed") {
     // budget holds two 240 B batches; the consumer reads the first two
     // appends, goes away, and three more appends evict the FIRST
