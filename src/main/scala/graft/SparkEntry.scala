@@ -61,6 +61,7 @@ object SparkEntry {
     "q_ann_lsh"            -> ((s, d) => VectorOps.qAnnLsh(s, d)),
     "q_ann_beam"           -> ((s, d) => VectorOps.qAnnBeam(s, d)),
     "q_ann_beam_clustered" -> ((s, d) => VectorOps.qAnnBeamClustered(s, d)),
+    "q_stream_ann_ingest"  -> ((s, d) => VectorOps.qStreamAnnIngest(s, d)),
     "q_ann_ivf"            -> ((s, d) => VectorOps.qAnnIvf(s, d)),
     "q_embed_cosine_dup"   -> ((s, d) => VectorOps.qEmbedCosineDup(s, d)),
     "q_grouping_sets"      -> (Relational.qGroupingSets _),
@@ -1031,6 +1032,7 @@ object SparkEntry {
         |FROM a ORDER BY threshold""".stripMargin,
     "q_ann_beam" -> VectorOps.annBeamOracleSql(),
     "q_ann_beam_clustered" -> VectorOps.annBeamClusteredOracleSql(),
+    "q_stream_ann_ingest" -> VectorOps.annIngestOracleSql(),
     "q_ann_ivf" -> VectorOps.annIvfOracleSql(),
     "q_embed_cosine_dup" -> VectorOps.embedCosineDupOracleSql(),
 

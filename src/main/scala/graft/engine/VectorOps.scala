@@ -1617,6 +1617,170 @@ object VectorOps {
       .orderBy("q_id")
   }
 
+  /** One staged sign-LSH index per (JVM, sfDir) for
+    * [[qStreamAnnIngest]] — the corpus is bucketed ONCE at index-build
+    * time; each arriving batch only probes. */
+  private val annIngestIndexCopies =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Streaming ANN ingest — the VECTOR mirror of q_stream_neardup_lsh
+    * and the ingest-time half of the SemDeDup story (q_semdedup is the
+    * batch sweep): new embeddings are checked against a STAGED sign-LSH
+    * bucket index of the existing corpus before admission, the shape a
+    * 100 TB embedding store runs on every arriving shard.
+    *
+    * Existing corpus = even vec_ids, bucketed once into a staged
+    * parquet index (micro-unit vectors + norms + 8-plane sign-LSH
+    * bucket). The arriving batch = the odd vec_ids, half PLANTED
+    * (vec_id % 4 = 1: the even predecessor's vector plus per-coordinate
+    * md5 jitter ≤ 1000 micro-units, cos ≈ 0.9999 — a near-duplicate
+    * that MUST be caught) and half genuinely new (vec_id % 4 = 3: the
+    * probe's own unrelated random vector, cos ≈ 0 — must NOT match).
+    * Each probe fans out to its 1-bit-multiprobe buckets (9 keys); the
+    * index side is pruned to those keys with a broadcast LEFT SEMI
+    * join (plan-REQUIRED: staged read + BroadcastHashJoin LeftSemi —
+    * no index shuffle, no re-bucketing; at 100 TB the index is
+    * bucket-partitioned and the probe touches only matching buckets).
+    * Candidates score with the exact micro-unit integer cosine and the
+    * verdict is thresholded at 0.95: 'matched' (near-dup of best_id)
+    * or 'new'. A planted probe whose jittered bucket drifted > 1 bit
+    * from its original honestly surfaces as 'new' — the multiprobe
+    * recall trade, measured not assumed. The oracle replays probe
+    * construction, bucketing, multiprobe, and scoring from scratch. */
+  def qStreamAnnIngest(s: SparkSession, d: String,
+                       thresholdMicro: Long = 950000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val S = 1000000.0
+    val planes = hyperplanes(8, 64)
+    val base = embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * S + 0.5).cast("long")).as("v"))
+    def withNv(df: DataFrame): DataFrame = df
+      .withColumn("nv", aggregate(
+        zip_with(col("v"), col("v"), (a, b) => a * b), lit(0L),
+        (acc, x) => acc + x))
+    val indexPath = annIngestIndexCopies.computeIfAbsent(d, _ => {
+      val p = StagedPaths.tmp("graft_ann_ingest_idx")
+      withNv(base.filter(col("vec_id") % 2 === 0))
+        .withColumn("bucket",
+          lshBucket(transform(col("v"), x => x.cast("double")), planes))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    val index = s.read.parquet(indexPath)
+    val planted = base.filter(col("vec_id") % 4 === 1).alias("p")
+      .join(base.filter(col("vec_id") % 2 === 0).alias("o"),
+        col("p.vec_id") === col("o.vec_id") + 1)
+      .select(col("p.vec_id").as("probe_id"),
+        transform(col("o.v"), (x, j) => x +
+          (conv(substring(md5(concat(lit("j:"),
+            col("p.vec_id").cast("string"), lit(":"), j.cast("string"))),
+            1, 8), 16, 10).cast("long") % 2001) - 1000).as("v"))
+    val own = base.filter(col("vec_id") % 4 === 3)
+      .select(col("vec_id").as("probe_id"), col("v"))
+    val probes = withNv(planted.unionByName(own))
+      .withColumn("bucket0",
+        lshBucket(transform(col("v"), x => x.cast("double")), planes))
+      .localCheckpoint(true) // one batch pass feeds fan-out AND report
+    val masks = lit(0L) +: (0 until planes.length).map(i => lit(1L << i))
+    val pex = probes.select(col("probe_id"), col("v").as("pv"),
+      col("nv").as("pnv"),
+      explode(array(masks.map(m => col("bucket0").bitwiseXOR(m)): _*))
+        .as("bucket"))
+    val probeKeys = pex.select("bucket").distinct()
+    // the index pruned to the batch's multiprobe bucket keys
+    val pruned = index.join(broadcast(probeKeys), Seq("bucket"), "left_semi")
+    def cs(a: Column, na: Column, b: Column, nb: Column): Column =
+      when(na === 0L || nb === 0L, lit(-2000000L)).otherwise(
+        floor(aggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
+            (acc, x) => acc + x).cast("double")
+          / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))) * S + 0.5)
+          .cast("long"))
+    val scored = pex.join(pruned, "bucket")
+      .groupBy(col("probe_id"), col("vec_id").as("b_id"))
+      .agg(max(cs(col("pv"), col("pnv"), col("v"), col("nv"))).as("w"))
+    val best = scored.withColumn("rn", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("w").desc, col("b_id"))))
+      .filter(col("rn") === 1).select("probe_id", "b_id", "w")
+    val nc = scored.groupBy("probe_id").agg(count(lit(1)).as("n_cand"))
+    val df = probes.select("probe_id")
+      .join(best, Seq("probe_id"), "left")
+      .join(nc, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("b_id"), lit(-1L)).as("best_id"),
+        coalesce(col("w"), lit(-2000000L)).as("best_cos_micro"),
+        when(coalesce(col("w"), lit(-2000000L)) >= thresholdMicro,
+          lit("matched")).otherwise(lit("new")).as("status"))
+      .orderBy("probe_id")
+    val out = df.collect().toSeq // one row per probe; materializes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("graft_ann_ingest_idx"),
+      "the staged LSH index must be READ, not re-bucketed:\n" + plan.take(3000))
+    require(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      "index probing must be a broadcast semi-join (no index shuffle):\n" +
+        plan.take(3000))
+    s.createDataFrame(s.sparkContext.parallelize(out.toList), df.schema)
+      .orderBy("probe_id")
+  }
+
+  /** DuckDB oracle for [[qStreamAnnIngest]]: plane constants embedded,
+    * probe construction (planted jitter + own-vector halves),
+    * bucketing, 1-bit multiprobe, and the exact integer cosine all
+    * replayed from scratch. DuckDB's 2-arg list lambda index is
+    * 1-based where Spark's is 0-based — hence `j - 1` in the jitter
+    * hash. */
+  def annIngestOracleSql(thresholdMicro: Long = 950000L): String = {
+    val planes = hyperplanes(8, 64)
+    val bucket = duckBucketSql(planes)
+    val masks = duckMaskList(planes.length)
+    def csu(v: String, nv: String, c: String, nc: String): String =
+      s"CASE WHEN $nv = 0 OR $nc = 0 THEN -2000000 " +
+        s"ELSE FLOOR(list_dot_product($v, $c) / (SQRT($nv) * SQRT($nc)) * 1000000.0 + 0.5) END"
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |           x -> FLOOR(x * 1000000.0 + 0.5)) AS v
+       |  FROM embeddings),
+       |idx AS MATERIALIZED (
+       |  SELECT vec_id, v, list_dot_product(v, v) AS nv, $bucket AS bucket
+       |  FROM base WHERE vec_id % 2 = 0),
+       |planted AS (
+       |  SELECT p.vec_id AS probe_id,
+       |    list_transform(o.v, (x, j) -> x +
+       |      (('0x' || substr(md5('j:' || CAST(p.vec_id AS VARCHAR) ||
+       |        ':' || CAST(j - 1 AS VARCHAR)), 1, 8))::BIGINT % 2001)
+       |      - 1000) AS v
+       |  FROM base p JOIN base o ON p.vec_id = o.vec_id + 1
+       |  WHERE p.vec_id % 4 = 1),
+       |own AS (SELECT vec_id AS probe_id, v FROM base WHERE vec_id % 4 = 3),
+       |pr0 AS (SELECT * FROM planted UNION ALL SELECT * FROM own),
+       |probes AS MATERIALIZED (
+       |  SELECT probe_id, v, list_dot_product(v, v) AS nv,
+       |         $bucket AS bucket0
+       |  FROM pr0),
+       |pex AS (SELECT probe_id, v AS pv, nv AS pnv,
+       |          xor(bucket0, m.m) AS bucket
+       |        FROM probes, (SELECT UNNEST([$masks]) AS m) m),
+       |sc AS MATERIALIZED (
+       |  SELECT pex.probe_id, i.vec_id AS b_id,
+       |    MAX(CAST(${csu("pex.pv", "pex.pnv", "i.v", "i.nv")} AS BIGINT)) AS w
+       |  FROM pex JOIN idx i USING (bucket) GROUP BY 1, 2),
+       |best AS (SELECT probe_id, b_id, w FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY w DESC, b_id) AS rn FROM sc) WHERE rn = 1),
+       |nc AS (SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+       |       FROM sc GROUP BY 1)
+       |SELECT p.probe_id,
+       |       CAST(COALESCE(n_cand, 0) AS BIGINT) AS n_cand,
+       |       CAST(COALESCE(b_id, -1) AS BIGINT) AS best_id,
+       |       CAST(COALESCE(w, -2000000) AS BIGINT) AS best_cos_micro,
+       |       CASE WHEN COALESCE(w, -2000000) >= $thresholdMicro
+       |            THEN 'matched' ELSE 'new' END AS status
+       |FROM probes p LEFT JOIN best USING (probe_id)
+       |LEFT JOIN nc USING (probe_id)
+       |ORDER BY probe_id""".stripMargin
+  }
+
   /** DuckDB oracle for [[qAnnBeam]]: plane constants embedded, the
     * valved multiprobe graph build, all H beam hops unrolled as CTE
     * stages, and the visited-set top-k + exact brute-force recall —

@@ -29,4 +29,26 @@ class Round19OpsSpec extends SparkSuite {
     // readable as a trade point
     assert(rows.forall(_.getAs[Long]("n_corpus") > 0L))
   }
+
+  test("q_stream_ann_ingest: planted near-copies match their originals, unrelated vectors never do") {
+    val rows = VectorOps.qStreamAnnIngest(spark, sf).collect()
+    val planted = rows.filter(_.getAs[Long]("probe_id") % 4 == 1)
+    val own = rows.filter(_.getAs[Long]("probe_id") % 4 == 3)
+    assert(planted.nonEmpty && own.nonEmpty)
+    // at <=1000-micro-unit jitter the multiprobe index catches every
+    // planted near-dup AND attributes it to the right original
+    val matched = planted.filter(_.getAs[String]("status") == "matched")
+    assert(matched.length == planted.length,
+      s"planted recall ${matched.length}/${planted.length}")
+    assert(matched.forall(r =>
+      r.getAs[Long]("best_id") == r.getAs[Long]("probe_id") - 1),
+      "a matched probe must point at its planted original")
+    assert(matched.forall(_.getAs[Long]("best_cos_micro") >= 999000L))
+    // genuinely-new vectors never cross the 0.95 threshold — best
+    // in-bucket cosine stays far below it (sign-LSH bucket mates are
+    // positively correlated, so ~0.3 is expected; 0.95 is not)
+    assert(own.forall(_.getAs[String]("status") == "new"),
+      "no false admission blocks")
+    assert(own.forall(_.getAs[Long]("best_cos_micro") < 950000L))
+  }
 }
