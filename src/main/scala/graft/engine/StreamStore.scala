@@ -29,10 +29,10 @@ final class StreamStore(
     ttlMillis: Long = 60000L,
     now: () => Long = () => System.currentTimeMillis()) {
 
-  import StreamStore.Zone
+  import StreamStore.{ColZone, StrZone, Zone}
 
   final case class Batch(rows: Seq[Row], sizeBytes: Long,
-                         zones: Map[String, Zone])
+                         zones: Map[String, ColZone])
 
   private final class Entry(val schema: StructType) {
     val batches = mutable.ArrayDeque.empty[Batch]
@@ -92,36 +92,58 @@ final class StreamStore(
   }
 
   /** One pass over the rows the append already holds: min/max/hasNull
-    * per integral column (the types the V2 scan's runtime filter can
-    * zone-compare as longs). Cost is O(rows × integral cols) paid once
-    * per batch at write time — plan time then reads these maps in
-    * O(#batches), the footer-stats discipline Iceberg/parquet use. */
-  private def computeZones(schema: StructType, rows: Seq[Row]): Map[String, Zone] = {
+    * per ZONEABLE column — integral types (as longs), timestamps (as
+    * epoch micros) and dates (as epoch days) share the long [[Zone]];
+    * strings get a TRUNCATED [[StrZone]] (parquet's truncated footer
+    * statistics: prefix lower bound, incremented-prefix upper bound).
+    * Cost is O(rows × zoneable cols) paid once per batch at write
+    * time — plan time then reads these maps in O(#batches), the
+    * footer-stats discipline Iceberg/parquet use. */
+  private def computeZones(schema: StructType, rows: Seq[Row]): Map[String, ColZone] = {
     import org.apache.spark.sql.types._
-    val cols = schema.fields.zipWithIndex.collect {
-      case (f, i) if f.dataType == LongType || f.dataType == IntegerType ||
-        f.dataType == ShortType || f.dataType == ByteType => (f.name, i)
-    }
-    cols.map { case (name, idx) =>
-      var mn = Long.MaxValue
-      var mx = Long.MinValue
-      var hasNull = false
-      rows.foreach { r =>
-        r.get(idx) match {
-          case n: Number =>
-            val v = n.longValue()
-            if (v < mn) mn = v
-            if (v > mx) mx = v
-          case _ => hasNull = true
-        }
+    schema.fields.zipWithIndex.flatMap { case (f, idx) =>
+      val toLong: Option[Any => Option[Long]] = f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType =>
+          Some({ case n: Number => Some(n.longValue()); case _ => None })
+        case TimestampType => Some(StreamStore.timestampMicros)
+        case DateType => Some(StreamStore.dateDays)
+        case _ => None
       }
-      name -> Zone(mn, mx, hasNull)
+      toLong match {
+        case Some(conv) =>
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          var hasNull = false
+          rows.foreach { r =>
+            conv(r.get(idx)) match {
+              case Some(v) =>
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+              case None => hasNull = true
+            }
+          }
+          Some(f.name -> Zone(mn, mx, hasNull))
+        case None if f.dataType == StringType =>
+          var mn: String = null
+          var mx: String = null
+          var hasNull = false
+          rows.foreach { r =>
+            r.get(idx) match {
+              case s: String =>
+                if (mn == null || s.compareTo(mn) < 0) mn = s
+                if (mx == null || s.compareTo(mx) > 0) mx = s
+              case _ => hasNull = true
+            }
+          }
+          StreamStore.strZoneOf(mn, mx, hasNull).map(f.name -> _)
+        case None => None
+      }
     }.toMap
   }
 
   /** Zone stats per surviving batch, aligned with [[batchesOf]] order —
     * the plan-time read side of the append-time stats. O(#batches). */
-  def batchZonesOf(topic: String): Seq[Map[String, Zone]] = synchronized {
+  def batchZonesOf(topic: String): Seq[Map[String, ColZone]] = synchronized {
     streams.get(topic).map(_.batches.map(_.zones).toSeq).getOrElse(Seq.empty)
   }
 
@@ -137,7 +159,7 @@ final class StreamStore(
     * addresses batches by ABSOLUTE append index, which tolerates
     * eviction between plan and execute (evicted = missing offsets by
     * contract, never misattributed rows). */
-  def planSnapshot(topic: String): (Long, Seq[Map[String, Zone]]) =
+  def planSnapshot(topic: String): (Long, Seq[Map[String, ColZone]]) =
     synchronized {
       streams.get(topic).map { e =>
         (e.appended, e.batches.map(_.zones).toSeq)
@@ -151,7 +173,7 @@ final class StreamStore(
     * discipline: a selective filter on a store topic shrinks its
     * estimated size, flipping joins to broadcast exactly as file
     * sources do). One synchronized snapshot, O(#batches). */
-  def batchStatsOf(topic: String): Seq[(Int, Long, Map[String, Zone])] =
+  def batchStatsOf(topic: String): Seq[(Int, Long, Map[String, ColZone])] =
     synchronized {
       streams.get(topic).map(_.batches.map(b =>
         (b.rows.size, b.sizeBytes, b.zones)).toSeq).getOrElse(Seq.empty)
@@ -245,14 +267,73 @@ final class StreamStore(
 }
 
 object StreamStore {
-  /** Per-batch, per-integral-column zone statistics computed ONCE at
-    * append time (the Iceberg-footer analog: min/max/hasNull written
-    * when the data lands, read — never recomputed — at plan time).
-    * `hasNull` covers SQL NULLs; a batch whose [min, max] range on a
-    * join key excludes every runtime-filter value and holds no nulls
-    * cannot contribute a match, so the V2 scan skips planning its
-    * partition without touching a row. */
-  final case class Zone(min: Long, max: Long, hasNull: Boolean)
+  /** Per-batch, per-column zone statistics computed ONCE at append
+    * time (the Iceberg-footer analog: min/max/hasNull written when the
+    * data lands, read — never recomputed — at plan time). A batch
+    * whose zone excludes every pushed/runtime filter value and holds
+    * no nulls cannot contribute a match, so the V2 scan skips planning
+    * its partition without touching a row. */
+  sealed trait ColZone { def hasNull: Boolean }
+
+  /** Long-comparable zone: integral columns as-is, timestamps as epoch
+    * micros, dates as epoch days (the column's declared type fixes the
+    * axis, so zone and filter-literal conversions always agree). */
+  final case class Zone(min: Long, max: Long, hasNull: Boolean) extends ColZone
+
+  /** Truncated string zone, parquet-footer style (String.compareTo
+    * ordering — the SAME ordering [[graft.sources.GraftFilterEval]]
+    * evaluates pushed string predicates with, so pruning can never
+    * disagree with the reader): `min` is a ≤-truncated lower bound
+    * (a prefix of the true minimum); `max` is the true maximum when it
+    * fit untruncated (`maxInclusive = true`) or the truncated prefix
+    * with its last unit incremented — a STRICT upper bound
+    * (`maxInclusive = false`). `min == null` means the batch held no
+    * non-null value. */
+  final case class StrZone(min: String, max: String, maxInclusive: Boolean,
+                           hasNull: Boolean) extends ColZone
+
+  /** Zone-stat truncation width for strings — footers keep bounds tiny
+    * no matter how large the values (a 100 TB topic of whole documents
+    * must not grow plan-time state with document length). */
+  val StrZoneTrunc = 32
+
+  private[engine] def timestampMicros: Any => Option[Long] = {
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case _ => None
+  }
+
+  private[engine] def dateDays: Any => Option[Long] = {
+    case d: java.sql.Date =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
+    case d: java.time.LocalDate =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(d).toLong)
+    case _ => None
+  }
+
+  /** Build the truncated string zone from the batch's true min/max.
+    * The lower bound truncates to a prefix (prefix ≤ original under
+    * compareTo). The upper bound increments the truncated prefix's
+    * last unit below Char.MaxValue, making it a strict bound; if every
+    * unit is Char.MaxValue no finite bound exists and the column goes
+    * unzoned for the batch (conservative — pruning is an optimization,
+    * never a filter). */
+  def strZoneOf(mn: String, mx: String, hasNull: Boolean): Option[StrZone] = {
+    if (mn == null) return Some(StrZone(null, null, maxInclusive = true, hasNull))
+    val lo = if (mn.length <= StrZoneTrunc) mn else mn.substring(0, StrZoneTrunc)
+    if (mx.length <= StrZoneTrunc)
+      Some(StrZone(lo, mx, maxInclusive = true, hasNull))
+    else {
+      val p = mx.substring(0, StrZoneTrunc).toCharArray
+      var i = p.length - 1
+      while (i >= 0 && p(i) == Char.MaxValue) i -= 1
+      if (i < 0) None
+      else Some(StrZone(lo, new String(p, 0, i) + (p(i) + 1).toChar,
+        maxInclusive = false, hasNull))
+    }
+  }
 
   /** Config-driven constructor (O26): byte budget + TTL from one
     * [[GraftConfig]], clock still injectable for deterministic tests. */

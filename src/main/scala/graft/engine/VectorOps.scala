@@ -1713,15 +1713,23 @@ object VectorOps {
         when(coalesce(col("w"), lit(-2000000L)) >= thresholdMicro,
           lit("matched")).otherwise(lit("new")).as("status"))
       .orderBy("probe_id")
-    val out = df.collect().toSeq // one row per probe; materializes the plan
-    val plan = df.queryExecution.executedPlan.toString
+    // Plan contract asserted on a BOUNDED summary that shares the probe
+    // pipeline (same staged read, same broadcast semi-join — built from
+    // the same `scored`/`best` frames): ≤ 2 aggregated rows reach the
+    // driver, never one row per probe. The per-probe frame itself is
+    // returned DISTRIBUTED — the caller (Verify) writes it straight to
+    // parquet without the result ever collecting, so at 100 TB the
+    // admission-bounded batch flows executor-to-sink.
+    val summary = df.groupBy("status").agg(count(lit(1)).as("n_probes"))
+    val out = summary.collect() // ≤ 2 rows; materializes the shared plan
+    require(out.map(_.getLong(1)).sum > 0, "ingest summary must be non-empty")
+    val plan = summary.queryExecution.executedPlan.toString
     require(plan.contains("graft_ann_ingest_idx"),
       "the staged LSH index must be READ, not re-bucketed:\n" + plan.take(3000))
     require(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
       "index probing must be a broadcast semi-join (no index shuffle):\n" +
         plan.take(3000))
-    s.createDataFrame(s.sparkContext.parallelize(out.toList), df.schema)
-      .orderBy("probe_id")
+    df
   }
 
   /** DuckDB oracle for [[qStreamAnnIngest]]: plane constants embedded,

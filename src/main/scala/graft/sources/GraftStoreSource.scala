@@ -106,7 +106,19 @@ final class GraftStoreTable(storeName: String, topic: String, schema: StructType
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(storeName, topic, schema,
-      Option(options.get("maxBatchesPerTrigger")).map(_.toLong))
+      Option(options.get("maxBatchesPerTrigger")).map { raw =>
+        // validate up front, as the Kafka source does for
+        // maxOffsetsPerTrigger: 0/negative would pin latestOffset in
+        // place (a stream that silently never advances), non-numeric
+        // would surface as a bare NumberFormatException mid-plan
+        val n = try raw.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"maxBatchesPerTrigger must be a positive integer, got '$raw'")
+        }
+        require(n > 0,
+          s"maxBatchesPerTrigger must be a positive integer, got '$raw'")
+        n
+      })
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(storeName, topic, info.schema())
 }
@@ -340,6 +352,8 @@ object GraftAggSpec {
       case _: org.apache.spark.sql.types.NumericType => true
       case org.apache.spark.sql.types.StringType => true
       case org.apache.spark.sql.types.BooleanType => true
+      case org.apache.spark.sql.types.TimestampType => true
+      case org.apache.spark.sql.types.DateType => true
       case _ => false
     })
 
@@ -355,50 +369,98 @@ object GraftAggSpec {
 
 /** Batch-zone vs filter intersection tests: can ANY row of a batch
   * with these zones satisfy the filter? Conservative by construction —
-  * unknown filter shapes, non-zoned columns, and non-integral values
-  * answer true, so zone pruning is an optimization and never a filter
-  * (the same contract parquet row-group statistics carry). */
+  * unknown filter shapes, non-zoned columns, and values the zone axis
+  * can't represent EXACTLY answer true, so zone pruning is an
+  * optimization and never a filter (the same contract parquet
+  * row-group statistics carry). */
 object GraftZonePrune {
-  import graft.engine.StreamStore.Zone
+  import graft.engine.StreamStore.{ColZone, StrZone, Zone}
 
+  /** Filter literal → the long zone axis. STRICTLY integral plus the
+    * datetime externals (micros/days — same conversion the zones were
+    * computed with): a fractional Number must NOT truncate here, or a
+    * strict bound goes wrong — GreaterThan(k, -0.5) truncated to 0
+    * would wrongly prune a batch zoned [0, 0] whose k = 0 satisfies
+    * the predicate. Fractional literals answer None and keep the
+    * batch. */
   private def lv(x: Any): Option[Long] = x match {
-    case n: Number => Some(n.longValue())
+    case n: java.lang.Long => Some(n.longValue())
+    case n: java.lang.Integer => Some(n.longValue())
+    case n: java.lang.Short => Some(n.longValue())
+    case n: java.lang.Byte => Some(n.longValue())
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case d: java.sql.Date =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
+    case d: java.time.LocalDate =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(d).toLong)
     case _ => None
   }
   private def nonEmpty(z: Zone): Boolean = z.min <= z.max
+  private def hasValues(z: StrZone): Boolean = z.min != null
 
-  def mayMatch(zones: Map[String, Zone], filters: Array[Filter]): Boolean =
+  def mayMatch(zones: Map[String, ColZone], filters: Array[Filter]): Boolean =
     filters.forall(mayMatchOne(zones, _))
 
-  private def cmp(zones: Map[String, Zone], c: String, v: Any)
-                 (ok: (Zone, Long) => Boolean): Boolean =
-    zones.get(c) match {
-      case Some(z) => lv(v) match {
-        case Some(x) => nonEmpty(z) && ok(z, x)
-        case None => true
-      }
+  /** One comparison against one zone. The string bounds are honest
+    * about truncation: `min` only LOWER-bounds the true minimum and
+    * `max` (when exclusive) strictly upper-bounds the true maximum, so
+    * each predicate prunes only when the bound PROVES emptiness. */
+  private def cmpZone(z: ColZone, v: Any)(
+      okL: (Zone, Long) => Boolean)(
+      okS: (StrZone, String) => Boolean): Boolean = z match {
+    case z: Zone => lv(v) match {
+      case Some(x) => nonEmpty(z) && okL(z, x)
       case None => true
     }
+    case z: StrZone => v match {
+      case s: String => hasValues(z) && okS(z, s)
+      case _ => true
+    }
+  }
 
-  private def mayMatchOne(zones: Map[String, Zone], f: Filter): Boolean =
+  private def strEq(z: StrZone, s: String): Boolean =
+    s.compareTo(z.min) >= 0 &&
+      (if (z.maxInclusive) s.compareTo(z.max) <= 0 else s.compareTo(z.max) < 0)
+
+  private def cmp(zones: Map[String, ColZone], c: String, v: Any)(
+      okL: (Zone, Long) => Boolean)(
+      okS: (StrZone, String) => Boolean): Boolean =
+    zones.get(c).forall(cmpZone(_, v)(okL)(okS))
+
+  private def mayMatchOne(zones: Map[String, ColZone], f: Filter): Boolean =
     f match {
-      case EqualTo(c, v) => cmp(zones, c, v)((z, x) => z.min <= x && x <= z.max)
-      case GreaterThan(c, v) => cmp(zones, c, v)((z, x) => z.max > x)
-      case GreaterThanOrEqual(c, v) => cmp(zones, c, v)((z, x) => z.max >= x)
-      case LessThan(c, v) => cmp(zones, c, v)((z, x) => z.min < x)
-      case LessThanOrEqual(c, v) => cmp(zones, c, v)((z, x) => z.min <= x)
+      case EqualTo(c, v) =>
+        cmp(zones, c, v)((z, x) => z.min <= x && x <= z.max)(strEq)
+      case GreaterThan(c, v) =>
+        // string: values ≤ max (or < max when exclusive); a value > s
+        // can exist only when max > s under either form
+        cmp(zones, c, v)((z, x) => z.max > x)((z, s) => z.max.compareTo(s) > 0)
+      case GreaterThanOrEqual(c, v) =>
+        cmp(zones, c, v)((z, x) => z.max >= x)((z, s) =>
+          if (z.maxInclusive) z.max.compareTo(s) >= 0
+          else z.max.compareTo(s) > 0)
+      case LessThan(c, v) =>
+        // string min is a ≤-truncated bound: prune only when even the
+        // truncated prefix already reaches s
+        cmp(zones, c, v)((z, x) => z.min < x)((z, s) => z.min.compareTo(s) < 0)
+      case LessThanOrEqual(c, v) =>
+        cmp(zones, c, v)((z, x) => z.min <= x)((z, s) => z.min.compareTo(s) <= 0)
       case In(c, vs) =>
         zones.get(c) match {
           case Some(z) =>
-            // any non-integral value keeps the batch (conservative)
-            vs.exists(v => lv(v) match {
-              case Some(x) => nonEmpty(z) && z.min <= x && x <= z.max
-              case None => true
-            })
+            // any unrepresentable value keeps the batch (conservative)
+            vs.exists(v => cmpZone(z, v)(
+              (z, x) => z.min <= x && x <= z.max)(strEq))
           case None => true
         }
       case IsNull(c) => zones.get(c).forall(_.hasNull)
-      case IsNotNull(c) => zones.get(c).forall(nonEmpty)
+      case IsNotNull(c) => zones.get(c).forall {
+        case z: Zone => nonEmpty(z)
+        case z: StrZone => hasValues(z)
+      }
       case _ => true
     }
 }
@@ -431,9 +493,14 @@ final class GraftScan(storeName: String, topic: String, full: StructType,
   override def filterAttributes(): Array[NamedReference] =
     if (agg.isDefined) Array.empty
     else required.fields.collect {
-      case f if f.dataType == org.apache.spark.sql.types.LongType ||
-        f.dataType == org.apache.spark.sql.types.IntegerType ||
-        f.dataType == org.apache.spark.sql.types.ShortType =>
+      // restricted to DATA columns (full.fieldNames): the metadata
+      // columns _batch_offset/_row_in_batch are LongType too, and a
+      // runtime In on one would occupy the single runtimeIn slot —
+      // silently disabling zone pruning on a real data column
+      case f if full.fieldNames.contains(f.name) &&
+        (f.dataType == org.apache.spark.sql.types.LongType ||
+          f.dataType == org.apache.spark.sql.types.IntegerType ||
+          f.dataType == org.apache.spark.sql.types.ShortType) =>
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
     }
 
@@ -475,24 +542,39 @@ final class GraftScan(storeName: String, topic: String, full: StructType,
     // merge surviving batches' zones per column: min of mins, max of
     // maxs, null seen anywhere; a column is reported only when every
     // surviving batch zoned it (all-batch coverage keeps the merged
-    // range honest)
+    // range honest). CBO column stats stay INTEGRAL-only, boxed to the
+    // column's DECLARED type — catalyst stores these raw objects in
+    // ColumnStat for the attribute, and a java.lang.Long under an
+    // IntegerType attribute misbehaves downstream (literal
+    // construction, selectivity math); string/datetime zones still
+    // drive pruning and row/byte sizing above.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    def boxFor(c: String, v: Long): Option[Object] =
+      full.fields.find(_.name == c).map(_.dataType).collect {
+        case LongType => java.lang.Long.valueOf(v)
+        case IntegerType => java.lang.Integer.valueOf(v.toInt)
+        case ShortType => java.lang.Short.valueOf(v.toShort)
+        case ByteType => java.lang.Byte.valueOf(v.toByte)
+      }
     val colNames = kept.flatMap(_._3.keySet).distinct
       .filter(c => kept.forall(_._3.contains(c)))
     val colStats = colNames.flatMap { c =>
-      val zs = kept.map(_._3(c)).filter(z => z.min <= z.max)
-      if (zs.isEmpty) None
-      else Some(
+      val zs = kept.map(_._3(c)).collect {
+        case z: graft.engine.StreamStore.Zone if z.min <= z.max => z
+      }
+      for {
+        _ <- Option.when(zs.nonEmpty)(())
+        mn <- boxFor(c, zs.map(_.min).min)
+        mx <- boxFor(c, zs.map(_.max).max)
+      } yield
         org.apache.spark.sql.connector.expressions.Expressions.column(c)
-          .asInstanceOf[NamedReference] -> {
-          val mn = zs.map(_.min).min
-          val mx = zs.map(_.max).max
-          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+          .asInstanceOf[NamedReference] ->
+          (new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
             override def min(): java.util.Optional[Object] =
-              java.util.Optional.of(java.lang.Long.valueOf(mn))
+              java.util.Optional.of(mn)
             override def max(): java.util.Optional[Object] =
-              java.util.Optional.of(java.lang.Long.valueOf(mx))
-          }
-        })
+              java.util.Optional.of(mx)
+          }: org.apache.spark.sql.connector.read.colstats.ColumnStatistics)
     }.toMap
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -544,9 +626,9 @@ final class GraftScan(storeName: String, topic: String, full: StructType,
       val keepRuntime: Int => Boolean = runtimeIn match {
         case Some((attr, values)) if full.fieldNames.contains(attr) =>
           i => zones(i).get(attr) match {
-            case Some(z) =>
+            case Some(z: graft.engine.StreamStore.Zone) =>
               z.hasNull || values.exists(v => v >= z.min && v <= z.max)
-            case None => true
+            case _ => true
           }
         case _ => _ => true
       }
@@ -557,7 +639,14 @@ final class GraftScan(storeName: String, topic: String, full: StructType,
       val kept = (0 until n).filter(i =>
         GraftZonePrune.mayMatch(zones(i), pushed) && keepRuntime(i))
       GraftScanMetrics.record(storeName, topic, kept.size, n)
-      kept.map(i => GraftBatchPartition(i, base + i): InputPartition).toArray
+      // Partitions address batches by ABSOLUTE append index (the same
+      // GraftAbsolutePartition the streaming path uses): an eviction
+      // between plan and execute then surfaces as a missing batch by
+      // the drop-oldest contract — an ordinal index here would silently
+      // read a DIFFERENT batch's rows after the buffer shifted
+      // (misattributed metadata, zone keep-decisions applied to the
+      // wrong batch) or throw if the buffer shrank.
+      kept.map(i => GraftAbsolutePartition(base + i): InputPartition).toArray
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -599,7 +688,14 @@ final class GraftMicroBatchStream(storeName: String, topic: String,
     * implemented; an unset option keeps ReadAllAvailable (the previous
     * behavior, unchanged). Admitting fewer offsets also narrows the
     * eviction race: a bounded trigger drains in arrival order instead
-    * of snapshotting one giant batch while the budget churns. */
+    * of snapshotting one giant batch while the budget churns.
+    *
+    * NAMING TRAP: `ReadLimit.maxRows(n)` counts units of THIS source's
+    * offset axis, which is the batch-append counter — so n admits n
+    * BATCHES per trigger, not n rows (a 3-row appended batch consumes
+    * ONE unit of the limit; spec-pinned). The Kafka source has the
+    * same convention — maxOffsetsPerTrigger counts its offset unit,
+    * messages — it just happens that Kafka's offset unit IS a row. */
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
@@ -665,11 +761,6 @@ final case class GraftOffset(index: Long) extends Offset {
   override def json(): String = index.toString
 }
 
-/** Batch-read partition: ordinal index into the surviving buffer plus
-  * the batch's ABSOLUTE append index (for the metadata columns). */
-final case class GraftBatchPartition(index: Int, absIndex: Long)
-    extends InputPartition
-
 /** Single partition answering a fully-pushed aggregation. */
 case object GraftAggPartition extends InputPartition
 
@@ -688,7 +779,10 @@ private[graft] object GraftScanMetrics {
     Option(planned.get((store, topic)))
 }
 
-/** Streaming partition addressing one batch by ABSOLUTE append index. */
+/** Partition addressing one batch by ABSOLUTE append index — shared by
+  * the batch and streaming read paths, so eviction between plan and
+  * execute always degrades to missing offsets, never to misattributed
+  * rows. */
 final case class GraftAbsolutePartition(absIndex: Long) extends InputPartition
 
 final class GraftReaderFactory(storeName: String, topic: String,
@@ -758,11 +852,11 @@ final class GraftReaderFactory(storeName: String, topic: String,
           if (sort.nonEmpty) all.sortWith((a, b) => cmpRows(a._1, b._1) < 0)
           else all
         ordered.take(limit.getOrElse(Int.MaxValue))
-      case GraftBatchPartition(idx, abs) =>
-        GraftStoreRegistry.get(storeName).batchesOf(topic)
-          .map(_._2.apply(idx)).getOrElse(Seq.empty)
-          .zipWithIndex.map { case (r, j) => (r, abs, j.toLong) }
       case GraftAbsolutePartition(abs) =>
+        // absolute-index fetch (batch AND streaming paths): a batch
+        // evicted between plan and execute is simply absent — missing
+        // offsets by the drop-oldest contract, never another batch's
+        // rows served under a stale index
         GraftStoreRegistry.get(storeName).batchSlice(topic, abs, abs + 1)
           .headOption.map(_._2).getOrElse(Seq.empty)
           .zipWithIndex.map { case (r, j) => (r, abs, j.toLong) }
@@ -807,6 +901,8 @@ private[sources] object GraftFilterEval {
       case _: org.apache.spark.sql.types.NumericType => true
       case org.apache.spark.sql.types.StringType => true
       case org.apache.spark.sql.types.BooleanType => true
+      case org.apache.spark.sql.types.TimestampType => true
+      case org.apache.spark.sql.types.DateType => true
       case _ => false
     })
   private def atomic(schema: StructType, attr: String): Boolean =
@@ -843,6 +939,12 @@ private[sources] object GraftFilterEval {
       java.lang.Double.compare(a.doubleValue(), b.doubleValue())
     case (a: String, b: String) => a.compareTo(b)
     case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
+    // datetime externals (both the java.sql and java.time forms Spark
+    // hands to V2 filters, per spark.sql.datetime.java8API.enabled)
+    case (a: java.sql.Timestamp, b: java.sql.Timestamp) => a.compareTo(b)
+    case (a: java.time.Instant, b: java.time.Instant) => a.compareTo(b)
+    case (a: java.sql.Date, b: java.sql.Date) => a.compareTo(b)
+    case (a: java.time.LocalDate, b: java.time.LocalDate) => a.compareTo(b)
     case _ => throw new IllegalArgumentException(
       s"unsupported comparison: ${l.getClass} vs ${r.getClass}")
   }
