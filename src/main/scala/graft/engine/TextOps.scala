@@ -2638,34 +2638,12 @@ object TextOps {
     val corpus = corpusWithDups(s, d)
     val indexPath = neardupIndexCopies.computeIfAbsent(d, _ => {
       val p = StagedPaths.tmp("graft_nd_index")
-      md5Bands(corpus.filter(col("doc_id") < 1000000 &&
-          col("doc_id") % 2 === 0))
-        .write.mode("overwrite").parquet(p)
+      stageNeardupIndex(corpus.filter(col("doc_id") < 1000000 &&
+        col("doc_id") % 2 === 0), p)
       p
     })
-    val index = s.read.parquet(indexPath)
-    val probe = md5Bands(corpus.filter(col("doc_id") >= 1000000))
-      .localCheckpoint(true) // one banding pass feeds both join levels
-    val probeKeys = probe.select("band", "sig").distinct()
-    // the index pruned to the probe's bands: broadcast semi-join —
-    // index rows filter map-side against the batch's band keys
-    val hits = index.join(broadcast(probeKeys), Seq("band", "sig"),
-        "left_semi")
-      .select("band", "sig").distinct()
-    val dupEx = probe.join(broadcast(hits), Seq("band", "sig"), "left_semi")
-      .select("doc_id").distinct()
-    val firstIn = probe.groupBy("band", "sig").agg(min("doc_id").as("first_id"))
-    val dupBatch = probe.join(firstIn, Seq("band", "sig"))
-      .filter(col("doc_id") > col("first_id"))
-      .select("doc_id").distinct()
-    val batchDocs = corpus.filter(col("doc_id") >= 1000000).select("doc_id")
-    val df = batchDocs
-      .join(dupEx.withColumn("de", lit(1L)), Seq("doc_id"), "left")
-      .join(dupBatch.withColumn("db", lit(1L)), Seq("doc_id"), "left")
-      .select(
-        when(col("de").isNotNull, lit("dup_of_existing"))
-          .when(col("db").isNotNull, lit("dup_in_batch"))
-          .otherwise(lit("unique")).as("status"))
+    val df = classifyNeardupBatch(s, indexPath,
+        corpus.filter(col("doc_id") >= 1000000))
       .groupBy("status")
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("share", r4(col("n_docs") /
@@ -2681,6 +2659,98 @@ object TextOps {
     s.createDataFrame(s.sparkContext.parallelize(out.toList), df.schema)
       .orderBy("status")
   }
+
+  /** Band a corpus of (doc_id, text) ONCE and stage the (doc_id, band,
+    * sig) index to parquet — the build side of the ingest-time near-dup
+    * check. At 100 TB the same write adds `bucketBy(band, sig)` so
+    * probes touch only matching buckets; the algebra is unchanged. */
+  def stageNeardupIndex(corpus: DataFrame, path: String): Unit = {
+    graft.expressions.VectorExpressions.register(corpus.sparkSession)
+    md5Bands(corpus).write.mode("overwrite").parquet(path)
+  }
+
+  /** Classify ONE arriving batch of (doc_id, text) against the staged
+    * banded index at `path`: per doc, `dup_of_existing` (some band
+    * matches an indexed signature), `dup_in_batch` (first occurrence of
+    * its band set arrived earlier IN THIS batch), or `unique`. The
+    * probe shape is [[qStreamNeardupLsh]]'s, factored for reuse from a
+    * real streaming epoch: the batch is banded once (localCheckpoint),
+    * its distinct (band, sig) keys BROADCAST into a LEFT SEMI that
+    * prunes the index map-side — the index itself never shuffles and is
+    * never re-banded, so an epoch's cost scales with the batch, not
+    * the corpus. */
+  def classifyNeardupBatch(s: SparkSession, indexPath: String,
+                           batch: DataFrame): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    val index = s.read.parquet(indexPath)
+    val probe = md5Bands(batch)
+      .localCheckpoint(true) // one banding pass feeds both join levels
+    val probeKeys = probe.select("band", "sig").distinct()
+    // the index pruned to the probe's bands: broadcast semi-join —
+    // index rows filter map-side against the batch's band keys
+    val hits = index.join(broadcast(probeKeys), Seq("band", "sig"),
+        "left_semi")
+      .select("band", "sig").distinct()
+    val dupEx = probe.join(broadcast(hits), Seq("band", "sig"), "left_semi")
+      .select("doc_id").distinct()
+    val firstIn = probe.groupBy("band", "sig").agg(min("doc_id").as("first_id"))
+    val dupBatch = probe.join(firstIn, Seq("band", "sig"))
+      .filter(col("doc_id") > col("first_id"))
+      .select("doc_id").distinct()
+    batch.select("doc_id")
+      .join(dupEx.withColumn("de", lit(1L)), Seq("doc_id"), "left")
+      .join(dupBatch.withColumn("db", lit(1L)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("de").isNotNull, lit("dup_of_existing"))
+          .when(col("db").isNotNull, lit("dup_in_batch"))
+          .otherwise(lit("unique")).as("status"))
+  }
+
+  /** The REAL runtime composition of the streaming-ingest pieces (the
+    * reference's shape: consumer flush → manager append → downstream
+    * consumer, kafka/consumer.go:307-410 → stream/manager.go:277-343):
+    * one StreamingQuery SUBSCRIBES to a store topic through the DSv2
+    * MicroBatchStream, `maxBatchesPerTrigger` admission control bounds
+    * each epoch, and every epoch probes the staged banded index via
+    * [[classifyNeardupBatch]]. Docs an epoch ADMITS (status `unique`)
+    * have their bands APPENDED to the index, so later epochs see them
+    * as existing — the index grows only by admitted documents, the
+    * SemDeDup-at-the-door contract. Eviction under the store's byte
+    * budget surfaces as missing offsets: evicted batches are simply
+    * never classified (drop-oldest loses data by reference contract).
+    *
+    * `onEpoch` receives (epochId, classified) per non-empty epoch;
+    * the classified frame is distributed — the callback decides what
+    * (bounded thing) to materialize. */
+  def startNeardupIngest(s: SparkSession, storeName: String, topic: String,
+                         indexPath: String, maxBatchesPerTrigger: Long,
+                         checkpointDir: String,
+                         onEpoch: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    s.readStream.format("graft-store")
+      .option("store", storeName).option("topic", topic)
+      .option("maxBatchesPerTrigger", maxBatchesPerTrigger.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val data = batch.select("doc_id", "text").localCheckpoint(true)
+        if (!data.isEmpty) {
+          val classified =
+            classifyNeardupBatch(data.sparkSession, indexPath, data)
+          // admit: grow the index by the epoch's unique docs' bands so
+          // later epochs classify their copies dup_of_existing
+          // (foreachBatch serializes epochs, so append-then-read is
+          // race-free; at 100 TB this is the bucketed-index append)
+          md5Bands(data.join(
+              classified.filter(col("status") === "unique").select("doc_id"),
+              "doc_id"))
+            .write.mode("append").parquet(indexPath)
+          onEpoch(epochId, classified)
+        }
+        ()
+      }
+      .start()
 
   /** Blocklist dictionary for [[qBlocklistScan]]. Every term is
     * BORDERLESS (no proper prefix equals a suffix), so occurrences of

@@ -578,4 +578,199 @@ class GraftStoreSourceSpec extends SparkSuite {
       }
     } finally GraftStoreRegistry.unregister("s_evict_mb")
   }
+
+  test("maxBatchesPerTrigger validates up front: zero, negative, and non-numeric fail with the option named") {
+    freshStore("s_val")
+    try {
+      def mk(v: String) = new graft.sources.GraftStoreTable("s_val", "t1", schema)
+        .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          Map("maxBatchesPerTrigger" -> v).asJava))
+      Seq("0", "-3", "lots").foreach { v =>
+        val e = intercept[IllegalArgumentException](mk(v))
+        assert(e.getMessage.contains("maxBatchesPerTrigger") &&
+          e.getMessage.contains(v), s"'$v' must name option and value: ${e.getMessage}")
+      }
+      mk("2") // a positive integer parses
+    } finally GraftStoreRegistry.unregister("s_val")
+  }
+
+  test("ReadLimit.maxRows counts BATCHES on the store offset axis: a 3-row batch is ONE unit") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.sources.{GraftMicroBatchStream, GraftOffset}
+    val st = new StreamStore(maxBytesPerStream = 1 << 20,
+      ttlMillis = Long.MaxValue / 2)
+    st.append("t1", schema, (0L until 3L).map(i => Row(i, s"n$i", i)))
+    st.append("t1", schema, (3L until 5L).map(i => Row(i, s"n$i", i)))
+    GraftStoreRegistry.register("s_unit", st)
+    try {
+      val mbs = new GraftMicroBatchStream("s_unit", "t1", schema, schema,
+        Array.empty, Some(1L))
+      assert(mbs.getDefaultReadLimit.isInstanceOf[
+        org.apache.spark.sql.connector.read.streaming.ReadMaxRows])
+      val start = mbs.initialOffset()
+      val end = mbs.latestOffset(start, ReadLimit.maxRows(1))
+      assert(end == GraftOffset(1),
+        "maxRows(1) admits ONE appended batch — the offset unit — not one row")
+      // ...and the whole 3-row batch flows inside that single unit
+      val parts = mbs.planInputPartitions(start, end)
+      assert(parts.length == 1)
+      assert(st.batchSlice("t1", 0, 1).head._2.size == 3)
+    } finally GraftStoreRegistry.unregister("s_unit")
+  }
+
+  test("timestamp zones: a pushed ts-range filter shrinks the estimate and statically prunes partitions") {
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    val tsSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("v", LongType)))
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+    val st = new StreamStore(maxBytesPerStream = 1 << 20,
+      ttlMillis = Long.MaxValue / 2)
+    // four batches covering disjoint 6-hour windows
+    (0 until 4).foreach { b =>
+      st.append("tts", tsSchema,
+        (0 until 10).map(i => Row(t(b * 6 + i % 6), b * 10L + i)))
+    }
+    GraftStoreRegistry.register("s_ts", st)
+    try {
+      val df = spark.read.format("graft-store")
+        .option("store", "s_ts").option("topic", "tts").load()
+        .filter(col("ts") >= lit(t(18)))
+      assert(df.count() == 10, "only the last 6-hour window matches")
+      val scan = scanOf(df)
+      assert(scan.description().contains("GreaterThanOrEqual(ts"),
+        s"ts predicate must push into the scan: ${scan.description()}")
+      assert(scan.toBatch.planInputPartitions().length == 1,
+        "three of four batches are zone-pruned by the ts range")
+      // and the reported statistics shrink the same way (footer analog)
+      val all = new GraftScan("s_ts", "tts", tsSchema, tsSchema,
+        Array.empty).estimateStatistics()
+      val filt = new GraftScan("s_ts", "tts", tsSchema, tsSchema,
+        Array(GreaterThanOrEqual("ts", t(18)))).estimateStatistics()
+      assert(all.numRows().getAsLong == 40L)
+      assert(filt.numRows().getAsLong == 10L,
+        "filter-aware statistics count only the surviving ts window")
+      assert(filt.sizeInBytes().getAsLong < all.sizeInBytes().getAsLong)
+    } finally GraftStoreRegistry.unregister("s_ts")
+  }
+
+  test("string zones: truncated footer-style bounds prune exactly when untruncated, conservatively when truncated") {
+    import org.apache.spark.sql.sources._
+    import graft.engine.StreamStore.strZoneOf
+    import graft.sources.GraftZonePrune.mayMatch
+    // untruncated zone: both bounds exact and inclusive
+    val z = Map("s" -> strZoneOf("bb", "dd", hasNull = false).get)
+    assert(mayMatch(z, Array[Filter](EqualTo("s", "bb"))) &&
+      mayMatch(z, Array[Filter](EqualTo("s", "cc"))) &&
+      mayMatch(z, Array[Filter](EqualTo("s", "dd"))))
+    assert(!mayMatch(z, Array[Filter](EqualTo("s", "b"))) &&
+      !mayMatch(z, Array[Filter](EqualTo("s", "dda"))))
+    assert(!mayMatch(z, Array[Filter](GreaterThan("s", "dd"))) &&
+      mayMatch(z, Array[Filter](GreaterThanOrEqual("s", "dd"))))
+    assert(!mayMatch(z, Array[Filter](LessThan("s", "bb"))) &&
+      mayMatch(z, Array[Filter](LessThanOrEqual("s", "bb"))))
+    assert(mayMatch(z, Array[Filter](In("s", Array[Any]("aa", "cc")))) &&
+      !mayMatch(z, Array[Filter](In("s", Array[Any]("aa", "ee")))))
+    // truncated zone: 40-char values, 32-char bounds
+    val zt = strZoneOf("b" * 40, "d" * 40, hasNull = false).get
+    assert(zt.min == "b" * 32, "lower bound is the truncated prefix")
+    assert(!zt.maxInclusive && zt.max == "d" * 31 + "e",
+      s"upper bound increments the prefix's last unit: ${zt.max}")
+    val zm = Map("s" -> zt)
+    // sound: everything inside the true range is kept
+    assert(mayMatch(zm, Array[Filter](EqualTo("s", "b" * 40))) &&
+      mayMatch(zm, Array[Filter](EqualTo("s", "c" * 100))) &&
+      mayMatch(zm, Array[Filter](EqualTo("s", "d" * 40))))
+    // conservative: a value between the true max and the incremented
+    // bound is kept (truncation loses exactness, never soundness)
+    assert(mayMatch(zm, Array[Filter](EqualTo("s", "d" * 40 + "x"))))
+    // pruning still fires beyond the truncated bounds
+    assert(!mayMatch(zm, Array[Filter](EqualTo("s", "a"))) &&
+      !mayMatch(zm, Array[Filter](EqualTo("s", "e"))))
+    assert(!mayMatch(zm, Array[Filter](GreaterThanOrEqual("s", "e"))) &&
+      !mayMatch(zm, Array[Filter](LessThan("s", "b"))))
+    // all-Char.MaxValue prefix: no finite upper bound exists → unzoned
+    assert(strZoneOf("a", Char.MaxValue.toString * 40, hasNull = false).isEmpty)
+    // all-null batch: comparisons prune, IsNull keeps
+    val zn = Map("s" -> strZoneOf(null, null, hasNull = true).get)
+    assert(!mayMatch(zn, Array[Filter](EqualTo("s", "x"))) &&
+      mayMatch(zn, Array[Filter](IsNull("s"))) &&
+      !mayMatch(zn, Array[Filter](IsNotNull("s"))))
+    // brute-force soundness sweep: for every 2-value batch and every
+    // candidate literal, a pruned batch NEVER contains a match
+    val pool = Seq("", "a", "ab", "b", "bz", "c" * 40, "c" * 40 + "a",
+      "d", Char.MaxValue.toString)
+    for (x <- pool; y <- pool; v <- pool) {
+      val (mn, mx) = if (x.compareTo(y) <= 0) (x, y) else (y, x)
+      strZoneOf(mn, mx, hasNull = false).foreach { zz =>
+        val zs = Map("s" -> zz)
+        val vals = Seq(x, y)
+        def sound(f: Filter, matches: String => Boolean): Unit =
+          assert(mayMatch(zs, Array(f)) || !vals.exists(matches),
+            s"pruned a matching batch: $f over $vals")
+        sound(EqualTo("s", v), _ == v)
+        sound(GreaterThan("s", v), _.compareTo(v) > 0)
+        sound(GreaterThanOrEqual("s", v), _.compareTo(v) >= 0)
+        sound(LessThan("s", v), _.compareTo(v) < 0)
+        sound(LessThanOrEqual("s", v), _.compareTo(v) <= 0)
+      }
+    }
+    // end-to-end: a pushed string equality plans only the matching batch
+    val st = new StreamStore(maxBytesPerStream = 1 << 20,
+      ttlMillis = Long.MaxValue / 2)
+    st.append("t1", schema, (0L until 10L).map(i => Row(i, s"a$i", i)))
+    st.append("t1", schema, (10L until 20L).map(i => Row(i, s"b${i - 10}", i)))
+    GraftStoreRegistry.register("s_strz", st)
+    try {
+      val df = read("s_strz").filter(col("name") === "b3")
+      assert(df.count() == 1)
+      assert(scanOf(df).toBatch.planInputPartitions().length == 1,
+        "the a-named batch is pruned by its string zone")
+    } finally GraftStoreRegistry.unregister("s_strz")
+  }
+
+  test("runtime filterAttributes never advertise metadata columns") {
+    freshStore("s_meta_attr")
+    try {
+      val withMeta = StructType(schema.fields :+
+        StructField("_batch_offset", LongType, nullable = false))
+      val scan = new GraftScan("s_meta_attr", "t1", schema, withMeta,
+        Array.empty)
+      assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("k", "v"),
+        "only DATA columns are runtime-filterable — a metadata In must " +
+          "never occupy the runtime slot")
+    } finally GraftStoreRegistry.unregister("s_meta_attr")
+  }
+
+  test("eviction between plan and execute: batch partitions fetch by absolute index — missing offsets, never misattributed rows") {
+    val st = new StreamStore(maxBytesPerStream = 600,
+      ttlMillis = Long.MaxValue / 2)
+    st.append("t1", schema, (0L until 10L).map(i => Row(i, s"n$i", i)))
+    st.append("t1", schema, (10L until 20L).map(i => Row(i, s"n$i", i)))
+    GraftStoreRegistry.register("s_evrace", st)
+    try {
+      val withMeta = StructType(schema.fields :+
+        StructField("_batch_offset", LongType, nullable = false))
+      val scan = new GraftScan("s_evrace", "t1", schema, withMeta,
+        Array.empty)
+      val parts = scan.toBatch.planInputPartitions()
+      assert(parts.length == 2)
+      // eviction lands BETWEEN planning and reader creation
+      st.append("t1", schema, (20L until 30L).map(i => Row(i, s"n$i", i)))
+      assert(st.batchSlice("t1", 0, 1).isEmpty, "fixture must evict batch 0")
+      val rf = scan.toBatch.createReaderFactory()
+      val got = parts.flatMap { p =>
+        val r = rf.createReader(p)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        while (r.next()) buf += ((r.get().getLong(0), r.get().getLong(3)))
+        buf.toSeq
+      }
+      // batch 0 surfaces as MISSING (drop-oldest contract); batch 1's
+      // rows arrive intact and attributed to their true append index —
+      // an ordinal read would have served batch 1's rows as batch 0
+      assert(got.map(_._1).toSet == (10L until 20L).toSet,
+        s"only the surviving planned batch's rows: ${got.map(_._1).sorted}")
+      assert(got.forall(_._2 == 1L),
+        s"provenance must stay absolute under eviction: $got")
+    } finally GraftStoreRegistry.unregister("s_evrace")
+  }
 }

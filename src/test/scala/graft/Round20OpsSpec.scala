@@ -1,0 +1,205 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.{StreamStore, TextOps}
+import graft.sources.GraftStoreRegistry
+
+/** Round-20 composition specs: the streaming-ingest pieces that each
+  * shipped separately — the store's real MicroBatchStream, admission
+  * control (`maxBatchesPerTrigger`), byte-budget eviction, and the
+  * staged banded-LSH probe — run TOGETHER as one StreamingQuery, the
+  * reference's actual runtime shape (kafka/consumer.go:307-410 flush →
+  * stream/manager.go:277-343 append → downstream consumer). Plus the
+  * reference's multi-stream concurrency contract: one shared manager,
+  * PER-STREAM byte budgets (stream/manager.go:16-35). */
+class Round20OpsSpec extends SparkSuite {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  /** Family-disjoint text: every token carries the family tag, so two
+    * different families share NO 3-gram shingle and can never collide
+    * in a MinHash band — dup statuses in the fixture are by
+    * construction, not by hash luck. */
+  private def text(fam: String): String =
+    (0 until 8).map(i => s"${fam}tok$i").mkString(" ")
+
+  test("streaming near-dup ingest end-to-end: MicroBatchStream + admission control + staged-index probe per epoch, eviction between epochs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2e_ingest")
+    val indexPath = dir.resolve("nd_live_idx").toString
+    val replayIndexPath = dir.resolve("nd_replay_idx").toString
+    // existing corpus: 4 docs, banded once into the staged index
+    val existing = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until 4).map(i => Row(i.toLong, text(s"e$i"))).toList), docSchema)
+    TextOps.stageNeardupIndex(existing, indexPath)
+    TextOps.stageNeardupIndex(existing, replayIndexPath) // immutable twin for the replay
+
+    // 5 arriving batches of 4 docs each (64 B at 2 cols × 8); per
+    // batch: [copy of an existing doc → dup_of_existing; new base →
+    // unique; exact copy of that base → dup_in_batch; fresh → unique].
+    // b4 additionally probes the ADMITTED DELTA: doc 131 copies b1's
+    // admitted base f1, b5's doc 140 copies b2's admitted fresh g2.
+    def batch(ids: Seq[Long], texts: Seq[String]): Seq[Row] =
+      ids.zip(texts).map { case (i, t) => Row(i, t) }
+    val b1 = batch(Seq(100L, 101L, 102L, 103L),
+      Seq(text("e0"), text("f1"), text("f1"), text("g1")))
+    val b2 = batch(Seq(110L, 111L, 112L, 113L),
+      Seq(text("e1"), text("f2"), text("f2"), text("g2")))
+    val b3 = batch(Seq(120L, 121L, 122L, 123L), // evicted before consumption
+      Seq(text("e2"), text("f3"), text("f3"), text("g3")))
+    val b4 = batch(Seq(130L, 131L, 132L, 133L),
+      Seq(text("e3"), text("f1"), text("f4"), text("f4")))
+    val b5 = batch(Seq(140L, 141L, 142L, 143L),
+      Seq(text("g2"), text("h5"), text("f5"), text("f5")))
+
+    // budget holds exactly two 64 B batches — the third concurrent
+    // append always evicts the oldest buffered batch
+    val st = new StreamStore(maxBytesPerStream = 140,
+      ttlMillis = Long.MaxValue / 2)
+    st.append("docs", docSchema, b1)
+    st.append("docs", docSchema, b2)
+    GraftStoreRegistry.register("s_e2e", st)
+    val perEpoch = TrieMap.empty[Long, Map[Long, String]]
+    def start() = TextOps.startNeardupIngest(spark, "s_e2e", "docs", indexPath,
+      maxBatchesPerTrigger = 1,
+      checkpointDir = dir.resolve("ckpt").toString,
+      onEpoch = (epochId, classified) => {
+        val rows = classified.collect() // ≤ 4 rows: admission-bounded
+        // the plan contract holds on the REAL streaming path too:
+        // staged index READ (never re-banded) + broadcast semi probe
+        val plan = classified.queryExecution.executedPlan.toString
+        assert(plan.contains("nd_live_idx"),
+          s"epoch $epochId must read the staged index:\n${plan.take(2000)}")
+        assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+          s"epoch $epochId must probe via broadcast semi-join:\n${plan.take(2000)}")
+        perEpoch.put(epochId,
+          rows.map(r => r.getLong(0) -> r.getString(1)).toMap)
+        ()
+      })
+    val q1 = start()
+    try {
+      q1.processAllAvailable() // consumes b1, b2 (one batch per trigger)
+      assert(perEpoch.values.map(_.size).sum == 8,
+        "first drain classifies exactly the two pre-appended batches")
+    } finally q1.stop()
+    // slow consumer, CHECKPOINTED restart: three appends land while the
+    // query is down — the third evicts b3 itself (the first UNCONSUMED
+    // offset) under the byte budget
+    st.append("docs", docSchema, b3)
+    st.append("docs", docSchema, b4)
+    st.append("docs", docSchema, b5)
+    assert(st.droppedRows("docs") > 0, "fixture must actually evict")
+    val q2 = start()
+    try q2.processAllAvailable() // b3's offset drains EMPTY; b4, b5 classify
+    finally q2.stop()
+
+    val streamed: Map[Long, String] =
+      perEpoch.values.flatten.toMap
+    // ≥ 3 non-empty epochs actually ran (b1, b2, b4, b5)
+    assert(perEpoch.size == 4, s"expected 4 non-empty epochs: $perEpoch")
+    // eviction between epochs: b3's docs were never classified — the
+    // offset was lost by the drop-oldest contract, not failed
+    assert(streamed.keySet == (b1 ++ b2 ++ b4 ++ b5).map(_.getLong(0)).toSet)
+    assert(Seq(120L, 121L, 122L, 123L).forall(!streamed.contains(_)))
+    // per-epoch classification: copies of indexed docs, in-batch pairs,
+    // fresh docs — and the cross-epoch copies caught by the ADMITTED
+    // DELTA (131 copies b1's f1, 140 copies b2's g2: both were admitted
+    // in earlier epochs, so they are dups OF EXISTING here)
+    val expected = Map(
+      100L -> "dup_of_existing", 101L -> "unique",
+      102L -> "dup_in_batch", 103L -> "unique",
+      110L -> "dup_of_existing", 111L -> "unique",
+      112L -> "dup_in_batch", 113L -> "unique",
+      130L -> "dup_of_existing", 131L -> "dup_of_existing",
+      132L -> "unique", 133L -> "dup_in_batch",
+      140L -> "dup_of_existing", 141L -> "unique",
+      142L -> "unique", 143L -> "dup_in_batch")
+    assert(streamed == expected,
+      s"streamed classification diverged: $streamed")
+
+    // batch-replay equivalence (q_stream_neardup_lsh's contract): the
+    // same processed docs classified as ONE batch against the original
+    // index admit the SAME doc set — epoch granularity changes only
+    // the existing-vs-in-batch label of cross-epoch pairs, never what
+    // gets admitted (min-id-first arrival order is preserved by the
+    // offset axis)
+    val processedRows = b1 ++ b2 ++ b4 ++ b5
+    val replay = TextOps.classifyNeardupBatch(spark, replayIndexPath,
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(processedRows.toList), docSchema))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def admitted(m: Map[Long, String]): Set[Long] =
+      m.collect { case (id, "unique") => id }.toSet
+    assert(admitted(streamed) == admitted(replay),
+      s"streamed admits ${admitted(streamed)}, replay admits ${admitted(replay)}")
+    // and labels agree everywhere except the two cross-epoch pairs
+    val crossEpoch = Set(131L, 140L)
+    assert(streamed.filterNot(kv => crossEpoch(kv._1)) ==
+      replay.filterNot(kv => crossEpoch(kv._1)))
+    assert(crossEpoch.forall(id => replay(id) == "dup_in_batch"),
+      "the replay sees cross-epoch copies as in-batch dups — the one honest label difference")
+    GraftStoreRegistry.unregister("s_e2e")
+  }
+
+  test("multi-topic concurrency: one store, two live streaming writers, PER-STREAM byte budgets isolate eviction and scan metrics") {
+    import graft.sources.GraftScanMetrics
+    // budget sized so topic A's 5 × 40-row batches (640 B each at
+    // 16 B/row) overflow it while topic B's 2 × 10-row batches never
+    // approach it — the reference's per-stream maxBytes
+    // (stream/manager.go:16-35), one goroutine per topic
+    import spark.implicits._
+    val st = new StreamStore(maxBytesPerStream = 2000,
+      ttlMillis = Long.MaxValue / 2)
+    GraftStoreRegistry.register("s_multi", st)
+    val tmp = System.getProperty("java.io.tmpdir")
+    val inA = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val inB = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    def sink(src: org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)], topic: String) =
+      src.toDF().toDF("k", "pad")
+        .writeStream.format("graft-store")
+        .option("store", "s_multi").option("topic", topic)
+        .option("checkpointLocation",
+          s"$tmp/graft_multi_${topic}_${System.nanoTime()}")
+        .start()
+    val qA = sink(inA, "a")
+    val qB = sink(inB, "b")
+    try {
+      // interleaved epochs while BOTH queries are live
+      (0 until 5).foreach { e =>
+        inA.addData((0 until 40).map(i => (e * 40L + i, s"a$i")): _*)
+        if (e < 2) inB.addData((0 until 10).map(i => (e * 10L + i, s"b$i")): _*)
+        qA.processAllAvailable()
+        qB.processAllAvailable()
+      }
+    } finally { qA.stop(); qB.stop() }
+    // A evicted (5 × 640 B > 2000 B); B lost NOTHING — budgets are
+    // per-stream, so a hot topic can never starve its neighbors
+    assert(st.droppedRows("a") > 0, "topic A must overflow its budget")
+    assert(st.droppedRows("b") == 0L, "topic B must be untouched by A's eviction")
+    assert(st.appendedBatches("a") == 5 && st.appendedBatches("b") == 2)
+    def read(topic: String) = spark.read.format("graft-store")
+      .option("store", "s_multi").option("topic", topic).load()
+    assert(read("b").count() == 20, "every B row survives")
+    assert(read("b").agg(min("k")).head.getLong(0) == 0L)
+    // per-(store, topic) scan metrics stay separate under concurrency
+    // (collect, not count: a pushed-down COUNT plans the single agg
+    // partition and records no batch-partition metrics)
+    read("a").filter(col("k") >= 120).collect()
+    read("b").filter(col("k") >= 10).collect()
+    val mA = GraftScanMetrics.lastPlanned("s_multi", "a")
+    val mB = GraftScanMetrics.lastPlanned("s_multi", "b")
+    assert(mA.exists { case (kept, total) => total == 3 && kept < total },
+      s"A: three surviving batches, zone-pruned to the matching ones: $mA")
+    assert(mB.contains((1, 2)), s"B: two batches, one matches k >= 10: $mB")
+    GraftStoreRegistry.unregister("s_multi")
+  }
+}
