@@ -106,12 +106,44 @@ object Bench {
     }
     calibrateOnce() // untimed: its own codegen/JIT warm-up
     val calibration = (1 to 3).map(_ => calibrateOnce()).min
+    // Pulse guard prior: the PREVIOUS run's per-query map, read before
+    // this run overwrites the file. Three rounds running, a host load
+    // pulse poisoned a committed per-query number even through the
+    // min-of-2-passes (both passes landed inside one long pulse —
+    // q_assoc_rules 3.50 s committed vs 1.52 s isolated); the prior
+    // lets THIS run notice "2× slower than last time" and spend a few
+    // bounded re-times only where that fires.
+    val prior: Map[String, Double] = try {
+      val txt = {
+        val src = scala.io.Source.fromFile("bench_full.json")
+        try src.mkString finally src.close()
+      }
+      "\"(q_[A-Za-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
     val pass1 = ordered.map { case (name, fn) => name -> once(fn) }.toMap
-    val results = ordered.map { case (name, fn) =>
+    val minOf2 = ordered.map { case (name, fn) =>
       val a = pass1(name)
       val b = once(fn)
       name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
+    // Re-time the worst offenders (> 2× their prior), capped at 12
+    // queries × 2 samples so a globally-slow host can't turn the guard
+    // into a third full pass; keys without a prior (new this round)
+    // keep their min-of-2.
+    val fnByName = ordered.toMap
+    val offenders = minOf2.collect {
+      case (name, v) if v > 0 && prior.get(name).exists(p => p > 0 && v > 2 * p) =>
+        (name, v / prior(name))
+    }.sortBy(-_._2).take(12).map(_._1).toSet
+    val results = minOf2.map { case (name, v) =>
+      if (!offenders(name)) name -> v
+      else {
+        val extra = (1 to 2).map(_ => once(fnByName(name))).filter(_ > 0)
+        name -> (extra :+ v).min
+      }
+    }
+    val retimed = offenders.size
     // The driver keeps only the last ~2000 chars of stdout and JSON-
     // parses the final line. The full per-query map (145+ entries,
     // ~4 KB) overflows that window, so the parsed JSON dropped every
@@ -153,7 +185,7 @@ object Bench {
       (rows.length / dt).toLong
     } catch { case _: Throwable => -1L }
     val totalNorm = if (calibration > 0) total * CalibrationRef / calibration else total
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"errors":$errs,"calibration_sec":${ms(calibration)},"calibration_ref":$CalibrationRef,"total_normalized":${ms(totalNorm)},"ingest_rows_per_sec":$ingestRps,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"errors":$errs,"calibration_sec":${ms(calibration)},"calibration_ref":$CalibrationRef,"total_normalized":${ms(totalNorm)},"retimed":$retimed,"ingest_rows_per_sec":$ingestRps,"queries":$qs,"sf":"$sfDir"}"""
     require(line.length < 1800, s"bench line too long: ${line.length}")
     println(line)
     spark.stop()
