@@ -1682,7 +1682,40 @@ object VectorOps {
       .withColumn("bucket0",
         lshBucket(transform(col("v"), x => x.cast("double")), planes))
       .localCheckpoint(true) // one batch pass feeds fan-out AND report
-    val masks = lit(0L) +: (0 until planes.length).map(i => lit(1L << i))
+    val df = annProbeScore(index, probes, planes.length, thresholdMicro)
+      .orderBy("probe_id")
+    // Plan contract asserted on a BOUNDED summary that shares the probe
+    // pipeline (same staged read, same broadcast semi-join — built from
+    // the same `scored`/`best` frames): ≤ 2 aggregated rows reach the
+    // driver, never one row per probe. The per-probe frame itself is
+    // returned DISTRIBUTED — the caller (Verify) writes it straight to
+    // parquet without the result ever collecting, so at 100 TB the
+    // admission-bounded batch flows executor-to-sink.
+    val summary = df.groupBy("status").agg(count(lit(1)).as("n_probes"))
+    val out = summary.collect() // ≤ 2 rows; materializes the shared plan
+    require(out.map(_.getLong(1)).sum > 0, "ingest summary must be non-empty")
+    val plan = summary.queryExecution.executedPlan.toString
+    require(plan.contains("graft_ann_ingest_idx"),
+      "the staged LSH index must be READ, not re-bucketed:\n" + plan.take(3000))
+    require(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      "index probing must be a broadcast semi-join (no index shuffle):\n" +
+        plan.take(3000))
+    df
+  }
+
+  /** The probe-scoring core shared by [[qStreamAnnIngest]] (batch
+    * replay of the ingest shape) and [[startAnnIngest]] (the real
+    * streaming composition). `index` holds (vec_id, v, nv, bucket) in
+    * micro-units; `probes` holds (probe_id, v, nv, bucket0). Each
+    * probe fans out to its 1-bit multiprobe buckets, the index prunes
+    * to those keys with a broadcast LEFT SEMI (no index shuffle, no
+    * re-bucketing), candidates score with the exact integer cosine,
+    * and the verdict thresholds at `thresholdMicro`. */
+  private def annProbeScore(index: DataFrame, probes: DataFrame,
+                            nPlanes: Int, thresholdMicro: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val S = 1000000.0
+    val masks = lit(0L) +: (0 until nPlanes).map(i => lit(1L << i))
     val pex = probes.select(col("probe_id"), col("v").as("pv"),
       col("nv").as("pnv"),
       explode(array(masks.map(m => col("bucket0").bitwiseXOR(m)): _*))
@@ -1703,7 +1736,7 @@ object VectorOps {
         Window.partitionBy("probe_id").orderBy(col("w").desc, col("b_id"))))
       .filter(col("rn") === 1).select("probe_id", "b_id", "w")
     val nc = scored.groupBy("probe_id").agg(count(lit(1)).as("n_cand"))
-    val df = probes.select("probe_id")
+    probes.select("probe_id")
       .join(best, Seq("probe_id"), "left")
       .join(nc, Seq("probe_id"), "left")
       .select(col("probe_id"),
@@ -1712,25 +1745,82 @@ object VectorOps {
         coalesce(col("w"), lit(-2000000L)).as("best_cos_micro"),
         when(coalesce(col("w"), lit(-2000000L)) >= thresholdMicro,
           lit("matched")).otherwise(lit("new")).as("status"))
-      .orderBy("probe_id")
-    // Plan contract asserted on a BOUNDED summary that shares the probe
-    // pipeline (same staged read, same broadcast semi-join — built from
-    // the same `scored`/`best` frames): ≤ 2 aggregated rows reach the
-    // driver, never one row per probe. The per-probe frame itself is
-    // returned DISTRIBUTED — the caller (Verify) writes it straight to
-    // parquet without the result ever collecting, so at 100 TB the
-    // admission-bounded batch flows executor-to-sink.
-    val summary = df.groupBy("status").agg(count(lit(1)).as("n_probes"))
-    val out = summary.collect() // ≤ 2 rows; materializes the shared plan
-    require(out.map(_.getLong(1)).sum > 0, "ingest summary must be non-empty")
-    val plan = summary.queryExecution.executedPlan.toString
-    require(plan.contains("graft_ann_ingest_idx"),
-      "the staged LSH index must be READ, not re-bucketed:\n" + plan.take(3000))
-    require(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
-      "index probing must be a broadcast semi-join (no index shuffle):\n" +
-        plan.take(3000))
-    df
   }
+
+  /** Micro-quantize (id, embedding) rows and attach the norm and
+    * sign-LSH bucket — the shared row shape of the staged ANN index
+    * and its probes. */
+  private def annMicroRows(df: DataFrame, idCol: String,
+                           planes: Seq[Seq[Double]]): DataFrame =
+    df.select(col(idCol), transform(col("embedding"),
+        x => floor(x.cast("double") * 1000000.0 + 0.5).cast("long")).as("v"))
+      .withColumn("nv", aggregate(
+        zip_with(col("v"), col("v"), (a, b) => a * b), lit(0L),
+        (acc, x) => acc + x))
+      .withColumn("bucket",
+        lshBucket(transform(col("v"), x => x.cast("double")), planes))
+
+  /** Bucket an embedding corpus ONCE and stage the sign-LSH index
+    * (vec_id, v, nv, bucket) to parquet — the build side of ingest-time
+    * vector near-dup (SemDeDup at the door). At 100 TB the write adds
+    * bucket partitioning; the probe algebra is unchanged. */
+  def stageAnnIndex(emb: DataFrame, path: String,
+                    nPlanes: Int = 8, dim: Int = 64): Unit =
+    annMicroRows(emb, "vec_id", hyperplanes(nPlanes, dim))
+      .write.mode("overwrite").parquet(path)
+
+  /** Classify ONE arriving batch of (vec_id, embedding) against the
+    * staged sign-LSH index: per vector, `matched` (exact integer
+    * cosine ≥ threshold against its best multiprobe candidate — a
+    * near-duplicate of `best_id`) or `new`. A copy whose bucket
+    * drifted more than 1 bit from its original honestly surfaces as
+    * `new` — the multiprobe recall trade, measured not assumed. */
+  def classifyAnnBatch(s: SparkSession, indexPath: String, batch: DataFrame,
+                       nPlanes: Int = 8, dim: Int = 64,
+                       thresholdMicro: Long = 950000L): DataFrame = {
+    val probes = annMicroRows(batch, "vec_id", hyperplanes(nPlanes, dim))
+      .withColumnRenamed("vec_id", "probe_id")
+      .withColumnRenamed("bucket", "bucket0")
+      .localCheckpoint(true) // one quantize pass feeds fan-out AND report
+    annProbeScore(s.read.parquet(indexPath), probes, nPlanes, thresholdMicro)
+  }
+
+  /** The vector mirror of [[graft.engine.TextOps.startNeardupIngest]]:
+    * one StreamingQuery subscribes to a store topic of (vec_id,
+    * embedding), `maxBatchesPerTrigger` admission control bounds each
+    * epoch, every epoch probes the staged sign-LSH index via
+    * [[classifyAnnBatch]], and the vectors an epoch ADMITS (status
+    * `new`) are appended to the index so later epochs match their
+    * copies. Eviction under the store's byte budget surfaces as
+    * missing offsets — never misattributed vectors. */
+  def startAnnIngest(s: SparkSession, storeName: String, topic: String,
+                     indexPath: String, maxBatchesPerTrigger: Long,
+                     checkpointDir: String,
+                     onEpoch: (Long, DataFrame) => Unit,
+                     nPlanes: Int = 8, dim: Int = 64,
+                     thresholdMicro: Long = 950000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    s.readStream.format("graft-store")
+      .option("store", storeName).option("topic", topic)
+      .option("maxBatchesPerTrigger", maxBatchesPerTrigger.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val data = batch.select("vec_id", "embedding").localCheckpoint(true)
+        if (!data.isEmpty) {
+          val classified = classifyAnnBatch(data.sparkSession, indexPath,
+            data, nPlanes, dim, thresholdMicro)
+          annMicroRows(data.join(
+              classified.filter(col("status") === "new")
+                .select(col("probe_id").as("vec_id")), "vec_id"),
+              "vec_id", hyperplanes(nPlanes, dim))
+            .write.mode("append").parquet(indexPath)
+          onEpoch(epochId, classified)
+        }
+        ()
+      }
+      .start()
 
   /** DuckDB oracle for [[qStreamAnnIngest]]: plane constants embedded,
     * probe construction (planted jitter + own-vector halves),

@@ -147,6 +147,94 @@ class Round20OpsSpec extends SparkSuite {
     GraftStoreRegistry.unregister("s_e2e")
   }
 
+  test("streaming ANN ingest end-to-end: the vector mirror — staged sign-LSH probe per epoch, admitted vectors grow the index, eviction between epochs") {
+    import graft.engine.VectorOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2e_ann")
+    val indexPath = dir.resolve("ann_live_idx").toString
+    val replayIndexPath = dir.resolve("ann_replay_idx").toString
+    val embSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    // 16-dim one-hot families: orthogonal, so copies score exact
+    // integer cosine 1.0 and cross-family candidates score 0
+    def oneHot(i: Int): Seq[Float] =
+      (0 until 16).map(j => if (j == i) 1.0f else 0.0f)
+    def rows(ids: Seq[Long], fams: Seq[Int]): Seq[Row] =
+      ids.zip(fams).map { case (id, f) => Row(id, oneHot(f)) }
+    val existing = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until 4).map(i => Row(i.toLong, oneHot(i))).toList), embSchema)
+    VectorOps.stageAnnIndex(existing, indexPath, nPlanes = 8, dim = 16)
+    VectorOps.stageAnnIndex(existing, replayIndexPath, nPlanes = 8, dim = 16)
+
+    val b1 = rows(Seq(101L, 102L, 103L, 104L), Seq(0, 5, 6, 1))
+    val b2 = rows(Seq(111L, 112L, 113L, 114L), Seq(5, 7, 2, 8))
+    val b3 = rows(Seq(121L, 122L, 123L, 124L), Seq(3, 9, 10, 11)) // evicted
+    val b4 = rows(Seq(131L, 132L, 133L, 134L), Seq(7, 3, 12, 13))
+    val st = new StreamStore(maxBytesPerStream = 140,
+      ttlMillis = Long.MaxValue / 2)
+    st.append("vecs", embSchema, b1)
+    st.append("vecs", embSchema, b2)
+    GraftStoreRegistry.register("s_e2e_ann", st)
+    val perEpoch = TrieMap.empty[Long, Map[Long, (String, Long)]]
+    def start() = VectorOps.startAnnIngest(spark, "s_e2e_ann", "vecs",
+      indexPath, maxBatchesPerTrigger = 1,
+      checkpointDir = dir.resolve("ckpt").toString,
+      onEpoch = (epochId, classified) => {
+        val out = classified.collect() // ≤ 4 rows: admission-bounded
+        val plan = classified.queryExecution.executedPlan.toString
+        assert(plan.contains("ann_live_idx") &&
+          plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+          s"epoch $epochId must probe the staged index via broadcast semi:\n${plan.take(2000)}")
+        perEpoch.put(epochId, out.map(r =>
+          r.getLong(0) -> (r.getString(4), r.getLong(2))).toMap)
+        ()
+      }, nPlanes = 8, dim = 16)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(perEpoch.size == 2, s"first drain = two bounded epochs: $perEpoch")
+    st.append("vecs", embSchema, b3)
+    st.append("vecs", embSchema, b4)
+    st.append("vecs", embSchema, rows(Seq(141L), Seq(14)))
+    assert(st.droppedRows("vecs") > 0, "fixture must actually evict")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // a sub-threshold bucket-collision candidate can set best_id on a
+    // 'new' vector (the verdict is the threshold, not the candidate
+    // list) — normalize new→-1 so the comparison pins the CONTRACT
+    def norm(m: Map[Long, (String, Long)]): Map[Long, (String, Long)] =
+      m.map { case (k, (s, b)) => k -> (s, if (s == "new") -1L else b) }
+    val streamed = norm(perEpoch.values.flatten.toMap)
+    // b3 lost between epochs by the drop-oldest contract
+    assert(Seq(121L, 122L, 123L, 124L).forall(!streamed.contains(_)))
+    val expected = Map(
+      101L -> ("matched", 0L), 102L -> ("new", -1L),
+      103L -> ("new", -1L), 104L -> ("matched", 1L),
+      // 111/131 copy vectors ADMITTED in earlier epochs — the delta
+      // index catches them as matches of the admitted originals
+      111L -> ("matched", 102L), 112L -> ("new", -1L),
+      113L -> ("matched", 2L), 114L -> ("new", -1L),
+      131L -> ("matched", 112L), 132L -> ("matched", 3L),
+      133L -> ("new", -1L), 134L -> ("new", -1L),
+      141L -> ("new", -1L))
+    assert(streamed == expected, s"streamed ANN classification: $streamed")
+    // batch replay against the immutable index: identical everywhere
+    // EXCEPT the cross-epoch copies, which only the grown index can
+    // match — the exact value the delta-append adds
+    val processed = b1 ++ b2 ++ b4 ++ rows(Seq(141L), Seq(14))
+    val replay = norm(VectorOps.classifyAnnBatch(spark, replayIndexPath,
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(processed.toList), embSchema),
+        nPlanes = 8, dim = 16)
+      .collect().map(r => r.getLong(0) -> (r.getString(4), r.getLong(2))).toMap)
+    val crossEpoch = Set(111L, 131L)
+    assert(replay.filterNot(kv => crossEpoch(kv._1)) ==
+      streamed.filterNot(kv => crossEpoch(kv._1)))
+    assert(crossEpoch.forall(id => replay(id)._1 == "new"),
+      "the static replay cannot match cross-epoch copies — only the grown index can")
+    GraftStoreRegistry.unregister("s_e2e_ann")
+  }
+
   test("multi-topic concurrency: one store, two live streaming writers, PER-STREAM byte budgets isolate eviction and scan metrics") {
     import graft.sources.GraftScanMetrics
     // budget sized so topic A's 5 × 40-row batches (640 B each at
