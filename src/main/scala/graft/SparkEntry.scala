@@ -475,6 +475,7 @@ object SparkEntry {
     "q_jackknife"          -> (StatsOps.qJackknife _),
     "q_store_runtime_prune" -> (FlightServe.qStoreRuntimePrune _),
     "q_store_topn_pushdown" -> (FlightServe.qStoreTopNPushdown _),
+    "q_store_ts_prune"     -> (FlightServe.qStoreTsPrune _),
     "q_levene"             -> (StatsOps.qLevene _),
     "q_fano"               -> (StatsOps.qFano _),
     "q_lift_gains"         -> (AnalyticsOps.qLiftGains _),
@@ -7055,6 +7056,8 @@ object SparkEntry {
         |FROM m CROSS JOIN tot""".stripMargin,
 
     "q_store_runtime_prune" -> FlightServe.storeRuntimePruneOracleSql,
+
+    "q_store_ts_prune" -> FlightServe.storeTsPruneOracleSql,
 
     "q_store_topn_pushdown" ->
       """SELECT o_orderkey, o_orderstatus,

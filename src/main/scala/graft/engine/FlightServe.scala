@@ -369,6 +369,84 @@ object FlightServe {
       |FROM f JOIN dm ON dm.dk = f.o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** STATIC timestamp-zone pruning through the V2 store scan,
+    * differential-gated: the store lands a ts-SORTED event slice in
+    * contiguous-time batches (the arrival-order clustering every event
+    * stream naturally has — each buffered batch covers a disjoint time
+    * window, the buffer analog of time-partitioned files), and a plain
+    * ts-range predicate — the hottest filter shape on any event
+    * table — pushes into the scan as a Timestamp literal. Append-time
+    * zones store epoch-micros min/max per batch, so planning keeps
+    * ONLY the batches whose window intersects the range (asserted:
+    * fewer planned than buffered, with the predicate visible under
+    * PushedFilters) — at 100 TB this is parquet-footer time-range
+    * skipping applied to the serving buffer, no row touched for the
+    * pruned past. The cutoff is scale-relative (last third of the
+    * fixture's time domain, floored to a whole second so the Spark
+    * Timestamp literal and the DuckDB epoch arithmetic agree exactly);
+    * the oracle replays the same range over the parquet fixture with
+    * no store and no pruning — a zone bug that dropped or double-kept
+    * a batch shifts counts and breaks the hash. */
+  def qStoreTsPrune(s: org.apache.spark.sql.SparkSession,
+                    d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sub = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("event_type"),
+        expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").as("cents"))
+      .orderBy("ts", "event_id")
+    val schema = sub.schema
+    val store = new StreamStore(1L << 30, Long.MaxValue / 2)
+    sub.collect().grouped(125).foreach(rs => store.append("events", schema, rs.toSeq))
+    graft.sources.GraftStoreRegistry.register("tsp_store", store)
+    try {
+      // scale-relative cutoff: last third of the time domain, floored
+      // to the second (1-row bounded collect; same arithmetic in the
+      // oracle — positive micros, so truncating and floor division
+      // agree)
+      val b = Tables.events(s, d)
+        .agg(min(unix_micros(col("ts"))).as("mn"),
+          max(unix_micros(col("ts"))).as("mx")).head()
+      val cut = (b.getLong(0) + (b.getLong(1) - b.getLong(0)) * 2 / 3) /
+        1000000L * 1000000L
+      val cutTs = new java.sql.Timestamp(cut / 1000L)
+      val df = s.read.format("graft-store")
+        .option("store", "tsp_store").option("topic", "events").load()
+        .filter(col("ts") >= lit(cutTs))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min(unix_micros(col("ts"))).as("min_ts_us"),
+          max(unix_micros(col("ts"))).as("max_ts_us"))
+        .orderBy("event_type")
+      val out = df.collect().toSeq
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("GreaterThanOrEqual(ts"),
+        "the ts range must push into the store scan:\n" + plan.take(2000))
+      val (kept, total) = graft.sources.GraftScanMetrics
+        .lastPlanned("tsp_store", "events").getOrElse((0, 0))
+      require(kept > 0 && kept < total,
+        s"ts zones must statically prune batches (planned $kept of $total)")
+      s.createDataFrame(s.sparkContext.parallelize(out.toList), df.schema)
+        .orderBy("event_type")
+    } finally graft.sources.GraftStoreRegistry.unregister("tsp_store")
+  }
+
+  /** DuckDB oracle for [[qStoreTsPrune]]: the same time-range rollup
+    * replayed from the parquet fixture with no store and no pruning
+    * (ts CAST to µs-TIMESTAMP first — the fixture file is ns-typed;
+    * epoch arithmetic in BIGINT micros mirrors the Spark cutoff
+    * exactly). */
+  val storeTsPruneOracleSql: String =
+    """WITH b AS (SELECT CAST(MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS mn,
+      |                  CAST(MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS mx
+      |           FROM events),
+      |c AS (SELECT (mn + (mx - mn) * 2 // 3) // 1000000 * 1000000 AS cut FROM b)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |       CAST(MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS min_ts_us,
+      |       CAST(MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS max_ts_us
+      |FROM events, c WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= cut
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The top-N-pushdown serve path, differential-gated: the V2
     * connector receives ORDER BY cents DESC, key ASC LIMIT 20 and
     * answers it INSIDE the scan (no TakeOrderedAndProject — asserted)
