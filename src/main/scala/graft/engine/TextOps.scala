@@ -2741,11 +2741,17 @@ object TextOps {
           // admit: grow the index by the epoch's unique docs' bands so
           // later epochs classify their copies dup_of_existing
           // (foreachBatch serializes epochs, so append-then-read is
-          // race-free; at 100 TB this is the bucketed-index append)
-          md5Bands(data.join(
+          // race-free; at 100 TB this is the bucketed-index append).
+          // An all-dup epoch admits nothing and writes NOTHING — a
+          // long-running stream must not grow the index's file listing
+          // with empty parts (the checkpoint bounds the bands to the
+          // admission-controlled batch, never the corpus).
+          val bands = md5Bands(data.join(
               classified.filter(col("status") === "unique").select("doc_id"),
               "doc_id"))
-            .write.mode("append").parquet(indexPath)
+            .localCheckpoint(true)
+          if (!bands.isEmpty)
+            bands.write.mode("append").parquet(indexPath)
           onEpoch(epochId, classified)
         }
         ()

@@ -1811,11 +1811,15 @@ object VectorOps {
         if (!data.isEmpty) {
           val classified = classifyAnnBatch(data.sparkSession, indexPath,
             data, nPlanes, dim, thresholdMicro)
-          annMicroRows(data.join(
+          // an all-dup epoch admits nothing and writes NOTHING (no
+          // empty parquet parts accumulating on the index listing)
+          val admitted = annMicroRows(data.join(
               classified.filter(col("status") === "new")
                 .select(col("probe_id").as("vec_id")), "vec_id"),
               "vec_id", hyperplanes(nPlanes, dim))
-            .write.mode("append").parquet(indexPath)
+            .localCheckpoint(true)
+          if (!admitted.isEmpty)
+            admitted.write.mode("append").parquet(indexPath)
           onEpoch(epochId, classified)
         }
         ()
