@@ -113,12 +113,18 @@ object Bench {
     // q_assoc_rules 3.50 s committed vs 1.52 s isolated); the prior
     // lets THIS run notice "2× slower than last time" and spend a few
     // bounded re-times only where that fires.
+    // The prior only means something at the SAME scale factor: an sfX
+    // or sf0.01 run would flag (or mask) every key purely from the
+    // scale difference. A prior with a different (or missing) sf stamp
+    // disables the guard for this run.
     val prior: Map[String, Double] = try {
       val txt = {
         val src = scala.io.Source.fromFile("bench_full.json")
         try src.mkString finally src.close()
       }
-      "\"(q_[A-Za-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
+      val priorSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+      if (!priorSf.contains(sfDir)) Map.empty
+      else "\"(q_[A-Za-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
     val pass1 = ordered.map { case (name, fn) => name -> once(fn) }.toMap
@@ -158,9 +164,13 @@ object Bench {
     val errs = results.count(_._2 < 0)
     val full = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    try {
+    // bench_full.json is only written by UNFILTERED runs: a
+    // SPARK_GRAFT_ONLY subset would truncate the guard's prior to the
+    // matched keys (and previously clobbered the committed full map —
+    // the round-13 gotcha, now structural instead of procedural).
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter("bench_full.json")
-      try w.println(s"""{"total":${ms(total)},"n":${results.size},"calibration_sec":${ms(calibration)},"queries":$full}""")
+      try w.println(s"""{"total":${ms(total)},"n":${results.size},"calibration_sec":${ms(calibration)},"sf":"$sfDir","queries":$full}""")
       finally w.close()
     } catch { case _: Throwable => () }
     val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(25)

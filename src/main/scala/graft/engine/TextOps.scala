@@ -2682,7 +2682,15 @@ object TextOps {
   def classifyNeardupBatch(s: SparkSession, indexPath: String,
                            batch: DataFrame): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
-    val index = s.read.parquet(indexPath)
+    classifyNeardupCore(s.read.parquet(indexPath), batch)._1
+  }
+
+  /** Classification plus the CHECKPOINTED banded probe frame, for
+    * callers (the streaming epoch) that also need the admitted docs'
+    * bands — deriving them from `probe` avoids re-banding what this
+    * pass already banded. */
+  private def classifyNeardupCore(index: DataFrame,
+                                  batch: DataFrame): (DataFrame, DataFrame) = {
     val probe = md5Bands(batch)
       .localCheckpoint(true) // one banding pass feeds both join levels
     val probeKeys = probe.select("band", "sig").distinct()
@@ -2697,13 +2705,37 @@ object TextOps {
     val dupBatch = probe.join(firstIn, Seq("band", "sig"))
       .filter(col("doc_id") > col("first_id"))
       .select("doc_id").distinct()
-    batch.select("doc_id")
+    val classified = batch.select("doc_id")
       .join(dupEx.withColumn("de", lit(1L)), Seq("doc_id"), "left")
       .join(dupBatch.withColumn("db", lit(1L)), Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("de").isNotNull, lit("dup_of_existing"))
           .when(col("db").isNotNull, lit("dup_in_batch"))
           .otherwise(lit("unique")).as("status"))
+    (classified, probe)
+  }
+
+  /** ONE ingest epoch, IDEMPOTENT under Spark's at-least-once
+    * foreachBatch replay (see [[DeltaIndex]]): classify `data` against
+    * base + every OTHER epoch's delta, then OVERWRITE this epoch's
+    * delta with the admitted docs' bands — a replayed epoch recomputes
+    * the same verdicts (its previously-admitted docs can never
+    * self-match) and leaves exactly one copy of its bands. The bands
+    * come from the probe frame the classification already banded
+    * (checkpointed — no re-banding). */
+  private[graft] def neardupIngestEpoch(s: SparkSession, indexPath: String,
+                                        epochId: Long,
+                                        data: DataFrame): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    val (classified, probe) =
+      classifyNeardupCore(DeltaIndex.read(s, indexPath, epochId), data)
+    val bands = probe.join(
+        classified.filter(col("status") === "unique").select("doc_id"),
+        "doc_id")
+      .select("doc_id", "band", "sig")
+      .localCheckpoint(true)
+    DeltaIndex.write(s, indexPath, epochId, bands)
+    classified
   }
 
   /** The REAL runtime composition of the streaming-ingest pieces (the
@@ -2711,13 +2743,13 @@ object TextOps {
     * consumer, kafka/consumer.go:307-410 → stream/manager.go:277-343):
     * one StreamingQuery SUBSCRIBES to a store topic through the DSv2
     * MicroBatchStream, `maxBatchesPerTrigger` admission control bounds
-    * each epoch, and every epoch probes the staged banded index via
-    * [[classifyNeardupBatch]]. Docs an epoch ADMITS (status `unique`)
-    * have their bands APPENDED to the index, so later epochs see them
-    * as existing — the index grows only by admitted documents, the
-    * SemDeDup-at-the-door contract. Eviction under the store's byte
-    * budget surfaces as missing offsets: evicted batches are simply
-    * never classified (drop-oldest loses data by reference contract).
+    * each epoch, and every epoch runs [[neardupIngestEpoch]] — probe
+    * the staged banded index, admit, grow the index by the admitted
+    * docs' bands (per-epoch delta dirs, replay-idempotent), so later
+    * epochs see them as existing — the SemDeDup-at-the-door contract.
+    * Eviction under the store's byte budget surfaces as missing
+    * offsets: evicted batches are simply never classified (drop-oldest
+    * loses data by reference contract).
     *
     * `onEpoch` receives (epochId, classified) per non-empty epoch;
     * the classified frame is distributed — the callback decides what
@@ -2735,25 +2767,9 @@ object TextOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val data = batch.select("doc_id", "text").localCheckpoint(true)
-        if (!data.isEmpty) {
-          val classified =
-            classifyNeardupBatch(data.sparkSession, indexPath, data)
-          // admit: grow the index by the epoch's unique docs' bands so
-          // later epochs classify their copies dup_of_existing
-          // (foreachBatch serializes epochs, so append-then-read is
-          // race-free; at 100 TB this is the bucketed-index append).
-          // An all-dup epoch admits nothing and writes NOTHING — a
-          // long-running stream must not grow the index's file listing
-          // with empty parts (the checkpoint bounds the bands to the
-          // admission-controlled batch, never the corpus).
-          val bands = md5Bands(data.join(
-              classified.filter(col("status") === "unique").select("doc_id"),
-              "doc_id"))
-            .localCheckpoint(true)
-          if (!bands.isEmpty)
-            bands.write.mode("append").parquet(indexPath)
-          onEpoch(epochId, classified)
-        }
+        if (!data.isEmpty)
+          onEpoch(epochId,
+            neardupIngestEpoch(data.sparkSession, indexPath, epochId, data))
         ()
       }
       .start()

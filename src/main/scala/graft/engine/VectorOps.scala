@@ -1684,17 +1684,15 @@ object VectorOps {
       .localCheckpoint(true) // one batch pass feeds fan-out AND report
     val df = annProbeScore(index, probes, planes.length, thresholdMicro)
       .orderBy("probe_id")
-    // Plan contract asserted on a BOUNDED summary that shares the probe
-    // pipeline (same staged read, same broadcast semi-join — built from
-    // the same `scored`/`best` frames): ≤ 2 aggregated rows reach the
-    // driver, never one row per probe. The per-probe frame itself is
-    // returned DISTRIBUTED — the caller (Verify) writes it straight to
-    // parquet without the result ever collecting, so at 100 TB the
-    // admission-bounded batch flows executor-to-sink.
-    val summary = df.groupBy("status").agg(count(lit(1)).as("n_probes"))
-    val out = summary.collect() // ≤ 2 rows; materializes the shared plan
-    require(out.map(_.getLong(1)).sum > 0, "ingest summary must be non-empty")
-    val plan = summary.queryExecution.executedPlan.toString
+    // Plan contract asserted STRUCTURALLY on the un-executed physical
+    // plan: the staged-read path and the hinted broadcast semi-join
+    // are STATIC plan properties, present in the initial AQE plan
+    // before any stage runs — so the probe pipeline executes exactly
+    // ONCE, when the caller materializes the returned distributed
+    // frame (Verify's parquet write / Bench's count). Nothing collects
+    // to the driver: at 100 TB the admission-bounded batch flows
+    // executor-to-sink.
+    val plan = df.queryExecution.executedPlan.toString
     require(plan.contains("graft_ann_ingest_idx"),
       "the staged LSH index must be READ, not re-bucketed:\n" + plan.take(3000))
     require(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
@@ -1777,21 +1775,53 @@ object VectorOps {
     * `new` — the multiprobe recall trade, measured not assumed. */
   def classifyAnnBatch(s: SparkSession, indexPath: String, batch: DataFrame,
                        nPlanes: Int = 8, dim: Int = 64,
-                       thresholdMicro: Long = 950000L): DataFrame = {
+                       thresholdMicro: Long = 950000L): DataFrame =
+    classifyAnnCore(s.read.parquet(indexPath), batch, nPlanes, dim,
+      thresholdMicro)._1
+
+  /** Classification plus the CHECKPOINTED quantized probe frame, for
+    * callers (the streaming epoch) that also need the admitted
+    * vectors' index rows — deriving them from `probes` avoids
+    * re-quantizing what this pass already quantized. */
+  private def classifyAnnCore(index: DataFrame, batch: DataFrame,
+                              nPlanes: Int, dim: Int,
+                              thresholdMicro: Long): (DataFrame, DataFrame) = {
     val probes = annMicroRows(batch, "vec_id", hyperplanes(nPlanes, dim))
       .withColumnRenamed("vec_id", "probe_id")
       .withColumnRenamed("bucket", "bucket0")
       .localCheckpoint(true) // one quantize pass feeds fan-out AND report
-    annProbeScore(s.read.parquet(indexPath), probes, nPlanes, thresholdMicro)
+    (annProbeScore(index, probes, nPlanes, thresholdMicro), probes)
+  }
+
+  /** ONE ANN ingest epoch, IDEMPOTENT under at-least-once foreachBatch
+    * replay (see [[graft.engine.DeltaIndex]]): classify against base +
+    * every OTHER epoch's delta, then OVERWRITE this epoch's delta with
+    * the admitted vectors' index rows — taken from the probe frame the
+    * classification already quantized (no re-quantization). */
+  private[graft] def annIngestEpoch(s: SparkSession, indexPath: String,
+                                    epochId: Long, data: DataFrame,
+                                    nPlanes: Int = 8, dim: Int = 64,
+                                    thresholdMicro: Long = 950000L): DataFrame = {
+    val (classified, probes) = classifyAnnCore(
+      DeltaIndex.read(s, indexPath, epochId), data, nPlanes, dim,
+      thresholdMicro)
+    val admitted = probes.join(
+        classified.filter(col("status") === "new").select("probe_id"),
+        "probe_id")
+      .select(col("probe_id").as("vec_id"), col("v"), col("nv"),
+        col("bucket0").as("bucket"))
+      .localCheckpoint(true)
+    DeltaIndex.write(s, indexPath, epochId, admitted)
+    classified
   }
 
   /** The vector mirror of [[graft.engine.TextOps.startNeardupIngest]]:
     * one StreamingQuery subscribes to a store topic of (vec_id,
     * embedding), `maxBatchesPerTrigger` admission control bounds each
-    * epoch, every epoch probes the staged sign-LSH index via
-    * [[classifyAnnBatch]], and the vectors an epoch ADMITS (status
-    * `new`) are appended to the index so later epochs match their
-    * copies. Eviction under the store's byte budget surfaces as
+    * epoch, every epoch runs [[annIngestEpoch]] — probe the staged
+    * sign-LSH index, admit, grow the index by the admitted vectors
+    * (per-epoch delta dirs, replay-idempotent) so later epochs match
+    * their copies. Eviction under the store's byte budget surfaces as
     * missing offsets — never misattributed vectors. */
   def startAnnIngest(s: SparkSession, storeName: String, topic: String,
                      indexPath: String, maxBatchesPerTrigger: Long,
@@ -1808,20 +1838,9 @@ object VectorOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val data = batch.select("vec_id", "embedding").localCheckpoint(true)
-        if (!data.isEmpty) {
-          val classified = classifyAnnBatch(data.sparkSession, indexPath,
-            data, nPlanes, dim, thresholdMicro)
-          // an all-dup epoch admits nothing and writes NOTHING (no
-          // empty parquet parts accumulating on the index listing)
-          val admitted = annMicroRows(data.join(
-              classified.filter(col("status") === "new")
-                .select(col("probe_id").as("vec_id")), "vec_id"),
-              "vec_id", hyperplanes(nPlanes, dim))
-            .localCheckpoint(true)
-          if (!admitted.isEmpty)
-            admitted.write.mode("append").parquet(indexPath)
-          onEpoch(epochId, classified)
-        }
+        if (!data.isEmpty)
+          onEpoch(epochId, annIngestEpoch(data.sparkSession, indexPath,
+            epochId, data, nPlanes, dim, thresholdMicro))
         ()
       }
       .start()

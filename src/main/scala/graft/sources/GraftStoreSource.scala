@@ -923,6 +923,22 @@ private[sources] object GraftFilterEval {
     n.isInstanceOf[java.lang.Long] || n.isInstanceOf[java.lang.Integer] ||
       n.isInstanceOf[java.lang.Short] || n.isInstanceOf[java.lang.Byte]
 
+  private def tsMicros(x: Any): Option[Long] = x match {
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case _ => None
+  }
+
+  private def dateDays(x: Any): Option[Long] = x match {
+    case d: java.sql.Date =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
+    case d: java.time.LocalDate =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(d).toLong)
+    case _ => None
+  }
+
   private[sources] def cmp(l: Any, r: Any): Int = (l, r) match {
     // Integral pairs compare exactly: the double fallback collapses
     // BIGINTs differing only above 2^53, which would corrupt pushed
@@ -939,12 +955,17 @@ private[sources] object GraftFilterEval {
       java.lang.Double.compare(a.doubleValue(), b.doubleValue())
     case (a: String, b: String) => a.compareTo(b)
     case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
-    // datetime externals (both the java.sql and java.time forms Spark
-    // hands to V2 filters, per spark.sql.datetime.java8API.enabled)
-    case (a: java.sql.Timestamp, b: java.sql.Timestamp) => a.compareTo(b)
-    case (a: java.time.Instant, b: java.time.Instant) => a.compareTo(b)
-    case (a: java.sql.Date, b: java.sql.Date) => a.compareTo(b)
-    case (a: java.time.LocalDate, b: java.time.LocalDate) => a.compareTo(b)
+    // datetime externals normalize to the epoch axis BEFORE comparing:
+    // stored rows and filter literals can arrive in DIFFERENT classes
+    // (java.sql.Timestamp rows vs a java.time.Instant literal under
+    // spark.sql.datetime.java8API.enabled — or a store outliving a
+    // config change), and a class-pair whitelist would throw exactly
+    // when the mixed pair shows up, failing the whole query because
+    // pushed filters are fully consumed with no Spark re-filter above
+    case (a, b) if tsMicros(a).isDefined && tsMicros(b).isDefined =>
+      java.lang.Long.compare(tsMicros(a).get, tsMicros(b).get)
+    case (a, b) if dateDays(a).isDefined && dateDays(b).isDefined =>
+      java.lang.Long.compare(dateDays(a).get, dateDays(b).get)
     case _ => throw new IllegalArgumentException(
       s"unsupported comparison: ${l.getClass} vs ${r.getClass}")
   }

@@ -653,6 +653,49 @@ class GraftStoreSourceSpec extends SparkSuite {
     } finally GraftStoreRegistry.unregister("s_ts")
   }
 
+  test("datetime literals compare across java.sql and java.time forms: stored Timestamp rows under a pushed Instant filter") {
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    val tsSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("v", LongType)))
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+    val st = new StreamStore(maxBytesPerStream = 1 << 20,
+      ttlMillis = Long.MaxValue / 2)
+    (0 until 4).foreach { b =>
+      st.append("tmix", tsSchema,
+        (0 until 10).map(i => Row(t(b * 6 + i % 6), b * 10L + i)))
+    }
+    GraftStoreRegistry.register("s_tmix", st)
+    val prev = spark.conf.getOption("spark.sql.datetime.java8API.enabled")
+    // the java8 API flip makes Spark hand the pushed literal to the
+    // source as java.time.Instant while the buffered rows still hold
+    // java.sql.Timestamp — the reader must normalize both to the epoch
+    // axis (a class-pair whitelist threw here and failed the query,
+    // because pushed filters are fully consumed with no re-filter
+    // above the scan)
+    spark.conf.set("spark.sql.datetime.java8API.enabled", "true")
+    try {
+      val df = spark.read.format("graft-store")
+        .option("store", "s_tmix").option("topic", "tmix").load()
+        .filter(col("ts") >= lit(t(18).toInstant))
+      assert(df.count() == 10)
+      val scan = scanOf(df)
+      assert(scan.description().contains("GreaterThanOrEqual(ts"),
+        s"the Instant literal must still push: ${scan.description()}")
+      assert(scan.toBatch.planInputPartitions().length == 1,
+        "zones prune identically under either datetime class")
+      // and the unit eval path agrees in both directions
+      val stats = new GraftScan("s_tmix", "tmix", tsSchema, tsSchema,
+        Array(GreaterThanOrEqual("ts", t(18).toInstant))).estimateStatistics()
+      assert(stats.numRows().getAsLong == 10L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.datetime.java8API.enabled", v)
+        case None => spark.conf.unset("spark.sql.datetime.java8API.enabled")
+      }
+      GraftStoreRegistry.unregister("s_tmix")
+    }
+  }
+
   test("string zones: truncated footer-style bounds prune exactly when untruncated, conservatively when truncated") {
     import org.apache.spark.sql.sources._
     import graft.engine.StreamStore.strZoneOf

@@ -235,6 +235,60 @@ class Round20OpsSpec extends SparkSuite {
     GraftStoreRegistry.unregister("s_e2e_ann")
   }
 
+  test("ingest epochs are replay-idempotent: a re-run epoch never self-matches and leaves one copy of its admissions") {
+    import graft.engine.VectorOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay")
+    val idx = dir.resolve("rep_idx").toString
+    val existing = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until 2).map(i => Row(i.toLong, text(s"e$i"))).toList), docSchema)
+    TextOps.stageNeardupIndex(existing, idx)
+    def classify(epochId: Long, rows: Seq[Row]): Map[Long, String] =
+      TextOps.neardupIngestEpoch(spark, idx, epochId,
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.toList), docSchema))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val data = Seq(Row(200L, text("z1")), Row(201L, text("e0")))
+    val first = classify(7L, data)
+    assert(first == Map(200L -> "unique", 201L -> "dup_of_existing"))
+    def deltaDocs(): Seq[Long] = spark.read.parquet(s"${idx}_delta/e7")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSeq.sorted
+    assert(deltaDocs() == Seq(200L), "only the admitted doc's bands land")
+    // foreachBatch is at-least-once: replay epoch 7 after its delta
+    // was already written (the crash-between-write-and-commit shape).
+    // 200 must NOT self-match against its own first-attempt bands, and
+    // the delta must hold ONE copy, not two
+    val second = classify(7L, data)
+    assert(second == first,
+      s"replayed epoch must reproduce its verdicts: $second vs $first")
+    assert(deltaDocs() == Seq(200L), "replay overwrites its delta, never appends")
+    // a LATER epoch reads epoch 7's delta: 200's copy is now existing
+    val later = classify(8L, Seq(Row(300L, text("z1"))))
+    assert(later == Map(300L -> "dup_of_existing"))
+    // the ANN mirror carries the same contract
+    val embSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def oneHot(i: Int): Seq[Float] =
+      (0 until 16).map(j => if (j == i) 1.0f else 0.0f)
+    val vIdx = dir.resolve("rep_vidx").toString
+    VectorOps.stageAnnIndex(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(0L, oneHot(0))).toList), embSchema), vIdx, nPlanes = 8, dim = 16)
+    def classifyV(epochId: Long, rows: Seq[Row]): Map[Long, String] =
+      VectorOps.annIngestEpoch(spark, vIdx, epochId,
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.toList), embSchema),
+          nPlanes = 8, dim = 16)
+        .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    val vData = Seq(Row(500L, oneHot(3)), Row(501L, oneHot(0)))
+    val vFirst = classifyV(3L, vData)
+    assert(vFirst == Map(500L -> "new", 501L -> "matched"))
+    assert(classifyV(3L, vData) == vFirst,
+      "replayed ANN epoch must not self-match its admitted vector")
+    assert(classifyV(4L, Seq(Row(600L, oneHot(3)))) == Map(600L -> "matched"),
+      "a later epoch matches against the admitted delta")
+  }
+
   test("multi-topic concurrency: one store, two live streaming writers, PER-STREAM byte budgets isolate eviction and scan metrics") {
     import graft.sources.GraftScanMetrics
     // budget sized so topic A's 5 × 40-row batches (640 B each at
