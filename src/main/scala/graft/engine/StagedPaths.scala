@@ -70,33 +70,72 @@ private[graft] object DeltaIndex {
   def dir(indexPath: String, epochId: Long): String =
     s"${indexPath}_delta/e$epochId"
 
-  /** Base index UNION all deltas of OTHER epochs. */
-  def read(s: SparkSession, indexPath: String, excludeEpoch: Long): DataFrame = {
-    val base = s.read.parquet(indexPath)
+  private def fsOf(s: SparkSession,
+                   p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def deltaPaths(s: SparkSession,
+                         indexPath: String): Seq[org.apache.hadoop.fs.Path] = {
     val root = new org.apache.hadoop.fs.Path(indexPath + "_delta")
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val deltas =
-      if (fs.exists(root))
-        fs.listStatus(root).toSeq.map(_.getPath)
-          .filter(p => p.getName.startsWith("e") &&
-            p.getName != s"e$excludeEpoch")
-      else Seq.empty
-    deltas.foldLeft(base)((acc, p) =>
-      acc.unionByName(s.read.parquet(p.toString)))
+    if (fsOf(s, root).exists(root))
+      fsOf(s, root).listStatus(root).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("e"))
+    else Seq.empty
   }
+
+  /** Base index UNION all deltas of OTHER epochs. */
+  def read(s: SparkSession, indexPath: String, excludeEpoch: Long): DataFrame =
+    deltaPaths(s, indexPath)
+      .filter(_.getName != s"e$excludeEpoch")
+      .foldLeft(s.read.parquet(indexPath))((acc, p) =>
+        acc.unionByName(s.read.parquet(p.toString)))
+
+  /** The COMPLETE index — base plus every epoch's delta. The read a
+    * batch-side caller (outside any epoch) must use: admissions a
+    * stream wrote are part of the index, not an implementation
+    * detail. */
+  def readAll(s: SparkSession, indexPath: String): DataFrame =
+    read(s, indexPath, excludeEpoch = -1L)
 
   /** Overwrite this epoch's delta with `rows` (already checkpointed
     * by the caller); an empty admission clears any stale delta a
     * previous attempt of the same epoch left — never an empty parquet
-    * part accumulating on the listing. */
+    * part accumulating on the listing, and never a GHOST admission
+    * when the replayed epoch's batch was evicted in the meantime. */
   def write(s: SparkSession, indexPath: String, epochId: Long,
             rows: DataFrame): Unit = {
     val delta = new org.apache.hadoop.fs.Path(dir(indexPath, epochId))
     if (!rows.isEmpty)
       rows.write.mode("overwrite").parquet(delta.toString)
-    else {
-      val fs = delta.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(delta)) { fs.delete(delta, true); () }
-    }
+    else if (fsOf(s, delta).exists(delta)) { fsOf(s, delta).delete(delta, true); () }
+  }
+
+  /** Fold every delta into the base and remove the delta root — the
+    * periodic LSM-style maintenance a long-lived stream schedules
+    * (per-epoch read cost and plan depth grow with the OUTSTANDING
+    * delta count, so compaction bounds both), and the mandatory step
+    * before REUSING an index under a fresh checkpoint: Spark epoch
+    * ids restart at 0 with a new checkpoint, and an uncompacted
+    * delta namespace would be overwritten epoch by epoch. Staged
+    * through a temp dir because parquet cannot overwrite a directory
+    * it is concurrently reading. */
+  def compact(s: SparkSession, indexPath: String): Unit = {
+    if (deltaPaths(s, indexPath).isEmpty) return
+    val tmp = indexPath + "_compact_tmp"
+    readAll(s, indexPath).write.mode("overwrite").parquet(tmp)
+    s.read.parquet(tmp).write.mode("overwrite").parquet(indexPath)
+    val root = new org.apache.hadoop.fs.Path(indexPath + "_delta")
+    if (fsOf(s, root).exists(root)) fsOf(s, root).delete(root, true)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    fsOf(s, t).delete(t, true)
+    ()
+  }
+
+  /** True when `checkpointDir` already holds a streaming offsets log —
+    * i.e. a start() against it RESUMES the epoch-id sequence instead
+    * of restarting it at 0. */
+  def resumesCheckpoint(s: SparkSession, checkpointDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
+    fsOf(s, p).exists(p)
   }
 }

@@ -2682,7 +2682,11 @@ object TextOps {
   def classifyNeardupBatch(s: SparkSession, indexPath: String,
                            batch: DataFrame): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
-    classifyNeardupCore(s.read.parquet(indexPath), batch)._1
+    // the COMPLETE index: base plus every delta a stream has admitted —
+    // a batch-side classify that ignored stream admissions would
+    // re-admit their copies, the duplicate-admission the
+    // SemDeDup-at-the-door contract forbids
+    classifyNeardupCore(DeltaIndex.readAll(s, indexPath), batch)._1
   }
 
   /** Classification plus the CHECKPOINTED banded probe frame, for
@@ -2758,7 +2762,15 @@ object TextOps {
                          indexPath: String, maxBatchesPerTrigger: Long,
                          checkpointDir: String,
                          onEpoch: (Long, DataFrame) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // Fresh checkpoint = Spark restarts epoch ids at 0; an uncompacted
+    // delta namespace from a PREVIOUS run would be overwritten epoch by
+    // epoch (silent index data loss). Folding the deltas into the base
+    // first preserves every prior admission and hands the new run an
+    // empty namespace. A RESUMING checkpoint keeps its deltas — the
+    // replay-idempotence contract needs them.
+    if (!DeltaIndex.resumesCheckpoint(s, checkpointDir))
+      DeltaIndex.compact(s, indexPath)
     s.readStream.format("graft-store")
       .option("store", storeName).option("topic", topic)
       .option("maxBatchesPerTrigger", maxBatchesPerTrigger.toString)
@@ -2766,13 +2778,18 @@ object TextOps {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        // the epoch runs even when the batch drained EMPTY (offsets
+        // evicted between attempts): an empty epoch CLEARS any stale
+        // delta its first attempt wrote — otherwise those admissions
+        // would haunt the index for docs that were never reported
         val data = batch.select("doc_id", "text").localCheckpoint(true)
-        if (!data.isEmpty)
-          onEpoch(epochId,
-            neardupIngestEpoch(data.sparkSession, indexPath, epochId, data))
+        val classified =
+          neardupIngestEpoch(data.sparkSession, indexPath, epochId, data)
+        if (!data.isEmpty) onEpoch(epochId, classified)
         ()
       }
       .start()
+  }
 
   /** Blocklist dictionary for [[qBlocklistScan]]. Every term is
     * BORDERLESS (no proper prefix equals a suffix), so occurrences of

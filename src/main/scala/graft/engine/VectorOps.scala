@@ -1698,6 +1698,11 @@ object VectorOps {
     require(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
       "index probing must be a broadcast semi-join (no index shuffle):\n" +
         plan.take(3000))
+    // loud-failure guard the structural asserts can't give (plan shape
+    // is input-independent): a broken/empty fixture must not pass as a
+    // suspiciously fast run. isEmpty is a bounded take(1) — it never
+    // collects the result set.
+    require(!df.isEmpty, "ingest result must be non-empty")
     df
   }
 
@@ -1776,7 +1781,9 @@ object VectorOps {
   def classifyAnnBatch(s: SparkSession, indexPath: String, batch: DataFrame,
                        nPlanes: Int = 8, dim: Int = 64,
                        thresholdMicro: Long = 950000L): DataFrame =
-    classifyAnnCore(s.read.parquet(indexPath), batch, nPlanes, dim,
+    // the COMPLETE index: base plus every delta a stream has admitted
+    // (see classifyNeardupBatch — same duplicate-admission hazard)
+    classifyAnnCore(DeltaIndex.readAll(s, indexPath), batch, nPlanes, dim,
       thresholdMicro)._1
 
   /** Classification plus the CHECKPOINTED quantized probe frame, for
@@ -1829,7 +1836,12 @@ object VectorOps {
                      onEpoch: (Long, DataFrame) => Unit,
                      nPlanes: Int = 8, dim: Int = 64,
                      thresholdMicro: Long = 950000L)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // fresh checkpoint restarts epoch ids at 0 — compact first so the
+    // previous run's deltas cannot be overwritten (see
+    // TextOps.startNeardupIngest for the full rationale)
+    if (!DeltaIndex.resumesCheckpoint(s, checkpointDir))
+      DeltaIndex.compact(s, indexPath)
     s.readStream.format("graft-store")
       .option("store", storeName).option("topic", topic)
       .option("maxBatchesPerTrigger", maxBatchesPerTrigger.toString)
@@ -1837,13 +1849,16 @@ object VectorOps {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        // run even on an empty replay: clears a stale delta whose
+        // batch was evicted between attempts (see startNeardupIngest)
         val data = batch.select("vec_id", "embedding").localCheckpoint(true)
-        if (!data.isEmpty)
-          onEpoch(epochId, annIngestEpoch(data.sparkSession, indexPath,
-            epochId, data, nPlanes, dim, thresholdMicro))
+        val classified = annIngestEpoch(data.sparkSession, indexPath,
+          epochId, data, nPlanes, dim, thresholdMicro)
+        if (!data.isEmpty) onEpoch(epochId, classified)
         ()
       }
       .start()
+  }
 
   /** DuckDB oracle for [[qStreamAnnIngest]]: plane constants embedded,
     * probe construction (planted jitter + own-vector halves),

@@ -367,6 +367,29 @@ object GraftAggSpec {
   }
 }
 
+/** THE datetime-external → epoch-axis conversion table, shared by zone
+  * pruning ([[GraftZonePrune.lv]]) and row-level filter eval
+  * ([[GraftFilterEval.cmp]]). One table on purpose: if the two ever
+  * diverged (say, one learns LocalDateTime for TIMESTAMP_NTZ and the
+  * other doesn't), zones would keep batches the filter then drops — or
+  * prune batches it would keep. Timestamps normalize to micros, dates
+  * to days; the column's declared type fixes which axis applies. */
+private[sources] object GraftTimeConv {
+  import org.apache.spark.sql.catalyst.util.DateTimeUtils
+
+  def tsMicros(x: Any): Option[Long] = x match {
+    case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant => Some(DateTimeUtils.instantToMicros(i))
+    case _ => None
+  }
+
+  def dateDays(x: Any): Option[Long] = x match {
+    case d: java.sql.Date => Some(DateTimeUtils.fromJavaDate(d).toLong)
+    case d: java.time.LocalDate => Some(DateTimeUtils.localDateToDays(d).toLong)
+    case _ => None
+  }
+}
+
 /** Batch-zone vs filter intersection tests: can ANY row of a batch
   * with these zones satisfy the filter? Conservative by construction —
   * unknown filter shapes, non-zoned columns, and values the zone axis
@@ -388,15 +411,8 @@ object GraftZonePrune {
     case n: java.lang.Integer => Some(n.longValue())
     case n: java.lang.Short => Some(n.longValue())
     case n: java.lang.Byte => Some(n.longValue())
-    case t: java.sql.Timestamp =>
-      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
-    case i: java.time.Instant =>
-      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
-    case d: java.sql.Date =>
-      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
-    case d: java.time.LocalDate =>
-      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(d).toLong)
-    case _ => None
+    case other =>
+      GraftTimeConv.tsMicros(other).orElse(GraftTimeConv.dateDays(other))
   }
   private def nonEmpty(z: Zone): Boolean = z.min <= z.max
   private def hasValues(z: StrZone): Boolean = z.min != null
@@ -923,22 +939,6 @@ private[sources] object GraftFilterEval {
     n.isInstanceOf[java.lang.Long] || n.isInstanceOf[java.lang.Integer] ||
       n.isInstanceOf[java.lang.Short] || n.isInstanceOf[java.lang.Byte]
 
-  private def tsMicros(x: Any): Option[Long] = x match {
-    case t: java.sql.Timestamp =>
-      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
-    case i: java.time.Instant =>
-      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
-    case _ => None
-  }
-
-  private def dateDays(x: Any): Option[Long] = x match {
-    case d: java.sql.Date =>
-      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
-    case d: java.time.LocalDate =>
-      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(d).toLong)
-    case _ => None
-  }
-
   private[sources] def cmp(l: Any, r: Any): Int = (l, r) match {
     // Integral pairs compare exactly: the double fallback collapses
     // BIGINTs differing only above 2^53, which would corrupt pushed
@@ -961,13 +961,18 @@ private[sources] object GraftFilterEval {
     // spark.sql.datetime.java8API.enabled — or a store outliving a
     // config change), and a class-pair whitelist would throw exactly
     // when the mixed pair shows up, failing the whole query because
-    // pushed filters are fully consumed with no Spark re-filter above
-    case (a, b) if tsMicros(a).isDefined && tsMicros(b).isDefined =>
-      java.lang.Long.compare(tsMicros(a).get, tsMicros(b).get)
-    case (a, b) if dateDays(a).isDefined && dateDays(b).isDefined =>
-      java.lang.Long.compare(dateDays(a).get, dateDays(b).get)
-    case _ => throw new IllegalArgumentException(
-      s"unsupported comparison: ${l.getClass} vs ${r.getClass}")
+    // pushed filters are fully consumed with no Spark re-filter above.
+    // Each side converts ONCE (this is the per-row hot path).
+    case _ =>
+      (GraftTimeConv.tsMicros(l), GraftTimeConv.tsMicros(r)) match {
+        case (Some(a), Some(b)) => java.lang.Long.compare(a, b)
+        case _ =>
+          (GraftTimeConv.dateDays(l), GraftTimeConv.dateDays(r)) match {
+            case (Some(a), Some(b)) => java.lang.Long.compare(a, b)
+            case _ => throw new IllegalArgumentException(
+              s"unsupported comparison: ${l.getClass} vs ${r.getClass}")
+          }
+      }
   }
 
   def eval(schema: StructType, row: org.apache.spark.sql.Row, f: Filter): Boolean = {

@@ -265,6 +265,37 @@ class Round20OpsSpec extends SparkSuite {
     // a LATER epoch reads epoch 7's delta: 200's copy is now existing
     val later = classify(8L, Seq(Row(300L, text("z1"))))
     assert(later == Map(300L -> "dup_of_existing"))
+    // evicted-replay GHOST clear: epoch 9 admits w1, then its batch is
+    // evicted under the byte budget and the epoch replays EMPTY — the
+    // stale delta must clear (those docs were never reported admitted)
+    assert(classify(9L, Seq(Row(400L, text("w1")))) == Map(400L -> "unique"))
+    assert(new java.io.File(s"${idx}_delta/e9").exists)
+    classify(9L, Seq.empty)
+    assert(!new java.io.File(s"${idx}_delta/e9").exists,
+      "an empty replay clears the ghost admission")
+    assert(classify(10L, Seq(Row(401L, text("w1")))) == Map(401L -> "unique"),
+      "w1 was lost by eviction, so its copy must re-admit")
+    // the PUBLIC batch classify sees stream admissions (base + deltas)
+    def pubClassify(rows: Seq[Row]): Map[Long, String] =
+      TextOps.classifyNeardupBatch(spark, idx,
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.toList), docSchema))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pubClassify(Seq(Row(700L, text("z1")))) ==
+      Map(700L -> "dup_of_existing"),
+      "a batch-side classify must not re-admit a stream-admitted doc")
+    // compaction folds deltas into the base and removes the namespace —
+    // the mandatory step before reusing the index under a fresh
+    // checkpoint (epoch ids restart at 0)
+    graft.engine.DeltaIndex.compact(spark, idx)
+    assert(!new java.io.File(s"${idx}_delta").exists, "delta root removed")
+    assert(pubClassify(Seq(Row(701L, text("z1")))) ==
+      Map(701L -> "dup_of_existing"), "admissions survive compaction")
+    assert(classify(0L, Seq(Row(702L, text("z1")))) ==
+      Map(702L -> "dup_of_existing"),
+      "a restarted epoch 0 can no longer destroy prior admissions")
+    assert(!graft.engine.DeltaIndex.resumesCheckpoint(spark,
+      dir.resolve("never_used_ckpt").toString))
     // the ANN mirror carries the same contract
     val embSchema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
