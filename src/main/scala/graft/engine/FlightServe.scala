@@ -447,6 +447,68 @@ object FlightServe {
       |FROM events, c WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= cut
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** STATIC string-zone pruning through the V2 store scan,
+    * differential-gated — the text sibling of [[qStoreTsPrune]]: the
+    * store lands a NAME-SORTED customer slice in contiguous-range
+    * batches, and a lexicographic range predicate on the string column
+    * pushes into the scan. Append-time string zones (parquet-style
+    * truncated bounds — untruncated here, TPC-H names fit the 32-char
+    * budget) plan ONLY the batches whose [min, max] name range
+    * intersects the predicate (asserted in-query: kept < total). The
+    * cutoff is scale-relative (the zero-padded name at two-thirds of
+    * the key domain, so lexicographic order coincides with numeric) and
+    * the oracle replays the rollup from the parquet fixture with no
+    * store and no pruning — a string-zone bug that dropped or
+    * double-kept a batch shifts counts and breaks the hash. */
+  def qStoreStrPrune(s: org.apache.spark.sql.SparkSession,
+                     d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sub = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        expr("CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)").as("cents"))
+      .orderBy("c_name")
+    val schema = sub.schema
+    val store = new StreamStore(1L << 30, Long.MaxValue / 2)
+    sub.collect().grouped(40).foreach(rs => store.append("customer", schema, rs.toSeq))
+    graft.sources.GraftStoreRegistry.register("strp_store", store)
+    try {
+      val maxKey = Tables.customer(s, d)
+        .agg(max("c_custkey")).head().getLong(0)
+      val cutoff = f"Customer#${maxKey * 2 / 3}%09d"
+      val df = s.read.format("graft-store")
+        .option("store", "strp_store").option("topic", "customer").load()
+        .filter(col("c_name") >= lit(cutoff))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("c_name").as("min_name"), max("c_name").as("max_name"))
+        .orderBy("c_nationkey")
+      val out = df.collect().toSeq
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("GreaterThanOrEqual(c_name"),
+        "the name range must push into the store scan:\n" + plan.take(2000))
+      val (kept, total) = graft.sources.GraftScanMetrics
+        .lastPlanned("strp_store", "customer").getOrElse((0, 0))
+      require(kept > 0 && kept < total,
+        s"string zones must statically prune batches (planned $kept of $total)")
+      s.createDataFrame(s.sparkContext.parallelize(out.toList), df.schema)
+        .orderBy("c_nationkey")
+    } finally graft.sources.GraftStoreRegistry.unregister("strp_store")
+  }
+
+  /** DuckDB oracle for [[qStoreStrPrune]]: the same lexicographic
+    * range rollup replayed from the parquet fixture with no store and
+    * no pruning (zero-padded names make the string cutoff exact in
+    * both engines). */
+  val storeStrPruneOracleSql: String =
+    """WITH c AS (SELECT 'Customer#' ||
+      |             lpad(CAST((SELECT MAX(c_custkey) * 2 // 3 FROM customer)
+      |                  AS VARCHAR), 9, '0') AS cut)
+      |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |       MIN(c_name) AS min_name, MAX(c_name) AS max_name
+      |FROM customer, c WHERE c_name >= cut
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The top-N-pushdown serve path, differential-gated: the V2
     * connector receives ORDER BY cents DESC, key ASC LIMIT 20 and
     * answers it INSIDE the scan (no TakeOrderedAndProject — asserted)
