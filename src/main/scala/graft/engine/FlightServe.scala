@@ -472,9 +472,14 @@ object FlightServe {
     sub.collect().grouped(40).foreach(rs => store.append("customer", schema, rs.toSeq))
     graft.sources.GraftStoreRegistry.register("strp_store", store)
     try {
-      val maxKey = Tables.customer(s, d)
-        .agg(max("c_custkey")).head().getLong(0)
-      val cutoff = f"Customer#${maxKey * 2 / 3}%09d"
+      // cutoff from the NAME domain (the zero-padded numeric suffix),
+      // not the key domain: derived benchmarking corpora shift keys
+      // without re-deriving names, and a key-based cutoff would then
+      // exceed every name and prune everything
+      val maxName = Tables.customer(s, d)
+        .agg(max(substring(col("c_name"), 10, 9).cast("long")))
+        .head().getLong(0)
+      val cutoff = f"Customer#${maxName * 2 / 3}%09d"
       val df = s.read.format("graft-store")
         .option("store", "strp_store").option("topic", "customer").load()
         .filter(col("c_name") >= lit(cutoff))
@@ -501,7 +506,8 @@ object FlightServe {
     * both engines). */
   val storeStrPruneOracleSql: String =
     """WITH c AS (SELECT 'Customer#' ||
-      |             lpad(CAST((SELECT MAX(c_custkey) * 2 // 3 FROM customer)
+      |             lpad(CAST((SELECT MAX(CAST(substr(c_name, 10) AS BIGINT))
+      |                        * 2 // 3 FROM customer)
       |                  AS VARCHAR), 9, '0') AS cut)
       |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
       |       CAST(SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
