@@ -477,6 +477,7 @@ object SparkEntry {
     "q_store_topn_pushdown" -> (FlightServe.qStoreTopNPushdown _),
     "q_store_ts_prune"     -> (FlightServe.qStoreTsPrune _),
     "q_store_str_prune"    -> (FlightServe.qStoreStrPrune _),
+    "q_store_dbl_prune"    -> (FlightServe.qStoreDblPrune _),
     "q_levene"             -> (StatsOps.qLevene _),
     "q_fano"               -> (StatsOps.qFano _),
     "q_lift_gains"         -> (AnalyticsOps.qLiftGains _),
@@ -7061,6 +7062,8 @@ object SparkEntry {
     "q_store_ts_prune" -> FlightServe.storeTsPruneOracleSql,
 
     "q_store_str_prune" -> FlightServe.storeStrPruneOracleSql,
+
+    "q_store_dbl_prune" -> FlightServe.storeDblPruneOracleSql,
 
     "q_store_topn_pushdown" ->
       """SELECT o_orderkey, o_orderstatus,

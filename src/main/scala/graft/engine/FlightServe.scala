@@ -515,6 +515,78 @@ object FlightServe {
       |FROM customer, c WHERE c_name >= cut
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** STATIC double-zone pruning through the V2 store scan,
+    * differential-gated — the fractional sibling of [[qStoreTsPrune]]:
+    * the store lands a value-SORTED event slice in contiguous-range
+    * batches, and a `value >= cut` range predicate — after `ts`, the
+    * hottest pushed shape on the events fixture — pushes into the scan
+    * as a Double literal. Append-time [[StreamStore.DblZone]] stats
+    * (min/max under Spark's NaN-largest / -0.0 = 0.0 order) plan ONLY
+    * the batches whose value range intersects the predicate (asserted
+    * in-query: 0 < kept < total) — parquet-footer range skipping on
+    * the one axis zones previously couldn't see. The cutoff is
+    * scale-relative and derived through BIGINT cents (floor(v·100+0.5))
+    * so Spark and DuckDB compute the IDENTICAL IEEE double before the
+    * raw-double comparison; the oracle replays the rollup from the
+    * parquet fixture with no store and no pruning — a double-zone bug
+    * that dropped or double-kept a batch shifts counts and breaks the
+    * hash. */
+  def qStoreDblPrune(s: org.apache.spark.sql.SparkSession,
+                     d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sub = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy("value", "event_id")
+    val schema = sub.schema
+    val store = new StreamStore(1L << 30, Long.MaxValue / 2)
+    sub.collect().grouped(125).foreach(rs => store.append("events", schema, rs.toSeq))
+    graft.sources.GraftStoreRegistry.register("dblp_store", store)
+    try {
+      // scale-relative cutoff at two-thirds of the value domain,
+      // computed in exact BIGINT cents and divided back once (1-row
+      // bounded collect; the oracle runs the same integer arithmetic,
+      // so both engines compare against the same double)
+      val b = Tables.events(s, d)
+        .agg(min(expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)")).as("mn"),
+          max(expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)")).as("mx"))
+        .head()
+      val cut = (b.getLong(0) + (b.getLong(1) - b.getLong(0)) * 2 / 3) / 100.0
+      val df = s.read.format("graft-store")
+        .option("store", "dblp_store").option("topic", "events").load()
+        .filter(col("value") >= lit(cut))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)")).as("sum_cents"),
+          min("value").as("min_value"), max("value").as("max_value"))
+        .orderBy("event_type")
+      val out = df.collect().toSeq
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("GreaterThanOrEqual(value"),
+        "the value range must push into the store scan:\n" + plan.take(2000))
+      val (kept, total) = graft.sources.GraftScanMetrics
+        .lastPlanned("dblp_store", "events").getOrElse((0, 0))
+      require(kept > 0 && kept < total,
+        s"double zones must statically prune batches (planned $kept of $total)")
+      s.createDataFrame(s.sparkContext.parallelize(out.toList), df.schema)
+        .orderBy("event_type")
+    } finally graft.sources.GraftStoreRegistry.unregister("dblp_store")
+  }
+
+  /** DuckDB oracle for [[qStoreDblPrune]]: the same value-range rollup
+    * replayed from the parquet fixture with no store and no pruning —
+    * the cutoff built from the identical BIGINT-cents arithmetic, so
+    * the boundary double agrees bit-for-bit. */
+  val storeDblPruneOracleSql: String =
+    """WITH b AS (SELECT MIN(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS mn,
+      |                  MAX(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS mx
+      |           FROM events),
+      |c AS (SELECT (mn + (mx - mn) * 2 // 3) / 100.0 AS cut FROM b)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |       MIN(value) AS min_value, MAX(value) AS max_value
+      |FROM events, c WHERE value >= cut
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The top-N-pushdown serve path, differential-gated: the V2
     * connector receives ORDER BY cents DESC, key ASC LIMIT 20 and
     * answers it INSIDE the scan (no TakeOrderedAndProject — asserted)

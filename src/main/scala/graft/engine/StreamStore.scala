@@ -29,7 +29,7 @@ final class StreamStore(
     ttlMillis: Long = 60000L,
     now: () => Long = () => System.currentTimeMillis()) {
 
-  import StreamStore.{ColZone, StrZone, Zone}
+  import StreamStore.{ColZone, DblZone, StrZone, Zone}
 
   final case class Batch(rows: Seq[Row], sizeBytes: Long,
                          zones: Map[String, ColZone])
@@ -94,11 +94,13 @@ final class StreamStore(
   /** One pass over the rows the append already holds: min/max/hasNull
     * per ZONEABLE column — integral types (as longs), timestamps (as
     * epoch micros) and dates (as epoch days) share the long [[Zone]];
-    * strings get a TRUNCATED [[StrZone]] (parquet's truncated footer
-    * statistics: prefix lower bound, incremented-prefix upper bound).
-    * Cost is O(rows × zoneable cols) paid once per batch at write
-    * time — plan time then reads these maps in O(#batches), the
-    * footer-stats discipline Iceberg/parquet use. */
+    * doubles and floats get [[DblZone]] under Spark's NaN-largest /
+    * -0.0 == 0.0 comparison order; strings get a TRUNCATED [[StrZone]]
+    * (parquet's truncated footer statistics: prefix lower bound,
+    * incremented-prefix upper bound). Cost is O(rows × zoneable cols)
+    * paid once per batch at write time — plan time then reads these
+    * maps in O(#batches), the footer-stats discipline Iceberg/parquet
+    * use. */
   private def computeZones(schema: StructType, rows: Seq[Row]): Map[String, ColZone] = {
     import org.apache.spark.sql.types._
     schema.fields.zipWithIndex.flatMap { case (f, idx) =>
@@ -123,6 +125,37 @@ final class StreamStore(
             }
           }
           Some(f.name -> Zone(mn, mx, hasNull))
+        case None if f.dataType == DoubleType || f.dataType == FloatType =>
+          // fractional axis under the ENGINE'S comparison order
+          // (nanSafeCmpDouble — NaN largest and equal to itself,
+          // -0.0 == 0.0): the same order the reader evaluates pushed
+          // predicates with, so pruning can never disagree with it. A
+          // float widens to double exactly, so one axis serves both.
+          // NaN values participate as the largest element (a NaN-
+          // holding batch gets max = NaN and stays un-prunable by any
+          // upper-side predicate — exactly right, since `x > v` is
+          // TRUE for NaN rows under Spark's NaN semantics).
+          var mn = Double.PositiveInfinity
+          var mx = Double.NegativeInfinity
+          var any = false
+          var hasNull = false
+          rows.foreach { r =>
+            r.get(idx) match {
+              case n: Number =>
+                val v = n.doubleValue()
+                any = true
+                if (StreamStore.nanSafeCmpDouble(v, mn) < 0) mn = v
+                if (StreamStore.nanSafeCmpDouble(v, mx) > 0) mx = v
+              case _ => hasNull = true
+            }
+          }
+          // all-null batch keeps the inverted (+∞, -∞) range, which
+          // DblZone.nonEmpty reads as "no values" — same convention as
+          // the long Zone's (MaxValue, MinValue)
+          Some(f.name ->
+            (if (any) DblZone(mn, mx, hasNull)
+             else DblZone(Double.PositiveInfinity, Double.NegativeInfinity,
+               hasNull)))
         case None if f.dataType == StringType =>
           var mn: String = null
           var mx: String = null
@@ -280,6 +313,31 @@ object StreamStore {
     * axis, so zone and filter-literal conversions always agree). */
   final case class Zone(min: Long, max: Long, hasNull: Boolean) extends ColZone
 
+  /** Double-comparable zone for DoubleType/FloatType columns (floats
+    * widen exactly), ordered by [[nanSafeCmpDouble]] — Spark's own
+    * fractional comparison semantics (NaN is the largest value and
+    * equal to itself; -0.0 equals 0.0), which is ALSO the order
+    * [[graft.sources.GraftFilterEval]] evaluates pushed fractional
+    * predicates with, so pruning and the reader can never disagree. An
+    * all-null batch carries the inverted (+∞, -∞) range. */
+  final case class DblZone(min: Double, max: Double, hasNull: Boolean)
+      extends ColZone
+
+  /** Spark's fractional comparison (see SQL "NaN Semantics"): NaN is
+    * larger than any other value and NaN = NaN is true; -0.0 = 0.0.
+    * This deliberately differs from java.lang.Double.compare (which
+    * orders -0.0 below 0.0) — pushed filters must match what Spark
+    * itself would have evaluated above the scan. */
+  private[graft] def nanSafeCmpDouble(x: Double, y: Double): Int = {
+    val xn = java.lang.Double.isNaN(x)
+    val yn = java.lang.Double.isNaN(y)
+    if ((xn && yn) || (x == y)) 0
+    else if (xn) 1
+    else if (yn) -1
+    else if (x > y) 1
+    else -1
+  }
+
   /** Truncated string zone, parquet-footer style (String.compareTo
     * ordering — the SAME ordering [[graft.sources.GraftFilterEval]]
     * evaluates pushed string predicates with, so pruning can never
@@ -297,7 +355,15 @@ object StreamStore {
     * must not grow plan-time state with document length). */
   val StrZoneTrunc = 32
 
-  private[engine] def timestampMicros: Any => Option[Long] = {
+  /** THE datetime-external → epoch-axis conversion table: the append
+    * side (zone computation above) and the plan/read side
+    * (`graft.sources.GraftTimeConv`, which DELEGATES here) share this
+    * one definition on purpose — if the two ever diverged (say, one
+    * learns a new external class and the other doesn't), zones would
+    * keep batches the filter then drops, or prune batches it would
+    * keep. Timestamps normalize to epoch micros, dates to epoch days;
+    * the column's declared type fixes which axis applies. */
+  private[graft] def timestampMicros: Any => Option[Long] = {
     case t: java.sql.Timestamp =>
       Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
     case i: java.time.Instant =>
@@ -305,7 +371,7 @@ object StreamStore {
     case _ => None
   }
 
-  private[engine] def dateDays: Any => Option[Long] = {
+  private[graft] def dateDays: Any => Option[Long] = {
     case d: java.sql.Date =>
       Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
     case d: java.time.LocalDate =>

@@ -1700,9 +1700,12 @@ object VectorOps {
         plan.take(3000))
     // loud-failure guard the structural asserts can't give (plan shape
     // is input-independent): a broken/empty fixture must not pass as a
-    // suspiciously fast run. isEmpty is a bounded take(1) — it never
-    // collects the result set.
-    require(!df.isEmpty, "ingest result must be non-empty")
+    // suspiciously fast run. Checked on the CHECKPOINTED probes frame
+    // (one per result row — the scoring left-joins preserve every
+    // probe), so the guard reads a cached block and the probe pipeline
+    // itself still executes exactly once, when the caller materializes
+    // the returned frame.
+    require(!probes.isEmpty, "ingest probe set must be non-empty")
     df
   }
 

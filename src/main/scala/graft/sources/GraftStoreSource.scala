@@ -367,27 +367,19 @@ object GraftAggSpec {
   }
 }
 
-/** THE datetime-external → epoch-axis conversion table, shared by zone
-  * pruning ([[GraftZonePrune.lv]]) and row-level filter eval
-  * ([[GraftFilterEval.cmp]]). One table on purpose: if the two ever
-  * diverged (say, one learns LocalDateTime for TIMESTAMP_NTZ and the
-  * other doesn't), zones would keep batches the filter then drops — or
-  * prune batches it would keep. Timestamps normalize to micros, dates
-  * to days; the column's declared type fixes which axis applies. */
+/** Datetime-external → epoch-axis conversion for zone pruning
+  * ([[GraftZonePrune.lv]]) and row-level filter eval
+  * ([[GraftFilterEval.cmp]]) — a pure DELEGATE to the one shared table
+  * in [[graft.engine.StreamStore]], the same table the append side
+  * computes zones with. One definition on purpose: if the zone-compute
+  * and filter-eval conversions ever diverged (say, one learns
+  * LocalDateTime for TIMESTAMP_NTZ and the other doesn't), zones would
+  * keep batches the filter then drops — or prune batches it would
+  * keep. Timestamps normalize to micros, dates to days; the column's
+  * declared type fixes which axis applies. */
 private[sources] object GraftTimeConv {
-  import org.apache.spark.sql.catalyst.util.DateTimeUtils
-
-  def tsMicros(x: Any): Option[Long] = x match {
-    case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
-    case i: java.time.Instant => Some(DateTimeUtils.instantToMicros(i))
-    case _ => None
-  }
-
-  def dateDays(x: Any): Option[Long] = x match {
-    case d: java.sql.Date => Some(DateTimeUtils.fromJavaDate(d).toLong)
-    case d: java.time.LocalDate => Some(DateTimeUtils.localDateToDays(d).toLong)
-    case _ => None
-  }
+  def tsMicros(x: Any): Option[Long] = StreamStore.timestampMicros(x)
+  def dateDays(x: Any): Option[Long] = StreamStore.dateDays(x)
 }
 
 /** Batch-zone vs filter intersection tests: can ANY row of a batch
@@ -397,7 +389,8 @@ private[sources] object GraftTimeConv {
   * optimization and never a filter (the same contract parquet
   * row-group statistics carry). */
 object GraftZonePrune {
-  import graft.engine.StreamStore.{ColZone, StrZone, Zone}
+  import graft.engine.StreamStore.{ColZone, DblZone, StrZone, Zone}
+  import graft.engine.StreamStore.nanSafeCmpDouble
 
   /** Filter literal → the long zone axis. STRICTLY integral plus the
     * datetime externals (micros/days — same conversion the zones were
@@ -414,7 +407,19 @@ object GraftZonePrune {
     case other =>
       GraftTimeConv.tsMicros(other).orElse(GraftTimeConv.dateDays(other))
   }
+
+  /** Filter literal → the double zone axis. Any Number converts via
+    * doubleValue — the EXACT conversion the reader's row-level cmp
+    * applies to a fractional pair, so zone decisions mirror the reader
+    * even for a lossy long→double literal (both sides lose identically,
+    * which is the soundness criterion: prune only what the reader would
+    * empty out anyway). */
+  private def dv(x: Any): Option[Double] = x match {
+    case n: Number => Some(n.doubleValue())
+    case _ => None
+  }
   private def nonEmpty(z: Zone): Boolean = z.min <= z.max
+  private def nonEmptyD(z: DblZone): Boolean = nanSafeCmpDouble(z.min, z.max) <= 0
   private def hasValues(z: StrZone): Boolean = z.min != null
 
   def mayMatch(zones: Map[String, ColZone], filters: Array[Filter]): Boolean =
@@ -423,12 +428,19 @@ object GraftZonePrune {
   /** One comparison against one zone. The string bounds are honest
     * about truncation: `min` only LOWER-bounds the true minimum and
     * `max` (when exclusive) strictly upper-bounds the true maximum, so
-    * each predicate prunes only when the bound PROVES emptiness. */
+    * each predicate prunes only when the bound PROVES emptiness. The
+    * double bounds are exact under [[nanSafeCmpDouble]] order (NaN
+    * largest, -0.0 = 0.0 — Spark's own fractional semantics). */
   private def cmpZone(z: ColZone, v: Any)(
       okL: (Zone, Long) => Boolean)(
-      okS: (StrZone, String) => Boolean): Boolean = z match {
+      okS: (StrZone, String) => Boolean)(
+      okD: (DblZone, Double) => Boolean): Boolean = z match {
     case z: Zone => lv(v) match {
       case Some(x) => nonEmpty(z) && okL(z, x)
+      case None => true
+    }
+    case z: DblZone => dv(v) match {
+      case Some(x) => nonEmptyD(z) && okD(z, x)
       case None => true
     }
     case z: StrZone => v match {
@@ -441,40 +453,52 @@ object GraftZonePrune {
     s.compareTo(z.min) >= 0 &&
       (if (z.maxInclusive) s.compareTo(z.max) <= 0 else s.compareTo(z.max) < 0)
 
+  private def dblEq(z: DblZone, x: Double): Boolean =
+    nanSafeCmpDouble(z.min, x) <= 0 && nanSafeCmpDouble(x, z.max) <= 0
+
   private def cmp(zones: Map[String, ColZone], c: String, v: Any)(
       okL: (Zone, Long) => Boolean)(
-      okS: (StrZone, String) => Boolean): Boolean =
-    zones.get(c).forall(cmpZone(_, v)(okL)(okS))
+      okS: (StrZone, String) => Boolean)(
+      okD: (DblZone, Double) => Boolean): Boolean =
+    zones.get(c).forall(cmpZone(_, v)(okL)(okS)(okD))
 
   private def mayMatchOne(zones: Map[String, ColZone], f: Filter): Boolean =
     f match {
       case EqualTo(c, v) =>
-        cmp(zones, c, v)((z, x) => z.min <= x && x <= z.max)(strEq)
+        cmp(zones, c, v)((z, x) => z.min <= x && x <= z.max)(strEq)(dblEq)
       case GreaterThan(c, v) =>
         // string: values ≤ max (or < max when exclusive); a value > s
         // can exist only when max > s under either form
-        cmp(zones, c, v)((z, x) => z.max > x)((z, s) => z.max.compareTo(s) > 0)
+        cmp(zones, c, v)((z, x) => z.max > x)(
+          (z, s) => z.max.compareTo(s) > 0)(
+          (z, x) => nanSafeCmpDouble(z.max, x) > 0)
       case GreaterThanOrEqual(c, v) =>
         cmp(zones, c, v)((z, x) => z.max >= x)((z, s) =>
           if (z.maxInclusive) z.max.compareTo(s) >= 0
-          else z.max.compareTo(s) > 0)
+          else z.max.compareTo(s) > 0)(
+          (z, x) => nanSafeCmpDouble(z.max, x) >= 0)
       case LessThan(c, v) =>
         // string min is a ≤-truncated bound: prune only when even the
         // truncated prefix already reaches s
-        cmp(zones, c, v)((z, x) => z.min < x)((z, s) => z.min.compareTo(s) < 0)
+        cmp(zones, c, v)((z, x) => z.min < x)(
+          (z, s) => z.min.compareTo(s) < 0)(
+          (z, x) => nanSafeCmpDouble(z.min, x) < 0)
       case LessThanOrEqual(c, v) =>
-        cmp(zones, c, v)((z, x) => z.min <= x)((z, s) => z.min.compareTo(s) <= 0)
+        cmp(zones, c, v)((z, x) => z.min <= x)(
+          (z, s) => z.min.compareTo(s) <= 0)(
+          (z, x) => nanSafeCmpDouble(z.min, x) <= 0)
       case In(c, vs) =>
         zones.get(c) match {
           case Some(z) =>
             // any unrepresentable value keeps the batch (conservative)
             vs.exists(v => cmpZone(z, v)(
-              (z, x) => z.min <= x && x <= z.max)(strEq))
+              (z, x) => z.min <= x && x <= z.max)(strEq)(dblEq))
           case None => true
         }
       case IsNull(c) => zones.get(c).forall(_.hasNull)
       case IsNotNull(c) => zones.get(c).forall {
         case z: Zone => nonEmpty(z)
+        case z: DblZone => nonEmptyD(z)
         case z: StrZone => hasValues(z)
       }
       case _ => true
@@ -558,13 +582,15 @@ final class GraftScan(storeName: String, topic: String, full: StructType,
     // merge surviving batches' zones per column: min of mins, max of
     // maxs, null seen anywhere; a column is reported only when every
     // surviving batch zoned it (all-batch coverage keeps the merged
-    // range honest). CBO column stats stay INTEGRAL-only, boxed to the
-    // column's DECLARED type — catalyst stores these raw objects in
-    // ColumnStat for the attribute, and a java.lang.Long under an
-    // IntegerType attribute misbehaves downstream (literal
-    // construction, selectivity math); string/datetime zones still
-    // drive pruning and row/byte sizing above.
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    // range honest). CBO column stats cover the integral AND
+    // fractional axes, boxed to the column's DECLARED type — catalyst
+    // stores these raw objects in ColumnStat for the attribute, and a
+    // java.lang.Long under an IntegerType attribute misbehaves
+    // downstream (literal construction, selectivity math). A merged
+    // fractional range touching NaN/±∞ is withheld (CBO range math
+    // has no sane reading of it); string/datetime zones still drive
+    // pruning and row/byte sizing above.
+    import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
     def boxFor(c: String, v: Long): Option[Object] =
       full.fields.find(_.name == c).map(_.dataType).collect {
         case LongType => java.lang.Long.valueOf(v)
@@ -572,16 +598,32 @@ final class GraftScan(storeName: String, topic: String, full: StructType,
         case ShortType => java.lang.Short.valueOf(v.toShort)
         case ByteType => java.lang.Byte.valueOf(v.toByte)
       }
+    def boxForD(c: String, v: Double): Option[Object] =
+      if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) None
+      else full.fields.find(_.name == c).map(_.dataType).collect {
+        case DoubleType => java.lang.Double.valueOf(v)
+        case FloatType => java.lang.Float.valueOf(v.toFloat)
+      }
     val colNames = kept.flatMap(_._3.keySet).distinct
       .filter(c => kept.forall(_._3.contains(c)))
     val colStats = colNames.flatMap { c =>
-      val zs = kept.map(_._3(c)).collect {
+      import graft.engine.StreamStore.nanSafeCmpDouble
+      val all = kept.map(_._3(c))
+      val zs = all.collect {
         case z: graft.engine.StreamStore.Zone if z.min <= z.max => z
       }
+      val ds = all.collect {
+        case z: graft.engine.StreamStore.DblZone
+          if nanSafeCmpDouble(z.min, z.max) <= 0 => z
+      }
       for {
-        _ <- Option.when(zs.nonEmpty)(())
-        mn <- boxFor(c, zs.map(_.min).min)
-        mx <- boxFor(c, zs.map(_.max).max)
+        _ <- Option.when(zs.nonEmpty || ds.nonEmpty)(())
+        mn <- if (zs.nonEmpty) boxFor(c, zs.map(_.min).min)
+              else boxForD(c, ds.map(_.min).reduce((a, b) =>
+                if (nanSafeCmpDouble(a, b) <= 0) a else b))
+        mx <- if (zs.nonEmpty) boxFor(c, zs.map(_.max).max)
+              else boxForD(c, ds.map(_.max).reduce((a, b) =>
+                if (nanSafeCmpDouble(a, b) >= 0) a else b))
       } yield
         org.apache.spark.sql.connector.expressions.Expressions.column(c)
           .asInstanceOf[NamedReference] ->
@@ -951,8 +993,13 @@ private[sources] object GraftFilterEval {
     // silently truncates above 64 bits
     case (a: Number, b: Number) if isLongSafe(a) && isLongSafe(b) =>
       java.lang.Long.compare(a.longValue(), b.longValue())
+    // fractional pairs compare under SPARK's semantics (SQL "NaN
+    // Semantics": NaN is larger than any other value and NaN = NaN;
+    // -0.0 = 0.0) — NOT java.lang.Double.compare, which orders -0.0
+    // below 0.0 and would make a fully-consumed pushed EqualTo(x, 0.0)
+    // drop a stored -0.0 row Spark itself would keep
     case (a: Number, b: Number) =>
-      java.lang.Double.compare(a.doubleValue(), b.doubleValue())
+      graft.engine.StreamStore.nanSafeCmpDouble(a.doubleValue(), b.doubleValue())
     case (a: String, b: String) => a.compareTo(b)
     case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
     // datetime externals normalize to the epoch axis BEFORE comparing:

@@ -816,4 +816,103 @@ class GraftStoreSourceSpec extends SparkSuite {
         s"provenance must stay absolute under eviction: $got")
     } finally GraftStoreRegistry.unregister("s_evrace")
   }
+
+  test("double zones: a pushed value-range filter shrinks the estimate and statically prunes partitions") {
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    val dSchema = StructType(Seq(
+      StructField("value", DoubleType), StructField("v", LongType)))
+    val st = new StreamStore(maxBytesPerStream = 1 << 20,
+      ttlMillis = Long.MaxValue / 2)
+    // four batches covering disjoint value ranges [0,10), [10,20), ...
+    (0 until 4).foreach { b =>
+      st.append("dv", dSchema,
+        (0 until 10).map(i => Row(b * 10.0 + i, b * 10L + i)))
+    }
+    GraftStoreRegistry.register("s_dbl", st)
+    try {
+      val df = spark.read.format("graft-store")
+        .option("store", "s_dbl").option("topic", "dv").load()
+        .filter(col("value") >= lit(30.0))
+      assert(df.count() == 10, "only the last value window matches")
+      val scan = scanOf(df)
+      assert(scan.description().contains("GreaterThanOrEqual(value"),
+        s"value predicate must push into the scan: ${scan.description()}")
+      assert(scan.toBatch.planInputPartitions().length == 1,
+        "three of four batches are zone-pruned by the value range")
+      // filter-aware statistics shrink the same way, and the CBO
+      // column stats carry the DOUBLE-boxed merged range
+      val all = new GraftScan("s_dbl", "dv", dSchema, dSchema,
+        Array.empty).estimateStatistics()
+      val filt = new GraftScan("s_dbl", "dv", dSchema, dSchema,
+        Array(GreaterThanOrEqual("value", 30.0))).estimateStatistics()
+      assert(all.numRows().getAsLong == 40L)
+      assert(filt.numRows().getAsLong == 10L,
+        "filter-aware statistics count only the surviving value window")
+      val cs = filt.columnStats().asScala.collectFirst {
+        case (ref, st2) if ref.describe() == "value" => st2
+      }
+      assert(cs.exists(c => c.min().get() == java.lang.Double.valueOf(30.0) &&
+        c.max().get() == java.lang.Double.valueOf(39.0)),
+        s"double column stats must box the merged surviving range: $cs")
+    } finally GraftStoreRegistry.unregister("s_dbl")
+  }
+
+  test("fractional semantics match Spark: NaN largest / NaN = NaN / -0.0 = 0.0 in pushed filters AND zones") {
+    import graft.engine.StreamStore.DblZone
+    import graft.sources.GraftZonePrune.mayMatch
+    import org.apache.spark.sql.sources._
+    val dSchema = StructType(Seq(
+      StructField("value", DoubleType), StructField("v", LongType)))
+    val st = new StreamStore(maxBytesPerStream = 1 << 20,
+      ttlMillis = Long.MaxValue / 2)
+    // batch 0: plain small values; batch 1: holds a NaN (zone max =
+    // NaN under the engine order); batch 2: -0.0 only
+    st.append("dn", dSchema, Seq(Row(1.0, 0L), Row(2.0, 1L)))
+    st.append("dn", dSchema, Seq(Row(3.0, 2L), Row(Double.NaN, 3L)))
+    st.append("dn", dSchema, Seq(Row(-0.0, 4L)))
+    GraftStoreRegistry.register("s_nan", st)
+    try {
+      def read() = spark.read.format("graft-store")
+        .option("store", "s_nan").option("topic", "dn").load()
+      // Spark's NaN semantics: NaN > 100.0 is TRUE — the fully-consumed
+      // pushed filter must agree (java.lang.Double.compare would too,
+      // but the ZONE must not prune the NaN batch either)
+      val gt = read().filter(col("value") > lit(100.0))
+      assert(gt.select("v").collect().map(_.getLong(0)).toSet == Set(3L),
+        "the NaN row is larger than any value under Spark semantics")
+      assert(scanOf(gt).toBatch.planInputPartitions().length == 1,
+        "only the NaN-holding batch survives the upper-side zone test")
+      // -0.0 = 0.0: a pushed EqualTo(value, 0.0) must keep the stored
+      // -0.0 row exactly as Spark's own evaluation would
+      val eq = read().filter(col("value") === lit(0.0))
+      assert(eq.select("v").collect().map(_.getLong(0)).toSet == Set(4L),
+        "-0.0 equals 0.0 under Spark semantics — the pushed filter must not drop it")
+      assert(scanOf(eq).toBatch.planInputPartitions().length == 1,
+        "zones ordered by nanSafe compare keep exactly the -0.0 batch")
+      // NaN equality: Spark says NaN = NaN is true
+      val eqNaN = read().filter(col("value") === lit(Double.NaN))
+      assert(eqNaN.select("v").collect().map(_.getLong(0)).toSet == Set(3L))
+      // unit-level zone algebra
+      val nanZone = Map[String, graft.engine.StreamStore.ColZone](
+        "value" -> DblZone(3.0, Double.NaN, hasNull = false))
+      assert(mayMatch(nanZone, Array(GreaterThan("value", 1e18))),
+        "a NaN max keeps the batch under any upper-side predicate")
+      assert(!mayMatch(nanZone, Array(LessThan("value", 3.0))),
+        "the lower bound still prunes exactly")
+      // an all-NaN batch zones to [+inf, NaN]: LessThan prunes (no row
+      // can pass), GreaterThan keeps (every row passes)
+      val allNaN = Map[String, graft.engine.StreamStore.ColZone](
+        "value" -> DblZone(Double.PositiveInfinity, Double.NaN, hasNull = false))
+      assert(!mayMatch(allNaN, Array(LessThan("value", 1e18))))
+      assert(mayMatch(allNaN, Array(GreaterThan("value", 1e18))))
+      // empty (all-null) batch: inverted range prunes value predicates,
+      // IsNull keeps it
+      val empty = Map[String, graft.engine.StreamStore.ColZone](
+        "value" -> DblZone(Double.PositiveInfinity, Double.NegativeInfinity,
+          hasNull = true))
+      assert(!mayMatch(empty, Array(EqualTo("value", 5.0))))
+      assert(mayMatch(empty, Array(IsNull("value"))))
+      assert(!mayMatch(empty, Array(IsNotNull("value"))))
+    } finally GraftStoreRegistry.unregister("s_nan")
+  }
 }
