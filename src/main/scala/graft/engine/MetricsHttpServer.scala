@@ -109,6 +109,22 @@ final class MetricsHttpServer(
       "Rows evicted per topic by the drop-oldest byte budget")(
       topics.map(t => (Seq("topic" -> t), store.droppedRows(t).toDouble)))
 
+    // ingest-door outcomes (reference's per-stream drop/ingest family,
+    // pkg/metrics.go:20-52): what the streaming SemDeDup door decided
+    // per topic — admitted items grew the index, dup_* / matched were
+    // turned away. Epochs count every drain, including empty ones (an
+    // evicted offset shows as epochs advancing with doc counts still).
+    metric("graft_ingest_docs_total", "counter",
+      "Ingest classification outcomes per topic (admitted, dup_of_existing, dup_in_batch, matched)")(
+      IngestMetrics.docCounts.map { case ((t, st), v) =>
+        (Seq("topic" -> t, "status" -> st), v.toDouble)
+      })
+    metric("graft_ingest_epochs_total", "counter",
+      "Ingest micro-batch epochs run per topic (empty drains included)")(
+      IngestMetrics.epochCounts.map { case (t, v) =>
+        (Seq("topic" -> t), v.toDouble)
+      })
+
     val qs = listener.snapshot.sortBy(_.name)
     metric("graft_query_batches_total", "counter",
       "Micro-batches executed per streaming query")(

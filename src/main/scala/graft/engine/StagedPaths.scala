@@ -74,6 +74,9 @@ private[graft] object DeltaIndex {
                    p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  private def epochOf(p: org.apache.hadoop.fs.Path): Long =
+    p.getName.drop(1).toLong
+
   private def deltaPaths(s: SparkSession,
                          indexPath: String): Seq[org.apache.hadoop.fs.Path] = {
     val root = new org.apache.hadoop.fs.Path(indexPath + "_delta")
@@ -83,12 +86,19 @@ private[graft] object DeltaIndex {
     else Seq.empty
   }
 
+  /** Outstanding (un-compacted) delta count — what the ingest streams'
+    * periodic-compaction trigger and the specs observe. */
+  def outstanding(s: SparkSession, indexPath: String): Int =
+    deltaPaths(s, indexPath).size
+
   /** Base index UNION all deltas of OTHER epochs. */
-  def read(s: SparkSession, indexPath: String, excludeEpoch: Long): DataFrame =
+  def read(s: SparkSession, indexPath: String, excludeEpoch: Long): DataFrame = {
+    finishCrashedCompact(s, indexPath)
     deltaPaths(s, indexPath)
       .filter(_.getName != s"e$excludeEpoch")
       .foldLeft(s.read.parquet(indexPath))((acc, p) =>
         acc.unionByName(s.read.parquet(p.toString)))
+  }
 
   /** The COMPLETE index — base plus every epoch's delta. The read a
     * batch-side caller (outside any epoch) must use: admissions a
@@ -110,26 +120,112 @@ private[graft] object DeltaIndex {
     else if (fsOf(s, delta).exists(delta)) { fsOf(s, delta).delete(delta, true); () }
   }
 
-  /** Fold every delta into the base and remove the delta root — the
-    * periodic LSM-style maintenance a long-lived stream schedules
-    * (per-epoch read cost and plan depth grow with the OUTSTANDING
-    * delta count, so compaction bounds both), and the mandatory step
-    * before REUSING an index under a fresh checkpoint: Spark epoch
-    * ids restart at 0 with a new checkpoint, and an uncompacted
-    * delta namespace would be overwritten epoch by epoch. Staged
-    * through a temp dir because parquet cannot overwrite a directory
-    * it is concurrently reading. */
-  def compact(s: SparkSession, indexPath: String): Unit = {
-    if (deltaPaths(s, indexPath).isEmpty) return
-    val tmp = indexPath + "_compact_tmp"
-    readAll(s, indexPath).write.mode("overwrite").parquet(tmp)
-    s.read.parquet(tmp).write.mode("overwrite").parquet(indexPath)
+  private def markerPath(indexPath: String) =
+    new org.apache.hadoop.fs.Path(indexPath + "_compact_commit")
+  private def tmpPath(indexPath: String) =
+    new org.apache.hadoop.fs.Path(indexPath + "_compact_tmp")
+
+  /** Fold the deltas of epochs `< belowEpoch` into the base — the
+    * periodic LSM-style maintenance [[graft.engine.TextOps.startNeardupIngest]] /
+    * [[graft.engine.VectorOps.startAnnIngest]] schedule between
+    * micro-batches (per-epoch read cost and plan depth grow with the
+    * OUTSTANDING delta count, so compaction bounds both), and — with
+    * the default belowEpoch = fold EVERYTHING — the mandatory step
+    * before REUSING an index under a fresh checkpoint: Spark epoch ids
+    * restart at 0 with a new checkpoint, and an uncompacted delta
+    * namespace would be overwritten epoch by epoch.
+    *
+    * MID-STREAM SAFETY: folding an epoch's delta into the base is only
+    * replay-safe once that epoch can never re-run. foreachBatch(N)
+    * runs strictly after epoch N-1's offsets committed, so a stream
+    * compacting with `belowEpoch = currentEpoch` at the top of its
+    * epoch folds exactly the never-again-replayed set — a stale
+    * `e<current>` from a crashed prior attempt is left alone for the
+    * replay to overwrite.
+    *
+    * CRASH-ATOMIC via a commit marker (the 'exactly one copy' contract
+    * survives a crash at any step):
+    *   1. merged (base ∪ folded deltas) → `_compact_tmp`
+    *   2. marker listing the folded delta dirs renamed into place
+    *      (atomic publish — no marker, no state change)
+    *   3. delete base, RENAME tmp → base
+    *   4. delete the folded delta dirs (root too when empty)
+    *   5. delete the marker
+    * [[finishCrashedCompact]] (run before every read and compact)
+    * replays 3-5 from the marker: each step is idempotent and the tmp
+    * is complete before the marker can exist, so admissions are never
+    * lost and never double-counted. Single in-process writer per index
+    * by [[IngestWriters]] contract. */
+  def compact(s: SparkSession, indexPath: String,
+              belowEpoch: Long = Long.MaxValue): Unit = {
+    finishCrashedCompact(s, indexPath)
+    val folded = deltaPaths(s, indexPath).filter(epochOf(_) < belowEpoch)
+    if (folded.isEmpty) return
+    val fs = fsOf(s, markerPath(indexPath))
+    // 1. complete merged image beside the base
+    folded.foldLeft(s.read.parquet(indexPath))((acc, p) =>
+        acc.unionByName(s.read.parquet(p.toString)))
+      .write.mode("overwrite").parquet(tmpPath(indexPath).toString)
+    // 2. marker: folded dir names, one per line, renamed into place
+    val staging = new org.apache.hadoop.fs.Path(
+      indexPath + "_compact_commit.staging")
+    val out = fs.create(staging, true)
+    try out.write(folded.map(_.getName).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.rename(staging, markerPath(indexPath))
+    publishCompact(s, indexPath, folded.map(_.getName))
+  }
+
+  /** Steps 3-5 of the compact protocol — idempotent, so a crash at any
+    * point replays cleanly from the marker. */
+  private def publishCompact(s: SparkSession, indexPath: String,
+                             foldedNames: Seq[String]): Unit = {
+    val base = new org.apache.hadoop.fs.Path(indexPath)
+    val tmp = tmpPath(indexPath)
+    val fs = fsOf(s, base)
+    // 3. swap the merged image in (rename, not rewrite: atomic on a
+    // posix fs and never leaves a half-written base)
+    if (fs.exists(tmp)) {
+      if (fs.exists(base)) fs.delete(base, true)
+      fs.rename(tmp, base)
+    }
+    // 4. drop exactly the folded deltas (later epochs' deltas survive)
     val root = new org.apache.hadoop.fs.Path(indexPath + "_delta")
-    if (fsOf(s, root).exists(root)) fsOf(s, root).delete(root, true)
-    val t = new org.apache.hadoop.fs.Path(tmp)
-    fsOf(s, t).delete(t, true)
+    foldedNames.foreach { n =>
+      val p = new org.apache.hadoop.fs.Path(root, n)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    if (fs.exists(root) && fs.listStatus(root).isEmpty) fs.delete(root, true)
+    // 5. retire the marker
+    fs.delete(markerPath(indexPath), false)
     ()
   }
+
+  /** Recovery hook: when a compact crashed after publishing its marker
+    * (between steps 2 and 5), finish it before serving any read — the
+    * on-disk state may otherwise hold a folded delta twice (marker
+    * present, base already swapped) or a mid-swap base. No marker →
+    * no-op (one `exists` probe on the hot path). */
+  private def finishCrashedCompact(s: SparkSession, indexPath: String): Unit = {
+    val marker = markerPath(indexPath)
+    val fs = fsOf(s, marker)
+    if (!fs.exists(marker)) return
+    val in = fs.open(marker)
+    val names = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString.split("\n").toSeq.filter(_.nonEmpty)
+    finally in.close()
+    publishCompact(s, indexPath, names)
+  }
+
+  /** Compact from inside a running stream's epoch N when the
+    * committed (< N) delta count reached `every` — the cleanupLoop
+    * discipline, bounded so a long-lived stream's per-probe plan depth
+    * never exceeds `every` delta reads plus the base. */
+  def maybeCompact(s: SparkSession, indexPath: String, epochId: Long,
+                   every: Int): Unit =
+    if (every > 0 &&
+        deltaPaths(s, indexPath).count(epochOf(_) < epochId) >= every)
+      compact(s, indexPath, belowEpoch = epochId)
 
   /** True when `checkpointDir` already holds a streaming offsets log —
     * i.e. a start() against it RESUMES the epoch-id sequence instead
@@ -137,5 +233,77 @@ private[graft] object DeltaIndex {
   def resumesCheckpoint(s: SparkSession, checkpointDir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
     fsOf(s, p).exists(p)
+  }
+}
+
+/** In-process single-writer guard for a staged ingest index: the
+  * [[DeltaIndex]] namespace is PER-EPOCH-ID, and epoch ids are
+  * per-checkpoint — two concurrent streams sharing one `indexPath`
+  * under different checkpoints would both write `_delta/e<n>` and
+  * destroy each other's admissions (and race each other's
+  * compactions). `startNeardupIngest`/`startAnnIngest` therefore
+  * ACQUIRE the index before starting and the second concurrent writer
+  * is rejected loudly, naming both checkpoints. A STOPPED stream's
+  * claim is reclaimable (acquire steals from an inactive query), so
+  * the documented sequential-reuse flow — stop, then start under a
+  * fresh checkpoint with compact-first — still works unchanged.
+  *
+  * Scope: in-process, matching the store's parity-mode topology (the
+  * buffer is driver-held, so every realistic writer shares this JVM).
+  * Two JVMs sharing an index over a shared filesystem are outside the
+  * reference's single-process design and this guard. */
+private[graft] object IngestWriters {
+  import org.apache.spark.sql.streaming.StreamingQuery
+
+  private final class Writer(val checkpointDir: String) {
+    @volatile var query: Option[StreamingQuery] = None
+  }
+  private val live =
+    new java.util.concurrent.ConcurrentHashMap[String, Writer]()
+
+  private def key(indexPath: String): String =
+    try new java.io.File(indexPath).getCanonicalPath
+    catch { case _: java.io.IOException =>
+      new java.io.File(indexPath).getAbsolutePath }
+
+  /** Claim the index for one stream, atomically. A claim whose query
+    * is no longer active (stopped, failed) is reclaimed; a LIVE claim
+    * under a different checkpoint fails fast. Mid-start claims (query
+    * not yet bound) count as live — the window is one start() call. */
+  def acquire(indexPath: String, checkpointDir: String): Unit = {
+    val k = key(indexPath)
+    while (true) {
+      val mine = new Writer(checkpointDir)
+      val cur = live.putIfAbsent(k, mine)
+      if (cur == null) return
+      val reclaimable = cur.query.exists(q => !q.isActive)
+      if (reclaimable) {
+        if (live.replace(k, cur, mine)) return
+        // lost the race to another acquire — retry
+      } else throw new IllegalStateException(
+        s"index '$indexPath' already has a live ingest writer " +
+          s"(checkpoint '${cur.checkpointDir}'); a second stream " +
+          s"(checkpoint '$checkpointDir') would overwrite its " +
+          "_delta/e<n> admissions. Stop the first stream, or give " +
+          "each stream its own indexPath.")
+    }
+  }
+
+  /** Bind the started query to its claim so a later acquire can tell
+    * stopped from live. */
+  def bind(indexPath: String, q: StreamingQuery): Unit = {
+    val w = live.get(key(indexPath))
+    if (w != null) w.query = Some(q)
+  }
+
+  /** Drop a claim (start() failed before a query existed). */
+  def release(indexPath: String): Unit = { live.remove(key(indexPath)); () }
+
+  /** The live claim's checkpoint, for specs. */
+  def liveCheckpoint(indexPath: String): Option[String] = {
+    val w = live.get(key(indexPath))
+    if (w == null) None
+    else if (w.query.exists(q => !q.isActive)) None
+    else Some(w.checkpointDir)
   }
 }

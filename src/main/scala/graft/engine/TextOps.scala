@@ -2731,8 +2731,22 @@ object TextOps {
                                         epochId: Long,
                                         data: DataFrame): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
-    val (classified, probe) =
+    val (classified0, probe) =
       classifyNeardupCore(DeltaIndex.read(s, indexPath, epochId), data)
+    // plan contract, asserted STRUCTURALLY on the un-executed frame
+    // every epoch (static plan properties — no data touched): the
+    // staged index is READ (never re-banded) and probed via a
+    // broadcast semi-join (never shuffled). A regression here would
+    // silently turn every epoch corpus-proportional at 100 TB.
+    val plan = classified0.queryExecution.executedPlan.toString
+    require(plan.contains(new java.io.File(indexPath).getName),
+      s"epoch $epochId must read the staged index:\n" + plan.take(2000))
+    require(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"epoch $epochId must probe via broadcast semi-join:\n" + plan.take(2000))
+    // checkpointed: the delta write below, the stream's metrics rollup,
+    // and the caller's materialization all read ONE computed copy of
+    // the verdicts instead of re-running the probe joins
+    val classified = classified0.localCheckpoint(true)
     val bands = probe.join(
         classified.filter(col("status") === "unique").select("doc_id"),
         "doc_id")
@@ -2755,13 +2769,26 @@ object TextOps {
     * offsets: evicted batches are simply never classified (drop-oldest
     * loses data by reference contract).
     *
+    * LONG-LIVED operation: every probe unions the base with each
+    * outstanding delta, so the stream itself schedules
+    * [[DeltaIndex.compact]] between micro-batches — once the COMMITTED
+    * (epoch < current) delta count reaches `compactEvery`, they fold
+    * into the base (the reference's periodic cleanupLoop discipline,
+    * stream/manager.go:116-124), bounding per-epoch plan depth at
+    * `compactEvery` delta reads regardless of how many epochs the
+    * stream has run. Committed epochs never replay (foreachBatch(N)
+    * runs only after N-1's offsets committed), so folding them is
+    * replay-safe; the current epoch's own (possibly stale) delta is
+    * never folded. `compactEvery <= 0` disables mid-stream compaction.
+    *
     * `onEpoch` receives (epochId, classified) per non-empty epoch;
     * the classified frame is distributed — the callback decides what
     * (bounded thing) to materialize. */
   def startNeardupIngest(s: SparkSession, storeName: String, topic: String,
                          indexPath: String, maxBatchesPerTrigger: Long,
                          checkpointDir: String,
-                         onEpoch: (Long, DataFrame) => Unit)
+                         onEpoch: (Long, DataFrame) => Unit,
+                         compactEvery: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // Fresh checkpoint = Spark restarts epoch ids at 0; an uncompacted
     // delta namespace from a PREVIOUS run would be overwritten epoch by
@@ -2769,26 +2796,38 @@ object TextOps {
     // first preserves every prior admission and hands the new run an
     // empty namespace. A RESUMING checkpoint keeps its deltas — the
     // replay-idempotence contract needs them.
-    if (!DeltaIndex.resumesCheckpoint(s, checkpointDir))
-      DeltaIndex.compact(s, indexPath)
-    s.readStream.format("graft-store")
-      .option("store", storeName).option("topic", topic)
-      .option("maxBatchesPerTrigger", maxBatchesPerTrigger.toString)
-      .load()
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        // the epoch runs even when the batch drained EMPTY (offsets
-        // evicted between attempts): an empty epoch CLEARS any stale
-        // delta its first attempt wrote — otherwise those admissions
-        // would haunt the index for docs that were never reported
-        val data = batch.select("doc_id", "text").localCheckpoint(true)
-        val classified =
-          neardupIngestEpoch(data.sparkSession, indexPath, epochId, data)
-        if (!data.isEmpty) onEpoch(epochId, classified)
-        ()
-      }
-      .start()
+    // one live writer per index (IngestWriters): a second concurrent
+    // stream would overwrite this stream's _delta/e<n> admissions —
+    // rejected loudly before any state is touched
+    IngestWriters.acquire(indexPath, checkpointDir)
+    val q = try {
+      if (!DeltaIndex.resumesCheckpoint(s, checkpointDir))
+        DeltaIndex.compact(s, indexPath)
+      s.readStream.format("graft-store")
+        .option("store", storeName).option("topic", topic)
+        .option("maxBatchesPerTrigger", maxBatchesPerTrigger.toString)
+        .load()
+        .writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          // the epoch runs even when the batch drained EMPTY (offsets
+          // evicted between attempts): an empty epoch CLEARS any stale
+          // delta its first attempt wrote — otherwise those admissions
+          // would haunt the index for docs that were never reported
+          val sess = batch.sparkSession
+          DeltaIndex.maybeCompact(sess, indexPath, epochId, compactEvery)
+          val data = batch.select("doc_id", "text").localCheckpoint(true)
+          val classified = neardupIngestEpoch(sess, indexPath, epochId, data)
+          // per-topic admitted/dup counters (reference's per-stream
+          // metric family) — a ≤3-row rollup of the checkpointed frame
+          IngestMetrics.recordEpoch(topic, classified)
+          if (!data.isEmpty) onEpoch(epochId, classified)
+          ()
+        }
+        .start()
+    } catch { case t: Throwable => IngestWriters.release(indexPath); throw t }
+    IngestWriters.bind(indexPath, q)
+    q
   }
 
   /** Blocklist dictionary for [[qBlocklistScan]]. Every term is

@@ -1812,9 +1812,19 @@ object VectorOps {
                                     epochId: Long, data: DataFrame,
                                     nPlanes: Int = 8, dim: Int = 64,
                                     thresholdMicro: Long = 950000L): DataFrame = {
-    val (classified, probes) = classifyAnnCore(
+    val (classified0, probes) = classifyAnnCore(
       DeltaIndex.read(s, indexPath, epochId), data, nPlanes, dim,
       thresholdMicro)
+    // plan contract per epoch, on the un-executed frame (see
+    // TextOps.neardupIngestEpoch): staged index read + broadcast semi
+    val plan = classified0.queryExecution.executedPlan.toString
+    require(plan.contains(new java.io.File(indexPath).getName),
+      s"epoch $epochId must read the staged index:\n" + plan.take(2000))
+    require(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"epoch $epochId must probe via broadcast semi-join:\n" + plan.take(2000))
+    // one computed copy serves the delta write, the stream's metrics
+    // rollup, and the caller (see neardupIngestEpoch)
+    val classified = classified0.localCheckpoint(true)
     val admitted = probes.join(
         classified.filter(col("status") === "new").select("probe_id"),
         "probe_id")
@@ -1838,29 +1848,41 @@ object VectorOps {
                      checkpointDir: String,
                      onEpoch: (Long, DataFrame) => Unit,
                      nPlanes: Int = 8, dim: Int = 64,
-                     thresholdMicro: Long = 950000L)
+                     thresholdMicro: Long = 950000L,
+                     compactEvery: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    // fresh checkpoint restarts epoch ids at 0 — compact first so the
-    // previous run's deltas cannot be overwritten (see
-    // TextOps.startNeardupIngest for the full rationale)
-    if (!DeltaIndex.resumesCheckpoint(s, checkpointDir))
-      DeltaIndex.compact(s, indexPath)
-    s.readStream.format("graft-store")
-      .option("store", storeName).option("topic", topic)
-      .option("maxBatchesPerTrigger", maxBatchesPerTrigger.toString)
-      .load()
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        // run even on an empty replay: clears a stale delta whose
-        // batch was evicted between attempts (see startNeardupIngest)
-        val data = batch.select("vec_id", "embedding").localCheckpoint(true)
-        val classified = annIngestEpoch(data.sparkSession, indexPath,
-          epochId, data, nPlanes, dim, thresholdMicro)
-        if (!data.isEmpty) onEpoch(epochId, classified)
-        ()
-      }
-      .start()
+    // one live writer per index + periodic mid-stream compaction once
+    // the committed delta count reaches compactEvery — see
+    // TextOps.startNeardupIngest for the full rationale on both
+    IngestWriters.acquire(indexPath, checkpointDir)
+    val q = try {
+      // fresh checkpoint restarts epoch ids at 0 — compact first so the
+      // previous run's deltas cannot be overwritten
+      if (!DeltaIndex.resumesCheckpoint(s, checkpointDir))
+        DeltaIndex.compact(s, indexPath)
+      s.readStream.format("graft-store")
+        .option("store", storeName).option("topic", topic)
+        .option("maxBatchesPerTrigger", maxBatchesPerTrigger.toString)
+        .load()
+        .writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          // run even on an empty replay: clears a stale delta whose
+          // batch was evicted between attempts (see startNeardupIngest)
+          val sess = batch.sparkSession
+          DeltaIndex.maybeCompact(sess, indexPath, epochId, compactEvery)
+          val data = batch.select("vec_id", "embedding").localCheckpoint(true)
+          val classified = annIngestEpoch(sess, indexPath,
+            epochId, data, nPlanes, dim, thresholdMicro)
+          // per-topic admitted/matched counters (see startNeardupIngest)
+          IngestMetrics.recordEpoch(topic, classified)
+          if (!data.isEmpty) onEpoch(epochId, classified)
+          ()
+        }
+        .start()
+    } catch { case t: Throwable => IngestWriters.release(indexPath); throw t }
+    IngestWriters.bind(indexPath, q)
+    q
   }
 
   /** DuckDB oracle for [[qStreamAnnIngest]]: plane constants embedded,

@@ -62,11 +62,28 @@ object GraftStoreRegistry {
 final class GraftStoreProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-store"
 
+  /** TTL × RESTART CONTRACT: a topic the store idle-expired
+    * (StreamStore.expire, reference stream/manager.go:150-184) is gone
+    * WITH its schema — so a streaming query RESTARTING against it
+    * fails here, loudly and before any planning, naming the topic and
+    * the expiry possibility (the schema cannot be invented, and a
+    * silent empty stream would read as "no data" when the truth is
+    * "your topic was expired"). A topic expiring while a query is
+    * ALREADY RUNNING instead drains empty (the offset axis clamps —
+    * see GraftMicroBatchStream.latestOffset), mirroring eviction's
+    * missing-offsets contract. Resuming against a RECREATED same-name
+    * topic needs a fresh checkpoint: recreation restarts the append
+    * axis at 0, and a checkpoint holding higher offsets would wait for
+    * the new axis to catch up. */
   private def topicSchema(options: CaseInsensitiveStringMap): StructType = {
     val store = GraftStoreRegistry.get(options.get("store"))
     val topic = options.get("topic")
     store.schemaOf(topic).getOrElse(
-      throw new IllegalArgumentException(s"unknown topic '$topic'"))
+      throw new IllegalArgumentException(
+        s"unknown topic '$topic': never created, or idle-expired past " +
+          "the store TTL. Re-ingest the topic (create-on-access) before " +
+          "reading; a resuming streaming query additionally needs a " +
+          "fresh checkpoint (recreation restarts the offset axis at 0)."))
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -767,10 +784,16 @@ final class GraftMicroBatchStream(storeName: String, topic: String,
     val s = Option(start).map(_.asInstanceOf[GraftOffset].index)
       .getOrElse(initialOffset().asInstanceOf[GraftOffset].index)
     val avail = store.appendedBatches(topic)
-    GraftOffset(limit match {
+    // clamped at `start`: a topic idle-expired MID-QUERY (or recreated
+    // with a restarted append axis) reports avail below the committed
+    // offset — the axis must never run backwards, so the query drains
+    // EMPTY instead of crashing or replaying foreign offsets (the TTL
+    // analog of eviction's missing-offsets contract; restart-after-
+    // expiry fails loudly at load() instead, see topicSchema)
+    GraftOffset(math.max(s, limit match {
       case r: ReadMaxRows => math.min(avail, s + r.maxRows())
       case _ => avail
-    })
+    }))
   }
 
   /** First offset to serve: the oldest batch still buffered when the

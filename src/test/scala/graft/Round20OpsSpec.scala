@@ -71,13 +71,10 @@ class Round20OpsSpec extends SparkSuite {
       checkpointDir = dir.resolve("ckpt").toString,
       onEpoch = (epochId, classified) => {
         val rows = classified.collect() // ≤ 4 rows: admission-bounded
-        // the plan contract holds on the REAL streaming path too:
-        // staged index READ (never re-banded) + broadcast semi probe
-        val plan = classified.queryExecution.executedPlan.toString
-        assert(plan.contains("nd_live_idx"),
-          s"epoch $epochId must read the staged index:\n${plan.take(2000)}")
-        assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
-          s"epoch $epochId must probe via broadcast semi-join:\n${plan.take(2000)}")
+        // (the staged-index-read + broadcast-semi plan contract is now
+        // asserted PRODUCT-SIDE inside every epoch, on the un-executed
+        // frame before it checkpoints — neardupIngestEpoch requires it,
+        // so a regression fails the stream itself, not just this spec)
         perEpoch.put(epochId,
           rows.map(r => r.getLong(0) -> r.getString(1)).toMap)
         ()
@@ -181,10 +178,8 @@ class Round20OpsSpec extends SparkSuite {
       checkpointDir = dir.resolve("ckpt").toString,
       onEpoch = (epochId, classified) => {
         val out = classified.collect() // ≤ 4 rows: admission-bounded
-        val plan = classified.queryExecution.executedPlan.toString
-        assert(plan.contains("ann_live_idx") &&
-          plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
-          s"epoch $epochId must probe the staged index via broadcast semi:\n${plan.take(2000)}")
+        // plan contract asserted product-side per epoch (annIngestEpoch
+        // requires staged-read + broadcast semi on the un-executed frame)
         perEpoch.put(epochId, out.map(r =>
           r.getLong(0) -> (r.getString(4), r.getLong(2))).toMap)
         ()

@@ -1,0 +1,322 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.{DeltaIndex, GraftMetricsListener, IngestMetrics, IngestWriters, MetricsHttpServer, StreamStore, TextOps}
+import graft.sources.GraftStoreRegistry
+
+/** Round-21 hardening of the streaming-ingest product API for
+  * LONG-LIVED operation: mid-stream DeltaIndex compaction (bounded
+  * per-epoch plan depth), crash-atomic compaction recovery, the
+  * single-writer-per-index guard, per-topic Prometheus ingest
+  * counters, and the TTL-expiry × resuming-query contract. */
+class Round21OpsSpec extends SparkSuite {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  /** Family-disjoint text (see Round20OpsSpec): two families share no
+    * 3-gram shingle, so dup statuses are by construction. */
+  private def text(fam: String): String =
+    (0 until 8).map(i => s"${fam}tok$i").mkString(" ")
+
+  private def df(rows: Seq[Row]) = spark.createDataFrame(
+    spark.sparkContext.parallelize(rows.toList), docSchema)
+
+  private def stage(path: String, fams: Seq[String]): Unit =
+    TextOps.stageNeardupIndex(
+      df(fams.zipWithIndex.map { case (f, i) => Row(i.toLong, text(f)) }), path)
+
+  test("mid-stream auto-compaction: a long-lived ingest stream folds committed deltas, bounds plan depth, and keeps every admission") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_autocompact")
+    val idx = dir.resolve("ac_idx").toString
+    val twinIdx = dir.resolve("ac_twin_idx").toString
+    stage(idx, Seq("e0", "e1"))
+    stage(twinIdx, Seq("e0", "e1"))
+    // six 2-doc batches: a fresh base f<i> plus a copy of the PREVIOUS
+    // batch's base — every epoch probes an ADMITTED delta, so folding
+    // a delta that loses an admission would flip a later verdict
+    val batches = (0 until 6).map { i =>
+      val dup = if (i == 0) text("e0") else text(s"f${i - 1}")
+      Seq(Row(100L + i * 10, dup), Row(101L + i * 10, text(s"f$i")))
+    }
+    def run(index: String, ckpt: String, store: String,
+            compactEvery: Int): Map[Long, Map[Long, String]] = {
+      val st = new StreamStore(1 << 20, Long.MaxValue / 2)
+      batches.foreach(b => st.append("docs", docSchema, b))
+      GraftStoreRegistry.register(store, st)
+      val perEpoch = TrieMap.empty[Long, Map[Long, String]]
+      val q = TextOps.startNeardupIngest(spark, store, "docs", index,
+        maxBatchesPerTrigger = 1, checkpointDir = dir.resolve(ckpt).toString,
+        onEpoch = (e, c) => {
+          perEpoch.put(e, c.collect().map(r =>
+            r.getLong(0) -> r.getString(1)).toMap)
+          ()
+        }, compactEvery = compactEvery)
+      try q.processAllAvailable() finally q.stop()
+      GraftStoreRegistry.unregister(store)
+      perEpoch.toMap
+    }
+    val compacted = run(idx, "ac_ckpt", "s_ac", compactEvery = 2)
+    val plain = run(twinIdx, "ac_twin_ckpt", "s_ac_twin", compactEvery = 0)
+    // verdicts are IDENTICAL with and without mid-stream compaction
+    assert(compacted == plain,
+      s"compaction must not change any verdict:\n$compacted\nvs\n$plain")
+    val expected = (0 until 6).map { i =>
+      i.toLong -> Map(100L + i * 10 -> "dup_of_existing",
+        101L + i * 10 -> "unique")
+    }.toMap
+    assert(compacted == expected, s"classification drifted: $compacted")
+    // the delta namespace COLLAPSED mid-stream: folds fired at epochs
+    // 2 (e0,e1) and 4 (e2,e3), leaving exactly e4 and e5 outstanding —
+    // the un-compacted twin holds all six
+    assert(DeltaIndex.outstanding(spark, idx) == 2,
+      s"expected 2 outstanding deltas, got ${DeltaIndex.outstanding(spark, idx)}")
+    assert(DeltaIndex.outstanding(spark, twinIdx) == 6)
+    (0 until 4).foreach(e => assert(
+      !new java.io.File(s"${idx}_delta/e$e").exists, s"e$e must be folded"))
+    (4 until 6).foreach(e => assert(
+      new java.io.File(s"${idx}_delta/e$e").exists, s"e$e must survive"))
+    // folded admissions still classify: copies of f0 (folded into the
+    // base) and f5 (still a delta) both read as existing
+    val late = TextOps.classifyNeardupBatch(spark, idx,
+        df(Seq(Row(900L, text("f0")), Row(901L, text("f5")))))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(late == Map(900L -> "dup_of_existing", 901L -> "dup_of_existing"),
+      s"admissions must survive compaction: $late")
+  }
+
+  test("maybeCompact folds ONLY committed epochs: a stale current-epoch delta is never folded into the base") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_below")
+    val idx = dir.resolve("be_idx").toString
+    stage(idx, Seq("e0"))
+    // three deltas: e0, e1 (committed) and e5 (the CURRENT epoch's
+    // stale first attempt — folding it would make the replay
+    // self-match)
+    Seq(0L, 1L, 5L).foreach { e =>
+      TextOps.neardupIngestEpoch(spark, idx, e,
+        df(Seq(Row(200L + e, text(s"g$e"))))).collect()
+    }
+    assert(DeltaIndex.outstanding(spark, idx) == 3)
+    DeltaIndex.maybeCompact(spark, idx, epochId = 5L, every = 2)
+    assert(DeltaIndex.outstanding(spark, idx) == 1, "e0, e1 folded")
+    assert(new java.io.File(s"${idx}_delta/e5").exists,
+      "the current epoch's delta must survive for its replay to overwrite")
+    // the replay of epoch 5 must still not self-match: its own doc
+    // re-classifies unique (reads base + others' deltas, not e5)
+    val replay = TextOps.neardupIngestEpoch(spark, idx, 5L,
+        df(Seq(Row(205L, text("g5")))))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(replay == Map(205L -> "unique"),
+      s"replayed epoch must not self-match after partial compaction: $replay")
+    // below the threshold nothing folds
+    DeltaIndex.maybeCompact(spark, idx, epochId = 6L, every = 2)
+    assert(DeltaIndex.outstanding(spark, idx) == 1)
+  }
+
+  test("compact is crash-atomic: recovery from a marker finishes the fold — admissions never lost, never double-counted") {
+    def build(name: String): (String, Long) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_crash")
+      val idx = dir.resolve(name).toString
+      stage(idx, Seq("e0"))
+      Seq(0L, 1L).foreach { e =>
+        TextOps.neardupIngestEpoch(spark, idx, e,
+          df(Seq(Row(300L + e, text(s"h$e"))))).collect()
+      }
+      (idx, DeltaIndex.readAll(spark, idx).count())
+    }
+    def marker(idx: String): java.io.File = new java.io.File(idx + "_compact_commit")
+    def writeMarker(idx: String): Unit = {
+      val w = new java.io.PrintWriter(marker(idx), "UTF-8")
+      try w.print("e0\ne1") finally w.close()
+    }
+    // STATE A — crash after the marker published, before the base
+    // swap: base OLD, deltas present, tmp complete
+    val (idxA, baselineA) = build("cra_idx")
+    DeltaIndex.readAll(spark, idxA).write.mode("overwrite")
+      .parquet(idxA + "_compact_tmp")
+    writeMarker(idxA)
+    assert(DeltaIndex.readAll(spark, idxA).count() == baselineA,
+      "recovery must finish the fold and serve exactly one copy")
+    assert(!marker(idxA).exists, "marker retired after recovery")
+    assert(!new java.io.File(idxA + "_delta").exists, "deltas folded")
+    assert(!new java.io.File(idxA + "_compact_tmp").exists, "tmp retired")
+    val lateA = TextOps.classifyNeardupBatch(spark, idxA,
+        df(Seq(Row(990L, text("h0")))))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lateA == Map(990L -> "dup_of_existing"))
+    // STATE B — crash after the base swap, before delta deletion:
+    // base NEW (holds the folded admissions), deltas STILL present —
+    // without recovery every folded admission reads twice
+    val (idxB, baselineB) = build("crb_idx")
+    DeltaIndex.readAll(spark, idxB).write.mode("overwrite")
+      .parquet(idxB + "_compact_tmp")
+    writeMarker(idxB)
+    def rmrf(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(idxB))
+    assert(new java.io.File(idxB + "_compact_tmp")
+      .renameTo(new java.io.File(idxB)), "swap simulation")
+    assert(DeltaIndex.readAll(spark, idxB).count() == baselineB,
+      "recovery must not double-count the already-swapped admissions")
+    assert(!marker(idxB).exists && !new java.io.File(idxB + "_delta").exists)
+  }
+
+  test("single-writer guard: a second concurrent stream on a shared indexPath is rejected loudly; sequential reuse still works") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_writer")
+    val idx = dir.resolve("sw_idx").toString
+    stage(idx, Seq("e0"))
+    val st = new StreamStore(1 << 20, Long.MaxValue / 2)
+    st.append("t_a", docSchema, Seq(Row(1L, text("a1"))))
+    st.append("t_b", docSchema, Seq(Row(2L, text("b1"))))
+    GraftStoreRegistry.register("s_sw", st)
+    try {
+      val ck1 = dir.resolve("sw_ck1").toString
+      val ck2 = dir.resolve("sw_ck2").toString
+      val q1 = TextOps.startNeardupIngest(spark, "s_sw", "t_a", idx,
+        maxBatchesPerTrigger = 1, checkpointDir = ck1,
+        onEpoch = (_, _) => ())
+      try {
+        q1.processAllAvailable()
+        assert(q1.isActive)
+        assert(IngestWriters.liveCheckpoint(idx).contains(ck1))
+        // CONCURRENT second writer, different checkpoint, same index:
+        // refused before touching any state, naming both checkpoints
+        val err = intercept[IllegalStateException] {
+          TextOps.startNeardupIngest(spark, "s_sw", "t_b", idx,
+            maxBatchesPerTrigger = 1, checkpointDir = ck2,
+            onEpoch = (_, _) => ())
+        }
+        assert(err.getMessage.contains(ck1) && err.getMessage.contains(ck2),
+          s"error must name both checkpoints: ${err.getMessage}")
+        assert(DeltaIndex.outstanding(spark, idx) == 1,
+          "the refused writer must not have compacted or written anything")
+      } finally q1.stop()
+      // SEQUENTIAL reuse: the first stream stopped, so its claim is
+      // reclaimable — a fresh-checkpoint second stream compacts the
+      // previous run's deltas and proceeds (the documented flow)
+      assert(IngestWriters.liveCheckpoint(idx).isEmpty, "stopped claim is stale")
+      val perEpoch = TrieMap.empty[Long, Map[Long, String]]
+      val q2 = TextOps.startNeardupIngest(spark, "s_sw", "t_b", idx,
+        maxBatchesPerTrigger = 1, checkpointDir = ck2,
+        onEpoch = (e, c) => {
+          perEpoch.put(e, c.collect().map(r =>
+            r.getLong(0) -> r.getString(1)).toMap)
+          ()
+        })
+      try q2.processAllAvailable() finally q2.stop()
+      assert(perEpoch.values.flatten.toMap == Map(2L -> "unique"))
+      // the first stream's admission (a1) survived the handover
+      val late = TextOps.classifyNeardupBatch(spark, idx,
+          df(Seq(Row(880L, text("a1")))))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(late == Map(880L -> "dup_of_existing"))
+    } finally GraftStoreRegistry.unregister("s_sw")
+  }
+
+  test("per-topic ingest counters reach the /metrics exposition across epochs, restarts, and an eviction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_imet")
+    val idx = dir.resolve("im_idx").toString
+    stage(idx, Seq("e0", "e1"))
+    IngestMetrics.reset("docs_met")
+    // budget holds two 2-doc batches (2 rows × 2 cols × 8 = 32 B each)
+    val st = new StreamStore(maxBytesPerStream = 70,
+      ttlMillis = Long.MaxValue / 2)
+    val b1 = Seq(Row(100L, text("e0")), Row(101L, text("f1")))
+    val b2 = Seq(Row(110L, text("f1")), Row(111L, text("f2")))
+    val b3 = Seq(Row(120L, text("g3")), Row(121L, text("g4"))) // evicted
+    val b4 = Seq(Row(130L, text("f2")), Row(131L, text("h5")))
+    val b5 = Seq(Row(140L, text("h5")), Row(141L, text("k6")))
+    st.append("docs_met", docSchema, b1)
+    st.append("docs_met", docSchema, b2)
+    GraftStoreRegistry.register("s_met", st)
+    def start() = TextOps.startNeardupIngest(spark, "s_met", "docs_met", idx,
+      maxBatchesPerTrigger = 1,
+      checkpointDir = dir.resolve("im_ckpt").toString,
+      onEpoch = (_, _) => ())
+    try {
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      st.append("docs_met", docSchema, b3)
+      st.append("docs_met", docSchema, b4)
+      st.append("docs_met", docSchema, b5)
+      assert(st.droppedRows("docs_met") > 0, "fixture must actually evict")
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      assert(IngestMetrics.docCounts.filter(_._1._1 == "docs_met").toMap ==
+        Map(("docs_met", "admitted") -> 4L,
+          ("docs_met", "dup_of_existing") -> 4L),
+        s"counters: ${IngestMetrics.docCounts}")
+      // 5 epochs ran — including the EMPTY drain of b3's evicted
+      // offset (epochs advance while doc counts stand still)
+      assert(IngestMetrics.epochCounts.toMap.get("docs_met").contains(5L),
+        s"epochs: ${IngestMetrics.epochCounts}")
+      // and the Prometheus exposition serves them
+      val http = new MetricsHttpServer(st, new GraftMetricsListener)
+      try {
+        val body = http.render()
+        assert(body.contains(
+          """graft_ingest_docs_total{topic="docs_met",status="admitted"} 4"""),
+          body.linesIterator.filter(_.contains("graft_ingest")).mkString("\n"))
+        assert(body.contains(
+          """graft_ingest_docs_total{topic="docs_met",status="dup_of_existing"} 4"""))
+        assert(body.contains(
+          """graft_ingest_epochs_total{topic="docs_met"} 5"""))
+      } finally http.close()
+    } finally GraftStoreRegistry.unregister("s_met")
+  }
+
+  test("TTL x resume contract: mid-run expiry drains EMPTY; a restart against an expired topic fails loudly at load()") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ttl")
+    val idx = dir.resolve("ttl_idx").toString
+    stage(idx, Seq("e0"))
+    var clock = 0L
+    val st = new StreamStore(1 << 20, ttlMillis = 100L, now = () => clock)
+    st.append("docs_ttl", docSchema, Seq(Row(1L, text("p1"))))
+    GraftStoreRegistry.register("s_ttl", st)
+    val epochs = TrieMap.empty[Long, Int]
+    def start() = TextOps.startNeardupIngest(spark, "s_ttl", "docs_ttl", idx,
+      maxBatchesPerTrigger = 1,
+      checkpointDir = dir.resolve("ttl_ckpt").toString,
+      onEpoch = (e, c) => { epochs.put(e, c.collect().length); () })
+    try {
+      val q1 = start()
+      try {
+        q1.processAllAvailable()
+        assert(epochs.keySet == Set(0L))
+        // the topic idle-expires WHILE the query is running: the
+        // offset axis clamps at the committed position — the query
+        // drains empty and stays alive (the TTL analog of eviction's
+        // missing-offsets contract), it does not crash or replay
+        clock = 1000L
+        assert(st.expire() == Seq("docs_ttl"), "fixture must actually expire")
+        q1.processAllAvailable()
+        assert(q1.isActive, "mid-run expiry must not kill the query")
+        assert(epochs.keySet == Set(0L), "no phantom epochs after expiry")
+      } finally q1.stop()
+      // RESTART against the expired topic: the schema is gone with the
+      // stream — fail loudly at load(), naming the topic and the
+      // expiry possibility (a silent empty stream would read as 'no
+      // data' when the truth is 'your topic was expired')
+      val err = intercept[IllegalArgumentException] { start() }
+      assert(err.getMessage.contains("docs_ttl") &&
+        err.getMessage.contains("expired"),
+        s"restart error must be actionable: ${err.getMessage}")
+      // the failed start released its writer claim: re-ingesting the
+      // topic (create-on-access) lets a FRESH checkpoint resume
+      st.append("docs_ttl", docSchema, Seq(Row(2L, text("p2"))))
+      val q2 = TextOps.startNeardupIngest(spark, "s_ttl", "docs_ttl", idx,
+        maxBatchesPerTrigger = 1,
+        checkpointDir = dir.resolve("ttl_ckpt2").toString,
+        onEpoch = (e, c) => { epochs.put(100L + e, c.collect().length); () })
+      try q2.processAllAvailable() finally q2.stop()
+      assert(epochs.contains(100L), "a recreated topic serves a fresh checkpoint")
+    } finally GraftStoreRegistry.unregister("s_ttl")
+  }
+}
