@@ -117,16 +117,38 @@ object Bench {
     // or sf0.01 run would flag (or mask) every key purely from the
     // scale difference. A prior with a different (or missing) sf stamp
     // disables the guard for this run.
-    val prior: Map[String, Double] = try {
-      val txt = {
-        val src = scala.io.Source.fromFile("bench_full.json")
-        try src.mkString finally src.close()
+    // Prior values are scaled by the CALIBRATION ratio before the 2×
+    // comparison: a uniformly slower/faster host between runs would
+    // otherwise spuriously flag (or mask) offenders purely from host
+    // drift — the guard should fire on PER-KEY anomalies only. A
+    // missing prior file is normal (first run); a present-but-
+    // unreadable one is printed, not swallowed, so a future shape
+    // change can't silently disable the guard.
+    val prior: Map[String, Double] =
+      if (!new java.io.File("bench_full.json").exists()) Map.empty
+      else try {
+        val txt = {
+          val src = scala.io.Source.fromFile("bench_full.json")
+          try src.mkString finally src.close()
+        }
+        val priorSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+        val priorCal = "\"calibration_sec\":(-?[0-9.]+)".r
+          .findFirstMatchIn(txt).map(_.group(1).toDouble)
+        if (!priorSf.contains(sfDir)) Map.empty
+        else {
+          val scale = priorCal match {
+            case Some(c) if c > 0 && calibration > 0 => calibration / c
+            case _ => 1.0
+          }
+          "\"(q_[A-Za-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble * scale).toMap
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[bench] WARN: pulse-guard prior unreadable (${e.getClass.getSimpleName}: ${e.getMessage}); guard disabled this run")
+          Map.empty
       }
-      val priorSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
-      if (!priorSf.contains(sfDir)) Map.empty
-      else "\"(q_[A-Za-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: Throwable => Map.empty }
     val pass1 = ordered.map { case (name, fn) => name -> once(fn) }.toMap
     val minOf2 = ordered.map { case (name, fn) =>
       val a = pass1(name)

@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The ANN plane-count dial, MEASURED (SURVEY §6.1): the streaming
+  * ANN ingest probe is honestly linear at a fixed plane count (probes
+  * and index grow together over a fixed 2^nPlanes bucket space, so
+  * per-probe candidate work grows with corpus depth), and the
+  * documented production dial is nPlanes ≈ log₂(N / target bucket
+  * size). This tool turns that prose into an artifact: it times the
+  * ingest-probe shape — [[graft.engine.VectorOps.stageAnnIndex]] over
+  * half the corpus, [[graft.engine.VectorOps.classifyAnnBatch]] over
+  * the other half (the same annProbeScore core the real stream runs) —
+  * at 8 and 16 hyperplanes, on the sf0.1 fixture and the ×10
+  * key-shifted ScaleCliff corpus, min over two full passes on every
+  * cell (the detector-noise protocol), and writes the four cells plus
+  * per-plane-count growth exponents side by side.
+  *
+  * Expected shape: at 8 planes (256 buckets) ×10 corpus depth inflates
+  * bucket occupancy ×10 on BOTH sides of the candidate join; at 16
+  * planes (65 536 buckets) the same corpus sits at fixture-like
+  * occupancy and the probe exponent falls — turning the dial IS the
+  * scale story, now measured rather than claimed.
+  *
+  * Usage: runMain graft.tools.PlaneDial [baseDir] [factor] [outJson]
+  */
+object PlaneDial {
+  def main(args: Array[String]): Unit = {
+    val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val outJson = args.lift(2).getOrElse("BENCH_planes.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val big = ScaleCliff.scaledCopy(spark, base, factor)
+    println(s"[planedial] scaled corpus at $big (${factor}x $base)")
+
+    def emb(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+
+    // stage one index per (corpus, planes) cell — staging is the
+    // build side, timed separately from the probe (the dial trades
+    // probe work; the index write grows linearly either way)
+    val cells = for (dir <- Seq(base, big); planes <- Seq(8, 16))
+      yield (dir, planes)
+    val idxPaths: Map[(String, Int), String] = cells.map { case (dir, p) =>
+      val path = graft.engine.StagedPaths.tmp(s"graft_planedial_${p}")
+      val t0 = System.nanoTime()
+      graft.engine.VectorOps.stageAnnIndex(
+        emb(dir).filter(col("vec_id") % 2 === 0), path, nPlanes = p, dim = 64)
+      println(f"[planedial] staged $dir planes=$p in ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      (dir, p) -> path
+    }.toMap
+
+    def once(dir: String, planes: Int): Double = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      val t0 = System.nanoTime()
+      graft.engine.VectorOps.classifyAnnBatch(spark, idxPaths((dir, planes)),
+        emb(dir).filter(col("vec_id") % 2 === 1), nPlanes = planes, dim = 64)
+        .groupBy("status").count().collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm-up pass (codegen/JIT) on the small side
+    Seq(8, 16).foreach(p => once(base, p))
+    // min over two FULL passes across all four cells (pulse protocol)
+    val passes = (1 to 2).map(_ =>
+      cells.map { case (d, p) => (d, p) -> once(d, p) }.toMap)
+    def best(d: String, p: Int): Double = passes.map(_((d, p))).min
+    def ms(v: Double): String =
+      java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    val rows = Seq(8, 16).map { p =>
+      val b = best(base, p)
+      val g = best(big, p)
+      val expo = math.log(g / b) / math.log(factor.toDouble)
+      println(s"[planedial] planes=$p base=${ms(b)}s x$factor=${ms(g)}s exponent=${ms(expo)}")
+      s""""planes_$p":{"base_sec":${ms(b)},"scaled_sec":${ms(g)},"ratio":${ms(g / b)},"exponent":${ms(expo)}}"""
+    }
+    val w = new java.io.PrintWriter(outJson)
+    try w.println(s"""{"base":"$base","factor":$factor,"probe":"stageAnnIndex(half) + classifyAnnBatch(half), min of 2 full passes","dim":64,"cells":{${rows.mkString(",")}}}""")
+    finally w.close()
+    println(s"[planedial] wrote $outJson")
+    spark.stop()
+  }
+}

@@ -28,7 +28,7 @@ object ScaleCliff {
 
   private val Off = 10000000L
 
-  private def scaledCopy(s: SparkSession, base: String, factor: Int): String = {
+  private[tools] def scaledCopy(s: SparkSession, base: String, factor: Int): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_scalecliff_x$factor"
     val marker = new java.io.File(s"$dir/embeddings.parquet/_SUCCESS")
     if (marker.exists()) return dir
