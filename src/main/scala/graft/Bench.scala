@@ -4,15 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
+    // session/calibration/prep/timing all come from BenchProtocol —
+    // the ONE definition every timing artifact shares
+    val spark = BenchProtocol.session(cpus)
     spark.sparkContext.setLogLevel("WARN")
     // untimed warm-up: the first action in a fresh session pays several
     // seconds of one-time initialization (whole-stage-codegen compiler,
@@ -41,14 +35,7 @@ object Bench {
       // once per dataset (like laying out a table at scale), so the
       // timed q_partition_prune below measures the pruned scan, not
       // the one-time sink
-      try graft.engine.Sinks.ensurePartitionedEvents(spark, sfDir)
-      catch { case _: Throwable => () }
-      try graft.engine.Sinks.ensureOrcLineitem(spark, sfDir)
-      catch { case _: Throwable => () }
-      try graft.engine.ScaleOps.ensureBucketedJoinTables(spark, sfDir)
-      catch { case _: Throwable => () }
-      try graft.engine.ScaleOps.ensureCompactionExec(spark, sfDir)
-      catch { case _: Throwable => () }
+      BenchProtocol.prepTables(spark, sfDir)
     }
     // stable alphabetical order: Map iteration order varies across
     // builds, which made per-query timings incomparable across rounds
@@ -67,17 +54,8 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
     def once(fn: (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): Double = {
-      // drop the PREVIOUS query's localCheckpoint blocks before the
-      // clock starts (TimeQ protocol): a dozen checkpointing queries
-      // would otherwise pin storage memory across the whole pass and
-      // squeeze execution memory for every later query — each query
-      // pays for its own cache, none pays for its predecessors'
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
-    }
+        org.apache.spark.sql.DataFrame): Double =
+      BenchProtocol.timeOnce(spark, fn, sfDir)
     // Host-speed calibration probe: a PINNED workload that never
     // changes across rounds (hash 3·10⁷ longs into 3·10⁶ groups,
     // shuffle-aggregate, re-aggregate — data-independent,
@@ -95,17 +73,7 @@ object Bench {
     // where every future measurement happens) — an arbitrary but FIXED unit, so
     // normalized totals are comparable across rounds by construction.
     val CalibrationRef = 1.69
-    def calibrateOnce(): Double = {
-      import org.apache.spark.sql.functions._
-      val t0 = System.nanoTime()
-      spark.range(30000000L)
-        .select(pmod(hash(col("id")), lit(3000000)).as("h"))
-        .groupBy("h").agg(count(lit(1)).as("c"))
-        .agg(sum("c")).collect()
-      (System.nanoTime() - t0) / 1e9
-    }
-    calibrateOnce() // untimed: its own codegen/JIT warm-up
-    val calibration = (1 to 3).map(_ => calibrateOnce()).min
+    val calibration = BenchProtocol.calibrate(spark)
     // Pulse guard prior: the PREVIOUS run's per-query map, read before
     // this run overwrites the file. Three rounds running, a host load
     // pulse poisoned a committed per-query number even through the

@@ -103,7 +103,19 @@ private[graft] object DeltaIndex {
   /** The COMPLETE index — base plus every epoch's delta. The read a
     * batch-side caller (outside any epoch) must use: admissions a
     * stream wrote are part of the index, not an implementation
-    * detail. */
+    * detail.
+    *
+    * CONCURRENCY BOUNDARY: [[IngestWriters]] serializes WRITERS, not
+    * reader-vs-compactor — a batch-side read whose parquet listing was
+    * planned just before a live stream's mid-epoch compaction swapped
+    * the base can fail with files-updated/not-found when it executes
+    * (overwrite-in-place has no snapshot isolation). Run batch
+    * classifies against a quiescent index, or from inside the owning
+    * stream's `onEpoch` (which is serialized with its compactions). A
+    * failed read is LOUD and retryable — never wrong results. At
+    * 100 TB the index lives in a snapshot-isolated table format
+    * (Iceberg-style) where compaction and reads never conflict; the
+    * in-place swap is the parity-mode single-process analog. */
   def readAll(s: SparkSession, indexPath: String): DataFrame =
     read(s, indexPath, excludeEpoch = -1L)
 
@@ -166,18 +178,26 @@ private[graft] object DeltaIndex {
     folded.foldLeft(s.read.parquet(indexPath))((acc, p) =>
         acc.unionByName(s.read.parquet(p.toString)))
       .write.mode("overwrite").parquet(tmpPath(indexPath).toString)
-    // 2. marker: folded dir names, one per line, renamed into place
+    // 2. marker: folded dir names, one per line, renamed into place.
+    // The rename result is CHECKED: proceeding to the swap without a
+    // durable marker would leave a crash window with no recovery.
     val staging = new org.apache.hadoop.fs.Path(
       indexPath + "_compact_commit.staging")
     val out = fs.create(staging, true)
     try out.write(folded.map(_.getName).mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    fs.rename(staging, markerPath(indexPath))
+    require(fs.rename(staging, markerPath(indexPath)),
+      s"compact marker publish failed for $indexPath — aborting before any state change")
     publishCompact(s, indexPath, folded.map(_.getName))
   }
 
   /** Steps 3-5 of the compact protocol — idempotent, so a crash at any
-    * point replays cleanly from the marker. */
+    * point replays cleanly from the marker. Every delete/rename result
+    * on the SWAP path is checked: a failed swap must abort loudly
+    * BEFORE the folded deltas and the marker are retired — the
+    * on-disk state (marker + tmp + deltas) stays fully recoverable and
+    * the next access retries; silently proceeding would orphan the
+    * merged image and lose the folded admissions forever. */
   private def publishCompact(s: SparkSession, indexPath: String,
                              foldedNames: Seq[String]): Unit = {
     val base = new org.apache.hadoop.fs.Path(indexPath)
@@ -186,8 +206,12 @@ private[graft] object DeltaIndex {
     // 3. swap the merged image in (rename, not rewrite: atomic on a
     // posix fs and never leaves a half-written base)
     if (fs.exists(tmp)) {
-      if (fs.exists(base)) fs.delete(base, true)
-      fs.rename(tmp, base)
+      if (fs.exists(base)) require(fs.delete(base, true),
+        s"compact swap: could not delete stale base $indexPath — " +
+          "aborting with marker+tmp+deltas intact (recoverable)")
+      require(fs.rename(tmp, base),
+        s"compact swap: could not rename ${tmp} to $indexPath — " +
+          "aborting with marker+tmp+deltas intact (recoverable)")
     }
     // 4. drop exactly the folded deltas (later epochs' deltas survive)
     val root = new org.apache.hadoop.fs.Path(indexPath + "_delta")

@@ -1687,11 +1687,11 @@ object VectorOps {
     // Plan contract asserted STRUCTURALLY on the un-executed physical
     // plan: the staged-read path and the hinted broadcast semi-join
     // are STATIC plan properties, present in the initial AQE plan
-    // before any stage runs — so the probe pipeline executes exactly
-    // ONCE, when the caller materializes the returned distributed
-    // frame (Verify's parquet write / Bench's count). Nothing collects
-    // to the driver: at 100 TB the admission-bounded batch flows
-    // executor-to-sink.
+    // before any stage runs — the probe pipeline then executes exactly
+    // ONCE, at the eager localCheckpoint below; the guard and the
+    // caller (Verify's parquet write / Bench's count) read its cached
+    // blocks. Nothing collects to the driver: at 100 TB the
+    // admission-bounded batch flows executor-to-sink.
     val plan = df.queryExecution.executedPlan.toString
     require(plan.contains("graft_ann_ingest_idx"),
       "the staged LSH index must be READ, not re-bucketed:\n" + plan.take(3000))
@@ -1699,14 +1699,17 @@ object VectorOps {
       "index probing must be a broadcast semi-join (no index shuffle):\n" +
         plan.take(3000))
     // loud-failure guard the structural asserts can't give (plan shape
-    // is input-independent): a broken/empty fixture must not pass as a
-    // suspiciously fast run. Checked on the CHECKPOINTED probes frame
-    // (one per result row — the scoring left-joins preserve every
-    // probe), so the guard reads a cached block and the probe pipeline
-    // itself still executes exactly once, when the caller materializes
-    // the returned frame.
-    require(!probes.isEmpty, "ingest probe set must be non-empty")
-    df
+    // is input-independent): a broken/empty fixture — or a scoring
+    // regression that silently empties the RESULT while probes are
+    // fine (a probe-preserving left join turned inner) — must not pass
+    // as a suspiciously fast run. The guard checks the RESULT frame,
+    // and the pipeline still executes exactly ONCE: the eager
+    // localCheckpoint is that single execution, and the guard plus the
+    // caller's materialization both read its cached blocks
+    // (executor-side storage — nothing collects to the driver).
+    val out = df.localCheckpoint(true)
+    require(!out.isEmpty, "ingest result must be non-empty")
+    out
   }
 
   /** The probe-scoring core shared by [[qStreamAnnIngest]] (batch

@@ -26,15 +26,10 @@ object IsolatedBench {
     val outJson = args.lift(1).getOrElse("BENCH_isolated.json")
     val topN = args.lift(2).map(_.toInt).getOrElse(25)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
+    // session/calibration/prep/timing shared with Bench via
+    // BenchProtocol — the artifacts are only comparable because the
+    // probe and config are bit-identical across tools
+    val spark = graft.BenchProtocol.session(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
     val txt = new String(java.nio.file.Files.readAllBytes(
@@ -51,22 +46,10 @@ object IsolatedBench {
       try qs(k)(spark, warm).count() catch { case _: Throwable => () }
     }
     // table prep the timed keys depend on (one-time sinks, Bench protocol)
-    try graft.engine.Sinks.ensurePartitionedEvents(spark, sfDir)
-    catch { case _: Throwable => () }
-    try graft.engine.Sinks.ensureOrcLineitem(spark, sfDir)
-    catch { case _: Throwable => () }
-    try graft.engine.ScaleOps.ensureBucketedJoinTables(spark, sfDir)
-    catch { case _: Throwable => () }
-    try graft.engine.ScaleOps.ensureCompactionExec(spark, sfDir)
-    catch { case _: Throwable => () }
+    graft.BenchProtocol.prepTables(spark, sfDir)
 
-    def once(k: String): Double = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      val t0 = System.nanoTime()
-      try qs(k)(spark, sfDir).count()
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
-    }
+    def once(k: String): Double =
+      graft.BenchProtocol.timeOnce(spark, qs(k), sfDir)
     // three FULL PASSES over the key list (not back-to-back per key):
     // minutes of other keys' work between a key's samples, so one host
     // pulse cannot poison all three — the property that makes the min
@@ -76,18 +59,8 @@ object IsolatedBench {
     def ms(v: Double): String =
       java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
-    // the pinned calibration probe (Bench's), min-of-3, for context
-    def calibrateOnce(): Double = {
-      import org.apache.spark.sql.functions._
-      val t0 = System.nanoTime()
-      spark.range(30000000L)
-        .select(pmod(hash(col("id")), lit(3000000)).as("h"))
-        .groupBy("h").agg(count(lit(1)).as("c"))
-        .agg(sum("c")).collect()
-      (System.nanoTime() - t0) / 1e9
-    }
-    calibrateOnce()
-    val calibration = (1 to 3).map(_ => calibrateOnce()).min
+    // the pinned calibration probe (shared), min-of-3, for context
+    val calibration = graft.BenchProtocol.calibrate(spark)
 
     val rows = keys.map { k =>
       val vs = passes.map(_(k)).filter(_ >= 0)

@@ -31,15 +31,7 @@ object PlaneDial {
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val outJson = args.lift(2).getOrElse("BENCH_planes.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
+    val spark = graft.BenchProtocol.session(cpus) // shared bench config
     spark.sparkContext.setLogLevel("WARN")
     val big = ScaleCliff.scaledCopy(spark, base, factor)
     println(s"[planedial] scaled corpus at $big (${factor}x $base)")

@@ -89,15 +89,7 @@ object ScaleCliff {
     val explicitKeys = args.lift(4).map(_.split(',').toSeq.map(_.trim)
       .filter(_.nonEmpty))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
+    val spark = graft.BenchProtocol.session(cpus) // shared bench config
     spark.sparkContext.setLogLevel("WARN")
     val big = scaledCopy(spark, base, factor)
     println(s"[scalecliff] scaled corpus at $big (${factor}x $base)")
@@ -108,13 +100,8 @@ object ScaleCliff {
     keys.foreach { k =>
       try qs(k)(spark, warm).count() catch { case _: Throwable => () }
     }
-    def once(k: String, dir: String): Double = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      val t0 = System.nanoTime()
-      try qs(k)(spark, dir).count()
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
-    }
+    def once(k: String, dir: String): Double =
+      graft.BenchProtocol.timeOnce(spark, qs(k), dir)
     def ms(v: Double): String =
       java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // min over TWO FULL PASSES on BOTH sides (the Bench protocol —
