@@ -1712,19 +1712,42 @@ object VectorOps {
     out
   }
 
+  /** All bucket-XOR masks within Hamming distance `bits` of 0 over
+    * `nPlanes` bit positions — the multiprobe neighborhood. Size is
+    * Σ_{b≤bits} C(nPlanes, b); guarded so a mis-dialed call can't
+    * explode the probe fan-out (16 planes / 2 bits = 137; the
+    * production pairing for a wide bucket space). */
+  private[graft] def multiprobeMasks(nPlanes: Int, bits: Int): Seq[Long] = {
+    require(bits >= 0 && bits <= nPlanes,
+      s"probeBits must be in [0, $nPlanes], got $bits")
+    def combos(start: Int, remaining: Int): Seq[Long] =
+      if (remaining == 0) Seq(0L)
+      else (start until nPlanes).flatMap(i =>
+        combos(i + 1, remaining - 1).map(m => m | (1L << i)))
+    val ms = (0 to bits).flatMap(b => combos(0, b))
+    require(ms.size <= 4096,
+      s"multiprobe fan-out ${ms.size} exceeds the 4096 cap " +
+        s"(nPlanes=$nPlanes, bits=$bits)")
+    ms
+  }
+
   /** The probe-scoring core shared by [[qStreamAnnIngest]] (batch
     * replay of the ingest shape) and [[startAnnIngest]] (the real
     * streaming composition). `index` holds (vec_id, v, nv, bucket) in
     * micro-units; `probes` holds (probe_id, v, nv, bucket0). Each
-    * probe fans out to its 1-bit multiprobe buckets, the index prunes
-    * to those keys with a broadcast LEFT SEMI (no index shuffle, no
-    * re-bucketing), candidates score with the exact integer cosine,
-    * and the verdict thresholds at `thresholdMicro`. */
+    * probe fans out to its multiprobe buckets (every bucket within
+    * `probeBits` Hamming bits — the recall dial that PAIRS with the
+    * plane-count dial: more planes shrink buckets, more probe bits
+    * recover the neighbors a finer bucketing splits away), the index
+    * prunes to those keys with a broadcast LEFT SEMI (no index
+    * shuffle, no re-bucketing), candidates score with the exact
+    * integer cosine, and the verdict thresholds at `thresholdMicro`. */
   private def annProbeScore(index: DataFrame, probes: DataFrame,
-                            nPlanes: Int, thresholdMicro: Long): DataFrame = {
+                            nPlanes: Int, thresholdMicro: Long,
+                            probeBits: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val S = 1000000.0
-    val masks = lit(0L) +: (0 until nPlanes).map(i => lit(1L << i))
+    val masks = multiprobeMasks(nPlanes, probeBits).map(lit)
     val pex = probes.select(col("probe_id"), col("v").as("pv"),
       col("nv").as("pnv"),
       explode(array(masks.map(m => col("bucket0").bitwiseXOR(m)): _*))
@@ -1786,11 +1809,12 @@ object VectorOps {
     * `new` — the multiprobe recall trade, measured not assumed. */
   def classifyAnnBatch(s: SparkSession, indexPath: String, batch: DataFrame,
                        nPlanes: Int = 8, dim: Int = 64,
-                       thresholdMicro: Long = 950000L): DataFrame =
+                       thresholdMicro: Long = 950000L,
+                       probeBits: Int = 1): DataFrame =
     // the COMPLETE index: base plus every delta a stream has admitted
     // (see classifyNeardupBatch — same duplicate-admission hazard)
     classifyAnnCore(DeltaIndex.readAll(s, indexPath), batch, nPlanes, dim,
-      thresholdMicro)._1
+      thresholdMicro, probeBits)._1
 
   /** Classification plus the CHECKPOINTED quantized probe frame, for
     * callers (the streaming epoch) that also need the admitted
@@ -1798,12 +1822,13 @@ object VectorOps {
     * re-quantizing what this pass already quantized. */
   private def classifyAnnCore(index: DataFrame, batch: DataFrame,
                               nPlanes: Int, dim: Int,
-                              thresholdMicro: Long): (DataFrame, DataFrame) = {
+                              thresholdMicro: Long,
+                              probeBits: Int = 1): (DataFrame, DataFrame) = {
     val probes = annMicroRows(batch, "vec_id", hyperplanes(nPlanes, dim))
       .withColumnRenamed("vec_id", "probe_id")
       .withColumnRenamed("bucket", "bucket0")
       .localCheckpoint(true) // one quantize pass feeds fan-out AND report
-    (annProbeScore(index, probes, nPlanes, thresholdMicro), probes)
+    (annProbeScore(index, probes, nPlanes, thresholdMicro, probeBits), probes)
   }
 
   /** ONE ANN ingest epoch, IDEMPOTENT under at-least-once foreachBatch
@@ -1814,10 +1839,11 @@ object VectorOps {
   private[graft] def annIngestEpoch(s: SparkSession, indexPath: String,
                                     epochId: Long, data: DataFrame,
                                     nPlanes: Int = 8, dim: Int = 64,
-                                    thresholdMicro: Long = 950000L): DataFrame = {
+                                    thresholdMicro: Long = 950000L,
+                                    probeBits: Int = 1): DataFrame = {
     val (classified0, probes) = classifyAnnCore(
       DeltaIndex.read(s, indexPath, epochId), data, nPlanes, dim,
-      thresholdMicro)
+      thresholdMicro, probeBits)
     // plan contract per epoch, on the un-executed frame (see
     // TextOps.neardupIngestEpoch): staged index read + broadcast semi
     val plan = classified0.queryExecution.executedPlan.toString
@@ -1852,7 +1878,8 @@ object VectorOps {
                      onEpoch: (Long, DataFrame) => Unit,
                      nPlanes: Int = 8, dim: Int = 64,
                      thresholdMicro: Long = 950000L,
-                     compactEvery: Int = 8)
+                     compactEvery: Int = 8,
+                     probeBits: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // one live writer per index + periodic mid-stream compaction once
     // the committed delta count reaches compactEvery — see
@@ -1876,7 +1903,7 @@ object VectorOps {
           DeltaIndex.maybeCompact(sess, indexPath, epochId, compactEvery)
           val data = batch.select("vec_id", "embedding").localCheckpoint(true)
           val classified = annIngestEpoch(sess, indexPath,
-            epochId, data, nPlanes, dim, thresholdMicro)
+            epochId, data, nPlanes, dim, thresholdMicro, probeBits)
           // per-topic admitted/matched counters (see startNeardupIngest)
           IngestMetrics.recordEpoch(topic, classified)
           if (!data.isEmpty) onEpoch(epochId, classified)

@@ -41,44 +41,52 @@ object PlaneDial {
 
     // stage one index per (corpus, planes) cell — staging is the
     // build side, timed separately from the probe (the dial trades
-    // probe work; the index write grows linearly either way)
-    val cells = for (dir <- Seq(base, big); planes <- Seq(8, 16))
-      yield (dir, planes)
-    val idxPaths: Map[(String, Int), String] = cells.map { case (dir, p) =>
-      val path = graft.engine.StagedPaths.tmp(s"graft_planedial_${p}")
-      val t0 = System.nanoTime()
-      graft.engine.VectorOps.stageAnnIndex(
-        emb(dir).filter(col("vec_id") % 2 === 0), path, nPlanes = p, dim = 64)
-      println(f"[planedial] staged $dir planes=$p in ${(System.nanoTime() - t0) / 1e9}%.3f s")
-      (dir, p) -> path
-    }.toMap
+    // probe work; the index write grows linearly either way).
+    // Dial settings measured: the fixed-narrow space (8 planes,
+    // 1 probe bit), the widened space (16/1), and the PAIRED
+    // production setting (16 planes / 2 probe bits — the wider space
+    // splits true neighbors across more buckets, the extra probe bit
+    // buys them back; see Round21OpsSpec's recall measurement).
+    val settings = Seq((8, 1), (16, 1), (16, 2))
+    val cells = for (dir <- Seq(base, big); (planes, bits) <- settings)
+      yield (dir, planes, bits)
+    val idxPaths: Map[(String, Int), String] =
+      (for (dir <- Seq(base, big); p <- settings.map(_._1).distinct) yield {
+        val path = graft.engine.StagedPaths.tmp(s"graft_planedial_${p}")
+        val t0 = System.nanoTime()
+        graft.engine.VectorOps.stageAnnIndex(
+          emb(dir).filter(col("vec_id") % 2 === 0), path, nPlanes = p, dim = 64)
+        println(f"[planedial] staged $dir planes=$p in ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        (dir, p) -> path
+      }).toMap
 
-    def once(dir: String, planes: Int): Double = {
+    def once(dir: String, planes: Int, bits: Int): Double = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       val t0 = System.nanoTime()
       graft.engine.VectorOps.classifyAnnBatch(spark, idxPaths((dir, planes)),
-        emb(dir).filter(col("vec_id") % 2 === 1), nPlanes = planes, dim = 64)
+        emb(dir).filter(col("vec_id") % 2 === 1), nPlanes = planes, dim = 64,
+        probeBits = bits)
         .groupBy("status").count().collect()
       (System.nanoTime() - t0) / 1e9
     }
     // warm-up pass (codegen/JIT) on the small side
-    Seq(8, 16).foreach(p => once(base, p))
-    // min over two FULL passes across all four cells (pulse protocol)
+    settings.foreach { case (p, b) => once(base, p, b) }
+    // min over two FULL passes across all cells (pulse protocol)
     val passes = (1 to 2).map(_ =>
-      cells.map { case (d, p) => (d, p) -> once(d, p) }.toMap)
-    def best(d: String, p: Int): Double = passes.map(_((d, p))).min
+      cells.map { case (d, p, b) => (d, p, b) -> once(d, p, b) }.toMap)
+    def best(d: String, p: Int, b: Int): Double = passes.map(_((d, p, b))).min
     def ms(v: Double): String =
       java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
-    val rows = Seq(8, 16).map { p =>
-      val b = best(base, p)
-      val g = best(big, p)
+    val rows = settings.map { case (p, bits) =>
+      val b = best(base, p, bits)
+      val g = best(big, p, bits)
       val expo = math.log(g / b) / math.log(factor.toDouble)
-      println(s"[planedial] planes=$p base=${ms(b)}s x$factor=${ms(g)}s exponent=${ms(expo)}")
-      s""""planes_$p":{"base_sec":${ms(b)},"scaled_sec":${ms(g)},"ratio":${ms(g / b)},"exponent":${ms(expo)}}"""
+      println(s"[planedial] planes=$p bits=$bits base=${ms(b)}s x$factor=${ms(g)}s exponent=${ms(expo)}")
+      s""""planes_${p}_bits_$bits":{"base_sec":${ms(b)},"scaled_sec":${ms(g)},"ratio":${ms(g / b)},"exponent":${ms(expo)}}"""
     }
     val w = new java.io.PrintWriter(outJson)
-    try w.println(s"""{"base":"$base","factor":$factor,"probe":"stageAnnIndex(half) + classifyAnnBatch(half), min of 2 full passes","dim":64,"cells":{${rows.mkString(",")}}}""")
+    try w.println(s"""{"base":"$base","factor":$factor,"probe":"stageAnnIndex(half) + classifyAnnBatch(half), min of 2 full passes, cells are (planes, probeBits)","dim":64,"cells":{${rows.mkString(",")}}}""")
     finally w.close()
     println(s"[planedial] wrote $outJson")
     spark.stop()

@@ -319,4 +319,57 @@ class Round21OpsSpec extends SparkSuite {
       assert(epochs.contains(100L), "a recreated topic serves a fresh checkpoint")
     } finally GraftStoreRegistry.unregister("s_ttl")
   }
+
+  test("multiprobe-bits dial: at a wide bucket space (16 planes) extra probe bits recover the copies a 1-bit probe splits away") {
+    import graft.engine.VectorOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_probebits")
+    val idx = dir.resolve("pb_idx").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    VectorOps.stageAnnIndex(emb, idx, nPlanes = 16, dim = 64)
+    // a jittered copy of EVERY indexed vector: deterministic md5
+    // per-dim jitter up to ±0.0045 — the fixture vectors are
+    // unit-norm, so cosine vs the original stays ~0.9996 (well over
+    // the 0.95 threshold), while at 16 planes a fraction of copies
+    // drift ≥ 2 bucket bits — exactly the copies the dial is for
+    val probes = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, j) =>
+        (x.cast("double") +
+          (conv(substring(md5(concat(lit("pb:"),
+            col("vec_id").cast("string"), lit(":"), j.cast("string"))),
+            1, 8), 16, 10).cast("long") % 9001L - 4500L).cast("double")
+            / 1000000.0d)
+        .cast("float")).as("embedding"))
+      .localCheckpoint(true)
+    def outcomes(bits: Int): Map[Long, (String, Long)] =
+      VectorOps.classifyAnnBatch(spark, idx, probes, nPlanes = 16,
+          dim = 64, probeBits = bits)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getString(4), r.getLong(2))).toMap
+    val one = outcomes(1)
+    val two = outcomes(2)
+    def matchedSet(m: Map[Long, (String, Long)]): Set[Long] =
+      m.collect { case (id, ("matched", _)) => id }.toSet
+    val (m1, m2) = (matchedSet(one), matchedSet(two))
+    // widening the neighborhood can only ADD candidates, and the
+    // verdict is the exact-cosine threshold — so matches are monotone
+    // in probeBits, and every extra match is the probe's true original
+    assert(m1.subsetOf(m2), s"probeBits must be monotone: ${m1 -- m2}")
+    assert(m2.size > m1.size,
+      s"2-bit multiprobe must recover drift-2 copies (1-bit matched ${m1.size}/${one.size}, 2-bit ${m2.size})")
+    val extra = m2 -- m1
+    assert(extra.forall(id => two(id)._2 == id - 1000000L),
+      s"every recovered match must be the probe's own original: " +
+        extra.map(id => id -> two(id)).toMap.take(5).toString)
+    // mask algebra: |masks| = sum of C(n, b) for b <= bits
+    assert(VectorOps.multiprobeMasks(16, 1).size == 17)
+    assert(VectorOps.multiprobeMasks(16, 2).size == 137)
+    assert(VectorOps.multiprobeMasks(4, 4).size == 16)
+    intercept[IllegalArgumentException] {
+      VectorOps.multiprobeMasks(16, 17)
+    }
+    intercept[IllegalArgumentException] {
+      VectorOps.multiprobeMasks(16, 12) // fan-out cap
+    }
+  }
 }
