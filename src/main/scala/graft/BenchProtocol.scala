@@ -9,9 +9,12 @@ import org.apache.spark.sql.SparkSession
   * `tools.IsolatedBench` (BENCH_isolated.json), `tools.ScaleCliff`
   * (BENCH_sfX*.json) and `tools.PlaneDial` (BENCH_planes.json) all
   * call through here — a probe or config tweak that landed in only
-  * one file would silently skew every cross-artifact comparison
-  * (calibration_sec is only meaningful because every file's probe is
-  * bit-identical). */
+  * one file would silently skew every cross-artifact comparison.
+  * Comparability caveat: calibration_sec is valid WITHIN one artifact
+  * across rounds at a fixed SPARK_GRAFT_CPUS (the probe's wall time
+  * is core-count dependent — Bench defaults cpus=4 standalone while
+  * the driver and the tools run 32); never divide one artifact's
+  * numbers by a different-cpus artifact's calibration. */
 object BenchProtocol {
 
   /** The bench session: local[cpus], shuffle partitions = cpus, AQE

@@ -1720,15 +1720,27 @@ object VectorOps {
   private[graft] def multiprobeMasks(nPlanes: Int, bits: Int): Seq[Long] = {
     require(bits >= 0 && bits <= nPlanes,
       s"probeBits must be in [0, $nPlanes], got $bits")
+    // cap checked ARITHMETICALLY before any mask materializes: the
+    // guard must fire as a fast exception on a mis-dialed call, not
+    // OOM the driver generating the exponential list it rejects. The
+    // running Σ C(nPlanes, b) short-circuits past the cap, so the
+    // intermediate binomials stay small (≤ cap × nPlanes).
+    var total = 1L // C(n, 0)
+    var choose = 1L
+    var b = 0
+    while (b < bits && total <= 4096) {
+      choose = choose * (nPlanes - b) / (b + 1)
+      total += choose
+      b += 1
+    }
+    require(total <= 4096,
+      s"multiprobe fan-out ${if (b < bits) ">" + total else total.toString} " +
+        s"exceeds the 4096 cap (nPlanes=$nPlanes, bits=$bits)")
     def combos(start: Int, remaining: Int): Seq[Long] =
       if (remaining == 0) Seq(0L)
       else (start until nPlanes).flatMap(i =>
         combos(i + 1, remaining - 1).map(m => m | (1L << i)))
-    val ms = (0 to bits).flatMap(b => combos(0, b))
-    require(ms.size <= 4096,
-      s"multiprobe fan-out ${ms.size} exceeds the 4096 cap " +
-        s"(nPlanes=$nPlanes, bits=$bits)")
-    ms
+    (0 to bits).flatMap(b => combos(0, b))
   }
 
   /** The probe-scoring core shared by [[qStreamAnnIngest]] (batch

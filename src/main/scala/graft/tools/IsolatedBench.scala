@@ -27,8 +27,9 @@ object IsolatedBench {
     val topN = args.lift(2).map(_.toInt).getOrElse(25)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // session/calibration/prep/timing shared with Bench via
-    // BenchProtocol — the artifacts are only comparable because the
-    // probe and config are bit-identical across tools
+    // BenchProtocol — the probe and config are code-identical across
+    // tools (calibration comparisons additionally require the same
+    // SPARK_GRAFT_CPUS; see BenchProtocol's caveat)
     val spark = graft.BenchProtocol.session(cpus)
     spark.sparkContext.setLogLevel("WARN")
 

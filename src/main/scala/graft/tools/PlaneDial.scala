@@ -60,15 +60,13 @@ object PlaneDial {
         (dir, p) -> path
       }).toMap
 
-    def once(dir: String, planes: Int, bits: Int): Double = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      val t0 = System.nanoTime()
-      graft.engine.VectorOps.classifyAnnBatch(spark, idxPaths((dir, planes)),
-        emb(dir).filter(col("vec_id") % 2 === 1), nPlanes = planes, dim = 64,
-        probeBits = bits)
-        .groupBy("status").count().collect()
-      (System.nanoTime() - t0) / 1e9
-    }
+    def once(dir: String, planes: Int, bits: Int): Double =
+      // shared timing protocol; the consuming count() rides inside
+      graft.BenchProtocol.timeOnce(spark, (s, dd) =>
+        graft.engine.VectorOps.classifyAnnBatch(s, idxPaths((dd, planes)),
+          emb(dd).filter(col("vec_id") % 2 === 1), nPlanes = planes,
+          dim = 64, probeBits = bits)
+          .groupBy("status").agg(count(lit(1)).as("n")), dir)
     // warm-up pass (codegen/JIT) on the small side
     settings.foreach { case (p, b) => once(base, p, b) }
     // min over two FULL passes across all cells (pulse protocol)
