@@ -1756,17 +1756,37 @@ object VectorOps {
     * integer cosine, and the verdict thresholds at `thresholdMicro`. */
   private def annProbeScore(index: DataFrame, probes: DataFrame,
                             nPlanes: Int, thresholdMicro: Long,
-                            probeBits: Int = 1): DataFrame = {
+                            probeBits: Int = 1,
+                            indexKeyPrune: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val S = 1000000.0
     val masks = multiprobeMasks(nPlanes, probeBits).map(lit)
     val pex = probes.select(col("probe_id"), col("v").as("pv"),
-      col("nv").as("pnv"),
-      explode(array(masks.map(m => col("bucket0").bitwiseXOR(m)): _*))
-        .as("bucket"))
+      col("nv").as("pnv"), explode(array(masks.map(m =>
+        col("bucket0").bitwiseXOR(m)): _*)).as("bucket"))
     val probeKeys = pex.select("bucket").distinct()
+    // For a BUCKET-PARTITIONED index layout (stageAnnIndex
+    // bucketPartitioned = true — the 100 TB layout), push the batch's
+    // multiprobe key set as a STATIC partition filter: the key set is
+    // BOUNDED BY DESIGN (admission-bounded batch × the ≤4096-mask
+    // multiprobe fan-out, and never more than the 2^nPlanes bucket
+    // space), so the collect is a bounded planning input — the same
+    // contract as Iceberg runtime file pruning — and only the
+    // matching partition dirs are ever listed or read. Spark's DPP
+    // can't do this for us here: the probe side is a checkpointed RDD
+    // with no selective predicate, which the PartitionPruning rule
+    // (correctly) declines. The broadcast semi-join below still
+    // applies exactly, so the pre-filter is purely an optimization;
+    // an oversized key set (> 4096) skips it.
+    val indexIn =
+      if (!indexKeyPrune) index
+      else {
+        val keys = probeKeys.collect().map(_.getLong(0)).toSeq
+        if (keys.isEmpty || keys.size > 4096) index
+        else index.filter(col("bucket").isin(keys: _*))
+      }
     // the index pruned to the batch's multiprobe bucket keys
-    val pruned = index.join(broadcast(probeKeys), Seq("bucket"), "left_semi")
+    val pruned = indexIn.join(broadcast(probeKeys), Seq("bucket"), "left_semi")
     def cs(a: Column, na: Column, b: Column, nb: Column): Column =
       when(na === 0L || nb === 0L, lit(-2000000L)).otherwise(
         floor(aggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
@@ -1809,9 +1829,24 @@ object VectorOps {
     * vector near-dup (SemDeDup at the door). At 100 TB the write adds
     * bucket partitioning; the probe algebra is unchanged. */
   def stageAnnIndex(emb: DataFrame, path: String,
-                    nPlanes: Int = 8, dim: Int = 64): Unit =
-    annMicroRows(emb, "vec_id", hyperplanes(nPlanes, dim))
-      .write.mode("overwrite").parquet(path)
+                    nPlanes: Int = 8, dim: Int = 64,
+                    bucketPartitioned: Boolean = false): Unit = {
+    val rows = annMicroRows(emb, "vec_id", hyperplanes(nPlanes, dim))
+    // bucketPartitioned = the 100 TB layout, executable: one parquet
+    // partition dir per LSH bucket, so the probe's broadcast semi-join
+    // on `bucket` triggers DYNAMIC PARTITION PRUNING — only the
+    // batch's multiprobe buckets are ever listed or read, the "probes
+    // touch only matching buckets" claim as a plan property
+    // (spec-asserted: `dynamicpruning` in the probe plan, verdicts
+    // identical to the flat layout). Partition values parse back as
+    // ints where the flat layout serves longs; the probe join coerces,
+    // and classify results are layout-independent by spec. Default
+    // stays flat: at fixture scale 2^nPlanes directories of tiny files
+    // cost more than they prune.
+    if (bucketPartitioned)
+      rows.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    else rows.write.mode("overwrite").parquet(path)
+  }
 
   /** Classify ONE arriving batch of (vec_id, embedding) against the
     * staged sign-LSH index: per vector, `matched` (exact integer
@@ -1822,11 +1857,12 @@ object VectorOps {
   def classifyAnnBatch(s: SparkSession, indexPath: String, batch: DataFrame,
                        nPlanes: Int = 8, dim: Int = 64,
                        thresholdMicro: Long = 950000L,
-                       probeBits: Int = 1): DataFrame =
+                       probeBits: Int = 1,
+                       bucketPartitioned: Boolean = false): DataFrame =
     // the COMPLETE index: base plus every delta a stream has admitted
     // (see classifyNeardupBatch — same duplicate-admission hazard)
     classifyAnnCore(DeltaIndex.readAll(s, indexPath), batch, nPlanes, dim,
-      thresholdMicro, probeBits)._1
+      thresholdMicro, probeBits, indexKeyPrune = bucketPartitioned)._1
 
   /** Classification plus the CHECKPOINTED quantized probe frame, for
     * callers (the streaming epoch) that also need the admitted
@@ -1835,12 +1871,15 @@ object VectorOps {
   private def classifyAnnCore(index: DataFrame, batch: DataFrame,
                               nPlanes: Int, dim: Int,
                               thresholdMicro: Long,
-                              probeBits: Int = 1): (DataFrame, DataFrame) = {
+                              probeBits: Int = 1,
+                              indexKeyPrune: Boolean = false)
+      : (DataFrame, DataFrame) = {
     val probes = annMicroRows(batch, "vec_id", hyperplanes(nPlanes, dim))
       .withColumnRenamed("vec_id", "probe_id")
       .withColumnRenamed("bucket", "bucket0")
       .localCheckpoint(true) // one quantize pass feeds fan-out AND report
-    (annProbeScore(index, probes, nPlanes, thresholdMicro, probeBits), probes)
+    (annProbeScore(index, probes, nPlanes, thresholdMicro, probeBits,
+      indexKeyPrune), probes)
   }
 
   /** ONE ANN ingest epoch, IDEMPOTENT under at-least-once foreachBatch
