@@ -174,10 +174,23 @@ private[graft] object DeltaIndex {
     val folded = deltaPaths(s, indexPath).filter(epochOf(_) < belowEpoch)
     if (folded.isEmpty) return
     val fs = fsOf(s, markerPath(indexPath))
-    // 1. complete merged image beside the base
-    folded.foldLeft(s.read.parquet(indexPath))((acc, p) =>
-        acc.unionByName(s.read.parquet(p.toString)))
-      .write.mode("overwrite").parquet(tmpPath(indexPath).toString)
+    // 1. complete merged image beside the base — PRESERVING the base's
+    // partition layout: a bucket-partitioned index (stageAnnIndex
+    // bucketPartitioned = true) folded to flat parquet would silently
+    // lose its partition dirs and every later partition-pruned probe
+    // would degrade to a full-index scan. Hive-style `col=value` dirs
+    // in the base name the partition column to re-apply.
+    val partCol: Option[String] = {
+      val basePath = new org.apache.hadoop.fs.Path(indexPath)
+      fs.listStatus(basePath).toSeq.map(_.getPath.getName)
+        .collectFirst { case n if n.matches("[A-Za-z_][A-Za-z0-9_]*=.*") =>
+          n.substring(0, n.indexOf('=')) }
+    }
+    val merged = folded.foldLeft(s.read.parquet(indexPath))((acc, p) =>
+      acc.unionByName(s.read.parquet(p.toString), allowMissingColumns = false))
+    val w = merged.write.mode("overwrite")
+    partCol.fold(w)(w.partitionBy(_))
+      .parquet(tmpPath(indexPath).toString)
     // 2. marker: folded dir names, one per line, renamed into place.
     // The rename result is CHECKED: proceeding to the swap without a
     // durable marker would leave a crash window with no recovery.

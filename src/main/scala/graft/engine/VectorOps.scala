@@ -1768,25 +1768,47 @@ object VectorOps {
     // For a BUCKET-PARTITIONED index layout (stageAnnIndex
     // bucketPartitioned = true — the 100 TB layout), push the batch's
     // multiprobe key set as a STATIC partition filter: the key set is
-    // BOUNDED BY DESIGN (admission-bounded batch × the ≤4096-mask
-    // multiprobe fan-out, and never more than the 2^nPlanes bucket
-    // space), so the collect is a bounded planning input — the same
-    // contract as Iceberg runtime file pruning — and only the
-    // matching partition dirs are ever listed or read. Spark's DPP
-    // can't do this for us here: the probe side is a checkpointed RDD
-    // with no selective predicate, which the PartitionPruning rule
-    // (correctly) declines. The broadcast semi-join below still
-    // applies exactly, so the pre-filter is purely an optimization;
-    // an oversized key set (> 4096) skips it.
-    val indexIn =
-      if (!indexKeyPrune) index
+    // bounded by the batch (admission-controlled) × the ≤4096-mask
+    // fan-out AND by the 2^nPlanes bucket space, so the collect is a
+    // bounded planning input — the same contract as Iceberg runtime
+    // file pruning — and only the matching partition dirs are ever
+    // listed or read. Spark's DPP can't do this for us here: the
+    // probe side is a checkpointed RDD with no selective predicate,
+    // which the PartitionPruning rule (correctly) declines. The
+    // broadcast semi-join below still applies exactly, so the
+    // pre-filter is purely an optimization. Null buckets (null
+    // embeddings) are excluded from the key set — a null key matches
+    // nothing in the semi-join either, so verdicts stay
+    // layout-independent. The push is skipped ONLY when useless
+    // (keys cover the whole bucket space) or when the In literal list
+    // would dominate planning (> 65536 keys — LOGGED, never silent).
+    val (indexIn, probeKeysBuild) =
+      if (!indexKeyPrune) (index, probeKeys)
       else {
-        val keys = probeKeys.collect().map(_.getLong(0)).toSeq
-        if (keys.isEmpty || keys.size > 4096) index
-        else index.filter(col("bucket").isin(keys: _*))
+        val keys = probeKeys.filter(col("bucket").isNotNull)
+          .collect().map(_.getLong(0)).toSeq
+        val space = if (nPlanes >= 62) Long.MaxValue else 1L << nPlanes
+        if (keys.nonEmpty && keys.size.toLong < space && keys.size <= 65536) {
+          // reuse the driver-side keys as the broadcast build too —
+          // no second distinct job over the exploded probe frame
+          val kf = index.sparkSession.createDataFrame(
+            index.sparkSession.sparkContext.parallelize(
+              keys.map(org.apache.spark.sql.Row(_)), 1),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("bucket",
+                org.apache.spark.sql.types.LongType, nullable = false))))
+          (index.filter(col("bucket").isin(keys: _*)), kf)
+        } else {
+          if (keys.size > 65536)
+            System.err.println(s"[graft] annProbeScore: partition-key " +
+              s"push skipped — ${keys.size} keys exceed the 65536 In-list " +
+              "valve (semi-join still prunes exactly)")
+          (index, probeKeys)
+        }
       }
     // the index pruned to the batch's multiprobe bucket keys
-    val pruned = indexIn.join(broadcast(probeKeys), Seq("bucket"), "left_semi")
+    val pruned = indexIn.join(broadcast(probeKeysBuild), Seq("bucket"),
+      "left_semi")
     def cs(a: Column, na: Column, b: Column, nb: Column): Column =
       when(na === 0L || nb === 0L, lit(-2000000L)).otherwise(
         floor(aggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
@@ -1833,16 +1855,20 @@ object VectorOps {
                     bucketPartitioned: Boolean = false): Unit = {
     val rows = annMicroRows(emb, "vec_id", hyperplanes(nPlanes, dim))
     // bucketPartitioned = the 100 TB layout, executable: one parquet
-    // partition dir per LSH bucket, so the probe's broadcast semi-join
-    // on `bucket` triggers DYNAMIC PARTITION PRUNING — only the
-    // batch's multiprobe buckets are ever listed or read, the "probes
+    // partition dir per LSH bucket. classifyAnnBatch(bucketPartitioned
+    // = true) then pushes the batch's bounded multiprobe key set as a
+    // STATIC partition filter (Spark's DPP correctly declines on the
+    // checkpointed-RDD probe side — see annProbeScore), so only the
+    // batch's multiprobe buckets are ever listed or read: the "probes
     // touch only matching buckets" claim as a plan property
-    // (spec-asserted: `dynamicpruning` in the probe plan, verdicts
-    // identical to the flat layout). Partition values parse back as
-    // ints where the flat layout serves longs; the probe join coerces,
-    // and classify results are layout-independent by spec. Default
-    // stays flat: at fixture scale 2^nPlanes directories of tiny files
-    // cost more than they prune.
+    // (spec-asserted: `PartitionFilters: [...IN...]` on the probe
+    // plan, verdicts identical to the flat layout). Partition values
+    // parse back as ints where the flat layout serves longs; the probe
+    // join coerces, and classify results are layout-independent by
+    // spec. Default stays flat: at fixture scale 2^nPlanes directories
+    // of tiny files cost more than they prune. DeltaIndex.compact
+    // preserves the layout (it re-partitions the folded base by the
+    // detected partition column).
     if (bucketPartitioned)
       rows.write.mode("overwrite").partitionBy("bucket").parquet(path)
     else rows.write.mode("overwrite").parquet(path)

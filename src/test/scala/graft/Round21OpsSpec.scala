@@ -373,22 +373,27 @@ class Round21OpsSpec extends SparkSuite {
     }
   }
 
-  test("bucket-partitioned index layout: the probe semi-join dynamically prunes partitions, verdicts layout-independent") {
+  test("bucket-partitioned index layout: the bounded probe-key set pushes as a static partition filter, verdicts layout-independent") {
     import graft.engine.VectorOps
     val dir = java.nio.file.Files.createTempDirectory("graft_bucketpart")
     val flat = dir.resolve("bp_flat").toString
     val part = dir.resolve("bp_part").toString
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
-    VectorOps.stageAnnIndex(emb.filter(col("vec_id") % 2 === 0), flat)
+    // 16 planes: a 65 536-bucket space the 250-probe batch's multiprobe
+    // neighborhood covers only sparsely — the regime the layout is FOR
+    // (at 8 planes this batch covers all 256 buckets and the push is
+    // correctly skipped as useless — asserted below)
+    VectorOps.stageAnnIndex(emb.filter(col("vec_id") % 2 === 0), flat,
+      nPlanes = 16)
     VectorOps.stageAnnIndex(emb.filter(col("vec_id") % 2 === 0), part,
-      bucketPartitioned = true)
+      nPlanes = 16, bucketPartitioned = true)
     assert(new java.io.File(part).listFiles()
       .exists(_.getName.startsWith("bucket=")),
       "the partitioned layout must write one dir per LSH bucket")
     val probes = emb.filter(col("vec_id") % 2 === 1)
     def classify(idx: String, partitioned: Boolean) =
-      VectorOps.classifyAnnBatch(spark, idx, probes,
+      VectorOps.classifyAnnBatch(spark, idx, probes, nPlanes = 16,
         bucketPartitioned = partitioned)
     def outcomes(idx: String, partitioned: Boolean): Map[Long, (String, Long)] =
       classify(idx, partitioned).collect()
@@ -406,11 +411,48 @@ class Round21OpsSpec extends SparkSuite {
     // listed or read
     val plan = classify(part, partitioned = true)
       .queryExecution.executedPlan.toString
-    val scanLine = plan.linesIterator
-      .find(l => l.contains("bp_part") && l.contains("PartitionFilters"))
-    assert(scanLine.exists(l =>
-      l.contains("PartitionFilters: [") &&
-        (l.contains("bucket") && (l.contains(" IN ") || l.contains("INSET")))),
-      s"the partitioned index scan must carry the probe-key partition filter:\n$scanLine\n${plan.take(3000)}")
+    def hasKeyFilter(p: String): Boolean = p.linesIterator
+      .exists(l => l.contains("bp_part") && l.contains("PartitionFilters: [") &&
+        l.contains("bucket") && (l.contains(" IN ") || l.contains("INSET")))
+    assert(hasKeyFilter(plan),
+      s"the partitioned index scan must carry the probe-key partition filter:\n${plan.take(3000)}")
+    // and COMPACTION PRESERVES THE LAYOUT: an ingest epoch writes a
+    // delta, the fold re-partitions the merged base by the detected
+    // partition column — the partition dirs (and the pruned plan)
+    // survive, verdicts unchanged
+    VectorOps.annIngestEpoch(spark, part, 0L,
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        Seq(org.apache.spark.sql.Row(777777L,
+          (0 until 64).map(_ => 0.5f))).toList),
+        StructType(Seq(StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType))))),
+      nPlanes = 16).collect()
+    assert(graft.engine.DeltaIndex.outstanding(spark, part) == 1)
+    // baseline AFTER the epoch grew the index (base + delta) — the
+    // fold must serve the identical content from the partitioned base
+    val beforeCompact = outcomes(part, partitioned = true)
+    graft.engine.DeltaIndex.compact(spark, part)
+    assert(graft.engine.DeltaIndex.outstanding(spark, part) == 0)
+    assert(new java.io.File(part).listFiles()
+      .exists(_.getName.startsWith("bucket=")),
+      "compaction must preserve the bucket-partitioned layout")
+    assert(outcomes(part, partitioned = true) == beforeCompact,
+      "verdicts unchanged across a layout-preserving compaction")
+    assert(hasKeyFilter(classify(part, partitioned = true)
+        .queryExecution.executedPlan.toString),
+      "the partition filter must still fire after compaction")
+    // useless-push valve: at 8 planes this batch's multiprobe
+    // neighborhood covers the whole 256-bucket space — the push is
+    // skipped (filtering by every key prunes nothing), the semi-join
+    // still prunes exactly
+    val flat8 = dir.resolve("bp_flat8").toString
+    VectorOps.stageAnnIndex(emb.filter(col("vec_id") % 2 === 0), flat8,
+      bucketPartitioned = true)
+    val plan8 = VectorOps.classifyAnnBatch(spark, flat8, probes,
+        bucketPartitioned = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan8.linesIterator.exists(l => l.contains("bp_flat8") &&
+        l.contains("INSET")),
+      "a whole-space key set must not be pushed")
   }
 }
