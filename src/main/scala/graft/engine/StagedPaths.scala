@@ -174,22 +174,37 @@ private[graft] object DeltaIndex {
     val folded = deltaPaths(s, indexPath).filter(epochOf(_) < belowEpoch)
     if (folded.isEmpty) return
     val fs = fsOf(s, markerPath(indexPath))
+    // A stale tmp from a pre-marker crashed attempt is dropped OUTRIGHT
+    // before rebuilding: under partitionOverwriteMode=dynamic a
+    // partitioned overwrite replaces only the partitions present in
+    // the new image, so ghost partitions from the earlier attempt
+    // could otherwise ride the swap into the base and duplicate
+    // admissions (a pre-marker tmp is never authoritative — no marker,
+    // no state change).
+    if (fs.exists(tmpPath(indexPath)))
+      require(fs.delete(tmpPath(indexPath), true),
+        s"compact: could not clear stale ${tmpPath(indexPath)}")
     // 1. complete merged image beside the base — PRESERVING the base's
     // partition layout: a bucket-partitioned index (stageAnnIndex
     // bucketPartitioned = true) folded to flat parquet would silently
     // lose its partition dirs and every later partition-pruned probe
-    // would degrade to a full-index scan. Hive-style `col=value` dirs
-    // in the base name the partition column to re-apply.
-    val partCol: Option[String] = {
-      val basePath = new org.apache.hadoop.fs.Path(indexPath)
-      fs.listStatus(basePath).toSeq.map(_.getPath.getName)
-        .collectFirst { case n if n.matches("[A-Za-z_][A-Za-z0-9_]*=.*") =>
-          n.substring(0, n.indexOf('=')) }
-    }
-    val merged = folded.foldLeft(s.read.parquet(indexPath))((acc, p) =>
+    // would degrade to a full-index scan. The partition columns come
+    // from Spark's OWN inference over the base (handles multi-column
+    // layouts; a stray name=value file a dir listing would misread is
+    // judged exactly as the reader judges it).
+    val baseDf = s.read.parquet(indexPath)
+    val partCols: Seq[String] = baseDf.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.partitionSchema.fieldNames.toSeq
+          case _ => Seq.empty[String]
+        }
+    }.getOrElse(Seq.empty)
+    val merged = folded.foldLeft(baseDf)((acc, p) =>
       acc.unionByName(s.read.parquet(p.toString), allowMissingColumns = false))
     val w = merged.write.mode("overwrite")
-    partCol.fold(w)(w.partitionBy(_))
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(tmpPath(indexPath).toString)
     // 2. marker: folded dir names, one per line, renamed into place.
     // The rename result is CHECKED: proceeding to the swap without a

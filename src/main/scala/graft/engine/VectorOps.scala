@@ -1787,23 +1787,22 @@ object VectorOps {
       else {
         val keys = probeKeys.filter(col("bucket").isNotNull)
           .collect().map(_.getLong(0)).toSeq
+        // the collected keys serve as the broadcast build in EVERY
+        // prune-mode branch (a LocalRelation — no second distinct job
+        // over the exploded probe frame; null keys match nothing in a
+        // semi-join, so excluding them is exact)
+        val sp = index.sparkSession
+        import sp.implicits._
+        val kf = keys.toDF("bucket")
         val space = if (nPlanes >= 62) Long.MaxValue else 1L << nPlanes
-        if (keys.nonEmpty && keys.size.toLong < space && keys.size <= 65536) {
-          // reuse the driver-side keys as the broadcast build too —
-          // no second distinct job over the exploded probe frame
-          val kf = index.sparkSession.createDataFrame(
-            index.sparkSession.sparkContext.parallelize(
-              keys.map(org.apache.spark.sql.Row(_)), 1),
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("bucket",
-                org.apache.spark.sql.types.LongType, nullable = false))))
+        if (keys.nonEmpty && keys.size.toLong < space && keys.size <= 65536)
           (index.filter(col("bucket").isin(keys: _*)), kf)
-        } else {
+        else {
           if (keys.size > 65536)
             System.err.println(s"[graft] annProbeScore: partition-key " +
               s"push skipped — ${keys.size} keys exceed the 65536 In-list " +
               "valve (semi-join still prunes exactly)")
-          (index, probeKeys)
+          (index, kf)
         }
       }
     // the index pruned to the batch's multiprobe bucket keys

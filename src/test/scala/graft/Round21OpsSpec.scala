@@ -452,7 +452,8 @@ class Round21OpsSpec extends SparkSuite {
         bucketPartitioned = true)
       .queryExecution.executedPlan.toString
     assert(!plan8.linesIterator.exists(l => l.contains("bp_flat8") &&
-        l.contains("INSET")),
+        l.contains("PartitionFilters") &&
+        (l.contains(" IN ") || l.contains("INSET"))),
       "a whole-space key set must not be pushed")
   }
 }
