@@ -108,8 +108,25 @@ object Bench {
             case Some(c) if c > 0 && calibration > 0 => calibration / c
             case _ => 1.0
           }
-          "\"(q_[A-Za-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2).toDouble * scale).toMap
+          // the prior's flat maps, parsed per section; where the prior
+          // run ISOLATED a key (min-of-3, the steady-state estimate),
+          // that value supersedes its full-pass number — the guard
+          // then fires on genuine per-key anomalies, not on the
+          // prior's own pulses
+          def section(field: String): Map[String, Double] = {
+            val i = txt.indexOf("\"" + field + "\":{")
+            if (i < 0) Map.empty
+            else {
+              val start = i + field.length + 4
+              val end = txt.indexOf("}", start)
+              if (end < 0) Map.empty
+              else BenchProtocol.KeyEntry
+                .findAllMatchIn(txt.substring(start, end))
+                .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            }
+          }
+          (section("queries") ++ section("isolated"))
+            .map { case (k, v) => k -> v * scale }
         }
       } catch {
         case scala.util.control.NonFatal(e) =>
@@ -118,28 +135,48 @@ object Bench {
           Map.empty
       }
     val pass1 = ordered.map { case (name, fn) => name -> once(fn) }.toMap
-    val minOf2 = ordered.map { case (name, fn) =>
-      val a = pass1(name)
-      val b = once(fn)
-      name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+    val pass2 = ordered.map { case (name, fn) => name -> once(fn) }.toMap
+    def minPos(vs: Seq[Double]): Double = {
+      val p = vs.filter(_ >= 0)
+      if (p.isEmpty) -1.0 else p.min
     }
+    val minOf2 = ordered.map { case (name, _) =>
+      name -> minPos(Seq(pass1(name), pass2(name)))
+    }.toMap
     // Re-time the worst offenders (> 2× their prior), capped at 12
     // queries × 2 samples so a globally-slow host can't turn the guard
     // into a third full pass; keys without a prior (new this round)
     // keep their min-of-2.
     val fnByName = ordered.toMap
+    val extraSamples = scala.collection.mutable.Map[String, Seq[Double]]()
     val offenders = minOf2.collect {
       case (name, v) if v > 0 && prior.get(name).exists(p => p > 0 && v > 2 * p) =>
         (name, v / prior(name))
-    }.sortBy(-_._2).take(12).map(_._1).toSet
+    }.toSeq.sortBy(-_._2).take(12).map(_._1).toSet
     val results = minOf2.map { case (name, v) =>
       if (!offenders(name)) name -> v
       else {
         val extra = (1 to 2).map(_ => once(fnByName(name))).filter(_ > 0)
+        extraSamples(name) = extra
         name -> (extra :+ v).min
       }
     }
     val retimed = offenders.size
+    // Isolation folded into the artifact (the IsolatedBench protocol,
+    // run automatically): a THIRD sequential pass over the slowest 25,
+    // so each of those keys has min-of-3 samples separated by minutes
+    // of other keys' work — one host pulse cannot poison all three.
+    // The `isolated` map in bench_full.json is what round-over-round
+    // per-key verdicts read (and what the next run's pulse guard uses
+    // as its prior), so BENCH_rN comparisons self-adjudicate instead
+    // of needing a separately-produced artifact.
+    val isoKeys = results.toSeq.filter(_._2 >= 0).sortBy(-_._2)
+      .take(25).map(_._1)
+    val pass3 = isoKeys.map(k => k -> once(fnByName(k))).toMap
+    val isolated = isoKeys.map { k =>
+      k -> minPos(Seq(pass1(k), pass2(k), pass3(k)) ++
+        extraSamples.getOrElse(k, Seq.empty))
+    }.toMap
     // The driver keeps only the last ~2000 chars of stdout and JSON-
     // parses the final line. The full per-query map (145+ entries,
     // ~4 KB) overflows that window, so the parsed JSON dropped every
@@ -158,12 +195,14 @@ object Bench {
     // SPARK_GRAFT_ONLY subset would truncate the guard's prior to the
     // matched keys (and previously clobbered the committed full map —
     // the round-13 gotcha, now structural instead of procedural).
+    val isoJson = isoKeys.map(k => s"\"" + k + "\":" + ms(isolated(k)))
+      .mkString("{", ",", "}")
     if (only.isEmpty) try {
       val w = new java.io.PrintWriter("bench_full.json")
-      try w.println(s"""{"total":${ms(total)},"n":${results.size},"calibration_sec":${ms(calibration)},"sf":"$sfDir","queries":$full}""")
+      try w.println(s"""{"total":${ms(total)},"n":${results.size},"calibration_sec":${ms(calibration)},"sf":"$sfDir","isolated":$isoJson,"queries":$full}""")
       finally w.close()
     } catch { case _: Throwable => () }
-    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
+    val slow = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(25)
     val qs = slow.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     // Ingest-throughput probe against the reference's ONLY published
@@ -185,7 +224,19 @@ object Bench {
       (rows.length / dt).toLong
     } catch { case _: Throwable => -1L }
     val totalNorm = if (calibration > 0) total * CalibrationRef / calibration else total
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"errors":$errs,"calibration_sec":${ms(calibration)},"calibration_ref":$CalibrationRef,"total_normalized":${ms(totalNorm)},"retimed":$retimed,"ingest_rows_per_sec":$ingestRps,"queries":$qs,"sf":"$sfDir"}"""
+    // the printed line also carries the isolated minima for as many of
+    // the slowest keys as FIT (the driver's stdout window keeps only
+    // ~2000 chars, so the line must stay under 1800 — the isolated map
+    // shrinks before anything else does): a BENCH_rN reader
+    // adjudicates a suspect key without opening bench_full.json
+    def buildLine(nIso: Int): String = {
+      val isoLine = isoKeys.take(nIso)
+        .map(k => s"\"" + k + "\":" + ms(isolated(k)))
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"errors":$errs,"calibration_sec":${ms(calibration)},"calibration_ref":$CalibrationRef,"total_normalized":${ms(totalNorm)},"retimed":$retimed,"ingest_rows_per_sec":$ingestRps,"isolated":$isoLine,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    val line = (12 to 0 by -4).map(buildLine).find(_.length < 1800)
+      .getOrElse(buildLine(0))
     require(line.length < 1800, s"bench line too long: ${line.length}")
     println(line)
     spark.stop()

@@ -17,6 +17,13 @@ import org.apache.spark.sql.SparkSession
   * numbers by a different-cpus artifact's calibration. */
 object BenchProtocol {
 
+  /** The ONE per-key entry regex for every bench artifact
+    * (`bench_full.json` / `BENCH_isolated.json` / `BENCH_sfX*.json`):
+    * Bench's pulse-guard prior, IsolatedBench's and ScaleCliff's
+    * slowest-N selection all parse with this — a stricter copy in one
+    * tool would silently exclude a mixed-case key from re-timing. */
+  val KeyEntry = "\"(q_[A-Za-z0-9_]+)\":(-?[0-9.]+)".r
+
   /** The bench session: local[cpus], shuffle partitions = cpus, AQE
     * on, UTC, fixture parquet flags. */
   def session(cpus: String): SparkSession = SparkSession.builder()

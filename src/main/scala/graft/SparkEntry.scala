@@ -62,6 +62,9 @@ object SparkEntry {
     "q_ann_beam"           -> ((s, d) => VectorOps.qAnnBeam(s, d)),
     "q_ann_beam_clustered" -> ((s, d) => VectorOps.qAnnBeamClustered(s, d)),
     "q_stream_ann_ingest"  -> ((s, d) => VectorOps.qStreamAnnIngest(s, d)),
+    "q_stream_ann_ingest_part" -> ((s, d) =>
+      VectorOps.qStreamAnnIngest(s, d, nPlanes = 16,
+        bucketPartitioned = true)),
     "q_ann_ivf"            -> ((s, d) => VectorOps.qAnnIvf(s, d)),
     "q_embed_cosine_dup"   -> ((s, d) => VectorOps.qEmbedCosineDup(s, d)),
     "q_grouping_sets"      -> (Relational.qGroupingSets _),
@@ -375,7 +378,8 @@ object SparkEntry {
     "q_removal_effect"     -> (AnalyticsOps.qRemovalEffect _),
     "q_word_analogy"       -> (VectorOps.qWordAnalogy _),
     "q_incremental_dedup"  -> (TextOps.qIncrementalDedup _),
-    "q_stream_neardup_lsh" -> (TextOps.qStreamNeardupLsh _),
+    "q_stream_neardup_lsh" -> ((s, d) => TextOps.qStreamNeardupLsh(s, d)),
+    "q_stream_neardup_part" -> ((s, d) => TextOps.qStreamNeardupPart(s, d)),
     "q_encoding_audit"     -> (TextOps.qEncodingAudit _),
     "q_gram_novelty"       -> (TextOps.qGramNovelty _),
     "q_bigram_logprob"     -> (TextOps.qBigramLogprob _),
@@ -1036,6 +1040,10 @@ object SparkEntry {
     "q_ann_beam" -> VectorOps.annBeamOracleSql(),
     "q_ann_beam_clustered" -> VectorOps.annBeamClusteredOracleSql(),
     "q_stream_ann_ingest" -> VectorOps.annIngestOracleSql(),
+    // the bucket-partitioned door at the 16-plane dial: the SAME
+    // from-scratch replay algebra at nPlanes = 16 — the Spark side's
+    // partition push must be invisible in the results
+    "q_stream_ann_ingest_part" -> VectorOps.annIngestOracleSql(nPlanes = 16),
     "q_ann_ivf" -> VectorOps.annIvfOracleSql(),
     "q_embed_cosine_dup" -> VectorOps.embedCosineDupOracleSql(),
 
@@ -4056,6 +4064,54 @@ object SparkEntry {
         |       FLOOR(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER ()
         |             * 10000.0 + 0.5) / 10000.0 AS share
         |FROM cls GROUP BY status ORDER BY status""".stripMargin,
+
+    // the partitioned door's oracle replays the SAME flat banding
+    // algebra as q_stream_neardup_lsh, restricted to the bounded
+    // arriving batch (both copies of docs 0-24) and emitted per-doc —
+    // the Spark side's bucket layout and partition push must be
+    // invisible here
+    "q_stream_neardup_part" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |  UNION ALL SELECT doc_id + 2000000,
+        |    array_to_string(arr[1:greatest(len(arr) - 1, 1)], ' ')
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(text), '\s+') AS arr
+        |        FROM documents)),
+        |toks AS (SELECT doc_id,
+        |           regexp_split_to_array(trim(text), '\s+') AS arr
+        |         FROM corpus),
+        |shd AS (
+        |  SELECT DISTINCT doc_id,
+        |    UNNEST(list_transform(range(1, len(arr) - 1),
+        |      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
+        |  FROM toks WHERE len(arr) >= 3),
+        |mh AS (
+        |  SELECT doc_id, p,
+        |    min(('0x' || substr(md5(CAST(p // 2 AS VARCHAR) || ':' || shingle),
+        |                        CAST(1 + 15 * (p % 2) AS INTEGER), 15))::BIGINT) AS mv
+        |  FROM shd, range(8) t(p) GROUP BY doc_id, p),
+        |bands AS (
+        |  SELECT doc_id, p // 2 AS band,
+        |    string_agg(CAST(mv AS VARCHAR), ',' ORDER BY p) AS sig
+        |  FROM mh GROUP BY doc_id, p // 2),
+        |ex AS (SELECT DISTINCT band, sig FROM bands
+        |       WHERE doc_id < 1000000 AND doc_id % 2 = 0),
+        |pb AS (SELECT doc_id, band, sig FROM bands
+        |       WHERE doc_id >= 1000000 AND doc_id % 1000000 < 25),
+        |de AS (SELECT DISTINCT pb.doc_id FROM pb JOIN ex USING (band, sig)),
+        |fi AS (SELECT band, sig, MIN(doc_id) AS first_id
+        |       FROM pb GROUP BY 1, 2),
+        |dib AS (SELECT DISTINCT pb.doc_id FROM pb JOIN fi USING (band, sig)
+        |        WHERE pb.doc_id > fi.first_id)
+        |SELECT c.doc_id,
+        |  CASE WHEN c.doc_id IN (SELECT doc_id FROM de) THEN 'dup_of_existing'
+        |       WHEN c.doc_id IN (SELECT doc_id FROM dib) THEN 'dup_in_batch'
+        |       ELSE 'unique' END AS status
+        |FROM corpus c
+        |WHERE c.doc_id >= 1000000 AND c.doc_id % 1000000 < 25
+        |ORDER BY c.doc_id""".stripMargin,
 
     "q_incremental_dedup" ->
       """WITH corpus AS (

@@ -51,6 +51,51 @@ object IngestMetrics {
       .foreach(r => add(topic, r.getString(0), r.getLong(1)))
   }
 
+  // ---- LSM maintenance observability (round-14): a production door
+  // needs to SEE plan-depth pressure (outstanding deltas — per-epoch
+  // probe plan depth is deltas + base) and maintenance cadence
+  // (compactions run), the ingest-index analog of the reference's
+  // buffer-pressure gauges (pkg/metrics.go:20-52). Fed passively by
+  // [[DeltaIndex.write]]/[[DeltaIndex.compact]] — a scrape reads
+  // in-memory values only, never lists the filesystem.
+  private val outstandingDeltas = new ConcurrentHashMap[String, Long]()
+  private val compactions = new ConcurrentHashMap[String, AtomicLong]()
+  // probe-occupancy warnings (measured super-linear regime announcing
+  // itself in production — see VectorOps.annIngestEpoch)
+  private val occupancyWarns = new ConcurrentHashMap[String, AtomicLong]()
+
+  private[graft] def setOutstandingDeltas(index: String, n: Long): Unit = {
+    outstandingDeltas.put(index, n); ()
+  }
+
+  private[graft] def recordCompaction(index: String): Unit = {
+    compactions.computeIfAbsent(index, _ => new AtomicLong()).incrementAndGet()
+    ()
+  }
+
+  private[graft] def recordOccupancyWarn(index: String): Unit = {
+    occupancyWarns.computeIfAbsent(index, _ => new AtomicLong()).incrementAndGet()
+    ()
+  }
+
+  /** index → live (un-compacted) delta count, for the exposition. */
+  def outstandingDeltaGauges: Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    outstandingDeltas.asScala.toSeq.sortBy(_._1)
+  }
+
+  /** index → compactions run, for the exposition. */
+  def compactionCounts: Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    compactions.asScala.map { case (k, v) => k -> v.get() }.toSeq.sortBy(_._1)
+  }
+
+  /** index → probe-occupancy warnings raised, for the exposition. */
+  def occupancyWarnCounts: Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    occupancyWarns.asScala.map { case (k, v) => k -> v.get() }.toSeq.sortBy(_._1)
+  }
+
   /** (topic, normalized status) → count, for the exposition. */
   def docCounts: Seq[((String, String), Long)] = {
     import scala.jdk.CollectionConverters._

@@ -125,6 +125,27 @@ final class MetricsHttpServer(
         (Seq("topic" -> t), v.toDouble)
       })
 
+    // LSM maintenance pressure (round-14): per-epoch probe plan depth
+    // is outstanding deltas + base, so the gauge IS the plan-depth
+    // dial; the compactions counter shows the maintenance cadence that
+    // bounds it (compactEvery). Occupancy warnings flag the measured
+    // super-linear probe regime (BENCH_planes.json) firing live.
+    metric("graft_index_outstanding_deltas", "gauge",
+      "Live (un-compacted) delta dirs per ingest index — per-epoch probe plan depth is this plus the base")(
+      IngestMetrics.outstandingDeltaGauges.map { case (i, v) =>
+        (Seq("index" -> i), v.toDouble)
+      })
+    metric("graft_ingest_compactions_total", "counter",
+      "Delta-into-base compactions run per ingest index")(
+      IngestMetrics.compactionCounts.map { case (i, v) =>
+        (Seq("index" -> i), v.toDouble)
+      })
+    metric("graft_ingest_probe_occupancy_warnings_total", "counter",
+      "Epochs whose mean ANN candidates/probe crossed the occupancy warning threshold (super-linear probe regime)")(
+      IngestMetrics.occupancyWarnCounts.map { case (i, v) =>
+        (Seq("index" -> i), v.toDouble)
+      })
+
     val qs = listener.snapshot.sortBy(_.name)
     metric("graft_query_batches_total", "counter",
       "Micro-batches executed per streaming query")(

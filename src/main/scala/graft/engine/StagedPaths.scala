@@ -63,59 +63,148 @@ private[graft] object StagedPaths {
   * leaves exactly one copy of its admissions. A long-lived stream
   * compacts old deltas into the base periodically (the LSM
   * discipline); the union grows with the epoch count, never the
-  * corpus. */
+  * corpus.
+  *
+  * SNAPSHOT-ISOLATED MAINTENANCE (the single-process analog of an
+  * Iceberg snapshot): the base lives in an immutable VERSIONED dir —
+  * `<indexPath>` as staged, `<indexPath>_v<N>` after the Nth
+  * compaction — named by a pointer file (`<indexPath>_version`)
+  * flipped atomically under the per-index lock. A compaction never
+  * rewrites a dir any live plan references: it writes the merged
+  * image to the NEXT version dir, flips the pointer, TOMBSTONES the
+  * folded deltas (a `_RETIRED` marker file inside the dir — the
+  * listing excludes them but their parquet files stay put), and only
+  * deletes the PREVIOUS generation's version dir and tombstoned
+  * deltas. A reader whose plan was built just before a compaction
+  * therefore executes correctly against the version it listed —
+  * retention is exactly one generation (a plan older than TWO
+  * compactions can still fail loudly; with compaction every
+  * `compactEvery` epochs that is a plan held across 2×compactEvery
+  * micro-batches). The remaining sharp edge is epoch-id REUSE: a
+  * fresh-checkpoint restart's epoch 0 overwrites a tombstoned `e0`
+  * from the pre-restart generation, so a plan from before the
+  * restart's compact can lose that delta's files — inherent to
+  * reusing the namespace, loud and retryable, never wrong results. */
 private[graft] object DeltaIndex {
   import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  /** Tombstone file name: a folded delta keeps its parquet files (so
+    * pre-compaction plans still execute) but is excluded from every
+    * listing; deleted one generation later. Underscore-prefixed, so
+    * Spark's file listing ignores it inside the parquet dir. */
+  private val Tombstone = "_RETIRED"
+
+  /** Per-index in-process lock (canonical-path keyed, same scope as
+    * [[IngestWriters]]): serializes compaction, crash recovery, and
+    * read PLANNING against each other — a reader can no longer replay
+    * [[finishCrashedCompact]] concurrently with a live writer's
+    * in-flight compact (both passing the exists checks and destroying
+    * the merged base — the round-13 reader-vs-compactor race). Plan
+    * EXECUTION happens outside the lock, safe because the planned
+    * version dirs and delta files survive a full generation. */
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def canonicalKey(p: String): String =
+    try new java.io.File(p).getCanonicalPath
+    catch { case _: java.io.IOException => new java.io.File(p).getAbsolutePath }
+  private def lockFor(indexPath: String): Object =
+    locks.computeIfAbsent(canonicalKey(indexPath), _ => new Object)
+
+  /** Partition-column layout of an index, inferred ONCE per (JVM,
+    * index) from Spark's own partition discovery over the base —
+    * the layout is fixed at staging time and preserved by every
+    * compaction, so the cache never goes stale (staging afresh calls
+    * [[resetForStaging]], which drops it). */
+  private val partColsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
   def dir(indexPath: String, epochId: Long): String =
     s"${indexPath}_delta/e$epochId"
 
-  private def fsOf(s: SparkSession,
-                   p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+  private def fsOf(s: SparkSession, p: Path): FileSystem =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  private def epochOf(p: org.apache.hadoop.fs.Path): Long =
-    p.getName.drop(1).toLong
+  private def epochOf(p: Path): Long = p.getName.drop(1).toLong
 
-  private def deltaPaths(s: SparkSession,
-                         indexPath: String): Seq[org.apache.hadoop.fs.Path] = {
-    val root = new org.apache.hadoop.fs.Path(indexPath + "_delta")
+  private def versionPtr(indexPath: String) = new Path(indexPath + "_version")
+  private def versionDir(indexPath: String, n: Long): Path =
+    new Path(s"${indexPath}_v$n")
+  private def markerPath(indexPath: String) =
+    new Path(indexPath + "_compact_commit")
+
+  /** The current base-version number: 0 = the as-staged dir
+    * (`indexPath` itself), N ≥ 1 = `<indexPath>_v<N>`. */
+  private def currentVersionNum(s: SparkSession, indexPath: String): Long = {
+    val p = versionPtr(indexPath)
+    val fs = fsOf(s, p)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** The resolved current base dir — what reads scan and compactions
+    * fold into. Spec-visible so layout assertions check the dir that
+    * is actually served, not the original staging path. */
+  private[graft] def currentBase(s: SparkSession, indexPath: String): String = {
+    val n = currentVersionNum(s, indexPath)
+    if (n == 0L) indexPath else versionDir(indexPath, n).toString
+  }
+
+  private def isRetired(fs: FileSystem, deltaDir: Path): Boolean =
+    fs.exists(new Path(deltaDir, Tombstone))
+
+  /** ALL delta dirs on disk, tombstoned or not. */
+  private def deltaPaths(s: SparkSession, indexPath: String): Seq[Path] = {
+    val root = new Path(indexPath + "_delta")
     if (fsOf(s, root).exists(root))
       fsOf(s, root).listStatus(root).toSeq.map(_.getPath)
         .filter(_.getName.startsWith("e"))
     else Seq.empty
   }
 
-  /** Outstanding (un-compacted) delta count — what the ingest streams'
-    * periodic-compaction trigger and the specs observe. */
-  def outstanding(s: SparkSession, indexPath: String): Int =
-    deltaPaths(s, indexPath).size
-
-  /** Base index UNION all deltas of OTHER epochs. */
-  def read(s: SparkSession, indexPath: String, excludeEpoch: Long): DataFrame = {
-    finishCrashedCompact(s, indexPath)
-    deltaPaths(s, indexPath)
-      .filter(_.getName != s"e$excludeEpoch")
-      .foldLeft(s.read.parquet(indexPath))((acc, p) =>
-        acc.unionByName(s.read.parquet(p.toString)))
+  /** The LIVE deltas — tombstoned (already-folded) dirs excluded. */
+  private def liveDeltaPaths(s: SparkSession,
+                             indexPath: String): Seq[Path] = {
+    val root = new Path(indexPath + "_delta")
+    val fs = fsOf(s, root)
+    deltaPaths(s, indexPath).filterNot(isRetired(fs, _))
   }
 
-  /** The COMPLETE index — base plus every epoch's delta. The read a
+  /** Outstanding (un-compacted) delta count — what the ingest streams'
+    * periodic-compaction trigger, the `/metrics` gauge, and the specs
+    * observe. */
+  def outstanding(s: SparkSession, indexPath: String): Int =
+    lockFor(indexPath).synchronized {
+      finishCrashedCompact(s, indexPath)
+      liveDeltaPaths(s, indexPath).size
+    }
+
+  /** Base index UNION all live deltas of OTHER epochs. Planned under
+    * the per-index lock (stable listing); executes lock-free against
+    * a one-generation-immutable snapshot. */
+  def read(s: SparkSession, indexPath: String, excludeEpoch: Long): DataFrame =
+    lockFor(indexPath).synchronized {
+      finishCrashedCompact(s, indexPath)
+      val base = currentBase(s, indexPath)
+      liveDeltaPaths(s, indexPath)
+        .filter(_.getName != s"e$excludeEpoch")
+        .foldLeft(s.read.parquet(base))((acc, p) =>
+          acc.unionByName(s.read.parquet(p.toString)))
+    }
+
+  /** The COMPLETE index — base plus every live delta. The read a
     * batch-side caller (outside any epoch) must use: admissions a
     * stream wrote are part of the index, not an implementation
-    * detail.
-    *
-    * CONCURRENCY BOUNDARY: [[IngestWriters]] serializes WRITERS, not
-    * reader-vs-compactor — a batch-side read whose parquet listing was
-    * planned just before a live stream's mid-epoch compaction swapped
-    * the base can fail with files-updated/not-found when it executes
-    * (overwrite-in-place has no snapshot isolation). Run batch
-    * classifies against a quiescent index, or from inside the owning
-    * stream's `onEpoch` (which is serialized with its compactions). A
-    * failed read is LOUD and retryable — never wrong results. At
-    * 100 TB the index lives in a snapshot-isolated table format
-    * (Iceberg-style) where compaction and reads never conflict; the
-    * in-place swap is the parity-mode single-process analog. */
+    * detail. Safe to run CONCURRENTLY with a live stream's
+    * compactions: planning is serialized by the per-index lock and
+    * the planned snapshot survives one further generation (see the
+    * class doc). The one remaining loud-and-retryable window is the
+    * CURRENT epoch's own delta being overwritten mid-read by its
+    * writer — batch reads racing a live writer on the same index can
+    * retry; verdicts are never silently wrong. */
   def readAll(s: SparkSession, indexPath: String): DataFrame =
     read(s, indexPath, excludeEpoch = -1L)
 
@@ -123,21 +212,56 @@ private[graft] object DeltaIndex {
     * by the caller); an empty admission clears any stale delta a
     * previous attempt of the same epoch left — never an empty parquet
     * part accumulating on the listing, and never a GHOST admission
-    * when the replayed epoch's batch was evicted in the meantime. */
+    * when the replayed epoch's batch was evicted in the meantime.
+    *
+    * The write MIRRORS the base's partition layout (a
+    * bucket-partitioned index gets bucket-partitioned deltas), so a
+    * partition-pruned probe prunes the delta scans exactly like the
+    * base scan — a flat delta would re-open every delta file on every
+    * epoch regardless of the probe's key set. `mode("overwrite")` on a
+    * TOMBSTONED dir (epoch-id reuse after a fresh-checkpoint restart)
+    * deletes the tombstone with the dir — the new delta is live
+    * again, correctly. */
   def write(s: SparkSession, indexPath: String, epochId: Long,
             rows: DataFrame): Unit = {
-    val delta = new org.apache.hadoop.fs.Path(dir(indexPath, epochId))
-    if (!rows.isEmpty)
-      rows.write.mode("overwrite").parquet(delta.toString)
+    val delta = new Path(dir(indexPath, epochId))
+    if (!rows.isEmpty) {
+      val pc = basePartitionCols(s, indexPath)
+      val missing = pc.filterNot(rows.columns.contains)
+      require(missing.isEmpty,
+        s"delta for '$indexPath' must carry the base's partition " +
+          s"column(s) ${missing.mkString(", ")} — a flat delta under a " +
+          "partitioned base breaks both the union schema and the " +
+          "partition-pruned probe")
+      val w = rows.write.mode("overwrite")
+      (if (pc.nonEmpty) w.partitionBy(pc: _*) else w).parquet(delta.toString)
+    }
     else if (fsOf(s, delta).exists(delta)) { fsOf(s, delta).delete(delta, true); () }
+    IngestMetrics.setOutstandingDeltas(indexPath,
+      liveDeltaPaths(s, indexPath).size.toLong)
   }
 
-  private def markerPath(indexPath: String) =
-    new org.apache.hadoop.fs.Path(indexPath + "_compact_commit")
-  private def tmpPath(indexPath: String) =
-    new org.apache.hadoop.fs.Path(indexPath + "_compact_tmp")
+  /** The base's partition columns via Spark's OWN partition discovery
+    * (handles multi-column layouts; a stray name=value file a dir
+    * listing would misread is judged exactly as the reader judges
+    * it), cached per (JVM, index) — layout is immutable after
+    * staging. */
+  private[graft] def basePartitionCols(s: SparkSession,
+                                       indexPath: String): Seq[String] =
+    partColsCache.computeIfAbsent(canonicalKey(indexPath),
+      _ => inferPartCols(s.read.parquet(currentBase(s, indexPath))))
 
-  /** Fold the deltas of epochs `< belowEpoch` into the base — the
+  private def inferPartCols(df: DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.partitionSchema.fieldNames.toSeq
+          case _ => Seq.empty[String]
+        }
+    }.getOrElse(Seq.empty)
+
+  /** Fold the live deltas of epochs `< belowEpoch` into the base — the
     * periodic LSM-style maintenance [[graft.engine.TextOps.startNeardupIngest]] /
     * [[graft.engine.VectorOps.startAnnIngest]] schedule between
     * micro-batches (per-epoch read cost and plan depth grow with the
@@ -156,136 +280,187 @@ private[graft] object DeltaIndex {
     * replay to overwrite.
     *
     * CRASH-ATOMIC via a commit marker (the 'exactly one copy' contract
-    * survives a crash at any step):
-    *   1. merged (base ∪ folded deltas) → `_compact_tmp`
-    *   2. marker listing the folded delta dirs renamed into place
-    *      (atomic publish — no marker, no state change)
-    *   3. delete base, RENAME tmp → base
-    *   4. delete the folded delta dirs (root too when empty)
-    *   5. delete the marker
-    * [[finishCrashedCompact]] (run before every read and compact)
-    * replays 3-5 from the marker: each step is idempotent and the tmp
-    * is complete before the marker can exist, so admissions are never
-    * lost and never double-counted. Single in-process writer per index
-    * by [[IngestWriters]] contract. */
+    * survives a crash at any step), all under the per-index lock:
+    *   1. merged (current base ∪ folded live deltas) →
+    *      `<indexPath>_v<N+1>` — invisible to readers until the flip,
+    *      PRESERVING the base's partition layout
+    *   2. marker (`v<N+1>` + the folded delta names) renamed into
+    *      place (atomic publish — no marker, no state change)
+    *   3. tombstone each folded delta (files stay put for in-flight
+    *      plans), FLIP the version pointer, delete the PREVIOUS
+    *      generation (old version dir / flat staging dir, deltas
+    *      tombstoned by earlier compactions)
+    *   4. delete the marker
+    * [[finishCrashedCompact]] (run before every locked operation)
+    * replays step 3-4 from the marker: each step is idempotent and the
+    * merged image is complete before the marker can exist, so
+    * admissions are never lost and never double-counted. Single
+    * in-process writer per index by [[IngestWriters]] contract. */
   def compact(s: SparkSession, indexPath: String,
-              belowEpoch: Long = Long.MaxValue): Unit = {
-    finishCrashedCompact(s, indexPath)
-    val folded = deltaPaths(s, indexPath).filter(epochOf(_) < belowEpoch)
-    if (folded.isEmpty) return
-    val fs = fsOf(s, markerPath(indexPath))
-    // A stale tmp from a pre-marker crashed attempt is dropped OUTRIGHT
-    // before rebuilding: under partitionOverwriteMode=dynamic a
-    // partitioned overwrite replaces only the partitions present in
-    // the new image, so ghost partitions from the earlier attempt
-    // could otherwise ride the swap into the base and duplicate
-    // admissions (a pre-marker tmp is never authoritative — no marker,
-    // no state change).
-    if (fs.exists(tmpPath(indexPath)))
-      require(fs.delete(tmpPath(indexPath), true),
-        s"compact: could not clear stale ${tmpPath(indexPath)}")
-    // 1. complete merged image beside the base — PRESERVING the base's
-    // partition layout: a bucket-partitioned index (stageAnnIndex
-    // bucketPartitioned = true) folded to flat parquet would silently
-    // lose its partition dirs and every later partition-pruned probe
-    // would degrade to a full-index scan. The partition columns come
-    // from Spark's OWN inference over the base (handles multi-column
-    // layouts; a stray name=value file a dir listing would misread is
-    // judged exactly as the reader judges it).
-    val baseDf = s.read.parquet(indexPath)
-    val partCols: Seq[String] = baseDf.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        l.relation match {
-          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            h.partitionSchema.fieldNames.toSeq
-          case _ => Seq.empty[String]
-        }
-    }.getOrElse(Seq.empty)
-    val merged = folded.foldLeft(baseDf)((acc, p) =>
-      acc.unionByName(s.read.parquet(p.toString), allowMissingColumns = false))
-    val w = merged.write.mode("overwrite")
-    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
-      .parquet(tmpPath(indexPath).toString)
-    // 2. marker: folded dir names, one per line, renamed into place.
-    // The rename result is CHECKED: proceeding to the swap without a
-    // durable marker would leave a crash window with no recovery.
-    val staging = new org.apache.hadoop.fs.Path(
-      indexPath + "_compact_commit.staging")
-    val out = fs.create(staging, true)
-    try out.write(folded.map(_.getName).mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    require(fs.rename(staging, markerPath(indexPath)),
-      s"compact marker publish failed for $indexPath — aborting before any state change")
-    publishCompact(s, indexPath, folded.map(_.getName))
-  }
+              belowEpoch: Long = Long.MaxValue): Unit =
+    lockFor(indexPath).synchronized {
+      finishCrashedCompact(s, indexPath)
+      val folded = liveDeltaPaths(s, indexPath).filter(epochOf(_) < belowEpoch)
+      if (folded.isEmpty) return
+      val fs = fsOf(s, markerPath(indexPath))
+      val newN = currentVersionNum(s, indexPath) + 1
+      val target = versionDir(indexPath, newN)
+      // a stale target from a pre-marker crashed attempt is dropped
+      // OUTRIGHT before rebuilding (a pre-marker image is never
+      // authoritative — no marker, no state change)
+      if (fs.exists(target))
+        require(fs.delete(target, true),
+          s"compact: could not clear stale $target")
+      // 1. complete merged image in the NEXT version dir — PRESERVING
+      // the base's partition layout: a bucket-partitioned index folded
+      // to flat parquet would silently lose its partition dirs and
+      // every later partition-pruned probe would degrade to a
+      // full-index scan.
+      val baseDf = s.read.parquet(currentBase(s, indexPath))
+      val partCols = inferPartCols(baseDf)
+      val merged = folded.foldLeft(baseDf)((acc, p) =>
+        acc.unionByName(s.read.parquet(p.toString), allowMissingColumns = false))
+      val w = merged.write.mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+        .parquet(target.toString)
+      // 2. marker: new version + folded dir names, renamed into place.
+      // The rename result is CHECKED: proceeding to the publish without
+      // a durable marker would leave a crash window with no recovery.
+      val staging = new Path(indexPath + "_compact_commit.staging")
+      val out = fs.create(staging, true)
+      try out.write((s"v$newN" +: folded.map(_.getName)).mkString("\n")
+        .getBytes("UTF-8"))
+      finally out.close()
+      require(fs.rename(staging, markerPath(indexPath)),
+        s"compact marker publish failed for $indexPath — aborting before any state change")
+      publishCompact(s, indexPath, newN, folded.map(_.getName))
+      IngestMetrics.recordCompaction(indexPath)
+      IngestMetrics.setOutstandingDeltas(indexPath,
+        liveDeltaPaths(s, indexPath).size.toLong)
+    }
 
-  /** Steps 3-5 of the compact protocol — idempotent, so a crash at any
+  /** Steps 3-4 of the compact protocol — idempotent, so a crash at any
     * point replays cleanly from the marker. Every delete/rename result
-    * on the SWAP path is checked: a failed swap must abort loudly
-    * BEFORE the folded deltas and the marker are retired — the
-    * on-disk state (marker + tmp + deltas) stays fully recoverable and
-    * the next access retries; silently proceeding would orphan the
-    * merged image and lose the folded admissions forever. */
+    * on the publish path is checked: a failed step must abort loudly
+    * BEFORE the marker is retired — the on-disk state (marker + merged
+    * image + deltas) stays fully recoverable and the next access
+    * retries; silently proceeding would orphan the merged image or
+    * leak a generation. Caller holds the per-index lock. */
   private def publishCompact(s: SparkSession, indexPath: String,
-                             foldedNames: Seq[String]): Unit = {
-    val base = new org.apache.hadoop.fs.Path(indexPath)
-    val tmp = tmpPath(indexPath)
-    val fs = fsOf(s, base)
-    // 3. swap the merged image in (rename, not rewrite: atomic on a
-    // posix fs and never leaves a half-written base)
-    if (fs.exists(tmp)) {
-      if (fs.exists(base)) require(fs.delete(base, true),
-        s"compact swap: could not delete stale base $indexPath — " +
-          "aborting with marker+tmp+deltas intact (recoverable)")
-      require(fs.rename(tmp, base),
-        s"compact swap: could not rename ${tmp} to $indexPath — " +
-          "aborting with marker+tmp+deltas intact (recoverable)")
-    }
-    // 4. drop exactly the folded deltas (later epochs' deltas survive)
-    val root = new org.apache.hadoop.fs.Path(indexPath + "_delta")
+                             newN: Long, foldedNames: Seq[String]): Unit = {
+    val fs = fsOf(s, markerPath(indexPath))
+    val root = new Path(indexPath + "_delta")
+    // 3a. tombstone the folded deltas: excluded from every future
+    // listing, parquet files untouched for in-flight plans
     foldedNames.foreach { n =>
-      val p = new org.apache.hadoop.fs.Path(root, n)
-      if (fs.exists(p)) fs.delete(p, true)
+      val p = new Path(root, n)
+      if (fs.exists(p)) fs.create(new Path(p, Tombstone), true).close()
     }
-    if (fs.exists(root) && fs.listStatus(root).isEmpty) fs.delete(root, true)
-    // 5. retire the marker
+    // 3b. flip the version pointer (write-new, delete-old, rename —
+    // the delete→rename gap is covered by the marker: recovery replays
+    // the flip, and every read runs recovery first)
+    val ptr = versionPtr(indexPath)
+    val ptrStaging = new Path(indexPath + "_version.staging")
+    val out = fs.create(ptrStaging, true)
+    try out.write(newN.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(ptr))
+      require(fs.delete(ptr, false),
+        s"compact publish: could not retire old version pointer for $indexPath " +
+          "— aborting with marker intact (recoverable)")
+    require(fs.rename(ptrStaging, ptr),
+      s"compact publish: could not flip version pointer for $indexPath " +
+        "— aborting with marker intact (recoverable)")
+    // 3c. retire the PREVIOUS generation: version dirs older than
+    // newN-1 (incl. the flat staging dir once v2 exists) and deltas
+    // tombstoned by EARLIER compactions — nothing a plan younger than
+    // one generation can still reference
+    val stale = Option(fs.globStatus(new Path(indexPath + "_v[0-9]*")))
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .map(_.getPath)
+      .filter(p => p.getName.stripPrefix(
+        new Path(indexPath).getName + "_v").forall(_.isDigit))
+      .filter(p => p.getName.stripPrefix(
+        new Path(indexPath).getName + "_v").toLong <= newN - 2)
+    stale.foreach(p => require(fs.delete(p, true),
+      s"compact publish: could not retire old version $p (recoverable)"))
+    if (newN >= 2) {
+      val flat = new Path(indexPath)
+      if (fs.exists(flat)) require(fs.delete(flat, true),
+        s"compact publish: could not retire flat staging dir $indexPath (recoverable)")
+    }
+    val foldedSet = foldedNames.toSet
+    deltaPaths(s, indexPath)
+      .filter(p => isRetired(fs, p) && !foldedSet.contains(p.getName))
+      .foreach(p => require(fs.delete(p, true),
+        s"compact publish: could not retire folded delta $p (recoverable)"))
+    // 4. retire the marker
     fs.delete(markerPath(indexPath), false)
     ()
   }
 
   /** Recovery hook: when a compact crashed after publishing its marker
-    * (between steps 2 and 5), finish it before serving any read — the
-    * on-disk state may otherwise hold a folded delta twice (marker
-    * present, base already swapped) or a mid-swap base. No marker →
-    * no-op (one `exists` probe on the hot path). */
+    * (between steps 2 and 4), finish it before serving any locked
+    * operation — the on-disk state may otherwise hold a folded delta
+    * twice (marker present, pointer already flipped) or a half-retired
+    * generation. No marker → no-op (one `exists` probe on the hot
+    * path). Caller holds the per-index lock, so recovery can never
+    * race a live writer's in-flight compact. */
   private def finishCrashedCompact(s: SparkSession, indexPath: String): Unit = {
     val marker = markerPath(indexPath)
     val fs = fsOf(s, marker)
     if (!fs.exists(marker)) return
     val in = fs.open(marker)
-    val names = try scala.io.Source.fromInputStream(in, "UTF-8")
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
       .mkString.split("\n").toSeq.filter(_.nonEmpty)
     finally in.close()
-    publishCompact(s, indexPath, names)
+    val newN = lines.head.stripPrefix("v").toLong
+    require(fs.exists(versionDir(indexPath, newN)),
+      s"compact marker for $indexPath names version v$newN but the merged " +
+        "image is missing — the marker is only ever written AFTER the image " +
+        "completes; refusing to guess")
+    publishCompact(s, indexPath, newN, lines.tail)
   }
 
   /** Compact from inside a running stream's epoch N when the
-    * committed (< N) delta count reached `every` — the cleanupLoop
-    * discipline, bounded so a long-lived stream's per-probe plan depth
-    * never exceeds `every` delta reads plus the base. */
+    * committed (< N) live delta count reached `every` — the
+    * cleanupLoop discipline, bounded so a long-lived stream's
+    * per-probe plan depth never exceeds `every` delta reads plus the
+    * base. */
   def maybeCompact(s: SparkSession, indexPath: String, epochId: Long,
                    every: Int): Unit =
     if (every > 0 &&
-        deltaPaths(s, indexPath).count(epochOf(_) < epochId) >= every)
+        liveDeltaPaths(s, indexPath).count(epochOf(_) < epochId) >= every)
       compact(s, indexPath, belowEpoch = epochId)
 
   /** True when `checkpointDir` already holds a streaming offsets log —
     * i.e. a start() against it RESUMES the epoch-id sequence instead
     * of restarting it at 0. */
   def resumesCheckpoint(s: SparkSession, checkpointDir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
+    val p = new Path(checkpointDir, "offsets")
     fsOf(s, p).exists(p)
   }
+
+  /** Drop an index's versioning state before RE-STAGING its base from
+    * scratch (stageAnnIndex / stageNeardupIndex `mode("overwrite")`):
+    * a stale pointer would otherwise keep serving the pre-restage
+    * `_v<N>` dir over the freshly staged data, and the cached
+    * partition layout may change with the new staging. Existing
+    * `_delta` dirs are left alone — restaging under live deltas keeps
+    * its previous (unusual but unchanged) semantics. */
+  private[graft] def resetForStaging(s: SparkSession, indexPath: String): Unit =
+    lockFor(indexPath).synchronized {
+      val fs = fsOf(s, markerPath(indexPath))
+      Seq(markerPath(indexPath), new Path(indexPath + "_compact_commit.staging"),
+        versionPtr(indexPath), new Path(indexPath + "_version.staging"))
+        .foreach(p => if (fs.exists(p)) fs.delete(p, true))
+      Option(fs.globStatus(new Path(indexPath + "_v[0-9]*")))
+        .map(_.toSeq).getOrElse(Seq.empty).map(_.getPath)
+        .filter(p => p.getName.stripPrefix(
+          new Path(indexPath).getName + "_v").forall(_.isDigit))
+        .foreach(p => fs.delete(p, true))
+      partColsCache.remove(canonicalKey(indexPath))
+      ()
+    }
 }
 
 /** In-process single-writer guard for a staged ingest index: the
@@ -357,5 +532,39 @@ private[graft] object IngestWriters {
     if (w == null) None
     else if (w.query.exists(q => !q.isActive)) None
     else Some(w.checkpointDir)
+  }
+}
+
+/** The TTL × resume recovery recipe as ONE call (the operational
+  * answer to the loud `load()` failure the expiry contract raises —
+  * see [[graft.sources.GraftStoreProvider]]): after a topic
+  * idle-expires, its data AND schema are gone and a restart against
+  * the old checkpoint can never realign (recreation restarts the
+  * offset axis at 0). The documented recipe — re-ingest the topic,
+  * fresh checkpoint, compact-first, restart — is what
+  * `TextOps.resumeNeardupIngestAfterExpiry` /
+  * `VectorOps.resumeAnnIngestAfterExpiry` execute; this validator
+  * turns each precondition violation into an actionable error instead
+  * of the generic downstream failure it would otherwise become. */
+private[graft] object IngestRecovery {
+  import org.apache.spark.sql.SparkSession
+
+  def validateResume(s: SparkSession, storeName: String, topic: String,
+                     freshCheckpointDir: String): Unit = {
+    val store = graft.sources.GraftStoreRegistry.get(storeName)
+    if (store.schemaOf(topic).isEmpty)
+      throw new IllegalStateException(
+        s"cannot resume ingest: topic '$topic' is not present in store " +
+          s"'$storeName' — an expired topic loses its data AND schema. " +
+          "Re-append the topic's data first (create-on-access recreates " +
+          "it with the offset axis at 0), then retry.")
+    if (DeltaIndex.resumesCheckpoint(s, freshCheckpointDir))
+      throw new IllegalStateException(
+        s"cannot resume ingest: checkpoint '$freshCheckpointDir' already " +
+          "holds a streaming offsets log. A recreated topic's offset axis " +
+          "restarted at 0, so the old checkpoint would wait for offsets " +
+          "that never realign — pass a FRESH checkpoint dir. Prior " +
+          "admissions are safe: the start compacts the old run's deltas " +
+          "into the index base first.")
   }
 }

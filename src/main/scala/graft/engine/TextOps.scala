@@ -2632,18 +2632,19 @@ object TextOps {
     * The DuckDB oracle replays the banding (the exact
     * conv(substr(md5)) arithmetic of q_dedup_minhash_md5) and both
     * join levels from scratch. */
-  def qStreamNeardupLsh(s: SparkSession, d: String): DataFrame = {
+  def qStreamNeardupLsh(s: SparkSession, d: String,
+                        bandBuckets: Int = 0): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
     def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
     val corpus = corpusWithDups(s, d)
-    val indexPath = neardupIndexCopies.computeIfAbsent(d, _ => {
+    val indexPath = neardupIndexCopies.computeIfAbsent(s"$d#$bandBuckets", _ => {
       val p = StagedPaths.tmp("graft_nd_index")
       stageNeardupIndex(corpus.filter(col("doc_id") < 1000000 &&
-        col("doc_id") % 2 === 0), p)
+        col("doc_id") % 2 === 0), p, bandBuckets)
       p
     })
     val df = classifyNeardupBatch(s, indexPath,
-        corpus.filter(col("doc_id") >= 1000000))
+        corpus.filter(col("doc_id") >= 1000000), bandBuckets)
       .groupBy("status")
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("share", r4(col("n_docs") /
@@ -2656,18 +2657,95 @@ object TextOps {
     require(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
       "index probing must be a broadcast semi-join (no index shuffle):\n" +
         plan.take(3000))
+    // the band-bucket-partitioned variant (q_stream_neardup_part)
+    // additionally REQUIRES the static key push in-plan — the 100 TB
+    // layout's contract rides the oracled query itself
+    if (bandBuckets > 0)
+      require(plan.linesIterator.exists(l => l.contains("graft_nd_index") &&
+          l.contains("PartitionFilters: [") && l.contains("bkt") &&
+          (l.contains(" IN ") || l.contains("INSET"))),
+        "the partitioned index scan must carry the band-bucket partition " +
+          "filter:\n" + plan.take(3000))
     s.createDataFrame(s.sparkContext.parallelize(out.toList), df.schema)
       .orderBy("status")
   }
 
+  /** The band-bucket-PARTITIONED near-dup door through the
+    * differential gate (`q_stream_neardup_part`): the corpus's even
+    * originals staged with `bandBuckets = 1024` partition dirs, and a
+    * BOUNDED arriving batch — both copies of docs 0..`probeDocs`-1,
+    * the admission-controlled epoch shape — classified against it.
+    * The probe's bucket set (≤ 4 bands × 2·probeDocs keys, far under
+    * the 1024-bucket space) pushes as a STATIC partition filter, and
+    * the plan contract — staged read, broadcast LEFT SEMI, AND the
+    * `PartitionFilters` key push — is `require`d in-query. The DuckDB
+    * oracle replays the flat banding algebra from scratch, so the
+    * hash match PROVES the layout changes plans, never verdicts. */
+  def qStreamNeardupPart(s: SparkSession, d: String,
+                         bandBuckets: Int = 1024,
+                         probeDocs: Int = 25): DataFrame = {
+    graft.expressions.VectorExpressions.register(s)
+    val corpus = corpusWithDups(s, d)
+    val indexPath = neardupIndexCopies.computeIfAbsent(
+      s"$d#part$bandBuckets", _ => {
+        val p = StagedPaths.tmp("graft_nd_part_index")
+        stageNeardupIndex(corpus.filter(col("doc_id") < 1000000 &&
+          col("doc_id") % 2 === 0), p, bandBuckets)
+        p
+      })
+    val batch = corpus.filter(col("doc_id") >= 1000000 &&
+      col("doc_id") % 1000000 < probeDocs)
+    val df = classifyNeardupBatch(s, indexPath, batch, bandBuckets)
+      .orderBy("doc_id")
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("graft_nd_part_index"),
+      "the staged LSH index must be READ, not re-banded:\n" + plan.take(3000))
+    require(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      "index probing must be a broadcast semi-join (no index shuffle):\n" +
+        plan.take(3000))
+    require(plan.linesIterator.exists(l => l.contains("graft_nd_part_index") &&
+        l.contains("PartitionFilters: [") && l.contains("bkt") &&
+        (l.contains(" IN ") || l.contains("INSET"))),
+      "the partitioned index scan must carry the band-bucket partition " +
+        "filter:\n" + plan.take(3000))
+    df
+  }
+
   /** Band a corpus of (doc_id, text) ONCE and stage the (doc_id, band,
     * sig) index to parquet — the build side of the ingest-time near-dup
-    * check. At 100 TB the same write adds `bucketBy(band, sig)` so
-    * probes touch only matching buckets; the algebra is unchanged. */
-  def stageNeardupIndex(corpus: DataFrame, path: String): Unit = {
+    * check.
+    *
+    * `bandBuckets` > 0 = the 100 TB layout, executable (the text
+    * mirror of `stageAnnIndex(bucketPartitioned = true)`): each row
+    * gets `bkt = pmod(hash(band, sig), bandBuckets)` and the index is
+    * partitioned by it — one dir per bucket of the (band, sig) key
+    * space. `classifyNeardupBatch`/`startNeardupIngest` with the SAME
+    * `bandBuckets` then push the probe's bucket set (bounded by
+    * construction at ≤ bandBuckets values) as a STATIC partition
+    * filter, so only matching bucket dirs are ever listed or read;
+    * the (band, sig) broadcast semi-join still applies exactly, so
+    * the pre-filter is purely an optimization and verdicts are
+    * layout-independent. The dial must MATCH between staging and
+    * probing (like nPlanes on the ANN side) — the stored bkt values
+    * are the staging formula's. Default stays flat: at fixture scale
+    * the partition dirs cost more than they prune. */
+  def stageNeardupIndex(corpus: DataFrame, path: String,
+                        bandBuckets: Int = 0): Unit = {
     graft.expressions.VectorExpressions.register(corpus.sparkSession)
-    md5Bands(corpus).write.mode("overwrite").parquet(path)
+    require(bandBuckets <= 65536,
+      s"bandBuckets must be <= 65536, got $bandBuckets")
+    DeltaIndex.resetForStaging(corpus.sparkSession, path)
+    val rows = md5Bands(corpus)
+    if (bandBuckets > 0)
+      rows.withColumn("bkt", bandBucketOf(bandBuckets))
+        .write.mode("overwrite").partitionBy("bkt").parquet(path)
+    else rows.write.mode("overwrite").parquet(path)
   }
+
+  /** The band-bucket key: a bounded re-shard of the (band, sig) key
+    * space shared by the staged layout and the probe's key push. */
+  private def bandBucketOf(bandBuckets: Int): Column =
+    pmod(hash(col("band"), col("sig")), lit(bandBuckets))
 
   /** Classify ONE arriving batch of (doc_id, text) against the staged
     * banded index at `path`: per doc, `dup_of_existing` (some band
@@ -2680,27 +2758,53 @@ object TextOps {
     * never re-banded, so an epoch's cost scales with the batch, not
     * the corpus. */
   def classifyNeardupBatch(s: SparkSession, indexPath: String,
-                           batch: DataFrame): DataFrame = {
+                           batch: DataFrame,
+                           bandBuckets: Int = 0): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
     // the COMPLETE index: base plus every delta a stream has admitted —
     // a batch-side classify that ignored stream admissions would
     // re-admit their copies, the duplicate-admission the
     // SemDeDup-at-the-door contract forbids
-    classifyNeardupCore(DeltaIndex.readAll(s, indexPath), batch)._1
+    classifyNeardupCore(DeltaIndex.readAll(s, indexPath), batch,
+      bandBuckets)._1
   }
 
   /** Classification plus the CHECKPOINTED banded probe frame, for
     * callers (the streaming epoch) that also need the admitted docs'
     * bands — deriving them from `probe` avoids re-banding what this
     * pass already banded. */
-  private def classifyNeardupCore(index: DataFrame,
-                                  batch: DataFrame): (DataFrame, DataFrame) = {
-    val probe = md5Bands(batch)
+  private def classifyNeardupCore(index: DataFrame, batch: DataFrame,
+                                  bandBuckets: Int = 0)
+      : (DataFrame, DataFrame) = {
+    val probe0 = md5Bands(batch)
+    val probe = (if (bandBuckets > 0)
+        probe0.withColumn("bkt", bandBucketOf(bandBuckets))
+      else probe0)
       .localCheckpoint(true) // one banding pass feeds both join levels
     val probeKeys = probe.select("band", "sig").distinct()
+    // For a band-bucket-partitioned index (stageNeardupIndex
+    // bandBuckets > 0 — the 100 TB layout), push the probe's bucket
+    // set as a STATIC partition filter, mirroring annProbeScore: the
+    // key set is bounded BY CONSTRUCTION at ≤ bandBuckets distinct
+    // values (a pmod image), so the collect is a bounded planning
+    // input — the Iceberg runtime-file-pruning contract. Spark's DPP
+    // (correctly) declines here: the probe side is a checkpointed RDD
+    // with no selective predicate. The (band, sig) semi-join below
+    // still applies exactly, so the pre-filter is purely an
+    // optimization; the push is skipped only when useless (the probe
+    // covers every bucket).
+    val indexIn =
+      if (bandBuckets <= 0) index
+      else {
+        val keys = probe.filter(col("bkt").isNotNull).select("bkt")
+          .distinct().limit(bandBuckets + 1).collect().map(_.getInt(0)).toSeq
+        if (keys.nonEmpty && keys.size < bandBuckets)
+          index.filter(col("bkt").isin(keys: _*))
+        else index
+      }
     // the index pruned to the probe's bands: broadcast semi-join —
     // index rows filter map-side against the batch's band keys
-    val hits = index.join(broadcast(probeKeys), Seq("band", "sig"),
+    val hits = indexIn.join(broadcast(probeKeys), Seq("band", "sig"),
         "left_semi")
       .select("band", "sig").distinct()
     val dupEx = probe.join(broadcast(hits), Seq("band", "sig"), "left_semi")
@@ -2728,17 +2832,19 @@ object TextOps {
     * come from the probe frame the classification already banded
     * (checkpointed — no re-banding). */
   private[graft] def neardupIngestEpoch(s: SparkSession, indexPath: String,
-                                        epochId: Long,
-                                        data: DataFrame): DataFrame = {
+                                        epochId: Long, data: DataFrame,
+                                        bandBuckets: Int = 0): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
     val (classified0, probe) =
-      classifyNeardupCore(DeltaIndex.read(s, indexPath, epochId), data)
+      classifyNeardupCore(DeltaIndex.read(s, indexPath, epochId), data,
+        bandBuckets)
     // plan contract, asserted STRUCTURALLY on the un-executed frame
     // every epoch (static plan properties — no data touched): the
     // staged index is READ (never re-banded) and probed via a
     // broadcast semi-join (never shuffled). A regression here would
     // silently turn every epoch corpus-proportional at 100 TB.
     val plan = classified0.queryExecution.executedPlan.toString
+    lastEpochPlan.set(plan)
     require(plan.contains(new java.io.File(indexPath).getName),
       s"epoch $epochId must read the staged index:\n" + plan.take(2000))
     require(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
@@ -2747,14 +2853,26 @@ object TextOps {
     // and the caller's materialization all read ONE computed copy of
     // the verdicts instead of re-running the probe joins
     val classified = classified0.localCheckpoint(true)
+    // admitted bands carry the bucket key when the layout is
+    // partitioned — DeltaIndex.write mirrors the base's partitioning,
+    // so the delta scans prune exactly like the base scan
+    val bandCols =
+      if (bandBuckets > 0) Seq("doc_id", "band", "sig", "bkt")
+      else Seq("doc_id", "band", "sig")
     val bands = probe.join(
         classified.filter(col("status") === "unique").select("doc_id"),
         "doc_id")
-      .select("doc_id", "band", "sig")
+      .select(bandCols.map(col): _*)
       .localCheckpoint(true)
     DeltaIndex.write(s, indexPath, epochId, bands)
     classified
   }
+
+  /** The most recent ingest epoch's UN-EXECUTED probe plan, for spec
+    * assertions (see [[VectorOps.lastEpochPlan]] — the returned frame
+    * is checkpointed, so its own plan is a Scan ExistingRDD). */
+  private[graft] val lastEpochPlan =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
 
   /** The REAL runtime composition of the streaming-ingest pieces (the
     * reference's shape: consumer flush → manager append → downstream
@@ -2788,7 +2906,8 @@ object TextOps {
                          indexPath: String, maxBatchesPerTrigger: Long,
                          checkpointDir: String,
                          onEpoch: (Long, DataFrame) => Unit,
-                         compactEvery: Int = 8)
+                         compactEvery: Int = 8,
+                         bandBuckets: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // Fresh checkpoint = Spark restarts epoch ids at 0; an uncompacted
     // delta namespace from a PREVIOUS run would be overwritten epoch by
@@ -2817,7 +2936,8 @@ object TextOps {
           val sess = batch.sparkSession
           DeltaIndex.maybeCompact(sess, indexPath, epochId, compactEvery)
           val data = batch.select("doc_id", "text").localCheckpoint(true)
-          val classified = neardupIngestEpoch(sess, indexPath, epochId, data)
+          val classified = neardupIngestEpoch(sess, indexPath, epochId, data,
+            bandBuckets)
           // per-topic admitted/dup counters (reference's per-stream
           // metric family) — a ≤3-row rollup of the checkpointed frame
           IngestMetrics.recordEpoch(topic, classified)
@@ -2828,6 +2948,27 @@ object TextOps {
     } catch { case t: Throwable => IngestWriters.release(indexPath); throw t }
     IngestWriters.bind(indexPath, q)
     q
+  }
+
+  /** The TTL-expiry recovery recipe as one call (see
+    * [[graft.engine.IngestRecovery]] and the ANN mirror
+    * [[VectorOps.resumeAnnIngestAfterExpiry]]): after the topic
+    * idle-expired and the caller re-appended its data
+    * (create-on-access), restart the near-dup door under a FRESH
+    * checkpoint — the start's compact-first folds the previous run's
+    * deltas, so every prior admission survives into the new run's
+    * index base. Preconditions are validated with actionable errors. */
+  def resumeNeardupIngestAfterExpiry(s: SparkSession, storeName: String,
+                                     topic: String, indexPath: String,
+                                     maxBatchesPerTrigger: Long,
+                                     freshCheckpointDir: String,
+                                     onEpoch: (Long, DataFrame) => Unit,
+                                     compactEvery: Int = 8,
+                                     bandBuckets: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    IngestRecovery.validateResume(s, storeName, topic, freshCheckpointDir)
+    startNeardupIngest(s, storeName, topic, indexPath, maxBatchesPerTrigger,
+      freshCheckpointDir, onEpoch, compactEvery, bandBuckets)
   }
 
   /** Blocklist dictionary for [[qBlocklistScan]]. Every term is

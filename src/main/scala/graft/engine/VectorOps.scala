@@ -1648,10 +1648,12 @@ object VectorOps {
     * recall trade, measured not assumed. The oracle replays probe
     * construction, bucketing, multiprobe, and scoring from scratch. */
   def qStreamAnnIngest(s: SparkSession, d: String,
-                       thresholdMicro: Long = 950000L): DataFrame = {
+                       thresholdMicro: Long = 950000L,
+                       nPlanes: Int = 8,
+                       bucketPartitioned: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val S = 1000000.0
-    val planes = hyperplanes(8, 64)
+    val planes = hyperplanes(nPlanes, 64)
     val base = embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * S + 0.5).cast("long")).as("v"))
@@ -1659,14 +1661,16 @@ object VectorOps {
       .withColumn("nv", aggregate(
         zip_with(col("v"), col("v"), (a, b) => a * b), lit(0L),
         (acc, x) => acc + x))
-    val indexPath = annIngestIndexCopies.computeIfAbsent(d, _ => {
-      val p = StagedPaths.tmp("graft_ann_ingest_idx")
-      withNv(base.filter(col("vec_id") % 2 === 0))
-        .withColumn("bucket",
-          lshBucket(transform(col("v"), x => x.cast("double")), planes))
-        .write.mode("overwrite").parquet(p)
-      p
-    })
+    val indexPath = annIngestIndexCopies.computeIfAbsent(
+      s"$d#$nPlanes#$bucketPartitioned", _ => {
+        val p = StagedPaths.tmp("graft_ann_ingest_idx")
+        val rows = withNv(base.filter(col("vec_id") % 2 === 0))
+          .withColumn("bucket",
+            lshBucket(transform(col("v"), x => x.cast("double")), planes))
+        val w = rows.write.mode("overwrite")
+        (if (bucketPartitioned) w.partitionBy("bucket") else w).parquet(p)
+        p
+      })
     val index = s.read.parquet(indexPath)
     val planted = base.filter(col("vec_id") % 4 === 1).alias("p")
       .join(base.filter(col("vec_id") % 2 === 0).alias("o"),
@@ -1682,7 +1686,8 @@ object VectorOps {
       .withColumn("bucket0",
         lshBucket(transform(col("v"), x => x.cast("double")), planes))
       .localCheckpoint(true) // one batch pass feeds fan-out AND report
-    val df = annProbeScore(index, probes, planes.length, thresholdMicro)
+    val df = annProbeScore(index, probes, planes.length, thresholdMicro,
+        indexKeyPrune = bucketPartitioned)
       .orderBy("probe_id")
     // Plan contract asserted STRUCTURALLY on the un-executed physical
     // plan: the staged-read path and the hinted broadcast semi-join
@@ -1698,6 +1703,16 @@ object VectorOps {
     require(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
       "index probing must be a broadcast semi-join (no index shuffle):\n" +
         plan.take(3000))
+    // the partitioned variant additionally REQUIRES the static key
+    // push in-plan: the oracled query itself carries the 100 TB
+    // layout's plan contract, not just a spec
+    if (bucketPartitioned)
+      require(plan.linesIterator.exists(l =>
+          l.contains("graft_ann_ingest_idx") &&
+          l.contains("PartitionFilters: [") && l.contains("bucket") &&
+          (l.contains(" IN ") || l.contains("INSET"))),
+        "the partitioned index scan must carry the probe-key partition " +
+          "filter:\n" + plan.take(3000))
     // loud-failure guard the structural asserts can't give (plan shape
     // is input-independent): a broken/empty fixture — or a scoring
     // regression that silently empties the RESULT while probes are
@@ -1785,24 +1800,30 @@ object VectorOps {
     val (indexIn, probeKeysBuild) =
       if (!indexKeyPrune) (index, probeKeys)
       else {
+        // the collect is bounded UP FRONT (limit one past the valve):
+        // a pathological batch (large corpus × up-to-4096 masks) must
+        // not materialize its whole key array on the driver only to be
+        // discarded by the valve — the limit bounds the collect
+        // itself, not just the downstream planning cost
         val keys = probeKeys.filter(col("bucket").isNotNull)
-          .collect().map(_.getLong(0)).toSeq
-        // the collected keys serve as the broadcast build in EVERY
-        // prune-mode branch (a LocalRelation — no second distinct job
-        // over the exploded probe frame; null keys match nothing in a
-        // semi-join, so excluding them is exact)
-        val sp = index.sparkSession
-        import sp.implicits._
-        val kf = keys.toDF("bucket")
+          .limit(65537).collect().map(_.getLong(0)).toSeq
         val space = if (nPlanes >= 62) Long.MaxValue else 1L << nPlanes
-        if (keys.nonEmpty && keys.size.toLong < space && keys.size <= 65536)
-          (index.filter(col("bucket").isin(keys: _*)), kf)
-        else {
+        if (keys.nonEmpty && keys.size.toLong < space && keys.size <= 65536) {
+          // the collected keys also serve as the broadcast build (a
+          // LocalRelation — no second distinct job over the exploded
+          // probe frame; null keys match nothing in a semi-join, so
+          // excluding them is exact)
+          val sp = index.sparkSession
+          import sp.implicits._
+          (index.filter(col("bucket").isin(keys: _*)), keys.toDF("bucket"))
+        } else {
           if (keys.size > 65536)
             System.err.println(s"[graft] annProbeScore: partition-key " +
-              s"push skipped — ${keys.size} keys exceed the 65536 In-list " +
-              "valve (semi-join still prunes exactly)")
-          (index, kf)
+              s"push skipped — over 65536 distinct keys (In-list valve; " +
+              "semi-join still prunes exactly)")
+          // push skipped: the limited collect may be INCOMPLETE, so
+          // the build side must be the full distinct frame
+          (index, probeKeys)
         }
       }
     // the index pruned to the batch's multiprobe bucket keys
@@ -1868,6 +1889,7 @@ object VectorOps {
     // of tiny files cost more than they prune. DeltaIndex.compact
     // preserves the layout (it re-partitions the folded base by the
     // detected partition column).
+    DeltaIndex.resetForStaging(emb.sparkSession, path)
     if (bucketPartitioned)
       rows.write.mode("overwrite").partitionBy("bucket").parquet(path)
     else rows.write.mode("overwrite").parquet(path)
@@ -1907,22 +1929,48 @@ object VectorOps {
       indexKeyPrune), probes)
   }
 
+  /** The most recent ingest epoch's UN-EXECUTED probe plan, kept for
+    * spec assertions (the classified frame the epoch returns is
+    * localCheckpointed — its own plan collapses to a Scan ExistingRDD,
+    * the round-13 gotcha). Written from the plan string the epoch's
+    * structural asserts already compute; no extra planning cost. */
+  private[graft] val lastEpochPlan =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
   /** ONE ANN ingest epoch, IDEMPOTENT under at-least-once foreachBatch
     * replay (see [[graft.engine.DeltaIndex]]): classify against base +
     * every OTHER epoch's delta, then OVERWRITE this epoch's delta with
     * the admitted vectors' index rows — taken from the probe frame the
-    * classification already quantized (no re-quantization). */
+    * classification already quantized (no re-quantization). With
+    * `bucketPartitioned` (an index staged partitioned, deltas
+    * partitioned to match by [[DeltaIndex.write]]'s layout mirror),
+    * the batch's bounded multiprobe key set pushes as a STATIC
+    * partition filter on base AND delta scans — per-epoch probe cost
+    * becomes proportional to the batch's multiprobe buckets, not the
+    * corpus (the 100 TB claim, now executable from the streaming
+    * door, not only the batch path).
+    *
+    * `occupancyWarnMean` > 0 arms the mis-dial alarm: when the
+    * epoch's mean candidates/probe crosses it, the measured
+    * super-linear probe regime (BENCH_planes.json pins (8 planes,
+    * 1 bit) at ×10 exponent 1.421) announces itself loudly instead of
+    * silently degrading — one tiny aggregate over the already-
+    * checkpointed frame per epoch. */
   private[graft] def annIngestEpoch(s: SparkSession, indexPath: String,
                                     epochId: Long, data: DataFrame,
                                     nPlanes: Int = 8, dim: Int = 64,
                                     thresholdMicro: Long = 950000L,
-                                    probeBits: Int = 1): DataFrame = {
+                                    probeBits: Int = 1,
+                                    bucketPartitioned: Boolean = false,
+                                    occupancyWarnMean: Double = 0.0)
+      : DataFrame = {
     val (classified0, probes) = classifyAnnCore(
       DeltaIndex.read(s, indexPath, epochId), data, nPlanes, dim,
-      thresholdMicro, probeBits)
+      thresholdMicro, probeBits, indexKeyPrune = bucketPartitioned)
     // plan contract per epoch, on the un-executed frame (see
     // TextOps.neardupIngestEpoch): staged index read + broadcast semi
     val plan = classified0.queryExecution.executedPlan.toString
+    lastEpochPlan.set(plan)
     require(plan.contains(new java.io.File(indexPath).getName),
       s"epoch $epochId must read the staged index:\n" + plan.take(2000))
     require(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
@@ -1930,6 +1978,22 @@ object VectorOps {
     // one computed copy serves the delta write, the stream's metrics
     // rollup, and the caller (see neardupIngestEpoch)
     val classified = classified0.localCheckpoint(true)
+    if (occupancyWarnMean > 0) {
+      val row = classified.agg(avg(col("n_cand")), count(lit(1))).head()
+      val meanCand = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      if (row.getLong(1) > 0 && meanCand > occupancyWarnMean) {
+        IngestMetrics.recordOccupancyWarn(indexPath)
+        Console.err.println(f"[graft] ANN ingest OCCUPANCY WARNING " +
+          f"(index $indexPath, epoch $epochId): mean candidates/probe " +
+          f"$meanCand%.1f exceeds $occupancyWarnMean%.1f at nPlanes=" +
+          f"$nPlanes, probeBits=$probeBits — this is the measured " +
+          "SUPER-LINEAR probe regime (BENCH_planes.json ×10 exponents: " +
+          "(8 planes,1 bit)=1.421 super-linear, (16,1)=0.342, " +
+          "(16,2)=0.634 with recall recovered). Raise nPlanes to " +
+          "re-shard the bucket space and pair with probeBits to buy " +
+          "the recall back.")
+      }
+    }
     val admitted = probes.join(
         classified.filter(col("status") === "new").select("probe_id"),
         "probe_id")
@@ -1955,11 +2019,20 @@ object VectorOps {
                      nPlanes: Int = 8, dim: Int = 64,
                      thresholdMicro: Long = 950000L,
                      compactEvery: Int = 8,
-                     probeBits: Int = 1)
+                     probeBits: Int = 1,
+                     bucketPartitioned: Boolean = false,
+                     occupancyWarnMean: Double = 0.0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // one live writer per index + periodic mid-stream compaction once
     // the committed delta count reaches compactEvery — see
-    // TextOps.startNeardupIngest for the full rationale on both
+    // TextOps.startNeardupIngest for the full rationale on both.
+    // bucketPartitioned = the 100 TB layout END-TO-END from the
+    // streaming door: stage the index with stageAnnIndex(
+    // bucketPartitioned = true), then every epoch's probe pushes its
+    // bounded multiprobe key set as a static partition filter on base
+    // AND deltas (DeltaIndex.write mirrors the layout, compaction
+    // preserves it) — per-epoch index-read cost tracks the BATCH's
+    // bucket neighborhood, not the corpus.
     IngestWriters.acquire(indexPath, checkpointDir)
     val q = try {
       // fresh checkpoint restarts epoch ids at 0 — compact first so the
@@ -1979,7 +2052,8 @@ object VectorOps {
           DeltaIndex.maybeCompact(sess, indexPath, epochId, compactEvery)
           val data = batch.select("vec_id", "embedding").localCheckpoint(true)
           val classified = annIngestEpoch(sess, indexPath,
-            epochId, data, nPlanes, dim, thresholdMicro, probeBits)
+            epochId, data, nPlanes, dim, thresholdMicro, probeBits,
+            bucketPartitioned, occupancyWarnMean)
           // per-topic admitted/matched counters (see startNeardupIngest)
           IngestMetrics.recordEpoch(topic, classified)
           if (!data.isEmpty) onEpoch(epochId, classified)
@@ -1991,14 +2065,42 @@ object VectorOps {
     q
   }
 
+  /** The TTL-expiry recovery recipe as one call (see
+    * [[graft.engine.IngestRecovery]]): after the topic idle-expired
+    * and the caller re-appended its data (create-on-access), start the
+    * ANN door again under a FRESH checkpoint — the start's
+    * compact-first folds the previous run's deltas, so every prior
+    * admission survives into the new run's index base. Preconditions
+    * (topic present again, checkpoint genuinely fresh) are validated
+    * with actionable errors instead of the generic downstream
+    * failures they would otherwise become. */
+  def resumeAnnIngestAfterExpiry(s: SparkSession, storeName: String,
+                                 topic: String, indexPath: String,
+                                 maxBatchesPerTrigger: Long,
+                                 freshCheckpointDir: String,
+                                 onEpoch: (Long, DataFrame) => Unit,
+                                 nPlanes: Int = 8, dim: Int = 64,
+                                 thresholdMicro: Long = 950000L,
+                                 compactEvery: Int = 8,
+                                 probeBits: Int = 1,
+                                 bucketPartitioned: Boolean = false,
+                                 occupancyWarnMean: Double = 0.0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    IngestRecovery.validateResume(s, storeName, topic, freshCheckpointDir)
+    startAnnIngest(s, storeName, topic, indexPath, maxBatchesPerTrigger,
+      freshCheckpointDir, onEpoch, nPlanes, dim, thresholdMicro,
+      compactEvery, probeBits, bucketPartitioned, occupancyWarnMean)
+  }
+
   /** DuckDB oracle for [[qStreamAnnIngest]]: plane constants embedded,
     * probe construction (planted jitter + own-vector halves),
     * bucketing, 1-bit multiprobe, and the exact integer cosine all
     * replayed from scratch. DuckDB's 2-arg list lambda index is
     * 1-based where Spark's is 0-based — hence `j - 1` in the jitter
     * hash. */
-  def annIngestOracleSql(thresholdMicro: Long = 950000L): String = {
-    val planes = hyperplanes(8, 64)
+  def annIngestOracleSql(thresholdMicro: Long = 950000L,
+                         nPlanes: Int = 8): String = {
+    val planes = hyperplanes(nPlanes, 64)
     val bucket = duckBucketSql(planes)
     val masks = duckMaskList(planes.length)
     def csu(v: String, nv: String, c: String, nc: String): String =

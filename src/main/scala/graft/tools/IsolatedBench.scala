@@ -36,7 +36,9 @@ object IsolatedBench {
     val txt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("bench_full.json")), "UTF-8")
     val inner = txt.substring(txt.indexOf("\"queries\":{") + 11)
-    val keys = "\"(q_[a-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(inner)
+    // shared key regex (BenchProtocol.KeyEntry): a mixed-case key must
+    // never be silently excluded from isolated re-timing
+    val keys = graft.BenchProtocol.KeyEntry.findAllMatchIn(inner)
       .map(m => m.group(1) -> m.group(2).toDouble).toSeq
       .sortBy(-_._2).take(topN).map(_._1)
 

@@ -73,7 +73,8 @@ object ScaleCliff {
     val txt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("bench_full.json")), "UTF-8")
     val inner = txt.substring(txt.indexOf("\"queries\":{") + 11)
-    "\"(q_[a-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(inner)
+    // shared key regex (BenchProtocol.KeyEntry) — see IsolatedBench
+    graft.BenchProtocol.KeyEntry.findAllMatchIn(inner)
       .map(m => m.group(1) -> m.group(2).toDouble).toSeq
       .sortBy(-_._2).take(n).map(_._1)
   }

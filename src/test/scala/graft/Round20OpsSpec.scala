@@ -279,11 +279,13 @@ class Round20OpsSpec extends SparkSuite {
     assert(pubClassify(Seq(Row(700L, text("z1")))) ==
       Map(700L -> "dup_of_existing"),
       "a batch-side classify must not re-admit a stream-admitted doc")
-    // compaction folds deltas into the base and removes the namespace —
-    // the mandatory step before reusing the index under a fresh
-    // checkpoint (epoch ids restart at 0)
+    // compaction folds deltas into the base and retires them from the
+    // live namespace (tombstoned on disk for one generation — snapshot
+    // isolation — then deleted) — the mandatory step before reusing
+    // the index under a fresh checkpoint (epoch ids restart at 0)
     graft.engine.DeltaIndex.compact(spark, idx)
-    assert(!new java.io.File(s"${idx}_delta").exists, "delta root removed")
+    assert(graft.engine.DeltaIndex.outstanding(spark, idx) == 0,
+      "no live deltas after a full compaction")
     assert(pubClassify(Seq(Row(701L, text("z1")))) ==
       Map(701L -> "dup_of_existing"), "admissions survive compaction")
     assert(classify(0L, Seq(Row(702L, text("z1")))) ==

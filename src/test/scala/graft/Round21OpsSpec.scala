@@ -77,10 +77,24 @@ class Round21OpsSpec extends SparkSuite {
     assert(DeltaIndex.outstanding(spark, idx) == 2,
       s"expected 2 outstanding deltas, got ${DeltaIndex.outstanding(spark, idx)}")
     assert(DeltaIndex.outstanding(spark, twinIdx) == 6)
-    (0 until 4).foreach(e => assert(
-      !new java.io.File(s"${idx}_delta/e$e").exists, s"e$e must be folded"))
+    // snapshot-isolated retirement: the SECOND fold (epoch 4, -> v2)
+    // physically deleted the FIRST generation's folded deltas (e0, e1)
+    // and tombstoned its own (e2, e3 — files still on disk for
+    // in-flight plans, excluded from every listing); e4, e5 are live
+    (0 until 2).foreach(e => assert(
+      !new java.io.File(s"${idx}_delta/e$e").exists,
+      s"e$e (folded two generations ago) must be deleted"))
+    (2 until 4).foreach(e => assert(
+      new java.io.File(s"${idx}_delta/e$e/_RETIRED").exists,
+      s"e$e must be tombstoned (folded last generation, files kept)"))
     (4 until 6).foreach(e => assert(
-      new java.io.File(s"${idx}_delta/e$e").exists, s"e$e must survive"))
+      new java.io.File(s"${idx}_delta/e$e").exists &&
+        !new java.io.File(s"${idx}_delta/e$e/_RETIRED").exists,
+      s"e$e must be live"))
+    // two compactions -> base version 2; the superseded v1 dir is
+    // retired, the previous generation (v1's predecessor, the flat
+    // staging dir) was retired at the v2 flip
+    assert(DeltaIndex.currentBase(spark, idx) == s"${idx}_v2")
     // folded admissions still classify: copies of f0 (folded into the
     // base) and f5 (still a delta) both read as existing
     val late = TextOps.classifyNeardupBatch(spark, idx,
@@ -130,42 +144,47 @@ class Round21OpsSpec extends SparkSuite {
       (idx, DeltaIndex.readAll(spark, idx).count())
     }
     def marker(idx: String): java.io.File = new java.io.File(idx + "_compact_commit")
-    def writeMarker(idx: String): Unit = {
+    // simulate a compact that completed step 1 (merged image in the
+    // next version dir) and step 2 (marker published), then crashed
+    def imageAndMarker(idx: String): Unit = {
+      DeltaIndex.readAll(spark, idx).write.mode("overwrite")
+        .parquet(idx + "_v1")
       val w = new java.io.PrintWriter(marker(idx), "UTF-8")
-      try w.print("e0\ne1") finally w.close()
+      try w.print("v1\ne0\ne1") finally w.close()
     }
-    // STATE A — crash after the marker published, before the base
-    // swap: base OLD, deltas present, tmp complete
+    def checkRecovered(idx: String, baseline: Long): Unit = {
+      assert(DeltaIndex.readAll(spark, idx).count() == baseline,
+        "recovery must finish the fold and serve exactly one copy")
+      assert(!marker(idx).exists, "marker retired after recovery")
+      assert(DeltaIndex.outstanding(spark, idx) == 0, "deltas folded")
+      assert(DeltaIndex.currentBase(spark, idx) == s"${idx}_v1",
+        "pointer flipped to the merged image")
+      Seq("e0", "e1").foreach(e => assert(
+        new java.io.File(s"${idx}_delta/$e/_RETIRED").exists,
+        s"$e tombstoned (files kept one generation for in-flight plans)"))
+      val late = TextOps.classifyNeardupBatch(spark, idx,
+          df(Seq(Row(990L, text("h0")))))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(late == Map(990L -> "dup_of_existing"))
+    }
+    // STATE A — crash right after the marker published: pointer still
+    // old, deltas live, merged image complete. Recovery must replay
+    // the whole publish (tombstone, flip, retire marker).
     val (idxA, baselineA) = build("cra_idx")
-    DeltaIndex.readAll(spark, idxA).write.mode("overwrite")
-      .parquet(idxA + "_compact_tmp")
-    writeMarker(idxA)
-    assert(DeltaIndex.readAll(spark, idxA).count() == baselineA,
-      "recovery must finish the fold and serve exactly one copy")
-    assert(!marker(idxA).exists, "marker retired after recovery")
-    assert(!new java.io.File(idxA + "_delta").exists, "deltas folded")
-    assert(!new java.io.File(idxA + "_compact_tmp").exists, "tmp retired")
-    val lateA = TextOps.classifyNeardupBatch(spark, idxA,
-        df(Seq(Row(990L, text("h0")))))
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(lateA == Map(990L -> "dup_of_existing"))
-    // STATE B — crash after the base swap, before delta deletion:
-    // base NEW (holds the folded admissions), deltas STILL present —
-    // without recovery every folded admission reads twice
+    imageAndMarker(idxA)
+    checkRecovered(idxA, baselineA)
+    // STATE B — crash after the pointer flip and the tombstones,
+    // before the marker retired: without idempotent replay the folded
+    // admissions would either double-count (if tombstones were
+    // ignored) or the marker would wedge every later read
     val (idxB, baselineB) = build("crb_idx")
-    DeltaIndex.readAll(spark, idxB).write.mode("overwrite")
-      .parquet(idxB + "_compact_tmp")
-    writeMarker(idxB)
-    def rmrf(f: java.io.File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(rmrf)
-      f.delete(); ()
+    imageAndMarker(idxB)
+    Seq("e0", "e1").foreach { e =>
+      new java.io.File(s"${idxB}_delta/$e/_RETIRED").createNewFile()
     }
-    rmrf(new java.io.File(idxB))
-    assert(new java.io.File(idxB + "_compact_tmp")
-      .renameTo(new java.io.File(idxB)), "swap simulation")
-    assert(DeltaIndex.readAll(spark, idxB).count() == baselineB,
-      "recovery must not double-count the already-swapped admissions")
-    assert(!marker(idxB).exists && !new java.io.File(idxB + "_delta").exists)
+    val pw = new java.io.PrintWriter(idxB + "_version", "UTF-8")
+    try pw.print("1") finally pw.close()
+    checkRecovered(idxB, baselineB)
   }
 
   test("single-writer guard: a second concurrent stream on a shared indexPath is rejected loudly; sequential reuse still works") {
@@ -433,7 +452,11 @@ class Round21OpsSpec extends SparkSuite {
     val beforeCompact = outcomes(part, partitioned = true)
     graft.engine.DeltaIndex.compact(spark, part)
     assert(graft.engine.DeltaIndex.outstanding(spark, part) == 0)
-    assert(new java.io.File(part).listFiles()
+    // the fold produced a new base VERSION (snapshot isolation) —
+    // layout preservation is judged on the dir actually served
+    val served = graft.engine.DeltaIndex.currentBase(spark, part)
+    assert(served == s"${part}_v1", s"compaction must publish a new version, got $served")
+    assert(new java.io.File(served).listFiles()
       .exists(_.getName.startsWith("bucket=")),
       "compaction must preserve the bucket-partitioned layout")
     assert(outcomes(part, partitioned = true) == beforeCompact,
