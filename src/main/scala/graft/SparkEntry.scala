@@ -64,7 +64,7 @@ object SparkEntry {
     "q_stream_ann_ingest"  -> ((s, d) => VectorOps.qStreamAnnIngest(s, d)),
     "q_stream_ann_ingest_part" -> ((s, d) =>
       VectorOps.qStreamAnnIngest(s, d, nPlanes = 16,
-        bucketPartitioned = true)),
+        bucketPartitioned = true, probeEvery = 10)),
     "q_ann_ivf"            -> ((s, d) => VectorOps.qAnnIvf(s, d)),
     "q_embed_cosine_dup"   -> ((s, d) => VectorOps.qEmbedCosineDup(s, d)),
     "q_grouping_sets"      -> (Relational.qGroupingSets _),
@@ -1043,7 +1043,8 @@ object SparkEntry {
     // the bucket-partitioned door at the 16-plane dial: the SAME
     // from-scratch replay algebra at nPlanes = 16 — the Spark side's
     // partition push must be invisible in the results
-    "q_stream_ann_ingest_part" -> VectorOps.annIngestOracleSql(nPlanes = 16),
+    "q_stream_ann_ingest_part" ->
+      VectorOps.annIngestOracleSql(nPlanes = 16, probeEvery = 10),
     "q_ann_ivf" -> VectorOps.annIvfOracleSql(),
     "q_embed_cosine_dup" -> VectorOps.embedCosineDupOracleSql(),
 

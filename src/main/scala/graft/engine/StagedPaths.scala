@@ -233,7 +233,17 @@ private[graft] object DeltaIndex {
           s"column(s) ${missing.mkString(", ")} — a flat delta under a " +
           "partitioned base breaks both the union schema and the " +
           "partition-pruned probe")
-      val w = rows.write.mode("overwrite")
+      // clustered by the partition key first — one file per bucket dir
+      // per delta, not one per (task × bucket)
+      val clustered =
+        if (pc.isEmpty) rows
+        else rows.repartition(pc.map(org.apache.spark.sql.functions.col): _*)
+      // static overwrite PINNED: under a session-level dynamic
+      // partitionOverwriteMode a replayed epoch's overwrite would
+      // replace only the partitions present in the new image, leaving
+      // ghost admissions (and the tombstone) from the first attempt
+      val w = clustered.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
       (if (pc.nonEmpty) w.partitionBy(pc: _*) else w).parquet(delta.toString)
     }
     else if (fsOf(s, delta).exists(delta)) { fsOf(s, delta).delete(delta, true); () }
@@ -320,7 +330,14 @@ private[graft] object DeltaIndex {
       val partCols = inferPartCols(baseDf)
       val merged = folded.foldLeft(baseDf)((acc, p) =>
         acc.unionByName(s.read.parquet(p.toString), allowMissingColumns = false))
-      val w = merged.write.mode("overwrite")
+      // cluster by the partition key so each generation keeps one file
+      // per bucket dir — file count stays flat across folds instead of
+      // accumulating every source's fragments
+      val clustered =
+        if (partCols.isEmpty) merged
+        else merged.repartition(
+          partCols.map(org.apache.spark.sql.functions.col): _*)
+      val w = clustered.write.mode("overwrite")
       (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
         .parquet(target.toString)
       // 2. marker: new version + folded dir names, renamed into place.

@@ -2736,9 +2736,15 @@ object TextOps {
       s"bandBuckets must be <= 65536, got $bandBuckets")
     DeltaIndex.resetForStaging(corpus.sparkSession, path)
     val rows = md5Bands(corpus)
+    // cluster by the bucket key before the partitioned write — one
+    // file per bucket dir instead of tasks × buckets tiny files (see
+    // stageAnnIndex)
     if (bandBuckets > 0)
       rows.withColumn("bkt", bandBucketOf(bandBuckets))
-        .write.mode("overwrite").partitionBy("bkt").parquet(path)
+        .repartition(col("bkt"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static") // full-truncate restage
+        .partitionBy("bkt").parquet(path)
     else rows.write.mode("overwrite").parquet(path)
   }
 

@@ -1650,7 +1650,8 @@ object VectorOps {
   def qStreamAnnIngest(s: SparkSession, d: String,
                        thresholdMicro: Long = 950000L,
                        nPlanes: Int = 8,
-                       bucketPartitioned: Boolean = false): DataFrame = {
+                       bucketPartitioned: Boolean = false,
+                       probeEvery: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val S = 1000000.0
     val planes = hyperplanes(nPlanes, 64)
@@ -1682,7 +1683,17 @@ object VectorOps {
             1, 8), 16, 10).cast("long") % 2001) - 1000).as("v"))
     val own = base.filter(col("vec_id") % 4 === 3)
       .select(col("vec_id").as("probe_id"), col("v"))
-    val probes = withNv(planted.unionByName(own))
+    // probeEvery > 1 bounds the arriving batch to every Nth probe
+    // group — the admission-controlled epoch shape the partitioned
+    // variant is FOR (a bounded batch's multiprobe neighborhood covers
+    // the bucket space sparsely, so the partition push prunes; the
+    // full-corpus batch of the flat variant would touch nearly every
+    // bucket and prune nothing)
+    val bounded =
+      if (probeEvery <= 1) planted.unionByName(own)
+      else planted.unionByName(own)
+        .filter(expr(s"(probe_id DIV 4) % $probeEvery = 0"))
+    val probes = withNv(bounded)
       .withColumn("bucket0",
         lshBucket(transform(col("v"), x => x.cast("double")), planes))
       .localCheckpoint(true) // one batch pass feeds fan-out AND report
@@ -1890,8 +1901,16 @@ object VectorOps {
     // preserves the layout (it re-partitions the folded base by the
     // detected partition column).
     DeltaIndex.resetForStaging(emb.sparkSession, path)
+    // partitioned staging CLUSTERS by the partition key first: without
+    // the repartition every write task emits a file into every bucket
+    // dir (tasks × buckets tiny files — the small-files problem that
+    // kills partitioned layouts at any scale); with it each bucket dir
+    // holds exactly one file
     if (bucketPartitioned)
-      rows.write.mode("overwrite").partitionBy("bucket").parquet(path)
+      rows.repartition(col("bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static") // full-truncate restage
+        .partitionBy("bucket").parquet(path)
     else rows.write.mode("overwrite").parquet(path)
   }
 
@@ -2099,7 +2118,8 @@ object VectorOps {
     * 1-based where Spark's is 0-based — hence `j - 1` in the jitter
     * hash. */
   def annIngestOracleSql(thresholdMicro: Long = 950000L,
-                         nPlanes: Int = 8): String = {
+                         nPlanes: Int = 8,
+                         probeEvery: Int = 1): String = {
     val planes = hyperplanes(nPlanes, 64)
     val bucket = duckBucketSql(planes)
     val masks = duckMaskList(planes.length)
@@ -2126,7 +2146,9 @@ object VectorOps {
        |probes AS MATERIALIZED (
        |  SELECT probe_id, v, list_dot_product(v, v) AS nv,
        |         $bucket AS bucket0
-       |  FROM pr0),
+       |  FROM pr0${
+        if (probeEvery > 1) s"\n       |  WHERE ((probe_id // 4) % $probeEvery) = 0"
+        else ""}),
        |pex AS (SELECT probe_id, v AS pv, nv AS pnv,
        |          xor(bucket0, m.m) AS bucket
        |        FROM probes, (SELECT UNNEST([$masks]) AS m) m),
