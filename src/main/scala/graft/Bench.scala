@@ -170,8 +170,12 @@ object Bench {
     // per-key verdicts read (and what the next run's pulse guard uses
     // as its prior), so BENCH_rN comparisons self-adjudicate instead
     // of needing a separately-produced artifact.
-    val isoKeys = results.toSeq.filter(_._2 >= 0).sortBy(-_._2)
-      .take(25).map(_._1)
+    // subset (SPARK_GRAFT_ONLY) runs skip the isolation pass: its
+    // output is only persisted by unfiltered runs, and a quick
+    // targeted run should not pay a third sample per key
+    val isoKeys =
+      if (only.nonEmpty) Seq.empty[String]
+      else results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(25).map(_._1)
     val pass3 = isoKeys.map(k => k -> once(fnByName(k))).toMap
     val isolated = isoKeys.map { k =>
       k -> minPos(Seq(pass1(k), pass2(k), pass3(k)) ++

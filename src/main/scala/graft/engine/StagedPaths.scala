@@ -132,6 +132,18 @@ private[graft] object DeltaIndex {
   private def markerPath(indexPath: String) =
     new Path(indexPath + "_compact_commit")
 
+  /** Every on-disk version dir with its number — the ONE definition of
+    * the `_v<N>` naming, shared by generation retirement and
+    * restaging cleanup. */
+  private def versionDirs(fs: FileSystem,
+                          indexPath: String): Seq[(Path, Long)] = {
+    val prefix = new Path(indexPath).getName + "_v"
+    Option(fs.globStatus(new Path(indexPath + "_v[0-9]*")))
+      .map(_.toSeq).getOrElse(Seq.empty).map(_.getPath)
+      .filter(p => p.getName.stripPrefix(prefix).forall(_.isDigit))
+      .map(p => p -> p.getName.stripPrefix(prefix).toLong)
+  }
+
   /** The current base-version number: 0 = the as-staged dir
     * (`indexPath` itself), N ≥ 1 = `<indexPath>_v<N>`. */
   private def currentVersionNum(s: SparkSession, indexPath: String): Long = {
@@ -247,8 +259,13 @@ private[graft] object DeltaIndex {
       (if (pc.nonEmpty) w.partitionBy(pc: _*) else w).parquet(delta.toString)
     }
     else if (fsOf(s, delta).exists(delta)) { fsOf(s, delta).delete(delta, true); () }
-    IngestMetrics.setOutstandingDeltas(indexPath,
-      liveDeltaPaths(s, indexPath).size.toLong)
+    // gauge refresh under the per-index lock: an unlocked listing here
+    // could race a concurrent batch-side recovery's own refresh and
+    // persist a stale count until the next epoch
+    lockFor(indexPath).synchronized {
+      IngestMetrics.setOutstandingDeltas(indexPath,
+        liveDeltaPaths(s, indexPath).size.toLong)
+    }
   }
 
   /** The base's partition columns via Spark's OWN partition discovery
@@ -391,15 +408,9 @@ private[graft] object DeltaIndex {
     // newN-1 (incl. the flat staging dir once v2 exists) and deltas
     // tombstoned by EARLIER compactions — nothing a plan younger than
     // one generation can still reference
-    val stale = Option(fs.globStatus(new Path(indexPath + "_v[0-9]*")))
-      .map(_.toSeq).getOrElse(Seq.empty)
-      .map(_.getPath)
-      .filter(p => p.getName.stripPrefix(
-        new Path(indexPath).getName + "_v").forall(_.isDigit))
-      .filter(p => p.getName.stripPrefix(
-        new Path(indexPath).getName + "_v").toLong <= newN - 2)
-    stale.foreach(p => require(fs.delete(p, true),
-      s"compact publish: could not retire old version $p (recoverable)"))
+    versionDirs(fs, indexPath).collect { case (p, n) if n <= newN - 2 => p }
+      .foreach(p => require(fs.delete(p, true),
+        s"compact publish: could not retire old version $p (recoverable)"))
     if (newN >= 2) {
       val flat = new Path(indexPath)
       if (fs.exists(flat)) require(fs.delete(flat, true),
@@ -430,6 +441,15 @@ private[graft] object DeltaIndex {
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
       .mkString.split("\n").toSeq.filter(_.nonEmpty)
     finally in.close()
+    // actionable guard against an unparseable (e.g. pre-versioning)
+    // marker: a bare NumberFormatException from inside every locked
+    // operation would wedge the index without naming the fix
+    require(lines.nonEmpty && lines.head.startsWith("v") &&
+        lines.head.drop(1).nonEmpty && lines.head.drop(1).forall(_.isDigit),
+      s"unrecognized compact marker format at $marker (first line " +
+        s"'${lines.headOption.getOrElse("")}', expected 'v<N>') — likely a " +
+        "marker from an older protocol version; finish or remove it " +
+        "manually before using this index")
     val newN = lines.head.stripPrefix("v").toLong
     require(fs.exists(versionDir(indexPath, newN)),
       s"compact marker for $indexPath names version v$newN but the merged " +
@@ -470,13 +490,70 @@ private[graft] object DeltaIndex {
       Seq(markerPath(indexPath), new Path(indexPath + "_compact_commit.staging"),
         versionPtr(indexPath), new Path(indexPath + "_version.staging"))
         .foreach(p => if (fs.exists(p)) fs.delete(p, true))
-      Option(fs.globStatus(new Path(indexPath + "_v[0-9]*")))
-        .map(_.toSeq).getOrElse(Seq.empty).map(_.getPath)
-        .filter(p => p.getName.stripPrefix(
-          new Path(indexPath).getName + "_v").forall(_.isDigit))
-        .foreach(p => fs.delete(p, true))
+      versionDirs(fs, indexPath).foreach { case (p, _) => fs.delete(p, true) }
       partColsCache.remove(canonicalKey(indexPath))
       ()
+    }
+}
+
+/** Sidecar file (`<indexPath>_layout`) recording the dials an index
+  * was STAGED with (`bandBuckets` for the text near-dup index,
+  * `nPlanes` for the ANN index), so a probe called with a different
+  * dial fails loudly instead of silently missing matches: the stored
+  * bucket/band values are the staging formula's, and a mismatched
+  * probe-side formula would prune away index rows whose keys actually
+  * match (wrong `unique` verdicts — duplicate re-admission). One
+  * `key=value` pair per line; absent file = legacy/flat staging,
+  * validated only when the caller asks for a nonzero dial. */
+private[graft] object IndexLayout {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.hadoop.fs.Path
+
+  private def pathOf(indexPath: String) = new Path(indexPath + "_layout")
+  private def fsOf(s: SparkSession, p: Path) =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  def write(s: SparkSession, indexPath: String,
+            props: Seq[(String, String)]): Unit = {
+    val p = pathOf(indexPath)
+    val out = fsOf(s, p).create(p, true)
+    try out.write(props.map { case (k, v) => s"$k=$v" }.mkString("\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def clear(s: SparkSession, indexPath: String): Unit = {
+    val p = pathOf(indexPath)
+    val fs = fsOf(s, p)
+    if (fs.exists(p)) fs.delete(p, false)
+    ()
+  }
+
+  def read(s: SparkSession, indexPath: String): Map[String, String] = {
+    val p = pathOf(indexPath)
+    val fs = fsOf(s, p)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      txt.split("\n").toSeq.filter(_.contains("="))
+        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+        .toMap
+    }
+  }
+
+  /** Fail loudly when the caller's dial contradicts the staged one —
+    * the silent alternative is wrong verdicts, not slow plans. */
+  def validate(s: SparkSession, indexPath: String, key: String,
+               callerValue: String): Unit =
+    read(s, indexPath).get(key).foreach { stored =>
+      if (stored != callerValue)
+        throw new IllegalArgumentException(
+          s"index '$indexPath' was staged with $key=$stored but the probe " +
+            s"asked for $key=$callerValue — the stored keys use the staging " +
+            "formula, so a mismatched probe would silently miss true " +
+            "matches. Pass the staging dial, or re-stage the index.")
     }
 }
 

@@ -2632,19 +2632,23 @@ object TextOps {
     * The DuckDB oracle replays the banding (the exact
     * conv(substr(md5)) arithmetic of q_dedup_minhash_md5) and both
     * join levels from scratch. */
-  def qStreamNeardupLsh(s: SparkSession, d: String,
-                        bandBuckets: Int = 0): DataFrame = {
+  def qStreamNeardupLsh(s: SparkSession, d: String): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
     def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
     val corpus = corpusWithDups(s, d)
-    val indexPath = neardupIndexCopies.computeIfAbsent(s"$d#$bandBuckets", _ => {
+    // this query's batch is the WHOLE duplicated corpus, whose band
+    // keys cover any realistic bucket space — the partitioned layout
+    // belongs to the bounded-batch twin (qStreamNeardupPart), so this
+    // one stays flat by design (no dead dial whose push would always
+    // be skipped)
+    val indexPath = neardupIndexCopies.computeIfAbsent(d, _ => {
       val p = StagedPaths.tmp("graft_nd_index")
       stageNeardupIndex(corpus.filter(col("doc_id") < 1000000 &&
-        col("doc_id") % 2 === 0), p, bandBuckets)
+        col("doc_id") % 2 === 0), p)
       p
     })
     val df = classifyNeardupBatch(s, indexPath,
-        corpus.filter(col("doc_id") >= 1000000), bandBuckets)
+        corpus.filter(col("doc_id") >= 1000000))
       .groupBy("status")
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("share", r4(col("n_docs") /
@@ -2657,15 +2661,6 @@ object TextOps {
     require(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
       "index probing must be a broadcast semi-join (no index shuffle):\n" +
         plan.take(3000))
-    // the band-bucket-partitioned variant (q_stream_neardup_part)
-    // additionally REQUIRES the static key push in-plan — the 100 TB
-    // layout's contract rides the oracled query itself
-    if (bandBuckets > 0)
-      require(plan.linesIterator.exists(l => l.contains("graft_nd_index") &&
-          l.contains("PartitionFilters: [") && l.contains("bkt") &&
-          (l.contains(" IN ") || l.contains("INSET"))),
-        "the partitioned index scan must carry the band-bucket partition " +
-          "filter:\n" + plan.take(3000))
     s.createDataFrame(s.sparkContext.parallelize(out.toList), df.schema)
       .orderBy("status")
   }
@@ -2735,6 +2730,13 @@ object TextOps {
     require(bandBuckets <= 65536,
       s"bandBuckets must be <= 65536, got $bandBuckets")
     DeltaIndex.resetForStaging(corpus.sparkSession, path)
+    // record the dial beside the index: a probe with a DIFFERENT
+    // bandBuckets would compute bkt under a different modulus and the
+    // partition push would silently prune away true matches
+    if (bandBuckets > 0)
+      IndexLayout.write(corpus.sparkSession, path,
+        Seq("bandBuckets" -> bandBuckets.toString))
+    else IndexLayout.clear(corpus.sparkSession, path)
     val rows = md5Bands(corpus)
     // cluster by the bucket key before the partitioned write — one
     // file per bucket dir instead of tasks × buckets tiny files (see
@@ -2767,6 +2769,7 @@ object TextOps {
                            batch: DataFrame,
                            bandBuckets: Int = 0): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
+    IndexLayout.validate(s, indexPath, "bandBuckets", bandBuckets.toString)
     // the COMPLETE index: base plus every delta a stream has admitted —
     // a batch-side classify that ignored stream admissions would
     // re-admit their copies, the duplicate-admission the
@@ -2841,6 +2844,7 @@ object TextOps {
                                         epochId: Long, data: DataFrame,
                                         bandBuckets: Int = 0): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
+    IndexLayout.validate(s, indexPath, "bandBuckets", bandBuckets.toString)
     val (classified0, probe) =
       classifyNeardupCore(DeltaIndex.read(s, indexPath, epochId), data,
         bandBuckets)

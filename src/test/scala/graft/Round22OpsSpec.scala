@@ -283,6 +283,41 @@ class Round22OpsSpec extends SparkSuite {
     finally http.close()
   }
 
+  test("layout-dial validation: probing with a different bandBuckets/nPlanes than the index was staged with fails loudly instead of silently missing matches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dial")
+    val tIdx = dir.resolve("dl_t_idx").toString
+    TextOps.stageNeardupIndex(docs(Seq(Row(0L, text("x0")))), tIdx,
+      bandBuckets = 64)
+    val batch = docs(Seq(Row(100L, text("x0"))))
+    // matching dial works; a mismatched modulus would silently prune
+    // away true matches, so it must throw, naming both values
+    assert(TextOps.classifyNeardupBatch(spark, tIdx, batch, bandBuckets = 64)
+      .collect().map(_.getString(1)).toSeq == Seq("dup_of_existing"))
+    val e1 = intercept[IllegalArgumentException] {
+      TextOps.classifyNeardupBatch(spark, tIdx, batch, bandBuckets = 32)
+    }
+    assert(e1.getMessage.contains("bandBuckets=64") &&
+      e1.getMessage.contains("bandBuckets=32"), e1.getMessage)
+    intercept[IllegalArgumentException] {
+      TextOps.neardupIngestEpoch(spark, tIdx, 0L, batch, bandBuckets = 0)
+    }
+    val vIdx = dir.resolve("dl_v_idx").toString
+    VectorOps.stageAnnIndex(vecs(Seq(Row(0L, oneHot(0)))), vIdx,
+      nPlanes = 16, dim = 16)
+    val vBatch = vecs(Seq(Row(100L, oneHot(0))))
+    assert(VectorOps.classifyAnnBatch(spark, vIdx, vBatch, nPlanes = 16,
+      dim = 16).collect().map(_.getString(4)).toSeq == Seq("matched"))
+    val e2 = intercept[IllegalArgumentException] {
+      VectorOps.classifyAnnBatch(spark, vIdx, vBatch, nPlanes = 8, dim = 16)
+    }
+    assert(e2.getMessage.contains("nPlanes=16") &&
+      e2.getMessage.contains("nPlanes=8"), e2.getMessage)
+    intercept[IllegalArgumentException] {
+      VectorOps.annIngestEpoch(spark, vIdx, 0L, vBatch, nPlanes = 16,
+        dim = 64)
+    }
+  }
+
   test("resumeIngestAfterExpiry: the TTL recovery recipe as one call — each precondition fails actionably, the happy path resumes with admissions intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_resume")
     val idx = dir.resolve("rs_idx").toString
