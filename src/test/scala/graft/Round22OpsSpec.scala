@@ -283,6 +283,75 @@ class Round22OpsSpec extends SparkSuite {
     finally http.close()
   }
 
+  test("reader vs compactor under real concurrency: a batch-side reader looping plan+execute while the writer folds generations never sees a WRONG count; snapshot reads within one generation succeed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_conc")
+    val idx = dir.resolve("cc_idx").toString
+    TextOps.stageNeardupIndex(docs(Seq(Row(0L, text("s0")))), idx)
+    val baseRows = DeltaIndex.readAll(spark, idx).count()
+    // each epoch admits one 8-token doc -> a fixed band-row delta;
+    // valid snapshot counts are the prefix sums the writer publishes
+    val perDoc = {
+      TextOps.neardupIngestEpoch(spark, idx, 999L,
+        docs(Seq(Row(999L, text("probe"))))).collect()
+      val n = DeltaIndex.readAll(spark, idx).count() - baseRows
+      // discard the measurement admission via the empty-replay path
+      // (an empty epoch clears its stale delta) — compact would fold
+      // it INTO the base instead
+      TextOps.neardupIngestEpoch(spark, idx, 999L, docs(Seq.empty)).collect()
+      assert(DeltaIndex.readAll(spark, idx).count() == baseRows)
+      n
+    }
+    val epochs = 10
+    // the race-proof invariant: an admission is NEVER visible twice
+    // (a folded delta double-counted against the new base would show
+    // a doc_id with > perDoc band rows). Exact-count assertions would
+    // flake on the benign transient of listing a delta dir mid-commit
+    // (a SUBSET of its part files) — under-visibility is eventual,
+    // duplication would be wrongness.
+    val wrong = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val okReads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val retried = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get() && wrong.get == null) {
+        try {
+          val maxPerDoc = DeltaIndex.readAll(spark, idx)
+            .groupBy("doc_id").count()
+            .agg(max(col("count"))).head.getLong(0)
+          if (maxPerDoc > perDoc)
+            wrong.compareAndSet(null,
+              s"a doc's bands were visible $maxPerDoc times (> $perDoc) — " +
+                "a fold double-counted an admission")
+          else okReads.incrementAndGet()
+        } catch {
+          // beyond-one-generation plans fail LOUDLY and retryably by
+          // contract — never silently wrong; count and continue
+          case _: Throwable => retried.incrementAndGet()
+        }
+        ()
+      }
+    }, "graft-conc-reader")
+    reader.start()
+    try {
+      // writer: 10 epochs, folding EVERY OTHER epoch so the reader
+      // races many base swaps and tombstone publications
+      (0 until epochs).foreach { e =>
+        TextOps.neardupIngestEpoch(spark, idx, e.toLong,
+          docs(Seq(Row(100L + e, text(s"t$e"))))).collect()
+        if (e % 2 == 1) DeltaIndex.compact(spark, idx, belowEpoch = e + 1L)
+      }
+    } finally {
+      stop.set(true)
+      reader.join(30000)
+    }
+    assert(wrong.get == null, String.valueOf(wrong.get))
+    assert(okReads.get > 0, "the reader must have completed reads mid-stream")
+    // the folded admissions all survived the racing folds
+    val finalCount = DeltaIndex.readAll(spark, idx).count()
+    assert(finalCount == baseRows + epochs * perDoc,
+      s"admissions lost or duplicated: $finalCount vs ${baseRows + epochs * perDoc}")
+  }
+
   test("layout-dial validation: probing with a different bandBuckets/nPlanes than the index was staged with fails loudly instead of silently missing matches") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dial")
     val tIdx = dir.resolve("dl_t_idx").toString
