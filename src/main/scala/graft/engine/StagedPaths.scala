@@ -513,6 +513,16 @@ private[graft] object IndexLayout {
   private def fsOf(s: SparkSession, p: Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  // the sidecar is immutable after staging, so probe-time validation
+  // reads it from a per-JVM cache (write/clear refresh it) — a
+  // long-lived streaming epoch must not pay filesystem round-trips
+  // per validated key per micro-batch
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+  private def cacheKey(p: String): String =
+    try new java.io.File(p).getCanonicalPath
+    catch { case _: java.io.IOException => new java.io.File(p).getAbsolutePath }
+
   def write(s: SparkSession, indexPath: String,
             props: Seq[(String, String)]): Unit = {
     val p = pathOf(indexPath)
@@ -520,16 +530,23 @@ private[graft] object IndexLayout {
     try out.write(props.map { case (k, v) => s"$k=$v" }.mkString("\n")
       .getBytes("UTF-8"))
     finally out.close()
+    cache.put(cacheKey(indexPath), props.toMap)
+    ()
   }
 
   def clear(s: SparkSession, indexPath: String): Unit = {
     val p = pathOf(indexPath)
     val fs = fsOf(s, p)
     if (fs.exists(p)) fs.delete(p, false)
+    cache.put(cacheKey(indexPath), Map.empty)
     ()
   }
 
-  def read(s: SparkSession, indexPath: String): Map[String, String] = {
+  def read(s: SparkSession, indexPath: String): Map[String, String] =
+    cache.computeIfAbsent(cacheKey(indexPath), _ => readDisk(s, indexPath))
+
+  private def readDisk(s: SparkSession,
+                       indexPath: String): Map[String, String] = {
     val p = pathOf(indexPath)
     val fs = fsOf(s, p)
     if (!fs.exists(p)) Map.empty

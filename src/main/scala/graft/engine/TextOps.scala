@@ -2730,13 +2730,10 @@ object TextOps {
     require(bandBuckets <= 65536,
       s"bandBuckets must be <= 65536, got $bandBuckets")
     DeltaIndex.resetForStaging(corpus.sparkSession, path)
-    // record the dial beside the index: a probe with a DIFFERENT
-    // bandBuckets would compute bkt under a different modulus and the
-    // partition push would silently prune away true matches
-    if (bandBuckets > 0)
-      IndexLayout.write(corpus.sparkSession, path,
-        Seq("bandBuckets" -> bandBuckets.toString))
-    else IndexLayout.clear(corpus.sparkSession, path)
+    // stale sidecar retired BEFORE the restage; the new one is written
+    // only AFTER the data lands (see stageAnnIndex — a crash window
+    // must never pair a new-dial sidecar with old-formula data)
+    IndexLayout.clear(corpus.sparkSession, path)
     val rows = md5Bands(corpus)
     // cluster by the bucket key before the partitioned write — one
     // file per bucket dir instead of tasks × buckets tiny files (see
@@ -2748,6 +2745,12 @@ object TextOps {
         .option("partitionOverwriteMode", "static") // full-truncate restage
         .partitionBy("bkt").parquet(path)
     else rows.write.mode("overwrite").parquet(path)
+    // the dial is recorded for BOTH layouts (0 = flat), so probing a
+    // flat-staged index with a nonzero bandBuckets fails with the
+    // actionable dial-mismatch error instead of a generic
+    // cannot-resolve-'bkt' analysis error downstream
+    IndexLayout.write(corpus.sparkSession, path,
+      Seq("bandBuckets" -> bandBuckets.toString))
   }
 
   /** The band-bucket key: a bounded re-shard of the (band, sig) key

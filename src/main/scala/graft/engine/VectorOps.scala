@@ -1831,12 +1831,19 @@ object VectorOps {
         val pushed =
           keys.nonEmpty && keys.size.toLong < space && complete
         lastKeyPushApplied.set(pushed)
-        // whenever the collect is COMPLETE the keys also serve as the
-        // broadcast build (a LocalRelation — no second distinct job
-        // over the exploded probe frame; null keys match nothing in a
-        // semi-join, so excluding them is exact) — even when the push
-        // itself is skipped as useless (keys cover the bucket space)
-        val kf = if (!complete) probeKeys else {
+        // whenever the collect is COMPLETE and NON-EMPTY the keys also
+        // serve as the broadcast build (a LocalRelation — no second
+        // distinct job over the exploded probe frame; null keys match
+        // nothing in a semi-join, so excluding them is exact) — even
+        // when the push itself is skipped as useless (keys cover the
+        // bucket space). An EMPTY key set must NOT become a
+        // known-empty LocalRelation build: Catalyst would collapse the
+        // index scan and the semi-join out of the plan entirely, and
+        // the per-epoch plan-contract requires (staged read +
+        // broadcast semi) would kill a deliberately-empty replay epoch
+        // — the evicted-batch stale-delta clear. The checkpoint-derived
+        // distinct frame keeps the plan shape.
+        val kf = if (!complete || keys.isEmpty) probeKeys else {
           val sp = index.sparkSession
           import sp.implicits._
           keys.toDF("bucket")
@@ -1895,11 +1902,11 @@ object VectorOps {
                     nPlanes: Int = 8, dim: Int = 64,
                     bucketPartitioned: Boolean = false): Unit = {
     val rows = annMicroRows(emb, "vec_id", hyperplanes(nPlanes, dim))
-    // record the staging dials: a probe at a different nPlanes/dim
-    // computes different buckets/quantizations and would silently
-    // miss true matches (classifyAnnBatch validates)
-    IndexLayout.write(emb.sparkSession, path,
-      Seq("nPlanes" -> nPlanes.toString, "dim" -> dim.toString))
+    // the stale sidecar goes FIRST and the new one is written only
+    // AFTER the data lands: a crash mid-restage must never leave a
+    // sidecar claiming the NEW dials beside OLD-formula index data —
+    // that combination would pass validation and silently miss matches
+    IndexLayout.clear(emb.sparkSession, path)
     // bucketPartitioned = the 100 TB layout, executable: one parquet
     // partition dir per LSH bucket. classifyAnnBatch(bucketPartitioned
     // = true) then pushes the batch's bounded multiprobe key set as a
@@ -1927,6 +1934,12 @@ object VectorOps {
         .option("partitionOverwriteMode", "static") // full-truncate restage
         .partitionBy("bucket").parquet(path)
     else rows.write.mode("overwrite").parquet(path)
+    // record the staging dials (data is durable now): a probe at a
+    // different nPlanes/dim computes different buckets/quantizations
+    // and would silently miss true matches (classifyAnnBatch and
+    // annIngestEpoch validate)
+    IndexLayout.write(emb.sparkSession, path,
+      Seq("nPlanes" -> nPlanes.toString, "dim" -> dim.toString))
   }
 
   /** Classify ONE arriving batch of (vec_id, embedding) against the
@@ -1974,14 +1987,16 @@ object VectorOps {
   private[graft] val lastEpochPlan =
     new java.util.concurrent.atomic.AtomicReference[String]("")
 
-  /** Whether the most recent prune-mode [[annProbeScore]] actually
-    * applied the static key push (false when legitimately skipped:
-    * keys cover the bucket space, or past the In-list valve) — lets
-    * the oracled partitioned queries require `PartitionFilters` only
-    * when the plan is supposed to carry one, so a larger fixture
-    * degrades to the exact semi-join instead of failing. */
+  /** Whether this THREAD's most recent prune-mode [[annProbeScore]]
+    * actually applied the static key push (false when legitimately
+    * skipped: empty/space-covering keys, or past the In-list valve) —
+    * lets the oracled partitioned queries require `PartitionFilters`
+    * only when the plan is supposed to carry one, so a larger fixture
+    * degrades to the exact semi-join instead of failing. ThreadLocal:
+    * a streaming epoch on its own thread must not clobber the flag
+    * between a driver-side query's probe call and its require. */
   private[graft] val lastKeyPushApplied =
-    new java.util.concurrent.atomic.AtomicBoolean(false)
+    ThreadLocal.withInitial[java.lang.Boolean](() => java.lang.Boolean.FALSE)
 
   /** ONE ANN ingest epoch, IDEMPOTENT under at-least-once foreachBatch
     * replay (see [[graft.engine.DeltaIndex]]): classify against base +

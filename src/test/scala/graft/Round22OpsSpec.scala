@@ -387,6 +387,28 @@ class Round22OpsSpec extends SparkSuite {
     }
   }
 
+  test("empty replay epoch on the PARTITIONED door: the per-epoch plan contract survives a known-empty batch (no empty-LocalRelation collapse) and the stale delta clears") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_part")
+    val idx = dir.resolve("ep_idx").toString
+    VectorOps.stageAnnIndex(vecs(Seq(Row(0L, oneHot(0)))), idx,
+      nPlanes = 16, dim = 16, bucketPartitioned = true)
+    // first attempt admits a vector (delta e0 exists)...
+    VectorOps.annIngestEpoch(spark, idx, 0L,
+      vecs(Seq(Row(100L, oneHot(5)))), nPlanes = 16, dim = 16,
+      bucketPartitioned = true).collect()
+    assert(DeltaIndex.outstanding(spark, idx) == 1)
+    // ...then the batch is evicted and the epoch REPLAYS EMPTY — the
+    // stale-delta clear. An empty key set must not become a known-empty
+    // broadcast build (Catalyst would collapse the index scan and the
+    // semi-join, and the epoch's plan-contract requires would kill the
+    // stream on exactly this deliberate empty run).
+    val out = VectorOps.annIngestEpoch(spark, idx, 0L, vecs(Seq.empty),
+      nPlanes = 16, dim = 16, bucketPartitioned = true).collect()
+    assert(out.isEmpty)
+    assert(DeltaIndex.outstanding(spark, idx) == 0,
+      "the empty replay must clear the ghost admission")
+  }
+
   test("resumeIngestAfterExpiry: the TTL recovery recipe as one call — each precondition fails actionably, the happy path resumes with admissions intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_resume")
     val idx = dir.resolve("rs_idx").toString
