@@ -1436,7 +1436,8 @@ object VectorOps {
         lshBucket(dv, planes).as("bucket"))
       .withColumn("nv", aggregate(
         zip_with(col("v"), col("v"), (a, b) => a * b), lit(0L), (acc, x) => acc + x))
-      .localCheckpoint(true)
+      .localCheckpoint(true) // corpus-sized fragment referenced by every
+                             // hop — keep it a leaf (see beamReportFrom)
     beamReportFrom(base, planes.length, M, B, H, k, maxBucket = 64)
   }
 
@@ -1476,6 +1477,33 @@ object VectorOps {
         Window.partitionBy("a").orderBy(col("w").desc, col("b_id"))))
       .filter(col("rn") <= M)
       .select("a", "b_id")
+    // Self-loop rows (a → a for every node) make each hop's candidate
+    // set ONE join — beam ⋈ edgesPlus ≡ beam ∪ beam.neighbors, since
+    // every beam node hits its own loop row — so the hop lineage grows
+    // LINEARLY in H instead of doubling per hop (the old shape
+    // union'd beam with beam.join(edges), referencing beam twice, and
+    // needed an eager localCheckpoint per hop to stop the exponential
+    // plan; guide §2.4: remove the shuffle/job, don't materialize
+    // around it). This stays an EAGER checkpoint on purpose: it is the
+    // one corpus-sized fragment every hop references, and collapsing
+    // it to an ExistingRDD leaf keeps the lazy hop chain's plan tree
+    // small — with it merely persist()ed, AQE's per-stage plan-update
+    // events stringify the full expanded lineage after every tiny hop
+    // stage and the DRIVER burns minutes in explainString (observed
+    // hang; guide §7.3's "planning/stringify on the driver" failure).
+    // ... and carries each neighbor's scored payload (micro-vector +
+    // norm), so a hop never joins the corpus again: candidate scoring
+    // happens MAP-SIDE right after the edge probe, and only
+    // (q_id, vec_id, w) scalars ever cross the hop's one exchange —
+    // the guide §2.3/§8 move (shuffle keys and small proxies, not
+    // payloads; here the payload rides the build-once edge list).
+    val baseSel = base.select("vec_id", "v", "nv")
+    val edgesPlus = edges
+      .join(baseSel.select(col("vec_id").as("b_id"), col("v").as("vb"),
+        col("nv").as("nb")), "b_id")
+      .select("a", "b_id", "vb", "nb")
+      .union(base.select(col("vec_id").as("a"), col("vec_id").as("b_id"),
+        col("v").as("vb"), col("nv").as("nb")))
       .localCheckpoint(true)
     val qs = base.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("qnv"))
@@ -1489,36 +1517,58 @@ object VectorOps {
       .groupBy("q_id").agg(min("b_id").as("b_ent"))
     val globalEntry = base.orderBy("vec_id").limit(1)
       .select(col("vec_id").as("g_ent"))
-    var beam = qs.select("q_id")
+    // the beam carries its query's vector/norm through every hop, so
+    // hop scoring needs NO side join at all (the 8-query batch makes
+    // this a few hundred bytes per row)
+    var beam = qs
       .join(bucketEntry, Seq("q_id"), "left")
       .crossJoin(broadcast(globalEntry))
       .select(col("q_id"),
-        coalesce(col("b_ent"), col("g_ent")).as("vec_id"))
-    var visited = beam
+        coalesce(col("b_ent"), col("g_ent")).as("vec_id"),
+        col("qv"), col("qnv"))
+    // ONE materialized frame per hop: the hop's candidate set, scored
+    // and window-ranked. Both the next beam (rn ≤ B, a narrow filter
+    // over the checkpointed frame — no second job) and the visited
+    // set (the scored pairs themselves) read off it, so the old
+    // END-OF-WALK re-scoring pass — visited.distinct ⋈ base ⋈ qs,
+    // recomputing the cosine of every pair the hops had already
+    // scored — disappears: w is a pure function of (q_id, vec_id), so
+    // the union of the hop frames IS visScored (guide §1.2: don't
+    // compute things twice; §2.4: remove the join outright).
+    // Hop shape: broadcast the ≤ 8·B-row beam against the edge list
+    // (edgesPlus streams from its checkpoint, no shuffle), score
+    // map-side, then ONE exchange keyed by q_id serves both the
+    // (q_id, vec_id) dedup (hash(q_id) satisfies the wider clustering)
+    // and the row_number window — the old shape paid a distinct
+    // exchange, a corpus-side join exchange, and a window exchange
+    // per hop (guide §2.4: operations keyed the same way share one
+    // exchange).
+    var scoredHops = List.empty[DataFrame]
     (1 to H).foreach { _ =>
-      val cand = beam
-        .union(beam.join(edges, beam("vec_id") === edges("a"))
-          .select(beam("q_id"), col("b_id").as("vec_id")))
-        .distinct()
-      visited = visited.union(cand)
-      beam = cand
-        .join(base.select("vec_id", "v", "nv"), "vec_id")
-        .join(broadcast(qs), "q_id")
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          cs(col("qv"), col("qnv"), col("v"), col("nv")).as("w"))
+      // edgesPlus ⋈ beam = beam ∪ neighbors (self-loops, see above)
+      val scored = edgesPlus
+        .join(broadcast(beam), edgesPlus("a") === beam("vec_id"))
+        .filter(col("b_id") =!= col("q_id"))
+        .select(col("q_id"), col("b_id").as("vec_id"),
+          col("qv"), col("qnv"),
+          cs(col("qv"), col("qnv"), col("vb"), col("nb")).as("w"))
+        .repartition(col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(max("w").as("w"), first("qv").as("qv"), first("qnv").as("qnv"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("q_id").orderBy(col("w").desc, col("vec_id"))))
-        .filter(col("rn") <= B)
-        .select("q_id", "vec_id")
         .localCheckpoint(true)
+      scoredHops ::= scored
+      beam = scored.filter(col("rn") <= B)
+        .select("q_id", "vec_id", "qv", "qnv")
     }
-    val visScored = visited.distinct()
-      .join(base.select("vec_id", "v", "nv"), "vec_id")
-      .join(broadcast(qs), "q_id")
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        cs(col("qv"), col("qnv"), col("v"), col("nv")).as("w"))
+    // the walk's visited set, already scored: hop-1's candidates
+    // include the entry beam itself (self-loop rows), so this union
+    // covers everything the old beam ∪ cand accumulation did, minus
+    // the q_id = vec_id self-pairs the old final filter dropped anyway
+    val visScored = scoredHops.map(_.select("q_id", "vec_id", "w"))
+      .reduce(_ union _)
+      .distinct()
       .localCheckpoint(true)
     def topAgg(scored: DataFrame, pre: String): DataFrame = scored
       .withColumn("rn", row_number().over(
@@ -1535,7 +1585,7 @@ object VectorOps {
         Window.partitionBy("q_id").orderBy(col("w").desc, col("vec_id"))))
       .filter(col("rn") <= k)
       .localCheckpoint(true)
-    val exactScored = base.select("vec_id", "v", "nv")
+    val exactScored = baseSel
       .crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
@@ -1609,7 +1659,8 @@ object VectorOps {
         zip_with(col("v"), col("v"), (a, b) => a * b), lit(0L),
         (acc, x) => acc + x))
       .select("vec_id", "v", "nv", "bucket")
-      .localCheckpoint(true)
+      .localCheckpoint(true) // corpus-sized fragment referenced by every
+                             // hop — keep it a leaf (see beamReportFrom)
     beamReportFrom(base, planes.length, M, B, H, k, maxBucket = 128)
       .crossJoin(broadcast(nCfg.select("n_corpus")))
       .withColumn("scan_frac",
