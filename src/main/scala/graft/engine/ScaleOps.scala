@@ -729,12 +729,18 @@ object ScaleOps {
   def qQuantileSketch(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nBins = 256
+    // Shard assignment is OUTPUT-INVARIANT: everything reported reads
+    // the bin-wise MERGED histogram (and the exact value-domain path),
+    // which is the same for any row→shard map — that merge-erases-
+    // sharding property is the query's point. So the Spark side uses
+    // codegen-native xxhash64 instead of the md5+conv+substring string
+    // pipeline (guide step 4: built-in expressions on the per-row hot
+    // path); the oracle keeps its md5 shards and the hashes still
+    // match because neither engine's output depends on the shard map.
     val cents = Tables.lineitem(s, d).select(
       floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("c"),
-      (conv(substring(md5(concat_ws(":",
-        col("l_orderkey").cast("string"),
-        col("l_linenumber").cast("string"))), 1, 8), 16, 10)
-        .cast("long") % 8).as("shard"))
+      pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(8L))
+        .as("shard"))
     val dom = cents.agg(min("c").as("lo"), max("c").as("hi"),
       count(lit(1)).as("n"))
     val binned = cents.crossJoin(broadcast(dom))
@@ -773,10 +779,12 @@ object ScaleOps {
         .as("c"))
       .agg(count(lit(1)).as("cnt"))
     val wVal = Window.orderBy("c")
+    // total row count comes from the already-computed dom broadcast
+    // (n ≡ Σ cnt); the old second window (unbounded-both over the
+    // whole single-partition value domain) was a full extra pass
     val exact = vals
       .withColumn("cum", sum("cnt").over(wVal))
-      .withColumn("n", sum("cnt").over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .crossJoin(broadcast(dom.select("n")))
       .select(col("c"), col("cum"),
         explode(expr("sequence(1, 9)")).as("p"), col("n"))
       .filter(col("cum") >= expr("(n * p + 9) DIV 10"))
@@ -792,8 +800,9 @@ object ScaleOps {
       .orderBy("p")
   }
 
-  /** DuckDB oracle for [[qQuantileSketch]]: same md5 shards, same
-    * integer binning, bin-wise merge, and exact value-domain deciles. */
+  /** DuckDB oracle for [[qQuantileSketch]]: md5 shards (any shard map
+    * merges to the same histogram — see the shard note in the query),
+    * same integer binning, bin-wise merge, exact value-domain deciles. */
   val quantileSketchOracleSql: String =
     """WITH cents AS (SELECT
       |    CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c,
@@ -861,9 +870,7 @@ object ScaleOps {
     s.sql(
       """WITH cents AS (
         |  SELECT CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c,
-        |         CAST(conv(substr(md5(concat(CAST(l_orderkey AS STRING), ':',
-        |           CAST(l_linenumber AS STRING))), 1, 8), 16, 10) AS BIGINT) % 8
-        |           AS shard
+        |         pmod(xxhash64(l_orderkey, l_linenumber), 8L) AS shard
         |  FROM graft_li_sketch),
         |dom AS (SELECT MIN(c) AS lo, MAX(c) AS hi,
         |               CAST(COUNT(*) AS BIGINT) AS n FROM cents),
@@ -908,9 +915,10 @@ object ScaleOps {
   }
 
   /** DuckDB oracle for [[qQuantileSketchSql]]: the histogram the
-    * native aggregate builds, rebuilt relationally — same md5 shards
+    * native aggregate builds, rebuilt relationally — shard-free
     * (grouping cannot change a bin-wise sum, so the shard axis drops
-    * out), same binning, same ceiling bin bounds. */
+    * out; the Spark side's xxhash64 shards exist only to exercise the
+    * aggregate's merge path), same binning, same ceiling bin bounds. */
   val quantileSketchSqlOracleSql: String =
     """WITH cents AS (SELECT
       |    CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c

@@ -1139,18 +1139,31 @@ object TextOps {
   def qDupSpans(s: SparkSession, d: String): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
     import org.apache.spark.sql.expressions.Window
+    // tokenize + window generation runs ONCE: base feeds the window
+    // explode AND the final span-text join, and without the checkpoint
+    // the self-join below re-derives it per reference (4 tokenizer
+    // passes measured in the plan). Windows collapse to xxhash64 keys
+    // before any shuffle — every groupBy/join moves 8-byte longs
+    // instead of ~30-byte 5-gram strings (the qContainmentDedup move;
+    // counts are hash-blind, a 2^-64 collision is the only way results
+    // could differ), and g never reaches the output.
     val base = documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("arr"))
       .withColumn("w", call_function("graft_word_ngrams", col("arr"), lit(5)))
       .filter(size(col("w")) > 0)
+      .localCheckpoint(true)
     val wins = base
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "g")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("g"))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "g0")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        xxhash64(col("g0")).as("g"))
     val valve = wins.groupBy("g")
       .agg(countDistinct("doc_id").as("nd"), count(lit(1)).as("no"))
       .filter(col("nd") >= 2 && col("no") <= 64)
       .select("g")
+    // the valved positions feed BOTH sides of the pair self-join:
+    // materialize once
     val dup = wins.join(valve, Seq("g"), "left_semi")
+      .localCheckpoint(true)
     val pairs = dup
       .select(col("g"), col("doc_id").as("doc_a"), col("pos").as("pa"))
       .join(dup.select(col("g"), col("doc_id").as("doc_b"),
@@ -1642,16 +1655,19 @@ object TextOps {
             " concat('|', pa, pb, '|'))"))
         .select("word", "freq", "sym")
         .localCheckpoint(true)
-      val toks = symList(cur)
-        .agg(sum(col("freq") * size(col("l"))).as("tokens_total"))
-      val nsym = symList(cur)
-        .select(explode(col("l")).as("u"))
-        .agg(countDistinct("u").as("n_symbols"))
+      // one stats pass instead of two: over the exploded symbol
+      // stream, sum(freq) ≡ Σ freq·|l| (each word contributes freq
+      // once per symbol) — so tokens_total and n_symbols come out of
+      // ONE aggregate over ONE explode, halving the per-round stat
+      // jobs and broadcasts (guide §1.2: fewer passes)
+      val stats = symList(cur)
+        .select(col("freq"), explode(col("l")).as("u"))
+        .agg(countDistinct("u").as("n_symbols"),
+          sum("freq").as("tokens_total"))
       top.select(lit(i).cast("long").as("step"),
           concat(col("pa"), col("pb")).as("merge_pair"),
           col("n").as("pair_n"))
-        .crossJoin(broadcast(nsym))
-        .crossJoin(broadcast(toks))
+        .crossJoin(broadcast(stats))
     }
     stepRows.reduce(_ unionByName _)
       .crossJoin(broadcast(chars))
