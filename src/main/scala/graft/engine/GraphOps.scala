@@ -47,15 +47,23 @@ object GraphOps {
       // rewire (v, m) for each OTHER neighbor v: the star-contract
       // step. No per-key list is ever materialized; the rewire IS
       // the adjacency join.
+      // One exchange computes the per-key minimum (window min over
+      // the k partition ≡ the old min-aggregate joined back — the
+      // join shuffled adj a second time), and the star-contract's two
+      // output rows explode from each input row map-side instead of
+      // union-ing two references to a checkpointed intermediate: each
+      // round is now one window exchange + one dedup exchange + one
+      // materialization (was: aggregate + join + two checkpoints).
       val adj = pairs.union(pairs.select(col("v").as("k"), col("k").as("v")))
-      val mins = adj.groupBy("k").agg(min("v").as("m"))
-      val joined = adj.join(mins, "k").filter(col("m") < col("k"))
-        .localCheckpoint(true)
-      val next = joined
-        .select(
-          when(col("v") === col("m"), col("k")).otherwise(col("v")).as("k"),
-          col("m").as("v"))
-        .union(joined.select(col("k"), col("m").as("v")))
+      val next = adj
+        .withColumn("m", min("v").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("k")))
+        .filter(col("m") < col("k"))
+        .select(explode(array(
+          struct(when(col("v") === col("m"), col("k")).otherwise(col("v"))
+            .as("k"), col("m").as("v")),
+          struct(col("k").as("k"), col("m").as("v")))).as("p"))
+        .select(col("p.k").as("k"), col("p.v").as("v"))
         .filter(col("k") =!= col("v"))
         .distinct()
         .localCheckpoint(true)

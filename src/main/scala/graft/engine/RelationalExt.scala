@@ -463,8 +463,12 @@ object RelationalExt {
     * determinism trick a real distributed PageRank uses when runs
     * must be reproducible. Top-100 by rank, key tie-break. */
   def qPagerankIter(s: SparkSession, d: String): DataFrame = {
+    // the edge list feeds the degree aggregate AND the push join —
+    // materialize the fact-table distinct once instead of re-scanning
+    // and re-deduping lineitem per consumer (guide §1.2: fewer passes)
     val e = lineitem(s, d)
       .select(col("l_partkey").as("src"), col("l_suppkey").as("dst")).distinct()
+      .localCheckpoint(true)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     e.join(outdeg, "src")
       .withColumn("ppm", expr("1000000L DIV deg"))
@@ -487,9 +491,11 @@ object RelationalExt {
     * Two shuffles (degree aggregate + the edge join back), top-100
     * hubs under a (score, key) total order. */
   def qHitsIter(s: SparkSession, d: String): DataFrame = {
+    // same one-materialization move as qPagerankIter
     val e = lineitem(s, d)
       .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
       .distinct()
+      .localCheckpoint(true)
     val auth = e.groupBy("dst").agg(count(lit(1)).as("auth"))
     e.join(auth, "dst")
       .groupBy("src")

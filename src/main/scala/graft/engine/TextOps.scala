@@ -119,12 +119,40 @@ object TextOps {
     val docs = documents(s, d).select("doc_id", "text", "lang", "source")
     val exactCopies = docs
       .withColumn("doc_id", col("doc_id") + 1000000)
+    // bind the token array ONCE: referencing tokens(text) twice in one
+    // projection re-runs the regex split per reference (CollapseProject
+    // keeps the two projections apart because the reference is
+    // non-cheap and used twice — the hoisting discipline of the
+    // round-7 lambda-slot note, applied to the corpus builder itself)
     val nearCopies = docs
       .withColumn("doc_id", col("doc_id") + 2000000)
-      .withColumn("text", array_join(slice(tokens(col("text")), lit(1),
-        greatest(size(tokens(col("text"))) - 1, lit(1))), " "))
+      .withColumn("arr0", tokens(col("text")))
+      .withColumn("text", array_join(slice(col("arr0"), lit(1),
+        greatest(size(col("arr0")) - 1, lit(1))), " "))
+      .drop("arr0")
     docs.unionByName(exactCopies).unionByName(nearCopies)
   }
+
+  /** [[corpusWithDups]] as TOKEN ARRAYS, tokenizing each source
+    * document ONCE for all three variants (one explode emits the
+    * original, exact-copy, and truncated rows from a single pass).
+    * Exactly `tokens(text)` of the corpusWithDups rows: tokens are
+    * whitespace-free and non-empty (split on \s+ of trimmed text; the
+    * empty-text edge yields [""] in both constructions), so variant
+    * 3's tokens(array_join(slice(arr, 1, max(n-1, 1)), ' ')) is the
+    * slice itself. For consumers that immediately re-tokenize — the
+    * shingle/minhash family — this replaces 5 regex passes over the
+    * corpus (2 building variant 3, 3 re-tokenizing the union) with 1. */
+  def corpusWithDupsToks(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("arr0"))
+      .select(explode(array(
+        struct(col("doc_id").as("doc_id"), col("arr0").as("arr")),
+        struct((col("doc_id") + 1000000).as("doc_id"), col("arr0").as("arr")),
+        struct((col("doc_id") + 2000000).as("doc_id"),
+          slice(col("arr0"), lit(1), greatest(size(col("arr0")) - 1, lit(1)))
+            .as("arr")))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.arr").as("arr"))
 
   /** Exact dedup via hash aggregation on content (north star op):
     * keep min doc_id per text, count copies. groupBy(text) shuffles on
@@ -1949,9 +1977,9 @@ object TextOps {
     // and compares 8-byte longs instead of ~40-byte shingle strings
     // (the counts are hash-blind — a 2^-64 collision is the only way
     // results could differ), and the materialized table shrinks ~5×.
-    val sh = corpusWithDups(s, d)
+    val sh = corpusWithDupsToks(s, d)
       .select(col("doc_id"), explode(array_distinct(
-        call_function("graft_word_ngrams", tokens(col("text")),
+        call_function("graft_word_ngrams", col("arr"),
           lit(ContainmentShingleW)))).as("gs"))
       .select(col("doc_id"), xxhash64(col("gs")).as("g"))
       .localCheckpoint(true)
@@ -2015,10 +2043,10 @@ object TextOps {
   def qContainmentHybrid(s: SparkSession, d: String): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
     def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
-    val corpus = corpusWithDups(s, d)
+    val corpus = corpusWithDupsToks(s, d)
     val sh = corpus
       .select(col("doc_id"), explode(array_distinct(
-        call_function("graft_word_ngrams", tokens(col("text")),
+        call_function("graft_word_ngrams", col("arr"),
           lit(ContainmentShingleW)))).as("gs"))
       .select(col("doc_id"), xxhash64(col("gs")).as("g"))
       .localCheckpoint(true)
@@ -2047,7 +2075,6 @@ object TextOps {
       .join(dfs.filter(col("dfg") > HybridExactMaxDf).select("g"), "g")
       .select("doc_id").distinct()
     val sigs = corpus.join(deepDocs, "doc_id")
-      .select(col("doc_id"), tokens(col("text")).as("arr"))
       .filter(size(col("arr")) >= ContainmentShingleW)
       .select(col("doc_id"), call_function("graft_md5_minhash",
         array_distinct(call_function("graft_word_ngrams", col("arr"),
