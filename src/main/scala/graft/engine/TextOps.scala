@@ -712,18 +712,25 @@ object TextOps {
   def qRakeKeywords(s: SparkSession, d: String, topK: Int = 50): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
+    // phrase length rides the SAME doc_id-keyed exchange as the island
+    // window: count over (doc_id, isl) is satisfied by the
+    // hashpartitioning(doc_id) the first window already established,
+    // so the old plen aggregate + its two joins back (an extra
+    // exchange and two join passes) disappear (guide §2.4: operations
+    // keyed the same way share one exchange)
     val ph = documents(s, d)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
       .withColumn("stop", col("w").isin(StopwordsEn: _*))
       .withColumn("isl", sum(col("stop").cast("int")).over(w))
       .filter(!col("stop"))
+      .withColumn("plen", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id", "isl")))
       .localCheckpoint(true)
-    val plen = ph.groupBy("doc_id", "isl").agg(count(lit(1)).as("plen"))
-    val wsc = ph.join(plen, Seq("doc_id", "isl"))
+    val wsc = ph
       .groupBy("w")
       .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
       .select(col("w"), expr("deg * 1000000L DIV freq").as("wu"))
-    ph.join(plen, Seq("doc_id", "isl"))
+    ph
       .filter(col("plen").between(2, 4))
       .join(wsc, "w")
       .groupBy("doc_id", "isl")

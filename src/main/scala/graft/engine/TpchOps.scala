@@ -285,8 +285,13 @@ object TpchOps {
       SELECT s_suppkey, s_name,
              CAST((total + 50) DIV 100 AS DOUBLE) / 100.0 AS total_revenue
       FROM tpch_supplier
-      JOIN rev ON s_suppkey = supplier_no
-      WHERE total = (SELECT MAX(total) FROM rev)
+      JOIN (
+        -- scalar MAX decorrelated to an empty-frame window over the
+        -- supplier-count-sized rev table: the subquery form re-inlined
+        -- the quarterly lineitem aggregate a second time
+        SELECT *, MAX(total) OVER () AS mx FROM rev) r2
+        ON s_suppkey = supplier_no
+      WHERE total = mx
       ORDER BY s_suppkey""")
   }
 
@@ -427,14 +432,21 @@ object TpchOps {
         FROM ps JOIN tpch_supplier ON suppkey = s_suppkey
         JOIN tpch_nation ON s_nationkey = n_nationkey
         JOIN tpch_region ON n_regionkey = r_regionkey
-        WHERE r_name = 'EUROPE')
+        WHERE r_name = 'EUROPE'),
+      -- the correlated MIN decorrelated to a partition window: Spark
+      -- INLINES a CTE referenced twice, so the subquery form computed
+      -- the whole lineitem catalog aggregate a second time (18 parquet
+      -- scans in the before-plan); MIN(cost_c) OVER the partkey
+      -- partition is the identical per-part minimum over the same eu
+      -- set, computed once (guide 2.4: remove the duplicated subtree)
+      eu2 AS (
+        SELECT *, MIN(cost_c) OVER (PARTITION BY partkey) AS min_c FROM eu)
       SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name,
              p_partkey, p_brand,
              CAST(cost_c AS DOUBLE) / 100.0 AS supply_cost
-      FROM tpch_part JOIN eu ON p_partkey = partkey
+      FROM tpch_part JOIN eu2 ON p_partkey = partkey
       WHERE p_size BETWEEN 10 AND 20
-        AND cost_c = (SELECT MIN(e2.cost_c) FROM eu e2
-                      WHERE e2.partkey = p_partkey)
+        AND cost_c = min_c
       ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
       LIMIT 100""")
   }
@@ -459,9 +471,15 @@ object TpchOps {
         JOIN tpch_nation   ON s_nationkey = n_nationkey
         WHERE n_name IN ('NATION_3', 'NATION_7')
         GROUP BY l_partkey)
-      SELECT partkey, CAST((v + 50) DIV 100 AS DOUBLE) / 100.0 AS part_value
-      FROM val
-      WHERE v * 10000 > (SELECT SUM(v) FROM val)
+      SELECT partkey, part_value FROM (
+        -- scalar-subquery threshold decorrelated to an empty-frame
+        -- window: the CTE-inlined form computed the fact aggregate
+        -- twice; the window total is over the same (|parts|-sized,
+        -- bounded) val table, computed once
+        SELECT partkey, CAST((v + 50) DIV 100 AS DOUBLE) / 100.0 AS part_value,
+               v, SUM(v) OVER () AS tot
+        FROM val)
+      WHERE v * 10000 > tot
       ORDER BY part_value DESC, partkey""")
   }
 
@@ -529,11 +547,17 @@ object TpchOps {
       SELECT s_name, n_name, ROUND(s_acctbal, 2) AS s_acctbal
       FROM tpch_supplier JOIN tpch_nation ON s_nationkey = n_nationkey
       WHERE s_suppkey IN (
-        SELECT suppkey FROM shipped sh
-        WHERE sh.qty * 2 > (SELECT SUM(t.qty) FROM shipped t
-                            WHERE t.partkey = sh.partkey)
-          AND (SELECT COUNT(*) FROM shipped c
-               WHERE c.partkey = sh.partkey) >= 5)
+        -- both correlated aggregates decorrelated to ONE partkey
+        -- window pass: the subquery form re-inlined (and re-scanned)
+        -- the shipped aggregate per correlated reference (10 parquet
+        -- scans in the before-plan); same per-part total and supplier
+        -- count over the same shipped set
+        SELECT suppkey FROM (
+          SELECT suppkey, qty,
+                 SUM(qty)  OVER (PARTITION BY partkey) AS tot,
+                 COUNT(*)  OVER (PARTITION BY partkey) AS nsupp
+          FROM shipped) a
+        WHERE qty * 2 > tot AND nsupp >= 5)
       ORDER BY s_name""")
   }
 
