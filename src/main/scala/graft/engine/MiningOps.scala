@@ -1168,8 +1168,13 @@ object MiningOps {
     * constants (5 rows) are the only broadcasts. */
   def qNaiveBayes(s: SparkSession, d: String): DataFrame = {
     def unats(x: Column): Column = floor(log(x) * 1e6 + 0.5).cast("long")
+    // tokenize ONCE: train/test filters, the (lang, token) counts, the
+    // per-lang doc counts and the test-side scans all read the same
+    // checkpointed token table — previously each reference re-ran the
+    // regex tokenizer over the full corpus (5 passes)
     val docs = documents(s, d)
       .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+      .localCheckpoint(true)
     val train = docs.filter(col("doc_id") % 5 =!= 0)
     val test = docs.filter(col("doc_id") % 5 === 0)
     // (lang, token) counts — the only corpus-sized training shuffle
@@ -1177,9 +1182,14 @@ object MiningOps {
       .groupBy("lang", "w").agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
     val vocab = twc.agg(countDistinct("w").as("v"))
+    // per-lang doc counts and the global n_train from ONE aggregate
+    // (the total is a window over the ≤|langs|-row result), not two
+    // more passes + an extra broadcast
+    val langStats = train.groupBy("lang").agg(count(lit(1)).as("nd"))
+      .withColumn("n_train", sum("nd").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
     val langs = twc.groupBy("lang").agg(sum("c").as("tot"))
-      .join(train.groupBy("lang").agg(count(lit(1)).as("nd")), "lang")
-      .crossJoin(broadcast(train.agg(count(lit(1)).as("n_train"))))
+      .join(langStats, "lang")
       .crossJoin(broadcast(vocab))
       .select(col("lang"),
         unats(col("nd").cast("double") / col("n_train")).as("prior_u"),

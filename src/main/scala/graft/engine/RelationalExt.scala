@@ -103,11 +103,21 @@ object RelationalExt {
   def qAssocRules(s: SparkSession, d: String): DataFrame = {
     val b = baskets(s, d)
     val nB = b.agg(count(lit(1)).as("n_baskets"))
+    // supp is referenced by BOTH rule-side joins — materialize the
+    // vocabulary-sized table once instead of re-running its
+    // explode+aggregate per reference
     val supp = b.select(explode(col("ps")).as("pk"))
       .groupBy("pk").agg(count(lit(1)).as("n_item"))
+      .localCheckpoint(true)
     val pairs = pairSupport(s, d).filter(col("n") >= 3)
-    val both = pairs.select(col("pa").as("ante"), col("pb").as("cons"), col("n"))
-      .union(pairs.select(col("pb").as("ante"), col("pa").as("cons"), col("n")))
+    // both directed rules explode MAP-SIDE from one pair row — the
+    // union form referenced `pairs` twice and re-ran the whole C(k,2)
+    // fan-out aggregate per direction
+    val both = pairs.select(explode(array(
+        struct(col("pa").as("ante"), col("pb").as("cons"), col("n")),
+        struct(col("pb").as("ante"), col("pa").as("cons"), col("n")))).as("r"))
+      .select(col("r.ante").as("ante"), col("r.cons").as("cons"),
+        col("r.n").as("n"))
     both
       .join(supp.select(col("pk").as("ante"), col("n_item").as("n_ante")), "ante")
       .join(supp.select(col("pk").as("cons"), col("n_item").as("n_cons")), "cons")
@@ -181,8 +191,11 @@ object RelationalExt {
       .filter(size(col("bs")) >= 2)
       .localCheckpoint(true) // feeds nB, supp, and the pair fan-out
     val nB = b.agg(count(lit(1)).as("n_baskets"))
+    // brand-vocabulary-sized (≤25 rows) and referenced by both rule
+    // sides — materialize once, broadcast below
     val supp = b.select(explode(col("bs")).as("pk"))
       .groupBy("pk").agg(count(lit(1)).as("n_item"))
+      .localCheckpoint(true)
     val pairs = b
       .select(explode(flatten(transform(col("bs"), (x, i) =>
         transform(slice(col("bs"), i + 2, size(col("bs"))), y =>
@@ -190,14 +203,20 @@ object RelationalExt {
       .groupBy("p.pa", "p.pb").agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(nB))
       .filter(col("n") * 100 >= col("n_baskets"))
-    val both = pairs
-      .select(col("pa").as("ante"), col("pb").as("cons"),
-        col("n"), col("n_baskets"))
-      .union(pairs.select(col("pb").as("ante"), col("pa").as("cons"),
-        col("n"), col("n_baskets")))
+    // both directed rules explode MAP-SIDE from one pair row (the
+    // union form re-ran the pair fan-out aggregate per direction)
+    val both = pairs.select(explode(array(
+        struct(col("pa").as("ante"), col("pb").as("cons"),
+          col("n"), col("n_baskets")),
+        struct(col("pb").as("ante"), col("pa").as("cons"),
+          col("n"), col("n_baskets")))).as("r"))
+      .select(col("r.ante").as("ante"), col("r.cons").as("cons"),
+        col("r.n").as("n"), col("r.n_baskets").as("n_baskets"))
     both
-      .join(supp.select(col("pk").as("ante"), col("n_item").as("n_ante")), "ante")
-      .join(supp.select(col("pk").as("cons"), col("n_item").as("n_cons")), "cons")
+      .join(broadcast(supp.select(col("pk").as("ante"),
+        col("n_item").as("n_ante"))), "ante")
+      .join(broadcast(supp.select(col("pk").as("cons"),
+        col("n_item").as("n_cons"))), "cons")
       // same left-assoc IEEE shape as the oracle: (n·10000)/N, not
       // (n/N)·10000 — association order must match or the quantization
       // can land one ulp apart
@@ -596,9 +615,12 @@ object RelationalExt {
           struct(x.as("pa"), y.as("pb")))))).as("p"))
       .groupBy("p.pa", "p.pb").agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 2)
+    // referenced by both similarity-side joins — materialize the
+    // vocabulary-sized support table once (r15)
     val supp = b
       .select(explode(col("ps")).as("pk"))
       .groupBy("pk").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     pairs
       .join(supp.select(col("pk").as("pa"), col("n").as("n_a")), "pa")
       .join(supp.select(col("pk").as("pb"), col("n").as("n_b")), "pb")
@@ -864,15 +886,26 @@ object RelationalExt {
     * of the round-3 labeling. */
   def qLabelPropagation(s: SparkSession, d: String): DataFrame = {
     val e = supportEdges(s, d)
-    val bi = e.select(col("pa").as("u"), col("pb").as("v"))
-      .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
+    // symmetrize map-side (one edge scan, not a union of two subtree
+    // copies) — the same explode fan-out the CCF rounds use
+    val bi = e.select(explode(array(
+        struct(col("pa").as("u"), col("pb").as("v")),
+        struct(col("pb").as("u"), col("pa").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
       .localCheckpoint(true)
     var labels = bi.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint(true)
     (1 to 3).foreach { _ =>
+      // labels is node-set-sized (bounded by the part vocabulary), so
+      // the per-round join rides a broadcast — the edge list never
+      // re-shuffles. ONE repartition(u) then serves BOTH aggregates
+      // (hashpartitioning(u) satisfies the (node,lbl) clustering and
+      // the (node) clustering), so each round pays a single exchange
+      // instead of join+agg+agg shuffles.
       val counts = bi
-        .join(labels.select(col("node").as("v"), col("lbl")), "v")
+        .join(broadcast(labels.select(col("node").as("v"), col("lbl"))), "v")
+        .repartition(col("u"))
         .groupBy(col("u").as("node"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
       // argmax by (cnt desc, lbl asc) as ONE aggregate — max of

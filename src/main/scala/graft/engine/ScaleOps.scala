@@ -981,12 +981,14 @@ object ScaleOps {
       val joined = a.select(col("k"), col("c").as("ca"))
         .join(b.select(col("k"), col("c").as("cb")), "k")
         .select(col("k"), (col("ca") * col("cb")).as("prod"))
-      val sampled = joined.filter(
-        conv(substring(md5(col("k").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 20 === 0)
-      joined.agg(sum("prod").as("actual_rows"))
-        .crossJoin(broadcast(
-          sampled.agg((sum("prod") * 20).as("est_rows"))))
+      // actual and sampled-estimate totals from ONE aggregate over ONE
+      // pass (sum of when(sampled, prod) ≡ the filtered sum) — the
+      // two-aggregate + crossJoin(broadcast) form computed the whole
+      // keyCounts-join subtree twice
+      joined.agg(sum("prod").as("actual_rows"),
+          (sum(when(
+            conv(substring(md5(col("k").cast("string")), 1, 8), 16, 10)
+              .cast("long") % 20 === 0, col("prod"))) * 20).as("est_rows"))
         .select(lit(name).as("join_name"),
           coalesce(col("est_rows"), lit(0L)).as("est_rows"),
           col("actual_rows"),
@@ -1379,21 +1381,32 @@ object ScaleOps {
     val w = Window.partitionBy("blk").orderBy(ord.map(col): _*)
     val measured = Seq("l_returnflag", "l_linestatus", "l_shipdate",
       "l_quantity", "l_tax")
+    // lag hoisted to its own column (evaluated once per measured
+    // column in ONE shared WindowExec pass), and the per-column run
+    // totals come from ONE global aggregate over the flagged rows —
+    // the previous stack()-then-groupBy melted every lineitem row ×5
+    // through a shuffle (plus a countDistinct expand) to compute five
+    // scalars that a single map-side-combinable aggregate yields
+    // directly; the 5-row report is the 1-row aggregate stacked.
     val flagged = measured.foldLeft(
       Tables.lineitem(s, d).withColumn("blk", expr("l_orderkey DIV 64"))) {
+      case (df, c) => df.withColumn(s"p_$c", lag(col(c), 1).over(w))
+    }
+    val withFlags = measured.foldLeft(flagged) {
       case (df, c) =>
         df.withColumn(s"f_$c",
-          when(lag(col(c), 1).over(w).isNull ||
-            col(c) =!= lag(col(c), 1).over(w), 1L).otherwise(0L))
+          when(col(s"p_$c").isNull || col(c) =!= col(s"p_$c"), 1L)
+            .otherwise(0L))
     }
-    val stacked = measured.map(c => s"'$c', f_$c").mkString(", ")
-    flagged
-      .select(col("blk"),
-        expr(s"stack(${measured.size}, $stacked) AS (col_name, run_start)"))
-      .groupBy("col_name")
-      .agg(count(lit(1)).as("n_rows"),
-        countDistinct(col("blk")).as("n_blocks"),
-        sum("run_start").as("n_runs"))
+    val aggCols = Seq(count(lit(1)).as("n_rows"),
+      countDistinct(col("blk")).as("n_blocks")) ++
+      measured.map(c => sum(col(s"f_$c")).as(s"r_$c"))
+    val one = withFlags.agg(aggCols.head, aggCols.tail: _*)
+    val stacked = measured.map(c => s"'$c', r_$c").mkString(", ")
+    one
+      .select(expr(s"stack(${measured.size}, $stacked) AS (col_name, n_runs)"),
+        col("n_rows"), col("n_blocks"))
+      .select(col("col_name"), col("n_rows"), col("n_blocks"), col("n_runs"))
       .withColumn("rle_ratio",
         floor(col("n_runs").cast("double") * 10000.0 / col("n_rows") + 0.5)
           / 10000.0)
@@ -1499,39 +1512,54 @@ object ScaleOps {
       .withColumn("d0", lit(0L))
     val hv = hilbertApply(base, 8).withColumn("hval", col("d8"))
       .select("x", "y", "zval", "hval").localCheckpoint(true)
-    def rollup(curve: String, v: String): DataFrame = {
-      // Unpartitioned window — single-task sort by design: the input is
-      // the DISTINCT-cell table of a 256×256 grid, ≤ 65536 rows at ANY
-      // corpus size (the qSkyline bounded-global-window precedent). A
-      // grid-resolution bump re-evaluates this bound, not the caller.
-      val w = Window.orderBy(col(v))
-      val jumps = hv
-        .withColumn("jump",
-          abs(col("x") - lag("x", 1).over(w)) +
-            abs(col("y") - lag("y", 1).over(w)))
-        .filter(col("jump").isNotNull)
-        .agg(
-          (count(lit(1)) + 1L).as("n_cells"),
-          sum("jump").as("total_jump"),
-          max("jump").as("max_jump"),
-          (floor(sum(when(col("jump") === 1L, 1L).otherwise(0L))
-            .cast("double") * 10000.0 / count(lit(1)) + 0.5) / 10000.0)
-            .as("unit_step_share"))
-      val bbox = hv.groupBy(expr(s"$v DIV 1000").as("rng"))
-        .agg(min("x").as("min_x"), max("x").as("max_x"),
-          min("y").as("min_y"), max("y").as("max_y"))
-        .agg(
-          sum((col("max_x") - col("min_x") + 1L) *
-            (col("max_y") - col("min_y") + 1L)).as("sum_bbox_area"),
-          max((col("max_x") - col("min_x") + 1L) *
-            (col("max_y") - col("min_y") + 1L)).as("max_bbox_area"))
-      jumps.crossJoin(bbox)
-        .select(lit(curve).as("curve"), col("n_cells"), col("total_jump"),
-          col("max_jump"), col("unit_step_share"),
-          col("sum_bbox_area"), col("max_bbox_area"))
-    }
-    rollup("hilbert", "hval")
-      .unionAll(rollup("zorder", "zval"))
+    // Unpartitioned windows — single-task sorts by design: the input is
+    // the DISTINCT-cell table of a 256×256 grid, ≤ 65536 rows at ANY
+    // corpus size (the qSkyline bounded-global-window precedent). A
+    // grid-resolution bump re-evaluates this bound, not the caller.
+    // BOTH curves' jump columns come from ONE pass over the cell table
+    // (the second window re-sorts the already-single-partition rows —
+    // no second exchange, no second job chain), both curves' jump
+    // stats from ONE aggregate row, and both curves' bbox rollups
+    // from ONE exploded (curve, rng) aggregate — the per-curve rollup
+    // ran the window job + two aggregate passes twice.
+    def jstats(j: String, sfx: String) = Seq(
+      (count(col(j)) + 1L).as(s"n_cells$sfx"),
+      sum(j).as(s"total_jump$sfx"),
+      max(j).as(s"max_jump$sfx"),
+      (floor(sum(when(col(j) === 1L, 1L).otherwise(0L))
+        .cast("double") * 10000.0 / count(col(j)) + 0.5) / 10000.0)
+        .as(s"unit_step_share$sfx"))
+    val wh = Window.orderBy(col("hval"))
+    val wz = Window.orderBy(col("zval"))
+    val jaggs = jstats("jump_h", "_h") ++ jstats("jump_z", "_z")
+    val jumps = hv
+      .withColumn("jump_h",
+        abs(col("x") - lag("x", 1).over(wh)) +
+          abs(col("y") - lag("y", 1).over(wh)))
+      .withColumn("jump_z",
+        abs(col("x") - lag("x", 1).over(wz)) +
+          abs(col("y") - lag("y", 1).over(wz)))
+      .agg(jaggs.head, jaggs.tail: _*)
+    val bbox = hv
+      .select(explode(array(
+        struct(lit("hilbert").as("curve"), expr("hval DIV 1000").as("rng")),
+        struct(lit("zorder").as("curve"), expr("zval DIV 1000").as("rng"))))
+        .as("cr"), col("x"), col("y"))
+      .groupBy(col("cr.curve").as("curve"), col("cr.rng").as("rng"))
+      .agg(min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .groupBy("curve")
+      .agg(
+        sum((col("max_x") - col("min_x") + 1L) *
+          (col("max_y") - col("min_y") + 1L)).as("sum_bbox_area"),
+        max((col("max_x") - col("min_x") + 1L) *
+          (col("max_y") - col("min_y") + 1L)).as("max_bbox_area"))
+    def pick(c: String) = when(col("curve") === "hilbert", col(s"${c}_h"))
+      .otherwise(col(s"${c}_z")).as(c)
+    bbox.crossJoin(broadcast(jumps))
+      .select(col("curve"), pick("n_cells"), pick("total_jump"),
+        pick("max_jump"), pick("unit_step_share"),
+        col("sum_bbox_area"), col("max_bbox_area"))
       .orderBy("curve")
   }
 
