@@ -888,11 +888,19 @@ object CurationOps {
       .select(col("doc_id"), col("lang"),
         (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % m)
           .as("bucket"))
-    val raw = b.groupBy("bucket").agg(count(lit(1)).as("c_r"))
-    val tgt = b.filter(col("lang") === "en")
-      .groupBy("bucket").agg(count(lit(1)).as("c_t"))
-    val tots = b.agg(count(lit(1)).as("tr"),
-      sum((col("lang") === "en").cast("long")).as("tt"))
+    // ONE tokenize+hash pass: the (doc, lang, bucket) count table is
+    // ≤ |docs|·m rows and every model table (raw/target/totals) and
+    // the per-doc weight join are sums over it — previously each of
+    // the four references re-ran the corpus tokenize+md5 (r15: 5
+    // document scans -> 2)
+    val dw = b.groupBy("doc_id", "lang", "bucket")
+      .agg(count(lit(1)).as("cb"))
+      .localCheckpoint(true)
+    val raw = dw.groupBy("bucket").agg(sum("cb").as("c_r"))
+    val tgt = dw.filter(col("lang") === "en")
+      .groupBy("bucket").agg(sum("cb").as("c_t"))
+    val tots = dw.agg(sum("cb").as("tr"),
+      sum(when(col("lang") === "en", col("cb")).otherwise(0L)).as("tt"))
     val delta = s.range(m).select(col("id").as("bucket"))
       .join(raw, Seq("bucket"), "left")
       .join(tgt, Seq("bucket"), "left")
@@ -902,7 +910,7 @@ object CurationOps {
           (col("tt") + m).cast("double")) -
          unats((coalesce(col("c_r"), lit(0L)) + 1L).cast("double") /
            (col("tr") + m).cast("double"))).as("d_u"))
-    val lw = b.groupBy("doc_id", "bucket").agg(count(lit(1)).as("cb"))
+    val lw = dw
       .join(broadcast(delta), "bucket")
       .groupBy("doc_id").agg(sum(col("cb") * col("d_u")).as("lw_u"))
     val u = ((conv(substring(md5(concat(col("doc_id").cast("string"),

@@ -440,7 +440,11 @@ object MiningOps {
       // kwPrios would otherwise count in n and tsum while feeding no
       // d_g, silently skewing H (mirrored in the oracle's WHERE)
       .filter(col("grp").isin(kwPrios: _*))
+    // cell feeds the tie histogram (twice, via tc) and the rank
+    // contributions — materialize once instead of re-scanning orders
+    // per reference (3 orders scans -> 1, r15)
     val cell = base.groupBy("yr", "c", "grp").agg(count(lit(1)).as("t"))
+      .localCheckpoint(true)
     val tc = cell.groupBy("yr", "c").agg(sum("t").as("tcnt"))
     val tcw = tc.withColumn("cumb",
       sum("tcnt").over(Window.partitionBy("yr").orderBy("c")) - col("tcnt"))

@@ -434,6 +434,8 @@ object RelationalExt {
         floor(col("l_extendedprice") / 100.0).as("bucket"))
     val coarse = base.groupBy("l_returnflag", "bucket")
       .agg(sum("l_quantity").as("bw"))
+      .localCheckpoint(true) // grid-sized; feeds tot AND the crossing
+                             // walk — aggregate the scan once (r15)
     val tot = coarse.groupBy("l_returnflag").agg(sum("bw").as("tot"))
     val wb = Window.partitionBy("l_returnflag").orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -741,14 +741,23 @@ object ScaleOps {
       floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("c"),
       pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(8L))
         .as("shard"))
+    // dom is ONE row but is broadcast at three places (binning, the
+    // sketch cumsum, the exact path) — each broadcast re-ran the full
+    // lineitem min/max/count scan; materialize it once (r15: 7
+    // lineitem scans -> 3 together with the merged checkpoint below)
     val dom = cents.agg(min("c").as("lo"), max("c").as("hi"),
       count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val binned = cents.crossJoin(broadcast(dom))
       .select(col("shard"),
         expr("(c - lo) * 256 DIV (hi - lo + 1)").as("bin"))
     val shardHist = binned.groupBy("shard", "bin")
       .agg(count(lit(1)).as("cnt"))
+    // ≤ 256 rows, referenced by the cumsum AND the rank-error bound —
+    // without the checkpoint the whole shard-histogram pipeline (and
+    // its lineitem scan) re-ran for maxLoad
     val merged = shardHist.groupBy("bin").agg(sum("cnt").as("cnt"))
+      .localCheckpoint(true)
     val wCum = Window.orderBy("bin") // ≤ 256 rows by construction
     val cum = merged
       .withColumn("cum", sum("cnt").over(wCum))

@@ -354,12 +354,18 @@ object TextOps {
   def qHeldoutPerplexity(s: SparkSession, d: String): DataFrame = {
     def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
     val docs = documents(s, d)
+    // both model tables are referenced twice (their own rollup + the
+    // scoring join) — materialize the vocabulary-bounded aggregates
+    // once instead of re-reading the staged bigrams / re-tokenizing
+    // the train half per reference (r15)
     val trainBg = docBigrams(s, d).filter(col("doc_id") % 2 === 0)
       .groupBy("w1", "w2").agg(sum("cnt").as("cb"))
+      .localCheckpoint(true)
     val trainLeft = trainBg.groupBy("w1").agg(sum("cb").as("cl"))
     val trainUni = docs.filter(col("doc_id") % 2 === 0)
       .select(explode(expr(tokenExpr)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cu"))
+      .localCheckpoint(true)
     val totalUni = trainUni.agg(sum("cu").cast("double").as("t"))
     val scored = docBigrams(s, d).filter(col("doc_id") % 2 === 1)
       .join(trainBg.join(trainLeft, "w1"), Seq("w1", "w2"), "left")
@@ -831,7 +837,10 @@ object TextOps {
   def qTfidf(s: SparkSession, d: String, topK: Int = 3): DataFrame = {
     val terms = documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    // tf feeds the df rollup AND the scoring join — materialize once
+    // instead of re-running the corpus tokenize per reference (r15)
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df = tf.groupBy("term")
       .agg(count(lit(1)).as("df"))
     val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
@@ -1365,8 +1374,12 @@ object TextOps {
   def qBm25(s: SparkSession, d: String, topK: Int = 3): DataFrame = {
     val terms = documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    // tf feeds doc lengths, document frequencies AND the scoring join —
+    // materialize the (doc, term) table once instead of re-running the
+    // corpus tokenize per reference (4 document scans -> 1, r15)
     val tf = terms.groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint(true)
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("len"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       (sum("len") / count(lit(1))).as("avgdl"))
@@ -2566,6 +2579,7 @@ object TextOps {
           .as("pos"))
     val hashed = corpusWithDups(s, d)
       .select(col("doc_id"), md5(col("text")).as("h"))
+      .localCheckpoint(true) // existing + absent sides — hash once (r15)
     val existing = hashed.filter(col("doc_id") % 2 === 0).select("h").distinct()
     val bits = positionsOf(existing).select("pos").distinct()
     val absent = hashed.filter(col("doc_id") % 2 === 1).select("h").distinct()
@@ -2638,6 +2652,10 @@ object TextOps {
     def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
     val hashed = corpusWithDups(s, d)
       .select(col("doc_id"), md5(col("text")).as("h"))
+      // referenced by the existing set, the batch AND the in-batch
+      // minimum — without this the tripled-corpus md5 projection ran
+      // three times (9 document scans -> 3, r15)
+      .localCheckpoint(true)
     val existing = hashed.filter(col("doc_id") % 2 === 0)
       .select(col("h")).distinct()
       .withColumn("in_existing", lit(1L))
