@@ -25,13 +25,19 @@ object AnalyticsOps {
     * user-cardinality-sized regardless of event volume. */
   def qFunnel(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d).select("user_id", "event_type", "ts")
+    // each funnel stage is read by the NEXT stage's join and by its
+    // own count — without the checkpoints stage 3 recomputed stages
+    // 1–2 (6 events scans -> 3, r15); per-stage tables are
+    // converted-user-sized
     val v = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts").as("t1"))
+      .localCheckpoint(true)
     val c = ev.filter(col("event_type") === "click")
       .join(v, "user_id")
       .filter(col("ts") >= col("t1") &&
         col("ts") <= col("t1") + expr("interval 1 day"))
       .groupBy("user_id").agg(min("ts").as("t2"))
+      .localCheckpoint(true)
     val p = ev.filter(col("event_type") === "purchase")
       .join(c, "user_id")
       .filter(col("ts") >= col("t2") &&
@@ -277,6 +283,10 @@ object AnalyticsOps {
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name", "o_orderpriority")
       .agg(count(lit(1)).cast("double").as("o"))
+      // contingency-table-sized (|nations|·|prios|) and referenced by
+      // all three marginals + the cell join — materialize once
+      // instead of re-running the fact join per reference (r15)
+      .localCheckpoint(true)
     val rt = obs.groupBy("n_name").agg(sum("o").as("r"))
     val ct = obs.groupBy("o_orderpriority").agg(sum("o").as("c"))
     val g = obs.agg(sum("o").as("t"))
@@ -866,6 +876,9 @@ object AnalyticsOps {
     val joint = lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("nij"))
+      // contingency-table-sized; both marginals, the total AND the
+      // final join read it — one lineitem pass, not four (r15)
+      .localCheckpoint(true)
     val rm = joint.groupBy("l_returnflag").agg(sum("nij").as("ni"))
     val cm = joint.groupBy("l_linestatus").agg(sum("nij").as("nj"))
     val tot = joint.agg(sum("nij").as("n"))
@@ -931,6 +944,7 @@ object AnalyticsOps {
       .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name", "o_orderpriority")
       .agg(count(lit(1)).as("o"))
+      .localCheckpoint(true) // table-sized; 3 marginals + cell join (r15)
     val rt = obs.groupBy("n_name").agg(sum("o").as("r"))
     val ct = obs.groupBy("o_orderpriority").agg(sum("o").as("c"))
     val g = obs.agg(sum("o").as("t"),

@@ -1132,15 +1132,20 @@ object MiningOps {
     val fit = o.filter(col("okey") % 5 >= 2).groupBy("prio")
       .agg(count(lit(1)).as("n_train"),
         expr("CAST(SUM(c) DIV COUNT(*) AS BIGINT)").as("mu_cents"))
+      .localCheckpoint(true) // |prios| rows; broadcast at calib AND test (r15)
+    // n_calib rides the SAME prio partition as the rank window (one
+    // exchange serves both), so the separate count-aggregate +
+    // broadcast join — which re-ran the calib join+window — is gone
+    // (6 orders scans -> 3, r15)
     val calib = o.filter(col("okey") % 5 === 1)
       .join(broadcast(fit), "prio")
       .withColumn("r", abs(col("c") - col("mu_cents")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("prio").orderBy(col("r"), col("okey"))))
-    val nCal = calib.groupBy("prio").agg(count(lit(1)).as("n_calib"))
-      .withColumn("k", expr("((n_calib + 1) * 9 + 9) DIV 10"))
-    val qhat = calib.join(broadcast(nCal), "prio")
-      .filter(col("rk") === col("k"))
+      .withColumn("n_calib",
+        count(lit(1)).over(Window.partitionBy("prio")).cast("long"))
+    val qhat = calib
+      .filter(col("rk").cast("long") === expr("((n_calib + 1) * 9 + 9) DIV 10"))
       .select(col("prio"), col("n_calib"), col("r").as("qhat_cents"))
     o.filter(col("okey") % 5 === 0)
       .join(broadcast(fit), "prio")

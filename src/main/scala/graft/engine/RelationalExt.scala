@@ -984,8 +984,9 @@ object RelationalExt {
     * integers, floor-rounded to 6dp identically in both engines. */
   def qClusteringCoeff(s: SparkSession, d: String): DataFrame = {
     val e = supportEdges(s, d)
-    val deg = e.select(col("pa").as("node"))
-      .unionByName(e.select(col("pb").as("node")))
+    // endpoints explode map-side — one edge scan for the degree
+    // aggregate instead of the union's two (r15)
+    val deg = e.select(explode(array(col("pa"), col("pb"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val tri = e.toDF("a", "b")
       .join(e.toDF("b", "c"), "b")
@@ -1048,9 +1049,16 @@ object RelationalExt {
     * aggregate + two joins back onto the (checkpointed) edge list. */
   def qAssortativity(s: SparkSession, d: String): DataFrame = {
     val e = supportEdges(s, d)
-    val bi = e.select(col("pa").as("u"), col("pb").as("v"))
-      .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
+    // symmetrize map-side and materialize once: bi feeds the degree
+    // aggregate AND both moment-join sides, and deg is itself joined
+    // twice — the union form re-scanned the edge table six times (r15)
+    val bi = e.select(explode(array(
+        struct(col("pa").as("u"), col("pb").as("v")),
+        struct(col("pb").as("u"), col("pa").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .localCheckpoint(true)
     val deg = bi.groupBy("u").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     bi.join(deg.select(col("u"), col("deg").as("dx")), "u")
       .join(deg.select(col("u").as("v"), col("deg").as("dy")), "v")
       .agg(

@@ -114,6 +114,10 @@ object StatsOps {
     * events; the per-type marginals are broadcast. */
   def qCooccur(s: SparkSession, d: String): DataFrame = {
     val ut = events(s, d).select("user_id", "event_type").distinct()
+      // audience-sized; referenced by the user count, the marginals
+      // and both self-join sides — dedup the events once (the
+      // qAudienceOverlap pattern, r15)
+      .localCheckpoint(true)
     val nUsers = ut.agg(countDistinct("user_id").cast("double").as("n_users"))
     val marg = ut.groupBy("event_type").agg(count(lit(1)).as("n_t"))
     val a = ut.toDF("user_id", "t_a")
@@ -1418,6 +1422,8 @@ object StatsOps {
     val g = z.groupBy("event_type")
       .agg(count(lit(1)).as("ni"), sum("z").as("si"),
         sum(col("z") * col("z")).as("qi"))
+      .localCheckpoint(true) // |types| rows; feeds tot AND the final
+                             // crossJoin — one events pass, not two (r15)
     val tot = g.agg(sum("ni").as("nn"), sum("si").as("ss"),
       count(lit(1)).as("k"))
     g.crossJoin(broadcast(tot))

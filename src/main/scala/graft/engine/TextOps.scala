@@ -395,11 +395,15 @@ object TextOps {
     val groups = corpusWithDups(s, d)
       .groupBy(md5(col("text")).as("h"))
       .agg(count(lit(1)).as("g"))
-    val total = groups.agg(sum("g").cast("double").as("tot"))
+    // the corpus total IS the histogram's own doc sum — a window over
+    // the ≤5 bucket rows, not a second pass over the hash groups
+    // (which re-ran the tripled-corpus md5 aggregate; 6 scans -> 3, r15)
     groups
       .groupBy(least(col("g"), lit(5L)).as("copy_bucket"))
       .agg(count(lit(1)).as("n_groups"), sum("g").as("n_docs"))
-      .crossJoin(broadcast(total))
+      .withColumn("tot", sum("n_docs")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy())
+        .cast("double"))
       .select(col("copy_bucket"), col("n_groups"), col("n_docs"),
         r4(col("n_docs") / col("tot")).as("doc_share"))
       .orderBy("copy_bucket")

@@ -392,6 +392,10 @@ object VectorOps {
     val corpus = emb.unionByName(perturbed)
       .withColumn("bucket",
         lshBucket(transform(col("embedding"), _.cast("double")), planes))
+      // probe side AND index side — bucket the doubled corpus once
+      // instead of re-running the union + plane dot products per join
+      // side (4 embeddings scans -> 2, r15)
+      .localCheckpoint(true)
     // 1-bit multiprobe: the probe side also visits the 8 buckets at
     // Hamming distance 1 in sign space, so a near-dup whose tiny
     // perturbation flipped one hyperplane sign is still blocked
@@ -606,6 +610,9 @@ object VectorOps {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("m"),
         slice(col("v"), col("m") * subDim + 1, subDim).as("sv"))
+      // codebook build, code assignment AND the query side all read
+      // the subvector table — explode the corpus once (r15)
+      .localCheckpoint(true)
     val cb = sub.filter(col("vec_id") < k)
       .select(col("m").as("cm"), col("vec_id").as("centroid_id"),
         col("sv").as("cv"))
@@ -653,6 +660,9 @@ object VectorOps {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("m"),
         slice(col("v"), col("m") * subDim + 1, subDim).as("sv"))
+      // codebook build, code assignment AND the query side all read
+      // the subvector table — explode the corpus once (r15)
+      .localCheckpoint(true)
     val cb = sub.filter(col("vec_id") < k)
       .select(col("m").as("cm"), col("vec_id").as("centroid_id"),
         col("sv").as("cv"))
@@ -1171,18 +1181,23 @@ object VectorOps {
     def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
     val corpus = embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    def pick(id: Int, as: String) = corpus.filter(col("vec_id") === id)
-      .select(col("v").as(as))
-    val probes = (0 until 5).map { p =>
-      val (a, b, c) = (3 * p, 3 * p + 1, 3 * p + 2)
-      pick(a, "va").crossJoin(broadcast(pick(b, "vb")))
-        .crossJoin(broadcast(pick(c, "vc")))
-        .select(lit(p.toLong).as("probe"),
-          lit(a.toLong).as("id_a"), lit(b.toLong).as("id_b"),
-          lit(c.toLong).as("id_c"),
-          zip_with(zip_with(col("va"), col("vb"), (x, y) => x - y),
-            col("vc"), (x, y) => x + y).as("target"))
-    }.reduce(_ unionByName _)
+    // all 15 probe vectors come from ONE filtered pass pivoted by
+    // role (vec_id mod 3) — the per-id pick() form planned 15
+    // separate single-row corpus scans (16 scans -> 2, r15); the
+    // composed target is the identical double-arithmetic zip chain
+    val probes = corpus.filter(col("vec_id") < 15)
+      .select(floor(col("vec_id") / 3).cast("long").as("probe"),
+        (col("vec_id") % 3).as("role"), col("v"))
+      .groupBy("probe")
+      .agg(
+        first(when(col("role") === 0, col("v")), ignoreNulls = true).as("va"),
+        first(when(col("role") === 1, col("v")), ignoreNulls = true).as("vb"),
+        first(when(col("role") === 2, col("v")), ignoreNulls = true).as("vc"))
+      .select(col("probe"),
+        (col("probe") * 3).as("id_a"), (col("probe") * 3 + 1).as("id_b"),
+        (col("probe") * 3 + 2).as("id_c"),
+        zip_with(zip_with(col("va"), col("vb"), (x, y) => x - y),
+          col("vc"), (x, y) => x + y).as("target"))
     val scored = corpus.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("id_a") &&
         col("vec_id") =!= col("id_b") && col("vec_id") =!= col("id_c"))
