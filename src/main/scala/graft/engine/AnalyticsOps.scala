@@ -842,6 +842,7 @@ object AnalyticsOps {
     val ev = events(s, d)
     val first = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
       .select(col("user_id"), date_trunc("week", col("first_ts")).as("cohort"))
+      .localCheckpoint(true) // cohort join + cohort sizes — one pass (r15)
     val purch = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), date_trunc("week", col("ts")).as("wk"),
         floor(col("value") * 100.0 + 0.5).cast("long").as("c"))

@@ -77,6 +77,10 @@ object MiningOps {
         floor(col("value") * 100.0 + 0.5).cast("long").as("c"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= MkMaxEvents)
+      // every consumer (Mann-Kendall, Kendall τ, Theil–Sen) reads it
+      // twice (S statistic + tie counts) — one events window pass per
+      // query instead of two (r15)
+      .localCheckpoint(true)
   }
 
   val MkMaxEvents = 64
@@ -550,6 +554,7 @@ object MiningOps {
         date_format(col("ts"), "yyyy-MM-dd").as("day"),
         col("user_id"), col("event_type").as("typ"))
       .distinct()
+      .localCheckpoint(true) // pivot AND block sums — dedup once (r15)
     val gCols = treatments.zipWithIndex.map { case (t, i) =>
       sum(when(col("typ") === t, 1L).otherwise(0L)).as(s"g$i")
     }

@@ -942,6 +942,7 @@ object StatsOps {
         (col("event_type") === "purchase").cast("long").as("y"))
       .groupBy("c")
       .agg(sum("y").as("n1"), (count(lit(1)) - sum("y")).as("n2"))
+      .localCheckpoint(true) // domain-sized; totals + cumsum pass (r15)
     val w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
     val tot = h.agg(sum("n1").as("t1"), sum("n2").as("t2"))
     h.withColumn("cum1", sum("n1").over(w))

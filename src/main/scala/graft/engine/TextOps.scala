@@ -256,6 +256,9 @@ object TextOps {
           shiftright(col("fp"), c * 16).bitwiseAND(0xFFFF).as("ch"))
       }: _*)).as("b"))
       .select(col("doc_id"), col("fp"), col("b.chunk"), col("b.ch"))
+      // both self-join sides — fingerprint the tripled corpus once
+      // (the md5 twin's checkpoint pattern; 6 scans -> 3, r15)
+      .localCheckpoint(true)
     // bucket self-join on (chunk, ch): with 4 chunks of 16 bits the
     // buckets are many and tiny, so the hash join beats per-bucket
     // collect_list (measured — the list variant's per-bucket lambda
@@ -959,6 +962,8 @@ object TextOps {
       explode(array_distinct(transform(
         call_function("graft_word_ngrams", col("arr"), lit(5)),
         g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
+      // bench side AND probe side — shingle+hash the corpus once (r15)
+      .localCheckpoint(true)
     val bench = sh.filter(col("is_bench"))
       .select(col("h"), col("doc_id").as("bench_doc"))
     sh.filter(!col("is_bench"))
@@ -1563,6 +1568,7 @@ object TextOps {
     val dwc = documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // total + scoring window — tokenize once (r15)
     val tot = dwc.agg(sum("cnt").cast("double").as("n"))
     dwc.withColumn("c", sum("cnt").over(
         org.apache.spark.sql.expressions.Window.partitionBy("w")))
@@ -2445,6 +2451,7 @@ object TextOps {
     def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
     val bg = docBigrams(s, d)
     val model = bg.groupBy("w1", "w2").agg(sum("cnt").as("cb"))
+      .localCheckpoint(true) // left-total rollup + scoring join (r15)
     val left = model.groupBy("w1").agg(sum("cb").as("cl"))
     bg.join(model.join(left, "w1"), Seq("w1", "w2"))
       .groupBy("doc_id")

@@ -716,6 +716,7 @@ object VectorOps {
     val W = org.apache.spark.sql.expressions.Window
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("ts"))
+      .localCheckpoint(true) // query side + lexical rank — tokenize once (r15)
     val q = tok.filter(col("doc_id") < nq)
       .select(col("doc_id").as("q_id"), col("ts").as("qts"))
     val lexr = tok.join(broadcast(q), col("doc_id") =!= col("q_id"))
