@@ -25,19 +25,16 @@ object AnalyticsOps {
     * user-cardinality-sized regardless of event volume. */
   def qFunnel(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d).select("user_id", "event_type", "ts")
-    // each funnel stage is read by the NEXT stage's join and by its
-    // own count — without the checkpoints stage 3 recomputed stages
-    // 1–2 (6 events scans -> 3, r15); per-stage tables are
-    // converted-user-sized
+    // r15 note: checkpointing stages v/c (each read by the next stage
+    // + its own count) was measured SLOWER (0.44 -> 0.59 s) — two
+    // eager jobs against three cheap filtered events re-scans
     val v = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts").as("t1"))
-      .localCheckpoint(true)
     val c = ev.filter(col("event_type") === "click")
       .join(v, "user_id")
       .filter(col("ts") >= col("t1") &&
         col("ts") <= col("t1") + expr("interval 1 day"))
       .groupBy("user_id").agg(min("ts").as("t2"))
-      .localCheckpoint(true)
     val p = ev.filter(col("event_type") === "purchase")
       .join(c, "user_id")
       .filter(col("ts") >= col("t2") &&
@@ -877,9 +874,6 @@ object AnalyticsOps {
     val joint = lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("nij"))
-      // contingency-table-sized; both marginals, the total AND the
-      // final join read it — one lineitem pass, not four (r15)
-      .localCheckpoint(true)
     val rm = joint.groupBy("l_returnflag").agg(sum("nij").as("ni"))
     val cm = joint.groupBy("l_linestatus").agg(sum("nij").as("nj"))
     val tot = joint.agg(sum("nij").as("n"))

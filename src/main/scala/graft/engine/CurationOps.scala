@@ -92,12 +92,11 @@ object CurationOps {
     * (BPE-ish) runs over a corpus. */
   def qPmi(s: SparkSession, d: String): DataFrame = {
     val tok = documents(s, d).select(toks.as("ts"))
-    // both model tables are multiply referenced (their totals + the
-    // scoring joins) — materialize the vocabulary-bounded aggregates
-    // once instead of re-tokenizing per reference (r15)
+    // r15 note: checkpointing uni/bi was measured SLOWER (0.83 ->
+    // 0.94 s) — the bigram table is near-corpus-sized and its eager
+    // materialization beats the re-tokenize it saves
     val uni = tok.select(explode(col("ts")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
     val nUni = uni.agg(sum("c").cast("double").as("n_uni"))
     val bi = tok
       .select(explode(zip_with(
@@ -106,7 +105,6 @@ object CurationOps {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .select(col("p.w1"), col("p.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
-      .localCheckpoint(true)
     val nBi = bi.agg(sum("c_ab").cast("double").as("n_bi"))
     bi.filter(col("c_ab") >= 5)
       .join(uni.toDF("w1", "c_a"), "w1")

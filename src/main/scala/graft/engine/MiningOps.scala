@@ -444,11 +444,11 @@ object MiningOps {
       // kwPrios would otherwise count in n and tsum while feeding no
       // d_g, silently skewing H (mirrored in the oracle's WHERE)
       .filter(col("grp").isin(kwPrios: _*))
-    // cell feeds the tie histogram (twice, via tc) and the rank
-    // contributions — materialize once instead of re-scanning orders
-    // per reference (3 orders scans -> 1, r15)
+    // r15 note: checkpointing cell (corpus-shaped — most (yr, c, grp)
+    // cells are distinct) was measured SLOWER (1.06 -> 1.22 s): the
+    // eager materialization of a near-corpus-sized table beats the
+    // cheap 2-column orders re-scans it saves
     val cell = base.groupBy("yr", "c", "grp").agg(count(lit(1)).as("t"))
-      .localCheckpoint(true)
     val tc = cell.groupBy("yr", "c").agg(sum("t").as("tcnt"))
     val tcw = tc.withColumn("cumb",
       sum("tcnt").over(Window.partitionBy("yr").orderBy("c")) - col("tcnt"))
@@ -1182,13 +1182,13 @@ object MiningOps {
     * constants (5 rows) are the only broadcasts. */
   def qNaiveBayes(s: SparkSession, d: String): DataFrame = {
     def unats(x: Column): Column = floor(log(x) * 1e6 + 0.5).cast("long")
-    // tokenize ONCE: train/test filters, the (lang, token) counts, the
-    // per-lang doc counts and the test-side scans all read the same
-    // checkpointed token table — previously each reference re-ran the
-    // regex tokenizer over the full corpus (5 passes)
+    // r15 note: checkpointing the tokenized corpus here was measured
+    // SLOWER in the full bench (1.59 -> 1.77 s) — materializing the
+    // token arrays costs more than the tokenize passes it saves; the
+    // langStats merge below (one aggregate + window instead of two
+    // corpus passes + an extra broadcast) is kept
     val docs = documents(s, d)
       .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
-      .localCheckpoint(true)
     val train = docs.filter(col("doc_id") % 5 =!= 0)
     val test = docs.filter(col("doc_id") % 5 === 0)
     // (lang, token) counts — the only corpus-sized training shuffle

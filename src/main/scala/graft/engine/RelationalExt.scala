@@ -617,12 +617,9 @@ object RelationalExt {
           struct(x.as("pa"), y.as("pb")))))).as("p"))
       .groupBy("p.pa", "p.pb").agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 2)
-    // referenced by both similarity-side joins — materialize the
-    // vocabulary-sized support table once (r15)
     val supp = b
       .select(explode(col("ps")).as("pk"))
       .groupBy("pk").agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
     pairs
       .join(supp.select(col("pk").as("pa"), col("n").as("n_a")), "pa")
       .join(supp.select(col("pk").as("pb"), col("n").as("n_b")), "pb")

@@ -876,40 +876,31 @@ object ScaleOps {
   def qQuantileSketchSql(s: SparkSession, d: String): DataFrame = {
     graft.expressions.VectorExpressions.register(s)
     Tables.lineitem(s, d).createOrReplaceTempView("graft_li_sketch")
-    // Spark inlines a CTE per reference, so the original all-in-one
-    // WITH re-scanned lineitem for every `dom` reference (4×) and
-    // re-ran the whole native-sketch pipeline for the bin_cnt scalar
-    // subquery — 8 lineitem scans. The 1-row dom and 256-row merged
-    // histogram are checkpointed views instead (r15: 8 scans -> 3);
-    // the native aggregate's update/merge/serialize path (the demo)
-    // is untouched — shard_sk still merges 8 per-shard sketches.
+    // r15 note: a checkpointed-temp-view restructure (dom/merged
+    // materialized once; 8 lineitem scans -> 3) was MEASURED SLOWER
+    // (1.61 -> 1.91 s on a faster host) — the three serialized eager
+    // executions cost more than the cheap column-pruned re-scans they
+    // saved. The all-in-one form stays.
     s.sql(
-      """SELECT CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c,
-        |       pmod(xxhash64(l_orderkey, l_linenumber), 8L) AS shard
-        |FROM graft_li_sketch""".stripMargin)
-      .createOrReplaceTempView("graft_sk_cents")
-    s.sql(
-      """SELECT MIN(c) AS lo, MAX(c) AS hi, CAST(COUNT(*) AS BIGINT) AS n
-        |FROM graft_sk_cents""".stripMargin)
-      .localCheckpoint(true)
-      .createOrReplaceTempView("graft_sk_dom")
-    s.sql(
-      """WITH shard_sk AS (
+      """WITH cents AS (
+        |  SELECT CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c,
+        |         pmod(xxhash64(l_orderkey, l_linenumber), 8L) AS shard
+        |  FROM graft_li_sketch),
+        |dom AS (SELECT MIN(c) AS lo, MAX(c) AS hi,
+        |               CAST(COUNT(*) AS BIGINT) AS n FROM cents),
+        |shard_sk AS (
         |  SELECT shard, graft_quantile_sketch(c, lo, hi) AS bins
-        |  FROM graft_sk_cents CROSS JOIN graft_sk_dom GROUP BY shard)
-        |SELECT pos AS bin, CAST(SUM(cnt) AS BIGINT) AS cnt
-        |FROM shard_sk LATERAL VIEW posexplode(bins) t AS pos, cnt
-        |GROUP BY pos""".stripMargin)
-      .localCheckpoint(true)
-      .createOrReplaceTempView("graft_sk_merged")
-    s.sql(
-      """WITH cm AS (SELECT bin, cnt,
-        |              SUM(cnt) OVER (ORDER BY bin) AS cum
-        |            FROM graft_sk_merged),
+        |  FROM cents CROSS JOIN dom GROUP BY shard),
+        |merged AS (
+        |  SELECT pos AS bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+        |  FROM shard_sk LATERAL VIEW posexplode(bins) t AS pos, cnt
+        |  GROUP BY pos),
+        |cm AS (SELECT bin, cnt,
+        |              SUM(cnt) OVER (ORDER BY bin) AS cum FROM merged),
         |est AS (
         |  SELECT p, MIN(bin) AS bin_id
         |  FROM cm CROSS JOIN (SELECT explode(sequence(1, 9)) AS p) ps
-        |  CROSS JOIN graft_sk_dom
+        |  CROSS JOIN dom
         |  WHERE cum >= (n * p + 9) DIV 10
         |  GROUP BY p),
         |vals AS (SELECT CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
@@ -918,14 +909,13 @@ object ScaleOps {
         |vc AS (SELECT c, SUM(cnt) OVER (ORDER BY c) AS cum FROM vals),
         |ex AS (SELECT p, MIN(c) AS exact_cents
         |       FROM vc CROSS JOIN (SELECT explode(sequence(1, 9)) AS p) ps
-        |       CROSS JOIN graft_sk_dom
+        |       CROSS JOIN dom
         |       WHERE cum >= (n * p + 9) DIV 10
         |       GROUP BY p)
         |SELECT CAST(p AS BIGINT) AS p,
         |       CAST((n * p + 9) DIV 10 AS BIGINT) AS target_rank,
         |       CAST(bin_id AS BIGINT) AS bin_id,
-        |       (SELECT cnt FROM graft_sk_merged m WHERE m.bin = est.bin_id)
-        |         AS bin_cnt,
+        |       (SELECT cnt FROM merged m WHERE m.bin = est.bin_id) AS bin_cnt,
         |       lo + (bin_id * (hi - lo + 1) + 255) DIV 256 AS bin_lo_cents,
         |       lo + ((bin_id + 1) * (hi - lo + 1) + 255) DIV 256 - 1
         |         AS bin_hi_cents,
@@ -934,7 +924,7 @@ object ScaleOps {
         |              lo + (bin_id * (hi - lo + 1) + 255) DIV 256 AND
         |              lo + ((bin_id + 1) * (hi - lo + 1) + 255) DIV 256 - 1
         |            THEN 1 ELSE 0 END AS INT) AS inside_bin
-        |FROM est JOIN ex USING (p) CROSS JOIN graft_sk_dom
+        |FROM est JOIN ex USING (p) CROSS JOIN dom
         |ORDER BY p""".stripMargin)
   }
 
@@ -1114,7 +1104,6 @@ object ScaleOps {
         least(bit_count((col("w").bitwiseAND(-col("w"))) - 1) + 1, lit(52))
           .cast("long").as("r"))
     val regsAB = ranked.groupBy("tag", "j").agg(max("r").as("m"))
-      .localCheckpoint(true) // ≤512 rows; itself + the union rollup (r15)
     val regs = regsAB.unionByName(
       regsAB.groupBy("j").agg(max("m").as("m")).withColumn("tag", lit("u"))
         .select("tag", "j", "m"))
