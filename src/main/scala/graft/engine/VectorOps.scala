@@ -1485,10 +1485,20 @@ object VectorOps {
         col("nv").as("na"),
         explode(array(masks.map(m => col("bucket").bitwiseXOR(m)): _*))
           .as("bucket"))
+    // ONE exchange serves both the pair dedup and the top-M window
+    // (r16, the hop pattern applied to the graph build): score
+    // map-side BEFORE the shuffle so only (a, b_id, w) scalars cross
+    // it — a pair matches at most one probe key (b_id has ONE bucket
+    // value), so the max-dedup sees no more rows than the old partial
+    // aggregate shuffled — then hashpartitioning(a) satisfies both the
+    // (a, b_id) aggregate's clustering and the window's (guide §2.4).
     val edges = src.join(idx, "bucket")
       .filter(col("a") =!= col("b_id"))
+      .select(col("a"), col("b_id"),
+        cs(col("va"), col("na"), col("vb"), col("nb")).as("w0"))
+      .repartition(col("a"))
       .groupBy("a", "b_id")
-      .agg(max(cs(col("va"), col("na"), col("vb"), col("nb"))).as("w"))
+      .agg(max("w0").as("w"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("a").orderBy(col("w").desc, col("b_id"))))
       .filter(col("rn") <= M)
@@ -1536,95 +1546,134 @@ object VectorOps {
     // the beam carries its query's vector/norm through every hop, so
     // hop scoring needs NO side join at all (the 8-query batch makes
     // this a few hundred bytes per row)
-    var beam = qs
+    val beam0 = qs
       .join(bucketEntry, Seq("q_id"), "left")
       .crossJoin(broadcast(globalEntry))
       .select(col("q_id"),
         coalesce(col("b_ent"), col("g_ent")).as("vec_id"),
         col("qv"), col("qnv"))
-    // ONE materialized frame per hop: the hop's candidate set, scored
-    // and window-ranked. Both the next beam (rn ≤ B, a narrow filter
-    // over the checkpointed frame — no second job) and the visited
-    // set (the scored pairs themselves) read off it, so the old
-    // END-OF-WALK re-scoring pass — visited.distinct ⋈ base ⋈ qs,
-    // recomputing the cosine of every pair the hops had already
-    // scored — disappears: w is a pure function of (q_id, vec_id), so
-    // the union of the hop frames IS visScored (guide §1.2: don't
-    // compute things twice; §2.4: remove the join outright).
-    // Hop shape: broadcast the ≤ 8·B-row beam against the edge list
-    // (edgesPlus streams from its checkpoint, no shuffle), score
-    // map-side, then ONE exchange keyed by q_id serves both the
-    // (q_id, vec_id) dedup (hash(q_id) satisfies the wider clustering)
-    // and the row_number window — the old shape paid a distinct
-    // exchange, a corpus-side join exchange, and a window exchange
-    // per hop (guide §2.4: operations keyed the same way share one
-    // exchange).
-    var scoredHops = List.empty[DataFrame]
+    // DRIVER-BOUNDED walk (r16, replacing r15's one-frame-per-hop
+    // shape — 3 AQE jobs + an eager checkpoint per hop): the beam is
+    // ≤ 8·B rows BY THE DIAL, corpus-independent, and broadcast(beam)
+    // already collected exactly these rows through the driver every
+    // hop. The walk now owns that collect: a hop is ONE job — stream
+    // the edgesPlus checkpoint, probe the broadcast ≤ 8·B-row local
+    // beam, score map-side, collect the ≤ 8·B·(M+1) scalar candidate
+    // rows (q_id, vec_id, w — no vectors) — and the (q_id, vec_id)
+    // max-dedup plus the top-B row_number selection happen on those
+    // collected rows, so the per-hop repartition exchange, the
+    // ranking window, AND the per-hop eager-checkpoint job all
+    // disappear (guide §2.4 remove the shuffle outright; §5's
+    // "no driver data work" is respected — the collected set is
+    // dial-bounded, not data-bounded, the same rows the broadcast
+    // moved before). Driver ranking replays row_number over
+    // (w DESC, vec_id) exactly: w is an integer micro-unit cosine,
+    // vec_id unique per q_id after the dedup, so the order is total
+    // and deterministic — same beams, same visited set, same oracle.
+    val sess = base.sparkSession
+    def lng(x: Any): Long = x.asInstanceOf[Number].longValue
+    val beamSchema = beam0.schema
+    var beamRows: Array[org.apache.spark.sql.Row] = beam0.collect()
+    // q_id → (qv, qnv) carried driver-side, so hop rows stay scalar
+    val qVec: Map[Long, (Any, Any)] =
+      beamRows.map(r => lng(r.get(0)) -> (r.get(2), r.get(3))).toMap
+    // the walk's visited set, already scored: hop-1's candidates
+    // include the entry beam itself (self-loop rows), and w is a pure
+    // function of (q_id, vec_id), so accumulating each hop's deduped
+    // candidates IS the old union-of-hop-frames ∪ distinct
+    val visitedMap =
+      scala.collection.mutable.HashMap.empty[(Long, Long), org.apache.spark.sql.Row]
+    var visSchema: org.apache.spark.sql.types.StructType = null
     (1 to H).foreach { _ =>
+      val localBeam = sess.createDataFrame(
+        java.util.Arrays.asList(beamRows: _*), beamSchema)
       // edgesPlus ⋈ beam = beam ∪ neighbors (self-loops, see above)
-      val scored = edgesPlus
-        .join(broadcast(beam), edgesPlus("a") === beam("vec_id"))
+      val scoredDf = edgesPlus
+        .join(broadcast(localBeam), edgesPlus("a") === localBeam("vec_id"))
         .filter(col("b_id") =!= col("q_id"))
         .select(col("q_id"), col("b_id").as("vec_id"),
-          col("qv"), col("qnv"),
           cs(col("qv"), col("qnv"), col("vb"), col("nb")).as("w"))
-        .repartition(col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(max("w").as("w"), first("qv").as("qv"), first("qnv").as("qnv"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("w").desc, col("vec_id"))))
-        .localCheckpoint(true)
-      scoredHops ::= scored
-      beam = scored.filter(col("rn") <= B)
-        .select("q_id", "vec_id", "qv", "qnv")
+      if (visSchema == null) visSchema = scoredDf.schema
+      val byPair =
+        scala.collection.mutable.HashMap.empty[(Long, Long), org.apache.spark.sql.Row]
+      scoredDf.collect().foreach { r =>
+        val key = (lng(r.get(0)), lng(r.get(1)))
+        if (byPair.get(key).forall(p => lng(r.get(2)) > lng(p.get(2))))
+          byPair(key) = r
+      }
+      byPair.foreach { case (key, r) =>
+        if (!visitedMap.contains(key)) visitedMap(key) = r
+      }
+      // top-B per query by (w DESC, vec_id) — the row_number replay
+      beamRows = byPair.values.toArray
+        .groupBy(r => lng(r.get(0)))
+        .iterator.flatMap { case (_, rs) =>
+          rs.sortBy(r => (-lng(r.get(2)), lng(r.get(1)))).take(B)
+        }
+        .map(r => org.apache.spark.sql.Row(r.get(0), r.get(1),
+          qVec(lng(r.get(0)))._1, qVec(lng(r.get(0)))._2))
+        .toArray
     }
-    // the walk's visited set, already scored: hop-1's candidates
-    // include the entry beam itself (self-loop rows), so this union
-    // covers everything the old beam ∪ cand accumulation did, minus
-    // the q_id = vec_id self-pairs the old final filter dropped anyway
-    val visScored = scoredHops.map(_.select("q_id", "vec_id", "w"))
-      .reduce(_ union _)
-      .distinct()
-      .localCheckpoint(true)
-    def topAgg(scored: DataFrame, pre: String): DataFrame = scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("w").desc, col("vec_id"))))
-      .filter(col("rn") <= k)
-      .groupBy("q_id")
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("rn"), col("vec_id")))),
-          x => x.getField("vec_id").cast("string")), ",").as(s"${pre}_top"),
-        max("w").as(s"${pre}_best"))
-    val annTop = visScored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("w").desc, col("vec_id"))))
-      .filter(col("rn") <= k)
-      .localCheckpoint(true)
+    // the exact brute force stays DISTRIBUTED — it is the only
+    // corpus-sized work left after the walk; its ranked result is
+    // ≤ 8·k rows by construction, so collecting it replaces the old
+    // checkpoint + two downstream reads with one driver handoff
     val exactScored = baseSel
       .crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         cs(col("qv"), col("qnv"), col("v"), col("nv")).as("w"))
-    val exactTop = exactScored
+    val exactTopRows = exactScored
       .withColumn("rn", row_number().over(
         Window.partitionBy("q_id").orderBy(col("w").desc, col("vec_id"))))
       .filter(col("rn") <= k)
-      .localCheckpoint(true)
-    val nVis = visScored.groupBy("q_id")
-      .agg(count(lit(1)).as("n_visited"))
-    val hits = annTop.join(exactTop.select("q_id", "vec_id"),
-        Seq("q_id", "vec_id"), "left_semi")
-      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
-    topAgg(annTop, "ann")
-      .join(topAgg(exactTop, "exact"), "q_id")
-      .join(nVis, "q_id")
-      .join(hits, Seq("q_id"), "left")
-      .select(col("q_id"), col("n_visited"),
-        col("ann_top"), col("ann_best"),
-        col("exact_top"), col("exact_best"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        r4(coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"))
+      .collect()
+    // REPORT assembled on the driver (r16): every input is
+    // dial-bounded (visited ≤ H·8·B·(M+1) scalar rows already on the
+    // driver, exact top-k ≤ 8·k rows) and every derived value is the
+    // same pure integer/string function the old Spark report computed
+    // — per query: top-k by (w DESC, vec_id) with row_number replay,
+    // comma-joined id list, max w, visited count, hit count vs the
+    // exact set, recall = floor(n_hit/k·1e4 + 0.5)/1e4. The old shape
+    // paid ~12 tiny AQE stages (two ranking windows, three joins, two
+    // aggregates over ≤ 8 rows each); the distributed result is
+    // byte-identical and oracle-gated. Report q set replays the old
+    // inner joins: visited ∩ exact, with n_hit LEFT-joined (0 when
+    // the walk's top-k misses the exact top-k entirely).
+    val visByQ = visitedMap.values.toArray.groupBy(r => lng(r.get(0)))
+    val exactByQ = exactTopRows.groupBy(r => lng(r.get(0)))
+    def topK(rs: Array[org.apache.spark.sql.Row]): Array[org.apache.spark.sql.Row] =
+      rs.sortBy(r => (-lng(r.get(2)), lng(r.get(1)))).take(k)
+    val reportRows: Seq[org.apache.spark.sql.Row] =
+      visByQ.keys.toSeq.filter(exactByQ.contains).sorted.map { q =>
+        val vis = visByQ(q)
+        val annK = topK(vis)
+        // exact rows carry rn from the Spark window — order by it
+        val exaK = exactByQ(q).sortBy(r => lng(r.get(3)))
+        val exaSet = exaK.map(r => lng(r.get(1))).toSet
+        val nHit = annK.count(r => exaSet.contains(lng(r.get(1))))
+        org.apache.spark.sql.Row(
+          annK.head.get(0), // q_id in its original fixture type
+          vis.length.toLong,
+          annK.map(r => lng(r.get(1)).toString).mkString(","),
+          annK.map(r => lng(r.get(2))).max,
+          exaK.map(r => lng(r.get(1)).toString).mkString(","),
+          exaK.map(r => lng(r.get(2))).max,
+          nHit.toLong,
+          math.floor(nHit.toDouble / k * 10000.0 + 0.5) / 10000.0)
+      }
+    import org.apache.spark.sql.types._
+    val reportSchema = StructType(Seq(
+      StructField("q_id", visSchema("q_id").dataType),
+      StructField("n_visited", LongType, nullable = false),
+      StructField("ann_top", StringType, nullable = false),
+      StructField("ann_best", visSchema("w").dataType, nullable = false),
+      StructField("exact_top", StringType, nullable = false),
+      StructField("exact_best", visSchema("w").dataType, nullable = false),
+      StructField("n_hit", LongType, nullable = false),
+      StructField("recall", DoubleType, nullable = false)))
+    sess.createDataFrame(
+      java.util.Arrays.asList(reportRows: _*), reportSchema)
       .orderBy("q_id")
   }
 
