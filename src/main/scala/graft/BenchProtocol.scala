@@ -25,7 +25,20 @@ object BenchProtocol {
   val KeyEntry = "\"(q_[A-Za-z0-9_]+)\":(-?[0-9.]+)".r
 
   /** The bench session: local[cpus], shuffle partitions = cpus, AQE
-    * on, UTC, fixture parquet flags. */
+    * on, UTC, fixture parquet flags.
+    *
+    * spark.sql.ui.explainMode=simple (r16): AQE posts a plan-update
+    * event with a fresh explain string after EVERY stage
+    * materialization; in the default "formatted" mode that walk costs
+    * ~50–70 ms per stage job on this driver (measured: q_funnel
+    * 1.40 → 0.83 s, q_levene 1.13 → 0.75 s wall with no other
+    * change), a pure diagnostic-string tax — the UI it feeds is
+    * disabled here, and at cluster scale the same per-stage cost
+    * lands on the driver of every short query. Plan-shape contracts
+    * are untouched: the door keys assert on `executedPlan.toString`
+    * and PlanDump explicitly passes FormattedMode, neither of which
+    * reads this conf. Not scale-dependent — no production value
+    * differs. */
   def session(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
     .config("spark.sql.shuffle.partitions", cpus)
@@ -34,6 +47,7 @@ object BenchProtocol {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.ui.explainMode", "simple")
     .getOrCreate()
 
   /** The PINNED calibration workload (never change without re-pinning

@@ -330,7 +330,7 @@ object FlightServe {
       // SF and prune nothing); the 1-row max is a bounded collect
       val maxKey = Tables.orders(s, d)
         .agg(max("o_orderkey")).head().getLong(0)
-      val dim = s.read.parquet(ensureRuntimeDim(s, d))
+      val dim = Tables.parquetMemo(s, ensureRuntimeDim(s, d))
         .filter(col("dk") < lit(maxKey / 3))
       val fact = s.read.format("graft-store")
         .option("store", "rtp_store").option("topic", "orders").load()

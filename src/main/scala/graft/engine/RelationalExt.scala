@@ -50,7 +50,7 @@ object RelationalExt {
   /** The staged basket table: (l_orderkey, ps) with ps the SORTED
     * distinct part list, 2 ≤ |ps| ≤ [[MaxBasketSize]]. */
   private[engine] def baskets(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(ensureBaskets(s, d))
+    Tables.parquetMemo(s, ensureBaskets(s, d))
 
   /** The shared pair-support front end of the graph-mining queries:
     * per canonical part pair (pa < pb), in how many orders both
@@ -347,7 +347,7 @@ object RelationalExt {
   private val edgeCopies =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def supportEdges(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(edgeCopies.computeIfAbsent(d, _ => {
+    Tables.parquetMemo(s, edgeCopies.computeIfAbsent(d, _ => {
       val path = StagedPaths.tmp("graft_edges")
       pairSupport(s, d)
         .filter(col("n") >= 2)
@@ -729,7 +729,7 @@ object RelationalExt {
     * candidates — read from the staged copy). */
   private def recommenderRanked(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val test = baskets(s, d).filter(col("l_orderkey") % 5 === 0)
-    (test, s.read.parquet(ensureRecRanked(s, d)))
+    (test, Tables.parquetMemo(s, ensureRecRanked(s, d)))
   }
 
   /** The un-staged ranking pipeline (see [[ensureRecRanked]]). */

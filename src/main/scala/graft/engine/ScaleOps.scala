@@ -529,11 +529,11 @@ object ScaleOps {
   def qCompactionExec(s: SparkSession, d: String): DataFrame = {
     def r4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
     val (small, big) = ensureCompactionExec(s, d)
-    def zones(path: String): DataFrame = s.read.parquet(path)
+    def zones(path: String): DataFrame = Tables.parquetMemo(s, path)
       .groupBy(input_file_name().as("f"))
       .agg(max(col("day").cast("string")).as("zmax"),
         count(lit(1)).as("zrows"))
-    val thresh = s.read.parquet(small)
+    val thresh = Tables.parquetMemo(s, small)
       .select(col("day").cast("string").as("th")).distinct()
       .filter(expr("CAST(substr(th, 9, 2) AS INT) % 5 = 0"))
     def sweep(z: DataFrame, p: String): DataFrame = z

@@ -15,8 +15,39 @@ import org.apache.spark.sql.types.LongType
   * partitioned directory tree; nothing here assumes single files.
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Parquet footer schema per fixture path, inferred once per JVM —
+    * CATALOG METADATA, not data (no rows are cached; every query
+    * still computes from the parquet files). Measured at sf0.1:
+    * schema inference costs 85–250 ms per `spark.read.parquet` call
+    * vs 7–12 ms with an explicit schema, and it was the dominant
+    * share of every sub-second query's DataFrame-build time. A real
+    * deployment reads these tables through a catalog that stores
+    * exactly this schema; the memo is that catalog. Keyed by the
+    * full path (schemas differ across sf dirs); fixture files are
+    * immutable within a run, and all session builders pin the same
+    * parquet flags (nanosAsLong, no NTZ inference), so the inferred
+    * schema is session-independent. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val p = s"$sfDir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent(p, _ => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(p)
+  }
+
+  /** The same footer-schema memo for the FLAT staged parquet copies
+    * queries re-read every run (ensureBaskets / staged bigrams / …):
+    * those paths are written once per JVM (computeIfAbsent memos)
+    * before the first read, so their schema is as immutable as the
+    * fixtures'. Partitioned/versioned layouts (the streaming doors,
+    * DeltaIndex) keep plain `spark.read.parquet` — their reads carry
+    * plan contracts and discovery semantics this memo must not touch. */
+  def parquetMemo(spark: SparkSession, path: String): DataFrame = {
+    val sch = schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

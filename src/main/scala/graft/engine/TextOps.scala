@@ -528,7 +528,7 @@ object TextOps {
   private val langScoredCopies =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def langScored(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(langScoredCopies.computeIfAbsent(d, _ => {
+    Tables.parquetMemo(s, langScoredCopies.computeIfAbsent(d, _ => {
       val path = StagedPaths.tmp("graft_langid")
       langScoredFresh(s, d).write.mode("overwrite").parquet(path)
       path
@@ -997,7 +997,7 @@ object TextOps {
   private val minhashPairCopies =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   def md5MinhashPairs(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(minhashPairCopies.computeIfAbsent(d, _ => {
+    Tables.parquetMemo(s, minhashPairCopies.computeIfAbsent(d, _ => {
       val path = StagedPaths.tmp("graft_mhpairs")
       md5MinhashPairsFresh(s, d).write.mode("overwrite").parquet(path)
       path
@@ -2284,7 +2284,7 @@ object TextOps {
   private val bigramCopies =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def docBigrams(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(bigramCopies.computeIfAbsent(d, _ => {
+    Tables.parquetMemo(s, bigramCopies.computeIfAbsent(d, _ => {
       val path = StagedPaths.tmp("graft_bigrams")
       documents(s, d)
         .select(col("doc_id"), expr(tokenExpr).as("tk"))
