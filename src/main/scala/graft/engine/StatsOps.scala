@@ -114,9 +114,13 @@ object StatsOps {
     * events; the per-type marginals are broadcast. */
   def qCooccur(s: SparkSession, d: String): DataFrame = {
     val ut = events(s, d).select("user_id", "event_type").distinct()
-      // audience-sized; referenced by the user count, the marginals
-      // and both self-join sides — dedup the events once (the
-      // qAudienceOverlap pattern, r15)
+      // AUDIENCE-sized (|users| × ≤5 types), NOT vocabulary/grid-
+      // bounded like most r15 checkpoints: it grows linearly with the
+      // user base, so re-evaluate this materialization at a larger
+      // scale factor (the ScaleOps/RelationalExt size-class
+      // convention). Bench-verified a win at sf0.1; referenced by the
+      // user count, the marginals and both self-join sides — dedup
+      // the events once (the qAudienceOverlap pattern, r15)
       .localCheckpoint(true)
     val nUsers = ut.agg(countDistinct("user_id").cast("double").as("n_users"))
     val marg = ut.groupBy("event_type").agg(count(lit(1)).as("n_t"))

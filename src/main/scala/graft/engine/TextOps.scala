@@ -301,20 +301,19 @@ object TextOps {
     * candidate burst on one join key; measured 76 s → ~2 s at
     * sf0.1). */
   def qDedupSimhashMd5(s: SparkSession, d: String): DataFrame = {
+    // one native pass per document (r16): md5 + 56-bit majority fold
+    // fused into graft_md5_simhash56, bit-identical to the HOF form
+    // `aggregate(sequence(0,55), 0L, (acc,b) -> acc + IF(2 *
+    // size(filter(hs, h -> (shiftright(h,b)&1)=1)) >= size(hs),
+    // 1L<<b, 0))` over hs = transform(tokens, w ->
+    // conv(substring(md5(w),1,14),16,10)) — which walked the token
+    // hash array 56 times per document through lambda machinery
+    // (Md5SimHash56Spec asserts equality against that HOF form; the
+    // DuckDB oracle replays the same md5 math unchanged)
+    graft.expressions.VectorExpressions.register(s)
     val fps = corpusWithDups(s, d)
-      .select(col("doc_id"),
-        expr("transform(split(trim(text), '\\\\s+'), " +
-          "w -> CAST(conv(substring(md5(w), 1, 14), 16, 10) AS BIGINT))")
-          .as("hs"))
-      .select(col("doc_id"), expr(
-        // note (r15): rewriting the per-bit size(filter(...)) as a
-        // scalar aggregate() fold was MEASURED SLOWER (8.6 s vs 5.6 s
-        // summed task time; bench 3.3 vs 2.6 s) — ArrayFilter's tight
-        // loop beats ArrayAggregate's per-element accumulator update,
-        // so the filter form stays
-        "aggregate(sequence(0, 55), CAST(0 AS BIGINT), (acc, b) -> acc + " +
-          "IF(2 * size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) >= size(hs), " +
-          "shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))").as("fp"))
+      .select(col("doc_id"), call_function("graft_md5_simhash56",
+        split(trim(col("text")), "\\s+")).as("fp"))
     val chunksAll = fps.select(col("doc_id"), col("fp"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),

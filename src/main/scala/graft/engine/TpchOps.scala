@@ -573,6 +573,18 @@ object TpchOps {
     * TakeOrderedAndProject. */
   def qTpchQ21(s: SparkSession, d: String): DataFrame = {
     Seq("lineitem", "orders", "supplier").foreach(view(s, d, _))
+    // r16 note: the Q2/Q20-style decorrelation WAS attempted (EXISTS
+    // <=> per-order distinct-supplier count >= 2; NOT EXISTS <=>
+    // l1.ship >= max ship of the order's OTHER suppliers, via a
+    // per-(order, supplier) MAX aggregate + top-with-tie-count
+    // windows on one REPARTITION(l_orderkey) exchange). It was
+    // value-identical (oracle PASS x3 SFs) but MEASURED SLOWER:
+    // JobProfile wall 1.58 -> 3.47 s, summed task time 1.24 -> 10.3 s
+    // at sf0.1 — the planner already turns both correlated probes
+    // into broadcast semi/anti hash joins with ZERO shuffles of the
+    // fact, while the rewrite forces an exchange plus four windows.
+    // The canonical form stays; at cluster scale all three fact
+    // probes co-partition on the one l_orderkey shuffle key.
     s.sql("""
       SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
       FROM tpch_supplier

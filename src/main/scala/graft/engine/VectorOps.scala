@@ -1186,7 +1186,7 @@ object VectorOps {
     // role (vec_id mod 3) — the per-id pick() form planned 15
     // separate single-row corpus scans (16 scans -> 2, r15); the
     // composed target is the identical double-arithmetic zip chain
-    val probes = corpus.filter(col("vec_id") < 15)
+    val probes = corpus.filter(col("vec_id") >= 0 && col("vec_id") < 15)
       .select(floor(col("vec_id") / 3).cast("long").as("probe"),
         (col("vec_id") % 3).as("role"), col("v"))
       .groupBy("probe")
@@ -1194,6 +1194,10 @@ object VectorOps {
         first(when(col("role") === 0, col("v")), ignoreNulls = true).as("va"),
         first(when(col("role") === 1, col("v")), ignoreNulls = true).as("vb"),
         first(when(col("role") === 2, col("v")), ignoreNulls = true).as("vc"))
+      // a fixture missing any of vec_ids 0-14 must DROP that probe
+      // (the pre-r15 pick()/crossJoin behavior), not emit a null
+      // target that survives as null cos_sim rows downstream
+      .filter(col("va").isNotNull && col("vb").isNotNull && col("vc").isNotNull)
       .select(col("probe"),
         (col("probe") * 3).as("id_a"), (col("probe") * 3 + 1).as("id_b"),
         (col("probe") * 3 + 2).as("id_c"),
@@ -1982,13 +1986,19 @@ object VectorOps {
     val scored = pex.join(pruned, "bucket")
       .groupBy(col("probe_id"), col("vec_id").as("b_id"))
       .agg(max(cs(col("pv"), col("pnv"), col("v"), col("nv"))).as("w"))
-    val best = scored.withColumn("rn", row_number().over(
+    // top-1 pick and candidate count in ONE pass over `scored` (r16):
+    // the count rides the same probe_id window partition (same
+    // exchange + sort) as the ranking, so the rn = 1 row carries
+    // n_cand — previously a separate groupBy aggregate re-inlined the
+    // whole probe-join-score subtree (scored was referenced twice)
+    // and joined back, scoring every candidate twice per epoch
+    val best = scored
+      .withColumn("rn", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("w").desc, col("b_id"))))
-      .filter(col("rn") === 1).select("probe_id", "b_id", "w")
-    val nc = scored.groupBy("probe_id").agg(count(lit(1)).as("n_cand"))
+      .withColumn("n_cand", count(lit(1)).over(Window.partitionBy("probe_id")))
+      .filter(col("rn") === 1).select("probe_id", "b_id", "w", "n_cand")
     probes.select("probe_id")
       .join(best, Seq("probe_id"), "left")
-      .join(nc, Seq("probe_id"), "left")
       .select(col("probe_id"),
         coalesce(col("n_cand"), lit(0L)).as("n_cand"),
         coalesce(col("b_id"), lit(-1L)).as("best_id"),

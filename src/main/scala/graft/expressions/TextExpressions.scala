@@ -356,6 +356,72 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** MD5-family 56-bit SimHash fingerprint of a token array in one
+  * native pass (array<string> → long): per token, the first 14 hex
+  * nibbles of md5(token) as a 56-bit long — exactly
+  * `CAST(conv(substring(md5(w), 1, 14), 16, 10) AS BIGINT)` — then
+  * the bit-majority fold: bit b of the fingerprint is set iff
+  * 2 * |{tokens with bit b set}| >= |tokens| (ties and the empty
+  * array set the bit, matching the HOF form's `0 >= 0`). Replaces a
+  * per-token md5+conv Catalyst pipeline plus 56 whole-array
+  * `size(filter(...))` passes per document with one md5 and one
+  * 56-bit count loop per token — the hash math is bit-identical, so
+  * the DuckDB oracle replays it unchanged (same md5-twin pattern as
+  * [[Md5MinHashOps]]). */
+object Md5SimHash56Ops {
+  private val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  def fingerprint(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val counts = new Array[Int](56)
+    val md = digests.get()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(tokens.getUTF8String(i).getBytes)
+      val d = md.digest()
+      // first 14 hex nibbles of the digest as a 56-bit long
+      var v = 0L; var k = 0
+      while (k < 14) {
+        val b = d(k >> 1) & 0xFF
+        v = (v << 4) | (if ((k & 1) == 0) b >>> 4 else b & 0xF).toLong
+        k += 1
+      }
+      var b = 0
+      while (b < 56) { counts(b) += ((v >>> b) & 1L).toInt; b += 1 }
+      i += 1
+    }
+    var fp = 0L; var b = 0
+    while (b < 56) { if (2 * counts(b) >= n) fp |= (1L << b); b += 1 }
+    fp
+  }
+}
+
+/** See [[Md5SimHash56Ops.fingerprint]]. */
+case class Md5SimHash56(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_md5_simhash56 requires array<string> input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_md5_simhash56"
+
+  override def nullSafeEval(a: Any): Any =
+    Md5SimHash56Ops.fingerprint(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.Md5SimHash56Ops.fingerprint($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** MD5-family MinHash signature of a distinct-shingle array in one
   * native pass (array<string> → array<long>, 8 values): for each
   * shingle, 4 MD5 digests of "g:shingle" (g ∈ 0..3) yield two 60-bit

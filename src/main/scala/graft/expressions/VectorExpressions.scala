@@ -211,6 +211,8 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_md5_minhash", exprs => Md5MinHash(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_md5_simhash56", exprs => Md5SimHash56(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_within_edit1", exprs => WithinEdit1(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_md5_linear_score", exprs => Md5LinearScore(exprs(0)), "built-in")
@@ -287,6 +289,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[Md5MinHash].getName, "graft_md5_minhash"),
         (exprs: Seq[Expression]) => Md5MinHash(exprs(0))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_md5_simhash56"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[Md5SimHash56].getName, "graft_md5_simhash56"),
+        (exprs: Seq[Expression]) => Md5SimHash56(exprs(0))))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_md5_linear_score"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -46,12 +46,19 @@ object ConfProbe {
           taskMs.addAndGet(t.taskInfo.duration)
       }
     })
+    // warm-up fixture: smallest SF sibling of the probed dir (was a
+    // hardcoded sf0.001), and resolve the key ONCE with an actionable
+    // error — a typo used to be swallowed by the warm-up catch and
+    // only surface as a bare NoSuchElementException from timeOnce
+    val warm = new java.io.File(d).getParent + "/sf0.001"
     names.foreach { n =>
-      try graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      val q = graft.SparkEntry.queries.getOrElse(n,
+        sys.error(s"unknown query: $n"))
+      try q(spark, warm).count()
       catch { case _: Throwable => () }
       Thread.sleep(300)
       jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0L)
-      val dt = graft.BenchProtocol.timeOnce(spark, graft.SparkEntry.queries(n), d)
+      val dt = graft.BenchProtocol.timeOnce(spark, q, d)
       Thread.sleep(500)
       println(f"CONFPROBE $n wall=$dt%.3f s jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get} taskTime=${taskMs.get / 1000.0}%.2f s")
     }
