@@ -2907,15 +2907,24 @@ object TextOps {
     val hits = indexIn.join(broadcast(probeKeys), Seq("band", "sig"),
         "left_semi")
       .select("band", "sig").distinct()
-    val dupEx = probe.join(broadcast(hits), Seq("band", "sig"), "left_semi")
-      .select("doc_id").distinct()
-    val firstIn = probe.groupBy("band", "sig").agg(min("doc_id").as("first_id"))
-    val dupBatch = probe.join(firstIn, Seq("band", "sig"))
-      .filter(col("doc_id") > col("first_id"))
-      .select("doc_id").distinct()
+    // per-doc verdict flags in ONE pass over the banded probe (r16):
+    // the index-hit flag arrives on a broadcast left join against the
+    // distinct hit keys (≤ 1 match per row), the in-batch first-owner
+    // comes from a min window on the (band, sig) partition, and one
+    // per-doc aggregate folds both — previously dup_of_existing and
+    // dup_in_batch were separate semi-join/aggregate pipelines, each
+    // with its own doc_id distinct exchange, joined back one by one
+    val wBand = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "sig")
+    val flags = probe
+      .join(broadcast(hits.withColumn("hit", lit(1L))),
+        Seq("band", "sig"), "left")
+      .withColumn("first_id", min(col("doc_id")).over(wBand))
+      .groupBy("doc_id")
+      .agg(max(col("hit")).as("de"),
+        max(when(col("doc_id") > col("first_id"), lit(1L))).as("db"))
     val classified = batch.select("doc_id")
-      .join(dupEx.withColumn("de", lit(1L)), Seq("doc_id"), "left")
-      .join(dupBatch.withColumn("db", lit(1L)), Seq("doc_id"), "left")
+      .join(flags, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("de").isNotNull, lit("dup_of_existing"))
           .when(col("db").isNotNull, lit("dup_in_batch"))
