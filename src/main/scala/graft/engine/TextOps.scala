@@ -2547,15 +2547,23 @@ object TextOps {
     * audit-able). Grouping by the folded text must merge exactly the
     * planted variants. */
   def qUnicodeFold(s: SparkSession, d: String): DataFrame = {
-    val base = documents(s, d).select(col("doc_id"), col("text").as("vtext"))
-    val accentCopies = documents(s, d).filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"),
-        translate(col("text"), "aeiou", "áéíóú").as("vtext"))
-    val upperCopies = documents(s, d)
-      .filter(col("doc_id") % 5 === 0 && col("doc_id") % 7 =!= 0)
-      .select((col("doc_id") + 2000000).as("doc_id"),
-        upper(col("text")).as("vtext"))
-    base.unionByName(accentCopies).unionByName(upperCopies)
+    // one corpus scan (r16): the three variant branches (base +
+    // conditional accent/upper copies) were a 3-way union that
+    // scanned the full text column three times; each doc now emits
+    // its 1-3 variants map-side from a single projection (the
+    // conditional explode(concat(array...)) idiom — filter() over a
+    // one-element array keeps the branch's type and drops it when
+    // the condition fails). doc_id is never consumed downstream, so
+    // only the variant text is emitted; the row multiset is
+    // identical to the old union's vtext column (oracle-gated)
+    val variants = documents(s, d).select(explode(concat(
+        array(col("text")),
+        filter(array(translate(col("text"), "aeiou", "áéíóú")),
+          _ => col("doc_id") % 7 === 0),
+        filter(array(upper(col("text"))),
+          _ => col("doc_id") % 5 === 0 && col("doc_id") % 7 =!= 0)))
+      .as("vtext"))
+    variants
       .withColumn("folded", translate(lower(col("vtext")), "áéíóú", "aeiou"))
       .groupBy("folded")
       .agg(count(lit(1)).as("n_variants"),
